@@ -1,13 +1,861 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bde.{BdeFormat, Diff}
+import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
+import graft.operators.{Dedup, Similarity}
+
+/**
+ * Driver contract: every implemented operator from SURVEY.md §2 (plus the
+ * LLM-pipeline operator families) is registered here as a named query over
+ * the `/root/testdata` parquet tables, together with DuckDB oracle SQL that
+ * computes the same result. Query names carry the SURVEY §2 operator ids
+ * they exercise.
+ *
+ * The diff/merge queries run a shared synthetic scenario derived from
+ * `orders` (reference semantics: level-5 incremental loads,
+ * /root/reference/sql/02-bde_control_functions.sql.in:2146-2373):
+ *   cur = orders with keys ≡ 0 (mod 7) removed        (those become 'I')
+ *   inc = orders with keys ≡ 0 (mod 9) removed        (those become 'D'),
+ *         o_totalprice bumped for keys ≡ 0 (mod 4)    (those become 'U')
+ *   chg = keys ≡ 0 (mod 3)                            (the change table)
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column (unsupported by Spark's
+    * parquet reader) surfaced as a proper TimestampType (µs). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in the session (set by
+    * Verify/Bench); the ns→µs truncation never moves a whole second. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  // ---- shared diff scenario (Spark side) -------------------------------
+  private val OrderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def curOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").where(col("o_orderkey") % 7 =!= 0)
+
+  private def incOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderkey") % 9 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+
+  private def chgKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"))
+
+  private def classify(s: SparkSession, dir: String): DataFrame =
+    Diff.classifyChanges(curOrders(s, dir), incOrders(s, dir),
+      chgKeys(s, dir), "o_orderkey")
+
+  // ---- shared diff scenario (DuckDB side) ------------------------------
+  private val ScenarioSql =
+    """WITH cur AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+      |inc AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |        CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1
+      |             ELSE o_totalprice END AS o_totalprice,
+      |        o_orderdate, o_orderpriority
+      |   FROM orders WHERE o_orderkey % 9 <> 0),
+      |chg AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)""".stripMargin
+
+  private val CompareSql = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+    .map(c => s"cur.$c IS NOT DISTINCT FROM inc.$c").mkString(" AND ")
+
+  private val ClassifySql =
+    s"""$ScenarioSql,
+       |actions AS (
+       |  SELECT chg.o_orderkey, 'D' AS action FROM chg
+       |    JOIN cur ON cur.o_orderkey = chg.o_orderkey
+       |   WHERE NOT EXISTS (SELECT 1 FROM inc WHERE inc.o_orderkey = chg.o_orderkey)
+       |  UNION ALL
+       |  SELECT chg.o_orderkey, 'I' AS action FROM chg
+       |    JOIN inc ON inc.o_orderkey = chg.o_orderkey
+       |   WHERE NOT EXISTS (SELECT 1 FROM cur WHERE cur.o_orderkey = chg.o_orderkey)
+       |  UNION ALL
+       |  SELECT chg.o_orderkey,
+       |         CASE WHEN $CompareSql THEN '0' ELSE 'U' END AS action
+       |    FROM chg
+       |    JOIN cur ON cur.o_orderkey = chg.o_orderkey
+       |    JOIN inc ON inc.o_orderkey = chg.o_orderkey
+       |)""".stripMargin
+
+  // ---- near-dup corpora ------------------------------------------------
+  /** documents ∪ a copy with the first 5 tokens dropped (ids +10000). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val mutated = d.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+        .otherwise(col("text")).as("text"))
+    d.unionByName(mutated)
+  }
+
+  private val NearDupCorpusSql = {
+    val toks = TextOpsSql.tokens("text")
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id,
+       |         CASE WHEN len($toks) > 5
+       |              THEN array_to_string(($toks)[6:], ' ')
+       |              ELSE text END AS text
+       |    FROM documents
+       |)""".stripMargin
+  }
+
+  /** documents ∪ an exact copy (ids +10000). */
+  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val ExactDupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |)""".stripMargin
+
+  /** Flagship query on sf0.001; the driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Queries — one per implemented operator (SURVEY §2 ids in names).
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A-family flagship aggregation (A1-style counts + sums; bench headline)
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // S1+O1: dataset scan — enumerate snapshot names, filter < end date, sort
+    "s1_dataset_scan" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyyMMddHHmmss").as("dataset"))
+        .distinct()
+        .where(col("dataset") < "19980101000000")
+        .orderBy(col("dataset"))),
+
+    // S2: completeness anti-join — required minus present
+    "s2_completeness_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))),
+
+    // P1+P2: column-intersection projection (file-order preserved)
+    "p1_column_intersection" -> ((s, dir) =>
+      BdeFormat.selectValidColumns(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "no_such_col"))
+        .where(col("l_orderkey") % 100 === 0)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P3: watermark predicate — datasets after the last-loaded one
+    "p3_watermark_filter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyyMMddHHmmss").as("dataset"))
+        .distinct()
+        .where(col("dataset") > "19970101000000" && col("dataset") < "19980101000000")
+        .orderBy(col("dataset"))),
+
+    // P4: change-set per-table filter
+    "p4_change_filter" -> ((s, dir) =>
+      events(s, dir)
+        .where(lower(col("event_type")) === "purchase")
+        .select(col("user_id")).distinct()
+        .orderBy(col("user_id"))),
+
+    // P6: zombie/expiry predicate
+    "p6_expiry_predicate" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp")
+          && col("o_orderstatus") =!= "F")
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
+
+    // J1: anti-join deletes
+    "j1_anti_delete" -> ((s, dir) =>
+      classify(s, dir).where(col("action") === Diff.ActionDelete)
+        .orderBy(col("o_orderkey"))),
+
+    // J2: anti-join inserts
+    "j2_anti_insert" -> ((s, dir) =>
+      classify(s, dir).where(col("action") === Diff.ActionInsert)
+        .orderBy(col("o_orderkey"))),
+
+    // J3: inner join + null-safe full-row compare → U/0
+    "j3_nullsafe_classify" -> ((s, dir) =>
+      classify(s, dir).orderBy(col("o_orderkey"), col("action"))),
+
+    // J4: full-table diff (level-0 incremental)
+    "j4_full_diff" -> ((s, dir) =>
+      Diff.fullDiff(curOrders(s, dir), incOrders(s, dir), "o_orderkey")
+        .orderBy(col("o_orderkey"))),
+
+    // J5: key-swap repair join
+    "j5_keyswap_repair" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val inc = sup.withColumn("s_suppkey",
+        when(col("s_suppkey") % 3 === 0, col("s_suppkey") + 1000000)
+          .otherwise(col("s_suppkey")))
+      val chg = sup.where(col("s_suppkey") % 3 === 0)
+        .select((col("s_suppkey") + 1000000).as("s_suppkey"))
+      Diff.fixChangedKeys(sup, inc, chg, "s_suppkey", Seq("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // J6: stats/metadata join chain
+    "j6_stats_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // E2-apply: merge classified actions back into the table
+    "e2_apply_actions" -> ((s, dir) =>
+      Diff.applyActions(curOrders(s, dir), incOrders(s, dir),
+        classify(s, dir), "o_orderkey")
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
+
+    // A1: count-by-action over the classified change set
+    "a1_count_by_action" -> ((s, dir) =>
+      Diff.countByAction(classify(s, dir))),
+
+    // A2: row-count tolerance gate
+    "a2_tolerance_check" -> ((s, dir) => {
+      val oldC = t(s, dir, "orders").agg(count(lit(1)).as("old_count"))
+      val newC = incOrders(s, dir).agg(count(lit(1)).as("new_count"))
+      oldC.crossJoin(newC).select(
+        col("old_count"), col("new_count"),
+        (col("new_count") < ceil(col("old_count") * 0.95).cast("bigint"))
+          .as("tol_warn"),
+        (col("new_count") < ceil(col("old_count") * 0.20).cast("bigint"))
+          .as("tol_error"))
+    }),
+
+    // A3: existence/any aggregate
+    "a3_exists_check" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 150000)
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))),
+
+    // A4: min/max duration per event
+    "a4_event_duration" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_s"))
+        .orderBy(col("event_type"))),
+
+    // A5: max-of-string watermark fold
+    "a5_watermark_fold" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("last_ts"))
+        .orderBy(col("event_type"))),
+
+    // A6: string_agg diagnostic
+    "a6_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy(col("r_name"))),
+
+    // O3: latest-dataset pick (sort desc + limit 1)
+    "o3_latest_dataset" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyyMMddHHmmss").as("dataset"))
+        .distinct()
+        .orderBy(col("dataset").desc)
+        .limit(1)),
+
+    // O4: ORDER BY … LIMIT 1 prefer-primary
+    "o4_top1_prefer" -> ((s, dir) =>
+      t(s, dir, "part")
+        .orderBy(col("p_size").desc, col("p_partkey"))
+        .select(col("p_partkey"), col("p_size"))
+        .limit(1)),
+
+    // U1: 3-way union + distinct
+    "u1_union_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.where(col("o_orderkey") % 2 === 0).select(col("o_custkey").as("custkey"))
+        .unionByName(o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_custkey").as("custkey")))
+        .unionByName(c.where(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy(col("custkey"))
+    }),
+
+    // U2: EXCEPT / left-anti
+    "u2_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").where(col("o_totalprice") > 300000)
+          .select(col("o_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // F1: lower() case folding
+    "f1_lower_fold" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(lower(col("o_orderpriority")).as("priority"))
+        .distinct()
+        .orderBy(col("priority"))),
+
+    // F2: split + explode of token lists
+    "f2_split_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") < 20)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))),
+
+    // F5: dataset-name → timestamp parse
+    "f5_parse_timestamp" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyyMMddHHmmss").as("dataset"))
+        .distinct()
+        .select(col("dataset"),
+          unix_timestamp(to_timestamp(col("dataset"), "yyyyMMddHHmmss"))
+            .as("epoch_s"))
+        .orderBy(col("dataset"))
+        .limit(50)),
+
+    // F6: date arithmetic
+    "f6_date_arith" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max(datediff(lit("1998-12-01").cast("date"),
+            col("o_orderdate").cast("date"))).cast("bigint").as("max_age_days"),
+          min(datediff(lit("1998-12-01").cast("date"),
+            col("o_orderdate").cast("date"))).cast("bigint").as("min_age_days"))
+        .orderBy(col("o_orderstatus"))),
+
+    // F8: coalesce/null-default
+    "f8_coalesce_default" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          coalesce(when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")),
+            lit(0.0)).as("bal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("bal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))),
+
+    // F9: ceil tolerance thresholds
+    "f9_ceil_threshold" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          ceil(col("n") * 0.95).cast("bigint").as("tol_threshold"))
+        .orderBy(col("o_orderstatus"))),
+
+    // F11: name format + parse-back
+    "f11_name_format" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(concat(lit("bde_upload_"),
+          (col("o_orderkey") % 97).cast("string")).as("schema_name"))
+        .distinct()
+        .select(col("schema_name"),
+          regexp_extract(col("schema_name"), "(\\d+)$", 1).cast("bigint")
+            .as("parsed_id"))
+        .orderBy(col("schema_name"))),
+
+    // ---- LLM-pipeline: dedup family -----------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(exactDupCorpus(s, dir), "doc_id", "text")
+        .select(col("kept_id"), col("n_dups"))
+        .orderBy(col("kept_id"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(nearDupCorpus(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashClusters(exactDupCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("kept_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        "lang", 0.15)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- LLM-pipeline: text analysis ----------------------------------
+    "text_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        round(TextOps.meanTokenLen(toks), 6).as("mean_token_len"),
+        TextOps.punctCount(col("text")).cast("bigint").as("n_punct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        TextOps.simHash(TextOps.tokenHashes(TextOps.tokens(col("text"))))
+          .as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("bigint")
+      val punctRatio = TextOps.punctCount(col("text")).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (nTok >= 20 && nTok <= 1000 && punctRatio < 0.1).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- LLM-pipeline: similarity / ANN -------------------------------
+    "ann_topk_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    "ann_lsh_pairs" -> ((s, dir) =>
+      Similarity.lshNeighborPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 6, 0.2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "embed_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        round(VectorOps.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))),
+
+    // ---- LLM-pipeline: multimodal plumbing ----------------------------
+    "mm_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256"),
+        lit("text/plain").as("mime"))
+        .orderBy(col("doc_id"))),
+
+    // ---- bench headliners ---------------------------------------------
+    "q6_revenue_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
+    "q3_top_orders" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10))
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB dialect) — same semantics, same arithmetic.
+  // =====================================================================
+  def oracleSql: Map[String, String] = {
+    val toks = TextOpsSql.tokens("text")
+
+    Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       round(sum(l_extendedprice), 2) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |       round(avg(l_quantity), 4) AS avg_qty,
+          |       count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "s1_dataset_scan" ->
+        """SELECT dataset FROM (
+          |  SELECT DISTINCT strftime(o_orderdate, '%Y%m%d%H%M%S') AS dataset
+          |  FROM orders) WHERE dataset < '19980101000000' ORDER BY dataset""".stripMargin,
+
+      "s2_completeness_antijoin" ->
+        """SELECT c_custkey FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "p1_column_intersection" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+          |FROM lineitem WHERE l_orderkey % 100 = 0
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "p3_watermark_filter" ->
+        """SELECT dataset FROM (
+          |  SELECT DISTINCT strftime(o_orderdate, '%Y%m%d%H%M%S') AS dataset
+          |  FROM orders)
+          |WHERE dataset > '19970101000000' AND dataset < '19980101000000'
+          |ORDER BY dataset""".stripMargin,
+
+      "p4_change_filter" ->
+        """SELECT DISTINCT user_id FROM events
+          |WHERE lower(event_type) = 'purchase' ORDER BY user_id""".stripMargin,
+
+      "p6_expiry_predicate" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus <> 'F'
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "j1_anti_delete" ->
+        s"""$ClassifySql
+           |SELECT o_orderkey, action FROM actions WHERE action = 'D'
+           |ORDER BY o_orderkey""".stripMargin,
+
+      "j2_anti_insert" ->
+        s"""$ClassifySql
+           |SELECT o_orderkey, action FROM actions WHERE action = 'I'
+           |ORDER BY o_orderkey""".stripMargin,
+
+      "j3_nullsafe_classify" ->
+        s"""$ClassifySql
+           |SELECT o_orderkey, action FROM actions ORDER BY o_orderkey, action""".stripMargin,
+
+      "j4_full_diff" ->
+        s"""$ScenarioSql
+           |SELECT o_orderkey, action FROM (
+           |  SELECT COALESCE(cur.o_orderkey, inc.o_orderkey) AS o_orderkey,
+           |         CASE WHEN cur.o_orderkey IS NULL THEN 'I'
+           |              WHEN inc.o_orderkey IS NULL THEN 'D'
+           |              WHEN NOT ($CompareSql) THEN 'U' END AS action
+           |  FROM cur FULL OUTER JOIN inc ON cur.o_orderkey = inc.o_orderkey)
+           |WHERE action IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+      "j5_keyswap_repair" ->
+        """WITH inc AS (
+          |  SELECT CASE WHEN s_suppkey % 3 = 0 THEN s_suppkey + 1000000
+          |              ELSE s_suppkey END AS s_suppkey, s_name
+          |  FROM supplier),
+          |chg AS (SELECT s_suppkey + 1000000 AS s_suppkey FROM supplier
+          |        WHERE s_suppkey % 3 = 0),
+          |stale AS (
+          |  SELECT t.s_suppkey FROM inc i
+          |  JOIN chg c ON i.s_suppkey = c.s_suppkey
+          |  JOIN supplier t ON i.s_name IS NOT DISTINCT FROM t.s_name
+          |                 AND i.s_suppkey <> t.s_suppkey)
+          |SELECT DISTINCT s_suppkey FROM (
+          |  SELECT s_suppkey FROM chg UNION ALL SELECT s_suppkey FROM stale)
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "j6_stats_join" ->
+        """SELECT r_name, n_name, count(*) AS n_customers,
+          |       round(sum(c_acctbal), 2) AS total_acctbal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+      "e2_apply_actions" ->
+        s"""$ClassifySql
+           |SELECT o_orderkey FROM (
+           |  SELECT o_orderkey FROM cur
+           |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM actions
+           |                           WHERE action IN ('D', 'U', 'X'))
+           |  UNION ALL
+           |  SELECT o_orderkey FROM inc
+           |  WHERE o_orderkey IN (SELECT o_orderkey FROM actions
+           |                       WHERE action IN ('I', 'U', 'X')))
+           |ORDER BY o_orderkey""".stripMargin,
+
+      "a1_count_by_action" ->
+        s"""$ClassifySql
+           |SELECT action, count(*) AS n FROM actions
+           |GROUP BY action ORDER BY action""".stripMargin,
+
+      "a2_tolerance_check" ->
+        s"""$ScenarioSql
+           |SELECT old_count, new_count,
+           |       new_count < CAST(ceil(old_count * 0.95) AS BIGINT) AS tol_warn,
+           |       new_count < CAST(ceil(old_count * 0.20) AS BIGINT) AS tol_error
+           |FROM (SELECT (SELECT count(*) FROM orders) AS old_count,
+           |             (SELECT count(*) FROM inc) AS new_count)""".stripMargin,
+
+      "a3_exists_check" ->
+        """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "a4_event_duration" ->
+        """SELECT event_type,
+          |       CAST(floor(epoch(max(ts))) AS BIGINT)
+          |       - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "a5_watermark_fold" ->
+        """SELECT event_type, max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS last_ts
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "a6_string_agg" ->
+        """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+      "o3_latest_dataset" ->
+        """SELECT max(strftime(o_orderdate, '%Y%m%d%H%M%S')) AS dataset
+          |FROM orders""".stripMargin,
+
+      "o4_top1_prefer" ->
+        """SELECT p_partkey, p_size FROM part
+          |ORDER BY p_size DESC, p_partkey LIMIT 1""".stripMargin,
+
+      "u1_union_distinct" ->
+        """SELECT DISTINCT custkey FROM (
+          |  SELECT o_custkey AS custkey FROM orders WHERE o_orderkey % 2 = 0
+          |  UNION ALL
+          |  SELECT o_custkey AS custkey FROM orders WHERE o_orderkey % 3 = 0
+          |  UNION ALL
+          |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+          |ORDER BY custkey""".stripMargin,
+
+      "u2_except" ->
+        """SELECT c_custkey FROM (
+          |  SELECT c_custkey FROM customer
+          |  EXCEPT
+          |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "f1_lower_fold" ->
+        """SELECT DISTINCT lower(o_orderpriority) AS priority FROM orders
+          |ORDER BY priority""".stripMargin,
+
+      "f2_split_explode" ->
+        s"""SELECT token, count(*) AS n FROM (
+           |  SELECT unnest($toks) AS token
+           |  FROM documents WHERE doc_id < 20)
+           |GROUP BY token ORDER BY token""".stripMargin,
+
+      "f5_parse_timestamp" ->
+        """SELECT dataset,
+          |       CAST(floor(epoch(strptime(dataset, '%Y%m%d%H%M%S'))) AS BIGINT)
+          |         AS epoch_s
+          |FROM (SELECT DISTINCT strftime(o_orderdate, '%Y%m%d%H%M%S') AS dataset
+          |      FROM orders)
+          |ORDER BY dataset LIMIT 50""".stripMargin,
+
+      "f6_date_arith" ->
+        """SELECT o_orderstatus,
+          |       CAST(max(datediff('day', o_orderdate::DATE, DATE '1998-12-01'))
+          |            AS BIGINT) AS max_age_days,
+          |       CAST(min(datediff('day', o_orderdate::DATE, DATE '1998-12-01'))
+          |            AS BIGINT) AS min_age_days
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "f8_coalesce_default" ->
+        """SELECT c_mktsegment,
+          |       round(sum(coalesce(CASE WHEN c_acctbal < 0 THEN NULL
+          |                               ELSE c_acctbal END, 0.0)), 2) AS total_bal
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "f9_ceil_threshold" ->
+        """SELECT o_orderstatus, count(*) AS n,
+          |       CAST(ceil(count(*) * 0.95) AS BIGINT) AS tol_threshold
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "f11_name_format" ->
+        """SELECT schema_name,
+          |       CAST(regexp_extract(schema_name, '(\d+)$', 1) AS BIGINT) AS parsed_id
+          |FROM (SELECT DISTINCT 'bde_upload_' || CAST(o_orderkey % 97 AS VARCHAR)
+          |        AS schema_name FROM orders)
+          |ORDER BY schema_name""".stripMargin,
+
+      "dedup_exact" ->
+        s"""WITH $ExactDupCorpusSql
+           |SELECT min(doc_id) AS kept_id, count(*) AS n_dups
+           |FROM corpus GROUP BY text ORDER BY kept_id""".stripMargin,
+
+      "dedup_minhash_lsh" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT doc_id, shingles, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, shingles, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band))
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           |         round(${TextOpsSql.jaccard("l.shingles", "r.shingles")}, 6)
+           |           AS jaccard
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+           |WHERE jaccard >= 0.0 ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "dedup_simhash" -> {
+        val thash = TextOpsSql.tokenHashes(toks)
+        s"""WITH $ExactDupCorpusSql,
+           |sh AS (SELECT doc_id, ${TextOpsSql.simHash(s"($thash)")} AS simhash
+           |       FROM corpus)
+           |SELECT simhash, min(doc_id) AS kept_id, count(*) AS n_dups
+           |FROM sh GROUP BY simhash HAVING count(*) > 1
+           |ORDER BY kept_id""".stripMargin
+      },
+
+      "dedup_ngram_jaccard" -> {
+        val thash = TextOpsSql.tokenHashes(toks)
+        val shingles = TextOpsSql.shingleHashes(s"($thash)")
+        s"""WITH pre AS (
+           |  SELECT doc_id AS id, lang AS block,
+           |         list_distinct($shingles) AS shingles
+           |  FROM documents)
+           |SELECT l.id AS id_a, r.id AS id_b,
+           |       round(${TextOpsSql.jaccard("l.shingles", "r.shingles")}, 6)
+           |         AS jaccard
+           |FROM pre l JOIN pre r ON l.block = r.block AND l.id < r.id
+           |WHERE ${TextOpsSql.jaccard("l.shingles", "r.shingles")} >= 0.15
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "text_stats" ->
+        s"""SELECT doc_id,
+           |       CAST(len($toks) AS BIGINT) AS n_tokens,
+           |       CAST(length(text) AS BIGINT) AS n_chars,
+           |       round(${TextOpsSql.meanTokenLen(toks)}, 6) AS mean_token_len,
+           |       CAST(${TextOpsSql.punctCount("text")} AS BIGINT) AS n_punct
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_langid" ->
+        s"""SELECT doc_id, ${TextOpsSql.langId(toks)} AS lang_pred
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_fingerprint" -> {
+        val thash = TextOpsSql.tokenHashes(toks)
+        s"""SELECT doc_id,
+           |       ${TextOpsSql.polyHash("text")} AS fingerprint,
+           |       ${TextOpsSql.simHash(s"($thash)")} AS simhash
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |       (len($toks) BETWEEN 20 AND 1000)
+           |       AND (${TextOpsSql.punctCount("text")}::DOUBLE
+           |            / greatest(length(text)::DOUBLE, 1.0) < 0.1) AS quality_ok
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "ann_topk_bruteforce" ->
+        s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |               ${VectorOpsSql.cosine("q.embedding", "c.embedding")} AS cos
+           |        FROM embeddings q
+           |        JOIN embeddings c ON c.vec_id <> q.vec_id
+           |        WHERE q.vec_id < 8))
+           |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin,
+
+      "ann_lsh_pairs" ->
+        s"""WITH pre AS (
+           |  SELECT vec_id AS id, embedding,
+           |         ${VectorOpsSql.signBucket("embedding", 6)} AS bucket
+           |  FROM embeddings)
+           |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+           |  SELECT l.id AS id_a, r.id AS id_b,
+           |         ${VectorOpsSql.cosine("l.embedding", "r.embedding")} AS cos
+           |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
+           |WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+      "embed_norm" ->
+        s"""SELECT vec_id, label, round(${VectorOpsSql.norm("embedding")}, 6)
+           |  AS l2_norm
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "mm_binary_meta" ->
+        """SELECT doc_id,
+          |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+          |       sha256(text) AS sha256,
+          |       'text/plain' AS mime
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q6_revenue_filter" ->
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07
+          |  AND l_quantity < 24""".stripMargin,
+
+      "q3_top_orders" ->
+        """SELECT o_orderkey,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > TIMESTAMP '1998-01-01'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for large-scale training-data pipelines:
+ * tokenization, deterministic arithmetic hashing (engine-portable — the
+ * same numbers are computable in any SQL engine, which is what the DuckDB
+ * correctness oracle relies on), MinHash signatures, SimHash, language-ID
+ * heuristics and quality scores.
+ *
+ * Everything is a `Column` expression built from Spark's codegen'd
+ * higher-order functions (`transform`/`aggregate`/`filter`) — no UDFs, so
+ * the whole pipeline stays inside whole-stage codegen and scales linearly
+ * with executors. All hashes are plain integer arithmetic mod a prime, NOT
+ * Spark's murmur3 `hash()`, so results are portable across engines and
+ * stable across Spark versions.
+ */
+object TextOps {
+
+  /** Modulus for token/shingle hashes (fits in 20 bits of slack below 2^31). */
+  val TokenMod = 1000003L
+  /** Modulus for MinHash permutations (2^31 - 1, prime). */
+  val HashMod = 2147483647L
+  /** SimHash width: token hashes are < 2^20, so 20 usable bits. */
+  val SimHashBits = 20
+
+  /** Default MinHash geometry: 16 hashes = 4 bands x 4 rows. */
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = NumHashes / Bands
+
+  /** LCG-derived MinHash permutation coefficients (deterministic). */
+  def hashA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % HashMod
+  def hashB(j: Int): Long = (12345L + 1013904223L * j) % HashMod
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % P.
+    * Guarded for the empty string — Spark's `sequence(1, 0)` is a DESCENDING
+    * range, not an empty one. */
+  def polyHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(s)),
+        lit(0L),
+        (acc, i) => (acc * lit(31L) + ascii(substr(s, i, lit(1)))) % lit(TokenMod)))
+
+  /** Hash every token: array<long>, each < TokenMod. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => polyHash(t))
+
+  /**
+   * Word k-shingle hashes from token hashes: combine k consecutive token
+   * hashes positionally, (h[i]*P^2 + h[i+1]*P + h[i+2]) % M for k=3.
+   * Documents shorter than k tokens yield an empty array.
+   */
+  def shingleHashes(thash: Column, k: Int = 3): Column = {
+    require(k >= 1 && k <= 3, "shingle width 1..3 supported")
+    when(size(thash) >= k,
+      transform(sequence(lit(0), size(thash) - k), i =>
+        (0 until k).map(d =>
+          get(thash, i + lit(d)) * lit(pow.applyOrElse(k - 1 - d, (_: Int) => 1L))
+        ).reduce(_ + _) % lit(HashMod)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Powers of TokenMod used by [[shingleHashes]] (P^0, P^1, P^2 mod M). */
+  private val pow: PartialFunction[Int, Long] = {
+    case 0 => 1L
+    case 1 => TokenMod % HashMod
+    case 2 => (TokenMod * TokenMod) % HashMod
+  }
+
+  /** MinHash signature: array of NumHashes minima over the shingle set. */
+  def minHashSignature(shingles: Column, numHashes: Int = NumHashes): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s =>
+        (lit(hashA(j)) * s + lit(hashB(j))) % lit(HashMod)))
+    }: _*)
+
+  /** Hash one LSH band (rows [b*r, (b+1)*r) of the signature) to a bucket. */
+  def bandHash(sig: Column, band: Int, rowsPerBand: Int = RowsPerBand): Column =
+    (0 until rowsPerBand)
+      .map(r => get(sig, lit(band * rowsPerBand + r)))
+      .foldLeft(lit(0L): Column)((acc, v) => (acc * lit(31L) + v) % lit(HashMod))
+
+  /**
+   * SimHash over token hashes: for each bit, sum +1/-1 votes across tokens;
+   * the fingerprint sets the bit when the vote is positive. 20-bit space
+   * (token hashes are < 2^20).
+   */
+  def simHash(thash: Column): Column =
+    (0 until SimHashBits).map { b =>
+      val vote = aggregate(thash, lit(0L),
+        (acc, t) => acc + (shiftright(t, b) % lit(2L)) * lit(2L) - lit(1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Jaccard similarity of two (deduplicated) shingle-hash arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Language-ID stopword tables (tiny n-gram-free heuristic). */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopwordsEs = Seq("el", "la", "de", "y", "que", "en", "es")
+  val StopwordsDe = Seq("der", "die", "das", "und", "zu", "in", "ist")
+
+  private def ratioIn(toks: Column, words: Seq[String]): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double") /
+        size(toks).cast("double"))
+
+  /**
+   * Heuristic language ID: argmax of stopword ratios with a fixed tie-break
+   * (en > es > de > unk); 'unk' when no stopwords hit at all.
+   */
+  def langId(toks: Column): Column = {
+    val en = ratioIn(toks, StopwordsEn)
+    val es = ratioIn(toks, StopwordsEs)
+    val de = ratioIn(toks, StopwordsDe)
+    when(en === 0 && es === 0 && de === 0, lit("unk"))
+      .when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Punctuation character count (.,;:!?). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Mean token length (0.0 for empty docs). */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+
+  /** Whole-document fingerprint: rolling hash over the raw text. */
+  def fingerprint(text: Column): Column = polyHash(text)
+}
+
+/**
+ * DuckDB-dialect renderings of [[TextOps]] — ONE source of truth for the
+ * constants, two renderings of the same arithmetic. Used to build
+ * `SparkEntry.oracleSql` so the driver's DuckDB oracle computes bit-identical
+ * numbers.
+ */
+object TextOpsSql {
+  import TextOps._
+
+  def tokens(text: String): String =
+    s"list_filter(string_split($text, ' '), t -> t <> '')"
+
+  def polyHash(s: String): String =
+    s"(case when length($s) = 0 then 0 else list_reduce(" +
+      s"list_transform(range(1, length($s)+1), i -> ascii(substr($s, i, 1))::BIGINT), " +
+      s"(a, b) -> (a*31 + b) % $TokenMod) end)"
+
+  def tokenHashes(toks: String): String =
+    s"list_transform($toks, t -> ${polyHash("t")})"
+
+  def shingleHashes(thash: String, k: Int = 3): String = {
+    val p1 = TokenMod % HashMod
+    val p2 = (TokenMod * TokenMod) % HashMod
+    val combine = k match {
+      case 3 => s"($thash[i+1]*$p2 + $thash[i+2]*$p1 + $thash[i+3]) % $HashMod"
+      case 2 => s"($thash[i+1]*$p1 + $thash[i+2]) % $HashMod"
+      case 1 => s"$thash[i+1] % $HashMod"
+    }
+    s"(case when len($thash) >= $k then " +
+      s"list_transform(range(0, len($thash)-$k+1), i -> $combine) " +
+      s"else [] end)"
+  }
+
+  def minHashSignature(shingles: String, numHashes: Int = NumHashes): String =
+    (0 until numHashes).map { j =>
+      s"list_min(list_transform($shingles, s -> (${hashA(j)}*s + ${hashB(j)}) % $HashMod))"
+    }.mkString("[", ", ", "]")
+
+  def bandHash(sig: String, band: Int, rowsPerBand: Int = RowsPerBand): String =
+    (0 until rowsPerBand)
+      .map(r => s"$sig[${band * rowsPerBand + r + 1}]")
+      .foldLeft("0")((acc, v) => s"(($acc)*31 + $v) % $HashMod")
+
+  def simHash(thash: String): String =
+    (0 until SimHashBits).map { b =>
+      s"(case when (case when len($thash) = 0 then 0 else list_reduce(" +
+        s"list_transform($thash, t -> ((t >> $b) % 2) * 2 - 1), (a,b) -> a+b) end) > 0 " +
+        s"then ${1L << b} else 0 end)"
+    }.mkString("(", " + ", ")")
+
+  def jaccard(a: String, b: String): String =
+    s"(case when len($a) + len($b) - len(list_intersect($a, $b)) = 0 then 0.0 " +
+      s"else len(list_intersect($a, $b))::DOUBLE / " +
+      s"(len($a) + len($b) - len(list_intersect($a, $b)))::DOUBLE end)"
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def ratioIn(toks: String, words: Seq[String]): String =
+    s"(case when len($toks) = 0 then 0.0 else " +
+      s"len(list_filter($toks, t -> t in ${sqlList(words)}))::DOUBLE / len($toks)::DOUBLE end)"
+
+  def langId(toks: String): String = {
+    val en = ratioIn(toks, StopwordsEn)
+    val es = ratioIn(toks, StopwordsEs)
+    val de = ratioIn(toks, StopwordsDe)
+    s"(case when $en = 0 and $es = 0 and $de = 0 then 'unk' " +
+      s"when $en >= $es and $en >= $de then 'en' " +
+      s"when $es >= $de then 'es' else 'de' end)"
+  }
+
+  def punctCount(text: String): String =
+    s"(length($text) - length(regexp_replace($text, '[.,;:!?]', '', 'g')))"
+
+  def meanTokenLen(toks: String): String =
+    s"(case when len($toks) = 0 then 0.0 else " +
+      s"list_reduce(list_transform($toks, t -> length(t)::BIGINT), (a,b) -> a+b)::DOUBLE " +
+      s"/ len($toks)::DOUBLE end)"
+}
