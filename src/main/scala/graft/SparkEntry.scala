@@ -56,6 +56,14 @@ object SparkEntry {
     Diff.classifyChanges(curOrders(s, dir), incOrders(s, dir),
       chgKeys(s, dir), "o_orderkey")
 
+  /** Variant increment that also shifts a declared-unique column
+    * (o_custkey) for keys ≡ 0 (mod 5) — those classify as 'X'
+    * (unique-constraint protection, sql:2335-2357). */
+  private def incOrdersX(s: SparkSession, dir: String): DataFrame =
+    incOrders(s, dir).withColumn("o_custkey",
+      when(col("o_orderkey") % 5 === 0, col("o_custkey") + 1)
+        .otherwise(col("o_custkey")))
+
   // ---- shared diff scenario (DuckDB side) ------------------------------
   private val ScenarioSql =
     """WITH cur AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
@@ -69,6 +77,41 @@ object SparkEntry {
   private val CompareSql = Seq("o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority")
     .map(c => s"cur.$c IS NOT DISTINCT FROM inc.$c").mkString(" AND ")
+
+  /** DuckDB mirror of the 'X'-action scenario (incOrdersX). */
+  private val ClassifyXSql = {
+    val cmp = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(c => s"cur.$c IS NOT DISTINCT FROM inc.$c").mkString(" AND ")
+    s"""WITH cur AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+       |inc AS (SELECT o_orderkey,
+       |        CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1
+       |             ELSE o_custkey END AS o_custkey,
+       |        o_orderstatus,
+       |        CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1
+       |             ELSE o_totalprice END AS o_totalprice,
+       |        o_orderdate, o_orderpriority
+       |   FROM orders WHERE o_orderkey % 9 <> 0),
+       |chg AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+       |actions AS (
+       |  SELECT chg.o_orderkey, 'D' AS action FROM chg
+       |    JOIN cur ON cur.o_orderkey = chg.o_orderkey
+       |   WHERE NOT EXISTS (SELECT 1 FROM inc WHERE inc.o_orderkey = chg.o_orderkey)
+       |  UNION ALL
+       |  SELECT chg.o_orderkey, 'I' AS action FROM chg
+       |    JOIN inc ON inc.o_orderkey = chg.o_orderkey
+       |   WHERE NOT EXISTS (SELECT 1 FROM cur WHERE cur.o_orderkey = chg.o_orderkey)
+       |  UNION ALL
+       |  SELECT chg.o_orderkey,
+       |         CASE WHEN $cmp THEN '0'
+       |              WHEN NOT (cur.o_custkey IS NOT DISTINCT FROM inc.o_custkey)
+       |                THEN 'X'
+       |              ELSE 'U' END AS action
+       |    FROM chg
+       |    JOIN cur ON cur.o_orderkey = chg.o_orderkey
+       |    JOIN inc ON inc.o_orderkey = chg.o_orderkey
+       |)""".stripMargin
+  }
 
   private val ClassifySql =
     s"""$ScenarioSql,
@@ -209,6 +252,15 @@ object SparkEntry {
     // J3: inner join + null-safe full-row compare → U/0
     "j3_nullsafe_classify" -> ((s, dir) =>
       classify(s, dir).orderBy(col("o_orderkey"), col("action"))),
+
+    // J3x: unique-constraint column changed → 'X' (delete+insert protection,
+    // sql/02-bde_control_functions.sql.in:2335-2357). repairKeySwaps=false:
+    // o_custkey is a DECLARED-unique proxy, not truly unique in the data.
+    "j3x_unique_classify" -> ((s, dir) =>
+      Diff.classifyChanges(curOrders(s, dir), incOrdersX(s, dir),
+        chgKeys(s, dir), "o_orderkey",
+        uniqueCols = Seq("o_custkey"), repairKeySwaps = false)
+        .orderBy(col("o_orderkey"), col("action"))),
 
     // J4: full-table diff (level-0 incremental)
     "j4_full_diff" -> ((s, dir) =>
@@ -412,11 +464,20 @@ object SparkEntry {
       Dedup.simHashClusters(exactDupCorpus(s, dir), "doc_id", "text")
         .orderBy(col("kept_id"))),
 
+    "dedup_simhash_hamming" -> ((s, dir) =>
+      Dedup.simHashHammingPairs(nearDupCorpus(s, dir), "doc_id", "text", 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         "lang", 0.15)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_keep_first" -> ((s, dir) =>
+      Dedup.keepFirst(exactDupCorpus(s, dir), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
 
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
@@ -440,7 +501,7 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"),
-        TextOps.simHash(TextOps.tokenHashes(TextOps.tokens(col("text"))))
+        TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col("text"))))
           .as("simhash"))
         .orderBy(col("doc_id"))),
 
@@ -467,7 +528,7 @@ object SparkEntry {
 
     "ann_lsh_pairs" -> ((s, dir) =>
       Similarity.lshNeighborPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", 6, 0.2)
+        "vec_id", "embedding", bits = 12, minCosine = 0.2, numTables = 4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -572,6 +633,10 @@ object SparkEntry {
 
       "j3_nullsafe_classify" ->
         s"""$ClassifySql
+           |SELECT o_orderkey, action FROM actions ORDER BY o_orderkey, action""".stripMargin,
+
+      "j3x_unique_classify" ->
+        s"""$ClassifyXSql
            |SELECT o_orderkey, action FROM actions ORDER BY o_orderkey, action""".stripMargin,
 
       "j4_full_diff" ->
@@ -725,7 +790,14 @@ object SparkEntry {
       "dedup_exact" ->
         s"""WITH $ExactDupCorpusSql
            |SELECT min(doc_id) AS kept_id, count(*) AS n_dups
-           |FROM corpus GROUP BY text ORDER BY kept_id""".stripMargin,
+           |FROM corpus GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
+
+      "dedup_keep_first" ->
+        s"""WITH $ExactDupCorpusSql
+           |SELECT doc_id FROM corpus
+           |QUALIFY row_number() OVER (PARTITION BY sha256(text)
+           |                           ORDER BY doc_id) = 1
+           |ORDER BY doc_id""".stripMargin,
 
       "dedup_minhash_lsh" -> {
         val thash = TextOpsSql.tokenHashes("toks")
@@ -751,28 +823,60 @@ object SparkEntry {
       },
 
       "dedup_simhash" -> {
-        val thash = TextOpsSql.tokenHashes(toks)
+        val thw = TextOpsSql.tokenHashesWide(toks)
         s"""WITH $ExactDupCorpusSql,
-           |sh AS (SELECT doc_id, ${TextOpsSql.simHash(s"($thash)")} AS simhash
-           |       FROM corpus)
+           |th AS (SELECT doc_id, $thw AS thw FROM corpus),
+           |sh AS (SELECT doc_id, ${TextOpsSql.simHash("thw")} AS simhash
+           |       FROM th)
            |SELECT simhash, min(doc_id) AS kept_id, count(*) AS n_dups
            |FROM sh GROUP BY simhash HAVING count(*) > 1
            |ORDER BY kept_id""".stripMargin
       },
 
+      "dedup_simhash_hamming" -> {
+        val thw = TextOpsSql.tokenHashesWide(toks)
+        val bandCase = (0 until 4)
+          .map(b => s"WHEN $b THEN ${TextOpsSql.simHashBand("print", b)}")
+          .mkString("CASE band ", " ", " END")
+        s"""WITH $NearDupCorpusSql,
+           |th AS (SELECT doc_id, $thw AS thw FROM corpus),
+           |pr AS (SELECT doc_id AS id, ${TextOpsSql.simHash("thw")} AS print
+           |       FROM th),
+           |bands AS (SELECT id, print, band, $bandCase AS value
+           |          FROM pr, (VALUES (0), (1), (2), (3)) b(band)),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.value = r.value AND l.id < r.id)
+           |SELECT id_a, id_b, hamming FROM (
+           |  SELECT id_a, id_b,
+           |         ${TextOpsSql.hamming("a.print", "b.print")} AS hamming
+           |  FROM cand JOIN pr a ON id_a = a.id JOIN pr b ON id_b = b.id)
+           |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+      },
+
       "dedup_ngram_jaccard" -> {
-        val thash = TextOpsSql.tokenHashes(toks)
-        val shingles = TextOpsSql.shingleHashes(s"($thash)")
-        s"""WITH pre AS (
-           |  SELECT doc_id AS id, lang AS block,
-           |         list_distinct($shingles) AS shingles
-           |  FROM documents)
-           |SELECT l.id AS id_a, r.id AS id_b,
-           |       round(${TextOpsSql.jaccard("l.shingles", "r.shingles")}, 6)
-           |         AS jaccard
-           |FROM pre l JOIN pre r ON l.block = r.block AND l.id < r.id
-           |WHERE ${TextOpsSql.jaccard("l.shingles", "r.shingles")} >= 0.15
-           |ORDER BY id_a, id_b""".stripMargin
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        s"""WITH pre AS (SELECT doc_id AS id, lang AS block, text FROM documents),
+           |tok AS (SELECT id, block, $toks AS toks FROM pre),
+           |th AS (SELECT id, block, $thash AS thash FROM tok),
+           |sh AS (SELECT id, block, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT id, block, shingles, $sig AS sig FROM sh),
+           |bands AS (SELECT id, block, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.bucket = r.bucket
+           |          AND l.block = r.block AND l.id < r.id)
+           |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+           |  SELECT id_a, id_b,
+           |         ${TextOpsSql.jaccard("a.shingles", "b.shingles")} AS jac
+           |  FROM cand JOIN sh a ON id_a = a.id JOIN sh b ON id_b = b.id)
+           |WHERE jac >= 0.15 ORDER BY id_a, id_b""".stripMargin
       },
 
       "text_stats" ->
@@ -788,11 +892,12 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       "text_fingerprint" -> {
-        val thash = TextOpsSql.tokenHashes(toks)
+        val thw = TextOpsSql.tokenHashesWide(toks)
         s"""SELECT doc_id,
            |       ${TextOpsSql.polyHash("text")} AS fingerprint,
-           |       ${TextOpsSql.simHash(s"($thash)")} AS simhash
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |       ${TextOpsSql.simHash("thw")} AS simhash
+           |FROM (SELECT doc_id, text, $thw AS thw FROM documents)
+           |ORDER BY doc_id""".stripMargin
       },
 
       "text_quality" ->
@@ -814,16 +919,22 @@ object SparkEntry {
            |        WHERE q.vec_id < 8))
            |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin,
 
-      "ann_lsh_pairs" ->
-        s"""WITH pre AS (
-           |  SELECT vec_id AS id, embedding,
-           |         ${VectorOpsSql.signBucket("embedding", 6)} AS bucket
-           |  FROM embeddings)
+      "ann_lsh_pairs" -> {
+        val tables = (0 until 4).map(tbl =>
+          s"SELECT id, $tbl AS tbl, ${VectorOpsSql.rpBucket("embedding", 12, tbl)} AS bucket FROM pre")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH pre AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |buckets AS (
+           |  $tables),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+           |         FROM buckets l JOIN buckets r
+           |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id)
            |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
-           |  SELECT l.id AS id_a, r.id AS id_b,
-           |         ${VectorOpsSql.cosine("l.embedding", "r.embedding")} AS cos
-           |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
-           |WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+           |  SELECT id_a, id_b,
+           |         ${VectorOpsSql.cosine("a.embedding", "b.embedding")} AS cos
+           |  FROM cand JOIN pre a ON id_a = a.id JOIN pre b ON id_b = b.id)
+           |WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin
+      },
 
       "embed_norm" ->
         s"""SELECT vec_id, label, round(${VectorOpsSql.norm("embedding")}, 6)

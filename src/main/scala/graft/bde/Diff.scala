@@ -25,17 +25,17 @@ import org.apache.spark.sql.functions._
  *  - `ver_apply_table_differences` (:1914-1948, external table_version ext)
  *    full-outer diff of two snapshots — re-expressed as [[fullDiff]]
  *
- * Everything is expressed against the Spark DataFrame API so Catalyst owns
- * the physical plan: the change-key set is broadcast when small (it is a
- * key-only projection), the three classification joins are ordinary
- * hash-joins on the key, and the null-safe column comparison is the built-in
- * `<=>` operator — no UDFs anywhere, whole-stage codegen end to end.
- *
- * Scale posture (100 TB): all joins are equi-joins on the table key, so they
- * hash-partition cleanly; the change set for a daily increment is orders of
- * magnitude smaller than the table and is broadcast, turning the whole
- * classification into a map-side pipeline over the big table scan. Nothing
- * is ever collected to the driver.
+ * Physical shape (the 100 TB design): the change set is small (a daily
+ * increment's keys), so it is ALWAYS the broadcast build side. The two big
+ * inputs — the current table and the incoming data — are each reduced to
+ * their change-affected slice with ONE broadcast left-semi join apiece
+ * (stream side = big scan, build side = broadcast keys ⇒ a pure map-side
+ * probe, no shuffle of either big table). Classification then runs as a
+ * full-outer join between those two change-set-sized slices, shuffling at
+ * most 2·|chg| rows. Earlier designs that put the broadcast hint on the
+ * stream side of a semi join are silently unsupported by Spark (the hint is
+ * dropped with a HintErrorLogger warning and the big table shuffles); this
+ * formulation is hint-correct by construction.
  */
 object Diff {
 
@@ -46,12 +46,14 @@ object Diff {
   val ActionDelete = "D"
 
   /** Null-safe "all these columns are equal between l and r". */
-  private def allEqual(l: DataFrame, r: DataFrame, cols: Seq[String]): Column =
-    cols.map(c => l(c) <=> r(c)).reduceOption(_ && _).getOrElse(lit(true))
+  private def allEqual(l: String, r: String, cols: Seq[String]): Column =
+    cols.map(c => col(s"$l.$c") <=> col(s"$r.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
 
   /** Null-safe "any of these columns differ between l and r". */
-  private def anyDiffer(l: DataFrame, r: DataFrame, cols: Seq[String]): Column =
-    cols.map(c => !(l(c) <=> r(c))).reduceOption(_ || _).getOrElse(lit(false))
+  private def anyDiffer(l: String, r: String, cols: Seq[String]): Column =
+    cols.map(c => !(col(s"$l.$c") <=> col(s"$r.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
   /**
    * J5 — key-swap repair (`_bde_FixChangedIncKeyRecords`, sql:2146-2226).
@@ -62,6 +64,10 @@ object Diff {
    * reassigned upstream — and are added to the change set so the classifier
    * deletes/re-points them.
    *
+   * Plan: `inc ⋉ broadcast(chg)` is change-set sized; that slice is then the
+   * BROADCAST side of an inner join streamed over `cur` (inner joins can
+   * build either side, so the big table never shuffles).
+   *
    * Returns the augmented change-key set (distinct single `key` column).
    */
   def fixChangedKeys(
@@ -71,12 +77,11 @@ object Diff {
       key: String,
       uniqueCols: Seq[String]): DataFrame = {
     val chg = changeKeys.select(col(key)).distinct()
+    // incoming rows that are in the change set — change-set sized
+    val incChg = inc.join(broadcast(chg), Seq(key), "left_semi")
     val stale = uniqueCols.map { u =>
-      // incoming rows that are in the change set…
-      inc.as("i")
-        .join(broadcast(chg.as("c")), col(s"i.$key") === col(s"c.$key"))
-        // …matched to current rows with the same unique value, different key
-        .join(cur.as("t"),
+      cur.as("t")
+        .join(broadcast(incChg.as("i")),
           col(s"i.$u") <=> col(s"t.$u") && col(s"i.$key") =!= col(s"t.$key"))
         .select(col(s"t.$key").as(key))
     }
@@ -94,7 +99,9 @@ object Diff {
    * @param uniqueCols secondary unique-constraint columns (for 'X' actions
    *                   and key-swap repair)
    * @param repairKeySwaps run the J5 repair before classifying (the
-   *                   reference always does for L5; fullDiff does not need it)
+   *                   reference always does for L5; fullDiff does not need
+   *                   it, and callers whose "unique" columns are not truly
+   *                   unique must disable it)
    * @return DataFrame(key, action) with action ∈ I/U/0/X/D
    */
   def classifyChanges(
@@ -110,34 +117,23 @@ object Diff {
                  fixChangedKeys(cur, inc, chg0, key, uniqueCols)
                else chg0
 
-    val curK = cur.as("cur")
-    val incK = inc.as("inc")
-    val c = broadcast(chg.as("chg"))
+    // Reduce each big input to its change-affected slice: ONE broadcast
+    // semi-join each, stream side = the big scan. Both slices are ≤ |chg|.
+    val curHit = cur.join(broadcast(chg), Seq(key), "left_semi").as("cur")
+    val incHit = inc.join(broadcast(chg), Seq(key), "left_semi").as("inc")
 
-    // 'D': in change set ∩ current, absent from incoming  (sql:2228-2262)
-    val deletes = c
-      .join(curK, col(s"chg.$key") === col(s"cur.$key"), "left_semi")
-      .join(incK, col(s"chg.$key") === col(s"inc.$key"), "left_anti")
-      .select(col(s"chg.$key").as(key), lit(ActionDelete).as("action"))
-
-    // 'I': in change set ∩ incoming, absent from current  (sql:2264-2298)
-    val inserts = c
-      .join(incK, col(s"chg.$key") === col(s"inc.$key"), "left_semi")
-      .join(curK, col(s"chg.$key") === col(s"cur.$key"), "left_anti")
-      .select(col(s"chg.$key").as(key), lit(ActionInsert).as("action"))
-
-    // 'U'/'0'/'X': in both — per-row CASE on null-safe compare (sql:2300-2373)
-    val updates = c
-      .join(curK, col(s"chg.$key") === col(s"cur.$key"))
-      .join(incK, col(s"chg.$key") === col(s"inc.$key"))
+    // One tiny full-outer join classifies everything (sql:2228-2373):
+    //   cur-only → 'D', inc-only → 'I', both → compare → '0'/'X'/'U'.
+    curHit
+      .join(incHit, col(s"cur.$key") === col(s"inc.$key"), "full_outer")
       .select(
-        col(s"chg.$key").as(key),
-        when(allEqual(curK, incK, compareCols), ActionNullUpdate)
-          .when(anyDiffer(curK, incK, uniqueCols), ActionUniqueShift)
+        coalesce(col(s"cur.$key"), col(s"inc.$key")).as(key),
+        when(col(s"inc.$key").isNull, ActionDelete)
+          .when(col(s"cur.$key").isNull, ActionInsert)
+          .when(allEqual("cur", "inc", compareCols), ActionNullUpdate)
+          .when(anyDiffer("cur", "inc", uniqueCols), ActionUniqueShift)
           .otherwise(ActionUpdate)
           .as("action"))
-
-    deletes.unionByName(inserts).unionByName(updates)
   }
 
   /**
@@ -155,7 +151,7 @@ object Diff {
         coalesce(col(s"l.$key"), col(s"r.$key")).as(key),
         when(col(s"l.$key").isNull, ActionInsert)
           .when(col(s"r.$key").isNull, ActionDelete)
-          .when(anyDiffer(l, r, compareCols), ActionUpdate)
+          .when(anyDiffer("l", "r", compareCols), ActionUpdate)
           .as("action"))
       .where(col("action").isNotNull)
   }
@@ -165,6 +161,8 @@ object Diff {
    * then add the incoming version of inserted/updated/key-shifted rows.
    * ('0' null-updates leave the current row untouched; 'X' behaves as
    * delete+insert, which for a keyed merge is the same as replace.)
+   * Both key sets are change-set sized → broadcast build sides (correctly
+   * on the RIGHT of the semi/anti joins; the big tables stream).
    */
   def applyActions(
       cur: DataFrame,

@@ -23,8 +23,11 @@ object TextOps {
   val TokenMod = 1000003L
   /** Modulus for MinHash permutations (2^31 - 1, prime). */
   val HashMod = 2147483647L
-  /** SimHash width: token hashes are < 2^20, so 20 usable bits. */
-  val SimHashBits = 20
+  /** SimHash fingerprint width. 48 bits: wide enough that identical-print
+    * collisions are vanishingly rare at 10^9+ docs (vs the 2^20 birthday
+    * soup a 20-bit print gives), while every intermediate stays well inside
+    * int64 for both Spark and the DuckDB oracle (no unchecked overflow). */
+  val SimHashBits = 48
 
   /** Default MinHash geometry: 16 hashes = 4 bands x 4 rows. */
   val NumHashes = 16
@@ -51,6 +54,22 @@ object TextOps {
 
   /** Hash every token: array<long>, each < TokenMod. */
   def tokenHashes(toks: Column): Column = transform(toks, t => polyHash(t))
+
+  /** Polynomial rolling hash with multiplier `mult` mod [[HashMod]] —
+    * independent of [[polyHash]]'s stream, used to widen token prints. */
+  def polyHashWide(s: Column, mult: Long): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(s)),
+        lit(0L),
+        (acc, i) => (acc * lit(mult) + ascii(substr(s, i, lit(1)))) % lit(HashMod)))
+
+  /** ~62-bit token prints: two independent 31-bit rolling hashes combined
+    * as h31a * HashMod + h31b (max ≈ 4.6e18, inside int64 for Spark AND for
+    * DuckDB's overflow-checked BIGINT arithmetic). */
+  def tokenHashesWide(toks: Column): Column =
+    transform(toks, t =>
+      polyHashWide(t, 31L) * lit(HashMod) + polyHashWide(t, 131L))
 
   /**
    * Word k-shingle hashes from token hashes: combine k consecutive token
@@ -88,16 +107,41 @@ object TextOps {
       .foldLeft(lit(0L): Column)((acc, v) => (acc * lit(31L) + v) % lit(HashMod))
 
   /**
-   * SimHash over token hashes: for each bit, sum +1/-1 votes across tokens;
-   * the fingerprint sets the bit when the vote is positive. 20-bit space
-   * (token hashes are < 2^20).
+   * SimHash over (wide) token hashes: for each of [[SimHashBits]] bits, sum
+   * +1/-1 votes across tokens; the fingerprint sets the bit when the vote is
+   * positive.
+   *
+   * ONE fold over the token array: the accumulator is the whole vote vector
+   * (`array<bigint>` of length bits) and each token contributes all its bits
+   * via one `zip_with` — not one aggregate pass per bit, so the token hashes
+   * are computed once and the array is traversed once regardless of width.
+   * The finish lambda folds the votes into the fingerprint (votes referenced
+   * as a lambda variable: cheap, no re-aggregation).
    */
-  def simHash(thash: Column): Column =
-    (0 until SimHashBits).map { b =>
-      val vote = aggregate(thash, lit(0L),
-        (acc, t) => acc + (shiftright(t, b) % lit(2L)) * lit(2L) - lit(1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simHash(thash: Column, bits: Int = SimHashBits): Column = {
+    val zeros = array_repeat(lit(0L), bits)
+    aggregate(
+      thash,
+      zeros,
+      (acc, t) => zip_with(
+        acc,
+        array((0 until bits).map(b =>
+          (shiftright(t, b) % lit(2L)) * lit(2L) - lit(1L)): _*),
+        (a, v) => a + v),
+      votes => (0 until bits).map(b =>
+        when(get(votes, lit(b)) > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
+  }
+
+  /** One 12-bit Hamming band of a SimHash print: band b = bits
+    * [b*width, (b+1)*width). With bands = maxHamming + 1, any pair within
+    * that Hamming distance shares at least one identical band (pigeonhole) —
+    * the standard banding guarantee for Hamming-space LSH. */
+  def simHashBand(print: Column, band: Int, width: Int = 12): Column =
+    shiftright(print, band * width) % lit(1L << width)
+
+  /** Hamming distance between two fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Jaccard similarity of two (deduplicated) shingle-hash arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -164,6 +208,15 @@ object TextOpsSql {
   def tokenHashes(toks: String): String =
     s"list_transform($toks, t -> ${polyHash("t")})"
 
+  def polyHashWide(s: String, mult: Long): String =
+    s"(case when length($s) = 0 then 0 else list_reduce(" +
+      s"list_transform(range(1, length($s)+1), i -> ascii(substr($s, i, 1))::BIGINT), " +
+      s"(a, b) -> (a*$mult + b) % $HashMod) end)"
+
+  def tokenHashesWide(toks: String): String =
+    s"list_transform($toks, t -> " +
+      s"${polyHashWide("t", 31L)} * $HashMod + ${polyHashWide("t", 131L)})"
+
   def shingleHashes(thash: String, k: Int = 3): String = {
     val p1 = TokenMod % HashMod
     val p2 = (TokenMod * TokenMod) % HashMod
@@ -187,12 +240,20 @@ object TextOpsSql {
       .map(r => s"$sig[${band * rowsPerBand + r + 1}]")
       .foldLeft("0")((acc, v) => s"(($acc)*31 + $v) % $HashMod")
 
-  def simHash(thash: String): String =
-    (0 until SimHashBits).map { b =>
+  // The oracle rendering is per-bit list_sum passes (oracle performance is
+  // irrelevant); integer addition is exact so any summation order matches
+  // Spark's single sequential fold bit-for-bit.
+  def simHash(thash: String, bits: Int = SimHashBits): String =
+    (0 until bits).map { b =>
       s"(case when (case when len($thash) = 0 then 0 else list_reduce(" +
         s"list_transform($thash, t -> ((t >> $b) % 2) * 2 - 1), (a,b) -> a+b) end) > 0 " +
         s"then ${1L << b} else 0 end)"
     }.mkString("(", " + ", ")")
+
+  def simHashBand(print: String, band: Int, width: Int = 12): String =
+    s"(($print >> ${band * width}) % ${1L << width})"
+
+  def hamming(a: String, b: String): String = s"bit_count(xor($a, $b))"
 
   def jaccard(a: String, b: String): String =
     s"(case when len($a) + len($b) - len(list_intersect($a, $b)) = 0 then 0.0 " +

@@ -41,15 +41,34 @@ object VectorOps {
     when(den === 0d, lit(0d)).otherwise(d / den)
   }
 
+  /** ±1 pseudo-random hyperplane weight for (plane, component j): parity of
+    * a deterministic LCG step, identical arithmetic in any engine. `j` is a
+    * column (the array index); `plane` folds the table+bit identity in. */
+  private def rpWeight(plane: Int, j: Column): Column =
+    (((lit(1103515245L) * (j + lit(plane.toLong * 1000033L)) + lit(12345L))
+      % lit(1000003L)) % lit(2L) * lit(2L) - lit(1L)).cast("double")
+
+  /** Signed projection of `a` onto pseudo-random hyperplane `plane`:
+    * sequential fold of a[j] * (±1), exactly reproducible cross-engine. */
+  def rpProjection(a: Column, plane: Int): Column =
+    // empty-array guard: Spark's sequence(0, -1) is a DESCENDING range
+    when(size(a) === 0, lit(0d)).otherwise(
+      seqSum(transform(sequence(lit(0), size(a) - 1), j =>
+        get(a, j).cast("double") * rpWeight(plane, j))))
+
   /**
-   * Sign-bit LSH bucket over the first `bits` dimensions: bit i is set when
-   * component i is non-negative. Vectors in the same bucket are "near" under
-   * a crude random-hyperplane sketch; used to co-partition candidate pairs
-   * so near-duplicate search joins bucket-local data instead of all pairs.
+   * Random-hyperplane LSH bucket: bit i is set when the projection of the
+   * vector onto pseudo-random ±1 hyperplane (table, i) is non-negative —
+   * genuine SRP-LSH (collision probability 1 - θ/π per bit), unlike a
+   * fixed axis-aligned sign sketch whose recall is data-dependent. Multiple
+   * `table` values give independent hash tables; near pairs are candidates
+   * if they collide in ANY table, so recall is tunable without widening a
+   * single bucket. Used to co-partition candidate pairs so near-neighbor
+   * search joins bucket-local data instead of all pairs.
    */
-  def signBucket(a: Column, bits: Int = 8): Column =
+  def rpBucket(a: Column, bits: Int, table: Int): Column =
     (0 until bits).map { i =>
-      when(get(a, lit(i)) >= 0f, lit(1L << i)).otherwise(lit(0L))
+      when(rpProjection(a, table * 64 + i) >= 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 }
 
@@ -72,8 +91,14 @@ object VectorOpsSql {
     s"(case when $den = 0 then 0.0 else ${dot(a, b)} / $den end)"
   }
 
-  def signBucket(a: String, bits: Int = 8): String =
+  private def rpWeight(plane: Int, j: String): String =
+    s"((((1103515245 * ($j + ${plane.toLong * 1000033L}) + 12345) % 1000003) % 2) * 2 - 1)::DOUBLE"
+
+  def rpProjection(a: String, plane: Int): String =
+    seqSum(s"list_transform(range(0, len($a)), j -> $a[j+1]::DOUBLE * ${rpWeight(plane, "j")})")
+
+  def rpBucket(a: String, bits: Int, table: Int): String =
     (0 until bits)
-      .map(i => s"(case when $a[${i + 1}] >= 0 then ${1L << i} else 0 end)")
+      .map(i => s"(case when ${rpProjection(a, table * 64 + i)} >= 0 then ${1L << i} else 0 end)")
       .mkString("(", " + ", ")")
 }

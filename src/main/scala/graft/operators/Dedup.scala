@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,113 +10,167 @@ import graft.functions.TextOps
  * Deduplication operators for training-data pipelines, all expressed as
  * shuffle-conscious DataFrame plans:
  *
- *  - exact dedup: one hash-partitioned groupBy on the dedup key (map-side
- *    partial aggregation makes this a single shuffle of distinct keys);
+ *  - exact dedup: groupBy on a 256-bit content HASH — the shuffle key is 32
+ *    bytes per row, never the document text itself, so shuffle volume is
+ *    O(rows), not O(corpus bytes);
  *  - MinHash-LSH near-dup: banded signature → explode bands → self-join on
- *    (band, bucket) — candidates only ever meet inside a bucket, never an
- *    all-pairs cross join, so the plan survives a 100x scale-up;
- *  - SimHash: 20-bit fingerprint clusters (identical-fingerprint grouping);
- *  - blocked n-gram Jaccard: exact Jaccard within a blocking key.
+ *    (band, bucket) carrying IDS ONLY — candidates meet only inside a
+ *    bucket, and shingle arrays are joined back per-id afterwards instead
+ *    of being shuffled once per band;
+ *  - SimHash: 48-bit fingerprints; identical-print clusters, plus
+ *    Hamming-distance≤k near-dup pairs via band-LSH (bands = k+1 guarantees
+ *    no candidate within distance k is missed — pigeonhole);
+ *  - n-gram Jaccard: exact Jaccard computed ONLY on MinHash-LSH candidate
+ *    pairs (optionally intersected with a blocking key). A plain blocked
+ *    self-join on a low-cardinality key is near-quadratic and deliberately
+ *    not offered.
  */
 object Dedup {
 
   /**
    * Exact deduplication: keep the smallest `idCol` per distinct `keyCol`
-   * value. Returns (dedup key, kept id, group size). A single groupBy —
-   * Catalyst plans partial aggregation before the shuffle, so only distinct
-   * keys cross the wire.
+   * value, grouping by sha2-256 of the key so the shuffle carries a 32-byte
+   * digest instead of the full text. Returns (kept id, group size).
    */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+    df.groupBy(sha2(col(keyCol).cast("binary"), 256).as("key_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 
-  /** Columns (doc id, minhash signature) for [[minHashCandidates]]. */
+  /** Adds shingle-set and minhash-signature columns (keeps existing cols). */
   def withSignature(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), col(textCol))
-      .withColumn("toks", TextOps.tokens(col(textCol)))
+    df.withColumn("toks", TextOps.tokens(col(textCol)))
       .withColumn("thash", TextOps.tokenHashes(col("toks")))
       .withColumn("shingles", array_distinct(TextOps.shingleHashes(col("thash"))))
       .withColumn("sig", TextOps.minHashSignature(col("shingles")))
+
+  /** (id[, extra cols], band, bucket) — one row per (doc, band). */
+  private def banded(sig: DataFrame, idCol: String, extra: Seq[String]): DataFrame =
+    sig.select(
+      (col(idCol).as("id") +: extra.map(col)) :+
+        explode(array((0 until TextOps.Bands).map(b =>
+          struct(lit(b).as("band"), TextOps.bandHash(col("sig"), b).as("bucket"))
+        ): _*)).as("bb"): _*)
+      .select((col("id") +: extra.map(col)) :+ col("bb.band") :+ col("bb.bucket"): _*)
 
   /**
    * MinHash-LSH candidate pairs: documents sharing at least one band bucket.
    * Emits (id_a, id_b, jaccard) with id_a < id_b, exact Jaccard computed on
    * the candidate pairs only. `minJaccard` filters the verified pairs.
+   * `blockCol` (optional) additionally requires candidates to share a
+   * blocking key (e.g. language).
    *
-   * Scale: the only shuffle is the (band, bucket) self-join; bucket width is
-   * controlled by the signature geometry, and no pair outside a shared
-   * bucket is ever materialized.
+   * Scale: the band self-join carries (id, band, bucket) rows only — the
+   * shingle arrays never multiply across bands; they are joined back by id
+   * onto the (much smaller) deduplicated candidate set for verification.
    */
   def minHashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minJaccard: Double = 0.0): DataFrame = {
-    val sig = withSignature(df, idCol, textCol)
-    val banded = sig.select(
-      col(idCol).as("id"),
-      col("shingles"),
-      explode(array((0 until TextOps.Bands).map(b =>
-        struct(lit(b).as("band"), TextOps.bandHash(col("sig"), b).as("bucket"))
-      ): _*)).as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bucket"))
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r,
+      minJaccard: Double = 0.0,
+      blockCol: Option[String] = None): DataFrame = {
+    val base = df.select(
+      col(idCol) +: col(textCol) +: blockCol.map(b => col(b).as("block")).toSeq: _*)
+    // sig feeds the band explode AND two shingle lookups — cache the shingle
+    // computation instead of re-hashing the corpus three times
+    val sig = withSignature(base, idCol, textCol).cache()
+    val extra = blockCol.map(_ => "block").toSeq
+    val bands = banded(sig, idCol, extra)
+    val l = bands.as("l")
+    val r = bands.as("r")
+    val blockCond = blockCol
+      .map(_ => col("l.block") === col("r.block"))
+      .getOrElse(lit(true))
+    val candidates = l.join(r,
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
+          col("l.id") < col("r.id") && blockCond)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sh = sig.select(col(idCol), col("shingles"))
+    candidates
+      .join(sh.as("a"), col("id_a") === col(s"a.$idCol"))
+      .join(sh.as("b"), col("id_b") === col(s"b.$idCol"))
       .select(
-        col("l.id").as("id_a"),
-        col("r.id").as("id_b"),
-        TextOps.jaccard(col("l.shingles"), col("r.shingles")).as("jaccard"))
-      .distinct()
+        col("id_a"), col("id_b"),
+        TextOps.jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
   /**
-   * SimHash duplicate clusters: rows sharing an identical 20-bit SimHash.
+   * SimHash duplicate clusters: rows sharing an identical 48-bit SimHash.
    * Returns (simhash, kept_id, n_dups) for clusters of size > 1.
    */
   def simHashClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        TextOps.simHash(TextOps.tokenHashes(TextOps.tokens(col(textCol))))
+        TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col(textCol))))
           .as("simhash"))
       .groupBy("simhash")
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
       .where(col("n_dups") > 1)
 
   /**
-   * Blocked exact n-gram Jaccard: all pairs *within a blocking key* (e.g.
-   * language) whose word-shingle Jaccard clears the threshold. The blocking
-   * key bounds the join fan-out; an unblocked variant would be an all-pairs
-   * cross join and is deliberately not offered.
+   * SimHash near-duplicate pairs within Hamming distance `maxHamming`.
+   * Candidates come from Hamming-band LSH: the 48-bit print splits into
+   * (maxHamming + 1) bands, and any pair within the distance budget shares
+   * at least one identical band (pigeonhole), so recall is exact; the
+   * verification step computes the true Hamming distance on candidates only.
+   */
+  def simHashHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val width = TextOps.SimHashBits / bands
+    val prints = df.select(
+      col(idCol).as("id"),
+      TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col(textCol))))
+        .as("print"))
+      .cache()
+    val bandedPrints = prints.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          TextOps.simHashBand(col("print"), b, width).as("value"))): _*)).as("bv"))
+      .select(col("id"), col("bv.band"), col("bv.value"))
+    val candidates = bandedPrints.as("l")
+      .join(bandedPrints.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.value") === col("r.value") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(prints.as("a"), col("id_a") === col("a.id"))
+      .join(prints.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.hamming(col("a.print"), col("b.print")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * n-gram Jaccard near-dup pairs: exact word-shingle Jaccard over
+   * MinHash-LSH candidates, optionally restricted to a blocking key. This
+   * replaces (and deliberately does not offer) the naive blocked self-join:
+   * with a low-cardinality block key that plan is near-all-pairs —
+   * quadratic in block size — while LSH candidates keep the pair count
+   * proportional to the number of true near-duplicates.
    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
-      minJaccard: Double): DataFrame = {
-    val pre = df.select(
-      col(idCol).as("id"),
-      col(blockCol).as("block"),
-      array_distinct(TextOps.shingleHashes(
-        TextOps.tokenHashes(TextOps.tokens(col(textCol))))).as("shingles"))
-    val l = pre.as("l")
-    val r = pre.as("r")
-    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .select(
-        col("l.id").as("id_a"),
-        col("r.id").as("id_b"),
-        TextOps.jaccard(col("l.shingles"), col("r.shingles")).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
-  }
+      minJaccard: Double): DataFrame =
+    minHashLshPairs(df, idCol, textCol, minJaccard, Some(blockCol))
 
-  /** Window-based variant of [[exact]] keeping full rows (first per key). */
+  /** Window-based variant of [[exact]] keeping the full first row per
+    * duplicate group (grouping on the content digest, as [[exact]]). */
   def keepFirst(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.withColumn("__rn",
-        row_number().over(Window.partitionBy(col(keyCol)).orderBy(col(idCol))))
+    df.withColumn("__kh", sha2(col(keyCol).cast("binary"), 256))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__kh")).orderBy(col(idCol))))
       .where(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__kh")
 }

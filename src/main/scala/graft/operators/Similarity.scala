@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -11,13 +11,37 @@ import graft.functions.VectorOps
  *
  * Two tiers, as a 100 TB design demands:
  *  - [[bruteForceTopK]]: exact cosine top-k for a BROADCAST-SIZED query set.
- *    The query side is broadcast; the corpus is scanned once, partition-local,
- *    and only k rows per query survive the window — no shuffle of the corpus.
- *  - [[lshNeighborPairs]]: sign-bit LSH bucketing; candidate pairs meet only
- *    inside their bucket (the join key), so the pair count is bucket-bounded
- *    rather than quadratic.
+ *    The query side is broadcast and scored map-side against one corpus
+ *    scan; the top-k is a partial AGGREGATION (bounded k-buffer merged
+ *    map-side first), so only k rows per (query, partition) ever cross the
+ *    shuffle — never the N×Q scored set.
+ *  - [[lshNeighborPairs]]: multi-table random-hyperplane (SRP) LSH;
+ *    candidate pairs meet only inside a (table, bucket) join key, so the
+ *    pair count is bucket-bounded rather than quadratic, and recall is
+ *    tuned by adding tables rather than widening buckets.
  */
+/** Bounded top-k buffer (public top-level so encoder codegen can construct it). */
+final case class TopKBuf(items: Seq[(Double, Long)])
+
 object Similarity {
+
+  /** Bounded top-k ordered by (score desc, id asc). An Aggregator so Spark
+    * plans partial aggregation: each map task reduces its partition to ≤ k
+    * entries per group BEFORE the shuffle. */
+  private final class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+    private val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (score, id) => (-score, id)
+    }
+    def zero: TopKBuf = TopKBuf(Vector.empty)
+    def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf =
+      TopKBuf((buf.items :+ x).sorted(ord).take(k))
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf((a.items ++ b.items).sorted(ord).take(k))
+    def finish(buf: TopKBuf): TopKBuf = buf
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[TopKBuf]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[TopKBuf]
+  }
 
   /**
    * Exact cosine top-k: for every query vector, the k most similar corpus
@@ -36,36 +60,53 @@ object Similarity {
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"),
-        col("neighbor_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
         VectorOps.cosine(col("qvec"), col("cvec")).as("cosine"))
+    val topk = udaf(new TopKAgg(k))
     scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .drop("rank")
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), explode(col("topk.items")).as("nb"))
+      .select(
+        col("query_id"),
+        col("nb._2").as("neighbor_id"),
+        col("nb._1").as("cosine"))
   }
 
   /**
-   * LSH-bucketed near-neighbor pairs: vectors sharing a sign-bit bucket with
+   * Multi-table SRP-LSH near-neighbor pairs: vectors colliding in at least
+   * one table's `bits`-wide random-hyperplane bucket, verified by exact
    * cosine ≥ `minCosine`. Emits (id_a, id_b, cosine), id_a < id_b.
+   *
+   * The bucket join carries (id, table, bucket) rows only; embedding
+   * vectors join back by id onto the deduplicated candidate set.
    */
   def lshNeighborPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       bits: Int,
-      minCosine: Double): DataFrame = {
-    val pre = df.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorOps.signBucket(col(vecCol), bits).as("bucket"))
-    val l = pre.as("l")
-    val r = pre.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(
-        col("l.id").as("id_a"),
-        col("r.id").as("id_b"),
-        VectorOps.cosine(col("l.vec"), col("r.vec")).as("cosine"))
+      minCosine: Double,
+      numTables: Int = 4): DataFrame = {
+    val pre = df.select(col(idCol).as("id"), col(vecCol).as("vec")).cache()
+    val tabled = pre.select(
+      col("id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("tbl"),
+          VectorOps.rpBucket(col("vec"), bits, t).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+    val candidates = tabled.as("l")
+      .join(tabled.as("r"),
+        col("l.tbl") === col("r.tbl") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(pre.as("a"), col("id_a") === col("a.id"))
+      .join(pre.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 }
