@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bde.{BdeFormat, Diff}
+import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Control, Diff, E2E, Hooks, Repo}
 import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
 import graft.operators.{Dedup, Similarity}
 
@@ -172,6 +172,17 @@ object SparkEntry {
   /** Flagship query on sf0.001; the driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** Sample tables.conf content (grammar: lib/LINZ/BdeUpload.pm:125-200). */
+  private val SampleTablesConf =
+    """# sample catalog
+      |TABLE l5_change_table files xchg
+      |TABLE alpha key=id row_tol=0.20,0.95 files alp1 alp2
+      |TABLE beta l0_only files bet
+      |TABLE gamma l5_only key=audit_id files gam
+      |TABLE delta l5_is_full key=id files del
+      |COLUMN id integer
+      |""".stripMargin
 
   // =====================================================================
   // Queries — one per implemented operator (SURVEY §2 ids in names).
@@ -546,6 +557,243 @@ object SparkEntry {
         sha2(col("text").cast("binary"), 256).as("sha256"),
         lit("text/plain").as("mime"))
         .orderBy(col("doc_id"))),
+
+    // ---- S3/S5/S6/E1/E2: the BDE end-to-end slice ----------------------
+    // Oracles are literal VALUES of the reference test's own expectations
+    // (t/linz_bde_uploader.t:1176-1221) — an independent evaluation, not an
+    // echo of engine output.
+
+    // S3: BDE reader — header schema + typed data region (pab1 fixture)
+    "s3_bde_read" -> ((s, dir) =>
+      BdeFormat.readFile(s, s"${E2E.FixtureDir}/pab1.crs")
+        .orderBy(col("pri_id"))),
+
+    // S3: change-table read incl. datetime typing (xaud fixture)
+    "s3_change_read" -> ((s, dir) =>
+      BdeFormat.readFile(s, s"${E2E.FixtureDir}/xaud.crs")
+        .orderBy(col("id"))),
+
+    // S3: UTF-8 round-trip (utf8 fixture: U+266F/266D/266E/2013)
+    "s3_utf8_roundtrip" -> ((s, dir) =>
+      BdeFormat.readFile(s, s"${E2E.FixtureDir}/utf8.crs")
+        .orderBy(col("id"))),
+
+    // E1+S6: level-0 truncate-and-replace through the staged-publish sink
+    "e1_level0_replace" -> ((s, dir) =>
+      E2E.runSlice(s).l0Rows.orderBy(col("pri_id"))),
+
+    // E2: the full L0→L5 slice — final table contents
+    "e2_level5_final" -> ((s, dir) =>
+      E2E.runSlice(s).finalRows.orderBy(col("pri_id"))),
+
+    // E2+S7: the slice's stats row (ninsert=3, nupdate=2, nnull=0, ndel=1)
+    "e2_level5_stats" -> ((s, dir) => {
+      import s.implicits._
+      val r = E2E.runSlice(s).stats
+      Seq((r.tableName, r.ninsert, r.nupdate, r.nnullupdate, r.ndelete))
+        .toDF("table_name", "ninsert", "nupdate", "nnullupdate", "ndelete")
+    }),
+
+    // A2-as-gate: breached error tolerance discards the staged version
+    "e2_tolerance_abort" -> ((s, dir) => {
+      import s.implicits._
+      val (stats, published) = E2E.runToleranceAbort(s)
+      Seq((stats.aborted, published.count()))
+        .toDF("aborted", "published_rows")
+    }),
+
+    // S7: watermark upsert after the slice (upload_table row)
+    "s7_watermark_upsert" -> ((s, dir) =>
+      E2E.runSlice(s).control.uploadTablesDf
+        .select(col("table_name"), col("last_upload_id"),
+          col("last_upload_dataset"), col("last_upload_type"),
+          col("last_level0_dataset"), col("last_upload_incremental"))),
+
+    // ---- §2.9: job lifecycle / locks / purge ---------------------------
+    "c9_job_lifecycle" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ctl").toString
+      var nowStr = "2017-01-01 00:00:00"
+      val ctl = new Control(s, tmp, () => java.sql.Timestamp.valueOf(nowStr))
+      val u1 = ctl.createUpload("bde").toOption.get
+      ctl.finishUpload(u1, ok = true)
+      val u2 = ctl.createUpload("bde").toOption.get
+      require(ctl.createUpload("bde").isLeft, "single-active gate must refuse")
+      ctl.finishUpload(u2, ok = false)
+      val u3 = ctl.createUpload("bde").toOption.get
+      nowStr = "2017-01-01 06:00:00"
+      require(ctl.releaseExpiredLocks(1.0) == Seq(u3), "zombie must expire")
+      val u4 = ctl.createUpload("bde").toOption.get
+      ctl.finishUpload(u4, ok = true)
+      ctl.uploadsDf.orderBy(col("id"))
+    }),
+
+    "c9_table_locks" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ctl").toString
+      val ctl = new Control(s, tmp,
+        () => java.sql.Timestamp.valueOf("2017-01-01 00:00:00"))
+      val u1 = ctl.createUpload("bde").toOption.get
+      val u2 = ctl.createUpload("bde", allowConcurrent = true).toOption.get
+      require(ctl.lockTable(u1, "tab_a"), "first lock wins")
+      require(!ctl.lockTable(u2, "tab_a"), "held lock refuses")
+      require(ctl.lockTable(u2, "tab_a", force = true), "steal with force")
+      require(!ctl.haveTableLock(u1, "tab_a"), "stolen from u1")
+      require(ctl.lockTable(u1, "tab_b"), "unrelated lock")
+      ctl.unlockTable(u1, "tab_b")
+      ctl.uploadTablesDf.select(col("table_name"), col("upl_id_lock"))
+        .orderBy(col("table_name"))
+    }),
+
+    "c9_purge_old_jobs" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ctl").toString
+      var nowStr = "2017-01-01 00:00:00"
+      val ctl = new Control(s, tmp, () => java.sql.Timestamp.valueOf(nowStr))
+      val u1 = ctl.createUpload("bde").toOption.get
+      ctl.finishUpload(u1, ok = true)
+      val u2 = ctl.createUpload("bde").toOption.get
+      ctl.recordDatasetLoaded(u2, "bde", "tab_w", "20170101000000", "0",
+        incremental = false, details = "", ninsert = 1, nupdate = 0,
+        nnullupdate = 0, ndelete = 0)
+      ctl.finishUpload(u2, ok = true)
+      nowStr = "2017-02-15 00:00:00"
+      val u3 = ctl.createUpload("bde").toOption.get
+      ctl.finishUpload(u3, ok = true)
+      require(ctl.removeOldJobData(30) == Seq(u1),
+        "only the old unreferenced job purges")
+      ctl.uploadsDf.orderBy(col("id"))
+    }),
+
+    // ---- S1/S2/P3/O3 for real: repository scan + watermark plan --------
+    "s1_repo_plan" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-repo")
+      def mk(rel: String, files: String*): Unit = {
+        val d = root.resolve(rel)
+        java.nio.file.Files.createDirectories(d)
+        files.foreach(f => java.nio.file.Files.writeString(d.resolve(f), ""))
+      }
+      mk("level_0/20160101000000", "pab1.crs")
+      mk("level_0/20160601000000", "pab1.crs")
+      mk("level_5/20170629000000", "pab1.crs", "xaud.crs")
+      mk("level_5/20170701000000", "pab1.crs", "xaud.crs")
+      mk("level_5/20170801000000", "pab1.crs")
+      mk("level_5/20170901000000", "pab1.crs", "xaud.crs")
+      val (cat, errs) = Catalog.parse(
+        """TABLE l5_change_table files xaud
+          |TABLE crs_parcel_bndry key=audit_id files pab1
+          |""".stripMargin.linesIterator)
+      require(errs.isEmpty, s"catalog errors: $errs")
+      val l0 = Repo.planLevel0(s, root.toString, cat).toSeq
+      val l5 = Repo.planLevel5(s, root.toString, cat,
+        lastUpload = Some("20170629000000"), before = Some("20170901000000"))
+      (l0 ++ l5).map(p => (p.level, p.dataset, p.complete, p.missing.mkString(",")))
+        .toDF("level", "dataset", "complete", "missing")
+        .orderBy(col("level"), col("dataset"))
+    }),
+
+    // ---- P5/O2: table catalog selection --------------------------------
+    "p5_table_selection" -> ((s, dir) => {
+      import s.implicits._
+      val (cat, errs) = Catalog.parse(SampleTablesConf.linesIterator)
+      require(errs.isEmpty, s"catalog errors: $errs")
+      Catalog.select(cat,
+          include = Seq("alpha", "gamma", "delta"), exclude = Seq("gamma"))
+        .map(t => (t.id, t.name, t.key.getOrElse(""),
+          t.levels.toSeq.sorted.mkString(","), t.files.mkString(",")))
+        .toDF("id", "name", "key", "levels", "files")
+        .orderBy(col("id"))
+    }),
+
+    // ---- S4: the row cleanser (bde_copy semantics) ---------------------
+    "s4_clean" -> ((s, dir) => {
+      val key = col("o_orderkey")
+      t(s, dir, "orders").select(
+        key,
+        when(key % 11 === 0, to_timestamp(lit("1750-06-15 00:00:00")))
+          .otherwise(col("o_orderdate")).as("ts_raw"),
+        concat(col("o_orderpriority"),
+          when(key % 13 === 0, lit("")).otherwise(lit("")),
+          when(key % 17 === 0, lit("–")).otherwise(lit(""))).as("str_raw"),
+        format_string("POINT(%.2f %.2f)",
+          (key % 360).cast("double") / 4.0 - 45.0 + 0.25,
+          (key % 170).cast("double") / 2.0 - 42.5 + 0.25).as("wkt_raw"))
+        .select(
+          col("o_orderkey"),
+          Clean.repairTimestamp(col("ts_raw")).as("ts_clean"),
+          Clean.cleanString(col("str_raw")).as("str_clean"),
+          Clean.shiftPointWkt(col("wkt_raw")).as("wkt_clean"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- F10: detail-string codec --------------------------------------
+    "f10_detail_codec" -> ((s, dir) => {
+      import s.implicits._
+      val details = Control.buildDetails(Seq(
+        "pab1" -> "2016-06-01 17:12:25", "xaud" -> "2016-06-01 17:12:46"))
+      Control.parseDetails(details).toSeq.sorted
+        .map { case (f, e) => (f, e, details) }
+        .toDF("file", "end_time", "details")
+    }),
+
+    // ---- L5 start-time continuity check --------------------------------
+    "l5_continuity" -> ((s, dir) => {
+      import s.implicits._
+      def run(start: String, prevEnd: String): String =
+        Control.checkStartDate(start, prevEnd, 1.0, 5.0) match {
+          case Control.ContinuityOk => "ok"
+          case Control.ContinuityWarn(_) => "warn"
+          case Control.ContinuityFail(_) => "fail"
+        }
+      Seq(
+        (1, run("2016-06-01 17:12:25", "2016-06-01 17:12:25")),
+        (2, run("2016-06-01 19:12:25", "2016-06-01 17:12:25")),
+        (3, run("2016-06-02 17:12:25", "2016-06-01 17:12:25")),
+        (4, run("not-a-time", "2016-06-01 17:12:25")))
+        .toDF("case_id", "result").orderBy(col("case_id"))
+    }),
+
+    // ---- §2.8: finish-SQL DSL / hooks / event templates ----------------
+    "x8_finish_dsl" -> ((s, dir) => {
+      import s.implicits._
+      val slice = E2E.runSlice(s)
+      val tableIds = slice.control.uploadTableRecords
+        .map(t => t.tableName -> t.id).toMap
+      val stmts = Seq(
+        "if any crs_parcel_bndry loaded ? stmt0",
+        "if all crs_parcel_bndry missing_tbl loaded ? stmt1",
+        "if crs_parcel_bndry affected ? stmt2",
+        "if level0 crs_parcel_bndry affected ? stmt3",
+        "if level0_dataset crs_parcel_bndry loaded ? stmt4",
+        "plain statement")
+      stmts.zipWithIndex.map { case (stmt, i) =>
+        val parsed = Hooks.parseFinishStatement(stmt)
+        val fires = parsed.condition.forall(c =>
+          Hooks.tablesAffected(c, 2, slice.control.statRecords, tableIds))
+        (i, fires)
+      }.toDF("stmt_idx", "fires").orderBy(col("stmt_idx"))
+    }),
+
+    "x8_hook_order" -> ((s, dir) => {
+      import s.implicits._
+      val reg = new Hooks.HookRegistry
+      val ran = scala.collection.mutable.ArrayBuffer[String]()
+      reg.register("bde_postupload_c_vacuum", _ => ran += "c")
+      reg.register("bde_postupload_a_refresh", _ => ran += "a")
+      reg.register("bde_postlevel0_z_index", _ => ran += "z")
+      val post = reg.runAll("bde_postupload_", 1)
+      val l0 = reg.runAll("bde_postlevel0_", 1)
+      require(ran.toSeq == Seq("a", "c", "z"), "alphabetical execution")
+      (post.map(("postupload", _)) ++ l0.map(("postlevel0", _)))
+        .zipWithIndex.map { case ((phase, name), i) => (i, phase, name) }
+        .toDF("ord", "phase", "hook").orderBy(col("ord"))
+    }),
+
+    "x8_event_template" -> ((s, dir) => {
+      import s.implicits._
+      val out = Hooks.expandTemplate(
+        "notify {id} {dataset} level {level} keep {nope}",
+        Map("id" -> "7", "dataset" -> "20170629000000", "level" -> "5"))
+      Seq((1, out)).toDF("case_id", "expanded")
+    }),
 
     // ---- bench headliners ---------------------------------------------
     "q6_revenue_filter" -> ((s, dir) =>
@@ -947,6 +1195,142 @@ object SparkEntry {
           |       sha256(text) AS sha256,
           |       'text/plain' AS mime
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // ---- BDE slice oracles: the reference test's own expectations ----
+      "s3_bde_read" ->
+        """SELECT * FROM (VALUES
+          |  (4457326, 3, 11960041, 'Y', 80401150),
+          |  (4457327, 2, 29694578, 'N', 80401149),
+          |  (4457328, 1, 29694591, 'Y', 80401148))
+          |  t(pri_id, "sequence", lin_id, reversed, audit_id)
+          |ORDER BY pri_id""".stripMargin,
+
+      "s3_change_read" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'crs_parcel_bndry', 80401150, 'D', TIMESTAMP '2016-06-01 17:12:17'),
+          |  (2, 'crs_parcel_bndry', 300, 'I', TIMESTAMP '2016-06-01 17:12:17'),
+          |  (3, 'crs_parcel_bndry', 400, 'I', TIMESTAMP '2016-06-01 17:12:17'),
+          |  (4, 'crs_parcel_bndry', 100, 'I', TIMESTAMP '2016-06-01 17:12:17'),
+          |  (5, 'crs_parcel_bndry', 80401148, 'U', TIMESTAMP '2016-06-01 17:12:17'),
+          |  (6, 'crs_parcel_bndry', 80401149, 'U', TIMESTAMP '2016-06-01 17:12:17'))
+          |  t(id, tablename, tablekeyvalue, "action", "timestamp")
+          |ORDER BY id""".stripMargin,
+
+      "s3_utf8_roundtrip" ->
+        """SELECT * FROM (VALUES
+          |  (1, '♯'), (2, '♭'), (3, '♮'), (4, '–')) t(id, des)
+          |ORDER BY id""".stripMargin,
+
+      "e1_level0_replace" ->
+        """SELECT * FROM (VALUES
+          |  (4457326, 3, 11960041, 'Y', 80401150),
+          |  (4457327, 2, 29694578, 'N', 80401149),
+          |  (4457328, 1, 29694591, 'Y', 80401148))
+          |  t(pri_id, "sequence", lin_id, reversed, audit_id)
+          |ORDER BY pri_id""".stripMargin,
+
+      // final 5 rows per t/linz_bde_uploader.t:1176-1221
+      "e2_level5_final" ->
+        """SELECT * FROM (VALUES
+          |  (4457326, 3, 11960041, 'Y', 100),
+          |  (4457327, 20, 29694578, 'N', 80401149),
+          |  (4457328, 10, 29694591, 'Y', 80401148),
+          |  (4457329, 4, 10000000, 'Y', 300),
+          |  (4457330, 5, 20000000, 'Y', 400))
+          |  t(pri_id, "sequence", lin_id, reversed, audit_id)
+          |ORDER BY pri_id""".stripMargin,
+
+      // ninsert=3, nupdate=2, nnullupdate=0, ndelete=1 (t:1198-1201)
+      "e2_level5_stats" ->
+        """SELECT * FROM (VALUES ('crs_parcel_bndry', 3, 2, 0, 1))
+          |  t(table_name, ninsert, nupdate, nnullupdate, ndelete)""".stripMargin,
+
+      "e2_tolerance_abort" ->
+        """SELECT * FROM (VALUES (true, 3)) t(aborted, published_rows)""".stripMargin,
+
+      "s7_watermark_upsert" ->
+        """SELECT * FROM (VALUES
+          |  ('crs_parcel_bndry', 2, '20170629000000', '5', '20160601000000', true))
+          |  t(table_name, last_upload_id, last_upload_dataset,
+          |    last_upload_type, last_level0_dataset, last_upload_incremental)""".stripMargin,
+
+      "c9_job_lifecycle" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'bde', 'C'), (2, 'bde', 'E'), (3, 'bde', 'E'), (4, 'bde', 'C'))
+          |  t(id, schema_name, status) ORDER BY id""".stripMargin,
+
+      "c9_table_locks" ->
+        """SELECT * FROM (VALUES ('tab_a', 2), ('tab_b', -1))
+          |  t(table_name, upl_id_lock) ORDER BY table_name""".stripMargin,
+
+      "c9_purge_old_jobs" ->
+        """SELECT * FROM (VALUES (2, 'bde', 'C'), (3, 'bde', 'C'))
+          |  t(id, schema_name, status) ORDER BY id""".stripMargin,
+
+      "s1_repo_plan" ->
+        """SELECT * FROM (VALUES
+          |  ('0', '20160601000000', true, ''),
+          |  ('5', '20170701000000', true, ''),
+          |  ('5', '20170801000000', false, 'xaud'))
+          |  t(level, dataset, complete, missing)
+          |ORDER BY level, dataset""".stripMargin,
+
+      "p5_table_selection" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'l5_change_table', '', 'C', 'xchg'),
+          |  (2, 'alpha', 'id', '0,5', 'alp1,alp2'),
+          |  (5, 'delta', 'id', '0,5', 'del'))
+          |  t(id, name, "key", levels, files) ORDER BY id""".stripMargin,
+
+      "s4_clean" -> {
+        val base =
+          """SELECT o_orderkey,
+            |  CASE WHEN o_orderkey % 11 = 0 THEN TIMESTAMP '1750-06-15 00:00:00'
+            |       ELSE o_orderdate END AS ts_raw,
+            |  o_orderpriority ||
+            |    CASE WHEN o_orderkey % 13 = 0 THEN chr(7) ELSE '' END ||
+            |    CASE WHEN o_orderkey % 17 = 0 THEN '–' ELSE '' END AS str_raw,
+            |  printf('POINT(%.2f %.2f)',
+            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25,
+            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25) AS wkt_raw
+            |FROM orders""".stripMargin
+        s"""WITH base AS ($base)
+           |SELECT o_orderkey,
+           |       ${CleanSql.repairTimestamp("ts_raw")} AS ts_clean,
+           |       ${CleanSql.cleanString("str_raw")} AS str_clean,
+           |       ${CleanSql.shiftPointWkt("wkt_raw")} AS wkt_clean
+           |FROM base ORDER BY o_orderkey""".stripMargin
+      },
+
+      "f10_detail_codec" ->
+        """SELECT * FROM (VALUES
+          |  ('pab1', '2016-06-01 17:12:25',
+          |   'BdeUpload pab1 2016-06-01 17:12:25 xaud 2016-06-01 17:12:46'),
+          |  ('xaud', '2016-06-01 17:12:46',
+          |   'BdeUpload pab1 2016-06-01 17:12:25 xaud 2016-06-01 17:12:46'))
+          |  t(file, end_time, details)""".stripMargin,
+
+      "l5_continuity" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'ok'), (2, 'warn'), (3, 'fail'), (4, 'ok'))
+          |  t(case_id, result) ORDER BY case_id""".stripMargin,
+
+      "x8_finish_dsl" ->
+        """SELECT * FROM (VALUES
+          |  (0, true), (1, false), (2, true), (3, false), (4, false), (5, true))
+          |  t(stmt_idx, fires) ORDER BY stmt_idx""".stripMargin,
+
+      "x8_hook_order" ->
+        """SELECT * FROM (VALUES
+          |  (0, 'postupload', 'bde_postupload_a_refresh'),
+          |  (1, 'postupload', 'bde_postupload_c_vacuum'),
+          |  (2, 'postlevel0', 'bde_postlevel0_z_index'))
+          |  t(ord, phase, hook) ORDER BY ord""".stripMargin,
+
+      "x8_event_template" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'notify 7 20170629000000 level 5 keep {nope}'))
+          |  t(case_id, expanded)""".stripMargin,
 
       "q6_revenue_filter" ->
         """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

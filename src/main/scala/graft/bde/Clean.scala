@@ -1,0 +1,126 @@
+package graft.bde
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * S4 — the row cleanser/normalizer (the reference's `bde_copy` C++ filter,
+ * configured at /root/reference/conf/linz_bde_uploader.conf:349-1245),
+ * re-expressed as a config-driven pipeline of codegen'd Column expressions:
+ *
+ *  - date-range repair: dates before `minimum_year` are replaced by the
+ *    sentinel (`invalid_datetime_string 1800-01-01 00:00:00`,
+ *    `invalid_date_string 01/01/1800` — conf:379-383);
+ *  - spatial fields: prefix WKT with `SRID=4167;` and shift longitudes by
+ *    `longitude_offset 160.0` (conf:390-391) so they land in [0, 360)
+ *    across the antimeridian;
+ *  - UTF-8 policy: control characters stripped (`utf8_replace_invalid
+ *    delete`, conf:407-419);
+ *  - character replacement map (conf:421-1242): an ordered list of
+ *    from→to substitutions compiled into a chain of `translate`/`replace`
+ *    expressions. The reference ships ~200 entries; the map here is config
+ *    data, not code — callers pass their own, and the default carries a
+ *    representative set.
+ *
+ * Everything is a pure `Column` transform — no UDFs, so the cleanser stays
+ * inside whole-stage codegen and fuses with the file scan at any scale.
+ */
+object Clean {
+
+  /** Cleansing rules (field names mirror the reference config keys). */
+  final case class CleanConfig(
+      minimumYear: Int = 1800,
+      invalidDatetime: String = "1800-01-01 00:00:00",
+      invalidDate: String = "1800-01-01",
+      wktPrefix: String = "SRID=4167;",
+      longitudeOffset: Double = 160.0,
+      replaceMap: Seq[(String, String)] = DefaultReplaceMap,
+      stripControlChars: Boolean = true)
+
+  /** Representative character substitutions (mechanism parity with
+    * conf:421-547: typographic punctuation → ASCII). */
+  val DefaultReplaceMap: Seq[(String, String)] = Seq(
+    "–" -> "-",  // en dash
+    "—" -> "-",  // em dash
+    "‘" -> "'",  // left single quote
+    "’" -> "'",  // right single quote
+    "“" -> "\"", // left double quote
+    "”" -> "\"", // right double quote
+    "×" -> "x")  // multiplication sign
+
+  /** Timestamps before `minimum_year` → the invalid-datetime sentinel. */
+  def repairTimestamp(c: Column, cfg: CleanConfig = CleanConfig()): Column =
+    when(year(c) < cfg.minimumYear,
+      to_timestamp(lit(cfg.invalidDatetime), "yyyy-MM-dd HH:mm:ss"))
+      .otherwise(c)
+
+  /** Dates before `minimum_year` → the invalid-date sentinel. */
+  def repairDate(c: Column, cfg: CleanConfig = CleanConfig()): Column =
+    when(year(c) < cfg.minimumYear, to_date(lit(cfg.invalidDate), "yyyy-MM-dd"))
+      .otherwise(c)
+
+  /** String cleansing: control-char strip + ordered replacement map.
+    * Single-char→single-char pairs compile to ONE `translate`; the rest
+    * chain `replace` calls in map order. */
+  def cleanString(c: Column, cfg: CleanConfig = CleanConfig()): Column = {
+    val stripped =
+      if (cfg.stripControlChars)
+        regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+      else c
+    val (oneToOne, general) = cfg.replaceMap.partition {
+      case (f, t) => f.length == 1 && t.length == 1
+    }
+    val translated =
+      if (oneToOne.nonEmpty)
+        translate(stripped, oneToOne.map(_._1).mkString, oneToOne.map(_._2).mkString)
+      else stripped
+    general.foldLeft(translated) { case (acc, (f, t)) =>
+      replace(acc, lit(f), lit(t))
+    }
+  }
+
+  /**
+   * Spatial cleanse for a `POINT(lon lat)` WKT string: shift the longitude
+   * by `longitude_offset` and prepend the SRID prefix. Coordinates are
+   * rendered at fixed precision so the output is engine-reproducible.
+   */
+  def shiftPointWkt(c: Column, cfg: CleanConfig = CleanConfig()): Column = {
+    val lon = regexp_extract(c, "POINT\\(([-0-9.]+) ([-0-9.]+)\\)", 1).cast("double")
+    val lat = regexp_extract(c, "POINT\\(([-0-9.]+) ([-0-9.]+)\\)", 2).cast("double")
+    format_string(s"${cfg.wktPrefix}POINT(%.6f %.6f)",
+      lon + lit(cfg.longitudeOffset), lat)
+  }
+}
+
+/** DuckDB renderings of [[Clean]] — same rules, same arithmetic, so the
+  * correctness oracle evaluates the cleanser independently. */
+object CleanSql {
+  import Clean._
+
+  def repairTimestamp(c: String, cfg: CleanConfig = CleanConfig()): String =
+    s"(case when year($c) < ${cfg.minimumYear} " +
+      s"then TIMESTAMP '${cfg.invalidDatetime}' else $c end)"
+
+  def repairDate(c: String, cfg: CleanConfig = CleanConfig()): String =
+    s"(case when year($c) < ${cfg.minimumYear} " +
+      s"then DATE '${cfg.invalidDate}' else $c end)"
+
+  def cleanString(c: String, cfg: CleanConfig = CleanConfig()): String = {
+    val stripped =
+      if (cfg.stripControlChars)
+        s"regexp_replace($c, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')"
+      else c
+    cfg.replaceMap.foldLeft(stripped) { case (acc, (f, t)) =>
+      val tq = t.replace("'", "''")
+      val fq = f.replace("'", "''")
+      s"replace($acc, '$fq', '$tq')"
+    }
+  }
+
+  def shiftPointWkt(c: String, cfg: CleanConfig = CleanConfig()): String = {
+    val pat = "'POINT\\(([-0-9.]+) ([-0-9.]+)\\)'"
+    s"printf('${cfg.wktPrefix}POINT(%.6f %.6f)', " +
+      s"regexp_extract($c, $pat, 1)::DOUBLE + ${cfg.longitudeOffset}, " +
+      s"regexp_extract($c, $pat, 2)::DOUBLE)"
+  }
+}

@@ -1,0 +1,84 @@
+package graft.bde
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * S5/S6 — table sinks with "dataset transaction" atomicity (SURVEY §7.4b):
+ * every write stages a complete new table version to its own directory,
+ * then publishes it by atomically re-pointing a tiny `_CURRENT` manifest
+ * (write-temp + rename, atomic on POSIX and HDFS). Readers resolve the
+ * manifest first, so they always see a complete version — a failed or
+ * aborted load leaves the previous version untouched, which is the Spark
+ * equivalent of the reference's per-dataset transaction + rollback
+ * (`beginDataset`/`endDataset`, lib/LINZ/BdeDatabase.pm:455-510) and of the
+ * truncate-and-replace swap (`bde_ApplyLevel0Update`, sql:1949-1973).
+ *
+ * At 100 TB the staged write is a normal distributed parquet write (all
+ * executors), and publish cost is one metadata rename — no data is ever
+ * rewritten to swap versions.
+ */
+final class ParquetTableSink(
+    spark: SparkSession,
+    rootDir: String,
+    val table: String) {
+
+  private val tableDir = new Path(s"$rootDir/$table")
+  private val currentPtr = new Path(tableDir, "_CURRENT")
+  private def fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The currently-published version directory name, if any. */
+  def currentVersion: Option[String] = {
+    val f = fs
+    if (!f.exists(currentPtr)) None
+    else {
+      val in = f.open(currentPtr)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
+
+  def exists: Boolean = currentVersion.isDefined
+
+  /** Read the published table version. */
+  def read(): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"table $table has no published version"))
+    spark.read.parquet(new Path(tableDir, v).toString)
+  }
+
+  /** Stage a complete new version; returns its name (NOT yet published). */
+  def stage(df: DataFrame, version: String): String = {
+    val name = s"v_$version"
+    df.write.mode("overwrite").parquet(new Path(tableDir, name).toString)
+    name
+  }
+
+  /** Read a staged (not yet published) version — e.g. for the pre-publish
+    * tolerance gate. */
+  def readStaged(stagedName: String): DataFrame =
+    spark.read.parquet(new Path(tableDir, stagedName).toString)
+
+  /** Atomically publish a staged version: temp manifest + rename. */
+  def publish(stagedName: String): Unit = {
+    val f = fs
+    val tmp = new Path(tableDir, s"_CURRENT.tmp.$stagedName")
+    val out = f.create(tmp, true)
+    try out.write(stagedName.getBytes("UTF-8")) finally out.close()
+    if (f.exists(currentPtr)) f.delete(currentPtr, false)
+    if (!f.rename(tmp, currentPtr))
+      throw new IllegalStateException(s"publish of $table/$stagedName failed")
+  }
+
+  /** Stage + publish in one step (truncate-and-replace semantics). */
+  def replace(df: DataFrame, version: String): Unit =
+    publish(stage(df, version))
+
+  /** Drop an unpublished staged version (abort path). */
+  def discard(stagedName: String): Unit = {
+    fs.delete(new Path(tableDir, stagedName), true)
+    ()
+  }
+}
