@@ -175,9 +175,12 @@ object Diff {
     val addKeys = actions
       .where(col("action").isin(ActionInsert, ActionUpdate, ActionUniqueShift))
       .select(col(key))
+    // using-column joins move the key to the front; restore cur's order
+    val order = cur.columns.map(col).toIndexedSeq
     val kept  = cur.join(broadcast(removeKeys), Seq(key), "left_anti")
+      .select(order: _*)
     val added = inc.join(broadcast(addKeys), Seq(key), "left_semi")
-      .select(cur.columns.map(col).toIndexedSeq: _*)
+      .select(order: _*)
     kept.unionByName(added)
   }
 

@@ -1,0 +1,133 @@
+package graft.bde
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class HooksSpec extends AnyFunSuite {
+
+  test("finish-SQL DSL parses all forms") {
+    import Hooks._
+    val p1 = parseFinishStatement("if any t1 t2 loaded ? SELECT 1").condition.get
+    assert(p1.any && !p1.level0Only && p1.loaded && p1.tables == Seq("t1", "t2"))
+    val p2 = parseFinishStatement("if all level0 t1 affected ? X").condition.get
+    assert(!p2.any && p2.level0Only && !p2.requireLevel0Dataset && !p2.loaded)
+    val p3 = parseFinishStatement("if level0_dataset t1 ? X").condition.get
+    assert(p3.requireLevel0Dataset && p3.level0Only)
+    assert(parseFinishStatement("VACUUM bde").condition.isEmpty)
+  }
+
+  test("tablesAffected: any/all, loaded vs affected, level0 gates") {
+    import Hooks._
+    val stats = Seq(
+      Control.UploadStatsRow(1, 7, 1, "ds1", "5", true, 0, 0, 0, 0),  // t1: loaded, no changes
+      Control.UploadStatsRow(2, 7, 2, "ds1", "5", true, 3, 0, 0, 0))  // t2: changed
+    val ids = Map("t1" -> 1, "t2" -> 2)
+    def c(any: Boolean, l0: Boolean, reqL0: Boolean, tables: Seq[String], loaded: Boolean) =
+      Condition(any, l0, reqL0, tables, loaded)
+    assert(tablesAffected(c(false, false, false, Seq("t1"), true), 7, stats, ids))
+    assert(!tablesAffected(c(false, false, false, Seq("t1"), false), 7, stats, ids))
+    assert(tablesAffected(c(true, false, false, Seq("t1", "t2"), false), 7, stats, ids))
+    assert(!tablesAffected(c(false, false, false, Seq("t1", "t2"), false), 7, stats, ids))
+    assert(!tablesAffected(c(true, true, false, Seq("t2"), false), 7, stats, ids))   // no L0 stats
+    assert(!tablesAffected(c(true, false, true, Seq("t2"), true), 7, stats, ids))    // upload has no L0 dataset
+    assert(!tablesAffected(c(true, false, false, Seq("missing"), true), 7, stats, ids))
+  }
+
+  test("hook registry runs matching hooks alphabetically") {
+    val reg = new Hooks.HookRegistry
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    reg.register("bde_postupload_zz", _ => ran += "zz")
+    reg.register("bde_postupload_aa", id => ran += s"aa$id")
+    reg.register("other_hook", _ => ran += "other")
+    assert(reg.runAll("bde_postupload_", 3) ==
+      Seq("bde_postupload_aa", "bde_postupload_zz"))
+    assert(ran.toSeq == Seq("aa3", "zz"))
+  }
+
+  test("event template expansion leaves unknown placeholders") {
+    assert(Hooks.expandTemplate("a {id} b {x}", Map("id" -> "1")) == "a 1 b {x}")
+  }
+}
+
+class RepoSpec extends SparkSuite {
+
+  private def stageTree(): String = {
+    val root = Files.createTempDirectory("repo-spec")
+    def mk(rel: String, files: String*): Unit = {
+      val d = root.resolve(rel)
+      Files.createDirectories(d)
+      files.foreach(f => Files.writeString(d.resolve(f), ""))
+    }
+    mk("level_0/20200101000000", "a.crs")
+    mk("level_0/20200201000000", "a.crs")
+    mk("level_0/20200301000000")                 // incomplete (no a)
+    mk("level_5/20200401000000", "a.crs", "x.crs")
+    mk("level_5/20200501000000", "a.crs", "x.crs")
+    mk("level_5/20200601000000", "a.crs")        // missing change file
+    root.toString
+  }
+
+  private val cat = Catalog.parse(
+    """TABLE l5_change_table files x
+      |TABLE t key=id files a
+      |""".stripMargin.linesIterator)._1
+
+  test("level-0 plan: latest after watermark, before cutoff; incompleteness surfaces") {
+    val root = stageTree()
+    val latest = Repo.planLevel0(spark, root, cat).get
+    assert(latest.dataset == "20200301000000" && !latest.complete
+      && latest.missing == Seq("a"))
+    val bounded = Repo.planLevel0(spark, root, cat,
+      before = Some("20200301000000")).get
+    assert(bounded.dataset == "20200201000000" && bounded.complete)
+    assert(Repo.planLevel0(spark, root, cat,
+      lastLevel0 = Some("20200301000000")).isEmpty)
+  }
+
+  test("level-5 plan: ordered chain after watermark; change file required") {
+    val root = stageTree()
+    val plans = Repo.planLevel5(spark, root, cat,
+      lastUpload = Some("20200401000000"))
+    assert(plans.map(_.dataset) == Seq("20200501000000", "20200601000000"))
+    assert(plans.head.complete)
+    assert(!plans(1).complete && plans(1).missing == Seq("x"))
+  }
+
+  test("empty repository plans nothing") {
+    val root = Files.createTempDirectory("repo-empty").toString
+    assert(Repo.planLevel0(spark, root, cat).isEmpty)
+    assert(Repo.planLevel5(spark, root, cat).isEmpty)
+  }
+}
+
+class CleanSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("date sentinel repair") {
+    val df = Seq("1750-06-15 00:00:00", "1995-03-01 12:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val out = df.select(Clean.repairTimestamp(col("ts")).as("c"))
+      .collect().map(_.getTimestamp(0).toString)
+    assert(out.head.startsWith("1800-01-01 00:00:00"))
+    assert(out(1).startsWith("1995-03-01 12:00:00"))
+  }
+
+  test("string cleanse: control chars stripped, map applied") {
+    val df = Seq("ab – “q”", "plain").toDF("s")
+    val out = df.select(Clean.cleanString(col("s")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out.head == "ab - \"q\"")
+    assert(out(1) == "plain")
+  }
+
+  test("WKT shift: SRID prefix + longitude offset") {
+    val df = Seq("POINT(-45.25 12.75)").toDF("s")
+    val out = df.select(Clean.shiftPointWkt(col("s")).as("c"))
+      .collect().head.getString(0)
+    assert(out == "SRID=4167;POINT(114.750000 12.750000)")
+  }
+}

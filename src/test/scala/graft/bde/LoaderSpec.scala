@@ -1,0 +1,95 @@
+package graft.bde
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** End-to-end slice + sink atomicity (mirrors t/linz_bde_uploader.t:1176-1221). */
+class LoaderSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sink: stage-then-publish is atomic; discard leaves current version") {
+    val root = Files.createTempDirectory("sink-spec").toString
+    val sink = new ParquetTableSink(spark, root, "t")
+    assert(!sink.exists)
+    sink.replace(Seq((1, "a")).toDF("id", "v"), "v1")
+    assert(sink.read().count() == 1)
+    val staged = sink.stage(Seq((2, "b"), (3, "c")).toDF("id", "v"), "v2")
+    assert(sink.read().count() == 1)          // staged is invisible
+    sink.publish(staged)
+    assert(sink.read().count() == 2)
+    val staged3 = sink.stage(Seq((9, "z")).toDF("id", "v"), "v3")
+    sink.discard(staged3)
+    assert(sink.read().count() == 2)          // abort left v2 intact
+  }
+
+  test("E2E slice: final 5 rows and stats match the reference test exactly") {
+    val r = E2E.runSlice(spark)
+    // level-0 content (t:656-711)
+    assert(r.l0Rows.orderBy("pri_id").collect().map(_.getInt(4)).toSeq ==
+      Seq(80401150, 80401149, 80401148))
+    // stats (t:1198-1201)
+    assert(r.stats.ninsert == 3)
+    assert(r.stats.nupdate == 2)
+    assert(r.stats.nnullupdate == 0)
+    assert(r.stats.ndelete == 1)
+    assert(!r.stats.aborted)
+    // final contents (t:1204-1221)
+    val rows = r.finalRows.orderBy("pri_id").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getString(3), x.getInt(4)))
+    assert(rows.toSeq == Seq(
+      (4457326, 3, 11960041, "Y", 100),
+      (4457327, 20, 29694578, "N", 80401149),
+      (4457328, 10, 29694591, "Y", 80401148),
+      (4457329, 4, 10000000, "Y", 300),
+      (4457330, 5, 20000000, "Y", 400)))
+    // control rows: both jobs complete, watermarks advanced
+    val wm = r.control.lastUpload("bde", E2E.TableName).get
+    assert(wm.lastUploadDataset.contains(E2E.L5Dataset))
+    assert(wm.lastLevel0Dataset.contains(E2E.L0Dataset))
+    assert(r.control.uploadsDf.collect().map(_.getString(2)).toSeq == Seq("C", "C"))
+  }
+
+  test("tolerance breach aborts the publish") {
+    val (stats, published) = E2E.runToleranceAbort(spark)
+    assert(stats.aborted)
+    assert(stats.ndelete == 1)
+    assert(published.count() == 3)           // still the level-0 version
+  }
+
+  test("level-0 incremental (E3) merges via full diff") {
+    val root = Files.createTempDirectory("e3-spec").toString
+    val sink = new ParquetTableSink(spark, root, "t")
+    sink.replace(Seq((1, "a"), (2, "b")).toDF("id", "v"), "v1")
+    // stage a snapshot file: id 2 changed, 3 added, 1 dropped
+    val content =
+      """HEDR	 2.0.0
+        |TABLE	 t
+        |COLUMN	 id integer NULL
+        |COLUMN	 v varchar NULL
+        |{CRS-DATA}
+        |2|B|
+        |3|c|
+        |""".stripMargin
+    val f = Files.createTempFile("e3", ".crs")
+    Files.writeString(f, content)
+    val stats = Loader.level0Incremental(spark, sink, f.toString, "id", "v2")
+    assert((stats.ninsert, stats.nupdate, stats.ndelete) == (1L, 1L, 1L))
+    assert(sink.read().orderBy("id").collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSeq == Seq(2 -> "B", 3 -> "c"))
+  }
+
+  test("level-5 early exit on zero changes for this table") {
+    val root = Files.createTempDirectory("l5-empty").toString
+    val st = E2E.stageRepository()
+    val sink = new ParquetTableSink(spark, root, "other_table")
+    Loader.level0Replace(spark, sink, st.l0File, "20160601000000")
+    val chg = BdeFormat.readFile(spark, st.changeFile)
+    val stats = Loader.level5Apply(spark, sink, st.l5File, chg,
+      "other_table", "audit_id", "20170629000000")
+    assert((stats.ninsert, stats.nupdate, stats.ndelete) == (0L, 0L, 0L))
+    assert(sink.read().count() == 3)
+  }
+}
