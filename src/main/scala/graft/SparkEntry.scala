@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Control, Diff, E2E, Hooks, Repo}
 import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.Streams
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 (plus the
@@ -557,6 +558,75 @@ object SparkEntry {
         sha2(col("text").cast("binary"), 256).as("sha256"),
         lit("text/plain").as("mime"))
         .orderBy(col("doc_id"))),
+
+    // partition-level batch decode (stubbed codec; real plumbing)
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))),
+
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(t(s, dir, "documents"), "doc_id", "text"), 128)
+        .select(col("id"), col("width_px"), col("height_px"),
+          col("target_w"), col("target_h"))
+        .orderBy(col("id"))),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(t(s, dir, "documents"), "doc_id", "text")
+          .withColumn("n_frames", col("width_px")),
+        "id", "n_frames", 5)
+        .orderBy(col("id"), col("frame_idx"))),
+
+    // BPE-ish token counting alongside whitespace tokens
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("bigint").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // ---- §2.7: Structured Streaming (AvailableNow replay) --------------
+    "stream_window_counts" -> ((s, dir) =>
+      Streams.windowedEventCounts(s, s"$dir/events.parquet")
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "stream_sessions" -> ((s, dir) =>
+      Streams.userSessions(s, s"$dir/events.parquet")
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // J7 analogue: lock-owner diagnostic join + string_agg
+    "c9_lock_owners" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ctl").toString
+      val ctl = new Control(s, tmp,
+        () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+      val u1 = ctl.createUpload("bde").toOption.get
+      val u2 = ctl.createUpload("bde", allowConcurrent = true).toOption.get
+      ctl.lockTable(u1, "tab_a"); ctl.lockTable(u2, "tab_b")
+      ctl.lockTable(u1, "tab_c")
+      ctl.uploadTablesDf.as("t")
+        .join(ctl.uploadsDf.as("u"), col("t.upl_id_lock") === col("u.id"))
+        .groupBy(col("t.upl_id_lock"))
+        .agg(array_join(array_sort(collect_list(col("t.table_name"))), ",")
+          .as("locked_tables"))
+        .orderBy(col("upl_id_lock"))
+    }),
+
+    // F7: row timestamps from the (injectable) clock
+    "c9_job_times" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ctl").toString
+      var nowStr = "2020-01-01 00:00:00"
+      val ctl = new Control(s, tmp, () => java.sql.Timestamp.valueOf(nowStr))
+      val u1 = ctl.createUpload("bde").toOption.get
+      nowStr = "2020-01-01 02:00:00"
+      ctl.finishUpload(u1, ok = true)
+      val row = ctl.upload(u1).get
+      Seq((row.id, row.startTime.toString.stripSuffix(".0"),
+        row.endTime.toString.stripSuffix(".0"), row.status))
+        .toDF("id", "start_time", "end_time", "status")
+    }),
 
     // ---- S3/S5/S6/E1/E2: the BDE end-to-end slice ----------------------
     // Oracles are literal VALUES of the reference test's own expectations

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal columns for training-data pipelines: media travel as opaque
+ * `binary` payloads plus TYPED metadata columns; decoding happens only at
+ * partition level in batch shape (the posture that scales to 100 TB —
+ * codecs never run inside SQL expressions, and payload bytes never shuffle
+ * for metadata-only operations).
+ *
+ * The decode step is STUBBED: this container has no image/audio codecs, so
+ * [[decodeMeta]] derives deterministic "pixel dimensions" from the
+ * payload's sha-256 — the distributed plumbing (schema, encoder,
+ * mapPartitions batching, downstream planning on the typed metadata) is
+ * real and tested; swapping the stub for a codec call changes one function.
+ */
+object Multimodal {
+
+  final case class DecodedMeta(
+      id: Long, mime: String, width_px: Int, height_px: Int, n_bytes: Long)
+
+  /** sha-256 hex of a payload (matches Spark's `sha2(bin, 256)` and
+    * DuckDB's `sha256`). */
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** The stub "decode": dimensions from the first two hex chars of the
+    * payload digest — deterministic, engine-reproducible, and shaped like a
+    * real decode result. */
+  def stubDims(shaHex: String): (Int, Int) = (
+    64 + (shaHex.charAt(0).toInt % 16) * 4,
+    64 + (shaHex.charAt(1).toInt % 16) * 4)
+
+  /** Binary payload + cheap metadata, pure column expressions (no decode):
+    * bytes, digest, mime tag. */
+  def asBinaryWithMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(payloadCol).cast("binary").as("payload"),
+      octet_length(col(payloadCol).cast("binary")).cast("bigint").as("n_bytes"),
+      sha2(col(payloadCol).cast("binary"), 256).as("sha256"),
+      lit("application/octet-stream").as("mime"))
+
+  /**
+   * Partition-level batch "decode": binary payloads → typed media metadata
+   * via `mapPartitions` (the Scala analogue of `mapInPandas` — one iterator
+   * per partition, codec state amortized across the batch, no per-row UDF).
+   */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup happens ONCE here (a real codec would init)
+        it.map { case (id, payload) =>
+          val sha = sha256Hex(payload)
+          val (w, h) = stubDims(sha)
+          DecodedMeta(id, "image/x-stub", w, h, payload.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** Resize planning: pure integer metadata math (aspect-preserving fit to
+    * `maxDim`), no payload access — runs as codegen'd expressions. */
+  def resizePlan(df: DataFrame, maxDim: Int): DataFrame = {
+    // explicit floor: Spark's int cast truncates but DuckDB's rounds, so the
+    // oracle-portable form floors the double division in both engines
+    val longest = greatest(col("width_px"), col("height_px"))
+    df.withColumn("target_w",
+        when(longest <= maxDim, col("width_px"))
+          .otherwise(floor((col("width_px") * maxDim) / longest)).cast("int"))
+      .withColumn("target_h",
+        when(longest <= maxDim, col("height_px"))
+          .otherwise(floor((col("height_px") * maxDim) / longest)).cast("int"))
+  }
+
+  /** Frame sampling plan for frame-indexed media: every `everyK`-th frame
+    * index below `nFramesCol`, as exploded (id, frame_idx) rows —
+    * `sequence` + `explode`, fully distributed, no payload access. */
+  def sampleFrames(df: DataFrame, idCol: String, nFramesCol: String,
+      everyK: Int): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      explode(sequence(lit(0), col(nFramesCol).cast("int") - 1,
+        lit(everyK))).as("frame_idx"))
+}

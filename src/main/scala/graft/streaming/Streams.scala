@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * §2.7 — Structured Streaming entry points. The reference is batch-only
+ * (its incrementality is the dataset watermark); these replay the same
+ * event data through a real streaming pipeline — file source → event-time
+ * watermark → windowed/sessionized state → sink — with
+ * `Trigger.AvailableNow`, which is exactly the "catch up on everything
+ * available, then stop" semantics of a scheduled BDE run.
+ *
+ * Determinism contract for the drain: a single far-future SENTINEL file is
+ * staged after the real data so the event-time watermark passes every real
+ * window/session and append-mode state flushes before the query stops
+ * (no-data micro-batches emit the final results). Sentinel rows are
+ * filtered from the output.
+ */
+object Streams {
+
+  /** Stage the events parquet (plus a sentinel file) into a fresh stream
+    * source dir; returns (dir, sentinel event_type). */
+  private def stageSource(spark: SparkSession, eventsParquet: String): (String, String) = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(eventsParquet), dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val sentinel = "__sentinel__"
+    val ev = spark.read.parquet(eventsParquet)
+    // one sentinel event per user, far past every real session/window
+    ev.select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg((max(col("ts")) + lit(36000L * 1000000000L)).as("ts")) // +10h in raw ns
+      .select(col("user_id"), col("ts"), lit(sentinel).as("event_type"))
+      .coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    (dir.toString, sentinel)
+  }
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = s"stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /**
+   * Watermarked tumbling-window counts per event type (the streaming
+   * counterpart of A4/A5's batch aggregates). Complete output mode: every
+   * closed window is in the result table when the drain finishes.
+   */
+  def windowedEventCounts(
+      spark: SparkSession,
+      eventsParquet: String,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val (dir, sentinel) = stageSource(spark, eventsParquet)
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .count()
+    runToMemory(agg, "complete")
+      .where(col("event_type") =!= sentinel)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        col("count").as("n_events"))
+  }
+
+  /**
+   * Session windows per user (30-minute inactivity gap) — the stateful
+   * operator the reference has no analogue for; append mode + watermark,
+   * flushed by the sentinel drain.
+   */
+  def userSessions(
+      spark: SparkSession,
+      eventsParquet: String,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    val (dir, sentinel) = stageSource(spark, eventsParquet)
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === sentinel, 1).otherwise(0)).as("n_sentinel"))
+    runToMemory(agg, "append")
+      .where(col("n_sentinel") === 0)
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+  }
+}
