@@ -40,6 +40,47 @@ final class Control(
   private var nextTableId = 1
   private var nextStatId = 1
 
+  // Load persisted control state back (the reference's control tables are
+  // durable PG tables, sql/01-bde_control_tables.sql — without this a
+  // restart would lose every watermark and replay all level-5 datasets,
+  // and the single-active gate / zombie expiry would forget running jobs).
+  locally {
+    def tryRead(name: String): Option[Array[org.apache.spark.sql.Row]] =
+      try Some(spark.read.parquet(s"$dir/$name").collect())
+      catch { case _: Exception => None } // absent on first run
+    tryRead("upload").foreach { rows =>
+      uploads = rows.toVector.map(r => UploadRow(
+        r.getAs[Int]("id"), r.getAs[String]("schema_name"),
+        r.getAs[Timestamp]("start_time"), r.getAs[Timestamp]("end_time"),
+        r.getAs[String]("status"))).sortBy(_.id)
+    }
+    tryRead("upload_table").foreach { rows =>
+      def opt(i: Int): Option[Int] = if (i < 0) None else Some(i)
+      def optS(s: String): Option[String] = if (s.isEmpty) None else Some(s)
+      uploadTables = rows.toVector.map(r => UploadTableRow(
+        r.getAs[Int]("id"), r.getAs[String]("schema_name"),
+        r.getAs[String]("table_name"),
+        opt(r.getAs[Int]("last_upload_id")),
+        optS(r.getAs[String]("last_upload_dataset")),
+        optS(r.getAs[String]("last_upload_type")),
+        optS(r.getAs[String]("last_level0_dataset")),
+        r.getAs[Boolean]("last_upload_incremental"),
+        r.getAs[String]("last_upload_details"),
+        opt(r.getAs[Int]("upl_id_lock")))).sortBy(_.id)
+    }
+    tryRead("upload_stats").foreach { rows =>
+      stats = rows.toVector.map(r => UploadStatsRow(
+        r.getAs[Int]("id"), r.getAs[Int]("upl_id"), r.getAs[Int]("tbl_id"),
+        r.getAs[String]("dataset"), r.getAs[String]("type"),
+        r.getAs[Boolean]("incremental"), r.getAs[Long]("ninsert"),
+        r.getAs[Long]("nupdate"), r.getAs[Long]("nnullupdate"),
+        r.getAs[Long]("ndelete"))).sortBy(_.id)
+    }
+    nextUploadId = uploads.map(_.id).maxOption.getOrElse(0) + 1
+    nextTableId = uploadTables.map(_.id).maxOption.getOrElse(0) + 1
+    nextStatId = stats.map(_.id).maxOption.getOrElse(0) + 1
+  }
+
   // ---- job lifecycle (sql:270-340; status codes sql/01:49,73-78) --------
 
   /** `bde_CreateUpload` + the single-active-job gate
@@ -51,7 +92,7 @@ final class Control(
       val id = nextUploadId
       nextUploadId += 1
       uploads :+= UploadRow(id, schemaName, now(), now(), StatusActive)
-      save()
+      save(doUploads = true)
       Right(id)
     }
   }
@@ -65,13 +106,13 @@ final class Control(
       else u)
     uploadTables = uploadTables.map(t =>
       if (t.uplIdLock.contains(id)) t.copy(uplIdLock = None) else t)
-    save()
+    save(doUploads = true, doTables = true)
   }
 
   /** `_bde_RefreshLock` heartbeat (sql:346-366): bump end_time while alive. */
   def heartbeat(id: Int): Unit = {
     uploads = uploads.map(u => if (u.id == id) u.copy(endTime = now()) else u)
-    save()
+    save(doUploads = true)
   }
 
   def upload(id: Int): Option[UploadRow] = uploads.find(_.id == id)
@@ -89,7 +130,7 @@ final class Control(
       case _ =>
         uploadTables = uploadTables.map(r =>
           if (r.id == t.id) r.copy(uplIdLock = Some(uplId)) else r)
-        save(); true
+        save(doTables = true); true
     }
   }
 
@@ -98,7 +139,7 @@ final class Control(
       if (r.tableName == tableName.toLowerCase && r.uplIdLock.contains(uplId))
         r.copy(uplIdLock = None)
       else r)
-    save()
+    save(doTables = true)
   }
 
   def haveTableLock(uplId: Int, tableName: String): Boolean =
@@ -119,7 +160,7 @@ final class Control(
         if (zombies.contains(u.id)) u.copy(status = StatusError) else u)
       uploadTables = uploadTables.map(t =>
         if (t.uplIdLock.exists(zombies.contains)) t.copy(uplIdLock = None) else t)
-      save()
+      save(doUploads = true, doTables = true)
     }
     zombies
   }
@@ -135,7 +176,7 @@ final class Control(
     if (victims.nonEmpty) {
       uploads = uploads.filterNot(u => victims.contains(u.id))
       stats = stats.filterNot(s => victims.contains(s.uplId))
-      save()
+      save(doUploads = true, doStats = true)
     }
     victims.toSeq.sorted
   }
@@ -151,7 +192,7 @@ final class Control(
           None, incremental = false, "", None)
         nextTableId += 1
         uploadTables :+= r
-        save()
+        save(doTables = true)
         r
       }
   }
@@ -185,7 +226,7 @@ final class Control(
     stats :+= UploadStatsRow(nextStatId, uplId, t.id, dataset, level,
       incremental, ninsert, nupdate, nnullupdate, ndelete)
     nextStatId += 1
-    save()
+    save(doTables = true, doStats = true)
   }
 
   /** Last-upload lookup for the continuity check (lib:944-958). */
@@ -223,12 +264,25 @@ final class Control(
   def statRecords: Seq[UploadStatsRow] = stats
   def uploadTableRecords: Seq[UploadTableRow] = uploadTables
 
-  /** Persist all three control tables (parquet append-style overwrite —
-    * metadata-sized, a few KB). */
-  private def save(): Unit = {
-    uploadsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/upload")
-    uploadTablesDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/upload_table")
-    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/upload_stats")
+  /** Persist ONLY the mutated control tables (parquet overwrite —
+    * metadata-sized, a few KB). One parquet job per mutated table instead
+    * of three per mutation: at 94 tables × N datasets that is thousands of
+    * Spark jobs saved per run. The persisted upload frame carries the
+    * start/end timestamps the 3-column [[uploadsDf]] view omits, so a
+    * restarted process recovers heartbeats for zombie expiry. */
+  private def save(
+      doUploads: Boolean = false,
+      doTables: Boolean = false,
+      doStats: Boolean = false): Unit = {
+    import spark.implicits._
+    if (doUploads)
+      uploads.map(u => (u.id, u.schemaName, u.status, u.startTime, u.endTime))
+        .toDF("id", "schema_name", "status", "start_time", "end_time")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/upload")
+    if (doTables)
+      uploadTablesDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/upload_table")
+    if (doStats)
+      statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/upload_stats")
   }
 }
 

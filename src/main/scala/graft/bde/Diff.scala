@@ -169,10 +169,16 @@ object Diff {
       inc: DataFrame,
       actions: DataFrame,
       key: String): DataFrame = {
-    val removeKeys = actions
+    // The action set feeds TWO broadcast key derivations below. Without a
+    // cache, an unevaluated `actions` plan (the full classify pipeline —
+    // itself two scans of the big tables) would execute once per broadcast:
+    // at 100 TB that is two extra full passes over the fact table. The
+    // cached projection is change-set sized (key + 1-char action).
+    val acts = actions.select(col(key), col("action")).cache()
+    val removeKeys = acts
       .where(col("action").isin(ActionDelete, ActionUpdate, ActionUniqueShift))
       .select(col(key))
-    val addKeys = actions
+    val addKeys = acts
       .where(col("action").isin(ActionInsert, ActionUpdate, ActionUniqueShift))
       .select(col(key))
     // using-column joins move the key to the front; restore cur's order

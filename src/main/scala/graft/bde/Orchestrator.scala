@@ -148,8 +148,10 @@ object Orchestrator {
                     Option(e.getMessage).getOrElse(e.getClass.getName))
               }
           }
-          control.heartbeat(uplId)
         }
+        // one heartbeat per dataset, not per table — the reference refreshes
+        // its lock per long op; per-table writes here were pure overhead
+        control.heartbeat(uplId)
         cfg.onDatasetEnd(p.dataset)
         if (p.level == "0") cfg.hooks.runAll("bde_postlevel0_", uplId)
       }

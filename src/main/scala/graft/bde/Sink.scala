@@ -1,6 +1,6 @@
 package graft.bde
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -61,15 +61,21 @@ final class ParquetTableSink(
   def readStaged(stagedName: String): DataFrame =
     spark.read.parquet(new Path(tableDir, stagedName).toString)
 
-  /** Atomically publish a staged version: temp manifest + rename. */
+  /** Atomically publish a staged version: temp manifest + OVERWRITE rename.
+    * A single `FileContext.rename(..., Rename.OVERWRITE)` replaces the
+    * pointer in one atomic metadata op — there is never an instant with no
+    * published version (a delete-then-rename window would make a concurrent
+    * reader see the table vanish and a crash strand it pointerless). */
   def publish(stagedName: String): Unit = {
-    val f = fs
-    val tmp = new Path(tableDir, s"_CURRENT.tmp.$stagedName")
-    val out = f.create(tmp, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val qTableDir = fs.makeQualified(tableDir)
+    val fc = FileContext.getFileContext(qTableDir.toUri, conf)
+    val tmp = new Path(qTableDir, s"_CURRENT.tmp.$stagedName")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
     try out.write(stagedName.getBytes("UTF-8")) finally out.close()
-    if (f.exists(currentPtr)) f.delete(currentPtr, false)
-    if (!f.rename(tmp, currentPtr))
-      throw new IllegalStateException(s"publish of $table/$stagedName failed")
+    fc.rename(tmp, new Path(qTableDir, "_CURRENT"), Options.Rename.OVERWRITE)
   }
 
   /** Stage + publish in one step (truncate-and-replace semantics). */
