@@ -23,11 +23,14 @@ object TextOps {
   val TokenMod = 1000003L
   /** Modulus for MinHash permutations (2^31 - 1, prime). */
   val HashMod = 2147483647L
-  /** SimHash fingerprint width. 48 bits: wide enough that identical-print
-    * collisions are vanishingly rare at 10^9+ docs (vs the 2^20 birthday
-    * soup a 20-bit print gives), while every intermediate stays well inside
-    * int64 for both Spark and the DuckDB oracle (no unchecked overflow). */
-  val SimHashBits = 48
+  /** SimHash fingerprint width. 63 bits: the full positive range of int64
+    * (bit 63 would make prints negative, breaking `%`-based banding in both
+    * Spark and DuckDB's overflow-checked BIGINT). Wide prints matter twice:
+    * identical-print collisions are vanishingly rare at 10^9+ docs, and the
+    * Hamming-LSH bands cut to 15-16 bits each (vs 12 on a 48-bit print) —
+    * 16x fewer in-bucket collisions per band, which is what keeps hot
+    * buckets subquadratic on real (token-correlated) corpora. */
+  val SimHashBits = 63
 
   /** Default MinHash geometry: 16 hashes = 4 bands x 4 rows. */
   val NumHashes = 16
@@ -133,11 +136,13 @@ object TextOps {
         .reduce(_ + _))
   }
 
-  /** One 12-bit Hamming band of a SimHash print: band b = bits
-    * [b*width, (b+1)*width). With bands = maxHamming + 1, any pair within
-    * that Hamming distance shares at least one identical band (pigeonhole) —
-    * the standard banding guarantee for Hamming-space LSH. */
-  def simHashBand(print: Column, band: Int, width: Int = 12): Column =
+  /** One Hamming band of a SimHash print: band b = bits
+    * [b*width, (b+1)*width) (the top band is naturally narrower when width
+    * doesn't divide [[SimHashBits]] — uneven widths keep the guarantee, the
+    * bands only need to PARTITION the bits). With bands = maxHamming + 1,
+    * any pair within that Hamming distance shares at least one identical
+    * band (pigeonhole) — the standard banding guarantee for Hamming LSH. */
+  def simHashBand(print: Column, band: Int, width: Int = 16): Column =
     shiftright(print, band * width) % lit(1L << width)
 
   /** Hamming distance between two fingerprints. */
@@ -250,7 +255,7 @@ object TextOpsSql {
         s"then ${1L << b} else 0 end)"
     }.mkString("(", " + ", ")")
 
-  def simHashBand(print: String, band: Int, width: Int = 12): String =
+  def simHashBand(print: String, band: Int, width: Int = 16): String =
     s"(($print >> ${band * width}) % ${1L << width})"
 
   def hamming(a: String, b: String): String = s"bit_count(xor($a, $b))"

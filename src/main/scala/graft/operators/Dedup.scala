@@ -122,31 +122,38 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    val width = TextOps.SimHashBits / bands
+    // ceil: bands must PARTITION the bits (a floor width would leave the
+    // top bits outside every band and break the pigeonhole guarantee); the
+    // last band is naturally narrower when width doesn't divide the bits.
+    val width = (TextOps.SimHashBits + bands - 1) / bands
     val prints = df.select(
       col(idCol).as("id"),
       TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col(textCol))))
         .as("print"))
-      .cache()
+    // The print is 8 bytes — carrying it through the band explode is far
+    // cheaper than two join-backs onto the print table, and it lets the
+    // Hamming check run INSIDE the band join: hot buckets produce candidate
+    // rows that are filtered to true near-dups before the dedup shuffle,
+    // so an oversized bucket costs probe time but never materializes a
+    // quadratic candidate set downstream.
+    // cached: both sides of the self-join read the banded prints, and the
+    // simhash fold (63 bit-votes per token) is the expensive part upstream
     val bandedPrints = prints.select(
-      col("id"),
+      col("id"), col("print"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           TextOps.simHashBand(col("print"), b, width).as("value"))): _*)).as("bv"))
-      .select(col("id"), col("bv.band"), col("bv.value"))
-    val candidates = bandedPrints.as("l")
+      .select(col("id"), col("print"), col("bv.band"), col("bv.value"))
+      .cache()
+    bandedPrints.as("l")
       .join(bandedPrints.as("r"),
         col("l.band") === col("r.band") &&
           col("l.value") === col("r.value") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(prints.as("a"), col("id_a") === col("a.id"))
-      .join(prints.as("b"), col("id_b") === col("b.id"))
-      .select(col("id_a"), col("id_b"),
-        TextOps.hamming(col("a.print"), col("b.print")).as("hamming"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        TextOps.hamming(col("l.print"), col("r.print")).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /**

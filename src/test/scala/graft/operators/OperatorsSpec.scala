@@ -123,14 +123,16 @@ class TextOpsSpec extends SparkSuite {
     assert(out.forall(h => h >= 0 && h < TextOps.TokenMod))
   }
 
-  test("simhash: identical token sets identical prints; prints fit in 48 bits") {
+  test("simhash: identical token sets identical prints; prints non-negative") {
     val df = Seq("a b c d e f", "a b c d e f", "q r s t u v").toDF("s")
       .select(TextOps.simHash(
         TextOps.tokenHashesWide(TextOps.tokens(col("s")))).as("h"))
     val hs = df.collect().map(_.getLong(0))
     assert(hs(0) == hs(1))
     assert(hs(0) != hs(2))
-    assert(hs.forall(h => h >= 0 && h < (1L << TextOps.SimHashBits)))
+    // 63-bit prints use the full positive int64 range (bit 63 never set)
+    assert(TextOps.SimHashBits <= 63)
+    assert(hs.forall(_ >= 0))
   }
 
   test("shingles: short docs yield empty arrays; jaccard of disjoint sets is 0") {
