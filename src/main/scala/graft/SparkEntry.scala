@@ -1266,6 +1266,82 @@ object SparkEntry {
           |       'text/plain' AS mime
           |FROM documents ORDER BY doc_id""".stripMargin,
 
+      // BPE-ish regex token count: \w+|[^\w\s] is ASCII word classes in both
+      // Java regex (no UNICODE_CHARACTER_CLASS) and DuckDB's RE2
+      "text_token_count" ->
+        """SELECT doc_id,
+          |       CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+          |            AS BIGINT) AS n_ws_tokens,
+          |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+          |            AS BIGINT) AS n_bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // The stub decode derives dimensions from the payload's sha-256 hex
+      // (Multimodal.stubDims) — pure arithmetic, replayable in DuckDB
+      "mm_decode_meta" ->
+        """SELECT doc_id::BIGINT AS id, 'image/x-stub' AS mime,
+          |       64 + (ascii(substr(sha256(text),1,1)) % 16) * 4 AS width_px,
+          |       64 + (ascii(substr(sha256(text),2,1)) % 16) * 4 AS height_px,
+          |       octet_length(text::BLOB)::BIGINT AS n_bytes
+          |FROM documents ORDER BY id""".stripMargin,
+
+      "mm_resize_plan" ->
+        """WITH m AS (SELECT doc_id::BIGINT AS id,
+          |       64 + (ascii(substr(sha256(text),1,1)) % 16) * 4 AS width_px,
+          |       64 + (ascii(substr(sha256(text),2,1)) % 16) * 4 AS height_px
+          |       FROM documents)
+          |SELECT id, width_px, height_px,
+          |  CASE WHEN greatest(width_px, height_px) <= 128 THEN width_px
+          |       ELSE CAST(floor((width_px * 128) / greatest(width_px, height_px))
+          |            AS INTEGER) END AS target_w,
+          |  CASE WHEN greatest(width_px, height_px) <= 128 THEN height_px
+          |       ELSE CAST(floor((height_px * 128) / greatest(width_px, height_px))
+          |            AS INTEGER) END AS target_h
+          |FROM m ORDER BY id""".stripMargin,
+
+      "mm_frame_sample" ->
+        """WITH m AS (SELECT doc_id::BIGINT AS id,
+          |       64 + (ascii(substr(sha256(text),1,1)) % 16) * 4 AS w
+          |       FROM documents)
+          |SELECT id, CAST(unnest(range(0, w, 5)) AS INTEGER) AS frame_idx
+          |FROM m ORDER BY id, frame_idx""".stripMargin,
+
+      // batch replay of the streaming tumbling-window counts (sentinel rows
+      // are engine plumbing — they never reach the query output)
+      "stream_window_counts" ->
+        """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP),
+          |                '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       event_type, count(*) AS n_events
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      // gaps-and-islands replay of session_window: a session breaks when the
+      // gap is >= 30 min (session intervals [ts, ts+gap) merge on overlap,
+      // so an exactly-30-min gap starts a new session)
+      "stream_sessions" ->
+        """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+          |marked AS (SELECT user_id, ts,
+          |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |            < INTERVAL 30 MINUTE
+          |       THEN 0 ELSE 1 END AS new_session FROM e),
+          |grp AS (SELECT user_id, ts,
+          |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |                         ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM marked)
+          |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       count(*) AS n_events
+          |FROM grp GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin,
+
+      // deterministic control-layer scenarios: literal expected outcomes
+      "c9_job_times" ->
+        """SELECT * FROM (VALUES
+          |  (1, '2020-01-01 00:00:00', '2020-01-01 02:00:00', 'C'))
+          |  t(id, start_time, end_time, status)""".stripMargin,
+
+      "c9_lock_owners" ->
+        """SELECT * FROM (VALUES (1, 'tab_a,tab_c'), (2, 'tab_b'))
+          |  t(upl_id_lock, locked_tables) ORDER BY upl_id_lock""".stripMargin,
+
       // ---- BDE slice oracles: the reference test's own expectations ----
       "s3_bde_read" ->
         """SELECT * FROM (VALUES
