@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Control, Diff, E2E, Hooks, Repo}
+import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Control, Diff, E2E, Hooks, OrchestratorScenario, Repo}
 import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.Streams
@@ -678,6 +678,42 @@ object SparkEntry {
         .select(col("table_name"), col("last_upload_id"),
           col("last_upload_dataset"), col("last_upload_type"),
           col("last_level0_dataset"), col("last_upload_incremental"))),
+
+    // E3: level-0 applied as a full-outer diff (-full-incremental) — same
+    // final five rows as E2, stats from the differ
+    "e3_full_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val (stats, fin) = OrchestratorScenario.runE3(s)
+      Seq((stats.tableName, stats.ninsert, stats.nupdate, stats.ndelete,
+        fin.count()))
+        .toDF("table_name", "ninsert", "nupdate", "ndelete", "published_rows")
+    }),
+
+    // The top-level run loop over a staged multi-table repository: COLUMN
+    // overrides, cleanser on the load path, level-5 chaining, error-skip,
+    // incomplete-dataset skip — outcomes as one table
+    "e2e_orchestrator" -> ((s, dir) => {
+      import s.implicits._
+      OrchestratorScenario.run(s).outcomes
+        .map(o => (o.dataset, o.level, o.table, o.status,
+          o.ninsert, o.nupdate, o.nnullupdate, o.ndelete))
+        .toDF("dataset", "level", "table_name", "status",
+          "ninsert", "nupdate", "nnullupdate", "ndelete")
+        .orderBy(col("dataset"), col("table_name"))
+    }),
+
+    // S4 on the REAL load path: the published table proves the cleanser ran
+    // (timestamp sentinel repair + replacement map) under COLUMN overrides
+    "s4_clean_loadpath" -> ((s, dir) =>
+      OrchestratorScenario.run(s).alphaRows.orderBy(col("id"))),
+
+    // S4 error budget: malformed rows drop within max_file_errors, a
+    // breached budget aborts the table load
+    "s4_error_budget" -> ((s, dir) => {
+      import s.implicits._
+      val (loaded, aborted) = OrchestratorScenario.runErrorBudget(s)
+      Seq((loaded, aborted)).toDF("loaded_rows", "strict_aborted")
+    }),
 
     // ---- §2.9: job lifecycle / locks / purge ---------------------------
     "c9_job_lifecycle" -> ((s, dir) => {
@@ -1399,6 +1435,38 @@ object SparkEntry {
           |  ('crs_parcel_bndry', 2, '20170629000000', '5', '20160601000000', true))
           |  t(table_name, last_upload_id, last_upload_dataset,
           |    last_upload_type, last_level0_dataset, last_upload_incremental)""".stripMargin,
+
+      // E3 differ over the pab1 slice: I=3 (keys 100/300/400), U=2
+      // (80401148/80401149), D=1 (80401150), final table = 5 rows
+      "e3_full_incremental" ->
+        """SELECT * FROM (VALUES ('crs_parcel_bndry', 3, 2, 1, 5))
+          |  t(table_name, ninsert, nupdate, ndelete, published_rows)""".stripMargin,
+
+      // hand-computed outcome table of the staged orchestrator scenario
+      "e2e_orchestrator" ->
+        """SELECT * FROM (VALUES
+          |  ('20200101000000', '0', 't_alpha', 'loaded',  3, 0, 0, 0),
+          |  ('20200101000000', '0', 't_beta',  'loaded',  2, 0, 0, 0),
+          |  ('20200202000000', '5', 't_alpha', 'loaded',  1, 1, 0, 0),
+          |  ('20200202000000', '5', 't_beta',  'failed',  0, 0, 0, 0),
+          |  ('20200303000000', '5', 't_alpha', 'loaded',  0, 0, 1, 1),
+          |  ('20200303000000', '5', 't_beta',  'skipped', 0, 0, 0, 0),
+          |  ('20200404000000', '5', 't_alpha', 'skipped', 0, 0, 0, 0),
+          |  ('20200404000000', '5', 't_beta',  'skipped', 0, 0, 0, 0))
+          |  t(dataset, level, table_name, status,
+          |    ninsert, nupdate, nnullupdate, ndelete)
+          |ORDER BY dataset, table_name""".stripMargin,
+
+      // the cleansed, override-typed alpha table after L0 + two increments
+      "s4_clean_loadpath" ->
+        """SELECT * FROM (VALUES
+          |  (2, 'okay',     TIMESTAMP '1800-01-01 00:00:00'),
+          |  (3, 'plain',    TIMESTAMP '2021-05-05 12:00:00'),
+          |  (4, 'four - d', TIMESTAMP '2022-02-02 02:02:02'))
+          |  t(id, name, born) ORDER BY id""".stripMargin,
+
+      "s4_error_budget" ->
+        """SELECT * FROM (VALUES (3, true)) t(loaded_rows, strict_aborted)""".stripMargin,
 
       "c9_job_lifecycle" ->
         """SELECT * FROM (VALUES

@@ -168,10 +168,38 @@ object BdeFormat {
    * lib/LINZ/BdeDatabase.pm:541-542). String columns keep '' → NULL too:
    * the reference's COPY treats the empty field as NULL regardless of type.
    */
-  def read(spark: SparkSession, path: String, header: BdeHeader): DataFrame = {
+  /** A well-formed data line has exactly one '|' per field (the format ends
+    * every field, including the last, with the delimiter). */
+  private def wellFormed(line: String, ncols: Int): Boolean = {
+    var n = 0
+    var i = 0
+    while (i < line.length) { if (line.charAt(i) == '|') n += 1; i += 1 }
+    n == ncols
+  }
+
+  /**
+   * S4 error budget — count malformed data rows (wrong field count), the
+   * accounting `bde_copy` keeps toward `max_errors`/`max_file_errors`
+   * (conf/linz_bde_uploader.conf:370-376). A separate bounded text scan,
+   * run only when a budget is configured; the load itself drops these rows
+   * via `dropMalformed` so the two stay consistent.
+   */
+  def countMalformed(spark: SparkSession, path: String, header: BdeHeader): Long = {
+    val ncols = header.columns.size
+    dataLines(spark, path, header).filter(l => !wellFormed(l, ncols)).count()
+  }
+
+  def read(
+      spark: SparkSession,
+      path: String,
+      header: BdeHeader,
+      dropMalformed: Boolean = false): DataFrame = {
     val ncols = header.columns.size
     // The data region is everything after the sentinel. Use the csv reader
     // with a comment-free, quote-free config: BDE data is never quoted.
+    val lines0 = dataLines(spark, path, header)
+    val lines =
+      if (dropMalformed) lines0.filter(l => wellFormed(l, ncols)) else lines0
     val raw = spark.read
       .option("sep", "|")
       .option("quote", "\u0000")  // NUL quote char = quoting disabled; BDE data is never quoted
@@ -180,7 +208,7 @@ object BdeFormat {
       .schema(StructType(
         (0 until ncols).map(i => StructField(s"_c$i", StringType, nullable = true)) :+
           StructField(s"_c$ncols", StringType, nullable = true))) // trailing '|'
-      .csv(dataLines(spark, path, header))
+      .csv(lines)
     val typed = header.columns.zipWithIndex.map { case (c, i) =>
       val s = col(s"_c$i")
       val nulled = when(s === "", lit(null)).otherwise(s)

@@ -29,7 +29,10 @@ object Catalog {
       levels: Set[String],       // "0", "5", "C"
       level5IsFull: Boolean,
       files: Seq[String],
-      columnOverrides: Seq[String]) {
+      /** `COLUMN name type [NOT NULL]` lines: when present they REPLACE the
+        * file header's column definitions at load time
+        * (lib/LINZ/BdeUpload.pm:185-188; doc conf/tables.conf:49-52). */
+      columnOverrides: Seq[BdeFormat.BdeColumn]) {
     def appliesToLevel(level: String): Boolean = levels.contains(level)
   }
 
@@ -98,9 +101,17 @@ object Catalog {
             tables += TableDef(name, id, key, tolE, tolW, levels, l5full,
               files, Nil)
           case ("column", values) if tables.nonEmpty =>
-            val t = tables.last
-            tables(tables.length - 1) =
-              t.copy(columnOverrides = t.columnOverrides :+ values.mkString(" "))
+            values match {
+              case name :: tpe :: rest =>
+                val notNull = rest.map(_.toUpperCase).mkString(" ").contains("NOT NULL")
+                val t = tables.last
+                tables(tables.length - 1) = t.copy(columnOverrides =
+                  t.columnOverrides :+ BdeFormat.BdeColumn(
+                    name.toLowerCase, tpe.toLowerCase, nullable = !notNull))
+              case _ =>
+                errors += CatalogError(lineNo,
+                  s"COLUMN needs at least a name and a type: ${values.mkString(" ")}")
+            }
           case (cmd, _) =>
             errors += CatalogError(lineNo, s"invalid or out of sequence command $cmd")
         }

@@ -1,7 +1,8 @@
 package graft.bde
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
 
 /**
  * S4 — the row cleanser/normalizer (the reference's `bde_copy` C++ filter,
@@ -35,7 +36,10 @@ object Clean {
       wktPrefix: String = "SRID=4167;",
       longitudeOffset: Double = 160.0,
       replaceMap: Seq[(String, String)] = DefaultReplaceMap,
-      stripControlChars: Boolean = true)
+      stripControlChars: Boolean = true,
+      /** Columns carrying POINT WKT that get the SRID prefix + longitude
+        * shift (the reference applies spatial rules to geometry columns). */
+      spatialColumns: Set[String] = Set.empty)
 
   /** Representative character substitutions (mechanism parity with
     * conf:421-547: typographic punctuation → ASCII). */
@@ -89,6 +93,29 @@ object Clean {
     val lat = regexp_extract(c, "POINT\\(([-0-9.]+) ([-0-9.]+)\\)", 2).cast("double")
     format_string(s"${cfg.wktPrefix}POINT(%.6f %.6f)",
       lon + lit(cfg.longitudeOffset), lat)
+  }
+
+  /**
+   * The whole-row cleanser the load path applies to every BDE frame (the
+   * reference pipes EVERY production file through bde_copy,
+   * lib/LINZ/BdeUpload.pm:1146-1224): schema-driven — timestamps/dates get
+   * the sentinel repair, strings the control-strip + replacement map, and
+   * configured spatial columns the WKT prefix + longitude shift. Pure
+   * column expressions; fuses with the file scan under whole-stage codegen.
+   */
+  def applyTo(df: DataFrame, cfg: CleanConfig = CleanConfig()): DataFrame = {
+    val cleaned = df.schema.fields.map { f =>
+      val c = col(f.name)
+      (f.dataType match {
+        case TimestampType => repairTimestamp(c, cfg)
+        case DateType      => repairDate(c, cfg)
+        case StringType if cfg.spatialColumns.contains(f.name.toLowerCase) =>
+          shiftPointWkt(c, cfg)
+        case StringType    => cleanString(c, cfg)
+        case _             => c
+      }).as(f.name)
+    }
+    df.select(cleaned.toIndexedSeq: _*)
   }
 }
 

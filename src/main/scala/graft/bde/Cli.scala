@@ -86,17 +86,25 @@ object Cli {
               scala.io.Source.fromFile(s"$confPath/tables.conf").getLines())
             require(errs.isEmpty, s"config errors: $errs")
             val cat = Catalog.select(cat0, include = o.selectTables)
+            // `-j` plans level-0 only where a table's watermark is missing;
+            // plain `-f`/`-r` force it (implications already folded above)
+            val forceL0 = (o.full || o.rebuild) && !(o.fullIfNeeded && !o.rebuild)
             val outcomes = Orchestrator.applyUpdates(spark,
               Orchestrator.RunConfig(
                 repoRoot = o.repository.getOrElse(sys.error("missing -repository")),
                 tablesDir = o.tablesDir.getOrElse(sys.error("missing -tables-dir")),
                 controlDir = o.controlDir.get,
                 before = o.before,
-                dryRun = o.dryRun),
-              cat, level0 = o.full, level5 = o.incremental, control)
+                dryRun = o.dryRun,
+                overrideLocks = o.overrideLocks),
+              cat, level0 = forceL0, level5 = o.incremental, control,
+              level0IfNeeded = o.fullIfNeeded)
             outcomes.foreach(r => println(
               f"${r.dataset} L${r.level} ${r.table}%-30s ${r.status}%-8s " +
                 f"I=${r.ninsert} U=${r.nupdate} 0=${r.nnullupdate} D=${r.ndelete} ${r.message}"))
+            // `-m`: storage maintenance after a successful run — a no-op for
+            // parquet versions (the reference VACUUM ANALYSEs PG tables)
+            if (o.maintain) println("maintain: no-op for parquet-backed tables")
           }
         } finally spark.stop()
     }

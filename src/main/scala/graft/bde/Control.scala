@@ -45,9 +45,12 @@ final class Control(
   // restart would lose every watermark and replay all level-5 datasets,
   // and the single-active gate / zombie expiry would forget running jobs).
   locally {
-    def tryRead(name: String): Option[Array[org.apache.spark.sql.Row]] =
-      try Some(spark.read.parquet(s"$dir/$name").collect())
-      catch { case _: Exception => None } // absent on first run
+    def tryRead(name: String): Option[Array[org.apache.spark.sql.Row]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None // first run: nothing persisted yet
+      else Some(spark.read.parquet(p.toString).collect())
+    }
     tryRead("upload").foreach { rows =>
       uploads = rows.toVector.map(r => UploadRow(
         r.getAs[Int]("id"), r.getAs[String]("schema_name"),

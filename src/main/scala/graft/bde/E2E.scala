@@ -106,7 +106,7 @@ object E2E {
 
     // ---- job 1: level-0 full replace (E1) ----
     val upl1 = control.createUpload("bde").toOption.get
-    val h0 = Loader.level0Replace(spark, sink, st.l0File, L0Dataset)
+    val h0 = Loader.level0Replace(spark, sink, Seq(st.l0File), L0Dataset).head
     val l0Rows = sink.read()
     control.recordDatasetLoaded(upl1, "bde", TableName, L0Dataset, "0",
       incremental = false,
@@ -131,7 +131,7 @@ object E2E {
         prevEnd, warnTolHours = 0, failTolHours = 0)
     }
 
-    val stats = Loader.level5Apply(spark, sink, st.l5File, changeTable,
+    val stats = Loader.level5Apply(spark, sink, Seq(st.l5File), changeTable,
       TableName, KeyColumn, L5Dataset,
       tolError = Some(0.20), tolWarning = Some(0.95))
     control.recordDatasetLoaded(upl2, "bde", TableName, L5Dataset, "5",
@@ -159,10 +159,10 @@ object E2E {
     import org.apache.spark.sql.functions._
     val st = stageRepository()
     val sink = new ParquetTableSink(spark, st.tablesDir, TableName)
-    Loader.level0Replace(spark, sink, st.l0File, L0Dataset)
+    Loader.level0Replace(spark, sink, Seq(st.l0File), L0Dataset)
     val deletesOnly = BdeFormat.readFile(spark, st.changeFile)
       .where(col("action") === "D")
-    val stats = Loader.level5Apply(spark, sink, st.l5File, deletesOnly,
+    val stats = Loader.level5Apply(spark, sink, Seq(st.l5File), deletesOnly,
       TableName, KeyColumn, L5Dataset,
       tolError = Some(0.95), tolWarning = Some(0.95))
     (stats, sink.read())

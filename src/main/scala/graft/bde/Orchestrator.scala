@@ -10,15 +10,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  *  - plan from the repository scan + per-table watermarks (E1: latest
  *    complete level-0; E2: every level-5 after the watermark, in order);
- *  - one job row per run, single-active gate, per-table locks;
+ *    `-full-if-needed` forces a level-0 pass when any table has no level-0
+ *    watermark yet (bin/linz_bde_uploader.pl:118-148);
+ *  - one job row per run, single-active gate, per-table locks (with the
+ *    `-override-locks` steal path);
  *  - per-dataset "transaction": each table's new version stages first and
- *    publishes only if its dataset succeeds (tolerance gate included);
+ *    publishes only if its load succeeds (tolerance gate included);
+ *  - EVERY file of a multi-file table loads (the reference's per-file loop,
+ *    lib:886-890,966), and every production frame passes through the
+ *    configured cleanser and `COLUMN` catalog overrides;
+ *  - `l5_is_full` tables route their level-5 datasets through the
+ *    full-snapshot diff path (E3) instead of the change-table path;
+ *  - an INCOMPLETE level-5 dataset is skipped with per-table warnings
+ *    BEFORE any file is opened (lib:691-702); an incomplete level-0 aborts
+ *    the run and the job finishes in error;
  *  - ERROR-SKIP: a table that fails in dataset N is skipped for the rest of
  *    the run (`$tablestate`, lib:758-771,824-837) — later datasets keep
  *    loading the healthy tables;
- *  - dataset/job boundary hooks (`dataset_load_start_sql` /
- *    `dataset_load_end_sql` slots, lib/LINZ/BdeDatabase.pm:571-595) and
- *    post-level0/post-upload hook phases;
+ *  - dataset/job boundary hooks and post-level0/post-upload hook phases;
  *  - dry-run mode prints the plan and changes nothing (lib:559-609).
  */
 object Orchestrator {
@@ -31,6 +40,17 @@ object Orchestrator {
       before: Option[String] = None,
       dryRun: Boolean = false,
       maxRuntimeHours: Double = 0,
+      /** bde_copy cleansing rules applied to every loaded frame; None =
+        * cleanser off (the reference equivalent of bypassing bde_copy). */
+      cleanConfig: Option[Clean.CleanConfig] = Some(Clean.CleanConfig()),
+      /** `max_file_errors` budget: malformed rows are dropped up to this
+        * count, beyond it the table load fails (conf:370-376). */
+      maxFileErrors: Option[Long] = None,
+      /** `-override-locks`: steal per-table locks held by other jobs. */
+      overrideLocks: Boolean = false,
+      /** `allow_concurrent_uploads`: bypass the single-active-job gate
+        * (lib/LINZ/BdeDatabase.pm:377-392) — per-table locks still apply. */
+      allowConcurrent: Boolean = false,
       onDatasetStart: String => Unit = _ => (),
       onDatasetEnd: String => Unit = _ => (),
       hooks: Hooks.HookRegistry = new Hooks.HookRegistry)
@@ -48,11 +68,21 @@ object Orchestrator {
       catalog: Seq[Catalog.TableDef],
       level0: Boolean,
       level5: Boolean,
-      control: Control): Seq[TableOutcome] = {
+      control: Control,
+      level0IfNeeded: Boolean = false): Seq[TableOutcome] = {
     val tables = catalog.filterNot(_.levels == Set("C")).sortBy(_.id)
     val changeDef = Catalog.changeTable(catalog)
     val timeout = new Control.JobTimeout(cfg.maxRuntimeHours,
       () => new java.sql.Timestamp(System.currentTimeMillis()))
+    val cleanFn: DataFrame => DataFrame =
+      cfg.cleanConfig.map(c => Clean.applyTo(_: DataFrame, c))
+        .getOrElse(identity[DataFrame] _)
+
+    // `-j`: a level-0 pass is needed when any selected table has never had
+    // one (missing level-0 watermark), bin/linz_bde_uploader.pl:118-148
+    val effLevel0 = level0 || (level0IfNeeded && tables.exists(t =>
+      control.lastUpload(cfg.schemaName, t.name)
+        .flatMap(_.lastLevel0Dataset).isEmpty))
 
     // plan from per-table watermarks (min across tables, as one shared
     // dataset sequence — the reference plans per table; a shared floor is
@@ -63,7 +93,7 @@ object Orchestrator {
         control.lastUpload(cfg.schemaName, t.name).flatMap(pick))
       if (ws.size < tables.size) None else Some(ws.min)
     }
-    val l0Plan = if (level0)
+    val l0Plan = if (effLevel0)
       Repo.planLevel0(spark, cfg.repoRoot, catalog,
         watermark(_.lastLevel0Dataset), cfg.before).toSeq
     else Nil
@@ -78,12 +108,13 @@ object Orchestrator {
         TableOutcome(p.dataset, p.level, t.name, "dry-run", 0, 0, 0, 0,
           if (p.complete) "" else s"missing: ${p.missing.mkString(",")}")))
 
-    val uplId = control.createUpload(cfg.schemaName) match {
+    val uplId = control.createUpload(cfg.schemaName, cfg.allowConcurrent) match {
       case Left(err) => return Seq(TableOutcome("", "", "", "failed", 0, 0, 0, 0, err))
       case Right(id) => id
     }
     val failed = scala.collection.mutable.Set[String]() // error-skip state
     val outcomes = scala.collection.mutable.ArrayBuffer[TableOutcome]()
+    var crashed = true // an exception escaping the loop must finish the job as E
 
     try {
       for (p <- plan) {
@@ -92,61 +123,90 @@ object Orchestrator {
         if (!p.complete && p.level == "0")
           throw new IllegalStateException(
             s"level-0 dataset ${p.dataset} incomplete: ${p.missing.mkString(",")}")
-        val changeTable: Option[DataFrame] =
-          if (p.level == "5")
-            changeDef.map(cd =>
-              BdeFormat.readFile(spark, s"${p.path}/${cd.files.head}.crs"))
-          else None
-        for (t <- tables if t.appliesToLevel(p.level)) {
-          timeout.check()
-          val skipReason =
-            if (failed.contains(t.name)) Some("skipped after earlier failure")
-            else if (!p.complete) Some(s"missing: ${p.missing.mkString(",")}")
-            else if (!control.lockTable(uplId, t.name)) Some("table locked")
+        if (!p.complete) {
+          // incomplete level-5 dataset: skip-with-warning BEFORE any file
+          // is opened (the change file itself may be the missing one)
+          for (t <- tables if t.appliesToLevel(p.level))
+            outcomes += TableOutcome(p.dataset, p.level, t.name, "skipped",
+              0, 0, 0, 0, s"missing: ${p.missing.mkString(",")}")
+        } else {
+          // the change table applies only to level-5 change-driven tables
+          val changeTable: Option[DataFrame] =
+            if (p.level == "5" && tables.exists(t =>
+                t.appliesToLevel("5") && !t.level5IsFull))
+              changeDef.map(cd => cd.files
+                .map(f => BdeFormat.readFile(spark, s"${p.path}/$f.crs"))
+                .reduce(_ unionByName _))
             else None
-          skipReason match {
-            case Some(reason) =>
-              outcomes += TableOutcome(p.dataset, p.level, t.name, "skipped",
-                0, 0, 0, 0, reason)
-            case None =>
-              try {
-                val sink = new ParquetTableSink(spark, cfg.tablesDir, t.name)
-                val file = s"${p.path}/${t.files.head}.crs"
-                if (p.level == "5" && !sink.exists)
-                  throw new IllegalStateException(
-                    s"no level-0 load of ${t.name} before level-5 increment")
-                val stats =
-                  if (p.level == "0") {
-                    val h = Loader.level0Replace(spark, sink, file, p.dataset)
-                    val n = sink.read().count()
-                    control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
-                      p.dataset, "0", incremental = false,
-                      Control.buildDetails(Seq(t.files.head ->
-                        h.endTime.map(_.toString.stripSuffix(".0")).getOrElse(""))),
-                      n, 0, 0, 0)
-                    Loader.LoadStats(t.name, n, 0, 0, 0, aborted = false, "")
-                  } else {
-                    val s = Loader.level5Apply(spark, sink, file,
-                      changeTable.getOrElse(throw new IllegalStateException(
-                        "missing required changetable")),
-                      t.name, t.key.getOrElse("id"), p.dataset,
-                      tolError = t.rowTolError, tolWarning = t.rowTolWarning)
-                    if (s.aborted) throw new IllegalStateException(s.abortReason)
-                    control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
-                      p.dataset, "5", incremental = true, "",
-                      s.ninsert, s.nupdate, s.nnullupdate, s.ndelete)
-                    s
-                  }
-                outcomes += TableOutcome(p.dataset, p.level, t.name, "loaded",
-                  stats.ninsert, stats.nupdate, stats.nnullupdate,
-                  stats.ndelete, "")
-              } catch {
-                case e: Exception =>
-                  failed += t.name
-                  outcomes += TableOutcome(p.dataset, p.level, t.name,
-                    "failed", 0, 0, 0, 0,
-                    Option(e.getMessage).getOrElse(e.getClass.getName))
-              }
+          for (t <- tables if t.appliesToLevel(p.level)) {
+            timeout.check()
+            val skipReason =
+              if (failed.contains(t.name)) Some("skipped after earlier failure")
+              else if (!control.lockTable(uplId, t.name, force = cfg.overrideLocks))
+                Some("table locked")
+              else None
+            skipReason match {
+              case Some(reason) =>
+                outcomes += TableOutcome(p.dataset, p.level, t.name, "skipped",
+                  0, 0, 0, 0, reason)
+              case None =>
+                try {
+                  val sink = new ParquetTableSink(spark, cfg.tablesDir, t.name)
+                  val files = t.files.map(f => s"${p.path}/$f.crs")
+                  if (p.level == "5" && !sink.exists)
+                    throw new IllegalStateException(
+                      s"no level-0 load of ${t.name} before level-5 increment")
+                  val stats =
+                    if (p.level == "0") {
+                      val hs = Loader.level0Replace(spark, sink, files,
+                        p.dataset, clean = cleanFn,
+                        columnOverrides = t.columnOverrides,
+                        maxFileErrors = cfg.maxFileErrors)
+                      val n = sink.read().count()
+                      control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
+                        p.dataset, "0", incremental = false,
+                        Control.buildDetails(t.files.zip(hs).map { case (f, h) =>
+                          f -> h.endTime.map(_.toString.stripSuffix(".0")).getOrElse("")
+                        }),
+                        n, 0, 0, 0)
+                      Loader.LoadStats(t.name, n, 0, 0, 0, aborted = false, "")
+                    } else if (t.level5IsFull) {
+                      // E3 arm: the level-5 file IS a full snapshot — diff it
+                      val s = Loader.level0Incremental(spark, sink, files,
+                        t.key.getOrElse("id"), p.dataset, clean = cleanFn,
+                        columnOverrides = t.columnOverrides,
+                        tolError = t.rowTolError, tolWarning = t.rowTolWarning,
+                        maxFileErrors = cfg.maxFileErrors)
+                      if (s.aborted) throw new IllegalStateException(s.abortReason)
+                      control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
+                        p.dataset, "5", incremental = true, "",
+                        s.ninsert, s.nupdate, s.nnullupdate, s.ndelete)
+                      s
+                    } else {
+                      val s = Loader.level5Apply(spark, sink, files,
+                        changeTable.getOrElse(throw new IllegalStateException(
+                          "missing required changetable")),
+                        t.name, t.key.getOrElse("id"), p.dataset,
+                        tolError = t.rowTolError, tolWarning = t.rowTolWarning,
+                        clean = cleanFn, columnOverrides = t.columnOverrides,
+                        maxFileErrors = cfg.maxFileErrors)
+                      if (s.aborted) throw new IllegalStateException(s.abortReason)
+                      control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
+                        p.dataset, "5", incremental = true, "",
+                        s.ninsert, s.nupdate, s.nnullupdate, s.ndelete)
+                      s
+                    }
+                  outcomes += TableOutcome(p.dataset, p.level, t.name, "loaded",
+                    stats.ninsert, stats.nupdate, stats.nnullupdate,
+                    stats.ndelete, "")
+                } catch {
+                  case e: Exception =>
+                    failed += t.name
+                    outcomes += TableOutcome(p.dataset, p.level, t.name,
+                      "failed", 0, 0, 0, 0,
+                      Option(e.getMessage).getOrElse(e.getClass.getName))
+                }
+            }
           }
         }
         // one heartbeat per dataset, not per table — the reference refreshes
@@ -156,8 +216,9 @@ object Orchestrator {
         if (p.level == "0") cfg.hooks.runAll("bde_postlevel0_", uplId)
       }
       cfg.hooks.runAll("bde_postupload_", uplId)
+      crashed = false
     } finally {
-      control.finishUpload(uplId, ok = failed.isEmpty)
+      control.finishUpload(uplId, ok = failed.isEmpty && !crashed)
     }
     outcomes.toSeq
   }

@@ -1,0 +1,169 @@
+package graft.bde
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Deterministic multi-table, multi-dataset orchestrator scenario — the
+ * engine-level replay of the reference's staged-repository test layout
+ * (t/linz_bde_uploader.t builds datasets under level_0/level_5 and drives
+ * the CLI through them). Exercises, in ONE run: COLUMN catalog overrides
+ * replacing a file header, the cleanser on the real load path (en-dash
+ * replacement + timestamp sentinel repair), multi-dataset level-5 chaining
+ * with I/U/0/D actions, error-skip after a poisoned table, and
+ * incomplete-dataset skip (missing change file).
+ *
+ * Everything is synthetic and fixed — the expected outcomes are hand-
+ * computed literals in `SparkEntry.oracleSql`, the independent-oracle
+ * pattern used for the E2E slice.
+ */
+object OrchestratorScenario {
+
+  /** Render one BDE file: header + pipe-rows (each row pre-terminated). */
+  def crs(table: String, cols: Seq[(String, String)], rows: Seq[String],
+      start: String = "2020-01-01 00:00:00",
+      end: String = "2020-01-01 01:00:00"): String =
+    s"""HEDR  2.0.0
+       |SOFTWARE graft V1
+       |SCHEMA  V1.0
+       |USER  test
+       |START  $start
+       |END  $end
+       |SQL  SELECT
+       |TABLE  $table
+       |""".stripMargin +
+      cols.map { case (n, t) => s"COLUMN  $n $t NULL" }.mkString("", "\n", "\n") +
+      s"DESC\nSIZE  ${rows.size}\n{CRS-DATA}\n" +
+      rows.map(_ + "\n").mkString
+
+  val TablesConf: String =
+    """TABLE l5_change_table files xchg
+      |TABLE t_alpha key=id row_tol=0.10,0.50 files alp
+      |COLUMN id integer NOT NULL
+      |COLUMN name varchar
+      |COLUMN born datetime
+      |TABLE t_beta key=id files bet
+      |""".stripMargin
+
+  // The alpha FILE header deliberately declares useless names/types — the
+  // catalog COLUMN overrides must replace them for the load to work at all.
+  private val AlphaFileCols = Seq("c1" -> "varchar", "c2" -> "varchar", "c3" -> "varchar")
+  private val BetaCols = Seq("id" -> "integer", "val" -> "varchar")
+  private val ChangeCols = Seq("id" -> "integer", "tablename" -> "varchar",
+    "tablekeyvalue" -> "integer", "action" -> "char")
+
+  /** Stage the 4-dataset repository; returns (root, tablesDir, controlDir). */
+  def stage(): (Path, String, String) = {
+    val root = Files.createTempDirectory("graft-orch")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content, StandardCharsets.UTF_8)
+    }
+    // L0: alpha has a dirty string (en dash) and a pre-1800 timestamp
+    write("repo/level_0/20200101000000/alp.crs", crs("t_alpha", AlphaFileCols, Seq(
+      "1|hello – world|2020-01-01 00:00:00|",
+      "2|ok|1750-01-01 00:00:00|",
+      "3|plain|2021-05-05 12:00:00|")))
+    write("repo/level_0/20200101000000/bet.crs", crs("t_beta", BetaCols, Seq(
+      "1|x|", "2|y|")))
+    // L5 dataset 1: alpha U+I; beta file poisoned (zero column overlap)
+    write("repo/level_5/20200202000000/xchg.crs", crs("xchg", ChangeCols, Seq(
+      "1|t_alpha|2|U|", "2|t_alpha|4|I|", "3|t_beta|1|U|")))
+    write("repo/level_5/20200202000000/alp.crs", crs("t_alpha", AlphaFileCols, Seq(
+      "2|okay|1750-01-01 00:00:00|",
+      "4|four – d|2022-02-02 02:02:02|")))
+    write("repo/level_5/20200202000000/bet.crs", crs("t_beta",
+      Seq("zot" -> "varchar"), Seq("9|")))
+    // L5 dataset 2: alpha D + null-update; beta healthy but error-skipped
+    write("repo/level_5/20200303000000/xchg.crs", crs("xchg", ChangeCols, Seq(
+      "1|t_alpha|1|D|", "2|t_alpha|3|U|")))
+    write("repo/level_5/20200303000000/alp.crs", crs("t_alpha", AlphaFileCols, Seq(
+      "3|plain|2021-05-05 12:00:00|")))
+    write("repo/level_5/20200303000000/bet.crs", crs("t_beta", BetaCols, Seq(
+      "1|xx|")))
+    // L5 dataset 3: INCOMPLETE — change file missing
+    write("repo/level_5/20200404000000/alp.crs", crs("t_alpha", AlphaFileCols, Seq(
+      "3|plain|2021-05-05 12:00:00|")))
+    write("repo/level_5/20200404000000/bet.crs", crs("t_beta", BetaCols, Seq(
+      "1|xx|")))
+    (root, root.resolve("tables").toString, root.resolve("control").toString)
+  }
+
+  final case class Result(
+      outcomes: Seq[Orchestrator.TableOutcome],
+      control: Control,
+      alphaRows: DataFrame,
+      betaRows: DataFrame)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Result]()
+
+  /** Run the scenario once per session (two registered queries consume it). */
+  def run(spark: SparkSession): Result =
+    cache.computeIfAbsent(spark, runUncached(_))
+
+  private def runUncached(spark: SparkSession): Result = {
+    val (root, tablesDir, controlDir) = stage()
+    val (cat, errs) = Catalog.parse(TablesConf.linesIterator)
+    require(errs.isEmpty, s"catalog errors: $errs")
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val outcomes = Orchestrator.applyUpdates(spark,
+      Orchestrator.RunConfig(
+        repoRoot = root.resolve("repo").toString,
+        tablesDir = tablesDir,
+        controlDir = controlDir),
+      cat, level0 = true, level5 = true, control)
+    Result(outcomes, control,
+      new ParquetTableSink(spark, tablesDir, "t_alpha").read(),
+      new ParquetTableSink(spark, tablesDir, "t_beta").read())
+  }
+
+  // ---- E3 replay of the reference slice (full-incremental) --------------
+
+  private val e3Cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Loader.LoadStats, DataFrame)]()
+
+  /** The E2E pab1 slice applied as `-full-incremental` (E3): level-0 load,
+    * then the mutated snapshot merged via full-outer diff — same final five
+    * rows, stats from the differ (I=3, U=2, D=1). */
+  def runE3(spark: SparkSession): (Loader.LoadStats, DataFrame) =
+    e3Cache.computeIfAbsent(spark, { s: SparkSession =>
+      val st = E2E.stageRepository()
+      val sink = new ParquetTableSink(s, st.tablesDir, E2E.TableName)
+      Loader.level0Replace(s, sink, Seq(st.l0File), E2E.L0Dataset)
+      val stats = Loader.level0Incremental(s, sink, Seq(st.l5File),
+        E2E.KeyColumn, E2E.L5Dataset,
+        tolError = Some(0.20), tolWarning = Some(0.95))
+      (stats, sink.read())
+    })
+
+  // ---- file-error budget -------------------------------------------------
+
+  /** A level-0 file with 2 malformed rows among 5: within a budget of 2 the
+    * bad rows drop and 3 load; a budget of 1 aborts the load. Returns
+    * (rows loaded under budget, whether the strict budget aborted). */
+  def runErrorBudget(spark: SparkSession): (Long, Boolean) = {
+    val root = Files.createTempDirectory("graft-errbudget")
+    val file = root.resolve("cor.crs")
+    Files.writeString(file, crs("t_cor",
+      Seq("id" -> "integer", "v" -> "varchar"),
+      Seq("1|a|", "2|b", "3|c|", "4|d|e|", "5|f|")), // rows 2 and 4 malformed
+      StandardCharsets.UTF_8)
+    val okSink = new ParquetTableSink(spark, root.resolve("t1").toString, "t_cor")
+    Loader.level0Replace(spark, okSink, Seq(file.toString), "v1",
+      maxFileErrors = Some(2))
+    val loaded = okSink.read().count()
+    val strictSink = new ParquetTableSink(spark, root.resolve("t2").toString, "t_cor")
+    val aborted =
+      try {
+        Loader.level0Replace(spark, strictSink, Seq(file.toString), "v1",
+          maxFileErrors = Some(1))
+        false
+      } catch { case _: IllegalStateException => true }
+    (loaded, aborted)
+  }
+}

@@ -28,7 +28,9 @@ class CatalogSpec extends AnyFunSuite {
     assert(tables(2).levels == Set("0"))
     assert(tables(3).levels == Set("5"))
     assert(tables(4).level5IsFull)
-    assert(tables(4).columnOverrides == Seq("id integer", "name varchar"))
+    assert(tables(4).columnOverrides == Seq(
+      BdeFormat.BdeColumn("id", "integer", nullable = true),
+      BdeFormat.BdeColumn("name", "varchar", nullable = true)))
     assert(tables.head.levels == Set("C"))
     assert(Catalog.changeTable(tables).map(_.files) == Some(Seq("xchg")))
   }

@@ -75,7 +75,7 @@ class LoaderSpec extends SparkSuite {
         |""".stripMargin
     val f = Files.createTempFile("e3", ".crs")
     Files.writeString(f, content)
-    val stats = Loader.level0Incremental(spark, sink, f.toString, "id", "v2")
+    val stats = Loader.level0Incremental(spark, sink, Seq(f.toString), "id", "v2")
     assert((stats.ninsert, stats.nupdate, stats.ndelete) == (1L, 1L, 1L))
     assert(sink.read().orderBy("id").collect().map(r =>
       (r.getInt(0), r.getString(1))).toSeq == Seq(2 -> "B", 3 -> "c"))
@@ -85,9 +85,9 @@ class LoaderSpec extends SparkSuite {
     val root = Files.createTempDirectory("l5-empty").toString
     val st = E2E.stageRepository()
     val sink = new ParquetTableSink(spark, root, "other_table")
-    Loader.level0Replace(spark, sink, st.l0File, "20160601000000")
+    Loader.level0Replace(spark, sink, Seq(st.l0File), "20160601000000")
     val chg = BdeFormat.readFile(spark, st.changeFile)
-    val stats = Loader.level5Apply(spark, sink, st.l5File, chg,
+    val stats = Loader.level5Apply(spark, sink, Seq(st.l5File), chg,
       "other_table", "audit_id", "20170629000000")
     assert((stats.ninsert, stats.nupdate, stats.ndelete) == (0L, 0L, 0L))
     assert(sink.read().count() == 3)

@@ -1,0 +1,154 @@
+package graft.bde
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+/** The top-level run loop: happy path, error-skip, dry-run, lock-skip,
+  * incomplete datasets, -full-if-needed, COLUMN overrides + cleanser on the
+  * load path (reference behaviors: lib/LINZ/BdeUpload.pm:559-840). */
+class OrchestratorSpec extends SparkSuite {
+
+  private def freshRun(dryRun: Boolean = false,
+      preLock: Boolean = false): (Seq[Orchestrator.TableOutcome], Control) = {
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    assert(errs.isEmpty)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    if (preLock) {
+      val other = control.createUpload("bde").toOption.get
+      control.lockTable(other, "t_beta")
+      // leave `other` active: its lock must block the run's t_beta loads
+    }
+    val outcomes = Orchestrator.applyUpdates(spark,
+      Orchestrator.RunConfig(
+        repoRoot = root.resolve("repo").toString,
+        tablesDir = tablesDir, controlDir = controlDir, dryRun = dryRun,
+        allowConcurrent = preLock),
+      cat, level0 = true, level5 = true, control)
+    (outcomes, control)
+  }
+
+  test("scenario: outcomes, error-skip, incomplete skip, watermarks, job status") {
+    val r = OrchestratorScenario.run(spark)
+    val byKey = r.outcomes.map(o => (o.dataset, o.table) -> o).toMap
+    assert(byKey(("20200101000000", "t_alpha")).status == "loaded")
+    assert(byKey(("20200202000000", "t_beta")).status == "failed")
+    assert(byKey(("20200303000000", "t_beta")).status == "skipped")
+    assert(byKey(("20200303000000", "t_beta")).message == "skipped after earlier failure")
+    assert(byKey(("20200404000000", "t_alpha")).message == "missing: xchg")
+    // alpha null-update + delete in ds2
+    val a2 = byKey(("20200303000000", "t_alpha"))
+    assert((a2.nnullupdate, a2.ndelete) == (1L, 1L))
+    // beta untouched since L0 (its ds1 file was poisoned)
+    assert(r.betaRows.count() == 2)
+    // watermarks: alpha advanced through ds2, beta stuck at L0
+    val wmA = r.control.lastUpload("bde", "t_alpha").get
+    val wmB = r.control.lastUpload("bde", "t_beta").get
+    assert(wmA.lastUploadDataset.contains("20200303000000"))
+    assert(wmB.lastUploadDataset.contains("20200101000000"))
+    // a failed table marks the job E
+    assert(r.control.upload(1).get.status == Control.StatusError)
+  }
+
+  test("cleanser + COLUMN overrides applied on the real load path") {
+    val r = OrchestratorScenario.run(spark)
+    val rows = r.alphaRows.orderBy("id").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getTimestamp(2).toString))
+    assert(rows.toSeq == Seq(
+      (2, "okay", "1800-01-01 00:00:00.0"),     // timestamp sentinel repair
+      (3, "plain", "2021-05-05 12:00:00.0"),
+      (4, "four - d", "2022-02-02 02:02:02.0"))) // en dash replaced
+    // override typing: id is a real integer NOT NULL column
+    assert(r.alphaRows.schema("id").dataType.typeName == "integer")
+  }
+
+  test("dry-run reports the full plan and writes nothing") {
+    val (outcomes, control) = freshRun(dryRun = true)
+    assert(outcomes.nonEmpty)
+    assert(outcomes.forall(_.status == "dry-run"))
+    // incomplete ds flagged in the dry-run message
+    assert(outcomes.filter(_.dataset == "20200404000000")
+      .forall(_.message == "missing: xchg"))
+    assert(!control.anyUploadActive)
+    assert(control.uploadTableRecords.isEmpty) // no watermark rows created
+  }
+
+  test("a lock held by another active job skips the table") {
+    val (outcomes, _) = freshRun(preLock = true)
+    val beta = outcomes.filter(_.table == "t_beta")
+    assert(beta.nonEmpty && beta.forall(_.status == "skipped"))
+    // complete datasets skip on the lock; the incomplete one skips earlier
+    assert(beta.filter(_.dataset != "20200404000000")
+      .forall(_.message == "table locked"))
+    // alpha is unaffected
+    assert(outcomes.exists(o => o.table == "t_alpha" && o.status == "loaded"))
+  }
+
+  test("incomplete level-0 dataset aborts the run and the job finishes E") {
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    // poison L0: remove beta's file
+    Files.delete(root.resolve("repo/level_0/20200101000000/bet.crs"))
+    val (cat, _) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    intercept[IllegalStateException] {
+      Orchestrator.applyUpdates(spark,
+        Orchestrator.RunConfig(root.resolve("repo").toString, tablesDir, controlDir),
+        cat, level0 = true, level5 = false, control)
+    }
+    assert(control.upload(1).get.status == Control.StatusError)
+  }
+
+  test("-full-if-needed plans level-0 only while a watermark is missing") {
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    val (cat, _) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val cfg = Orchestrator.RunConfig(
+      root.resolve("repo").toString, tablesDir, controlDir)
+    // first run: no level-0 watermark anywhere -> -j forces the L0 pass
+    val first = Orchestrator.applyUpdates(spark, cfg, cat,
+      level0 = false, level5 = false, control, level0IfNeeded = true)
+    assert(first.exists(o => o.level == "0" && o.status == "loaded"))
+    // second run: watermarks exist -> -j plans nothing
+    val second = Orchestrator.applyUpdates(spark, cfg, cat,
+      level0 = false, level5 = false, control, level0IfNeeded = true)
+    assert(second.isEmpty)
+  }
+
+  test("multi-file tables union every configured file") {
+    val root = Files.createTempDirectory("graft-multifile")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    val cols = Seq("id" -> "integer", "v" -> "varchar")
+    write("repo/level_0/20200101000000/m1.crs",
+      OrchestratorScenario.crs("t_multi", cols, Seq("1|a|", "2|b|")))
+    write("repo/level_0/20200101000000/m2.crs",
+      OrchestratorScenario.crs("t_multi", cols, Seq("3|c|")))
+    val (cat, errs) = Catalog.parse(
+      "TABLE t_multi key=id files m1 m2\n".linesIterator)
+    assert(errs.isEmpty)
+    val control = new Control(spark, root.resolve("control").toString,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val outcomes = Orchestrator.applyUpdates(spark,
+      Orchestrator.RunConfig(root.resolve("repo").toString,
+        root.resolve("tables").toString, root.resolve("control").toString),
+      cat, level0 = true, level5 = false, control)
+    assert(outcomes.map(_.status) == Seq("loaded"))
+    assert(outcomes.head.ninsert == 3) // rows from BOTH files
+    val rows = new ParquetTableSink(spark, root.resolve("tables").toString,
+      "t_multi").read()
+    assert(rows.count() == 3)
+  }
+
+  test("file-error budget: within budget drops bad rows, breach aborts") {
+    val (loaded, aborted) = OrchestratorScenario.runErrorBudget(spark)
+    assert(loaded == 3)
+    assert(aborted)
+  }
+}
