@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Control, Diff, E2E, Hooks, OrchestratorScenario, Repo}
+import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, Repo}
 import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.Streams
@@ -678,6 +678,21 @@ object SparkEntry {
         .select(col("table_name"), col("last_upload_id"),
           col("last_upload_dataset"), col("last_upload_type"),
           col("last_level0_dataset"), col("last_upload_incremental"))),
+
+    // S5 parity mode: the same slice through the JDBC sink (embedded Derby)
+    // — staged table + one-transaction DELETE/INSERT swap
+    "s5_jdbc_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-derby")
+      val sink = new JdbcTableSink(s, s"jdbc:derby:$tmp/db;create=true",
+        E2E.TableName)
+      val st = E2E.stageRepository()
+      Loader.level0Replace(s, sink, Seq(st.l0File), E2E.L0Dataset)
+      val chg = BdeFormat.readFile(s, st.changeFile)
+      Loader.level5Apply(s, sink, Seq(st.l5File), chg,
+        E2E.TableName, E2E.KeyColumn, E2E.L5Dataset,
+        tolError = Some(0.20), tolWarning = Some(0.95))
+      sink.read().orderBy(col("pri_id"))
+    }),
 
     // E3: level-0 applied as a full-outer diff (-full-incremental) — same
     // final five rows as E2, stats from the differ
@@ -1435,6 +1450,17 @@ object SparkEntry {
           |  ('crs_parcel_bndry', 2, '20170629000000', '5', '20160601000000', true))
           |  t(table_name, last_upload_id, last_upload_dataset,
           |    last_upload_type, last_level0_dataset, last_upload_incremental)""".stripMargin,
+
+      // same reference-test expectations as e2_level5_final, via JDBC
+      "s5_jdbc_sink" ->
+        """SELECT * FROM (VALUES
+          |  (4457326, 3, 11960041, 'Y', 100),
+          |  (4457327, 20, 29694578, 'N', 80401149),
+          |  (4457328, 10, 29694591, 'Y', 80401148),
+          |  (4457329, 4, 10000000, 'Y', 300),
+          |  (4457330, 5, 20000000, 'Y', 400))
+          |  t(pri_id, "sequence", lin_id, reversed, audit_id)
+          |ORDER BY pri_id""".stripMargin,
 
       // E3 differ over the pab1 slice: I=3 (keys 100/300/400), U=2
       // (80401148/80401149), D=1 (80401150), final table = 5 rows

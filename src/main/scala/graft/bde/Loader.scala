@@ -75,7 +75,7 @@ object Loader {
     * headers in file order (their END times feed the details string). */
   def level0Replace(
       spark: SparkSession,
-      sink: ParquetTableSink,
+      sink: TableSink,
       files: Seq[String],
       version: String,
       tableColumns: Option[Seq[String]] = None,
@@ -105,7 +105,7 @@ object Loader {
    */
   def level5Apply(
       spark: SparkSession,
-      sink: ParquetTableSink,
+      sink: TableSink,
       files: Seq[String],
       changeTable: DataFrame,
       tableName: String,
@@ -162,7 +162,7 @@ object Loader {
     * also tolerance-checks, sql:1944). */
   def level0Incremental(
       spark: SparkSession,
-      sink: ParquetTableSink,
+      sink: TableSink,
       files: Seq[String],
       key: String,
       version: String,

@@ -4,15 +4,45 @@ import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * S5/S6 — table sinks with "dataset transaction" atomicity (SURVEY §7.4b):
- * every write stages a complete new table version to its own directory,
- * then publishes it by atomically re-pointing a tiny `_CURRENT` manifest
- * (write-temp + rename, atomic on POSIX and HDFS). Readers resolve the
- * manifest first, so they always see a complete version — a failed or
- * aborted load leaves the previous version untouched, which is the Spark
+ * S5/S6 — table sinks with "dataset transaction" atomicity (SURVEY §7.4b).
+ *
+ * Every write stages a complete new table version first and publishes it
+ * atomically; readers always see a complete version, and a failed or
+ * aborted load leaves the previous version untouched — the Spark
  * equivalent of the reference's per-dataset transaction + rollback
  * (`beginDataset`/`endDataset`, lib/LINZ/BdeDatabase.pm:455-510) and of the
  * truncate-and-replace swap (`bde_ApplyLevel0Update`, sql:1949-1973).
+ *
+ * Two implementations:
+ *  - [[ParquetTableSink]] — versioned parquet dirs + an atomically-renamed
+ *    manifest (the native Spark-storage mode);
+ *  - [[JdbcTableSink]] — the reference-parity mode: staged table + one SQL
+ *    transaction doing the DELETE/INSERT swap, the Spark analogue of
+ *    bde_copy→COPY→swap (lib/LINZ/BdeDatabase.pm:512-565, sql:1949-1973).
+ */
+trait TableSink {
+  def table: String
+  /** The currently-published version name, if any. */
+  def currentVersion: Option[String]
+  def exists: Boolean = currentVersion.isDefined
+  /** Read the published table version. */
+  def read(): DataFrame
+  /** Stage a complete new version; returns its name (NOT yet published). */
+  def stage(df: DataFrame, version: String): String
+  /** Read a staged (not yet published) version — e.g. for the pre-publish
+    * tolerance gate. */
+  def readStaged(stagedName: String): DataFrame
+  /** Atomically publish a staged version. */
+  def publish(stagedName: String): Unit
+  /** Drop an unpublished staged version (abort path). */
+  def discard(stagedName: String): Unit
+  /** Stage + publish in one step (truncate-and-replace semantics). */
+  def replace(df: DataFrame, version: String): Unit = publish(stage(df, version))
+}
+
+/**
+ * Parquet-backed sink: each version is its own directory; publish
+ * re-points a tiny `_CURRENT` manifest with one atomic rename.
  *
  * At 100 TB the staged write is a normal distributed parquet write (all
  * executors), and publish cost is one metadata rename — no data is ever
@@ -21,13 +51,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class ParquetTableSink(
     spark: SparkSession,
     rootDir: String,
-    val table: String) {
+    val table: String) extends TableSink {
 
   private val tableDir = new Path(s"$rootDir/$table")
   private val currentPtr = new Path(tableDir, "_CURRENT")
   private def fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The currently-published version directory name, if any. */
   def currentVersion: Option[String] = {
     val f = fs
     if (!f.exists(currentPtr)) None
@@ -40,24 +69,18 @@ final class ParquetTableSink(
     }
   }
 
-  def exists: Boolean = currentVersion.isDefined
-
-  /** Read the published table version. */
   def read(): DataFrame = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"table $table has no published version"))
     spark.read.parquet(new Path(tableDir, v).toString)
   }
 
-  /** Stage a complete new version; returns its name (NOT yet published). */
   def stage(df: DataFrame, version: String): String = {
     val name = s"v_$version"
     df.write.mode("overwrite").parquet(new Path(tableDir, name).toString)
     name
   }
 
-  /** Read a staged (not yet published) version — e.g. for the pre-publish
-    * tolerance gate. */
   def readStaged(stagedName: String): DataFrame =
     spark.read.parquet(new Path(tableDir, stagedName).toString)
 
@@ -78,13 +101,99 @@ final class ParquetTableSink(
     fc.rename(tmp, new Path(qTableDir, "_CURRENT"), Options.Rename.OVERWRITE)
   }
 
-  /** Stage + publish in one step (truncate-and-replace semantics). */
-  def replace(df: DataFrame, version: String): Unit =
-    publish(stage(df, version))
-
-  /** Drop an unpublished staged version (abort path). */
   def discard(stagedName: String): Unit = {
     fs.delete(new Path(tableDir, stagedName), true)
+    ()
+  }
+}
+
+/**
+ * JDBC-backed sink — the reference-parity mode (BASELINE's "DataFrame ops +
+ * JDBC sink"). Staging is a distributed `df.write.jdbc` into a scratch
+ * table (the working copy, `bde_CreateWorkingCopy` sql:1237-1288); publish
+ * runs ONE SQL transaction doing `DELETE FROM final; INSERT INTO final
+ * SELECT * FROM staged` — exactly the reference's swap
+ * (sql/02-bde_control_functions.sql.in:1949-1973) under its per-dataset
+ * transaction scoping (lib/LINZ/BdeDatabase.pm:455-510). The published
+ * version name lives in a one-row `<table>__meta` table updated in the
+ * same transaction, so version visibility commits atomically with the data.
+ *
+ * Tested against embedded Derby (the JDK-available engine here); the SQL
+ * is deliberately vanilla (CREATE TABLE ... WITH NO DATA, DELETE, INSERT
+ * SELECT) so PostgreSQL works unchanged.
+ */
+final class JdbcTableSink(
+    spark: SparkSession,
+    url: String,
+    val table: String,
+    props: java.util.Properties = new java.util.Properties())
+  extends TableSink {
+
+  require(table.matches("[A-Za-z0-9_]+"), s"unsafe table name: $table")
+
+  private val metaTable = s"${table}__meta"
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try f(c) finally c.close()
+  }
+
+  /** Case-insensitive existence check (Derby folds to upper, PG to lower). */
+  private def tableExists(c: java.sql.Connection, name: String): Boolean = {
+    def hit(n: String): Boolean = {
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
+    hit(name.toUpperCase) || hit(name.toLowerCase) || hit(name)
+  }
+
+  def currentVersion: Option[String] = withConn { c =>
+    if (!tableExists(c, metaTable)) None
+    else {
+      val rs = c.createStatement().executeQuery(s"SELECT version FROM $metaTable")
+      try { if (rs.next()) Option(rs.getString(1)) else None } finally rs.close()
+    }
+  }
+
+  def read(): DataFrame = {
+    if (!exists)
+      throw new IllegalStateException(s"table $table has no published version")
+    spark.read.jdbc(url, table, props)
+  }
+
+  def stage(df: DataFrame, version: String): String = {
+    require(version.matches("[A-Za-z0-9_]+"), s"unsafe version name: $version")
+    val name = s"${table}__stg_$version"
+    df.write.mode("overwrite").jdbc(url, name, props)
+    name
+  }
+
+  def readStaged(stagedName: String): DataFrame =
+    spark.read.jdbc(url, stagedName, props)
+
+  def publish(stagedName: String): Unit = withConn { c =>
+    c.setAutoCommit(false) // the per-dataset transaction
+    val st = c.createStatement()
+    try {
+      if (!tableExists(c, table))
+        st.executeUpdate(
+          s"CREATE TABLE $table AS SELECT * FROM $stagedName WITH NO DATA")
+      st.executeUpdate(s"DELETE FROM $table")
+      st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stagedName")
+      if (!tableExists(c, metaTable))
+        st.executeUpdate(s"CREATE TABLE $metaTable (version VARCHAR(128))")
+      st.executeUpdate(s"DELETE FROM $metaTable")
+      st.executeUpdate(s"INSERT INTO $metaTable VALUES ('$stagedName')")
+      st.executeUpdate(s"DROP TABLE $stagedName")
+      c.commit()
+    } catch {
+      case e: Throwable => c.rollback(); throw e
+    } finally st.close()
+  }
+
+  def discard(stagedName: String): Unit = withConn { c =>
+    if (tableExists(c, stagedName))
+      c.createStatement().executeUpdate(s"DROP TABLE $stagedName")
     ()
   }
 }

@@ -1,0 +1,73 @@
+package graft.bde
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+/** Reference-parity JDBC sink against embedded Derby: staged-table swap in
+  * one transaction (the Spark analogue of COPY into a working table +
+  * DELETE/INSERT swap, lib/LINZ/BdeDatabase.pm:512-565, sql:1949-1973). */
+class JdbcSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def derbyUrl(): String = {
+    val dir = Files.createTempDirectory("derby-spec")
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("stage, publish, replace, discard round-trip") {
+    val sink = new JdbcTableSink(spark, derbyUrl(), "t_jdbc")
+    assert(!sink.exists)
+    sink.replace(Seq((1, "a"), (2, "b")).toDF("id", "v"), "v1")
+    assert(sink.exists)
+    assert(sink.currentVersion.contains("t_jdbc__stg_v1"))
+    assert(sink.read().count() == 2)
+    // stage v2: invisible until publish
+    val staged = sink.stage(Seq((3, "c")).toDF("id", "v"), "v2")
+    assert(sink.read().count() == 2)
+    assert(sink.readStaged(staged).count() == 1)
+    sink.publish(staged)
+    assert(sink.read().collect().map(_.getInt(0)).toSeq == Seq(3))
+    // discard leaves the published version intact
+    val s3 = sink.stage(Seq((9, "z")).toDF("id", "v"), "v3")
+    sink.discard(s3)
+    assert(sink.read().count() == 1)
+    assert(sink.currentVersion.contains("t_jdbc__stg_v2"))
+  }
+
+  test("E2E slice through the JDBC sink: same final rows and stats") {
+    val st = E2E.stageRepository()
+    val sink = new JdbcTableSink(spark, derbyUrl(), "crs_parcel_bndry")
+    Loader.level0Replace(spark, sink, Seq(st.l0File), E2E.L0Dataset)
+    assert(sink.read().count() == 3)
+    val chg = BdeFormat.readFile(spark, st.changeFile)
+    val stats = Loader.level5Apply(spark, sink, Seq(st.l5File), chg,
+      E2E.TableName, E2E.KeyColumn, E2E.L5Dataset,
+      tolError = Some(0.20), tolWarning = Some(0.95))
+    assert((stats.ninsert, stats.nupdate, stats.nnullupdate, stats.ndelete)
+      == (3L, 2L, 0L, 1L))
+    val rows = sink.read().orderBy("pri_id").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getString(3), x.getInt(4)))
+    assert(rows.toSeq == Seq(
+      (4457326, 3, 11960041, "Y", 100),
+      (4457327, 20, 29694578, "N", 80401149),
+      (4457328, 10, 29694591, "Y", 80401148),
+      (4457329, 4, 10000000, "Y", 300),
+      (4457330, 5, 20000000, "Y", 400)))
+  }
+
+  test("tolerance breach discards the staged JDBC table, keeps published") {
+    val st = E2E.stageRepository()
+    val sink = new JdbcTableSink(spark, derbyUrl(), "crs_parcel_bndry")
+    Loader.level0Replace(spark, sink, Seq(st.l0File), E2E.L0Dataset)
+    import org.apache.spark.sql.functions.col
+    val deletesOnly = BdeFormat.readFile(spark, st.changeFile)
+      .where(col("action") === "D")
+    val stats = Loader.level5Apply(spark, sink, Seq(st.l5File), deletesOnly,
+      E2E.TableName, E2E.KeyColumn, E2E.L5Dataset,
+      tolError = Some(0.95), tolWarning = Some(0.95))
+    assert(stats.aborted)
+    assert(sink.read().count() == 3) // still the level-0 version
+    assert(sink.currentVersion.exists(_.endsWith(E2E.L0Dataset)))
+  }
+}
