@@ -37,6 +37,15 @@ object Clean {
       longitudeOffset: Double = 160.0,
       replaceMap: Seq[(String, String)] = DefaultReplaceMap,
       stripControlChars: Boolean = true,
+      /** `utf8_replace_invalid` (conf:408): policy for undecodable bytes —
+        * which surface as U+FFFD once Spark has decoded the string. Some("")
+        * = the reference's `delete` mode, Some(r) = replace with r, None =
+        * keep. Applied BEFORE the map (the reference validates at decode). */
+      utf8ReplaceInvalid: Option[String] = None,
+      /** `utf8_replace_unmapped` (conf:409): characters the map doesn't
+        * allow (anything above U+017E in the LDS profile) become this.
+        * Applied after the map. None = keep everything. */
+      replaceUnmapped: Option[String] = None,
       /** Columns carrying POINT WKT that get the SRID prefix + longitude
         * shift (the reference applies spatial rules to geometry columns). */
       spatialColumns: Set[String] = Set.empty)
@@ -51,6 +60,37 @@ object Clean {
     "“" -> "\"", // left double quote
     "”" -> "\"", // right double quote
     "×" -> "x")  // multiplication sign
+
+  /**
+   * The reference's full LDS character-mapping profile
+   * (conf/linz_bde_uploader.conf:349-1245), reconstructed from its RULES
+   * rather than transcribed row-by-row: the format's own characters are
+   * escaped (`|` and `\` → space, newline/CR → the two-character escapes),
+   * every C0 control except tab/LF/CR and every C1 control (U+0080-U+009F)
+   * is deleted, U+00A0-U+017E is the allowed range (identity, so its 224
+   * keep-entries need no representation) with six punctuation
+   * transliterations, and everything above the range is "unmapped" —
+   * handled by [[CleanConfig.replaceUnmapped]] → '?'.
+   */
+  val LdsReplaceMap: Seq[(String, String)] =
+    Seq("|" -> " ", "\\" -> " ", "\n" -> "\\n", "\r" -> "\\r") ++
+      (0x01 to 0x1F).filterNot(Seq(0x09, 0x0A, 0x0D).contains)
+        .map(c => c.toChar.toString -> "") ++
+      (0x80 to 0x9F).map(c => c.toChar.toString -> "") ++
+      Seq(" " -> " ",  // no-break space
+          "¦" -> " ",  // broken bar
+          "«" -> "\"", // left guillemet
+          "»" -> "\"", // right guillemet
+          "·" -> ".",  // middle dot
+          "´" -> "'")  // acute accent
+
+  /** The complete LDS cleansing profile: full map + both UTF-8 policies
+    * (`utf8_replace_invalid delete`, `utf8_replace_unmapped ?`). */
+  def ldsConfig: CleanConfig = CleanConfig(
+    replaceMap = LdsReplaceMap,
+    stripControlChars = false,     // the map itself deletes C0/C1
+    utf8ReplaceInvalid = Some(""), // 'delete' mode
+    replaceUnmapped = Some("?"))
 
   /** Timestamps before `minimum_year` → the invalid-datetime sentinel. */
   def repairTimestamp(c: Column, cfg: CleanConfig = CleanConfig()): Column =
