@@ -872,6 +872,17 @@ object SparkEntry {
         .toDF("case_id", "result").orderBy(col("case_id"))
     }),
 
+    // L5 continuity ENFORCED on the orchestrated path: a gapped increment
+    // warns inside tolerance, fails beyond it, and error-skips the rest
+    "l5_continuity_gate" -> ((s, dir) => {
+      import s.implicits._
+      val (outcomes, _) = OrchestratorScenario.runContinuityGate(s)
+      outcomes.map(o => (o.dataset, o.level, o.table, o.status,
+          o.status == "loaded" && o.message.nonEmpty))
+        .toDF("dataset", "level", "table_name", "status", "warned")
+        .orderBy(col("dataset"))
+    }),
+
     // ---- §2.8: finish-SQL DSL / hooks / event templates ----------------
     "x8_finish_dsl" -> ((s, dir) => {
       import s.implicits._
@@ -1554,6 +1565,18 @@ object SparkEntry {
         """SELECT * FROM (VALUES
           |  (1, 'ok'), (2, 'warn'), (3, 'fail'), (4, 'ok'))
           |  t(case_id, result) ORDER BY case_id""".stripMargin,
+
+      // warn=1h/fail=5h over a 4-increment chain: no check vs the L0, a 2h
+      // gap warns, a 12h gap fails, the next increment error-skips
+      "l5_continuity_gate" ->
+        """SELECT * FROM (VALUES
+          |  ('20210101000000', '0', 't_gap', 'loaded',  false),
+          |  ('20210201000000', '5', 't_gap', 'loaded',  false),
+          |  ('20210301000000', '5', 't_gap', 'loaded',  true),
+          |  ('20210401000000', '5', 't_gap', 'failed',  false),
+          |  ('20210501000000', '5', 't_gap', 'skipped', false))
+          |  t(dataset, level, table_name, status, warned)
+          |ORDER BY dataset""".stripMargin,
 
       "x8_finish_dsl" ->
         """SELECT * FROM (VALUES

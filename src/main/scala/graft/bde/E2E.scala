@@ -120,24 +120,21 @@ object E2E {
     val changeTable = BdeFormat.readFile(spark, st.changeFile)
     val h5 = BdeFormat.parseHeader(spark, st.l5File)
 
-    // L5 start-time continuity check against the previous upload's details
+    // L5 start-time continuity check: the loader enforces the new START
+    // against the previous LEVEL-5 upload's recorded END times (none here —
+    // the previous upload is the level 0, exactly as in the reference run)
     val prev = control.lastUpload("bde", TableName)
       .filter(_.lastUploadType.contains("5"))
       .map(r => Control.parseDetails(r.lastUploadDetails))
-      .getOrElse(Map.empty)
-    prev.get("pab1").foreach { prevEnd =>
-      Control.checkStartDate(
-        h5.startTime.map(_.toString.stripSuffix(".0")).getOrElse(""),
-        prevEnd, warnTolHours = 0, failTolHours = 0)
-    }
-
+      .getOrElse(Map.empty[String, String])
     val stats = Loader.level5Apply(spark, sink, Seq(st.l5File), changeTable,
       TableName, KeyColumn, L5Dataset,
-      tolError = Some(0.20), tolWarning = Some(0.95))
+      tolError = Some(0.20), tolWarning = Some(0.95),
+      prevDetails = prev, continuityWarnHours = 0.5, continuityFailHours = 0)
+    require(stats.warnings.isEmpty,
+      s"unexpected continuity warnings: ${stats.warnings.mkString("; ")}")
     control.recordDatasetLoaded(upl2, "bde", TableName, L5Dataset, "5",
-      incremental = true,
-      details = Control.buildDetails(Seq("pab1" ->
-        h5.endTime.map(_.toString.stripSuffix(".0")).getOrElse(""))),
+      incremental = true, details = stats.details,
       ninsert = stats.ninsert, nupdate = stats.nupdate,
       nnullupdate = stats.nnullupdate, ndelete = stats.ndelete)
     control.finishUpload(upl2, ok = !stats.aborted)

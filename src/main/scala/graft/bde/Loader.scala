@@ -34,7 +34,60 @@ object Loader {
   final case class LoadStats(
       tableName: String,
       ninsert: Long, nupdate: Long, nnullupdate: Long, ndelete: Long,
-      aborted: Boolean, abortReason: String)
+      aborted: Boolean, abortReason: String,
+      /** F10 details string ("BdeUpload file end ...") built from the loaded
+        * files' header END times — persisted with the watermark so the next
+        * increment's continuity check has its previous end times. */
+      details: String = "",
+      /** Non-fatal issues (continuity warnings) surfaced to the caller. */
+      warnings: Seq[String] = Nil)
+
+  /** The details-map key for a file path: basename minus extension,
+    * case-folded (the reference keys `%lastdetails` on `lc($file)`,
+    * lib/LINZ/BdeUpload.pm:952-957, where files are bare names like pab1). */
+  private def fileKey(path: String): String =
+    path.split('/').last.replaceAll("\\.[^.]*$", "").toLowerCase
+
+  private def tsString(t: Option[java.sql.Timestamp]): String =
+    t.map(_.toString.stripSuffix(".0")).getOrElse("")
+
+  /** Build the F10 details string for a load from its files' parsed headers. */
+  private def buildDetails(files: Seq[String], headers: Seq[BdeFormat.BdeHeader]): String =
+    Control.buildDetails(files.map(fileKey).zip(headers.map(h => tsString(h.endTime))))
+
+  /**
+   * L5 start-time continuity enforcement (lib/LINZ/BdeUpload.pm:944-958 +
+   * CheckStartDate :1070-1100): each increment file's START must sit within
+   * tolerance of the same file's END recorded by the PREVIOUS level-5 load.
+   * A fail-tolerance breach throws (→ table failure, feeding error-skip);
+   * a warn-tolerance breach returns a warning per file. Tolerance 0
+   * disables that level, exactly as the reference's config does.
+   */
+  private def checkContinuity(
+      files: Seq[String],
+      headers: Seq[BdeFormat.BdeHeader],
+      prevDetails: Map[String, String],
+      warnTolHours: Double,
+      failTolHours: Double): Seq[String] = {
+    val warnings = Seq.newBuilder[String]
+    files.zip(headers).foreach { case (f, h) =>
+      val key = fileKey(f)
+      prevDetails.get(key).foreach { prevEnd =>
+        val start = tsString(h.startTime)
+        Control.checkStartDate(start, prevEnd, warnTolHours, failTolHours) match {
+          case Control.ContinuityFail(diff) =>
+            throw new IllegalStateException(
+              f"start time $start in $key differs from previous end time " +
+                f"$prevEnd by $diff%.2f hours (fail tolerance $failTolHours)")
+          case Control.ContinuityWarn(diff) =>
+            warnings += f"start time $start in $key differs from previous " +
+              f"end time $prevEnd by $diff%.2f hours (warn tolerance $warnTolHours)"
+          case Control.ContinuityOk =>
+        }
+      }
+    }
+    warnings.result()
+  }
 
   /** A2 — `ceil(old * tol)` thresholds; new count below the error threshold
     * aborts, below the warn threshold warns (sql:2035-2085). */
@@ -116,11 +169,21 @@ object Loader {
       tolWarning: Option[Double] = None,
       clean: DataFrame => DataFrame = identity,
       columnOverrides: Seq[BdeFormat.BdeColumn] = Nil,
-      maxFileErrors: Option[Long] = None): LoadStats = {
+      maxFileErrors: Option[Long] = None,
+      /** Previous level-5 load's file → END-time map (parsed from the
+        * watermark row's details) for the continuity check; empty = skip. */
+      prevDetails: Map[String, String] = Map.empty,
+      continuityWarnHours: Double = 0,
+      continuityFailHours: Double = 0): LoadStats = {
     require(files.nonEmpty, "level-5 load needs at least one file")
     val cur = sink.read()
-    val inc = files
+    val parts = files
       .map(f => readCleaned(spark, f, columnOverrides, clean, maxFileErrors))
+    val headers = parts.map(_._1)
+    val warnings = checkContinuity(files, headers, prevDetails,
+      continuityWarnHours, continuityFailHours)
+    val details = buildDetails(files, headers)
+    val inc = parts
       .map { case (_, df) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
       .reduce(_ unionByName _)
 
@@ -131,7 +194,9 @@ object Loader {
       .select(col("tablekeyvalue").cast(cur.schema(key).dataType).as(key))
 
     // early exit on zero changes (sql:1713,1771-1773)
-    if (keys.isEmpty) return LoadStats(tableName, 0, 0, 0, 0, aborted = false, "")
+    if (keys.isEmpty)
+      return LoadStats(tableName, 0, 0, 0, 0, aborted = false, "",
+        details, warnings)
 
     val actions =
       Diff.classifyChanges(cur, inc, keys, key, uniqueCols).cache()
@@ -148,11 +213,12 @@ object Loader {
       sink.discard(staged)
       LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
         aborted = true,
-        s"table count $newCount below error tolerance of old count $oldCount")
+        s"table count $newCount below error tolerance of old count $oldCount",
+        details, warnings)
     } else {
       sink.publish(staged)
       LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
-        aborted = false, "")
+        aborted = false, "", details, warnings)
     }
   }
 
@@ -173,8 +239,12 @@ object Loader {
       maxFileErrors: Option[Long] = None): LoadStats = {
     require(files.nonEmpty, "level-0 incremental load needs at least one file")
     val cur = sink.read()
-    val next = files
+    val parts = files
       .map(f => readCleaned(spark, f, columnOverrides, clean, maxFileErrors))
+    // no continuity check: the reference treats l5_is_full / full-incremental
+    // as a level-0 load ($is_level0, lib/LINZ/BdeUpload.pm:926,944-947)
+    val details = buildDetails(files, parts.map(_._1))
+    val next = parts
       .map { case (_, df) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
       .reduce(_ unionByName _)
     val actions = Diff.fullDiff(cur, next, key).cache()
@@ -188,10 +258,12 @@ object Loader {
     if (errBreach) {
       sink.discard(staged)
       LoadStats(sink.table, n("I"), n("U"), 0, n("D"), aborted = true,
-        s"table count $newCount below error tolerance of old count $oldCount")
+        s"table count $newCount below error tolerance of old count $oldCount",
+        details)
     } else {
       sink.publish(staged)
-      LoadStats(sink.table, n("I"), n("U"), 0, n("D"), aborted = false, "")
+      LoadStats(sink.table, n("I"), n("U"), 0, n("D"), aborted = false, "",
+        details)
     }
   }
 }

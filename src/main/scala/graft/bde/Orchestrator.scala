@@ -51,6 +51,12 @@ object Orchestrator {
       /** `allow_concurrent_uploads`: bypass the single-active-job gate
         * (lib/LINZ/BdeDatabase.pm:377-392) — per-table locks still apply. */
       allowConcurrent: Boolean = false,
+      /** L5 start-time continuity tolerances in hours
+        * (`level5_starttime_warn/fail_tolerance`,
+        * conf/linz_bde_uploader.conf:131-134; defaults 0.5 / 0 as there).
+        * 0 disables that level. */
+      continuityWarnHours: Double = 0.5,
+      continuityFailHours: Double = 0,
       onDatasetStart: String => Unit = _ => (),
       onDatasetEnd: String => Unit = _ => (),
       hooks: Hooks.HookRegistry = new Hooks.HookRegistry)
@@ -179,26 +185,36 @@ object Orchestrator {
                         maxFileErrors = cfg.maxFileErrors)
                       if (s.aborted) throw new IllegalStateException(s.abortReason)
                       control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
-                        p.dataset, "5", incremental = true, "",
+                        p.dataset, "5", incremental = true, s.details,
                         s.ninsert, s.nupdate, s.nnullupdate, s.ndelete)
                       s
                     } else {
+                      // continuity check input: the previous LEVEL-5 load's
+                      // per-file END times (lib:944-952 — only when the last
+                      // upload was itself a level 5)
+                      val prevDetails = control.lastUpload(cfg.schemaName, t.name)
+                        .filter(_.lastUploadType.contains("5"))
+                        .map(r => Control.parseDetails(r.lastUploadDetails))
+                        .getOrElse(Map.empty[String, String])
                       val s = Loader.level5Apply(spark, sink, files,
                         changeTable.getOrElse(throw new IllegalStateException(
                           "missing required changetable")),
                         t.name, t.key.getOrElse("id"), p.dataset,
                         tolError = t.rowTolError, tolWarning = t.rowTolWarning,
                         clean = cleanFn, columnOverrides = t.columnOverrides,
-                        maxFileErrors = cfg.maxFileErrors)
+                        maxFileErrors = cfg.maxFileErrors,
+                        prevDetails = prevDetails,
+                        continuityWarnHours = cfg.continuityWarnHours,
+                        continuityFailHours = cfg.continuityFailHours)
                       if (s.aborted) throw new IllegalStateException(s.abortReason)
                       control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
-                        p.dataset, "5", incremental = true, "",
+                        p.dataset, "5", incremental = true, s.details,
                         s.ninsert, s.nupdate, s.nnullupdate, s.ndelete)
                       s
                     }
                   outcomes += TableOutcome(p.dataset, p.level, t.name, "loaded",
                     stats.ninsert, stats.nupdate, stats.nnullupdate,
-                    stats.ndelete, "")
+                    stats.ndelete, stats.warnings.mkString("; "))
                 } catch {
                   case e: Exception =>
                     failed += t.name

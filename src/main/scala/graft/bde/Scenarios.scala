@@ -122,6 +122,76 @@ object OrchestratorScenario {
       new ParquetTableSink(spark, tablesDir, "t_beta").read())
   }
 
+  // ---- L5 start-time continuity gate -------------------------------------
+
+  /** Four-increment repository exercising every continuity outcome against
+    * warn=1h / fail=5h tolerances (reference CheckStartDate,
+    * lib/LINZ/BdeUpload.pm:1070-1100):
+    *  - ds1: previous upload is the LEVEL 0 → no check, loads clean;
+    *  - ds2: START 2h after ds1's END → loads with a WARNING;
+    *  - ds3: START 12h after ds2's END → FAILS at the fail tolerance;
+    *  - ds4: healthy, but error-skipped after ds3's failure.
+    */
+  def stageContinuity(): (Path, String, String) = {
+    val root = Files.createTempDirectory("graft-continuity")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content, StandardCharsets.UTF_8)
+    }
+    val gapCols = Seq("id" -> "integer", "v" -> "varchar")
+    def chg(ds: Int): String = crs("xchg", ChangeCols, Seq("1|t_gap|2|U|"),
+      start = s"2021-0$ds-01 00:00:00", end = s"2021-0$ds-01 01:00:00")
+    write("repo/level_0/20210101000000/gap.crs", crs("t_gap", gapCols,
+      Seq("1|a|", "2|b|", "3|c|"),
+      start = "2021-01-01 00:00:00", end = "2021-01-01 01:00:00"))
+    // ds1: start == nothing to check (prev upload is the L0)
+    write("repo/level_5/20210201000000/xchg.crs", chg(2))
+    write("repo/level_5/20210201000000/gap.crs", crs("t_gap", gapCols,
+      Seq("2|b2|"),
+      start = "2021-01-01 01:00:00", end = "2021-02-01 01:00:00"))
+    // ds2: start 2h after ds1's recorded end → warn (1 < 2 ≤ 5)
+    write("repo/level_5/20210301000000/xchg.crs", chg(3))
+    write("repo/level_5/20210301000000/gap.crs", crs("t_gap", gapCols,
+      Seq("2|b3|"),
+      start = "2021-02-01 03:00:00", end = "2021-03-01 01:00:00"))
+    // ds3: start 12h after ds2's recorded end → fail (12 > 5)
+    write("repo/level_5/20210401000000/xchg.crs", chg(4))
+    write("repo/level_5/20210401000000/gap.crs", crs("t_gap", gapCols,
+      Seq("2|b4|"),
+      start = "2021-03-01 13:00:00", end = "2021-04-01 01:00:00"))
+    // ds4: healthy increment, skipped by error-skip
+    write("repo/level_5/20210501000000/xchg.crs", chg(5))
+    write("repo/level_5/20210501000000/gap.crs", crs("t_gap", gapCols,
+      Seq("2|b5|"),
+      start = "2021-04-01 01:00:00", end = "2021-05-01 01:00:00"))
+    (root, root.resolve("tables").toString, root.resolve("control").toString)
+  }
+
+  val ContinuityTablesConf: String =
+    """TABLE l5_change_table files xchg
+      |TABLE t_gap key=id files gap
+      |""".stripMargin
+
+  private val continuityCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Seq[Orchestrator.TableOutcome], Control)]()
+
+  def runContinuityGate(spark: SparkSession): (Seq[Orchestrator.TableOutcome], Control) =
+    continuityCache.computeIfAbsent(spark, { s: SparkSession =>
+      val (root, tablesDir, controlDir) = stageContinuity()
+      val (cat, errs) = Catalog.parse(ContinuityTablesConf.linesIterator)
+      require(errs.isEmpty, s"catalog errors: $errs")
+      val control = new Control(s, controlDir,
+        () => java.sql.Timestamp.valueOf("2021-06-01 00:00:00"))
+      val outcomes = Orchestrator.applyUpdates(s,
+        Orchestrator.RunConfig(
+          repoRoot = root.resolve("repo").toString,
+          tablesDir = tablesDir, controlDir = controlDir,
+          continuityWarnHours = 1, continuityFailHours = 5),
+        cat, level0 = true, level5 = true, control)
+      (outcomes, control)
+    })
+
   // ---- E3 replay of the reference slice (full-incremental) --------------
 
   private val e3Cache =

@@ -146,6 +146,29 @@ class OrchestratorSpec extends SparkSuite {
     assert(rows.count() == 3)
   }
 
+  test("L5 continuity: warn inside tolerance, fail beyond it, then error-skip") {
+    val (outcomes, control) = OrchestratorScenario.runContinuityGate(spark)
+    val byDs = outcomes.map(o => o.dataset -> o).toMap
+    // ds1: previous upload is the level 0 → no check
+    assert(byDs("20210201000000").status == "loaded")
+    assert(byDs("20210201000000").message.isEmpty)
+    // ds2: 2h gap → loaded with a warning
+    assert(byDs("20210301000000").status == "loaded")
+    assert(byDs("20210301000000").message.contains("warn tolerance"))
+    // ds3: 12h gap → fails at failTolHours
+    assert(byDs("20210401000000").status == "failed")
+    assert(byDs("20210401000000").message.contains("differs from previous end time"))
+    // ds4: healthy but error-skipped
+    assert(byDs("20210501000000").status == "skipped")
+    // the watermark (and its details) stopped at ds2
+    val wm = control.lastUpload("bde", "t_gap").get
+    assert(wm.lastUploadDataset.contains("20210301000000"))
+    assert(Control.parseDetails(wm.lastUploadDetails) ==
+      Map("gap" -> "2021-03-01 01:00:00"))
+    // a failed table marks the job E
+    assert(control.upload(1).get.status == Control.StatusError)
+  }
+
   test("file-error budget: within budget drops bad rows, breach aborts") {
     val (loaded, aborted) = OrchestratorScenario.runErrorBudget(spark)
     assert(loaded == 3)
