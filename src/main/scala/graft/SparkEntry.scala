@@ -872,6 +872,23 @@ object SparkEntry {
         .toDF("case_id", "result").orderBy(col("case_id"))
     }),
 
+    // unique= declared in tables.conf makes the key-swap repair + 'X'
+    // classification reachable on the orchestrated path: the change table
+    // never lists key 1, yet its row must be deleted (its unique `code`
+    // moved to new key 4), and key 2's code change classifies as X
+    "j5_keyswap_orchestrated" -> ((s, dir) => {
+      import s.implicits._
+      OrchestratorScenario.runKeySwap(s).outcomes
+        .map(o => (o.dataset, o.level, o.table, o.status,
+          o.ninsert, o.nupdate, o.nnullupdate, o.ndelete))
+        .toDF("dataset", "level", "table_name", "status",
+          "ninsert", "nupdate", "nnullupdate", "ndelete")
+        .orderBy(col("dataset"))
+    }),
+
+    "j5_keyswap_final" -> ((s, dir) =>
+      OrchestratorScenario.runKeySwap(s).finalRows.orderBy(col("id"))),
+
     // L5 continuity ENFORCED on the orchestrated path: a gapped increment
     // warns inside tolerance, fails beyond it, and error-skips the rest
     "l5_continuity_gate" -> ((s, dir) => {
@@ -1565,6 +1582,21 @@ object SparkEntry {
         """SELECT * FROM (VALUES
           |  (1, 'ok'), (2, 'warn'), (3, 'fail'), (4, 'ok'))
           |  t(case_id, result) ORDER BY case_id""".stripMargin,
+
+      // the key-swap increment: I=1 (key 4), U=1 (key 2 as X), D=1 (key 1
+      // repaired in despite not being in the change table)
+      "j5_keyswap_orchestrated" ->
+        """SELECT * FROM (VALUES
+          |  ('20220101000000', '0', 't_uniq', 'loaded', 3, 0, 0, 0),
+          |  ('20220202000000', '5', 't_uniq', 'loaded', 1, 1, 0, 1))
+          |  t(dataset, level, table_name, status,
+          |    ninsert, nupdate, nnullupdate, ndelete)
+          |ORDER BY dataset""".stripMargin,
+
+      "j5_keyswap_final" ->
+        """SELECT * FROM (VALUES
+          |  (2, 'D', 'y2'), (3, 'C', 'z'), (4, 'A', 'n4'))
+          |  t(id, code, v) ORDER BY id""".stripMargin,
 
       // warn=1h/fail=5h over a 4-increment chain: no check vs the L0, a 2h
       // gap warns, a 12h gap fails, the next increment error-skips

@@ -8,9 +8,16 @@ package graft.bde
  * `conf/tables.conf:17-52`):
  *
  * {{{
- * TABLE name [l0_only|l5_only|l5_is_full|key=col|row_tol=err,warn]... files f1 f2...
+ * TABLE name [l0_only|l5_only|l5_is_full|key=col|unique=col[,col]|row_tol=err,warn]... files f1 f2...
  * COLUMN name type [NOT NULL]     # optional, overrides file header columns
  * }}}
+ *
+ * `unique=` declares the secondary unique-constraint columns that drive the
+ * 'X' action classification and the key-swap repair on level-5 loads — the
+ * reference discovers these from the table's unique indexes in the database
+ * (`_bde_FixChangedIncKeyRecords`, sql/02-bde_control_functions.sql.in:
+ * 2146-2226); with no database catalog here they are declared in the
+ * tables.conf instead.
  *
  *  - blank lines and `#` comments are skipped;
  *  - names and options are case-insensitive (lowercased);
@@ -32,7 +39,10 @@ object Catalog {
       /** `COLUMN name type [NOT NULL]` lines: when present they REPLACE the
         * file header's column definitions at load time
         * (lib/LINZ/BdeUpload.pm:185-188; doc conf/tables.conf:49-52). */
-      columnOverrides: Seq[BdeFormat.BdeColumn]) {
+      columnOverrides: Seq[BdeFormat.BdeColumn],
+      /** `unique=col[,col]`: secondary unique columns for X-action
+        * classification and key-swap repair on level-5 loads. */
+      uniqueCols: Seq[String] = Nil) {
     def appliesToLevel(level: String): Boolean = levels.contains(level)
   }
 
@@ -56,6 +66,7 @@ object Catalog {
             id += 1
             var levels = Set("0", "5")
             var key: Option[String] = None
+            var unique = Seq.empty[String]
             var tolE: Option[Double] = None
             var tolW: Option[Double] = None
             var l5full = false
@@ -69,6 +80,12 @@ object Catalog {
                 case "l5_only" => levels = Set("5")
                 case "l5_is_full" => l5full = true
                 case kv if kv.startsWith("key=") => key = Some(kv.drop(4))
+                case kv if kv.startsWith("unique=") =>
+                  val cols = kv.drop(7).split(",").toSeq.filter(_.nonEmpty)
+                  if (cols.isEmpty)
+                    errors += CatalogError(lineNo,
+                      s"unique= needs at least one column for table $name")
+                  else unique = cols
                 case kv if kv.startsWith("row_tol=") =>
                   kv.drop(8).split(",", 2) match {
                     case Array(e, w) =>
@@ -99,7 +116,7 @@ object Catalog {
                 errors += CatalogError(lineNo, s"definition for $tag repeated")
             }
             tables += TableDef(name, id, key, tolE, tolW, levels, l5full,
-              files, Nil)
+              files, Nil, unique)
           case ("column", values) if tables.nonEmpty =>
             values match {
               case name :: tpe :: rest =>

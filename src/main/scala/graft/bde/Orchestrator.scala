@@ -200,6 +200,7 @@ object Orchestrator {
                         changeTable.getOrElse(throw new IllegalStateException(
                           "missing required changetable")),
                         t.name, t.key.getOrElse("id"), p.dataset,
+                        uniqueCols = t.uniqueCols,
                         tolError = t.rowTolError, tolWarning = t.rowTolWarning,
                         clean = cleanFn, columnOverrides = t.columnOverrides,
                         maxFileErrors = cfg.maxFileErrors,

@@ -192,6 +192,62 @@ object OrchestratorScenario {
       (outcomes, control)
     })
 
+  // ---- unique= key-swap repair on the orchestrated path ------------------
+
+  /** One level-5 increment against `TABLE t_uniq key=id unique=code`:
+    *  - the change table lists keys 4 (new row, code A) and 2 (update);
+    *  - current row 1 ALSO has code A → the key-swap repair
+    *    (`_bde_FixChangedIncKeyRecords`, sql:2146-2226) must pull key 1 into
+    *    the change set and delete it, else the unique constraint on `code`
+    *    would break on apply;
+    *  - row 2's update changes `code` B→D → classified 'X'
+    *    (delete+insert semantics, sql:2335-2357), counted as an update.
+    * Expected stats: I=1, U(=X)=1, D=1; final rows (2,D,y2) (3,C,z) (4,A,n4).
+    */
+  def stageKeySwap(): (Path, String, String) = {
+    val root = Files.createTempDirectory("graft-keyswap")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content, StandardCharsets.UTF_8)
+    }
+    val cols = Seq("id" -> "integer", "code" -> "varchar", "v" -> "varchar")
+    write("repo/level_0/20220101000000/unq.crs", crs("t_uniq", cols,
+      Seq("1|A|x|", "2|B|y|", "3|C|z|")))
+    write("repo/level_5/20220202000000/xchg.crs", crs("xchg", ChangeCols,
+      Seq("1|t_uniq|4|I|", "2|t_uniq|2|U|")))
+    write("repo/level_5/20220202000000/unq.crs", crs("t_uniq", cols,
+      Seq("2|D|y2|", "4|A|n4|")))
+    (root, root.resolve("tables").toString, root.resolve("control").toString)
+  }
+
+  val KeySwapTablesConf: String =
+    """TABLE l5_change_table files xchg
+      |TABLE t_uniq key=id unique=code files unq
+      |""".stripMargin
+
+  final case class KeySwapResult(
+      outcomes: Seq[Orchestrator.TableOutcome], finalRows: DataFrame)
+
+  private val keySwapCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, KeySwapResult]()
+
+  def runKeySwap(spark: SparkSession): KeySwapResult =
+    keySwapCache.computeIfAbsent(spark, { s: SparkSession =>
+      val (root, tablesDir, controlDir) = stageKeySwap()
+      val (cat, errs) = Catalog.parse(KeySwapTablesConf.linesIterator)
+      require(errs.isEmpty, s"catalog errors: $errs")
+      val control = new Control(s, controlDir,
+        () => java.sql.Timestamp.valueOf("2022-06-01 00:00:00"))
+      val outcomes = Orchestrator.applyUpdates(s,
+        Orchestrator.RunConfig(
+          repoRoot = root.resolve("repo").toString,
+          tablesDir = tablesDir, controlDir = controlDir),
+        cat, level0 = true, level5 = true, control)
+      KeySwapResult(outcomes,
+        new ParquetTableSink(s, tablesDir, "t_uniq").read())
+    })
+
   // ---- E3 replay of the reference slice (full-incremental) --------------
 
   private val e3Cache =

@@ -8,7 +8,7 @@ class CatalogSpec extends AnyFunSuite {
     """# comment
       |
       |TABLE l5_change_table files xchg
-      |TABLE alpha key=id row_tol=0.20,0.95 files alp1 alp2
+      |TABLE alpha key=id unique=code,serial row_tol=0.20,0.95 files alp1 alp2
       |TABLE beta l0_only files bet
       |TABLE gamma l5_only key=audit_id files gam
       |TABLE delta l5_is_full key=id files del
@@ -24,7 +24,9 @@ class CatalogSpec extends AnyFunSuite {
     val alpha = tables(1)
     assert(alpha.key.contains("id"))
     assert(alpha.rowTolError.contains(0.20) && alpha.rowTolWarning.contains(0.95))
+    assert(alpha.uniqueCols == Seq("code", "serial"))
     assert(alpha.files == Seq("alp1", "alp2"))
+    assert(tables(2).uniqueCols.isEmpty)
     assert(tables(2).levels == Set("0"))
     assert(tables(3).levels == Set("5"))
     assert(tables(4).level5IsFull)
@@ -39,6 +41,7 @@ class CatalogSpec extends AnyFunSuite {
     val bad =
       """TABLE nofiles key=id
         |TABLE badtol row_tol=2.0,0.5 files f
+        |TABLE badunique unique= files f
         |TABLE dup files f
         |TABLE dup files g
         |COLUMN orphan won't attach
@@ -46,9 +49,10 @@ class CatalogSpec extends AnyFunSuite {
         |""".stripMargin
     // the orphan COLUMN *does* attach (a table exists); BOGUS is an error
     val (tables, errors) = Catalog.parse(bad.linesIterator)
-    assert(tables.size == 4)
+    assert(tables.size == 5)
     assert(errors.exists(_.message.contains("no files")))
     assert(errors.exists(_.message.contains("invalid tolerance")))
+    assert(errors.exists(_.message.contains("unique= needs at least one column")))
     assert(errors.exists(_.message.contains("repeated")))
     assert(errors.exists(_.message.contains("invalid or out of sequence")))
   }

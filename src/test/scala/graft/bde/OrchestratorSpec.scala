@@ -169,6 +169,18 @@ class OrchestratorSpec extends SparkSuite {
     assert(control.upload(1).get.status == Control.StatusError)
   }
 
+  test("unique= threads through: key-swap repair deletes the stale key, X counts as update") {
+    val r = OrchestratorScenario.runKeySwap(spark)
+    val l5 = r.outcomes.find(o => o.level == "5").get
+    // key 4 inserted, key 2 reclassified X (unique col changed) → update,
+    // key 1 deleted by the repair despite NOT being in the change table
+    assert((l5.status, l5.ninsert, l5.nupdate, l5.nnullupdate, l5.ndelete) ==
+      ("loaded", 1L, 1L, 0L, 1L))
+    val rows = r.finalRows.orderBy("id").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    assert(rows.toSeq == Seq((2, "D", "y2"), (3, "C", "z"), (4, "A", "n4")))
+  }
+
   test("file-error budget: within budget drops bad rows, breach aborts") {
     val (loaded, aborted) = OrchestratorScenario.runErrorBudget(spark)
     assert(loaded == 3)
