@@ -167,50 +167,42 @@ object BdeFormat {
    * maps to NULL for all types (reference loads with `NULL AS ''`,
    * lib/LINZ/BdeDatabase.pm:541-542). String columns keep '' → NULL too:
    * the reference's COPY treats the empty field as NULL regardless of type.
+   *
+   * `dropMalformed` drops rows with the wrong field count, and
+   * `malformedObs` counts them in the SAME scan via an
+   * `org.apache.spark.sql.Observation` — the accounting `bde_copy` keeps
+   * toward `max_errors`/`max_file_errors`
+   * (conf/linz_bde_uploader.conf:370-376) without a second pass over the
+   * file. The observed `malformed` metric becomes available once the first
+   * action over the returned frame completes; at 100 TB the error budget
+   * then costs zero extra reads.
    */
-  /** A well-formed data line has exactly one '|' per field (the format ends
-    * every field, including the last, with the delimiter). */
-  private def wellFormed(line: String, ncols: Int): Boolean = {
-    var n = 0
-    var i = 0
-    while (i < line.length) { if (line.charAt(i) == '|') n += 1; i += 1 }
-    n == ncols
-  }
-
-  /**
-   * S4 error budget — count malformed data rows (wrong field count), the
-   * accounting `bde_copy` keeps toward `max_errors`/`max_file_errors`
-   * (conf/linz_bde_uploader.conf:370-376). A separate bounded text scan,
-   * run only when a budget is configured; the load itself drops these rows
-   * via `dropMalformed` so the two stay consistent.
-   */
-  def countMalformed(spark: SparkSession, path: String, header: BdeHeader): Long = {
-    val ncols = header.columns.size
-    dataLines(spark, path, header).filter(l => !wellFormed(l, ncols)).count()
-  }
-
   def read(
       spark: SparkSession,
       path: String,
       header: BdeHeader,
-      dropMalformed: Boolean = false): DataFrame = {
+      dropMalformed: Boolean = false,
+      malformedObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val ncols = header.columns.size
-    // The data region is everything after the sentinel. Use the csv reader
-    // with a comment-free, quote-free config: BDE data is never quoted.
-    val lines0 = dataLines(spark, path, header)
-    val lines =
-      if (dropMalformed) lines0.filter(l => wellFormed(l, ncols)) else lines0
-    val raw = spark.read
-      .option("sep", "|")
-      .option("quote", "\u0000")  // NUL quote char = quoting disabled; BDE data is never quoted
-      .option("header", "false")
-      .option("mode", "PERMISSIVE")
-      .schema(StructType(
-        (0 until ncols).map(i => StructField(s"_c$i", StringType, nullable = true)) :+
-          StructField(s"_c$ncols", StringType, nullable = true))) // trailing '|'
-      .csv(lines)
+    // A well-formed data line has exactly one '|' per field (the format ends
+    // every field, including the last, with the delimiter).
+    val pipes = length(col("value")) - length(translate(col("value"), "|", ""))
+    val lines0 = dataLines(spark, path, header).toDF("value")
+    val observed = malformedObs.fold(lines0)(obs =>
+      lines0.observe(obs, count(when(pipes =!= ncols, 1)).as("malformed")))
+    val lines = if (dropMalformed) observed.where(pipes === ncols) else observed
+    // Parse with a native split: BDE data is never quoted or escaped, so a
+    // pipe split IS the full parse. Unlike `spark.read.csv(Dataset[String])`
+    // — which compiles its input into an opaque LogicalRDD, severing any
+    // upstream CollectMetrics/Observation from the executed plan and
+    // breaking whole-stage codegen at the boundary — this keeps the entire
+    // read one Catalyst plan. Catalyst does not push filters through
+    // CollectMetrics, so the malformed count always sees every line.
+    // `getItem` past the end of a short (malformed) row's array yields NULL,
+    // matching PERMISSIVE csv semantics.
+    val arr = split(col("value"), "\\|", -1)
     val typed = header.columns.zipWithIndex.map { case (c, i) =>
-      val s = col(s"_c$i")
+      val s = arr.getItem(i)
       val nulled = when(s === "", lit(null)).otherwise(s)
       (c.sparkType match {
         case StringType    => nulled
@@ -218,7 +210,7 @@ object BdeFormat {
         case t             => nulled.cast(t)
       }).as(c.name)
     }
-    raw.select(typed: _*)
+    lines.select(typed: _*)
   }
 
   /** Distributed dataset of the raw data lines (header stripped).

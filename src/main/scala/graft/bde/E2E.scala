@@ -106,13 +106,11 @@ object E2E {
 
     // ---- job 1: level-0 full replace (E1) ----
     val upl1 = control.createUpload("bde").toOption.get
-    val h0 = Loader.level0Replace(spark, sink, Seq(st.l0File), L0Dataset).head
+    val s0 = Loader.level0Replace(spark, sink, Seq(st.l0File), L0Dataset)
     val l0Rows = sink.read()
     control.recordDatasetLoaded(upl1, "bde", TableName, L0Dataset, "0",
-      incremental = false,
-      details = Control.buildDetails(Seq("pab1" ->
-        h0.endTime.map(_.toString.stripSuffix(".0")).getOrElse(""))),
-      ninsert = l0Rows.count(), nupdate = 0, nnullupdate = 0, ndelete = 0)
+      incremental = false, details = s0.details,
+      ninsert = s0.ninsert, nupdate = 0, nnullupdate = 0, ndelete = 0)
     control.finishUpload(upl1, ok = true)
 
     // ---- job 2: level-5 increment (E2) ----

@@ -1,6 +1,6 @@
 package graft.bde
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -100,32 +100,57 @@ object Loader {
     (breach(tolError), breach(tolWarning))
   }
 
-  /** Read one file with header-or-override schema, enforcing the file-error
-    * budget; returns (header, cleaned frame). */
+  // Observation names must be unique per query; a process-wide counter keeps
+  // them unique across the many loads of a multi-table run.
+  private val obsId = new java.util.concurrent.atomic.AtomicLong
+
+  /** Read one file with header-or-override schema; when a file-error budget
+    * is set, malformed rows are dropped AND counted in the same scan (the
+    * returned Observation's `malformed` metric — see [[enforceBudget]]). */
   private def readCleaned(
       spark: SparkSession,
       file: String,
       columnOverrides: Seq[BdeFormat.BdeColumn],
       clean: DataFrame => DataFrame,
-      maxFileErrors: Option[Long]): (BdeFormat.BdeHeader, DataFrame) = {
+      maxFileErrors: Option[Long]): (BdeFormat.BdeHeader, DataFrame, Option[Observation]) = {
     val parsed = BdeFormat.parseHeader(spark, file)
     val header =
       if (columnOverrides.nonEmpty) parsed.copy(columns = columnOverrides)
       else parsed
-    maxFileErrors.foreach { budget =>
-      val bad = BdeFormat.countMalformed(spark, file, header)
-      if (bad > budget)
-        throw new IllegalStateException(
-          s"$file: $bad malformed rows exceed max_file_errors=$budget")
-    }
+    val obs = maxFileErrors.map(_ =>
+      Observation(s"graft_malformed_${obsId.incrementAndGet()}"))
     val raw = BdeFormat.read(spark, file, header,
-      dropMalformed = maxFileErrors.isDefined)
-    (header, clean(raw))
+      dropMalformed = maxFileErrors.isDefined, malformedObs = obs)
+    (header, clean(raw), obs)
   }
 
+  /** Enforce the `max_file_errors` budget from the per-file observations.
+    * MUST be called after an action that evaluated each file's scan exactly
+    * once (`Observation.get` blocks until its first action completes, and a
+    * plan that evaluates the subtree twice would double-count). Throws on
+    * breach, exactly like the reference's bde_copy error-limit abort. */
+  private def enforceBudget(
+      parts: Seq[(String, Option[Observation])],
+      budget: Option[Long]): Unit =
+    budget.foreach { b =>
+      parts.foreach { case (file, obsOpt) =>
+        obsOpt.foreach { obs =>
+          val bad = obs.get("malformed").asInstanceOf[Long]
+          if (bad > b)
+            throw new IllegalStateException(
+              s"$file: $bad malformed rows exceed max_file_errors=$b")
+        }
+      }
+    }
+
   /** E1: read the table's BDE files, clean, project to the target columns,
-    * publish the union as a full replacement version. Returns the parsed
-    * headers in file order (their END times feed the details string). */
+    * publish the union as a full replacement version.
+    *
+    * ONE distributed pass: the staged write scans each file exactly once,
+    * the published row count (`ninsert`) and the per-file malformed counts
+    * ride along as observed metrics of that same write — no post-publish
+    * recount, no pre-scan for the error budget. A budget breach discards
+    * the staged version before anything publishes. */
   def level0Replace(
       spark: SparkSession,
       sink: TableSink,
@@ -134,17 +159,25 @@ object Loader {
       tableColumns: Option[Seq[String]] = None,
       clean: DataFrame => DataFrame = identity,
       columnOverrides: Seq[BdeFormat.BdeColumn] = Nil,
-      maxFileErrors: Option[Long] = None): Seq[BdeFormat.BdeHeader] = {
+      maxFileErrors: Option[Long] = None): LoadStats = {
     require(files.nonEmpty, "level-0 load needs at least one file")
     val parts = files.map(f =>
       readCleaned(spark, f, columnOverrides, clean, maxFileErrors))
-    val projected = parts.map { case (_, df) =>
+    val projected = parts.map { case (_, df, _) =>
       tableColumns
         .map(cols => BdeFormat.selectValidColumns(df, cols))
         .getOrElse(df)
     }
-    sink.replace(projected.reduce(_ unionByName _), version)
-    parts.map(_._1)
+    val rowsObs = Observation(s"graft_rows_${obsId.incrementAndGet()}")
+    val staged = sink.stage(
+      projected.reduce(_ unionByName _)
+        .observe(rowsObs, count(lit(1)).as("rows")),
+      version)
+    try enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
+    catch { case e: Throwable => sink.discard(staged); throw e }
+    sink.publish(staged)
+    LoadStats(sink.table, rowsObs.get("rows").asInstanceOf[Long], 0, 0, 0,
+      aborted = false, "", buildDetails(files, parts.map(_._1)))
   }
 
   /**
@@ -183,9 +216,22 @@ object Loader {
     val warnings = checkContinuity(files, headers, prevDetails,
       continuityWarnHours, continuityFailHours)
     val details = buildDetails(files, headers)
+    // The increment is change-set-sized (a daily delta, never the big
+    // table) and is consumed by both the classifier and the merge — cache
+    // it so the files are scanned once for the whole load.
     val inc = parts
-      .map { case (_, df) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
+      .map { case (_, df, _) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
       .reduce(_ unionByName _)
+      .cache()
+    def done(s: LoadStats): LoadStats = { inc.unpersist(); s }
+    if (maxFileErrors.isDefined) {
+      // one materializing action = each file scanned exactly once; the
+      // malformed observations fire here and the budget gates before any
+      // classify/merge work runs
+      inc.count()
+      try enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
+      catch { case e: Throwable => inc.unpersist(); throw e }
+    }
 
     // P4: this table's change keys (case-insensitive table match), cast to
     // the table's key type (int/bigint per bde_TableKeyIsValid)
@@ -195,8 +241,8 @@ object Loader {
 
     // early exit on zero changes (sql:1713,1771-1773)
     if (keys.isEmpty)
-      return LoadStats(tableName, 0, 0, 0, 0, aborted = false, "",
-        details, warnings)
+      return done(LoadStats(tableName, 0, 0, 0, 0, aborted = false, "",
+        details, warnings))
 
     val actions =
       Diff.classifyChanges(cur, inc, keys, key, uniqueCols).cache()
@@ -211,14 +257,14 @@ object Loader {
     val (err, _) = toleranceCheck(oldCount, newCount, tolError, tolWarning)
     if (err) {
       sink.discard(staged)
-      LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
+      done(LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
         aborted = true,
         s"table count $newCount below error tolerance of old count $oldCount",
-        details, warnings)
+        details, warnings))
     } else {
       sink.publish(staged)
-      LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
-        aborted = false, "", details, warnings)
+      done(LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
+        aborted = false, "", details, warnings))
     }
   }
 
@@ -245,12 +291,18 @@ object Loader {
     // as a level-0 load ($is_level0, lib/LINZ/BdeUpload.pm:926,944-947)
     val details = buildDetails(files, parts.map(_._1))
     val next = parts
-      .map { case (_, df) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
+      .map { case (_, df, _) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
       .reduce(_ unionByName _)
     val actions = Diff.fullDiff(cur, next, key).cache()
     val counts = actions.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     def n(a: String) = counts.getOrElse(a, 0L)
+    // The collect above materialized the cached diff, scanning each snapshot
+    // file exactly once (fullDiff references `next` once) — the malformed
+    // observations are now final, and nothing is staged yet on breach. The
+    // snapshot is NOT cached: at 100 TB caching it would spill a full copy
+    // to executor disks.
+    enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
     val staged = sink.stage(Diff.applyActions(cur, next, actions, key), version)
     val oldCount = cur.count()
     val newCount = sink.readStaged(staged).count()

@@ -164,18 +164,16 @@ object Orchestrator {
                       s"no level-0 load of ${t.name} before level-5 increment")
                   val stats =
                     if (p.level == "0") {
-                      val hs = Loader.level0Replace(spark, sink, files,
+                      // ninsert and the details string are observed metrics
+                      // of the staged write itself — no post-publish recount
+                      val s = Loader.level0Replace(spark, sink, files,
                         p.dataset, clean = cleanFn,
                         columnOverrides = t.columnOverrides,
                         maxFileErrors = cfg.maxFileErrors)
-                      val n = sink.read().count()
                       control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
-                        p.dataset, "0", incremental = false,
-                        Control.buildDetails(t.files.zip(hs).map { case (f, h) =>
-                          f -> h.endTime.map(_.toString.stripSuffix(".0")).getOrElse("")
-                        }),
-                        n, 0, 0, 0)
-                      Loader.LoadStats(t.name, n, 0, 0, 0, aborted = false, "")
+                        p.dataset, "0", incremental = false, s.details,
+                        s.ninsert, 0, 0, 0)
+                      s
                     } else if (t.level5IsFull) {
                       // E3 arm: the level-5 file IS a full snapshot — diff it
                       val s = Loader.level0Incremental(spark, sink, files,

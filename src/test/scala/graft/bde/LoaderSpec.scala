@@ -81,6 +81,44 @@ class LoaderSpec extends SparkSuite {
       (r.getInt(0), r.getString(1))).toSeq == Seq(2 -> "B", 3 -> "c"))
   }
 
+  test("file-error budget is single-pass: one scan per file, observed count exact") {
+    // Count records read by ALL tasks while the load runs: the old design
+    // pre-scanned each file to count malformed rows and then scanned it
+    // again to load — total input ≈ 2× the file's lines. The Observation
+    // design must stay at ≈ 1×.
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    val root = Files.createTempDirectory("budget-singlepass")
+    val file = root.resolve("sp.crs")
+    val dataRows = Seq("1|a|", "2|b", "3|c|", "4|d|e|", "5|f|") // 2 malformed
+    Files.writeString(file, OrchestratorScenario.crs("t_sp",
+      Seq("id" -> "integer", "v" -> "varchar"), dataRows))
+    val fileLines = Files.readAllLines(file).size
+    val sink = new ParquetTableSink(spark, root.resolve("t").toString, "t_sp")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stats = Loader.level0Replace(spark, sink, Seq(file.toString), "v1",
+        maxFileErrors = Some(2))
+      assert(stats.ninsert == 3) // observed from the write, not a recount
+    } finally {
+      // listener events are posted asynchronously; poll until the scan's
+      // records have been accounted, then allow a grace period for stragglers
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (recordsRead.get < fileLines && System.nanoTime < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // One text scan of the file (header lines included by TextInputFormat);
+    // a second pass would push this to ≥ 2× fileLines.
+    assert(recordsRead.get >= fileLines)
+    assert(recordsRead.get < 2L * fileLines,
+      s"expected a single scan of $fileLines lines, saw ${recordsRead.get} records read")
+  }
+
   test("level-5 early exit on zero changes for this table") {
     val root = Files.createTempDirectory("l5-empty").toString
     val st = E2E.stageRepository()
