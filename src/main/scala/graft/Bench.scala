@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session before any timed query: JVM/codegen compilation,
+    // the parquet reader path, and a first shuffle all bill multiple seconds
+    // to whichever query runs first (a1_count_by_action, alphabetically)
+    // and would mis-rank it as a hotspot.
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().count()
     // Failures are recorded explicitly (name -> -1 plus an errors map) so a
     // crashed query can never masquerade as a fast one.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -45,34 +45,53 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % P.
+  private def bridged(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  /** Polynomial rolling hash of a string: (acc*31 + codepoint) % P, via the
+    * native codegen'd [[graft.plans.PolyHashExpr]]. */
+  def polyHash(s: Column): Column =
+    bridged(graft.plans.PolyHashExpr(expr(s), 31L, TokenMod))
+
+  /** Higher-order-fold reference for [[polyHash]], pinned by the spec.
     * Guarded for the empty string — Spark's `sequence(1, 0)` is a DESCENDING
     * range, not an empty one. */
-  def polyHash(s: Column): Column =
+  private[graft] def polyHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(
       aggregate(
         sequence(lit(1), length(s)),
         lit(0L),
         (acc, i) => (acc * lit(31L) + ascii(substr(s, i, lit(1)))) % lit(TokenMod)))
 
-  /** Hash every token: array<long>, each < TokenMod. */
-  def tokenHashes(toks: Column): Column = transform(toks, t => polyHash(t))
+  /** Hash every token: array<long>, each < TokenMod (native per-token loop). */
+  def tokenHashes(toks: Column): Column =
+    bridged(graft.plans.TokenHashesExpr(expr(toks), 31L, TokenMod, None))
 
   /** Polynomial rolling hash with multiplier `mult` mod [[HashMod]] —
     * independent of [[polyHash]]'s stream, used to widen token prints. */
   def polyHashWide(s: Column, mult: Long): Column =
-    when(length(s) === 0, lit(0L)).otherwise(
-      aggregate(
-        sequence(lit(1), length(s)),
-        lit(0L),
-        (acc, i) => (acc * lit(mult) + ascii(substr(s, i, lit(1)))) % lit(HashMod)))
+    bridged(graft.plans.PolyHashExpr(expr(s), mult, HashMod))
 
   /** ~62-bit token prints: two independent 31-bit rolling hashes combined
     * as h31a * HashMod + h31b (max ≈ 4.6e18, inside int64 for Spark AND for
-    * DuckDB's overflow-checked BIGINT arithmetic). */
+    * DuckDB's overflow-checked BIGINT arithmetic). Native one-pass loop. */
   def tokenHashesWide(toks: Column): Column =
-    transform(toks, t =>
-      polyHashWide(t, 31L) * lit(HashMod) + polyHashWide(t, 131L))
+    bridged(graft.plans.TokenHashesExpr(expr(toks), 31L, HashMod, Some(131L)))
+
+  /** Higher-order-fold reference for [[tokenHashesWide]], pinned by the
+    * spec (per-char `ascii(substr(...))` folds through interpreted
+    * lambdas — slow, but the executable definition of the hash). */
+  private[graft] def tokenHashesWideHof(toks: Column): Column = {
+    def ph(s: Column, mult: Long): Column =
+      when(length(s) === 0, lit(0L)).otherwise(
+        aggregate(
+          sequence(lit(1), length(s)),
+          lit(0L),
+          (acc, i) => (acc * lit(mult) + ascii(substr(s, i, lit(1)))) % lit(HashMod)))
+    transform(toks, t => ph(t, 31L) * lit(HashMod) + ph(t, 131L))
+  }
 
   /**
    * Word k-shingle hashes from token hashes: combine k consecutive token
@@ -122,6 +141,15 @@ object TextOps {
    * as a lambda variable: cheap, no re-aggregation).
    */
   def simHash(thash: Column, bits: Int = SimHashBits): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.SimHashExpr(ColumnBridge.expression(thash), bits))
+  }
+
+  /** Higher-order-fold reference for [[simHash]] — Catalyst interprets
+    * lambdas, so this is slow; it exists to PIN the native expression's
+    * arithmetic (the spec compares them bit-for-bit). */
+  private[graft] def simHashHof(thash: Column, bits: Int = SimHashBits): Column = {
     val zeros = array_repeat(lit(0L), bits)
     aggregate(
       thash,

@@ -34,8 +34,19 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(norm2(a))
 
-  /** Cosine similarity (0.0 when either vector is all-zero). */
+  /** Cosine similarity (0.0 when either vector is all-zero), via the native
+    * codegen'd [[graft.plans.CosineExpr]] — the hot verify step of every
+    * similarity join. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Higher-order-fold reference for [[cosine]] — Catalyst interprets
+    * lambdas, so this is slow; it exists to PIN the native expression's
+    * arithmetic (the spec compares them bit-for-bit). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val den = sqrt(norm2(a)) * sqrt(norm2(b))
     when(den === 0d, lit(0d)).otherwise(d / den)
@@ -56,6 +67,39 @@ object VectorOps {
       seqSum(transform(sequence(lit(0), size(a) - 1), j =>
         get(a, j).cast("double") * rpWeight(plane, j))))
 
+  /** One fold over the vector accumulating the projections for all `planes`
+    * at once: the accumulator is the whole projection vector and element j
+    * contributes to every plane via one `zip_with` — per-plane arithmetic
+    * stays the exact sequential double fold of [[rpProjection]] (same j
+    * order, same ops), so results are bit-identical, but the array is
+    * traversed once instead of once per plane. The finish lambda maps the
+    * projection vector to per-table bucket ids (bit i of table t set when
+    * plane t*64+i projects non-negative); projections are referenced as a
+    * lambda variable, so nothing re-aggregates.
+    *
+    * This is the executable REFERENCE for [[graft.plans.RpBucketsExpr]] —
+    * Catalyst interprets lambda functions per element, so the hot path uses
+    * the codegen'd expression instead; the spec pins the two together. */
+  private[graft] def rpBucketsHof(a: Column, bits: Int, tables: Seq[Int]): Column = {
+    val planes = tables.flatMap(t => (0 until bits).map(i => t * 64 + i))
+    // empty-array guard: projections are all 0.0, 0 >= 0 sets every bit
+    val emptyBucket = (0 until bits).map(1L << _).sum
+    when(size(a) === 0, array(tables.map(_ => lit(emptyBucket)): _*)).otherwise(
+      aggregate(
+        sequence(lit(0), size(a) - 1),
+        array_repeat(lit(0d), planes.size),
+        (acc, j) => {
+          val x = get(a, j).cast("double")
+          zip_with(acc, array(planes.map(p => rpWeight(p, j)): _*),
+            (v, w) => v + x * w)
+        },
+        projs => array(tables.indices.map(ti =>
+          (0 until bits).map(i =>
+            when(get(projs, lit(ti * bits + i)) >= 0d, lit(1L << i))
+              .otherwise(lit(0L)))
+            .reduce(_ + _)): _*)))
+  }
+
   /**
    * Random-hyperplane LSH bucket: bit i is set when the projection of the
    * vector onto pseudo-random ±1 hyperplane (table, i) is non-negative —
@@ -67,9 +111,20 @@ object VectorOps {
    * search joins bucket-local data instead of all pairs.
    */
   def rpBucket(a: Column, bits: Int, table: Int): Column =
-    (0 until bits).map { i =>
-      when(rpProjection(a, table * 64 + i) >= 0d, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    get(rpBuckets(a, bits, Seq(table)), lit(0))
+
+  /** All tables' buckets of [[rpBucket]] as one `array<bigint>` via the
+    * native codegen'd [[graft.plans.RpBucketsExpr]] — bits×tables
+    * projections cost one flat JIT'd loop over the vector instead of
+    * bits×tables interpreted lambda folds. */
+  def rpBuckets(a: Column, bits: Int, tables: Seq[Int]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.RpBucketsExpr(ColumnBridge.expression(a), bits, tables))
+  }
+
+  def rpBuckets(a: Column, bits: Int, numTables: Int): Column =
+    rpBuckets(a, bits, 0 until numTables)
 }
 
 /** DuckDB renderings of [[VectorOps]] — same folds, same order, same bits. */
@@ -97,8 +152,27 @@ object VectorOpsSql {
   def rpProjection(a: String, plane: Int): String =
     seqSum(s"list_transform(range(0, len($a)), j -> $a[j+1]::DOUBLE * ${rpWeight(plane, "j")})")
 
-  def rpBucket(a: String, bits: Int, table: Int): String =
-    (0 until bits)
-      .map(i => s"(case when ${rpProjection(a, table * 64 + i)} >= 0 then ${1L << i} else 0 end)")
-      .mkString("(", " + ", ")")
+  /** ±1 weight with a SYMBOLIC plane expression (mirrors the Int overload). */
+  private def rpWeightSym(plane: String, j: String): String =
+    s"((((1103515245 * ($j + ($plane) * 1000033) + 12345) % 1000003) % 2) * 2 - 1)::DOUBLE"
+
+  /** One-fold mirror of [[VectorOps.rpBucket]]: element j's contribution to
+    * every bit rides one vector-valued reduce (per-bit adds stay in the same
+    * sequential j order, so values are bit-identical to the per-bit fold);
+    * the projection vector binds once as a lambda variable via the
+    * single-element list_transform trick. */
+  def rpBucket(a: String, bits: Int, table: Int): String = {
+    val contribs =
+      s"""list_transform(range(0, len($a)), j ->
+         |  list_transform(range(0, $bits), i ->
+         |    $a[j+1]::DOUBLE * ${rpWeightSym(s"$table*64 + i", "j")}))""".stripMargin
+    val votes =
+      s"list_reduce($contribs, (acc, v) -> list_transform(range(1, $bits + 1), i -> acc[i] + v[i]))"
+    val bucket =
+      s"""(list_transform([$votes], p ->
+         |  (${(0 until bits)
+             .map(i => s"(case when p[${i + 1}] >= 0 then ${1L << i} else 0 end)")
+             .mkString(" + ")})))[1]""".stripMargin
+    s"(case when len($a) = 0 then ${(0 until bits).map(1L << _).sum} else $bucket end)"
+  }
 }

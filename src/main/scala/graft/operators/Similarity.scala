@@ -89,12 +89,13 @@ object Similarity {
       minCosine: Double,
       numTables: Int = 4): DataFrame = {
     val pre = df.select(col(idCol).as("id"), col(vecCol).as("vec")).cache()
+    // all tables' buckets in ONE fold over the vector (bits×tables
+    // projections accumulate in a single traversal), then posexplode:
+    // pos IS the table index
     val tabled = pre.select(
       col("id"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("tbl"),
-          VectorOps.rpBucket(col("vec"), bits, t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+      posexplode(VectorOps.rpBuckets(col("vec"), bits, numTables))
+        .as(Seq("tbl", "bucket")))
     val candidates = tabled.as("l")
       .join(tabled.as("r"),
         col("l.tbl") === col("r.tbl") &&

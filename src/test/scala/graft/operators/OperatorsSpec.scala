@@ -49,6 +49,33 @@ class DedupSpec extends SparkSuite {
     assert(pairs((1L, 2L)) == 0L)
   }
 
+  test("simhash hamming pairs: 1k-copy identical cluster expands arithmetically") {
+    // A boilerplate cluster of 1000 identical docs: the band self-join must
+    // see ONE representative row per distinct print (never 1000), and the
+    // 499 500 intra-cluster pairs come from the arithmetic expansion.
+    val doc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 39).map(i => s"tok$i").mkString(" ")
+    val far = (1 to 40).map(i => s"zz$i").mkString(" ")
+    val rows = (0L until 1000L).map(i => (i, doc)) ++
+      Seq((2000L, near), (2001L, near), (3000L, far))
+    val df = rows.toDF("id", "text")
+    val got = Dedup.simHashHammingPairs(df, "id", "text", maxHamming = 3)
+    // brute-force reference over the raw prints (1003 docs → ~500k pairs)
+    val prints = df.select(col("id"),
+      TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col("text"))))
+        .as("print"))
+    val want = prints.as("l").join(prints.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        TextOps.hamming(col("l.print"), col("r.print")).as("hamming"))
+      .where(col("hamming") <= 3)
+    def sig(p: org.apache.spark.sql.DataFrame) =
+      p.agg(count(lit(1)), sum("id_a"), sum("id_b"), sum("hamming"))
+        .collect().head.toSeq
+    val gotSig = sig(got)
+    assert(gotSig == sig(want))
+    assert(gotSig.head.asInstanceOf[Long] >= 1000L * 999 / 2)
+  }
+
   test("blocked ngram jaccard: candidates never cross blocks") {
     val doc = (1 to 30).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, doc, "en"), (2L, doc, "en"), (3L, doc, "de"))
@@ -108,6 +135,101 @@ class SimilaritySpec extends SparkSuite {
     assert(ids.contains(0L -> 4L))          // near-identical direction
     assert(out.forall(_._3 >= 0.9))
     assert(!ids.exists { case (a, b) => a == 3L || b == 3L }) // opposite vec
+  }
+}
+
+class RpBucketsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native RpBucketsExpr matches the higher-order-fold reference exactly") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(1 + rnd.nextInt(96))(rnd.nextFloat() * 4 - 2)))
+    val df = rows.toDF("id", "vec")
+    val both = df.select(
+      col("id"),
+      VectorOps.rpBuckets(col("vec"), 12, 4).as("native"),
+      VectorOps.rpBucketsHof(col("vec"), 12, 0 until 4).as("ref"))
+    assert(both.where(col("native") =!= col("ref")).count() == 0)
+  }
+
+  test("native poly-hash expressions match the higher-order-fold references") {
+    val rnd = new scala.util.Random(19)
+    val words = Seq("alpha", "Beta7", "", "日本語テキスト", "héllo wörld", "a",
+      "mixed日本ascii", "é́combining") ++
+      (0 until 50).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+    val df = words.map(w => (w, w.split(" ").toSeq)).toDF("s", "toks")
+    val pinned = df.select(
+      TextOps.polyHash(col("s")).as("n1"),
+      TextOps.polyHashHof(col("s")).as("r1"),
+      TextOps.tokenHashesWide(col("toks")).as("n2"),
+      TextOps.tokenHashesWideHof(col("toks")).as("r2"))
+    assert(pinned.where(col("n1") =!= col("r1") || col("n2") =!= col("r2"))
+      .count() == 0)
+  }
+
+  test("native SimHashExpr matches the higher-order-fold reference exactly") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 300L).map { i =>
+      (i, Array.fill(rnd.nextInt(60))(math.abs(rnd.nextLong()) % 4611686014132420609L))
+    }
+    val df = rows.toDF("id", "thash")
+    val both = df.select(
+      TextOps.simHash(col("thash")).as("native"),
+      TextOps.simHashHof(col("thash")).as("ref"))
+    assert(both.where(col("native") =!= col("ref")).count() == 0)
+    // empty array → 0 in both
+    val empty = Seq(Tuple1(Array.empty[Long])).toDF("thash")
+      .select(TextOps.simHash(col("thash")), TextOps.simHashHof(col("thash")))
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+  }
+
+  test("native CosineExpr matches the higher-order-fold reference exactly") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 300L).map { i =>
+      val dim = 1 + rnd.nextInt(64)
+      (i, Array.fill(dim)(rnd.nextFloat() * 4 - 2),
+        Array.fill(dim)(rnd.nextFloat() * 4 - 2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("native"),
+      VectorOps.cosineHof(col("a"), col("b")).as("ref"))
+    // bit-for-bit: compare raw doubles, no tolerance
+    assert(both.where(col("native") =!= col("ref")).count() == 0)
+    // zero vectors → 0.0; self-cosine of a zero-free vector is 1-ish
+    val z = Seq((Array(0f, 0f), Array(0f, 0f))).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("native RpBucketsExpr edge cases: empty vec, null element, null vec") {
+    val df = Seq(
+      (1L, Some(Array[Float]())),
+      (2L, Some(Array(1f, Float.NaN, -1f))),
+      (3L, None),
+      (4L, Some(Array(0.5f, -0.25f)))).toDF("id", "vec")
+    // null ELEMENT case needs explicit construction: replace index 1 with null
+    val withNullElem = df.withColumn("vec2",
+      when(col("id") === 2L,
+        array(lit(1f), lit(null).cast("float"), lit(-1f)))
+        .otherwise(col("vec")))
+    val out = withNullElem.select(
+      col("id"),
+      VectorOps.rpBuckets(col("vec2"), 8, 2).as("native"),
+      VectorOps.rpBucketsHof(col("vec2"), 8, 0 until 2).as("ref"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
+      .toMap
+    assert(out(1L)._1 == Seq(255L, 255L))      // empty → all bits set
+    assert(out(1L)._1 == out(1L)._2)
+    assert(out(2L)._1 == Seq(0L, 0L))          // null element poisons all planes
+    assert(out(2L)._1 == out(2L)._2)
+    assert(out(4L)._1 == out(4L)._2)
+    val nulls = withNullElem.where(col("id") === 3L)
+      .select(VectorOps.rpBuckets(col("vec2"), 8, 2)).collect()
+    assert(nulls.head.isNullAt(0))             // null vector → null
   }
 }
 
