@@ -730,6 +730,66 @@ object SparkEntry {
       Seq((loaded, aborted)).toDF("loaded_rows", "strict_aborted")
     }),
 
+    // Dry-run over the same staged repository: the full plan reported, with
+    // the incomplete dataset flagged, and ZERO control writes (uploads_after
+    // proves no job row was created) — lib/LINZ/BdeUpload.pm:559-609
+    "c9_dry_run" -> ((s, dir) => {
+      import s.implicits._
+      val (outcomes, control) = OrchestratorScenario.runDryRun(s)
+      val uploadsAfter = control.uploadsDf.count()
+      outcomes
+        .map(o => (o.dataset, o.level, o.table, o.status, o.message,
+          uploadsAfter))
+        .toDF("dataset", "level", "table_name", "status", "note",
+          "uploads_after")
+        .orderBy(col("dataset"), col("table_name"))
+    }),
+
+    // Job runtime cap (max_level0/5_runtime_hours, conf:148-149; checked
+    // between stages, lib/LINZ/BdeUpload.pm:534-557): inside the limit
+    // passes, beyond it raises, 0 disables
+    "c9_timeout" -> ((s, dir) => {
+      import s.implicits._
+      def outcome(maxHours: Double, checkAt: String): (Boolean, String) = {
+        var nowStr = "2020-01-01 00:00:00"
+        val t = new Control.JobTimeout(maxHours,
+          () => java.sql.Timestamp.valueOf(nowStr))
+        nowStr = checkAt
+        try { t.check(); (false, "") }
+        catch { case e: RuntimeException => (true, e.getMessage) }
+      }
+      Seq(
+        ("within_limit", 2.0, "2020-01-01 01:00:00"),
+        ("beyond_limit", 2.0, "2020-01-01 03:00:00"),
+        ("disabled", 0.0, "2020-06-01 00:00:00"))
+        .map { case (name, hours, at) =>
+          val (threw, msg) = outcome(hours, at)
+          (name, threw, msg)
+        }
+        .toDF("case_id", "timed_out", "message")
+        .orderBy(col("case_id"))
+    }),
+
+    // Shell event hooks executed with {pid}/{id}/{dataset}/{level}
+    // expansion; failures reported, never fatal (BdeUpload.pm:1102-1144)
+    "x8_event_fire" -> ((s, dir) => {
+      import s.implicits._
+      val fired = scala.collection.mutable.ArrayBuffer[(Int, String, String, Int)]()
+      val firer = new Hooks.EventFirer(
+        Map("start" -> Seq("notify-start {id}"),
+          "start_dataset" -> Seq("ds-hook {dataset} L{level} job {id}"),
+          "error" -> Seq("alert {id}")),
+        runner = cmd => if (cmd.startsWith("alert")) (3, "boom") else (0, "ok"),
+        onResult = (ev, cmd, rv, _) =>
+          fired += ((fired.size + 1, ev, cmd, rv)))
+      firer.fire("start", None) // no job yet: must not fire
+      firer.fire("start", Some(7))
+      firer.fire("start_dataset", Some(7), Some("20200101000000"), Some("0"))
+      firer.fire("error", Some(7)) // exit 3 recorded, not fatal
+      fired.toSeq.toDF("seq", "event", "command", "exit_status")
+        .orderBy(col("seq"))
+    }),
+
     // ---- §2.9: job lifecycle / locks / purge ---------------------------
     "c9_job_lifecycle" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-ctl").toString
@@ -1626,6 +1686,35 @@ object SparkEntry {
         """SELECT * FROM (VALUES
           |  (1, 'notify 7 20170629000000 level 5 keep {nope}'))
           |  t(case_id, expanded)""".stripMargin,
+
+      "c9_dry_run" ->
+        """SELECT * FROM (VALUES
+          |  ('20200101000000', '0', 't_alpha', 'dry-run', '', 0),
+          |  ('20200101000000', '0', 't_beta',  'dry-run', '', 0),
+          |  ('20200202000000', '5', 't_alpha', 'dry-run', '', 0),
+          |  ('20200202000000', '5', 't_beta',  'dry-run', '', 0),
+          |  ('20200303000000', '5', 't_alpha', 'dry-run', '', 0),
+          |  ('20200303000000', '5', 't_beta',  'dry-run', '', 0),
+          |  ('20200404000000', '5', 't_alpha', 'dry-run', 'missing: xchg', 0),
+          |  ('20200404000000', '5', 't_beta',  'dry-run', 'missing: xchg', 0))
+          |  t(dataset, level, table_name, status, note, uploads_after)
+          |ORDER BY dataset, table_name""".stripMargin,
+
+      "c9_timeout" ->
+        """SELECT * FROM (VALUES
+          |  ('beyond_limit', true, 'job timeout exceeded'),
+          |  ('disabled', false, ''),
+          |  ('within_limit', false, ''))
+          |  t(case_id, timed_out, message)
+          |ORDER BY case_id""".stripMargin,
+
+      "x8_event_fire" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'start', 'notify-start 7', 0),
+          |  (2, 'start_dataset', 'ds-hook 20200101000000 L0 job 7', 0),
+          |  (3, 'error', 'alert 7', 3))
+          |  t(seq, event, command, exit_status)
+          |ORDER BY seq""".stripMargin,
 
       "q6_revenue_filter" ->
         """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

@@ -86,4 +86,94 @@ object Hooks {
     * hooks (`FireEvent`); unknown placeholders are left intact. */
   def expandTemplate(template: String, vars: Map[String, String]): String =
     vars.foldLeft(template) { case (acc, (k, v)) => acc.replace(s"{$k}", v) }
+
+  // ---- shell event hooks (lib/LINZ/BdeUpload.pm:1102-1144) --------------
+
+  /** The five events the reference fires (`ApplyDatasetUpdates`/`FinishJob`
+    * at BdeUpload.pm:722,751,807,864; `error` from the CLI's catch,
+    * bin/linz_bde_uploader.pl:254,298). */
+  val EventNames: Seq[String] = Seq(
+    "start", "finish", "error", "start_dataset", "finish_dataset")
+
+  /** Run one hook command through the platform shell, capturing combined
+    * stdout+stderr and the exit status — `qx($cmd 2>&1)` semantics. */
+  def runShell(cmd: String): (Int, String) = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    val logger = ProcessLogger(
+      l => out.append(l).append('\n'), l => out.append(l).append('\n'))
+    val rv = Seq("/bin/sh", "-c", cmd).!(logger)
+    (rv, out.toString)
+  }
+
+  /**
+   * `FireEvent` executor: expands `{pid}/{id}/{level}/{dataset}` into each
+   * registered command for the event and RUNS it. Mirrors the reference:
+   * nothing fires before an upload id exists; unset dataset/level expand to
+   * the literal `undef`; a non-zero exit is reported via `onResult` but is
+   * NEVER fatal to the load (the reference only ERROR-logs it).
+   *
+   * `runner` is injectable so orchestration specs can assert fire order and
+   * expanded arguments without forking processes.
+   */
+  final class EventFirer(
+      hooks: Map[String, Seq[String]],
+      runner: String => (Int, String) = runShell,
+      onResult: (String, String, Int, String) => Unit = (_, _, _, _) => ()) {
+    def fire(
+        event: String,
+        uploadId: Option[Int],
+        dataset: Option[String] = None,
+        level: Option[String] = None): Unit = {
+      if (uploadId.isEmpty) return
+      hooks.getOrElse(event, Nil).foreach { tpl =>
+        val cmd = expandTemplate(tpl, Map(
+          "pid" -> ProcessHandle.current.pid.toString,
+          "id" -> uploadId.get.toString,
+          "dataset" -> dataset.getOrElse("undef"),
+          "level" -> level.getOrElse("undef")))
+        val (rv, out) =
+          try runner(cmd)
+          catch { case e: Throwable => (-1, Option(e.getMessage).getOrElse("")) }
+        onResult(event, cmd, rv, out)
+      }
+    }
+  }
+
+  // ---- per-connection / per-dataset SQL slots ---------------------------
+
+  /**
+   * `_runSQLBlock` (lib/LINZ/BdeDatabase.pm:571-595): split the block on
+   * `;`-newline boundaries, expand `{id}` with the upload id, run each
+   * statement; any failure aborts with the offending statement named. The
+   * returned closure matches the Orchestrator's dataset-slot signature, so
+   * `dataset_load_start_sql`/`dataset_load_end_sql`/`db_connect_sql`/
+   * `db_upload_complete_sql` blocks become real executors against any JDBC
+   * database.
+   */
+  def sqlSlot(
+      url: String,
+      props: java.util.Properties = new java.util.Properties())(
+      block: String): (String, Int) => Unit = (_, uploadId) =>
+    runSqlBlock(url, props, block, uploadId)
+
+  /** Run one SQL block now (connection-scoped slots, not per-dataset). */
+  def runSqlBlock(
+      url: String,
+      props: java.util.Properties,
+      block: String,
+      uploadId: Int): Unit = {
+    if (block.trim.isEmpty) return
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try {
+      block.split(";\\n?").iterator.map(_.trim).filter(_.nonEmpty).foreach { s =>
+        val cmd = s.replace("{id}", uploadId.toString)
+        try c.createStatement().executeUpdate(cmd)
+        catch {
+          case e: java.sql.SQLException =>
+            throw new IllegalStateException(s"Cannot run SQL command: $cmd", e)
+        }
+      }
+    } finally c.close()
+  }
 }

@@ -57,9 +57,21 @@ object Orchestrator {
         * 0 disables that level. */
       continuityWarnHours: Double = 0.5,
       continuityFailHours: Double = 0,
-      onDatasetStart: String => Unit = _ => (),
-      onDatasetEnd: String => Unit = _ => (),
-      hooks: Hooks.HookRegistry = new Hooks.HookRegistry)
+      /** Per-dataset slots, (dataset, uploadId) — the analogue of
+        * `dataset_load_start_sql`/`dataset_load_end_sql`
+        * (lib/LINZ/BdeDatabase.pm:478-495); wire [[Hooks.sqlSlot]] here to
+        * run real SQL blocks with `{id}` expansion. */
+      onDatasetStart: (String, Int) => Unit = (_, _) => (),
+      onDatasetEnd: (String, Int) => Unit = (_, _) => (),
+      hooks: Hooks.HookRegistry = new Hooks.HookRegistry,
+      /** Shell event hooks by event name ([[Hooks.EventNames]]), as the
+        * reference's `<event>_event_hooks` config (BdeUpload.pm:405-421);
+        * commands run through `eventRunner` with `{pid}/{id}/{dataset}/
+        * {level}` expanded — non-zero exits are reported via
+        * `onEventResult`, never fatal. */
+      eventHooks: Map[String, Seq[String]] = Map.empty,
+      eventRunner: String => (Int, String) = Hooks.runShell,
+      onEventResult: (String, String, Int, String) => Unit = (_, _, _, _) => ())
 
   final case class TableOutcome(
       dataset: String, level: String, table: String, status: String, // loaded|skipped|failed|dry-run
@@ -118,14 +130,21 @@ object Orchestrator {
       case Left(err) => return Seq(TableOutcome("", "", "", "failed", 0, 0, 0, 0, err))
       case Right(id) => id
     }
+    val firer = new Hooks.EventFirer(cfg.eventHooks, cfg.eventRunner,
+      cfg.onEventResult)
     val failed = scala.collection.mutable.Set[String]() // error-skip state
     val outcomes = scala.collection.mutable.ArrayBuffer[TableOutcome]()
     var crashed = true // an exception escaping the loop must finish the job as E
 
+    firer.fire("start", Some(uplId))
     try {
       for (p <- plan) {
         timeout.check()
-        cfg.onDatasetStart(p.dataset)
+        // slot first, then the shell event — beginDataset runs the
+        // dataset_load_start_sql block before FireEvent('start_dataset')
+        // (BdeUpload.pm:749-751); mirrored for the end pair (:806-807)
+        cfg.onDatasetStart(p.dataset, uplId)
+        firer.fire("start_dataset", Some(uplId), Some(p.dataset), Some(p.level))
         if (!p.complete && p.level == "0")
           throw new IllegalStateException(
             s"level-0 dataset ${p.dataset} incomplete: ${p.missing.mkString(",")}")
@@ -227,13 +246,19 @@ object Orchestrator {
         // one heartbeat per dataset, not per table — the reference refreshes
         // its lock per long op; per-table writes here were pure overhead
         control.heartbeat(uplId)
-        cfg.onDatasetEnd(p.dataset)
+        cfg.onDatasetEnd(p.dataset, uplId)
+        firer.fire("finish_dataset", Some(uplId), Some(p.dataset), Some(p.level))
         if (p.level == "0") cfg.hooks.runAll("bde_postlevel0_", uplId)
       }
       cfg.hooks.runAll("bde_postupload_", uplId)
       crashed = false
     } finally {
       control.finishUpload(uplId, ok = failed.isEmpty && !crashed)
+      // `finish` fires only on a clean run loop (FinishJob fires it when no
+      // error escaped, BdeUpload.pm:855-864); an escaping exception fires
+      // `error` instead (the CLI's catch, bin/linz_bde_uploader.pl:250-258)
+      if (crashed) firer.fire("error", Some(uplId))
+      else firer.fire("finish", Some(uplId))
     }
     outcomes.toSeq
   }

@@ -122,6 +122,22 @@ object OrchestratorScenario {
       new ParquetTableSink(spark, tablesDir, "t_beta").read())
   }
 
+  /** The same staged repository in dry-run mode: full plan reported, zero
+    * control/table writes (lib/LINZ/BdeUpload.pm:559-609). */
+  def runDryRun(spark: SparkSession): (Seq[Orchestrator.TableOutcome], Control) = {
+    val (root, tablesDir, controlDir) = stage()
+    val (cat, errs) = Catalog.parse(TablesConf.linesIterator)
+    require(errs.isEmpty, s"catalog errors: $errs")
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val outcomes = Orchestrator.applyUpdates(spark,
+      Orchestrator.RunConfig(
+        repoRoot = root.resolve("repo").toString,
+        tablesDir = tablesDir, controlDir = controlDir, dryRun = true),
+      cat, level0 = true, level5 = true, control)
+    (outcomes, control)
+  }
+
   // ---- L5 start-time continuity gate -------------------------------------
 
   /** Four-increment repository exercising every continuity outcome against

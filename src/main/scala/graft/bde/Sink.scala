@@ -121,17 +121,29 @@ final class ParquetTableSink(
  * Tested against embedded Derby (the JDK-available engine here); the SQL
  * is deliberately vanilla (CREATE TABLE ... WITH NO DATA, DELETE, INSERT
  * SELECT) so PostgreSQL works unchanged.
+ *
+ * Publish runs under a per-table EXCLUSIVE LOCK with bounded 1 s retries —
+ * the analogue of the reference's `_bde_GetExclusiveLock`
+ * (sql/02-bde_control_functions.sql.in:696-762): two publishers contending
+ * for the same final table serialize instead of interleaving their
+ * DELETE/INSERT swaps, and a timeout raises with the current owner as the
+ * diagnostic. The lock is a single PRIMARY-KEYed row claimed by an atomic
+ * `UPDATE ... WHERE owner IS NULL` (portable Derby/PG; no engine-specific
+ * advisory-lock calls), released in a `finally`.
  */
 final class JdbcTableSink(
     spark: SparkSession,
     url: String,
     val table: String,
-    props: java.util.Properties = new java.util.Properties())
+    props: java.util.Properties = new java.util.Properties(),
+    lockTimeoutSeconds: Int = 30,
+    lockRetryMillis: Long = 1000L)
   extends TableSink {
 
   require(table.matches("[A-Za-z0-9_]+"), s"unsafe table name: $table")
 
   private val metaTable = s"${table}__meta"
+  private val lockTable = s"${table}__lock"
 
   private def withConn[A](f: java.sql.Connection => A): A = {
     val c = java.sql.DriverManager.getConnection(url, props)
@@ -171,7 +183,72 @@ final class JdbcTableSink(
   def readStaged(stagedName: String): DataFrame =
     spark.read.jdbc(url, stagedName, props)
 
-  def publish(stagedName: String): Unit = withConn { c =>
+  /** Ensure the one-row lock table exists. The row is PRIMARY-KEYed so a
+    * creation race between two publishers cannot seed two claimable rows
+    * (the second INSERT fails on the key and is swallowed). */
+  private def ensureLockTable(c: java.sql.Connection): Unit = {
+    if (!tableExists(c, lockTable))
+      try c.createStatement().executeUpdate(
+        s"CREATE TABLE $lockTable (id INT PRIMARY KEY, " +
+          "owner VARCHAR(128), acquired_at TIMESTAMP)")
+      catch { case _: java.sql.SQLException => /* lost the CREATE race */ }
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $lockTable")
+      val empty = try { rs.next(); rs.getLong(1) == 0 } finally rs.close()
+      if (empty)
+        try st.executeUpdate(s"INSERT INTO $lockTable (id) VALUES (1)")
+        catch { case _: java.sql.SQLException => /* lost the INSERT race */ }
+    } finally st.close()
+  }
+
+  /** Atomic claim: one UPDATE flips the NULL owner to us, or nobody's. */
+  private def tryAcquire(c: java.sql.Connection, owner: String): Boolean = {
+    val ps = c.prepareStatement(
+      s"UPDATE $lockTable SET owner = ?, acquired_at = CURRENT_TIMESTAMP " +
+        "WHERE id = 1 AND owner IS NULL")
+    try { ps.setString(1, owner); ps.executeUpdate() == 1 } finally ps.close()
+  }
+
+  private def lockOwner(c: java.sql.Connection): Option[String] = {
+    val rs = c.createStatement()
+      .executeQuery(s"SELECT owner FROM $lockTable WHERE id = 1")
+    try { if (rs.next()) Option(rs.getString(1)) else None } finally rs.close()
+  }
+
+  /** Acquire the exclusive publish lock with bounded 1 s retries
+    * (`_bde_GetExclusiveLock` semantics, sql:696-762); on timeout the
+    * error names the current owner. Returns the owner token to release. */
+  private def acquireExclusive(): String = {
+    val owner = s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${ProcessHandle.current.pid}:${java.util.UUID.randomUUID.toString.take(8)}"
+    withConn(ensureLockTable)
+    val deadlineNanos = System.nanoTime + lockTimeoutSeconds * 1000L * 1000 * 1000
+    while (!withConn(tryAcquire(_, owner))) {
+      if (System.nanoTime > deadlineNanos) {
+        val holder = withConn(lockOwner).getOrElse("<unknown>")
+        throw new IllegalStateException(
+          s"could not get exclusive lock on $table after ${lockTimeoutSeconds}s: " +
+            s"held by $holder")
+      }
+      Thread.sleep(lockRetryMillis)
+    }
+    owner
+  }
+
+  private def releaseExclusive(owner: String): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      s"UPDATE $lockTable SET owner = NULL, acquired_at = NULL WHERE owner = ?")
+    try { ps.setString(1, owner); ps.executeUpdate(); () } finally ps.close()
+  }
+
+  def publish(stagedName: String): Unit = {
+    val owner = acquireExclusive()
+    try publishLocked(stagedName)
+    finally releaseExclusive(owner)
+  }
+
+  private def publishLocked(stagedName: String): Unit = withConn { c =>
     c.setAutoCommit(false) // the per-dataset transaction
     val st = c.createStatement()
     try {
@@ -183,7 +260,8 @@ final class JdbcTableSink(
       if (!tableExists(c, metaTable))
         st.executeUpdate(s"CREATE TABLE $metaTable (version VARCHAR(128))")
       st.executeUpdate(s"DELETE FROM $metaTable")
-      st.executeUpdate(s"INSERT INTO $metaTable VALUES ('$stagedName')")
+      val ps = c.prepareStatement(s"INSERT INTO $metaTable VALUES (?)")
+      try { ps.setString(1, stagedName); ps.executeUpdate() } finally ps.close()
       st.executeUpdate(s"DROP TABLE $stagedName")
       c.commit()
     } catch {

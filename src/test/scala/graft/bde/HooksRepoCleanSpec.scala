@@ -51,6 +51,64 @@ class HooksSpec extends AnyFunSuite {
   test("event template expansion leaves unknown placeholders") {
     assert(Hooks.expandTemplate("a {id} b {x}", Map("id" -> "1")) == "a 1 b {x}")
   }
+
+  test("EventFirer: expansion, undef defaults, no-id guard, non-fatal failures") {
+    val ran = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+    val firer = new Hooks.EventFirer(
+      Map("start" -> Seq("notify {id} {dataset} {level}"),
+        "start_dataset" -> Seq("a {dataset}", "b {dataset}"),
+        "error" -> Seq("boom {id}")),
+      runner = cmd => if (cmd.startsWith("boom")) (7, "failed out")
+        else (0, s"ok: $cmd"),
+      onResult = (ev, cmd, rv, _) => ran += ((ev, cmd, rv)))
+    firer.fire("start", None) // no upload id → nothing fires (lib:1107-1110)
+    assert(ran.isEmpty)
+    firer.fire("start", Some(42)) // unset dataset/level → literal 'undef'
+    firer.fire("start_dataset", Some(42), Some("ds1"), Some("5"))
+    firer.fire("error", Some(42)) // exit 7 reported, does not throw
+    firer.fire("unknown_event", Some(42)) // unregistered event → no-op
+    assert(ran.toSeq == Seq(
+      ("start", "notify 42 undef undef", 0),
+      ("start_dataset", "a ds1", 0),
+      ("start_dataset", "b ds1", 0),
+      ("error", "boom 42", 7)))
+  }
+
+  test("runShell executes for real: output captured, exit status surfaced") {
+    val (rv, out) = Hooks.runShell("echo hook-ran-$((40+2))")
+    assert(rv == 0)
+    assert(out.contains("hook-ran-42"))
+    val (rvBad, _) = Hooks.runShell("exit 3")
+    assert(rvBad == 3)
+    // stderr is folded into the captured output (qx($cmd 2>&1))
+    val (_, errOut) = Hooks.runShell("echo to-stderr 1>&2")
+    assert(errOut.contains("to-stderr"))
+  }
+
+  test("sqlSlot runs a ;-split SQL block with {id} expansion against JDBC") {
+    val dir = Files.createTempDirectory("derby-slot")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      "CREATE TABLE slot_log (upl INT, step VARCHAR(20))")
+    finally c.close()
+    val slot = Hooks.sqlSlot(url)(
+      """INSERT INTO slot_log VALUES ({id}, 'first');
+        |INSERT INTO slot_log VALUES ({id}, 'second')""".stripMargin)
+    slot("ds-ignored", 9)
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT upl, step FROM slot_log ORDER BY step")
+      val rows = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2))).toList
+      assert(rows == List((9, "first"), (9, "second")))
+    } finally c2.close()
+    // a bad statement names itself in the failure
+    val bad = Hooks.sqlSlot(url)("INSERT INTO nope VALUES (1)")
+    val e = intercept[IllegalStateException](bad("ds", 1))
+    assert(e.getMessage.contains("INSERT INTO nope"))
+  }
 }
 
 class RepoSpec extends SparkSuite {

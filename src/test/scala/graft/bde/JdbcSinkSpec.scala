@@ -35,6 +35,41 @@ class JdbcSinkSpec extends SparkSuite {
     assert(sink.currentVersion.contains("t_jdbc__stg_v2"))
   }
 
+  test("publish takes the exclusive lock: held lock times out with owner; released lock is awaited") {
+    val url = derbyUrl()
+    val fast = new JdbcTableSink(spark, url, "t_lock",
+      lockTimeoutSeconds = 2, lockRetryMillis = 100L)
+    fast.replace(Seq((1, "a")).toDF("id", "v"), "v1") // creates lock table
+    // A contender (another process, in reference terms) holds the lock
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      c.createStatement().executeUpdate(
+        "UPDATE t_lock__lock SET owner = 'other-host:42:deadbeef', " +
+          "acquired_at = CURRENT_TIMESTAMP WHERE id = 1")
+    } finally c.close()
+    val staged = fast.stage(Seq((2, "b")).toDF("id", "v"), "v2")
+    val e = intercept[IllegalStateException](fast.publish(staged))
+    assert(e.getMessage.contains("other-host:42:deadbeef"))
+    assert(fast.read().collect().map(_.getInt(0)).toSeq == Seq(1)) // untouched
+    // Holder releases after ~0.5 s: a patient publisher retries and wins
+    val patient = new JdbcTableSink(spark, url, "t_lock",
+      lockTimeoutSeconds = 30, lockRetryMillis = 100L)
+    val releaser = new Thread(() => {
+      Thread.sleep(500)
+      val c2 = java.sql.DriverManager.getConnection(url)
+      try c2.createStatement().executeUpdate(
+        "UPDATE t_lock__lock SET owner = NULL, acquired_at = NULL WHERE id = 1")
+      finally c2.close()
+    })
+    releaser.start()
+    patient.publish(staged)
+    releaser.join()
+    assert(patient.read().collect().map(_.getInt(0)).toSeq == Seq(2))
+    // and the lock is free again afterwards
+    patient.replace(Seq((3, "c")).toDF("id", "v"), "v3")
+    assert(patient.read().collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("E2E slice through the JDBC sink: same final rows and stats") {
     val st = E2E.stageRepository()
     val sink = new JdbcTableSink(spark, derbyUrl(), "crs_parcel_bndry")

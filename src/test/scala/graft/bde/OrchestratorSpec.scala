@@ -181,6 +181,43 @@ class OrchestratorSpec extends SparkSuite {
     assert(rows.toSeq == Seq((2, "D", "y2"), (3, "C", "z"), (4, "A", "n4")))
   }
 
+  test("event hooks + dataset SQL slots fire in reference order on the real run") {
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    assert(errs.isEmpty)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val fired = scala.collection.mutable.ArrayBuffer[String]()
+    Orchestrator.applyUpdates(spark,
+      Orchestrator.RunConfig(
+        repoRoot = root.resolve("repo").toString,
+        tablesDir = tablesDir, controlDir = controlDir,
+        onDatasetStart = (ds, id) => fired += s"slot_start:$ds:$id",
+        onDatasetEnd = (ds, id) => fired += s"slot_end:$ds:$id",
+        eventHooks = Map(
+          "start" -> Seq("job {id} started"),
+          "start_dataset" -> Seq("begin {dataset} L{level} job {id}"),
+          "finish_dataset" -> Seq("end {dataset}"),
+          "finish" -> Seq("job {id} done"),
+          "error" -> Seq("job {id} crashed")),
+        eventRunner = cmd => { fired += s"sh:$cmd"; (0, "") }),
+      cat, level0 = true, level5 = true, control)
+    val f = fired.toSeq
+    // start first, then per dataset: SQL slot BEFORE the shell event
+    // (beginDataset → FireEvent, BdeUpload.pm:749-751), mirrored at the end
+    assert(f.head == "sh:job 1 started")
+    val ds1 = f.indexOf("slot_start:20200101000000:1")
+    assert(f(ds1 + 1) == "sh:begin 20200101000000 L0 job 1")
+    val e1 = f.indexOf("slot_end:20200101000000:1")
+    assert(f(e1 + 1) == "sh:end 20200101000000")
+    // table-level failures do NOT crash the run: finish fires, error doesn't
+    assert(f.last == "sh:job 1 done")
+    assert(!f.exists(_.contains("crashed")))
+    // every planned dataset fired its pair, in plan order
+    val starts = f.filter(_.startsWith("slot_start:"))
+    assert(starts == starts.sorted && starts.size >= 4)
+  }
+
   test("file-error budget: within budget drops bad rows, breach aborts") {
     val (loaded, aborted) = OrchestratorScenario.runErrorBudget(spark)
     assert(loaded == 3)
