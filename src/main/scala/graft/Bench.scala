@@ -33,6 +33,9 @@ object Bench {
             .linesIterator.next().take(200)
           false
         }
+        // release per-query operator caches (outside the timed window would
+        // hide a real cost — clearing is ~ms and belongs to the query)
+        finally spark.catalog.clearCache()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

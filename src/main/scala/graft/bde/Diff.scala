@@ -169,12 +169,13 @@ object Diff {
       inc: DataFrame,
       actions: DataFrame,
       key: String): DataFrame = {
-    // The action set feeds TWO broadcast key derivations below. Without a
-    // cache, an unevaluated `actions` plan (the full classify pipeline —
-    // itself two scans of the big tables) would execute once per broadcast:
-    // at 100 TB that is two extra full passes over the fact table. The
-    // cached projection is change-set sized (key + 1-char action).
-    val acts = actions.select(col(key), col("action")).cache()
+    // The action set feeds TWO broadcast key derivations below, so callers
+    // with an expensive `actions` lineage (the full classify pipeline is
+    // itself two scans of the big tables) should pass it CACHED — both
+    // Loader paths do, and they unpersist it once the merge is consumed
+    // (caching here instead would leak: this function returns a lazy frame
+    // and never sees the consuming action).
+    val acts = actions.select(col(key), col("action"))
     val removeKeys = acts
       .where(col("action").isin(ActionDelete, ActionUpdate, ActionUniqueShift))
       .select(col(key))

@@ -223,29 +223,33 @@ object Loader {
       .map { case (_, df, _) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
       .reduce(_ unionByName _)
       .cache()
-    def done(s: LoadStats): LoadStats = { inc.unpersist(); s }
+    // P4: this table's change keys (case-insensitive table match), cast to
+    // the table's key type (int/bigint per bde_TableKeyIsValid)
+    val chgKeys = changeTable
+      .where(lower(col("tablename")) === tableName.toLowerCase)
+      .select(col("tablekeyvalue").cast(cur.schema(key).dataType).as(key))
+    // caches live exactly as long as the load: `inc` and the classified
+    // `actions` (consumed by the counts aggregate AND twice by the merge)
+    // both release on every exit path, so a 94-table run never accumulates
+    // storage
+    val actions =
+      Diff.classifyChanges(cur, inc, chgKeys, key, uniqueCols).cache()
+    def done(s: LoadStats): LoadStats = {
+      actions.unpersist(); inc.unpersist(); s
+    }
     if (maxFileErrors.isDefined) {
       // one materializing action = each file scanned exactly once; the
       // malformed observations fire here and the budget gates before any
       // classify/merge work runs
       inc.count()
       try enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
-      catch { case e: Throwable => inc.unpersist(); throw e }
+      catch { case e: Throwable => actions.unpersist(); inc.unpersist(); throw e }
     }
 
-    // P4: this table's change keys (case-insensitive table match), cast to
-    // the table's key type (int/bigint per bde_TableKeyIsValid)
-    val keys = changeTable
-      .where(lower(col("tablename")) === tableName.toLowerCase)
-      .select(col("tablekeyvalue").cast(cur.schema(key).dataType).as(key))
-
     // early exit on zero changes (sql:1713,1771-1773)
-    if (keys.isEmpty)
+    if (chgKeys.isEmpty)
       return done(LoadStats(tableName, 0, 0, 0, 0, aborted = false, "",
         details, warnings))
-
-    val actions =
-      Diff.classifyChanges(cur, inc, keys, key, uniqueCols).cache()
     val counts = actions.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     def n(a: String) = counts.getOrElse(a, 0L)
@@ -302,8 +306,11 @@ object Loader {
     // observations are now final, and nothing is staged yet on breach. The
     // snapshot is NOT cached: at 100 TB caching it would spill a full copy
     // to executor disks.
-    enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
+    try enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
+    catch { case e: Throwable => actions.unpersist(); throw e }
     val staged = sink.stage(Diff.applyActions(cur, next, actions, key), version)
+    // the staged write was the last consumer of the cached diff
+    actions.unpersist()
     val oldCount = cur.count()
     val newCount = sink.readStaged(staged).count()
     val (errBreach, _) = toleranceCheck(oldCount, newCount, tolError, tolWarning)
