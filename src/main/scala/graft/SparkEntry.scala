@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, Repo}
+import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, Repo}
 import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.Streams
@@ -791,6 +791,30 @@ object SparkEntry {
       firer.fire("error", Some(7)) // exit 3 recorded, not fatal
       fired.toSeq.toDF("seq", "event", "command", "exit_status")
         .orderBy(col("seq"))
+    }),
+
+    // Layered configuration: base → -x extension → .test overlay, heredoc
+    // values, {key} interpolation (t/linz_bde_uploader.t:232-314)
+    "x8_config_layering" -> ((s, dir) => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft-cfg")
+      val base = d.resolve("c").toString
+      java.nio.file.Files.writeString(d.resolve("c"),
+        "db_connection dbname=linz_db\nbde_schema bde\n" +
+          "search_sql <<EOT\nSET search_path to {bde_schema}, public\nEOT\n")
+      java.nio.file.Files.writeString(d.resolve("c.ext"),
+        "db_connection dbname=nonexist_override\n")
+      val rows = Seq(
+        ("base", Config.load(base)("db_connection")),
+        ("with_ext", Config.load(base, Some("ext"))("db_connection")),
+        ("interpolated_heredoc", Config.load(base)("search_sql"))) ++ {
+        java.nio.file.Files.writeString(d.resolve("c.test"),
+          "db_connection dbname=the_test_db\n")
+        Seq(
+          ("test_overlay", Config.load(base)("db_connection")),
+          ("test_beats_ext", Config.load(base, Some("ext"))("db_connection")))
+      }
+      rows.toDF("layer", "db_connection").orderBy(col("layer"))
     }),
 
     // ---- §2.9: job lifecycle / locks / purge ---------------------------
@@ -1718,6 +1742,16 @@ object SparkEntry {
           |  (3, 'error', 'alert 7', 3))
           |  t(seq, event, command, exit_status)
           |ORDER BY seq""".stripMargin,
+
+      "x8_config_layering" ->
+        """SELECT * FROM (VALUES
+          |  ('base', 'dbname=linz_db'),
+          |  ('interpolated_heredoc', 'SET search_path to bde, public'),
+          |  ('test_beats_ext', 'dbname=the_test_db'),
+          |  ('test_overlay', 'dbname=the_test_db'),
+          |  ('with_ext', 'dbname=nonexist_override'))
+          |  t(layer, db_connection)
+          |ORDER BY layer""".stripMargin,
 
       "q6_revenue_filter" ->
         """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

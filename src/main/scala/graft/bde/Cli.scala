@@ -1,16 +1,21 @@
 package graft.bde
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /**
  * Flag-compatible driver (`bin/linz_bde_uploader.pl:78-148`): the same
  * option surface, including the reference's implication rules (`-j` implies
- * `-f`; `-r` implies `-f -i`; `-j` with `-r` is rejected).
+ * `-f`; `-r` implies `-f -i`; `-j` with `-r` is rejected) and the layered
+ * configuration stack (base → `-x` extension → `.test` overlay, see
+ * [[Config]]). Command-line flags override configuration values.
  *
  * Usage:
  * {{{
- * graft.bde.Cli -full -config-path conf/ -repository /data/bde \
- *   -tables-dir /data/tables -control-dir /data/control [tables...]
+ * graft.bde.Cli -full -config-path conf/graft.cfg [-x ext] \
+ *   [-repository /data/bde -tables-dir /data/tables -control-dir /data/ctl] \
+ *   [tables...]
  * }}}
  */
 object Cli {
@@ -26,7 +31,11 @@ object Cli {
       removeZombie: Boolean = false,    // -z | -remove-zombie
       overrideLocks: Boolean = false,   // -o | -override-locks
       maintain: Boolean = false,        // -m | -maintain-database
+      enableHooks: Boolean = false,     // -e | -enable-hooks
+      fullTimeout: Option[Double] = None,  // -t | -full-timeout hours
+      incTimeout: Option[Double] = None,   // -u | -inc-timeout hours
       configPath: Option[String] = None,
+      configExtension: Option[String] = None, // -x | -config-extension
       repository: Option[String] = None,
       tablesDir: Option[String] = None,
       controlDir: Option[String] = None,
@@ -44,8 +53,15 @@ object Cli {
       case ("-z" | "-remove-zombie") :: t => loop(t, o.copy(removeZombie = true))
       case ("-o" | "-override-locks") :: t => loop(t, o.copy(overrideLocks = true))
       case ("-m" | "-maintain-database") :: t => loop(t, o.copy(maintain = true))
+      case ("-e" | "-enable-hooks") :: t => loop(t, o.copy(enableHooks = true))
+      case ("-t" | "-full-timeout") :: v :: t =>
+        loop(t, o.copy(fullTimeout = Some(v.toDouble)))
+      case ("-u" | "-inc-timeout") :: v :: t =>
+        loop(t, o.copy(incTimeout = Some(v.toDouble)))
       case ("-b" | "-before") :: v :: t => loop(t, o.copy(before = Some(v)))
       case ("-c" | "-config-path") :: v :: t => loop(t, o.copy(configPath = Some(v)))
+      case ("-x" | "-config-extension") :: v :: t =>
+        loop(t, o.copy(configExtension = Some(v)))
       case "-repository" :: v :: t => loop(t, o.copy(repository = Some(v)))
       case "-tables-dir" :: v :: t => loop(t, o.copy(tablesDir = Some(v)))
       case "-control-dir" :: v :: t => loop(t, o.copy(controlDir = Some(v)))
@@ -62,6 +78,63 @@ object Cli {
     }
   }
 
+  /** Resolve the layered configuration for the given `-config-path`: a FILE
+    * loads base → `-x` extension → `.test` overlay; a DIRECTORY (the
+    * pre-config compatibility mode) contributes only its `tables.conf`
+    * location; absent → all defaults. */
+  def loadConfig(o: Options): Config = o.configPath match {
+    case Some(p) if Files.isDirectory(Paths.get(p)) => new Config(Map.empty, p)
+    case Some(p) => Config.load(p, o.configExtension)
+    case None => new Config(Map.empty, ".")
+  }
+
+  /** tables.conf location: `bde_tables_config` (conf:114, typically
+    * `{_configdir}/tables.conf`) or tables.conf next to the config. */
+  def tablesConfPath(o: Options, conf: Config): String =
+    conf.get("bde_tables_config").filter(_.nonEmpty).getOrElse {
+      val dir = o.configPath.map(p =>
+        if (Files.isDirectory(Paths.get(p))) p
+        else Option(Paths.get(p).toAbsolutePath.getParent)
+          .map(_.toString).getOrElse(".")).getOrElse(".")
+      s"$dir/tables.conf"
+    }
+
+  /** Fold options + config into the orchestrator run config (flags win). */
+  def buildRunConfig(o: Options, conf: Config): Orchestrator.RunConfig = {
+    val hooksEnabled = o.enableHooks || conf.boolean("enable_hooks", false)
+    val eventHooks: Map[String, Seq[String]] =
+      if (!hooksEnabled) Map.empty
+      else Hooks.EventNames
+        .map(ev => ev -> conf.list(s"${ev}_event_hooks"))
+        .filter(_._2.nonEmpty).toMap
+    Orchestrator.RunConfig(
+      repoRoot = o.repository
+        .orElse(conf.get("bde_repository").filter(_.nonEmpty))
+        .getOrElse(sys.error("missing -repository (or bde_repository)")),
+      tablesDir = o.tablesDir
+        .orElse(conf.get("tables_dir").filter(_.nonEmpty))
+        .getOrElse(sys.error("missing -tables-dir (or tables_dir)")),
+      controlDir = o.controlDir
+        .orElse(conf.get("control_dir").filter(_.nonEmpty))
+        .getOrElse(sys.error("missing -control-dir (or control_dir)")),
+      schemaName = conf.getOrElse("bde_schema", "bde"),
+      before = o.before,
+      dryRun = o.dryRun,
+      maxLevel0RuntimeHours = o.fullTimeout
+        .getOrElse(conf.double("max_level0_runtime_hours", 0)),
+      maxLevel5RuntimeHours = o.incTimeout
+        .getOrElse(conf.double("max_level5_runtime_hours", 0)),
+      maxFileErrors =
+        Some(conf.long("max_file_errors", 0)).filter(_ > 0),
+      overrideLocks = o.overrideLocks || conf.boolean("override_locks", false),
+      allowConcurrent = conf.boolean("allow_concurrent_uploads", false),
+      continuityWarnHours =
+        conf.double("level5_starttime_warn_tolerance", 0.5),
+      continuityFailHours =
+        conf.double("level5_starttime_fail_tolerance", 0),
+      eventHooks = eventHooks)
+  }
+
   def main(args: Array[String]): Unit = {
     parseArgs(args.toIndexedSeq) match {
       case Left(err) =>
@@ -75,28 +148,37 @@ object Cli {
           .config("spark.sql.session.timeZone", "UTC")
           .getOrCreate()
         try {
-          val control = new Control(spark,
-            o.controlDir.getOrElse(sys.error("missing -control-dir")))
-          if (o.purge) println(s"purged: ${control.removeOldJobData(7)}")
+          val conf = loadConfig(o)
+          val runCfg = if (o.full || o.incremental) Some(buildRunConfig(o, conf))
+            else None
+          val controlDir = runCfg.map(_.controlDir)
+            .orElse(o.controlDir)
+            .orElse(conf.get("control_dir").filter(_.nonEmpty))
+            .getOrElse(sys.error("missing -control-dir"))
+          val control = new Control(spark, controlDir)
+          if (o.purge) {
+            // PurgeOldJobs (lib/LINZ/BdeUpload.pm:520-532): expire locks by
+            // lock_expiry_hours, drop job rows past job_record_expiry_days
+            val lockExpiry = conf.double("lock_expiry_hours", 0)
+            if (lockExpiry > 0) control.releaseExpiredLocks(lockExpiry)
+            println(s"purged: ${
+              control.removeOldJobData(conf.long("job_record_expiry_days", 7).toInt)}")
+          }
           if (o.removeZombie)
-            println(s"zombies: ${control.releaseExpiredLocks(1.0)}")
-          if (o.full || o.incremental) {
-            val confPath = o.configPath.getOrElse(sys.error("missing -config-path"))
+            println(s"zombies: ${control.releaseExpiredLocks(
+              conf.double("lock_expiry_hours", 1.0))}")
+          runCfg.foreach { rc =>
             val (cat0, errs) = Catalog.parse(
-              scala.io.Source.fromFile(s"$confPath/tables.conf").getLines())
+              scala.io.Source.fromFile(tablesConfPath(o, conf)).getLines())
             require(errs.isEmpty, s"config errors: $errs")
-            val cat = Catalog.select(cat0, include = o.selectTables)
+            val include =
+              if (o.selectTables.nonEmpty) o.selectTables
+              else conf.list("include_tables")
+            val cat = Catalog.select(cat0, include = include)
             // `-j` plans level-0 only where a table's watermark is missing;
             // plain `-f`/`-r` force it (implications already folded above)
             val forceL0 = (o.full || o.rebuild) && !(o.fullIfNeeded && !o.rebuild)
-            val outcomes = Orchestrator.applyUpdates(spark,
-              Orchestrator.RunConfig(
-                repoRoot = o.repository.getOrElse(sys.error("missing -repository")),
-                tablesDir = o.tablesDir.getOrElse(sys.error("missing -tables-dir")),
-                controlDir = o.controlDir.get,
-                before = o.before,
-                dryRun = o.dryRun,
-                overrideLocks = o.overrideLocks),
+            val outcomes = Orchestrator.applyUpdates(spark, rc,
               cat, level0 = forceL0, level5 = o.incremental, control,
               level0IfNeeded = o.fullIfNeeded)
             outcomes.foreach(r => println(

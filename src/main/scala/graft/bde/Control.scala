@@ -359,13 +359,18 @@ object Control {
 
   // ---- timeouts (lib/LINZ/BdeUpload.pm:534-557) -------------------------
 
-  /** Deadline checked between stages; breach cancels the run. */
-  final class JobTimeout(maxHours: Double, now: () => Timestamp) {
+  /** Deadline checked between stages; breach cancels the run. The message
+    * is the reference's SetTimeout message parameter
+    * (lib/LINZ/BdeUpload.pm:534-544). */
+  final class JobTimeout(
+      maxHours: Double,
+      now: () => Timestamp,
+      message: String = "job timeout exceeded") {
     private val deadline: Option[Long] =
       if (maxHours > 0) Some(now().getTime + (maxHours * 3600 * 1000).toLong)
       else None
     def expired: Boolean = deadline.exists(now().getTime > _)
     def check(): Unit =
-      if (expired) throw new RuntimeException("job timeout exceeded")
+      if (expired) throw new RuntimeException(message)
   }
 }

@@ -39,7 +39,13 @@ object Orchestrator {
       schemaName: String = "bde",
       before: Option[String] = None,
       dryRun: Boolean = false,
-      maxRuntimeHours: Double = 0,
+      /** Per-LEVEL runtime caps (`max_level0/5_runtime_hours`,
+        * conf/linz_bde_uploader.conf:148-149; CLI `-full-timeout`/
+        * `-inc-timeout`): the clock RESETS at each dataset and the cap is
+        * picked by the dataset's level (SetTimeout per dataset,
+        * lib/LINZ/BdeUpload.pm:735-744). 0 disables. */
+      maxLevel0RuntimeHours: Double = 0,
+      maxLevel5RuntimeHours: Double = 0,
       /** bde_copy cleansing rules applied to every loaded frame; None =
         * cleanser off (the reference equivalent of bypassing bde_copy). */
       cleanConfig: Option[Clean.CleanConfig] = Some(Clean.CleanConfig()),
@@ -90,8 +96,10 @@ object Orchestrator {
       level0IfNeeded: Boolean = false): Seq[TableOutcome] = {
     val tables = catalog.filterNot(_.levels == Set("C")).sortBy(_.id)
     val changeDef = Catalog.changeTable(catalog)
-    val timeout = new Control.JobTimeout(cfg.maxRuntimeHours,
-      () => new java.sql.Timestamp(System.currentTimeMillis()))
+    val nowFn = () => new java.sql.Timestamp(System.currentTimeMillis())
+    // re-armed per dataset with the level's own cap (SetTimeout semantics,
+    // lib/LINZ/BdeUpload.pm:735-744): each dataset gets a fresh budget
+    var timeout = new Control.JobTimeout(0, nowFn)
     val cleanFn: DataFrame => DataFrame =
       cfg.cleanConfig.map(c => Clean.applyTo(_: DataFrame, c))
         .getOrElse(identity[DataFrame] _)
@@ -139,7 +147,10 @@ object Orchestrator {
     firer.fire("start", Some(uplId))
     try {
       for (p <- plan) {
-        timeout.check()
+        timeout = new Control.JobTimeout(
+          if (p.level == "0") cfg.maxLevel0RuntimeHours
+          else cfg.maxLevel5RuntimeHours,
+          nowFn, s"level ${p.level} updates have timed out")
         // slot first, then the shell event — beginDataset runs the
         // dataset_load_start_sql block before FireEvent('start_dataset')
         // (BdeUpload.pm:749-751); mirrored for the end pair (:806-807)

@@ -1,0 +1,116 @@
+package graft.bde
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layered config stack: base → -x extension → .test overlay, heredoc
+  * values, {key} interpolation (t/linz_bde_uploader.t:232-314,
+  * bin/linz_bde_uploader.pl:385-410). */
+class ConfigSpec extends AnyFunSuite {
+
+  test("parse: key-value, empty values, comments, heredoc blocks") {
+    val cfg = Config.parse(
+      """# comment
+        |application_name LINZ BDE Loader
+        |db_user
+        |db_connect_sql <<EOT
+        |SET client_encoding to UTF8;
+        |SET search_path to {db_schema}, public;
+        |EOT
+        |db_schema bde_control
+        |""".stripMargin.linesIterator)
+    assert(cfg("application_name") == "LINZ BDE Loader")
+    assert(cfg("db_user") == "")
+    assert(cfg("db_schema") == "bde_control")
+    assert(cfg("db_connect_sql") ==
+      "SET client_encoding to UTF8;\nSET search_path to {db_schema}, public;")
+  }
+
+  test("layering: extension overrides base, .test overrides everything") {
+    val dir = Files.createTempDirectory("cfg")
+    val base = dir.resolve("cfg1")
+    Files.writeString(base,
+      "db_connection dbname=linz_db\nbde_schema bde\n")
+    Files.writeString(dir.resolve("cfg1.ext"),
+      "db_connection dbname=nonexist_override\n")
+
+    val baseOnly = Config.load(base.toString)
+    assert(baseOnly("db_connection") == "dbname=linz_db")
+
+    // -x ext overrides the base (t:240-263)
+    val withExt = Config.load(base.toString, Some("ext"))
+    assert(withExt("db_connection") == "dbname=nonexist_override")
+    assert(withExt("bde_schema") == "bde") // non-overridden keys survive
+
+    // .test parses LAST: overrides even the extension (t:266-314)
+    Files.writeString(dir.resolve("cfg1.test"),
+      "db_connection dbname=the_test_db\n")
+    assert(Config.load(base.toString)("db_connection") == "dbname=the_test_db")
+    assert(Config.load(base.toString, Some("ext"))("db_connection")
+      == "dbname=the_test_db")
+
+    // a requested extension must exist; the .test overlay is optional
+    intercept[IllegalArgumentException](Config.load(base.toString, Some("nope")))
+  }
+
+  test("interpolation: {key} refs, {_configdir}, unknown/cyclic left intact") {
+    val dir = Files.createTempDirectory("cfg")
+    val base = dir.resolve("c")
+    Files.writeString(base,
+      """db_schema bde_control
+        |search_sql SET search_path to {db_schema}, {bde_schema}, public
+        |bde_tables_config {_configdir}/tables.conf
+        |loop_a x{loop_b}
+        |loop_b y{loop_a}
+        |""".stripMargin)
+    val cfg = Config.load(base.toString)
+    assert(cfg("search_sql") ==
+      "SET search_path to bde_control, {bde_schema}, public")
+    assert(cfg("bde_tables_config") == s"${dir.toAbsolutePath}/tables.conf")
+    // cycles terminate with the unresolved placeholder verbatim
+    assert(cfg("loop_a") == "xy{loop_a}")
+  }
+
+  test("CLI folds config into the run config; flags win; hooks gated") {
+    val dir = Files.createTempDirectory("cfg")
+    val base = dir.resolve("graft.cfg")
+    Files.writeString(base,
+      """bde_repository /data/repo
+        |tables_dir /data/tables
+        |control_dir /data/ctl
+        |max_level0_runtime_hours 12
+        |max_level5_runtime_hours 2.5
+        |max_file_errors 100
+        |level5_starttime_fail_tolerance 6
+        |enable_hooks 1
+        |start_event_hooks <<EOT
+        |  notify-send start {id}
+        |  logger job-{id}
+        |EOT
+        |finish_event_hooks <<EOT
+        |EOT
+        |""".stripMargin)
+    val Right(o) = Cli.parseArgs(Seq("-full", "-c", base.toString,
+      "-u", "9.5", "-tables-dir", "/override/tables"))
+    val conf = Cli.loadConfig(o)
+    val rc = Cli.buildRunConfig(o, conf)
+    assert(rc.repoRoot == "/data/repo")
+    assert(rc.tablesDir == "/override/tables")       // flag wins
+    assert(rc.controlDir == "/data/ctl")
+    assert(rc.maxLevel0RuntimeHours == 12.0)
+    assert(rc.maxLevel5RuntimeHours == 9.5)          // -u flag wins
+    assert(rc.maxFileErrors.contains(100L))
+    assert(rc.continuityFailHours == 6.0)
+    assert(rc.eventHooks == Map(
+      "start" -> Seq("notify-send start {id}", "logger job-{id}")))
+    // hooks configured but not enabled → empty
+    val Right(o2) = Cli.parseArgs(Seq("-full", "-c", base.toString))
+    assert(o2.enableHooks == false)
+    val noHooks = Files.writeString(dir.resolve("graft.cfg.test"),
+      "enable_hooks 0\n")
+    assert(Cli.buildRunConfig(o2, Cli.loadConfig(o2)).eventHooks.isEmpty)
+    // tables.conf path defaults next to the config file
+    assert(Cli.tablesConfPath(o, conf) == s"${dir.toAbsolutePath}/tables.conf")
+  }
+}

@@ -181,6 +181,31 @@ class OrchestratorSpec extends SparkSuite {
     assert(rows.toSeq == Seq((2, "D", "y2"), (3, "C", "z"), (4, "A", "n4")))
   }
 
+  test("per-level runtime caps: unlimited L0 loads, a tiny L5 cap times out the run") {
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    assert(errs.isEmpty)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val fired = scala.collection.mutable.ArrayBuffer[String]()
+    val e = intercept[RuntimeException] {
+      Orchestrator.applyUpdates(spark,
+        Orchestrator.RunConfig(
+          repoRoot = root.resolve("repo").toString,
+          tablesDir = tablesDir, controlDir = controlDir,
+          maxLevel5RuntimeHours = 1e-9, // expires before the first L5 table
+          eventHooks = Map("error" -> Seq("crash {id}")),
+          eventRunner = cmd => { fired += cmd; (0, "") }),
+        cat, level0 = true, level5 = true, control)
+    }
+    assert(e.getMessage == "level 5 updates have timed out")
+    // the level-0 dataset ran under ITS (unlimited) cap and published
+    assert(new ParquetTableSink(spark, tablesDir, "t_alpha").read().count() > 0)
+    // the escaped exception finished the job E and fired the error event
+    assert(control.upload(1).get.status == Control.StatusError)
+    assert(fired.toSeq == Seq("crash 1"))
+  }
+
   test("event hooks + dataset SQL slots fire in reference order on the real run") {
     val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
     val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
