@@ -115,8 +115,17 @@ object TextOps {
     case 2 => (TokenMod * TokenMod) % HashMod
   }
 
-  /** MinHash signature: array of NumHashes minima over the shingle set. */
+  /** MinHash signature: array of NumHashes minima over the shingle set,
+    * via the native codegen'd [[graft.plans.MinHashExpr]] (all permutation
+    * minima in one traversal). */
   def minHashSignature(shingles: Column, numHashes: Int = NumHashes): Column =
+    bridged(graft.plans.MinHashExpr(expr(shingles),
+      (0 until numHashes).map(hashA), (0 until numHashes).map(hashB), HashMod))
+
+  /** Column-expression reference for [[minHashSignature]], pinned by the
+    * spec — numHashes interpreted `array_min(transform(...))` passes. */
+  private[graft] def minHashSignatureHof(
+      shingles: Column, numHashes: Int = NumHashes): Column =
     array((0 until numHashes).map { j =>
       array_min(transform(shingles, s =>
         (lit(hashA(j)) * s + lit(hashB(j))) % lit(HashMod)))

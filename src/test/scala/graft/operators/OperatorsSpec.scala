@@ -168,6 +168,27 @@ class RpBucketsSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("native MinHashExpr matches the column-expression reference exactly") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 300L).map { i =>
+      (i, Array.fill(rnd.nextInt(40))(rnd.nextLong().abs % TextOps.HashMod))
+    }
+    val df = rows.toDF("id", "shingles")
+    val both = df.select(
+      TextOps.minHashSignature(col("shingles")).as("native"),
+      TextOps.minHashSignatureHof(col("shingles")).as("ref"))
+    assert(both.where(not(col("native") <=> col("ref"))).count() == 0)
+    // empty shingle set → array of null minima in both (NOT a null array)
+    val empty = Seq(Tuple1(Array.empty[Long])).toDF("shingles")
+      .select(
+        TextOps.minHashSignature(col("shingles")).as("n"),
+        TextOps.minHashSignatureHof(col("shingles")).as("r"))
+      .collect().head
+    assert(!empty.isNullAt(0) && !empty.isNullAt(1))
+    assert(empty.getSeq[Any](0) == Seq.fill(TextOps.NumHashes)(null))
+    assert(empty.getSeq[Any](0) == empty.getSeq[Any](1))
+  }
+
   test("native SimHashExpr matches the higher-order-fold reference exactly") {
     val rnd = new scala.util.Random(17)
     val rows = (0L until 300L).map { i =>
