@@ -184,9 +184,17 @@ object Cli {
             outcomes.foreach(r => println(
               f"${r.dataset} L${r.level} ${r.table}%-30s ${r.status}%-8s " +
                 f"I=${r.ninsert} U=${r.nupdate} 0=${r.nnullupdate} D=${r.ndelete} ${r.message}"))
-            // `-m`: storage maintenance after a successful run — a no-op for
-            // parquet versions (the reference VACUUM ANALYSEs PG tables)
-            if (o.maintain) println("maintain: no-op for parquet-backed tables")
+            // `-m`: storage maintenance after the run — the parquet
+            // analogue of VACUUM ANALYSE (BdeDatabase.pm:400-405): prune
+            // superseded version directories of every selected table
+            if (o.maintain) {
+              val pruned = cat.filterNot(_.levels == Set("C")).flatMap { t =>
+                new ParquetTableSink(spark, rc.tablesDir, t.name)
+                  .pruneVersions().map(v => s"${t.name}/$v")
+              }
+              println(s"maintain: pruned ${pruned.size} superseded versions" +
+                (if (pruned.nonEmpty) pruned.mkString(" (", ", ", ")") else ""))
+            }
           }
         } finally spark.stop()
     }

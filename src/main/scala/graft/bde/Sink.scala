@@ -105,6 +105,32 @@ final class ParquetTableSink(
     fs.delete(new Path(tableDir, stagedName), true)
     ()
   }
+
+  /** Storage maintenance — the parquet analogue of the reference's
+    * post-run `VACUUM ANALYSE` (`maintain`, lib/LINZ/BdeDatabase.pm:400-405):
+    * every publish leaves the previous version directory behind (that is
+    * what makes publish an atomic pointer swap), so a daily-load table
+    * accumulates one full copy per load. Deletes all version dirs except
+    * the published one plus the `keepPrevious` most recent others (kept for
+    * in-flight readers that resolved `_CURRENT` just before a swap).
+    * Returns the names removed. */
+  def pruneVersions(keepPrevious: Int = 1): Seq[String] = {
+    require(keepPrevious >= 0)
+    val f = fs
+    if (!f.exists(tableDir)) return Nil
+    val current = currentVersion
+    val versions = f.listStatus(tableDir)
+      .filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getModificationTime))
+      .filter { case (n, _) => n.startsWith("v_") && !current.contains(n) }
+      // newest first; same-second publishes tie-break on the version name,
+      // which for dataset-named versions sorts chronologically
+      .sortBy { case (n, t) => (-t, n) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+    val doomed = versions.drop(keepPrevious).map(_._1)
+    doomed.foreach(n => f.delete(new Path(tableDir, n), true))
+    doomed.toSeq
+  }
 }
 
 /**

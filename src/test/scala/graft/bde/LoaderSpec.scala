@@ -119,6 +119,24 @@ class LoaderSpec extends SparkSuite {
       s"expected a single scan of $fileLines lines, saw ${recordsRead.get} records read")
   }
 
+  test("pruneVersions keeps the published + N previous versions, drops the rest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("prune").toString
+    val sink = new ParquetTableSink(spark, root, "t_pv")
+    (1 to 4).foreach(i =>
+      sink.replace(Seq((i, s"v$i")).toDF("id", "v"), s"2020010${i}000000"))
+    assert(sink.currentVersion.contains("v_20200104000000"))
+    val removed = sink.pruneVersions(keepPrevious = 1)
+    // published + most recent previous survive; the two oldest go
+    assert(removed.toSet == Set("v_20200101000000", "v_20200102000000"))
+    assert(sink.read().collect().map(_.getInt(0)).toSeq == Seq(4))
+    // idempotent: nothing further to prune
+    assert(sink.pruneVersions(keepPrevious = 1).isEmpty)
+    // keepPrevious = 0 removes everything but the published version
+    assert(sink.pruneVersions(keepPrevious = 0) == Seq("v_20200103000000"))
+    assert(sink.read().count() == 1)
+  }
+
   test("level-5 early exit on zero changes for this table") {
     val root = Files.createTempDirectory("l5-empty").toString
     val st = E2E.stageRepository()
