@@ -13,11 +13,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before any timed query: JVM/codegen compilation,
-    // the parquet reader path, and a first shuffle all bill multiple seconds
-    // to whichever query runs first (a1_count_by_action, alphabetically)
-    // and would mis-rank it as a hotspot.
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .groupBy("n_regionkey").count().count()
+    // the parquet reader path, a first shuffle and a first broadcast all
+    // bill multiple seconds to whichever query runs first
+    // (a1_count_by_action, alphabetically) and would mis-rank it as a
+    // hotspot. orders is the table the a*/e2/j* diff queries scan.
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      nation.join(broadcast(nation.select("n_nationkey").limit(5)),
+        Seq("n_nationkey")).count()
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .groupBy("o_orderstatus").count().count()
+    }
     // Failures are recorded explicitly (name -> -1 plus an errors map) so a
     // crashed query can never masquerade as a fast one.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -41,9 +41,13 @@ object TextOps {
   def hashA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % HashMod
   def hashB(j: Int): Long = (12345L + 1013904223L * j) % HashMod
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped. `array_remove` rather than a
+    * `filter` lambda: higher-order functions are CodegenFallback in
+    * Catalyst, and ONE lambda in a projection drops the WHOLE projection
+    * out of whole-stage codegen — this keeps the tokenize→hash→fingerprint
+    * pipeline inside one generated function. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    array_remove(split(text, " "), "")
 
   private def bridged(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
