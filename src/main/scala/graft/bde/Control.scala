@@ -44,40 +44,78 @@ final class Control(
   // durable PG tables, sql/01-bde_control_tables.sql — without this a
   // restart would lose every watermark and replay all level-5 datasets,
   // and the single-active gate / zombie expiry would forget running jobs).
+  // Read directly with parquet-hadoop (`<name>.parquet` files written by
+  // [[save]]); a legacy Spark-written `<name>/` directory is migrated
+  // through spark.read once.
   locally {
-    def tryRead(name: String): Option[Array[org.apache.spark.sql.Row]] = {
+    val conf = hadoopConf
+    def tryRead(name: String): Option[Seq[org.apache.parquet.example.data.Group]] =
+      ControlStore.read(conf, s"$dir/$name.parquet")
+    def legacyRows(name: String): Option[Array[org.apache.spark.sql.Row]] = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None // first run: nothing persisted yet
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
       else Some(spark.read.parquet(p.toString).collect())
     }
-    tryRead("upload").foreach { rows =>
-      uploads = rows.toVector.map(r => UploadRow(
-        r.getAs[Int]("id"), r.getAs[String]("schema_name"),
-        r.getAs[Timestamp]("start_time"), r.getAs[Timestamp]("end_time"),
-        r.getAs[String]("status"))).sortBy(_.id)
+    def str(g: org.apache.parquet.example.data.Group, f: String): String =
+      g.getString(f, 0)
+    def ts(g: org.apache.parquet.example.data.Group, f: String): Timestamp =
+      new Timestamp(g.getLong(f, 0) / 1000L)
+    tryRead("upload") match {
+      case Some(gs) =>
+        uploads = gs.toVector.map(g => UploadRow(
+          g.getInteger("id", 0), str(g, "schema_name"),
+          ts(g, "start_time"), ts(g, "end_time"), str(g, "status")))
+          .sortBy(_.id)
+      case None => legacyRows("upload").foreach { rows =>
+        uploads = rows.toVector.map(r => UploadRow(
+          r.getAs[Int]("id"), r.getAs[String]("schema_name"),
+          r.getAs[Timestamp]("start_time"), r.getAs[Timestamp]("end_time"),
+          r.getAs[String]("status"))).sortBy(_.id)
+      }
     }
-    tryRead("upload_table").foreach { rows =>
-      def opt(i: Int): Option[Int] = if (i < 0) None else Some(i)
-      def optS(s: String): Option[String] = if (s.isEmpty) None else Some(s)
-      uploadTables = rows.toVector.map(r => UploadTableRow(
-        r.getAs[Int]("id"), r.getAs[String]("schema_name"),
-        r.getAs[String]("table_name"),
-        opt(r.getAs[Int]("last_upload_id")),
-        optS(r.getAs[String]("last_upload_dataset")),
-        optS(r.getAs[String]("last_upload_type")),
-        optS(r.getAs[String]("last_level0_dataset")),
-        r.getAs[Boolean]("last_upload_incremental"),
-        r.getAs[String]("last_upload_details"),
-        opt(r.getAs[Int]("upl_id_lock")))).sortBy(_.id)
+    def opt(i: Int): Option[Int] = if (i < 0) None else Some(i)
+    def optS(s: String): Option[String] = if (s.isEmpty) None else Some(s)
+    tryRead("upload_table") match {
+      case Some(gs) =>
+        uploadTables = gs.toVector.map(g => UploadTableRow(
+          g.getInteger("id", 0), str(g, "schema_name"), str(g, "table_name"),
+          opt(g.getInteger("last_upload_id", 0)),
+          optS(str(g, "last_upload_dataset")),
+          optS(str(g, "last_upload_type")),
+          optS(str(g, "last_level0_dataset")),
+          g.getBoolean("last_upload_incremental", 0),
+          str(g, "last_upload_details"),
+          opt(g.getInteger("upl_id_lock", 0)))).sortBy(_.id)
+      case None => legacyRows("upload_table").foreach { rows =>
+        uploadTables = rows.toVector.map(r => UploadTableRow(
+          r.getAs[Int]("id"), r.getAs[String]("schema_name"),
+          r.getAs[String]("table_name"),
+          opt(r.getAs[Int]("last_upload_id")),
+          optS(r.getAs[String]("last_upload_dataset")),
+          optS(r.getAs[String]("last_upload_type")),
+          optS(r.getAs[String]("last_level0_dataset")),
+          r.getAs[Boolean]("last_upload_incremental"),
+          r.getAs[String]("last_upload_details"),
+          opt(r.getAs[Int]("upl_id_lock")))).sortBy(_.id)
+      }
     }
-    tryRead("upload_stats").foreach { rows =>
-      stats = rows.toVector.map(r => UploadStatsRow(
-        r.getAs[Int]("id"), r.getAs[Int]("upl_id"), r.getAs[Int]("tbl_id"),
-        r.getAs[String]("dataset"), r.getAs[String]("type"),
-        r.getAs[Boolean]("incremental"), r.getAs[Long]("ninsert"),
-        r.getAs[Long]("nupdate"), r.getAs[Long]("nnullupdate"),
-        r.getAs[Long]("ndelete"))).sortBy(_.id)
+    tryRead("upload_stats") match {
+      case Some(gs) =>
+        stats = gs.toVector.map(g => UploadStatsRow(
+          g.getInteger("id", 0), g.getInteger("upl_id", 0),
+          g.getInteger("tbl_id", 0), str(g, "dataset"), str(g, "type"),
+          g.getBoolean("incremental", 0), g.getLong("ninsert", 0),
+          g.getLong("nupdate", 0), g.getLong("nnullupdate", 0),
+          g.getLong("ndelete", 0))).sortBy(_.id)
+      case None => legacyRows("upload_stats").foreach { rows =>
+        stats = rows.toVector.map(r => UploadStatsRow(
+          r.getAs[Int]("id"), r.getAs[Int]("upl_id"), r.getAs[Int]("tbl_id"),
+          r.getAs[String]("dataset"), r.getAs[String]("type"),
+          r.getAs[Boolean]("incremental"), r.getAs[Long]("ninsert"),
+          r.getAs[Long]("nupdate"), r.getAs[Long]("nnullupdate"),
+          r.getAs[Long]("ndelete"))).sortBy(_.id)
+      }
     }
     nextUploadId = uploads.map(_.id).maxOption.getOrElse(0) + 1
     nextTableId = uploadTables.map(_.id).maxOption.getOrElse(0) + 1
@@ -267,26 +305,28 @@ final class Control(
   def statRecords: Seq[UploadStatsRow] = stats
   def uploadTableRecords: Seq[UploadTableRow] = uploadTables
 
-  /** Persist ONLY the mutated control tables (parquet overwrite —
-    * metadata-sized, a few KB). One parquet job per mutated table instead
-    * of three per mutation: at 94 tables × N datasets that is thousands of
-    * Spark jobs saved per run. The persisted upload frame carries the
+  /** Persist ONLY the mutated control tables. Written DIRECTLY by the
+    * driver via parquet-hadoop (`ExampleParquetWriter`) and swapped in with
+    * one atomic OVERWRITE rename — a control mutation is a ~ms file write,
+    * never a scheduled Spark job (the old `toDF.coalesce(1).write` path
+    * cost a full job per mutation: thousands of cluster round-trips across
+    * a 94-table run, and a crash mid-`mode("overwrite")` could leave no
+    * control state at all). The persisted upload file carries the
     * start/end timestamps the 3-column [[uploadsDf]] view omits, so a
     * restarted process recovers heartbeats for zombie expiry. */
   private def save(
       doUploads: Boolean = false,
       doTables: Boolean = false,
       doStats: Boolean = false): Unit = {
-    import spark.implicits._
-    if (doUploads)
-      uploads.map(u => (u.id, u.schemaName, u.status, u.startTime, u.endTime))
-        .toDF("id", "schema_name", "status", "start_time", "end_time")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/upload")
-    if (doTables)
-      uploadTablesDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/upload_table")
-    if (doStats)
-      statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/upload_stats")
+    if (doUploads) ControlStore.write(hadoopConf, s"$dir/upload.parquet",
+      ControlStore.UploadSchema, uploads)(ControlStore.uploadGroup)
+    if (doTables) ControlStore.write(hadoopConf, s"$dir/upload_table.parquet",
+      ControlStore.TableSchema, uploadTables)(ControlStore.tableGroup)
+    if (doStats) ControlStore.write(hadoopConf, s"$dir/upload_stats.parquet",
+      ControlStore.StatsSchema, stats)(ControlStore.statsGroup)
   }
+
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
 }
 
 object Control {
@@ -372,5 +412,142 @@ object Control {
     def expired: Boolean = deadline.exists(now().getTime > _)
     def check(): Unit =
       if (expired) throw new RuntimeException(message)
+  }
+}
+
+/**
+ * Direct driver-side parquet I/O for the three control tables: a control
+ * mutation is a metadata write of a few KB, so it uses parquet-hadoop's
+ * example writer in-process (≈1 ms) with an atomic OVERWRITE rename,
+ * instead of scheduling a Spark job. Schemas use INT64 TIMESTAMP(MICROS)
+ * and the same sentinel encodings (-1 / "") as the DataFrame views.
+ */
+private[bde] object ControlStore {
+
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileContext, Options, Path}
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+  import Control._
+
+  val UploadSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message upload {
+      |  required int32 id;
+      |  required binary schema_name (STRING);
+      |  required binary status (STRING);
+      |  required int64 start_time (TIMESTAMP(MICROS,true));
+      |  required int64 end_time (TIMESTAMP(MICROS,true));
+      |}""".stripMargin)
+
+  val TableSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message upload_table {
+      |  required int32 id;
+      |  required binary schema_name (STRING);
+      |  required binary table_name (STRING);
+      |  required int32 last_upload_id;
+      |  required binary last_upload_dataset (STRING);
+      |  required binary last_upload_type (STRING);
+      |  required binary last_level0_dataset (STRING);
+      |  required boolean last_upload_incremental;
+      |  required binary last_upload_details (STRING);
+      |  required int32 upl_id_lock;
+      |}""".stripMargin)
+
+  val StatsSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message upload_stats {
+      |  required int32 id;
+      |  required int32 upl_id;
+      |  required int32 tbl_id;
+      |  required binary dataset (STRING);
+      |  required binary type (STRING);
+      |  required boolean incremental;
+      |  required int64 ninsert;
+      |  required int64 nupdate;
+      |  required int64 nnullupdate;
+      |  required int64 ndelete;
+      |}""".stripMargin)
+
+  private def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
+
+  def uploadGroup(schema: MessageType, u: UploadRow): Group = {
+    val g = new SimpleGroup(schema)
+    g.add("id", u.id)
+    g.add("schema_name", u.schemaName)
+    g.add("status", u.status)
+    g.add("start_time", micros(u.startTime))
+    g.add("end_time", micros(u.endTime))
+    g
+  }
+
+  def tableGroup(schema: MessageType, t: UploadTableRow): Group = {
+    val g = new SimpleGroup(schema)
+    g.add("id", t.id)
+    g.add("schema_name", t.schemaName)
+    g.add("table_name", t.tableName)
+    g.add("last_upload_id", t.lastUploadId.getOrElse(-1))
+    g.add("last_upload_dataset", t.lastUploadDataset.getOrElse(""))
+    g.add("last_upload_type", t.lastUploadType.getOrElse(""))
+    g.add("last_level0_dataset", t.lastLevel0Dataset.getOrElse(""))
+    g.add("last_upload_incremental", t.incremental)
+    g.add("last_upload_details", t.lastUploadDetails)
+    g.add("upl_id_lock", t.uplIdLock.getOrElse(-1))
+    g
+  }
+
+  def statsGroup(schema: MessageType, s: UploadStatsRow): Group = {
+    val g = new SimpleGroup(schema)
+    g.add("id", s.id)
+    g.add("upl_id", s.uplId)
+    g.add("tbl_id", s.tblId)
+    g.add("dataset", s.dataset)
+    g.add("type", s.level)
+    g.add("incremental", s.incremental)
+    g.add("ninsert", s.ninsert)
+    g.add("nupdate", s.nupdate)
+    g.add("nnullupdate", s.nnullupdate)
+    g.add("ndelete", s.ndelete)
+    g
+  }
+
+  /** Write rows to `<path>.tmp`, then one atomic OVERWRITE rename — a
+    * reader (or a crash) never observes a partial control table. */
+  def write[T](
+      conf: Configuration,
+      path: String,
+      schema: MessageType,
+      rows: Seq[T])(mk: (MessageType, T) => Group): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val qTarget = fs.makeQualified(target)
+    val tmp = new Path(qTarget.getParent, qTarget.getName + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    fs.mkdirs(qTarget.getParent)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(tmp, conf))
+      .withType(schema)
+      .build()
+    try rows.foreach(r => writer.write(mk(schema, r)))
+    finally writer.close()
+    val fc = FileContext.getFileContext(qTarget.toUri, conf)
+    fc.rename(tmp, qTarget, Options.Rename.OVERWRITE)
+  }
+
+  /** Read all groups of one control file; None when it does not exist. */
+  def read(conf: Configuration, path: String): Option[Seq[Group]] = {
+    val p = new Path(path)
+    if (!p.getFileSystem(conf).exists(p)) return None
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
+    try {
+      val out = Vector.newBuilder[Group]
+      var g = reader.read()
+      while (g != null) { out += g; g = reader.read() }
+      Some(out.result())
+    } finally reader.close()
   }
 }
