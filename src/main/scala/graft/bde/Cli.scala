@@ -132,7 +132,8 @@ object Cli {
         conf.double("level5_starttime_warn_tolerance", 0.5),
       continuityFailHours =
         conf.double("level5_starttime_fail_tolerance", 0),
-      eventHooks = eventHooks)
+      eventHooks = eventHooks,
+      parallelTables = conf.long("parallel_tables", 1).toInt)
   }
 
   def main(args: Array[String]): Unit = {

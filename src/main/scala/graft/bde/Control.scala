@@ -126,7 +126,7 @@ final class Control(
 
   /** `bde_CreateUpload` + the single-active-job gate
     * (lib/LINZ/BdeDatabase.pm:377-392): refuse while any job is active. */
-  def createUpload(schemaName: String, allowConcurrent: Boolean = false): Either[String, Int] = {
+  def createUpload(schemaName: String, allowConcurrent: Boolean = false): Either[String, Int] = synchronized {
     if (!allowConcurrent && uploads.exists(_.status == StatusActive))
       Left(s"upload already in progress (ids ${uploads.filter(_.status == StatusActive).map(_.id).mkString(",")})")
     else {
@@ -140,7 +140,7 @@ final class Control(
 
   /** `bde_FinishUpload` (sql:308-340): C on success, E on error; releases
     * the job's table locks (`_bde_ReleaseLocks`, sql:372-410). */
-  def finishUpload(id: Int, ok: Boolean): Unit = {
+  def finishUpload(id: Int, ok: Boolean): Unit = synchronized {
     uploads = uploads.map(u =>
       if (u.id == id) u.copy(status = if (ok) StatusComplete else StatusError,
         endTime = now())
@@ -151,20 +151,20 @@ final class Control(
   }
 
   /** `_bde_RefreshLock` heartbeat (sql:346-366): bump end_time while alive. */
-  def heartbeat(id: Int): Unit = {
+  def heartbeat(id: Int): Unit = synchronized {
     uploads = uploads.map(u => if (u.id == id) u.copy(endTime = now()) else u)
     save(doUploads = true)
   }
 
-  def upload(id: Int): Option[UploadRow] = uploads.find(_.id == id)
+  def upload(id: Int): Option[UploadRow] = synchronized(uploads.find(_.id == id))
 
   /** A3 — any-active existence aggregate (`bde_anyUploadIsActive`). */
-  def anyUploadActive: Boolean = uploads.exists(_.status == StatusActive)
+  def anyUploadActive: Boolean = synchronized(uploads.exists(_.status == StatusActive))
 
   // ---- per-table locks (sql:539-567,592-691) ----------------------------
 
   /** `_bde_LockTable`; `force` = the `-override-locks` steal path. */
-  def lockTable(uplId: Int, tableName: String, force: Boolean = false): Boolean = {
+  def lockTable(uplId: Int, tableName: String, force: Boolean = false): Boolean = synchronized {
     val t = tableRow(uploads.find(_.id == uplId).map(_.schemaName).getOrElse(""), tableName)
     t.uplIdLock match {
       case Some(owner) if owner != uplId && !force => false
@@ -175,7 +175,7 @@ final class Control(
     }
   }
 
-  def unlockTable(uplId: Int, tableName: String): Unit = {
+  def unlockTable(uplId: Int, tableName: String): Unit = synchronized {
     uploadTables = uploadTables.map(r =>
       if (r.tableName == tableName.toLowerCase && r.uplIdLock.contains(uplId))
         r.copy(uplIdLock = None)
@@ -183,16 +183,16 @@ final class Control(
     save(doTables = true)
   }
 
-  def haveTableLock(uplId: Int, tableName: String): Boolean =
+  def haveTableLock(uplId: Int, tableName: String): Boolean = synchronized(
     uploadTables.exists(r =>
-      r.tableName == tableName.toLowerCase && r.uplIdLock.contains(uplId))
+      r.tableName == tableName.toLowerCase && r.uplIdLock.contains(uplId)))
 
   // ---- zombie / purge (sql:165-256, 415-435) ----------------------------
 
   /** `bde_ReleaseExpiredLocks`: an active job whose heartbeat is older than
     * `expiryHours` is a zombie — mark it E and free its locks. Returns the
     * expired ids. */
-  def releaseExpiredLocks(expiryHours: Double): Seq[Int] = {
+  def releaseExpiredLocks(expiryHours: Double): Seq[Int] = synchronized {
     val cutoff = now().getTime - (expiryHours * 3600 * 1000).toLong
     val zombies = uploads.filter(u =>
       u.status == StatusActive && u.endTime.getTime < cutoff).map(_.id)
@@ -208,7 +208,7 @@ final class Control(
 
   /** `bde_RemoveOldJobData` (sql:217-256): purge finished jobs older than
     * `expiryDays` that no watermark references, with their stats. */
-  def removeOldJobData(expiryDays: Int): Seq[Int] = {
+  def removeOldJobData(expiryDays: Int): Seq[Int] = synchronized {
     val cutoff = now().getTime - expiryDays.toLong * 24 * 3600 * 1000
     val referenced = uploadTables.flatMap(_.lastUploadId).toSet
     val victims = uploads.filter(u =>
@@ -225,7 +225,7 @@ final class Control(
   // ---- watermarks + stats (S7; sql:975-1071) ----------------------------
 
   /** Get-or-create the `upload_table` row (`bde_GetOrCreateUploadTable`). */
-  def tableRow(schemaName: String, tableName: String): UploadTableRow = {
+  def tableRow(schemaName: String, tableName: String): UploadTableRow = synchronized {
     val key = tableName.toLowerCase
     uploadTables.find(t => t.tableName == key && t.schemaName == schemaName)
       .getOrElse {
@@ -251,7 +251,7 @@ final class Control(
       ninsert: Long,
       nupdate: Long,
       nnullupdate: Long,
-      ndelete: Long): Unit = {
+      ndelete: Long): Unit = synchronized {
     val t = tableRow(schemaName, tableName)
     uploadTables = uploadTables.map(r =>
       if (r.id == t.id)
@@ -272,8 +272,8 @@ final class Control(
 
   /** Last-upload lookup for the continuity check (lib:944-958). */
   def lastUpload(schemaName: String, tableName: String): Option[UploadTableRow] =
-    uploadTables.find(t =>
-      t.tableName == tableName.toLowerCase && t.schemaName == schemaName)
+    synchronized(uploadTables.find(t =>
+      t.tableName == tableName.toLowerCase && t.schemaName == schemaName))
 
   // ---- DataFrame views (what the reference exposes as control tables) ---
 
@@ -302,8 +302,8 @@ final class Control(
         "ninsert", "nupdate", "nnullupdate", "ndelete")
   }
 
-  def statRecords: Seq[UploadStatsRow] = stats
-  def uploadTableRecords: Seq[UploadTableRow] = uploadTables
+  def statRecords: Seq[UploadStatsRow] = synchronized(stats)
+  def uploadTableRecords: Seq[UploadTableRow] = synchronized(uploadTables)
 
   /** Persist ONLY the mutated control tables. Written DIRECTLY by the
     * driver via parquet-hadoop (`ExampleParquetWriter`) and swapped in with

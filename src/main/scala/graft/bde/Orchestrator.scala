@@ -77,7 +77,14 @@ object Orchestrator {
         * `onEventResult`, never fatal. */
       eventHooks: Map[String, Seq[String]] = Map.empty,
       eventRunner: String => (Int, String) = Hooks.runShell,
-      onEventResult: (String, String, Int, String) => Unit = (_, _, _, _) => ())
+      onEventResult: (String, String, Int, String) => Unit = (_, _, _, _) => (),
+      /** Tables within one dataset loading CONCURRENTLY (`parallel_tables`
+        * config; default 1 = the reference's sequential per-table loop,
+        * lib/LINZ/BdeUpload.pm:787-802). Independent tables write disjoint
+        * sinks and the control layer is synchronized, so on a cluster N
+        * concurrent Spark jobs keep executors busy while a table's small
+        * control I/O runs. Outcomes stay in catalog order regardless. */
+      parallelTables: Int = 1)
 
   final case class TableOutcome(
       dataset: String, level: String, table: String, status: String, // loaded|skipped|failed|dry-run
@@ -174,16 +181,17 @@ object Orchestrator {
                 .map(f => BdeFormat.readFile(spark, s"${p.path}/$f.crs"))
                 .reduce(_ unionByName _))
             else None
-          for (t <- tables if t.appliesToLevel(p.level)) {
+          def processTable(t: Catalog.TableDef): TableOutcome = {
             timeout.check()
             val skipReason =
-              if (failed.contains(t.name)) Some("skipped after earlier failure")
+              if (failed.synchronized(failed.contains(t.name)))
+                Some("skipped after earlier failure")
               else if (!control.lockTable(uplId, t.name, force = cfg.overrideLocks))
                 Some("table locked")
               else None
             skipReason match {
               case Some(reason) =>
-                outcomes += TableOutcome(p.dataset, p.level, t.name, "skipped",
+                TableOutcome(p.dataset, p.level, t.name, "skipped",
                   0, 0, 0, 0, reason)
               case None =>
                 try {
@@ -241,18 +249,41 @@ object Orchestrator {
                         s.ninsert, s.nupdate, s.nnullupdate, s.ndelete)
                       s
                     }
-                  outcomes += TableOutcome(p.dataset, p.level, t.name, "loaded",
+                  TableOutcome(p.dataset, p.level, t.name, "loaded",
                     stats.ninsert, stats.nupdate, stats.nnullupdate,
                     stats.ndelete, stats.warnings.mkString("; "))
                 } catch {
                   case e: Exception =>
-                    failed += t.name
-                    outcomes += TableOutcome(p.dataset, p.level, t.name,
+                    failed.synchronized(failed += t.name)
+                    TableOutcome(p.dataset, p.level, t.name,
                       "failed", 0, 0, 0, 0,
                       Option(e.getMessage).getOrElse(e.getClass.getName))
                 }
             }
           }
+          val levelTables = tables.filter(_.appliesToLevel(p.level))
+          // `parallel_tables` > 1: independent tables of the dataset load as
+          // concurrent Spark jobs (disjoint sinks; synchronized control).
+          // Table-level failures are already folded into the outcome, so a
+          // failed future can only be a run-level abort (timeout, missing
+          // level-0) — rethrown after the pool drains, exactly as the
+          // sequential loop would have thrown it. Outcomes keep catalog
+          // order either way.
+          outcomes ++= (
+            if (cfg.parallelTables <= 1 || levelTables.size <= 1)
+              levelTables.map(processTable)
+            else {
+              import scala.concurrent.{Await, ExecutionContext, Future}
+              import scala.concurrent.duration.Duration
+              val pool = java.util.concurrent.Executors
+                .newFixedThreadPool(cfg.parallelTables)
+              implicit val ec: ExecutionContext =
+                ExecutionContext.fromExecutor(pool)
+              try Await.result(
+                Future.sequence(levelTables.map(t => Future(processTable(t)))),
+                Duration.Inf)
+              finally pool.shutdown()
+            })
         }
         // one heartbeat per dataset, not per table — the reference refreshes
         // its lock per long op; per-table writes here were pure overhead

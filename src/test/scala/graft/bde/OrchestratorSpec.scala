@@ -181,6 +181,24 @@ class OrchestratorSpec extends SparkSuite {
     assert(rows.toSeq == Seq((2, "D", "y2"), (3, "C", "z"), (4, "A", "n4")))
   }
 
+  test("parallel_tables loads a dataset's tables concurrently with identical outcomes") {
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    assert(errs.isEmpty)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val parallel = Orchestrator.applyUpdates(spark,
+      Orchestrator.RunConfig(
+        repoRoot = root.resolve("repo").toString,
+        tablesDir = tablesDir, controlDir = controlDir,
+        parallelTables = 2),
+      cat, level0 = true, level5 = true, control)
+    // byte-identical outcome list vs the sequential scenario (same order,
+    // same stats, same error-skip decisions)
+    val sequential = OrchestratorScenario.run(spark).outcomes
+    assert(parallel == sequential)
+  }
+
   test("per-level runtime caps: unlimited L0 loads, a tiny L5 cap times out the run") {
     val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
     val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
