@@ -547,6 +547,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "embed_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
@@ -1402,6 +1411,39 @@ object SparkEntry {
            |        JOIN embeddings c ON c.vec_id <> q.vec_id
            |        WHERE q.vec_id < 8))
            |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin,
+
+      "ann_ivf_topk" ->
+        s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
+           |               FROM embeddings ORDER BY vec_id LIMIT 16),
+           |assigned AS (
+           |  SELECT cid, cv, cluster FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS cv,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM embeddings e, seeds s)
+           |  WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, qvec, cluster FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("q.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM embeddings q, seeds s WHERE q.vec_id < 8)
+           |  WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.query_id, a.cid AS neighbor_id,
+           |         ${VectorOpsSql.cosine("p.qvec", "a.cv")} AS cos
+           |  FROM probes p JOIN assigned a USING (cluster)
+           |  WHERE a.cid <> p.query_id)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored) WHERE rn <= 5
+           |ORDER BY query_id, neighbor_id""".stripMargin,
 
       "ann_lsh_pairs" -> {
         val tables = (0 until 4).map(tbl =>

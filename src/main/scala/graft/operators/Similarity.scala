@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,75 @@ object Similarity {
       .select(
         col("query_id"),
         col("nb._2").as("neighbor_id"),
+        col("nb._1").as("cosine"))
+  }
+
+  /**
+   * IVF-style cluster-pruned top-k: the inverted-file ANN shape. The corpus
+   * partitions into `nlist` lists by nearest seed centroid; a query probes
+   * only its `nprobe` nearest lists and runs exact cosine top-k within
+   * those candidates — per query, `~nprobe/nlist` of the corpus is scanned
+   * instead of all of it.
+   *
+   * Centroids are DETERMINISTIC seeds (the `nlist` lowest-id corpus
+   * vectors) rather than trained k-means: the partitioner quality is lower,
+   * but every step is a reproducible relational plan (the DuckDB oracle
+   * verifies it end-to-end, which trained centroids with RNG could not).
+   *
+   * Scale: seeds broadcast (nlist rows); assignment is one map-side pass
+   * over the corpus (nlist native-cosine evals per row, no shuffle); at
+   * rest the assigned corpus would be WRITTEN partitioned by `cluster` so
+   * a probe prunes to nprobe partitions — the candidate join here shuffles
+   * by cluster id, the moral equivalent. Ranking reuses the bounded
+   * [[bruteForceTopK]] top-k aggregation, so only k rows per
+   * (query, partition) cross the final shuffle.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    // The seed centroids are driver-bounded (nlist rows) — collecting them
+    // IS the broadcast, and baking them in as literals makes both the
+    // corpus assignment and the query probing MAP-SIDE passes: nlist
+    // native-cosine evals per row against constant vectors, zero shuffle.
+    // (A trained-k-means variant would swap better centroids in here; the
+    // relational shape is identical.)
+    val seedRows = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // (cosine, -centroid_id) structs: ascending struct order + reverse =
+    // cosine DESC with ties on the LOWEST centroid id — a total order
+    def seedStructs(vec: Column) = seedRows.map { case (cid, cvec) =>
+      struct(VectorOps.cosine(vec, typedLit(cvec)).as("c"),
+        lit(-cid).as("nid"))
+    }
+    def nearest(vec: Column, n: Int): Column =
+      slice(reverse(array_sort(array(seedStructs(vec): _*))), 1, n)
+    val assigned = corpus.select(
+      col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+      (-nearest(col(vecCol), 1).getItem(0).getField("nid")).as("cluster"))
+    val probes = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"),
+      explode(nearest(col(vecCol), nprobe)).as("pr"))
+      .select(col("query_id"), col("qvec"), (-col("pr.nid")).as("cluster"))
+    // candidates co-locate on the cluster id — the only shuffles in the
+    // plan are this join and the bounded top-k aggregation; at rest the
+    // assigned corpus would be written partitioned by `cluster`, making
+    // the probe a partition-pruned scan
+    val scored = probes.join(assigned, Seq("cluster"))
+      .where(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        VectorOps.cosine(col("qvec"), col("cv")).as("cosine"))
+    val topk = udaf(new TopKAgg(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), explode(col("topk.items")).as("nb"))
+      .select(col("query_id"), col("nb._2").as("neighbor_id"),
         col("nb._1").as("cosine"))
   }
 

@@ -127,6 +127,27 @@ class SimilaritySpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("ivfTopK: probes prune to cluster candidates; full-probe equals brute force") {
+    val rnd = new scala.util.Random(31)
+    val data = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = data.where(col("vec_id") < 4)
+    // nprobe == nlist degenerates to exact search: must equal brute force
+    val full = Similarity.ivfTopK(data, queries, "vec_id", "embedding",
+      k = 3, nlist = 6, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+    // pruned probing returns ≤ k unique neighbors per query, none the query
+    val pruned = Similarity.ivfTopK(data, queries, "vec_id", "embedding",
+      k = 3, nlist = 6, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.groupBy(_._1).values.forall(g =>
+      g.length <= 3 && g.distinct.length == g.length))
+    assert(pruned.forall { case (q, n) => q != n })
+  }
+
   test("SRP-LSH pairs: identical vectors always collide; verified by cosine") {
     val out = Similarity.lshNeighborPairs(vecs, "vec_id", "embedding",
       bits = 8, minCosine = 0.9, numTables = 2)
