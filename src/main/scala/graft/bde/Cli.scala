@@ -181,7 +181,8 @@ object Cli {
             val forceL0 = (o.full || o.rebuild) && !(o.fullIfNeeded && !o.rebuild)
             val outcomes = Orchestrator.applyUpdates(spark, rc,
               cat, level0 = forceL0, level5 = o.incremental, control,
-              level0IfNeeded = o.fullIfNeeded)
+              level0IfNeeded = o.fullIfNeeded,
+              rebuild = o.rebuild || conf.boolean("rebuild", false))
             outcomes.foreach(r => println(
               f"${r.dataset} L${r.level} ${r.table}%-30s ${r.status}%-8s " +
                 f"I=${r.ninsert} U=${r.nupdate} 0=${r.nnullupdate} D=${r.ndelete} ${r.message}"))

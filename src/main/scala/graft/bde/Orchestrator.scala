@@ -100,7 +100,8 @@ object Orchestrator {
       level0: Boolean,
       level5: Boolean,
       control: Control,
-      level0IfNeeded: Boolean = false): Seq[TableOutcome] = {
+      level0IfNeeded: Boolean = false,
+      rebuild: Boolean = false): Seq[TableOutcome] = {
     val tables = catalog.filterNot(_.levels == Set("C")).sortBy(_.id)
     val changeDef = Catalog.changeTable(catalog)
     val nowFn = () => new java.sql.Timestamp(System.currentTimeMillis())
@@ -126,13 +127,19 @@ object Orchestrator {
         control.lastUpload(cfg.schemaName, t.name).flatMap(pick))
       if (ws.size < tables.size) None else Some(ws.min)
     }
+    // `-r` rebuild (lib/LINZ/BdeUpload.pm:631-648,663-676): reload the
+    // latest level-0 REGARDLESS of its watermark, and replay level 5 from
+    // the dataset being reloaded rather than the persisted watermark
     val l0Plan = if (effLevel0)
       Repo.planLevel0(spark, cfg.repoRoot, catalog,
-        watermark(_.lastLevel0Dataset), cfg.before).toSeq
+        if (rebuild) None else watermark(_.lastLevel0Dataset),
+        cfg.before).toSeq
     else Nil
+    val l5Watermark =
+      if (rebuild && l0Plan.nonEmpty) Some(l0Plan.map(_.dataset).max)
+      else watermark(_.lastUploadDataset)
     val l5Plan = if (level5)
-      Repo.planLevel5(spark, cfg.repoRoot, catalog,
-        watermark(_.lastUploadDataset), cfg.before)
+      Repo.planLevel5(spark, cfg.repoRoot, catalog, l5Watermark, cfg.before)
     else Nil
     val plan = l0Plan ++ l5Plan
 
@@ -181,15 +188,29 @@ object Orchestrator {
                 .map(f => BdeFormat.readFile(spark, s"${p.path}/$f.crs"))
                 .reduce(_ unionByName _))
             else None
-          def processTable(t: Catalog.TableDef): TableOutcome = {
+          def processTable(t: Catalog.TableDef): Option[TableOutcome] = {
             timeout.check()
+            // the shared dataset sequence is the floor across tables; each
+            // table re-checks its OWN watermark here, so a table whose
+            // chain is already past this dataset is not touched (the
+            // reference plans per table: `$lastl0 lt $dataset->name`
+            // lib:648, `repository->after($lastl5)` lib:685) — except
+            // under -r rebuild, which replays regardless
+            val upToDate = !rebuild && {
+              val wm = control.lastUpload(cfg.schemaName, t.name)
+              val own =
+                if (p.level == "0") wm.flatMap(_.lastLevel0Dataset)
+                else wm.flatMap(_.lastUploadDataset)
+              own.exists(_ >= p.dataset)
+            }
+            if (upToDate) return None
             val skipReason =
               if (failed.synchronized(failed.contains(t.name)))
                 Some("skipped after earlier failure")
               else if (!control.lockTable(uplId, t.name, force = cfg.overrideLocks))
                 Some("table locked")
               else None
-            skipReason match {
+            Some(skipReason match {
               case Some(reason) =>
                 TableOutcome(p.dataset, p.level, t.name, "skipped",
                   0, 0, 0, 0, reason)
@@ -259,7 +280,7 @@ object Orchestrator {
                       "failed", 0, 0, 0, 0,
                       Option(e.getMessage).getOrElse(e.getClass.getName))
                 }
-            }
+            })
           }
           val levelTables = tables.filter(_.appliesToLevel(p.level))
           // `parallel_tables` > 1: independent tables of the dataset load as
@@ -271,7 +292,7 @@ object Orchestrator {
           // order either way.
           outcomes ++= (
             if (cfg.parallelTables <= 1 || levelTables.size <= 1)
-              levelTables.map(processTable)
+              levelTables.flatMap(processTable)
             else {
               import scala.concurrent.{Await, ExecutionContext, Future}
               import scala.concurrent.duration.Duration
@@ -281,7 +302,7 @@ object Orchestrator {
                 ExecutionContext.fromExecutor(pool)
               try Await.result(
                 Future.sequence(levelTables.map(t => Future(processTable(t)))),
-                Duration.Inf)
+                Duration.Inf).flatten
               finally pool.shutdown()
             })
         }

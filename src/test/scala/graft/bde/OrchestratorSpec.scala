@@ -181,6 +181,37 @@ class OrchestratorSpec extends SparkSuite {
     assert(rows.toSeq == Seq((2, "D", "y2"), (3, "C", "z"), (4, "A", "n4")))
   }
 
+  test("-rebuild replans the latest L0 past its watermark and replays L5 after it") {
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    assert(errs.isEmpty)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    def cfgFor() = Orchestrator.RunConfig(
+      repoRoot = root.resolve("repo").toString,
+      tablesDir = tablesDir, controlDir = controlDir)
+    val first = Orchestrator.applyUpdates(spark, cfgFor(),
+      cat, level0 = true, level5 = true, control)
+    assert(first.nonEmpty)
+    // a second plain -f -i run: alpha's chain is already past ds2/ds3, so
+    // ONLY the stuck table (beta, poisoned at ds2) is retried — a table
+    // whose own watermark covers the dataset is never touched again
+    val again = Orchestrator.applyUpdates(spark, cfgFor(),
+      cat, level0 = true, level5 = true, control)
+    assert(again.forall(o => o.status != "loaded"))
+    assert(!again.exists(o => o.table == "t_alpha" && o.dataset < "20200404000000"))
+    assert(again.exists(o =>
+      o.table == "t_beta" && o.dataset == "20200202000000" && o.status == "failed"))
+    // -r ignores the watermarks: latest L0 reloads, L5 chain replays after it
+    val rebuilt = Orchestrator.applyUpdates(spark, cfgFor(),
+      cat, level0 = true, level5 = true, control, rebuild = true)
+    assert(rebuilt.map(o => (o.dataset, o.level)).distinct ==
+      first.map(o => (o.dataset, o.level)).distinct)
+    assert(rebuilt.count(_.level == "0") == 2) // both tables reloaded at L0
+    assert(rebuilt.exists(o =>
+      o.table == "t_alpha" && o.level == "5" && o.status == "loaded"))
+  }
+
   test("parallel_tables loads a dataset's tables concurrently with identical outcomes") {
     val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
     val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
