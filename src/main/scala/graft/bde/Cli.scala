@@ -32,6 +32,7 @@ object Cli {
       overrideLocks: Boolean = false,   // -o | -override-locks
       maintain: Boolean = false,        // -m | -maintain-database
       enableHooks: Boolean = false,     // -e | -enable-hooks
+      skipPostUpload: Boolean = false,  // -skip-postupload-tasks
       fullTimeout: Option[Double] = None,  // -t | -full-timeout hours
       incTimeout: Option[Double] = None,   // -u | -inc-timeout hours
       configPath: Option[String] = None,
@@ -54,6 +55,7 @@ object Cli {
       case ("-o" | "-override-locks") :: t => loop(t, o.copy(overrideLocks = true))
       case ("-m" | "-maintain-database") :: t => loop(t, o.copy(maintain = true))
       case ("-e" | "-enable-hooks") :: t => loop(t, o.copy(enableHooks = true))
+      case "-skip-postupload-tasks" :: t => loop(t, o.copy(skipPostUpload = true))
       case ("-t" | "-full-timeout") :: v :: t =>
         loop(t, o.copy(fullTimeout = Some(v.toDouble)))
       case ("-u" | "-inc-timeout") :: v :: t =>
@@ -133,7 +135,9 @@ object Cli {
       continuityFailHours =
         conf.double("level5_starttime_fail_tolerance", 0),
       eventHooks = eventHooks,
-      parallelTables = conf.long("parallel_tables", 1).toInt)
+      parallelTables = conf.long("parallel_tables", 1).toInt,
+      skipPostUploadTasks =
+        o.skipPostUpload || conf.boolean("skip_postupload_tasks", false))
   }
 
   def main(args: Array[String]): Unit = {
@@ -175,7 +179,8 @@ object Cli {
             val include =
               if (o.selectTables.nonEmpty) o.selectTables
               else conf.list("include_tables")
-            val cat = Catalog.select(cat0, include = include)
+            val cat = Catalog.select(cat0, include = include,
+              exclude = conf.list("exclude_tables"))
             // `-j` plans level-0 only where a table's watermark is missing;
             // plain `-f`/`-r` force it (implications already folded above)
             val forceL0 = (o.full || o.rebuild) && !(o.fullIfNeeded && !o.rebuild)

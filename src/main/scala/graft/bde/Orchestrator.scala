@@ -84,7 +84,10 @@ object Orchestrator {
         * sinks and the control layer is synchronized, so on a cluster N
         * concurrent Spark jobs keep executors busy while a table's small
         * control I/O runs. Outcomes stay in catalog order regardless. */
-      parallelTables: Int = 1)
+      parallelTables: Int = 1,
+      /** `-skip-postupload-tasks`: suppress the post-level0/post-upload
+        * hook phases by user choice (lib/LINZ/BdeUpload.pm:815-822). */
+      skipPostUploadTasks: Boolean = false)
 
   final case class TableOutcome(
       dataset: String, level: String, table: String, status: String, // loaded|skipped|failed|dry-run
@@ -311,9 +314,10 @@ object Orchestrator {
         control.heartbeat(uplId)
         cfg.onDatasetEnd(p.dataset, uplId)
         firer.fire("finish_dataset", Some(uplId), Some(p.dataset), Some(p.level))
-        if (p.level == "0") cfg.hooks.runAll("bde_postlevel0_", uplId)
+        if (p.level == "0" && !cfg.skipPostUploadTasks)
+          cfg.hooks.runAll("bde_postlevel0_", uplId)
       }
-      cfg.hooks.runAll("bde_postupload_", uplId)
+      if (!cfg.skipPostUploadTasks) cfg.hooks.runAll("bde_postupload_", uplId)
       crashed = false
     } finally {
       control.finishUpload(uplId, ok = failed.isEmpty && !crashed)
