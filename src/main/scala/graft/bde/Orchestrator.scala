@@ -306,7 +306,13 @@ object Orchestrator {
               try Await.result(
                 Future.sequence(levelTables.map(t => Future(processTable(t)))),
                 Duration.Inf).flatten
-              finally pool.shutdown()
+              finally {
+                // on a run-level abort, drain in-flight loads BEFORE the
+                // job finishes — a background table completing after
+                // finishUpload would write control state lock-free
+                pool.shutdown()
+                pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+              }
             })
         }
         // one heartbeat per dataset, not per table — the reference refreshes
