@@ -91,13 +91,17 @@ object Cli {
   }
 
   /** tables.conf location: `bde_tables_config` (conf:114, typically
-    * `{_configdir}/tables.conf`) or tables.conf next to the config. */
+    * `{_configdir}/tables.conf`) or tables.conf next to the config. A run
+    * without -config-path fails fast — silently reading ./tables.conf from
+    * whatever the working directory happens to be would load the wrong
+    * catalog. */
   def tablesConfPath(o: Options, conf: Config): String =
     conf.get("bde_tables_config").filter(_.nonEmpty).getOrElse {
-      val dir = o.configPath.map(p =>
+      val p = o.configPath.getOrElse(sys.error("missing -config-path"))
+      val dir =
         if (Files.isDirectory(Paths.get(p))) p
         else Option(Paths.get(p).toAbsolutePath.getParent)
-          .map(_.toString).getOrElse(".")).getOrElse(".")
+          .map(_.toString).getOrElse(".")
       s"$dir/tables.conf"
     }
 

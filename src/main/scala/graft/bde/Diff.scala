@@ -82,7 +82,11 @@ object Diff {
     val stale = uniqueCols.map { u =>
       cur.as("t")
         .join(broadcast(incChg.as("i")),
-          col(s"i.$u") <=> col(s"t.$u") && col(s"i.$key") =!= col(s"t.$key"))
+          // PLAIN equality, not null-safe: the reference template joins
+          // `NEW_DAT.col = CUR.col` (sql:2182-2190), and multiple NULLs are
+          // legal under a unique constraint — a null-safe match here would
+          // mark every other NULL-valued row stale and DELETE it
+          col(s"i.$u") === col(s"t.$u") && col(s"i.$key") =!= col(s"t.$key"))
         .select(col(s"t.$key").as(key))
     }
     stale.foldLeft(chg)((acc, s) => acc.unionByName(s)).distinct()

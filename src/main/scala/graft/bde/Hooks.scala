@@ -144,8 +144,10 @@ object Hooks {
 
   /**
    * `_runSQLBlock` (lib/LINZ/BdeDatabase.pm:571-595): split the block on
-   * `;`-newline boundaries, expand `{id}` with the upload id, run each
-   * statement; any failure aborts with the offending statement named. The
+   * EVERY `;` (consuming one following newline — the reference's
+   * `split(/\;\n?/, ...)`, so semicolons inside string literals split
+   * there too), expand `{id}` with the upload id, run each statement; any
+   * failure aborts with the offending statement named. The
    * returned closure matches the Orchestrator's dataset-slot signature, so
    * `dataset_load_start_sql`/`dataset_load_end_sql`/`db_connect_sql`/
    * `db_upload_complete_sql` blocks become real executors against any JDBC

@@ -228,47 +228,48 @@ object Loader {
     val chgKeys = changeTable
       .where(lower(col("tablename")) === tableName.toLowerCase)
       .select(col("tablekeyvalue").cast(cur.schema(key).dataType).as(key))
-    // caches live exactly as long as the load: `inc` and the classified
-    // `actions` (consumed by the counts aggregate AND twice by the merge)
-    // both release on every exit path, so a 94-table run never accumulates
-    // storage
+    // caches live exactly as long as the load: one try/finally releases
+    // `inc` and the classified `actions` on EVERY exit — returns, aborts,
+    // and exceptions from any stage (a failing table otherwise pins its
+    // caches for the rest of a 94-table run)
     val actions =
       Diff.classifyChanges(cur, inc, chgKeys, key, uniqueCols).cache()
-    def done(s: LoadStats): LoadStats = {
-      actions.unpersist(); inc.unpersist(); s
-    }
-    if (maxFileErrors.isDefined) {
-      // one materializing action = each file scanned exactly once; the
-      // malformed observations fire here and the budget gates before any
-      // classify/merge work runs
-      inc.count()
-      try enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
-      catch { case e: Throwable => actions.unpersist(); inc.unpersist(); throw e }
-    }
+    try {
+      if (maxFileErrors.isDefined) {
+        // one materializing action = each file scanned exactly once; the
+        // malformed observations fire here and the budget gates before any
+        // classify/merge work runs
+        inc.count()
+        enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
+      }
 
-    // early exit on zero changes (sql:1713,1771-1773)
-    if (chgKeys.isEmpty)
-      return done(LoadStats(tableName, 0, 0, 0, 0, aborted = false, "",
-        details, warnings))
-    val counts = actions.groupBy("action").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    def n(a: String) = counts.getOrElse(a, 0L)
+      // early exit on zero changes (sql:1713,1771-1773)
+      if (chgKeys.isEmpty)
+        return LoadStats(tableName, 0, 0, 0, 0, aborted = false, "",
+          details, warnings)
+      val counts = actions.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def n(a: String) = counts.getOrElse(a, 0L)
 
-    val merged = Diff.applyActions(cur, inc, actions, key)
-    val staged = sink.stage(merged, version)
-    val oldCount = cur.count()
-    val newCount = sink.readStaged(staged).count()
-    val (err, _) = toleranceCheck(oldCount, newCount, tolError, tolWarning)
-    if (err) {
-      sink.discard(staged)
-      done(LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
-        aborted = true,
-        s"table count $newCount below error tolerance of old count $oldCount",
-        details, warnings))
-    } else {
-      sink.publish(staged)
-      done(LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
-        aborted = false, "", details, warnings))
+      val merged = Diff.applyActions(cur, inc, actions, key)
+      val staged = sink.stage(merged, version)
+      val oldCount = cur.count()
+      val newCount = sink.readStaged(staged).count()
+      val (err, _) = toleranceCheck(oldCount, newCount, tolError, tolWarning)
+      if (err) {
+        sink.discard(staged)
+        LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
+          aborted = true,
+          s"table count $newCount below error tolerance of old count $oldCount",
+          details, warnings)
+      } else {
+        sink.publish(staged)
+        LoadStats(tableName, n("I"), n("U") + n("X"), n("0"), n("D"),
+          aborted = false, "", details, warnings)
+      }
+    } finally {
+      actions.unpersist()
+      inc.unpersist()
     }
   }
 
@@ -298,29 +299,29 @@ object Loader {
       .map { case (_, df, _) => BdeFormat.selectValidColumns(df, cur.columns.toSeq) }
       .reduce(_ unionByName _)
     val actions = Diff.fullDiff(cur, next, key).cache()
-    val counts = actions.groupBy("action").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val staged = try {
+      val counts = actions.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // The collect above materialized the cached diff, scanning each
+      // snapshot file exactly once (fullDiff references `next` once) — the
+      // malformed observations are now final, and nothing is staged yet on
+      // breach. The snapshot is NOT cached: at 100 TB caching it would
+      // spill a full copy to executor disks.
+      enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
+      (sink.stage(Diff.applyActions(cur, next, actions, key), version), counts)
+    } finally actions.unpersist() // the staged write was its last consumer
+    val (stagedName, counts) = staged
     def n(a: String) = counts.getOrElse(a, 0L)
-    // The collect above materialized the cached diff, scanning each snapshot
-    // file exactly once (fullDiff references `next` once) — the malformed
-    // observations are now final, and nothing is staged yet on breach. The
-    // snapshot is NOT cached: at 100 TB caching it would spill a full copy
-    // to executor disks.
-    try enforceBudget(files.zip(parts.map(_._3)), maxFileErrors)
-    catch { case e: Throwable => actions.unpersist(); throw e }
-    val staged = sink.stage(Diff.applyActions(cur, next, actions, key), version)
-    // the staged write was the last consumer of the cached diff
-    actions.unpersist()
     val oldCount = cur.count()
-    val newCount = sink.readStaged(staged).count()
+    val newCount = sink.readStaged(stagedName).count()
     val (errBreach, _) = toleranceCheck(oldCount, newCount, tolError, tolWarning)
     if (errBreach) {
-      sink.discard(staged)
+      sink.discard(stagedName)
       LoadStats(sink.table, n("I"), n("U"), 0, n("D"), aborted = true,
         s"table count $newCount below error tolerance of old count $oldCount",
         details)
     } else {
-      sink.publish(staged)
+      sink.publish(stagedName)
       LoadStats(sink.table, n("I"), n("U"), 0, n("D"), aborted = false, "",
         details)
     }

@@ -146,10 +146,27 @@ object Orchestrator {
     else Nil
     val plan = l0Plan ++ l5Plan
 
+    // a table whose OWN watermark already covers the dataset is not touched
+    // (the reference plans per table: `$lastl0 lt $dataset->name` lib:648,
+    // `repository->after($lastl5)` lib:685) — bypassed under -r rebuild
+    def tableUpToDate(t: Catalog.TableDef, dataset: String, level: String): Boolean =
+      !rebuild && {
+        val wm = control.lastUpload(cfg.schemaName, t.name)
+        val own =
+          if (level == "0") wm.flatMap(_.lastLevel0Dataset)
+          else wm.flatMap(_.lastUploadDataset)
+        own.exists(_ >= dataset)
+      }
+
     if (cfg.dryRun)
-      return plan.flatMap(p => tables.filter(_.appliesToLevel(p.level)).map(t =>
-        TableOutcome(p.dataset, p.level, t.name, "dry-run", 0, 0, 0, 0,
-          if (p.complete) "" else s"missing: ${p.missing.mkString(",")}")))
+      // same per-table watermark filter as the real run, so the printed
+      // plan IS the work a real run would do
+      return plan.flatMap(p => tables
+        .filter(t => t.appliesToLevel(p.level) &&
+          !tableUpToDate(t, p.dataset, p.level))
+        .map(t =>
+          TableOutcome(p.dataset, p.level, t.name, "dry-run", 0, 0, 0, 0,
+            if (p.complete) "" else s"missing: ${p.missing.mkString(",")}")))
 
     val uplId = control.createUpload(cfg.schemaName, cfg.allowConcurrent) match {
       case Left(err) => return Seq(TableOutcome("", "", "", "failed", 0, 0, 0, 0, err))
@@ -194,19 +211,8 @@ object Orchestrator {
           def processTable(t: Catalog.TableDef): Option[TableOutcome] = {
             timeout.check()
             // the shared dataset sequence is the floor across tables; each
-            // table re-checks its OWN watermark here, so a table whose
-            // chain is already past this dataset is not touched (the
-            // reference plans per table: `$lastl0 lt $dataset->name`
-            // lib:648, `repository->after($lastl5)` lib:685) — except
-            // under -r rebuild, which replays regardless
-            val upToDate = !rebuild && {
-              val wm = control.lastUpload(cfg.schemaName, t.name)
-              val own =
-                if (p.level == "0") wm.flatMap(_.lastLevel0Dataset)
-                else wm.flatMap(_.lastUploadDataset)
-              own.exists(_ >= p.dataset)
-            }
-            if (upToDate) return None
+            // table re-checks its OWN watermark ([[tableUpToDate]])
+            if (tableUpToDate(t, p.dataset, p.level)) return None
             val skipReason =
               if (failed.synchronized(failed.contains(t.name)))
                 Some("skipped after earlier failure")
@@ -303,16 +309,31 @@ object Orchestrator {
                 .newFixedThreadPool(cfg.parallelTables)
               implicit val ec: ExecutionContext =
                 ExecutionContext.fromExecutor(pool)
-              try Await.result(
-                Future.sequence(levelTables.map(t => Future(processTable(t)))),
-                Duration.Inf).flatten
-              finally {
-                // on a run-level abort, drain in-flight loads BEFORE the
-                // job finishes — a background table completing after
-                // finishUpload would write control state lock-free
-                pool.shutdown()
-                pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
-              }
+              // A run-level abort (timeout, missing level-0) stops the run,
+              // but: queued tables observe the abort flag and return
+              // immediately, IN-FLIGHT loads drain before the job finishes
+              // (a background table completing after finishUpload would
+              // write control state lock-free), and outcomes that DID
+              // complete are recorded before the rethrow — loads that
+              // happened must never be invisible.
+              @volatile var abort: Throwable = null
+              def guarded(t: Catalog.TableDef): Option[TableOutcome] =
+                if (abort != null) None
+                else try processTable(t)
+                catch { case e: Throwable =>
+                  if (abort == null) abort = e
+                  None
+                }
+              val results =
+                try Await.result(
+                  Future.sequence(levelTables.map(t => Future(guarded(t)))),
+                  Duration.Inf)
+                finally {
+                  pool.shutdown()
+                  pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+                }
+              if (abort != null) { outcomes ++= results.flatten; throw abort }
+              results.flatten
             })
         }
         // one heartbeat per dataset, not per table — the reference refreshes

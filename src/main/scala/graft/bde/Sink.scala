@@ -76,7 +76,19 @@ final class ParquetTableSink(
   }
 
   def stage(df: DataFrame, version: String): String = {
-    val name = s"v_$version"
+    // NEVER stage into the live published directory: a -rebuild reloads the
+    // dataset the current version came from, and writing v_X in place while
+    // _CURRENT names it would corrupt concurrent readers — and a failed
+    // load's discard() would then DELETE the published table. Re-staging a
+    // published version gets a fresh suffixed directory instead; the old
+    // one becomes prunable once the new publish swaps the pointer.
+    val base = s"v_$version"
+    val current = currentVersion
+    val name =
+      if (!current.contains(base)) base
+      else Iterator.from(1).map(i => s"${base}_r$i")
+        .find(n => !current.contains(n) && !fs.exists(new Path(tableDir, n)))
+        .get
     df.write.mode("overwrite").parquet(new Path(tableDir, name).toString)
     name
   }
@@ -163,7 +175,13 @@ final class JdbcTableSink(
     val table: String,
     props: java.util.Properties = new java.util.Properties(),
     lockTimeoutSeconds: Int = 30,
-    lockRetryMillis: Long = 1000L)
+    lockRetryMillis: Long = 1000L,
+    /** A holder older than this is presumed crashed and its claim is stolen
+      * (CAS on the exact owner+acquired_at). The reference's DB lock
+      * vanishes with its session; an owner ROW persists a crash, so without
+      * expiry a killed publisher would block the table forever. Holders
+      * must re-publish within this budget. */
+    lockStaleSeconds: Int = 300)
   extends TableSink {
 
   require(table.matches("[A-Za-z0-9_]+"), s"unsafe table name: $table")
@@ -211,20 +229,35 @@ final class JdbcTableSink(
 
   /** Ensure the one-row lock table exists. The row is PRIMARY-KEYed so a
     * creation race between two publishers cannot seed two claimable rows
-    * (the second INSERT fails on the key and is swallowed). */
+    * (the second INSERT fails on the key — ONLY race losses are swallowed:
+    * if the row still does not exist afterwards, the original error was a
+    * real one (permissions, connectivity) and is surfaced instead of
+    * decaying into an opaque lock timeout). */
   private def ensureLockTable(c: java.sql.Connection): Unit = {
+    var firstError: Option[java.sql.SQLException] = None
     if (!tableExists(c, lockTable))
       try c.createStatement().executeUpdate(
         s"CREATE TABLE $lockTable (id INT PRIMARY KEY, " +
           "owner VARCHAR(128), acquired_at TIMESTAMP)")
-      catch { case _: java.sql.SQLException => /* lost the CREATE race */ }
+      catch { case e: java.sql.SQLException => firstError = Some(e) }
     val st = c.createStatement()
     try {
-      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $lockTable")
-      val empty = try { rs.next(); rs.getLong(1) == 0 } finally rs.close()
-      if (empty)
+      def rowCount(): Long =
+        try {
+          val rs = st.executeQuery(s"SELECT COUNT(*) FROM $lockTable")
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        } catch { case e: java.sql.SQLException =>
+          firstError = firstError.orElse(Some(e)); -1L
+        }
+      if (rowCount() == 0)
         try st.executeUpdate(s"INSERT INTO $lockTable (id) VALUES (1)")
-        catch { case _: java.sql.SQLException => /* lost the INSERT race */ }
+        catch { case e: java.sql.SQLException =>
+          firstError = firstError.orElse(Some(e))
+        }
+      if (rowCount() < 1)
+        throw new IllegalStateException(
+          s"lock table $lockTable could not be created/seeded " +
+            "(check DDL permissions)", firstError.orNull)
     } finally st.close()
   }
 
@@ -242,6 +275,30 @@ final class JdbcTableSink(
     try { if (rs.next()) Option(rs.getString(1)) else None } finally rs.close()
   }
 
+  /** Release a holder presumed crashed: CAS on its exact (owner,
+    * acquired_at) claim, aged against the DATABASE clock (read in the same
+    * statement, so publisher clock skew is irrelevant). */
+  private def stealIfStale(c: java.sql.Connection): Unit = {
+    val rs = c.createStatement().executeQuery(
+      s"SELECT owner, acquired_at, CURRENT_TIMESTAMP FROM $lockTable WHERE id = 1")
+    val claim = try {
+      if (rs.next()) (Option(rs.getString(1)), Option(rs.getTimestamp(2)),
+        rs.getTimestamp(3))
+      else (None, None, null)
+    } finally rs.close()
+    claim match {
+      case (Some(holder), Some(at), dbNow)
+          if dbNow.getTime - at.getTime > lockStaleSeconds * 1000L =>
+        val ps = c.prepareStatement(
+          s"UPDATE $lockTable SET owner = NULL, acquired_at = NULL " +
+            "WHERE id = 1 AND owner = ? AND acquired_at = ?")
+        try { ps.setString(1, holder); ps.setTimestamp(2, at); ps.executeUpdate() }
+        finally ps.close()
+        ()
+      case _ => ()
+    }
+  }
+
   /** Acquire the exclusive publish lock with bounded 1 s retries
     * (`_bde_GetExclusiveLock` semantics, sql:696-762); on timeout the
     * error names the current owner. Returns the owner token to release. */
@@ -251,6 +308,7 @@ final class JdbcTableSink(
     withConn(ensureLockTable)
     val deadlineNanos = System.nanoTime + lockTimeoutSeconds * 1000L * 1000 * 1000
     while (!withConn(tryAcquire(_, owner))) {
+      withConn(stealIfStale)
       if (System.nanoTime > deadlineNanos) {
         val holder = withConn(lockOwner).getOrElse("<unknown>")
         throw new IllegalStateException(

@@ -59,6 +59,25 @@ class DiffSpec extends SparkSuite {
     assert(actions == Map(1 -> "D", 9 -> "I"))
   }
 
+  test("key-swap repair never matches NULL unique values (plain SQL equality)") {
+    // multiple NULLs are legal under a unique constraint: updating key 1
+    // (name stays NULL) must NOT mark the unrelated NULL-named key 9 stale
+    // — a null-safe join here would DELETE row 9 (reference joins with
+    // plain equality, sql:2182-2190)
+    val cur = Seq((1, Option.empty[String]), (9, Option.empty[String]),
+      (2, Some("b"))).toDF("id", "name")
+    val inc = Seq((1, Option.empty[String]), (9, Option.empty[String]),
+      (2, Some("b"))).toDF("id", "name")
+    val chg = Seq(1).toDF("id")
+    val repaired = Diff.fixChangedKeys(cur, inc, chg, "id", Seq("name"))
+      .collect().map(_.getInt(0)).toSet
+    assert(repaired == Set(1))
+    val actions = Diff.classifyChanges(cur, inc, chg, "id",
+      uniqueCols = Seq("name"), repairKeySwaps = true)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(actions == Map(1 -> "0")) // row 9 untouched, not deleted
+  }
+
   test("property: apply(classify) == inc on changed keys, cur elsewhere (20 seeded cases)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 20) {

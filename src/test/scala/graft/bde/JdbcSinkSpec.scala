@@ -70,6 +70,24 @@ class JdbcSinkSpec extends SparkSuite {
     assert(patient.read().collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("a crashed publisher's stale lock is stolen after lockStaleSeconds") {
+    val url = derbyUrl()
+    val sink = new JdbcTableSink(spark, url, "t_stale",
+      lockTimeoutSeconds = 10, lockRetryMillis = 100L, lockStaleSeconds = 60)
+    sink.replace(Seq((1, "a")).toDF("id", "v"), "v1")
+    // a holder that died long ago: acquired_at two hours in the past
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      "UPDATE t_stale__lock SET owner = 'dead-host:1:beef', " +
+        "acquired_at = {fn TIMESTAMPADD(SQL_TSI_HOUR, -2, CURRENT_TIMESTAMP)} " +
+        "WHERE id = 1")
+    finally c.close()
+    // publish recovers by stealing the stale claim — no manual SQL needed
+    val staged = sink.stage(Seq((2, "b")).toDF("id", "v"), "v2")
+    sink.publish(staged)
+    assert(sink.read().collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("E2E slice through the JDBC sink: same final rows and stats") {
     val st = E2E.stageRepository()
     val sink = new JdbcTableSink(spark, derbyUrl(), "crs_parcel_bndry")
