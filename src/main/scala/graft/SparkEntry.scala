@@ -547,6 +547,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // embedding-cosine near-dup DEDUP: of each LSH-found pair with cosine
+    // >= 0.4 (the synthetic embeddings top out near 0.51), the higher id
+    // drops
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosine(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
@@ -1411,6 +1420,25 @@ object SparkEntry {
            |        JOIN embeddings c ON c.vec_id <> q.vec_id
            |        WHERE q.vec_id < 8))
            |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin,
+
+      "dedup_embedding_cosine" -> {
+        val tables = (0 until 4).map(tbl =>
+          s"SELECT id, $tbl AS tbl, ${VectorOpsSql.rpBucket("embedding", 12, tbl)} AS bucket FROM pre")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH pre AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |buckets AS (
+           |  $tables),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+           |         FROM buckets l JOIN buckets r
+           |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id),
+           |dropped AS (
+           |  SELECT DISTINCT id_b FROM cand
+           |  JOIN pre a ON id_a = a.id JOIN pre b ON id_b = b.id
+           |  WHERE ${VectorOpsSql.cosine("a.embedding", "b.embedding")} >= 0.4)
+           |SELECT vec_id, label FROM embeddings
+           |WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+           |ORDER BY vec_id""".stripMargin
+      },
 
       "ann_ivf_topk" ->
         s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec

@@ -201,6 +201,27 @@ object Dedup {
       minJaccard: Double): DataFrame =
     minHashLshPairs(df, idCol, textCol, minJaccard, Some(blockCol))
 
+  /**
+   * Embedding-cosine near-duplicate removal: candidate pairs come from
+   * SRP-LSH ([[Similarity.lshNeighborPairs]]), verified by exact cosine ≥
+   * `minCosine`; of each near-dup pair the HIGHER id drops (keep the most
+   * canonical copy). One hop, deliberately not transitive closure: a row
+   * survives unless a LOWER-id near-duplicate of it exists — the usual
+   * pipeline rule, and a single anti-join instead of an iterative
+   * connected-components pass.
+   */
+  def embeddingCosine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      bits: Int = 12,
+      numTables: Int = 4): DataFrame =
+    df.join(
+      Similarity.lshNeighborPairs(df, idCol, vecCol, bits, minCosine, numTables)
+        .select(col("id_b").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Window-based variant of [[exact]] keeping the full first row per
     * duplicate group (grouping on the content digest, as [[exact]]). */
   def keepFirst(df: DataFrame, idCol: String, keyCol: String): DataFrame =
