@@ -609,6 +609,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // ---- §2.7: Structured Streaming (AvailableNow replay) --------------
+    // custom keyed state (flatMapGroupsWithState): streaming first-seen
+    // dedup — one surviving id per distinct content digest
+    "stream_dedup_state" -> ((s, dir) =>
+      Streams.streamingDedup(s, exactDupCorpus(s, dir))
+        .orderBy(col("kept_id"))),
+
     "stream_window_counts" -> ((s, dir) =>
       Streams.windowedEventCounts(s, s"$dir/events.parquet")
         .orderBy(col("window_start"), col("event_type"))),
@@ -1541,6 +1547,14 @@ object SparkEntry {
           |       FROM documents)
           |SELECT id, CAST(unnest(range(0, w, 5)) AS INTEGER) AS frame_idx
           |FROM m ORDER BY id, frame_idx""".stripMargin,
+
+      // batch replay of the streaming first-seen dedup: keyed state keeps
+      // one id per distinct digest, lowest id wins within a batch — the
+      // duplicated corpus (1000 rows in) collapses to its 500 originals
+      "stream_dedup_state" ->
+        s"""WITH $ExactDupCorpusSql
+           |SELECT min(doc_id) AS kept_id FROM corpus
+           |GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
 
       // batch replay of the streaming tumbling-window counts (sentinel rows
       // are engine plumbing — they never reach the query output)

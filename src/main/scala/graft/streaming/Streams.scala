@@ -84,6 +84,43 @@ object Streams {
   }
 
   /**
+   * Streaming first-seen dedup over a content digest — the CUSTOM-state
+   * operator (`flatMapGroupsWithState`): keyed state remembers every digest
+   * already emitted, so re-arrivals of the same content are dropped across
+   * micro-batches. Within a batch the LOWEST id of a new digest wins
+   * (deterministic regardless of partition arrival order). GroupStateTimeout
+   * is deliberately none: dedup state must outlive any watermark — at scale
+   * the state store is RocksDB-backed and sized by distinct digests, which
+   * is exactly the cardinality an exact-dedup hash table costs anywhere.
+   */
+  def streamingDedup(
+      spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft-stream-dedup")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val keyed = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+    val deduped = keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (digest: String, rows: Iterator[(Long, String)],
+       state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          Iterator.single((digest, rows.map(_._1).min))
+        })
+    runToMemory(deduped.toDF("digest", "kept_id"), "append")
+      .select(col("kept_id"))
+  }
+
+  /**
    * Session windows per user (30-minute inactivity gap) — the stateful
    * operator the reference has no analogue for; append mode + watermark,
    * flushed by the sentinel drain.
