@@ -51,10 +51,46 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
+    def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // Full-precision detail to a file: the harness that consumes stdout only
+    // keeps the last ~2000 bytes of output, so the single stdout JSON line
+    // must stay short; everything else goes to BENCH_DETAIL.json in cwd.
+    val fullQs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val fullErrs = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write skipped: ${e.getMessage}") }
+    // Compact stdout line: failures always included, then queries by
+    // descending time until the serialized map hits its budget; the
+    // remainder is aggregated so value == sum over the map still holds.
+    val budget = 1300 // chars for the queries map; whole line stays < 1900
+    val (failed, passed) = results.partition(_._2 < 0)
+    val ordered = failed ++ passed.sortBy(-_._2)
+    // kept is a strict PREFIX of `ordered` (failures sort first and always
+    // fit because they precede everything) so the remainder sum below is
+    // exactly the dropped suffix.
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    var nKept = 0
+    var full = false
+    ordered.foreach { case (k, v) =>
+      val entry = q(k) + ":" + r3(v)
+      if (!full && (used + entry.length + 1 <= budget || v < 0)) {
+        kept += entry; used += entry.length + 1; nKept += 1
+      } else full = true
+    }
+    val restCount = results.size - nKept
+    if (restCount > 0) {
+      val restSum = ordered.drop(nKept).collect { case (_, v) if v >= 0 => v }.sum
+      kept += q(s"_other_${restCount}q") + ":" + r3(restSum)
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val errJson = errors.take(5).map { case (k, v) => q(k) + ":" + q(v.take(80)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
