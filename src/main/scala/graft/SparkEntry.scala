@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, Repo}
+import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, Publication, Repo}
 import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -511,6 +511,21 @@ object SparkEntry {
         col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))),
+
+    // ---- deterministic splits / sampling (training-data pipeline) -------
+    "sample_split" -> ((s, dir) =>
+      Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))),
+
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.sampleByHash(t(s, dir, "documents"), "doc_id", 0.2, seed = 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))),
 
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1055,6 +1070,46 @@ object SparkEntry {
       Seq((1, out)).toDF("case_id", "expanded")
     }),
 
+    // ---- S8: logical-replication publish of the control tables ---------
+    // The e2e scenario runs with publishing enabled, so its control
+    // mutations land in the changelog; the three views of the same log:
+    // the batch change feed, the streaming subscription, and the replay
+    // fold (which must reproduce the live upload_table watermarks).
+    "s8_publication_log" -> ((s, dir) => {
+      val ctl = OrchestratorScenario.run(s).controlDir
+      Publication.changes(s, ctl, "upload_stats")
+        .select(col("op"), col("id"), col("dataset"), col("type"),
+          col("ninsert"), col("nupdate"), col("nnullupdate"), col("ndelete"))
+        .orderBy(col("id"))
+    }),
+
+    "s8_publication_stream" -> ((s, dir) => {
+      val ctl = OrchestratorScenario.run(s).controlDir
+      // a real Structured Streaming subscriber draining the backlog: the
+      // upload's lifecycle arrives as its I (status A) and U (terminal)
+      // change records
+      val name = s"s8_pub_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Publication.subscribe(s, ctl, "upload")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("op"), col("id"), col("schema_name"), col("status"))
+        .orderBy(col("op"))
+    }),
+
+    "s8_publication_replay" -> ((s, dir) => {
+      val ctl = OrchestratorScenario.run(s).controlDir
+      Publication.replay(s, ctl, "upload_table")
+        .select(col("id"), col("table_name"), col("last_upload_id"),
+          col("last_upload_dataset"), col("last_upload_type"),
+          col("last_level0_dataset"), col("last_upload_incremental"),
+          col("upl_id_lock"))
+        .orderBy(col("id"))
+    }),
+
     // ---- bench headliners ---------------------------------------------
     "q6_revenue_filter" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1398,6 +1453,19 @@ object SparkEntry {
       "text_langid" ->
         s"""SELECT doc_id, ${TextOpsSql.langId(toks)} AS lang_pred
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "sample_split" -> {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        s"""SELECT ${SamplingSql.splitCase("doc_id", splits, seed = 7)} AS split,
+           |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+      },
+
+      "sample_stratified" ->
+        s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id
+           |FROM documents
+           |WHERE ${SamplingSql.sampleWhere("doc_id", 0.2, seed = 3)}
+           |GROUP BY lang ORDER BY lang""".stripMargin,
 
       "text_fingerprint" -> {
         val thw = TextOpsSql.tokenHashesWide(toks)
@@ -1797,6 +1865,37 @@ object SparkEntry {
         """SELECT * FROM (VALUES
           |  (1, 'notify 7 20170629000000 level 5 keep {nope}'))
           |  t(case_id, expanded)""".stripMargin,
+
+      // S8: the stats changelog is append-only (every record an 'I'), one
+      // record per recorded dataset load of the e2e scenario
+      "s8_publication_log" ->
+        """SELECT * FROM (VALUES
+          |  ('I', 1, '20200101000000', '0', 3, 0, 0, 0),
+          |  ('I', 2, '20200101000000', '0', 2, 0, 0, 0),
+          |  ('I', 3, '20200202000000', '5', 1, 1, 0, 0),
+          |  ('I', 4, '20200303000000', '5', 0, 0, 1, 1))
+          |  t(op, id, dataset, type, ninsert, nupdate, nnullupdate, ndelete)
+          |ORDER BY id""".stripMargin,
+
+      // the subscriber sees the job's lifecycle: created active, finished
+      // with status E (the scenario's poisoned beta table fails the job)
+      "s8_publication_stream" ->
+        """SELECT * FROM (VALUES
+          |  ('I', 1, 'bde', 'A'),
+          |  ('U', 1, 'bde', 'E'))
+          |  t(op, id, schema_name, status) ORDER BY op""".stripMargin,
+
+      // replaying the changelog reproduces the live watermarks: alpha's
+      // last load is the second increment, beta's the level 0 (its first
+      // increment was poisoned, the second error-skipped), locks released
+      "s8_publication_replay" ->
+        """SELECT * FROM (VALUES
+          |  (1, 't_alpha', 1, '20200303000000', '5', '20200101000000', true,  -1),
+          |  (2, 't_beta',  1, '20200101000000', '0', '20200101000000', false, -1))
+          |  t(id, table_name, last_upload_id, last_upload_dataset,
+          |    last_upload_type, last_level0_dataset, last_upload_incremental,
+          |    upl_id_lock)
+          |ORDER BY id""".stripMargin,
 
       "c9_dry_run" ->
         """SELECT * FROM (VALUES

@@ -28,9 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Control(
     spark: SparkSession,
     dir: String,
-    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    publish: Boolean = false) {
 
   import Control._
+
+  // S8 — opt-in logical-replication publish (the reference's schema-publish
+  // step registers the control tables in a publication; here enabling it
+  // makes every save() also append the I/U/D delta to the changelog that
+  // [[Publication.subscribe]] tails).
+  private val publication: Option[PublicationWriter] =
+    if (publish) Some(new PublicationWriter(hadoopConf, dir)) else None
 
   // In-memory state, persisted to parquet after each mutation (S7 sink).
   private var uploads = Vector.empty[UploadRow]
@@ -324,6 +332,11 @@ final class Control(
       ControlStore.TableSchema, uploadTables)(ControlStore.tableGroup)
     if (doStats) ControlStore.write(hadoopConf, s"$dir/upload_stats.parquet",
       ControlStore.StatsSchema, stats)(ControlStore.statsGroup)
+    publication.foreach { p =>
+      if (doUploads) p.publishUploads(uploads)
+      if (doTables) p.publishTables(uploadTables)
+      if (doStats) p.publishStats(stats)
+    }
   }
 
   private def hadoopConf = spark.sparkContext.hadoopConfiguration

@@ -96,7 +96,8 @@ object OrchestratorScenario {
       outcomes: Seq[Orchestrator.TableOutcome],
       control: Control,
       alphaRows: DataFrame,
-      betaRows: DataFrame)
+      betaRows: DataFrame,
+      controlDir: String)
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Result]()
@@ -109,8 +110,11 @@ object OrchestratorScenario {
     val (root, tablesDir, controlDir) = stage()
     val (cat, errs) = Catalog.parse(TablesConf.linesIterator)
     require(errs.isEmpty, s"catalog errors: $errs")
+    // publish = true: the e2e scenario doubles as the S8 publication
+    // fixture — every control mutation of the replay lands in the changelog
+    // that the s8_* queries subscribe to and replay.
     val control = new Control(spark, controlDir,
-      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"), publish = true)
     val outcomes = Orchestrator.applyUpdates(spark,
       Orchestrator.RunConfig(
         repoRoot = root.resolve("repo").toString,
@@ -119,7 +123,8 @@ object OrchestratorScenario {
       cat, level0 = true, level5 = true, control)
     Result(outcomes, control,
       new ParquetTableSink(spark, tablesDir, "t_alpha").read(),
-      new ParquetTableSink(spark, tablesDir, "t_beta").read())
+      new ParquetTableSink(spark, tablesDir, "t_beta").read(),
+      controlDir)
   }
 
   /** The same staged repository in dry-run mode: full plan reported, zero
