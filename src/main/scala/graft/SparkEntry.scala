@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, Publication, Repo}
-import graft.functions.{TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Dedup, Multimodal, Sampling, SamplingSql, Similarity}
+import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
+import graft.operators.{Contamination, ContaminationSql, Dedup, Multimodal, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -169,6 +169,18 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
       |)""".stripMargin
+
+  /** PII edge-case corpus (no quotes — rendered verbatim into oracle SQL). */
+  private val PiiCorpus = Seq(
+    (1, "contact me at alice.smith+spam@example.co.nz or call 555-123-4567"),
+    (2, "server at 192.168.0.1 logged jbloggs@mail.org twice"),
+    (3, "no pii here, just 1234 numbers and a dot. end"),
+    (4, "+1 (555) 123-4567 and 10.0.0.255 and bob@sub.domain.io"),
+    (5, ""))
+
+  private def piiCorpusSql: String =
+    PiiCorpus.map { case (id, s) => s"($id, '$s')" }
+      .mkString("(VALUES ", ", ", ") t(case_id, text)")
 
   /** Flagship query on sf0.001; the driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -527,6 +539,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))),
 
+    // deterministic global shuffle: bucket+key assignment is map-side only;
+    // the query verifies the whole assignment via per-bucket aggregates
+    "shuffle_assign" -> ((s, dir) =>
+      Sampling.shuffleAssign(t(s, dir, "documents"), "doc_id",
+          nBuckets = 8, seed = 5)
+        .groupBy(col("shuffle_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("shuffle_key")).as("min_key"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("shuffle_bucket"))),
+
+    // offset-based sequence packing: per-source running token total cut
+    // into 1024-token training sequences
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_toks")),
+        "source", "doc_id", "n_toks", budget = 1024)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("seq_id"), col("tok_offset"))
+        .orderBy(col("doc_id"))),
+
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -545,6 +578,51 @@ object SparkEntry {
         (nTok >= 20 && nTok <= 1000 && punctRatio < 0.1).as("quality_ok"))
         .orderBy(col("doc_id"))
     }),
+
+    // Gopher-style repetition gates: duplicate-token fraction (map-side
+    // array arithmetic) + most-common-bigram mass (explode → two-level
+    // partial-aggregated groupBy on (doc, bigram) keys)
+    "quality_repetition" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("bigint").as("n_toks"),
+        size(array_distinct(toks)).cast("bigint").as("n_uniq"),
+        TextOps.shingleHashes(TextOps.tokenHashes(toks), 2).as("bgs"))
+        .where(col("n_toks") >= 2)
+        .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+          explode(col("bgs")).as("bg"))
+        .groupBy(col("doc_id"), col("n_toks"), col("n_uniq"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n_toks"), col("n_uniq"))
+        .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bg"))
+        .select(col("doc_id"),
+          (lit(1.0) - col("n_uniq").cast("double") / col("n_toks").cast("double"))
+            .as("dup_token_frac"),
+          (col("top_cnt").cast("double") / col("n_bg").cast("double"))
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII detect + redact over a pinned edge-case corpus (the synthetic
+    // documents contain no PII; the operator is the regex pipeline itself)
+    "pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      PiiCorpus.toDF("case_id", "text").select(
+        col("case_id"),
+        QualityOps.emailCount(col("text")).cast("bigint").as("n_email"),
+        QualityOps.ipv4Count(col("text")).cast("bigint").as("n_ip"),
+        QualityOps.phoneCount(col("text")).cast("bigint").as("n_phone"),
+        QualityOps.redactPii(col("text")).as("redacted"))
+        .orderBy(col("case_id"))
+    }),
+
+    // benchmark-contamination: train docs sharing word-3-grams with the
+    // hash-selected eval split (eval shingle set is the broadcast side)
+    "contamination_check" -> ((s, dir) =>
+      Contamination.check(t(s, dir, "documents"), "doc_id", "text",
+          evalRate = 0.05, seed = 11, k = 3)
+        .orderBy(col("doc_id"))),
 
     // ---- LLM-pipeline: similarity / ANN -------------------------------
     "ann_topk_bruteforce" -> ((s, dir) => {
@@ -584,6 +662,23 @@ object SparkEntry {
       t(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
         round(VectorOps.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))),
+
+    // int8 scalar quantization: per-vector scale + max reconstruction error.
+    // The rounding lives in its OWN select: `round(scale).as("scale")`
+    // alongside an expression reading col("scale") would lateral-alias-
+    // resolve the reference to the ROUNDED value (Spark 4 lateral column
+    // aliases shadow same-name child attributes within a projection).
+    "embed_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.quantScale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          VectorOps.dequantMaxErr(col("embedding"),
+            VectorOps.quantize(col("embedding"), col("scale")), col("scale"))
+            .as("max_err"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(col("max_err"), 6).as("max_err"))
         .orderBy(col("vec_id"))),
 
     // ---- LLM-pipeline: multimodal plumbing ----------------------------
@@ -637,6 +732,17 @@ object SparkEntry {
     "stream_sessions" -> ((s, dir) =>
       Streams.userSessions(s, s"$dir/events.parquet")
         .orderBy(col("user_id"), col("session_start"))),
+
+    // stream-stream interval join (attribution): click ⨝ purchase per user
+    // within 30 min; aggregated per user with order-independent stats
+    "stream_interval_join" -> ((s, dir) =>
+      Streams.clickAttribution(s, s"$dir/events.parquet")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          countDistinct(col("buy_id")).as("n_buys"),
+          round(max(col("value")), 6).as("max_value"))
+        .orderBy(col("user_id"))),
 
     // J7 analogue: lock-owner diagnostic join + string_agg
     "c9_lock_owners" -> ((s, dir) => {
@@ -1467,6 +1573,24 @@ object SparkEntry {
            |WHERE ${SamplingSql.sampleWhere("doc_id", 0.2, seed = 3)}
            |GROUP BY lang ORDER BY lang""".stripMargin,
 
+      "shuffle_assign" ->
+        s"""SELECT ${SamplingSql.shuffleBucket("doc_id", 8, seed = 5)} AS shuffle_bucket,
+           |       count(*) AS n,
+           |       min(${SamplingSql.shuffleKey("doc_id", seed = 5)}) AS min_key,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM documents GROUP BY 1 ORDER BY shuffle_bucket""".stripMargin,
+
+      "pack_sequences" -> {
+        val cb = SamplingSql.cumBefore("source", "doc_id", "n_toks")
+        s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_toks
+           |           FROM documents),
+           |p AS (SELECT doc_id, source, n_toks, $cb AS cb FROM d)
+           |SELECT doc_id, source, n_toks,
+           |       CAST(cb // 1024 AS BIGINT) AS seq_id,
+           |       CAST(cb % 1024 AS BIGINT) AS tok_offset
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
+
       "text_fingerprint" -> {
         val thw = TextOpsSql.tokenHashesWide(toks)
         s"""SELECT doc_id,
@@ -1482,6 +1606,34 @@ object SparkEntry {
            |       AND (${TextOpsSql.punctCount("text")}::DOUBLE
            |            / greatest(length(text)::DOUBLE, 1.0) < 0.1) AS quality_ok
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "quality_repetition" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+           |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+           |             CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+           |             ${TextOpsSql.tokenHashes("tk")} AS th
+           |      FROM d WHERE len(tk) >= 2),
+           |x AS (SELECT doc_id, n_toks, n_uniq,
+           |             unnest(${TextOpsSql.shingleHashes("th", 2)}) AS bg
+           |      FROM b),
+           |c AS (SELECT doc_id, n_toks, n_uniq, bg, count(*) AS cnt
+           |      FROM x GROUP BY 1, 2, 3, 4)
+           |SELECT doc_id,
+           |       1.0 - n_uniq::DOUBLE / n_toks::DOUBLE AS dup_token_frac,
+           |       max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS top_bigram_frac
+           |FROM c GROUP BY doc_id, n_toks, n_uniq ORDER BY doc_id""".stripMargin,
+
+      "pii_scrub" ->
+        s"""SELECT case_id,
+           |       CAST(${QualityOpsSql.emailCount("text")} AS BIGINT) AS n_email,
+           |       CAST(${QualityOpsSql.ipv4Count("text")} AS BIGINT) AS n_ip,
+           |       CAST(${QualityOpsSql.phoneCount("text")} AS BIGINT) AS n_phone,
+           |       ${QualityOpsSql.redactPii("text")} AS redacted
+           |FROM $piiCorpusSql ORDER BY case_id""".stripMargin,
+
+      "contamination_check" ->
+        (ContaminationSql.check("doc_id", "text", evalRate = 0.05, seed = 11,
+          k = 3) + "\nORDER BY doc_id"),
 
       "ann_topk_bruteforce" ->
         s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
@@ -1569,6 +1721,18 @@ object SparkEntry {
            |  AS l2_norm
            |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+      "embed_quantize" ->
+        s"""WITH s AS (SELECT vec_id, embedding AS e,
+           |                  ${VectorOpsSql.quantScale("embedding")} AS scale
+           |           FROM embeddings),
+           |q AS (SELECT vec_id, e, scale,
+           |             ${VectorOpsSql.quantize("e", "scale")} AS qv
+           |      FROM s)
+           |SELECT vec_id, round(scale, 6) AS scale,
+           |       round(${VectorOpsSql.dequantMaxErr("e", "qv", "scale")}, 6)
+           |         AS max_err
+           |FROM q ORDER BY vec_id""".stripMargin,
+
       "mm_binary_meta" ->
         """SELECT doc_id,
           |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
@@ -1649,6 +1813,25 @@ object SparkEntry {
           |       count(*) AS n_events
           |FROM grp GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+
+      // batch replay of the stream-stream interval join: per-user stats are
+      // order-independent (counts, distinct counts, max), so the streaming
+      // pair-emission order never matters
+      "stream_interval_join" ->
+        """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id,
+          |                  event_type, value FROM events),
+          |c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+          |      FROM e WHERE event_type = 'click'),
+          |p AS (SELECT event_id AS buy_id, ts AS buy_ts, user_id, value
+          |      FROM e WHERE event_type = 'purchase')
+          |SELECT c.user_id, count(*) AS n_pairs,
+          |       count(DISTINCT click_id) AS n_clicks,
+          |       count(DISTINCT buy_id) AS n_buys,
+          |       round(max(value), 6) AS max_value
+          |FROM c JOIN p ON c.user_id = p.user_id
+          |  AND buy_ts >= click_ts
+          |  AND buy_ts <= click_ts + INTERVAL 30 MINUTE
+          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
       // deterministic control-layer scenarios: literal expected outcomes
       "c9_job_times" ->

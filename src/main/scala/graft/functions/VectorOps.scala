@@ -125,6 +125,35 @@ object VectorOps {
 
   def rpBuckets(a: Column, bits: Int, numTables: Int): Column =
     rpBuckets(a, bits, 0 until numTables)
+
+  // ---- int8 scalar quantization -----------------------------------------
+  // Per-vector symmetric quantization: q[i] = round(x[i] / scale) with
+  // scale = max|x| / 127, so dequantized error is bounded by scale/2 per
+  // component. Storage drops 4x (int8 vs float32) — the standard trick for
+  // fitting a 100 TB embedding store in memory-mapped ANN serving.
+  // Rounding is pinned as floor(v + 0.5) (round-half-up toward +inf) so
+  // Spark and the DuckDB oracle agree bit-for-bit; max is order-independent
+  // over doubles, so the greatest-fold needs no sequential contract.
+
+  /** Max |x| over the vector, 0.0 for empty vectors. */
+  def maxAbs(a: Column): Column =
+    aggregate(a, lit(0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Quantization scale; 1.0 for all-zero vectors (q = 0 everywhere, exact). */
+  def quantScale(a: Column): Column = {
+    val m = maxAbs(a)
+    when(m === 0d, lit(1.0)).otherwise(m / lit(127d))
+  }
+
+  /** int8-range quantized vector (as array<bigint>; values in [-127, 127]). */
+  def quantize(a: Column, scale: Column): Column =
+    transform(a, x => floor(x.cast("double") / scale + lit(0.5)).cast("long"))
+
+  /** Max per-component |x - q*scale| reconstruction error. */
+  def dequantMaxErr(a: Column, q: Column, scale: Column): Column =
+    aggregate(
+      zip_with(a, q, (x, qv) => abs(x.cast("double") - qv.cast("double") * scale)),
+      lit(0d), (acc, e) => greatest(acc, e))
 }
 
 /** DuckDB renderings of [[VectorOps]] — same folds, same order, same bits. */
@@ -175,4 +204,21 @@ object VectorOpsSql {
              .mkString(" + ")})))[1]""".stripMargin
     s"(case when len($a) = 0 then ${(0 until bits).map(1L << _).sum} else $bucket end)"
   }
+
+  def maxAbs(a: String): String =
+    s"(case when len($a) = 0 then 0.0 else " +
+      s"list_reduce(list_transform($a, x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b)) end)"
+
+  def quantScale(a: String): String = {
+    val m = maxAbs(a)
+    s"(case when $m = 0 then 1.0 else $m / 127.0 end)"
+  }
+
+  def quantize(a: String, scale: String): String =
+    s"list_transform($a, x -> floor(x::DOUBLE / $scale + 0.5)::BIGINT)"
+
+  def dequantMaxErr(a: String, q: String, scale: String): String =
+    s"(case when len($a) = 0 then 0.0 else list_reduce(" +
+      s"list_transform(range(1, len($a)+1), i -> " +
+      s"abs($a[i]::DOUBLE - $q[i]::DOUBLE * $scale)), (a, b) -> greatest(a, b)) end)"
 }

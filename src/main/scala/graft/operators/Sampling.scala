@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -74,6 +75,55 @@ object Sampling {
     require(rate >= 0 && rate <= 1, "rate in [0,1]")
     df.where(hash16(col(idCol), seed) < lit(math.round(rate * Buckets)))
   }
+
+  /**
+   * Deterministic global shuffle for training order: every row gets a
+   * pseudo-random but id-reproducible (shuffle_bucket, shuffle_key) pair.
+   * Writing `partitionBy("shuffle_bucket")` with `sortWithinPartitions
+   * (shuffle_key, id)` materializes the permutation WITHOUT a global
+   * total-order sort — readers stream buckets in bucket order and each
+   * bucket is internally ordered, which is how a 100 TB corpus gets
+   * shuffled: no single-partition `row_number` window, no driver
+   * involvement, one hash-partition exchange at most.
+   */
+  def shuffleAssign(
+      df: DataFrame,
+      idCol: String,
+      nBuckets: Int,
+      seed: Long = 0L): DataFrame = {
+    require(nBuckets > 0, "need at least one bucket")
+    val key = hash16(col(idCol), seed)
+    df.withColumn("shuffle_key", key)
+      .withColumn("shuffle_bucket", pmod(key, lit(nBuckets.toLong)))
+  }
+
+  /**
+   * Offset-based greedy sequence packing: within each `groupCol` shard,
+   * documents are laid end-to-end in `orderCol` order and cut into
+   * fixed-`budget` token sequences. Each document is assigned the sequence
+   * its FIRST token lands in (`seq_id`) plus its starting offset there
+   * (`tok_offset`); a document straddling a boundary continues into the
+   * next sequence — the standard packed-pretraining layout where sequences
+   * are filled without padding.
+   *
+   * The running total is a window sum PARTITIONED BY the shard column, so
+   * packing parallelizes across shards (one shuffle by shard key, no global
+   * sort) — exactly how a 100 TB corpus is packed: per input shard, after
+   * [[shuffleAssign]] has randomized shard contents.
+   */
+  def packSequences(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      nTokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = sum(col(nTokensCol)).over(w) - col(nTokensCol)
+    df.withColumn("seq_id", floor(cumBefore / lit(budget)))
+      .withColumn("tok_offset", cumBefore % lit(budget))
+  }
 }
 
 /** DuckDB renderings of the identical arithmetic, for the oracle. */
@@ -94,4 +144,14 @@ object SamplingSql {
 
   def sampleWhere(id: String, rate: Double, seed: Long = 0L): String =
     s"${hash16(id, seed)} < ${math.round(rate * Sampling.Buckets)}"
+
+  def shuffleKey(id: String, seed: Long = 0L): String = hash16(id, seed)
+
+  def shuffleBucket(id: String, nBuckets: Int, seed: Long = 0L): String =
+    s"(${hash16(id, seed)} % $nBuckets)"
+
+  /** Window mirror of [[Sampling.packSequences]]'s cumulative offset. */
+  def cumBefore(groupCol: String, orderCol: String, nTokens: String): String =
+    s"(sum($nTokens) OVER (PARTITION BY $groupCol ORDER BY $orderCol " +
+      s"ROWS UNBOUNDED PRECEDING) - $nTokens)"
 }

@@ -121,6 +121,48 @@ object Streams {
   }
 
   /**
+   * Stream-stream INTERVAL JOIN: each click joined to the same user's
+   * purchases in the `within` interval after it — streaming attribution,
+   * the two-sided stateful operator (both sides buffer state, the
+   * time-range condition + watermarks bound how long).
+   *
+   * No sentinel staging: an inner stream-stream join emits a pair as soon
+   * as both rows have arrived (state, not output, is what the watermark
+   * gates), so `AvailableNow` over the staged file drains completely. The
+   * watermark + interval bound is still what makes this run forever at
+   * scale: click state older than `within` + delay is dropped, so state is
+   * O(events in the join window), not O(stream history).
+   */
+  def clickAttribution(
+      spark: SparkSession,
+      eventsParquet: String,
+      within: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    // own staging (no sentinel): schema inference must see the FULL event
+    // schema — stageSource's sentinel file carries a 3-column subset and
+    // could win the single-file schema pick
+    val dir = Files.createTempDirectory("graft-stream-join")
+    Files.copy(Paths.get(eventsParquet), dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val ev = eventStream(spark, dir.toString)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"), col("value"))
+      .withWatermark("buy_ts", watermarkDelay)
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+    runToMemory(joined, "append")
+      .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
+        col("value"))
+  }
+
+  /**
    * Session windows per user (30-minute inactivity gap) — the stateful
    * operator the reference has no analogue for; append mode + watermark,
    * flushed by the sentinel drain.

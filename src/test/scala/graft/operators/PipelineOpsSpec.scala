@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{QualityOps, VectorOps}
+import graft.streaming.Streams
+
+/** Round-7 training-data pipeline operators: repetition/PII quality gates,
+  * contamination, packing/shuffle, int8 quantization, stream-stream join. */
+class PipelineOpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("dupTokenFrac: 0 for all-unique and empty docs, (n-u)/n otherwise") {
+    val df = Seq(
+      (1, "a b c d"),        // unique -> 0.0
+      (2, "a a a a"),        // 3/4 repeated
+      (3, "x y x y x y"),    // 4/6
+      (4, "")                // empty -> 0.0
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      QualityOps.dupTokenFrac(graft.functions.TextOps.tokens(col("text")))
+        .as("f"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 0.75) < 1e-12)
+    assert(math.abs(got(3) - 4.0 / 6.0) < 1e-12)
+    assert(got(4) == 0.0)
+  }
+
+  test("PII: counts and redaction, pinned order, no cross-manufacturing") {
+    val df = Seq(
+      (1, "mail a.b-c_d@ex.org now"),
+      (2, "ip 10.0.0.1 and phone 555-123-4567"),
+      (3, "+1 (555) 123-4567 calls 1.2.3.4"),
+      (4, "nothing to see: 1234, a.b, x@y (no tld)"),
+      (5, "two mails a@b.io c@d.co one ip 8.8.8.8")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      QualityOps.emailCount(col("text")).as("e"),
+      QualityOps.ipv4Count(col("text")).as("i"),
+      QualityOps.phoneCount(col("text")).as("p"),
+      QualityOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(got(1) == ((1, 0, 0, "mail <EMAIL> now")))
+    assert(got(2) == ((0, 1, 1, "ip <IP> and phone <PHONE>")))
+    assert(got(3) == ((0, 1, 1, "<PHONE> calls <IP>")))
+    assert(got(4)._1 == 0 && got(4)._2 == 0 && got(4)._3 == 0)
+    assert(got(4)._4 == "nothing to see: 1234, a.b, x@y (no tld)")
+    assert(got(5) == ((2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("contamination: eval-overlapping 3-grams found; eval docs excluded") {
+    // ids 0..199; eval = hash-selected ~10%. Give every doc the same unique
+    // phrase plus an id-specific tail: every train doc shares exactly its
+    // leading 3-grams with any eval doc.
+    val docs = (0L until 200L)
+      .map(i => (i, s"alpha beta gamma delta tail$i end$i"))
+      .toDF("doc_id", "text")
+    val out = Contamination.check(docs, "doc_id", "text",
+      evalRate = 0.1, seed = 11, k = 3)
+    val rows = out.collect()
+    val evalIds = docs.where(
+        Sampling.hash16(col("doc_id"), 11) < math.round(0.1 * Sampling.Buckets))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.nonEmpty, "need a non-empty eval split for the test")
+    // no eval doc appears in the output
+    assert(rows.forall(r => !evalIds.contains(r.getLong(0))))
+    // every train doc has 6 tokens -> 4 shingles; the 2 leading shingles
+    // (alpha beta gamma, beta gamma delta) occur in every doc, so every
+    // train doc is contaminated at exactly 2/4
+    assert(rows.length == 200 - evalIds.size)
+    assert(rows.forall(_.getLong(2) == 2L), rows.take(3).mkString(";"))
+    assert(rows.forall(r => math.abs(r.getDouble(3) - 0.5) < 1e-12))
+  }
+
+  test("shuffleAssign: reproducible, bucket = key % n, roughly uniform") {
+    val docs = (0L until 4096L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Sampling.shuffleAssign(docs, "doc_id", nBuckets = 8, seed = 5)
+    val rows = a.select("doc_id", "shuffle_key", "shuffle_bucket").collect()
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) % 8))
+    val sizes = rows.groupBy(_.getLong(2)).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    assert(sizes.values.forall(s => s > 256 && s < 768), sizes.toString)
+    // same seed identical; different seed a different permutation
+    val b = Sampling.shuffleAssign(docs, "doc_id", 8, seed = 6)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aKeys = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aKeys != b)
+  }
+
+  test("packSequences: hand-checked offsets, straddling doc stays whole") {
+    val d = Seq(
+      ("s", 1L, 400L), ("s", 2L, 400L), ("s", 3L, 400L), // 3rd straddles 1024
+      ("s", 4L, 1200L),                                  // bigger than budget
+      ("t", 9L, 10L)                                     // separate shard
+    ).toDF("source", "doc_id", "n_toks")
+    val got = Sampling.packSequences(d, "source", "doc_id", "n_toks", 1024)
+      .select("doc_id", "seq_id", "tok_offset").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 400L)))
+    assert(got(3L) == ((0L, 800L)))    // starts in seq 0, runs into seq 1
+    assert(got(4L) == ((1L, 176L)))    // starts at cum 1200 -> seq 1
+    assert(got(9L) == ((0L, 0L)))      // shards pack independently
+  }
+
+  test("quantize: |q| <= 127, reconstruction error bounded by scale/2") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f)),          // all-zero -> scale 1.0, q all 0
+      (3L, Array(3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+        VectorOps.quantScale(col("embedding")).as("scale"),
+        col("embedding"))
+      .select(col("vec_id"), col("scale"),
+        VectorOps.quantize(col("embedding"), col("scale")).as("q"),
+        VectorOps.dequantMaxErr(col("embedding"),
+          VectorOps.quantize(col("embedding"), col("scale")), col("scale"))
+          .as("err"))
+      .collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getSeq[Long](2), r.getDouble(3)))).toMap
+    val (s1, q1, e1) = out(1L)
+    assert(s1 == 1.0 / 127.0)
+    assert(q1 == Seq(64L, -127L, 32L, 16L))
+    assert(e1 <= s1 / 2 + 1e-15)
+    assert(out(2L)._1 == 1.0 && out(2L)._2 == Seq(0L, 0L) && out(2L)._3 == 0.0)
+    assert(out(3L)._2 == Seq(127L))
+  }
+
+  test("stream-stream interval join matches the batch self-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-join-spec")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // user 1: click at 0, purchases at +10min (in) and +40min (out);
+    // user 2: purchase BEFORE its click only -> no pair;
+    // user 3: two clicks sharing one purchase
+    val events = Seq(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "purchase", 5.0),
+      (3L, 40L, 1L, "purchase", 7.0),
+      (4L, 20L, 2L, "purchase", 9.0), (5L, 30L, 2L, "click", 1.0),
+      (6L, 50L, 3L, "click", 1.0), (7L, 60L, 3L, "click", 1.0),
+      (8L, 70L, 3L, "purchase", 3.0)
+    ).map { case (id, mins, u, ty, v) =>
+      (id, (base + mins * 60000L) * 1000000L, u, ty, v) // epoch ns
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir.toString + "/events.parquet")
+    val got = Streams.clickAttribution(spark, dir.toString + "/events.parquet")
+      .select("user_id", "click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (3L, 6L, 8L), (3L, 7L, 8L)))
+  }
+}
