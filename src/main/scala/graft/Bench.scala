@@ -51,7 +51,11 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale (de_DE…) would emit invalid JSON ("1,234")
+    def r3(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Full-precision detail to a file: the harness that consumes stdout only
     // keeps the last ~2000 bytes of output, so the single stdout JSON line

@@ -170,17 +170,14 @@ object SparkEntry {
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
       |)""".stripMargin
 
-  /** PII edge-case corpus (no quotes — rendered verbatim into oracle SQL). */
+  /** PII edge-case corpus. Its oracle is literal expected VALUES (intent),
+    * not a rendering of the same regexes — keep the two in sync by hand. */
   private val PiiCorpus = Seq(
     (1, "contact me at alice.smith+spam@example.co.nz or call 555-123-4567"),
     (2, "server at 192.168.0.1 logged jbloggs@mail.org twice"),
     (3, "no pii here, just 1234 numbers and a dot. end"),
     (4, "+1 (555) 123-4567 and 10.0.0.255 and bob@sub.domain.io"),
     (5, ""))
-
-  private def piiCorpusSql: String =
-    PiiCorpus.map { case (id, s) => s"($id, '$s')" }
-      .mkString("(VALUES ", ", ", ") t(case_id, text)")
 
   /** Flagship query on sf0.001; the driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -548,6 +545,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("shuffle_key")).as("min_key"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("shuffle_bucket"))),
+
+    // INTENT pin for the whole hash16 family: split/sample/shuffle over a
+    // literal id range, checked against VALUES computed by an INDEPENDENT
+    // reimplementation of the hash arithmetic (tools/hash16_reference.py) —
+    // the dataset-scale queries above share their arithmetic with the
+    // dual-rendered oracle, so only this row can catch a wrong hash
+    "sample_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val ids = (0L until 64L).toDF("id")
+      Sampling.shuffleAssign(
+          Sampling.assignSplit(ids, "id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7),
+          "id", nBuckets = 8, seed = 5)
+        .select(col("id"), col("split"),
+          (Sampling.hash16(col("id"), 3) <
+            lit(math.round(0.2 * Sampling.Buckets))).as("sampled"),
+          col("shuffle_key"), col("shuffle_bucket"))
+        .orderBy(col("id"))
+    }),
 
     // offset-based sequence packing: per-source running token total cut
     // into 1024-token training sequences
@@ -1580,6 +1596,50 @@ object SparkEntry {
            |       CAST(sum(doc_id) AS BIGINT) AS id_sum
            |FROM documents GROUP BY 1 ORDER BY shuffle_bucket""".stripMargin,
 
+      // literal expected VALUES from tools/hash16_reference.py — pins the
+      // INTENT of hash16/assignSplit/sampleByHash/shuffleAssign (the other
+      // sampling oracles are dual-rendered from the same arithmetic and
+      // would echo a wrong hash)
+      "sample_pinned" ->
+        """SELECT CAST(id AS BIGINT) AS id, split, sampled,
+          |       CAST(shuffle_key AS BIGINT) AS shuffle_key,
+          |       CAST(shuffle_bucket AS BIGINT) AS shuffle_bucket
+          |FROM (VALUES
+          |  (0, 'val', TRUE, 61779, 3), (1, 'train', FALSE, 40708, 4),
+          |  (2, 'train', FALSE, 19637, 5), (3, 'train', TRUE, 64102, 6),
+          |  (4, 'train', FALSE, 43030, 6), (5, 'val', FALSE, 21959, 7),
+          |  (6, 'train', TRUE, 888, 0), (7, 'train', FALSE, 45353, 1),
+          |  (8, 'train', FALSE, 24282, 2), (9, 'train', TRUE, 3211, 3),
+          |  (10, 'test', FALSE, 47676, 4), (11, 'train', FALSE, 26605, 5),
+          |  (12, 'train', FALSE, 5534, 6), (13, 'train', FALSE, 49999, 7),
+          |  (14, 'train', FALSE, 28927, 7), (15, 'train', FALSE, 7856, 0),
+          |  (16, 'train', FALSE, 52321, 1), (17, 'val', FALSE, 31250, 2),
+          |  (18, 'train', FALSE, 10179, 3), (19, 'train', FALSE, 54644, 4),
+          |  (20, 'train', FALSE, 33573, 5), (21, 'train', FALSE, 12502, 6),
+          |  (22, 'test', FALSE, 56967, 7), (23, 'train', FALSE, 35896, 0),
+          |  (24, 'train', FALSE, 14824, 0), (25, 'train', FALSE, 59289, 1),
+          |  (26, 'train', FALSE, 38218, 2), (27, 'test', FALSE, 17147, 3),
+          |  (28, 'train', TRUE, 61612, 4), (29, 'train', FALSE, 40541, 5),
+          |  (30, 'train', FALSE, 19470, 6), (31, 'train', TRUE, 63935, 7),
+          |  (32, 'train', FALSE, 42864, 0), (33, 'train', FALSE, 21793, 1),
+          |  (34, 'val', TRUE, 721, 1), (35, 'train', FALSE, 45186, 2),
+          |  (36, 'train', FALSE, 24115, 3), (37, 'train', TRUE, 3044, 4),
+          |  (38, 'train', FALSE, 47509, 5), (39, 'test', FALSE, 26438, 6),
+          |  (40, 'train', TRUE, 5367, 7), (41, 'train', FALSE, 49832, 0),
+          |  (42, 'train', FALSE, 28761, 1), (43, 'train', TRUE, 7690, 2),
+          |  (44, 'test', FALSE, 52154, 2), (45, 'train', FALSE, 31083, 3),
+          |  (46, 'val', TRUE, 10012, 4), (47, 'train', FALSE, 54477, 5),
+          |  (48, 'train', FALSE, 33406, 6), (49, 'train', TRUE, 12335, 7),
+          |  (50, 'train', FALSE, 56800, 0), (51, 'val', FALSE, 35729, 1),
+          |  (52, 'train', TRUE, 14658, 2), (53, 'train', FALSE, 59123, 3),
+          |  (54, 'train', FALSE, 38051, 3), (55, 'train', FALSE, 16980, 4),
+          |  (56, 'test', FALSE, 61445, 5), (57, 'train', FALSE, 40374, 6),
+          |  (58, 'train', FALSE, 19303, 7), (59, 'train', FALSE, 63768, 0),
+          |  (60, 'train', FALSE, 42697, 1), (61, 'train', FALSE, 21626, 2),
+          |  (62, 'train', FALSE, 555, 3), (63, 'val', FALSE, 45020, 4)
+          |) t(id, split, sampled, shuffle_key, shuffle_bucket)
+          |ORDER BY id""".stripMargin,
+
       "pack_sequences" -> {
         val cb = SamplingSql.cumBefore("source", "doc_id", "n_toks")
         s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_toks
@@ -1623,13 +1683,22 @@ object SparkEntry {
            |       max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS top_bigram_frac
            |FROM c GROUP BY doc_id, n_toks, n_uniq ORDER BY doc_id""".stripMargin,
 
+      // INTENT-pinned oracle: literal expected VALUES, hand-derived from the
+      // corpus — NOT rendered from the same regexes as the Spark side (a
+      // dual-rendered oracle can only confirm engine-equivalence; round 7's
+      // PhoneRe bug sailed through exactly that way)
       "pii_scrub" ->
-        s"""SELECT case_id,
-           |       CAST(${QualityOpsSql.emailCount("text")} AS BIGINT) AS n_email,
-           |       CAST(${QualityOpsSql.ipv4Count("text")} AS BIGINT) AS n_ip,
-           |       CAST(${QualityOpsSql.phoneCount("text")} AS BIGINT) AS n_phone,
-           |       ${QualityOpsSql.redactPii("text")} AS redacted
-           |FROM $piiCorpusSql ORDER BY case_id""".stripMargin,
+        """SELECT case_id, CAST(n_email AS BIGINT) AS n_email,
+          |       CAST(n_ip AS BIGINT) AS n_ip,
+          |       CAST(n_phone AS BIGINT) AS n_phone, redacted
+          |FROM (VALUES
+          |  (1, 1, 0, 1, 'contact me at <EMAIL> or call <PHONE>'),
+          |  (2, 1, 1, 0, 'server at <IP> logged <EMAIL> twice'),
+          |  (3, 0, 0, 0, 'no pii here, just 1234 numbers and a dot. end'),
+          |  (4, 1, 1, 1, '<PHONE> and <IP> and <EMAIL>'),
+          |  (5, 0, 0, 0, '')
+          |) t(case_id, n_email, n_ip, n_phone, redacted)
+          |ORDER BY case_id""".stripMargin,
 
       "contamination_check" ->
         (ContaminationSql.check("doc_id", "text", evalRate = 0.05, seed = 11,

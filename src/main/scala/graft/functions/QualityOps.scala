@@ -32,8 +32,10 @@ object QualityOps {
         size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
 
   // ---- PII ---------------------------------------------------------------
-  // Pinned regex subset: `[...]` classes, `{m,n}` bounds, no backrefs or
-  // lookaround — the intersection of java.util.regex and RE2 semantics.
+  // Pinned regex subset: `[...]` classes, `{m,n}` bounds, optional groups
+  // `(...)?`, no backrefs or lookaround — the intersection of
+  // java.util.regex and RE2 semantics (groups are never referenced in the
+  // replacement, so capture-group numbering differences can't matter).
   // `[0-9]` (not `\d`) avoids escape-dialect drift between Scala string
   // literals and SQL string literals.
 
@@ -45,9 +47,12 @@ object QualityOps {
 
   /** NANP-style phone numbers: optional +1/1 prefix, 3-3-4 groups separated
     * by `-`, `.` or space. The separator is REQUIRED, so plain integers and
-    * the dotted-quad IPs never match. */
+    * the dotted-quad IPs never match. The prefix separator is GROUPED with
+    * the `1` (`([+]?1[- .]?)?`) so a bare number can never consume the
+    * character before it — ungrouped, `[- .]?` alone matched the preceding
+    * space and redaction ate it (`"phone 555-123-4567"` → `"phone<PHONE>"`). */
   val PhoneRe =
-    "[+]?1?[- .]?[(]?[0-9]{3}[)]?[- .][0-9]{3}[- .][0-9]{4}"
+    "([+]?1[- .]?)?[(]?[0-9]{3}[)]?[- .][0-9]{3}[- .][0-9]{4}"
 
   /** Redaction placeholders (redaction order is pinned: email, then IP,
     * then phone — earlier passes must not manufacture later matches, and

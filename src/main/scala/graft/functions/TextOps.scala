@@ -100,9 +100,23 @@ object TextOps {
   /**
    * Word k-shingle hashes from token hashes: combine k consecutive token
    * hashes positionally, (h[i]*P^2 + h[i+1]*P + h[i+2]) % M for k=3.
-   * Documents shorter than k tokens yield an empty array.
+   * Documents shorter than k tokens yield an empty array. Native one-pass
+   * loop ([[graft.plans.ShingleHashesExpr]]): the lambda reference below
+   * captures the OUTER `thash` column, so CollapseProject re-inlines the
+   * caller's whole tokenize+hash subtree into every `get` — k
+   * re-tokenizations per shingle when fed `tokenHashes(tokens(text))`
+   * directly, the dominant cost of the contamination/repetition operators.
    */
   def shingleHashes(thash: Column, k: Int = 3): Column = {
+    require(k >= 1 && k <= 3, "shingle width 1..3 supported")
+    bridged(graft.plans.ShingleHashesExpr(expr(thash),
+      (0 until k).map(d => pow.applyOrElse(k - 1 - d, (_: Int) => 1L)), HashMod))
+  }
+
+  /** Higher-order-lambda reference for [[shingleHashes]], pinned by the
+    * spec (element-for-element, including the null-array → empty-array and
+    * null-token → null-shingle edges). */
+  private[graft] def shingleHashesHof(thash: Column, k: Int = 3): Column = {
     require(k >= 1 && k <= 3, "shingle width 1..3 supported")
     when(size(thash) >= k,
       transform(sequence(lit(0), size(thash) - k), i =>

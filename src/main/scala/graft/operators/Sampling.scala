@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
  * Deterministic sampling / split assignment for training-data pipelines.
  *
  * Everything keys off a 16-bit multiplicative hash of the row id
- * ([[Sampling.hash16]]): two Fibonacci-multiplier rounds whose intermediate
- * products stay far below 2^63, so the SAME integer arithmetic runs as a
- * Spark `Column` expression and as ANSI SQL in the DuckDB oracle
+ * ([[Sampling.hash16]]): Fibonacci-multiplier mixing rounds whose
+ * intermediate products stay far below 2^63, so the SAME integer arithmetic
+ * runs as a Spark `Column` expression and as ANSI SQL in the DuckDB oracle
  * ([[SamplingSql]]) — no RNG, no engine-specific hash builtin, and a row's
  * assignment never changes when the corpus grows (the property a 100 TB
  * pipeline needs: re-running a split after ingesting new data must not
@@ -25,15 +25,44 @@ object Sampling {
   /** Hash bucket count; assignments are fractions of this. */
   val Buckets = 65536L
 
-  private val Mult = 40503L // 16-bit golden-ratio (Fibonacci) multiplier
+  private[operators] val Mult = 40503L // 16-bit golden-ratio (Fibonacci) multiplier
+  private[operators] val M32 = 4294967296L // 2^32: the mixing-state modulus
 
-  /** Two-round multiplicative hash of a non-negative integral id into
-    * [0, 65536). Max intermediate: h1 * 40503 < 2^32 — overflow-safe in any
-    * 64-bit engine (a 32-bit golden multiplier would overflow BIGINT once
-    * ids pass ~3.5e9 rows, which a 100 TB corpus does). */
+  /** Seed-derived odd multiplier for round 1 — the seed must interact
+    * MULTIPLICATIVELY with the id: a purely additive seed shifts the whole
+    * hash nearly affinely (measured: two 10% samples at seeds 0/1 overlapped
+    * 37% instead of the independent 1%). Odd and < 2^17, so round-1's
+    * product stays under 2^49. */
+  private[operators] def seedMult(seed: Long): Long =
+    Mult + 2L * math.floorMod(seed * Mult + 14029L, 32768L)
+
+  /**
+   * Mixed 16-bit hash of a non-negative integral id into [0, 65536), as
+   * three multiply-fold rounds over 32-bit state. Every round folds the
+   * state's HIGH half back into the product (`x % 65536 * mult + x >> 16`),
+   * so no output bit is an affine function of the id — the previous
+   * two-round variant kept `h ≡ const (mod 2)` for every id (the low bit
+   * cancelled), which left half of [[shuffleAssign]]'s `pmod` buckets EMPTY.
+   * Measured on ids 0..65535: every `mod 8` bucket within ±12 of uniform,
+   * low bit balanced, and same-rate samples at different seeds overlap at
+   * the independent expectation.
+   *
+   * Max intermediate: (2^32)·seedMult + (id >> 32) + const < 2^50 —
+   * overflow-safe in any 64-bit engine, including DuckDB's overflow-checked
+   * BIGINT (a 32-bit multiplier on a raw id would overflow once ids pass
+   * ~2^31, which a 100 TB corpus does; hence the `% 2^32` pre-fold and the
+   * explicit `id >> 32` high-half injection, so ids above 2^32 still
+   * disperse). Shifts stand in for division — exact on non-negative longs
+   * and rendered identically by DuckDB's `>>`.
+   */
   def hash16(id: Column, seed: Long = 0L): Column = {
-    val h1 = pmod(id * lit(Mult) + lit(14029L + seed), lit(Buckets))
-    pmod(h1 * lit(Mult) + pmod(id, lit(Buckets)), lit(Buckets))
+    require(seed >= 0L, "seed must be non-negative (SQL % is not pmod)")
+    val a = pmod(
+      pmod(id, lit(M32)) * lit(seedMult(seed)) + shiftright(id, 32) +
+        lit(14029L + seed),
+      lit(M32))
+    val b = pmod(pmod(a, lit(Buckets)) * lit(Mult) + shiftright(a, 16), lit(M32))
+    pmod(pmod(b, lit(Buckets)) * lit(Mult) + shiftright(b, 16), lit(Buckets))
   }
 
   /**
@@ -126,11 +155,22 @@ object Sampling {
   }
 }
 
-/** DuckDB renderings of the identical arithmetic, for the oracle. */
+/** DuckDB renderings of the identical arithmetic, for the oracle. The id is
+  * CAST to BIGINT up front: an INTEGER-typed id column would otherwise
+  * overflow DuckDB's 32-bit arithmetic on the first multiply (Spark promotes
+  * via the long literal), and the rendering — like the Spark side — requires
+  * NON-NEGATIVE ids (SQL `%` is remainder, not pmod, and `>>` is an
+  * arithmetic shift). */
 object SamplingSql {
 
-  def hash16(id: String, seed: Long = 0L): String =
-    s"((($id * 40503 + ${14029L + seed}) % 65536) * 40503 + ($id % 65536)) % 65536"
+  def hash16(id: String, seed: Long = 0L): String = {
+    require(seed >= 0L, "seed must be non-negative (SQL % is not pmod)")
+    val i = s"CAST($id AS BIGINT)"
+    val m32 = Sampling.M32
+    val a = s"((($i % $m32) * ${Sampling.seedMult(seed)} + ($i >> 32) + ${14029L + seed}) % $m32)"
+    val b = s"((($a % 65536) * ${Sampling.Mult} + ($a >> 16)) % $m32)"
+    s"((($b % 65536) * ${Sampling.Mult} + ($b >> 16)) % 65536)"
+  }
 
   def splitCase(id: String, splits: Seq[(String, Double)], seed: Long = 0L): String = {
     val bounds = splits.init.scanLeft(0L) { case (acc, (_, frac)) =>

@@ -22,12 +22,38 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object Streams {
 
+  /** Copy a parquet input — a single FILE or a normal part-file DIRECTORY
+    * (the shape every Spark write produces) — into the staging dir. Hidden
+    * (`.`/`_`-prefixed) entries are skipped, matching Spark's own path
+    * filter, so `_SUCCESS` markers and `.crc` sidecars never reach the
+    * stream source. */
+  private def stageData(src: String, dir: java.nio.file.Path): Unit = {
+    val p = Paths.get(src)
+    if (Files.isDirectory(p)) {
+      val parts = Files.list(p).iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val f = parts.next()
+        val name = f.getFileName.toString
+        if (Files.isRegularFile(f) &&
+            !name.startsWith(".") && !name.startsWith("_")) {
+          Files.copy(f, dir.resolve(f"staged-$i%05d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          i += 1
+        }
+      }
+      require(i > 0, s"no parquet part files under $src")
+    } else {
+      Files.copy(p, dir.resolve("staged-00000.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Stage the events parquet (plus a sentinel file) into a fresh stream
     * source dir; returns (dir, sentinel event_type). */
   private def stageSource(spark: SparkSession, eventsParquet: String): (String, String) = {
     val dir = Files.createTempDirectory("graft-stream")
-    Files.copy(Paths.get(eventsParquet), dir.resolve("part-0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    stageData(eventsParquet, dir)
     val sentinel = "__sentinel__"
     val ev = spark.read.parquet(eventsParquet)
     // one sentinel event per user, far past every real session/window
@@ -142,8 +168,7 @@ object Streams {
     // schema — stageSource's sentinel file carries a 3-column subset and
     // could win the single-file schema pick
     val dir = Files.createTempDirectory("graft-stream-join")
-    Files.copy(Paths.get(eventsParquet), dir.resolve("part-0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    stageData(eventsParquet, dir)
     val ev = eventStream(spark, dir.toString)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),

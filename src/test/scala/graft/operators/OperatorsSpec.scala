@@ -210,6 +210,39 @@ class RpBucketsSpec extends SparkSuite {
     assert(empty.getSeq[Any](0) == empty.getSeq[Any](1))
   }
 
+  test("native ShingleHashesExpr matches the lambda reference exactly") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0L until 300L).map { i =>
+      // arrays of 0..12 token hashes with occasional null elements
+      (i, Seq.fill(rnd.nextInt(13))(
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong().abs % TextOps.TokenMod)))
+    }
+    val df = rows.toDF("id", "thash")
+    for (k <- 1 to 3) {
+      val both = df.select(
+        TextOps.shingleHashes(col("thash"), k).as("native"),
+        TextOps.shingleHashesHof(col("thash"), k).as("ref"))
+      assert(both.where(not(col("native") <=> col("ref"))).count() == 0, s"k=$k")
+    }
+    // null array → EMPTY array in both (the when-guard's null-condition edge)
+    val edge = Seq((1L, null: Seq[java.lang.Long]), (2L, Seq.empty[java.lang.Long]))
+      .toDF("id", "thash")
+      .select(
+        TextOps.shingleHashes(col("thash")).as("n"),
+        TextOps.shingleHashesHof(col("thash")).as("r"))
+      .collect()
+    assert(edge.forall(r => !r.isNullAt(0) && r.getSeq[Any](0).isEmpty))
+    assert(edge.forall(r => !r.isNullAt(1) && r.getSeq[Any](1).isEmpty))
+    // end-to-end over the real pipeline shape (nested tokenize+hash child)
+    val docs = Seq("alpha beta gamma delta", "a b", "", "one two three four five")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val pipe = docs.select(
+      TextOps.shingleHashes(TextOps.tokenHashes(TextOps.tokens(col("text")))).as("n"),
+      TextOps.shingleHashesHof(TextOps.tokenHashes(TextOps.tokens(col("text")))).as("r"))
+    assert(pipe.where(not(col("n") <=> col("r"))).count() == 0)
+  }
+
   test("native SimHashExpr matches the higher-order-fold reference exactly") {
     val rnd = new scala.util.Random(17)
     val rows = (0L until 300L).map { i =>

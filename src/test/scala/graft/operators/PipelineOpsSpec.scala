@@ -132,6 +132,25 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(3L)._2 == Seq(127L))
   }
 
+  test("windowed counts accept a multi-part parquet directory (stageSource)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-win-spec")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = Seq(
+      (1L, 10L, 1L, "view", 1.0), (2L, 20L, 2L, "view", 1.0),
+      (3L, 15L, 1L, "click", 1.0), (4L, 70L, 2L, "view", 1.0)
+    ).map { case (id, mins, u, ty, v) =>
+      (id, (base + mins * 60000L) * 1000000L, u, ty, v) // epoch ns
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.repartition(3).write.mode("overwrite")
+      .parquet(dir.toString + "/events.parquet")
+    val got = Streams.windowedEventCounts(spark, dir.toString + "/events.parquet")
+      .select("window_start", "event_type", "n_events").collect()
+    val perType = got.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(perType == Map("view" -> 3L, "click" -> 1L), got.mkString(";"))
+    assert(got.map(_.getString(0)).distinct.length == 2) // two 1h windows
+  }
+
   test("stream-stream interval join matches the batch self-join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-join-spec")
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -147,7 +166,11 @@ class PipelineOpsSpec extends SparkSuite {
     ).map { case (id, mins, u, ty, v) =>
       (id, (base + mins * 60000L) * 1000000L, u, ty, v) // epoch ns
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
-    events.write.mode("overwrite").parquet(dir.toString + "/events.parquet")
+    // a NORMAL parquet directory with several part files (plus _SUCCESS and
+    // .crc sidecars) — the shape every Spark write produces; the staging
+    // path must list part files, not assume a single-file input
+    events.repartition(3).write.mode("overwrite")
+      .parquet(dir.toString + "/events.parquet")
     val got = Streams.clickAttribution(spark, dir.toString + "/events.parquet")
       .select("user_id", "click_id", "buy_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
