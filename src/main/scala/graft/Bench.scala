@@ -27,6 +27,13 @@ object Bench {
         Seq("n_nationkey")).count()
       spark.read.parquet(s"$sfDir/orders.parquet")
         .groupBy("o_orderstatus").count().count()
+      // Materialize the session-memoized E2E slice (staged repo + level-0 +
+      // level-5 loads over the reference fixtures) OUTSIDE any timed query:
+      // six registered queries consume it, and whichever ran first was
+      // billed its full ~5-25 s fixture cost (driver r7 showed
+      // e1_level0_replace at 26 s for a 5-row result under contention).
+      // With the fixture warm, the slice queries report marginal cost.
+      graft.bde.E2E.runSlice(spark)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}")
     }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, Publication, Repo}
+import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
 import graft.operators.{Contamination, ContaminationSql, Dedup, Multimodal, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
@@ -856,6 +856,70 @@ object SparkEntry {
         E2E.TableName, E2E.KeyColumn, E2E.L5Dataset,
         tolError = Some(0.20), tolWarning = Some(0.95))
       sink.read().orderBy(col("pri_id"))
+    }),
+
+    // S5/C9: the JDBC exclusive publish lock (_bde_GetExclusiveLock,
+    // sql/02-bde_control_functions.sql.in:696-762) — a contender times out
+    // with the holder named in the diagnostic, a STALE holder's claim is
+    // stolen and publish proceeds. Contention is injected deterministically
+    // (a fake holder row) rather than raced.
+    "c9_exclusive_lock" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lock")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      def raw(sql: String): Unit = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try { c.createStatement().executeUpdate(sql); () } finally c.close()
+      }
+      val sink = new JdbcTableSink(s, url, "t_lock")
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      sink.replace(Seq((1, "a"), (2, "b")).toDF("id", "v"), "v1")
+      out += "1_publish_v1" -> "ok"
+      val staged = sink.stage(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "v2")
+      // a live (fresh) claim by another agent: the contender must time out
+      // and name the holder
+      raw("UPDATE t_lock__lock SET owner = 'agent-zombie', " +
+        "acquired_at = CURRENT_TIMESTAMP WHERE id = 1")
+      val contender = new JdbcTableSink(s, url, "t_lock",
+        lockTimeoutSeconds = 0, lockRetryMillis = 1L)
+      out += "2_contended_publish" -> (
+        try { contender.publish(staged); "unexpected_success" }
+        catch { case e: IllegalStateException =>
+          if (e.getMessage.contains("held by agent-zombie")) "timeout_names_holder"
+          else s"wrong_diagnostic: ${e.getMessage.take(80)}"
+        })
+      // age the claim past lockStaleSeconds: the next publisher steals it
+      raw("UPDATE t_lock__lock SET acquired_at = TIMESTAMP('2000-01-01 00:00:00') " +
+        "WHERE id = 1")
+      val stealer = new JdbcTableSink(s, url, "t_lock",
+        lockTimeoutSeconds = 10, lockRetryMillis = 1L, lockStaleSeconds = 60)
+      stealer.publish(staged)
+      out += "3_stale_steal_publish" -> "ok"
+      out += "4_final_rows" -> sink.read().count().toString
+      out.toSeq.toDF("item", "outcome").orderBy(col("item"))
+    }),
+
+    // S6 maintenance (`-m`): pruneVersions keeps the published version plus
+    // one predecessor (for in-flight readers) and deletes the rest — the
+    // parquet analogue of the reference's maintain()
+    // (lib/LINZ/BdeDatabase.pm:400-405)
+    "m_prune_versions" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+      val sink = new ParquetTableSink(s, tmp, "t_prune")
+      Seq("d1", "d2", "d3").foreach(v =>
+        sink.replace(Seq((v, 1)).toDF("version_tag", "n"), v))
+      val removed = sink.pruneVersions(keepPrevious = 1).toSet
+      val dirRows = Seq("v_d1", "v_d2", "v_d3").map { n =>
+        val status =
+          if (sink.currentVersion.contains(n)) "current"
+          else if (removed.contains(n)) "removed"
+          else "kept"
+        (n, status)
+      }
+      val tag = sink.read().select("version_tag").collect().head.getString(0)
+      (dirRows :+ ("published_tag" -> tag))
+        .toDF("item", "status").orderBy(col("item"))
     }),
 
     // E3: level-0 applied as a full-outer diff (-full-incremental) — same
@@ -1980,6 +2044,25 @@ object SparkEntry {
           |  (4457330, 5, 20000000, 'Y', 400))
           |  t(pri_id, "sequence", lin_id, reversed, audit_id)
           |ORDER BY pri_id""".stripMargin,
+
+      // exclusive-lock scenario outcomes: contender times out naming the
+      // live holder; an aged claim is stolen and publish proceeds
+      "c9_exclusive_lock" ->
+        """SELECT * FROM (VALUES
+          |  ('1_publish_v1', 'ok'),
+          |  ('2_contended_publish', 'timeout_names_holder'),
+          |  ('3_stale_steal_publish', 'ok'),
+          |  ('4_final_rows', '3'))
+          |  t(item, outcome) ORDER BY item""".stripMargin,
+
+      // prune keeps published v_d3 + newest predecessor v_d2, removes v_d1
+      "m_prune_versions" ->
+        """SELECT * FROM (VALUES
+          |  ('published_tag', 'd3'),
+          |  ('v_d1', 'removed'),
+          |  ('v_d2', 'kept'),
+          |  ('v_d3', 'current'))
+          |  t(item, status) ORDER BY item""".stripMargin,
 
       // E3 differ over the pab1 slice: I=3 (keys 100/300/400), U=2
       // (80401148/80401149), D=1 (80401150), final table = 5 rows

@@ -527,8 +527,13 @@ private[bde] object ControlStore {
     g
   }
 
-  /** Write rows to `<path>.tmp`, then one atomic OVERWRITE rename — a
-    * reader (or a crash) never observes a partial control table. */
+  /** Write rows to a HIDDEN `.<name>.tmp` sibling, then one atomic
+    * OVERWRITE rename — a reader (or a crash) never observes a partial
+    * control table. The dot prefix matters beyond crash safety: Spark's
+    * file listing hides only `.`/`_`-prefixed entries, so an un-hidden
+    * `<name>.tmp` staged in the SAME directory could be listed mid-write by
+    * a concurrent batch read or a live `subscribe()` stream over a
+    * publication changelog and fail with a parquet-footer error. */
   def write[T](
       conf: Configuration,
       path: String,
@@ -537,7 +542,7 @@ private[bde] object ControlStore {
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val qTarget = fs.makeQualified(target)
-    val tmp = new Path(qTarget.getParent, qTarget.getName + ".tmp")
+    val tmp = new Path(qTarget.getParent, "." + qTarget.getName + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, false)
     fs.mkdirs(qTarget.getParent)
     val writer = ExampleParquetWriter

@@ -297,8 +297,11 @@ private[bde] final class PublicationWriter(conf: Configuration, controlDir: Stri
     ins ++ upd ++ del
   }
 
-  /** One immutable commit file per mutation: write to `.tmp`, rename into
-    * place — the streaming file source never lists a partial commit. */
+  /** One immutable commit file per mutation: write to a hidden
+    * `.chg-….tmp`, rename into place — neither the streaming file source
+    * nor a concurrent batch read ever lists a partial commit (Spark's path
+    * filter hides dot-prefixed files, so the staged tmp is invisible even
+    * while being written). */
   private def append[T](table: String, schema: MessageType,
       delta: Seq[(String, T)])(fill: (Group, String, T) => Unit): Unit = {
     seq += 1

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Cache lifetime for operators that RETURN a lazy DataFrame built on a
+ * cached intermediate (the LSH/banding operators cache the signature /
+ * cluster / vector table because it feeds two-to-three scans of one plan).
+ * The operator cannot unpersist inline — the caller has not run its action
+ * yet — and leaving the cache pinned forever grows executor storage across
+ * a many-table run unless the caller remembers `clearCache()` (the round-7
+ * nit: Loader unpersists its own caches, the operators relied on the
+ * bench's session-wide sweep).
+ *
+ * [[CacheScope.unpersistAfterAction]] ties the cache to the FIRST action
+ * executed over the returned plan: a `QueryExecutionListener` fires on
+ * action completion (success or failure), checks that the executed plan
+ * contains the operator's result subtree (`sameResult` on the analyzed
+ * plan, so caller-added projections/sorts/aggregates on top still match),
+ * unpersists, and unregisters itself.
+ *
+ * Caveats, by design:
+ *  - a SECOND action over the same returned frame recomputes without the
+ *    cache (correct, just cold) — callers that iterate should cache the
+ *    final result themselves;
+ *  - if the caller never runs an action the listener stays registered and
+ *    the cache stays pinned until the usual session-level `clearCache()`;
+ *  - listener dispatch is asynchronous, so the unpersist lands shortly
+ *    after the action returns (storage is freed between queries, which is
+ *    what the many-table run needs; `blocking = false` keeps it off the
+ *    query's critical path).
+ */
+object CacheScope {
+
+  def unpersistAfterAction(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val listener = new QueryExecutionListener {
+      @volatile private var done = false
+      private def fire(qe: QueryExecution): Unit =
+        if (!done && qe.analyzed.exists(_.sameResult(target))) {
+          done = true
+          caches.foreach(_.unpersist(blocking = false))
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = fire(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+}

@@ -88,13 +88,14 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sh = sig.select(col(idCol), col("shingles"))
-    candidates
+    val result = candidates
       .join(sh.as("a"), col("id_a") === col(s"a.$idCol"))
       .join(sh.as("b"), col("id_b") === col(s"b.$idCol"))
       .select(
         col("id_a"), col("id_b"),
         TextOps.jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+    CacheScope.unpersistAfterAction(result, Seq(sig))
   }
 
   /**
@@ -182,7 +183,7 @@ object Dedup {
         TextOps.hamming(lit(0L), lit(0L)).as("hamming"))
     // a pair never appears twice: (pa, pb) print pairs are deduplicated and
     // each id belongs to exactly one print cluster, so no final distinct
-    cross.unionByName(intra)
+    CacheScope.unpersistAfterAction(cross.unionByName(intra), Seq(clusters))
   }
 
   /**

@@ -172,11 +172,12 @@ object Similarity {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
+    val result = candidates
       .join(pre.as("a"), col("id_a") === col("a.id"))
       .join(pre.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine"))
       .where(col("cosine") >= minCosine)
+    CacheScope.unpersistAfterAction(result, Seq(pre))
   }
 }

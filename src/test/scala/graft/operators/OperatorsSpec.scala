@@ -38,6 +38,21 @@ class DedupSpec extends SparkSuite {
     assert(!byPair.keys.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("operator caches are released after the consuming action") {
+    spark.catalog.clearCache()
+    val df = (0L until 50L).map(i => (i, s"tok$i a b c d e f g"))
+      .toDF("id", "text")
+    Dedup.minHashLshPairs(df, "id", "text", minJaccard = 0.0).count()
+    // CacheScope's listener fires asynchronously after the action; the
+    // cached signature RDD must drop out of executor storage without any
+    // session-level clearCache
+    val deadline = System.currentTimeMillis + 15000
+    while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "cached signature table still pinned after the consuming action")
+  }
+
   test("simhash hamming pairs: identical docs at distance 0, near docs small") {
     val doc = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = (1 to 39).map(i => s"tok$i").mkString(" ")
