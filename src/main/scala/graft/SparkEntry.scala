@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Contamination, ContaminationSql, Dedup, Multimodal, Sampling, SamplingSql, Similarity}
+import graft.operators.{Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -546,6 +546,18 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("shuffle_bucket"))),
 
+    // deterministic corpus mixing: thin each language stratum by hash so
+    // the kept corpus realizes the target mixture at the largest
+    // no-upsampling size (stratum sizes = one tiny aggregate; the keep
+    // decision is a map-side CASE over hash16 — no corpus shuffle)
+    "mix_by_lang" -> ((s, dir) =>
+      Mixing.mix(t(s, dir, "documents"), "doc_id", "lang",
+          Seq("en" -> 0.5, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1, "zh" -> 0.1),
+          seed = 9)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))),
+
     // INTENT pin for the whole hash16 family: split/sample/shuffle over a
     // literal id range, checked against VALUES computed by an INDEPENDENT
     // reimplementation of the hash arithmetic (tools/hash16_reference.py) —
@@ -583,6 +595,35 @@ object SparkEntry {
         TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col("text"))))
           .as("simhash"))
         .orderBy(col("doc_id"))),
+
+    // INTENT pin for the whole text-hash family (polyHash / wide prints /
+    // shingles / MinHash bands / SimHash) over a pinned corpus, checked
+    // against VALUES computed by an INDEPENDENT reimplementation
+    // (tools/texthash_reference.py) — the corpus-scale queries share their
+    // arithmetic with the dual-rendered oracles, so only this row can catch
+    // wrong hash arithmetic itself
+    "text_hash_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens(col("text"))
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "héllo wörld 日本語 mixed"),
+        (3L, "a b"),
+        (4L, ""),
+        (5L, "aa aa aa aa"))
+        .toDF("case_id", "text")
+        .withColumn("sh", TextOps.shingleHashes(TextOps.tokenHashes(toks)))
+        .withColumn("sig", TextOps.minHashSignature(col("sh")))
+        .select(
+          col("case_id"),
+          TextOps.polyHash(col("text")).as("fingerprint"),
+          TextOps.simHash(TextOps.tokenHashesWide(toks)).as("simhash"),
+          size(col("sh")).cast("bigint").as("n_shingles"),
+          get(col("sh"), lit(0)).as("shingle_0"),
+          TextOps.bandHash(col("sig"), 0).as("band_0"),
+          TextOps.bandHash(col("sig"), 3).as("band_3"))
+        .orderBy(col("case_id"))
+    }),
 
     "text_quality" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -1660,6 +1701,11 @@ object SparkEntry {
            |       CAST(sum(doc_id) AS BIGINT) AS id_sum
            |FROM documents GROUP BY 1 ORDER BY shuffle_bucket""".stripMargin,
 
+      "mix_by_lang" ->
+        MixingSql.mixCounts("documents", "doc_id", "lang",
+          Seq("en" -> 0.5, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1, "zh" -> 0.1),
+          seed = 9),
+
       // literal expected VALUES from tools/hash16_reference.py — pins the
       // INTENT of hash16/assignSplit/sampleByHash/shuffleAssign (the other
       // sampling oracles are dual-rendered from the same arithmetic and
@@ -1723,6 +1769,26 @@ object SparkEntry {
            |FROM (SELECT doc_id, text, $thw AS thw FROM documents)
            |ORDER BY doc_id""".stripMargin
       },
+
+      // literal expected VALUES from tools/texthash_reference.py — pins the
+      // INTENT of the text-hash arithmetic (the corpus-scale oracles are
+      // dual-rendered from the same constants and would echo a wrong hash)
+      "text_hash_pinned" ->
+        """SELECT CAST(case_id AS BIGINT) AS case_id,
+          |       CAST(fingerprint AS BIGINT) AS fingerprint,
+          |       CAST(simhash AS BIGINT) AS simhash,
+          |       CAST(n_shingles AS BIGINT) AS n_shingles,
+          |       CAST(shingle_0 AS BIGINT) AS shingle_0,
+          |       CAST(band_0 AS BIGINT) AS band_0,
+          |       CAST(band_3 AS BIGINT) AS band_3
+          |FROM (VALUES
+          |  (1, 579627, 211357489817416, 7, 614751648, 1921131228, 261861308),
+          |  (2, 820371, 220822365537306792, 2, 710699018, 844969394, 888769332),
+          |  (3, 94307, 206158430208, 0, NULL, NULL, NULL),
+          |  (4, 0, 0, 0, NULL, NULL, NULL),
+          |  (5, 817000, 6665789253092, 2, 1620026318, 537751134, 1553014722)
+          |) t(case_id, fingerprint, simhash, n_shingles, shingle_0, band_0, band_3)
+          |ORDER BY case_id""".stripMargin,
 
       "text_quality" ->
         s"""SELECT doc_id,
