@@ -565,7 +565,12 @@ object SparkEntry {
     // dual-rendered oracle, so only this row can catch a wrong hash
     "sample_pinned" -> ((s, dir) => {
       import s.implicits._
-      val ids = (0L until 64L).toDF("id")
+      // 0..63 plus ids beyond 2^32/2^52/2^62: pins the high-half (`>> 32`)
+      // injection and that both engines' shift/mod arithmetic agree out to
+      // the top of the non-negative int64 range
+      val ids = ((0L until 64L) ++ Seq(
+        4294967301L, 1099511627899L, 4503599627370503L, 4611686018427388903L))
+        .toDF("id")
       Sampling.shuffleAssign(
           Sampling.assignSplit(ids, "id",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7),
@@ -1746,7 +1751,11 @@ object SparkEntry {
           |  (56, 'test', FALSE, 61445, 5), (57, 'train', FALSE, 40374, 6),
           |  (58, 'train', FALSE, 19303, 7), (59, 'train', FALSE, 63768, 0),
           |  (60, 'train', FALSE, 42697, 1), (61, 'train', FALSE, 21626, 2),
-          |  (62, 'train', FALSE, 555, 3), (63, 'val', FALSE, 45020, 4)
+          |  (62, 'train', FALSE, 555, 3), (63, 'val', FALSE, 45020, 4),
+          |  (4294967301, 'val', FALSE, 17817, 1),
+          |  (1099511627899, 'train', FALSE, 14064, 0),
+          |  (4503599627370503, 'train', FALSE, 38041, 1),
+          |  (4611686018427388903, 'train', FALSE, 32421, 5)
           |) t(id, split, sampled, shuffle_key, shuffle_bucket)
           |ORDER BY id""".stripMargin,
 

@@ -76,4 +76,43 @@ class PlanAuditSpec extends SparkSuite {
       s"the tokenize->hash->simhash projection must run inside " +
         s"whole-stage codegen:\n$p")
   }
+
+  test("shingle pipeline: WSCG projection, generated code compiles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val shingled = docs.select(col("doc_id"),
+      graft.functions.TextOps.shingleHashes(
+        graft.functions.TextOps.tokenHashes(
+          graft.functions.TextOps.tokens(col("text")))).as("sh"))
+    val p = physical(shingled)
+    val projectLine = p.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(projectLine.trim.startsWith("*("),
+      s"the tokenize->hash->shingle projection must stay inside " +
+        s"whole-stage codegen (the lambda version dropped out):\n$p")
+    // force the generated code through janino — a codegen bug would
+    // otherwise FALL BACK to interpreted mode silently and only show up as
+    // a 10x constant on the cluster
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val wscg = shingled.queryExecution.executedPlan.collectFirst {
+      case w: WholeStageCodegenExec => w
+    }.getOrElse(fail("no WholeStageCodegen stage in the shingle plan"))
+    val (ctx, code) = wscg.doCodeGen()
+    org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .compile(code) // throws on janino compile failure
+    assert(ctx != null)
+  }
+
+  test("contamination: eval shingles broadcast, train side never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Contamination.check(
+      docs, "doc_id", "text", evalRate = 0.1, seed = 11)
+    val p = physical(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval shingle set must be the broadcast side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the only SortMergeJoin-free shuffle allowed is the final per-doc
+    // aggregate; the train shingle explode must not be exchanged before
+    // the broadcast join
+    assert(!p.contains("SortMergeJoin"),
+      s"train shingles must stream map-side into the broadcast join:\n$p")
+  }
 }
