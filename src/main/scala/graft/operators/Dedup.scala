@@ -59,9 +59,25 @@ object Dedup {
    * `blockCol` (optional) additionally requires candidates to share a
    * blocking key (e.g. language).
    *
-   * Scale: the band self-join carries (id, band, bucket) rows only — the
-   * shingle arrays never multiply across bands; they are joined back by id
-   * onto the (much smaller) deduplicated candidate set for verification.
+   * Scale: BYTE-IDENTICAL texts collapse to one representative per distinct
+   * (content digest, block) BEFORE signatures are computed or bands joined —
+   * the same move the SimHash operator makes for identical prints. An
+   * m-copy boilerplate cluster contributes ONE banded row per band instead
+   * of m, so the bucket self-join never sees an intra-cluster candidate
+   * (10M exact copies would otherwise push m(m-1)/2 pairs through the
+   * join); intra-cluster pairs are reconstructed arithmetically from the
+   * sorted id list (Jaccard exactly 1.0 — identical shingle sets), and
+   * cross-cluster matches expand by joining matched representative pairs
+   * back to their id lists. The band self-join itself carries
+   * (rep id, band, bucket) rows only — shingle arrays never multiply
+   * across bands; they join back per-representative onto the deduplicated
+   * candidate set for verification.
+   *
+   * Parity with the uncollapsed pipeline (pinned by the oracle): documents
+   * with FEWER than k tokens have an empty shingle set, a null MinHash
+   * signature, null band buckets — and a null bucket joins nothing, so
+   * identical short documents never paired before and are excluded from
+   * the intra-cluster expansion here (`size(shingles) > 0`).
    */
   def minHashLshPairs(
       df: DataFrame,
@@ -71,11 +87,33 @@ object Dedup {
       blockCol: Option[String] = None): DataFrame = {
     val base = df.select(
       col(idCol) +: col(textCol) +: blockCol.map(b => col(b).as("block")).toSeq: _*)
-    // sig feeds the band explode AND two shingle lookups — cache the shingle
-    // computation instead of re-hashing the corpus three times
-    val sig = withSignature(base, idCol, textCol).cache()
     val extra = blockCol.map(_ => "block").toSeq
+    // signatures + digest computed MAP-SIDE per row (text itself is never a
+    // shuffle payload anywhere in this plan); cached — it feeds the band
+    // explode and the shingle lookup
+    val sig = withSignature(base, idCol, textCol)
+      .withColumn("__digest", sha2(col(textCol).cast("binary"), 256))
+      .cache()
+    // exact-duplicate clusters (≥ 2 members) per (digest, block): this
+    // shuffle carries (digest, id) — ~40 bytes per row — and the result is
+    // proportional to the number of DUPLICATED texts, empty on a dup-free
+    // corpus (singletons pay nothing downstream); cached, it feeds the band
+    // filter and both expansions
+    val clusters = sig
+      .groupBy(col("__digest") +: extra.map(col): _*)
+      .agg(min(col(idCol)).as("rep"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .cache()
+    // duplicate members OTHER than their cluster's representative — the
+    // rows the band join must not see (ids is sorted, so members = tail)
+    val dupMembers = clusters
+      .select(explode(slice(col("ids"), lit(2), size(col("ids")))).as("member"))
+    // band rows for one representative per distinct text: the anti-join
+    // runs over (id, band, bucket) rows, never text or shingles, and its
+    // right side is only the duplicated ids
     val bands = banded(sig, idCol, extra)
+      .join(dupMembers, col("id") === col("member"), "left_anti")
     val l = bands.as("l")
     val r = bands.as("r")
     val blockCond = blockCol
@@ -85,17 +123,39 @@ object Dedup {
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id") && blockCond)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val sh = sig.select(col(idCol), col("shingles"))
-    val result = candidates
-      .join(sh.as("a"), col("id_a") === col(s"a.$idCol"))
-      .join(sh.as("b"), col("id_b") === col(s"b.$idCol"))
+      .select(col("l.id").as("rep_a"), col("r.id").as("rep_b"))
+      .dropDuplicates("rep_a", "rep_b")
+    // per-representative shingle sets + member lists for verification and
+    // expansion; the member-list join is LEFT against the (small) dup
+    // clusters only — a singleton's list is just itself
+    val sh = sig.select(col(idCol).as("rep"), col("shingles"))
+      .join(dupMembers, col("rep") === col("member"), "left_anti")
+      .join(clusters.select(col("rep"), col("ids")), Seq("rep"), "left")
+      .withColumn("ids", coalesce(col("ids"), array(col("rep"))))
+    // cross-cluster: verify Jaccard on representatives, then expand the
+    // matched pair to all (ia, ib) members; least/greatest restores the
+    // id_a < id_b contract regardless of which cluster holds the lower ids
+    val cross = candidates
+      .join(sh.as("a"), col("rep_a") === col("a.rep"))
+      .join(sh.as("b"), col("rep_b") === col("b.rep"))
       .select(
-        col("id_a"), col("id_b"),
-        TextOps.jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+        TextOps.jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"),
+        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"))
       .where(col("jaccard") >= minJaccard)
-    CacheScope.unpersistAfterAction(result, Seq(sig))
+      .select(col("jaccard"), explode(col("ids_a")).as("ia"), col("ids_b"))
+      .select(col("jaccard"), col("ia"), explode(col("ids_b")).as("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    // intra-cluster: sorted ids pair each element with every later one;
+    // identical non-empty shingle sets have Jaccard exactly 1.0
+    val intra = sh
+      .where(size(col("ids")) > 1 && size(col("shingles")) > 0 &&
+        lit(1.0) >= minJaccard)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    CacheScope.unpersistAfterAction(cross.unionByName(intra), Seq(sig, clusters))
   }
 
   /**

@@ -38,6 +38,29 @@ class DedupSpec extends SparkSuite {
     assert(!byPair.keys.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("minhash LSH: 1k-copy identical cluster expands arithmetically") {
+    // an m-copy boilerplate cluster must contribute ONE banded row per band
+    // (never m) and its m(m-1)/2 intra pairs must come from the sorted-ids
+    // expansion at jaccard exactly 1.0; identical SHORT docs (< k tokens,
+    // empty shingles) must still produce no pairs (null-bucket parity with
+    // the uncollapsed pipeline)
+    val doc = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (3 to 30).map(i => s"w$i").mkString(" ")
+    val rows = (0L until 1000L).map(i => (i, doc)) ++
+      Seq((2000L, near), (3000L, "a b"), (3001L, "a b"))
+    val pairs = Dedup.minHashLshPairs(rows.toDF("id", "text"), "id", "text",
+      minJaccard = 0.3)
+    val n = pairs.count()
+    // 1000*999/2 intra + 1000 cross (each copy with the near doc)
+    assert(n == 499500L + 1000L, s"got $n")
+    assert(pairs.where(col("jaccard") === 1.0).count() == 499500L)
+    assert(pairs.where(col("id_a") === 3000L || col("id_b") === 3001L)
+      .count() == 0, "empty-shingle docs must never pair")
+    // the band join itself must see one representative per distinct text
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("operator caches are released after the consuming action") {
     spark.catalog.clearCache()
     val df = (0L until 50L).map(i => (i, s"tok$i a b c d e f g"))
