@@ -641,9 +641,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Gopher-style repetition gates: duplicate-token fraction (map-side
-    // array arithmetic) + most-common-bigram mass (explode → two-level
-    // partial-aggregated groupBy on (doc, bigram) keys)
+    // Gopher-style repetition gates: duplicate-token fraction + most-common-
+    // bigram mass, BOTH as per-row projections (native one-pass max-
+    // multiplicity expression) — the whole gate is map-side, no exchange;
+    // the oracle still states the intent as unnest → two-level GROUP BY
     "quality_repetition" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       t(s, dir, "documents").select(
@@ -652,17 +653,10 @@ object SparkEntry {
         size(array_distinct(toks)).cast("bigint").as("n_uniq"),
         TextOps.shingleHashes(TextOps.tokenHashes(toks), 2).as("bgs"))
         .where(col("n_toks") >= 2)
-        .select(col("doc_id"), col("n_toks"), col("n_uniq"),
-          explode(col("bgs")).as("bg"))
-        .groupBy(col("doc_id"), col("n_toks"), col("n_uniq"), col("bg"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"), col("n_toks"), col("n_uniq"))
-        .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bg"))
         .select(col("doc_id"),
           (lit(1.0) - col("n_uniq").cast("double") / col("n_toks").cast("double"))
             .as("dup_token_frac"),
-          (col("top_cnt").cast("double") / col("n_bg").cast("double"))
-            .as("top_bigram_frac"))
+          QualityOps.topElemFrac(col("bgs")).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
 

@@ -31,6 +31,19 @@ object QualityOps {
       lit(1.0) -
         size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
 
+  /** Mass of the most common element of an n-gram hash array: maxFreq /
+    * size (0.0 for empty arrays) — the Gopher "most common n-gram" gate as
+    * a per-row projection (native one-pass [[graft.plans.ArrayMaxFreqExpr]];
+    * the explode→double-groupBy formulation shuffles every n-gram of the
+    * corpus twice for what is a per-document statistic). */
+  def topElemFrac(ngrams: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val freq = ColumnBridge.column(
+      graft.plans.ArrayMaxFreqExpr(ColumnBridge.expression(ngrams)))
+    when(size(ngrams) === 0, lit(0.0))
+      .otherwise(freq.cast("double") / size(ngrams).cast("double"))
+  }
+
   // ---- PII ---------------------------------------------------------------
   // Pinned regex subset: `[...]` classes, `{m,n}` bounds, optional groups
   // `(...)?`, no backrefs or lookaround — the intersection of

@@ -29,6 +29,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(4) == 0.0)
   }
 
+  test("topElemFrac matches the explode/groupBy reference; map-side plan") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(20))(
+        if (rnd.nextInt(12) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(6).toLong)))
+    }
+    val df = rows.toDF("id", "arr").where(size(col("arr")) > 0)
+    val native = df.select(col("id"),
+        QualityOps.topElemFrac(col("arr")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = df.select(col("id"), size(col("arr")).as("n"),
+        explode(col("arr")).as("e"))
+      .groupBy("id", "n", "e").count()
+      .groupBy(col("id"), col("n")).agg(max(col("count")).as("top"))
+      .select(col("id"),
+        (col("top").cast("double") / col("n").cast("double")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == ref)
+    // empty array → 0.0, and the gate stays a pure projection (no exchange)
+    val empty = Seq((1L, Seq.empty[java.lang.Long])).toDF("id", "arr")
+      .select(QualityOps.topElemFrac(col("arr"))).collect().head.getDouble(0)
+    assert(empty == 0.0)
+    val gate = df.select(QualityOps.topElemFrac(col("arr")))
+    val exchanges = gate.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty)
+  }
+
   test("PII: counts and redaction, pinned order, no cross-manufacturing") {
     val df = Seq(
       (1, "mail a.b-c_d@ex.org now"),
