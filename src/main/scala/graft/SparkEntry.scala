@@ -503,6 +503,13 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // near-dup REMOVAL (keep rule): corpus minus rows with a lower-id
+    // near-duplicate at Jaccard >= 0.5 — one anti-join over the pair stream
+    "dedup_minhash_keep" -> ((s, dir) =>
+      Dedup.minHashKeep(nearDupCorpus(s, dir), "doc_id", "text", 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -1609,6 +1616,33 @@ object SparkEntry {
            |  FROM bands l JOIN bands r
            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
            |WHERE jaccard >= 0.0 ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "dedup_minhash_keep" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        // filter on the UNROUNDED jaccard — the Spark side thresholds the
+        // exact value, and a rounded 0.4999.. -> 0.5 would diverge
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT doc_id, shingles, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, shingles, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |dropped AS (SELECT DISTINCT r.doc_id AS id_b
+           |            FROM bands l JOIN bands r
+           |              ON l.band = r.band AND l.bucket = r.bucket
+           |             AND l.doc_id < r.doc_id
+           |            WHERE ${TextOpsSql.jaccard("l.shingles", "r.shingles")}
+           |                  >= 0.5)
+           |SELECT doc_id FROM corpus
+           |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+           |ORDER BY doc_id""".stripMargin
       },
 
       "dedup_simhash" -> {

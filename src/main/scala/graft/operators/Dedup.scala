@@ -247,6 +247,25 @@ object Dedup {
   }
 
   /**
+   * MinHash near-duplicate REMOVAL: the corpus minus every row with a
+   * LOWER-id near-duplicate (Jaccard ≥ `minJaccard`) — the keep-the-most-
+   * canonical-copy rule, one anti-join over the LSH pair stream. Single
+   * hop by design, exactly as [[embeddingCosine]]: no iterative
+   * connected-components pass, a row survives unless a lower-id
+   * near-duplicate of it exists.
+   */
+  def minHashKeep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      blockCol: Option[String] = None): DataFrame =
+    df.join(
+      minHashLshPairs(df, idCol, textCol, minJaccard, blockCol)
+        .select(col("id_b").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /**
    * n-gram Jaccard near-dup pairs: exact word-shingle Jaccard over
    * MinHash-LSH candidates, optionally restricted to a blocking key. This
    * replaces (and deliberately does not offer) the naive blocked self-join:

@@ -38,6 +38,16 @@ class DedupSpec extends SparkSuite {
     assert(!byPair.keys.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("minHashKeep drops every row with a lower-id near-duplicate") {
+    val doc = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (3 to 30).map(i => s"w$i").mkString(" ")
+    val far = (1 to 30).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, doc), (3L, near), (4L, far)).toDF("id", "text")
+    val kept = Dedup.minHashKeep(df, "id", "text", minJaccard = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), kept.toString) // 2 and 3 duplicate 1; 4 unique
+  }
+
   test("minhash LSH: 1k-copy identical cluster expands arithmetically") {
     // an m-copy boilerplate cluster must contribute ONE banded row per band
     // (never m) and its m(m-1)/2 intra pairs must come from the sorted-ids
