@@ -510,6 +510,15 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // transitive-closure duplicate CLUSTERS over the same pair stream:
+    // iterative min-label propagation; component = min doc_id reachable
+    "dedup_components" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
+          Dedup.minHashLshPairs(corpus, "doc_id", "text", 0.5))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -1643,6 +1652,40 @@ object SparkEntry {
            |SELECT doc_id FROM corpus
            |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
            |ORDER BY doc_id""".stripMargin
+      },
+
+      "dedup_components" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        // transitive closure as a recursive CTE: (id, label) reachable
+        // pairs, min label per id = min node of the component — exactly the
+        // fixpoint the Spark side iterates to (threshold on the UNROUNDED
+        // jaccard, as dedup_minhash_keep does)
+        s"""WITH RECURSIVE $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT doc_id, shingles, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, shingles, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |          FROM bands l JOIN bands r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id
+           |          WHERE ${TextOpsSql.jaccard("l.shingles", "r.shingles")}
+           |                >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, label) AS (
+           |  SELECT doc_id, doc_id FROM corpus
+           |  UNION
+           |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id)
+           |SELECT id AS doc_id, min(label) AS component
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
       },
 
       "dedup_simhash" -> {

@@ -266,6 +266,65 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /**
+   * Connected components over an undirected pair graph — the transitive-
+   * closure step that turns near-duplicate PAIRS into duplicate CLUSTERS:
+   * `a~b` and `b~c` put a, b, c in ONE component even when `a~c` was never
+   * emitted (the one-hop keep rule of [[minHashKeep]] cannot see that).
+   * Returns one row per node: (`idCol`, `component`) where `component` is
+   * the smallest node id in the component — the canonical representative
+   * to keep.
+   *
+   * Iterative min-label propagation: each round every node takes the min
+   * of its own label and its neighbors' labels, until no label changes.
+   * Rounds needed = component DIAMETER, and near-dup graphs have tiny
+   * diameters: LSH emits clique-ish clusters (every member shares a band
+   * bucket with most others), and byte-identical copies were collapsed
+   * upstream, so the hub-degree blowup that motivates the large-star /
+   * small-star contraction never materializes here. Each round shuffles
+   * (id, label) and (src, dst) rows ONLY — ids, never payloads — as one
+   * shuffle join + one map-side-combined min aggregation, both on the same
+   * id domain. `localCheckpoint` truncates lineage each round (the plan
+   * would otherwise double per iteration), and the convergence check is a
+   * driver-bounded scalar count riding the same materialization.
+   */
+  def connectedComponents(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    // symmetrize once; multiplicity is harmless under min, so no distinct
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val inMin = edges
+        .join(labels.select(col("__id").as("src"), col("component")), "src")
+        .groupBy(col("dst").as("__id"))
+        .agg(min(col("component")).as("__in"))
+      val next = labels.join(inMin, Seq("__id"), "left_outer")
+        .select(col("__id"),
+          least(col("component"), coalesce(col("__in"), col("component")))
+            .as("component"),
+          (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
+        .localCheckpoint()
+      changed = next.where(col("__chg")).count()
+      val prev = labels
+      labels = next.drop("__chg")
+      prev.unpersist()
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
+    edges.unpersist()
+    labels.withColumnRenamed("__id", idCol)
+  }
+
+  /**
    * n-gram Jaccard near-dup pairs: exact word-shingle Jaccard over
    * MinHash-LSH candidates, optionally restricted to a blocking key. This
    * replaces (and deliberately does not offer) the naive blocked self-join:

@@ -48,6 +48,17 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(1L, 4L), kept.toString) // 2 and 3 duplicate 1; 4 unique
   }
 
+  test("connectedComponents closes transitive chains, not just one hop") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3-4 (diameter 3: propagation must iterate), clique 6-7,
+    // isolated 5; pair (2,3) given b-before-a to prove symmetrization
+    val pairs = Seq((1L, 2L), (3L, 2L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L), got.toString)
+  }
+
   test("minhash LSH: 1k-copy identical cluster expands arithmetically") {
     // an m-copy boilerplate cluster must contribute ONE banded row per band
     // (never m) and its m(m-1)/2 intra pairs must come from the sorted-ids
