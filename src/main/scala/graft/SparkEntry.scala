@@ -519,6 +519,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // transitive-closure REMOVAL: one survivor (min id) per duplicate
+    // component; the propagation loop runs over the duplicate subgraph only
+    "dedup_components_keep" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      Dedup.componentsKeep(corpus, "doc_id",
+          Dedup.minHashLshPairs(corpus, "doc_id", "text", 0.5))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ingest-time batch-vs-corpus dedup: the new batch is an exact copy of
+    // documents (ids+10000), a token-sliced mutation (ids+20000), and a
+    // second copy of that mutation (ids+30000). Copies collide with the
+    // ingested corpus and drop (as do mutations the slice left unchanged —
+    // docs of <= 5 tokens); the duplicated mutation dedups WITHIN the batch
+    // to its lower id. Kept = the +20000 mutations of > 5-token docs.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextOps.tokens(col("text"))
+      val mutated = d.select(
+        (col("doc_id") + 20000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(mutated)
+        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
+          col("text")))
+      Dedup.incremental(batch, d, "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup: embedding-cluster-bounded semantic near-dup removal — the
+    // higher id of any same-cluster pair with cosine >= 0.2 drops
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.2, nlist = 16)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -673,6 +713,18 @@ object SparkEntry {
           (lit(1.0) - col("n_uniq").cast("double") / col("n_toks").cast("double"))
             .as("dup_token_frac"),
           QualityOps.topElemFrac(col("bgs")).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // composite quality score: C4/Gopher-style gates folded into one
+    // map-side double; keep = score >= 0.5 on the UNROUNDED value
+    "quality_score" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val score = QualityOps.qualityScore(col("text"), toks)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(score, 6).as("score"),
+        (score >= 0.5).as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1688,6 +1740,78 @@ object SparkEntry {
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
       },
 
+      "dedup_components_keep" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        // same fixpoint as dedup_components; keep ids whose component label
+        // is their own id
+        s"""WITH RECURSIVE $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT doc_id, shingles, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, shingles, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |          FROM bands l JOIN bands r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id
+           |          WHERE ${TextOpsSql.jaccard("l.shingles", "r.shingles")}
+           |                >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, label) AS (
+           |  SELECT doc_id, doc_id FROM corpus
+           |  UNION
+           |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id),
+           |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+           |SELECT doc_id FROM corpus
+           |WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "dedup_incremental" ->
+        s"""WITH mut AS (
+           |  SELECT doc_id + 20000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |batch AS (
+           |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id, text FROM mut
+           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
+           |SELECT doc_id FROM (
+           |  SELECT doc_id,
+           |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM batch WHERE text NOT IN (SELECT text FROM documents))
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "dedup_semantic" ->
+        s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
+           |               FROM embeddings ORDER BY vec_id LIMIT 16),
+           |assigned AS (
+           |  SELECT cid, cv, cluster FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS cv,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM embeddings e, seeds s)
+           |  WHERE rn = 1),
+           |drops AS (
+           |  SELECT DISTINCT b.cid AS vec_id
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cluster = b.cluster AND a.cid < b.cid
+           |  WHERE ${VectorOpsSql.cosine("a.cv", "b.cv")} >= 0.2)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+           |ORDER BY vec_id""".stripMargin,
+
       "dedup_simhash" -> {
         val thw = TextOpsSql.tokenHashesWide(toks)
         s"""WITH $ExactDupCorpusSql,
@@ -1892,6 +2016,14 @@ object SparkEntry {
            |       1.0 - n_uniq::DOUBLE / n_toks::DOUBLE AS dup_token_frac,
            |       max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS top_bigram_frac
            |FROM c GROUP BY doc_id, n_toks, n_uniq ORDER BY doc_id""".stripMargin,
+
+      "quality_score" -> {
+        val score = QualityOpsSql.qualityScore("text", "tk")
+        s"""WITH d AS (SELECT doc_id, text, $toks AS tk FROM documents)
+           |SELECT doc_id, round($score, 6) AS score,
+           |       ($score >= CAST(0.5 AS DOUBLE)) AS keep
+           |FROM d ORDER BY doc_id""".stripMargin
+      },
 
       // INTENT-pinned oracle: literal expected VALUES, hand-derived from the
       // corpus — NOT rendered from the same regexes as the Spark side (a

@@ -44,6 +44,44 @@ object QualityOps {
       .otherwise(freq.cast("double") / size(ngrams).cast("double"))
   }
 
+  // ---- Composite quality score ------------------------------------------
+  // Weighted linear penalty over the per-document signals (C4/Gopher-style
+  // gates folded into ONE map-side double): each violated gate subtracts its
+  // weight from 1.0, floor at 0. Weights and thresholds are pinned
+  // constants; the DuckDB rendering keeps the identical operation ORDER so
+  // the score (and any comparison against it) is bit-identical.
+
+  /** (threshold-condition weight) pairs; the subtraction order is pinned. */
+  val TokMinQ = 20L; val TokMaxQ = 1000L // token-count window
+  val MeanLenMin = 3.0; val MeanLenMax = 10.0 // mean token length window
+  val PunctMax = 0.1 // punctuation ratio cap
+  val StopMin = 0.05 // minimum stopword mass
+  val DupMax = 0.3 // duplicate-token fraction cap
+  val WTok = 0.35; val WLen = 0.15; val WPunct = 0.15
+  val WStop = 0.15; val WDup = 0.2
+
+  /**
+   * Composite document quality in [0, 1]: 1.0 minus a fixed penalty per
+   * violated gate (token-count window, mean-token-length window,
+   * punctuation ratio, stopword mass, duplicate-token fraction). A pure
+   * per-row projection over one tokenize — no shuffle, no UDF — so the
+   * gate streams over 100 TB at scan speed; `score >= τ` is the keep rule.
+   */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("long")
+    val meanLen = TextOps.meanTokenLen(toks)
+    val punctRatio = TextOps.punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val pTok = when(nTok < TokMinQ || nTok > TokMaxQ, lit(WTok)).otherwise(lit(0.0))
+    val pLen = when(meanLen < MeanLenMin || meanLen > MeanLenMax, lit(WLen))
+      .otherwise(lit(0.0))
+    val pPunct = when(punctRatio > PunctMax, lit(WPunct)).otherwise(lit(0.0))
+    val pStop = when(TextOps.stopwordFrac(toks) < StopMin, lit(WStop))
+      .otherwise(lit(0.0))
+    val pDup = when(dupTokenFrac(toks) > DupMax, lit(WDup)).otherwise(lit(0.0))
+    greatest(lit(1.0) - pTok - pLen - pPunct - pStop - pDup, lit(0.0))
+  }
+
   // ---- PII ---------------------------------------------------------------
   // Pinned regex subset: `[...]` classes, `{m,n}` bounds, optional groups
   // `(...)?`, no backrefs or lookaround — the intersection of
@@ -94,6 +132,29 @@ object QualityOpsSql {
   def dupTokenFrac(toks: String): String =
     s"(case when len($toks) = 0 then 0.0 else " +
       s"1.0 - len(list_distinct($toks))::DOUBLE / len($toks)::DOUBLE end)"
+
+  /** Mirror of [[QualityOps.qualityScore]] — identical gate order and
+    * subtraction order, so the double is bit-identical. */
+  def qualityScore(text: String, toks: String): String = {
+    val nTok = s"len($toks)"
+    val meanLen = graft.functions.TextOpsSql.meanTokenLen(toks)
+    val punctRatio = s"(${graft.functions.TextOpsSql.punctCount(text)}::DOUBLE" +
+      s" / greatest(length($text)::DOUBLE, 1.0))"
+    // every constant is cast to DOUBLE: DuckDB parses bare decimal literals
+    // as DECIMAL, whose exact arithmetic would diverge from Spark's doubles
+    def d(v: Double) = s"CAST($v AS DOUBLE)"
+    val pTok = s"(case when $nTok < $TokMinQ or $nTok > $TokMaxQ " +
+      s"then ${d(WTok)} else ${d(0.0)} end)"
+    val pLen = s"(case when $meanLen < ${d(MeanLenMin)} or " +
+      s"$meanLen > ${d(MeanLenMax)} then ${d(WLen)} else ${d(0.0)} end)"
+    val pPunct =
+      s"(case when $punctRatio > ${d(PunctMax)} then ${d(WPunct)} else ${d(0.0)} end)"
+    val pStop = s"(case when ${graft.functions.TextOpsSql.stopwordFrac(toks)} " +
+      s"< ${d(StopMin)} then ${d(WStop)} else ${d(0.0)} end)"
+    val pDup = s"(case when ${dupTokenFrac(toks)} > ${d(DupMax)} " +
+      s"then ${d(WDup)} else ${d(0.0)} end)"
+    s"greatest(${d(1.0)} - $pTok - $pLen - $pPunct - $pStop - $pDup, ${d(0.0)})"
+  }
 
   private def q(re: String): String = "'" + re + "'" // regexes contain no quotes
 

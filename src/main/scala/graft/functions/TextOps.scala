@@ -220,6 +220,16 @@ object TextOps {
       size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double") /
         size(toks).cast("double"))
 
+  /** Union of the per-language stopword tables (order pinned for the SQL
+    * rendering). */
+  val StopwordsAll: Seq[String] =
+    (StopwordsEn ++ StopwordsEs ++ StopwordsDe).distinct
+
+  /** Fraction of tokens that are known stopwords in ANY language table —
+    * the "natural prose" signal of a C4/Gopher-style quality gate (word
+    * salads and boilerplate have near-zero stopword mass). */
+  def stopwordFrac(toks: Column): Column = ratioIn(toks, StopwordsAll)
+
   /**
    * Heuristic language ID: argmax of stopword ratios with a fixed tie-break
    * (en > es > de > unk); 'unk' when no stopwords hit at all.
@@ -335,6 +345,8 @@ object TextOpsSql {
       s"when $en >= $es and $en >= $de then 'en' " +
       s"when $es >= $de then 'es' else 'de' end)"
   }
+
+  def stopwordFrac(toks: String): String = ratioIn(toks, StopwordsAll)
 
   def punctCount(text: String): String =
     s"(length($text) - length(regexp_replace($text, '[.,;:!?]', '', 'g')))"

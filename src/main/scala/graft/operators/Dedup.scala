@@ -325,6 +325,93 @@ object Dedup {
   }
 
   /**
+   * Transitive near-duplicate REMOVAL: keep exactly one document per
+   * connected component of the pair graph (the component's minimum id) —
+   * the closure of the one-hop [[minHashKeep]] rule: in a chain `a~b~c`
+   * where `a~c` was never emitted, only `a` survives here, whereas the
+   * one-hop rule would also keep `c`.
+   *
+   * Scale: the label-propagation iteration runs over the DUPLICATE
+   * SUBGRAPH only — nodes appearing in at least one pair — which is
+   * proportional to the number of near-duplicates, not corpus size; the
+   * untouched remainder never enters the loop and survives the final
+   * anti-join untouched (the drop-list is members whose component label
+   * is another node's id, shuffled as bare ids).
+   */
+  def componentsKeep(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val members = pairs.select(col(aCol).as(idCol))
+      .unionByName(pairs.select(col(bCol).as(idCol)))
+      .distinct()
+    val drops = connectedComponents(members, idCol, pairs, aCol, bCol)
+      .where(col("component") =!= col(idCol))
+      .select(col(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Incremental (batch-vs-prior-corpus) exact dedup: of the new `batch`,
+   * keep only rows whose content digest appears neither in the already-
+   * ingested `corpus` nor earlier (lowest `idCol` wins) within the batch
+   * itself — the ingest-time dedup step of a continuously-crawled corpus.
+   *
+   * Scale: both sides reduce to 32-byte sha2 digests map-side before any
+   * shuffle (the anti-join and the keep-first window both key on the
+   * digest, so shuffle volume is O(rows), never O(corpus bytes)); at
+   * 100 TB the `corpus` side is the maintained digest INDEX from prior
+   * ingests — exactly the digest this operator keys on, persisted once
+   * per ingest — not a rescan of prior text.
+   */
+  def incremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      keyCol: String): DataFrame = {
+    val kh = sha2(col(keyCol).cast("binary"), 256)
+    batch.withColumn("__kh", kh)
+      .join(corpus.select(kh.as("__kh")), Seq("__kh"), "left_anti")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__kh")).orderBy(col(idCol))))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__kh")
+  }
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * embeddings cluster by nearest seed centroid, and within each cluster
+   * any pair with cosine ≥ `minCosine` is a semantic duplicate — the
+   * HIGHER id drops. Candidate generation is cluster-bounded: the
+   * self-join shuffles by cluster id and compares members of the SAME
+   * cluster only (the SemDeDup observation — semantic duplicates
+   * co-locate under any reasonable clustering), so the comparison count
+   * is sum-of-cluster-sizes-squared, never corpus-quadratic. Same
+   * deterministic seed centroids as [[Similarity.ivfTopK]] (`nlist`
+   * lowest-id vectors baked in as literals, assignment map-side); a
+   * trained-k-means partitioner would swap in without changing the plan.
+   */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nlist: Int = 16): DataFrame = {
+    val seeds = Similarity.collectSeeds(df, idCol, vecCol, nlist)
+    val assigned = Similarity.assignClusters(df, idCol, vecCol, seeds)
+    val drops = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.cid") < col("b.cid"))
+      .where(graft.functions.VectorOps.cosine(col("a.cv"), col("b.cv"))
+        >= minCosine)
+      .select(col("b.cid").as("__drop"))
+      .distinct()
+    df.join(drops, col(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+
+  /**
    * n-gram Jaccard near-dup pairs: exact word-shingle Jaccard over
    * MinHash-LSH candidates, optionally restricted to a blocking key. This
    * replaces (and deliberately does not offer) the naive blocked self-join:

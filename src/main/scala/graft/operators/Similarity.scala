@@ -73,6 +73,46 @@ object Similarity {
         col("nb._1").as("cosine"))
   }
 
+  /** The deterministic seed centroids: the `nlist` LOWEST-id corpus vectors.
+    * Driver-bounded (nlist rows) — collecting them IS the broadcast, and
+    * baking them in as literals makes cluster assignment a MAP-SIDE pass:
+    * nlist native-cosine evals per row against constant vectors, zero
+    * shuffle. (A trained-k-means variant would swap better centroids in
+    * here; the relational shape is identical.) */
+  private[operators] def collectSeeds(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int): Array[(Long, Array[Float])] =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** The `n` nearest seed centroids of `vec` as (cosine, -centroid_id)
+    * structs: ascending struct order + reverse = cosine DESC with ties on
+    * the LOWEST centroid id — a total order. */
+  private[operators] def nearest(
+      seedRows: Array[(Long, Array[Float])], vec: Column, n: Int): Column = {
+    val seedStructs = seedRows.map { case (cid, cvec) =>
+      struct(VectorOps.cosine(vec, typedLit(cvec)).as("c"),
+        lit(-cid).as("nid"))
+    }
+    slice(reverse(array_sort(array(seedStructs: _*))), 1, n)
+  }
+
+  /** (cid, cv, cluster): every corpus vector labelled with its nearest seed
+    * centroid — the map-side inverted-file assignment shared by [[ivfTopK]]
+    * and [[Dedup.semDedup]]. */
+  private[operators] def assignClusters(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seedRows: Array[(Long, Array[Float])]): DataFrame =
+    corpus.select(
+      col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+      (-nearest(seedRows, col(vecCol), 1).getItem(0).getField("nid"))
+        .as("cluster"))
+
   /**
    * IVF-style cluster-pruned top-k: the inverted-file ANN shape. The corpus
    * partitions into `nlist` lists by nearest seed centroid; a query probes
@@ -102,29 +142,11 @@ object Similarity {
       nlist: Int,
       nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    // The seed centroids are driver-bounded (nlist rows) — collecting them
-    // IS the broadcast, and baking them in as literals makes both the
-    // corpus assignment and the query probing MAP-SIDE passes: nlist
-    // native-cosine evals per row against constant vectors, zero shuffle.
-    // (A trained-k-means variant would swap better centroids in here; the
-    // relational shape is identical.)
-    val seedRows = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    // (cosine, -centroid_id) structs: ascending struct order + reverse =
-    // cosine DESC with ties on the LOWEST centroid id — a total order
-    def seedStructs(vec: Column) = seedRows.map { case (cid, cvec) =>
-      struct(VectorOps.cosine(vec, typedLit(cvec)).as("c"),
-        lit(-cid).as("nid"))
-    }
-    def nearest(vec: Column, n: Int): Column =
-      slice(reverse(array_sort(array(seedStructs(vec): _*))), 1, n)
-    val assigned = corpus.select(
-      col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
-      (-nearest(col(vecCol), 1).getItem(0).getField("nid")).as("cluster"))
+    val seedRows = collectSeeds(corpus, idCol, vecCol, nlist)
+    val assigned = assignClusters(corpus, idCol, vecCol, seedRows)
     val probes = queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"),
-      explode(nearest(col(vecCol), nprobe)).as("pr"))
+      explode(nearest(seedRows, col(vecCol), nprobe)).as("pr"))
       .select(col("query_id"), col("qvec"), (-col("pr.nid")).as("cluster"))
     // candidates co-locate on the cluster id — the only shuffles in the
     // plan are this join and the bounded top-k aggregation; at rest the

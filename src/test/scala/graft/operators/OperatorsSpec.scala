@@ -143,6 +143,70 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set(1L -> 2L)) // 3 is identical but in another block
   }
+
+  test("componentsKeep keeps one survivor per transitive chain") {
+    val df = (1L to 7L).map(i => (i, s"payload$i")).toDF("id", "payload")
+    // chain 1-2-3-4: one-hop keep would retain 1 AND 3 (no 1~3 pair);
+    // the transitive rule keeps only 1. Clique 6-7 keeps 6; 5 untouched.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.componentsKeep(df, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L), kept.toString)
+  }
+
+  test("incremental dedup drops corpus collisions and within-batch repeats") {
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "aaa"), // collides with ingested corpus → drop
+      (11L, "new1"), (12L, "new1"), // within-batch dup → keep 11 only
+      (13L, "new2")).toDF("id", "text")
+    val kept = Dedup.incremental(batch, corpus, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), kept.toString)
+  }
+
+  test("semDedup drops the higher id of same-cluster high-cosine pairs") {
+    // ids 0..3 seed 4 clusters; 2 tracks the 0-axis, 3 the 1-axis.
+    // 10/11 duplicate axis 0 (cosine 1 with seed 0), 12 is axis 1,
+    // 13 is a mixed vector closest to the diagonal seed 1.
+    val rows = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(1f, 1f, 0f),
+      2L -> Array(0f, 1f, 0f), 3L -> Array(0f, 0f, 1f),
+      10L -> Array(2f, 0f, 0f), 11L -> Array(3f, 0f, 0f),
+      12L -> Array(0f, 5f, 0f), 13L -> Array(0f, 0f, 4f))
+    val df = rows.toDF("id", "vec")
+    val kept = Dedup.semDedup(df, "id", "vec", minCosine = 0.99, nlist = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // cluster of seed 0 holds {0,10,11}: cosine(0,10)=cosine(0,11)=1 → 10,
+    // 11 drop; 12 pairs with 2 (cosine 1) → drops; 13 pairs with 3 → drops
+    assert(kept == Set(0L, 1L, 2L, 3L), kept.toString)
+  }
+
+  test("semDedup within-cluster self-join equals brute force at the threshold") {
+    // random-ish deterministic vectors: clustering must never DROP a pair
+    // that brute force finds within one cluster, and every drop must have a
+    // lower-id witness at >= the threshold (soundness; recall is cluster-
+    // bounded by design, but with nlist=1 it must equal brute force exactly)
+    val rows = (0L until 60L).map { i =>
+      val v = Array.tabulate(8)(j =>
+        (math.sin(i * 31 + j * 7) * 10).toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val kept = Dedup.semDedup(df, "id", "vec", minCosine = 0.9, nlist = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val vecs = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val wantDropped = rows.map(_._1).filter(i =>
+      rows.map(_._1).exists(j => j < i && cos(vecs(j), vecs(i)) >= 0.9)).toSet
+    assert(kept == rows.map(_._1).toSet -- wantDropped,
+      s"kept=$kept wantDropped=$wantDropped")
+  }
 }
 
 class SimilaritySpec extends SparkSuite {

@@ -29,6 +29,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(4) == 0.0)
   }
 
+  test("qualityScore: each gate subtracts its weight; floor at 0; keep rule") {
+    import graft.functions.TextOps
+    // 45 distinct tokens (no repeats), 5 stopwords, no punctuation
+    val good = (1 to 40).map(i => s"word$i").mkString(" ") + " the of and is a"
+    val short = "too short"
+    val salad = (1 to 50).map(i => s"zz$i").mkString(" ") // no stopwords
+    val repeats = ("the the the the " * 10).trim  // dup-token gate (stopwords fine)
+    val df = Seq((1, good), (2, short), (3, salad), (4, repeats), (5, ""))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        QualityOps.qualityScore(col("text"), TextOps.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(1) == 1.0, got.toString) // inside every window
+    // "too short": 2 tokens (window), no stopwords → 1 - .35 - .15 = 0.5
+    assert(math.abs(got(2) - 0.5) < 1e-9, got.toString)
+    // salad: token count ok (50), mean len ok, no stopwords → 0.85
+    assert(math.abs(got(3) - 0.85) < 1e-9, got.toString)
+    // repeats: 40 tokens, all stopwords, dup frac 39/40 → 1 - .2 = 0.8
+    assert(math.abs(got(4) - 0.8) < 1e-9, got.toString)
+    // empty: token window + mean-len window + stopword gate → 0.35
+    assert(math.abs(got(5) - 0.35) < 1e-9, got.toString)
+  }
+
   test("topElemFrac matches the explode/groupBy reference; map-side plan") {
     val rnd = new scala.util.Random(31)
     val rows = (0L until 200L).map { i =>
