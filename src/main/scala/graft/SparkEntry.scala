@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -577,6 +577,29 @@ object SparkEntry {
         TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // semi-structured extraction: JSON property pulled out of the events
+    // payload map-side (codegen'd path expression, no UDF), then a standard
+    // partial-combined aggregate — the oracle checks SEMANTICS via DuckDB's
+    // own JSON functions, not a rendering of the same implementation
+    "events_json_agg" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // corpus vocabulary: exact top-20 tokens by frequency (ties broken by
+    // token, so the cutoff is deterministic). The shuffle carries one row
+    // per DISTINCT token after map-side partial counts — vocabulary-sized,
+    // not corpus-sized — and the top-k is a driver-bounded limit.
+    "text_top_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
     // ---- deterministic splits / sampling (training-data pipeline) -------
     "sample_split" -> ((s, dir) =>
       Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
@@ -714,6 +737,45 @@ object SparkEntry {
             .as("dup_token_frac"),
           QualityOps.topElemFrac(col("bgs")).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // bucketed-at-rest co-located join: both sides written bucketBy(8, key)
+    // + sortBy, then joined with ZERO exchange (PlanAuditSpec pins the
+    // shuffle-free plan; this row pins the values)
+    "bucketed_join" -> ((s, dir) => {
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_bkt_wh").getAbsolutePath
+      Bucketing.scratchDb(s, "graft_bkt", wh)
+      Bucketing.writeBucketed(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "graft_bkt.docs_bkt", "doc_id", 8)
+      Bucketing.writeBucketed(
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("label")),
+        "graft_bkt.emb_bkt", "doc_id", 8)
+      Bucketing.join(s, "graft_bkt.docs_bkt", "graft_bkt.emb_bkt", "doc_id")
+        .select(col("doc_id"), col("lang"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the composed preprocessing pipeline, end to end: language filter →
+    // composite quality gate → exact dedup (keep-first) → deterministic
+    // split assignment → per-split corpus accounting. Every stage is one of
+    // the operators above; the whole flow is ONE declarative plan — a single
+    // scan, map-side filters/score/hash, one digest shuffle (dedup), one
+    // aggregation — which is exactly how it would run over 100 TB.
+    "pipeline_e2e" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val base = t(s, dir, "documents")
+        .where(TextOps.langId(toks) === "en" &&
+          QualityOps.qualityScore(col("text"), toks) >= 0.5)
+      val deduped = Dedup.keepFirst(base, "doc_id", "text")
+      Sampling.assignSplit(deduped, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 3)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("sum_tokens"))
+        .orderBy(col("split"))
     }),
 
     // composite quality score: C4/Gopher-style gates folded into one
@@ -1881,6 +1943,17 @@ object SparkEntry {
         s"""SELECT doc_id, ${TextOpsSql.langId(toks)} AS lang_pred
            |FROM documents ORDER BY doc_id""".stripMargin,
 
+      "text_top_tokens" ->
+        s"""SELECT token, count(*) AS n
+           |FROM (SELECT unnest($toks) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+      "events_json_agg" ->
+        s"""SELECT event_type, count(*) AS n,
+           |       sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k,
+           |       max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
       "sample_split" -> {
         val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
         s"""SELECT ${SamplingSql.splitCase("doc_id", splits, seed = 7)} AS split,
@@ -2023,6 +2096,30 @@ object SparkEntry {
            |SELECT doc_id, round($score, 6) AS score,
            |       ($score >= CAST(0.5 AS DOUBLE)) AS keep
            |FROM d ORDER BY doc_id""".stripMargin
+      },
+
+      "bucketed_join" ->
+        s"""SELECT d.doc_id, d.lang, e.label
+           |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "pipeline_e2e" -> {
+        val score = QualityOpsSql.qualityScore("text", "tk")
+        val split = SamplingSql.splitCase("doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 3)
+        s"""WITH d AS (SELECT doc_id, text, $toks AS tk FROM documents),
+           |f AS (SELECT doc_id, text, tk FROM d
+           |      WHERE ${TextOpsSql.langId("tk")} = 'en'
+           |        AND $score >= CAST(0.5 AS DOUBLE)),
+           |k AS (SELECT doc_id, tk FROM (
+           |        SELECT doc_id, tk,
+           |               row_number() OVER (PARTITION BY text
+           |                                  ORDER BY doc_id) AS rn
+           |        FROM f) WHERE rn = 1),
+           |s AS (SELECT $split AS split, CAST(len(tk) AS BIGINT) AS n_toks
+           |      FROM k)
+           |SELECT split, count(*) AS n_docs, sum(n_toks) AS sum_tokens
+           |FROM s GROUP BY split ORDER BY split""".stripMargin
       },
 
       // INTENT-pinned oracle: literal expected VALUES, hand-derived from the

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Bucketed-at-rest storage — the join-heavy posture a 100 TB corpus wants.
+ *
+ * A table written `bucketBy(n, key).sortBy(key)` is hash-partitioned into a
+ * FIXED bucket count on disk; two tables bucketed the same way co-locate,
+ * and an equi-join on the bucket key plans with ZERO Exchange on either
+ * side — no shuffle, however many times the join runs (pinned by
+ * `PlanAuditSpec`). This is the at-rest analogue of the in-memory
+ * repartition the diff engine relies on: pay the partitioning once at
+ * write time, amortize it over every downstream join/aggregation on the
+ * same key. Per-bucket `sortBy` additionally lets sort-merge joins skip
+ * their sort.
+ *
+ * Managed-table mechanics: bucketing metadata lives in the session catalog,
+ * so the writers target a named database; [[scratchDb]] roots one in a
+ * caller-supplied location (tests and the correctness gate use a temp dir)
+ * — on a cluster the database would live on shared storage.
+ */
+object Bucketing {
+
+  /** Create (idempotently) a database rooted at `location`. */
+  def scratchDb(spark: SparkSession, db: String, location: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Equi-join of two tables bucketed on `key` with the SAME bucket count:
+    * both sides scan their buckets in place — no Exchange in the plan. */
+  def join(
+      spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -294,10 +294,15 @@ object Dedup {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    // symmetrize once; multiplicity is harmless under min, so no distinct
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair stream ONCE before fanning out (symmetrization
+    // reads it twice, and an expensive upstream like the LSH pipeline would
+    // otherwise re-execute per reference — its operator-scoped caches
+    // release after the FIRST action); multiplicity is harmless under min,
+    // so no distinct
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint()
+    val edges = p0
+      .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("component"))
       .localCheckpoint()
     var iter = 0
@@ -320,7 +325,7 @@ object Dedup {
       iter += 1
     }
     require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
-    edges.unpersist()
+    p0.unpersist()
     labels.withColumnRenamed("__id", idCol)
   }
 
@@ -344,10 +349,14 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val members = pairs.select(col(aCol).as(idCol))
-      .unionByName(pairs.select(col(bCol).as(idCol)))
+    // materialize the pair stream once: it feeds the member scan (twice)
+    // and the propagation loop, and an expensive upstream (the LSH
+    // pipeline) must not re-execute per reference
+    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
+    val members = p.select(col(aCol).as(idCol))
+      .unionByName(p.select(col(bCol).as(idCol)))
       .distinct()
-    val drops = connectedComponents(members, idCol, pairs, aCol, bCol)
+    val drops = connectedComponents(members, idCol, p, aCol, bCol)
       .where(col("component") =!= col(idCol))
       .select(col(idCol))
     df.join(drops, Seq(idCol), "left_anti")

@@ -101,6 +101,59 @@ class PlanAuditSpec extends SparkSuite {
     assert(ctx != null)
   }
 
+  test("semDedup: map-side assignment, cluster-equality join, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Dedup.semDedup(emb, "vec_id", "embedding",
+      minCosine = 0.9, nlist = 8)
+    val p = physical(out)
+    assert(!p.contains("CartesianProduct"),
+      s"the within-cluster self-join must be a cluster-id equality join:\n$p")
+    // the nearest-centroid assignment is literal arithmetic — there must be
+    // no exchange between the parquet scan and the first (cluster) join key
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equality join:\n$p")
+  }
+
+  test("incremental dedup: digest-key joins only, scans prune to key+id") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val out = Dedup.incremental(batch, docs, "doc_id", "text")
+    val p = physical(out)
+    assert(!p.contains("CartesianProduct"))
+    // the corpus side of the anti-join must read only the text column it
+    // digests, not the whole row
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("text") && !r.contains("source")),
+      s"corpus digest scan must prune to the digested column:\n$reads")
+  }
+
+  test("bucketed join: co-located scans, zero Exchange in the plan") {
+    import graft.operators.Bucketing
+    val wh = java.nio.file.Files.createTempDirectory("bkt_wh").toString
+    Bucketing.scratchDb(spark, "bkt_audit", wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    Bucketing.writeBucketed(docs, "bkt_audit.d", "doc_id", 4)
+    Bucketing.writeBucketed(emb, "bkt_audit.e", "doc_id", 4)
+    // disable auto-broadcast: at test scale the planner would broadcast the
+    // KB-sized side (also shuffle-free, but it bypasses the bucketed scan);
+    // the property that matters at 100 TB is the big-big case — bucketed
+    // scans on both sides, no Exchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.join(spark, "bkt_audit.d", "bkt_audit.e", "doc_id")
+      val p = physical(joined)
+      assert(!p.contains("Exchange"),
+        s"same-bucketing equi-join must not shuffle either side:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"both sides must use the bucketed scan:\n$p")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("contamination: eval shingles broadcast, train side never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.Contamination.check(
