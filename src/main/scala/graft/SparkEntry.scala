@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -559,6 +559,24 @@ object SparkEntry {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))),
 
+    // corpus-level repeated-window detection (the repeated-substring dedup
+    // family of Lee et al. 2022, arXiv:2107.06499): every 20-token window
+    // hashed map-side (native shingle expression), grouped on the 8-byte
+    // window hash — the shuffle carries (hash, doc_id), never text — and
+    // windows occurring in MORE THAN ONE document surface with their
+    // occurrence count and first (canonical) document
+    "dedup_repeated_ngrams" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val th = TextOps.tokenHashes(toks)
+      nearDupCorpus(s, dir)
+        .select(col("doc_id"), explode(TextOps.shingleHashes(th, 20)).as("wh"))
+        .groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") > 1)
+        .orderBy(col("wh"))
+    }),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -576,6 +594,13 @@ object SparkEntry {
         col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))),
+
+    // one-pass multi-column profile (ingest sanity gate): every metric of
+    // every column rides a single scan + one aggregation
+    "profile_table" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))),
 
     // semi-structured extraction: JSON property pulled out of the events
     // payload map-side (codegen'd path expression, no UDF), then a standard
@@ -910,6 +935,25 @@ object SparkEntry {
     "stream_dedup_state" -> ((s, dir) =>
       Streams.streamingDedup(s, exactDupCorpus(s, dir))
         .orderBy(col("kept_id"))),
+
+    // streaming form of dedup_incremental, same fixture: the new batch
+    // streams in, anti-probes the static corpus digest index per
+    // micro-batch, and first-seen digest state dedups within the stream
+    "stream_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextOps.tokens(col("text"))
+      val mutated = d.select(
+        (col("doc_id") + 20000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(mutated)
+        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
+          col("text")))
+      Streams.incrementalDedupStream(s, batch, d)
+        .select(col("kept_id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
 
     "stream_window_counts" -> ((s, dir) =>
       Streams.windowedEventCounts(s, s"$dir/events.parquet")
@@ -1853,6 +1897,19 @@ object SparkEntry {
            |  FROM batch WHERE text NOT IN (SELECT text FROM documents))
            |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+      "dedup_repeated_ngrams" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        s"""WITH $NearDupCorpusSql,
+           |d AS (SELECT doc_id, $toks AS tk FROM corpus),
+           |h AS (SELECT doc_id, $thash AS th FROM d),
+           |w AS (SELECT doc_id, unnest(${TextOpsSql.shingleHashes("th", 20)})
+           |        AS wh FROM h)
+           |SELECT wh, count(DISTINCT doc_id) AS n_docs,
+           |       min(doc_id) AS first_doc
+           |FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+           |ORDER BY wh""".stripMargin
+      },
+
       "dedup_semantic" ->
         s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
            |               FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -1953,6 +2010,9 @@ object SparkEntry {
            |       sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k,
            |       max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "profile_table" -> ProfileSql.profile("documents",
+        Seq("doc_id", "lang", "source", "n_chars")),
 
       "sample_split" -> {
         val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -2295,6 +2355,22 @@ object SparkEntry {
         s"""WITH $ExactDupCorpusSql
            |SELECT min(doc_id) AS kept_id FROM corpus
            |GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
+
+      // identical semantics to dedup_incremental, replayed as a batch
+      "stream_incremental_dedup" ->
+        s"""WITH mut AS (
+           |  SELECT doc_id + 20000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |batch AS (
+           |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id, text FROM mut
+           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
+           |SELECT min(doc_id) AS doc_id FROM batch
+           |WHERE text NOT IN (SELECT text FROM documents)
+           |GROUP BY text ORDER BY doc_id""".stripMargin,
 
       // batch replay of the streaming tumbling-window counts (sentinel rows
       // are engine plumbing — they never reach the query output)

@@ -108,29 +108,35 @@ object TextOps {
    * directly, the dominant cost of the contamination/repetition operators.
    */
   def shingleHashes(thash: Column, k: Int = 3): Column = {
-    require(k >= 1 && k <= 3, "shingle width 1..3 supported")
+    // sum-of-products bound: hashes < TokenMod ≈ 2^20, weights < HashMod <
+    // 2^31 → each term < 2^51, so up to 2^12 terms fit in a long; 256 is
+    // far past any useful window (MinHash shingles use 3, repeated-window
+    // detection 20)
+    require(k >= 1 && k <= 256, "shingle width 1..256 supported")
     bridged(graft.plans.ShingleHashesExpr(expr(thash),
-      (0 until k).map(d => pow.applyOrElse(k - 1 - d, (_: Int) => 1L)), HashMod))
+      (0 until k).map(d => powMod(k - 1 - d)), HashMod))
   }
 
   /** Higher-order-lambda reference for [[shingleHashes]], pinned by the
     * spec (element-for-element, including the null-array → empty-array and
     * null-token → null-shingle edges). */
   private[graft] def shingleHashesHof(thash: Column, k: Int = 3): Column = {
-    require(k >= 1 && k <= 3, "shingle width 1..3 supported")
+    require(k >= 1 && k <= 256, "shingle width 1..256 supported")
     when(size(thash) >= k,
       transform(sequence(lit(0), size(thash) - k), i =>
         (0 until k).map(d =>
-          get(thash, i + lit(d)) * lit(pow.applyOrElse(k - 1 - d, (_: Int) => 1L))
+          get(thash, i + lit(d)) * lit(powMod(k - 1 - d))
         ).reduce(_ + _) % lit(HashMod)))
       .otherwise(array().cast("array<bigint>"))
   }
 
-  /** Powers of TokenMod used by [[shingleHashes]] (P^0, P^1, P^2 mod M). */
-  private val pow: PartialFunction[Int, Long] = {
-    case 0 => 1L
-    case 1 => TokenMod % HashMod
-    case 2 => (TokenMod * TokenMod) % HashMod
+  /** TokenMod^e mod HashMod — the positional weights of [[shingleHashes]].
+    * Products stay < HashMod^2 < 2^62, overflow-safe in long arithmetic. */
+  private[graft] def powMod(e: Int): Long = {
+    var acc = 1L
+    var i = 0
+    while (i < e) { acc = acc * (TokenMod % HashMod) % HashMod; i += 1 }
+    acc
   }
 
   /** MinHash signature: array of NumHashes minima over the shingle set,
@@ -288,13 +294,12 @@ object TextOpsSql {
       s"${polyHashWide("t", 31L)} * $HashMod + ${polyHashWide("t", 131L)})"
 
   def shingleHashes(thash: String, k: Int = 3): String = {
-    val p1 = TokenMod % HashMod
-    val p2 = (TokenMod * TokenMod) % HashMod
-    val combine = k match {
-      case 3 => s"($thash[i+1]*$p2 + $thash[i+2]*$p1 + $thash[i+3]) % $HashMod"
-      case 2 => s"($thash[i+1]*$p1 + $thash[i+2]) % $HashMod"
-      case 1 => s"$thash[i+1] % $HashMod"
-    }
+    // general positional-weight sum, same arithmetic as the Spark side for
+    // every k (weights rendered as literals; *1 on the last term is a
+    // no-op for the value)
+    val combine = (0 until k)
+      .map(d => s"$thash[i+${d + 1}]*${TextOps.powMod(k - 1 - d)}")
+      .mkString("(", " + ", s") % $HashMod")
     s"(case when len($thash) >= $k then " +
       s"list_transform(range(0, len($thash)-$k+1), i -> $combine) " +
       s"else [] end)"

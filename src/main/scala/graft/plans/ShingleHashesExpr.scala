@@ -39,8 +39,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class ShingleHashesExpr(child: Expression, weights: Seq[Long], mod: Long)
     extends UnaryExpression {
 
-  require(weights.nonEmpty && weights.size <= 3,
-    s"shingle width 1..3 supported, got ${weights.size}")
+  require(weights.nonEmpty && weights.size <= 256,
+    s"shingle width 1..256 supported, got ${weights.size}")
 
   private def k: Int = weights.size
 

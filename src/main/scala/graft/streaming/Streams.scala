@@ -147,6 +147,56 @@ object Streams {
   }
 
   /**
+   * Stream-static INCREMENTAL dedup — the streaming form of
+   * [[graft.operators.Dedup.incremental]]: a stream of new documents is
+   * anti-joined per micro-batch against the STATIC digest index of the
+   * already-ingested corpus, then first-seen-deduped within the stream
+   * itself, so each batch lands only content never seen before — either
+   * historically (static side, re-planned every micro-batch so an updated
+   * index is picked up between batches) or earlier in the stream (keyed
+   * digest state, as [[streamingDedup]]).
+   *
+   * The anti lookup is a left_outer join + null filter — the stream-static
+   * shape supported everywhere — and the static side reduces to DISTINCT
+   * digests before joining; at rest that index is a digest-bucketed table
+   * ([[graft.operators.Bucketing]]), making the per-batch probe co-located.
+   */
+  def incrementalDedupStream(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft-stream-incdedup")
+    newDocs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val seen = corpus
+      .select(sha2(col("text").cast("binary"), 256).as("digest"))
+      .dropDuplicates("digest")
+      .withColumn("__seen", lit(true))
+    val fresh = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      .join(seen, Seq("digest"), "left_outer")
+      .where(col("__seen").isNull)
+      .select(col("doc_id"), col("digest"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+    val deduped = fresh.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (digest: String, rows: Iterator[(Long, String)],
+       state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          Iterator.single((digest, rows.map(_._1).min))
+        })
+    runToMemory(deduped.toDF("digest", "kept_id"), "append")
+      .select(col("kept_id"))
+  }
+
+  /**
    * Stream-stream INTERVAL JOIN: each click joined to the same user's
    * purchases in the `within` interval after it — streaming attribution,
    * the two-sided stateful operator (both sides buffer state, the

@@ -342,7 +342,7 @@ class RpBucketsSpec extends SparkSuite {
         else java.lang.Long.valueOf(rnd.nextLong().abs % TextOps.TokenMod)))
     }
     val df = rows.toDF("id", "thash")
-    for (k <- 1 to 3) {
+    for (k <- Seq(1, 2, 3, 7, 20)) { // incl. wide windows (repeated-ngram use)
       val both = df.select(
         TextOps.shingleHashes(col("thash"), k).as("native"),
         TextOps.shingleHashesHof(col("thash"), k).as("ref"))

@@ -204,6 +204,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.map(_.getString(0)).distinct.length == 2) // two 1h windows
   }
 
+  test("stream incremental dedup matches the batch operator") {
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aaa"),               // collides with the static corpus index
+      (11L, "new1"), (12L, "new1"), // within-stream dup → keep 11
+      (13L, "new2")).toDF("doc_id", "text")
+    val got = Streams.incrementalDedupStream(spark, batch, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 13L), got.toString)
+  }
+
+  test("profile: one row per column, exact metrics, nulls counted out") {
+    val df = Seq(
+      (1L, "en", None: Option[String]),
+      (2L, "de", Some("x")),
+      (3L, "en", Some("y"))).toDF("id", "lang", "src")
+    val got = Profile.profile(df, Seq("lang", "src"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(got("lang") == ((3L, 3L, 2L, "de", "en")), got.toString)
+    assert(got("src") == ((3L, 2L, 2L, "x", "y")), got.toString)
+  }
+
   test("stream-stream interval join matches the batch self-join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-join-spec")
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
