@@ -26,11 +26,31 @@ object Bucketing {
   def scratchDb(spark: SparkSession, db: String, location: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
 
-  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table. */
+  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table.
+    * Drops any previous incarnation AND clears a leftover table directory
+    * first: the in-memory catalog forgets managed tables at JVM exit but
+    * the filesystem doesn't, and creating a managed table over a non-empty
+    * location is an error (`LOCATION_ALREADY_EXISTS`). */
   def writeBucketed(
-      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+      df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    table.split('.') match {
+      case Array(db, name) =>
+        val loc = java.nio.file.Paths.get(
+          new java.net.URI(spark.catalog.getDatabase(db).locationUri).getPath)
+          .resolve(name)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      case _ => () // default database: DROP TABLE alone cleared the location
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** Equi-join of two tables bucketed on `key` with the SAME bucket count:
     * both sides scan their buckets in place — no Exchange in the plan. */
