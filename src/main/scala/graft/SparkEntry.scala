@@ -815,6 +815,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // INTENT pin for the composite quality score: the same five hand-
+    // derived cases as the unit spec, against literal expected VALUES — a
+    // wrong gate weight or threshold fails CORRECTNESS, not just the spec
+    "quality_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, (1 to 40).map(i => s"word$i").mkString(" ") + " the of and is a"),
+        (2L, "too short"),
+        (3L, (1 to 50).map(i => s"zz$i").mkString(" ")),
+        (4L, ("the the the the " * 10).trim),
+        (5L, "")).toDF("case_id", "text")
+        .select(col("case_id"),
+          round(QualityOps.qualityScore(col("text"),
+            TextOps.tokens(col("text"))), 6).as("score"))
+        .orderBy(col("case_id"))
+    }),
+
+    // INTENT pin for the vector family: cosine/norm over analytically
+    // exact vectors (3-4-5 triangle, orthogonal, diagonal, parallel,
+    // zero-norm guard), against literal expected VALUES
+    "vector_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, Array(3f, 4f), Array(4f, 3f)),
+        (2L, Array(1f, 0f), Array(0f, 1f)),
+        (3L, Array(1f, 1f), Array(1f, 0f)),
+        (4L, Array(2f, 0f), Array(4f, 0f)),
+        (5L, Array(0f, 0f), Array(1f, 2f))).toDF("case_id", "va", "vb")
+        .select(col("case_id"),
+          round(VectorOps.cosine(col("va"), col("vb")), 6).as("cos"),
+          round(VectorOps.norm(col("va")), 6).as("norm_a"))
+        .orderBy(col("case_id"))
+    }),
+
     // PII detect + redact over a pinned edge-case corpus (the synthetic
     // documents contain no PII; the operator is the regex pipeline itself)
     "pii_scrub" -> ((s, dir) => {
@@ -2186,6 +2220,27 @@ object SparkEntry {
       // corpus — NOT rendered from the same regexes as the Spark side (a
       // dual-rendered oracle can only confirm engine-equivalence; round 7's
       // PhoneRe bug sailed through exactly that way)
+      // hand-derived: 1 = all gates pass; 2 = token window (.35) + no
+      // stopwords (.15); 3 = no stopwords; 4 = dup-token fraction; 5 =
+      // token window + mean-len window + no stopwords
+      "quality_pinned" ->
+        """SELECT CAST(case_id AS BIGINT) AS case_id,
+          |       CAST(score AS DOUBLE) AS score
+          |FROM (VALUES
+          |  (1, 1.0), (2, 0.5), (3, 0.85), (4, 0.8), (5, 0.35)
+          |) t(case_id, score) ORDER BY case_id""".stripMargin,
+
+      // hand-derived: cos(3-4, 4-3) = 24/25; orthogonal = 0; diagonal =
+      // 1/sqrt(2); parallel = 1; zero-norm guard = 0. norms: 5, 1,
+      // sqrt(2), 2, 0
+      "vector_pinned" ->
+        """SELECT CAST(case_id AS BIGINT) AS case_id,
+          |       CAST(cos AS DOUBLE) AS cos, CAST(norm_a AS DOUBLE) AS norm_a
+          |FROM (VALUES
+          |  (1, 0.96, 5.0), (2, 0.0, 1.0), (3, 0.707107, 1.414214),
+          |  (4, 1.0, 2.0), (5, 0.0, 0.0)
+          |) t(case_id, cos, norm_a) ORDER BY case_id""".stripMargin,
+
       "pii_scrub" ->
         """SELECT case_id, CAST(n_email AS BIGINT) AS n_email,
           |       CAST(n_ip AS BIGINT) AS n_ip,
