@@ -127,6 +127,16 @@ class PlanAuditSpec extends SparkSuite {
       s"corpus digest scan must prune to the digested column:\n$reads")
   }
 
+  test("pipeline_e2e: one documents scan feeds the whole composed flow") {
+    val out = SparkEntry.queries("pipeline_e2e")(spark, sf)
+    val p = physical(out)
+    // language filter, quality gate, digest dedup, split and the final
+    // aggregate must all ride ONE scan of the documents table
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bucketed join: co-located scans, zero Exchange in the plan") {
     import graft.operators.Bucketing
     val wh = java.nio.file.Files.createTempDirectory("bkt_wh").toString
