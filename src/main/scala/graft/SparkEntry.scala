@@ -577,6 +577,28 @@ object SparkEntry {
         .orderBy(col("wh"))
     }),
 
+    // the excision form of repeated-window detection: every (document,
+    // token offset) whose 20-token window also occurs in ANOTHER document —
+    // the spans a repeated-substring pass cuts out of the corpus. Two-pass
+    // shape: the hot window-hash set aggregates first (proportional to
+    // repeated content, so broadcast-sized in practice — AQE picks the
+    // broadcast), then a semi join tags positions; both passes carry
+    // (8-byte hash, doc_id[, pos]) rows only
+    "dedup_repeated_spans" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val th = TextOps.tokenHashes(toks)
+      val windows = nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.shingleHashes(th, 20)).as(Seq("pos", "wh")))
+      val hot = windows.groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .select(col("wh"))
+      windows.join(hot, Seq("wh"), "left_semi")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -1942,6 +1964,24 @@ object SparkEntry {
            |       min(doc_id) AS first_doc
            |FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1
            |ORDER BY wh""".stripMargin
+      },
+
+      "dedup_repeated_spans" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        s"""WITH $NearDupCorpusSql,
+           |d AS (SELECT doc_id, $toks AS tk FROM corpus),
+           |h AS (SELECT doc_id, $thash AS th FROM d),
+           |sh AS (SELECT doc_id, ${TextOpsSql.shingleHashes("th", 20)} AS s
+           |       FROM h),
+           |w AS (SELECT doc_id, u.pos AS pos, u.wh AS wh FROM (
+           |        SELECT doc_id, unnest(list_transform(range(0, len(s)),
+           |          i -> struct_pack(pos := i, wh := s[i+1]))) AS u
+           |        FROM sh)),
+           |hot AS (SELECT wh FROM w GROUP BY wh
+           |        HAVING count(DISTINCT doc_id) > 1)
+           |SELECT doc_id, CAST(pos AS BIGINT) AS pos
+           |FROM w WHERE wh IN (SELECT wh FROM hot)
+           |ORDER BY doc_id, pos""".stripMargin
       },
 
       "dedup_semantic" ->

@@ -93,7 +93,7 @@ object Similarity {
     * the LOWEST centroid id — a total order. */
   private[operators] def nearest(
       seedRows: Array[(Long, Array[Float])], vec: Column, n: Int): Column = {
-    val seedStructs = seedRows.map { case (cid, cvec) =>
+    val seedStructs = seedRows.toIndexedSeq.map { case (cid, cvec) =>
       struct(VectorOps.cosine(vec, typedLit(cvec)).as("c"),
         lit(-cid).as("nid"))
     }
