@@ -837,6 +837,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // INTENT pin for language ID: hand-labelled sentences (one per table,
+    // a mixed-majority case, no-stopword and empty edges) against literal
+    // expected VALUES — a wrong stopword table or tie-break fails
+    // CORRECTNESS, not just engine-equivalence
+    "langid_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, "the cat is sitting on a mat in the sun"),
+        (2L, "el perro es grande y la casa es blanca"),
+        (3L, "der hund ist gross und die katze ist klein"),
+        (4L, "zz yy xx ww vv"),
+        (5L, ""),
+        (6L, "the la the der the of")).toDF("case_id", "text")
+        .select(col("case_id"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .orderBy(col("case_id"))
+    }),
+
     // INTENT pin for the composite quality score: the same five hand-
     // derived cases as the unit spec, against literal expected VALUES — a
     // wrong gate weight or threshold fails CORRECTNESS, not just the spec
@@ -2260,6 +2278,15 @@ object SparkEntry {
       // corpus — NOT rendered from the same regexes as the Spark side (a
       // dual-rendered oracle can only confirm engine-equivalence; round 7's
       // PhoneRe bug sailed through exactly that way)
+      // hand-labelled: en 5/10 stopwords, es 5/9, de 5/9, no stopwords →
+      // unk, empty → unk, mixed majority (en 4/6 vs la/der 1/6 each) → en
+      "langid_pinned" ->
+        """SELECT CAST(case_id AS BIGINT) AS case_id, lang_pred
+          |FROM (VALUES
+          |  (1, 'en'), (2, 'es'), (3, 'de'), (4, 'unk'), (5, 'unk'),
+          |  (6, 'en')
+          |) t(case_id, lang_pred) ORDER BY case_id""".stripMargin,
+
       // hand-derived: 1 = all gates pass; 2 = token window (.35) + no
       // stopwords (.15); 3 = no stopwords; 4 = dup-token fraction; 5 =
       // token window + mean-len window + no stopwords
