@@ -74,15 +74,28 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming state partitions. Stateful operators create one state store
+    * per SHUFFLE partition per micro-batch; the batch-sized session default
+    * (≈ cores) multiplies per-batch fixed costs for no benefit at this
+    * state cardinality (measured: the interval join's drain halves at 8).
+    * On a cluster this is the knob to size to expected state volume —
+    * Spark pins it into the query's checkpoint at first start. */
+  val StatePartitions = 8
+
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
     val name = s"stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     df.sparkSession.table(name)
   }
 
