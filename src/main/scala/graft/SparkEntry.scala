@@ -637,6 +637,27 @@ object SparkEntry {
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    // CCNet-style unigram LM scoring (the poor man's perplexity filter):
+    // token probabilities TRAIN ON THE CORPUS ITSELF (one vocabulary-sized
+    // aggregate), then each document scores mean log10 p(token) — low
+    // scores = out-of-distribution gibberish, high = stereotyped
+    // boilerplate. Two shuffles total: the vocab count (map-side combined,
+    // one row per DISTINCT token) and the per-doc mean; the token→prob
+    // lookup is a broadcast-able vocab join, never a corpus self-join
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("token"))
+      val vocab = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt"))).first().getLong(0)
+      tok.join(vocab, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log10(col("cnt").cast("double") / lit(total.toDouble))), 6)
+          .as("mean_logprob"), count(lit(1)).as("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus vocabulary: exact top-20 tokens by frequency (ties broken by
     // token, so the cutoff is deterministic). The shuffle carries one row
     // per DISTINCT token after map-side partial counts — vocabulary-sized,
@@ -2096,6 +2117,17 @@ object SparkEntry {
         s"""SELECT token, count(*) AS n
            |FROM (SELECT unnest($toks) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+      "text_unigram_logprob" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token
+           |             FROM documents),
+           |vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+           |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab)
+           |SELECT doc_id,
+           |       round(avg(log10(cnt::DOUBLE / total)), 6) AS mean_logprob,
+           |       count(*) AS n_toks
+           |FROM tok JOIN vocab USING (token), tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "events_json_agg" ->
         s"""SELECT event_type, count(*) AS n,
