@@ -876,6 +876,20 @@ object SparkEntry {
         .orderBy(col("case_id"))
     }),
 
+    // INTENT pin for the mixing arithmetic: thresholds for fixed stratum
+    // sizes and weights against literal VALUES derived from an independent
+    // double simulation (same op order; see tools/ — N' = min(1000/.5,
+    // 200/.3, 100/.2) = 500 → rates .25/.75/1.0 → 16384/49152/65536). The
+    // hash16 keep decision itself is pinned by sample_pinned.
+    "mixing_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.thresholds(
+          Map("web" -> 1000L, "books" -> 200L, "code" -> 100L),
+          Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+        .toSeq.toDF("stratum", "threshold")
+        .orderBy(col("stratum"))
+    }),
+
     // INTENT pin for the composite quality score: the same five hand-
     // derived cases as the unit spec, against literal expected VALUES — a
     // wrong gate weight or threshold fails CORRECTNESS, not just the spec
@@ -2310,6 +2324,12 @@ object SparkEntry {
       // corpus — NOT rendered from the same regexes as the Spark side (a
       // dual-rendered oracle can only confirm engine-equivalence; round 7's
       // PhoneRe bug sailed through exactly that way)
+      "mixing_pinned" ->
+        """SELECT stratum, CAST(threshold AS BIGINT) AS threshold
+          |FROM (VALUES
+          |  ('books', 49152), ('code', 65536), ('web', 16384)
+          |) t(stratum, threshold) ORDER BY stratum""".stripMargin,
+
       // hand-labelled: en 5/10 stopwords, es 5/9, de 5/9, no stopwords →
       // unk, empty → unk, mixed majority (en 4/6 vs la/der 1/6 each) → en
       "langid_pinned" ->
