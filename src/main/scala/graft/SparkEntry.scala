@@ -826,6 +826,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // partitioned-at-rest scan pruning: documents written partitionBy(lang)
+    // once, then a lang-filtered aggregate reads ONLY the matching
+    // partition directory (PartitionFilters pinned in PlanAuditSpec)
+    "partitioned_scan" -> ((s, dir) => {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_part_docs").getAbsolutePath
+      Bucketing.writePartitioned(t(s, dir, "documents"), out, "lang")
+      s.read.parquet(out).where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // the composed preprocessing pipeline, end to end: language filter →
     // composite quality gate → exact dedup (keep-first) → deterministic
     // split assignment → per-split corpus accounting. Every stage is one of
@@ -2300,6 +2313,11 @@ object SparkEntry {
         s"""SELECT d.doc_id, d.lang, e.label
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "partitioned_scan" ->
+        s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+           |FROM documents WHERE lang = 'en'
+           |GROUP BY source ORDER BY source""".stripMargin,
 
       "pipeline_e2e" -> {
         val score = QualityOpsSql.qualityScore("text", "tk")

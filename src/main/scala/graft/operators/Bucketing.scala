@@ -57,4 +57,15 @@ object Bucketing {
   def join(
       spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Partition a dataset at rest by a low-cardinality column (`lang`,
+    * `source`, `split`, date): one directory per value, so any read
+    * filtering on that column prunes to the matching directories BEFORE
+    * listing files — the scan never touches excluded partitions
+    * (`PartitionFilters` in the plan, pinned by `PlanAuditSpec`). The
+    * at-rest complement of [[writeBucketed]]: partitioning prunes scans,
+    * bucketing co-locates joins; a 100 TB corpus wants both
+    * (`partitionBy(split).bucketBy(n, doc_id)`). */
+  def writePartitioned(df: DataFrame, path: String, col: String): Unit =
+    df.write.mode("overwrite").partitionBy(col).parquet(path)
 }

@@ -164,6 +164,24 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("partitioned write: reads prune to the matching partition dirs") {
+    import graft.operators.Bucketing
+    val out = java.nio.file.Files.createTempDirectory("part_docs").toString
+    Bucketing.writePartitioned(
+      spark.read.parquet(s"$sf/documents.parquet"), out, "lang")
+    val pruned = spark.read.parquet(out).where(col("lang") === "en")
+      .select(col("doc_id"))
+    val p = physical(pruned)
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"),
+      s"the lang predicate must prune partitions, not filter rows:\n$p")
+    // the partition column never appears in the data-read schema (it is in
+    // the scan's OUTPUT — from directory names — but not read from files)
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+      .map(l => l.substring(l.indexOf("ReadSchema"))).getOrElse("")
+    assert(!read.contains("lang"), s"partition col must not be read: $read")
+    assert(pruned.count() > 0)
+  }
+
   test("contamination: eval shingles broadcast, train side never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.Contamination.check(
