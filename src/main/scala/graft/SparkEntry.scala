@@ -2158,7 +2158,7 @@ object SparkEntry {
 
       "events_json_agg" ->
         s"""SELECT event_type, count(*) AS n,
-           |       sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k,
+           |       CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            |       max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -2315,7 +2315,8 @@ object SparkEntry {
            |ORDER BY d.doc_id""".stripMargin,
 
       "partitioned_scan" ->
-        s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        s"""SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents WHERE lang = 'en'
            |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -2334,7 +2335,8 @@ object SparkEntry {
            |        FROM f) WHERE rn = 1),
            |s AS (SELECT $split AS split, CAST(len(tk) AS BIGINT) AS n_toks
            |      FROM k)
-           |SELECT split, count(*) AS n_docs, sum(n_toks) AS sum_tokens
+           |SELECT split, count(*) AS n_docs,
+           |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens
            |FROM s GROUP BY split ORDER BY split""".stripMargin
       },
 

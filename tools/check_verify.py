@@ -59,6 +59,19 @@ def main():
             want = con.execute(oracle[q])
             want_cols = [d[0] for d in want.description]
             want_rows = want.fetchall()
+            # the driver's hasher is dtype-sensitive where this str-based
+            # compare is not: DuckDB widens integer sum() to HUGEINT, which
+            # Spark writes as BIGINT — flag any oracle output column whose
+            # type Spark cannot produce (fix: CAST(... AS BIGINT/DOUBLE))
+            types = con.execute(f"DESCRIBE {oracle[q]}").fetchall()
+            odd = [(c[0], c[1]) for c in types
+                   if c[1] in ("HUGEINT", "UHUGEINT")
+                   or c[1].startswith("DECIMAL")]
+            if odd:
+                print(f"MISMATCH   {q}: oracle output type Spark can't "
+                      f"produce (driver hash will differ): {odd}")
+                n_bad += 1
+                continue
         except Exception as e:
             print(f"ERROR      {q}: oracle sql failed: {e}")
             n_bad += 1
