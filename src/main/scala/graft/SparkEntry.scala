@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -178,6 +178,22 @@ object SparkEntry {
     (3, "no pii here, just 1234 numbers and a dot. end"),
     (4, "+1 (555) 123-4567 and 10.0.0.255 and bob@sub.domain.io"),
     (5, ""))
+
+  /** BM25 intent-pin corpus; expected scores derive from
+    * `tools/bm25_reference.py` (independent Python implementation). */
+  private val Bm25Corpus = Seq(
+    (1L, "cat sat on the mat"),
+    (2L, "dog and cat and dog play"),
+    (3L, "fish swim in deep water"),
+    (4L, "dog dog dog dog dog dog dog dog"))
+
+  /** Classifier intent-pin corpus; expected scores derive from
+    * `tools/classifier_reference.py` (independent token-hash + weight
+    * recomputation). Includes the empty-doc edge (score 0.0). */
+  private val ClassifierCorpus = Seq(
+    (1L, "cat sat on the mat"),
+    (2L, "dog and cat and dog play"),
+    (3L, ""))
 
   /** Flagship query on sf0.001; the driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -484,6 +500,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the skew-guarded LSH variant: buckets holding more than 2 DISTINCT
+    // texts are dropped before the self-join (the hard per-bucket bound a
+    // boilerplate-flooded corpus needs); byte-identical copies still pair
+    // via the arithmetic intra-cluster expansion
+    "dedup_minhash_capped" -> ((s, dir) =>
+      Dedup.minHashLshPairs(nearDupCorpus(s, dir), "doc_id", "text",
+          maxBucket = Some(2))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashClusters(exactDupCorpus(s, dir), "doc_id", "text")
         .orderBy(col("kept_id"))),
@@ -624,6 +650,20 @@ object SparkEntry {
           Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("column"))),
 
+    // equi-width histogram in ONE scan: the bucket index is a map-side
+    // integer division (clamped top bucket), then a single partial-combined
+    // aggregate — the distribution sketch an ingest gate wants without a
+    // sort or a second pass
+    "profile_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(least(floor(col("n_chars") / lit(50)), lit(19))
+          .cast("long").as("bucket"), col("n_chars"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy(col("bucket"))),
+
     // semi-structured extraction: JSON property pulled out of the events
     // payload map-side (codegen'd path expression, no UDF), then a standard
     // partial-combined aggregate — the oracle checks SEMANTICS via DuckDB's
@@ -656,6 +696,24 @@ object SparkEntry {
         .agg(round(avg(log10(col("cnt").cast("double") / lit(total.toDouble))), 6)
           .as("mean_logprob"), count(lit(1)).as("n_toks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Okapi BM25 retrieval against a fixed query term set: corpus stats
+    // (N, avgdl) are one aggregate -> two driver scalars, term frequencies
+    // filter to query terms MAP-SIDE before the (doc, term) shuffle, and
+    // document frequencies broadcast back (|Q| rows) — the corpus never
+    // self-joins. Ranked on the rounded score, id tie-break.
+    "text_bm25" -> ((s, dir) =>
+      Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "merge"))),
+
+    // hand-derived intent pin for BM25 (tools/bm25_reference.py): a 4-doc
+    // inline corpus scored by an independent Python implementation — NOT a
+    // rendering of the Spark arithmetic
+    "bm25_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Relevance.bm25TopK(Bm25Corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("cat", "dog"), topK = 3)
     }),
 
     // corpus vocabulary: exact top-20 tokens by frequency (ties broken by
@@ -739,6 +797,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_toks"),
           col("seq_id"), col("tok_offset"))
         .orderBy(col("doc_id"))),
+
+    // split-leakage check (train/test hygiene): identical content assigned
+    // to DIFFERENT splits — the digest groupBy is the exact-dedup shuffle
+    // (32-byte keys) with a distinct-split count riding it; output is one
+    // row per leaked content with its witness doc and spread. Runs over the
+    // exact-dup corpus, where byte-copies under different ids land in
+    // different hash-assigned splits by construction.
+    "split_leakage" -> ((s, dir) =>
+      Sampling.assignSplit(exactDupCorpus(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+        .groupBy(sha2(col("text").cast("binary"), 256).as("digest"))
+        .agg(min(col("doc_id")).as("witness"),
+          countDistinct(col("split")).as("n_splits"),
+          count(lit(1)).as("n_docs"))
+        .where(col("n_splits") > 1)
+        .select(col("witness"), col("n_splits"), col("n_docs"))
+        .orderBy(col("witness"))),
 
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -869,6 +944,32 @@ object SparkEntry {
         round(score, 6).as("score"),
         (score >= 0.5).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // hashed linear classifier (the fastText-style model-based quality
+    // filter reduced to its plumbing): tokens hash into weight cells, cell
+    // weights sum per doc in exact integer arithmetic, one double
+    // conversion — a pure map-side projection, keep = score >= 0
+    "quality_classifier" -> ((s, dir) => {
+      val score = QualityOps.classifierScore(
+        TextOps.tokenHashes(TextOps.tokens(col("text"))))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(score, 6).as("clf_score"),
+        (score >= 0.0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // hand-derived intent pin for the classifier (tools/
+    // classifier_reference.py recomputes token hashes AND cell weights in
+    // independent Python): literal expected VALUES, empty-doc edge included
+    "classifier_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val score = QualityOps.classifierScore(
+        TextOps.tokenHashes(TextOps.tokens(col("text"))))
+      ClassifierCorpus.toDF("case_id", "text")
+        .select(col("case_id"), round(score, 6).as("clf_score"))
+        .orderBy(col("case_id"))
     }),
 
     // INTENT pin for language ID: hand-labelled sentences (one per table,
@@ -1907,6 +2008,51 @@ object SparkEntry {
            |WHERE jaccard >= 0.0 ORDER BY id_a, id_b""".stripMargin
       },
 
+      // capped-LSH semantics stated doc-level: bucket hotness = DISTINCT
+      // texts per (band, bucket) (the Spark side counts representatives —
+      // one per distinct text by construction), pairs join only inside
+      // non-hot buckets, and identical-text pairs (jaccard exactly 1.0)
+      // union in unconditionally — a hot bucket must not suppress them
+      "dedup_minhash_capped" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, md5(text) AS digest, $toks AS toks
+           |        FROM corpus),
+           |th AS (SELECT doc_id, digest, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, digest, list_distinct($shingles) AS shingles
+           |       FROM th),
+           |sg AS (SELECT doc_id, digest, shingles, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, digest, shingles, band,
+           |                 $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |hot AS (SELECT band, bucket FROM bands
+           |        GROUP BY band, bucket HAVING count(DISTINCT digest) > 2),
+           |kept AS (SELECT k.* FROM bands k LEFT JOIN hot h
+           |           ON k.band = h.band AND k.bucket = h.bucket
+           |         WHERE h.band IS NULL),
+           |cross_pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           |         round(${TextOpsSql.jaccard("l.shingles", "r.shingles")}, 6)
+           |           AS jaccard
+           |  FROM kept l JOIN kept r
+           |    ON l.band = r.band AND l.bucket = r.bucket
+           |   AND l.doc_id < r.doc_id),
+           |intra AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(1.0 AS DOUBLE) AS jaccard
+           |  FROM sg a JOIN sg b
+           |    ON a.digest = b.digest AND a.doc_id < b.doc_id
+           |   AND len(a.shingles) > 0)
+           |SELECT id_a, id_b, jaccard
+           |FROM (SELECT * FROM cross_pairs UNION SELECT * FROM intra)
+           |WHERE jaccard >= 0.0 ORDER BY id_a, id_b""".stripMargin
+      },
+
       "dedup_minhash_keep" -> {
         val thash = TextOpsSql.tokenHashes("toks")
         val shingles = TextOpsSql.shingleHashes("thash")
@@ -2164,6 +2310,59 @@ object SparkEntry {
 
       "profile_table" -> ProfileSql.profile("documents",
         Seq("doc_id", "lang", "source", "n_chars")),
+
+      "profile_histogram" ->
+        s"""SELECT CAST(least(floor(n_chars / 50), 19) AS BIGINT) AS bucket,
+           |       count(*) AS n_docs,
+           |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+           |       CAST(max(n_chars) AS BIGINT) AS max_chars
+           |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
+        Seq("spark", "hash", "merge")),
+
+      // literal VALUES from tools/bm25_reference.py (independent Python
+      // implementation of the Okapi formula — not a rendering)
+      "bm25_pinned" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bm25 AS DOUBLE) AS bm25
+          |FROM (VALUES
+          |  (2, 1.646225),
+          |  (4, 1.284146),
+          |  (1, 0.743865)
+          |) t(doc_id, bm25) ORDER BY doc_id""".stripMargin,
+
+      "quality_classifier" -> {
+        val score = QualityOpsSql.classifierScore("th")
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |th AS (SELECT doc_id, ${TextOpsSql.tokenHashes("toks")} AS th
+           |       FROM tok)
+           |SELECT doc_id, round($score, 6) AS clf_score,
+           |       ($score >= CAST(0.0 AS DOUBLE)) AS keep
+           |FROM th ORDER BY doc_id""".stripMargin
+      },
+
+      // literal VALUES from tools/classifier_reference.py (independent
+      // token-hash + cell-weight recomputation — not a rendering)
+      "classifier_pinned" ->
+        """SELECT CAST(case_id AS BIGINT) AS case_id,
+          |       CAST(clf_score AS DOUBLE) AS clf_score
+          |FROM (VALUES
+          |  (1, 0.066683),
+          |  (2, 0.162444),
+          |  (3, 0.000000)
+          |) t(case_id, clf_score) ORDER BY case_id""".stripMargin,
+
+      "split_leakage" -> {
+        val split = SamplingSql.splitCase("doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+        s"""WITH $ExactDupCorpusSql,
+           |s AS (SELECT doc_id, text, $split AS split FROM corpus)
+           |SELECT min(doc_id) AS witness,
+           |       count(DISTINCT split) AS n_splits,
+           |       count(*) AS n_docs
+           |FROM s GROUP BY text HAVING count(DISTINCT split) > 1
+           |ORDER BY witness""".stripMargin
+      },
 
       "sample_split" -> {
         val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

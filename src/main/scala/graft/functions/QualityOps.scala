@@ -82,6 +82,47 @@ object QualityOps {
     greatest(lit(1.0) - pTok - pLen - pPunct - pStop - pDup, lit(0.0))
   }
 
+  // ---- Hashed linear classifier -----------------------------------------
+  // The model-based quality filter of CCNet/LLaMA-style pipelines (a
+  // fastText/logistic scorer over hashed token features) reduced to its
+  // Spark plumbing: tokens hash into weight cells, cell weights sum per
+  // document, the mean is the score and `score >= 0` the keep rule. Real
+  // weights are a trained artifact (broadcast, or map-side literals when
+  // they fit); here the cell weight is DERIVED from the cell index —
+  // w(h) = ((h·MULT) mod B)/B − 0.5, uniform in [−0.5, 0.5) — which keeps
+  // the operator deterministic and the oracle independently computable
+  // while exercising the exact plan a trained model runs: one map-side
+  // projection, no shuffle, no UDF.
+
+  /** Feature-cell count (2^20) and Knuth's multiplicative constant. */
+  val ClassifierBuckets = 1048576L
+  val ClassifierMult = 2654435761L
+
+  /** Exact integer weight-cell sum Σ ((h·MULT) mod B) — native one-pass
+    * [[graft.plans.HashWeightSumExpr]]. */
+  private def weightCellSum(thash: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.HashWeightSumExpr(
+      ColumnBridge.expression(thash), ClassifierMult, ClassifierBuckets))
+  }
+
+  /** Higher-order-fold reference for [[classifierScore]]'s cell sum, pinned
+    * by the spec (interpreted lambda — the executable definition). */
+  private[graft] def weightCellSumHof(thash: Column): Column =
+    aggregate(thash, lit(0L), (acc, h) =>
+      acc + pmod(h * lit(ClassifierMult), lit(ClassifierBuckets)))
+
+  /**
+   * Mean hashed-cell weight of a document's tokens, in [−0.5, 0.5): the
+   * integer cell sum converts to a double ONCE (sum/B/n − 0.5, operation
+   * order pinned), so the score is bit-identical across engines instead of
+   * depending on a float summation order. Empty documents score 0.0.
+   */
+  def classifierScore(thash: Column): Column =
+    when(size(thash) === 0, lit(0.0)).otherwise(
+      weightCellSum(thash).cast("double") / lit(ClassifierBuckets.toDouble) /
+        size(thash).cast("double") - lit(0.5))
+
   // ---- PII ---------------------------------------------------------------
   // Pinned regex subset: `[...]` classes, `{m,n}` bounds, optional groups
   // `(...)?`, no backrefs or lookaround — the intersection of
@@ -155,6 +196,16 @@ object QualityOpsSql {
       s"then ${d(WDup)} else ${d(0.0)} end)"
     s"greatest(${d(1.0)} - $pTok - $pLen - $pPunct - $pStop - $pDup, ${d(0.0)})"
   }
+
+  /** Mirror of [[QualityOps.classifierScore]]: exact integer cell sum, one
+    * double conversion in the pinned order (sum/B/n − 0.5). `h*MULT` stays
+    * below 2^52, inside DuckDB's overflow-checked BIGINT. */
+  def classifierScore(thash: String): String =
+    s"(case when len($thash) = 0 then CAST(0.0 AS DOUBLE) else " +
+      s"list_sum(list_transform($thash, " +
+      s"h -> (h * $ClassifierMult) % $ClassifierBuckets))::DOUBLE " +
+      s"/ CAST($ClassifierBuckets AS DOUBLE) / len($thash)::DOUBLE " +
+      s"- CAST(0.5 AS DOUBLE) end)"
 
   private def q(re: String): String = "'" + re + "'" // regexes contain no quotes
 

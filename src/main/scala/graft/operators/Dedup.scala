@@ -78,13 +78,26 @@ object Dedup {
    * signature, null band buckets — and a null bucket joins nothing, so
    * identical short documents never paired before and are excluded from
    * the intra-cluster expansion here (`size(shingles) > 0`).
+   *
+   * `maxBucket` (the production skew guard): drop every (band, bucket)
+   * holding MORE than `maxBucket` DISTINCT texts before the self-join. A
+   * bucket a million near-identical-but-not-byte-identical boilerplate
+   * variants hash into is the one place this plan goes quadratic — m(m-1)/2
+   * candidate pairs materialize inside a single shuffle partition, and no
+   * partitioning scheme can spread one key. Capping trades recall for a
+   * hard per-bucket bound (pairs lost only if NONE of their shared buckets
+   * is cold), which is how repeated-substring/LSH dedup runs at corpus
+   * scale in practice. Counted over representatives, so byte-identical
+   * copies never heat a bucket — their pairs come from the arithmetic
+   * intra-cluster expansion, which a hot bucket does not suppress.
    */
   def minHashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minJaccard: Double = 0.0,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      maxBucket: Option[Int] = None): DataFrame = {
     val base = df.select(
       col(idCol) +: col(textCol) +: blockCol.map(b => col(b).as("block")).toSeq: _*)
     val extra = blockCol.map(_ => "block").toSeq
@@ -112,8 +125,22 @@ object Dedup {
     // band rows for one representative per distinct text: the anti-join
     // runs over (id, band, bucket) rows, never text or shingles, and its
     // right side is only the duplicated ids
-    val bands = banded(sig, idCol, extra)
+    val bands0 = banded(sig, idCol, extra)
       .join(dupMembers, col("id") === col("member"), "left_anti")
+    // skew guard: the hot set is (band, bucket[, block]) keys only — tiny
+    // (proportional to the number of OVERFULL buckets), so the anti-join
+    // broadcasts; a null bucket (empty shingles) never matches the equality
+    // and passes through, keeping its no-pair behavior
+    val bands = maxBucket match {
+      case Some(cap) =>
+        val keys = Seq("band", "bucket") ++ extra
+        val hot = bands0.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > cap)
+          .select(keys.map(col): _*)
+        bands0.join(broadcast(hot), keys, "left_anti")
+      case None => bands0
+    }
     val l = bands.as("l")
     val r = bands.as("r")
     val blockCond = blockCol

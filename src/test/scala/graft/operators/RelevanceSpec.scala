@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.QualityOps
+
+/** Round-9 operators: BM25 relevance, the hashed linear classifier, and the
+  * hot-bucket skew guard on MinHash-LSH. */
+class RelevanceSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "cat sat on the mat"),
+    (2L, "dog and cat and dog play"),
+    (3L, "fish swim in deep water"),
+    (4L, "dog dog dog dog dog dog dog dog"))
+
+  test("bm25: matches the independent Python reference on the pinned corpus") {
+    val out = Relevance.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", Seq("cat", "dog"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // tools/bm25_reference.py — doc 3 (no query terms) never scores
+    assert(out.toSeq == Seq((2L, 1.646225), (4L, 1.284146), (1L, 0.743865)))
+  }
+
+  test("bm25: rarer terms weigh more; tf saturates under k1") {
+    // 'rare' in 1 of 20 docs, 'common' in all 20: one 'rare' hit must
+    // outscore one 'common' hit; 8 repeats of a term score less than 8x one
+    val docs = (1L to 18L).map(i => (i, s"common filler$i")) ++
+      Seq((19L, "common rare"), (20L, "common"))
+    val scores = Relevance.bm25TopK(docs.toDF("id", "text"), "id", "text",
+        Seq("rare", "common"), topK = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(19L) > scores(20L) * 2,
+      s"idf must dominate: ${scores(19L)} vs ${scores(20L)}")
+    val rep = Relevance.bm25TopK(
+      Seq((1L, Seq.fill(8)("t").mkString(" ")), (2L, "t x x x x x x x"))
+        .toDF("id", "text"), "id", "text", Seq("t"), topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) < rep(2L) * 8, "tf term must saturate, not scale linearly")
+  }
+
+  test("classifier: native cell sum matches the higher-order reference") {
+    val df = Seq(
+      (1L, "cat sat on the mat"),
+      (2L, "dog and cat and dog play"),
+      (3L, ""),
+      (4L, "a"),
+      (5L, (1 to 500).map(i => s"tok$i").mkString(" "))).toDF("id", "text")
+    val toks = graft.functions.TextOps.tokens(col("text"))
+    val th = graft.functions.TextOps.tokenHashes(toks)
+    val native = QualityOps.classifierScore(th)
+    val rows = df.select(col("id"), native.as("n"),
+        when(size(th) === 0, lit(0.0)).otherwise(
+          QualityOps.weightCellSumHof(th).cast("double") /
+            lit(QualityOps.ClassifierBuckets.toDouble) /
+            size(th).cast("double") - lit(0.5)).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id=${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // tools/classifier_reference.py values; score bounded in [-0.5, 0.5)
+    assert(math.abs(byId(1L) - 0.066683) < 1e-6)
+    assert(byId(3L) == 0.0)
+    rows.foreach(r => assert(r.getDouble(1) >= -0.5 && r.getDouble(1) < 0.5))
+  }
+
+  test("capped LSH: hot buckets drop cross pairs, identical copies still pair") {
+    // v1a/v1b byte-identical; v2/v3 same TOKEN stream via extra separators
+    // (distinct bytes, identical shingle sets) — all four land in the same
+    // buckets, so each bucket holds 3 distinct texts
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("w5 w6", "w5  w6")),
+      (4L, base.replace("w9 w10", "w9  w10")),
+      (5L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("id", "text")
+    val open = Dedup.minHashLshPairs(df, "id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(open.length == 6, s"uncapped: all 4 variants pair: ${open.toSeq}")
+    val capped = Dedup.minHashLshPairs(df, "id", "text", maxBucket = Some(2))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 2L)),
+      s"cap=2 with 3 distinct texts per bucket keeps only the identical pair: ${capped.toSeq}")
+    val cap3 = Dedup.minHashLshPairs(df, "id", "text", maxBucket = Some(3))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cap3.length == 6, "cap above the bucket size changes nothing")
+  }
+}
