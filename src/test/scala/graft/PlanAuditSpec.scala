@@ -182,6 +182,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(pruned.count() > 0)
   }
 
+  test("classifier score: a pure projection — no exchange anywhere") {
+    import graft.functions.{QualityOps, TextOps}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      QualityOps.classifierScore(
+        TextOps.tokenHashes(TextOps.tokens(col("text")))).as("s"))
+    val p = physical(scored)
+    assert(!p.contains("Exchange"),
+      s"model scoring must stream map-side at scan speed:\n$p")
+    // `*(n)` marks operators inside a WholeStageCodegen stage
+    val projectLine = p.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(projectLine.trim.startsWith("*("),
+      s"the native cell-sum expression must stay inside codegen:\n$p")
+  }
+
+  test("bm25: document frequencies broadcast; the corpus never self-joins") {
+    import graft.operators.Relevance
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(Relevance.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "hash", "merge")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |Q|-row df table must broadcast onto the tf stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-sized join may appear:\n$p")
+  }
+
+  test("capped LSH: the hot-bucket set broadcasts into the anti-join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(Dedup.minHashLshPairs(docs, "doc_id", "text",
+      maxBucket = Some(2)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the overfull-bucket key set is tiny and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("contamination: eval shingles broadcast, train side never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.Contamination.check(
