@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -664,6 +664,25 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
         .orderBy(col("bucket"))),
 
+    // per-group distribution quantiles: EXACT linear-interpolation
+    // percentile as the correctness anchor (matches DuckDB's quantile_cont
+    // definition — the oracle is DuckDB's own independent implementation,
+    // not a rendering). The 100 TB path swaps in approx_percentile — a
+    // mergeable sketch with the same plan shape (map-side partials, one
+    // combine) — pinned within tolerance of exact by the spec.
+    "profile_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))")
+            .as("qs"))
+        .select(col("lang"), col("n_docs"),
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"),
+          round(element_at(col("qs"), 4), 6).as("p95"))
+        .orderBy(col("lang"))),
+
     // semi-structured extraction: JSON property pulled out of the events
     // payload map-side (codegen'd path expression, no UDF), then a standard
     // partial-combined aggregate — the oracle checks SEMANTICS via DuckDB's
@@ -697,6 +716,15 @@ object SparkEntry {
           .as("mean_logprob"), count(lit(1)).as("n_toks"))
         .orderBy(col("doc_id"))
     }),
+
+    // bigram LM scoring with a PRUNED (top-500), BROADCAST model: training
+    // = two vocabulary-sized aggregates; scoring = map-side broadcast
+    // lookups + Katz-style unigram backoff + one per-doc aggregate. The
+    // prune is small enough that the backoff branch exercises on every SF.
+    "text_bigram_logprob" -> ((s, dir) =>
+      LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          topK = 500)
+        .orderBy(col("doc_id"))),
 
     // Okapi BM25 retrieval against a fixed query term set: corpus stats
     // (N, avgdl) are one aggregate -> two driver scalars, term frequencies
@@ -2317,6 +2345,19 @@ object SparkEntry {
            |       CAST(min(n_chars) AS BIGINT) AS min_chars,
            |       CAST(max(n_chars) AS BIGINT) AS max_chars
            |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      // DuckDB's own quantile_cont — an independent implementation of the
+      // same linear-interpolation definition, not a rendering
+      "profile_quantiles" ->
+        s"""SELECT lang, count(*) AS n_docs,
+           |       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           |       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           |       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           |       round(quantile_cont(n_chars, 0.95), 6) AS p95
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "text_bigram_logprob" -> LanguageModelSql.bigramLogProb(
+        "documents", "doc_id", "text", topK = 500),
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
         Seq("spark", "hash", "merge")),

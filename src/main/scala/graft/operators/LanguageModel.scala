@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/**
+ * Corpus-trained bigram language-model scoring with a PRUNED, BROADCAST
+ * model — the KenLM-shaped quality filter (CCNet-style perplexity gating)
+ * reduced to its Spark geometry:
+ *
+ *  - TRAINING is two vocabulary-sized aggregates over the corpus (bigram
+ *    counts, unigram counts) — map-side partial combine, shuffle rows
+ *    proportional to DISTINCT n-grams, never corpus tokens;
+ *  - the bigram table is PRUNED to the top-K by count (deterministic
+ *    count-desc, id-asc tie-break) — real LMs ship pruned/quantized for
+ *    exactly this reason: the model must broadcast, because scoring 100 TB
+ *    pays per-token model lookups and a shuffle-join against a corpus-sized
+ *    n-gram table would dwarf the scan;
+ *  - SCORING is map-side: adjacent token-hash pairs stream through two
+ *    broadcast joins (pruned bigrams; unigrams for the Katz-style backoff
+ *    `alpha·c(w2)/T`), then one per-doc aggregate.
+ *
+ * Token identity is the 31-bit polynomial token hash (native
+ * `TokenHashesExpr`) — hash collisions merge tokens identically in every
+ * rendering, so the oracle reproduces scores exactly. Documents with fewer
+ * than two tokens have no bigrams and no score row.
+ */
+object LanguageModel {
+
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 10000,
+      alpha: Double = 0.4): DataFrame = {
+    val th = TextOps.tokenHashes(TextOps.tokens(col(textCol)))
+    val base = df.select(col(idCol), th.as("th"))
+    // adjacent (u1, u2) pairs via slice+zip — codegen'd builtins, one pass,
+    // no lambda capture (the shingle re-inlining trap does not apply)
+    val pairs = base
+      .where(size(col("th")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("th"), lit(1), size(col("th")) - 1),
+        slice(col("th"), lit(2), size(col("th")) - 1))).as("p"))
+      .select(col(idCol), col("p.0").as("u1"), col("p.1").as("u2"))
+    val uni = base.select(explode(col("th")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu"))).first().getLong(0)
+    val bgTop = pairs.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("u1"), col("u2"))
+      .limit(topK)
+    // model table: retained bigram -> (cb, c(w1)); built once at train time
+    val model = bgTop.join(
+      uni.select(col("u").as("u1"), col("cu").as("cu1")), "u1")
+    val lp = when(col("cb").isNotNull,
+        log(col("cb").cast("double") / col("cu1").cast("double")))
+      .otherwise(log(
+        lit(alpha) * col("cu2").cast("double") / lit(total.toDouble)))
+    pairs
+      .join(broadcast(model), Seq("u1", "u2"), "left")
+      .join(broadcast(uni.select(col("u").as("u2"), col("cu").as("cu2"))),
+        Seq("u2"))
+      .withColumn("lp", lp)
+      .groupBy(col(idCol))
+      .agg(round(avg(col("lp")), 6).as("mean_bigram_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+}
+
+/** DuckDB rendering of [[LanguageModel.bigramLogProb]] — same counts, same
+  * pruning tie-break, same backoff arithmetic; the token total is recomputed
+  * IN SQL so the engines derive it independently. */
+object LanguageModelSql {
+
+  def bigramLogProb(
+      table: String,
+      idCol: String,
+      textCol: String,
+      topK: Int = 10000,
+      alpha: Double = 0.4): String = {
+    val toks = graft.functions.TextOpsSql.tokens(textCol)
+    val thash = graft.functions.TextOpsSql.tokenHashes("toks")
+    s"""WITH tok AS (SELECT $idCol, $toks AS toks FROM $table),
+       |d AS (SELECT $idCol, $thash AS th FROM tok),
+       |pr AS (SELECT $idCol, p[1] AS u1, p[2] AS u2 FROM (
+       |         SELECT $idCol, unnest(list_transform(range(0, len(th)-1),
+       |                        i -> [th[i+1], th[i+2]])) AS p
+       |         FROM d WHERE len(th) >= 2)),
+       |uni AS (SELECT u, count(*) AS cu
+       |        FROM (SELECT unnest(th) AS u FROM d) GROUP BY u),
+       |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t FROM uni),
+       |bg AS (SELECT u1, u2, count(*) AS cb FROM pr GROUP BY u1, u2
+       |       ORDER BY cb DESC, u1, u2 LIMIT $topK)
+       |SELECT $idCol,
+       |       round(avg(CASE WHEN bg.cb IS NOT NULL
+       |         THEN ln(bg.cb::DOUBLE / c1.cu::DOUBLE)
+       |         ELSE ln(CAST($alpha AS DOUBLE) * c2.cu::DOUBLE / tot.t)
+       |         END), 6) AS mean_bigram_logprob,
+       |       count(*) AS n_bigrams
+       |FROM pr
+       |LEFT JOIN bg USING (u1, u2)
+       |JOIN uni c1 ON pr.u1 = c1.u
+       |JOIN uni c2 ON pr.u2 = c2.u, tot
+       |GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+}

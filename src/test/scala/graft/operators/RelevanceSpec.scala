@@ -67,6 +67,44 @@ class RelevanceSpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(1) >= -0.5 && r.getDouble(1) < 0.5))
   }
 
+  test("bigram LM: hand-checked probabilities; pruning routes through backoff") {
+    // corpus: "a b" x3 + "a c" + "z" -> bigrams ab:3, ac:1; unigrams a:4
+    // b:3 c:1 z:1, T=9 (bigram-less docs still count toward the unigram
+    // model). Unpruned: lp(ab)=ln(3/4), lp(ac)=ln(1/4).
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "z")).toDF("id", "text")
+    val open = LanguageModel.bigramLogProb(df, "id", "text", topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(open.size == 4, "single-token docs have no bigrams, no row")
+    assert(math.abs(open(1L) - math.log(3.0 / 4.0)) < 1e-6)
+    assert(math.abs(open(4L) - math.log(1.0 / 4.0)) < 1e-6)
+    // topK=1 keeps only ab; ac backs off to alpha*c(c)/T = 0.4*1/9
+    val pruned = LanguageModel.bigramLogProb(df, "id", "text", topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pruned(1L) - math.log(3.0 / 4.0)) < 1e-6)
+    assert(math.abs(pruned(4L) - math.log(0.4 * 1.0 / 9.0)) < 1e-6)
+  }
+
+  test("quantiles: approx_percentile (the 100 TB path) tracks exact percentile") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docs.groupBy(col("lang")).agg(
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ex"),
+        expr("approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)")
+          .as("ap"),
+        (max(col("n_chars")) - min(col("n_chars"))).cast("double").as("range"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ex = r.getSeq[Double](1)
+      val ap = r.getSeq[Any](2).map(_.toString.toDouble)
+      val range = r.getDouble(3)
+      ex.zip(ap).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= math.max(range * 0.05, 1.0),
+          s"lang=${r.getString(0)}: approx $a drifted from exact $e")
+      }
+    }
+  }
+
   test("capped LSH: hot buckets drop cross pairs, identical copies still pair") {
     // v1a/v1b byte-identical; v2/v3 same TOKEN stream via extra separators
     // (distinct bytes, identical shingle sets) — all four land in the same
