@@ -127,18 +127,19 @@ object Dedup {
     // right side is only the duplicated ids
     val bands0 = banded(sig, idCol, extra)
       .join(dupMembers, col("id") === col("member"), "left_anti")
-    // skew guard: the hot set is (band, bucket[, block]) keys only — tiny
-    // (proportional to the number of OVERFULL buckets), so the anti-join
-    // broadcasts; a null bucket (empty shingles) never matches the equality
-    // and passes through, keeping its no-pair behavior
+    // skew guard as ONE pass: a window count over the (band, bucket[,
+    // block]) partition tags every row with its bucket size and the filter
+    // drops overfull buckets — no second evaluation of the banded stream,
+    // and the window's exchange partitions on EXACTLY the keys the
+    // self-join needs, so one side of the join reuses it (ReusedExchange)
+    // instead of shuffling again. Null buckets (empty shingles) pass
+    // through unconditionally, keeping their no-pair behavior.
     val bands = maxBucket match {
       case Some(cap) =>
-        val keys = Seq("band", "bucket") ++ extra
-        val hot = bands0.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__n"))
-          .where(col("__n") > cap)
-          .select(keys.map(col): _*)
-        bands0.join(broadcast(hot), keys, "left_anti")
+        val w = Window.partitionBy((Seq("band", "bucket") ++ extra).map(col): _*)
+        bands0.withColumn("__n", count(lit(1)).over(w))
+          .where(col("__n") <= cap || col("bucket").isNull)
+          .drop("__n")
       case None => bands0
     }
     val l = bands.as("l")

@@ -208,12 +208,19 @@ class PlanAuditSpec extends SparkSuite {
       s"no corpus-sized join may appear:\n$p")
   }
 
-  test("capped LSH: the hot-bucket set broadcasts into the anti-join") {
+  test("capped LSH: one-pass window guard, no extra aggregation pass") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = physical(Dedup.minHashLshPairs(docs, "doc_id", "text",
-      maxBucket = Some(2)))
-    assert(p.contains("BroadcastHashJoin"),
-      s"the overfull-bucket key set is tiny and must broadcast:\n$p")
+    val capped = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      maxBucket = Some(2))
+    val p = physical(capped)
+    assert(p.contains("Window"),
+      s"bucket sizes must come from ONE windowed pass, not a second " +
+        s"evaluation of the banded stream:\n$p")
+    // the guard must NOT add an aggregate over the banded stream (the
+    // two-pass hot-set formulation did — and cost 4x at sf0.1); the only
+    // aggregates in this plan belong to the signature/cluster collapse
+    assert(!p.contains("partial_count(1) AS __n"),
+      s"no aggregation pass for bucket sizes:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
