@@ -664,6 +664,24 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
         .orderBy(col("bucket"))),
 
+    // as-of (point-in-time) join: each click attaches the user's LATEST
+    // purchase value at-or-before it. UNION + one window pass — one shuffle
+    // on the key, one sort, NO join operator (pinned in PlanAuditSpec); the
+    // oracle is DuckDB's native ASOF LEFT JOIN, an independent
+    // implementation of the same semantics
+    "events_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      operators.AsOf.asofJoin(clicks, purchases, "user_id", "ts", "ts", "pvalue")
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_pvalue"), 6).as("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // per-group distribution quantiles: EXACT linear-interpolation
     // percentile as the correctness anchor (matches DuckDB's quantile_cont
     // definition — the oracle is DuckDB's own independent implementation,
@@ -2345,6 +2363,18 @@ object SparkEntry {
            |       CAST(min(n_chars) AS BIGINT) AS min_chars,
            |       CAST(max(n_chars) AS BIGINT) AS max_chars
            |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      // DuckDB's native ASOF LEFT JOIN — an independent implementation of
+      // point-in-time semantics, not a rendering of the window formulation
+      "events_asof_join" ->
+        s"""WITH c AS (SELECT event_id, user_id, ts FROM events
+           |           WHERE event_type = 'click'),
+           |p AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+           |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+           |SELECT c.event_id, c.user_id, round(p.pvalue, 6) AS asof_value
+           |FROM c ASOF LEFT JOIN p
+           |  ON c.user_id = p.user_id AND c.ts >= p.ts
+           |ORDER BY c.event_id""".stripMargin,
 
       // DuckDB's own quantile_cont — an independent implementation of the
       // same linear-interpolation definition, not a rendering

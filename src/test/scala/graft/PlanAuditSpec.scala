@@ -224,6 +224,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("asof join: one shuffle + one window, no join operator at all") {
+    import graft.operators.AsOf
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val right = ev.select(col("user_id"), col("ts"), col("value"))
+    val p = physical(AsOf.asofJoin(left, right, "user_id", "ts", "ts", "value"))
+    assert(p.contains("Window"), s"as-of must be a window pass:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the union+window formulation has NO join operator — a range join " +
+        s"here would go quadratic on hot keys:\n$p")
+    assert(p.sliding("hashpartitioning".length).count(_ == "hashpartitioning") <= 2,
+      s"one probe+build shuffle only:\n$p")
+  }
+
   test("contamination: eval shingles broadcast, train side never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.Contamination.check(

@@ -105,6 +105,23 @@ class RelevanceSpec extends SparkSuite {
     }
   }
 
+  test("asof join: latest at-or-before value, inclusive ties, keys isolated") {
+    val right = Seq((1L, 10L, "v1"), (1L, 20L, "v2"), (2L, 5L, "w1"))
+      .toDF("k", "ts", "v")
+    val left = Seq((101L, 1L, 5L), (102L, 1L, 10L), (103L, 1L, 15L),
+      (104L, 1L, 25L), (105L, 2L, 4L), (106L, 3L, 99L))
+      .toDF("id", "k", "ts")
+    val out = AsOf.asofJoin(left, right, "k", "ts", "ts", "v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      101L -> None,        // before any build row
+      102L -> Some("v1"),  // same-timestamp build row matches (inclusive)
+      103L -> Some("v1"),
+      104L -> Some("v2"),
+      105L -> None,        // key 2's build row is later
+      106L -> None))       // key with no build rows at all
+  }
+
   test("capped LSH: hot buckets drop cross pairs, identical copies still pair") {
     // v1a/v1b byte-identical; v2/v3 same TOKEN stream via extra separators
     // (distinct bytes, identical shingle sets) — all four land in the same
