@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bucketing, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -524,6 +524,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // EXACT shingle-set similarity join via prefix filtering (SSJoin /
+    // AllPairs) — completeness is guaranteed, unlike the LSH families. The
+    // oracle generates candidates from ALL shared shingles (no prefix), an
+    // independent formulation: a prefix-filter false negative fails
+    // correctness here, not just a spec
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(nearDupCorpus(s, dir), "doc_id", "text", 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.keepFirst(exactDupCorpus(s, dir), "doc_id", "text")
         .select(col("doc_id"))
@@ -843,6 +853,33 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_toks"),
           col("seq_id"), col("tok_offset"))
         .orderBy(col("doc_id"))),
+
+    // sliding-window chunking (LM context segmentation): 32-token chunks
+    // every 16 tokens, entirely map-side — starts from `sequence`, per-chunk
+    // digest folded over an array slice, posexplode emits chunk rows; no
+    // shuffle, scales with scan bandwidth alone
+    "chunk_sliding" -> ((s, dir) =>
+      Chunking.slidingChunks(t(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // per-source quality quota: cap each source's contribution to the best
+    // N documents by composite quality score — one shuffle on source, one
+    // window sort; rank on the ROUNDED score so cross-engine double
+    // last-ulp differences cannot flip the ordering (ties break by doc_id)
+    "quota_per_source" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        round(QualityOps.qualityScore(col("text"), tk), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+        .select(col("doc_id"), col("source"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("source"), col("rank"))
+    }),
 
     // split-leakage check (train/test hygiene): identical content assigned
     // to DIFFERENT splits — the digest groupBy is the exact-dedup shuffle
@@ -2320,6 +2357,28 @@ object SparkEntry {
            |WHERE jac >= 0.15 ORDER BY id_a, id_b""".stripMargin
       },
 
+      // INDEPENDENT formulation: candidates from ALL shared shingles (no
+      // prefix filter) — proves the Spark-side prefix filter is complete,
+      // not merely self-consistent
+      "dedup_jaccard_prefix" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM corpus),
+           |th AS (SELECT doc_id, $thash AS th FROM tok),
+           |d AS (SELECT doc_id, list_distinct($shingles) AS ss FROM th),
+           |e AS (SELECT doc_id, len(ss) AS m, unnest(ss) AS sh
+           |      FROM d WHERE len(ss) > 0),
+           |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o,
+           |             any_value(a.m) AS m1, any_value(b.m) AS m2
+           |      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+           |  SELECT id_a, id_b, o::DOUBLE / (m1 + m2 - o)::DOUBLE AS jac
+           |  FROM c)
+           |WHERE jac >= CAST(0.7 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
+      },
+
       "text_stats" ->
         s"""SELECT doc_id,
            |       CAST(len($toks) AS BIGINT) AS n_tokens,
@@ -2517,6 +2576,26 @@ object SparkEntry {
            |       CAST(cb // 1024 AS BIGINT) AS seq_id,
            |       CAST(cb % 1024 AS BIGINT) AS tok_offset
            |FROM p ORDER BY doc_id""".stripMargin
+      },
+
+      "chunk_sliding" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+           |chunk_src AS (SELECT doc_id, $thash AS th FROM tok WHERE len(tk) > 0)
+           |${ChunkingSql.slidingChunks("doc_id", 32, 16)}
+           |ORDER BY doc_id, chunk_id""".stripMargin
+      },
+
+      "quota_per_source" -> {
+        val score = QualityOpsSql.qualityScore("text", "tk")
+        s"""WITH d AS (SELECT doc_id, source, text, $toks AS tk FROM documents),
+           |s AS (SELECT doc_id, source, round($score, 6) AS score FROM d),
+           |r AS (SELECT doc_id, source, score,
+           |             row_number() OVER (PARTITION BY source
+           |                                ORDER BY score DESC, doc_id) AS rank
+           |      FROM s)
+           |SELECT doc_id, source, score, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin
       },
 
       "text_fingerprint" -> {

@@ -493,4 +493,65 @@ object Dedup {
         row_number().over(Window.partitionBy(col("__kh")).orderBy(col(idCol))))
       .where(col("__rn") === 1)
       .drop("__rn", "__kh")
+
+  /**
+   * Shingle-set Jaccard similarity join with PREFIX FILTERING (the SSJoin /
+   * AllPairs family: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07) — an
+   * EXACT similarity join, unlike the probabilistic MinHash-LSH candidates:
+   * every pair with Jaccard ≥ `minJaccard` over distinct word-3-shingle
+   * sets is guaranteed found.
+   *
+   * Completeness argument: order each document's distinct shingles by a
+   * global total order (document frequency ascending, shingle hash
+   * tie-break — rarest first). If J(a,b) ≥ t then the overlap exceeds
+   * |a| − ⌈t·|a|⌉, so a and b must share at least one shingle within the
+   * first |d| − ⌈t·|d|⌉ + 1 shingles of EACH document's ordering (for the
+   * size bound, J ≥ t forces |b| ≥ t·|a|). Joining only on those prefix
+   * shingles therefore misses nothing, while the rarest-first order makes
+   * each join bucket's cardinality the shingle's document frequency — the
+   * smallest buckets the data allows, which is what keeps the candidate
+   * count near the true-pair count instead of quadratic.
+   *
+   * Plan shape (shuffle-conscious): one shingle-vocabulary aggregate for
+   * document frequencies, one equi-join to attach them (shingle-keyed
+   * shuffle), one per-document window to rank, a prefix-only self-join
+   * carrying (shingle, id) pairs, then exact verification on the candidate
+   * set — candidates join the (id → shingle-set) table twice and the full
+   * Jaccard is computed with set intersection, so false positives die
+   * here. At corpus scale every stage's width is ids+8-byte hashes; the
+   * shingle arrays only travel for the verified candidates.
+   */
+  def jaccardPrefixPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("doc_id"),
+        array_sort(array_distinct(TextOps.shingleHashes(
+          TextOps.tokenHashes(TextOps.tokens(col(textCol)))))).as("ts"))
+      .where(size(col("ts")) > 0)
+    val toks = sets.select(col("doc_id"), size(col("ts")).as("m"),
+      explode(col("ts")).as("tok"))
+    val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = toks.join(docFreq, Seq("tok"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .where(col("rnk") <= col("m") - ceil(lit(minJaccard) * col("m")) + 1)
+      .select(col("tok"), col("doc_id"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("ts_a"), col("ts_b")))
+    val jac = inter.cast("double") /
+      (size(col("ts_a")) + size(col("ts_b")) - inter).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= lit(minJaccard))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -253,4 +253,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       s"train shingles must stream map-side into the broadcast join:\n$p")
   }
+
+  test("sliding chunks: pure map-side — zero Exchange in the plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(graft.operators.Chunking.slidingChunks(
+      docs, "doc_id", "text", 32, 16))
+    assert(!p.contains("Exchange"),
+      s"chunking must scale with scan bandwidth alone — no shuffle:\n$p")
+    assert(p.contains("Generate"), s"posexplode emits the chunk rows:\n$p")
+  }
+
+  test("jaccard prefix join: equi-joins only, never cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(graft.operators.Dedup.jaccardPrefixPairs(
+      docs, "doc_id", "text", 0.7))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation must join on shingle equality:\n$p")
+  }
 }
