@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -879,6 +879,43 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("score"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // ---- BPE tokenizer (trainer + encoder) ----------------------------
+    // corpus-trained merge table: ONE corpus-wide aggregate (the word
+    // vocabulary), then every round runs on the vocab table only with a
+    // 1-row argmax collect; oracle = the same algorithm unrolled to 12
+    // nested CTE levels in DuckDB
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.train(Bpe.vocabulary(t(s, dir, "documents"), "text"),
+          "word", "freq", 12)
+        .map(m => (m.rank.toLong, m.left, m.right, m.cnt))
+        .toDF("rank", "left_sym", "right_sym", "pair_freq")
+        .orderBy(col("rank"))
+    }),
+
+    // encode the corpus with its own trained merges: per-doc word/piece
+    // counts and compression ratio — the merge chain is literal replaces
+    // inside a transform, pure projection
+    "bpe_encode" -> ((s, dir) => {
+      val merges = Bpe.train(Bpe.vocabulary(t(s, dir, "documents"), "text"),
+        "word", "freq", 12)
+      Bpe.encodeStats(t(s, dir, "documents"), "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // INTENT pin: the classic Sennrich worked example plus "lowest";
+    // literal VALUES from tools/bpe_reference.py (list-based independent
+    // implementation — not a rendering of the replace-chain)
+    "bpe_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+        ("widest", 3L), ("lowest", 4L)).toDF("word", "freq")
+      Bpe.train(vocab, "word", "freq", 8)
+        .map(m => (m.rank.toLong, m.left, m.right, m.cnt))
+        .toDF("rank", "left_sym", "right_sym", "pair_freq")
+        .orderBy(col("rank"))
     }),
 
     // split-leakage check (train/test hygiene): identical content assigned
@@ -2597,6 +2634,40 @@ object SparkEntry {
            |SELECT doc_id, source, score, CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin
       },
+
+      "bpe_merges" ->
+        s"""WITH bpe_vocab AS (SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
+           |${BpeSql.trainCtes(12)}
+           |SELECT * FROM (
+           |${BpeSql.mergeRows(12)}
+           |) ORDER BY rank""".stripMargin,
+
+      "bpe_encode" ->
+        s"""WITH bpe_vocab AS (SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
+           |${BpeSql.trainCtes(12)},
+           |w AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+           |pc AS (SELECT doc_id,
+           |         len(string_split(trim(${BpeSql.encodeWord("word", 12)}),
+           |             '  ')) AS np
+           |       FROM w)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(sum(np) AS BIGINT) AS n_pieces,
+           |       round(sum(np)::DOUBLE / count(*)::DOUBLE, 6) AS ratio
+           |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // literal VALUES from tools/bpe_reference.py (independent list-based
+      // implementation of the same training rule)
+      "bpe_pinned" ->
+        """SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym,
+          |       CAST(pair_freq AS BIGINT) AS pair_freq
+          |FROM (VALUES
+          |  (1, 'e', 's', 13), (2, 'es', 't', 13), (3, 'l', 'o', 11),
+          |  (4, 'lo', 'w', 11), (5, 'e', 'w', 6), (6, 'ew', 'est', 6),
+          |  (7, 'n', 'ewest', 6), (8, 'low', 'est', 4)
+          |) t(rank, left_sym, right_sym, pair_freq)
+          |ORDER BY rank""".stripMargin,
 
       "text_fingerprint" -> {
         val thw = TextOpsSql.tokenHashesWide(toks)

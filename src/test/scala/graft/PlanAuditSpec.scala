@@ -263,6 +263,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Generate"), s"posexplode emits the chunk rows:\n$p")
   }
 
+  test("bpe encode: merge chain is a pure projection — zero Exchange") {
+    import graft.operators.Bpe
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Seq(Bpe.Merge(1, "e  s", 1L), Bpe.Merge(2, "es  t", 1L))
+    val p = physical(Bpe.encodeStats(docs, "doc_id", "text", merges))
+    assert(!p.contains("Exchange"),
+      s"encoding must scale with scan bandwidth alone — no shuffle:\n$p")
+  }
+
   test("jaccard prefix join: equi-joins only, never cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = physical(graft.operators.Dedup.jaccardPrefixPairs(
