@@ -34,6 +34,18 @@ object Bench {
       // e1_level0_replace at 26 s for a 5-row result under contention).
       // With the fixture warm, the slice queries report marginal cost.
       graft.bde.E2E.runSlice(spark)
+      // Drain a TINY event slice through the two heaviest stateful
+      // streaming shapes (stream-stream interval join, session window).
+      // First streaming execution in a session pays ~10-20 s of
+      // one-time cost — MicroBatchExecution, state-store machinery,
+      // symmetric-hash-join codegen — all data-independent, and all billed
+      // to whichever stream_* query ran first (r8: stream_interval_join
+      // 12.9 s driver / ~21 s isolated-cold vs ~3 s warm).
+      val tiny = java.nio.file.Files.createTempDirectory("graft-bench-warm")
+      spark.read.parquet(s"$sfDir/events.parquet").limit(200)
+        .coalesce(1).write.mode("overwrite").parquet(tiny.toString)
+      graft.streaming.Streams.clickAttribution(spark, tiny.toString).count()
+      graft.streaming.Streams.userSessions(spark, tiny.toString).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}")
     }

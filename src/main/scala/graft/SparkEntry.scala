@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
@@ -615,22 +616,26 @@ object SparkEntry {
 
     // the excision form of repeated-window detection: every (document,
     // token offset) whose 20-token window also occurs in ANOTHER document —
-    // the spans a repeated-substring pass cuts out of the corpus. Two-pass
-    // shape: the hot window-hash set aggregates first (proportional to
-    // repeated content, so broadcast-sized in practice — AQE picks the
-    // broadcast), then a semi join tags positions; both passes carry
-    // (8-byte hash, doc_id[, pos]) rows only
+    // the spans a repeated-substring pass cuts out of the corpus. ONE pass:
+    // the window-hash stream shuffles once on the hash and a windowed
+    // min/max over each hash partition decides "seen in more than one
+    // document" in place (min(doc_id) != max(doc_id) ⇔ distinct docs > 1) —
+    // no second evaluation of the tokenize→hash→shingle pipeline and no
+    // join; the shuffled rows are (8-byte hash, doc_id, pos) only. The
+    // two-pass aggregate+semi-join alternative recomputes the whole
+    // upstream scan for its probe side, which at corpus scale doubles the
+    // dominant (CPU) cost to save a shuffle the window pass pays once.
     "dedup_repeated_spans" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       val th = TextOps.tokenHashes(toks)
       val windows = nearDupCorpus(s, dir)
         .select(col("doc_id"),
           posexplode(TextOps.shingleHashes(th, 20)).as(Seq("pos", "wh")))
-      val hot = windows.groupBy(col("wh"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") > 1)
-        .select(col("wh"))
-      windows.join(hot, Seq("wh"), "left_semi")
+      val byHash = Window.partitionBy(col("wh"))
+      windows
+        .withColumn("__mn", min(col("doc_id")).over(byHash))
+        .withColumn("__mx", max(col("doc_id")).over(byHash))
+        .where(col("__mn") =!= col("__mx"))
         .select(col("doc_id"), col("pos").cast("long").as("pos"))
         .orderBy(col("doc_id"), col("pos"))
     }),

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -74,20 +76,35 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Streaming state partitions. Stateful operators create one state store
-    * per SHUFFLE partition per micro-batch; the batch-sized session default
-    * (≈ cores) multiplies per-batch fixed costs for no benefit at this
-    * state cardinality (measured: the interval join's drain halves at 8).
-    * On a cluster this is the knob to size to expected state volume —
-    * Spark pins it into the query's checkpoint at first start. */
-  val StatePartitions = 8
+  /** Streaming state partitions, sized to the STAGED INPUT VOLUME rather
+    * than the session's batch shuffle width. Stateful operators create one
+    * state store per shuffle partition per micro-batch, and every store
+    * pays a per-batch fixed cost (open, commit, delta write) whether or not
+    * it holds data — so a drain whose whole state fits in a few stores must
+    * not fan out to the batch default (measured on the interval join at
+    * sf0.1: 8 partitions ≈ 2× slower than 2 for identical results). One
+    * partition per 64 MB of staged input approximates "state shards of
+    * worker-memory size": state volume is a bounded fraction of input
+    * volume for watermarked operators. Spark pins the width into the
+    * query's checkpoint at first start, so a resumed query keeps its
+    * layout regardless of later session settings. */
+  private[graft] def statePartitionsFor(dir: String): Int = {
+    val bytes =
+      try {
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally s.close()
+      } catch { case _: Exception => 0L }
+    math.max(1L, math.min(32L, bytes / (64L << 20) + 1L)).toInt
+  }
 
-  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+  private def runToMemory(df: DataFrame, mode: String, partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val name = s"stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -114,7 +131,7 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .count()
-    runToMemory(agg, "complete")
+    runToMemory(agg, "complete", statePartitionsFor(dir))
       .where(col("event_type") =!= sentinel)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -155,7 +172,8 @@ object Streams {
           state.update(true)
           Iterator.single((digest, rows.map(_._1).min))
         })
-    runToMemory(deduped.toDF("digest", "kept_id"), "append")
+    runToMemory(deduped.toDF("digest", "kept_id"), "append",
+        statePartitionsFor(dir.toString))
       .select(col("kept_id"))
   }
 
@@ -205,7 +223,8 @@ object Streams {
           state.update(true)
           Iterator.single((digest, rows.map(_._1).min))
         })
-    runToMemory(deduped.toDF("digest", "kept_id"), "append")
+    runToMemory(deduped.toDF("digest", "kept_id"), "append",
+        statePartitionsFor(dir.toString))
       .select(col("kept_id"))
   }
 
@@ -245,7 +264,7 @@ object Streams {
       col("c_user") === col("p_user") &&
         col("buy_ts") >= col("click_ts") &&
         col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
-    runToMemory(joined, "append")
+    runToMemory(joined, "append", statePartitionsFor(dir.toString))
       .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
         col("value"))
   }
@@ -267,7 +286,7 @@ object Streams {
       .agg(
         count(lit(1)).as("n_events"),
         sum(when(col("event_type") === sentinel, 1).otherwise(0)).as("n_sentinel"))
-    runToMemory(agg, "append")
+    runToMemory(agg, "append", statePartitionsFor(dir))
       .where(col("n_sentinel") === 0)
       .select(
         col("user_id"),
