@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -640,6 +640,69 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // the CLEANING step repeated-span detection exists for (Lee et al.
+    // 2022): per document, how many token positions fall inside some
+    // 20-token window that also occurs in another document — the tokens a
+    // repeated-substring pass excises. Same one-pass windowed-min/max hot
+    // detection as dedup_repeated_spans, then hot spans expand to covered
+    // token indices (×20 bounded fan-out, proportional to repeated
+    // content) and dedupe per document. Rows: every document, with its
+    // token count, cut count, and surviving fraction
+    "dedup_span_excise" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val th = TextOps.tokenHashes(toks)
+      val windows = nearDupCorpus(s, dir)
+        .select(col("doc_id"), size(toks).as("n_toks"),
+          posexplode(TextOps.shingleHashes(th, 20)).as(Seq("pos", "wh")))
+      val byHash = Window.partitionBy(col("wh"))
+      val cut = windows
+        .withColumn("__mn", min(col("doc_id")).over(byHash))
+        .withColumn("__mx", max(col("doc_id")).over(byHash))
+        .where(col("__mn") =!= col("__mx"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(19))).as("ti"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_cut"))
+      nearDupCorpus(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .join(cut, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+          round(lit(1.0) - coalesce(col("n_cut"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6).as("keep_frac"))
+        .where(col("n_tokens") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-document TF-IDF top terms: term frequencies aggregate per (doc,
+    // token) — map-side combined, O(distinct doc-term) shuffle rows —
+    // document frequencies per token (vocabulary-sized), idf joins back
+    // broadcast-ably, and a per-doc window keeps the top 3 by
+    // (tfidf DESC, token ASC) — a total order, so rank is deterministic
+    "text_tfidf_top" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count().toDouble
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, Seq("token"))
+        .withColumn("tfidf",
+          col("tf").cast("double") *
+            log(lit(nDocs) / col("df").cast("double")))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("token"))))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("token"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -1004,6 +1067,65 @@ object SparkEntry {
           (lit(1.0) - col("n_uniq").cast("double") / col("n_toks").cast("double"))
             .as("dup_token_frac"),
           QualityOps.topElemFrac(col("bgs")).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // trained k-means partitioner (2 Lloyd rounds, k=4) over the embedding
+    // corpus: assignment is a map-side literal-centroid projection (zero
+    // shuffle), each update is one posexplode + (cluster, dim) aggregation
+    // whose means ride exact integer micro-unit sums — associative, so
+    // bit-identical in any partitioning. The oracle derives the SAME
+    // training independently in DuckDB (cross-join argmin + unnest means)
+    "kmeans_train" -> ((s, dir) =>
+      operators.KMeans.centroidsDF(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 4, iters = 2)
+        .select(col("cluster"), col("pos"),
+          round(col("centroid"), 6).as("centroid"))
+        .orderBy(col("cluster"), col("pos"))),
+
+    // final cluster assignment against the trained centroids — the IVF /
+    // SemDeDup partitioner upgraded from seed centroids to trained ones
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = operators.KMeans.train(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      operators.KMeans.assign(emb, "vec_id", "embedding", cents)
+        .select(col("cid").as("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // salted two-stage aggregation over the MOST skewed key in the data
+    // (5 event_type values carry the whole stream — an unsalted groupBy
+    // runs 5 reducer tasks however wide the cluster): partials group on
+    // (key, salt-of-row), finals merge ≤ 5×16 rows per key. The sum rides
+    // integer micro-units so the two-stage recomposition is bit-exact in
+    // any grouping order; results provably equal the unsalted plan
+    // (SaltingSpec pins that, and the oracle is the plain one-stage SQL)
+    "salted_agg" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("value_micro", floor(col("value") * 1e6).cast("long"))
+      Salting.aggregate(ev, Seq("event_type"), salts = 16,
+          Seq(Salting.Agg("count", "event_type", "n_events"),
+            Salting.Agg("sum", "value_micro", "sum_value_micro"),
+            Salting.Agg("max", "value_micro", "max_value_micro")))
+        .orderBy(col("event_type"))
+    }),
+
+    // salted replicated join: documents probe a per-lang dimension too
+    // skewed to shuffle-join plainly ('en' holds ~44% of the corpus — one
+    // reducer would carry half the probe rows); the dim replicates ×8 with
+    // a salt and each probe row joins its single salted copy. Values are
+    // pinned equal to the plain join by the oracle
+    "salted_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val dim = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang_docs"),
+          sum(col("n_chars")).as("lang_chars"))
+      Salting.join(docs.select(col("doc_id"), col("lang")), dim,
+          Seq("lang"), salts = 8)
+        .select(col("doc_id"), col("lang"), col("n_lang_docs"),
+          col("lang_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2321,6 +2443,51 @@ object SparkEntry {
            |ORDER BY doc_id, pos""".stripMargin
       },
 
+      "dedup_span_excise" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        s"""WITH $NearDupCorpusSql,
+           |d AS (SELECT doc_id, $toks AS tk FROM corpus),
+           |h AS (SELECT doc_id, len(tk) AS n_toks, $thash AS th FROM d),
+           |sh AS (SELECT doc_id, n_toks,
+           |              ${TextOpsSql.shingleHashes("th", 20)} AS s FROM h),
+           |w AS (SELECT doc_id, n_toks, u.pos AS pos, u.wh AS wh FROM (
+           |        SELECT doc_id, n_toks, unnest(list_transform(range(0, len(s)),
+           |          i -> struct_pack(pos := i, wh := s[i+1]))) AS u
+           |        FROM sh)),
+           |hot AS (SELECT doc_id, pos FROM (
+           |          SELECT doc_id, pos,
+           |                 min(doc_id) OVER (PARTITION BY wh) AS mn,
+           |                 max(doc_id) OVER (PARTITION BY wh) AS mx
+           |          FROM w) WHERE mn <> mx),
+           |cut AS (SELECT doc_id, count(*) AS n_cut FROM (
+           |          SELECT DISTINCT doc_id, unnest(range(pos, pos + 20)) AS ti
+           |          FROM hot) GROUP BY doc_id)
+           |SELECT d2.doc_id, CAST(len(d2.tk) AS BIGINT) AS n_tokens,
+           |       CAST(coalesce(cut.n_cut, 0) AS BIGINT) AS n_cut,
+           |       round(1.0 - coalesce(cut.n_cut, 0)::DOUBLE /
+           |             len(d2.tk)::DOUBLE, 6) AS keep_frac
+           |FROM d d2 LEFT JOIN cut USING (doc_id)
+           |WHERE len(d2.tk) > 0
+           |ORDER BY d2.doc_id""".stripMargin
+      },
+
+      "text_tfidf_top" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf
+           |       FROM tok GROUP BY doc_id, token),
+           |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+           |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+           |scored AS (SELECT doc_id, token,
+           |                  tf::DOUBLE * ln(n_docs / df::DOUBLE) AS tfidf
+           |           FROM tf JOIN dfreq USING (token), n)
+           |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token,
+           |       round(tfidf, 6) AS tfidf
+           |FROM (SELECT doc_id, token, tfidf,
+           |             row_number() OVER (PARTITION BY doc_id
+           |                                ORDER BY tfidf DESC, token) AS rnk
+           |      FROM scored)
+           |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
       "dedup_semantic" ->
         s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
            |               FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -2737,6 +2904,30 @@ object SparkEntry {
       "bucketed_join" ->
         s"""SELECT d.doc_id, d.lang, e.label
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "kmeans_train" -> operators.KMeansSql.centroids(
+        "embeddings", "vec_id", "embedding", k = 4, iters = 2),
+
+      "kmeans_assign" -> operators.KMeansSql.assignment(
+        "embeddings", "vec_id", "embedding", k = 4, iters = 2),
+
+      // the plain ONE-stage aggregate — the salted two-stage plan must
+      // recompose to exactly this
+      "salted_agg" ->
+        s"""SELECT event_type, count(*) AS n_events,
+           |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+           |         AS sum_value_micro,
+           |       max(CAST(floor(value * 1e6) AS BIGINT)) AS max_value_micro
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the plain unsalted join — the salted replicated join must match
+      "salted_join" ->
+        s"""WITH dim AS (SELECT lang, count(*) AS n_lang_docs,
+           |                    CAST(sum(n_chars) AS BIGINT) AS lang_chars
+           |             FROM documents GROUP BY lang)
+           |SELECT d.doc_id, d.lang, dim.n_lang_docs, dim.lang_chars
+           |FROM documents d JOIN dim USING (lang)
            |ORDER BY d.doc_id""".stripMargin,
 
       "partitioned_scan" ->

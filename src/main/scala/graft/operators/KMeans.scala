@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed Lloyd's k-means over an `array<float>` embedding column —
+ * the TRAINED partitioner the IVF index and SemDeDup clustering leave a
+ * seam for ([[Similarity.ivfTopK]], [[Dedup.semDedup]] both assign to
+ * deterministic seed centroids and document that "a trained-k-means
+ * partitioner would swap in without changing the plan"; this is that
+ * partitioner).
+ *
+ * Each round is the classic two-step, kept fully relational:
+ *  - ASSIGN: centroids are driver-held literals (k×d doubles — broadcast
+ *    by value into the plan), so assignment is one MAP-SIDE projection:
+ *    k sequential-fold squared-L2 distances per row, argmin by
+ *    (distance, cluster) struct ordering. Zero shuffle.
+ *  - UPDATE: one `posexplode` + one map-side-combined aggregation per
+ *    round — the shuffle carries (cluster, dim, partial sum, partial
+ *    count), at most k×d×partitions rows, never the vectors. The k×d
+ *    result collects to the driver for the next round's literals: the
+ *    same bounded-collect contract as [[Similarity.collectSeeds]].
+ *
+ * Determinism (what makes a cross-engine oracle possible at all):
+ *  - means accumulate in INTEGER micro-units — each component contributes
+ *    `floor(x * 2^20)` as a BIGINT, and integer sums are associative, so
+ *    the mean is bit-identical in ANY partitioning or grouping order
+ *    (a double-sum mean would drift with Spark's reduction order and
+ *    could flip a borderline assignment next round);
+ *  - the mean divides in a FIXED order, (sum / count) / 2^20, each step
+ *    an exact-input double op, reproduced verbatim by the SQL oracle;
+ *  - seeds are the k lowest-id vectors, ties on distance break to the
+ *    lowest cluster index, and empty clusters keep their centroid.
+ */
+object KMeans {
+
+  /** Micro-unit quantization for the centroid means (2^20). */
+  val Quant = 1L << 20
+
+  /** Sequential-fold squared L2 distance of `v` (float elements, cast
+    * double per element) against a literal centroid. */
+  private def sqDist(v: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(v, typedLit(c.toSeq),
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+      lit(0d), (acc, x) => acc + x)
+
+  /** (cid, v, cluster): each row labelled with the index of its nearest
+    * centroid — distance ties break to the lowest index via (d, cl)
+    * struct min. Map-side only. */
+  def assign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val scored = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col(vecCol), c).as("d"), lit(i).as("cl"))
+    }
+    df.select(
+      col(idCol).cast("long").as("cid"), col(vecCol).as("v"),
+      array_min(array(scored: _*)).getField("cl").as("cluster"))
+  }
+
+  /** The deterministic initial centroids: the k LOWEST-id vectors, each
+    * element cast float→double (exact). */
+  def seedCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /**
+   * `iters` Lloyd rounds from the seed centroids; returns the trained
+   * centroids. One assignment projection + one (cluster, dim) aggregation
+   * per round; the per-round driver collect is exactly k×d small rows.
+   */
+  def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    var cents = seedCentroids(df, idCol, vecCol, k)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters) {
+      val parts = assign(df, idCol, vecCol, cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(
+          sum(floor(col("x").cast("double") * Quant).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(k)(i => cents(i).clone()) // empty keeps old
+      parts.foreach { r =>
+        val (cl, pos) = (r.getInt(0), r.getInt(1))
+        // fixed op order (sum / count) / Quant — mirrored by the oracle
+        next(cl)(pos) = r.getLong(2).toDouble / r.getLong(3).toDouble / Quant.toDouble
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Trained centroids as a DataFrame: (cluster, pos, centroid). */
+  def centroidsDF(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, idCol, vecCol, k, iters).zipWithIndex
+      .flatMap { case (c, cl) =>
+        c.zipWithIndex.map { case (v, pos) => (cl.toLong, pos.toLong, v) }
+      }.toSeq.toDF("cluster", "pos", "centroid")
+  }
+}
+
+/**
+ * DuckDB rendering of the SAME k-means contract by INDEPENDENT mechanics:
+ * assignment is a cross join + row_number argmin (vs Spark's map-side
+ * struct-array min), the update is unnest + generate_subscripts (vs
+ * posexplode), and centroid lists rebuild with an ordered list() aggregate.
+ * Only the arithmetic CONTRACT is shared — quantized integer sums, the
+ * (sum / count) / 2^20 division order, sequential-fold distances — which
+ * is what makes the comparison exact rather than approximate.
+ */
+object KMeansSql {
+
+  private def dist(v: String, c: String): String =
+    s"list_reduce(list_transform(range(1, len($v)+1), " +
+      s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (a, b) -> a + b)"
+
+  /** CTE chain ending in centroids `c$iters` (cl, c) and assignment
+    * `a${iters}` (vec_id, v, cl) against the trained centroids. */
+  def ctes(table: String, vecId: String, vecCol: String,
+      k: Int, iters: Int): String = {
+    val e =
+      s"""e AS (SELECT $vecId AS vec_id,
+         |       list_transform($vecCol, x -> x::DOUBLE) AS v FROM $table),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""a$i AS (SELECT vec_id, v, cl FROM (
+         |  SELECT e.vec_id, e.v, c$i.cl,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${dist("e.v", s"c$i.c")}, c$i.cl) AS rn
+         |  FROM e CROSS JOIN c$i) WHERE rn = 1),
+         |u$i AS (SELECT cl, pos, (sum(q)::DOUBLE / count(*)::DOUBLE) / ${KMeans.Quant}.0 AS cv
+         |        FROM (SELECT cl, generate_subscripts(v, 1) - 1 AS pos,
+         |                     floor(unnest(v) * ${KMeans.Quant})::BIGINT AS q
+         |              FROM a$i)
+         |        GROUP BY cl, pos),
+         |c${i + 1} AS (SELECT c$i.cl, coalesce(u.c, c$i.c) AS c
+         |     FROM c$i LEFT JOIN (SELECT cl, list(cv ORDER BY pos) AS c
+         |                         FROM u$i GROUP BY cl) u USING (cl))""".stripMargin
+    }
+    val finalAssign =
+      s"""a$iters AS (SELECT vec_id, v, cl FROM (
+         |  SELECT e.vec_id, e.v, c$iters.cl,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${dist("e.v", s"c$iters.c")}, c$iters.cl) AS rn
+         |  FROM e CROSS JOIN c$iters) WHERE rn = 1)""".stripMargin
+    (e +: rounds :+ finalAssign).mkString(",\n")
+  }
+
+  /** Trained centroids, exploded: (cluster, pos, centroid). */
+  def centroids(table: String, vecId: String, vecCol: String,
+      k: Int, iters: Int): String =
+    s"""WITH ${ctes(table, vecId, vecCol, k, iters)}
+       |SELECT CAST(cl AS BIGINT) AS cluster,
+       |       CAST(generate_subscripts(c, 1) - 1 AS BIGINT) AS pos,
+       |       round(unnest(c), 6) AS centroid
+       |FROM c$iters ORDER BY cluster, pos""".stripMargin
+
+  /** Final assignment: (vec_id, cluster). */
+  def assignment(table: String, vecId: String, vecCol: String,
+      k: Int, iters: Int): String =
+    s"""WITH ${ctes(table, vecId, vecCol, k, iters)}
+       |SELECT vec_id, CAST(cl AS BIGINT) AS cluster
+       |FROM a$iters ORDER BY vec_id""".stripMargin
+}
