@@ -279,4 +279,44 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"candidate generation must join on shingle equality:\n$p")
   }
+
+  test("kmeans assignment: literal-centroid projection — zero Exchange") {
+    import graft.operators.KMeans
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.seedCentroids(emb, "vec_id", "embedding", 4)
+    val p = physical(KMeans.assign(emb, "vec_id", "embedding", cents))
+    assert(!p.contains("Exchange"),
+      s"assignment must stream map-side at scan speed:\n$p")
+  }
+
+  test("salted aggregation: exactly two exchanges, no single-key funnel") {
+    import graft.operators.Salting
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("value"))
+    val out = Salting.aggregate(ev, Seq("event_type"), 8,
+      Seq(Salting.Agg("count", "event_type", "n"),
+        Salting.Agg("max", "value", "mx")))
+    val p = physical(out)
+    // partials shuffle on (key, salt), finals on key — and the first
+    // exchange must carry the salt so the hot key fans out
+    val parts = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(parts.exists(_.contains("__salt")),
+      s"the partial aggregate must shuffle on (key, salt):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("salted join: equi-join on (key, salt), probe side never replicates") {
+    import graft.operators.Salting
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val dim = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val p = physical(Salting.join(docs, dim, Seq("lang"), 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the salted join must stay an equality join:\n$p")
+    // the ×salts replication (explode of the salt range) must sit on the
+    // BUILD side only — exactly one Generate in the plan
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"exactly one side may replicate:\n$p")
+  }
 }
