@@ -331,27 +331,40 @@ object Dedup {
       .localCheckpoint()
     val edges = p0
       .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
+    val spark = nodes.sparkSession
+    // Size the loop's shuffle width to the DUPLICATE SUBGRAPH, not the
+    // session's corpus-scan width: every round pays per-task fixed costs
+    // on two shuffles (join + min aggregation) times the diameter, over a
+    // frame proportional to the number of near-duplicates — a skinny
+    // (id, label) stream. One partition per ~100k edges keeps reducer
+    // input in the tens of MB; the session width returns after the loop.
+    val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val width = math.max(2L,
+      math.min(savedWidth.toLong, p0.count() / 100000L + 1L)).toInt
     var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("component"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val inMin = edges
-        .join(labels.select(col("__id").as("src"), col("component")), "src")
-        .groupBy(col("dst").as("__id"))
-        .agg(min(col("component")).as("__in"))
-      val next = labels.join(inMin, Seq("__id"), "left_outer")
-        .select(col("__id"),
-          least(col("component"), coalesce(col("__in"), col("component")))
-            .as("component"),
-          (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
-        .localCheckpoint()
-      changed = next.where(col("__chg")).count()
-      val prev = labels
-      labels = next.drop("__chg")
-      prev.unpersist()
-      iter += 1
-    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+      while (changed > 0 && iter < maxIter) {
+        val inMin = edges
+          .join(labels.select(col("__id").as("src"), col("component")), "src")
+          .groupBy(col("dst").as("__id"))
+          .agg(min(col("component")).as("__in"))
+        val next = labels.join(inMin, Seq("__id"), "left_outer")
+          .select(col("__id"),
+            least(col("component"), coalesce(col("__in"), col("component")))
+              .as("component"),
+            (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
+          .localCheckpoint()
+        changed = next.where(col("__chg")).count()
+        val prev = labels
+        labels = next.drop("__chg")
+        prev.unpersist()
+        iter += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
     require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
     p0.unpersist()
     labels.withColumnRenamed("__id", idCol)
