@@ -1094,6 +1094,19 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF over TRAINED cells — the seam ann_ivf_topk's seed centroids
+    // leave open, exercised end-to-end: train 4 L2 cells (2 Lloyd rounds),
+    // probe each query's 2 nearest cells, exact squared-L2 top-5 on the
+    // cluster-co-located candidates
+    "ann_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.KMeans.ivfTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", kClusters = 4, iters = 2, nprobe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("l2sq"), 6).as("l2sq"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // salted two-stage aggregation over the MOST skewed key in the data
     // (5 event_type values carry the whole stream — an unsalted groupBy
     // runs 5 reducer tasks however wide the cluster): partials group on
@@ -2908,6 +2921,10 @@ object SparkEntry {
 
       "kmeans_train" -> operators.KMeansSql.centroids(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2),
+
+      "ann_ivf_trained" -> operators.KMeansSql.ivfTopK(
+        "embeddings", "vec_id", "embedding", k = 4, iters = 2,
+        nprobe = 2, topK = 5, queryPred = "vec_id < 8"),
 
       "kmeans_assign" -> operators.KMeansSql.assignment(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2),

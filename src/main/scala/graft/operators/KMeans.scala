@@ -97,6 +97,48 @@ object KMeans {
     cents
   }
 
+  /** Sequential-fold squared L2 distance between two vector COLUMNS. */
+  private def sqDistCols(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, x) => acc + x)
+
+  /**
+   * IVF top-k over TRAINED cells — the seam [[Similarity.ivfTopK]]
+   * documents ("a trained-k-means partitioner would swap in"), exercised:
+   * the corpus partitions into `kClusters` trained L2 cells, each query
+   * probes its `nprobe` nearest cells (map-side literal arithmetic, like
+   * the assignment), and exact squared-L2 top-k runs on the candidates
+   * co-located by cluster id. Ranking orders by (distance ASC, neighbor
+   * ASC) — a total order, deterministic cross-engine because every
+   * distance is the same sequential double fold on both sides.
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      kClusters: Int, iters: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = train(corpus, idCol, vecCol, kClusters, iters)
+    val assigned = assign(corpus, idCol, vecCol, cents)
+    val scored = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col(vecCol), c).as("d"), lit(i).as("cl"))
+    }
+    val probes = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+      explode(slice(array_sort(array(scored: _*)), 1, nprobe)).as("pr"))
+      .select(col("query_id"), col("qv"), col("pr.cl").as("cluster"))
+    probes.join(assigned, Seq("cluster"))
+      .where(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        sqDistCols(col("qv"), col("v")).as("l2sq"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("l2sq"), col("neighbor_id"))))
+      .where(col("rnk") <= k)
+      .drop("rnk")
+  }
+
   /** Trained centroids as a DataFrame: (cluster, pos, centroid). */
   def centroidsDF(
       df: DataFrame, idCol: String, vecCol: String,
@@ -173,4 +215,26 @@ object KMeansSql {
     s"""WITH ${ctes(table, vecId, vecCol, k, iters)}
        |SELECT vec_id, CAST(cl AS BIGINT) AS cluster
        |FROM a$iters ORDER BY vec_id""".stripMargin
+
+  /** Trained-cell IVF top-k: (query_id, neighbor_id, l2sq). `queryPred`
+    * selects the query rows (e.g. "vec_id < 8"). */
+  def ivfTopK(table: String, vecId: String, vecCol: String,
+      k: Int, iters: Int, nprobe: Int, topK: Int, queryPred: String): String =
+    s"""WITH ${ctes(table, vecId, vecCol, k, iters)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred),
+       |probes AS (SELECT query_id, qv, cl FROM (
+       |  SELECT q.query_id, q.qv, c$iters.cl,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |                            ORDER BY ${dist("q.qv", s"c$iters.c")}, c$iters.cl) AS rn
+       |  FROM q CROSS JOIN c$iters) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |                ${dist("p.qv", "a.v")} AS l2sq
+       |         FROM probes p JOIN a$iters a USING (cl)
+       |         WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, round(l2sq, 6) AS l2sq FROM (
+       |  SELECT query_id, neighbor_id, l2sq,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY l2sq, neighbor_id) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= $topK ORDER BY query_id, neighbor_id""".stripMargin
 }
