@@ -1094,6 +1094,28 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the dataset card a corpus release ships with, as ONE query: corpus
+    // size, language/source spread, token volume, exact-duplication rate —
+    // every stat integer-exact (no float reduction order anywhere), the
+    // base stats riding one documents scan + one aggregation, the dup
+    // count riding the digest shuffle, combined by a 1-row×1-row cross
+    // join (driver-bounded by construction)
+    "corpus_card" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val base = t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(toks).cast("long")).as("sum_tokens"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        max(size(toks).cast("long")).as("max_doc_tokens"))
+      val dups = Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .where(col("n_dups") > 1)
+        .agg(count(lit(1)).as("n_dup_groups"),
+          coalesce(sum(col("n_dups") - 1), lit(0L)).as("n_redundant_docs"))
+      base.crossJoin(dups)
+    }),
+
     // IVF over TRAINED cells — the seam ann_ivf_topk's seed centroids
     // leave open, exercised end-to-end: train 4 L2 cells (2 Lloyd rounds),
     // probe each query's 2 nearest cells, exact squared-L2 top-5 on the
@@ -2921,6 +2943,22 @@ object SparkEntry {
 
       "kmeans_train" -> operators.KMeansSql.centroids(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2),
+
+      "corpus_card" ->
+        s"""WITH base AS (
+           |  SELECT count(*) AS n_docs,
+           |         count(DISTINCT lang) AS n_langs,
+           |         count(DISTINCT source) AS n_sources,
+           |         CAST(sum(len($toks)) AS BIGINT) AS sum_tokens,
+           |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |         CAST(max(len($toks)) AS BIGINT) AS max_doc_tokens
+           |  FROM documents),
+           |dups AS (
+           |  SELECT count(*) AS n_dup_groups,
+           |         CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_redundant_docs
+           |  FROM (SELECT count(*) AS n FROM documents GROUP BY text)
+           |  WHERE n > 1)
+           |SELECT * FROM base CROSS JOIN dups""".stripMargin,
 
       "ann_ivf_trained" -> operators.KMeansSql.ivfTopK(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,
