@@ -42,6 +42,25 @@ class KMeansSpec extends SparkSuite {
     assert(cents(0)(1) == qmean(-2.25, -0.75))
   }
 
+  test("ivfTopK probing every cell equals exact L2 top-k") {
+    val pts = (1L to 12L).map(i => i -> Seq((i % 5).toFloat, (i % 3).toFloat))
+    val df = vecs(pts: _*)
+    val got = KMeans.ivfTopK(df, df.where($"vec_id" <= 2), "vec_id",
+        "embedding", kClusters = 3, iters = 2, nprobe = 3, k = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference: squared L2 over the same doubles, ties by id
+    val m = pts.toMap.map { case (id, v) => id -> v.map(_.toDouble) }
+    val want = (for (q <- Seq(1L, 2L)) yield {
+      m.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val d = m(q).zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, id)
+        }.sorted.take(4).map { case (_, id) => (q, id) }
+    }).flatten.toSet
+    assert(got == want)
+  }
+
   test("a cluster that loses all members keeps its previous centroid") {
     // seeds 1 and 2 are IDENTICAL vectors — every point ties to cluster 0,
     // so cluster 1 empties immediately and must keep its seed coordinates
