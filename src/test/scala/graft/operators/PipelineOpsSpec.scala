@@ -253,4 +253,16 @@ class PipelineOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 2L), (3L, 6L, 8L), (3L, 7L, 8L)))
   }
+
+  test("statePartitionsFor sizes to staged bytes: 1 per 64 MB, clamped") {
+    val dir = java.nio.file.Files.createTempDirectory("state-size")
+    def write(name: String, mb: Int): Unit =
+      java.nio.file.Files.write(dir.resolve(name), new Array[Byte](mb << 20))
+    assert(Streams.statePartitionsFor(dir.toString) == 1)   // empty dir
+    write("a.parquet", 1)
+    assert(Streams.statePartitionsFor(dir.toString) == 1)   // small input
+    write("b.parquet", 130)
+    assert(Streams.statePartitionsFor(dir.toString) == 3)   // 131 MB → 3
+    assert(Streams.statePartitionsFor("/nonexistent-path") == 1)
+  }
 }
