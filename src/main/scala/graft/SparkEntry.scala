@@ -1460,6 +1460,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming near-dup ingest filter over the mutated corpus: MinHash
+    // band buckets map-side, keyed state = ONE long (min id) per distinct
+    // (band, bucket); a doc drops when any of its buckets holds a lower
+    // id. Deliberately the UNVERIFIED candidate rule — 8 bytes of state
+    // per bucket, no shingles stored — the always-on ingest gate whose
+    // offline arbiter is the verified dedup_minhash_keep
+    "stream_lsh_dedup" -> ((s, dir) =>
+      Streams.minHashDedupStream(s, nearDupCorpus(s, dir))
+        .orderBy(col("doc_id"))),
+
     "stream_window_counts" -> ((s, dir) =>
       Streams.windowedEventCounts(s, s"$dir/events.parquet")
         .orderBy(col("window_start"), col("event_type"))),
@@ -3236,6 +3246,33 @@ object SparkEntry {
            |SELECT min(doc_id) AS doc_id FROM batch
            |WHERE text NOT IN (SELECT text FROM documents)
            |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+      // batch statement of the streaming LSH keep rule: a doc survives iff
+      // NO band bucket of its holds a lower id — the bucket-minimum join
+      // is an independent formulation of the keyed-state fold
+      "stream_lsh_dedup" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT doc_id, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |m AS (SELECT band, bucket, min(doc_id) AS mn FROM bands
+           |      WHERE bucket IS NOT NULL GROUP BY band, bucket),
+           |drops AS (SELECT DISTINCT bands.doc_id
+           |          FROM bands JOIN m USING (band, bucket)
+           |          WHERE m.mn < bands.doc_id)
+           |SELECT doc_id FROM corpus
+           |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       // batch replay of the streaming tumbling-window counts (sentinel rows
       // are engine plumbing — they never reach the query output)

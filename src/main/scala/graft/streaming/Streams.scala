@@ -229,6 +229,81 @@ object Streams {
   }
 
   /**
+   * Streaming NEAR-duplicate ingest filter — the LSH-candidate keep rule
+   * run as keyed streaming state: each arriving document's MinHash band
+   * buckets are computed MAP-SIDE (the same native signature expressions
+   * as the batch operator), and per (band, bucket) the state is ONE LONG —
+   * the minimum document id ever seen in that bucket. A document drops
+   * when any of its buckets has a lower-id occupant (seen in an earlier
+   * batch, via state, or earlier in this batch — deterministic: within a
+   * batch the group sorts by id). This is deliberately the UNVERIFIED
+   * candidate rule (the ingest-time approximation): it trades Jaccard
+   * verification for state that never stores shingles or signatures —
+   * 8 bytes per distinct bucket, the smallest near-dup state possible —
+   * which is what an always-on ingest gate wants at corpus scale; the
+   * verified batch pass ([[graft.operators.Dedup.minHashKeep]]) remains
+   * the offline arbiter. Documents too short to shingle have null buckets,
+   * never enter the stream, and are always kept — exactly the batch
+   * operators' parity rule.
+   *
+   * Returns the KEPT doc ids. The per-bucket minima stream out of the
+   * stateful operator; the final per-document fold (min over its buckets)
+   * and the anti-join run on the drained result.
+   */
+  def minHashDedupStream(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.TextOps
+    val dir = Files.createTempDirectory("graft-stream-lsh")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val sig = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.minHashSignature(array_distinct(TextOps.shingleHashes(
+          TextOps.tokenHashes(TextOps.tokens(col("text")))))).as("sig"))
+    val banded = sig
+      .select(col("doc_id"), explode(array(
+        (0 until TextOps.Bands).map(b => struct(lit(b).as("band"),
+          TextOps.bandHash(col("sig"), b).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .where(col("bucket").isNotNull)
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+    val perBucket = banded.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+       state: GroupState[Long]) => {
+        val ids = rows.map(_._1).toArray.sorted
+        val prior = if (state.exists) state.get else Long.MaxValue
+        state.update(math.min(prior, ids.head))
+        // each id pairs with the lowest occupant at-or-below it (self
+        // included): the downstream min-fold keeps a doc iff that lowest
+        // occupant is itself in EVERY one of its buckets
+        val out = new Array[(Long, Long)](ids.length)
+        var running = prior
+        var i = 0
+        while (i < ids.length) {
+          running = math.min(running, ids(i))
+          out(i) = (ids(i), running)
+          i += 1
+        }
+        out.iterator
+      })
+    val drained = runToMemory(perBucket.toDF("doc_id", "bucket_min"),
+      "append", statePartitionsFor(dir.toString))
+    val drops = drained.groupBy(col("doc_id"))
+      .agg(min(col("bucket_min")).as("mn"))
+      .where(col("mn") < col("doc_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /**
    * Stream-stream INTERVAL JOIN: each click joined to the same user's
    * purchases in the `within` interval after it — streaming attribution,
    * the two-sided stateful operator (both sides buffer state, the

@@ -254,6 +254,21 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == Set((1L, 1L, 2L), (3L, 6L, 8L), (3L, 7L, 8L)))
   }
 
+  test("streaming LSH filter: copies drop to lowest id, short docs kept") {
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near1 = (3 to 30).map(i => s"w$i").mkString(" ") // 2 tokens dropped
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (5L, long1), (2L, long1),   // identical — only id 2 survives
+      (9L, near1),                // near-dup of long1 — shares buckets, drops
+      (7L, other),                // unrelated — kept
+      (3L, "too short")           // 2 tokens, no shingles — always kept
+    ).toDF("doc_id", "text")
+    val kept = Streams.minHashDedupStream(spark, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 7L), kept.toString)
+  }
+
   test("statePartitionsFor sizes to staged bytes: 1 per 64 MB, clamped") {
     val dir = java.nio.file.Files.createTempDirectory("state-size")
     def write(name: String, mb: Int): Unit =
