@@ -539,11 +539,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       minJaccard: Double): DataFrame = {
+    // cached: the shingle-set table feeds the prefix stream AND both
+    // verification joins — uncached, the tokenize→hash→shingle pipeline
+    // (the plan's dominant CPU) would re-execute three times
     val sets = df
       .select(col(idCol).as("doc_id"),
         array_sort(array_distinct(TextOps.shingleHashes(
           TextOps.tokenHashes(TextOps.tokens(col(textCol)))))).as("ts"))
       .where(size(col("ts")) > 0)
+      .cache()
     val toks = sets.select(col("doc_id"), size(col("ts")).as("m"),
       explode(col("ts")).as("tok"))
     val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -560,11 +564,12 @@ object Dedup {
     val inter = size(array_intersect(col("ts_a"), col("ts_b")))
     val jac = inter.cast("double") /
       (size(col("ts_a")) + size(col("ts_b")) - inter).cast("double")
-    cand
+    val verified = cand
       .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
       .withColumn("jaccard", jac)
       .where(col("jaccard") >= lit(minJaccard))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    CacheScope.unpersistAfterAction(verified, Seq(sets))
   }
 }
