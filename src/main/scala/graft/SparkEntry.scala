@@ -1116,6 +1116,22 @@ object SparkEntry {
       base.crossJoin(dups)
     }),
 
+    // INTENT-pinned k-means: a 5-point, 2-blob dataset whose 2-round Lloyd
+    // trajectory (seeds in one blob, recovery by the mean update) is
+    // hand-derived — the literal oracle VALUES catch a shared
+    // misunderstanding the dual independent renderings cannot
+    "kmeans_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Seq(
+        (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)),
+        (3L, Seq(10f, 10f)), (4L, Seq(11f, 10f)), (5L, Seq(10f, 11f)))
+        .toDF("vec_id", "embedding")
+      operators.KMeans.centroidsDF(pts, "vec_id", "embedding", k = 2, iters = 2)
+        .select(col("cluster"), col("pos"),
+          round(col("centroid"), 6).as("centroid"))
+        .orderBy(col("cluster"), col("pos"))
+    }),
+
     // IVF over TRAINED cells — the seam ann_ivf_topk's seed centroids
     // leave open, exercised end-to-end: train 4 L2 cells (2 Lloyd rounds),
     // probe each query's 2 nearest cells, exact squared-L2 top-5 on the
@@ -2969,6 +2985,18 @@ object SparkEntry {
            |  FROM (SELECT count(*) AS n FROM documents GROUP BY text)
            |  WHERE n > 1)
            |SELECT * FROM base CROSS JOIN dups""".stripMargin,
+
+      // hand-derived (tools-free: small enough to verify on paper): seeds
+      // (0,0),(1,0) both in blob A; round 1 pulls c1 to the far blob's
+      // mean (8, 7.75), round 2 separates the blobs exactly — c0 = mean of
+      // (0,0),(1,0), c1 = mean of the three far points, micro-quantized
+      "kmeans_pinned" ->
+        """SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
+          |       CAST(centroid AS DOUBLE) AS centroid
+          |FROM (VALUES
+          |  (0, 0, 0.5), (0, 1, 0.0),
+          |  (1, 0, 10.333333), (1, 1, 10.333333)
+          |) t(cluster, pos, centroid) ORDER BY cluster, pos""".stripMargin,
 
       "ann_ivf_trained" -> operators.KMeansSql.ivfTopK(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,
