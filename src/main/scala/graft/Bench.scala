@@ -59,12 +59,25 @@ object Bench {
     // Failures are recorded explicitly (name -> -1 plus an errors map) so a
     // crashed query can never masquerade as a fast one.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Whole-JVM CPU time: alongside wall time it makes external
+    // interference self-diagnosing in recorded runs — a query whose wall
+    // time is several× its CPU time was starved by the host (observed:
+    // multi-minute contention windows inflating a full run ~5× with
+    // randomly shifting victims), not by its plan.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+    val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     // optional args = query-name filter (for targeted timing during tuning)
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val c0 = cpuNanos()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -74,6 +87,7 @@ object Bench {
         // release per-query operator caches (outside the timed window would
         // hide a real cost — clearing is ~ms and belongs to the query)
         finally spark.catalog.clearCache()
+      cpuSecs(name) = (cpuNanos() - c0) / 1e9
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -87,8 +101,11 @@ object Bench {
     // keeps the last ~2000 bytes of output, so the single stdout JSON line
     // must stay short; everything else goes to BENCH_DETAIL.json in cwd.
     val fullQs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val fullCpu = cpuSecs.map { case (k, v) =>
+      q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val fullErrs = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cpu_secs":$fullCpu,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable =>
