@@ -1677,6 +1677,33 @@ object SparkEntry {
         .toDF("table_name", "ninsert", "nupdate", "ndelete", "published_rows")
     }),
 
+    // E3 on the ORCHESTRATED path: `-j | -full-incremental` applies level-0
+    // datasets as computed diffs (bin/linz_bde_uploader.pl:86,118-128;
+    // lib/LINZ/BdeUpload.pm:961,980) — first load diffs against empty
+    // (all-inserts, incremental=true watermark), second load diff-merges
+    // the mutated snapshot (I=3, U=2, D=1)
+    "e2e_full_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val r = OrchestratorScenario.runFullIncremental(s)
+      def row(runId: Int, o: graft.bde.Orchestrator.TableOutcome, inc: Option[Boolean],
+          rows: Long) =
+        (runId, o.dataset, o.status, o.ninsert, o.nupdate, o.ndelete,
+          inc.getOrElse(false), rows)
+      Seq(
+        row(1, r.run1.head, r.wmIncremental1, r.rows1),
+        row(2, r.run2.head, r.wmIncremental2, r.finalRows.count()))
+        .toDF("run_id", "dataset", "status", "ninsert", "nupdate", "ndelete",
+          "wm_incremental", "published_rows")
+        .orderBy(col("run_id"))
+    }),
+
+    // the -j run's final table: the same 5 rows as e2_level5_final — the
+    // diff-merge of a full snapshot must land exactly where E2's
+    // change-driven path lands
+    "e2e_full_inc_final" -> ((s, dir) =>
+      OrchestratorScenario.runFullIncremental(s).finalRows
+        .orderBy(col("pri_id"))),
+
     // The top-level run loop over a staged multi-table repository: COLUMN
     // overrides, cleanser on the load path, level-5 chaining, error-skip,
     // incomplete-dataset skip — outcomes as one table
@@ -3450,6 +3477,27 @@ object SparkEntry {
       "e3_full_incremental" ->
         """SELECT * FROM (VALUES ('crs_parcel_bndry', 3, 2, 1, 5))
           |  t(table_name, ninsert, nupdate, ndelete, published_rows)""".stripMargin,
+
+      // -j orchestrated: run 1 = first load as diff-against-empty (I=3,
+      // incremental=true), run 2 = snapshot diff-merge (I=3, U=2, D=1 → 5)
+      "e2e_full_incremental" ->
+        """SELECT * FROM (VALUES
+          |  (1, '20160601000000', 'loaded', 3, 0, 0, true, 3),
+          |  (2, '20170629000000', 'loaded', 3, 2, 1, true, 5))
+          |  t(run_id, dataset, status, ninsert, nupdate, ndelete,
+          |    wm_incremental, published_rows)
+          |ORDER BY run_id""".stripMargin,
+
+      // identical to e2_level5_final: the -j diff-merge lands on the same rows
+      "e2e_full_inc_final" ->
+        """SELECT * FROM (VALUES
+          |  (4457326, 3, 11960041, 'Y', 100),
+          |  (4457327, 20, 29694578, 'N', 80401149),
+          |  (4457328, 10, 29694591, 'Y', 80401148),
+          |  (4457329, 4, 10000000, 'Y', 300),
+          |  (4457330, 5, 20000000, 'Y', 400))
+          |  t(pri_id, "sequence", lin_id, reversed, audit_id)
+          |ORDER BY pri_id""".stripMargin,
 
       // hand-computed outcome table of the staged orchestrator scenario
       "e2e_orchestrator" ->

@@ -24,7 +24,8 @@ object Cli {
       full: Boolean = false,            // -f | -full
       incremental: Boolean = false,     // -i | -incremental
       rebuild: Boolean = false,         // -r | -rebuild (implies -f -i)
-      fullIfNeeded: Boolean = false,    // -j | -full-if-needed (implies -f)
+      fullIncremental: Boolean = false, // -j | -full-incremental (implies -f)
+      fullIfNeeded: Boolean = false,    // -full-if-needed (implies -f; repo extension)
       dryRun: Boolean = false,          // -d | -dry-run
       before: Option[String] = None,    // -b | -before date
       purge: Boolean = false,           // -p | -purge
@@ -48,7 +49,8 @@ object Cli {
       case ("-f" | "-full") :: t => loop(t, o.copy(full = true))
       case ("-i" | "-incremental") :: t => loop(t, o.copy(incremental = true))
       case ("-r" | "-rebuild") :: t => loop(t, o.copy(rebuild = true))
-      case ("-j" | "-full-if-needed") :: t => loop(t, o.copy(fullIfNeeded = true))
+      case ("-j" | "-full-incremental") :: t => loop(t, o.copy(fullIncremental = true))
+      case "-full-if-needed" :: t => loop(t, o.copy(fullIfNeeded = true))
       case ("-d" | "-dry-run") :: t => loop(t, o.copy(dryRun = true))
       case ("-p" | "-purge") :: t => loop(t, o.copy(purge = true))
       case ("-z" | "-remove-zombie") :: t => loop(t, o.copy(removeZombie = true))
@@ -71,11 +73,14 @@ object Cli {
       case tbl :: t => loop(t, o.copy(selectTables = o.selectTables :+ tbl))
     }
     loop(args.toList, Options()).flatMap { o0 =>
-      // implication rules (bin/linz_bde_uploader.pl:118-148)
-      if (o0.fullIfNeeded && o0.rebuild)
+      // implication rules (bin/linz_bde_uploader.pl:118-148): `-j` implies
+      // `-f`, and `-j` with `-r` is contradictory (linz issue #116)
+      if (o0.fullIncremental && o0.rebuild)
+        Left("-full-incremental and -rebuild are contradictory, use one or the other")
+      else if (o0.fullIfNeeded && o0.rebuild)
         Left("Cannot use -full-if-needed with -rebuild")
       else Right(o0.copy(
-        full = o0.full || o0.fullIfNeeded || o0.rebuild,
+        full = o0.full || o0.fullIncremental || o0.fullIfNeeded || o0.rebuild,
         incremental = o0.incremental || o0.rebuild))
     }
   }
@@ -185,13 +190,15 @@ object Cli {
               else conf.list("include_tables")
             val cat = Catalog.select(cat0, include = include,
               exclude = conf.list("exclude_tables"))
-            // `-j` plans level-0 only where a table's watermark is missing;
-            // plain `-f`/`-r` force it (implications already folded above)
-            val forceL0 = (o.full || o.rebuild) && !(o.fullIfNeeded && !o.rebuild)
+            // `-full-if-needed` (repo extension) plans level-0 only where a
+            // table's watermark is missing; plain `-f`/`-j`/`-r` force it
+            // (implications already folded above)
+            val forceL0 = (o.full || o.rebuild) && !(o.fullIfNeeded && !(o.rebuild || o.fullIncremental))
             val outcomes = Orchestrator.applyUpdates(spark, rc,
               cat, level0 = forceL0, level5 = o.incremental, control,
               level0IfNeeded = o.fullIfNeeded,
-              rebuild = o.rebuild || conf.boolean("rebuild", false))
+              rebuild = o.rebuild || conf.boolean("rebuild", false),
+              level0AsDiff = o.fullIncremental)
             outcomes.foreach(r => println(
               f"${r.dataset} L${r.level} ${r.table}%-30s ${r.status}%-8s " +
                 f"I=${r.ninsert} U=${r.nupdate} 0=${r.nnullupdate} D=${r.ndelete} ${r.message}"))

@@ -289,9 +289,14 @@ object Loader {
       tolWarning: Option[Double] = None,
       maxFileErrors: Option[Long] = None): LoadStats = {
     require(files.nonEmpty, "level-0 incremental load needs at least one file")
-    val cur = sink.read()
     val parts = files
       .map(f => readCleaned(spark, f, columnOverrides, clean, maxFileErrors))
+    // First-ever load: the reference's table always exists (possibly empty),
+    // so its incremental arm degrades to all-inserts; diff against an empty
+    // frame with the snapshot's schema gives the same result here.
+    val cur =
+      if (sink.exists) sink.read()
+      else parts.map(_._2).reduce(_ unionByName _).limit(0)
     // no continuity check: the reference treats l5_is_full / full-incremental
     // as a level-0 load ($is_level0, lib/LINZ/BdeUpload.pm:926,944-947)
     val details = buildDetails(files, parts.map(_._1))

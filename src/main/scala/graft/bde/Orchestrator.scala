@@ -104,7 +104,12 @@ object Orchestrator {
       level5: Boolean,
       control: Control,
       level0IfNeeded: Boolean = false,
-      rebuild: Boolean = false): Seq[TableOutcome] = {
+      rebuild: Boolean = false,
+      /** `-j | -full-incremental`: apply level-0 datasets AS A COMPUTED DIFF
+        * against the published table instead of truncate-and-replace —
+        * `$is_incremental = apply_level0_inc || level5_is_full`
+        * (lib/LINZ/BdeUpload.pm:961,980; bin/linz_bde_uploader.pl:86). */
+      level0AsDiff: Boolean = false): Seq[TableOutcome] = {
     val tables = catalog.filterNot(_.levels == Set("C")).sortBy(_.id)
     val changeDef = Catalog.changeTable(catalog)
     val nowFn = () => new java.sql.Timestamp(System.currentTimeMillis())
@@ -232,15 +237,28 @@ object Orchestrator {
                       s"no level-0 load of ${t.name} before level-5 increment")
                   val stats =
                     if (p.level == "0") {
-                      // ninsert and the details string are observed metrics
-                      // of the staged write itself — no post-publish recount
-                      val s = Loader.level0Replace(spark, sink, files,
-                        p.dataset, clean = cleanFn,
-                        columnOverrides = t.columnOverrides,
-                        maxFileErrors = cfg.maxFileErrors)
+                      // the reference's level-0 apply picks its arm per table:
+                      // is_incremental = apply_level0_inc || level5_is_full
+                      // (lib/LINZ/BdeUpload.pm:980) — diff-merge vs replace
+                      val asDiff = level0AsDiff || t.level5IsFull
+                      val s =
+                        if (asDiff)
+                          Loader.level0Incremental(spark, sink, files,
+                            t.key.getOrElse("id"), p.dataset, clean = cleanFn,
+                            columnOverrides = t.columnOverrides,
+                            tolError = t.rowTolError, tolWarning = t.rowTolWarning,
+                            maxFileErrors = cfg.maxFileErrors)
+                        else
+                          // ninsert and the details string are observed metrics
+                          // of the staged write itself — no post-publish recount
+                          Loader.level0Replace(spark, sink, files,
+                            p.dataset, clean = cleanFn,
+                            columnOverrides = t.columnOverrides,
+                            maxFileErrors = cfg.maxFileErrors)
+                      if (s.aborted) throw new IllegalStateException(s.abortReason)
                       control.recordDatasetLoaded(uplId, cfg.schemaName, t.name,
-                        p.dataset, "0", incremental = false, s.details,
-                        s.ninsert, 0, 0, 0)
+                        p.dataset, "0", incremental = asDiff, s.details,
+                        s.ninsert, s.nupdate, s.nnullupdate, s.ndelete)
                       s
                     } else if (t.level5IsFull) {
                       // E3 arm: the level-5 file IS a full snapshot — diff it

@@ -269,6 +269,67 @@ object OrchestratorScenario {
         new ParquetTableSink(s, tablesDir, "t_uniq").read())
     })
 
+  // ---- orchestrated `-j | -full-incremental` run -------------------------
+
+  /** Two level-0 datasets of the pab1 fixture, driven through the
+    * orchestrator with `level0AsDiff = true` — the CLI's `-j |
+    * -full-incremental` mode (bin/linz_bde_uploader.pl:86,118-128;
+    * `$is_incremental = apply_level0_inc || level5_is_full`,
+    * lib/LINZ/BdeUpload.pm:961,980):
+    *  - run 1 (before=2017): first-ever load of the original snapshot —
+    *    the diff arm against the empty table inserts all 3 rows and the
+    *    watermark records `incremental = true`;
+    *  - run 2: the mutated snapshot (the E2E level-5 fixture, which IS a
+    *    full snapshot) applied as a computed diff — I=3, U=2, D=1, final
+    *    table = the same 5 rows as `e2_level5_final`.
+    */
+  final case class FullIncResult(
+      run1: Seq[Orchestrator.TableOutcome],
+      run2: Seq[Orchestrator.TableOutcome],
+      wmIncremental1: Option[Boolean],
+      wmIncremental2: Option[Boolean],
+      rows1: Long,
+      finalRows: DataFrame)
+
+  val FullIncTablesConf: String =
+    "TABLE crs_parcel_bndry key=audit_id row_tol=0.20,0.95 files pab\n"
+
+  private val fullIncCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, FullIncResult]()
+
+  def runFullIncremental(spark: SparkSession): FullIncResult =
+    fullIncCache.computeIfAbsent(spark, { s: SparkSession =>
+      val root = Files.createTempDirectory("graft-fullinc")
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        Files.createDirectories(p.getParent)
+        Files.writeString(p, content, StandardCharsets.UTF_8)
+      }
+      val pab1 = Files.readString(
+        java.nio.file.Paths.get(E2E.FixtureDir, "pab1.crs"), StandardCharsets.UTF_8)
+      write(s"repo/level_0/${E2E.L0Dataset}/pab.crs", pab1)
+      write(s"repo/level_0/${E2E.L5Dataset}/pab.crs", E2E.mutateLevel5(pab1))
+      val (cat, errs) = Catalog.parse(FullIncTablesConf.linesIterator)
+      require(errs.isEmpty, s"catalog errors: $errs")
+      val control = new Control(s, root.resolve("control").toString,
+        () => java.sql.Timestamp.valueOf("2017-06-29 01:00:00"))
+      val cfg = Orchestrator.RunConfig(
+        repoRoot = root.resolve("repo").toString,
+        tablesDir = root.resolve("tables").toString,
+        controlDir = root.resolve("control").toString)
+      def wmInc(): Option[Boolean] =
+        control.lastUpload(cfg.schemaName, E2E.TableName).map(_.incremental)
+      val run1 = Orchestrator.applyUpdates(s,
+        cfg.copy(before = Some("20170101000000")), cat,
+        level0 = true, level5 = false, control, level0AsDiff = true)
+      val wm1 = wmInc()
+      val sink = new ParquetTableSink(s, cfg.tablesDir, E2E.TableName)
+      val rows1 = sink.read().count()
+      val run2 = Orchestrator.applyUpdates(s, cfg, cat,
+        level0 = true, level5 = false, control, level0AsDiff = true)
+      FullIncResult(run1, run2, wm1, wmInc(), rows1, sink.read())
+    })
+
   // ---- E3 replay of the reference slice (full-incremental) --------------
 
   private val e3Cache =

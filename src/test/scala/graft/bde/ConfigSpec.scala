@@ -113,4 +113,17 @@ class ConfigSpec extends AnyFunSuite {
     // tables.conf path defaults next to the config file
     assert(Cli.tablesConfPath(o, conf) == s"${dir.toAbsolutePath}/tables.conf")
   }
+
+  test("-j|-full-incremental carries the reference semantics") {
+    // -j implies -f (bin/linz_bde_uploader.pl:118-121)
+    val Right(j) = Cli.parseArgs(Seq("-j"))
+    assert(j.fullIncremental && j.full && !j.fullIfNeeded)
+    val Right(jl) = Cli.parseArgs(Seq("-full-incremental"))
+    assert(jl.fullIncremental && jl.full)
+    // -j with -r is contradictory (linz issue #116, pl:123-128)
+    assert(Cli.parseArgs(Seq("-j", "-r")).isLeft)
+    // the repo's own extension keeps only its honest long name
+    val Right(n) = Cli.parseArgs(Seq("-full-if-needed"))
+    assert(n.fullIfNeeded && n.full && !n.fullIncremental)
+  }
 }
