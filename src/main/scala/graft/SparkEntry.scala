@@ -616,49 +616,28 @@ object SparkEntry {
 
     // the excision form of repeated-window detection: every (document,
     // token offset) whose 20-token window also occurs in ANOTHER document —
-    // the spans a repeated-substring pass cuts out of the corpus. ONE pass:
-    // the window-hash stream shuffles once on the hash and a windowed
-    // min/max over each hash partition decides "seen in more than one
-    // document" in place (min(doc_id) != max(doc_id) ⇔ distinct docs > 1) —
-    // no second evaluation of the tokenize→hash→shingle pipeline and no
-    // join; the shuffled rows are (8-byte hash, doc_id, pos) only. The
-    // two-pass aggregate+semi-join alternative recomputes the whole
-    // upstream scan for its probe side, which at corpus scale doubles the
-    // dominant (CPU) cost to save a shuffle the window pass pays once.
-    "dedup_repeated_spans" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val th = TextOps.tokenHashes(toks)
-      val windows = nearDupCorpus(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextOps.shingleHashes(th, 20)).as(Seq("pos", "wh")))
-      val byHash = Window.partitionBy(col("wh"))
-      windows
-        .withColumn("__mn", min(col("doc_id")).over(byHash))
-        .withColumn("__mx", max(col("doc_id")).over(byHash))
-        .where(col("__mn") =!= col("__mx"))
+    // the spans a repeated-substring pass cuts out of the corpus.
+    // Skew-safe shape ([[Dedup.repeatedSpans]]): hot hashes via a map-side
+    // combinable groupBy (one row per hash per upstream task reaches the
+    // reducer), semi-joined back — AQE can split a skewed join partition;
+    // the former windowed min/max over the raw hash partition funneled
+    // every occurrence of one boilerplate window into a single task.
+    "dedup_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(nearDupCorpus(s, dir), "doc_id", "text", 20)
         .select(col("doc_id"), col("pos").cast("long").as("pos"))
-        .orderBy(col("doc_id"), col("pos"))
-    }),
+        .orderBy(col("doc_id"), col("pos"))),
 
     // the CLEANING step repeated-span detection exists for (Lee et al.
     // 2022): per document, how many token positions fall inside some
     // 20-token window that also occurs in another document — the tokens a
-    // repeated-substring pass excises. Same one-pass windowed-min/max hot
-    // detection as dedup_repeated_spans, then hot spans expand to covered
-    // token indices (×20 bounded fan-out, proportional to repeated
-    // content) and dedupe per document. Rows: every document, with its
-    // token count, cut count, and surviving fraction
+    // repeated-substring pass excises. Hot spans come from the skew-safe
+    // [[Dedup.repeatedSpans]] (agg + semi-join, no window over the raw
+    // hash), then expand to covered token indices (×20 bounded fan-out,
+    // proportional to repeated content) and dedupe per document. Rows:
+    // every document, with its token count, cut count, surviving fraction
     "dedup_span_excise" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
-      val th = TextOps.tokenHashes(toks)
-      val windows = nearDupCorpus(s, dir)
-        .select(col("doc_id"), size(toks).as("n_toks"),
-          posexplode(TextOps.shingleHashes(th, 20)).as(Seq("pos", "wh")))
-      val byHash = Window.partitionBy(col("wh"))
-      val cut = windows
-        .withColumn("__mn", min(col("doc_id")).over(byHash))
-        .withColumn("__mx", max(col("doc_id")).over(byHash))
-        .where(col("__mn") =!= col("__mx"))
+      val cut = Dedup.repeatedSpans(nearDupCorpus(s, dir), "doc_id", "text", 20)
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(19))).as("ti"))
         .distinct()

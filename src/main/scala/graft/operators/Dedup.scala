@@ -572,4 +572,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
     CacheScope.unpersistAfterAction(verified, Seq(sets))
   }
+
+  /**
+   * Repeated-span detection (the repeated-substring dedup family of
+   * Lee et al. 2022, arXiv:2107.06499): every (document, token offset)
+   * whose `n`-token window also occurs in ANOTHER document — the spans a
+   * repeated-substring pass excises. Returns (`idCol`, pos).
+   *
+   * Skew-safe shape: hot windows come from a `groupBy(wh)` aggregate —
+   * map-side partial combine collapses each task's occurrences of a hash
+   * to ONE row before the shuffle, so a boilerplate window occurring in
+   * millions of documents costs its reducer one row per upstream task,
+   * not one per occurrence. The occurrence stream then semi-joins the hot
+   * set back on `wh`: a skewed JOIN partition can be split by AQE (and a
+   * small hot set broadcasts, removing the probe shuffle entirely),
+   * whereas the previous windowed min/max OVER the raw hash partition
+   * funneled every occurrence of a hot hash into one unsplittable task.
+   * The price is a second evaluation of the tokenize→hash→shingle chain
+   * for the aggregate side — map-parallel CPU, which scales out; the
+   * funnel did not.
+   */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def windows = docs.select(col(idCol),
+      posexplode(TextOps.shingleHashes(
+        TextOps.tokenHashes(TextOps.tokens(col(textCol))), n))
+        .as(Seq("pos", "wh")))
+    val hot = windows
+      .groupBy(col("wh"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select(col("wh"))
+    windows.join(hot, Seq("wh"), "left_semi")
+      .select(col(idCol), col("pos"))
+  }
 }

@@ -224,6 +224,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("repeated spans: no window over the raw hash partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(Dedup.repeatedSpans(docs, "doc_id", "text", 20))
+    // a window function over partitionBy(wh) funnels EVERY occurrence of a
+    // hot hash into one unsplittable task; hot detection must be a map-side
+    // combinable aggregate joined back (AQE can split a skewed join
+    // partition, and a small hot set broadcasts)
+    assert(!p.contains("Window"),
+      s"hot-hash detection must not be a window over the hash partition:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_max") ||
+      p.contains("HashAggregate"),
+      s"hot hashes must come from a partial-combinable aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("asof join: one shuffle + one window, no join operator at all") {
     import graft.operators.AsOf
     val ev = spark.read.parquet(s"$sf/events.parquet")
