@@ -14,14 +14,18 @@ import graft.functions.TextOps
  *
  * Distributed formulation: the corpus is scanned ONCE for the word-frequency
  * vocabulary (one aggregate whose key is the word — the same shuffle an
- * exact dedup pays); every training round then runs on the VOCABULARY table
- * only, so 100 TB of text costs the same per round as 100 MB once the word
- * counts exist. A round is: explode each word's adjacent symbol pairs,
- * weighted-count them (one vocab-sized aggregate), collect the single most
- * frequent pair (1 driver row — deterministic tie-break on the
- * lexicographically smallest pair), and apply the merge map-side. The vocab
- * is `localCheckpoint`ed every round so round k's plan does not replay
- * rounds 1..k-1.
+ * exact dedup pays); training then runs DRIVER-SIDE on the collected
+ * (word, freq) table, which is vocabulary-sized, not corpus-sized — 100 TB
+ * of text and 100 MB of text train at identical cost once the word counts
+ * exist. The earlier formulation ran one vocab-sized Spark aggregate plus a
+ * 1-row argmax collect PER MERGE; at a real 32k-merge vocab that is 32k
+ * sequential Spark jobs — a driver-side scheduling latency wall, not a
+ * data-path cost. The local trainer keeps incremental pair counts (only
+ * words containing the merged pair are touched per round), so the whole
+ * 32k-merge train is one Spark job (the vocabulary aggregate) + pure local
+ * CPU. Tie-breaks compare pair strings in UTF-8 byte order — exactly
+ * Spark's `orderBy(col asc)` on strings and DuckDB's binary collation, so
+ * the merge sequence is bit-identical to the unrolled SQL oracle.
  *
  * Symbol strings: a word's symbols are kept as ONE string — symbols
  * separated by exactly two spaces, a single leading/trailing space — and a
@@ -51,15 +55,6 @@ object Bpe {
   private def symString(w: Column): Column =
     concat(lit(" "), regexp_replace(w, "(.)", "$1  "))
 
-  /** Adjacent symbol pairs of a symbol string, each as "left␣␣right". */
-  private def pairsOf(s: Column): Column = {
-    val sy = split(trim(s), "  ")
-    when(size(sy) >= 2,
-      transform(sequence(lit(1), size(sy) - 1),
-        i => concat(element_at(sy, i), lit("  "), element_at(sy, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   private def applyMerge(s: Column, m: Merge): Column =
     replace(s, lit(" " + m.pair + " "), lit(" " + m.merged + " "))
 
@@ -70,31 +65,96 @@ object Bpe {
 
   /**
    * Train `k` merges on a (word, freq) vocabulary. Returns fewer than `k`
-   * merges if the vocabulary runs out of adjacent pairs. Each round's
-   * driver traffic is ONE row (the argmax pair); ties break on the
-   * lexicographically smallest pair string, which for space-separated
-   * ASCII symbols orders exactly like the (left, right) tuple.
+   * merges if the vocabulary runs out of adjacent pairs. ONE collect of the
+   * vocabulary table (vocabulary-sized — the corpus never reaches the
+   * driver), then [[trainLocal]]; ties break on the lexicographically
+   * smallest pair string in UTF-8 byte order, which for space-separated
+   * symbols orders exactly like the (left, right) tuple.
    */
-  def train(vocab: DataFrame, wordCol: String, freqCol: String, k: Int): Seq[Merge] = {
-    require(k >= 1 && k <= 10000, "merge count 1..10000 supported")
-    var v = vocab
-      .select(symString(col(wordCol)).as("s"), col(freqCol).cast("long").as("f"))
-      .localCheckpoint()
+  def train(vocab: DataFrame, wordCol: String, freqCol: String, k: Int): Seq[Merge] =
+    trainLocal(
+      vocab.select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1))),
+      k)
+
+  /** UTF-8 byte order — Spark's string `asc` and DuckDB's BINARY collation. */
+  private def ltUtf8(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /**
+   * Driver-side sequential BPE with INCREMENTAL pair counts: one initial
+   * pass builds (pair → weighted count) and (pair → word indices); each
+   * round takes the argmax (count desc, pair string asc in UTF-8 order)
+   * and re-counts ONLY the words containing the merged pair — subtract the
+   * word's old pairs, apply the non-overlapping left-to-right `replace`
+   * (the same `" a  b "`→`" ab "` string rewrite Spark and DuckDB apply,
+   * so the sequence is bit-identical to the unrolled oracle), re-add its
+   * new pairs. Occurrence sets may hold stale indices after unrelated
+   * merges; they are verified by a `contains` check before use. The argmax
+   * is a linear scan of the live pair table — O(distinct pairs) per round,
+   * replaceable by a heap if vocabularies ever make it measurable.
+   */
+  def trainLocal(vocab: Seq[(String, Long)], k: Int): Seq[Merge] = {
+    require(k >= 1 && k <= 100000, "merge count 1..100000 supported")
+    import scala.collection.mutable
+    val ss = mutable.ArrayBuffer.empty[String] // per-word ' a  b ' symbol string
+    val fs = mutable.ArrayBuffer.empty[Long]
+    vocab.foreach { case (w, f) =>
+      ss += (" " + w.replaceAll("(.)", "$1  ")) // = symString(Column), locally
+      fs += f
+    }
+    def pairsOf(s: String): Array[String] = {
+      val sy = s.trim.split("  ")
+      if (sy.length < 2) Array.empty
+      else Array.tabulate(sy.length - 1)(i => sy(i) + "  " + sy(i + 1))
+    }
+    val counts = mutable.HashMap.empty[String, Long]
+    val occ = mutable.HashMap.empty[String, mutable.BitSet]
+    for (i <- ss.indices; p <- pairsOf(ss(i))) {
+      counts.update(p, counts.getOrElse(p, 0L) + fs(i))
+      occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+    }
     val merges = ArrayBuffer.empty[Merge]
     var rank = 1
-    var exhausted = false
-    while (rank <= k && !exhausted) {
-      val top = v.select(explode(pairsOf(col("s"))).as("p"), col("f"))
-        .groupBy(col("p")).agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("p").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val m = Merge(rank, top(0).getString(0), top(0).getLong(1))
-        merges += m
-        v = v.select(applyMerge(col("s"), m).as("s"), col("f")).localCheckpoint()
-        rank += 1
+    while (rank <= k && counts.nonEmpty) {
+      var bp: String = null
+      var bc = 0L
+      counts.foreach { case (p, c) =>
+        if (bp == null || c > bc || (c == bc && ltUtf8(p, bp))) { bp = p; bc = c }
       }
+      merges += Merge(rank, bp, bc)
+      val pat = " " + bp + " "
+      val rep = " " + bp.replace("  ", "") + " "
+      // merging (a,b) only creates pairs involving the new "ab" symbol, so
+      // bp itself can never reappear — removing its occurrence set first is
+      // safe, and exact subtraction below drives counts(bp) to zero
+      occ.remove(bp).foreach(_.foreach { i =>
+        val s = ss(i)
+        if (s.contains(pat)) { // stale-index guard
+          val f = fs(i)
+          pairsOf(s).foreach { q =>
+            val nv = counts.getOrElse(q, 0L) - f
+            if (nv <= 0) counts.remove(q) else counts.update(q, nv)
+          }
+          val ns = s.replace(pat, rep)
+          ss(i) = ns
+          pairsOf(ns).foreach { q =>
+            counts.update(q, counts.getOrElse(q, 0L) + f)
+            occ.getOrElseUpdate(q, mutable.BitSet.empty) += i
+          }
+        }
+      })
+      rank += 1
     }
     merges.toSeq
   }

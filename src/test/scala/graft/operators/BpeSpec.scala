@@ -56,4 +56,54 @@ class BpeSpec extends SparkSuite {
     assert(rows(0).getLong(2) >= rows(0).getLong(1),
       "at least one piece per word")
   }
+
+  /** Obviously-correct sequential reference: FULL pair recount every round
+    * (no incremental bookkeeping), same symbol-string encoding and replace
+    * semantics. The incremental trainer must reproduce its merge sequence
+    * exactly — this is what makes 32k-merge training trustworthy without
+    * 32k Spark jobs. */
+  private def naiveTrain(vocab: Seq[(String, Long)], k: Int): Seq[(String, Long)] = {
+    var words = vocab.map { case (w, f) => (" " + w.replaceAll("(.)", "$1  "), f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var r = 0
+    var done = false
+    while (r < k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((s, f) <- words) {
+        val sy = s.trim.split("  ")
+        for (i <- 0 until sy.length - 1)
+          counts.update(sy(i) + "  " + sy(i + 1),
+            counts.getOrElse(sy(i) + "  " + sy(i + 1), 0L) + f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (p, c) = counts.toSeq.minBy { case (p0, c0) => (-c0, p0) }
+        out += ((p, c))
+        words = words.map { case (s, f) =>
+          (s.replace(" " + p + " ", " " + p.replace("  ", "") + " "), f) }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  test("trainLocal: 80 merges match the full-recount reference, zero jobs per merge") {
+    // deterministic synthetic vocabulary: enough pair diversity to sustain
+    // 80+ merges, with colliding counts to exercise the UTF-8 tie-break
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val vocab = (1 to 300).map { _ =>
+      val len = 4 + rnd.nextInt(5)
+      val w = (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (w, (1 + rnd.nextInt(9)).toLong)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val got = Bpe.trainLocal(vocab, 80).map(m => (m.pair, m.cnt))
+    val want = naiveTrain(vocab, 80)
+    assert(got.size >= 64, s"fixture must sustain >= 64 merges, got ${got.size}")
+    assert(got == want, "incremental trainer must reproduce the sequential " +
+      "full-recount merge sequence exactly")
+    // ranks are 1..n in order
+    val ranked = Bpe.trainLocal(vocab, 80)
+    assert(ranked.map(_.rank) == (1 to ranked.size))
+  }
 }
