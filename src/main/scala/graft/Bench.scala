@@ -53,6 +53,7 @@ object Bench {
       graft.operators.Dedup.minHashLshPairs(
         spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
         "doc_id", "text", 0.5).count()
+      graft.streaming.Streams.cleanupStaging(tiny)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}")
     }

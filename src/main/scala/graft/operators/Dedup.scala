@@ -337,36 +337,47 @@ object Dedup {
     // on two shuffles (join + min aggregation) times the diameter, over a
     // frame proportional to the number of near-duplicates — a skinny
     // (id, label) stream. One partition per ~100k edges keeps reducer
-    // input in the tens of MB; the session width returns after the loop.
-    val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    // input in the tens of MB. The width is imposed with EXPLICIT
+    // repartition(width, key) on every loop input — never by narrowing the
+    // session's spark.sql.shuffle.partitions, which would silently throttle
+    // any query another thread submits on the shared session during the
+    // diameter×2 shuffles of the loop. The aggregate runs on the join
+    // output already at the loop width (no combine across an extra
+    // exchange); per-partition input is ~200k id-pairs by construction, so
+    // the lost map-side combine is noise next to the per-task fixed costs
+    // the narrow width exists to bound.
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toLong
     val width = math.max(2L,
-      math.min(savedWidth.toLong, p0.count() / 100000L + 1L)).toInt
+      math.min(sessionWidth, p0.count() / 100000L + 1L)).toInt
+    val edgesW = edges.repartition(width, col("src")).localCheckpoint()
     var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("component"))
+      .repartition(width, col("__id"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", width.toString)
-      while (changed > 0 && iter < maxIter) {
-        val inMin = edges
-          .join(labels.select(col("__id").as("src"), col("component")), "src")
-          .groupBy(col("dst").as("__id"))
-          .agg(min(col("component")).as("__in"))
-        val next = labels.join(inMin, Seq("__id"), "left_outer")
-          .select(col("__id"),
-            least(col("component"), coalesce(col("__in"), col("component")))
-              .as("component"),
-            (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
-          .localCheckpoint()
-        changed = next.where(col("__chg")).count()
-        val prev = labels
-        labels = next.drop("__chg")
-        prev.unpersist()
-        iter += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
+    while (changed > 0 && iter < maxIter) {
+      val inMin = edgesW
+        .join(labels.select(col("__id").as("src"), col("component"))
+          .repartition(width, col("src")), "src")
+        .select(col("dst").as("__id"), col("component"))
+        .repartition(width, col("__id"))
+        .groupBy(col("__id"))
+        .agg(min(col("component")).as("__in"))
+      val next = labels.join(inMin, Seq("__id"), "left_outer")
+        .select(col("__id"),
+          least(col("component"), coalesce(col("__in"), col("component")))
+            .as("component"),
+          (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
+        .localCheckpoint()
+      changed = next.where(col("__chg")).count()
+      val prev = labels
+      labels = next.drop("__chg")
+      prev.unpersist()
+      iter += 1
+    }
     require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
     p0.unpersist()
+    edgesW.unpersist()
     labels.withColumnRenamed("__id", idCol)
   }
 

@@ -77,7 +77,12 @@ object KMeans {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
     var cents = seedCentroids(df, idCol, vecCol, k)
+    // fail here with the real cause, not an IndexOutOfBounds mid-round from
+    // Array.tabulate(k) below when the input holds fewer than k vectors
+    require(cents.length == k,
+      s"kmeans: k=$k but input has only ${cents.length} vectors")
     val dim = cents.headOption.map(_.length).getOrElse(0)
+    require(dim > 0, "kmeans: zero-dimensional input vectors")
     for (_ <- 0 until iters) {
       val parts = assign(df, idCol, vecCol, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))

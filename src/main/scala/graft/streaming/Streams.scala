@@ -99,6 +99,18 @@ object Streams {
     math.max(1L, math.min(32L, bytes / (64L << 20) + 1L)).toInt
   }
 
+  /** Best-effort recursive delete of a staging dir. Staged corpus copies
+    * are only needed until the drain returns (the memory sink materializes
+    * results driver-side); leaving them would accumulate corpus-sized
+    * parquet per bench/verify run. */
+  private[graft] def cleanupStaging(dir: java.nio.file.Path): Unit =
+    try {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    } catch { case _: Exception => () }
+
   private def runToMemory(df: DataFrame, mode: String, partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val name = s"stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -131,7 +143,9 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .count()
-    runToMemory(agg, "complete", statePartitionsFor(dir))
+    val drained = runToMemory(agg, "complete", statePartitionsFor(dir))
+    cleanupStaging(Paths.get(dir))
+    drained
       .where(col("event_type") =!= sentinel)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -172,9 +186,10 @@ object Streams {
           state.update(true)
           Iterator.single((digest, rows.map(_._1).min))
         })
-    runToMemory(deduped.toDF("digest", "kept_id"), "append",
-        statePartitionsFor(dir.toString))
-      .select(col("kept_id"))
+    val drained = runToMemory(deduped.toDF("digest", "kept_id"), "append",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained.select(col("kept_id"))
   }
 
   /**
@@ -223,9 +238,10 @@ object Streams {
           state.update(true)
           Iterator.single((digest, rows.map(_._1).min))
         })
-    runToMemory(deduped.toDF("digest", "kept_id"), "append",
-        statePartitionsFor(dir.toString))
-      .select(col("kept_id"))
+    val drained = runToMemory(deduped.toDF("digest", "kept_id"), "append",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained.select(col("kept_id"))
   }
 
   /**
@@ -257,7 +273,16 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.functions.TextOps
     val dir = Files.createTempDirectory("graft-stream-lsh")
-    docs.select(col("doc_id"), col("text")).write
+    // SINGLE-BATCH PIN: the batch oracle for this operator is the GLOBAL
+    // per-bucket min, but keyed state across micro-batches gives
+    // first-ARRIVAL semantics — a doc whose lower-id bucket-mate lands in a
+    // later batch would be kept by the stream and dropped by the oracle.
+    // Staging as ONE file makes AvailableNow (file-source default 1000
+    // files/batch) drain in exactly one micro-batch, where the in-batch
+    // sort-by-id fold equals the global rule. A real multi-batch ingest
+    // gate keeps the first arrival by design — that behavior is correct
+    // for ingest but is NOT what this oracle-checked entry point promises.
+    docs.select(col("doc_id"), col("text")).coalesce(1).write
       .mode("overwrite").parquet(dir.toString)
     val schema = spark.read.parquet(dir.toString).schema
     val sig = spark.readStream.schema(schema).parquet(dir.toString)
@@ -295,6 +320,7 @@ object Streams {
       })
     val drained = runToMemory(perBucket.toDF("doc_id", "bucket_min"),
       "append", statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
     val drops = drained.groupBy(col("doc_id"))
       .agg(min(col("bucket_min")).as("mn"))
       .where(col("mn") < col("doc_id"))
@@ -339,7 +365,9 @@ object Streams {
       col("c_user") === col("p_user") &&
         col("buy_ts") >= col("click_ts") &&
         col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
-    runToMemory(joined, "append", statePartitionsFor(dir.toString))
+    val drained = runToMemory(joined, "append", statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
       .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
         col("value"))
   }
@@ -361,7 +389,9 @@ object Streams {
       .agg(
         count(lit(1)).as("n_events"),
         sum(when(col("event_type") === sentinel, 1).otherwise(0)).as("n_sentinel"))
-    runToMemory(agg, "append", statePartitionsFor(dir))
+    val drained = runToMemory(agg, "append", statePartitionsFor(dir))
+    cleanupStaging(Paths.get(dir))
+    drained
       .where(col("n_sentinel") === 0)
       .select(
         col("user_id"),
