@@ -1846,6 +1846,55 @@ object SparkEntry {
       ctl.uploadsDf.orderBy(col("id"))
     }),
 
+    // Dataset revisions (`bde_CreateDatasetRevision` /
+    // `bde_CompleteDatasetRevision`,
+    // sql/02-bde_control_functions.sql.in:2881-2990): a revision opens per
+    // dataset with the dataset name parsed as the revision timestamp, rides
+    // the `_dataset`/`_revision` job options, closes at dataset end, and an
+    // UNUSED revision (no table modified) is deleted — the reference tests
+    // drive every load through this pair (t/linz_bde_uploader.t:630-638).
+    "c9_dataset_revision" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ctl").toString
+      var nowStr = "2017-01-01 03:00:00"
+      val ctl = new Control(s, tmp, () => java.sql.Timestamp.valueOf(nowStr))
+      val u1 = ctl.createUpload("bde").toOption.get
+      // guard rails: no dataset defined yet; malformed dataset name
+      require(ctl.createDatasetRevision(u1).isLeft, "needs a dataset first")
+      ctl.setOption(u1, "_dataset", Some("2017-bad-name"))
+      require(ctl.createDatasetRevision(u1).isLeft, "malformed name must fail")
+      // dataset 1 modifies one table: revision survives, closed, ntables=1
+      ctl.setOption(u1, "_dataset", Some("20170101020304"))
+      val r1 = ctl.createDatasetRevision(u1).toOption.get
+      ctl.recordDatasetLoaded(u1, "bde", "tab_a", "20170101020304", "0",
+        incremental = false, details = "", ninsert = 100, nupdate = 0,
+        nnullupdate = 0, ndelete = 0)
+      nowStr = "2017-01-01 03:05:00"
+      require(ctl.completeDatasetRevision(u1) == Right(Some(r1)),
+        "modified revision survives")
+      // dataset 2 applies only null-updates: unused revision is DELETED
+      ctl.setOption(u1, "_dataset", Some("20170102020304"))
+      ctl.createDatasetRevision(u1)
+      ctl.recordDatasetLoaded(u1, "bde", "tab_a", "20170102020304", "5",
+        incremental = true, details = "", ninsert = 0, nupdate = 0,
+        nnullupdate = 5, ndelete = 0)
+      require(ctl.completeDatasetRevision(u1) == Right(None),
+        "unused revision deletes")
+      require(ctl.completeDatasetRevision(u1).isLeft,
+        "no revision in progress after complete")
+      ctl.finishUpload(u1, ok = true)
+      // a RESTARTED control sees the same revisions (parquet persistence)
+      val ctl2 = new Control(s, tmp,
+        () => java.sql.Timestamp.valueOf(nowStr))
+      ctl2.revisionRecords.map(r => (r.revision, r.dataset,
+          r.revisionTime.toString.stripSuffix(".0"),
+          r.closedAt.map(_.toString.stripSuffix(".0")).getOrElse(""),
+          r.ntables, r.complete))
+        .toDF("revision", "dataset", "revision_time", "closed_at",
+          "ntables", "complete")
+        .orderBy(col("revision"))
+    }),
+
     // ---- S1/S2/P3/O3 for real: repository scan + watermark plan --------
     "s1_repo_plan" -> ((s, dir) => {
       import s.implicits._
@@ -3516,6 +3565,17 @@ object SparkEntry {
       "c9_purge_old_jobs" ->
         """SELECT * FROM (VALUES (2, 'bde', 'C'), (3, 'bde', 'C'))
           |  t(id, schema_name, status) ORDER BY id""".stripMargin,
+
+      // hand-derived: revision 1001 (first id) opens for dataset
+      // 20170101020304 (name → revision_time), closes at the stepped clock
+      // with 1 modified table; the second dataset's revision was unused
+      // (null-updates only) and deleted, so one row survives
+      "c9_dataset_revision" ->
+        """SELECT * FROM (VALUES
+          |  (1001, '20170101020304', '2017-01-01 02:03:04',
+          |   '2017-01-01 03:05:00', 1, true))
+          |  t(revision, dataset, revision_time, closed_at, ntables, complete)
+          |ORDER BY revision""".stripMargin,
 
       "s1_repo_plan" ->
         """SELECT * FROM (VALUES

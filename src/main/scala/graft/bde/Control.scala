@@ -44,9 +44,18 @@ final class Control(
   private var uploads = Vector.empty[UploadRow]
   private var uploadTables = Vector.empty[UploadTableRow]
   private var stats = Vector.empty[UploadStatsRow]
+  private var revisions = Vector.empty[RevisionRow]
   private var nextUploadId = 1
   private var nextTableId = 1
   private var nextStatId = 1
+  private var nextRevisionId = FirstRevisionId
+
+  // Per-upload scratch options (`bde_SetOption`/`bde_GetOption`,
+  // sql/02-bde_control_functions.sql.in:440-480). The reference keeps them
+  // in a per-CONNECTION scratch table that vanishes at disconnect; a
+  // process-lifetime map is the same durability class, so these are
+  // deliberately NOT persisted.
+  private var options = Map.empty[(Int, String), String]
 
   // Load persisted control state back (the reference's control tables are
   // durable PG tables, sql/01-bde_control_tables.sql — without this a
@@ -125,10 +134,38 @@ final class Control(
           r.getAs[Long]("ndelete"))).sortBy(_.id)
       }
     }
+    tryRead("upload_revision").foreach { gs =>
+      revisions = gs.toVector.map { g =>
+        val closed = g.getLong("closed_at", 0)
+        RevisionRow(
+          g.getInteger("revision", 0), g.getInteger("upl_id", 0),
+          str(g, "dataset"), str(g, "comment"), ts(g, "revision_time"),
+          ts(g, "created_at"),
+          if (closed == 0) None else Some(new Timestamp(closed / 1000L)),
+          g.getInteger("ntables", 0), g.getBoolean("complete", 0))
+      }.sortBy(_.revision)
+    }
     nextUploadId = uploads.map(_.id).maxOption.getOrElse(0) + 1
     nextTableId = uploadTables.map(_.id).maxOption.getOrElse(0) + 1
     nextStatId = stats.map(_.id).maxOption.getOrElse(0) + 1
+    nextRevisionId =
+      math.max(FirstRevisionId, revisions.map(_.revision).maxOption.getOrElse(0) + 1)
   }
+
+  // ---- per-upload options (sql:440-480) ---------------------------------
+
+  /** `bde_SetOption`: None deletes the slot (the reference stores NULL). */
+  def setOption(uplId: Int, name: String, value: Option[String]): Unit =
+    synchronized {
+      value match {
+        case Some(v) => options += ((uplId, name) -> v)
+        case None    => options -= ((uplId, name))
+      }
+    }
+
+  /** `bde_GetOption`. */
+  def getOption(uplId: Int, name: String): Option[String] =
+    synchronized(options.get((uplId, name)))
 
   // ---- job lifecycle (sql:270-340; status codes sql/01:49,73-78) --------
 
@@ -278,6 +315,68 @@ final class Control(
     save(doTables = true, doStats = true)
   }
 
+  // ---- dataset revisions (sql:2881-2990) --------------------------------
+
+  /** `bde_CreateDatasetRevision`: allocate a table_version-style revision
+    * for the upload's CURRENT dataset (the `_dataset` option, set when the
+    * dataset begins) with the dataset name parsed to the revision
+    * timestamp, and stash its id in the `_revision` option. The reference
+    * test suite drives every load through this pair via the
+    * `dataset_load_start_sql`/`dataset_load_end_sql` slots
+    * (t/linz_bde_uploader.t:630-638). */
+  def createDatasetRevision(uplId: Int): Either[String, Int] = synchronized {
+    getOption(uplId, "_dataset") match {
+      case None | Some("(undefined dataset)") =>
+        Left("A dataset has not been defined for this upload yet")
+      case Some(ds) =>
+        parseDatasetTimestamp(ds) match {
+          case None => Left(s"Dataset string '$ds' is malformed")
+          case Some(revTs) =>
+            val rev = nextRevisionId
+            nextRevisionId += 1
+            revisions :+= RevisionRow(rev, uplId, ds,
+              s"BDE upload for dataset $ds", revTs, now(), None, 0,
+              complete = false)
+            setOption(uplId, "_revision", Some(rev.toString))
+            save(doRevisions = true)
+            Right(rev)
+        }
+    }
+  }
+
+  /** `bde_CompleteDatasetRevision`: close the in-progress revision. The
+    * reference counts this upload+dataset's stats rows against
+    * `ver_get_modified_tables(revision)` and DELETES an unused revision
+    * (`ver_delete_revision`) — here a table is "modified" when its stats
+    * row applied any real action (I/U/D; null-updates touch nothing).
+    * Returns the surviving revision id, or None when it was unused and
+    * deleted. */
+  def completeDatasetRevision(uplId: Int): Either[String, Option[Int]] =
+    synchronized {
+      getOption(uplId, "_dataset") match {
+        case None | Some("(undefined dataset)") =>
+          Left("A dataset has not been defined for this upload yet")
+        case Some(ds) =>
+          getOption(uplId, "_revision").map(_.toInt) match {
+            case None => Left("There is no revision in progress")
+            case Some(rev) =>
+              val ntab = stats.count(st =>
+                st.uplId == uplId && st.dataset == ds &&
+                  st.ninsert + st.nupdate + st.ndelete > 0)
+              if (ntab == 0) revisions = revisions.filterNot(_.revision == rev)
+              else revisions = revisions.map(r =>
+                if (r.revision == rev)
+                  r.copy(closedAt = Some(now()), ntables = ntab, complete = true)
+                else r)
+              setOption(uplId, "_revision", None)
+              save(doRevisions = true)
+              Right(if (ntab == 0) None else Some(rev))
+          }
+      }
+    }
+
+  def revisionRecords: Seq[RevisionRow] = synchronized(revisions)
+
   /** Last-upload lookup for the continuity check (lib:944-958). */
   def lastUpload(schemaName: String, tableName: String): Option[UploadTableRow] =
     synchronized(uploadTables.find(t =>
@@ -310,6 +409,15 @@ final class Control(
         "ninsert", "nupdate", "nnullupdate", "ndelete")
   }
 
+  def revisionsDf: DataFrame = {
+    import spark.implicits._
+    revisions.map(r => (r.revision, r.uplId, r.dataset, r.comment,
+        r.revisionTime, r.createdAt,
+        r.closedAt.orNull: Timestamp, r.ntables, r.complete))
+      .toDF("revision", "upl_id", "dataset", "comment", "revision_time",
+        "created_at", "closed_at", "ntables", "complete")
+  }
+
   def statRecords: Seq[UploadStatsRow] = synchronized(stats)
   def uploadTableRecords: Seq[UploadTableRow] = synchronized(uploadTables)
 
@@ -325,13 +433,17 @@ final class Control(
   private def save(
       doUploads: Boolean = false,
       doTables: Boolean = false,
-      doStats: Boolean = false): Unit = {
+      doStats: Boolean = false,
+      doRevisions: Boolean = false): Unit = {
     if (doUploads) ControlStore.write(hadoopConf, s"$dir/upload.parquet",
       ControlStore.UploadSchema, uploads)(ControlStore.uploadGroup)
     if (doTables) ControlStore.write(hadoopConf, s"$dir/upload_table.parquet",
       ControlStore.TableSchema, uploadTables)(ControlStore.tableGroup)
     if (doStats) ControlStore.write(hadoopConf, s"$dir/upload_stats.parquet",
       ControlStore.StatsSchema, stats)(ControlStore.statsGroup)
+    if (doRevisions) ControlStore.write(hadoopConf,
+      s"$dir/upload_revision.parquet",
+      ControlStore.RevisionSchema, revisions)(ControlStore.revisionGroup)
     publication.foreach { p =>
       if (doUploads) p.publishUploads(uploads)
       if (doTables) p.publishTables(uploadTables)
@@ -362,6 +474,33 @@ object Control {
       id: Int, uplId: Int, tblId: Int, dataset: String, level: String,
       incremental: Boolean, ninsert: Long, nupdate: Long, nnullupdate: Long,
       ndelete: Long)
+
+  /** One table_version-style dataset revision
+    * (`bde_CreateDatasetRevision`, sql:2881-2925): `revisionTime` is the
+    * dataset name parsed as a timestamp, `createdAt`/`closedAt` the clock
+    * at begin/complete, `ntables` how many of the upload's tables the
+    * revision actually modified. */
+  final case class RevisionRow(
+      revision: Int, uplId: Int, dataset: String, comment: String,
+      revisionTime: Timestamp, createdAt: Timestamp,
+      closedAt: Option[Timestamp], ntables: Int, complete: Boolean)
+
+  /** Revision ids start above upload/table id space so the two id families
+    * are never confused in diagnostics (the reference's revision ids come
+    * from table_version's own sequence, similarly disjoint in practice). */
+  val FirstRevisionId = 1001
+
+  private val DatasetShape = """^\d{14}$""".r
+
+  /** `YYYYMMDDhhmmss` → Timestamp; None for a malformed name (the
+    * reference raises 'Dataset string is malformed', sql:2895-2911). */
+  def parseDatasetTimestamp(ds: String): Option[Timestamp] =
+    DatasetShape.findFirstIn(ds).flatMap { _ =>
+      try Some(Timestamp.valueOf(
+        s"${ds.substring(0, 4)}-${ds.substring(4, 6)}-${ds.substring(6, 8)} " +
+          s"${ds.substring(8, 10)}:${ds.substring(10, 12)}:${ds.substring(12, 14)}"))
+      catch { case _: IllegalArgumentException => None }
+    }
 
   // ---- F10: details-string codec (lib/LINZ/BdeUpload.pm:950-972) --------
 
@@ -485,6 +624,19 @@ private[bde] object ControlStore {
       |  required int64 ndelete;
       |}""".stripMargin)
 
+  val RevisionSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message upload_revision {
+      |  required int32 revision;
+      |  required int32 upl_id;
+      |  required binary dataset (STRING);
+      |  required binary comment (STRING);
+      |  required int64 revision_time (TIMESTAMP(MICROS,true));
+      |  required int64 created_at (TIMESTAMP(MICROS,true));
+      |  required int64 closed_at (TIMESTAMP(MICROS,true));
+      |  required int32 ntables;
+      |  required boolean complete;
+      |}""".stripMargin)
+
   private def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
 
   def uploadGroup(schema: MessageType, u: UploadRow): Group = {
@@ -524,6 +676,20 @@ private[bde] object ControlStore {
     g.add("nupdate", s.nupdate)
     g.add("nnullupdate", s.nnullupdate)
     g.add("ndelete", s.ndelete)
+    g
+  }
+
+  def revisionGroup(schema: MessageType, r: RevisionRow): Group = {
+    val g = new SimpleGroup(schema)
+    g.add("revision", r.revision)
+    g.add("upl_id", r.uplId)
+    g.add("dataset", r.dataset)
+    g.add("comment", r.comment)
+    g.add("revision_time", micros(r.revisionTime))
+    g.add("created_at", micros(r.createdAt))
+    g.add("closed_at", r.closedAt.map(micros).getOrElse(0L))
+    g.add("ntables", r.ntables)
+    g.add("complete", r.complete)
     g
   }
 

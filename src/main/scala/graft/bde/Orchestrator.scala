@@ -190,6 +190,12 @@ object Orchestrator {
           if (p.level == "0") cfg.maxLevel0RuntimeHours
           else cfg.maxLevel5RuntimeHours,
           nowFn, s"level ${p.level} updates have timed out")
+        // startDataset sets the `_dataset` job option BEFORE the
+        // dataset_load_start_sql slot runs (BdeDatabase.pm:476-486 →
+        // bde_StartDataset), so a slot calling
+        // `control.createDatasetRevision(id)` resolves the dataset the
+        // way the reference's `bde_CreateDatasetRevision({{id}})` does
+        control.setOption(uplId, "_dataset", Some(p.dataset))
         // slot first, then the shell event — beginDataset runs the
         // dataset_load_start_sql block before FireEvent('start_dataset')
         // (BdeUpload.pm:749-751); mirrored for the end pair (:806-807)

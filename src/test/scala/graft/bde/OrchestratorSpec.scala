@@ -292,6 +292,37 @@ class OrchestratorSpec extends SparkSuite {
     assert(starts == starts.sorted && starts.size >= 4)
   }
 
+  test("dataset revisions ride the SQL slots: modified survive, unused delete") {
+    // the reference test config wires bde_CreateDatasetRevision /
+    // bde_CompleteDatasetRevision into dataset_load_start/end_sql
+    // (t/linz_bde_uploader.t:630-638) — same wiring through the repo's slots
+    val (root, tablesDir, controlDir) = OrchestratorScenario.stage()
+    val (cat, errs) = Catalog.parse(OrchestratorScenario.TablesConf.linesIterator)
+    assert(errs.isEmpty)
+    val control = new Control(spark, controlDir,
+      () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    Orchestrator.applyUpdates(spark,
+      Orchestrator.RunConfig(
+        repoRoot = root.resolve("repo").toString,
+        tablesDir = tablesDir, controlDir = controlDir,
+        onDatasetStart = (_, id) => { control.createDatasetRevision(id); () },
+        onDatasetEnd = (_, id) => { control.completeDatasetRevision(id); () }),
+      cat, level0 = true, level5 = true, control)
+    val revs = control.revisionRecords
+    // only revisions that modified >=1 table survive, all closed
+    assert(revs.nonEmpty && revs.forall(r =>
+      r.complete && r.ntables >= 1 && r.closedAt.nonEmpty))
+    val datasets = revs.map(_.dataset)
+    assert(datasets.contains("20200101000000")) // the L0 load modified alpha
+    assert(!datasets.contains("20200404000000")) // incomplete → unused, deleted
+    // monotone table_version-style cursor from the first id
+    assert(revs.head.revision == Control.FirstRevisionId)
+    assert(revs.map(_.revision) == revs.map(_.revision).sorted)
+    // the revision timestamp is the dataset name parsed as a timestamp
+    assert(revs.head.revisionTime ==
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+  }
+
   test("file-error budget: within budget drops bad rows, breach aborts") {
     val (loaded, aborted) = OrchestratorScenario.runErrorBudget(spark)
     assert(loaded == 3)
