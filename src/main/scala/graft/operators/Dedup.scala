@@ -302,18 +302,22 @@ object Dedup {
    * the smallest node id in the component — the canonical representative
    * to keep.
    *
-   * Iterative min-label propagation: each round every node takes the min
-   * of its own label and its neighbors' labels, until no label changes.
-   * Rounds needed = component DIAMETER, and near-dup graphs have tiny
-   * diameters: LSH emits clique-ish clusters (every member shares a band
-   * bucket with most others), and byte-identical copies were collapsed
-   * upstream, so the hub-degree blowup that motivates the large-star /
-   * small-star contraction never materializes here. Each round shuffles
-   * (id, label) and (src, dst) rows ONLY — ids, never payloads — as one
-   * shuffle join + one map-side-combined min aggregation, both on the same
-   * id domain. `localCheckpoint` truncates lineage each round (the plan
-   * would otherwise double per iteration), and the convergence check is a
-   * driver-bounded scalar count riding the same materialization.
+   * Iterative min-label propagation WITH POINTER DOUBLING: each round every
+   * node takes the min of its own label, its neighbors' labels, and — the
+   * Shiloach–Vishkin short-cut — its LABEL'S label. The extra hop halves
+   * label chains every round, so convergence needs O(log diameter) rounds,
+   * not O(diameter): an adversarial path graph of diameter 2^maxIter still
+   * converges, where plain propagation would hard-fail the fixpoint guard.
+   * (Near-dup graphs are usually clique-ish — LSH emits clusters whose
+   * members share band buckets, and byte-identical copies collapse
+   * upstream — so typical inputs converge in 2-3 rounds either way; the
+   * doubling is the guard for the adversarial long-chain tail.) Each round
+   * shuffles (id, label) and (src, dst) rows ONLY — ids, never payloads —
+   * as one shuffle join + one map-side-combined min aggregation + one
+   * label-domain self-join, all on the same id domain. `localCheckpoint`
+   * truncates lineage each round (the plan would otherwise double per
+   * iteration), and the convergence check is a driver-bounded scalar count
+   * riding the same materialization.
    */
   def connectedComponents(
       nodes: DataFrame,
@@ -363,19 +367,38 @@ object Dedup {
         .repartition(width, col("__id"))
         .groupBy(col("__id"))
         .agg(min(col("component")).as("__in"))
-      val next = labels.join(inMin, Seq("__id"), "left_outer")
+      val viaEdge = labels.join(inMin, Seq("__id"), "left_outer")
         .select(col("__id"),
           least(col("component"), coalesce(col("__in"), col("component")))
             .as("component"),
           (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
         .localCheckpoint()
+      // pointer doubling: follow my label to ITS label in the same round.
+      // A label is always a node id of the same component, so the jump is
+      // exact; labels only ever decrease toward the component minimum.
+      val self = viaEdge
+        .select(col("__id").as("__c"), col("component").as("__cc"))
+        .repartition(width, col("__c"))
+      val next = viaEdge
+        .repartition(width, col("component"))
+        .join(self, col("component") === col("__c"), "left_outer")
+        .select(col("__id"),
+          least(col("component"), coalesce(col("__cc"), col("component")))
+            .as("component"),
+          (col("__chg") ||
+            coalesce(col("__cc") < col("component"), lit(false))).as("__chg"))
+        .localCheckpoint()
       changed = next.where(col("__chg")).count()
       val prev = labels
       labels = next.drop("__chg")
       prev.unpersist()
+      viaEdge.unpersist()
       iter += 1
     }
-    require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
+    require(changed == 0,
+      s"connectedComponents: no fixpoint after $maxIter rounds " +
+        s"(pointer doubling converges in O(log diameter); this needs a " +
+        s"component diameter around 2^$maxIter)")
     p0.unpersist()
     edgesW.unpersist()
     labels.withColumnRenamed("__id", idCol)

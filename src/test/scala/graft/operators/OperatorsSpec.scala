@@ -59,6 +59,18 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 6L -> 6L, 7L -> 6L), got.toString)
   }
 
+  test("connectedComponents converges on an adversarial diameter-40 path") {
+    // a 41-node path graph has diameter 40 > the default maxIter=20: plain
+    // min-label propagation would fail the fixpoint guard; pointer doubling
+    // (label chains halve per round) must converge in O(log 40) rounds.
+    // Edges are ordered HIGH-to-low so labels must travel the full path.
+    val nodes = (0L to 40L).toDF("id")
+    val pairs = (0L until 40L).map(i => (i + 1L, i)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap, got.toString)
+  }
+
   test("minhash LSH: 1k-copy identical cluster expands arithmetically") {
     // an m-copy boilerplate cluster must contribute ONE banded row per band
     // (never m) and its m(m-1)/2 intra pairs must come from the sorted-ids
