@@ -596,6 +596,16 @@ object SparkEntry {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))),
 
+    // SemDeDup over TRAINED cells: 4 L2 centroids from 2 Lloyd rounds
+    // partition the corpus (bit-exact cross-engine via integer micro-unit
+    // means), then the same cluster-bounded cosine drop — the trained-
+    // partitioner seam dedup_semantic's seed centroids leave open
+    "dedup_semantic_trained" -> ((s, dir) =>
+      Dedup.semDedupTrained(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.2, k = 4, iters = 2)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))),
+
     // corpus-level repeated-window detection (the repeated-substring dedup
     // family of Lee et al. 2022, arXiv:2107.06499): every 20-token window
     // hashed map-side (native shingle expression), grouped on the 8-byte
@@ -3056,6 +3066,10 @@ object SparkEntry {
       "ann_ivf_trained" -> operators.KMeansSql.ivfTopK(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,
         nprobe = 2, topK = 5, queryPred = "vec_id < 8"),
+
+      "dedup_semantic_trained" -> operators.KMeansSql.semDedup(
+        "embeddings", "vec_id", "embedding", k = 4, iters = 2,
+        minCosine = 0.2),
 
       "kmeans_assign" -> operators.KMeansSql.assignment(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2),

@@ -496,6 +496,38 @@ object Dedup {
   }
 
   /**
+   * [[semDedup]] over TRAINED k-means cells — the "trained partitioner
+   * would swap in" seam, exercised: `k` L2 centroids from `iters` Lloyd
+   * rounds ([[KMeans.train]] — exact integer micro-unit means, so the
+   * trained partition is bit-identical cross-engine), assignment map-side
+   * against the centroid literals, then the same cluster-bounded cosine
+   * drop join. Trained cells track density, so cluster sizes — and with
+   * them the sum-of-cluster-sizes-squared comparison cost — are far more
+   * balanced than lowest-id seeds on a skewed corpus. Sizing: `k` should
+   * grow ~√N with corpus size (SemDeDup's own regime) to keep mean cluster
+   * size ~√N; the k×d training collect per round is centroid-sized, never
+   * corpus-sized.
+   */
+  def semDedupTrained(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      k: Int,
+      iters: Int): DataFrame = {
+    val cents = KMeans.train(df, idCol, vecCol, k, iters)
+    val assigned = KMeans.assign(df, idCol, vecCol, cents)
+    val drops = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.cid") < col("b.cid"))
+      .where(graft.functions.VectorOps.cosine(col("a.v"), col("b.v"))
+        >= minCosine)
+      .select(col("b.cid").as("__drop"))
+      .distinct()
+    df.join(drops, col(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+
+  /**
    * n-gram Jaccard near-dup pairs: exact word-shingle Jaccard over
    * MinHash-LSH candidates, optionally restricted to a blocking key. This
    * replaces (and deliberately does not offer) the naive blocked self-join:

@@ -242,4 +242,20 @@ object KMeansSql {
        |                            ORDER BY l2sq, neighbor_id) AS rnk
        |  FROM cand)
        |WHERE rnk <= $topK ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Trained-cell SemDeDup survivors: ids NOT dropped as the higher side
+    * of a same-trained-cluster pair with cosine >= `minCosine`. The
+    * cosine runs over a$iters.v — the exact double widening of the float
+    * embeddings, the same per-element cast the Spark expression applies. */
+  def semDedup(table: String, vecId: String, vecCol: String,
+      k: Int, iters: Int, minCosine: Double): String =
+    s"""WITH ${ctes(table, vecId, vecCol, k, iters)},
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM a$iters a JOIN a$iters b
+       |    ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  WHERE ${graft.functions.VectorOpsSql.cosine("a.v", "b.v")} >= $minCosine)
+       |SELECT $vecId AS vec_id FROM $table
+       |WHERE $vecId NOT IN (SELECT vec_id FROM drops)
+       |ORDER BY vec_id""".stripMargin
 }

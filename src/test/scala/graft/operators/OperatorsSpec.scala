@@ -219,6 +219,38 @@ class DedupSpec extends SparkSuite {
     assert(kept == rows.map(_._1).toSet -- wantDropped,
       s"kept=$kept wantDropped=$wantDropped")
   }
+
+  test("semDedupTrained with k=1 equals brute force; drops are sound") {
+    // k=1 makes one trained cell = the whole corpus, so the cluster-bounded
+    // join must equal brute force exactly; with k=4 every drop must still
+    // have a lower-id SAME-cluster witness at >= the threshold (soundness)
+    val rows = (0L until 60L).map { i =>
+      val v = Array.tabulate(8)(j =>
+        (math.sin(i * 31 + j * 7) * 10).toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val vecs = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val keptK1 = Dedup.semDedupTrained(df, "id", "vec",
+        minCosine = 0.9, k = 1, iters = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wantDropped = rows.map(_._1).filter(i =>
+      rows.map(_._1).exists(j => j < i && cos(vecs(j), vecs(i)) >= 0.9)).toSet
+    assert(keptK1 == rows.map(_._1).toSet -- wantDropped,
+      s"keptK1=$keptK1 wantDropped=$wantDropped")
+    val keptK4 = Dedup.semDedupTrained(df, "id", "vec",
+        minCosine = 0.9, k = 4, iters = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val droppedK4 = rows.map(_._1).toSet -- keptK4
+    assert(droppedK4.subsetOf(wantDropped),
+      s"unsound drops: ${droppedK4 -- wantDropped}")
+  }
 }
 
 class SimilaritySpec extends SparkSuite {
