@@ -1345,6 +1345,20 @@ object SparkEntry {
           evalRate = 0.05, seed = 11, k = 3)
         .orderBy(col("doc_id"))),
 
+    // multi-benchmark decontamination: three hash-carved eval sets checked
+    // in ONE broadcast of the set-tagged shingle union, hits attributed
+    // per set — train-side cost identical to the single-set check
+    "contamination_multi" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = Sampling.hash16(col("doc_id"), 11)
+      val r = math.round(0.05 * Sampling.Buckets)
+      val sets = (0 until 3).map(i =>
+        s"eval_$i" -> d.where(h >= lit(i * r) && h < lit((i + 1) * r)))
+      Contamination.checkMulti(d.where(h >= lit(3 * r)), "doc_id", "text",
+          sets, k = 3)
+        .orderBy(col("doc_id"), col("eval_set"))
+    }),
+
     // ---- LLM-pipeline: similarity / ANN -------------------------------
     "ann_topk_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3174,6 +3188,10 @@ object SparkEntry {
       "contamination_check" ->
         (ContaminationSql.check("doc_id", "text", evalRate = 0.05, seed = 11,
           k = 3) + "\nORDER BY doc_id"),
+
+      "contamination_multi" ->
+        (ContaminationSql.checkMulti("doc_id", "text", nSets = 3,
+          evalRate = 0.05, seed = 11, k = 3) + "\nORDER BY doc_id, eval_set"),
 
       "ann_topk_bruteforce" ->
         s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (

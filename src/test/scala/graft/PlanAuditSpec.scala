@@ -269,6 +269,23 @@ class PlanAuditSpec extends SparkSuite {
       s"train shingles must stream map-side into the broadcast join:\n$p")
   }
 
+  test("contamination multi: N eval sets still cost ONE train-side broadcast join") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val h = graft.operators.Sampling.hash16(col("doc_id"), 11)
+    val r = math.round(0.05 * graft.operators.Sampling.Buckets)
+    val sets = (0 until 3).map(i =>
+      s"eval_$i" -> docs.where(h >= lit(i * r) && h < lit((i + 1) * r)))
+    val out = graft.operators.Contamination.checkMulti(
+      docs.where(h >= lit(3 * r)), "doc_id", "text", sets)
+    val p = physical(out)
+    assert(p.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") == 1,
+      s"the set-tagged shingle union must broadcast ONCE:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"train shingles must stream map-side into the broadcast join:\n$p")
+  }
+
   test("sliding chunks: pure map-side — zero Exchange in the plan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = physical(graft.operators.Chunking.slidingChunks(

@@ -129,6 +129,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rows.forall(r => math.abs(r.getDouble(3) - 0.5) < 1e-12))
   }
 
+  test("contamination multi: hits attributed per eval set") {
+    // two hash-carved eval sets; every doc shares its 2 leading 3-grams
+    // with every other doc, so each train doc overlaps BOTH sets at 2/4
+    val docs = (0L until 200L)
+      .map(i => (i, s"alpha beta gamma delta tail$i end$i"))
+      .toDF("doc_id", "text")
+    val h = Sampling.hash16(col("doc_id"), 11)
+    val r = math.round(0.1 * Sampling.Buckets)
+    val sets = (0 until 2).map(i =>
+      s"eval_$i" -> docs.where(h >= lit(i * r) && h < lit((i + 1) * r)))
+    sets.foreach { case (n, s) =>
+      assert(s.count() > 0, s"need a non-empty $n for the test") }
+    val train = docs.where(h >= lit(2 * r))
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Contamination.checkMulti(train, "doc_id", "text", sets)
+      .collect()
+    assert(rows.length == trainIds.size * 2, s"${rows.length}")
+    assert(rows.forall(r => trainIds.contains(r.getLong(0))))
+    assert(rows.map(_.getString(1)).toSet == Set("eval_0", "eval_1"))
+    assert(rows.forall(r => r.getLong(2) == 4L && r.getLong(3) == 2L))
+    assert(rows.forall(r => math.abs(r.getDouble(4) - 0.5) < 1e-12))
+  }
+
   test("shuffleAssign: reproducible, bucket = key % n, roughly uniform") {
     val docs = (0L until 4096L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val a = Sampling.shuffleAssign(docs, "doc_id", nBuckets = 8, seed = 5)
