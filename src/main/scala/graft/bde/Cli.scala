@@ -20,6 +20,38 @@ import org.apache.spark.sql.SparkSession
  */
 object Cli {
 
+  /** Reported by `-version` (bin/linz_bde_uploader.pl:106-110). */
+  val Version = "1.0.0"
+
+  /** The reference's log levels, severest first
+    * (bin/linz_bde_uploader.pl:38-49); `-log-level` must name one. */
+  val LogLevels: Seq[String] =
+    Seq("OFF", "FATAL", "ERROR", "WARN", "INFO", "DEBUG", "TRACE", "ALL")
+
+  /**
+   * `-listing_file` / `-verbose` / `-log-level` sink
+   * (bin/linz_bde_uploader.pl:200-235): messages at or above the threshold
+   * append to the listing file when one is named, and echo to stdout when
+   * `-v` is set — the reference's file appender + verbose_screen_log pair.
+   */
+  final class RunLog(
+      verbose: Boolean,
+      listingFile: Option[String],
+      level: String = "INFO") {
+    private val rank = LogLevels.indexOf(level)
+    private val out = listingFile.map(p =>
+      new java.io.PrintWriter(new java.io.FileWriter(p, true)))
+    def log(msgLevel: String, msg: String): Unit =
+      if (LogLevels.indexOf(msgLevel) <= rank) {
+        val line = s"$msgLevel - $msg"
+        out.foreach { w => w.println(line); w.flush() }
+        if (verbose) println(line)
+      }
+    def info(msg: String): Unit = log("INFO", msg)
+    def debug(msg: String): Unit = log("DEBUG", msg)
+    def close(): Unit = out.foreach(_.close())
+  }
+
   final case class Options(
       full: Boolean = false,            // -f | -full
       incremental: Boolean = false,     // -i | -incremental
@@ -36,6 +68,11 @@ object Cli {
       skipPostUpload: Boolean = false,  // -skip-postupload-tasks
       fullTimeout: Option[Double] = None,  // -t | -full-timeout hours
       incTimeout: Option[Double] = None,   // -u | -inc-timeout hours
+      keepFiles: Boolean = false,       // -k | -keep-files
+      listingFile: Option[String] = None,  // -l | -listing_file path
+      verbose: Boolean = false,         // -v | -verbose
+      logLevel: Option[String] = None,  // -log-level LEVEL
+      printVersion: Boolean = false,    // -version
       configPath: Option[String] = None,
       configExtension: Option[String] = None, // -x | -config-extension
       repository: Option[String] = None,
@@ -62,6 +99,12 @@ object Cli {
         loop(t, o.copy(fullTimeout = Some(v.toDouble)))
       case ("-u" | "-inc-timeout") :: v :: t =>
         loop(t, o.copy(incTimeout = Some(v.toDouble)))
+      case ("-k" | "-keep-files") :: t => loop(t, o.copy(keepFiles = true))
+      case ("-l" | "-listing_file") :: v :: t =>
+        loop(t, o.copy(listingFile = Some(v)))
+      case ("-v" | "-verbose") :: t => loop(t, o.copy(verbose = true))
+      case "-log-level" :: v :: t => loop(t, o.copy(logLevel = Some(v)))
+      case "-version" :: t => loop(t, o.copy(printVersion = true))
       case ("-b" | "-before") :: v :: t => loop(t, o.copy(before = Some(v)))
       case ("-c" | "-config-path") :: v :: t => loop(t, o.copy(configPath = Some(v)))
       case ("-x" | "-config-extension") :: v :: t =>
@@ -75,7 +118,9 @@ object Cli {
     loop(args.toList, Options()).flatMap { o0 =>
       // implication rules (bin/linz_bde_uploader.pl:118-148): `-j` implies
       // `-f`, and `-j` with `-r` is contradictory (linz issue #116)
-      if (o0.fullIncremental && o0.rebuild)
+      if (o0.logLevel.exists(l => !LogLevels.contains(l)))
+        Left(s"Log level must be one of ${LogLevels.mkString(", ")}")
+      else if (o0.fullIncremental && o0.rebuild)
         Left("-full-incremental and -rebuild are contradictory, use one or the other")
       else if (o0.fullIfNeeded && o0.rebuild)
         Left("Cannot use -full-if-needed with -rebuild")
@@ -146,13 +191,16 @@ object Cli {
       eventHooks = eventHooks,
       parallelTables = conf.long("parallel_tables", 1).toInt,
       skipPostUploadTasks =
-        o.skipPostUpload || conf.boolean("skip_postupload_tasks", false))
+        o.skipPostUpload || conf.boolean("skip_postupload_tasks", false),
+      keepFiles = o.keepFiles || conf.boolean("keep_files", false))
   }
 
   def main(args: Array[String]): Unit = {
     parseArgs(args.toIndexedSeq) match {
       case Left(err) =>
         System.err.println(s"error: $err"); sys.exit(1)
+      case Right(o) if o.printVersion =>
+        println(Version)
       case Right(o) =>
         val spark = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -161,8 +209,11 @@ object Cli {
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
           .config("spark.sql.session.timeZone", "UTC")
           .getOrCreate()
+        val log = new RunLog(o.verbose, o.listingFile,
+          o.logLevel.getOrElse("INFO"))
         try {
           val conf = loadConfig(o)
+          log.debug(s"options: $o")
           val runCfg = if (o.full || o.incremental) Some(buildRunConfig(o, conf))
             else None
           val controlDir = runCfg.map(_.controlDir)
@@ -175,12 +226,17 @@ object Cli {
             // lock_expiry_hours, drop job rows past job_record_expiry_days
             val lockExpiry = conf.double("lock_expiry_hours", 0)
             if (lockExpiry > 0) control.releaseExpiredLocks(lockExpiry)
-            println(s"purged: ${
-              control.removeOldJobData(conf.long("job_record_expiry_days", 7).toInt)}")
+            val purged =
+              control.removeOldJobData(conf.long("job_record_expiry_days", 7).toInt)
+            log.info(s"purged $purged expired job records")
+            println(s"purged: $purged")
           }
-          if (o.removeZombie)
-            println(s"zombies: ${control.releaseExpiredLocks(
-              conf.double("lock_expiry_hours", 1.0))}")
+          if (o.removeZombie) {
+            val released = control.releaseExpiredLocks(
+              conf.double("lock_expiry_hours", 1.0))
+            log.info(s"released $released zombie locks")
+            println(s"zombies: $released")
+          }
           runCfg.foreach { rc =>
             val (cat0, errs) = Catalog.parse(
               scala.io.Source.fromFile(tablesConfPath(o, conf)).getLines())
@@ -199,9 +255,13 @@ object Cli {
               level0IfNeeded = o.fullIfNeeded,
               rebuild = o.rebuild || conf.boolean("rebuild", false),
               level0AsDiff = o.fullIncremental)
-            outcomes.foreach(r => println(
-              f"${r.dataset} L${r.level} ${r.table}%-30s ${r.status}%-8s " +
-                f"I=${r.ninsert} U=${r.nupdate} 0=${r.nnullupdate} D=${r.ndelete} ${r.message}"))
+            outcomes.foreach { r =>
+              val line =
+                f"${r.dataset} L${r.level} ${r.table}%-30s ${r.status}%-8s " +
+                  f"I=${r.ninsert} U=${r.nupdate} 0=${r.nnullupdate} D=${r.ndelete} ${r.message}"
+              log.info(line)
+              println(line)
+            }
             // `-m`: storage maintenance after the run — the parquet
             // analogue of VACUUM ANALYSE (BdeDatabase.pm:400-405): prune
             // superseded version directories of every selected table
@@ -210,11 +270,13 @@ object Cli {
                 new ParquetTableSink(spark, rc.tablesDir, t.name)
                   .pruneVersions().map(v => s"${t.name}/$v")
               }
-              println(s"maintain: pruned ${pruned.size} superseded versions" +
-                (if (pruned.nonEmpty) pruned.mkString(" (", ", ", ")") else ""))
+              val line = s"maintain: pruned ${pruned.size} superseded versions" +
+                (if (pruned.nonEmpty) pruned.mkString(" (", ", ", ")") else "")
+              log.info(line)
+              println(line)
             }
           }
-        } finally spark.stop()
+        } finally { log.close(); spark.stop() }
     }
   }
 }

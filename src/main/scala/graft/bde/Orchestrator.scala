@@ -87,7 +87,10 @@ object Orchestrator {
       parallelTables: Int = 1,
       /** `-skip-postupload-tasks`: suppress the post-level0/post-upload
         * hook phases by user choice (lib/LINZ/BdeUpload.pm:815-822). */
-      skipPostUploadTasks: Boolean = false)
+      skipPostUploadTasks: Boolean = false,
+      /** `-k | -keep-files` (`keep_files` config): failed/aborted staged
+        * version dirs stay on disk for inspection. */
+      keepFiles: Boolean = false)
 
   final case class TableOutcome(
       dataset: String, level: String, table: String, status: String, // loaded|skipped|failed|dry-run
@@ -236,7 +239,8 @@ object Orchestrator {
                   0, 0, 0, 0, reason)
               case None =>
                 try {
-                  val sink = new ParquetTableSink(spark, cfg.tablesDir, t.name)
+                  val sink = new ParquetTableSink(spark, cfg.tablesDir, t.name,
+                    keepFiles = cfg.keepFiles)
                   val files = t.files.map(f => s"${p.path}/$f.crs")
                   if (p.level == "5" && !sink.exists)
                     throw new IllegalStateException(

@@ -51,7 +51,13 @@ trait TableSink {
 final class ParquetTableSink(
     spark: SparkSession,
     rootDir: String,
-    val table: String) extends TableSink {
+    val table: String,
+    /** `-k | -keep-files` (bin/linz_bde_uploader.pl:93): leave failed /
+      * aborted staged version dirs on disk for inspection instead of
+      * deleting them — the reference keeps its scratch files the same way
+      * (`rmtree($tmp) if ! keepfiles`, lib/LINZ/BdeUpload.pm:465). Kept
+      * dirs stay prunable later via [[pruneVersions]] / `-m`. */
+    keepFiles: Boolean = false) extends TableSink {
 
   private val tableDir = new Path(s"$rootDir/$table")
   private val currentPtr = new Path(tableDir, "_CURRENT")
@@ -114,7 +120,7 @@ final class ParquetTableSink(
   }
 
   def discard(stagedName: String): Unit = {
-    fs.delete(new Path(tableDir, stagedName), true)
+    if (!keepFiles) fs.delete(new Path(tableDir, stagedName), true)
     ()
   }
 

@@ -126,4 +126,38 @@ class ConfigSpec extends AnyFunSuite {
     val Right(n) = Cli.parseArgs(Seq("-full-if-needed"))
     assert(n.fullIfNeeded && n.full && !n.fullIncremental)
   }
+
+  test("trivia flags: -k -l -v -log-level -version (pl:93-100)") {
+    val Right(o) = Cli.parseArgs(Seq("-k", "-l", "/tmp/listing.log", "-v",
+      "-log-level", "DEBUG", "-version"))
+    assert(o.keepFiles && o.verbose && o.printVersion)
+    assert(o.listingFile.contains("/tmp/listing.log"))
+    assert(o.logLevel.contains("DEBUG"))
+    val Right(long) = Cli.parseArgs(Seq("-keep-files", "-listing_file", "f", "-verbose"))
+    assert(long.keepFiles && long.verbose && long.listingFile.contains("f"))
+    // unknown log level rejected up front, like the reference's LOG_LEVELS
+    // check (pl:112-116)
+    assert(Cli.parseArgs(Seq("-log-level", "CHATTY")).isLeft)
+    assert(Cli.LogLevels ==
+      Seq("OFF", "FATAL", "ERROR", "WARN", "INFO", "DEBUG", "TRACE", "ALL"))
+  }
+
+  test("RunLog: threshold filters; listing file appends; verbose echoes") {
+    val f = java.nio.file.Files.createTempFile("graft-listing", ".log")
+    val log = new Cli.RunLog(verbose = false, Some(f.toString), "INFO")
+    log.info("kept")
+    log.debug("filtered")
+    log.close()
+    val lines = scala.io.Source.fromFile(f.toFile).getLines().toList
+    assert(lines == List("INFO - kept"), lines.toString)
+    // DEBUG threshold lets both through
+    val log2 = new Cli.RunLog(verbose = false, Some(f.toString), "DEBUG")
+    log2.info("i2"); log2.debug("d2"); log2.close()
+    val lines2 = scala.io.Source.fromFile(f.toFile).getLines().toList
+    assert(lines2 == List("INFO - kept", "INFO - i2", "DEBUG - d2"), lines2.toString)
+    java.nio.file.Files.delete(f)
+    // no listing file + no verbose = silent no-op
+    val log3 = new Cli.RunLog(verbose = false, None, "ALL")
+    log3.info("nowhere"); log3.close()
+  }
 }

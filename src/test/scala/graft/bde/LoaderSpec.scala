@@ -137,6 +137,21 @@ class LoaderSpec extends SparkSuite {
     assert(sink.read().count() == 1)
   }
 
+  test("keepFiles leaves a discarded staged dir on disk (-k | -keep-files)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("keepf").toString
+    val keep = new ParquetTableSink(spark, root, "t_kf", keepFiles = true)
+    val s1 = keep.stage(Seq((1, "a")).toDF("id", "v"), "20200101000000")
+    keep.discard(s1)
+    assert(Files.exists(java.nio.file.Paths.get(root, "t_kf", s1)),
+      "keepFiles sink must leave the staged dir for inspection")
+    val drop = new ParquetTableSink(spark, root, "t_kf")
+    val s2 = drop.stage(Seq((2, "b")).toDF("id", "v"), "20200102000000")
+    drop.discard(s2)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t_kf", s2)),
+      "default sink must delete the discarded staged dir")
+  }
+
   test("level-5 early exit on zero changes for this table") {
     val root = Files.createTempDirectory("l5-empty").toString
     val st = E2E.stageRepository()
