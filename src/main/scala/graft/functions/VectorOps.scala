@@ -52,6 +52,25 @@ object VectorOps {
     when(den === 0d, lit(0d)).otherwise(d / den)
   }
 
+  /** Native squared-L2 distance between two numeric array columns (see
+    * [[graft.plans.SqDistExpr]]) — the k-means hot path evaluates k of
+    * these per row, one per centroid. */
+  def sqDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.SqDistExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Higher-order-fold reference for [[sqDist]] — the original k-means
+    * formulation, kept to PIN the native expression's sequential fold
+    * arithmetic (the spec compares them bit-for-bit). */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, x) => acc + x)
+
   /** ±1 pseudo-random hyperplane weight for (plane, component j): parity of
     * a deterministic LCG step, identical arithmetic in any engine. `j` is a
     * column (the array index); `plane` folds the table+bit identity in. */

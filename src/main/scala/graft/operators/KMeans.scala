@@ -38,13 +38,14 @@ object KMeans {
   /** Micro-unit quantization for the centroid means (2^20). */
   val Quant = 1L << 20
 
-  /** Sequential-fold squared L2 distance of `v` (float elements, cast
-    * double per element) against a literal centroid. */
+  /** Sequential-fold squared L2 distance of `v` (float elements, widened
+    * to double per element) against a literal centroid — the native
+    * [[graft.plans.SqDistExpr]], bit-identical to the higher-order fold it
+    * replaced (pinned in OperatorsSpec) but JIT'd: assignment evaluates k
+    * of these per row, and interpreted lambdas dominated the trainer's
+    * map-side cost. */
   private def sqDist(v: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(c.toSeq),
-        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-      lit(0d), (acc, x) => acc + x)
+    graft.functions.VectorOps.sqDist(v, typedLit(c.toSeq))
 
   /** (cid, v, cluster): each row labelled with the index of its nearest
     * centroid — distance ties break to the lowest index via (d, cl)
@@ -102,13 +103,10 @@ object KMeans {
     cents
   }
 
-  /** Sequential-fold squared L2 distance between two vector COLUMNS. */
+  /** Sequential-fold squared L2 distance between two vector COLUMNS
+    * (native, see [[sqDist]]). */
   private def sqDistCols(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0d), (acc, x) => acc + x)
+    graft.functions.VectorOps.sqDist(a, b)
 
   /**
    * IVF top-k over TRAINED cells — the seam [[Similarity.ivfTopK]]

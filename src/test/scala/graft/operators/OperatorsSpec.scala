@@ -446,6 +446,40 @@ class RpBucketsSpec extends SparkSuite {
     assert(z == 0.0)
   }
 
+  test("native SqDistExpr matches the higher-order-fold reference exactly") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 300L).map { i =>
+      val dim = 1 + rnd.nextInt(64)
+      (i, Array.fill(dim)(rnd.nextFloat() * 4 - 2),
+        Array.fill(dim)(rnd.nextFloat() * 4 - 2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // float vs float, and float vs a double literal (the centroid shape)
+    val both = df.select(
+      VectorOps.sqDist(col("a"), col("b")).as("native"),
+      VectorOps.sqDistHof(col("a"), col("b")).as("ref"),
+      VectorOps.sqDist(col("a"),
+        typedLit(Seq.fill(65)(0.25d))).as("native_mixed"),
+      VectorOps.sqDistHof(col("a"),
+        typedLit(Seq.fill(65)(0.25d))).as("ref_mixed"))
+    // bit-for-bit: compare raw doubles, no tolerance
+    assert(both.where(col("native") =!= col("ref")).count() == 0)
+    assert(both.where(col("native_mixed") <=> col("ref_mixed")).count() == 300)
+    // self-distance 0; empty arrays → the 0.0 fold seed; length mismatch
+    // and null element → null, matching zip_with padding semantics
+    val edge = Seq((Array(1f, 2f), Array.empty[Float]))
+      .toDF("a", "empty")
+      .select(
+        VectorOps.sqDist(col("a"), col("a")).as("self"),
+        VectorOps.sqDist(col("empty"), col("empty")).as("empties"),
+        VectorOps.sqDist(col("a"), col("empty")).as("mismatch"),
+        VectorOps.sqDist(col("a"),
+          array(lit(1f), lit(null).cast("float"))).as("nullel"))
+      .collect().head
+    assert(edge.getDouble(0) == 0.0 && edge.getDouble(1) == 0.0)
+    assert(edge.isNullAt(2) && edge.isNullAt(3))
+  }
+
   test("native RpBucketsExpr edge cases: empty vec, null element, null vec") {
     val df = Seq(
       (1L, Some(Array[Float]())),
