@@ -1134,6 +1134,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // recall@5 of the nprobe=2 trained-IVF search against the exhaustive
+    // nprobe=4 (all cells = exact) reference — the quality gauge for the
+    // probe-cost/recall trade, per query
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      def ivf(np: Int) = operators.KMeans.ivfTopK(emb, q,
+        "vec_id", "embedding", kClusters = 4, iters = 2, nprobe = np, k = 5)
+      operators.Similarity.recallAtK(approx = ivf(2), exact = ivf(4))
+        .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // salted two-stage aggregation over the MOST skewed key in the data
     // (5 event_type values carry the whole stream — an unsalted groupBy
     // runs 5 reducer tasks however wide the cluster): partials group on
@@ -3084,6 +3097,21 @@ object SparkEntry {
       "dedup_semantic_trained" -> operators.KMeansSql.semDedup(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,
         minCosine = 0.2),
+
+      "ann_recall" -> {
+        def ivf(np: Int) = operators.KMeansSql.ivfTopK(
+          "embeddings", "vec_id", "embedding", k = 4, iters = 2,
+          nprobe = np, topK = 5, queryPred = "vec_id < 8")
+        s"""SELECT e.query_id,
+           |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |       round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                      THEN 1 ELSE 0 END)::DOUBLE
+           |             / count(*)::DOUBLE, 6) AS recall
+           |FROM (${ivf(4)}) e
+           |LEFT JOIN (${ivf(2)}) a USING (query_id, neighbor_id)
+           |GROUP BY e.query_id ORDER BY query_id""".stripMargin
+      },
 
       "kmeans_assign" -> operators.KMeansSql.assignment(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2),

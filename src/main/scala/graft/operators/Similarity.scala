@@ -202,4 +202,31 @@ object Similarity {
       .where(col("cosine") >= minCosine)
     CacheScope.unpersistAfterAction(result, Seq(pre))
   }
+
+  /**
+   * Per-query recall of an approximate-nearest-neighbor result against an
+   * exact reference: of each query's exact top-k, the fraction the ANN
+   * search also returned. The standard quality gauge run before trading
+   * exactness for probe cost ([[ivfTopK]]'s nprobe, [[lshNeighborPairs]]'s
+   * table count) — at 100 TB the exact side is computed once on a sampled
+   * query set, never the full corpus.
+   *
+   * Both inputs are (query_id, neighbor_id, ...) frames, e.g. two
+   * [[KMeans.ivfTopK]] calls at different nprobe. The join keys on the
+   * (query, neighbor) id pairs — k rows per query per side, so cost is
+   * query-set-sized; queries whose ANN arm found nothing still report
+   * (recall 0), via the left join from the exact side.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
 }

@@ -263,6 +263,18 @@ class SimilaritySpec extends SparkSuite {
     (3L, Array(-1f, 0f, 0f, 0f)),
     (4L, Array(0.95f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
 
+  test("recallAtK: per-query hit fraction; a fully-missed query reports 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    // q1 finds 2 of 3; q2 finds none of its exact set (only a stray id);
+    // the stray approx hit must not inflate anything
+    val approx = Seq((1L, 10L), (1L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((2L, 2d / 3d)), 2L -> ((0L, 0d))), got.toString)
+  }
+
   test("bruteForceTopK: exact ranks, deterministic tie-break, k respected") {
     val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
       "vec_id", "embedding", 2)
