@@ -1358,6 +1358,26 @@ object SparkEntry {
           evalRate = 0.05, seed = 11, k = 3)
         .orderBy(col("doc_id"))),
 
+    // FUZZY decontamination: train docs near-duplicating (Jaccard >= 0.5)
+    // an eval doc, via cross-corpus MinHash-LSH banding — the leak exact
+    // n-gram overlap misses. Eval = a 5% hash split of documents; train =
+    // every document with its 5 leading tokens dropped (ids +10000), so
+    // each eval doc's mutated twin must surface
+    "contamination_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val h = Sampling.hash16(col("doc_id"), 7)
+      val r = math.round(0.05 * Sampling.Buckets)
+      val toks = TextOps.tokens(col("text"))
+      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      Contamination.fuzzy(train, d.where(h < lit(r)), "doc_id", "text",
+          minJaccard = 0.5)
+        .select(col("doc_id"), col("eval_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
     // multi-benchmark decontamination: three hash-carved eval sets checked
     // in ONE broadcast of the set-tagged shingle union, hits attributed
     // per set — train-side cost identical to the single-set check
@@ -3220,6 +3240,20 @@ object SparkEntry {
       "contamination_multi" ->
         (ContaminationSql.checkMulti("doc_id", "text", nSets = 3,
           evalRate = 0.05, seed = 11, k = 3) + "\nORDER BY doc_id, eval_set"),
+
+      "contamination_fuzzy" -> {
+        val toks = TextOpsSql.tokens("text")
+        val r = math.round(0.05 * operators.Sampling.Buckets)
+        (ContaminationSql.fuzzy("doc_id", "text",
+          trainFrom = s"""(SELECT doc_id + 10000 AS doc_id,
+             |             CASE WHEN len($toks) > 5
+             |                  THEN array_to_string(($toks)[6:], ' ')
+             |                  ELSE text END AS text
+             |             FROM documents) tsrc""".stripMargin,
+          evalFrom = "(SELECT doc_id, text FROM documents WHERE " +
+            s"${operators.SamplingSql.hash16("doc_id", 7)} < $r) esrc",
+          minJaccard = 0.5) + "\nORDER BY doc_id, eval_id")
+      },
 
       "ann_topk_bruteforce" ->
         s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (

@@ -102,6 +102,55 @@ object Contamination {
         (col("n_shared").cast("double") / col("n_shingles").cast("double"))
           .as("contam_frac"))
   }
+
+  /**
+   * FUZZY (near-duplicate) contamination: train documents whose word-
+   * shingle set has Jaccard ≥ `minJaccard` with some eval document —
+   * the decontamination step exact n-gram overlap misses (a benchmark
+   * answer lightly paraphrased, truncated, or re-wrapped still leaks).
+   * Candidates come from MinHash-LSH banding BETWEEN the corpora (a train
+   * doc and an eval doc must share a band bucket), verified by exact
+   * Jaccard on the candidate pairs only — never a train-side self-join.
+   *
+   * Scale posture: the eval side is benchmark-sized, so its banded rows
+   * AND its shingle sets broadcast; the 100 TB train side streams map-side
+   * through signature → band-explode → two broadcast joins, shuffling only
+   * the candidate (train, eval) id pairs for the distinct. Docs too short
+   * to shingle have null buckets and never pair — the batch operators'
+   * parity rule.
+   *
+   * @return (idCol, eval_id, jaccard) — one row per contaminated
+   *         (train doc, eval doc) pair at or above the threshold
+   */
+  def fuzzy(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double): DataFrame = {
+    val tSig = Dedup.withSignature(
+      train.select(col(idCol), col(textCol)), idCol, textCol).cache()
+    val eSig = Dedup.withSignature(
+      evalSet.select(col(idCol).as("eval_id"), col(textCol)),
+      "eval_id", textCol).cache()
+    val tBands = Dedup.banded(tSig, idCol, Nil)
+    val eBands = Dedup.banded(eSig, "eval_id", Nil)
+      .select(col("id").as("eval_id"), col("band"), col("bucket"))
+    val candidates = tBands
+      .join(broadcast(eBands), Seq("band", "bucket"))
+      .select(col("id").as(idCol), col("eval_id"))
+      .dropDuplicates(idCol, "eval_id")
+    val verified = candidates
+      .join(tSig.select(col(idCol), col("shingles").as("__tsh")), Seq(idCol))
+      .join(broadcast(
+        eSig.select(col("eval_id"), col("shingles").as("__esh"))),
+        Seq("eval_id"))
+      .select(col(idCol), col("eval_id"),
+        graft.functions.TextOps.jaccard(col("__tsh"), col("__esh"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    CacheScope.unpersistAfterAction(verified, Seq(tSig, eSig))
+  }
 }
 
 /** DuckDB rendering of [[Contamination.check]] for the oracle. */
@@ -158,5 +207,40 @@ object ContaminationSql {
        |FROM sh JOIN ev USING (sh)
        |WHERE h >= ${nSets * r}
        |GROUP BY sh.$idCol, ev.eval_set, n_shingles""".stripMargin
+  }
+
+  /** Mirror of [[Contamination.fuzzy]]: `trainFrom`/`evalFrom` are FROM
+    * bodies producing ($idCol, $textCol) rows for each corpus. */
+  def fuzzy(
+      idCol: String,
+      textCol: String,
+      trainFrom: String,
+      evalFrom: String,
+      minJaccard: Double): String = {
+    val toks = TextOpsSql.tokens(textCol)
+    val thash = TextOpsSql.tokenHashes("toks")
+    val shingles = TextOpsSql.shingleHashes("thash")
+    val sig = TextOpsSql.minHashSignature("shingles")
+    val bucketCase = (0 until TextOps.Bands)
+      .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+      .mkString("CASE band ", " ", " END")
+    val bandVals = (0 until TextOps.Bands)
+      .map(b => s"($b)").mkString("(VALUES ", ", ", ") b(band)")
+    def side(name: String, from: String, id: String) =
+      s"""${name}tok AS (SELECT $idCol AS $id, $toks AS toks FROM $from),
+         |${name}th AS (SELECT $id, $thash AS thash FROM ${name}tok),
+         |${name}sh AS (SELECT $id, list_distinct($shingles) AS shingles
+         |              FROM ${name}th),
+         |${name}sg AS (SELECT $id, shingles, $sig AS sig FROM ${name}sh),
+         |${name}bands AS (SELECT $id, shingles, band, $bucketCase AS bucket
+         |                 FROM ${name}sg, $bandVals)""".stripMargin
+    s"""WITH ${side("t", trainFrom, idCol)},
+       |${side("e", evalFrom, "eval_id")}
+       |SELECT $idCol, eval_id, round(j, 6) AS jaccard FROM (
+       |  SELECT DISTINCT t.$idCol, e.eval_id,
+       |         ${TextOpsSql.jaccard("t.shingles", "e.shingles")} AS j
+       |  FROM tbands t JOIN ebands e
+       |    ON t.band = e.band AND t.bucket = e.bucket)
+       |WHERE j >= $minJaccard""".stripMargin
   }
 }

@@ -152,6 +152,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rows.forall(r => math.abs(r.getDouble(4) - 0.5) < 1e-12))
   }
 
+  test("contamination fuzzy: cross-corpus near-dups surface, unrelated text doesn't") {
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact
+      (101L, "beta gamma delta epsilon zeta eta theta iota kappa"),       // near
+      (200L, "wholly unrelated words that never overlap anything above"))
+      .toDF("doc_id", "text")
+    val got = Contamination.fuzzy(train, evalSet, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId.contains(100L) && byId(100L)._2 == 1L && byId(100L)._3 == 1.0,
+      got.mkString(";"))
+    // the near copy shares 7 of 8 shingles (jaccard 0.875) — its signature
+    // must land in at least one common band for LSH to be useful here
+    assert(byId.contains(101L) && byId(101L)._3 > 0.8, got.mkString(";"))
+    assert(!byId.contains(200L), got.mkString(";"))
+  }
+
   test("shuffleAssign: reproducible, bucket = key % n, roughly uniform") {
     val docs = (0L until 4096L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val a = Sampling.shuffleAssign(docs, "doc_id", nBuckets = 8, seed = 5)
