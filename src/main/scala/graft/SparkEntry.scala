@@ -876,6 +876,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("lang"))),
 
+    // temperature-scaled mixing at T=2: target weights sqrt(n_s)-derived
+    // from the observed sizes (the multilingual flattening rule), realized
+    // by the same map-side hash thinning — sqrt is IEEE-exact in both
+    // engines, so the derived thresholds match bit-for-bit
+    "mix_temperature" -> ((s, dir) =>
+      Mixing.mixByTemperature(t(s, dir, "documents"), "doc_id", "lang",
+          temperature = 2.0, seed = 9)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))),
+
     // INTENT pin for the whole hash16 family: split/sample/shuffle over a
     // literal id range, checked against VALUES computed by an INDEPENDENT
     // reimplementation of the hash arithmetic (tools/hash16_reference.py) —
@@ -2900,6 +2911,10 @@ object SparkEntry {
         MixingSql.mixCounts("documents", "doc_id", "lang",
           Seq("en" -> 0.5, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1, "zh" -> 0.1),
           seed = 9),
+
+      "mix_temperature" ->
+        MixingSql.temperatureCounts("documents", "doc_id", "lang",
+          temperature = 2.0, seed = 9),
 
       // literal expected VALUES from tools/hash16_reference.py — pins the
       // INTENT of hash16/assignSplit/sampleByHash/shuffleAssign (the other

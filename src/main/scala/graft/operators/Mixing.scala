@@ -61,9 +61,57 @@ object Mixing {
       strataCol: String,
       weights: Seq[(String, Double)],
       seed: Long = 0L): DataFrame = {
-    val counts = df.groupBy(col(strataCol)).count()
+    val th = thresholds(strataCounts(df, strataCol), weights)
+    applyThresholds(df, idCol, strataCol, th, seed)
+  }
+
+  /**
+   * Temperature-scaled mixing: target weights DERIVED from the observed
+   * stratum sizes, p_s ∝ n_s^(1/T) — the standard multilingual/multi-source
+   * resampling rule (T = 1 keeps natural proportions; T > 1 flattens the
+   * distribution toward small strata; T → ∞ approaches uniform). The
+   * derived weights feed the same no-upsampling thinning as [[mix]].
+   *
+   * Cross-engine exactness: at the common T = 2 the exponent is 1/2 and
+   * both engines compute `sqrt` — IEEE-754-correctly-rounded everywhere,
+   * so thresholds are bit-identical. Other exponents go through libm
+   * `pow`, whose last bit is NOT portable; the oracle therefore pins T = 2
+   * (callers may use any T; a one-ulp pow difference can only flip rows at
+   * an exact threshold boundary).
+   */
+  def mixByTemperature(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      temperature: Double,
+      seed: Long = 0L): DataFrame = {
+    val counts = strataCounts(df, strataCol)
+    val th = thresholds(counts, temperatureWeights(counts, temperature))
+    applyThresholds(df, idCol, strataCol, th, seed)
+  }
+
+  /** n_s^(1/T) per stratum, in sorted-stratum order (the order the
+    * normalizing sum folds in — mirrored by the oracle's ordered sum). */
+  def temperatureWeights(
+      counts: Map[String, Long],
+      temperature: Double): Seq[(String, Double)] = {
+    require(temperature > 0, "temperature must be positive")
+    val a = 1.0 / temperature
+    counts.toSeq.sortBy(_._1).map { case (s, n) =>
+      s -> (if (a == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, a))
+    }
+  }
+
+  private def strataCounts(df: DataFrame, strataCol: String): Map[String, Long] =
+    df.groupBy(col(strataCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val th = thresholds(counts, weights)
+
+  private def applyThresholds(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      th: Map[String, Long],
+      seed: Long): DataFrame = {
     val thresholdCol = th.foldLeft(lit(0L): Column) {
       case (onward, (s, t)) =>
         when(col(strataCol) === lit(s), lit(t)).otherwise(onward)
@@ -103,4 +151,30 @@ object MixingSql {
        |FROM $table d JOIN r ON d.$strataCol = r.s
        |WHERE ${SamplingSql.hash16(idCol, seed)} < threshold
        |GROUP BY d.$strataCol ORDER BY d.$strataCol""".stripMargin
+
+  /** Mirror of [[Mixing.mixByTemperature]] + per-stratum count. The
+    * unnormalized weight is `sqrt(n)` at exponent 0.5 (IEEE-exact in both
+    * engines) and the normalizing sum folds in stratum order
+    * (`sum(.. ORDER BY s)`), matching the Scala sorted-Seq fold — both
+    * pinned so the derived thresholds are bit-identical. */
+  def temperatureCounts(
+      table: String,
+      idCol: String,
+      strataCol: String,
+      temperature: Double,
+      seed: Long = 0L): String = {
+    val a = 1.0 / temperature
+    val pw = if (a == 0.5) "sqrt(n::DOUBLE)" else s"pow(n::DOUBLE, $a)"
+    s"""WITH c AS (SELECT $strataCol AS s, count(*) AS n FROM $table GROUP BY 1),
+       |w0 AS (SELECT s, n, $pw AS pw FROM c),
+       |ws AS (SELECT sum(pw ORDER BY s) AS wsum FROM w0),
+       |j AS (SELECT s, n, pw / wsum AS p FROM w0, ws),
+       |np AS (SELECT min(n / p) AS nprime FROM j),
+       |r AS (SELECT s, CAST(floor(p * nprime / n * 65536 + 0.5) AS BIGINT)
+       |             AS threshold FROM j, np)
+       |SELECT d.$strataCol, count(*) AS n_kept
+       |FROM $table d JOIN r ON d.$strataCol = r.s
+       |WHERE ${SamplingSql.hash16(idCol, seed)} < threshold
+       |GROUP BY d.$strataCol ORDER BY d.$strataCol""".stripMargin
+  }
 }

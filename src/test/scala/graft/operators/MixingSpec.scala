@@ -58,6 +58,36 @@ class MixingSpec extends SparkSuite {
     assert(exchanges.isEmpty, kept.queryExecution.executedPlan.toString)
   }
 
+  test("temperature weights: T=1 is natural (keep all), T=2 flattens by sqrt") {
+    val counts = Map("en" -> 1000L, "de" -> 500L, "zh" -> 100L)
+    // T=1: p_s = n_s/N, so N' = N and every rate is exactly 1.0
+    val th1 = Mixing.thresholds(counts, Mixing.temperatureWeights(counts, 1.0))
+    assert(th1.values.forall(_ == 65536L), th1.toString)
+    // T=2: p ∝ sqrt(n) → (1000, 500, 100) → weights ∝ (31.62, 22.36, 10);
+    // zh limits (nprime = 100/p_zh); rates shrink with size
+    val th2 = Mixing.thresholds(counts, Mixing.temperatureWeights(counts, 2.0))
+    assert(th2("zh") == 65536L, th2.toString)
+    assert(th2("en") < th2("de") && th2("de") < 65536L, th2.toString)
+    // hand-derived: wsum = sqrt(1000)+sqrt(500)+sqrt(100); nprime =
+    // 100*wsum/10; rate_en = (sqrt(1000)/wsum)*nprime/1000
+    val wsum = math.sqrt(1000.0) + math.sqrt(500.0) + 10.0
+    val nprime = 100.0 / (10.0 / wsum)
+    def rate(n: Double) = (math.sqrt(n) / wsum) * nprime / n
+    assert(th2("en") == math.round(rate(1000.0) * 65536L))
+    assert(th2("de") == math.round(rate(500.0) * 65536L))
+    // end-to-end over the 4-strata corpus (en 1000, de 500, zh 100, fr 50):
+    // weights derive from ALL observed strata, so fr is in the mixture now
+    // and — as the smallest — is the limiting stratum that keeps every row
+    // (nprime = min over n/p lands on fr); zh thins to ~0.71, en to ~0.22
+    val kept = Mixing.mixByTemperature(corpus, "doc_id", "lang", 2.0, seed = 4)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 50L, kept.toString)
+    assert(kept("zh") > 50L && kept("zh") < 92L, kept.toString) // ~71 ± noise
+    // natural en:zh is 10:1; sqrt-flattened target is ~3.16:1
+    assert(kept("en").toDouble / kept("zh") < 4.8, kept.toString)
+  }
+
   test("weights must be positive and strata populated") {
     intercept[IllegalArgumentException] {
       Mixing.thresholds(Map("en" -> 10L), Seq("en" -> 0.5, "de" -> 0.5))
