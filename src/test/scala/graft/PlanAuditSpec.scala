@@ -269,6 +269,20 @@ class PlanAuditSpec extends SparkSuite {
       s"train shingles must stream map-side into the broadcast join:\n$p")
   }
 
+  test("contamination fuzzy: eval side broadcasts, train side never sort-merges") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = graft.operators.Contamination.fuzzy(
+      docs, docs.limit(50), "doc_id", "text", minJaccard = 0.5)
+    val p = physical(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval bands and shingles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the train corpus must stream map-side into broadcast joins — " +
+        s"only the candidate id pairs may shuffle:\n$p")
+  }
+
   test("contamination multi: N eval sets still cost ONE train-side broadcast join") {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
