@@ -1533,6 +1533,19 @@ object SparkEntry {
       Streams.minHashDedupStream(s, nearDupCorpus(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ingest-time decontamination gate: arriving docs score against the
+    // static eval shingle set (15% hash split) map-side and pass at
+    // contam_frac <= 0.2 — the streaming counterpart of contamination_check
+    "stream_contamination_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = Sampling.hash16(col("doc_id"), 11)
+      val r = math.round(0.15 * Sampling.Buckets)
+      Streams.contaminationGateStream(s,
+          docs = d.where(h >= lit(r)), evalDocs = d.where(h < lit(r)),
+          maxContamFrac = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_window_counts" -> ((s, dir) =>
       Streams.windowedEventCounts(s, s"$dir/events.parquet")
         .orderBy(col("window_start"), col("event_type"))),
@@ -3464,6 +3477,27 @@ object SparkEntry {
            |SELECT doc_id FROM corpus
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |ORDER BY doc_id""".stripMargin
+      },
+
+      // batch statement of the streaming gate: a train doc passes at
+      // eval-overlap fraction <= 0.2; shingle-free docs always pass
+      "stream_contamination_gate" -> {
+        val shingles = "list_distinct(" + TextOpsSql.shingleHashes(
+          TextOpsSql.tokenHashes(TextOpsSql.tokens("text"))) + ")"
+        val isEval =
+          s"${operators.SamplingSql.hash16("doc_id", 11)} < ${math.round(0.15 * operators.Sampling.Buckets)}"
+        s"""WITH sh AS (
+           |  SELECT doc_id, $isEval AS is_eval,
+           |         len($shingles) AS n_shingles, unnest($shingles) AS sh
+           |  FROM documents),
+           |base AS (SELECT doc_id FROM documents WHERE NOT ($isEval)),
+           |ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+           |hits AS (SELECT sh.doc_id, n_shingles, count(*) AS n_shared
+           |         FROM sh JOIN ev USING (sh)
+           |         WHERE NOT is_eval GROUP BY sh.doc_id, n_shingles)
+           |SELECT b.doc_id FROM base b LEFT JOIN hits h USING (doc_id)
+           |WHERE coalesce(n_shared::DOUBLE / n_shingles::DOUBLE, 0.0) <= 0.2
+           |ORDER BY b.doc_id""".stripMargin
       },
 
       // batch replay of the streaming tumbling-window counts (sentinel rows

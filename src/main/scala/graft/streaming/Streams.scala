@@ -330,6 +330,59 @@ object Streams {
   }
 
   /**
+   * Streaming decontamination gate: each arriving document is scored
+   * against the STATIC eval-benchmark shingle set at ingest, and passes
+   * only while its eval-overlapping shingle fraction stays at or below
+   * `maxContamFrac` — the always-on counterpart of
+   * [[graft.operators.Contamination.check]] (which remains the offline
+   * batch view with per-doc attribution).
+   *
+   * Shape: shingles compute MAP-SIDE with the same native expressions as
+   * the batch operator; the eval set is a STATIC side (benchmarks change
+   * rarely) joined stream-static and broadcast — it ships per executor,
+   * never per batch, and holds distinct shingle hashes only. The only
+   * streaming state is the per-document count aggregate of the drain in
+   * flight. Documents too short to shingle score 0 and always pass — the
+   * batch operator's parity rule.
+   *
+   * Returns the KEPT doc ids.
+   */
+  def contaminationGateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      maxContamFrac: Double): DataFrame = {
+    import graft.functions.TextOps
+    val dir = Files.createTempDirectory("graft-stream-contam")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    def shingles = array_distinct(TextOps.shingleHashes(
+      TextOps.tokenHashes(TextOps.tokens(col("text")))))
+    val evalShingles = broadcast(
+      evalDocs.select(explode(shingles).as("sh")).distinct()
+        .withColumn("__hit", lit(true)))
+    val scored = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"), shingles.as("shs"))
+      .select(col("doc_id"),
+        size(col("shs")).cast("bigint").as("n_shingles"),
+        explode_outer(col("shs")).as("sh"))
+      .join(evalShingles, Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(when(col("__hit"), lit(1L)).otherwise(lit(0L))).as("n_shared"))
+    val drained = runToMemory(scored, "complete",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+      // shingle-free docs divide 0/0 — ANSI mode makes that an error, so
+      // gate the division itself (they pass with score 0 by definition)
+      .where(when(col("n_shingles") === 0L, lit(0.0))
+        .otherwise(col("n_shared").cast("double") /
+          col("n_shingles").cast("double")) <= maxContamFrac)
+      .select(col("doc_id"))
+  }
+
+  /**
    * Stream-stream INTERVAL JOIN: each click joined to the same user's
    * purchases in the `within` interval after it — streaming attribution,
    * the two-sided stateful operator (both sides buffer state, the

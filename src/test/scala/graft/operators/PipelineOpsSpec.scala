@@ -313,6 +313,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 7L), kept.toString)
   }
 
+  test("contamination gate stream: overlap fraction gates; short docs pass") {
+    // eval doc shares its leading 3-grams with train doc 10 (2 of 4
+    // shingles = 0.5 > 0.2 → dropped) but not doc 11 (0.0 → kept);
+    // doc 12 is too short to shingle → always passes
+    val evalDocs = Seq((1L, "alpha beta gamma delta echo fox"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta tailx endx"),
+      (11L, "wholly different words that never overlap"),
+      (12L, "too short")).toDF("doc_id", "text")
+    val kept = Streams.contaminationGateStream(spark, train, evalDocs,
+        maxContamFrac = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), kept.toString)
+  }
+
   test("statePartitionsFor sizes to staged bytes: 1 per 64 MB, clamped") {
     val dir = java.nio.file.Files.createTempDirectory("state-size")
     def write(name: String, mb: Int): Unit =
