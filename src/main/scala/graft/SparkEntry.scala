@@ -811,6 +811,19 @@ object SparkEntry {
           topK = 500)
         .orderBy(col("doc_id"))),
 
+    // DSIR-style importance scores (hashed-unigram log-likelihood ratio):
+    // raw docs (non-English split) scored against the English split as the
+    // target — both bucket models are <= 256 rows and broadcast; positive
+    // score = looks more target-like than raw-like
+    "dsir_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Relevance.dsirScores(
+          raw = d.where(col("lang") =!= "en"),
+          target = d.where(col("lang") === "en"),
+          "doc_id", "text", buckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 retrieval against a fixed query term set: corpus stats
     // (N, avgdl) are one aggregate -> two driver scalars, term frequencies
     // filter to query terms MAP-SIDE before the (doc, term) shuffle, and
@@ -2856,6 +2869,12 @@ object SparkEntry {
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
         Seq("spark", "hash", "merge")),
+
+      "dsir_score" -> (RelevanceSql.dsirScores(
+        rawFrom = "(SELECT doc_id, text FROM documents WHERE lang <> 'en') rsrc",
+        targetFrom = "(SELECT text FROM documents WHERE lang = 'en') tsrc",
+        idCol = "doc_id", textCol = "text", buckets = 256) +
+        "\nORDER BY doc_id"),
 
       // literal VALUES from tools/bm25_reference.py (independent Python
       // implementation of the Okapi formula — not a rendering)

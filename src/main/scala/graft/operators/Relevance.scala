@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextOps
+import graft.functions.{TextOps, TextOpsSql}
 
 /**
  * Corpus relevance scoring — Okapi BM25 of every document against a fixed
@@ -64,6 +64,58 @@ object Relevance {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /**
+   * DSIR-style importance score (Data Selection via Importance Resampling,
+   * Xie et al. 2023, arXiv:2302.03169): per raw document, the hashed-
+   * unigram log-likelihood ratio log p_target(doc) − log p_raw(doc) —
+   * positive means the doc looks more like the target (high-quality /
+   * in-domain) corpus than like the raw pool. Resampling = keep the top
+   * fraction by score (compose with the quota/sampling operators).
+   *
+   * Features are token hashes folded into `buckets` bins (DSIR's hashed
+   * n-grams at n = 1), with add-1 smoothing: p(b) = (c_b + 1) / (T + B).
+   *
+   * Scale posture: both bucket-count models are ≤ `buckets` rows — one
+   * map-side-combined aggregate over each corpus, then a BROADCAST join
+   * back to the raw token stream; the only corpus-sized shuffle is the
+   * per-doc score aggregate, and the target corpus (curated, small) is
+   * read once. Scores round to 6 decimals before any ranking so an ulp of
+   * libm `ln` divergence cannot flip a selection cut.
+   */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "dsirScores: buckets must be positive")
+    def tokBuckets(df: DataFrame, cols: Column*) = df
+      .select(cols :+ explode(TextOps.tokenHashes(
+        TextOps.tokens(col(textCol)))).as("__h"): _*)
+      .select(cols :+ pmod(col("__h"), lit(buckets.toLong)).as("b"): _*)
+    def model(toks: DataFrame) = {
+      val counts = toks.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c"))).first().getLong(0)
+      (counts, total)
+    }
+    val rawToks = tokBuckets(raw, col(idCol)).cache()
+    val (ct, tt) = model(tokBuckets(target))
+    val (cr, tr) = model(rawToks.select(col("b")))
+    // ln p_t(b) − ln p_r(b), both sides add-1 smoothed; missing buckets
+    // coalesce to count 0 (their probability is the smoothing floor)
+    val ratio =
+      log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+        lit(tt.toDouble + buckets)) -
+      log((coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0)) /
+        lit(tr.toDouble + buckets))
+    val scored = rawToks
+      .join(broadcast(ct.select(col("b"), col("c").as("ct"))), Seq("b"), "left_outer")
+      .join(broadcast(cr.select(col("b"), col("c").as("cr"))), Seq("b"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), round(sum(ratio), 6).as("dsir_score"))
+    CacheScope.unpersistAfterAction(scored, Seq(rawToks))
+  }
 }
 
 /** DuckDB rendering of [[Relevance.bm25TopK]] — same arithmetic, with the
@@ -104,5 +156,36 @@ object RelevanceSql {
        |FROM tf JOIN dfq USING (tok), st
        |GROUP BY $idCol
        |ORDER BY bm25 DESC, $idCol LIMIT $topK""".stripMargin
+  }
+
+  /** Mirror of [[Relevance.dsirScores]]. `rawFrom`/`targetFrom` are FROM
+    * bodies producing ($idCol,) $textCol rows; the ((h % B) + B) % B
+    * bucket fold matches Spark's `pmod` on negative hashes exactly. */
+  def dsirScores(
+      rawFrom: String,
+      targetFrom: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256): String = {
+    val th = TextOpsSql.tokenHashes(TextOpsSql.tokens(textCol))
+    def bucketed(from: String, withId: Boolean): String = {
+      val id = if (withId) s"$idCol, " else ""
+      s"SELECT $id((h % $buckets) + $buckets) % $buckets AS b " +
+        s"FROM (SELECT ${id}unnest($th) AS h FROM $from)"
+    }
+    s"""WITH rt AS (${bucketed(rawFrom, withId = true)}),
+       |tt AS (${bucketed(targetFrom, withId = false)}),
+       |ct AS (SELECT b, count(*) AS c FROM tt GROUP BY b),
+       |cr AS (SELECT b, count(*) AS c FROM rt GROUP BY b),
+       |tot AS (SELECT (SELECT count(*) FROM tt) AS tt_n,
+       |               (SELECT count(*) FROM rt) AS tr_n)
+       |SELECT rt.$idCol, count(*) AS n_toks,
+       |       round(sum(
+       |           ln((coalesce(ct.c, 0)::DOUBLE + 1.0)
+       |              / (tt_n::DOUBLE + $buckets))
+       |         - ln((coalesce(cr.c, 0)::DOUBLE + 1.0)
+       |              / (tr_n::DOUBLE + $buckets))), 6) AS dsir_score
+       |FROM rt LEFT JOIN ct USING (b) LEFT JOIN cr USING (b), tot
+       |GROUP BY rt.$idCol""".stripMargin
   }
 }

@@ -144,4 +144,26 @@ class RelevanceSpec extends SparkSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cap3.length == 6, "cap above the bucket size changes nothing")
   }
+
+  test("dsirScores: target-like docs score above raw-like docs") {
+    import org.apache.spark.sql.functions.col
+    val target = (1L to 20L).map(i => (i, "quality prose tokens here"))
+      .toDF("doc_id", "text")
+    // raw pool: doc 100 repeats the target phrasing, docs 101.. use
+    // disjoint junk vocabulary that dominates the raw model
+    val raw = Seq((100L, "quality prose tokens here")) ++
+      (101L to 120L).map(i => (i, s"junk spam filler noise$i"))
+    val scored = Relevance.dsirScores(raw.toDF("doc_id", "text"), target,
+        "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.size == 21)
+    val junkMax = scored.filterKeys(_ > 100L).values.max
+    assert(scored(100L) > 0, scored.toString)
+    assert(scored(100L) > junkMax, scored.toString)
+    // every token of doc 100 is in-target; n_toks rides along
+    val n = Relevance.dsirScores(raw.toDF("doc_id", "text"), target,
+        "doc_id", "text", buckets = 64)
+      .where(col("doc_id") === 100L).collect().head.getLong(1)
+    assert(n == 4L)
+  }
 }
