@@ -269,6 +269,20 @@ class PlanAuditSpec extends SparkSuite {
       s"train shingles must stream map-side into the broadcast join:\n$p")
   }
 
+  test("dsir: bucket models broadcast onto the raw token stream") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Relevance.dsirScores(
+      docs.where(col("lang") =!= "en"), docs.where(col("lang") === "en"),
+      "doc_id", "text", buckets = 256)
+    val p = physical(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"both bucket-count models must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the raw token stream must never shuffle into a join — only into " +
+        s"the per-doc score aggregate:\n$p")
+  }
+
   test("contamination fuzzy: eval side broadcasts, train side never sort-merges") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
