@@ -373,26 +373,38 @@ object Dedup {
             .as("component"),
           (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
         .localCheckpoint()
-      // pointer doubling: follow my label to ITS label in the same round.
-      // A label is always a node id of the same component, so the jump is
-      // exact; labels only ever decrease toward the component minimum.
-      val self = viaEdge
-        .select(col("__id").as("__c"), col("component").as("__cc"))
-        .repartition(width, col("__c"))
-      val next = viaEdge
-        .repartition(width, col("component"))
-        .join(self, col("component") === col("__c"), "left_outer")
-        .select(col("__id"),
-          least(col("component"), coalesce(col("__cc"), col("component")))
-            .as("component"),
-          (col("__chg") ||
-            coalesce(col("__cc") < col("component"), lit(false))).as("__chg"))
-        .localCheckpoint()
-      changed = next.where(col("__chg")).count()
-      val prev = labels
-      labels = next.drop("__chg")
-      prev.unpersist()
-      viaEdge.unpersist()
+      val edgeChanged = viaEdge.where(col("__chg")).count()
+      if (edgeChanged == 0) {
+        // classic edge-hop fixpoint: no label moved in a full pass, so
+        // labels are equal across every edge — constant per component and
+        // already the component minima. The doubling hop would be a no-op
+        // shuffle; skip it and stop here.
+        changed = 0
+        val prev = labels
+        labels = viaEdge.drop("__chg")
+        prev.unpersist()
+      } else {
+        // pointer doubling: follow my label to ITS label in the same round.
+        // A label is always a node id of the same component, so the jump is
+        // exact; labels only ever decrease toward the component minimum.
+        val self = viaEdge
+          .select(col("__id").as("__c"), col("component").as("__cc"))
+          .repartition(width, col("__c"))
+        val next = viaEdge
+          .repartition(width, col("component"))
+          .join(self, col("component") === col("__c"), "left_outer")
+          .select(col("__id"),
+            least(col("component"), coalesce(col("__cc"), col("component")))
+              .as("component"),
+            (col("__chg") ||
+              coalesce(col("__cc") < col("component"), lit(false))).as("__chg"))
+          .localCheckpoint()
+        changed = next.where(col("__chg")).count()
+        val prev = labels
+        labels = next.drop("__chg")
+        prev.unpersist()
+        viaEdge.unpersist()
+      }
       iter += 1
     }
     require(changed == 0,
