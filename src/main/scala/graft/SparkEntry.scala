@@ -1164,8 +1164,12 @@ object SparkEntry {
     "ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
-      def ivf(np: Int) = operators.KMeans.ivfTopK(emb, q,
-        "vec_id", "embedding", kClusters = 4, iters = 2, nprobe = np, k = 5)
+      // train ONCE; the approximate arm and the exact all-cells reference
+      // probe the same cells
+      val cents = operators.KMeans.train(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      def ivf(np: Int) = operators.KMeans.ivfTopKWithCentroids(cents, emb, q,
+        "vec_id", "embedding", nprobe = np, k = 5)
       operators.Similarity.recallAtK(approx = ivf(2), exact = ivf(4))
         .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
         .orderBy(col("query_id"))

@@ -120,9 +120,19 @@ object KMeans {
    */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      kClusters: Int, iters: Int, nprobe: Int, k: Int): DataFrame = {
+      kClusters: Int, iters: Int, nprobe: Int, k: Int): DataFrame =
+    ivfTopKWithCentroids(train(corpus, idCol, vecCol, kClusters, iters),
+      corpus, queries, idCol, vecCol, nprobe, k)
+
+  /** [[ivfTopK]] over ALREADY-trained centroids — train once, probe at
+    * several nprobe settings (e.g. an approximate arm and the all-cells
+    * exact reference of a recall gauge) without repeating the Lloyd
+    * rounds. */
+  def ivfTopKWithCentroids(
+      cents: Array[Array[Double]],
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = train(corpus, idCol, vecCol, kClusters, iters)
     val assigned = assign(corpus, idCol, vecCol, cents)
     val scored = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(sqDist(col(vecCol), c).as("d"), lit(i).as("cl"))
