@@ -216,6 +216,21 @@ object TextOps {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Count of distinct common elements of two SORTED long arrays — the
+    * native merge walk (see [[graft.plans.SortedIntersectCountExpr]]); the
+    * similarity-join verify stage evaluates one of these per candidate
+    * PAIR, so the zero-allocation form is the corpus-scale path. */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Hash-set reference for [[sortedIntersectCount]] — pins the native
+    * walk (the spec compares them exactly, duplicates included). */
+  private[graft] def sortedIntersectCountRef(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("long")
+
   /** Language-ID stopword tables (tiny n-gram-free heuristic). */
   val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
   val StopwordsEs = Seq("el", "la", "de", "y", "que", "en", "es")

@@ -639,7 +639,10 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val inter = size(array_intersect(col("ts_a"), col("ts_b")))
+    // ts is array_sort'ed above precisely so the per-PAIR verify can be the
+    // native zero-allocation merge walk instead of a hash-set intersect —
+    // candidate pairs scale with the corpus, the sort is once per row
+    val inter = TextOps.sortedIntersectCount(col("ts_a"), col("ts_b"))
     val jac = inter.cast("double") /
       (size(col("ts_a")) + size(col("ts_b")) - inter).cast("double")
     val verified = cand

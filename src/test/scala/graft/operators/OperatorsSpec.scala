@@ -458,6 +458,31 @@ class RpBucketsSpec extends SparkSuite {
     assert(z == 0.0)
   }
 
+  test("native SortedIntersectCountExpr matches size(array_intersect) exactly") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 300L).map { i =>
+      def arr = Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(30).toLong)
+        .sorted // duplicates INCLUDED: equal runs must count once
+      (i, arr, arr)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      TextOps.sortedIntersectCount(col("a"), col("b")).as("native"),
+      TextOps.sortedIntersectCountRef(col("a"), col("b")).as("ref"))
+    assert(both.where(col("native") =!= col("ref")).count() == 0)
+    // edges: empty vs non-empty, both empty, disjoint
+    val edge = Seq((Array(1L, 2L, 2L, 3L), Array.empty[Long], Array(9L, 10L)))
+      .toDF("a", "empty", "disj")
+      .select(
+        TextOps.sortedIntersectCount(col("a"), col("a")).as("self"),
+        TextOps.sortedIntersectCount(col("a"), col("empty")).as("vsEmpty"),
+        TextOps.sortedIntersectCount(col("empty"), col("empty")).as("empties"),
+        TextOps.sortedIntersectCount(col("a"), col("disj")).as("disjoint"))
+      .collect().head
+    assert(edge.getLong(0) == 3L) // 1,2,3 — the duplicate 2 counts once
+    assert(edge.getLong(1) == 0L && edge.getLong(2) == 0L && edge.getLong(3) == 0L)
+  }
+
   test("native SqDistExpr matches the higher-order-fold reference exactly") {
     val rnd = new scala.util.Random(17)
     val rows = (0L until 300L).map { i =>
