@@ -171,6 +171,44 @@ object SparkEntry {
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
       |)""".stripMargin
 
+  /** Paragraph-structured corpus: each document's tokens reflowed into
+    * 8-token newline-separated lines under a constant boilerplate header
+    * line, ∪ an exact copy (ids +10000) — so the header is corpus-wide
+    * boilerplate and every copy line is a cross-document duplicate. */
+  private def paragraphCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val lines = transform(
+      sequence(lit(0), floor((size(toks) + 7) / 8).cast("int") - 1),
+      i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " "))
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", lit("corpus header boilerplate line"),
+        array_join(lines, "\n")).as("text"))
+    base.unionByName(
+      base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val ParagraphCorpusSql = {
+    val tk = TextOpsSql.tokens("text")
+    s"""base AS (
+       |  SELECT doc_id, 'corpus header boilerplate line' || chr(10) ||
+       |         array_to_string(list_transform(range((len(tk)+7)//8),
+       |           i -> array_to_string(tk[i*8+1 : i*8+8], ' ')), chr(10))
+       |           AS text
+       |    FROM (SELECT doc_id, $tk AS tk FROM documents)
+       |),
+       |corpus AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM base
+       |),
+       |lines AS (
+       |  SELECT doc_id,
+       |         unnest(range(len(string_split(text, chr(10))))) AS pos,
+       |         unnest(string_split(text, chr(10))) AS line
+       |    FROM corpus
+       |)""".stripMargin
+  }
+
   /** PII edge-case corpus. Its oracle is literal expected VALUES (intent),
     * not a rendering of the same regexes — keep the two in sync by hand. */
   private val PiiCorpus = Seq(
@@ -566,6 +604,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // keep-BEST variant: each duplicate component keeps its highest
+    // quality-score member (ties: lowest id) — the production rule (keep
+    // the cleanest copy), vs keep-min-id above. Winner = one map-side
+    // combinable max_by per component, never a window over the component
+    "dedup_cluster_best" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val scored = corpus.withColumn("score",
+        QualityOps.qualityScore(col("text"), TextOps.tokens(col("text"))))
+      Dedup.componentsKeepBest(scored, "doc_id", "score",
+          Dedup.minHashLshPairs(corpus, "doc_id", "text", 0.5))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ingest-time batch-vs-corpus dedup: the new batch is an exact copy of
     // documents (ids+10000), a token-sliced mutation (ids+20000), and a
     // second copy of that mutation (ids+30000). Copies collide with the
@@ -663,6 +715,27 @@ object SparkEntry {
         .where(col("n_tokens") > 0)
         .orderBy(col("doc_id"))
     }),
+
+    // paragraph-level exact dedup (C4 / RefinedWeb line dedup): each
+    // paragraph survives only at its globally first (doc, position)
+    // occurrence; documents reassemble from survivors in order, empty
+    // documents drop. On the fixture: the +10000 copies lose every line
+    // (dropped entirely), the corpus-wide header line survives only in the
+    // first document. First-occurrence = a map-side-combinable
+    // groupBy(digest).min joined back — no window over the digest
+    // partition (a boilerplate paragraph would funnel one task)
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.paragraphDedup(paragraphCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // boilerplate-paragraph removal: any paragraph occurring in >= 3
+    // distinct documents is stripped from ALL of them (the remove-every-
+    // copy policy — headers/chrome/licenses), vs keep-first above. On the
+    // fixture the constant header is stripped everywhere; body lines
+    // live in exactly 2 docs (original + copy) and survive
+    "dedup_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateStrip(paragraphCorpus(s, dir), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))),
 
     // per-document TF-IDF top terms: term frequencies aggregate per (doc,
     // token) — map-side combined, O(distinct doc-term) shuffle rows —
@@ -851,6 +924,18 @@ object SparkEntry {
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
+
+    // heavy hitters via a mergeable Misra-Gries summary: each map task
+    // reduces to <= capacity counters BEFORE the shuffle — O(tasks ×
+    // capacity) wire cost vs text_top_tokens' one-row-per-distinct-token
+    // shuffle (vocabulary-sized at 100 TB). Capacity 4096 exceeds this
+    // corpus's distinct-token count, so nothing evicts and the counts are
+    // exact = the oracle's exact aggregate; the under-eviction
+    // approximation bound is spec-pinned (HeavyHittersSpec)
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.topTokens(
+        t(s, dir, "documents"),
+        explode(TextOps.tokens(col("text"))), 4096, 20)),
 
     // ---- deterministic splits / sampling (training-data pipeline) -------
     "sample_split" -> ((s, dir) =>
@@ -2609,6 +2694,52 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       },
 
+      "dedup_cluster_best" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        val score = QualityOpsSql.qualityScore("text", "toks")
+        // same component fixpoint as dedup_components; winner per
+        // component = highest quality score, lowest id on ties — matching
+        // Spark's max_by(id, struct(score, -id))
+        s"""WITH RECURSIVE $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, text, $toks AS toks FROM corpus),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT doc_id, shingles, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, shingles, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |          FROM bands l JOIN bands r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id
+           |          WHERE ${TextOpsSql.jaccard("l.shingles", "r.shingles")}
+           |                >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, label) AS (
+           |  SELECT doc_id, doc_id FROM corpus
+           |  UNION
+           |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id),
+           |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+           |qs AS (SELECT doc_id, $score AS score FROM tok),
+           |winners AS (
+           |  SELECT component, id AS keep FROM (
+           |    SELECT c.component, c.id,
+           |           row_number() OVER (PARTITION BY c.component
+           |             ORDER BY s.score DESC, c.id) AS rn
+           |    FROM comp c JOIN qs s ON s.doc_id = c.id)
+           |  WHERE rn = 1)
+           |SELECT doc_id FROM corpus
+           |WHERE doc_id NOT IN (
+           |  SELECT c.id FROM comp c JOIN winners w
+           |    ON c.component = w.component AND c.id <> w.keep)
+           |ORDER BY doc_id""".stripMargin
+      },
+
       "dedup_incremental" ->
         s"""WITH mut AS (
            |  SELECT doc_id + 20000 AS doc_id,
@@ -2684,6 +2815,29 @@ object SparkEntry {
            |WHERE len(d2.tk) > 0
            |ORDER BY d2.doc_id""".stripMargin
       },
+
+      // first occurrence = min packed (doc_id, pos) key; doc ids stay
+      // < 100000 and pos < 100000 on every SF, so doc_id*100000+pos is the
+      // same lexicographic order Spark's min(struct(id, pos)) uses
+      "dedup_paragraphs" ->
+        s"""WITH $ParagraphCorpusSql,
+           |firsts AS (SELECT line, min(doc_id * 100000 + pos) AS fk
+           |           FROM lines GROUP BY line),
+           |kept AS (SELECT l.doc_id, l.pos, l.line
+           |         FROM lines l JOIN firsts f
+           |           ON l.line = f.line
+           |          AND l.doc_id * 100000 + l.pos = f.fk)
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "dedup_boilerplate" ->
+        s"""WITH $ParagraphCorpusSql,
+           |hot AS (SELECT line FROM lines GROUP BY line
+           |        HAVING count(DISTINCT doc_id) >= 3),
+           |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+           |         WHERE l.line NOT IN (SELECT line FROM hot))
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
@@ -2818,6 +2972,13 @@ object SparkEntry {
         s"""SELECT token, count(*) AS n
            |FROM (SELECT unnest($toks) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+      // capacity (4096) > distinct tokens, so the Misra-Gries summary
+      // never evicts: its lower bounds ARE the exact counts
+      "text_heavy_hitters" ->
+        s"""SELECT token, count(*) AS cnt
+           |FROM (SELECT unnest($toks) AS token FROM documents)
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
       "text_unigram_logprob" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token

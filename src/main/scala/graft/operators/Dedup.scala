@@ -450,6 +450,46 @@ object Dedup {
   }
 
   /**
+   * Transitive near-duplicate removal keeping the BEST-scoring member of
+   * each duplicate component (ties: lowest id) — the production variant of
+   * [[componentsKeep]]: real pipelines keep the highest-quality copy of a
+   * near-dup cluster (longest, cleanest, highest classifier score), not
+   * the lowest id. `scoreCol` must be a column of `df`.
+   *
+   * Scale: identical iteration cost to [[componentsKeep]] (the label
+   * propagation runs over the duplicate subgraph only); picking the winner
+   * is one map-side-combinable `max_by` aggregate per component — never a
+   * window over the component partition, so a pathological million-member
+   * component combines map-side instead of funneling one task. Scores join
+   * in for MEMBERS only (ids + one double), the untouched remainder never
+   * shuffles.
+   */
+  def componentsKeepBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
+    val members = p.select(col(aCol).as(idCol))
+      .unionByName(p.select(col(bCol).as(idCol)))
+      .distinct()
+    val comps = connectedComponents(members, idCol, p, aCol, bCol)
+    val scored = comps.join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+    // winner per component: max (score, -id) — highest score, lowest id on
+    // ties; max_by is partial-combinable, unlike a row_number window
+    val keepers = scored.groupBy(col("component"))
+      .agg(max_by(col(idCol), struct(col(scoreCol), -col(idCol)))
+        .as("__keep"))
+    val drops = scored
+      .join(keepers, Seq("component"))
+      .where(col(idCol) =!= col("__keep"))
+      .select(col(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Incremental (batch-vs-prior-corpus) exact dedup: of the new `batch`,
    * keep only rows whose content digest appears neither in the already-
    * ingested `corpus` nor earlier (lowest `idCol` wins) within the batch
@@ -689,5 +729,90 @@ object Dedup {
       .select(col("wh"))
     windows.join(hot, Seq("wh"), "left_semi")
       .select(col(idCol), col("pos"))
+  }
+
+  /** Reassemble documents from surviving (`__id`, `__pos`, `__line`) rows:
+    * one doc-keyed aggregate, lines rejoined in position order. Documents
+    * with no surviving lines drop (the groupBy never sees them). */
+  private def reassemble(kept: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    kept.groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        sep).as(textCol))
+      .select(col("__id").as(idCol), col(textCol))
+
+  /** (`__id`, `__pos`, `__line`, `__kh`) — one row per paragraph, keyed by
+    * the 256-bit content digest so every downstream shuffle carries 32
+    * bytes + ids, never the paragraph text. */
+  private def paragraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__kh", sha2(col("__line").cast("binary"), 256))
+
+  /**
+   * Paragraph-level exact deduplication — the line-dedup stage of C4 /
+   * RefinedWeb-style corpus preparation (Raffel et al. 2020,
+   * arXiv:1910.10683 §2.2 "three-sentence span" dedup; Penedo et al. 2023,
+   * arXiv:2306.01116 §4.2): documents split on `sep` into paragraphs,
+   * every paragraph whose exact content already occurred at a lower
+   * (document id, position) ANYWHERE in the corpus is removed, and each
+   * document is reassembled from its surviving paragraphs in their
+   * original order. Documents left with no paragraphs drop entirely.
+   *
+   * Scale shape: paragraphs shuffle by their sha2-256 digest (32 bytes +
+   * ids per row), and the global first occurrence per digest is a
+   * map-side-combinable `groupBy(digest).min` aggregate joined back on the
+   * digest — deliberately NOT a window over the digest partition: a
+   * boilerplate paragraph occurring in millions of documents would funnel
+   * every occurrence into one unsplittable window task, while the
+   * aggregate collapses them map-side and the join-back's skewed
+   * partition is AQE-splittable (same lesson as [[repeatedSpans]]).
+   * Reassembly is one doc-keyed aggregate; paragraph text travels only
+   * from its original row to its reassembly group.
+   */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = paragraphs(df, idCol, textCol, sep)
+    val firsts = lines.groupBy(col("__kh"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = lines.join(firsts, Seq("__kh"))
+      .where(col("__first.__id") === col("__id") &&
+        col("__first.__pos") === col("__pos"))
+      .select(col("__id"), col("__pos"), col("__line"))
+    reassemble(kept, idCol, textCol, sep)
+  }
+
+  /**
+   * Boilerplate-paragraph removal: every paragraph whose exact content
+   * occurs in at least `minDocs` DISTINCT documents is removed from ALL of
+   * them (headers, navigation chrome, license blocks — the "remove every
+   * copy" policy, vs [[paragraphDedup]]'s keep-first), and documents are
+   * reassembled from what remains. The hot set is a digest-keyed
+   * `count(distinct doc)` aggregate; the occurrence stream anti-joins it
+   * on the digest (broadcastable when the boilerplate vocabulary is small,
+   * AQE-splittable when a digest is hot — never a window funnel).
+   */
+  def boilerplateStrip(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sep: String = "\n"): DataFrame = {
+    val lines = paragraphs(df, idCol, textCol, sep)
+    val hot = lines.groupBy(col("__kh"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__kh"))
+    val kept = lines.join(hot, Seq("__kh"), "left_anti")
+      .select(col("__id"), col("__pos"), col("__line"))
+    reassemble(kept, idCol, textCol, sep)
   }
 }

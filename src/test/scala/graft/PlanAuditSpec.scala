@@ -239,6 +239,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("paragraph dedup family: digest-keyed aggregates, no window funnel") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(
+      Dedup.paragraphDedup(docs, "doc_id", "text"),
+      Dedup.boilerplateStrip(docs, "doc_id", "text", 3))) {
+      val p = physical(df)
+      // same skew lesson as repeated spans: a boilerplate paragraph shared
+      // by millions of docs must NOT funnel into one window task — first-
+      // occurrence / hot detection are map-side-combinable aggregates
+      // joined back on the 32-byte digest
+      assert(!p.contains("Window"),
+        s"paragraph dedup must not window over the digest partition:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"occurrence detection must be a combinable aggregate:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("asof join: one shuffle + one window, no join operator at all") {
     import graft.operators.AsOf
     val ev = spark.read.parquet(s"$sf/events.parquet")

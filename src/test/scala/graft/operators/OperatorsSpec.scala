@@ -166,6 +166,18 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(1L, 5L, 6L), kept.toString)
   }
 
+  test("componentsKeepBest keeps the top-scoring member, min id on ties") {
+    val df = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.1), // chain: 2 and 3 tie -> 2
+      (5L, 0.5),                                  // untouched singleton
+      (6L, 0.1), (7L, 0.8)                        // pair: 7 wins over 6
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.componentsKeepBest(df, "id", "score", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 7L), kept.toString)
+  }
+
   test("incremental dedup drops corpus collisions and within-batch repeats") {
     val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "text")
     val batch = Seq(
@@ -575,5 +587,45 @@ class TextOpsSpec extends SparkSuite {
       .select(size(TextOps.shingleHashes(
         TextOps.tokenHashes(TextOps.tokens(col("s"))))).as("n"))
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 2))
+  }
+
+  test("paragraphDedup keeps first (doc,pos) occurrence, reassembles order") {
+    val df = Seq(
+      (1L, "header\nalpha\nbeta"),
+      (2L, "header\ngamma\nalpha"),   // header+alpha dup -> keeps gamma only
+      (3L, "header\nalpha"),          // everything dup -> doc drops
+      (4L, "delta\ndelta\nepsilon")   // within-doc dup: first delta survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "header\nalpha\nbeta",
+      2L -> "gamma",
+      4L -> "delta\nepsilon"), out.toString)
+  }
+
+  test("paragraphDedup first-occurrence is by (doc, pos), not arrival order") {
+    // 'x' occurs at (2,0) and (1,1): the (1,1) occurrence wins — doc order
+    // dominates position
+    val df = Seq((2L, "x\ny"), (1L, "a\nx")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a\nx", 2L -> "y"), out.toString)
+  }
+
+  test("boilerplateStrip removes every copy of hot paragraphs, keeps rest") {
+    val df = Seq(
+      (1L, "nav\nalpha"),
+      (2L, "nav\nbeta\nbeta"),  // within-doc repeat counts ONE distinct doc
+      (3L, "nav\ngamma"),
+      (4L, "beta\ndelta")       // beta in 2 distinct docs only -> kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha",
+      2L -> "beta\nbeta",
+      3L -> "gamma",
+      4L -> "beta\ndelta"), out.toString)
   }
 }
