@@ -42,18 +42,19 @@ object Bench {
       // to whichever stream_* query ran first (r8: stream_interval_join
       // 12.9 s driver / ~21 s isolated-cold vs ~3 s warm).
       val tiny = java.nio.file.Files.createTempDirectory("graft-bench-warm")
-      spark.read.parquet(s"$sfDir/events.parquet").limit(200)
-        .coalesce(1).write.mode("overwrite").parquet(tiny.toString)
-      graft.streaming.Streams.clickAttribution(spark, tiny.toString).count()
-      graft.streaming.Streams.userSessions(spark, tiny.toString).count()
-      // Drain 50 documents through the MinHash-LSH pair pipeline: compiles
-      // the tokenize → token-hash → shingle → minhash native-expression
-      // chain and the banded self-join shape that every dedup_* query
-      // reuses — data-independent codegen cost, not per-query work.
-      graft.operators.Dedup.minHashLshPairs(
-        spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
-        "doc_id", "text", 0.5).count()
-      graft.streaming.Streams.cleanupStaging(tiny)
+      try {
+        spark.read.parquet(s"$sfDir/events.parquet").limit(200)
+          .coalesce(1).write.mode("overwrite").parquet(tiny.toString)
+        graft.streaming.Streams.clickAttribution(spark, tiny.toString).count()
+        graft.streaming.Streams.userSessions(spark, tiny.toString).count()
+        // Drain 50 documents through the MinHash-LSH pair pipeline: compiles
+        // the tokenize → token-hash → shingle → minhash native-expression
+        // chain and the banded self-join shape that every dedup_* query
+        // reuses — data-independent codegen cost, not per-query work.
+        graft.operators.Dedup.minHashLshPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
+          "doc_id", "text", 0.5).count()
+      } finally graft.streaming.Streams.cleanupStaging(tiny)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}")
     }

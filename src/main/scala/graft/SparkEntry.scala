@@ -29,12 +29,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column (unsupported by Spark's
-    * parquet reader) surfaced as a proper TimestampType (µs). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` in the session (set by
-    * Verify/Bench); the ns→µs truncation never moves a whole second. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events` with `ts` surfaced as a proper TimestampType (µs),
+    * schema-adaptively: generated data has shipped both TIMESTAMP(NANOS)
+    * (read as a long of ns under `spark.sql.legacy.parquet.nanosAsLong`,
+    * set by Verify/Bench) and TIMESTAMP(MICROS) without UTC adjustment
+    * (read as TIMESTAMP_NTZ). Both normalize to the same wall-clock under
+    * the UTC session; ns→µs truncation never moves a whole second. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   // ---- shared diff scenario (Spark side) -------------------------------
   private val OrderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -61,11 +61,13 @@ object HeavyHitters {
 
   /** The raw summary: one row per surviving counter, (token, cnt) where
     * cnt is the Misra–Gries lower bound (exact when nothing evicted). */
-  def summary(df: DataFrame, token: Column, capacity: Int): DataFrame =
+  def summary(df: DataFrame, token: Column, capacity: Int): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(capacity))
     df.select(token.as("__t"))
-      .agg(udaf(new MisraGriesAgg(capacity))(col("__t")).as("hh"))
+      .agg(mg(col("__t")).as("hh"))
       .select(explode(map_entries(col("hh.m"))).as("e"))
       .select(col("e.key").as("token"), col("e.value").as("cnt"))
+  }
 
   /** Top-`n` heavy hitters by (count desc, token asc). */
   def topTokens(df: DataFrame, token: Column, capacity: Int, n: Int): DataFrame =

@@ -180,38 +180,46 @@ object KMeansSql {
     s"list_reduce(list_transform(range(1, len($v)+1), " +
       s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (a, b) -> a + b)"
 
-  /** CTE chain ending in centroids `c$iters` (cl, c) and assignment
-    * `a${iters}` (vec_id, v, cl) against the trained centroids. */
+  /** CTE chain ending in centroids `${p}c$iters` (cl, c) and assignment
+    * `${p}a${iters}` (vec_id, v, cl) against the trained centroids. The
+    * optional `p` prefix namespaces the chain so several independent
+    * trainings compose in one query (product quantization trains one chain
+    * per subspace). */
   def ctes(table: String, vecId: String, vecCol: String,
-      k: Int, iters: Int): String = {
+      k: Int, iters: Int, p: String = ""): String = {
     val e =
-      s"""e AS (SELECT $vecId AS vec_id,
+      s"""${p}e AS (SELECT $vecId AS vec_id,
          |       list_transform($vecCol, x -> x::DOUBLE) AS v FROM $table),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
-         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+         |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+         |       FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $k))""".stripMargin
     val rounds = (0 until iters).map { i =>
-      s"""a$i AS (SELECT vec_id, v, cl FROM (
-         |  SELECT e.vec_id, e.v, c$i.cl,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ${dist("e.v", s"c$i.c")}, c$i.cl) AS rn
-         |  FROM e CROSS JOIN c$i) WHERE rn = 1),
-         |u$i AS (SELECT cl, pos, (sum(q)::DOUBLE / count(*)::DOUBLE) / ${KMeans.Quant}.0 AS cv
+      s"""${p}a$i AS (SELECT vec_id, v, cl FROM (
+         |  SELECT ${p}e.vec_id, ${p}e.v, ${p}c$i.cl,
+         |         row_number() OVER (PARTITION BY ${p}e.vec_id
+         |                            ORDER BY ${dist(s"${p}e.v", s"${p}c$i.c")}, ${p}c$i.cl) AS rn
+         |  FROM ${p}e CROSS JOIN ${p}c$i) WHERE rn = 1),
+         |${p}u$i AS (SELECT cl, pos, (sum(q)::DOUBLE / count(*)::DOUBLE) / ${KMeans.Quant}.0 AS cv
          |        FROM (SELECT cl, generate_subscripts(v, 1) - 1 AS pos,
          |                     floor(unnest(v) * ${KMeans.Quant})::BIGINT AS q
-         |              FROM a$i)
+         |              FROM ${p}a$i)
          |        GROUP BY cl, pos),
-         |c${i + 1} AS (SELECT c$i.cl, coalesce(u.c, c$i.c) AS c
-         |     FROM c$i LEFT JOIN (SELECT cl, list(cv ORDER BY pos) AS c
-         |                         FROM u$i GROUP BY cl) u USING (cl))""".stripMargin
+         |${p}c${i + 1} AS (SELECT ${p}c$i.cl, coalesce(u.c, ${p}c$i.c) AS c
+         |     FROM ${p}c$i LEFT JOIN (SELECT cl, list(cv ORDER BY pos) AS c
+         |                         FROM ${p}u$i GROUP BY cl) u USING (cl))""".stripMargin
     }
     val finalAssign =
-      s"""a$iters AS (SELECT vec_id, v, cl FROM (
-         |  SELECT e.vec_id, e.v, c$iters.cl,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ${dist("e.v", s"c$iters.c")}, c$iters.cl) AS rn
-         |  FROM e CROSS JOIN c$iters) WHERE rn = 1)""".stripMargin
+      s"""${p}a$iters AS (SELECT vec_id, v, cl FROM (
+         |  SELECT ${p}e.vec_id, ${p}e.v, ${p}c$iters.cl,
+         |         row_number() OVER (PARTITION BY ${p}e.vec_id
+         |                            ORDER BY ${dist(s"${p}e.v", s"${p}c$iters.c")}, ${p}c$iters.cl) AS rn
+         |  FROM ${p}e CROSS JOIN ${p}c$iters) WHERE rn = 1)""".stripMargin
     (e +: rounds :+ finalAssign).mkString(",\n")
   }
+
+  /** Sequential-fold squared L2 distance between two list expressions —
+    * the shared arithmetic contract, exposed for composing renderings
+    * (product quantization's lookup tables reuse it). */
+  def distSql(v: String, c: String): String = dist(v, c)
 
   /** Trained centroids, exploded: (cluster, pos, centroid). */
   def centroids(table: String, vecId: String, vecCol: String,

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/**
+ * Product quantization for approximate nearest neighbor search (Jégou,
+ * Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+ * Search", TPAMI 33(1) — §II product quantizer, §III asymmetric distance
+ * computation / ADC): the vector space splits into `m` orthogonal
+ * subspaces, each subspace trains its own `ksub`-centroid codebook
+ * ([[KMeans]] — the deterministic micro-unit Lloyd trainer), and every
+ * corpus vector compresses to `m` small codes — at `m=8, ksub=256` that
+ * is 8 bytes per vector instead of `4·d`, the compression that lets a
+ * billion-vector index live in executor memory.
+ *
+ * Search is ASYMMETRIC distance: the query stays exact; its distance to a
+ * code is the sum over subspaces of (query subvector → assigned centroid)
+ * distances. Spark geometry:
+ *
+ *  - TRAIN: `m` independent Lloyd trainings over SLICED vectors —
+ *    map-side assignment against literal centroids, one (cluster, dim)
+ *    aggregate per round ([[KMeans.train]]'s contract); codebooks are
+ *    `m × ksub × dsub` doubles on the driver (tiny, bounded);
+ *  - ENCODE: one map-side projection — `m × ksub` native `SqDistExpr`
+ *    evaluations per row, argmin by (distance, code) struct order; the
+ *    corpus never shuffles, and the code table that does move downstream
+ *    is ids + `m` bytes per row;
+ *  - LOOKUP TABLE: per query, `m × ksub` exact subvector→centroid
+ *    distances, QUANTIZED to integer micro-units (`floor(d · 2^20)` as
+ *    BIGINT) so the ADC sum is an ASSOCIATIVE integer fold — bit-identical
+ *    under any partial-aggregation order, which is what makes a
+ *    cross-engine oracle possible (a double sum would drift with Spark's
+ *    combine order). The table is `queries × m × ksub` rows and
+ *    BROADCASTS;
+ *  - ADC: the exploded code stream (vec_id, subspace, code — ints only)
+ *    joins the broadcast table and one map-side-combinable
+ *    `sum` + per-query top-k window ranks by (quantized distance,
+ *    neighbor id) — a total order, deterministic cross-engine.
+ *
+ * The quantization floor loses < 2^-20 per subspace term — an ADC RANKING
+ * device, not a distance estimate; ranks agree with exact ADC unless two
+ * candidates are within `m · 2^-20` squared-L2 of each other.
+ */
+object Pq {
+
+  /** `m` codebooks of `ksub` centroids each, trained independently per
+    * subspace slice. Requires `dim % m == 0`. */
+  def trainCodebooks(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pq: empty input"))
+    require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).toArray.map { j =>
+      KMeans.train(
+        df.select(col(idCol), slice(col(vecCol), j * dsub + 1, dsub).as("__sub")),
+        idCol, "__sub", ksub, iters)
+    }
+  }
+
+  /** (vec_id, codes) — each vector's per-subspace nearest-codeword index,
+    * computed map-side against literal codebooks. */
+  def encode(
+      df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = books(0)(0).length
+    val codeCols: Seq[Column] = books.toIndexedSeq.zipWithIndex.map {
+      case (book, j) =>
+        val scored = book.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          struct(
+            VectorOps.sqDist(slice(col(vecCol), j * dsub + 1, dsub),
+              typedLit(c.toSeq)).as("d"),
+            lit(i).as("cl"))
+        }
+        array_min(array(scored: _*)).getField("cl")
+    }
+    df.select(col(idCol).cast("long").as("vec_id"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-`k`: every query row (exact vectors) against
+    * the PQ-encoded corpus. Returns (query_id, neighbor_id, adc_q) where
+    * `adc_q` is the micro-unit integer ADC distance. Self-matches are
+    * excluded. */
+  def adcTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = trainCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val dsub = books(0)(0).length
+    val codes = encode(corpus, idCol, vecCol, books)
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val entries: Seq[Column] = for {
+      j <- 0 until m
+      (c, i) <- books(j).toIndexedSeq.zipWithIndex
+    } yield struct(
+      lit(j).as("sub"), lit(i).as("code"),
+      floor(VectorOps.sqDist(slice(col("qv"), j * dsub + 1, dsub),
+        typedLit(c.toSeq)) * lit(KMeans.Quant.toDouble)).cast("long").as("qd"))
+    val lut = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.qd").as("qd"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adc_q"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_q"), col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_q"))
+  }
+}
+
+/** DuckDB rendering of [[Pq.adcTopK]] by independent mechanics (cross join
+  * + row_number argmin per subspace vs Spark's map-side struct-array min;
+  * unnest LUT vs broadcast join) sharing only the arithmetic contract:
+  * micro-unit Lloyd rounds, sequential-fold distances, `floor(d · 2^20)`
+  * integer ADC terms. */
+object PqSql {
+
+  def adcTopK(table: String, vecId: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int, topK: Int, queryPred: String): String = {
+    require(dim % m == 0)
+    val dsub = dim / m
+    def sliceExpr(j: Int) = s"$vecCol[${j * dsub + 1}:${(j + 1) * dsub}]"
+    val chains = (0 until m)
+      .map(j => KMeansSql.ctes(table, vecId, sliceExpr(j), ksub, iters, s"s$j"))
+      .mkString(",\n")
+    val codes = (0 until m)
+      .map(j => s"SELECT vec_id, $j AS sub, cl AS code FROM s${j}a$iters")
+      .mkString("\n  UNION ALL ")
+    val luts = (0 until m).map { j =>
+      s"""SELECT q.query_id, $j AS sub, cb.cl AS code,
+         |       floor(${KMeansSql.distSql(s"q.qv$j", "cb.c")} * ${KMeans.Quant}.0)::BIGINT AS qd
+         |FROM q CROSS JOIN s${j}c$iters cb""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val qsubs = (0 until m)
+      .map(j => s"list_transform(${sliceExpr(j)}, x -> x::DOUBLE) AS qv$j")
+      .mkString(", ")
+    s"""WITH $chains,
+       |q AS (SELECT $vecId AS query_id, $qsubs FROM $table WHERE $queryPred),
+       |codes AS (
+       |  $codes),
+       |lut AS (
+       |  $luts),
+       |d AS (SELECT query_id, vec_id, sum(qd)::BIGINT AS adc_q
+       |      FROM codes JOIN lut USING (sub, code)
+       |      WHERE vec_id <> query_id
+       |      GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, adc_q FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adc_q, vec_id) AS rn FROM d)
+       |WHERE rn <= $topK ORDER BY query_id, neighbor_id""".stripMargin
+  }
+}

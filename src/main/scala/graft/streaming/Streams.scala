@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -51,17 +51,38 @@ object Streams {
     }
   }
 
+  /** `ts` normalized to TimestampType (µs) schema-adaptively: generated
+    * data has shipped both TIMESTAMP(NANOS) (a long of raw ns under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS) without
+    * UTC adjustment (TIMESTAMP_NTZ). Same wall-clock under the UTC
+    * session either way. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Stage the events parquet (plus a sentinel file) into a fresh stream
-    * source dir; returns (dir, sentinel event_type). */
+    * source dir; returns (dir, sentinel event_type). The sentinel keeps
+    * the SOURCE file's raw `ts` type so every staged footer agrees. */
   private def stageSource(spark: SparkSession, eventsParquet: String): (String, String) = {
     val dir = Files.createTempDirectory("graft-stream")
     stageData(eventsParquet, dir)
     val sentinel = "__sentinel__"
     val ev = spark.read.parquet(eventsParquet)
+    val plusTenHours: Column => Column =
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          _ + lit(36000L * 1000000000L) // raw ns
+        case _ => _ + expr("INTERVAL 10 HOURS")
+      }
     // one sentinel event per user, far past every real session/window
     ev.select(col("user_id"), col("ts"), col("event_type"))
       .groupBy(col("user_id"))
-      .agg((max(col("ts")) + lit(36000L * 1000000000L)).as("ts")) // +10h in raw ns
+      .agg(plusTenHours(max(col("ts"))).as("ts"))
       .select(col("user_id"), col("ts"), lit(sentinel).as("event_type"))
       .coalesce(1)
       .write.mode("append").parquet(dir.toString)
@@ -70,10 +91,9 @@ object Streams {
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
+    normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Streaming state partitions, sized to the STAGED INPUT VOLUME rather
@@ -262,30 +282,38 @@ object Streams {
    * never enter the stream, and are always kept — exactly the batch
    * operators' parity rule.
    *
-   * Returns the KEPT doc ids. The per-bucket minima stream out of the
-   * stateful operator; the final per-document fold (min over its buckets)
-   * and the anti-join run on the drained result.
+   * Returns the KEPT doc ids under the GLOBAL keep rule — a doc survives
+   * iff no band bucket of its holds a lower id anywhere in the corpus —
+   * which is what the batch oracle states, and is INDEPENDENT of how the
+   * drain happened to be split into micro-batches: the stateful operator
+   * passes every (doc, band, bucket) row through (alongside the running
+   * state minimum), and the global per-bucket minimum is re-folded from
+   * the drained rows themselves. The emitted `arrival_min` column is the
+   * FIRST-ARRIVAL signal — the lowest occupant at-or-before each doc's
+   * arrival — which is the decision a live gate would act on (`arrival_min
+   * < doc_id` ⇒ drop now); across batch boundaries first-arrival can keep
+   * a doc whose lower-id bucket-mate arrives later, which is correct gate
+   * behavior but not the batch rule, so the oracle-checked entry point
+   * folds globally and the per-arrival signal stays advisory.
+   *
+   * `maxFilesPerTrigger` bounds files per micro-batch (None = source
+   * default); the result is the same for every setting — the spec pins
+   * that by draining one file per batch.
    */
   def minHashDedupStream(
       spark: SparkSession,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.functions.TextOps
     val dir = Files.createTempDirectory("graft-stream-lsh")
-    // SINGLE-BATCH PIN: the batch oracle for this operator is the GLOBAL
-    // per-bucket min, but keyed state across micro-batches gives
-    // first-ARRIVAL semantics — a doc whose lower-id bucket-mate lands in a
-    // later batch would be kept by the stream and dropped by the oracle.
-    // Staging as ONE file makes AvailableNow (file-source default 1000
-    // files/batch) drain in exactly one micro-batch, where the in-batch
-    // sort-by-id fold equals the global rule. A real multi-batch ingest
-    // gate keeps the first arrival by design — that behavior is correct
-    // for ingest but is NOT what this oracle-checked entry point promises.
-    docs.select(col("doc_id"), col("text")).coalesce(1).write
+    docs.select(col("doc_id"), col("text")).write
       .mode("overwrite").parquet(dir.toString)
     val schema = spark.read.parquet(dir.toString).schema
-    val sig = spark.readStream.schema(schema).parquet(dir.toString)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val sig = reader.parquet(dir.toString)
       .select(col("doc_id").cast("long").as("doc_id"),
         TextOps.minHashSignature(array_distinct(TextOps.shingleHashes(
           TextOps.tokenHashes(TextOps.tokens(col("text")))))).as("sig"))
@@ -300,31 +328,40 @@ object Streams {
       .groupByKey(r => (r._2, r._3))
     val perBucket = banded.flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+      (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
        state: GroupState[Long]) => {
         val ids = rows.map(_._1).toArray.sorted
         val prior = if (state.exists) state.get else Long.MaxValue
         state.update(math.min(prior, ids.head))
-        // each id pairs with the lowest occupant at-or-below it (self
-        // included): the downstream min-fold keeps a doc iff that lowest
-        // occupant is itself in EVERY one of its buckets
-        val out = new Array[(Long, Long)](ids.length)
+        // pass each (doc, band, bucket) through with the lowest occupant
+        // at-or-below it (self included): the live-gate signal. The state
+        // itself stays 8 bytes per distinct bucket.
+        val out = new Array[(Long, Int, Long, Long)](ids.length)
         var running = prior
         var i = 0
         while (i < ids.length) {
           running = math.min(running, ids(i))
-          out(i) = (ids(i), running)
+          out(i) = (ids(i), key._1, key._2, running)
           i += 1
         }
         out.iterator
       })
-    val drained = runToMemory(perBucket.toDF("doc_id", "bucket_min"),
+    val drained = runToMemory(
+      perBucket.toDF("doc_id", "band", "bucket", "arrival_min"),
       "append", statePartitionsFor(dir.toString))
+      // the memory-sink view cannot self-join (Catalyst does not
+      // deduplicate MemoryPlan attributes); localCheckpoint re-roots the
+      // already-materialized sink rows as a fresh plan
+      .localCheckpoint()
     cleanupStaging(dir)
-    val drops = drained.groupBy(col("doc_id"))
-      .agg(min(col("bucket_min")).as("mn"))
-      .where(col("mn") < col("doc_id"))
-      .select(col("doc_id"))
+    // global fold over the drained membership rows: every doc emitted every
+    // bucket it belongs to, so min(doc_id) per (band, bucket) IS the global
+    // bucket minimum no matter how arrivals were batched
+    val bucketMin = drained.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("gmin"))
+    val drops = drained.join(bucketMin, Seq("band", "bucket"))
+      .where(col("gmin") < col("doc_id"))
+      .select(col("doc_id")).distinct()
     docs.select(col("doc_id").cast("long").as("doc_id"))
       .join(drops, Seq("doc_id"), "left_anti")
   }

@@ -313,6 +313,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 7L), kept.toString)
   }
 
+  test("streaming LSH filter: result is micro-batch-partitioning independent") {
+    // one staged file per doc + maxFilesPerTrigger=1 forces one doc per
+    // micro-batch, so every bucket-mate pair crosses a batch boundary in
+    // SOME order; the global keep rule must still equal the single-batch
+    // answer (first-arrival state alone would keep a doc whose lower-id
+    // mate arrives in a later batch)
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near1 = (3 to 30).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (5L, long1), (2L, long1), (9L, near1), (7L, other), (3L, "too short")
+    ).toDF("doc_id", "text").repartition(5, col("doc_id"))
+    val kept = Streams.minHashDedupStream(spark, docs, maxFilesPerTrigger = Some(1))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 7L), kept.toString)
+  }
+
   test("contamination gate stream: overlap fraction gates; short docs pass") {
     // eval doc shares its leading 3-grams with train doc 10 (2 of 4
     // shingles = 0.5 > 0.2 → dropped) but not doc 11 (0.0 → kept);
