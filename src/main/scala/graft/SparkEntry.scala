@@ -197,6 +197,40 @@ object SparkEntry {
       base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** Punctuated line corpus for the C4 rule filter: 8-token lines from
+    * each document, a terminal '.' appended iff (doc_id + line index) % 3
+    * != 0 — so roughly a third of lines fail the punctuation rule, short
+    * tail lines fail the word-count rule, and lines carrying the
+    * blocklisted token fail the blocklist rule. */
+  private def c4Corpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val lines = transform(
+      sequence(lit(0), floor((size(toks) + 7) / 8).cast("int") - 1),
+      i => concat(
+        array_join(slice(toks, i * lit(8) + 1, lit(8)), " "),
+        when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+  }
+
+  private val C4CorpusSql = {
+    val tk = TextOpsSql.tokens("text")
+    s"""c4base AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(range((len(tk)+7)//8),
+       |           i -> array_to_string(tk[i*8+1 : i*8+8], ' ') ||
+       |                CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+       |           chr(10)) AS text
+       |    FROM (SELECT doc_id, $tk AS tk FROM documents)
+       |),
+       |lines AS (
+       |  SELECT doc_id,
+       |         unnest(range(len(string_split(text, chr(10))))) AS pos,
+       |         unnest(string_split(text, chr(10))) AS line
+       |    FROM c4base
+       |)""".stripMargin
+  }
+
   private val ParagraphCorpusSql = {
     val tk = TextOpsSql.tokens("text")
     s"""base AS (
@@ -747,6 +781,15 @@ object SparkEntry {
       Dedup.boilerplateStrip(paragraphCorpus(s, dir), "doc_id", "text", 3)
         .orderBy(col("doc_id"))),
 
+    // C4 line rules over the punctuated fixture: keep lines ending in
+    // terminal punctuation with >= 5 words and no blocklisted word
+    // ("spark" occurs naturally in the corpus); drop docs with < 2
+    // surviving lines. All rules map-side; one reassembly shuffle
+    "c4_line_filter" -> ((s, dir) =>
+      operators.LineRules.c4LineFilter(c4Corpus(s, dir), "doc_id", "text",
+          minWords = 5, minLines = 2, blocklist = Seq("spark"))
+        .orderBy(col("doc_id"))),
+
     // per-document TF-IDF top terms: term frequencies aggregate per (doc,
     // token) — map-side combined, O(distinct doc-term) shuffle rows —
     // document frequencies per token (vocabulary-sized), idf joins back
@@ -884,6 +927,16 @@ object SparkEntry {
           .as("mean_logprob"), count(lit(1)).as("n_toks"))
         .orderBy(col("doc_id"))
     }),
+
+    // CCNet-style perplexity terciles: unigram Laplace model trained on
+    // the 'en' slice, every doc scored under it (broadcast model, unseen
+    // tokens take the Laplace floor over the corpus-wide vocab), head /
+    // middle / tail assigned map-side against ONE exact-percentile
+    // aggregate — no global-order ntile window
+    "ccnet_ppl_buckets" -> ((s, dir) =>
+      operators.Perplexity.pplBuckets(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc_id"))),
 
     // bigram LM scoring with a PRUNED (top-500), BROADCAST model: training
     // = two vocabulary-sized aggregates; scoring = map-side broadcast
@@ -1250,6 +1303,18 @@ object SparkEntry {
           "vec_id", "embedding", kClusters = 4, iters = 2, nprobe = 2, k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("l2sq"), 6).as("l2sq"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // product-quantization ADC search: 4 subspaces × 8 codewords trained
+    // by the deterministic Lloyd trainer, corpus encoded to 4 small codes
+    // per vector (map-side), queries ranked by the integer micro-unit
+    // asymmetric distance — broadcast lookup table, associative BIGINT
+    // sum, (adc, id) total order
+    "ann_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Pq.adcTopK(emb, emb.where(col("vec_id") < 4),
+          "vec_id", "embedding", m = 4, ksub = 8, iters = 2, k = 5)
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
@@ -2849,6 +2914,14 @@ object SparkEntry {
            |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
            |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      "c4_line_filter" ->
+        s"""WITH $C4CorpusSql,
+           |${operators.LineRulesSql.keptLines(minWords = 5, blocklist = Seq("spark"))}
+           |${operators.LineRulesSql.reassembled(minLines = 2)}""".stripMargin,
+
+      "ccnet_ppl_buckets" -> operators.PerplexitySql.pplBuckets(
+        "documents", "doc_id", "text", "lang = 'en'"),
+
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
            |tf AS (SELECT doc_id, token, count(*) AS tf
@@ -3335,6 +3408,10 @@ object SparkEntry {
       "ann_ivf_trained" -> operators.KMeansSql.ivfTopK(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,
         nprobe = 2, topK = 5, queryPred = "vec_id < 8"),
+
+      "ann_pq_adc" -> operators.PqSql.adcTopK(
+        "embeddings", "vec_id", "embedding", dim = 64, m = 4, ksub = 8,
+        iters = 2, topK = 5, queryPred = "vec_id < 4"),
 
       "dedup_semantic_trained" -> operators.KMeansSql.semDedup(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,

@@ -734,7 +734,7 @@ object Dedup {
   /** Reassemble documents from surviving (`__id`, `__pos`, `__line`) rows:
     * one doc-keyed aggregate, lines rejoined in position order. Documents
     * with no surviving lines drop (the groupBy never sees them). */
-  private def reassemble(kept: DataFrame, idCol: String, textCol: String,
+  private[operators] def reassemble(kept: DataFrame, idCol: String, textCol: String,
       sep: String): DataFrame =
     kept.groupBy(col("__id"))
       .agg(array_join(
@@ -747,7 +747,7 @@ object Dedup {
   /** (`__id`, `__pos`, `__line`, `__kh`) — one row per paragraph, keyed by
     * the 256-bit content digest so every downstream shuffle carries 32
     * bytes + ids, never the paragraph text. */
-  private def paragraphs(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def paragraphs(df: DataFrame, idCol: String, textCol: String,
       sep: String): DataFrame =
     df.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))

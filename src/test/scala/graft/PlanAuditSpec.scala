@@ -397,4 +397,47 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
       s"exactly one side may replicate:\n$p")
   }
+
+  test("ppl buckets: model broadcast, bucketing map-side — no global window") {
+    import graft.operators.Perplexity
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(Perplexity.pplBuckets(docs, "doc_id", "text",
+      col("lang") === "en"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the reference model must broadcast to the token stream:\n$p")
+    assert(!p.contains("Window"),
+      s"terciles assign by comparison against collected thresholds — an " +
+        s"ntile() over a global ORDER BY would be one unsplittable task:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pq adc: lookup table broadcast, codes map-side, no cartesian") {
+    import graft.operators.Pq
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Pq.adcTopK(emb, emb.where(col("vec_id") < 4),
+      "vec_id", "embedding", m = 4, ksub = 8, iters = 1, k = 5)
+    val p = physical(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query LUT (queries × m × ksub rows) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the encoded-corpus side reaches the LUT join scan-direct: no
+    // exchange may sit between the corpus scan and the broadcast join
+    // (encoding is a projection; the only exchanges are the ADC aggregate
+    // and the per-query top-k)
+    val hashParts = p.linesIterator
+      .count(_.contains("hashpartitioning"))
+    assert(hashParts <= 2,
+      s"only the ADC sum + top-k window may shuffle:\n$p")
+  }
+
+  test("c4 line filter: rules map-side, ONE doc-keyed shuffle total") {
+    import graft.operators.LineRules
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(LineRules.c4LineFilter(docs, "doc_id", "text",
+      minWords = 5, minLines = 2, blocklist = Seq("spark")))
+    // reassembly + count + gate ride one aggregate: a single exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"line rules are map-side predicates; only the reassembly shuffles:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
 }
