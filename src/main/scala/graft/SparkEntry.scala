@@ -1318,6 +1318,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // IVF-PQ (FAISS IndexIVFPQ arrangement): coarse 4-cell quantizer,
+    // residual product codes (4 subspaces x 8 codewords), nprobe=2 probe
+    // with per-cell query residuals, integer micro-unit ADC ranking
+    "ann_ivfpq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.IvfPq.topK(emb, emb.where(col("vec_id") < 4),
+          "vec_id", "embedding", nCells = 4, m = 4, ksub = 8, iters = 2,
+          nprobe = 2, k = 5)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // recall@5 of the nprobe=2 trained-IVF search against the exhaustive
     // nprobe=4 (all cells = exact) reference — the quality gauge for the
     // probe-cost/recall trade, per query
@@ -3412,6 +3423,10 @@ object SparkEntry {
       "ann_pq_adc" -> operators.PqSql.adcTopK(
         "embeddings", "vec_id", "embedding", dim = 64, m = 4, ksub = 8,
         iters = 2, topK = 5, queryPred = "vec_id < 4"),
+
+      "ann_ivfpq_adc" -> operators.IvfPqSql.topK(
+        "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
+        ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 4"),
 
       "dedup_semantic_trained" -> operators.KMeansSql.semDedup(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,

@@ -61,6 +61,20 @@ object VectorOps {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Native element-wise vector subtraction (see
+    * [[graft.plans.VecSubExpr]]) — the IVF-PQ residual step, `v −
+    * centroid[cell]` once per row at encode time. */
+  def vecSub(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.VecSubExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Higher-order reference for [[vecSub]], pinning the native loop's
+    * arithmetic (spec compares them bit-for-bit). */
+  private[graft] def vecSubHof(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") - y.cast("double"))
+
   /** Higher-order-fold reference for [[sqDist]] — the original k-means
     * formulation, kept to PIN the native expression's sequential fold
     * arithmetic (the spec compares them bit-for-bit). */

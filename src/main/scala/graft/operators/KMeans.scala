@@ -62,12 +62,13 @@ object KMeans {
   }
 
   /** The deterministic initial centroids: the k LOWEST-id vectors, each
-    * element cast float→double (exact). */
+    * element cast to double (exact for float inputs; identity for the
+    * double residual vectors IVF-PQ trains on). */
   def seedCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] =
     df.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
 
   /**
    * `iters` Lloyd rounds from the seed centroids; returns the trained

@@ -63,11 +63,14 @@ object Pq {
     }
   }
 
-  /** (vec_id, codes) — each vector's per-subspace nearest-codeword index,
-    * computed map-side against literal codebooks. */
+  /** (vec_id, [carry...,] codes) — each vector's per-subspace
+    * nearest-codeword index, computed map-side against literal codebooks;
+    * `carry` columns pass through unchanged (IVF-PQ keeps the coarse cell
+    * id alongside the codes). */
   def encode(
       df: DataFrame, idCol: String, vecCol: String,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]],
+      carry: Seq[String] = Nil): DataFrame = {
     val dsub = books(0)(0).length
     val codeCols: Seq[Column] = books.toIndexedSeq.zipWithIndex.map {
       case (book, j) =>
@@ -79,8 +82,8 @@ object Pq {
         }
         array_min(array(scored: _*)).getField("cl")
     }
-    df.select(col(idCol).cast("long").as("vec_id"),
-      array(codeCols: _*).as("codes"))
+    df.select(col(idCol).cast("long").as("vec_id") +:
+      (carry.map(col) :+ array(codeCols: _*).as("codes")): _*)
   }
 
   /** Asymmetric-distance top-`k`: every query row (exact vectors) against
@@ -109,6 +112,93 @@ object Pq {
       .select(col("query_id"), col("e.sub").as("sub"),
         col("e.code").as("code"), col("e.qd").as("qd"))
     codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adc_q"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_q"), col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_q"))
+  }
+}
+
+/**
+ * IVF-PQ — the composed billion-scale ANN index (Jégou et al. 2011 §V,
+ * "IVFADC"; the FAISS `IndexIVFPQ` arrangement): a coarse k-means
+ * quantizer partitions the corpus into cells, each vector stores only its
+ * cell id + the PQ codes of its RESIDUAL (vector − cell centroid), and a
+ * query probes its `nprobe` nearest cells, scoring candidates by
+ * asymmetric distance against the QUERY residual per probed cell.
+ * Residual coding is what makes PQ codes sharp at scale: residuals are
+ * centered near zero, so the same `ksub` codewords cover them far more
+ * densely than raw vectors.
+ *
+ * Spark geometry — every stage is the already-pinned shape:
+ *  - coarse train + assign: [[KMeans]] (map-side literal-centroid argmin);
+ *  - residuals: native [[graft.plans.VecSubExpr]] projection (no lambda,
+ *    stays in whole-stage codegen), centroid picked from ONE literal
+ *    `array<array<double>>` by cell id — zero shuffle;
+ *  - PQ train on residuals + encode: [[Pq]] (codes + cell id per row);
+ *  - search: the per-(query, probed-cell) lookup table is `nq × nprobe ×
+ *    m × ksub` integer-quantized rows, BROADCAST; candidates join on
+ *    (cell, subspace, code) — the IVF pruning is the join itself: vectors
+ *    in unprobed cells never match, so the ADC aggregate sees only probed
+ *    candidates. Integer micro-unit terms keep the sum associative and
+ *    the (adc, id) rank a cross-engine total order.
+ */
+object IvfPq {
+
+  /** (query_id, neighbor_id, adc_q): ADC top-`k` over the probed cells;
+    * `adc_q` is the micro-unit integer asymmetric distance of the query
+    * residual to the candidate's residual codes. Self-matches excluded. */
+  def topK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, ksub: Int, iters: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = KMeans.train(corpus, idCol, vecCol, nCells, iters)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = KMeans.assign(corpus, idCol, vecCol, cents)
+    // cached: PQ training makes m × (iters + 1) passes over the residual
+    // table; released by the session-level cache clear between queries
+    // (the Verify/Bench convention for operator-scoped intermediates). At
+    // real scale the trainer runs on a sample and only the code table
+    // persists — m bytes + a cell id per vector.
+    val residuals = assigned.select(
+      col("cid").as("vec_id"),
+      VectorOps.vecSub(col("v"),
+        element_at(centsLit, col("cluster") + 1)).as("res"),
+      col("cluster"))
+      .cache()
+    val books = Pq.trainCodebooks(residuals, "vec_id", "res", m, ksub, iters)
+    val dsub = books(0)(0).length
+    val codes = Pq.encode(residuals, "vec_id", "res", books,
+        carry = Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val cellScore = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.sqDist(col("qv"), typedLit(c.toSeq)).as("d"),
+        lit(i).as("cl"))
+    }
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(array(cellScore: _*)), 1, nprobe)).as("pr"))
+      .select(col("query_id"), col("qv"), col("pr.cl").as("cluster"))
+      .withColumn("qres", VectorOps.vecSub(col("qv"),
+        element_at(centsLit, col("cluster") + 1)))
+    val entries: Seq[Column] = for {
+      j <- 0 until m
+      (c, i) <- books(j).toIndexedSeq.zipWithIndex
+    } yield struct(
+      lit(j).as("sub"), lit(i).as("code"),
+      floor(VectorOps.sqDist(slice(col("qres"), j * dsub + 1, dsub),
+        typedLit(c.toSeq)) * lit(KMeans.Quant.toDouble)).cast("long").as("qd"))
+    val lut = probes
+      .select(col("query_id"), col("cluster"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("cluster"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.qd").as("qd"))
+    codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qd")).as("adc_q"))
@@ -154,6 +244,63 @@ object PqSql {
        |  $luts),
        |d AS (SELECT query_id, vec_id, sum(qd)::BIGINT AS adc_q
        |      FROM codes JOIN lut USING (sub, code)
+       |      WHERE vec_id <> query_id
+       |      GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, adc_q FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adc_q, vec_id) AS rn FROM d)
+       |WHERE rn <= $topK ORDER BY query_id, neighbor_id""".stripMargin
+  }
+}
+
+/** DuckDB rendering of [[IvfPq.topK]] — coarse chain, residual CTE, m
+  * per-subspace chains over the residuals, probe/LUT/ADC — all by
+  * independent mechanics on the shared arithmetic contract. */
+object IvfPqSql {
+
+  def topK(table: String, vecId: String, vecCol: String, dim: Int,
+      nCells: Int, m: Int, ksub: Int, iters: Int, nprobe: Int, topK: Int,
+      queryPred: String): String = {
+    require(dim % m == 0)
+    val dsub = dim / m
+    def resSlice(j: Int) = s"res[${j * dsub + 1}:${(j + 1) * dsub}]"
+    val coarse = KMeansSql.ctes(table, vecId, vecCol, nCells, iters, "g")
+    val res =
+      s"""res AS (SELECT a.vec_id, a.cl AS cluster,
+         |        list_transform(range(1, len(a.v)+1), i -> a.v[i] - c.c[i]) AS res
+         |        FROM ga$iters a JOIN gc$iters c ON a.cl = c.cl)""".stripMargin
+    val subChains = (0 until m)
+      .map(j => KMeansSql.ctes("res", "vec_id", resSlice(j), ksub, iters, s"s$j"))
+      .mkString(",\n")
+    val codes = (0 until m)
+      .map(j => s"SELECT a.vec_id, r.cluster, $j AS sub, a.cl AS code " +
+        s"FROM s${j}a$iters a JOIN res r USING (vec_id)")
+      .mkString("\n  UNION ALL ")
+    val luts = (0 until m).map { j =>
+      s"""SELECT qr.query_id, qr.cluster, $j AS sub, cb.cl AS code,
+         |       floor(${KMeansSql.distSql(s"qr.${resSlice(j)}", "cb.c")} * ${KMeans.Quant}.0)::BIGINT AS qd
+         |FROM qres qr CROSS JOIN s${j}c$iters cb""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $coarse,
+       |$res,
+       |$subChains,
+       |codes AS (
+       |  $codes),
+       |q AS (SELECT $vecId AS query_id,
+       |             list_transform($vecCol, x -> x::DOUBLE) AS qv
+       |      FROM $table WHERE $queryPred),
+       |probes AS (SELECT query_id, qv, cl AS cluster FROM (
+       |  SELECT q.query_id, q.qv, g.cl,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |                            ORDER BY ${KMeansSql.distSql("q.qv", "g.c")}, g.cl) AS rn
+       |  FROM q CROSS JOIN gc$iters g) WHERE rn <= $nprobe),
+       |qres AS (SELECT p.query_id, p.cluster,
+       |         list_transform(range(1, len(p.qv)+1), i -> p.qv[i] - c.c[i]) AS res
+       |         FROM probes p JOIN gc$iters c ON p.cluster = c.cl),
+       |lut AS (
+       |  $luts),
+       |d AS (SELECT query_id, vec_id, sum(qd)::BIGINT AS adc_q
+       |      FROM codes JOIN lut USING (cluster, sub, code)
        |      WHERE vec_id <> query_id
        |      GROUP BY query_id, vec_id)
        |SELECT query_id, vec_id AS neighbor_id, adc_q FROM (

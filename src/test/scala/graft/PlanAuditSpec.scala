@@ -430,6 +430,23 @@ class PlanAuditSpec extends SparkSuite {
       s"only the ADC sum + top-k window may shuffle:\n$p")
   }
 
+  test("ivf-pq: residual encode map-side, LUT broadcast, probed-cell join only") {
+    import graft.operators.IvfPq
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = IvfPq.topK(emb, emb.where(col("vec_id") < 4),
+      "vec_id", "embedding", nCells = 4, m = 4, ksub = 8, iters = 1,
+      nprobe = 2, k = 5)
+    val p = physical(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (query, cell) LUT must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // residual + code columns are projections over the scan: candidate
+    // pruning IS the (cell, sub, code) broadcast join, so the only
+    // exchanges are the ADC aggregate and the per-query top-k
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) <= 2,
+      s"only the ADC sum + top-k may shuffle:\n$p")
+  }
+
   test("c4 line filter: rules map-side, ONE doc-keyed shuffle total") {
     import graft.operators.LineRules
     val docs = spark.read.parquet(s"$sf/documents.parquet")

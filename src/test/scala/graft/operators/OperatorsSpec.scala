@@ -529,6 +529,30 @@ class RpBucketsSpec extends SparkSuite {
     assert(edge.isNullAt(2) && edge.isNullAt(3))
   }
 
+  test("native VecSubExpr matches the zip_with reference exactly") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 4 - 2))
+    }
+    val df = rows.toDF("id", "a")
+    val cLit = typedLit(Seq.fill(32)(0.125d))
+    val both = df.select(
+      VectorOps.vecSub(col("a"), cLit).as("native"),
+      VectorOps.vecSubHof(col("a"), cLit).as("ref"))
+    assert(both.where(!(col("native") <=> col("ref"))).count() == 0)
+    // length mismatch and null element → null, matching zip_with padding
+    val edge = Seq((Array(1f, 2f), Array(3f)))
+      .toDF("a", "short")
+      .select(
+        VectorOps.vecSub(col("a"), col("short")).as("mismatch"),
+        VectorOps.vecSub(col("a"),
+          array(lit(1f), lit(null).cast("float"))).as("nullel"),
+        VectorOps.vecSub(col("a"), col("a")).as("self"))
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    assert(edge.getSeq[Double](2) == Seq(0.0, 0.0))
+  }
+
   test("native RpBucketsExpr edge cases: empty vec, null element, null vec") {
     val df = Seq(
       (1L, Some(Array[Float]())),

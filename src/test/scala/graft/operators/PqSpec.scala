@@ -63,4 +63,36 @@ class PqSpec extends SparkSuite {
     assert(byId(1L) == byId(2L), "equidistant neighbors quantize equally")
     assert(byId(3L) == 2L * byId(1L), "256 = 2 x 128 in micro-units")
   }
+
+  test("ivfPq single cell: residual coding reproduces exact distances") {
+    // one coarse cell -> residuals are v - mean; with exact codebooks the
+    // per-subspace ADC term is ||q_sub - v_sub||^2 EXACTLY (the centroid
+    // cancels; integer-valued inputs keep the float arithmetic exact), so
+    // IVF-PQ ranks identically to true squared-L2
+    val df = vecs(
+      0L -> Seq(0f, 0f, 9f, 9f),
+      1L -> Seq(0f, 0f, 1f, 1f),
+      2L -> Seq(8f, 8f, 9f, 9f),
+      3L -> Seq(8f, 8f, 1f, 1f))
+    val out = IvfPq.topK(df, df.where($"vec_id" === 0L), "vec_id", "embedding",
+        nCells = 1, m = 2, ksub = 2, iters = 2, nprobe = 1, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val byId = out.toMap
+    val q = KMeans.Quant
+    assert(byId == Map(1L -> 128L * q, 2L -> 128L * q, 3L -> 256L * q),
+      out.mkString(","))
+  }
+
+  test("ivfPq probe pruning: unprobed cells never surface candidates") {
+    // two far-apart blobs; coarse k-means separates them; a query from
+    // blob A with nprobe=1 probes only its own cell, so blob-B vectors
+    // cannot appear no matter their (meaningless) cross-cell code overlap
+    val blobA = (0L until 4L).map(i => i -> Seq(i.toFloat, 0f, 0f, 0f))
+    val blobB = (4L until 8L).map(i => i -> Seq(1000f + i, 1000f, 1000f, 1000f))
+    val df = vecs((blobA ++ blobB): _*)
+    val out = IvfPq.topK(df, df.where($"vec_id" === 1L), "vec_id", "embedding",
+        nCells = 2, m = 2, ksub = 4, iters = 2, nprobe = 1, k = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.nonEmpty && out.subsetOf(Set(0L, 2L, 3L)), out.toString)
+  }
 }
