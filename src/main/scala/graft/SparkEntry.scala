@@ -1346,6 +1346,33 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // recall@5 of the 16x-compressed PQ-ADC ranking against exact
+    // brute-force squared-L2 (broadcast queries, one native-fold distance
+    // per pair, per-query top-k) — the compression/recall gauge for the
+    // code budget (m x ksub), per query
+    "ann_pq_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val approx = operators.Pq.adcTopK(emb, q, "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, k = 5)
+      val exact = emb
+        .select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("cv"))
+        .join(broadcast(q.select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qv"))),
+          col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VectorOps.sqDist(col("qv"), col("cv")).as("d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))))
+        .where(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      operators.Similarity.recallAtK(approx, exact)
+        .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // salted two-stage aggregation over the MOST skewed key in the data
     // (5 event_type values carry the whole stream — an unsalted groupBy
     // runs 5 reducer tasks however wide the cluster): partials group on
@@ -3427,6 +3454,33 @@ object SparkEntry {
       "ann_ivfpq_adc" -> operators.IvfPqSql.topK(
         "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
         ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 4"),
+
+      "ann_pq_recall" -> {
+        val pq = operators.PqSql.adcTopK(
+          "embeddings", "vec_id", "embedding", dim = 64, m = 4, ksub = 8,
+          iters = 2, topK = 5, queryPred = "vec_id < 8")
+        val dist = operators.KMeansSql.distSql(
+          "list_transform(q.embedding, x -> x::DOUBLE)",
+          "list_transform(c.embedding, x -> x::DOUBLE)")
+        s"""WITH exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |                              ORDER BY $dist, c.vec_id) AS rn
+           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 8)
+           |  WHERE rn <= 5),
+           |approx AS ($pq)
+           |SELECT e.query_id,
+           |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |       round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                      THEN 1 ELSE 0 END)::DOUBLE
+           |             / count(*)::DOUBLE, 6) AS recall
+           |FROM exact e
+           |LEFT JOIN approx a USING (query_id, neighbor_id)
+           |GROUP BY e.query_id ORDER BY query_id""".stripMargin
+      },
 
       "dedup_semantic_trained" -> operators.KMeansSql.semDedup(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,

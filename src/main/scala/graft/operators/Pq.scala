@@ -46,8 +46,17 @@ import graft.functions.VectorOps
  */
 object Pq {
 
-  /** `m` codebooks of `ksub` centroids each, trained independently per
-    * subspace slice. Requires `dim % m == 0`. */
+  /** `m` codebooks of `ksub` centroids each — the independent per-subspace
+    * Lloyd trainings FUSED into one Spark job per round: assignment
+    * computes all m argmins map-side in one projection, and a single
+    * (subspace, cluster, dim) aggregation carries every subspace's update
+    * (the shuffle is m × ksub × dsub × partitions rows — the same volume
+    * as ONE full-dimension k-means round, m× fewer jobs than training the
+    * subspaces serially). Arithmetic is exactly [[KMeans.train]]'s
+    * contract per subspace — integer micro-unit sums, (sum / count) /
+    * 2^20 division order, lowest-id seeds, empty clusters keep their
+    * centroid — so results are bit-identical to the serial formulation
+    * (and to the oracle's per-subspace chains). Requires `dim % m == 0`. */
   def trainCodebooks(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
@@ -56,11 +65,46 @@ object Pq {
       .getOrElse(throw new IllegalArgumentException("pq: empty input"))
     require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    (0 until m).toArray.map { j =>
-      KMeans.train(
-        df.select(col(idCol), slice(col(vecCol), j * dsub + 1, dsub).as("__sub")),
-        idCol, "__sub", ksub, iters)
+    // one seed collect for every subspace: the ksub lowest-id vectors,
+    // sliced (identical to seeding each subspace separately)
+    val seeds = df.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub,
+      s"pq: ksub=$ksub but input has only ${seeds.length} vectors")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val assignCols: Seq[Column] = (0 until m).map { j =>
+        val scored = books(j).toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          struct(
+            VectorOps.sqDist(slice(col(vecCol), j * dsub + 1, dsub),
+              typedLit(c.toSeq)).as("d"),
+            lit(i).as("cl"))
+        }
+        array_min(array(scored: _*)).getField("cl")
+      }
+      val parts = df
+        .select(col(vecCol).as("__v"), array(assignCols: _*).as("__cls"))
+        .select(col("__v"), posexplode(col("__cls")).as(Seq("sub", "cluster")))
+        .select(col("sub"), col("cluster"),
+          posexplode(slice(col("__v"), col("sub") * lit(dsub) + lit(1),
+            lit(dsub))).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cluster"), col("pos"))
+        .agg(
+          sum(floor(col("x").cast("double") * KMeans.Quant).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m)(j => books(j).map(_.clone())) // empty keeps old
+      parts.foreach { r =>
+        val (s, cl, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        // fixed op order (sum / count) / Quant — the KMeans contract
+        next(s)(cl)(pos) =
+          r.getLong(3).toDouble / r.getLong(4).toDouble / KMeans.Quant.toDouble
+      }
+      books = next
     }
+    books
   }
 
   /** (vec_id, [carry...,] codes) — each vector's per-subspace
