@@ -1761,6 +1761,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ingest-time perplexity gate: arriving docs score under the static
+    // 'en'-slice reference LM (broadcast, Laplace over the ref vocab) and
+    // pass at mean log10-prob >= -1.49 — the streaming counterpart of
+    // ccnet_ppl_buckets' offline terciles, with the threshold as the
+    // fixed offline calibration an ingest door actually uses
+    "stream_ppl_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Streams.perplexityGateStream(s, docs = d,
+          refDocs = d.where(col("lang") === "en"), minMeanLogProb = -1.49)
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_window_counts" -> ((s, dir) =>
       Streams.windowedEventCounts(s, s"$dir/events.parquet")
         .orderBy(col("window_start"), col("event_type"))),
@@ -3838,6 +3850,32 @@ object SparkEntry {
            |SELECT b.doc_id FROM base b LEFT JOIN hits h USING (doc_id)
            |WHERE coalesce(n_shared::DOUBLE / n_shingles::DOUBLE, 0.0) <= 0.2
            |ORDER BY b.doc_id""".stripMargin
+      },
+
+      // batch statement of the streaming perplexity gate: Laplace unigram
+      // scores under the 'en'-slice model (ref vocab only — the gate has
+      // no corpus-wide vocabulary), fixed threshold
+      "stream_ppl_gate" -> {
+        val th = TextOpsSql.tokenHashes(TextOpsSql.tokens("text"))
+        s"""WITH tok AS (SELECT doc_id, unnest($th) AS u FROM documents),
+           |ref AS (SELECT u, count(*) AS cu
+           |        FROM (SELECT unnest($th) AS u FROM documents
+           |              WHERE lang = 'en')
+           |        GROUP BY u),
+           |t AS (SELECT coalesce(sum(cu), 0)::BIGINT + count(*)::BIGINT
+           |             AS denom FROM ref),
+           |scored AS (
+           |  SELECT doc_id,
+           |         round(sum(log10((coalesce(cu, 0)::DOUBLE + 1.0)
+           |                         / denom::DOUBLE))
+           |               / count(*)::DOUBLE, 6) AS mlp
+           |  FROM tok LEFT JOIN ref USING (u), t
+           |  GROUP BY doc_id),
+           |alld AS (
+           |  SELECT b.doc_id,
+           |         coalesce(s.mlp, round(log10(1.0 / denom::DOUBLE), 6)) AS mlp
+           |  FROM documents b LEFT JOIN scored s USING (doc_id), t)
+           |SELECT doc_id FROM alld WHERE mlp >= -1.49 ORDER BY doc_id""".stripMargin
       },
 
       // batch replay of the streaming tumbling-window counts (sentinel rows

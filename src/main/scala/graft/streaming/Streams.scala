@@ -420,6 +420,64 @@ object Streams {
   }
 
   /**
+   * Streaming perplexity gate — CCNet-style quality filtering at ingest:
+   * each arriving document scores under a STATIC reference language model
+   * (calibrated offline, like [[graft.operators.Perplexity]]'s batch
+   * terciles) and passes only at `minMeanLogProb` or above. The always-on
+   * counterpart of offline perplexity bucketing: the threshold is a FIXED
+   * calibration constant — an ingest gate cannot see corpus-global
+   * statistics, which is exactly why the batch operator owns the tercile
+   * split and this one owns the door.
+   *
+   * Shape: token hashes compute map-side (same native expressions); the
+   * model is vocabulary-sized and BROADCASTS (ships per executor, never
+   * per batch); unseen tokens take the Laplace floor `1/(T + V_ref)` over
+   * the REFERENCE vocabulary (the gate has no corpus-wide vocab — the
+   * documented difference from the batch scorer). The only streaming
+   * state is the per-doc aggregate of the drain in flight. Token-free
+   * docs score the floor and pass only if the floor clears the threshold.
+   *
+   * Returns the KEPT doc ids.
+   */
+  def perplexityGateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      refDocs: DataFrame,
+      minMeanLogProb: Double): DataFrame = {
+    import graft.functions.TextOps
+    val dir = Files.createTempDirectory("graft-stream-ppl")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    def th = TextOps.tokenHashes(TextOps.tokens(col("text")))
+    val ref = refDocs.select(explode(th).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val total = ref.agg(coalesce(sum(col("cu")), lit(0L))).first().getLong(0)
+    val vocab = ref.count()
+    val denom = (total + vocab).toDouble
+    val floorLp = math.log10(1.0 / denom)
+    val scored = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"), th.as("th"))
+      .select(col("doc_id"), size(col("th")).cast("bigint").as("n_toks"),
+        explode_outer(col("th")).as("u"))
+      .join(broadcast(ref), Seq("u"), "left_outer")
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(sum(when(col("u").isNotNull,
+        log10((coalesce(col("cu"), lit(0L)).cast("double") + lit(1.0))
+          / lit(denom)))).as("lp_sum"))
+    val drained = runToMemory(scored, "complete",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+      .select(col("doc_id"),
+        round(when(col("n_toks") === 0L, lit(floorLp))
+          .otherwise(col("lp_sum") / col("n_toks").cast("double")), 6)
+          .as("mean_logprob"))
+      .where(col("mean_logprob") >= minMeanLogProb)
+      .select(col("doc_id"))
+  }
+
+  /**
    * Stream-stream INTERVAL JOIN: each click joined to the same user's
    * purchases in the `within` interval after it — streaming attribution,
    * the two-sided stateful operator (both sides buffer state, the

@@ -330,6 +330,25 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 7L), kept.toString)
   }
 
+  test("perplexity gate stream: reference-like docs pass, gibberish drops") {
+    // ref model: T = 8, V = 4 (aa:3, bb:2, cc:1, dd:2), denom = 12
+    val ref = Seq((1L, "aa bb aa cc"), (2L, "aa bb dd dd")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "aa aa bb"),   // mean lp = (2*log10(4/12) + log10(3/12))/3 ≈ -0.519
+      (11L, "zz yy xx"),   // all unseen -> log10(1/12) ≈ -1.079
+      (12L, "")            // token-free -> floor
+    ).toDF("doc_id", "text")
+    val kept = Streams.perplexityGateStream(spark, docs, ref,
+        minMeanLogProb = -0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), kept.toString)
+    // a floor-level threshold admits everything
+    val all = Streams.perplexityGateStream(spark, docs, ref,
+        minMeanLogProb = math.log10(1.0 / 12.0) - 0.001)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(10L, 11L, 12L), all.toString)
+  }
+
   test("contamination gate stream: overlap fraction gates; short docs pass") {
     // eval doc shares its leading 3-grams with train doc 10 (2 of 4
     // shingles = 0.5 > 0.2 → dropped) but not doc 11 (0.0 → kept);
