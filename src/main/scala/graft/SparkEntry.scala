@@ -617,6 +617,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // recall of the LSH banding against the guaranteed-complete exact
+    // prefix join at the same threshold — the quality gauge for the
+    // bands x rows trade (the LSH analogue of ann_recall / ann_pq_recall:
+    // every approximate arm ships with its gauge)
+    "lsh_jaccard_recall" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val exact = Dedup.jaccardPrefixPairs(corpus, "doc_id", "text", 0.7)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Dedup.minHashLshPairs(corpus, "doc_id", "text", minJaccard = 0.7)
+        .select(col("id_a"), col("id_b")).withColumn("__hit", lit(1L))
+      exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(col("n_exact"), col("n_found"),
+          round(when(col("n_exact") === 0, lit(1.0))
+            .otherwise(col("n_found").cast("double")
+              / col("n_exact").cast("double")), 6).as("recall"))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.keepFirst(exactDupCorpus(s, dir), "doc_id", "text")
         .select(col("doc_id"))
@@ -3087,6 +3106,46 @@ object SparkEntry {
            |  SELECT id_a, id_b, o::DOUBLE / (m1 + m2 - o)::DOUBLE AS jac
            |  FROM c)
            |WHERE jac >= CAST(0.7 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // LSH-vs-exact recall gauge: the exact arm is the prefix join's
+      // all-shared-shingles formulation, the LSH arm the banding join —
+      // both at jaccard >= 0.7 on raw (unrounded) values
+      "lsh_jaccard_recall" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        val sig = TextOpsSql.minHashSignature("ss")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM corpus),
+           |th AS (SELECT doc_id, $thash AS th FROM tok),
+           |d AS (SELECT doc_id, list_distinct($shingles) AS ss FROM th),
+           |e AS (SELECT doc_id, len(ss) AS m, unnest(ss) AS sh
+           |      FROM d WHERE len(ss) > 0),
+           |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o,
+           |             any_value(a.m) AS m1, any_value(b.m) AS m2
+           |      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |exact AS (SELECT id_a, id_b FROM (
+           |  SELECT id_a, id_b, o::DOUBLE / (m1 + m2 - o)::DOUBLE AS jac
+           |  FROM c) WHERE jac >= CAST(0.7 AS DOUBLE)),
+           |sg AS (SELECT doc_id, ss, $sig AS sig FROM d),
+           |bands AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |lsh AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, 1 AS hit
+           |        FROM bands l JOIN bands r
+           |          ON l.band = r.band AND l.bucket = r.bucket
+           |         AND l.doc_id < r.doc_id
+           |        WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |              >= CAST(0.7 AS DOUBLE))
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_found,
+           |       round(CASE WHEN count(*) = 0 THEN 1.0
+           |                  ELSE sum(coalesce(hit, 0))::DOUBLE
+           |                       / count(*)::DOUBLE END, 6) AS recall
+           |FROM exact LEFT JOIN lsh USING (id_a, id_b)""".stripMargin
       },
 
       "text_stats" ->
