@@ -636,6 +636,21 @@ object SparkEntry {
               / col("n_exact").cast("double")), 6).as("recall"))
     }),
 
+    // incremental NEAR-dup: a mutated-copy batch probes the corpus's band
+    // index (shared bucket + verified jaccard >= 0.7 drops) plus the
+    // within-batch keep-first rule — the batch arbiter of the streaming
+    // LSH ingest gate, against a maintained index instead of a rescan
+    "dedup_incremental_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextOps.tokens(col("text"))
+      val batch = d.select((col("doc_id") + 10000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      Dedup.incrementalNearDup(batch, d, "doc_id", "text", 0.7)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.keepFirst(exactDupCorpus(s, dir), "doc_id", "text")
         .select(col("doc_id"))
@@ -1310,6 +1325,23 @@ object SparkEntry {
         .select(col("cluster"), col("pos"),
           round(col("centroid"), 6).as("centroid"))
         .orderBy(col("cluster"), col("pos"))
+    }),
+
+    // hand-derived PQ pin: 2 subspaces x 2 codewords over 4 vectors built
+    // from 2 distinct subvectors per subspace — codebooks converge to the
+    // subvectors exactly, so the quantized ADC distances are the true
+    // squared-L2 in micro-units (128 and 256 x 2^20, derived by hand in
+    // PqSpec); literal VALUES catch a shared misunderstanding the dual
+    // renderings cannot
+    "pq_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Seq(
+        (0L, Seq(0f, 0f, 9f, 9f)), (1L, Seq(0f, 0f, 1f, 1f)),
+        (2L, Seq(8f, 8f, 9f, 9f)), (3L, Seq(8f, 8f, 1f, 1f)))
+        .toDF("vec_id", "embedding")
+      operators.Pq.adcTopK(pts, pts.where(col("vec_id") === 0L),
+          "vec_id", "embedding", m = 2, ksub = 2, iters = 2, k = 3)
+        .orderBy(col("neighbor_id"))
     }),
 
     // IVF over TRAINED cells — the seam ann_ivf_topk's seed centroids
@@ -3108,6 +3140,51 @@ object SparkEntry {
            |WHERE jac >= CAST(0.7 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
       },
 
+      // batch-vs-corpus near-dup: banding formulation on both arms —
+      // corpus hits via the batch-bands x corpus-bands join, within-batch
+      // drops via the batch self-join's higher-id rule
+      "dedup_incremental_neardup" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        val sig = TextOpsSql.minHashSignature("ss")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        def setsOf(src: String) =
+          s"""SELECT doc_id, list_distinct($shingles) AS ss FROM (
+             |  SELECT doc_id, $thash AS th FROM (
+             |    SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM $src))""".stripMargin
+        s"""WITH batch AS (
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |bd AS (${setsOf("batch")}),
+           |cd AS (${setsOf("documents")}),
+           |bsg AS (SELECT doc_id, ss, $sig AS sig FROM bd),
+           |csg AS (SELECT doc_id, ss, $sig AS sig FROM cd),
+           |bb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |       FROM bsg, (VALUES (0), (1), (2), (3)) b(band)),
+           |cb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |       FROM csg, (VALUES (0), (1), (2), (3)) b(band)),
+           |chit AS (SELECT DISTINCT l.doc_id
+           |         FROM bb l JOIN cb r
+           |           ON l.band = r.band AND l.bucket = r.bucket
+           |         WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |               >= CAST(0.7 AS DOUBLE)),
+           |wdrop AS (SELECT DISTINCT r.doc_id
+           |          FROM bb l JOIN bb r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id
+           |          WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |                >= CAST(0.7 AS DOUBLE))
+           |SELECT doc_id FROM batch
+           |WHERE doc_id NOT IN (SELECT doc_id FROM chit)
+           |  AND doc_id NOT IN (SELECT doc_id FROM wdrop)
+           |ORDER BY doc_id""".stripMargin
+      },
+
       // LSH-vs-exact recall gauge: the exact arm is the prefix join's
       // all-shared-shingles formulation, the LSH arm the banding join —
       // both at jaccard >= 0.7 on raw (unrounded) values
@@ -3513,6 +3590,17 @@ object SparkEntry {
           |  (0, 0, 0.5), (0, 1, 0.0),
           |  (1, 0, 10.333333), (1, 1, 10.333333)
           |) t(cluster, pos, centroid) ORDER BY cluster, pos""".stripMargin,
+
+      // d(0,1) = d(0,2) = 128, d(0,3) = 256 exactly (integer-valued
+      // floats; the exact codebooks make ADC the true distance), in
+      // 2^20 micro-units
+      "pq_pinned" ->
+        """SELECT CAST(query_id AS BIGINT) AS query_id,
+          |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+          |       CAST(adc_q AS BIGINT) AS adc_q
+          |FROM (VALUES
+          |  (0, 1, 134217728), (0, 2, 134217728), (0, 3, 268435456)
+          |) t(query_id, neighbor_id, adc_q) ORDER BY neighbor_id""".stripMargin,
 
       "ann_ivf_trained" -> operators.KMeansSql.ivfTopK(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2,

@@ -517,6 +517,51 @@ object Dedup {
   }
 
   /**
+   * Incremental (batch-vs-corpus) NEAR-duplicate dedup — the ingest-batch
+   * form of [[minHashKeep]], and the batch arbiter of the streaming
+   * [[graft.streaming.Streams.minHashDedupStream]] ingest gate: of the
+   * new `batch`, keep only documents that are near-duplicates of NOTHING
+   * — neither of the already-ingested corpus (a shared band bucket AND
+   * verified exact Jaccard ≥ `minJaccard`) nor of a lower-id batch
+   * document (the within-batch keep-first rule).
+   *
+   * Scale shape: the batch side computes signatures map-side; the corpus
+   * side joins as its (id, band, bucket) BAND INDEX plus an (id, shingle
+   * set) verify table — both persisted once per ingest at 100 TB
+   * (bucketed on the band bucket / id respectively), not a rescan of
+   * prior text, exactly as [[incremental]]'s digest index. The bucket
+   * equi-join carries ids only; shingle arrays travel only for the
+   * candidate pairs that reach verification.
+   */
+  def incrementalNearDup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double): DataFrame = {
+    val bSig = withSignature(batch.select(col(idCol), col(textCol)),
+      idCol, textCol).cache()
+    val cSig = withSignature(corpus.select(col(idCol), col(textCol)),
+      idCol, textCol).cache()
+    val bBands = banded(bSig, idCol, Nil)
+      .select(col("id").as("bid"), col("band"), col("bucket"))
+      .where(col("bucket").isNotNull)
+    val cBands = banded(cSig, idCol, Nil)
+      .select(col("id").as("cid"), col("band"), col("bucket"))
+      .where(col("bucket").isNotNull)
+    val candidates = bBands.join(cBands, Seq("band", "bucket"))
+      .select(col("bid"), col("cid")).dropDuplicates("bid", "cid")
+    val corpusHits = candidates
+      .join(bSig.select(col(idCol).as("bid"), col("shingles").as("bsh")), Seq("bid"))
+      .join(cSig.select(col(idCol).as("cid"), col("shingles").as("csh")), Seq("cid"))
+      .where(TextOps.jaccard(col("bsh"), col("csh")) >= minJaccard)
+      .select(col("bid").as(idCol)).distinct()
+    val result = minHashKeep(batch, idCol, textCol, minJaccard)
+      .join(corpusHits, Seq(idCol), "left_anti")
+    CacheScope.unpersistAfterAction(result, Seq(bSig, cSig))
+  }
+
+  /**
    * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
    * embeddings cluster by nearest seed centroid, and within each cluster
    * any pair with cosine ≥ `minCosine` is a semantic duplicate — the

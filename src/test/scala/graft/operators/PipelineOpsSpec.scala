@@ -330,6 +330,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 7L), kept.toString)
   }
 
+  test("incrementalNearDup: corpus near-dups drop, batch keep-first, novel kept") {
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near1 = (3 to 30).map(i => s"w$i").mkString(" ")  // near-dup of long1
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val corpus = Seq((1L, long1)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, near1),        // near-dup of corpus doc 1 -> drops
+      (11L, other),        // novel -> kept
+      (12L, other),        // batch-internal dup of 11 -> drops (keep-first)
+      (13L, "too short")   // no shingles -> never buckets -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text", 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), kept.toString)
+  }
+
   test("perplexity gate stream: reference-like docs pass, gibberish drops") {
     // ref model: T = 8, V = 4 (aa:3, bb:2, cc:1, dd:2), denom = 12
     val ref = Seq((1L, "aa bb aa cc"), (2L, "aa bb dd dd")).toDF("doc_id", "text")
