@@ -636,6 +636,24 @@ object SparkEntry {
               / col("n_exact").cast("double")), 6).as("recall"))
     }),
 
+    // incremental SEMANTIC dedup: an exact-copy slice (cosine 1.0 with
+    // its corpus originals -> drops) plus a negated slice (cosine -1 with
+    // originals -> survives the corpus check, subject to the within-batch
+    // rule) probes the corpus's cluster index — seeds collected from the
+    // CORPUS, batch assigned map-side to the same literals
+    "dedup_incremental_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val flipped = e.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      Dedup.incrementalSemDedup(copies.unionByName(flipped), e,
+          "vec_id", "embedding", minCosine = 0.8, nlist = 8)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // incremental NEAR-dup: a mutated-copy batch probes the corpus's band
     // index (shared bucket + verified jaccard >= 0.7 drops) plus the
     // within-batch keep-first rule — the batch arbiter of the streaming
@@ -3138,6 +3156,43 @@ object SparkEntry {
            |  SELECT id_a, id_b, o::DOUBLE / (m1 + m2 - o)::DOUBLE AS jac
            |  FROM c)
            |WHERE jac >= CAST(0.7 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // batch-vs-corpus semantic dedup: corpus-seeded assignment on both
+      // sides, cluster-equality candidate joins, cosine >= 0.8
+      "dedup_incremental_semantic" -> {
+        def assigned(src: String) =
+          s"""SELECT cid, cv, cluster FROM (
+             |    SELECT e.vec_id AS cid, e.embedding AS cv,
+             |           s.centroid_id AS cluster,
+             |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
+             |             s.centroid_id) AS rn
+             |    FROM $src e, seeds s)
+             |  WHERE rn = 1""".stripMargin
+        s"""WITH batch AS (
+           |  SELECT vec_id + 10000 AS vec_id, embedding
+           |  FROM embeddings WHERE vec_id % 5 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 20000 AS vec_id,
+           |         list_transform(embedding, x -> -x) AS embedding
+           |  FROM embeddings WHERE vec_id % 7 = 0),
+           |seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
+           |          FROM embeddings ORDER BY vec_id LIMIT 8),
+           |ca AS (${assigned("embeddings")}),
+           |ba AS (${assigned("batch")}),
+           |chit AS (SELECT DISTINCT b.cid FROM ba b JOIN ca c
+           |           ON b.cluster = c.cluster
+           |         WHERE ${VectorOpsSql.cosine("b.cv", "c.cv")}
+           |               >= CAST(0.8 AS DOUBLE)),
+           |wdrop AS (SELECT DISTINCT b.cid FROM ba a JOIN ba b
+           |            ON a.cluster = b.cluster AND a.cid < b.cid
+           |          WHERE ${VectorOpsSql.cosine("a.cv", "b.cv")}
+           |                >= CAST(0.8 AS DOUBLE))
+           |SELECT vec_id FROM batch
+           |WHERE vec_id NOT IN (SELECT cid FROM chit)
+           |  AND vec_id NOT IN (SELECT cid FROM wdrop)
+           |ORDER BY vec_id""".stripMargin
       },
 
       // batch-vs-corpus near-dup: banding formulation on both arms —

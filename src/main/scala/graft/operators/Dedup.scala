@@ -625,6 +625,46 @@ object Dedup {
   }
 
   /**
+   * Incremental (batch-vs-corpus) SEMANTIC dedup — the SemDeDup form of
+   * [[incrementalNearDup]], completing the incremental family (exact
+   * digest / LSH near-dup / embedding cosine): of the new `batch`, keep
+   * only vectors that are semantic duplicates of NOTHING — neither of the
+   * already-ingested corpus (same cluster, cosine ≥ `minCosine`) nor of a
+   * lower-id batch vector.
+   *
+   * The partitioner is the CORPUS's (the persisted cluster index of prior
+   * ingests — seeds collected from the corpus, exactly the at-rest
+   * `cluster`-partitioned layout [[Similarity.ivfTopK]] describes); the
+   * batch assigns map-side against the same seed literals, so the
+   * batch-corpus candidate join is cluster-equality — per batch vector,
+   * ~1/nlist of the corpus, never all of it.
+   */
+  def incrementalSemDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nlist: Int = 16): DataFrame = {
+    val seeds = Similarity.collectSeeds(corpus, idCol, vecCol, nlist)
+    val bAssigned = Similarity.assignClusters(batch, idCol, vecCol, seeds)
+    val cAssigned = Similarity.assignClusters(corpus, idCol, vecCol, seeds)
+    val corpusHits = bAssigned.as("b")
+      .join(cAssigned.as("c"), col("b.cluster") === col("c.cluster"))
+      .where(graft.functions.VectorOps.cosine(col("b.cv"), col("c.cv"))
+        >= minCosine)
+      .select(col("b.cid").as("__drop"))
+    val withinHits = bAssigned.as("a")
+      .join(bAssigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.cid") < col("b.cid"))
+      .where(graft.functions.VectorOps.cosine(col("a.cv"), col("b.cv"))
+        >= minCosine)
+      .select(col("b.cid").as("__drop"))
+    val drops = corpusHits.unionByName(withinHits).distinct()
+    batch.join(drops, col(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+
+  /**
    * n-gram Jaccard near-dup pairs: exact word-shingle Jaccard over
    * MinHash-LSH candidates, optionally restricted to a blocking key. This
    * replaces (and deliberately does not offer) the naive blocked self-join:

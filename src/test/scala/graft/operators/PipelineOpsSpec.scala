@@ -346,6 +346,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(11L, 13L), kept.toString)
   }
 
+  test("incrementalSemDedup: corpus twins drop, opposites kept, batch rule holds") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),    // exact twin of corpus 1 -> drops
+      (11L, Seq(-1f, 0f, 0f, 0f)),   // opposite of 1 (cosine -1) -> kept
+      (12L, Seq(0f, 0.99f, 0.01f, 0f)), // near-twin of corpus 2 -> drops
+      (13L, Seq(0f, 0f, 1f, 0f)),    // novel -> kept
+      (14L, Seq(0f, 0f, 0.999f, 0.001f)) // near-dup of 13 within batch -> drops
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.incrementalSemDedup(batch, corpus, "vec_id", "embedding",
+        minCosine = 0.9, nlist = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), kept.toString)
+  }
+
   test("perplexity gate stream: reference-like docs pass, gibberish drops") {
     // ref model: T = 8, V = 4 (aa:3, bb:2, cc:1, dd:2), denom = 12
     val ref = Seq((1L, "aa bb aa cc"), (2L, "aa bb dd dd")).toDF("doc_id", "text")
