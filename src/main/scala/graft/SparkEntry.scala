@@ -1067,6 +1067,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))),
 
+    // quality-weighted Bernoulli selection: keep probability = the
+    // composite quality score (deterministic via the portable hash) —
+    // thinning that keeps the quality GRADIENT instead of a cliff gate
+    "sample_by_quality" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Sampling.byQuality(t(s, dir, "documents"), "doc_id",
+          QualityOps.qualityScore(col("text"), toks), seed = 13)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic global shuffle: bucket+key assignment is map-side only;
     // the query verifies the whole assignment via per-bucket aggregates
     "shuffle_assign" -> ((s, dir) =>
@@ -3420,6 +3431,14 @@ object SparkEntry {
            |FROM documents
            |WHERE ${SamplingSql.sampleWhere("doc_id", 0.2, seed = 3)}
            |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "sample_by_quality" ->
+        s"""WITH tok AS (SELECT doc_id, text, $toks AS tk FROM documents)
+           |SELECT doc_id FROM tok
+           |WHERE ${SamplingSql.hash16("doc_id", 13)} <
+           |      CAST(floor(${QualityOpsSql.qualityScore("text", "tk")}
+           |                 * ${Sampling.Buckets}.0) AS BIGINT)
+           |ORDER BY doc_id""".stripMargin,
 
       "shuffle_assign" ->
         s"""SELECT ${SamplingSql.shuffleBucket("doc_id", 8, seed = 5)} AS shuffle_bucket,

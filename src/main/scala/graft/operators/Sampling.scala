@@ -66,6 +66,26 @@ object Sampling {
   }
 
   /**
+   * Quality-weighted Bernoulli selection (the DCLM/quality-upsampling
+   * rule): keep each row independently with probability equal to its
+   * `score` (a per-row column in [0, 1] — e.g.
+   * [[graft.functions.QualityOps.qualityScore]]), decided by the portable
+   * 16-bit hash — deterministic, seed-stable, exactly reproducible from
+   * (id, score) alone, and a pure MAP-SIDE predicate: the selection
+   * streams at scan speed like every other thinning here. A hard
+   * `score >= τ` gate keeps cliff effects; probabilistic thinning keeps
+   * the quality GRADIENT — high-quality docs survive proportionally more
+   * often without a sharp cutoff.
+   */
+  def byQuality(
+      df: DataFrame,
+      idCol: String,
+      score: Column,
+      seed: Long = 0L): DataFrame =
+    df.where(hash16(col(idCol), seed) <
+      floor(score * lit(Buckets.toDouble)).cast("long"))
+
+  /**
    * Assign every row to one named split (e.g. train/val/test) by hash
    * bucket: fractions map to contiguous bucket ranges, so the assignment is
    * deterministic, seed-stable, and exactly reproducible from the id alone.

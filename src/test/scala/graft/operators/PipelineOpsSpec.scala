@@ -189,6 +189,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert(aKeys != b)
   }
 
+  test("byQuality: score 1 always kept, score 0 never, mid-scores thin") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = (0L until 400L).map(i => (i, i % 4)).toDF("id", "grp")
+    val score = when(col("grp") === 0, lit(1.0))
+      .when(col("grp") === 1, lit(0.0))
+      .when(col("grp") === 2, lit(0.5))
+      .otherwise(lit(0.25))
+    val kept = Sampling.byQuality(df, "id", score, seed = 9)
+      .groupBy("grp").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(0L) == 100L, s"score 1.0 keeps everything: $kept")
+    assert(!kept.contains(1L), s"score 0.0 keeps nothing: $kept")
+    assert(kept(2L) > 25 && kept(2L) < 75, s"score 0.5 thins to ~half: $kept")
+    assert(kept(3L) > 5 && kept(3L) < 45, s"score 0.25 thins to ~quarter: $kept")
+    // deterministic: same seed, same selection
+    val again = Sampling.byQuality(df, "id", score, seed = 9)
+      .agg(org.apache.spark.sql.functions.sum(col("id"))).first().getLong(0)
+    val first = Sampling.byQuality(df, "id", score, seed = 9)
+      .agg(org.apache.spark.sql.functions.sum(col("id"))).first().getLong(0)
+    assert(again == first)
+  }
+
   test("packSequences: hand-checked offsets, straddling doc stays whole") {
     val d = Seq(
       ("s", 1L, 400L), ("s", 2L, 400L), ("s", 3L, 400L), // 3rd straddles 1024
