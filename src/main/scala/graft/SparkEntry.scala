@@ -1841,6 +1841,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming heavy hitters: the mergeable Misra-Gries summary as
+    // bounded streaming state (<= capacity counters TOTAL, vs a
+    // vocabulary-sized exact top-k state); capacity exceeds this corpus's
+    // distinct tokens, so the drain is exact = the batch oracle
+    "stream_top_tokens" -> ((s, dir) =>
+      Streams.topTokensStream(s, t(s, dir, "documents"),
+        capacity = 4096, n = 20)),
+
     // ingest-time perplexity gate: arriving docs score under the static
     // 'en'-slice reference LM (broadcast, Laplace over the ref vocab) and
     // pass at mean log10-prob >= -1.49 — the streaming counterpart of
@@ -4072,6 +4080,13 @@ object SparkEntry {
            |WHERE coalesce(n_shared::DOUBLE / n_shingles::DOUBLE, 0.0) <= 0.2
            |ORDER BY b.doc_id""".stripMargin
       },
+
+      // streaming Misra-Gries with capacity > distinct tokens: exact
+      // counts, identical to the batch heavy-hitter oracle
+      "stream_top_tokens" ->
+        s"""SELECT token, count(*) AS cnt
+           |FROM (SELECT unnest($toks) AS token FROM documents)
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
       // batch statement of the streaming perplexity gate: Laplace unigram
       // scores under the 'en'-slice model (ref vocab only — the gate has

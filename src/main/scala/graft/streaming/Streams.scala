@@ -420,6 +420,37 @@ object Streams {
   }
 
   /**
+   * Streaming heavy hitters — the Misra–Gries summary as a STREAMING
+   * aggregate: its mergeability (Agarwal et al. 2013) is exactly what a
+   * streaming state store needs, so the always-on "what's trending in the
+   * ingest stream" query carries ≤ `capacity` counters of state TOTAL
+   * however many tokens flow past — vs an exact streaming top-k whose
+   * state is the full vocabulary. Same guarantee as the batch operator:
+   * every token with frequency > N/(capacity+1) is present, undercounted
+   * by at most N/(capacity+1); EXACT (= the batch oracle) while nothing
+   * evicts. Complete-mode drain; ranking runs on the drained summary.
+   */
+  def topTokensStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      capacity: Int,
+      n: Int): DataFrame = {
+    import graft.functions.TextOps
+    import graft.operators.HeavyHitters
+    val dir = Files.createTempDirectory("graft-stream-hh")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val summary = HeavyHitters.summary(stream,
+      explode(TextOps.tokens(col("text"))), capacity)
+    val drained = runToMemory(summary, "complete",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained.orderBy(col("cnt").desc, col("token")).limit(n)
+  }
+
+  /**
    * Streaming perplexity gate — CCNet-style quality filtering at ingest:
    * each arriving document scores under a STATIC reference language model
    * (calibrated offline, like [[graft.operators.Perplexity]]'s batch

@@ -37,6 +37,17 @@ class HeavyHittersSpec extends SparkSuite {
     }
   }
 
+  test("streaming summary: exact when capacity suffices; bounded state") {
+    import graft.streaming.Streams
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d"),
+      (3L, "a c")).toDF("doc_id", "text")
+    val out = Streams.topTokensStream(spark, docs, capacity = 16, n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 5L), ("b", 3L), ("c", 2L)), out.toString)
+  }
+
   test("merge across many partitions preserves the exact-path totals") {
     // same multiset split across 32 partitions: partial summaries merge
     // without losing counts when nothing evicts
