@@ -1279,6 +1279,26 @@ object SparkEntry {
     // bigram mass, BOTH as per-row projections (native one-pass max-
     // multiplicity expression) — the whole gate is map-side, no exchange;
     // the oracle still states the intent as unnest → two-level GROUP BY
+    // the full Gopher repetition battery: top n-gram occurrence fraction
+    // for n = 2, 3, 4 (token-granularity statement of Rae et al. 2021
+    // Table A1's most-common-n-gram rules, thresholds 0.20/0.18/0.16) —
+    // three native one-pass max-multiplicity projections over the shared
+    // token-hash array, whole gate map-side, no exchange
+    "quality_gopher_ngrams" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val th = TextOps.tokenHashes(toks)
+      def frac(n: Int) =
+        round(QualityOps.topElemFrac(TextOps.shingleHashes(th, n)), 6)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        frac(2).as("top2_frac"), frac(3).as("top3_frac"),
+        frac(4).as("top4_frac"))
+        .withColumn("keep",
+          col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+            col("top4_frac") <= 0.16)
+        .orderBy(col("doc_id"))
+    }),
+
     "quality_repetition" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       t(s, dir, "documents").select(
@@ -3612,6 +3632,35 @@ object SparkEntry {
            |       AND (${TextOpsSql.punctCount("text")}::DOUBLE
            |            / greatest(length(text)::DOUBLE, 1.0) < 0.1) AS quality_ok
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // per-n top-fraction via unnest + GROUP BY (the intent statement of
+      // the native max-multiplicity projection); empty shingle arrays
+      // (docs shorter than n tokens) score 0.0
+      "quality_gopher_ngrams" -> {
+        def fracCte(n: Int) =
+          s"""f$n AS (
+             |  SELECT d.doc_id,
+             |         coalesce(round(x.mx::DOUBLE / x.tot::DOUBLE, 6), 0.0)
+             |           AS frac
+             |  FROM d LEFT JOIN (
+             |    SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM (
+             |      SELECT doc_id, g, count(*) AS cnt FROM (
+             |        SELECT doc_id,
+             |               unnest(${TextOpsSql.shingleHashes("th", n)}) AS g
+             |        FROM b) GROUP BY doc_id, g) GROUP BY doc_id) x
+             |    ON d.doc_id = x.doc_id)""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+           |b AS (SELECT doc_id, ${TextOpsSql.tokenHashes("tk")} AS th FROM d),
+           |${fracCte(2)}, ${fracCte(3)}, ${fracCte(4)}
+           |SELECT d.doc_id, f2.frac AS top2_frac, f3.frac AS top3_frac,
+           |       f4.frac AS top4_frac,
+           |       (f2.frac <= 0.20 AND f3.frac <= 0.18 AND f4.frac <= 0.16)
+           |         AS keep
+           |FROM d JOIN f2 ON d.doc_id = f2.doc_id
+           |       JOIN f3 ON d.doc_id = f3.doc_id
+           |       JOIN f4 ON d.doc_id = f4.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       "quality_repetition" ->
         s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
