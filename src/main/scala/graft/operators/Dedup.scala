@@ -44,7 +44,7 @@ object Dedup {
       .withColumn("sig", TextOps.minHashSignature(col("shingles")))
 
   /** (id[, extra cols], band, bucket) — one row per (doc, band). */
-  private[operators] def banded(sig: DataFrame, idCol: String, extra: Seq[String]): DataFrame =
+  private[graft] def banded(sig: DataFrame, idCol: String, extra: Seq[String]): DataFrame =
     sig.select(
       (col(idCol).as("id") +: extra.map(col)) :+
         explode(array((0 until TextOps.Bands).map(b =>

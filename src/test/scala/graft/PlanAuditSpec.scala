@@ -398,6 +398,42 @@ class PlanAuditSpec extends SparkSuite {
       s"exactly one side may replicate:\n$p")
   }
 
+  test("incremental near-dup probe: at-rest band index scans with NO Exchange") {
+    import graft.operators.{Bucketing, Dedup}
+    // the posture incrementalNearDup documents: the corpus's band table is
+    // PERSISTED bucketed on the band-bucket key, so each ingest batch's
+    // probe re-shuffles only ITSELF (batch-sized); the corpus-side scan
+    // stays in place however many ingests run. (band, bucket) fold into
+    // one key at write time — a collision can only add a candidate, which
+    // exact-Jaccard verification kills.
+    val wh = java.nio.file.Files.createTempDirectory("band_wh").toString
+    Bucketing.scratchDb(spark, "band_audit", wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val index = Dedup.banded(
+        Dedup.withSignature(docs, "doc_id", "text"), "doc_id", Nil)
+      .where(col("bucket").isNotNull)
+      .select(col("id").as("cid"),
+        xxhash64(col("band"), col("bucket")).as("bb"))
+    Bucketing.writeBucketed(index, "band_audit.bands", "bb", 4)
+    val probe = Dedup.banded(
+        Dedup.withSignature(docs.where(col("doc_id") < 50), "doc_id", "text"),
+        "doc_id", Nil)
+      .where(col("bucket").isNotNull)
+      .select(col("id").as("bid"), xxhash64(col("band"), col("bucket")).as("bb"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = physical(spark.table("band_audit.bands").join(probe, "bb"))
+      assert(p.contains("Bucketed: true"),
+        s"the index side must be the bucketed scan:\n$p")
+      // exactly one Exchange — the batch probe aligning to the index's
+      // bucketing; the corpus-side scan must have none
+      assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+        s"only the probe side may shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("ppl buckets: model broadcast, bucketing map-side — no global window") {
     import graft.operators.Perplexity
     val docs = spark.read.parquet(s"$sf/documents.parquet")
