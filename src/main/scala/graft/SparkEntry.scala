@@ -1560,6 +1560,41 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // the MODERN curation pipeline, end to end, composing this round's
+    // operators: Gopher n-gram repetition gate (map-side native
+    // projections) → CCNet perplexity tercile (broadcast model + two
+    // collected thresholds; tail third drops) → exact keep-first dedup
+    // (digest shuffle) → LSH near-dup keep (banded self-join) →
+    // quality-weighted Bernoulli thinning (map-side hash) → deterministic
+    // split + per-split accounting. ONE declarative plan: a scan,
+    // map-side gates, one digest shuffle, one bands join, one final
+    // aggregate — the 100 TB DAG as written.
+    "pipeline_curation" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val th = TextOps.tokenHashes(toks)
+      def frac(n: Int) =
+        round(QualityOps.topElemFrac(TextOps.shingleHashes(th, n)), 6)
+      val docs = t(s, dir, "documents")
+      val buckets = operators.Perplexity.pplBuckets(docs, "doc_id", "text",
+        col("lang") === "en").select(col("doc_id"), col("bucket"))
+      val gated = docs
+        .where(frac(2) <= 0.20 && frac(3) <= 0.18 && frac(4) <= 0.16)
+        .join(buckets, Seq("doc_id"))
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("text"))
+      val exactDeduped = Dedup.keepFirst(gated, "doc_id", "text")
+      val nearDeduped = Dedup.minHashKeep(exactDeduped, "doc_id", "text", 0.7)
+      val thinned = Sampling.byQuality(nearDeduped, "doc_id",
+        QualityOps.qualityScore(col("text"), toks), seed = 17)
+      Sampling.assignSplit(thinned, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 3)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("sum_tokens"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    }),
+
     // composite quality score: C4/Gopher-style gates folded into one
     // map-side double; keep = score >= 0.5 on the UNROUNDED value
     "quality_score" -> ((s, dir) => {
@@ -3632,6 +3667,72 @@ object SparkEntry {
            |       AND (${TextOpsSql.punctCount("text")}::DOUBLE
            |            / greatest(length(text)::DOUBLE, 1.0) < 0.1) AS quality_ok
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the composed curation pipeline, stage for stage: gopher gate →
+      // ppl tercile (tail drops) → keep-first → LSH keep (no identical
+      // texts survive keep-first, so the banding join IS the keep rule) →
+      // quality thinning → split accounting
+      "pipeline_curation" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        val sig = TextOpsSql.minHashSignature("ss")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        def fracCte(n: Int) =
+          s"""f$n AS (
+             |  SELECT d.doc_id,
+             |         coalesce(round(x.mx::DOUBLE / x.tot::DOUBLE, 6), 0.0)
+             |           AS frac
+             |  FROM d0 d LEFT JOIN (
+             |    SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM (
+             |      SELECT doc_id, g, count(*) AS cnt FROM (
+             |        SELECT doc_id,
+             |               unnest(${TextOpsSql.shingleHashes("th", n)}) AS g
+             |        FROM gq) GROUP BY doc_id, g) GROUP BY doc_id) x
+             |    ON d.doc_id = x.doc_id)""".stripMargin
+        val split = SamplingSql.splitCase("doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 3)
+        s"""WITH ppl AS (
+           |  SELECT doc_id, bucket FROM (
+           |    ${operators.PerplexitySql.pplBuckets(
+                  "documents", "doc_id", "text", "lang = 'en'")})),
+           |d0 AS (SELECT doc_id, text, $toks AS tk FROM documents),
+           |gq AS (SELECT doc_id, text, tk, $thash AS th FROM d0),
+           |${fracCte(2)}, ${fracCte(3)}, ${fracCte(4)},
+           |gate AS (
+           |  SELECT g.doc_id, g.text, g.tk, g.th FROM gq g
+           |  JOIN f2 ON g.doc_id = f2.doc_id
+           |  JOIN f3 ON g.doc_id = f3.doc_id
+           |  JOIN f4 ON g.doc_id = f4.doc_id
+           |  JOIN ppl ON g.doc_id = ppl.doc_id
+           |  WHERE f2.frac <= 0.20 AND f3.frac <= 0.18 AND f4.frac <= 0.16
+           |    AND ppl.bucket <> 'tail'),
+           |kf AS (SELECT gate.* FROM gate
+           |       JOIN (SELECT text, min(doc_id) AS mid FROM gate
+           |             GROUP BY text) m
+           |         ON gate.text = m.text AND gate.doc_id = m.mid),
+           |sgt AS (SELECT doc_id, list_distinct($shingles) AS ss FROM kf),
+           |sg AS (SELECT doc_id, ss, $sig AS sig FROM sgt),
+           |bands AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |drops AS (SELECT DISTINCT r.doc_id
+           |          FROM bands l JOIN bands r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id
+           |          WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |                >= CAST(0.7 AS DOUBLE)),
+           |nd AS (SELECT kf.* FROM kf
+           |       WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+           |thin AS (SELECT * FROM nd
+           |         WHERE ${SamplingSql.hash16("doc_id", 17)} <
+           |               CAST(floor(${QualityOpsSql.qualityScore("text", "tk")}
+           |                          * ${Sampling.Buckets}.0) AS BIGINT))
+           |SELECT $split AS split, count(*) AS n_docs,
+           |       CAST(sum(len(tk)) AS BIGINT) AS sum_tokens,
+           |       min(doc_id) AS min_id
+           |FROM thin GROUP BY 1 ORDER BY split""".stripMargin
+      },
 
       // per-n top-fraction via unnest + GROUP BY (the intent statement of
       // the native max-multiplicity projection); empty shingle arrays

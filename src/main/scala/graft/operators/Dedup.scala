@@ -701,14 +701,19 @@ object Dedup {
         .select(col("id_b").as(idCol)),
       Seq(idCol), "left_anti")
 
-  /** Window-based variant of [[exact]] keeping the full first row per
-    * duplicate group (grouping on the content digest, as [[exact]]). */
+  /** Variant of [[exact]] keeping the full first row per duplicate group
+    * (grouping on the content digest, as [[exact]]). Deliberately ONE
+    * `min_by(row, id)` aggregate rather than a `row_number` window over
+    * the digest partition: a window partition can never be split, so a
+    * 10M-copy boilerplate text would funnel every copy into ONE task —
+    * while the aggregate's map-side partial keeps a single candidate row
+    * per digest per task, so that text ships one row per mapper however
+    * many copies exist. One scan, no join. Winner identical (lowest id
+    * per digest; `idCol` unique is the caller's contract either way). */
   def keepFirst(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.withColumn("__kh", sha2(col(keyCol).cast("binary"), 256))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__kh")).orderBy(col(idCol))))
-      .where(col("__rn") === 1)
-      .drop("__rn", "__kh")
+    df.groupBy(sha2(col(keyCol).cast("binary"), 256).as("__kh"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
 
   /**
    * Shingle-set Jaccard similarity join with PREFIX FILTERING (the SSJoin /

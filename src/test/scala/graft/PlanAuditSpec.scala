@@ -483,6 +483,17 @@ class PlanAuditSpec extends SparkSuite {
       s"only the ADC sum + top-k may shuffle:\n$p")
   }
 
+  test("curation pipeline: broadcasts only, no cartesian, no global window") {
+    import graft.SparkEntry
+    val out = SparkEntry.queries("pipeline_curation")(spark, sf)
+    val p = physical(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ppl model and small key sets must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("Window"),
+      s"no stage of the composed pipeline may need a global window:\n$p")
+  }
+
   test("c4 line filter: rules map-side, ONE doc-keyed shuffle total") {
     import graft.operators.LineRules
     val docs = spark.read.parquet(s"$sf/documents.parquet")
