@@ -1156,20 +1156,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     // per-source quality quota: cap each source's contribution to the best
-    // N documents by composite quality score — one shuffle on source, one
-    // window sort; rank on the ROUNDED score so cross-engine double
-    // last-ulp differences cannot flip the ordering (ties break by doc_id)
+    // N documents by composite quality score — ONE bounded top-k aggregate
+    // per source (<= N entries of state per group per map task), NOT a
+    // row_number window over the source partition: a source holding half
+    // the corpus would funnel into one unsplittable window task, while
+    // the aggregate combines map-side. Rank on the ROUNDED score so
+    // cross-engine double last-ulp differences cannot flip the ordering
+    // (ties break by doc_id)
     "quota_per_source" -> ((s, dir) => {
       val tk = TextOps.tokens(col("text"))
       val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
         round(QualityOps.qualityScore(col("text"), tk), 6).as("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 20)
-        .select(col("doc_id"), col("source"), col("score"),
-          col("rank").cast("long").as("rank"))
+      val top = Similarity.topKUdaf(20)
+      scored.groupBy(col("source"))
+        .agg(top(col("score"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top.items")).as(Seq("i", "e")))
+        .select(col("e._2").as("doc_id"), col("source"),
+          col("e._1").as("score"), (col("i") + 1).cast("long").as("rank"))
         .orderBy(col("source"), col("rank"))
     }),
 

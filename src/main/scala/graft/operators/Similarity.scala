@@ -43,6 +43,14 @@ object Similarity {
     def outputEncoder = org.apache.spark.sql.Encoders.product[TopKBuf]
   }
 
+  /** The bounded top-k as a reusable column aggregator — (score desc, id
+    * asc), ≤ k entries of state per group per map task. The skew-safe
+    * alternative to a row_number window wherever "top N per group" must
+    * survive a group holding half the corpus: a window partition can never
+    * be split, while this combines map-side to k rows per task. */
+  def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKAgg(k))
+
   /**
    * Exact cosine top-k: for every query vector, the k most similar corpus
    * vectors (excluding itself), ranked by (similarity desc, corpus id asc)

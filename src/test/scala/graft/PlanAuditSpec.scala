@@ -483,6 +483,16 @@ class PlanAuditSpec extends SparkSuite {
       s"only the ADC sum + top-k may shuffle:\n$p")
   }
 
+  test("per-source quota: bounded top-k aggregate, no window over the source") {
+    import graft.SparkEntry
+    val p = physical(SparkEntry.queries("quota_per_source")(spark, sf))
+    assert(!p.contains("Window"),
+      s"top-N per source must be the bounded aggregate — a window over " +
+        s"the source partition funnels a hot source into one task:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"the typed top-k aggregate must plan with partial aggregation:\n$p")
+  }
+
   test("curation pipeline: broadcasts only, no cartesian, no global window") {
     import graft.SparkEntry
     val out = SparkEntry.queries("pipeline_curation")(spark, sf)
