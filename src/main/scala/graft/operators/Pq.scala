@@ -137,7 +137,6 @@ object Pq {
   def adcTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val books = trainCodebooks(corpus, idCol, vecCol, m, ksub, iters)
     val dsub = books(0)(0).length
     val codes = encode(corpus, idCol, vecCol, books)
@@ -155,15 +154,26 @@ object Pq {
       .select(col("query_id"), explode(array(entries: _*)).as("e"))
       .select(col("query_id"), col("e.sub").as("sub"),
         col("e.code").as("code"), col("e.qd").as("qd"))
-    codes.join(broadcast(lut), Seq("sub", "code"))
+    rankTopK(codes.join(broadcast(lut), Seq("sub", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd")).as("adc_q"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("adc_q"), col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_q"))
+      .agg(sum(col("qd")).as("adc_q")), k)
+  }
+
+  /** Per-query top-`k` by (adc_q asc, id asc) via the BOUNDED aggregate —
+    * ≤ k entries of state per query per map task, never a row_number
+    * window over the query's candidate partition (corpus-sized at scale,
+    * and a window partition can never be split). Negated integer ADC
+    * distances fit a double exactly below 2^53, so the (−adc, id) order
+    * is the (adc asc, id asc) total order, reconstructed exactly. */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = Similarity.topKUdaf(k)
+    scored
+      .groupBy(col("query_id"))
+      .agg(top(-col("adc_q").cast("double"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top.items")).as("e"))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        (-col("e._1")).cast("long").as("adc_q"))
   }
 }
 
@@ -199,7 +209,6 @@ object IvfPq {
   def topK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       nCells: Int, m: Int, ksub: Int, iters: Int, nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = KMeans.train(corpus, idCol, vecCol, nCells, iters)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val assigned = KMeans.assign(corpus, idCol, vecCol, cents)
@@ -242,15 +251,10 @@ object IvfPq {
       .select(col("query_id"), col("cluster"), explode(array(entries: _*)).as("e"))
       .select(col("query_id"), col("cluster"), col("e.sub").as("sub"),
         col("e.code").as("code"), col("e.qd").as("qd"))
-    codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
+    Pq.rankTopK(codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd")).as("adc_q"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("adc_q"), col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_q"))
+      .agg(sum(col("qd")).as("adc_q")), k)
   }
 }
 
