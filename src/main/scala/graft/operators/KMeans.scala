@@ -133,7 +133,6 @@ object KMeans {
       cents: Array[Array[Double]],
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = assign(corpus, idCol, vecCol, cents)
     val scored = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(sqDist(col(vecCol), c).as("d"), lit(i).as("cl"))
@@ -142,15 +141,21 @@ object KMeans {
       col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
       explode(slice(array_sort(array(scored: _*)), 1, nprobe)).as("pr"))
       .select(col("query_id"), col("qv"), col("pr.cl").as("cluster"))
+    // (l2sq asc, id asc) via the BOUNDED top-k aggregate — ≤ k state
+    // entries per query per map task; a per-query row_number window would
+    // funnel the query's whole probed candidate set (corpus/nlist-sized)
+    // into one unsplittable task. Negation of raw doubles is exact, so
+    // the order and the emitted distances are bit-identical.
+    val top = Similarity.topKUdaf(k)
     probes.join(assigned, Seq("cluster"))
       .where(col("cid") =!= col("query_id"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
         sqDistCols(col("qv"), col("v")).as("l2sq"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("l2sq"), col("neighbor_id"))))
-      .where(col("rnk") <= k)
-      .drop("rnk")
+      .groupBy(col("query_id"))
+      .agg(top(-col("l2sq"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top.items")).as("e"))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        (-col("e._1")).as("l2sq"))
   }
 
   /** Trained centroids as a DataFrame: (cluster, pos, centroid). */
