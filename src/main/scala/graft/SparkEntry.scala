@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -736,6 +736,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the SAME ingest-dedup contract through the broadcast-Bloom pre-gate:
+    // corpus digests fold once into a ~78 KB bitmap, the batch tests it
+    // MAP-SIDE, and only possible hits reach the exact-confirm anti-join —
+    // at 100 TB the overwhelmingly-new crawl bypasses the corpus shuffle
+    // entirely. Oracle identical to dedup_incremental: Bloom has no false
+    // negatives and the confirm join removes false positives, so the gate
+    // is invisible in the result — which is exactly the claim worth pinning
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextOps.tokens(col("text"))
+      val mutated = d.select(
+        (col("doc_id") + 20000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(mutated)
+        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
+          col("text")))
+      Dedup.incrementalBloom(batch, d, "doc_id", "text",
+          expectedItems = 65536L, fpp = 0.01)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup: embedding-cluster-bounded semantic near-dup removal — the
     // higher id of any same-cluster pair with cosine >= 0.2 drops
     "dedup_semantic" -> ((s, dir) =>
@@ -1111,6 +1135,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("lang"))),
 
+    // fractional-EPOCH mixing (the upsampling half the thinning mixers
+    // can't express): src0 at 2.25 epochs, src1 a deterministic half
+    // epoch, src2 exactly once, src3 three times, everything else
+    // dropped — each copy tagged with its epoch index. Zero exchanges:
+    // recipe is a literal CASE, fan-out is a generator
+    "mix_epochs" -> ((s, dir) =>
+      Mixing.mixEpochs(t(s, dir, "documents"), "doc_id", "source",
+          Seq("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 3.0),
+          seed = 9)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // INTENT pin for the whole hash16 family: split/sample/shuffle over a
     // literal id range, checked against VALUES computed by an INDEPENDENT
     // reimplementation of the hash arithmetic (tools/hash16_reference.py) —
@@ -1363,6 +1399,27 @@ object SparkEntry {
       base.crossJoin(dups)
     }),
 
+    // corpus drift monitoring between two slices (here a deterministic
+    // 50/50 hash split standing in for yesterday-vs-today): one-row
+    // summary with the unigram total-variation distance in integer ppm
+    // units — exact in both engines at any corpus size (a double sum
+    // would be combine-order-dependent; a count cross-product would
+    // overflow past ~3e9 tokens/side)
+    "corpus_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = Sampling.hash16(col("doc_id"), 13)
+      Drift.summary(d.where(h < 32768), d.where(h >= 32768), "text")
+    }),
+
+    // the 15 tokens whose frequency moved most between the slices —
+    // bounded TakeOrderedAndProject, never a global sort
+    "drift_top_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = Sampling.hash16(col("doc_id"), 13)
+      Drift.topDrift(d.where(h < 32768), d.where(h >= 32768), "text", 15)
+        .orderBy(col("drift_ppm").desc, col("token"))
+    }),
+
     // INTENT-pinned k-means: a 5-point, 2-blob dataset whose 2-round Lloyd
     // trajectory (seeds in one blob, recovery by the mean update) is
     // hand-derived — the literal oracle VALUES catch a shared
@@ -1454,11 +1511,16 @@ object SparkEntry {
     // per pair, per-query top-k) — the compression/recall gauge for the
     // code budget (m x ksub), per query
     "ann_pq_recall" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
       val approx = operators.Pq.adcTopK(emb, q, "vec_id", "embedding",
         m = 4, ksub = 8, iters = 2, k = 5)
+      // exact arm ranked by the bounded top-k aggregate (score = -distance
+      // → distance asc, id asc), not a row_number window: the query_id
+      // partition holds the whole corpus per query, and a window partition
+      // can never be split — the aggregate combines map-side to ≤ k rows
+      // per query per task
+      val topk = operators.Similarity.topKUdaf(5)
       val exact = emb
         .select(col("vec_id").cast("long").as("neighbor_id"),
           col("embedding").as("cv"))
@@ -1467,10 +1529,9 @@ object SparkEntry {
           col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           graft.functions.VectorOps.sqDist(col("qv"), col("cv")).as("d"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))))
-        .where(col("rn") <= 5)
-        .select(col("query_id"), col("neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(topk(-col("d"), col("neighbor_id")).as("tk"))
+        .select(col("query_id"), explode(col("tk.items._2")).as("neighbor_id"))
       operators.Similarity.recallAtK(approx, exact)
         .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
         .orderBy(col("query_id"))
@@ -1766,6 +1827,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // cosine RANGE search (radius query, the fixed-threshold sibling of
+    // top-k): all corpus vectors within cosine >= 0.35 of each probe —
+    // broadcast probes, ONE map-side corpus scan, zero shuffle
+    "ann_range_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rangeSearch(emb, emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", minCosine = 0.35)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "ann_lsh_pairs" -> ((s, dir) =>
       Similarity.lshNeighborPairs(t(s, dir, "embeddings"),
         "vec_id", "embedding", bits = 12, minCosine = 0.2, numTables = 4)
@@ -1884,6 +1957,14 @@ object SparkEntry {
     // offline arbiter is the verified dedup_minhash_keep
     "stream_lsh_dedup" -> ((s, dir) =>
       Streams.minHashDedupStream(s, nearDupCorpus(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ingest-time per-source admission quota: at most 12 docs admitted per
+    // source, ONE LONG of state per source (the admitted count) — the
+    // streaming door of quota_per_source; the oracle-facing fold is the
+    // batch rule (12 lowest ids per source), micro-batch independent
+    "stream_source_quota" -> ((s, dir) =>
+      Streams.sourceQuotaStream(s, t(s, dir, "documents"), quota = 12)
         .orderBy(col("doc_id"))),
 
     // ingest-time decontamination gate: arriving docs score against the
@@ -2579,6 +2660,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val toks = TextOpsSql.tokens("text")
 
+    // shared by dedup_incremental and dedup_incremental_bloom: the Bloom
+    // pre-gate is exact-confirmed, so its contract IS the plain one's
+    val incrementalDedupSql =
+      s"""WITH mut AS (
+         |  SELECT doc_id + 20000 AS doc_id,
+         |         CASE WHEN len($toks) > 5
+         |              THEN array_to_string(($toks)[6:], ' ')
+         |              ELSE text END AS text
+         |    FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM mut
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM batch WHERE text NOT IN (SELECT text FROM documents))
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
     Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
@@ -3011,22 +3111,8 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       },
 
-      "dedup_incremental" ->
-        s"""WITH mut AS (
-           |  SELECT doc_id + 20000 AS doc_id,
-           |         CASE WHEN len($toks) > 5
-           |              THEN array_to_string(($toks)[6:], ' ')
-           |              ELSE text END AS text
-           |    FROM documents),
-           |batch AS (
-           |  SELECT doc_id + 10000 AS doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id, text FROM mut
-           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
-           |SELECT doc_id FROM (
-           |  SELECT doc_id,
-           |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-           |  FROM batch WHERE text NOT IN (SELECT text FROM documents))
-           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "dedup_incremental" -> incrementalDedupSql,
+      "dedup_incremental_bloom" -> incrementalDedupSql,
 
       "dedup_repeated_ngrams" -> {
         val thash = TextOpsSql.tokenHashes("tk")
@@ -3522,6 +3608,11 @@ object SparkEntry {
         MixingSql.temperatureCounts("documents", "doc_id", "lang",
           temperature = 2.0, seed = 9),
 
+      "mix_epochs" ->
+        (MixingSql.epochRows("documents", "doc_id", "source",
+          Seq("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 3.0),
+          seed = 9) + "\nORDER BY doc_id, epoch"),
+
       // literal expected VALUES from tools/hash16_reference.py — pins the
       // INTENT of hash16/assignSplit/sampleByHash/shuffleAssign (the other
       // sampling oracles are dual-rendered from the same arithmetic and
@@ -3814,6 +3905,15 @@ object SparkEntry {
            |  WHERE n > 1)
            |SELECT * FROM base CROSS JOIN dups""".stripMargin,
 
+      "corpus_drift" -> DriftSql.summary(
+        s"(SELECT text FROM documents WHERE ${SamplingSql.hash16("doc_id", 13)} < 32768) sa",
+        s"(SELECT text FROM documents WHERE ${SamplingSql.hash16("doc_id", 13)} >= 32768) sb"),
+
+      "drift_top_tokens" -> (DriftSql.topDrift(
+        s"(SELECT text FROM documents WHERE ${SamplingSql.hash16("doc_id", 13)} < 32768) sa",
+        s"(SELECT text FROM documents WHERE ${SamplingSql.hash16("doc_id", 13)} >= 32768) sb",
+        15) + "\n-- ordered in topDrift"),
+
       // hand-derived (tools-free: small enough to verify on paper): seeds
       // (0,0),(1,0) both in blob A; round 1 pulls c1 to the far blob's
       // mean (8, 7.75), round 2 separates the blobs exactly — c0 = mean of
@@ -4017,6 +4117,15 @@ object SparkEntry {
           minJaccard = 0.5) + "\nORDER BY doc_id, eval_id")
       },
 
+      "ann_range_search" ->
+        s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+           |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |             ${VectorOpsSql.cosine("q.embedding", "c.embedding")} AS cos
+           |      FROM embeddings q
+           |      JOIN embeddings c ON c.vec_id <> q.vec_id
+           |      WHERE q.vec_id < 8)
+           |WHERE cos >= 0.35 ORDER BY query_id, neighbor_id""".stripMargin,
+
       "ann_topk_bruteforce" ->
         s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
            |  SELECT query_id, neighbor_id, cos,
@@ -4212,6 +4321,13 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |ORDER BY doc_id""".stripMargin
       },
+
+      "stream_source_quota" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
 
       // batch statement of the streaming gate: a train doc passes at
       // eval-overlap fraction <= 0.2; shingle-free docs always pass

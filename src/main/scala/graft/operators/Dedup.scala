@@ -508,12 +508,77 @@ object Dedup {
       idCol: String,
       keyCol: String): DataFrame = {
     val kh = sha2(col(keyCol).cast("binary"), 256)
-    batch.withColumn("__kh", kh)
+    // keep-first within the batch via min_by aggregate, NOT a row_number
+    // window over the digest partition: a window partition can never be
+    // split, so a 10M-copy boilerplate text would funnel every copy into
+    // ONE task, while the aggregate's map-side partial ships one candidate
+    // row per digest per mapper (same de-funnel as [[keepFirst]])
+    val deduped = batch.withColumn("__kh", kh)
       .join(corpus.select(kh.as("__kh")), Seq("__kh"), "left_anti")
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__kh")).orderBy(col(idCol))))
-      .where(col("__rn") === 1)
-      .drop("__rn", "__kh")
+    deduped.groupBy(col("__kh"))
+      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /**
+   * [[incremental]] with a broadcast BLOOM-FILTER pre-gate over the corpus
+   * digests — the shape that keeps ingest-time exact dedup cheap at 100 TB.
+   *
+   * The anti-join in [[incremental]] shuffles the WHOLE batch on the digest
+   * even though (in a healthy crawl) only a small fraction of it collides
+   * with the corpus. Here the corpus digest index folds once into a
+   * fixed-size Bloom bitmap (Spark's native `BloomFilterAggregate`, a
+   * mergeable sketch — one aggregate job, bitmap sized by `expectedItems`/
+   * `fpp`, e.g. ~1.2 MB per 10⁶ items at 1%), the bitmap broadcasts as a
+   * LITERAL, and every batch row tests membership MAP-SIDE via the
+   * codegen'd `BloomFilterMightContain`:
+   *
+   *  - definite misses (the overwhelming majority of new data) bypass the
+   *    corpus join entirely — no shuffle, no corpus probe;
+   *  - possible hits (true dups + the fpp sliver) are exact-confirmed by
+   *    the [[incremental]] anti-join, so false positives cannot drop rows.
+   *
+   * Result is therefore EXACTLY [[incremental]]'s (the oracle pins that):
+   * Bloom filters have no false negatives, and the exact confirm removes
+   * the false positives. Only the confirm path — |true dups| + fpp·|batch|
+   * rows — ever reaches the shuffle. In-batch keep-first still sees every
+   * row, but via the same map-side-combinable min_by.
+   */
+  def incrementalBloom(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      keyCol: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val kh = sha2(col(keyCol).cast("binary"), 256)
+    val khLong = xxhash64(kh)
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(khLong),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // one bounded driver artifact (the bitmap), same class as a broadcast:
+    // numBits/8 bytes regardless of corpus row count
+    val bloomBytes = corpus.select(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col("__kh")))))
+
+    val withDigest = batch.withColumn("__kh", kh)
+    val misses = withDigest.where(!mightContain)
+    val confirmed = withDigest.where(mightContain)
+      .join(corpus.select(kh.as("__kh")), Seq("__kh"), "left_anti")
+    misses.unionByName(confirmed)
+      .groupBy(col("__kh"))
+      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
   }
 
   /**

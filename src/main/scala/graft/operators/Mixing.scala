@@ -102,6 +102,49 @@ object Mixing {
     }
   }
 
+  /**
+   * Fractional-EPOCH corpus mixing — the upsampling counterpart of [[mix]]
+   * (which only thins): each stratum is repeated `epochs_s` times, e.g.
+   * `books -> 2.3` emits every books row twice plus a deterministic 30%
+   * of them a third time (the standard "N.x epochs of source S" training
+   * recipe). The extra copy is decided by the portable 16-bit row hash —
+   * seed-stable, reproducible from the id alone — and each emitted copy
+   * carries its 1-based `epoch` index (so downstream shuffling can salt
+   * on it). Strata absent from the recipe emit zero copies.
+   *
+   * Scale shape: pure MAP-SIDE — the recipe folds into a literal `when`
+   * chain (no join), and the copy fan-out is a generator (`explode` of
+   * `sequence`), so the plan has ZERO exchanges: epoch materialization
+   * runs at scan speed however large the corpus, and output volume is
+   * exactly the requested Σ_s epochs_s·n_s. The fractional threshold is
+   * computed ONCE driver-side in integer bucket units (`round(frac·65536)`)
+   * so both engines compare against the same integer — no float
+   * portability surface.
+   */
+  def mixEpochs(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      epochs: Seq[(String, Double)],
+      seed: Long = 0L): DataFrame = {
+    require(epochs.forall(_._2 >= 0), "epochs must be non-negative")
+    val whole = epochs.map { case (s, w) => s -> math.floor(w).toLong }
+    val extraTh = epochs.map { case (s, w) =>
+      s -> math.round((w - math.floor(w)) * Sampling.Buckets)
+    }
+    def chain(m: Seq[(String, Long)]): Column = m.foldLeft(lit(0L): Column) {
+      case (onward, (s, v)) =>
+        when(col(strataCol) === lit(s), lit(v)).otherwise(onward)
+    }
+    val copies = chain(whole) +
+      when(Sampling.hash16(col(idCol), seed) < chain(extraTh), lit(1L))
+        .otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   private def strataCounts(df: DataFrame, strataCol: String): Map[String, Long] =
     df.groupBy(col(strataCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -176,5 +219,30 @@ object MixingSql {
        |FROM $table d JOIN r ON d.$strataCol = r.s
        |WHERE ${SamplingSql.hash16(idCol, seed)} < threshold
        |GROUP BY d.$strataCol ORDER BY d.$strataCol""".stripMargin
+  }
+
+  /** Mirror of [[Mixing.mixEpochs]]: same driver-computed integer
+    * thresholds, copies fanned out with `generate_series` (empty when the
+    * stratum is absent from the recipe — DuckDB's series of 1..0 is
+    * empty, matching Spark's `sequence` never being reached under the
+    * `copies > 0` filter). */
+  def epochRows(
+      table: String,
+      idCol: String,
+      strataCol: String,
+      epochs: Seq[(String, Double)],
+      seed: Long = 0L): String = {
+    def chain(f: Double => Long): String =
+      epochs.map { case (s, w) => s"WHEN '$s' THEN ${f(w)}" }
+        .mkString(s"CASE $strataCol ", " ", " ELSE 0 END")
+    val whole = chain(w => math.floor(w).toLong)
+    val extra = chain(w => math.round((w - math.floor(w)) * Sampling.Buckets))
+    s"""SELECT $idCol, $strataCol,
+       |       unnest(generate_series(1, copies)) AS epoch
+       |FROM (SELECT $idCol, $strataCol,
+       |             ($whole) + (CASE WHEN ${SamplingSql.hash16(idCol, seed)}
+       |                              < ($extra) THEN 1 ELSE 0 END) AS copies
+       |      FROM $table)
+       |WHERE copies > 0""".stripMargin
   }
 }

@@ -225,6 +225,36 @@ object Similarity {
    * query-set-sized; queries whose ANN arm found nothing still report
    * (recall 0), via the left join from the exact side.
    */
+  /**
+   * Cosine RANGE search (radius query): every corpus vector within
+   * `minCosine` of each query vector — the fixed-threshold sibling of
+   * [[bruteForceTopK]], e.g. "all near-duplicates of these probe docs"
+   * rather than "the 5 nearest".
+   *
+   * Scale shape: the query set broadcasts; the corpus side is ONE
+   * map-side scan evaluating the native cosine per (row, query) and
+   * filtering in place — no shuffle at all (the plan is a
+   * BroadcastNestedLoopJoin, which is exactly right here: the predicate
+   * is a threshold, not an equi-key, and the stream side never moves).
+   * Output is result-sized. For query sets too big to broadcast, compose
+   * [[lshNeighborPairs]] buckets instead — same contract as bruteForce.
+   */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec")))
+    corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cvec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qvec"), col("cvec")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val a = approx.select(col("query_id"), col("neighbor_id"))
       .withColumn("__hit", lit(1L))

@@ -367,6 +367,63 @@ object Streams {
   }
 
   /**
+   * Streaming per-source admission QUOTA — the ingest-door form of the
+   * batch `quota_per_source` cap: at most `quota` documents admitted per
+   * source, state = ONE LONG per source (the admitted count), the
+   * smallest quota state possible. Each arriving doc passes through with
+   * its 1-based arrival rank within its source (batch arrivals rank by
+   * id for determinism); `rank <= quota` is the LIVE admission signal.
+   *
+   * As with [[minHashDedupStream]], first-arrival admission is inherently
+   * batch-boundary-dependent (a lower-id doc arriving in a later batch
+   * finds the quota spent), so the oracle-checked RESULT re-folds the
+   * batch rule from the drained membership rows — the `quota` LOWEST ids
+   * per source, via the bounded top-k aggregate (≤ quota entries per
+   * source per task; never a row_number window over the source partition)
+   * — while the emitted rank stays the live-gate signal.
+   */
+  def sourceQuotaStream(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      quota: Int,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft-stream-quota")
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source").cast("string").as("source"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val keyed = reader.parquet(dir.toString)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+    val ranked = keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (source: String, rows: Iterator[(Long, String)],
+       state: GroupState[Long]) => {
+        val ids = rows.map(_._1).toArray.sorted
+        val before = if (state.exists) state.get else 0L
+        state.update(before + ids.length)
+        ids.iterator.zipWithIndex.map { case (id, i) =>
+          (id, source, before + i + 1L) // 1-based arrival rank
+        }
+      })
+    val drained = runToMemory(
+      ranked.toDF("doc_id", "source", "arrival_rank"),
+      "append", statePartitionsFor(dir.toString))
+      .localCheckpoint()
+    cleanupStaging(dir)
+    // batch-rule fold: the quota LOWEST ids per source, order-independent
+    val topk = graft.operators.Similarity.topKUdaf(quota)
+    drained.groupBy(col("source"))
+      .agg(topk(-col("doc_id").cast("double"), col("doc_id")).as("tk"))
+      .select(col("source"), explode(col("tk.items._2")).as("doc_id"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /**
    * Streaming decontamination gate: each arriving document is scored
    * against the STATIC eval-benchmark shingle set at ingest, and passes
    * only while its eval-overlapping shingle fraction stays at or below

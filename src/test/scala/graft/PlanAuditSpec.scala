@@ -127,6 +127,22 @@ class PlanAuditSpec extends SparkSuite {
       s"corpus digest scan must prune to the digested column:\n$reads")
   }
 
+  test("bloom-gated incremental dedup: misses bypass the corpus join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val out = Dedup.incrementalBloom(batch, docs, "doc_id", "text",
+      expectedItems = 65536L, fpp = 0.01)
+    val p = physical(out)
+    // the gate's whole point: exactly ONE anti-join (the confirm branch) —
+    // the definite-miss branch must be scan + might_contain filter only
+    val antiJoins = p.linesIterator.count(l =>
+      l.contains("LeftAnti") || l.contains("left_anti"))
+    assert(antiJoins == 1, s"expected one confirm anti-join, got $antiJoins:\n$p")
+    assert(p.contains("might_contain"),
+      s"map-side bloom probe missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("pipeline_e2e: one documents scan feeds the whole composed flow") {
     val out = SparkEntry.queries("pipeline_e2e")(spark, sf)
     val p = physical(out)

@@ -88,6 +88,38 @@ class MixingSpec extends SparkSuite {
     assert(kept("en").toDouble / kept("zh") < 4.8, kept.toString)
   }
 
+  test("mixEpochs: whole epochs exact, fractional epoch binomial, indexed") {
+    val out = Mixing.mixEpochs(corpus, "doc_id", "lang",
+      Seq("en" -> 2.25, "de" -> 0.5, "zh" -> 1.0), seed = 4)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("fr"), "unlisted stratum emits nothing")
+    assert(byLang("zh") == 100L, "integer epoch is exact")
+    // en: 1000 docs × 2 copies + ~25% a third → ~2250 (16-bit hash, ±12%)
+    assert(math.abs(byLang("en") - 2250.0) < 120, byLang.toString)
+    assert(math.abs(byLang("de") - 250.0) < 40, byLang.toString)
+    // every emitted doc carries a contiguous 1-based epoch index
+    val epochs = out.where(col("lang") === "en")
+      .groupBy("doc_id").agg(max("epoch").as("mx"), count(lit(1)).as("n"))
+      .where(col("mx") =!= col("n")).count()
+    assert(epochs == 0L, "epoch indexes must be 1..copies")
+    // deterministic: same seed reproduces the same multiset
+    val again = Mixing.mixEpochs(corpus, "doc_id", "lang",
+      Seq("en" -> 2.25, "de" -> 0.5, "zh" -> 1.0), seed = 4)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == byLang)
+  }
+
+  test("mixEpochs is exchange-free: recipe folds to literals, no join") {
+    val out = Mixing.mixEpochs(corpus, "doc_id", "lang",
+      Seq("en" -> 1.5), seed = 4)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString)
+  }
+
   test("weights must be positive and strata populated") {
     intercept[IllegalArgumentException] {
       Mixing.thresholds(Map("en" -> 10L), Seq("en" -> 0.5, "de" -> 0.5))

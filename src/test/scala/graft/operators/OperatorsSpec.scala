@@ -189,6 +189,49 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(11L, 13L), kept.toString)
   }
 
+  test("incrementalBloom equals incremental exactly, at any fpp") {
+    val corpus = (0L until 200L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val batch = (
+      (150L until 250L).map(i => (i + 1000L, s"doc $i")) ++ // 50 collide
+      (0L until 40L).map(i => (i + 2000L, s"fresh ${i % 20}")) // in-batch dups
+    ).toDF("id", "text")
+    val plain = Dedup.incremental(batch, corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // generous sizing (honest fpp) and pathological undersizing (every
+    // probe a possible hit) must BOTH reproduce the exact result — the
+    // confirm join owns correctness, the bloom only owns the fast path
+    for ((items, fpp) <- Seq((100000L, 0.01), (5L, 0.5))) {
+      val gated = Dedup.incrementalBloom(batch, corpus, "id", "text",
+          expectedItems = items, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(gated == plain, s"items=$items fpp=$fpp")
+    }
+  }
+
+  test("rangeSearch returns every pair at or above the radius, exactly") {
+    val rows = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(1f, 0.2f, 0f),
+      2L -> Array(0f, 1f, 0f), 3L -> Array(-1f, 0f, 0f),
+      10L -> Array(2f, 0f, 0f), 11L -> Array(0f, 3f, 1f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(df, df.where(col("vec_id") < 2),
+        "vec_id", "embedding", minCosine = 0.9)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference over the same vectors
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0d else d / (na * nb)
+    }
+    val expect = (for {
+      (qid, qv) <- rows if qid < 2
+      (nid, nv) <- rows if nid != qid && cos(qv, nv) >= 0.9
+    } yield (qid, nid)).toSet
+    assert(out == expect, s"got $out expected $expect")
+  }
+
   test("semDedup drops the higher id of same-cluster high-cosine pairs") {
     // ids 0..3 seed 4 clusters; 2 tracks the 0-axis, 3 the 1-axis.
     // 10/11 duplicate axis 0 (cosine 1 with seed 0), 12 is axis 1,

@@ -352,6 +352,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 7L), kept.toString)
   }
 
+  test("streaming source quota: admits the N lowest ids per source") {
+    val docs = (
+      (0L until 20L).map(i => (i, "web")) ++
+      (100L until 103L).map(i => (i, "books"))
+    ).toDF("doc_id", "source")
+    val kept = Streams.sourceQuotaStream(spark, docs, quota = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = ((0L until 5L).map(i => (i, "web")) ++
+      (100L until 103L).map(i => (i, "books"))).toSet
+    assert(kept == expect, kept.toString)
+  }
+
+  test("streaming source quota: result is micro-batch-partitioning independent") {
+    // one doc per micro-batch in arbitrary file order: first-arrival
+    // admission would over-admit high ids that arrive early; the returned
+    // fold must still be the N lowest ids per source
+    val docs = (0L until 8L).map(i => (i, "web")).toDF("doc_id", "source")
+      .repartition(8, col("doc_id"))
+    val kept = Streams.sourceQuotaStream(spark, docs, quota = 3,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L), kept.toString)
+  }
+
   test("incrementalNearDup: corpus near-dups drop, batch keep-first, novel kept") {
     val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val near1 = (3 to 30).map(i => s"w$i").mkString(" ")  // near-dup of long1
