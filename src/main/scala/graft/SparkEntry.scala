@@ -1685,6 +1685,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // token-BUDGET selection: keep the best documents (classifier margin,
+    // shifted to [0,1)) until a 12k-token training budget is spent — the
+    // quality-ranked corpus-release rule. The operator walks a bounded
+    // score-bucket histogram on the driver, keeps whole buckets with a
+    // map-side filter, and pays an ordered running sum only inside the
+    // single boundary bucket; the oracle states the SAME rule as one
+    // global ordered cumsum — an independent formulation, so a
+    // boundary-handling bug can't echo
+    "select_token_budget" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val score = QualityOps.classifierScore(TextOps.tokenHashes(toks)) + 0.5
+      operators.Selection.selectTokenBudget(
+          t(s, dir, "documents"), "doc_id", score, size(toks),
+          budget = 12000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // hand-derived intent pin for the classifier (tools/
     // classifier_reference.py recomputes token hashes AND cell weights in
     // independent Python): literal expected VALUES, empty-doc edge included
@@ -3546,6 +3563,17 @@ object SparkEntry {
            |SELECT doc_id, round($score, 6) AS clf_score,
            |       ($score >= CAST(0.0 AS DOUBLE)) AS keep
            |FROM th ORDER BY doc_id""".stripMargin
+      },
+
+      "select_token_budget" -> {
+        operators.SelectionSql.selectTokenBudget(
+          table = "(SELECT doc_id, toks, " +
+            s"${TextOpsSql.tokenHashes("toks")} AS th " +
+            s"FROM (SELECT doc_id, $toks AS toks FROM documents)) pre",
+          idCol = "doc_id",
+          scoreSql = s"(${QualityOpsSql.classifierScore("th")} + CAST(0.5 AS DOUBLE))",
+          tokensSql = "len(toks)",
+          budget = 12000L) + "\nORDER BY doc_id"
       },
 
       // literal VALUES from tools/classifier_reference.py (independent

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Data selection under a TOKEN BUDGET — "keep the best documents until the
+ * training budget is spent", the selection rule of quality-ranked corpus
+ * releases: documents ordered by (quality bucket desc, id asc) are admitted
+ * while the running token total fits the budget; the first document that
+ * would cross it ends the selection (the maximal admissible prefix — the
+ * running total is monotone, so nothing after the crossing can ever fit).
+ *
+ * Scale shape — the greedy rule WITHOUT a corpus-wide ordered cumsum (a
+ * `sum() OVER (ORDER BY ...)` over the corpus is ONE unsplittable task):
+ *
+ *  1. scores quantize map-side into `buckets` integer levels
+ *     (`⌊round(score,6)·B⌋`, clamped — the rounding kills float tails, the
+ *     quantization is the documented selection granularity);
+ *  2. ONE bounded aggregate builds the (bucket → token count) histogram —
+ *     ≤ B rows, collected driver-side like any other bounded metadata;
+ *  3. the budget walk over the sorted histogram happens ON THE DRIVER:
+ *     buckets that fit entirely become a map-side `bucket > β` filter
+ *     (zero shuffle for the overwhelming majority of kept rows);
+ *  4. only the single BOUNDARY bucket pays an ordered running sum — a
+ *     window over that one bucket's rows, expected corpus/B of the data.
+ *     A score with near-constant mass (e.g. a 5-gate composite) collapses
+ *     many rows into one bucket and re-grows that window; feed a
+ *     continuous score (a classifier margin, a perplexity) when the
+ *     boundary must stay small.
+ *
+ * Determinism: the bucket is integer, the within-bucket order is the
+ * unique id, and the admitted set is a pure function of (score, tokens,
+ * budget) — bit-identical cross-engine when the score is.
+ */
+object Selection {
+
+  def selectTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      tokensCol: Column,
+      budget: Long,
+      buckets: Int = 65536): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val bucket = least(
+      floor(round(scoreCol, 6) * buckets).cast("long"),
+      lit(buckets - 1L))
+    val tagged = df.select(col(idCol), bucket.as("__bucket"),
+      tokensCol.cast("long").as("n_tokens"))
+
+    // bounded histogram (≤ `buckets` rows) + driver budget walk
+    val hist = tagged.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("btoks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var boundary = Long.MinValue
+    var remaining = 0L
+    var i = 0
+    while (i < hist.length && boundary == Long.MinValue) {
+      val (b, btoks) = hist(i)
+      if (cum + btoks <= budget) cum += btoks
+      else { boundary = b; remaining = budget - cum }
+      i += 1
+    }
+
+    val full = tagged.where(col("__bucket") > lit(boundary))
+    val partial = tagged.where(col("__bucket") === lit(boundary))
+      .withColumn("__cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("__bucket")).orderBy(col(idCol))))
+      .where(col("__cum") <= lit(remaining))
+      .drop("__cum")
+    full.unionByName(partial)
+      .select(col(idCol), col("__bucket").as("bucket"), col("n_tokens"))
+  }
+}
+
+/** DuckDB rendering: the SAME rule as one global ordered cumsum — an
+  * INDEPENDENT formulation (the oracle may funnel; the operator may not),
+  * so a boundary-handling bug in the split plan can't echo. */
+object SelectionSql {
+
+  /** `scoreSql`/`tokensSql` are scalar SQL over `table`'s columns. */
+  def selectTokenBudget(
+      table: String,
+      idCol: String,
+      scoreSql: String,
+      tokensSql: String,
+      budget: Long,
+      buckets: Int = 65536): String =
+    s"""WITH scored AS (
+       |  SELECT $idCol,
+       |         least(CAST(floor(round($scoreSql, 6) * $buckets) AS BIGINT),
+       |               ${buckets - 1}) AS bucket,
+       |         CAST($tokensSql AS BIGINT) AS n_tokens
+       |  FROM $table),
+       |o AS (SELECT *, sum(n_tokens) OVER (ORDER BY bucket DESC, $idCol)
+       |                 AS cum FROM scored)
+       |SELECT $idCol, bucket, n_tokens FROM o WHERE cum <= $budget""".stripMargin
+}
