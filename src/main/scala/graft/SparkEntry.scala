@@ -1420,6 +1420,46 @@ object SparkEntry {
         .orderBy(col("drift_ppm").desc, col("token"))
     }),
 
+    // INTENT-pinned URL canonicalization (web-corpus key normalization):
+    // literal inputs, hand-derived expected outputs in the oracle — no
+    // second rendering to echo a regex mistake. Covers scheme/host case,
+    // default ports, fragments, tracking params, separator repair,
+    // trailing slash, and the no-scheme passthrough
+    "url_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, "HTTPS://Example.COM/Path/?utm_source=x&q=1#frag"),
+        (2L, "http://site.org:80/a"),
+        (3L, "https://site.org:443/"),
+        (4L, "https://a.b/c?fbclid=123"),
+        (5L, "https://a.b/c?x=1&utm_medium=m&y=2"),
+        (6L, "HTTP://WWW.Ex.com:80/?utm_campaign=a"),
+        (7L, "https://a.b/path"),
+        (8L, "ftp://Host.Com/File"),
+        (9L, "no-scheme/relative/"))
+        .toDF("case_id", "url")
+        .select(col("case_id"),
+          functions.UrlOps.normalizeUrl(col("url")).as("canonical_url"))
+        .orderBy(col("case_id"))
+    }),
+
+    // URL-keyed dedup on the canonical key: page copies under scheme/case/
+    // port/tracking variants collapse to the lowest id — same min_by keep
+    // rule as content dedup (hot URLs never funnel into one window task)
+    "url_dedup_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Seq(
+        (1L, "https://example.com/a?utm_source=t"),
+        (2L, "https://EXAMPLE.com/a"),
+        (3L, "https://example.com:443/a"),
+        (4L, "http://other.org/"),
+        (5L, "http://other.org:80"),
+        (6L, "https://unique.net/x")).toDF("doc_id", "url")
+      functions.UrlOps.urlDedup(pages, "doc_id", "url")
+        .select(col("doc_id"), col("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // INTENT-pinned k-means: a 5-point, 2-blob dataset whose 2-round Lloyd
     // trajectory (seeds in one blob, recovery by the mean update) is
     // hand-derived — the literal oracle VALUES catch a shared
@@ -3932,6 +3972,31 @@ object SparkEntry {
            |  FROM (SELECT count(*) AS n FROM documents GROUP BY text)
            |  WHERE n > 1)
            |SELECT * FROM base CROSS JOIN dups""".stripMargin,
+
+      // hand-derived canonical forms (each traced by hand through the rule
+      // order in UrlOps.normalizeUrl's scaladoc) — literal VALUES, no
+      // computed rendering
+      "url_pinned" ->
+        """SELECT CAST(case_id AS BIGINT) AS case_id, canonical_url
+          |FROM (VALUES
+          |  (1, 'https://example.com/Path/?q=1'),
+          |  (2, 'http://site.org/a'),
+          |  (3, 'https://site.org'),
+          |  (4, 'https://a.b/c'),
+          |  (5, 'https://a.b/c?x=1&y=2'),
+          |  (6, 'http://www.ex.com'),
+          |  (7, 'https://a.b/path'),
+          |  (8, 'ftp://host.com/File'),
+          |  (9, 'no-scheme/relative')) t(case_id, canonical_url)
+          |ORDER BY case_id""".stripMargin,
+
+      "url_dedup_pinned" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, canonical_url
+          |FROM (VALUES
+          |  (1, 'https://example.com/a'),
+          |  (4, 'http://other.org'),
+          |  (6, 'https://unique.net/x')) t(doc_id, canonical_url)
+          |ORDER BY doc_id""".stripMargin,
 
       "corpus_drift" -> DriftSql.summary(
         s"(SELECT text FROM documents WHERE ${SamplingSql.hash16("doc_id", 13)} < 32768) sa",
