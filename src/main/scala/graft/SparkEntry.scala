@@ -970,6 +970,42 @@ object SparkEntry {
           round(element_at(col("qs"), 4), 6).as("p95"))
         .orderBy(col("lang"))),
 
+    // mergeable-sketch distinct counting WITH its accuracy gauge (the
+    // ann_recall pattern for sketches): HLL++ runs alongside the exact
+    // count and the row reports whether the sketch landed within 5% — at
+    // 100 TB the exact arm drops and the sketch (constant state per
+    // group, mergeable across partitions) is the only affordable
+    // distinct count; the gauge is what licenses that swap. At this
+    // cardinality HLL++'s sparse mode is exact, so the flag is
+    // deterministically true — if the sketch path ever misbehaves the
+    // flag flips and the oracle catches it
+    "profile_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          approx_count_distinct(col("text"), 0.05).as("__hll"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          (abs(col("__hll") - col("n_distinct")) <=
+            ceil(col("n_distinct") * 0.05)).as("hll_ok"))
+        .orderBy(col("source"))),
+
+    // robust outlier flag on document token counts: |n − median| > 3·MAD
+    // (median absolute deviation — robust to the very outliers it hunts,
+    // unlike a stddev cut). Two exact-percentile aggregates reduce to two
+    // driver scalars; the flag itself is a map-side literal comparison.
+    // approx_percentile swaps into the same shape at 100 TB
+    "profile_outliers" -> ((s, dir) => {
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val base = t(s, dir, "documents").select(col("doc_id"), nt.as("n_tokens"))
+      val med = base.agg(expr("percentile(n_tokens, 0.5D)")).head().getDouble(0)
+      val mad = base.select(abs(col("n_tokens") - med).as("d"))
+        .agg(expr("percentile(d, 0.5D)")).head().getDouble(0)
+      base.select(col("doc_id"), col("n_tokens"),
+          (abs(col("n_tokens") - med) > 3.0 * mad).as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // semi-structured extraction: JSON property pulled out of the events
     // payload map-side (codegen'd path expression, no UDF), then a standard
     // partial-combined aggregate — the oracle checks SEMANTICS via DuckDB's
@@ -3572,6 +3608,27 @@ object SparkEntry {
            |       round(quantile_cont(n_chars, 0.75), 6) AS p75,
            |       round(quantile_cont(n_chars, 0.95), 6) AS p95
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // the exact arm + an always-true flag: if Spark's HLL++ ever lands
+      // outside 5%, the Spark side flips to false and the compare fails —
+      // the oracle is the CONTRACT, not an echo of the sketch
+      "profile_approx_distinct" ->
+        """SELECT source, count(*) AS n_docs,
+          |       count(DISTINCT text) AS n_distinct,
+          |       true AS hll_ok
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "profile_outliers" -> {
+        val toksSql = TextOpsSql.tokens("text")
+        s"""WITH base AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens
+           |              FROM documents),
+           |m AS (SELECT quantile_cont(n_tokens, 0.5) AS med FROM base),
+           |d AS (SELECT quantile_cont(abs(n_tokens - med), 0.5) AS mad
+           |      FROM base, m)
+           |SELECT doc_id, n_tokens,
+           |       (abs(n_tokens - med) > 3.0 * mad) AS is_outlier
+           |FROM base, m, d ORDER BY doc_id""".stripMargin
+      },
 
       "text_bigram_logprob" -> LanguageModelSql.bigramLogProb(
         "documents", "doc_id", "text", topK = 500),
