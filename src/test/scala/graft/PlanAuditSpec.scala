@@ -143,6 +143,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("range search: probes broadcast, corpus side never shuffles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.operators.Similarity.rangeSearch(
+      emb, emb.where(col("vec_id") < 4), "vec_id", "embedding", 0.5)
+      .queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold predicate should plan as a broadcast nested loop:\n$p")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"the corpus side must stream map-side, no shuffle:\n$p")
+  }
+
   test("pipeline_e2e: one documents scan feeds the whole composed flow") {
     val out = SparkEntry.queries("pipeline_e2e")(spark, sf)
     val p = physical(out)
