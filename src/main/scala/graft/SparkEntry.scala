@@ -2042,6 +2042,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the SAME ingest door behind the broadcast-Bloom pre-gate: arriving
+    // docs test the corpus bitmap MAP-SIDE and only possible hits pay the
+    // per-batch static probe — the stream-static join prices at |hits|
+    // per batch, not |batch|; oracle identical (no false negatives +
+    // exact confirm)
+    "stream_bloom_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextOps.tokens(col("text"))
+      val mutated = d.select(
+        (col("doc_id") + 20000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(mutated)
+        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
+          col("text")))
+      Streams.incrementalDedupStream(s, batch, d,
+          bloomExpectedItems = Some(65536L))
+        .select(col("kept_id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming near-dup ingest filter over the mutated corpus: MinHash
     // band buckets map-side, keyed state = ONE long (min id) per distinct
     // (band, bucket); a doc drops when any of its buckets holds a lower
@@ -2771,6 +2793,23 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM batch WHERE text NOT IN (SELECT text FROM documents))
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+    // shared by stream_incremental_dedup and stream_bloom_gate: the Bloom
+    // ingest door is exact-confirmed, so its contract IS the plain one's
+    val streamIncDedupSql =
+      s"""WITH mut AS (
+         |  SELECT doc_id + 20000 AS doc_id,
+         |         CASE WHEN len($toks) > 5
+         |              THEN array_to_string(($toks)[6:], ' ')
+         |              ELSE text END AS text
+         |    FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM mut
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
+         |SELECT min(doc_id) AS doc_id FROM batch
+         |WHERE text NOT IN (SELECT text FROM documents)
+         |GROUP BY text ORDER BY doc_id""".stripMargin
 
     Map(
       "q1_pricing_summary" ->
@@ -4430,20 +4469,8 @@ object SparkEntry {
            |GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
 
       // identical semantics to dedup_incremental, replayed as a batch
-      "stream_incremental_dedup" ->
-        s"""WITH mut AS (
-           |  SELECT doc_id + 20000 AS doc_id,
-           |         CASE WHEN len($toks) > 5
-           |              THEN array_to_string(($toks)[6:], ' ')
-           |              ELSE text END AS text
-           |    FROM documents),
-           |batch AS (
-           |  SELECT doc_id + 10000 AS doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id, text FROM mut
-           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
-           |SELECT min(doc_id) AS doc_id FROM batch
-           |WHERE text NOT IN (SELECT text FROM documents)
-           |GROUP BY text ORDER BY doc_id""".stripMargin,
+      "stream_incremental_dedup" -> streamIncDedupSql,
+      "stream_bloom_gate" -> streamIncDedupSql,
 
       // batch statement of the streaming LSH keep rule: a doc survives iff
       // NO band bucket of its holds a lower id — the bucket-minimum join

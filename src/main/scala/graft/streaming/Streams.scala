@@ -230,7 +230,9 @@ object Streams {
   def incrementalDedupStream(
       spark: SparkSession,
       newDocs: DataFrame,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame,
+      bloomExpectedItems: Option[Long] = None,
+      bloomFpp: Double = 0.01): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val dir = Files.createTempDirectory("graft-stream-incdedup")
@@ -241,12 +243,46 @@ object Streams {
       .select(sha2(col("text").cast("binary"), 256).as("digest"))
       .dropDuplicates("digest")
       .withColumn("__seen", lit(true))
-    val fresh = spark.readStream.schema(schema).parquet(dir.toString)
+    val digested = spark.readStream.schema(schema).parquet(dir.toString)
       .select(col("doc_id").cast("long").as("doc_id"),
         sha2(col("text").cast("binary"), 256).as("digest"))
-      .join(seen, Seq("digest"), "left_outer")
-      .where(col("__seen").isNull)
-      .select(col("doc_id"), col("digest"))
+    // Optional broadcast-Bloom pre-gate (the streaming door of
+    // Dedup.incrementalBloom): the corpus digest index folds ONCE into a
+    // literal bitmap and every arriving doc tests membership MAP-SIDE —
+    // definite misses skip the per-batch static probe entirely, so the
+    // stream-static join prices at |possible hits| per batch instead of
+    // |batch|. Bloom misses can't be false, and hits are exact-confirmed
+    // by the same join, so the result is identical with or without the
+    // gate (the spec pins that).
+    val survivors = bloomExpectedItems match {
+      case None =>
+        digested.join(seen, Seq("digest"), "left_outer")
+          .where(col("__seen").isNull)
+          .select(col("doc_id"), col("digest"))
+      case Some(items) =>
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.util.sketch.BloomFilter
+        val numBits = BloomFilter.optimalNumOfBits(items, bloomFpp)
+        val bloomBytes = corpus
+          .select(ColumnBridge.column(new BloomFilterAggregate(
+            ColumnBridge.expression(
+              xxhash64(sha2(col("text").cast("binary"), 256))),
+            Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val mightContain = ColumnBridge.column(BloomFilterMightContain(
+          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(col("digest")))))
+        val misses = digested.where(!mightContain)
+          .select(col("doc_id"), col("digest"))
+        val confirmed = digested.where(mightContain)
+          .join(seen, Seq("digest"), "left_outer")
+          .where(col("__seen").isNull)
+          .select(col("doc_id"), col("digest"))
+        misses.unionByName(confirmed)
+    }
+    val fresh = survivors
       .as[(Long, String)]
       .groupByKey(_._2)
     val deduped = fresh.flatMapGroupsWithState(

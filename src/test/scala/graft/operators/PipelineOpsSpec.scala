@@ -352,6 +352,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 7L), kept.toString)
   }
 
+  test("bloom-gated ingest stream equals the ungated door, at any fpp") {
+    val corpus = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val batch = (
+      (30L until 70L).map(i => (i + 1000L, s"doc $i")) ++   // 20 collide
+      (0L until 10L).map(i => (i + 2000L, s"novel ${i % 5}"))
+    ).toDF("doc_id", "text")
+    val plain = Streams.incrementalDedupStream(spark, batch, corpus)
+      .collect().map(_.getLong(0)).toSet
+    for ((items, fpp) <- Seq((100000L, 0.01), (4L, 0.5))) {
+      val gated = Streams.incrementalDedupStream(spark, batch, corpus,
+          bloomExpectedItems = Some(items), bloomFpp = fpp)
+        .collect().map(_.getLong(0)).toSet
+      assert(gated == plain, s"items=$items fpp=$fpp")
+    }
+  }
+
   test("streaming source quota: admits the N lowest ids per source") {
     val docs = (
       (0L until 20L).map(i => (i, "web")) ++
