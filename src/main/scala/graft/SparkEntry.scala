@@ -1435,6 +1435,46 @@ object SparkEntry {
       base.crossJoin(dups)
     }),
 
+    // release MANIFEST: the content-addressed identity of a corpus
+    // version — doc count, token volume, and an ORDER-INDEPENDENT content
+    // fingerprint (bit_xor of 62-bit per-doc rolling hashes: XOR is
+    // associative+commutative and overflow-free, so the fingerprint is
+    // identical under any partitioning/row order — exactly what a
+    // reproducibility check between two pipeline runs needs). One scan,
+    // one aggregate
+    "corpus_manifest" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+          TextOps.wideFingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("sum_tokens"),
+          expr("bit_xor(fp)").as("content_fp"))),
+
+    // hard-NEGATIVE mining for contrastive training: per probe vector,
+    // the 3 most-similar corpus vectors with a DIFFERENT label (similar
+    // but not same-class — the negatives that matter). Broadcast probes,
+    // label inequality inside the join, bounded top-k aggregate
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.where(col("vec_id") < 8).select(
+        col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qv"), col("label").as("qlabel")))
+      val topk = Similarity.topKUdaf(3)
+      emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("cv"), col("label").as("clabel"))
+        .join(q, col("neighbor_id") =!= col("query_id") &&
+          col("clabel") =!= col("qlabel"))
+        .select(col("query_id"), col("neighbor_id"),
+          VectorOps.cosine(col("qv"), col("cv")).as("cosine"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("neighbor_id")).as("tk"))
+        .select(col("query_id"), explode(col("tk.items")).as("nb"))
+        .select(col("query_id"), col("nb._2").as("neighbor_id"),
+          round(col("nb._1"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // corpus drift monitoring between two slices (here a deterministic
     // 50/50 hash split standing in for yesterday-vs-today): one-row
     // summary with the unigram total-variation distance in integer ppm
@@ -4093,6 +4133,25 @@ object SparkEntry {
           |  (4, 'http://other.org'),
           |  (6, 'https://unique.net/x')) t(doc_id, canonical_url)
           |ORDER BY doc_id""".stripMargin,
+
+      "corpus_manifest" ->
+        s"""SELECT count(*) AS n_docs,
+           |       CAST(sum(len($toks)) AS BIGINT) AS sum_tokens,
+           |       bit_xor(${TextOpsSql.wideFingerprint("text")}) AS content_fp
+           |FROM documents""".stripMargin,
+
+      "ann_hard_negatives" ->
+        s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |               ${VectorOpsSql.cosine("q.embedding", "c.embedding")} AS cos
+           |        FROM embeddings q
+           |        JOIN embeddings c ON c.vec_id <> q.vec_id
+           |                         AND c.label <> q.label
+           |        WHERE q.vec_id < 8))
+           |WHERE rn <= 3 ORDER BY query_id, neighbor_id""".stripMargin,
 
       "corpus_drift" -> DriftSql.summary(
         s"(SELECT text FROM documents WHERE ${SamplingSql.hash16("doc_id", 13)} < 32768) sa",

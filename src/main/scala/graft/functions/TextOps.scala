@@ -277,6 +277,13 @@ object TextOps {
 
   /** Whole-document fingerprint: rolling hash over the raw text. */
   def fingerprint(text: Column): Column = polyHash(text)
+
+  /** 62-bit whole-document fingerprint (two independent wide rolling
+    * hashes packed as `h31·HashMod + h131`) — the per-doc term of the
+    * order-independent corpus release fingerprint (`bit_xor` aggregate):
+    * collisions at 2⁻⁶² instead of [[fingerprint]]'s 20-bit slack. */
+  def wideFingerprint(text: Column): Column =
+    polyHashWide(text, 31L) * lit(HashMod) + polyHashWide(text, 131L)
 }
 
 /**
@@ -307,6 +314,10 @@ object TextOpsSql {
   def tokenHashesWide(toks: String): String =
     s"list_transform($toks, t -> " +
       s"${polyHashWide("t", 31L)} * $HashMod + ${polyHashWide("t", 131L)})"
+
+  /** Mirror of [[TextOps.wideFingerprint]]. */
+  def wideFingerprint(text: String): String =
+    s"(${polyHashWide(text, 31L)} * $HashMod + ${polyHashWide(text, 131L)})"
 
   def shingleHashes(thash: String, k: Int = 3): String = {
     // general positional-weight sum, same arithmetic as the Spark side for
