@@ -1435,6 +1435,23 @@ object SparkEntry {
       base.crossJoin(dups)
     }),
 
+    // release-to-release corpus DIFF — the BDE diff engine (null-safe
+    // full-outer classify, the reference's E3 arm) applied to corpus
+    // versioning: which documents a new release added, removed, or
+    // changed. "Old" = docs whose id is 0 mod 3 dropped and text
+    // truncated for ids 1 mod 7 — a deterministic mutation both engines
+    // restate. One full-outer join on the key, counts by action
+    "corpus_release_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 1,
+            substring(col("text"), 1, 20)).otherwise(col("text")).as("text"))
+      Diff.fullDiff(old, d, "doc_id")
+        .groupBy(col("action")).agg(count(lit(1)).as("n"))
+        .orderBy(col("action"))
+    }),
+
     // release MANIFEST: the content-addressed identity of a corpus
     // version — doc count, token volume, and an ORDER-INDEPENDENT content
     // fingerprint (bit_xor of 62-bit per-doc rolling hashes: XOR is
@@ -4133,6 +4150,22 @@ object SparkEntry {
           |  (4, 'http://other.org'),
           |  (6, 'https://unique.net/x')) t(doc_id, canonical_url)
           |ORDER BY doc_id""".stripMargin,
+
+      "corpus_release_diff" ->
+        """WITH old AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 7 = 1 THEN substr(text, 1, 20)
+          |              ELSE text END AS text
+          |  FROM documents WHERE doc_id % 3 <> 0),
+          |d AS (SELECT o.doc_id AS ok, n.doc_id AS nk,
+          |             o.text AS ot, n.text AS nt
+          |      FROM old o FULL OUTER JOIN documents n ON o.doc_id = n.doc_id)
+          |SELECT action, count(*) AS n FROM (
+          |  SELECT CASE WHEN ok IS NULL THEN 'I'
+          |              WHEN nk IS NULL THEN 'D'
+          |              WHEN ot IS DISTINCT FROM nt THEN 'U' END AS action
+          |  FROM d)
+          |WHERE action IS NOT NULL GROUP BY action ORDER BY action""".stripMargin,
 
       "corpus_manifest" ->
         s"""SELECT count(*) AS n_docs,
