@@ -451,7 +451,10 @@ object Streams {
       "append", statePartitionsFor(dir.toString))
       .localCheckpoint()
     cleanupStaging(dir)
-    // batch-rule fold: the quota LOWEST ids per source, order-independent
+    // batch-rule fold: the quota LOWEST ids per source, order-independent.
+    // The top-k score rides a Double, so the id-order contract holds for
+    // ids < 2^53 (the same integral-id range the portable hash16 family
+    // documents); content-hash ids beyond that need a long-scored variant
     val topk = graft.operators.Similarity.topKUdaf(quota)
     drained.groupBy(col("source"))
       .agg(topk(-col("doc_id").cast("double"), col("doc_id")).as("tk"))
