@@ -1174,6 +1174,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("lang"))),
 
+    // EXACT-k uniform sample per group (the guarantee rate-based thinning
+    // can't give: exactly min(k, n) rows per source, not a binomial
+    // realization): rank = the portable row hash, selection = the bounded
+    // top-k aggregate per source (≤ k state entries per group per map
+    // task — never a row_number window over the source partition).
+    // Deterministic and seed-stable like every hash16 selection
+    "sample_exact_k" -> ((s, dir) => {
+      val topk = Similarity.topKUdaf(15)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Sampling.hash16(col("doc_id"), 21).as("hk"))
+        .groupBy(col("source"))
+        // score = -hash: the aggregate's (score desc, id asc) order is then
+        // exactly (hash asc, doc_id asc) — hash ties break on the id
+        .agg(topk(-col("hk").cast("double"), col("doc_id")).as("tk"))
+        .select(col("source"), explode(col("tk.items._2")).as("doc_id"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fractional-EPOCH mixing (the upsampling half the thinning mixers
     // can't express): src0 at 2.25 epochs, src1 a deterministic half
     // epoch, src2 exactly once, src3 three times, everything else
@@ -3831,6 +3851,15 @@ object SparkEntry {
       "mix_temperature" ->
         MixingSql.temperatureCounts("documents", "doc_id", "lang",
           temperature = 2.0, seed = 9),
+
+      "sample_exact_k" ->
+        s"""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY ${SamplingSql.hash16("doc_id", 21)}, doc_id)
+           |           AS rn
+           |  FROM documents)
+           |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
       "mix_epochs" ->
         (MixingSql.epochRows("documents", "doc_id", "source",

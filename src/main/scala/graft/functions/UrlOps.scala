@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
  * URL canonicalization for web-corpus pipelines — the key-normalization
  * step in front of URL-keyed dedup (crawl frontiers and web dumps carry
  * the same page under `http://`/`https://`, with/without default ports,
- * with volatile tracking parameters and fragments).
+ * with volatile tracking parameters and fragments). URL-level dedup is
+ * the first dedup stage of RefinedWeb (Penedo et al. 2023,
+ * arXiv:2306.01116 §3.2) and the Dolma toolkit.
  *
  * Entirely `regexp_replace`/`regexp_extract` chains — codegen'd, no UDF,
  * a pure per-row projection that streams at scan speed. The rule set (in

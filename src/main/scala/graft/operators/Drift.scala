@@ -7,7 +7,9 @@ import graft.functions.TextOps
 
 /**
  * Corpus DRIFT detection: how far has the token distribution of a new
- * corpus slice moved from a reference slice? The monitoring primitive of a
+ * corpus slice moved from a reference slice? (Total-variation distance —
+ * the standard dataset-shift metric of the data-validation literature,
+ * e.g. TFX data validation, Breck et al., SysML 2019.) The monitoring primitive of a
  * continuously-crawled pipeline — a crawl-config regression, a new spam
  * campaign, or a source going dark all show up as unigram-distribution
  * shift long before they show up in model metrics.

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /**
  * Data selection under a TOKEN BUDGET — "keep the best documents until the
  * training budget is spent", the selection rule of quality-ranked corpus
- * releases: documents ordered by (quality bucket desc, id asc) are admitted
+ * releases (the FineWeb-Edu / DCLM-style classifier-threshold cut,
+ * generalized from "score ≥ τ" to "best N tokens"; see Penedo et al. 2024,
+ * arXiv:2406.17557 §4, and Li et al. 2024, arXiv:2406.11794): documents ordered by (quality bucket desc, id asc) are admitted
  * while the running token total fits the budget; the first document that
  * would cross it ends the selection (the maximal admissible prefix — the
  * running total is monotone, so nothing after the crossing can ever fit).
