@@ -1515,6 +1515,34 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // INTENT pin for the ppm drift arithmetic: a hand-computable two-slice
+    // corpus (A: 4×a+4×b, B: 6×a+2×c → Δppm 250k/500k/250k → TVD 500000)
+    // with the expected row as literal VALUES — the dataset-scale rows
+    // share their arithmetic with the dual rendering; only this can catch
+    // a shared misunderstanding
+    "drift_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val a = Seq((1L, "a a b b"), (2L, "a a b b")).toDF("id", "text")
+      val b = Seq((3L, "a a a c"), (4L, "a a a c")).toDF("id", "text")
+      operators.Drift.summary(a, b, "text")
+    }),
+
+    // INTENT pin for the budget walk: hand-derived admissions at budget
+    // 950 over four score buckets (300+400 fit whole; the 0.5 bucket's
+    // remaining 250 admits id 4 only; id 6 would fit but the prefix rule
+    // is maximal) — literal expected ids in the oracle
+    "selection_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, 0.9, 100L), (2L, 0.9, 200L), (3L, 0.8, 400L),
+        (4L, 0.5, 250L), (5L, 0.5, 250L), (6L, 0.1, 50L))
+        .toDF("id", "score", "ntok")
+      operators.Selection.selectTokenBudget(docs, "id", col("score"),
+          col("ntok"), budget = 950L)
+        .select(col("id"), col("n_tokens"))
+        .orderBy(col("id"))
+    }),
+
     // corpus drift monitoring between two slices (here a deterministic
     // 50/50 hash split standing in for yesterday-vs-today): one-row
     // summary with the unigram total-variation distance in integer ppm
@@ -4217,6 +4245,22 @@ object SparkEntry {
            |                         AND c.label <> q.label
            |        WHERE q.vec_id < 8))
            |WHERE rn <= 3 ORDER BY query_id, neighbor_id""".stripMargin,
+
+      // hand-derived: n_a = n_b = 8, vocab {a,b,c}, Σ|Δppm| = 1000000
+      "drift_pinned" ->
+        """SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |       CAST(vocab AS BIGINT) AS vocab,
+          |       CAST(tvd_ppm AS BIGINT) AS tvd_ppm
+          |FROM (VALUES (8, 8, 3, 500000)) t(n_a, n_b, vocab, tvd_ppm)""".stripMargin,
+
+      // hand-derived admissions (traced in SelectionSpec as well): ids
+      // 1, 2 (bucket .9 = 300 tokens), 3 (bucket .8 = 400), 4 (250 of the
+      // .5 bucket's 250-token remainder); 5 and 6 excluded
+      "selection_pinned" ->
+        """SELECT CAST(id AS BIGINT) AS id, CAST(n_tokens AS BIGINT) AS n_tokens
+          |FROM (VALUES (1, 100), (2, 200), (3, 400), (4, 250))
+          |  t(id, n_tokens)
+          |ORDER BY id""".stripMargin,
 
       "corpus_drift" -> DriftSql.summary(
         s"(SELECT text FROM documents WHERE ${SamplingSql.hash16("doc_id", 13)} < 32768) sa",
