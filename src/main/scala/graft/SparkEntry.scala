@@ -2231,6 +2231,14 @@ object SparkEntry {
       Streams.userSessions(s, s"$dir/events.parquet")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // per-window distribution drift vs the corpus reference (integer-ppm
+    // TVD): the streaming traffic-mix tripwire — windowed counts are the
+    // only streaming state, the comparison is batch arithmetic on the
+    // drained window table
+    "stream_window_drift" -> ((s, dir) =>
+      Streams.windowedTypeDrift(s, s"$dir/events.parquet")
+        .orderBy(col("window_start"))),
+
     // stream-stream interval join (attribution): click ⨝ purchase per user
     // within 30 min; aggregated per user with order-independent stats
     "stream_interval_join" -> ((s, dir) =>
@@ -4735,6 +4743,24 @@ object SparkEntry {
           |                '%Y-%m-%d %H:%M:%S') AS window_start,
           |       event_type, count(*) AS n_events
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      "stream_window_drift" ->
+        """WITH c AS (
+          |  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP),
+          |                  '%Y-%m-%d %H:%M:%S') AS w,
+          |         event_type, count(*)::BIGINT AS cw
+          |  FROM events GROUP BY 1, 2),
+          |ref AS (SELECT event_type, sum(cw)::BIGINT AS rc FROM c GROUP BY 1),
+          |t AS (SELECT sum(rc)::BIGINT AS n FROM ref),
+          |wt AS (SELECT w, sum(cw)::BIGINT AS nw FROM c GROUP BY 1),
+          |grid AS (
+          |  SELECT wt.w, wt.nw, ref.rc, coalesce(c2.cw, 0)::BIGINT AS cw
+          |  FROM wt CROSS JOIN ref
+          |  LEFT JOIN c c2 ON c2.w = wt.w AND c2.event_type = ref.event_type)
+          |SELECT w AS window_start, nw AS n_events,
+          |       (sum(abs(cw * 1000000 // nw - rc * 1000000 // n))
+          |          // 2)::BIGINT AS drift_ppm
+          |FROM grid, t GROUP BY w, nw ORDER BY window_start""".stripMargin,
 
       // gaps-and-islands replay of session_window: a session breaks when the
       // gap is >= 30 min (session intervals [ts, ts+gap) merge on overlap,

@@ -59,8 +59,12 @@ object Drift {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
-  private def ppm(cnt: Column, total: Column): Column =
+  /** Integer parts-per-million share — the exact cross-engine unit every
+    * drift comparison here rides (also the streaming window monitor's). */
+  private[graft] def ppm(cnt: Column, total: Column): Column =
     intDiv(cnt * lit(1000000L), total)
+
+  private[graft] def halved(sumCol: Column): Column = intDiv(sumCol, lit(2L))
 
   /** One-row drift summary: slice token totals, joint vocabulary size,
     * and the total-variation distance in ppm units

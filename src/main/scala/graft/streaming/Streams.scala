@@ -174,6 +174,43 @@ object Streams {
   }
 
   /**
+   * Windowed DISTRIBUTION drift monitor: per tumbling window, the
+   * total-variation distance (integer ppm, [[graft.operators.Drift]]'s
+   * unit) between the window's event-type distribution and the
+   * corpus-wide reference — the streaming tripwire for a traffic-mix
+   * shift (a bot flood, a source going dark) surfacing window-by-window
+   * at ingest. The streaming side is exactly the watermarked windowed
+   * count aggregate (state: windows × event types — bounded); the ppm
+   * comparison is BATCH arithmetic over the drained window table joined
+   * against the static reference distribution, on the full
+   * (window × reference-type) grid so types absent from a window
+   * contribute their full reference mass.
+   */
+  def windowedTypeDrift(
+      spark: SparkSession,
+      eventsParquet: String,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import graft.operators.Drift
+    val counts = windowedEventCounts(spark, eventsParquet,
+      windowLength, watermarkDelay).localCheckpoint()
+    val ref = spark.read.parquet(eventsParquet)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("rc"))
+    val refTot = ref.agg(sum(col("rc")).as("n")).head().getLong(0)
+    val wTot = counts.groupBy(col("window_start"))
+      .agg(sum(col("n_events")).as("nw"))
+    val grid = wTot.crossJoin(broadcast(ref))
+      .join(counts, Seq("window_start", "event_type"), "left_outer")
+      .select(col("window_start"), col("nw"),
+        abs(Drift.ppm(coalesce(col("n_events"), lit(0L)), col("nw")) -
+          Drift.ppm(col("rc"), lit(refTot))).as("d"))
+    grid.groupBy(col("window_start"))
+      .agg(max(col("nw")).as("n_events"), sum(col("d")).as("__s"))
+      .select(col("window_start"), col("n_events"),
+        Drift.halved(col("__s")).as("drift_ppm"))
+  }
+
+  /**
    * Streaming first-seen dedup over a content digest — the CUSTOM-state
    * operator (`flatMapGroupsWithState`): keyed state remembers every digest
    * already emitted, so re-arrivals of the same content are dropped across

@@ -251,6 +251,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(3L)._2 == Seq(127L))
   }
 
+  test("windowed type drift: hand-computed ppm TVD per window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-spec")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // window 0: 2 view + 2 click (= the corpus mix -> drift 0)
+    // window 1: 2 view only (vs ref 4/6 view, 2/6 click)
+    val events = Seq(
+      (1L, 10L, "view"), (2L, 20L, "view"), (3L, 30L, "click"),
+      (4L, 40L, "click"), (5L, 70L, "view"), (6L, 80L, "view")
+    ).map { case (id, mins, ty) =>
+      (id, (base + mins * 60000L) * 1000000L, 1L, ty, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.coalesce(1).write.mode("overwrite")
+      .parquet(dir.toString + "/events.parquet")
+    val got = Streams.windowedTypeDrift(spark, dir.toString + "/events.parquet")
+      .orderBy("window_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // ref ppm: view 4*1e6/6 = 666666, click 333333
+    // w0: view 500000, click 500000 -> |Δ| = 166666 + 166667 -> tvd 166666
+    // w1: view 1000000, click 0     -> |Δ| = 333334 + 333333 -> tvd 333333
+    assert(got.toSeq == Seq((4L, 166666L), (2L, 333333L)), got.mkString(";"))
+  }
+
   test("windowed counts accept a multi-part parquet directory (stageSource)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-win-spec")
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
