@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, must precede the first session: 200 queries × several
+      // codegen stages each far exceed the default 100-class cache, so by
+      // the back half of the run every stage recompiles (janino) what an
+      // earlier query already built — pure fixed cost, no data-path change
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before any timed query: JVM/codegen compilation,
