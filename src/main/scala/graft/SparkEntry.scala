@@ -155,6 +155,25 @@ object SparkEntry {
     d.unionByName(mutated)
   }
 
+  /** The ingest-batch fixture all four incremental-dedup queries share
+    * (plain/bloom × batch/stream — ONE definition, as their oracles share
+    * one SQL): an exact copy of documents (ids +10000), a token-sliced
+    * mutation (ids +20000), and a second copy of that mutation
+    * (ids +30000). Copies collide with the ingested corpus and drop;
+    * the duplicated mutation dedups within the batch to its lower id. */
+  private def incrementalIngestBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val mutated = d.select(
+      (col("doc_id") + 20000).as("doc_id"),
+      when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+        .otherwise(col("text")).as("text"))
+    d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(mutated)
+      .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
+        col("text")))
+  }
+
   private val NearDupCorpusSql = {
     val toks = TextOpsSql.tokens("text")
     s"""corpus AS (
@@ -722,16 +741,7 @@ object SparkEntry {
     // to its lower id. Kept = the +20000 mutations of > 5-token docs.
     "dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks = TextOps.tokens(col("text"))
-      val mutated = d.select(
-        (col("doc_id") + 20000).as("doc_id"),
-        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
-          .otherwise(col("text")).as("text"))
-      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(mutated)
-        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
-          col("text")))
-      Dedup.incremental(batch, d, "doc_id", "text")
+      Dedup.incremental(incrementalIngestBatch(s, dir), d, "doc_id", "text")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -745,17 +755,8 @@ object SparkEntry {
     // is invisible in the result — which is exactly the claim worth pinning
     "dedup_incremental_bloom" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks = TextOps.tokens(col("text"))
-      val mutated = d.select(
-        (col("doc_id") + 20000).as("doc_id"),
-        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
-          .otherwise(col("text")).as("text"))
-      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(mutated)
-        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
-          col("text")))
-      Dedup.incrementalBloom(batch, d, "doc_id", "text",
-          expectedItems = 65536L, fpp = 0.01)
+      Dedup.incrementalBloom(incrementalIngestBatch(s, dir), d,
+          "doc_id", "text", expectedItems = 65536L, fpp = 0.01)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -2136,16 +2137,7 @@ object SparkEntry {
     // micro-batch, and first-seen digest state dedups within the stream
     "stream_incremental_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks = TextOps.tokens(col("text"))
-      val mutated = d.select(
-        (col("doc_id") + 20000).as("doc_id"),
-        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
-          .otherwise(col("text")).as("text"))
-      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(mutated)
-        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
-          col("text")))
-      Streams.incrementalDedupStream(s, batch, d)
+      Streams.incrementalDedupStream(s, incrementalIngestBatch(s, dir), d)
         .select(col("kept_id").as("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -2157,16 +2149,7 @@ object SparkEntry {
     // exact confirm)
     "stream_bloom_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks = TextOps.tokens(col("text"))
-      val mutated = d.select(
-        (col("doc_id") + 20000).as("doc_id"),
-        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
-          .otherwise(col("text")).as("text"))
-      val batch = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(mutated)
-        .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
-          col("text")))
-      Streams.incrementalDedupStream(s, batch, d,
+      Streams.incrementalDedupStream(s, incrementalIngestBatch(s, dir), d,
           bloomExpectedItems = Some(65536L))
         .select(col("kept_id").as("doc_id"))
         .orderBy(col("doc_id"))

@@ -544,6 +544,41 @@ object Dedup {
    * rows — ever reaches the shuffle. In-batch keep-first still sees every
    * row, but via the same map-side-combinable min_by.
    */
+  /**
+   * Fold the corpus's key digests into a fixed-size Bloom bitmap (ONE
+   * aggregate job, bitmap bytes = `optimalNumOfBits(expectedItems,fpp)/8`
+   * regardless of corpus row count) and return the map-side membership
+   * probe — a codegen'd `might_contain(bitmap, xxhash64(digestCol))`
+   * predicate over a LITERAL bitmap. Shared by the batch
+   * ([[incrementalBloom]]) and streaming
+   * ([[graft.streaming.Streams.incrementalDedupStream]]) ingest gates.
+   *
+   * Returns None when the corpus contributed nothing to the filter (empty
+   * corpus — `BloomFilterAggregate` evaluates to null): the correct
+   * degenerate gate is NO gate, since a null bitmap literal would make
+   * `might_contain` null and silently drop every probe row.
+   */
+  private[graft] def corpusBloomProbe(
+      corpusDigests: Column,
+      corpus: DataFrame,
+      expectedItems: Long,
+      fpp: Double): Option[Column => Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.util.sketch.BloomFilter
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(xxhash64(corpusDigests)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    Option(corpus.select(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf"))
+      .map { bloomBytes => (digest: Column) =>
+        ColumnBridge.column(BloomFilterMightContain(
+          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(digest))))
+      }
+  }
+
   def incrementalBloom(
       batch: DataFrame,
       corpus: DataFrame,
@@ -551,34 +586,22 @@ object Dedup {
       keyCol: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.util.sketch.BloomFilter
-
     val kh = sha2(col(keyCol).cast("binary"), 256)
-    val khLong = xxhash64(kh)
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val bloomAgg = ColumnBridge.column(
-      new BloomFilterAggregate(ColumnBridge.expression(khLong),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    // one bounded driver artifact (the bitmap), same class as a broadcast:
-    // numBits/8 bytes regardless of corpus row count
-    val bloomBytes = corpus.select(bloomAgg.as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal.create(bloomBytes,
-        org.apache.spark.sql.types.BinaryType),
-      ColumnBridge.expression(xxhash64(col("__kh")))))
-
-    val withDigest = batch.withColumn("__kh", kh)
-    val misses = withDigest.where(!mightContain)
-    val confirmed = withDigest.where(mightContain)
-      .join(corpus.select(kh.as("__kh")), Seq("__kh"), "left_anti")
-    misses.unionByName(confirmed)
-      .groupBy(col("__kh"))
-      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("__row"))
-      .select(col("__row.*"))
+    corpusBloomProbe(kh, corpus, expectedItems, fpp) match {
+      // empty corpus: nothing can collide — the gate degenerates to the
+      // plain operator (which the result is pinned to equal anyway)
+      case None => incremental(batch, corpus, idCol, keyCol)
+      case Some(probe) =>
+        val withDigest = batch.withColumn("__kh", kh)
+        val mightContain = probe(col("__kh"))
+        val misses = withDigest.where(!mightContain)
+        val confirmed = withDigest.where(mightContain)
+          .join(corpus.select(kh.as("__kh")), Seq("__kh"), "left_anti")
+        misses.unionByName(confirmed)
+          .groupBy(col("__kh"))
+          .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("__row"))
+          .select(col("__row.*"))
+    }
   }
 
   /**

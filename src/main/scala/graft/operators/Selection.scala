@@ -49,8 +49,13 @@ object Selection {
     val bucket = least(
       floor(round(scoreCol, 6) * buckets).cast("long"),
       lit(buckets - 1L))
+    // cached: the scored projection (often tokenize + a quality model —
+    // the plan's dominant CPU) feeds the histogram job AND both returned
+    // branches; uncached it would evaluate three times. Scoped to the
+    // caller's first action, as every operator cache here
     val tagged = df.select(col(idCol), bucket.as("__bucket"),
       tokensCol.cast("long").as("n_tokens"))
+      .cache()
 
     // bounded histogram (≤ `buckets` rows) + driver budget walk
     val hist = tagged.groupBy(col("__bucket"))
@@ -74,8 +79,10 @@ object Selection {
         Window.partitionBy(col("__bucket")).orderBy(col(idCol))))
       .where(col("__cum") <= lit(remaining))
       .drop("__cum")
-    full.unionByName(partial)
-      .select(col(idCol), col("__bucket").as("bucket"), col("n_tokens"))
+    CacheScope.unpersistAfterAction(
+      full.unionByName(partial)
+        .select(col(idCol), col("__bucket").as("bucket"), col("n_tokens")),
+      Seq(tagged))
   }
 }
 

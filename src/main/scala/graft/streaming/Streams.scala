@@ -291,26 +291,19 @@ object Streams {
     // |batch|. Bloom misses can't be false, and hits are exact-confirmed
     // by the same join, so the result is identical with or without the
     // gate (the spec pins that).
-    val survivors = bloomExpectedItems match {
+    // the shared corpus-bitmap probe (Dedup.corpusBloomProbe): None on an
+    // empty corpus — the degenerate gate is no gate (a null bitmap literal
+    // would null out might_contain and silently drop every arriving doc)
+    val probe = bloomExpectedItems.flatMap(items =>
+      graft.operators.Dedup.corpusBloomProbe(
+        sha2(col("text").cast("binary"), 256), corpus, items, bloomFpp))
+    val survivors = probe match {
       case None =>
         digested.join(seen, Seq("digest"), "left_outer")
           .where(col("__seen").isNull)
           .select(col("doc_id"), col("digest"))
-      case Some(items) =>
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        import org.apache.spark.util.sketch.BloomFilter
-        val numBits = BloomFilter.optimalNumOfBits(items, bloomFpp)
-        val bloomBytes = corpus
-          .select(ColumnBridge.column(new BloomFilterAggregate(
-            ColumnBridge.expression(
-              xxhash64(sha2(col("text").cast("binary"), 256))),
-            Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-        val mightContain = ColumnBridge.column(BloomFilterMightContain(
-          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
-          ColumnBridge.expression(xxhash64(col("digest")))))
+      case Some(mk) =>
+        val mightContain = mk(col("digest"))
         val misses = digested.where(!mightContain)
           .select(col("doc_id"), col("digest"))
         val confirmed = digested.where(mightContain)
@@ -455,11 +448,17 @@ object Streams {
    * source per task; never a row_number window over the source partition)
    * — while the emitted rank stays the live-gate signal.
    */
-  def sourceQuotaStream(
+  /** The drained (doc_id, source, arrival_rank) membership table of the
+    * quota gate — every doc with its 1-based arrival rank within its
+    * source (the LIVE admission signal: `arrival_rank <= quota` is what
+    * the gate acts on; the state is the one-long admitted count). Exposed
+    * so the spec can pin the STATE arithmetic itself — ranks contiguous
+    * per source, ordered by batch arrival — independently of the
+    * batch-rule fold [[sourceQuotaStream]] returns. */
+  private[graft] def sourceQuotaRanked(
       spark: SparkSession,
       docs: org.apache.spark.sql.DataFrame,
-      quota: Int,
-      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+      maxFilesPerTrigger: Option[Int]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val dir = Files.createTempDirectory("graft-stream-quota")
@@ -488,6 +487,15 @@ object Streams {
       "append", statePartitionsFor(dir.toString))
       .localCheckpoint()
     cleanupStaging(dir)
+    drained
+  }
+
+  def sourceQuotaStream(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      quota: Int,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val drained = sourceQuotaRanked(spark, docs, maxFilesPerTrigger)
     // batch-rule fold: the quota LOWEST ids per source, order-independent.
     // The top-k score rides a Double, so the id-order contract holds for
     // ids < 2^53 (the same integral-id range the portable hash16 family

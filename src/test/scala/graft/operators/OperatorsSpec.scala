@@ -208,6 +208,17 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incrementalBloom: an EMPTY corpus admits the whole deduped batch") {
+    // regression: BloomFilterAggregate evaluates to null on empty input;
+    // a null bitmap literal nulls might_contain and both branches would
+    // silently drop every row — the gate must degenerate to no gate
+    val corpus = Seq.empty[(Long, String)].toDF("id", "text")
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "text")
+    val kept = Dedup.incrementalBloom(batch, corpus, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), kept.toString)
+  }
+
   test("rangeSearch returns every pair at or above the radius, exactly") {
     val rows = Seq(
       0L -> Array(1f, 0f, 0f), 1L -> Array(1f, 0.2f, 0f),

@@ -402,6 +402,41 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == expect, kept.toString)
   }
 
+  test("bloom-gated ingest stream: empty corpus admits everything") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val kept = Streams.incrementalDedupStream(spark, batch, corpus,
+        bloomExpectedItems = Some(1000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+  }
+
+  test("streaming source quota: the live rank signal itself is correct") {
+    // one doc per micro-batch: the per-source counter state must hand out
+    // contiguous 1-based ranks in batch-arrival order, whatever that order
+    // is — this pins the STATE arithmetic the admission decision reads
+    // (`rank <= quota`), which the batch-rule fold alone never exercises
+    val docs = ((0L until 6L).map(i => (i, "web")) ++
+      (100L until 103L).map(i => (i, "books"))).toDF("doc_id", "source")
+      .repartition(9, col("doc_id"))
+    val ranked = Streams.sourceQuotaRanked(spark, docs,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    // per source: ranks are exactly 1..n (contiguous, no gaps, no repeats)
+    for ((src, n) <- Seq(("web", 6), ("books", 3))) {
+      val ranks = ranked.filter(_._1 == src).map(_._3).sorted.toSeq
+      assert(ranks == (1L to n).toSeq, s"$src: $ranks")
+    }
+    // single-batch drain: within a source, rank order IS id order, so the
+    // live admission (rank <= q) equals the batch rule exactly
+    val oneBatch = Streams.sourceQuotaRanked(spark,
+        (0L until 8L).map(i => (i, "web")).toDF("doc_id", "source")
+          .coalesce(1), maxFilesPerTrigger = None)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert((0L until 8L).forall(id => oneBatch(id) == id + 1),
+      oneBatch.toString)
+  }
+
   test("streaming source quota: result is micro-batch-partitioning independent") {
     // one doc per micro-batch in arbitrary file order: first-arrival
     // admission would over-admit high ids that arrive early; the returned
