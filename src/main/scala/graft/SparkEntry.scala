@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity}
 import graft.streaming.Streams
 
 /**
@@ -1602,6 +1602,37 @@ object SparkEntry {
         (6L, "https://unique.net/x")).toDF("doc_id", "url")
       functions.UrlOps.urlDedup(pages, "doc_id", "url")
         .select(col("doc_id"), col("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain blocklist filtering (RefinedWeb URL filtering): drop every
+    // page whose host is a blocked domain or any subdomain of one —
+    // host extraction + suffix expansion are per-row projections and the
+    // match is a map-side arrays_overlap against the blocklist literal
+    // (zero Exchange; the oracle re-derives the host independently and
+    // states the suffix rule as EXISTS over LIKE patterns)
+    "filter_domain_blocklist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"), col("lang"), lit("."), col("source"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+      Domains.blocklistFilter(docs, "url",
+        Seq("src3.example.com", "de.src7.example.com", "example.org"))
+        .select(col("doc_id"), col("host"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain-level quality pruning: drop ENTIRE hosts whose mean
+    // tokens/doc falls below threshold — one host-sized aggregate whose
+    // mean rides an exact integer sum divided once (combine-order
+    // independent), broadcast back onto the corpus
+    "domain_quality_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"), col("lang"), lit("."), col("source"),
+            lit(".example.com/p/"), col("doc_id").cast("string")))
+        .withColumn("ntok", size(functions.TextOps.tokens(col("text"))))
+      Domains.domainQualityPrune(docs, "url", "ntok", minMeanTokens = 50.0)
+        .select(col("doc_id"), col("host"), col("domain_mean_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4201,6 +4232,31 @@ object SparkEntry {
           |  (4, 'http://other.org'),
           |  (6, 'https://unique.net/x')) t(doc_id, canonical_url)
           |ORDER BY doc_id""".stripMargin,
+
+      "filter_domain_blocklist" ->
+        """WITH d AS (SELECT doc_id,
+          |  lower(lang || '.' || source || '.example.com') AS host
+          |  FROM documents)
+          |SELECT doc_id, host FROM d
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM (VALUES ('src3.example.com'),
+          |                        ('de.src7.example.com'),
+          |                        ('example.org')) b(bdom)
+          |  WHERE d.host = b.bdom OR d.host LIKE ('%.' || b.bdom))
+          |ORDER BY doc_id""".stripMargin,
+
+      "domain_quality_prune" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  lower(lang || '.' || source || '.example.com') AS host,
+           |  len(${graft.functions.TextOpsSql.tokens("text")}) AS ntok
+           |  FROM documents),
+           |m AS (SELECT host, sum(ntok)::DOUBLE / count(*) AS mean_tokens
+           |      FROM d GROUP BY host)
+           |SELECT d.doc_id, d.host,
+           |       round(m.mean_tokens, 6) AS domain_mean_tokens
+           |FROM d JOIN m USING (host)
+           |WHERE m.mean_tokens >= 50.0
+           |ORDER BY d.doc_id""".stripMargin,
 
       "corpus_release_diff" ->
         """WITH old AS (
