@@ -1085,6 +1085,15 @@ object SparkEntry {
       Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "merge"))),
 
+    // hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    // the BM25 lexical arm and the embedding-cosine dense arm — each arm
+    // reduces the corpus to a bounded armK-row ranking first, fusion and
+    // the only window in the plan run over driver-bounded tables
+    "text_rrf_hybrid" -> ((s, dir) =>
+      Relevance.rrfHybrid(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        Seq("spark", "hash", "merge"), queryVecId = 0L)),
+
     // hand-derived intent pin for BM25 (tools/bm25_reference.py): a 4-doc
     // inline corpus scored by an independent Python implementation — NOT a
     // rendering of the Spark arithmetic
@@ -3804,6 +3813,10 @@ object SparkEntry {
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
         Seq("spark", "hash", "merge")),
+
+      "text_rrf_hybrid" -> RelevanceSql.rrfHybrid("documents", "embeddings",
+        "doc_id", "text", "vec_id", "embedding",
+        Seq("spark", "hash", "merge"), queryVecId = 0L),
 
       "dsir_score" -> (RelevanceSql.dsirScores(
         rawFrom = "(SELECT doc_id, text FROM documents WHERE lang <> 'en') rsrc",

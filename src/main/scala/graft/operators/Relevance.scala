@@ -116,6 +116,59 @@ object Relevance {
       .agg(count(lit(1)).as("n_toks"), round(sum(ratio), 6).as("dsir_score"))
     CacheScope.unpersistAfterAction(scored, Seq(rawToks))
   }
+
+  /**
+   * Reciprocal-rank fusion of a lexical (BM25) and a dense (embedding
+   * cosine) ranking — the standard hybrid-retrieval combiner (Cormack,
+   * Clarke & Büttcher 2009, "Reciprocal rank fusion outperforms Condorcet
+   * and individual rank learning methods", SIGIR):
+   *
+   *   rrf(d) = Σ_arms 1/(k + rank_arm(d)),   k = 60 conventionally
+   *
+   * Scale posture: each arm reduces the corpus to a BOUNDED `armK`-row
+   * ranking first (BM25 through [[bm25TopK]]'s broadcast-stats plan, the
+   * dense arm through the bounded top-k aggregate in
+   * [[Similarity.bruteForceTopK]] — swap in the IVF/PQ probe at 100 TB,
+   * identical downstream shape). Rank assignment and the full-outer
+   * fusion then run over two ≤ armK-row tables — the only window in the
+   * plan orders a driver-bounded table, never a corpus partition. The
+   * fused score is two double divisions summed in a fixed expression
+   * order, so it is bit-identical cross-engine; ties break on id.
+   */
+  def rrfHybrid(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVecId: Long,
+      armK: Int = 30,
+      rrfK: Int = 60,
+      topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmRank = bm25TopK(docs, docIdCol, textCol, queryTerms, topK = armK)
+      .select(col(docIdCol).as("id"), col("bm25"))
+      .withColumn("r_text", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("id"))).cast("long"))
+    val cosRank = Similarity.bruteForceTopK(
+        embeddings, embeddings.where(col(vecIdCol) === queryVecId),
+        vecIdCol, vecCol, armK)
+      .select(col("neighbor_id").as("id"), col("cosine"))
+      .withColumn("r_vec", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
+    bmRank.select(col("id"), col("r_text"))
+      .join(cosRank.select(col("id"), col("r_vec")), Seq("id"), "full_outer")
+      .select(col("id").as(docIdCol),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)),
+          9).as("rrf_score"),
+        col("r_text"), col("r_vec"))
+      .orderBy(col("rrf_score").desc, col(docIdCol))
+      .limit(topN)
+  }
 }
 
 /** DuckDB rendering of [[Relevance.bm25TopK]] — same arithmetic, with the
@@ -156,6 +209,47 @@ object RelevanceSql {
        |FROM tf JOIN dfq USING (tok), st
        |GROUP BY $idCol
        |ORDER BY bm25 DESC, $idCol LIMIT $topK""".stripMargin
+  }
+
+  /** Mirror of [[Relevance.rrfHybrid]]: the BM25 CTE is the independent
+    * [[bm25TopK]] rendering, the dense arm re-derives cosine with DuckDB
+    * list arithmetic, and fusion repeats the fixed-order two-term sum. */
+  def rrfHybrid(
+      docsTable: String,
+      embTable: String,
+      docIdCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVecId: Long,
+      armK: Int = 30,
+      rrfK: Int = 60,
+      topN: Int = 20): String = {
+    val bm = bm25TopK(docsTable, docIdCol, textCol, queryTerms, topK = armK)
+    val cos = graft.functions.VectorOpsSql.cosine(s"q.$vecCol", s"c.$vecCol")
+    s"""WITH bm AS ($bm),
+       |bmr AS (SELECT $docIdCol AS id,
+       |               row_number() OVER (ORDER BY bm25 DESC, $docIdCol)
+       |                 AS r_text FROM bm),
+       |cs AS (SELECT c.$vecIdCol AS id, $cos AS cos
+       |       FROM $embTable c,
+       |            (SELECT $vecCol FROM $embTable
+       |             WHERE $vecIdCol = $queryVecId) q
+       |       WHERE c.$vecIdCol <> $queryVecId),
+       |csr AS (SELECT id, r_vec FROM (
+       |          SELECT id, row_number() OVER (ORDER BY cos DESC, id)
+       |                   AS r_vec FROM cs)
+       |        WHERE r_vec <= $armK),
+       |f AS (SELECT coalesce(b.id, c.id) AS id,
+       |             round(coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + b.r_text),
+       |                            CAST(0.0 AS DOUBLE))
+       |                 + coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + c.r_vec),
+       |                            CAST(0.0 AS DOUBLE)), 9) AS rrf_score,
+       |             b.r_text, c.r_vec
+       |      FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id)
+       |SELECT id AS $docIdCol, rrf_score, r_text, r_vec
+       |FROM f ORDER BY rrf_score DESC, id LIMIT $topN""".stripMargin
   }
 
   /** Mirror of [[Relevance.dsirScores]]. `rawFrom`/`targetFrom` are FROM

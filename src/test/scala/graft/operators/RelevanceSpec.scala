@@ -42,6 +42,27 @@ class RelevanceSpec extends SparkSuite {
     assert(rep(1L) < rep(2L) * 8, "tf term must saturate, not scale linearly")
   }
 
+  test("rrf fusion: both-arm docs sum two reciprocal terms, single-arm one") {
+    // text arm: docs 1,2,4 score (query 'cat dog'); dense arm: vectors
+    // orthogonal except 2 and 3 near the query vector 0
+    val docs = corpus.toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), // query
+      (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(1f, 0.1f, 0f)),
+      (3L, Seq(0.9f, 0f, 0.1f)),
+      (4L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Relevance.rrfHybrid(docs, emb, "doc_id", "text",
+      "vec_id", "embedding", Seq("cat", "dog"), queryVecId = 0L,
+      armK = 3, rrfK = 60, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // doc 2: rank 1 in BOTH arms -> 2/61; doc 3: dense-only rank 2 -> 1/62
+    assert(math.abs(out(2L) - 2.0 / 61) < 1e-9)
+    assert(math.abs(out(3L) - 1.0 / 62) < 1e-9)
+    // a both-arm doc outranks every single-arm doc here
+    assert(out(2L) > out.filterNot(_._1 == 2L).values.max)
+  }
+
   test("classifier: native cell sum matches the higher-order reference") {
     val df = Seq(
       (1L, "cat sat on the mat"),
