@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches}
 import graft.streaming.Streams
 
 /**
@@ -1084,6 +1084,15 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "merge"))),
+
+    // count-min sketch frequency gauge (Cormode & Muthukrishnan 2005):
+    // probe tokens' exact counts + the est-within-[exact, exact + 5·ε·N]
+    // flag — the sketch merges associatively map-side (O(tasks·d·w) wire
+    // cost vs the exact count's vocabulary-sized shuffle); at 100 TB the
+    // exact arm drops and this gauge licenses the swap
+    "text_cms_gauge" -> ((s, dir) =>
+      Sketches.cmsTokenGauge(t(s, dir, "documents"), "text",
+        Seq("join", "hash", "merge", "spark", "nosuchtoken"))),
 
     // hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
     // the BM25 lexical arm and the embedding-cosine dense arm — each arm
@@ -3813,6 +3822,19 @@ object SparkEntry {
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
         Seq("spark", "hash", "merge")),
+
+      "text_cms_gauge" -> {
+        val toksSql = TextOpsSql.tokens("text")
+        """WITH toks AS (SELECT unnest(TOKS) AS token FROM documents),
+          |p AS (SELECT * FROM (VALUES ('hash'), ('join'), ('merge'),
+          |                            ('nosuchtoken'), ('spark')) v(token))
+          |SELECT p.token,
+          |       coalesce(e.exact_count, 0) AS exact_count,
+          |       true AS cms_ok
+          |FROM p LEFT JOIN (SELECT token, count(*) AS exact_count
+          |                  FROM toks GROUP BY token) e USING (token)
+          |ORDER BY p.token""".stripMargin.replace("TOKS", toksSql)
+      },
 
       "text_rrf_hybrid" -> RelevanceSql.rrfHybrid("documents", "embeddings",
         "doc_id", "text", "vec_id", "embedding",

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/**
+ * Count-min sketch frequency estimation with its accuracy gauge — the
+ * mergeable point-query sketch (Cormode & Muthukrishnan 2005, "An improved
+ * data stream summary: the count-min sketch and its applications", J.
+ * Algorithms 55) for token frequencies at corpus scale:
+ *
+ *  - the sketch is a fixed `d × w` counter grid (`w = ⌈2/ε⌉`,
+ *    `d = ⌈ln(1/δ)⌉`) updated map-side and merged ASSOCIATIVELY — Spark's
+ *    `count_min_sketch` aggregate ships one partial grid per task, so the
+ *    wire cost is O(tasks · d·w) regardless of corpus size (the exact
+ *    count's shuffle is vocabulary-sized — unbounded);
+ *  - point queries guarantee `exact ≤ est ≤ exact + ε·N` with probability
+ *    ≥ 1−δ per probe (one-sided error: CMS NEVER underestimates).
+ *
+ * Like `profile_approx_distinct`'s HLL gauge, the oracle-facing result is
+ * the EXACT count plus a within-bound flag (slack× the ε·N bound, so a
+ * flip means a broken sketch, not an unlucky hash): at 100 TB the exact
+ * arm drops and the gauge is what licenses the swap.
+ */
+object Sketches {
+
+  /** Per probe token: exact corpus frequency + the CMS-vs-exact bound
+    * flag. Probes absent from the corpus count 0 (and must estimate 0 —
+    * CMS has no false negatives to subtract). */
+  def cmsTokenGauge(
+      df: DataFrame,
+      textCol: String,
+      probes: Seq[String],
+      eps: Double = 0.005,
+      confidence: Double = 0.99,
+      seed: Int = 42,
+      slack: Double = 5.0): DataFrame = {
+    require(probes.nonEmpty, "cmsTokenGauge: empty probe set")
+    val spark = df.sparkSession
+    val toks = df.select(
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    // one pass: the mergeable sketch + the token total (for the ε·N bound)
+    val row = toks.agg(
+      expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("cms"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(row.getAs[Array[Byte]](0))
+    val bound = math.ceil(eps * row.getLong(1) * slack).toLong
+    import spark.implicits._
+    val probeDf = probes.sorted
+      .map(t => (t, cms.estimateCount(t))).toDF("token", "__est")
+    val exact = toks.where(col("token").isin(probes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+    probeDf.join(exact, Seq("token"), "left_outer")
+      .select(col("token"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        (col("__est") >= coalesce(col("exact_count"), lit(0L)) &&
+          col("__est") <= coalesce(col("exact_count"), lit(0L)) + lit(bound))
+          .as("cms_ok"))
+      .orderBy(col("token"))
+  }
+}

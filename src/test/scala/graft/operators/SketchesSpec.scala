@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SketchesSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val docs = (0L until 200L)
+    .map(i => (i, s"tok${i % 7} tok${i % 7} common filler$i"))
+    .toDF("id", "text")
+
+  test("cms gauge: exact counts surface, flags hold, absent probes count 0") {
+    val out = Sketches.cmsTokenGauge(docs, "text",
+        Seq("common", "tok0", "absent"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == Seq("absent", "common", "tok0"))
+    val byTok = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byTok("common") == ((200L, true)))
+    // 200 ids, i%7==0 for 29 ids, twice per doc
+    assert(byTok("tok0") == ((58L, true)))
+    assert(byTok("absent") == ((0L, true)))
+  }
+
+  test("cms gauge: a deliberately tiny sketch still never underestimates") {
+    // eps = 0.9 -> width 3: with ~200 distinct filler tokens every cell
+    // collides, so estimates overshoot — the one-sided contract (est >=
+    // exact) and the slack*eps*N ceiling must BOTH still hold, which is
+    // exactly what the flag asserts
+    val out = Sketches.cmsTokenGauge(docs, "text",
+        Seq("common", "tok1", "absent"), eps = 0.9, slack = 1.0)
+      .collect().map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(out.values.forall(identity),
+      "collision-heavy sketch must stay within the eps*N guarantee")
+  }
+}
