@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches}
 import graft.streaming.Streams
 
 /**
@@ -1084,6 +1084,15 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "merge"))),
+
+    // top principal direction by distributed power iteration: per round,
+    // the map-side dot against the literal v feeds ONE (dim -> partial
+    // integer sum) aggregation — wire cost O(tasks*d), never corpus-sized;
+    // per-row contributions quantize to integer micro-units so the shuffle
+    // sums are associative and the trajectory is bit-identical in any
+    // engine and under any partitioning (oracle: 3 unrolled CTE rounds)
+    "embed_pca_power" -> ((s, dir) =>
+      Pca.topComponent(s, t(s, dir, "embeddings"), "embedding", dim = 64)),
 
     // count-min sketch frequency gauge (Cormode & Muthukrishnan 2005):
     // probe tokens' exact counts + the est-within-[exact, exact + 5·ε·N]
@@ -3822,6 +3831,9 @@ object SparkEntry {
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
         Seq("spark", "hash", "merge")),
+
+      "embed_pca_power" -> PcaSql.topComponent("embeddings", "embedding",
+        dim = 64),
 
       "text_cms_gauge" -> {
         val toksSql = TextOpsSql.tokens("text")

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed top principal direction by POWER ITERATION — the dominant
+ * right singular vector of the (uncentered) embedding matrix A, i.e. the
+ * direction maximizing Σ(x·v)² (Mises & Pollaczek-Geiringer 1929; the
+ * standard first step of embedding whitening / anisotropy removal, e.g.
+ * Mu & Viswanath 2018 "All-but-the-Top", arXiv:1702.01417).
+ *
+ *   v_{t+1} ∝ AᵀA v_t, computed per round as w = Σ_rows (x·v_t)·x
+ *
+ * Scale posture (100 TB of vectors, d dims, p rounds):
+ *  - the per-row dot x·v_t is a MAP-SIDE fold against the literal v_t
+ *    (zero shuffle — v is d doubles, broadcast inside the plan);
+ *  - each round's matvec is ONE aggregation of (dim → partial sum): the
+ *    posexplode fans each row into d (dim, contribution) pairs, but
+ *    map-side partial aggregation reduces every task to ≤ d rows before
+ *    the shuffle — wire cost O(tasks·d) per round, never corpus-sized;
+ *  - p rounds = p bounded Spark jobs; the driver holds only d doubles.
+ *
+ * Cross-engine bit-exactness contract (the k-means/PQ house rule): a
+ * double Σ over rows is combine-order dependent, so each row's
+ * contribution quantizes to integer MICRO-UNITS — floor((x·dot)·2²⁰) as
+ * BIGINT — and the shuffle sums INTEGERS (associative → identical under
+ * any partitioning). The per-row dot and the per-round normalization are
+ * fixed-order left folds over d terms, identical in both engines.
+ * `scale` must satisfy rows · d · max|x|² · scale < 2⁶³ — at 10¹² rows
+ * drop scale to 2¹⁰ (precision loss ~2⁻¹⁰ per contribution is far below
+ * power iteration's own convergence tolerance).
+ */
+object Pca {
+
+  /** The final iterate as driver doubles (unit 2-norm). */
+  def topComponentVector(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3,
+      scale: Long = 1L << 20): Array[Double] = {
+    require(dim > 0 && iters > 0, "pca: dim and iters must be positive")
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val dotc = aggregate(
+        zip_with(col(vecCol), typedlit(v), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val rows = df
+        .select(col(vecCol), dotc.as("__dot"))
+        .select(posexplode(col(vecCol)).as(Seq("__j", "__x")), col("__dot"))
+        .groupBy(col("__j"))
+        .agg(sum(floor((col("__x").cast("double") * col("__dot")) *
+          lit(scale.toDouble))).as("__w"))
+        .collect()
+      val w = new Array[Double](dim)
+      rows.foreach(r => w(r.getInt(0)) = r.getLong(1).toDouble)
+      // fixed-order left fold of the squares — mirrors the SQL list_reduce
+      val norm = math.sqrt(w.map(t => t * t).reduceLeft(_ + _))
+      require(norm > 0.0, "pca: zero matvec — degenerate input")
+      v = w.map(_ / norm)
+    }
+    v
+  }
+
+  /** (dim, loading) rows, 1-based dims, loadings rounded to 6 decimals. */
+  def topComponent(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3,
+      scale: Long = 1L << 20): DataFrame = {
+    val v = topComponentVector(df, vecCol, dim, iters, scale)
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq
+      .toDF("dim", "loading")
+      .select(col("dim"), round(col("loading"), 6).as("loading"))
+      .orderBy(col("dim"))
+  }
+}
+
+/** DuckDB rendering of [[Pca.topComponent]]: the same fixed-order folds
+  * and integer micro-unit sums, iterations unrolled as CTE chains. */
+object PcaSql {
+
+  private def lf(arr: String): String =
+    s"list_reduce($arr, (a, b) -> a + b)"
+
+  def topComponent(
+      table: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3,
+      scale: Long = 1L << 20): String = {
+    val v0 = (1.0 / math.sqrt(dim.toDouble)).toString
+    def dot(vExpr: String): String =
+      lf(s"list_transform(range(1, len(emb)+1), i -> emb[i]::DOUBLE * $vExpr[i])")
+    val v0lit = s"[${Seq.fill(dim)(s"CAST($v0 AS DOUBLE)").mkString(", ")}]"
+    val chains = (1 to iters).map { k =>
+      val dotExpr =
+        if (k == 1) dot(v0lit)
+        else dot(s"v${k - 1}.v")
+      val from =
+        if (k == 1) s"FROM e"
+        else s"FROM e, v${k - 1}"
+      s"""d$k AS (SELECT emb, $dotExpr AS dot $from),
+         |u$k AS (SELECT generate_subscripts(emb, 1) AS j, unnest(emb) AS x,
+         |               dot FROM d$k),
+         |w$k AS (SELECT j, SUM(CAST(floor((x::DOUBLE * dot) * $scale.0)
+         |                           AS BIGINT)) AS w
+         |        FROM u$k GROUP BY j),
+         |n$k AS (SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl FROM w$k),
+         |v$k AS (SELECT list_transform(wl,
+         |          t -> t / sqrt(${lf(s"list_transform(wl, t -> t * t)")}))
+         |          AS v FROM n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT $vecCol AS emb FROM $table),
+       |$chains
+       |SELECT CAST(j AS BIGINT) AS dim, round(v[j], 6) AS loading
+       |FROM v$iters, (SELECT unnest(range(1, $dim + 1)) AS j)
+       |ORDER BY dim""".stripMargin
+  }
+}

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class PcaSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("power iteration recovers the dominant axis of an anisotropic cloud") {
+    // variance 9 along e1, 1 along e2: top direction is ±e1
+    val df = Seq(
+      Tuple1(Seq(3f, 0f)), Tuple1(Seq(-3f, 0f)), Tuple1(Seq(3f, 0.5f)),
+      Tuple1(Seq(-3f, -0.5f)), Tuple1(Seq(0f, 1f)), Tuple1(Seq(0f, -1f)))
+      .toDF("embedding")
+    val v = Pca.topComponentVector(df, "embedding", dim = 2, iters = 8)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 0.01, v.mkString(","))
+    assert(math.abs(v(1)) < 0.2)
+    // unit norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
+  test("the trajectory is bit-identical under any partitioning") {
+    val base = (0L until 300L)
+      .map(i => Tuple1(Seq.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6) / 6f)))
+      .toDF("embedding")
+    val a = Pca.topComponentVector(base.repartition(1), "embedding", 8)
+    val b = Pca.topComponentVector(base.repartition(7), "embedding", 8)
+    assert(a.toSeq == b.toSeq,
+      "integer micro-unit sums must make the matvec combine-order independent")
+  }
+}
