@@ -2231,6 +2231,20 @@ object SparkEntry {
       Streams.sourceQuotaStream(s, t(s, dir, "documents"), quota = 12)
         .orderBy(col("doc_id"))),
 
+    // ingest-time URL dedup (the crawl-frontier door): arriving pages key
+    // on their canonical URL, ONE LONG of state per distinct URL (the
+    // lowest id seen); the oracle-facing fold is the batch rule (min id
+    // per canonical URL), micro-batch independent. The synthesized URLs
+    // carry case/tracking noise; the oracle derives the canonical form
+    // from the CONSTRUCTION (doc_id % 100), independent of the regexes
+    "stream_url_dedup" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://Site"), pmod(col("doc_id"), lit(100)),
+          lit(".Example.COM/page?utm_source=x&gclid="), col("doc_id"))
+          .as("url"))
+      Streams.urlDedupStream(s, pages).orderBy(col("kept_id"))
+    }),
+
     // ingest-time decontamination gate: arriving docs score against the
     // static eval shingle set (15% hash split) map-side and pass at
     // contam_frac <= 0.2 — the streaming counterpart of contamination_check
@@ -4767,6 +4781,13 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+
+      "stream_url_dedup" ->
+        """SELECT 'https://site' || CAST(doc_id % 100 AS VARCHAR)
+          |         || '.example.com/page' AS canonical_url,
+          |       min(doc_id) AS kept_id
+          |FROM documents GROUP BY doc_id % 100
+          |ORDER BY kept_id""".stripMargin,
 
       // batch statement of the streaming gate: a train doc passes at
       // eval-overlap fraction <= 0.2; shingle-free docs always pass

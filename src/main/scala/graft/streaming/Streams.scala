@@ -508,6 +508,59 @@ object Streams {
   }
 
   /**
+   * Streaming URL-keyed dedup gate — the crawl-frontier door: each
+   * arriving page keys on its CANONICAL URL
+   * ([[graft.functions.UrlOps.normalizeUrl]], a map-side regex chain) and
+   * the keyed state holds ONE LONG per distinct canonical URL (the lowest
+   * id seen so far — 8 B/URL, the minimal frontier-dedup state; at scale
+   * the store is RocksDB-backed and sized by distinct URLs, the
+   * cardinality any frontier costs anywhere). Each arrival emits its
+   * membership row with the running minimum at arrival (the LIVE
+   * admission signal: admitted iff it IS the new minimum); the
+   * oracle-facing result re-folds the GLOBAL per-URL minimum from the
+   * drained rows, so it is micro-batch-partitioning independent —
+   * [[graft.functions.UrlOps.urlDedup]] is the verified offline arbiter
+   * of the same rule.
+   */
+  def urlDedupStream(
+      spark: SparkSession,
+      pages: DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft-stream-urldedup")
+    pages.select(col("doc_id").cast("long").as("doc_id"),
+        col("url").cast("string").as("url"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val keyed = reader.parquet(dir.toString)
+      .select(col("doc_id"),
+        graft.functions.UrlOps.normalizeUrl(col("url")).as("canon"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+    val membership = keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (canon: String, rows: Iterator[(Long, String)],
+       state: GroupState[Long]) => {
+        val ids = rows.map(_._1).toArray
+        val prior = state.getOption.getOrElse(Long.MaxValue)
+        val mn = math.min(prior, ids.min)
+        state.update(mn)
+        // (canon, id, running min at this batch — the live gate signal)
+        ids.iterator.map(id => (canon, id, mn))
+      })
+    val drained = runToMemory(
+      membership.toDF("canonical_url", "doc_id", "running_min"),
+      "append", statePartitionsFor(dir.toString))
+      .localCheckpoint()
+    cleanupStaging(dir)
+    drained.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("kept_id"))
+  }
+
+  /**
    * Streaming decontamination gate: each arriving document is scored
    * against the STATIC eval-benchmark shingle set at ingest, and passes
    * only while its eval-overlapping shingle fraction stays at or below

@@ -374,6 +374,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(2L, 3L, 7L), kept.toString)
   }
 
+  test("streaming URL dedup: canonical-key min survives batch boundaries") {
+    // same page under tracking/case/port noise; one staged file per row +
+    // maxFilesPerTrigger=1 forces every arrival into its own micro-batch,
+    // so the global per-URL minimum must win even when the LOWER id
+    // arrives AFTER a higher-id mate was first seen
+    val pages = Seq(
+      (9L, "https://example.com/a?utm_source=x"),
+      (2L, "https://EXAMPLE.com/a"),
+      (5L, "https://example.com:443/a"),
+      (7L, "http://other.org/"),
+      (4L, "http://other.org:80")).toDF("doc_id", "url")
+      .repartition(5, col("doc_id"))
+    val kept = graft.streaming.Streams
+      .urlDedupStream(spark, pages, maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map(
+      "https://example.com/a" -> 2L,
+      "http://other.org" -> 4L), kept.toString)
+  }
+
   test("bloom-gated ingest stream equals the ungated door, at any fpp") {
     val corpus = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val batch = (
