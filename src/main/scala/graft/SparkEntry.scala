@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, VocabCoverage}
 import graft.streaming.Streams
 
 /**
@@ -1084,6 +1084,27 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "merge"))),
+
+    // language-adaptive quality cut (CCNet, Wenzek et al. 2020 §4.3): the
+    // keep threshold is the per-LANGUAGE 0.7 exact percentile of token
+    // counts — a group-count-sized aggregate broadcast back, keep decision
+    // map-side; a single global cut would mostly measure the language mix
+    "filter_per_lang_quantile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      PerGroupQuantile.filter(d, "lang", "n_tokens", 0.7)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("group_cut"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // tokenizer-vocabulary coverage: OOV rate of a frequency-truncated
+    // 25-type vocabulary — vocabulary-sized counts, bounded top-K cut
+    // (per-partition top-K + driver merge), broadcast membership probe;
+    // exact long totals, ONE double division
+    "text_vocab_coverage" -> ((s, dir) =>
+      VocabCoverage.vocabCoverage(t(s, dir, "documents"), "text",
+        vocabSize = 25)),
 
     // top principal direction by distributed power iteration: per round,
     // the map-side dot against the literal v feeds ONE (dim -> partial
@@ -3848,6 +3869,34 @@ object SparkEntry {
 
       "embed_pca_power" -> PcaSql.topComponent("embeddings", "embedding",
         dim = 64),
+
+      "filter_per_lang_quantile" -> {
+        val toksSql = TextOpsSql.tokens("text")
+        s"""WITH d AS (SELECT doc_id, lang,
+           |             len($toksSql)::BIGINT AS n_tokens FROM documents),
+           |c AS (SELECT lang, quantile_cont(n_tokens, 0.7) AS cut
+           |      FROM d GROUP BY lang)
+           |SELECT d.doc_id, d.lang, d.n_tokens,
+           |       round(c.cut, 6) AS group_cut
+           |FROM d JOIN c USING (lang)
+           |WHERE d.n_tokens >= c.cut
+           |ORDER BY d.doc_id""".stripMargin
+      },
+
+      "text_vocab_coverage" -> {
+        val toksSql = TextOpsSql.tokens("text")
+        s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+           |v AS (SELECT token FROM (
+           |        SELECT token, count(*) AS c FROM toks GROUP BY token
+           |        ORDER BY c DESC, token LIMIT 25)),
+           |tot AS (SELECT count(*) AS total_tokens FROM toks),
+           |cov AS (SELECT count(*) AS covered_tokens FROM toks
+           |        WHERE token IN (SELECT token FROM v))
+           |SELECT total_tokens, covered_tokens,
+           |       round(1.0 - covered_tokens::DOUBLE / total_tokens::DOUBLE,
+           |             6) AS oov_rate
+           |FROM tot, cov""".stripMargin
+      },
 
       "text_cms_gauge" -> {
         val toksSql = TextOpsSql.tokens("text")

@@ -89,6 +89,38 @@ object Selection {
 /** DuckDB rendering: the SAME rule as one global ordered cumsum — an
   * INDEPENDENT formulation (the oracle may funnel; the operator may not),
   * so a boundary-handling bug in the split plan can't echo. */
+object PerGroupQuantile {
+
+  /**
+   * Per-group quantile filtering — the CCNet-style LANGUAGE-ADAPTIVE cut
+   * (Wenzek et al. 2020, arXiv:1911.00359 §4.3): a single global
+   * threshold over a multilingual corpus mostly measures language mix, so
+   * the cut is computed PER GROUP (language/source) and each row competes
+   * only within its group.
+   *
+   * Shape: one exact-percentile aggregate per group — group-count-sized
+   * output (languages/sources number in the hundreds, never corpus-sized)
+   * — broadcast back onto the corpus, where the keep decision is a
+   * map-side comparison. `approx_percentile` swaps into the identical
+   * plan at 100 TB (the mergeable-sketch path the profile operators pin).
+   */
+  def filter(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      quantile: Double): org.apache.spark.sql.DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0,
+      "perGroupQuantile: quantile must be in (0, 1)")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, CAST($quantile AS DOUBLE))")
+        .as("__cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .where(col(scoreCol) >= col("__cut"))
+      .withColumn("group_cut", round(col("__cut"), 6))
+      .drop("__cut")
+  }
+}
+
 object SelectionSql {
 
   /** `scoreSql`/`tokensSql` are scalar SQL over `table`'s columns. */

@@ -24,6 +24,29 @@ class SketchesSpec extends SparkSuite {
     assert(byTok("absent") == ((0L, true)))
   }
 
+  test("per-group quantile: each row competes only within its own group") {
+    // group a scores 1..10 (0.5-cut 5.5), group b scores 101..110 (105.5):
+    // a's 6..10 survive even though EVERY a-score is below b's cut
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (101 to 110).map(i => ("b", i.toLong))).toDF("g", "score")
+    val kept = PerGroupQuantile.filter(df, "g", "score", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == ((6 to 10).map(("a", _: Int)).map(t => (t._1, t._2.toLong))
+      ++ (106 to 110).map(i => ("b", i.toLong))).toSet, kept.toString)
+  }
+
+  test("vocab coverage: hand-counted OOV rate, count-then-token tie-break") {
+    val df = Seq((1L, "a a a b c")).toDF("id", "text")
+    val out = VocabCoverage.vocabCoverage(df, "text", vocabSize = 1)
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2)) ==
+      ((5L, 3L, 0.4)))
+    // ties: b and c both count 1; vocabSize=2 must pick 'b' (token order)
+    val out2 = VocabCoverage.vocabCoverage(df, "text", vocabSize = 2)
+      .collect()(0)
+    assert((out2.getLong(1), out2.getDouble(2)) == ((4L, 0.2)))
+  }
+
   test("cms gauge: a deliberately tiny sketch still never underestimates") {
     // eps = 0.9 -> width 3: with ~200 distinct filler tokens every cell
     // collides, so estimates overshoot — the one-sided contract (est >=
