@@ -1115,6 +1115,26 @@ object SparkEntry {
     "embed_pca_power" -> ((s, dir) =>
       Pca.topComponent(s, t(s, dir, "embeddings"), "embedding", dim = 64)),
 
+    // All-but-the-Top anisotropy correction (Mu & Viswanath 2018)
+    // composed on the power-iteration component: x' = x − (x·v)v as a
+    // map-side transform re-quantized to float (the persisted type — and
+    // what keeps the native codegen'd cosine on its float path), then the
+    // corrected top-10 of probe 0 — broadcast probe, one corpus scan
+    "embed_abtt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val v = Pca.topComponentVector(emb, "embedding", 64)
+      val corr = Pca.removeComponent(emb, "embedding", v)
+        .select(col("vec_id"), col("corrected"))
+      val probe = broadcast(corr.where(col("vec_id") === 0)
+        .select(col("corrected").as("qv")))
+      corr.where(col("vec_id") =!= 0).crossJoin(probe)
+        .select(col("vec_id").as("neighbor_id"),
+          round(VectorOps.cosine(col("corrected"), col("qv")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+        .limit(10)
+    }),
+
     // count-min sketch frequency gauge (Cormode & Muthukrishnan 2005):
     // probe tokens' exact counts + the est-within-[exact, exact + 5·ε·N]
     // flag — the sketch merges associatively map-side (O(tasks·d·w) wire
@@ -3869,6 +3889,9 @@ object SparkEntry {
 
       "embed_pca_power" -> PcaSql.topComponent("embeddings", "embedding",
         dim = 64),
+
+      "embed_abtt" -> PcaSql.abttTopK("embeddings", "vec_id", "embedding",
+        dim = 64, probeId = 0L, k = 10),
 
       "filter_per_lang_quantile" -> {
         val toksSql = TextOpsSql.tokens("text")

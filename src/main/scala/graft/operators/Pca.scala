@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
  */
 object Pca {
 
+  /** Map-side dot of a vector column against a literal direction — a
+    * fixed-order left fold over d terms (mirrors the SQL list_reduce). */
+  private def dotLit(vecCol: String, v: Array[Double]) =
+    aggregate(
+      zip_with(col(vecCol), typedlit(v), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+
   /** The final iterate as driver doubles (unit 2-norm). */
   def topComponentVector(
       df: DataFrame,
@@ -43,9 +50,7 @@ object Pca {
     require(dim > 0 && iters > 0, "pca: dim and iters must be positive")
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
-      val dotc = aggregate(
-        zip_with(col(vecCol), typedlit(v), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
+      val dotc = dotLit(vecCol, v)
       val rows = df
         .select(col(vecCol), dotc.as("__dot"))
         .select(posexplode(col(vecCol)).as(Seq("__j", "__x")), col("__dot"))
@@ -78,6 +83,23 @@ object Pca {
       .select(col("dim"), round(col("loading"), 6).as("loading"))
       .orderBy(col("dim"))
   }
+
+  /** All-but-the-top correction (Mu & Viswanath 2018): remove the
+    * projection onto the dominant direction, x′ = x − (x·v)v, as a pure
+    * MAP-SIDE transform against the literal v — zero shuffle, scan speed.
+    * The corrected vector re-quantizes to FLOAT (IEEE round-to-nearest,
+    * identical in every engine) — the storage type embeddings persist at
+    * anyway, and what keeps the downstream native cosine on its codegen'd
+    * float path. */
+  def removeComponent(
+      df: DataFrame,
+      vecCol: String,
+      v: Array[Double]): DataFrame =
+    df.withColumn("__d", dotLit(vecCol, v))
+      .withColumn("corrected",
+        zip_with(col(vecCol), typedlit(v),
+          (x, vj) => (x.cast("double") - col("__d") * vj).cast("float")))
+      .drop("__d")
 }
 
 /** DuckDB rendering of [[Pca.topComponent]]: the same fixed-order folds
@@ -87,20 +109,18 @@ object PcaSql {
   private def lf(arr: String): String =
     s"list_reduce($arr, (a, b) -> a + b)"
 
-  def topComponent(
-      table: String,
-      vecCol: String,
-      dim: Int,
-      iters: Int = 3,
-      scale: Long = 1L << 20): String = {
+  private def dotOn(vExpr: String): String =
+    lf(s"list_transform(range(1, len(emb)+1), i -> emb[i]::DOUBLE * $vExpr[i])")
+
+  /** The power-iteration CTE chain over a CTE `e(… , emb)`, ending at
+    * `v$iters(v)`. */
+  private def chain(dim: Int, iters: Int, scale: Long): String = {
     val v0 = (1.0 / math.sqrt(dim.toDouble)).toString
-    def dot(vExpr: String): String =
-      lf(s"list_transform(range(1, len(emb)+1), i -> emb[i]::DOUBLE * $vExpr[i])")
     val v0lit = s"[${Seq.fill(dim)(s"CAST($v0 AS DOUBLE)").mkString(", ")}]"
-    val chains = (1 to iters).map { k =>
+    (1 to iters).map { k =>
       val dotExpr =
-        if (k == 1) dot(v0lit)
-        else dot(s"v${k - 1}.v")
+        if (k == 1) dotOn(v0lit)
+        else dotOn(s"v${k - 1}.v")
       val from =
         if (k == 1) s"FROM e"
         else s"FROM e, v${k - 1}"
@@ -115,10 +135,44 @@ object PcaSql {
          |          t -> t / sqrt(${lf(s"list_transform(wl, t -> t * t)")}))
          |          AS v FROM n$k)""".stripMargin
     }.mkString(",\n")
+  }
+
+  def topComponent(
+      table: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3,
+      scale: Long = 1L << 20): String =
     s"""WITH e AS (SELECT $vecCol AS emb FROM $table),
-       |$chains
+       |${chain(dim, iters, scale)}
        |SELECT CAST(j AS BIGINT) AS dim, round(v[j], 6) AS loading
        |FROM v$iters, (SELECT unnest(range(1, $dim + 1)) AS j)
        |ORDER BY dim""".stripMargin
+
+  /** Mirror of the [[Pca.removeComponent]] + top-k composition: the same
+    * chain, the same x − (x·v)v projection re-quantized to FLOAT, ranked
+    * by corrected cosine against the corrected probe. */
+  def abttTopK(
+      table: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      probeId: Long,
+      k: Int,
+      iters: Int = 3,
+      scale: Long = 1L << 20): String = {
+    val cos = graft.functions.VectorOpsSql.cosine("c.cv", "q.qv")
+    s"""WITH e AS (SELECT $idCol AS id, $vecCol AS emb FROM $table),
+       |${chain(dim, iters, scale)},
+       |dd AS (SELECT id, emb, ${dotOn(s"v$iters.v")} AS d
+       |       FROM e, v$iters),
+       |corr AS (SELECT id, list_transform(range(1, $dim + 1),
+       |           i -> (emb[i]::DOUBLE - d * v[i])::FLOAT) AS cv
+       |         FROM dd, v$iters),
+       |q AS (SELECT cv AS qv FROM corr WHERE id = $probeId)
+       |SELECT c.id AS neighbor_id, round($cos, 6) AS cosine
+       |FROM corr c, q
+       |WHERE c.id <> $probeId
+       |ORDER BY cosine DESC, neighbor_id LIMIT $k""".stripMargin
   }
 }

@@ -19,6 +19,17 @@ class PcaSpec extends SparkSuite {
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("removeComponent leaves vectors orthogonal to the removed direction") {
+    val df = Seq(
+      Tuple1(Seq(3f, 1f)), Tuple1(Seq(-2f, 0.5f)), Tuple1(Seq(1f, -1f)))
+      .toDF("embedding")
+    val v = Array(1.0, 0.0) // remove e1: corrected x-components must be ~0
+    val got = Pca.removeComponent(df, "embedding", v)
+      .select("corrected").collect().map(_.getSeq[Float](0))
+    got.foreach(c => assert(math.abs(c(0)) < 1e-6, c.mkString(",")))
+    assert(got.map(_(1)).toSeq == Seq(1f, 0.5f, -1f))
+  }
+
   test("the trajectory is bit-identical under any partitioning") {
     val base = (0L until 300L)
       .map(i => Tuple1(Seq.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6) / 6f)))
