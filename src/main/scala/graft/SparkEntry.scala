@@ -952,6 +952,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ordered funnel over the event stream: users reaching each stage
+    // through a strictly increasing signup -> click -> purchase chain;
+    // stage k is ONE user-keyed conditional-min aggregate (map-side type
+    // filter, per-user state = k timestamps, never an event list)
+    "events_funnel" -> ((s, dir) =>
+      operators.Funnel.funnelCounts(events(s, dir), "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"))),
+
     // per-group distribution quantiles: EXACT linear-interpolation
     // percentile as the correctness anchor (matches DuckDB's quantile_cont
     // definition — the oracle is DuckDB's own independent implementation,
@@ -3849,6 +3857,23 @@ object SparkEntry {
            |FROM c ASOF LEFT JOIN p
            |  ON c.user_id = p.user_id AND c.ts >= p.ts
            |ORDER BY c.event_id""".stripMargin,
+
+      "events_funnel" ->
+        """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'signup' GROUP BY user_id),
+          |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |       JOIN t1 USING (user_id)
+          |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+          |       GROUP BY e.user_id),
+          |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |       JOIN t2 USING (user_id)
+          |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          |       GROUP BY e.user_id)
+          |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+          |       (SELECT count(*) FROM t1) AS n_users
+          |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+          |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+          |ORDER BY stage""".stripMargin,
 
       // DuckDB's own quantile_cont — an independent implementation of the
       // same linear-interpolation definition, not a rendering

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered funnel analysis over an event stream — "of the users who did
+ * A, how many later did B, and later still C" (the standard
+ * product-analytics conversion query; here the data-pipeline use is
+ * ingest-flow auditing: staged → cleaned → published event chains).
+ *
+ * Semantics: a user completes stage k at the EARLIEST event of stage
+ * k's type that is STRICTLY after their stage-(k−1) completion time;
+ * stage 1 is the user's earliest stage-1 event. A user reaches stage k
+ * only via a strictly increasing timestamp chain through all k types.
+ *
+ * Scale posture: stage k is ONE user-keyed conditional-min aggregate —
+ * the event stream filters to stage k's type MAP-SIDE (a tiny fraction
+ * of the stream), joins the previous stage's per-user completion table
+ * on the user key, and min-aggregates with map-side partials. Per-user
+ * state is k timestamps, never an event list — the collect-and-sort
+ * formulation (all events of a user in one task) is exactly what this
+ * avoids; a user with millions of events costs partial mins, not a
+ * sort. k stages = k bounded user-sized shuffles on the SAME key.
+ */
+object Funnel {
+
+  /** Per-user completion times for each stage: one row per user who
+    * completed ALL stages of the prefix reached; frame i (0-based) holds
+    * users completing stages 1..i+1 with columns t1..t(i+1). */
+  private def stageFrames(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel: empty stage list")
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.drop(1).scanLeft(first) {
+      case (prev, (stage, i)) =>
+        val k = i + 1
+        val carry = (1 to i).map(j => min(col(s"t$j")).as(s"t$j"))
+        events.where(col(typeCol) === stage)
+          .join(prev, Seq(userCol))
+          .where(col(tsCol) > col(s"t$i"))
+          .groupBy(col(userCol))
+          .agg(carry.head, carry.tail :+ min(col(tsCol)).as(s"t$k"): _*)
+    }
+  }
+
+  /** Per-user stage times for users completing the WHOLE funnel. */
+  def funnelTimes(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame =
+    stageFrames(events, userCol, typeCol, tsCol, stages).last
+
+  /** The funnel summary: (stage, event_type, n_users) — how many users
+    * reach each stage through a strictly ordered chain. */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    val frames = stageFrames(events, userCol, typeCol, tsCol, stages)
+    frames.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"),
+          col("n_users"))
+    }.reduce(_.union(_)).orderBy(col("stage"))
+  }
+}
