@@ -960,6 +960,13 @@ object SparkEntry {
       operators.Funnel.funnelCounts(events(s, dir), "user_id",
         "event_type", "ts", Seq("signup", "click", "purchase"))),
 
+    // weekly cohort retention: users grouped by first-activity week,
+    // re-counted in each later week they stay active — integer epoch
+    // floor-divisions (no timezone/week-start conventions), one distinct
+    // (user, period) projection + two map-side-combinable aggregates
+    "events_retention" -> ((s, dir) =>
+      operators.Retention.cohortRetention(events(s, dir), "user_id", "ts")),
+
     // per-group distribution quantiles: EXACT linear-interpolation
     // percentile as the correctness anchor (matches DuckDB's quantile_cont
     // definition — the oracle is DuckDB's own independent implementation,
@@ -3874,6 +3881,17 @@ object SparkEntry {
           |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
           |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
           |ORDER BY stage""".stripMargin,
+
+      "events_retention" ->
+        """WITH p AS (SELECT DISTINCT user_id,
+          |             (epoch_ms(ts) // 1000) // 604800 AS per FROM events),
+          |f AS (SELECT user_id, min(per) AS cohort_period FROM p
+          |      GROUP BY user_id)
+          |SELECT f.cohort_period, p.per - f.cohort_period AS period_offset,
+          |       count(DISTINCT p.user_id) AS n_users
+          |FROM p JOIN f USING (user_id)
+          |WHERE p.per - f.cohort_period <= 4
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // DuckDB's own quantile_cont — an independent implementation of the
       // same linear-interpolation definition, not a rendering

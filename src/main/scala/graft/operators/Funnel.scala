@@ -74,3 +74,41 @@ object Funnel {
     }.reduce(_.union(_)).orderBy(col("stage"))
   }
 }
+
+/**
+ * Cohort retention over an event stream — users grouped by their
+ * first-activity period (the cohort), counted again in each later
+ * period they stay active (the audit view of a rolling ingest: does a
+ * source that appeared in week w keep producing in weeks w+k).
+ *
+ * Period indices are INTEGER floor-divisions of epoch seconds — exact
+ * and identical in every engine (a date-function cohort would drag in
+ * timezone/week-start conventions). Shape: one distinct (user, period)
+ * projection, one user-keyed min aggregate for the cohort, one
+ * (cohort, offset) count-distinct — all map-side combinable; per-user
+ * state is one long, the result is cohorts × offsets rows.
+ */
+object Retention {
+
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodSeconds: Long = 604800L,
+      maxOffset: Int = 4): DataFrame = {
+    require(periodSeconds > 0 && maxOffset >= 0, "retention: bad params")
+    // native integer floor-division — no double quotient in the path
+    val per = events.select(col(userCol),
+        expr(s"CAST(unix_timestamp($tsCol) AS BIGINT) div $periodSeconds")
+          .as("per"))
+      .distinct()
+    val cohorts = per.groupBy(col(userCol))
+      .agg(min(col("per")).as("cohort_period"))
+    per.join(cohorts, Seq(userCol))
+      .where(col("per") - col("cohort_period") <= maxOffset)
+      .groupBy(col("cohort_period"),
+        (col("per") - col("cohort_period")).as("period_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("cohort_period"), col("period_offset"))
+  }
+}

@@ -32,6 +32,24 @@ class FunnelSpec extends SparkSuite {
       (3L, "purchase", 1L))) // user 1 only: 2's purchase precedes the click
   }
 
+  test("cohort retention counts each user from their first period") {
+    def t(period: Int, off: Int) = new Timestamp(period * 1000_000L + off)
+    val ev = Seq(
+      // user 1: first in period 0, active again in 1 and 3
+      (1L, t(0, 5)), (1L, t(1, 0)), (1L, t(3, 7)), (1L, t(3, 9)),
+      // user 2: first in period 1 only
+      (2L, t(1, 1)),
+      // user 3: first in period 1, active in 2
+      (3L, t(1, 2)), (3L, t(2, 2))
+    ).toDF("user_id", "ts")
+    val got = Retention.cohortRetention(ev, "user_id", "ts",
+        periodSeconds = 1000L, maxOffset = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 2L), (1L, 1L, 1L)))
+  }
+
   test("funnelTimes picks the earliest valid completion per stage") {
     val ev = Seq(
       (1L, "signup", ts(5)), (1L, "signup", ts(1)),
