@@ -476,7 +476,11 @@ object Dedup {
       .unionByName(p.select(col(bCol).as(idCol)))
       .distinct()
     val comps = connectedComponents(members, idCol, p, aCol, bCol)
+    // cached: (id, score, component) is duplicate-subgraph-sized and feeds
+    // TWO consumers (the winner aggregate and the drops join) — without it
+    // each consumer re-evaluates the score expression over the corpus join
     val scored = comps.join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .cache()
     // winner per component: max (score, -id) — highest score, lowest id on
     // ties; max_by is partial-combinable, unlike a row_number window
     val keepers = scored.groupBy(col("component"))
@@ -486,7 +490,8 @@ object Dedup {
       .join(keepers, Seq("component"))
       .where(col(idCol) =!= col("__keep"))
       .select(col(idCol))
-    df.join(drops, Seq(idCol), "left_anti")
+    CacheScope.unpersistAfterAction(
+      df.join(drops, Seq(idCol), "left_anti"), Seq(scored))
   }
 
   /**
