@@ -1278,6 +1278,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    // exactly 10 docs per language, selection probability proportional to
+    // n_chars — the exponential key −ln(u)/w computes map-side from the
+    // portable hash (rounded to 9 before ranking so a last-ulp ln
+    // divergence can't flip a cut), then the bounded top-k aggregate
+    "sample_weighted_k" -> ((s, dir) =>
+      Sampling.weightedKPerGroup(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars", k = 10, seed = 33)
+        .orderBy(col("doc_id"))),
+
     // fractional-EPOCH mixing (the upsampling half the thinning mixers
     // can't express): src0 at 2.25 epochs, src1 a deterministic half
     // epoch, src2 exactly once, src3 three times, everything else
@@ -4086,6 +4096,19 @@ object SparkEntry {
            |           AS rn
            |  FROM documents)
            |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+      "sample_weighted_k" ->
+        s"""WITH d AS (SELECT doc_id, lang,
+           |  round(-ln((CAST(${SamplingSql.hash16("doc_id", 33)} AS DOUBLE)
+           |               + 1.0) / CAST(65537 AS DOUBLE))
+           |        / CAST(n_chars AS DOUBLE), 9) AS ekey
+           |  FROM documents)
+           |SELECT doc_id, lang, ekey AS sample_key FROM (
+           |  SELECT doc_id, lang, ekey,
+           |         row_number() OVER (PARTITION BY lang
+           |                            ORDER BY ekey, doc_id) AS rn
+           |  FROM d)
+           |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
       "mix_epochs" ->
         (MixingSql.epochRows("documents", "doc_id", "source",

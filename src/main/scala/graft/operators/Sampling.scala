@@ -173,6 +173,50 @@ object Sampling {
     df.withColumn("seq_id", floor(cumBefore / lit(budget)))
       .withColumn("tok_offset", cumBefore % lit(budget))
   }
+
+  /**
+   * The Efraimidis–Spirakis exponential sort key for WEIGHTED sampling
+   * without replacement (Efraimidis & Spirakis 2006, "Weighted random
+   * sampling with a reservoir", IPL 97): keeping the k items with the
+   * SMALLEST e_i = −ln(u_i)/w_i draws a weighted sample without
+   * replacement exactly as sequential draws proportional to weight would.
+   * u_i derives from the portable 16-bit row hash (deterministic,
+   * seed-switchable, u ∈ (0,1)); the key ROUNDS to 9 decimals before any
+   * ranking so a last-ulp `ln` divergence between engines cannot flip a
+   * cut (the bm25/DSIR house rule), with id tie-breaks.
+   */
+  def exponentialKey(id: Column, weight: Column, seed: Long): Column =
+    round(-log((hash16(id, seed).cast("double") + 1.0) / 65537.0)
+      / weight.cast("double"), 9)
+
+  /**
+   * Exactly min(k, group size) rows per group, selected WITHOUT
+   * replacement with probability proportional to `weightCol` — the
+   * quality-weighted guarantee-count sampler ([[exactKPerGroup]]'s
+   * uniform rule with weights; [[byQuality]]'s weighting without its
+   * binomial count variance). Map-side key computation + the bounded
+   * top-k aggregate per group (≤ k state entries per group per task —
+   * never a row_number window over the group partition).
+   */
+  def weightedKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "weightedKPerGroup: k must be positive")
+    val topk = Similarity.topKUdaf(k)
+    df.select(col(groupCol), col(idCol),
+        exponentialKey(col(idCol), col(weightCol), seed).as("__e"))
+      .groupBy(col(groupCol))
+      // score = -e: the aggregate's (score desc, id asc) order is exactly
+      // (e asc, id asc)
+      .agg(topk(-col("__e"), col(idCol)).as("tk"))
+      .select(col(groupCol), explode(col("tk.items")).as("it"))
+      .select(col("it._2").as(idCol), col(groupCol),
+        round(-col("it._1"), 9).as("sample_key"))
+  }
 }
 
 /** DuckDB renderings of the identical arithmetic, for the oracle. The id is

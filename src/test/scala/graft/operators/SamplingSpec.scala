@@ -13,6 +13,26 @@ class SamplingSpec extends SparkSuite {
       .toDF("doc_id", "text", "lang")
   }
 
+  test("weighted k: exact count, dominant weights win, weights bias draws") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i =>
+      (i, "g", if (i == 7L) 1.0e9 else if (i <= 10L) 50.0 else 1.0))
+      .toDF("id", "g", "w")
+    // a weight 9 orders of magnitude above the field is effectively
+    // always drawn (its exponential key is ~0)
+    val picks = (1 to 25).map { seed =>
+      Sampling.weightedKPerGroup(df, "g", "id", "w", k = 5, seed = seed)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(picks.forall(_.size == 5), "exactly k per group")
+    assert(picks.forall(_.contains(7L)), "dominant weight must always win")
+    // ids 1-10 (weight 50) should be drawn far more often than 11-20
+    // (weight 1): expected ~4.8 vs ~0.2 of the 4 non-dominant slots
+    val heavy = picks.map(_.count(i => i <= 10L && i != 7L)).sum
+    val light = picks.map(_.count(_ > 10L)).sum
+    assert(heavy > light * 5, s"weighting must bias draws: $heavy vs $light")
+  }
+
   test("split assignment is deterministic and stable under corpus growth") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val full = Sampling.assignSplit(docs, "doc_id", splits, seed = 7)
