@@ -1278,6 +1278,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // semantic (embedding-space) decontamination: train vectors within
+    // cosine 0.35 of ANY eval vector drop — the eval set broadcasts, the
+    // train side is one map-side scan (the rangeSearch shape); the
+    // embedding-space sibling of the shingle-overlap contamination check
+    "contamination_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val evalSet = emb.where(col("vec_id") % 17 === 0)
+      val train = emb.where(col("vec_id") % 17 =!= 0)
+      val flagged = Similarity.rangeSearch(train, evalSet,
+          "vec_id", "embedding", minCosine = 0.35)
+        .select(col("neighbor_id").as("vec_id")).distinct()
+      train.join(flagged, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // declarative data-expectations audit: five named contract clauses
+    // (non-null id, non-empty text, known language, positive and
+    // text-consistent n_chars, source format) — every check a conditional
+    // partial sum riding ONE aggregate over ONE scan; NULL predicate
+    // results count as violations
+    "profile_expectations" -> ((s, dir) =>
+      operators.Expectations.audit(t(s, dir, "documents"), Seq(
+        "id_not_null" -> col("doc_id").isNotNull,
+        "text_nonempty" -> (length(col("text")) > 0),
+        "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+        "chars_match_text" -> (col("n_chars") === length(col("text"))),
+        "source_format" -> col("source").rlike("^src[0-9]+$")))),
+
     // weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
     // exactly 10 docs per language, selection probability proportional to
     // n_chars — the exponential key −ln(u)/w computes map-side from the
@@ -4096,6 +4125,41 @@ object SparkEntry {
            |           AS rn
            |  FROM documents)
            |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+      "contamination_semantic" -> {
+        val cos = VectorOpsSql.cosine("t.embedding", "ev.embedding")
+        s"""WITH ev AS (SELECT embedding FROM embeddings
+           |            WHERE vec_id % 17 = 0),
+           |tr AS (SELECT vec_id, label, embedding FROM embeddings
+           |       WHERE vec_id % 17 <> 0),
+           |flagged AS (SELECT DISTINCT t.vec_id FROM tr t, ev
+           |            WHERE $cos >= 0.35)
+           |SELECT vec_id, label FROM tr
+           |WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
+           |ORDER BY vec_id""".stripMargin
+      },
+
+      "profile_expectations" ->
+        """WITH a AS (SELECT count(*) AS n,
+          |  sum(CASE WHEN NOT coalesce(doc_id IS NOT NULL, false)
+          |      THEN 1 ELSE 0 END)::BIGINT AS v_id,
+          |  sum(CASE WHEN NOT coalesce(length(text) > 0, false)
+          |      THEN 1 ELSE 0 END)::BIGINT AS v_text,
+          |  sum(CASE WHEN NOT coalesce(lang IN ('en','de','fr','es','zh'),
+          |                             false) THEN 1 ELSE 0 END)::BIGINT AS v_lang,
+          |  sum(CASE WHEN NOT coalesce(n_chars = length(text), false)
+          |      THEN 1 ELSE 0 END)::BIGINT AS v_chars,
+          |  sum(CASE WHEN NOT coalesce(regexp_matches(source,
+          |      '^src[0-9]+$'), false) THEN 1 ELSE 0 END)::BIGINT AS v_src
+          |  FROM documents)
+          |SELECT * FROM (
+          |  SELECT 'chars_match_text' AS expectation, n AS n_rows,
+          |         v_chars AS n_violations, v_chars = 0 AS pass FROM a
+          |  UNION ALL SELECT 'id_not_null', n, v_id, v_id = 0 FROM a
+          |  UNION ALL SELECT 'lang_known', n, v_lang, v_lang = 0 FROM a
+          |  UNION ALL SELECT 'source_format', n, v_src, v_src = 0 FROM a
+          |  UNION ALL SELECT 'text_nonempty', n, v_text, v_text = 0 FROM a)
+          |ORDER BY expectation""".stripMargin,
 
       "sample_weighted_k" ->
         s"""WITH d AS (SELECT doc_id, lang,

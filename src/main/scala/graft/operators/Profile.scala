@@ -44,6 +44,43 @@ object Profile {
 
 /** DuckDB rendering: one SELECT per column, UNION ALL — semantically the
   * same profile (the oracle checks values, not the single-pass plan). */
+object Expectations {
+
+  /**
+   * Declarative data-quality audit — the "expectations" pattern (one
+   * named row-level predicate per contract clause: non-null, in-set,
+   * cross-field consistency, format regex), evaluated in ONE corpus scan:
+   * every check is a conditional partial sum riding a single aggregate,
+   * so the audit costs one pass regardless of how many expectations run.
+   * A NULL predicate result counts as a VIOLATION (coalesce to false) —
+   * a null can never satisfy a contract.
+   *
+   * Output: one row per expectation — (expectation, n_rows,
+   * n_violations, pass), pass = zero violations.
+   */
+  def audit(
+      df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "expectations: empty check list")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "expectations: duplicate check names")
+    val aggs = checks.map { case (name, p) =>
+      coalesce(sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__v_$name")
+    } :+ count(lit(1)).as("__n")
+    // ONE corpus scan; the result is checks.size rows of driver metadata
+    val one = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = one.getAs[Long]("__n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    checks.map { case (name, _) =>
+      val v = one.getAs[Long](s"__v_$name")
+      (name, n, v, v == 0L)
+    }.sortBy(_._1)
+      .toDF("expectation", "n_rows", "n_violations", "pass")
+  }
+}
+
 object ProfileSql {
   def profile(table: String, cols: Seq[String]): String =
     cols.map { c =>

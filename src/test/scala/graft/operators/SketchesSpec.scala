@@ -47,6 +47,25 @@ class SketchesSpec extends SparkSuite {
     assert((out2.getLong(1), out2.getDouble(2)) == ((4L, 0.2)))
   }
 
+  test("expectations audit: nulls violate, counts are exact, one row each") {
+    val df = Seq(
+      (Some(1L), "ok"), (Some(2L), ""), (None, "x"), (Some(4L), null))
+      .toDF("id", "s")
+    val got = Expectations.audit(df, Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "s_nonempty" -> (length(col("s")) > 0)))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // row 3: null id violates; rows 2 (empty) and 4 (null -> violation)
+    assert(got.toSeq == Seq(
+      ("id_not_null", 4L, 1L, false),
+      ("s_nonempty", 4L, 2L, false)))
+    val clean = Expectations.audit(df.where(col("id") === 1L), Seq(
+        "id_not_null" -> col("id").isNotNull))
+      .collect()(0)
+    assert(clean.getBoolean(3))
+  }
+
   test("cms gauge: a deliberately tiny sketch still never underestimates") {
     // eps = 0.9 -> width 3: with ~200 distinct filler tokens every cell
     // collides, so estimates overshoot — the one-sided contract (est >=
