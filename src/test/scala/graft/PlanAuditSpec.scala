@@ -545,4 +545,29 @@ class PlanAuditSpec extends SparkSuite {
       s"line rules are map-side predicates; only the reassembly shuffles:\n$p")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
+
+  test("vocab coverage: bounded top-K cut, broadcast membership probe") {
+    import graft.operators.VocabCoverage
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(VocabCoverage.vocabCoverage(docs, "text", 25))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocabulary cut must be per-partition top-K + driver merge, " +
+        s"never a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the membership probe must broadcast the vocabulary:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never sort-merge against its own vocabulary:\n$p")
+  }
+
+  test("per-lang quantile cut: group cuts broadcast back onto the corpus") {
+    import graft.operators.PerGroupQuantile
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n"))
+    val p = physical(PerGroupQuantile.filter(d, "lang", "n", 0.7))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the group-count-sized cut table must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"the keep decision is map-side against the broadcast cuts:\n$p")
+  }
 }
