@@ -1130,6 +1130,19 @@ object SparkEntry {
     "embed_pca_power" -> ((s, dir) =>
       Pca.topComponent(s, t(s, dir, "embeddings"), "embedding", dim = 64)),
 
+    // INTENT-pinned power iteration (tools/pca_reference.py): a 5-point
+    // cloud dominated by multiples of (3,4) whose quantized trajectory
+    // lands exactly on the hand-derivable unit direction (0.6, 0.8) —
+    // literal VALUES, so a shared misunderstanding between the two
+    // same-arithmetic renderings cannot echo
+    "pca_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Seq(
+        Tuple1(Seq(3f, 4f)), Tuple1(Seq(6f, 8f)), Tuple1(Seq(-3f, -4f)),
+        Tuple1(Seq(1f, 0f)), Tuple1(Seq(0f, 1f))).toDF("embedding")
+      Pca.topComponent(s, pts, "embedding", dim = 2)
+    }),
+
     // All-but-the-Top anisotropy correction (Mu & Viswanath 2018)
     // composed on the power-iteration component: x' = x − (x·v)v as a
     // map-side transform re-quantized to float (the persisted type — and
@@ -3974,6 +3987,12 @@ object SparkEntry {
 
       "embed_abtt" -> PcaSql.abttTopK("embeddings", "vec_id", "embedding",
         dim = 64, probeId = 0L, k = 10),
+
+      "pca_pinned" ->
+        """SELECT CAST(dim AS BIGINT) AS dim, CAST(loading AS DOUBLE)
+          |         AS loading
+          |FROM (VALUES (1, 0.6), (2, 0.8)) t(dim, loading)
+          |ORDER BY dim""".stripMargin,
 
       "filter_per_lang_quantile" -> {
         val toksSql = TextOpsSql.tokens("text")
