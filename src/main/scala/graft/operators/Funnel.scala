@@ -27,7 +27,11 @@ object Funnel {
 
   /** Per-user completion times for each stage: one row per user who
     * completed ALL stages of the prefix reached; frame i (0-based) holds
-    * users completing stages 1..i+1 with columns t1..t(i+1). */
+    * users completing stages 1..i+1 with columns __t1..__t(i+1) (the `__`
+    * prefix shields the working columns from input-column collisions).
+    * Each frame is CACHED: it feeds both the next stage's join and its
+    * own count — without the cache, stage 1's scan would re-run once per
+    * later stage (O(k²) corpus scans for a k-stage funnel). */
   private def stageFrames(
       events: DataFrame,
       userCol: String,
@@ -36,27 +40,35 @@ object Funnel {
       stages: Seq[String]): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel: empty stage list")
     val first = events.where(col(typeCol) === stages.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t1"))
+      .cache()
     stages.zipWithIndex.drop(1).scanLeft(first) {
       case (prev, (stage, i)) =>
         val k = i + 1
-        val carry = (1 to i).map(j => min(col(s"t$j")).as(s"t$j"))
+        val carry = (1 to i).map(j => min(col(s"__t$j")).as(s"__t$j"))
         events.where(col(typeCol) === stage)
           .join(prev, Seq(userCol))
-          .where(col(tsCol) > col(s"t$i"))
+          .where(col(tsCol) > col(s"__t$i"))
           .groupBy(col(userCol))
-          .agg(carry.head, carry.tail :+ min(col(tsCol)).as(s"t$k"): _*)
+          .agg(carry.head, carry.tail :+ min(col(tsCol)).as(s"__t$k"): _*)
+          .cache()
     }
   }
 
-  /** Per-user stage times for users completing the WHOLE funnel. */
+  /** Per-user stage times for users completing the WHOLE funnel, columns
+    * t1..tn in stage order. */
   def funnelTimes(
       events: DataFrame,
       userCol: String,
       typeCol: String,
       tsCol: String,
-      stages: Seq[String]): DataFrame =
-    stageFrames(events, userCol, typeCol, tsCol, stages).last
+      stages: Seq[String]): DataFrame = {
+    val frames = stageFrames(events, userCol, typeCol, tsCol, stages)
+    val out = stages.indices.foldLeft(frames.last) {
+      (df, i) => df.withColumnRenamed(s"__t${i + 1}", s"t${i + 1}")
+    }
+    CacheScope.unpersistAfterAction(out, frames)
+  }
 
   /** The funnel summary: (stage, event_type, n_users) — how many users
     * reach each stage through a strictly ordered chain. */
@@ -67,11 +79,12 @@ object Funnel {
       tsCol: String,
       stages: Seq[String]): DataFrame = {
     val frames = stageFrames(events, userCol, typeCol, tsCol, stages)
-    frames.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
+    val out = frames.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"),
           col("n_users"))
     }.reduce(_.union(_)).orderBy(col("stage"))
+    CacheScope.unpersistAfterAction(out, frames)
   }
 }
 

@@ -73,44 +73,6 @@ object LanguageModel {
 /** DuckDB rendering of [[LanguageModel.bigramLogProb]] — same counts, same
   * pruning tie-break, same backoff arithmetic; the token total is recomputed
   * IN SQL so the engines derive it independently. */
-object VocabCoverage {
-
-  /**
-   * Tokenizer-vocabulary coverage: with a frequency-truncated vocabulary
-   * of `vocabSize` types (top-K by count, token tie-break — the
-   * zeroth-order tokenizer-planning question), what fraction of corpus
-   * TOKEN OCCURRENCES is covered, i.e. the OOV rate a closed vocabulary
-   * of that size would pay.
-   *
-   * Shape: token counts are one map-side-combined aggregate (vocabulary-
-   * sized shuffle), the top-K cut is a bounded TakeOrderedAndProject
-   * (per-partition top-K + driver merge, never a global sort), and the
-   * coverage probe joins the BROADCAST vocabulary back onto the token
-   * stream — the corpus is scanned, never self-joined. Totals ride exact
-   * LONG counts; the one double division happens once.
-   */
-  def vocabCoverage(
-      df: DataFrame,
-      textCol: String,
-      vocabSize: Int): DataFrame = {
-    require(vocabSize > 0, "vocabCoverage: vocabSize must be positive")
-    val toks = df.select(
-      explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
-    val vocab = toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("token"))
-      .limit(vocabSize)
-      .select(col("token"))
-    toks.join(broadcast(vocab), Seq("token"), "left_semi")
-      .agg(count(lit(1)).as("covered_tokens"))
-      .crossJoin(toks.agg(count(lit(1)).as("total_tokens")))
-      .select(col("total_tokens"), col("covered_tokens"),
-        round(lit(1.0) -
-          col("covered_tokens").cast("double") /
-            col("total_tokens").cast("double"), 6).as("oov_rate"))
-  }
-}
-
 object LanguageModelSql {
 
   def bigramLogProb(
@@ -143,5 +105,44 @@ object LanguageModelSql {
        |JOIN uni c1 ON pr.u1 = c1.u
        |JOIN uni c2 ON pr.u2 = c2.u, tot
        |GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+}
+
+object VocabCoverage {
+
+  /**
+   * Tokenizer-vocabulary coverage: with a frequency-truncated vocabulary
+   * of `vocabSize` types (top-K by count, token tie-break — the
+   * zeroth-order tokenizer-planning question), what fraction of corpus
+   * TOKEN OCCURRENCES is covered, i.e. the OOV rate a closed vocabulary
+   * of that size would pay.
+   *
+   * Shape: token counts are one map-side-combined aggregate (vocabulary-
+   * sized shuffle), the top-K cut is a bounded TakeOrderedAndProject
+   * (per-partition top-K + driver merge, never a global sort), and the
+   * coverage probe is ONE left-outer join of the token stream against the
+   * BROADCAST vocabulary — total and covered counts ride the same
+   * aggregate, so the probe scans (and tokenizes) the corpus exactly
+   * once. Totals are exact LONGs; the one double division happens once.
+   */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabCoverage: vocabSize must be positive")
+    val toks = df.select(
+      explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .agg(count(lit(1)).as("total_tokens"),
+        count(col("__in")).as("covered_tokens"))
+      .select(col("total_tokens"), col("covered_tokens"),
+        round(lit(1.0) -
+          col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6).as("oov_rate"))
   }
 }

@@ -44,6 +44,17 @@ object Profile {
 
 /** DuckDB rendering: one SELECT per column, UNION ALL — semantically the
   * same profile (the oracle checks values, not the single-pass plan). */
+object ProfileSql {
+  def profile(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |       count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS vmin,
+         |       CAST(max($c) AS VARCHAR) AS vmax
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+}
+
 object Expectations {
 
   /**
@@ -79,15 +90,4 @@ object Expectations {
     }.sortBy(_._1)
       .toDF("expectation", "n_rows", "n_violations", "pass")
   }
-}
-
-object ProfileSql {
-  def profile(table: String, cols: Seq[String]): String =
-    cols.map { c =>
-      s"""SELECT '$c' AS "column", count(*) AS n_rows,
-         |       count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
-         |       CAST(min($c) AS VARCHAR) AS vmin,
-         |       CAST(max($c) AS VARCHAR) AS vmax
-         |FROM $table""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 }

@@ -89,6 +89,27 @@ object Selection {
 /** DuckDB rendering: the SAME rule as one global ordered cumsum — an
   * INDEPENDENT formulation (the oracle may funnel; the operator may not),
   * so a boundary-handling bug in the split plan can't echo. */
+object SelectionSql {
+
+  /** `scoreSql`/`tokensSql` are scalar SQL over `table`'s columns. */
+  def selectTokenBudget(
+      table: String,
+      idCol: String,
+      scoreSql: String,
+      tokensSql: String,
+      budget: Long,
+      buckets: Int = 65536): String =
+    s"""WITH scored AS (
+       |  SELECT $idCol,
+       |         least(CAST(floor(round($scoreSql, 6) * $buckets) AS BIGINT),
+       |               ${buckets - 1}) AS bucket,
+       |         CAST($tokensSql AS BIGINT) AS n_tokens
+       |  FROM $table),
+       |o AS (SELECT *, sum(n_tokens) OVER (ORDER BY bucket DESC, $idCol)
+       |                 AS cum FROM scored)
+       |SELECT $idCol, bucket, n_tokens FROM o WHERE cum <= $budget""".stripMargin
+}
+
 object PerGroupQuantile {
 
   /**
@@ -112,32 +133,10 @@ object PerGroupQuantile {
     require(quantile > 0.0 && quantile < 1.0,
       "perGroupQuantile: quantile must be in (0, 1)")
     val cuts = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($scoreCol, CAST($quantile AS DOUBLE))")
-        .as("__cut"))
+      .agg(percentile(col(scoreCol), lit(quantile)).as("__cut"))
     df.join(broadcast(cuts), Seq(groupCol))
       .where(col(scoreCol) >= col("__cut"))
       .withColumn("group_cut", round(col("__cut"), 6))
       .drop("__cut")
   }
-}
-
-object SelectionSql {
-
-  /** `scoreSql`/`tokensSql` are scalar SQL over `table`'s columns. */
-  def selectTokenBudget(
-      table: String,
-      idCol: String,
-      scoreSql: String,
-      tokensSql: String,
-      budget: Long,
-      buckets: Int = 65536): String =
-    s"""WITH scored AS (
-       |  SELECT $idCol,
-       |         least(CAST(floor(round($scoreSql, 6) * $buckets) AS BIGINT),
-       |               ${buckets - 1}) AS bucket,
-       |         CAST($tokensSql AS BIGINT) AS n_tokens
-       |  FROM $table),
-       |o AS (SELECT *, sum(n_tokens) OVER (ORDER BY bucket DESC, $idCol)
-       |                 AS cum FROM scored)
-       |SELECT $idCol, bucket, n_tokens FROM o WHERE cum <= $budget""".stripMargin
 }

@@ -28,7 +28,11 @@ object Sketches {
 
   /** Per probe token: exact corpus frequency + the CMS-vs-exact bound
     * flag. Probes absent from the corpus count 0 (and must estimate 0 —
-    * CMS has no false negatives to subtract). */
+    * CMS has no false negatives to subtract). The sketch, the token
+    * total, and every probe's exact count ride ONE aggregate over ONE
+    * corpus scan (a probe's exact count is a conditional partial sum —
+    * |probes| extra counters per task, not a second tokenization pass);
+    * everything downstream is driver arithmetic on that single row. */
   def cmsTokenGauge(
       df: DataFrame,
       textCol: String,
@@ -38,28 +42,31 @@ object Sketches {
       seed: Int = 42,
       slack: Double = 5.0): DataFrame = {
     require(probes.nonEmpty, "cmsTokenGauge: empty probe set")
+    require(probes.distinct.size == probes.size,
+      "cmsTokenGauge: duplicate probes")
     val spark = df.sparkSession
+    val sorted = probes.sorted
     val toks = df.select(
       explode(TextOps.tokens(col(textCol))).as("token"))
-    // one pass: the mergeable sketch + the token total (for the ε·N bound)
-    val row = toks.agg(
+    val aggs = Seq(
       expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
         s"CAST($confidence AS DOUBLE), $seed)").as("cms"),
-      count(lit(1)).as("n")).head()
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(row.getAs[Array[Byte]](0))
+      count(lit(1)).as("n")) ++
+      sorted.zipWithIndex.map { case (p, i) =>
+        sum(when(col("token") === p, 1L).otherwise(0L)).as(s"__x$i")
+      }
+    val row = toks.agg(aggs.head, aggs.tail: _*).head()
+    // an empty token stream aggregates to a NULL sketch (the Bloom-gate
+    // lesson): every probe then estimates — and counts — zero
+    val cms = if (row.isNullAt(0)) None
+      else Some(org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(row.getAs[Array[Byte]](0)))
     val bound = math.ceil(eps * row.getLong(1) * slack).toLong
     import spark.implicits._
-    val probeDf = probes.sorted
-      .map(t => (t, cms.estimateCount(t))).toDF("token", "__est")
-    val exact = toks.where(col("token").isin(probes: _*))
-      .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
-    probeDf.join(exact, Seq("token"), "left_outer")
-      .select(col("token"),
-        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
-        (col("__est") >= coalesce(col("exact_count"), lit(0L)) &&
-          col("__est") <= coalesce(col("exact_count"), lit(0L)) + lit(bound))
-          .as("cms_ok"))
-      .orderBy(col("token"))
+    sorted.zipWithIndex.map { case (p, i) =>
+      val exact = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)
+      val est = cms.map(_.estimateCount(p)).getOrElse(0L)
+      (p, exact, est >= exact && est <= exact + bound)
+    }.toDF("token", "exact_count", "cms_ok")
   }
 }
