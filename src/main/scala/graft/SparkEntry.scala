@@ -952,6 +952,46 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // point-in-interval join via grid bucketing: each event value joins
+    // the overlapping synthetic quality bands — intervals explode to grid
+    // cells (bounded fan-out), points bucket map-side, and the join is
+    // CELL EQUALITY with the exact range re-checked inside (hash-join,
+    // never the nested-loop a raw theta join plans to)
+    "events_interval_lookup" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").where(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("band_id"),
+          ((col("o_orderkey") % 97) * 5).cast("double").as("lo"),
+          ((col("o_orderkey") % 97) * 5 + 10 + col("o_orderkey") % 23)
+            .cast("double").as("hi"))
+      val pts = events(s, dir).select(col("event_id"), col("value"))
+      operators.RangeJoin.pointInInterval(pts, "value", iv, "lo", "hi",
+          grid = 32L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_bands"), min(col("band_id")).as("first_band"))
+        .orderBy(col("event_id"))
+    }),
+
+    // corpus reporting with subtotal rows: ROLLUP over (lang, source) —
+    // Spark's Expand-based grouping sets, one scan
+    "corpus_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+
+    // per-source language mix as a PIVOT (conditional aggregation over
+    // the known language set; absent combinations report 0)
+    "corpus_pivot" -> ((s, dir) => {
+      val p = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+      p.select(col("source") +:
+        Seq("de", "en", "es", "fr", "zh").map(l =>
+          coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy(col("source"))
+    }),
+
     // ordered funnel over the event stream: users reaching each stage
     // through a strictly increasing signup -> click -> purchase chain;
     // stage k is ONE user-keyed conditional-min aggregate (map-side type
@@ -3933,6 +3973,30 @@ object SparkEntry {
           |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
           |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
           |ORDER BY stage""".stripMargin,
+
+      "events_interval_lookup" ->
+        """WITH iv AS (SELECT o_orderkey AS band_id,
+          |              (o_orderkey % 97) * 5 AS lo,
+          |              (o_orderkey % 97) * 5 + 10 + o_orderkey % 23 AS hi
+          |            FROM orders WHERE o_orderkey % 50 = 0)
+          |SELECT e.event_id, count(*) AS n_bands, min(band_id) AS first_band
+          |FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+          |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+      "corpus_rollup" ->
+        """SELECT lang, source, count(*) AS n_docs,
+          |       sum(n_chars)::BIGINT AS n_chars
+          |FROM documents GROUP BY ROLLUP (lang, source)
+          |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+      "corpus_pivot" ->
+        """SELECT source,
+          |  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+          |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+          |  sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+          |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+          |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "events_retention" ->
         """WITH p AS (SELECT DISTINCT user_id,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class RangeJoinSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("point-in-interval: half-open bounds, overlaps surface exactly once") {
+    val iv = Seq(
+      (1L, 0.0, 10.0),    // [0, 10)
+      (2L, 5.0, 64.0),    // spans several grid-8 cells
+      (3L, 64.0, 66.0)    // exactly on a cell boundary
+    ).toDF("band_id", "lo", "hi")
+    val pts = Seq((100L, 0.0), (101L, 5.0), (102L, 9.99), (103L, 10.0),
+      (104L, 63.999), (105L, 64.0), (106L, 66.0)).toDF("pid", "v")
+    val got = RangeJoin.pointInInterval(pts, "v", iv, "lo", "hi", grid = 8L)
+      .select("pid", "band_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (100L, 1L), (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 2L),             // hi is EXCLUSIVE: 10.0 leaves band 1
+      (104L, 2L), (105L, 3L)  // 64.0 leaves band 2, enters band 3
+    ), got.toString)           // 106: 66.0 exclusive -> no match
+    // a multi-cell overlap appears exactly once per (point, interval)
+    val dup = RangeJoin.pointInInterval(pts, "v", iv, "lo", "hi", grid = 8L)
+      .groupBy("pid", "band_id").count().where(col("count") > 1).count()
+    assert(dup == 0L)
+  }
+
+  test("the plan is an equi-join on the grid cell, never a nested loop") {
+    val iv = Seq((1L, 0.0, 10.0)).toDF("band_id", "lo", "hi")
+    val pts = Seq((100L, 1.0)).toDF("pid", "v")
+    val p = RangeJoin.pointInInterval(pts, "v", iv, "lo", "hi", grid = 8L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"the grid decomposition must hash-join:\n$p")
+  }
+}
