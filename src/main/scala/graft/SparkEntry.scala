@@ -1360,6 +1360,18 @@ object SparkEntry {
         "chars_match_text" -> (col("n_chars") === length(col("text"))),
         "source_format" -> col("source").rlike("^src[0-9]+$")))),
 
+    // per-language percentile-rank normalization (the step before
+    // combining incomparable quality signals): quantize map-side, ONE
+    // bounded per-(group, bucket) histogram, the cumulative fold as a
+    // window over the BOUNDED histogram (never corpus rows), broadcast
+    // (group, bucket) lookup back — skew-safe where percent_rank() over
+    // the group partition would sort half the corpus in one task
+    "quality_rank_normalize" -> ((s, dir) =>
+      operators.RankNormalize.percentileRank(t(s, dir, "documents"), "lang",
+          col("n_chars").cast("double") / lit(1000.0))
+        .select(col("doc_id"), col("lang"), col("rank_pct"))
+        .orderBy(col("doc_id"))),
+
     // weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
     // exactly 10 docs per language, selection probability proportional to
     // n_chars — the exponential key −ln(u)/w computes map-side from the
@@ -4243,6 +4255,19 @@ object SparkEntry {
           |  UNION ALL SELECT 'source_format', n, v_src, v_src = 0 FROM a
           |  UNION ALL SELECT 'text_nonempty', n, v_text, v_text = 0 FROM a)
           |ORDER BY expectation""".stripMargin,
+
+      "quality_rank_normalize" ->
+        """WITH d AS (SELECT doc_id, lang,
+          |  greatest(0, least(CAST(floor(
+          |    round(n_chars::DOUBLE / 1000.0, 6) * 65536) AS BIGINT),
+          |    65535)) AS qb
+          |  FROM documents)
+          |SELECT d.doc_id, d.lang,
+          |  round((SELECT count(*) FROM d d2
+          |         WHERE d2.lang = d.lang AND d2.qb < d.qb)::DOUBLE
+          |      / (SELECT count(*) FROM d d3
+          |         WHERE d3.lang = d.lang), 6) AS rank_pct
+          |FROM d ORDER BY d.doc_id""".stripMargin,
 
       "sample_weighted_k" ->
         s"""WITH d AS (SELECT doc_id, lang,

@@ -140,3 +140,52 @@ object PerGroupQuantile {
       .drop("__cut")
   }
 }
+
+/**
+ * Per-group PERCENTILE-RANK normalization — the step before combining
+ * heterogeneous quality signals (a classifier margin, a perplexity, a
+ * length prior live on incomparable scales; their within-group rank is
+ * the commensurable quantity — rank transformations are the standard
+ * normalization for exactly this, cf. CCNet's per-language terciles).
+ *
+ * rank_pct(x) = (# of group rows with strictly smaller quantized score)
+ *               / (group size)  ∈ [0, 1)
+ *
+ * Skew-safe shape — the naive `percent_rank() OVER (PARTITION BY group
+ * ORDER BY score)` sorts each group in ONE task (a group holding half
+ * the corpus is one unsplittable sort): here scores quantize map-side to
+ * `buckets` integer levels (granularity is the operator's contract, as
+ * in token-budget selection), ONE bounded aggregate builds the per-
+ * (group, bucket) histogram, the cumulative fold runs as a window over
+ * the BOUNDED histogram (≤ `buckets` rows per group — never corpus
+ * rows), and the result broadcasts back onto the corpus as a map-side
+ * (group, bucket) lookup.
+ */
+object RankNormalize {
+
+  /** Adds `rank_pct` (rounded to 6). `scoreCol` must land in [0, 1] —
+    * clamp/normalize upstream; values quantize to ⌊round(s,6)·B⌋. */
+  def percentileRank(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      scoreCol: Column,
+      buckets: Int = 65536): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "rankNormalize: buckets must be positive")
+    val bucket = greatest(lit(0L), least(
+      floor(round(scoreCol, 6) * buckets).cast("long"),
+      lit(buckets - 1L)))
+    val tagged = df.withColumn("__qb", bucket)
+    val hist = tagged.groupBy(col(groupCol), col("__qb"))
+      .agg(count(lit(1)).as("__c"))
+    val ordered = Window.partitionBy(col(groupCol)).orderBy(col("__qb"))
+    val whole = Window.partitionBy(col(groupCol))
+    val lookup = hist
+      .withColumn("__below", sum(col("__c")).over(ordered) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .select(col(groupCol), col("__qb"), col("__below"), col("__n"))
+    tagged.join(broadcast(lookup), Seq(groupCol, "__qb"))
+      .withColumn("rank_pct",
+        round(col("__below").cast("double") / col("__n").cast("double"), 6))
+      .drop("__qb", "__below", "__n")
+  }
+}

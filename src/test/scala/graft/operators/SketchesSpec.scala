@@ -47,6 +47,21 @@ class SketchesSpec extends SparkSuite {
     assert((out2.getLong(1), out2.getDouble(2)) == ((4L, 0.2)))
   }
 
+  test("rank normalize: strictly-below fraction, ties share a rank") {
+    val df = Seq(
+      (1L, "a", 0.1), (2L, "a", 0.2), (3L, "a", 0.2), (4L, "a", 0.3),
+      (5L, "b", 0.9)).toDF("id", "g", "s")
+    val got = RankNormalize.percentileRank(df, "g", col("s"))
+      .select("id", "rank_pct")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.25, 3L -> 0.25, 4L -> 0.75,
+      5L -> 0.0), got.toString)
+    // the corpus-side join must be a broadcast of the bounded lookup
+    val p = RankNormalize.percentileRank(df, "g", col("s"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("expectations audit: nulls violate, counts are exact, one row each") {
     val df = Seq(
       (Some(1L), "ok"), (Some(2L), ""), (None, "x"), (Some(4L), null))
