@@ -2446,6 +2446,14 @@ object SparkEntry {
       Streams.userSessions(s, s"$dir/events.parquet")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // per-window value-quantile monitoring: percentile_approx as the
+    // streaming aggregate (mergeable sketch — bounded state per window),
+    // gauged against the exact batch arm — exact + within-tolerance flag,
+    // the HLL/CMS gauge pattern on the streaming surface
+    "stream_window_quantiles" -> ((s, dir) =>
+      Streams.windowQuantileGauge(s, s"$dir/events.parquet")
+        .orderBy(col("window_start"))),
+
     // per-window distribution drift vs the corpus reference (integer-ppm
     // TVD): the streaming traffic-mix tripwire — windowed counts are the
     // only streaming state, the comparison is batch arithmetic on the
@@ -5160,6 +5168,14 @@ object SparkEntry {
           |                '%Y-%m-%d %H:%M:%S') AS window_start,
           |       event_type, count(*) AS n_events
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      "stream_window_quantiles" ->
+        """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP),
+          |                '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       count(*) AS n_events,
+          |       round(quantile_cont(value, 0.5), 6) AS p_exact,
+          |       true AS approx_ok
+          |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
 
       "stream_window_drift" ->
         """WITH c AS (

@@ -79,11 +79,18 @@ object Streams {
           _ + lit(36000L * 1000000000L) // raw ns
         case _ => _ + expr("INTERVAL 10 HOURS")
       }
-    // one sentinel event per user, far past every real session/window
-    ev.select(col("user_id"), col("ts"), col("event_type"))
+    // one sentinel event per user, far past every real session/window —
+    // written with the FULL source schema (nulls elsewhere) so the staged
+    // dir keeps one footer schema and consumers can read any column
+    val sentinels = ev
       .groupBy(col("user_id"))
       .agg(plusTenHours(max(col("ts"))).as("ts"))
-      .select(col("user_id"), col("ts"), lit(sentinel).as("event_type"))
+      .withColumn("event_type", lit(sentinel))
+    val full = ev.schema.fields.map { f =>
+      if (Set("user_id", "ts", "event_type")(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    sentinels.select(full.toIndexedSeq: _*)
       .coalesce(1)
       .write.mode("append").parquet(dir.toString)
     (dir.toString, sentinel)
@@ -505,6 +512,68 @@ object Streams {
       .agg(topk(-col("doc_id").cast("double"), col("doc_id")).as("tk"))
       .select(col("source"), explode(col("tk.items._2")).as("doc_id"))
       .select(col("doc_id"), col("source"))
+  }
+
+  /**
+   * Per-window quantile monitoring as a STREAMING aggregate with its
+   * accuracy gauge — the value-distribution tripwire next to
+   * [[windowedDrift]]'s categorical one: each tumbling window aggregates
+   * `percentile_approx` (a MERGEABLE sketch — bounded state per window,
+   * exactly what the state store needs; an exact percentile would buffer
+   * every value per window), and the oracle-facing result reports the
+   * EXACT batch-side percentile plus an approx-within-tolerance flag —
+   * the HLL/CMS gauge pattern: at scale the exact arm drops and the
+   * gauge licenses the sketch. At the spec's cardinalities the sketch
+   * buffers fewer values than `accuracy` and is provably exact, so the
+   * flag is deterministic.
+   */
+  def windowQuantileGauge(
+      spark: SparkSession,
+      eventsParquet: String,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours",
+      quantile: Double = 0.5,
+      accuracy: Int = 10000,
+      rankTol: Double = 0.01): DataFrame = {
+    val (dir, sentinel) = stageSource(spark, eventsParquet)
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", watermarkDelay)
+      .where(col("event_type") =!= sentinel)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(expr(s"percentile_approx(value, CAST($quantile AS DOUBLE), " +
+        s"$accuracy)").as("__p_approx"))
+    val drained = runToMemory(agg, "complete", statePartitionsFor(dir))
+    // The gauge checks the sketch's ACTUAL contract — rank error, not
+    // value error (at 10 events/window the uninterpolated element the
+    // sketch returns can sit far from the interpolated exact quantile in
+    // VALUE space while being rank-perfect): the returned element must
+    // bracket the target rank within rankTol·n — strictly-below mass
+    // ≤ (q + tol)·n and at-or-below mass ≥ (q − tol)·n.
+    val batch = normalizeTs(spark.read.parquet(dir))
+      .where(col("event_type") =!= sentinel)
+      .withColumn("window", window(col("ts"), windowLength))
+    val gauged = batch
+      .join(broadcast(drained), Seq("window"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"percentile(value, CAST($quantile AS DOUBLE))").as("__p_exact"),
+        sum(when(col("value") < col("__p_approx"), 1L).otherwise(0L))
+          .as("__lo"),
+        sum(when(col("value") <= col("__p_approx"), 1L).otherwise(0L))
+          .as("__hi"))
+    val q = lit(quantile)
+    val tol = lit(rankTol)
+    val out = gauged.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_events"),
+        round(col("__p_exact"), 6).as("p_exact"),
+        (col("__lo").cast("double") <= (q + tol) * col("n_events") &&
+          col("__hi").cast("double") >= (q - tol) * col("n_events"))
+          .as("approx_ok"))
+      .localCheckpoint()
+    cleanupStaging(Paths.get(dir))
+    out
   }
 
   /**
