@@ -526,6 +526,12 @@ object Streams {
    * gauge licenses the sketch. At the spec's cardinalities the sketch
    * buffers fewer values than `accuracy` and is provably exact, so the
    * flag is deterministic.
+   *
+   * The complete-mode drain here mirrors the offline audit (every window
+   * in the result table at drain end); an always-on deployment runs the
+   * SAME aggregate in append mode, where the watermark evicts each
+   * window's sketch state once the window closes — state is then bounded
+   * by open windows, not stream history.
    */
   def windowQuantileGauge(
       spark: SparkSession,
