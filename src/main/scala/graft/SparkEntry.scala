@@ -1360,6 +1360,22 @@ object SparkEntry {
         "chars_match_text" -> (col("n_chars") === length(col("text"))),
         "source_format" -> col("source").rlike("^src[0-9]+$")))),
 
+    // Z-order (Morton) clustering key over two quality dimensions — the
+    // OPTIMIZE ZORDER technique: interleaved bits make rows close in BOTH
+    // dimensions close in the 1-D key, so range-partitioning by it gives
+    // every output shard a small (length, tokens) bounding box and file
+    // statistics can skip on EITHER predicate; pure codegen'd bit
+    // arithmetic, zero shuffle to compute (spec pins the locality)
+    "curriculum_zorder" -> ((s, dir) => {
+      val q1 = least(shiftright(col("n_chars"), 2), lit(255L))
+      val q2 = least(size(TextOps.tokens(col("text"))).cast("long"), lit(255L))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.ZOrder.interleave2(q1, q2, 8).as("zkey"))
+        .withColumn("shard", shiftright(col("zkey"), 10))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language percentile-rank normalization (the step before
     // combining incomparable quality signals): quantize map-side, ONE
     // bounded per-(group, bucket) histogram, the cumulative fold as a
@@ -4263,6 +4279,14 @@ object SparkEntry {
           |  UNION ALL SELECT 'source_format', n, v_src, v_src = 0 FROM a
           |  UNION ALL SELECT 'text_nonempty', n, v_text, v_text = 0 FROM a)
           |ORDER BY expectation""".stripMargin,
+
+      "curriculum_zorder" -> {
+        val toksSql = TextOpsSql.tokens("text")
+        val z = graft.operators.ZOrderSql.interleave2(
+          "least(n_chars >> 2, 255)", s"least(len($toksSql), 255)", 8)
+        s"""SELECT doc_id, $z AS zkey, ($z) >> 10 AS shard
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
 
       "quality_rank_normalize" ->
         """WITH d AS (SELECT doc_id, lang,
