@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.SparkSuite
+
+/** Brute-force property checks for the session's rank/funnel operators:
+  * the skew-safe plans must equal the obvious sequential definitions on
+  * arbitrary inputs. */
+class OpsPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rank normalize equals the strictly-below fraction, any input") {
+    val genRows = Gen.listOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      s <- Gen.choose(0, 100).map(_ / 100.0)
+    } yield (g, s)).suchThat(_.nonEmpty)
+    run(Prop.forAllNoShrink(genRows) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, s), i) => (i.toLong, g, s) }
+        .toDF("id", "g", "s")
+      val got = RankNormalize.percentileRank(df, "g", col("s"),
+          buckets = 256)
+        .select("id", "rank_pct").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def qb(s: Double) = math.max(0L, math.min(
+        math.floor(BigDecimal(s).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 256).toLong, 255L))
+      val want = rows.zipWithIndex.map { case ((g, s), i) =>
+        val grp = rows.filter(_._1 == g)
+        val below = grp.count(r => qb(r._2) < qb(s))
+        i.toLong -> BigDecimal(below.toDouble / grp.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+
+  test("funnel counts equal the sequential per-user simulation") {
+    val stages = Seq("s1", "s2", "s3")
+    val genEvents = Gen.listOf(for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0, 30)
+      st <- Gen.oneOf("s1", "s2", "s3", "other")
+    } yield (u, st, t)).suchThat(_.nonEmpty)
+    run(Prop.forAllNoShrink(genEvents) { evs =>
+      val df = evs.map { case (u, st, t) =>
+        (u, st, new Timestamp(t * 1000L)) }.toDF("user_id", "et", "ts")
+      val got = Funnel.funnelCounts(df, "user_id", "et", "ts", stages)
+        .select("stage", "n_users").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential reference: per user, walk the stage list taking the
+      // earliest strictly-later event of each next type
+      val reached = Array.fill(stages.size)(0L)
+      evs.groupBy(_._1).foreach { case (_, uevs) =>
+        var prev = Long.MinValue
+        var k = 0
+        var continue = true
+        while (k < stages.size && continue) {
+          val cand = uevs.filter(e => e._2 == stages(k) && e._3 * 1000L > prev)
+          if (cand.isEmpty) continue = false
+          else {
+            prev = cand.map(_._3 * 1000L).min
+            reached(k) += 1
+            k += 1
+          }
+        }
+      }
+      val want = stages.indices.map(i => (i + 1).toLong -> reached(i)).toMap
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+}
