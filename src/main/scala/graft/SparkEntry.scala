@@ -2029,6 +2029,37 @@ object SparkEntry {
     // the operators above; the whole flow is ONE declarative plan — a single
     // scan, map-side filters/score/hash, one digest shuffle (dedup), one
     // aggregation — which is exactly how it would run over 100 TB.
+    // the curation ATTRITION report — per-stage cumulative survival
+    // through language gate -> quality gate -> exact dedup (the release
+    // accounting every pipeline publishes): gate flags compute in ONE
+    // scan, the dedup winner adds the one digest shuffle, and all stage
+    // counts ride a single conditional aggregate
+    "pipeline_attrition" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens(col("text"))
+      val flagged = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (TextOps.langId(toks) === "en").as("f_lang"),
+          (QualityOps.qualityScore(col("text"), toks) >= 0.5).as("f_q"),
+          sha2(col("text").cast("binary"), 256).as("dg"))
+        .withColumn("s_lang", col("f_lang"))
+        .withColumn("s_qual", col("f_lang") && col("f_q"))
+      val winners = flagged.where(col("s_qual"))
+        .groupBy(col("dg")).agg(min(col("doc_id")).as("__w"))
+      val row = flagged
+        .join(winners, Seq("dg"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("s_lang"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("s_qual"), 1L).otherwise(0L)).as("b"),
+          sum(when(col("s_qual") && col("doc_id") === col("__w"), 1L)
+            .otherwise(0L)).as("c"))
+        .head()
+      Seq((1L, "all", row.getLong(0)), (2L, "lang_en", row.getLong(1)),
+        (3L, "quality", row.getLong(2)), (4L, "dedup", row.getLong(3)))
+        .toDF("stage", "gate", "n_surviving")
+        .orderBy(col("stage"))
+    }),
+
     "pipeline_e2e" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       val base = t(s, dir, "documents")
@@ -4828,6 +4859,32 @@ object SparkEntry {
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents WHERE lang = 'en'
            |GROUP BY source ORDER BY source""".stripMargin,
+
+      // independent formulation: dedup winner by TEXT partition (not the
+      // digest the Spark plan shuffles on)
+      "pipeline_attrition" -> {
+        val score = QualityOpsSql.qualityScore("text", "tk")
+        val lang = TextOpsSql.langId("tk")
+        s"""WITH d AS (SELECT doc_id, text,
+           |             ${TextOpsSql.tokens("text")} AS tk FROM documents),
+           |g AS (SELECT doc_id, text, ($lang = 'en') AS s_lang,
+           |        (($lang = 'en') AND $score >= CAST(0.5 AS DOUBLE))
+           |          AS s_qual
+           |      FROM d),
+           |w AS (SELECT text, min(doc_id) AS w FROM g WHERE s_qual
+           |      GROUP BY text)
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS stage, 'all' AS gate,
+           |         (SELECT count(*) FROM g) AS n_surviving
+           |  UNION ALL SELECT 2, 'lang_en',
+           |         (SELECT count(*) FROM g WHERE s_lang)
+           |  UNION ALL SELECT 3, 'quality',
+           |         (SELECT count(*) FROM g WHERE s_qual)
+           |  UNION ALL SELECT 4, 'dedup',
+           |         (SELECT count(*) FROM g JOIN w
+           |          ON g.text = w.text AND g.doc_id = w.w WHERE s_qual))
+           |ORDER BY stage""".stripMargin
+      },
 
       "pipeline_e2e" -> {
         val score = QualityOpsSql.qualityScore("text", "tk")
