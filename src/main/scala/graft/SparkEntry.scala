@@ -2037,6 +2037,10 @@ object SparkEntry {
     "pipeline_attrition" -> ((s, dir) => {
       import s.implicits._
       val toks = TextOps.tokens(col("text"))
+      // cached: the flag projection (tokenize + langId + quality model +
+      // sha2 — the plan's dominant CPU) feeds both the winners aggregate
+      // and the probe side of the join; sums coalesce so an empty corpus
+      // reports honest zeros instead of NULL-unboxing
       val flagged = t(s, dir, "documents")
         .select(col("doc_id"),
           (TextOps.langId(toks) === "en").as("f_lang"),
@@ -2044,16 +2048,21 @@ object SparkEntry {
           sha2(col("text").cast("binary"), 256).as("dg"))
         .withColumn("s_lang", col("f_lang"))
         .withColumn("s_qual", col("f_lang") && col("f_q"))
+        .cache()
       val winners = flagged.where(col("s_qual"))
         .groupBy(col("dg")).agg(min(col("doc_id")).as("__w"))
-      val row = flagged
-        .join(winners, Seq("dg"), "left_outer")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("s_lang"), 1L).otherwise(0L)).as("a"),
-          sum(when(col("s_qual"), 1L).otherwise(0L)).as("b"),
-          sum(when(col("s_qual") && col("doc_id") === col("__w"), 1L)
-            .otherwise(0L)).as("c"))
-        .head()
+      val row = try {
+        flagged
+          .join(winners, Seq("dg"), "left_outer")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("s_lang"), 1L).otherwise(0L)), lit(0L))
+              .as("a"),
+            coalesce(sum(when(col("s_qual"), 1L).otherwise(0L)), lit(0L))
+              .as("b"),
+            coalesce(sum(when(col("s_qual") && col("doc_id") === col("__w"),
+              1L).otherwise(0L)), lit(0L)).as("c"))
+          .head()
+      } finally flagged.unpersist()
       Seq((1L, "all", row.getLong(0)), (2L, "lang_en", row.getLong(1)),
         (3L, "quality", row.getLong(2)), (4L, "dedup", row.getLong(3)))
         .toDF("stage", "gate", "n_surviving")

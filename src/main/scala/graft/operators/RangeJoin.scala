@@ -32,7 +32,11 @@ object RangeJoin {
       hiCol: String,
       grid: Long): DataFrame = {
     require(grid > 0, "rangeJoin: grid must be positive")
-    val iv = intervals.select(col("*"),
+    // degenerate/inverted intervals ([lo, hi) with hi <= lo) match nothing
+    // by definition — dropped BEFORE the cell explode, where an inverted
+    // pair would otherwise make sequence() build a descending cell array
+    // sized (lo-hi)/grid
+    val iv = intervals.where(col(loCol) < col(hiCol)).select(col("*"),
       explode(sequence(
         floor(col(loCol).cast("double") / grid).cast("long"),
         floor(col(hiCol).cast("double") / grid).cast("long"))).as("__ib"))

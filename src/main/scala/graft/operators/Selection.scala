@@ -164,7 +164,12 @@ object PerGroupQuantile {
 object RankNormalize {
 
   /** Adds `rank_pct` (rounded to 6). `scoreCol` must land in [0, 1] —
-    * clamp/normalize upstream; values quantize to ⌊round(s,6)·B⌋. */
+    * clamp/normalize upstream; values quantize to ⌊round(s,6)·B⌋. Rows
+    * with a NULL group or NULL score are EXCLUDED up front (a null score
+    * cannot rank, and silently handing it the clamp's top bucket would be
+    * the worst possible default for a quality signal). The scored
+    * projection is cached (scoped to the caller's action): it feeds both
+    * the histogram and the probe side of the join. */
   def percentileRank(
       df: org.apache.spark.sql.DataFrame,
       groupCol: String,
@@ -174,7 +179,10 @@ object RankNormalize {
     val bucket = greatest(lit(0L), least(
       floor(round(scoreCol, 6) * buckets).cast("long"),
       lit(buckets - 1L)))
-    val tagged = df.withColumn("__qb", bucket)
+    val tagged = df
+      .where(col(groupCol).isNotNull && scoreCol.isNotNull)
+      .withColumn("__qb", bucket)
+      .cache()
     val hist = tagged.groupBy(col(groupCol), col("__qb"))
       .agg(count(lit(1)).as("__c"))
     val ordered = Window.partitionBy(col(groupCol)).orderBy(col("__qb"))
@@ -183,9 +191,10 @@ object RankNormalize {
       .withColumn("__below", sum(col("__c")).over(ordered) - col("__c"))
       .withColumn("__n", sum(col("__c")).over(whole))
       .select(col(groupCol), col("__qb"), col("__below"), col("__n"))
-    tagged.join(broadcast(lookup), Seq(groupCol, "__qb"))
+    val out = tagged.join(broadcast(lookup), Seq(groupCol, "__qb"))
       .withColumn("rank_pct",
         round(col("__below").cast("double") / col("__n").cast("double"), 6))
       .drop("__qb", "__below", "__n")
+    CacheScope.unpersistAfterAction(out, Seq(tagged))
   }
 }

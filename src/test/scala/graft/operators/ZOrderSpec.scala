@@ -33,14 +33,14 @@ class ZOrderSpec extends SparkSuite {
       .agg((max("a") - min("a")).as("wa"), (max("b") - min("b")).as("wb"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(boxes.length == 16)
-    val avgArea = boxes.map { case (wa, wb) => (wa + 1.0) * (wb + 1.0) }
-      .sum / boxes.length
-    // full grid area 4096; perfect 16-way z-split gives 256; allow slack
-    // for range-boundary straddling
-    assert(avgArea < 4096 / 4.0, s"avg bounding-box area $avgArea")
-    boxes.foreach { case (wa, wb) =>
-      assert(wa < 64 && wb < 64, "no partition may span a full axis")
-    }
+    // a perfect 16-way z-split gives 16x16 quadrants (width 15 each); the
+    // sampled range boundaries may straddle a quadrant edge, so demand
+    // only that MOST partitions stay quadrant-tight — a lexicographic
+    // (a*64+b) key fails outright: EVERY partition spans the full b axis
+    // (wb = 63), so zero partitions satisfy the bound
+    val tight = boxes.count { case (wa, wb) => wa <= 31 && wb <= 31 }
+    assert(tight >= 12, s"only $tight/16 partitions quadrant-tight: " +
+      boxes.mkString(","))
   }
 
   test("the SQL rendering agrees with the Column expression") {
