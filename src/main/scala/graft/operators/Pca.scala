@@ -84,6 +84,31 @@ object Pca {
       .orderBy(col("dim"))
   }
 
+  /** Top `k` principal directions by DEFLATION: power-iterate, project
+    * the component out ([[removeComponent]]), repeat on the residual —
+    * each round is the same bounded-wire matvec loop, so k components
+    * cost k× the single-component plan (k·iters bounded jobs total; the
+    * driver holds k·d doubles). The float re-quantization between rounds
+    * is the same storage contract the ABTT path uses. */
+  def topComponents(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      iters: Int = 3,
+      scale: Long = 1L << 20): Seq[Array[Double]] = {
+    require(k > 0, "pca: k must be positive")
+    val (comps, _) = (1 to k).foldLeft(
+      (Vector.empty[Array[Double]], df.select(col(vecCol).as("__v")))) {
+      case ((acc, cur), _) =>
+        val v = topComponentVector(cur, "__v", dim, iters, scale)
+        val next = removeComponent(cur, "__v", v)
+          .select(col("corrected").as("__v"))
+        (acc :+ v, next)
+    }
+    comps
+  }
+
   /** All-but-the-top correction (Mu & Viswanath 2018): remove the
     * projection onto the dominant direction, x′ = x − (x·v)v, as a pure
     * MAP-SIDE transform against the literal v — zero shuffle, scan speed.

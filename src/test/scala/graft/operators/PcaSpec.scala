@@ -30,6 +30,23 @@ class PcaSpec extends SparkSuite {
     assert(got.map(_(1)).toSeq == Seq(1f, 0.5f, -1f))
   }
 
+  test("deflation recovers orthogonal components in variance order") {
+    // variance 100 along e1, 25 along e2, 1 along e3
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 400).map { _ =>
+      Tuple1(Seq(
+        (rnd.nextGaussian() * 10).toFloat,
+        (rnd.nextGaussian() * 5).toFloat,
+        (rnd.nextGaussian() * 1).toFloat))
+    }.toDF("embedding")
+    val comps = Pca.topComponents(df, "embedding", dim = 3, k = 2, iters = 10)
+    val Seq(v1, v2) = comps
+    assert(math.abs(v1(0)) > 0.99, s"first component must be ~e1: ${v1.toSeq}")
+    assert(math.abs(v2(1)) > 0.98, s"second component must be ~e2: ${v2.toSeq}")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.02, s"components must be orthogonal: $dot")
+  }
+
   test("the trajectory is bit-identical under any partitioning") {
     val base = (0L until 300L)
       .map(i => Tuple1(Seq.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6) / 6f)))
