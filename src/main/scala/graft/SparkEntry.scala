@@ -1170,6 +1170,20 @@ object SparkEntry {
     "embed_pca_power" -> ((s, dir) =>
       Pca.topComponent(s, t(s, dir, "embeddings"), "embedding", dim = 64)),
 
+    // the deflated SECOND principal direction: power-iterate, project the
+    // first component out (float re-quantized — the storage contract),
+    // power-iterate the residual — k components cost k bounded matvec
+    // loops; the oracle composes two namespaced CTE chains bit-exactly
+    "embed_pca_deflated" -> ((s, dir) => {
+      import s.implicits._
+      val comps = Pca.topComponents(t(s, dir, "embeddings"), "embedding",
+        dim = 64, k = 2)
+      comps(1).zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq
+        .toDF("dim", "loading")
+        .select(col("dim"), round(col("loading"), 6).as("loading"))
+        .orderBy(col("dim"))
+    }),
+
     // INTENT-pinned power iteration (tools/pca_reference.py): a 5-point
     // cloud dominated by multiples of (3,4) whose quantized trajectory
     // lands exactly on the hand-derivable unit direction (0.6, 0.8) —
@@ -4127,6 +4141,9 @@ object SparkEntry {
 
       "embed_abtt" -> PcaSql.abttTopK("embeddings", "vec_id", "embedding",
         dim = 64, probeId = 0L, k = 10),
+
+      "embed_pca_deflated" -> PcaSql.secondComponent("embeddings",
+        "embedding", dim = 64),
 
       "pca_pinned" ->
         """SELECT CAST(dim AS BIGINT) AS dim, CAST(loading AS DOUBLE)

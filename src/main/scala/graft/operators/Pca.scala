@@ -137,30 +137,55 @@ object PcaSql {
   private def dotOn(vExpr: String): String =
     lf(s"list_transform(range(1, len(emb)+1), i -> emb[i]::DOUBLE * $vExpr[i])")
 
-  /** The power-iteration CTE chain over a CTE `e(… , emb)`, ending at
-    * `v$iters(v)`. */
-  private def chain(dim: Int, iters: Int, scale: Long): String = {
+  /** The power-iteration CTE chain over a CTE `src(… , emb)`, ending at
+    * `${p}v$iters(v)`; `p` namespaces the intermediate CTEs so chains
+    * compose (deflation runs a second chain over the corrected CTE). */
+  private def chain(
+      dim: Int, iters: Int, scale: Long,
+      p: String = "", src: String = "e"): String = {
     val v0 = (1.0 / math.sqrt(dim.toDouble)).toString
     val v0lit = s"[${Seq.fill(dim)(s"CAST($v0 AS DOUBLE)").mkString(", ")}]"
     (1 to iters).map { k =>
       val dotExpr =
         if (k == 1) dotOn(v0lit)
-        else dotOn(s"v${k - 1}.v")
+        else dotOn(s"${p}v${k - 1}.v")
       val from =
-        if (k == 1) s"FROM e"
-        else s"FROM e, v${k - 1}"
-      s"""d$k AS (SELECT emb, $dotExpr AS dot $from),
-         |u$k AS (SELECT generate_subscripts(emb, 1) AS j, unnest(emb) AS x,
-         |               dot FROM d$k),
-         |w$k AS (SELECT j, SUM(CAST(floor((x::DOUBLE * dot) * $scale.0)
+        if (k == 1) s"FROM $src"
+        else s"FROM $src, ${p}v${k - 1}"
+      s"""${p}d$k AS (SELECT emb, $dotExpr AS dot $from),
+         |${p}u$k AS (SELECT generate_subscripts(emb, 1) AS j,
+         |               unnest(emb) AS x, dot FROM ${p}d$k),
+         |${p}w$k AS (SELECT j, SUM(CAST(floor((x::DOUBLE * dot) * $scale.0)
          |                           AS BIGINT)) AS w
-         |        FROM u$k GROUP BY j),
-         |n$k AS (SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl FROM w$k),
-         |v$k AS (SELECT list_transform(wl,
+         |        FROM ${p}u$k GROUP BY j),
+         |${p}n$k AS (SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl
+         |            FROM ${p}w$k),
+         |${p}v$k AS (SELECT list_transform(wl,
          |          t -> t / sqrt(${lf(s"list_transform(wl, t -> t * t)")}))
-         |          AS v FROM n$k)""".stripMargin
+         |          AS v FROM ${p}n$k)""".stripMargin
     }.mkString(",\n")
   }
+
+  /** Mirror of the deflated SECOND component
+    * (`Pca.topComponents(...)(1)`): chain one on the raw vectors, the
+    * x − (x·v)v projection re-quantized to FLOAT (the same storage
+    * contract the Scala rounds use), chain two over the corrected CTE. */
+  def secondComponent(
+      table: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3,
+      scale: Long = 1L << 20): String =
+    s"""WITH e AS (SELECT $vecCol AS emb FROM $table),
+       |${chain(dim, iters, scale)},
+       |dd AS (SELECT emb, ${dotOn(s"v$iters.v")} AS d FROM e, v$iters),
+       |e2 AS (SELECT list_transform(range(1, $dim + 1),
+       |         i -> (emb[i]::DOUBLE - d * v[i])::FLOAT) AS emb
+       |       FROM dd, v$iters),
+       |${chain(dim, iters, scale, p = "f", src = "e2")}
+       |SELECT CAST(j AS BIGINT) AS dim, round(v[j], 6) AS loading
+       |FROM fv$iters, (SELECT unnest(range(1, $dim + 1)) AS j)
+       |ORDER BY dim""".stripMargin
 
   def topComponent(
       table: String,
