@@ -45,6 +45,31 @@ class OpsPropertySpec extends SparkSuite {
     })
   }
 
+  test("blocklist filter equals the naive dot-boundary suffix rule") {
+    val label = Gen.oneOf("a", "b", "spam", "x")
+    val genHost = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, label).map(_.mkString(".")))
+    val genCase = for {
+      hosts <- Gen.listOf(genHost)
+      blocked <- Gen.listOf(genHost).map(_.distinct)
+    } yield (hosts, blocked)
+    run(Prop.forAllNoShrink(genCase) {
+      case (hosts, blocked) if blocked.nonEmpty =>
+        val pages = hosts.zipWithIndex
+          .map { case (h, i) => (i.toLong, s"https://$h/p") }
+          .toDF("id", "url")
+        val kept = Domains.blocklistFilter(pages, "url", blocked)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val want = hosts.zipWithIndex.collect {
+          case (h, i) if !blocked.exists(b => h == b || h.endsWith("." + b)) =>
+            i.toLong
+        }.toSet
+        (kept == want) :| s"hosts=$hosts blocked=$blocked " +
+          s"kept=$kept want=$want"
+      case _ => Prop.passed
+    })
+  }
+
   test("funnel counts equal the sequential per-user simulation") {
     val stages = Seq("s1", "s2", "s3")
     val genEvents = Gen.listOf(for {
