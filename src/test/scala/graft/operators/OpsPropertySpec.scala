@@ -70,6 +70,31 @@ class OpsPropertySpec extends SparkSuite {
     })
   }
 
+  test("weighted-k selection equals a driver-side sort of the same keys") {
+    val genRows = Gen.listOf(for {
+      g <- Gen.oneOf("a", "b")
+      w <- Gen.choose(1, 1000)
+    } yield (g, w.toDouble)).suchThat(_.nonEmpty)
+    run(Prop.forAllNoShrink(Gen.zip(genRows, Gen.choose(1, 6))) {
+      case (rows, k) =>
+        val df = rows.zipWithIndex.map { case ((g, w), i) =>
+          (i.toLong, g, w) }.toDF("id", "g", "w")
+        val got = Sampling.weightedKPerGroup(df, "g", "id", "w", k, seed = 5)
+          .select("g", "id").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        // independent path: compute every row's exponential key through a
+        // plain projection, then take each group's k smallest driver-side
+        // with the same (key, id) order — no top-k aggregate involved
+        val keys = df.select(col("g"), col("id"),
+            Sampling.exponentialKey(col("id"), col("w"), 5L).as("e"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        val want = keys.groupBy(_._1).toSeq.flatMap { case (g, grp) =>
+          grp.sortBy(t => (t._3, t._2)).take(k).map(t => (g, t._2)).toSeq
+        }.toSet
+        (got == want) :| s"k=$k got=$got want=$want"
+    })
+  }
+
   test("funnel counts equal the sequential per-user simulation") {
     val stages = Seq("s1", "s2", "s3")
     val genEvents = Gen.listOf(for {
