@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, VocabCoverage}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, VocabCoverage}
 import graft.streaming.Streams
 
 /**
@@ -172,6 +172,17 @@ object SparkEntry {
       .unionByName(mutated)
       .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
         col("text")))
+  }
+
+  /** Scratch database for the at-rest dedup-index roundtrip queries: one
+    * location per JVM (CREATE DATABASE IF NOT EXISTS keeps the first);
+    * `Bucketing.writeBucketed` drops/clears per table, so every query is
+    * re-runnable within and across sessions. */
+  private lazy val indexDbDir =
+    java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+  private def indexDb(s: SparkSession): String = {
+    Bucketing.scratchDb(s, "dedup_idx", indexDbDir)
+    "dedup_idx"
   }
 
   private val NearDupCorpusSql = {
@@ -759,6 +770,65 @@ object SparkEntry {
           "doc_id", "text", expectedItems = 65536L, fpp = 0.01)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the SAME ingest-dedup contract through the PERSISTED digest index:
+    // the corpus's digests are written ONCE as a bucketed table and the
+    // batch probes it in place (zero corpus-side Exchange, pinned by
+    // PlanAuditSpec) — the at-rest form every 100 TB ingest loop runs.
+    // Oracle identical to dedup_incremental: the index stores exactly the
+    // digests the rescan computes, so the result cannot differ
+    "dedup_index_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val db = indexDb(s)
+      DedupIndex.writeDigestIndex(d, "doc_id", "text",
+        s"$db.digest_rt", buckets = 8)
+      DedupIndex.incrementalIndexed(incrementalIngestBatch(s, dir), s,
+          s"$db.digest_rt", "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // dedup_incremental_neardup through the PERSISTED band index: corpus
+    // signatures computed once at writeBandIndex time; the probe joins
+    // the bucketed (id, band-bucket) table and the bucketed shingle
+    // verify table in place — corpus text is never re-read. Oracle
+    // identical to dedup_incremental_neardup
+    "dedup_band_index_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toksB = TextOps.tokens(col("text"))
+      val batch = d.select((col("doc_id") + 10000).as("doc_id"),
+        when(size(toksB) > 5,
+            array_join(slice(toksB, lit(6), size(toksB) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val db = indexDb(s)
+      DedupIndex.writeBandIndex(d, "doc_id", "text",
+        s"$db.band_rt", buckets = 8)
+      DedupIndex.incrementalNearDupIndexed(batch, s, s"$db.band_rt",
+          "doc_id", "text", 0.7)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // dedup_incremental_semantic through the PERSISTED cluster index:
+    // seeds and per-cell member vectors written once from the corpus; the
+    // batch assigns map-side against the persisted seeds and candidate
+    // joins equi-join the bucketed cells table in place. Oracle identical
+    // to dedup_incremental_semantic
+    "dedup_cluster_index_roundtrip" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val flipped = e.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val db = indexDb(s)
+      DedupIndex.writeClusterIndex(e, "vec_id", "embedding",
+        s"$db.cluster_rt", nlist = 8, buckets = 8)
+      DedupIndex.incrementalSemDedupIndexed(copies.unionByName(flipped), s,
+          s"$db.cluster_rt", "vec_id", "embedding", minCosine = 0.8)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
     }),
 
     // SemDeDup: embedding-cluster-bounded semantic near-dup removal — the
@@ -3220,6 +3290,89 @@ object SparkEntry {
          |WHERE text NOT IN (SELECT text FROM documents)
          |GROUP BY text ORDER BY doc_id""".stripMargin
 
+    // shared by dedup_incremental_semantic and its persisted-cluster-index
+    // roundtrip: the index stores exactly the seeds and assignments the
+    // rescan computes, so both probes share one contract
+    val incrementalSemDedupSql = {
+      def assigned(src: String) =
+        s"""SELECT cid, cv, cluster FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS cv,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM $src e, seeds s)
+           |  WHERE rn = 1""".stripMargin
+      s"""WITH batch AS (
+         |  SELECT vec_id + 10000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 5 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 20000 AS vec_id,
+         |         list_transform(embedding, x -> -x) AS embedding
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |          FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ca AS (${assigned("embeddings")}),
+         |ba AS (${assigned("batch")}),
+         |chit AS (SELECT DISTINCT b.cid FROM ba b JOIN ca c
+         |           ON b.cluster = c.cluster
+         |         WHERE ${VectorOpsSql.cosine("b.cv", "c.cv")}
+         |               >= CAST(0.8 AS DOUBLE)),
+         |wdrop AS (SELECT DISTINCT b.cid FROM ba a JOIN ba b
+         |            ON a.cluster = b.cluster AND a.cid < b.cid
+         |          WHERE ${VectorOpsSql.cosine("a.cv", "b.cv")}
+         |                >= CAST(0.8 AS DOUBLE))
+         |SELECT vec_id FROM batch
+         |WHERE vec_id NOT IN (SELECT cid FROM chit)
+         |  AND vec_id NOT IN (SELECT cid FROM wdrop)
+         |ORDER BY vec_id""".stripMargin
+    }
+
+    // shared by dedup_incremental_neardup and its persisted-band-index
+    // roundtrip: the index stores exactly the bands/shingles the rescan
+    // computes, so both probes share one contract
+    val incrementalNearDupSql = {
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        val sig = TextOpsSql.minHashSignature("ss")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        def setsOf(src: String) =
+          s"""SELECT doc_id, list_distinct($shingles) AS ss FROM (
+             |  SELECT doc_id, $thash AS th FROM (
+             |    SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM $src))""".stripMargin
+        s"""WITH batch AS (
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |bd AS (${setsOf("batch")}),
+           |cd AS (${setsOf("documents")}),
+           |bsg AS (SELECT doc_id, ss, $sig AS sig FROM bd),
+           |csg AS (SELECT doc_id, ss, $sig AS sig FROM cd),
+           |bb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |       FROM bsg, (VALUES (0), (1), (2), (3)) b(band)),
+           |cb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |       FROM csg, (VALUES (0), (1), (2), (3)) b(band)),
+           |chit AS (SELECT DISTINCT l.doc_id
+           |         FROM bb l JOIN cb r
+           |           ON l.band = r.band AND l.bucket = r.bucket
+           |         WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |               >= CAST(0.7 AS DOUBLE)),
+           |wdrop AS (SELECT DISTINCT r.doc_id
+           |          FROM bb l JOIN bb r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id
+           |          WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |                >= CAST(0.7 AS DOUBLE))
+           |SELECT doc_id FROM batch
+           |WHERE doc_id NOT IN (SELECT doc_id FROM chit)
+           |  AND doc_id NOT IN (SELECT doc_id FROM wdrop)
+           |ORDER BY doc_id""".stripMargin
+    }
+
     Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
@@ -3654,6 +3807,9 @@ object SparkEntry {
 
       "dedup_incremental" -> incrementalDedupSql,
       "dedup_incremental_bloom" -> incrementalDedupSql,
+      // the persisted-digest-index probe stores exactly the digests the
+      // rescan computes — same contract, same SQL
+      "dedup_index_roundtrip" -> incrementalDedupSql,
 
       "dedup_repeated_ngrams" -> {
         val thash = TextOpsSql.tokenHashes("tk")
@@ -3864,85 +4020,18 @@ object SparkEntry {
 
       // batch-vs-corpus semantic dedup: corpus-seeded assignment on both
       // sides, cluster-equality candidate joins, cosine >= 0.8
-      "dedup_incremental_semantic" -> {
-        def assigned(src: String) =
-          s"""SELECT cid, cv, cluster FROM (
-             |    SELECT e.vec_id AS cid, e.embedding AS cv,
-             |           s.centroid_id AS cluster,
-             |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
-             |             s.centroid_id) AS rn
-             |    FROM $src e, seeds s)
-             |  WHERE rn = 1""".stripMargin
-        s"""WITH batch AS (
-           |  SELECT vec_id + 10000 AS vec_id, embedding
-           |  FROM embeddings WHERE vec_id % 5 = 0
-           |  UNION ALL
-           |  SELECT vec_id + 20000 AS vec_id,
-           |         list_transform(embedding, x -> -x) AS embedding
-           |  FROM embeddings WHERE vec_id % 7 = 0),
-           |seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
-           |          FROM embeddings ORDER BY vec_id LIMIT 8),
-           |ca AS (${assigned("embeddings")}),
-           |ba AS (${assigned("batch")}),
-           |chit AS (SELECT DISTINCT b.cid FROM ba b JOIN ca c
-           |           ON b.cluster = c.cluster
-           |         WHERE ${VectorOpsSql.cosine("b.cv", "c.cv")}
-           |               >= CAST(0.8 AS DOUBLE)),
-           |wdrop AS (SELECT DISTINCT b.cid FROM ba a JOIN ba b
-           |            ON a.cluster = b.cluster AND a.cid < b.cid
-           |          WHERE ${VectorOpsSql.cosine("a.cv", "b.cv")}
-           |                >= CAST(0.8 AS DOUBLE))
-           |SELECT vec_id FROM batch
-           |WHERE vec_id NOT IN (SELECT cid FROM chit)
-           |  AND vec_id NOT IN (SELECT cid FROM wdrop)
-           |ORDER BY vec_id""".stripMargin
-      },
+      "dedup_incremental_semantic" -> incrementalSemDedupSql,
+      // the persisted-cluster-index probe stores exactly the seeds and
+      // assignments the rescan computes — same contract, same SQL
+      "dedup_cluster_index_roundtrip" -> incrementalSemDedupSql,
 
       // batch-vs-corpus near-dup: banding formulation on both arms —
       // corpus hits via the batch-bands x corpus-bands join, within-batch
       // drops via the batch self-join's higher-id rule
-      "dedup_incremental_neardup" -> {
-        val thash = TextOpsSql.tokenHashes("tk")
-        val shingles = TextOpsSql.shingleHashes("th")
-        val sig = TextOpsSql.minHashSignature("ss")
-        val bucketCase = (0 until TextOps.Bands)
-          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
-          .mkString("CASE band ", " ", " END")
-        def setsOf(src: String) =
-          s"""SELECT doc_id, list_distinct($shingles) AS ss FROM (
-             |  SELECT doc_id, $thash AS th FROM (
-             |    SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM $src))""".stripMargin
-        s"""WITH batch AS (
-           |  SELECT doc_id + 10000 AS doc_id,
-           |         CASE WHEN len($toks) > 5
-           |              THEN array_to_string(($toks)[6:], ' ')
-           |              ELSE text END AS text
-           |    FROM documents),
-           |bd AS (${setsOf("batch")}),
-           |cd AS (${setsOf("documents")}),
-           |bsg AS (SELECT doc_id, ss, $sig AS sig FROM bd),
-           |csg AS (SELECT doc_id, ss, $sig AS sig FROM cd),
-           |bb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
-           |       FROM bsg, (VALUES (0), (1), (2), (3)) b(band)),
-           |cb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
-           |       FROM csg, (VALUES (0), (1), (2), (3)) b(band)),
-           |chit AS (SELECT DISTINCT l.doc_id
-           |         FROM bb l JOIN cb r
-           |           ON l.band = r.band AND l.bucket = r.bucket
-           |         WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
-           |               >= CAST(0.7 AS DOUBLE)),
-           |wdrop AS (SELECT DISTINCT r.doc_id
-           |          FROM bb l JOIN bb r
-           |            ON l.band = r.band AND l.bucket = r.bucket
-           |           AND l.doc_id < r.doc_id
-           |          WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
-           |                >= CAST(0.7 AS DOUBLE))
-           |SELECT doc_id FROM batch
-           |WHERE doc_id NOT IN (SELECT doc_id FROM chit)
-           |  AND doc_id NOT IN (SELECT doc_id FROM wdrop)
-           |ORDER BY doc_id""".stripMargin
-      },
+      "dedup_incremental_neardup" -> incrementalNearDupSql,
+      // the persisted-band-index probe stores exactly the bands and
+      // shingle sets the rescan computes — same contract, same SQL
+      "dedup_band_index_roundtrip" -> incrementalNearDupSql,
 
       // LSH-vs-exact recall gauge: the exact arm is the prefix join's
       // all-shared-shingles formulation, the LSH arm the banding join —

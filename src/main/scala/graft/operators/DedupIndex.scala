@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/**
+ * Maintained AT-REST dedup indexes — the operator API behind the 100 TB
+ * posture every incremental dedup operator documents ("the corpus side is
+ * the persisted index of prior ingests, not a rescan of prior text").
+ *
+ * [[Dedup.incremental]] / [[Dedup.incrementalNearDup]] /
+ * [[Dedup.incrementalSemDedup]] take the corpus as raw text/vector source
+ * and recompute its signatures per call — correct, but a real ingest loop
+ * pays a full corpus re-signature per batch. Here the corpus signatures
+ * are computed ONCE, persisted as bucketed tables
+ * ([[Bucketing.writeBucketed]]), and every subsequent ingest probes the
+ * index in place:
+ *
+ *  - the index-side scan is bucketed on the probe key, so the equi-join
+ *    plans with ZERO Exchange on the corpus side (pinned by
+ *    `PlanAuditSpec`) — only the batch (the small side, per ingest)
+ *    shuffles, and only to align to the index's bucketing;
+ *  - after a batch commits, [[appendDigestIndex]] (and its band/cluster
+ *    analogues via re-running the writer over survivors) folds the kept
+ *    rows' signatures into the index for the next ingest — signature
+ *    computation is paid once per document lifetime, at its own ingest.
+ *
+ * Each indexed probe is pinned (oracle `dedup_index_roundtrip` /
+ * `dedup_band_index_roundtrip`) to return EXACTLY its rescan operator's
+ * result: the index stores the same digests/bands/clusters the rescan
+ * computes, so the only degrees of freedom are the at-rest layout.
+ *
+ * Reference analogue: the watermark/stats machinery persists exactly this
+ * kind of between-runs state (`sql/02-bde_control_functions.sql.in:975-1071`
+ * — per-table `last_upload_dataset` consulted by the next run instead of
+ * re-scanning prior uploads).
+ */
+object DedupIndex {
+
+  /** sha2-256 digest of `keyCol` — THE key of the exact-dedup index; hex
+    * string, identical to what [[Dedup.incremental]] computes per call. */
+  private def digest(keyCol: String) =
+    sha2(col(keyCol).cast("binary"), 256)
+
+  // =====================================================================
+  // Exact (digest) index
+  // =====================================================================
+
+  /** Build the digest index rows for `corpus`: one (kh, id) per row. */
+  private[graft] def digestRows(
+      corpus: DataFrame, idCol: String, keyCol: String): DataFrame =
+    corpus.select(digest(keyCol).as("kh"), col(idCol).cast("long").as("id"))
+
+  /**
+   * Persist `corpus`'s content digests as a bucketed managed table keyed
+   * on `kh` — the maintained exact-dedup index. One corpus scan, one
+   * bucketed write; every later [[incrementalIndexed]] probe scans it in
+   * place with no Exchange.
+   */
+  def writeDigestIndex(
+      corpus: DataFrame,
+      idCol: String,
+      keyCol: String,
+      table: String,
+      buckets: Int): Unit =
+    Bucketing.writeBucketed(digestRows(corpus, idCol, keyCol), table, "kh", buckets)
+
+  /**
+   * Fold a committed batch's digests INTO the index (append; the table's
+   * bucketing spec is preserved, so new files land in the same fixed
+   * bucket layout and probes stay Exchange-free). Call with the SURVIVORS
+   * of the batch's own dedup — each document's digest is computed exactly
+   * once, at its own ingest.
+   */
+  def appendDigestIndex(
+      batch: DataFrame, idCol: String, keyCol: String, table: String): Unit = {
+    val spark = batch.sparkSession
+    // an append must RESTATE the table's bucketing (Spark refuses an
+    // unbucketed append into a bucketed table) — read it from the catalog
+    // so the new files land in the same fixed bucket layout
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(sys.error(s"$table is not a bucketed index table"))
+    digestRows(batch, idCol, keyCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(table)
+  }
+
+  /**
+   * [[Dedup.incremental]] against the PERSISTED digest index: of `batch`,
+   * keep rows whose content digest appears neither in the index (anti-join
+   * probing the bucketed table in place) nor on an earlier (lowest-id)
+   * batch row. Result ≡ `Dedup.incremental(batch, corpus, …)` whenever
+   * `table` was written from `corpus` — pinned by the oracle.
+   */
+  def incrementalIndexed(
+      batch: DataFrame,
+      spark: SparkSession,
+      table: String,
+      idCol: String,
+      keyCol: String): DataFrame = {
+    val deduped = batch.withColumn("__kh", digest(keyCol))
+      .join(spark.table(table).select(col("kh").as("__kh")),
+        Seq("__kh"), "left_anti")
+    deduped.groupBy(col("__kh"))
+      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  // =====================================================================
+  // Near-dup (band + shingle) index
+  // =====================================================================
+
+  /** Batch/corpus side of the band index: (id, bb) per non-null band
+    * bucket, (band, bucket) folded into one 64-bit key at build time — a
+    * fold collision can only ADD a candidate, which exact-Jaccard
+    * verification kills. */
+  private[graft] def bandRows(sig: DataFrame): DataFrame =
+    Dedup.banded(sig, "id", Nil)
+      .where(col("bucket").isNotNull)
+      .select(col("id"), xxhash64(col("band"), col("bucket")).as("bb"))
+
+  /**
+   * Persist `corpus`'s MinHash band index AND shingle verify table:
+   *
+   *  - `<table>_bands` (id, bb) bucketed on `bb` — candidate generation
+   *    is the probe batch's bands equi-joining this table in place;
+   *  - `<table>_shingles` (id, shingles) bucketed on `id` — exact-Jaccard
+   *    verification joins candidate ids back to their shingle sets, again
+   *    scanning in place.
+   *
+   * Signatures are computed once, here; [[incrementalNearDupIndexed]]
+   * never touches corpus text again.
+   */
+  def writeBandIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      buckets: Int): Unit = {
+    val sig = Dedup.withSignature(
+        corpus.select(col(idCol).as("id"), col(textCol)), "id", textCol)
+      .cache()
+    Bucketing.writeBucketed(bandRows(sig), s"${table}_bands", "bb", buckets)
+    Bucketing.writeBucketed(
+      sig.select(col("id"), col("shingles")), s"${table}_shingles", "id", buckets)
+    sig.unpersist()
+  }
+
+  /**
+   * [[Dedup.incrementalNearDup]] against the PERSISTED band index: keep
+   * batch documents that are near-duplicates of nothing — neither of an
+   * indexed corpus document (shared band bucket + verified exact Jaccard
+   * ≥ `minJaccard`) nor of a lower-id batch document. The corpus side is
+   * `<table>_bands` / `<table>_shingles` — its text is never re-read, its
+   * signatures never recomputed; both index scans are bucketed on their
+   * join keys so only batch-derived rows shuffle.
+   */
+  def incrementalNearDupIndexed(
+      batch: DataFrame,
+      spark: SparkSession,
+      table: String,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double): DataFrame = {
+    val bSig = Dedup.withSignature(
+        batch.select(col(idCol).as("id"), col(textCol)), "id", textCol)
+      .cache()
+    val probe = bandRows(bSig).select(col("id").as("bid"), col("bb"))
+    val candidates = spark.table(s"${table}_bands")
+      .select(col("id").as("cid"), col("bb"))
+      .join(probe, Seq("bb"))
+      .select(col("bid"), col("cid")).dropDuplicates("bid", "cid")
+    val corpusHits = candidates
+      .join(bSig.select(col("id").as("bid"), col("shingles").as("bsh")), Seq("bid"))
+      .join(spark.table(s"${table}_shingles")
+        .select(col("id").as("cid"), col("shingles").as("csh")), Seq("cid"))
+      .where(TextOps.jaccard(col("bsh"), col("csh")) >= minJaccard)
+      .select(col("bid").as(idCol)).distinct()
+    val result = Dedup.minHashKeep(batch, idCol, textCol, minJaccard)
+      .join(corpusHits, Seq(idCol), "left_anti")
+    CacheScope.unpersistAfterAction(result, Seq(bSig))
+  }
+
+  // =====================================================================
+  // Semantic (cluster) index
+  // =====================================================================
+
+  /**
+   * Persist `corpus`'s SemDeDup cluster index:
+   *
+   *  - `<table>_cells` (cid, cv, cluster) bucketed on `cluster` — the
+   *    corpus's inverted file, member vectors co-located by cell;
+   *  - `<table>_seeds` (cluster, seed) — the nlist partitioner centroids
+   *    (the corpus's `nlist` lowest-id vectors, exactly
+   *    [[Dedup.incrementalSemDedup]]'s seeds), persisted so every later
+   *    batch assigns against the SAME partition of vector space.
+   */
+  def writeClusterIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      nlist: Int,
+      buckets: Int): Unit = {
+    val seeds = Similarity.collectSeeds(corpus, idCol, vecCol, nlist)
+    Bucketing.writeBucketed(
+      Similarity.assignClusters(corpus, idCol, vecCol, seeds),
+      s"${table}_cells", "cluster", buckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Bucketing.writeBucketed(
+      seeds.toSeq.toDF("cluster", "seed"), s"${table}_seeds", "cluster", 1)
+  }
+
+  /**
+   * [[Dedup.incrementalSemDedup]] against the PERSISTED cluster index:
+   * keep batch vectors that are semantic duplicates of nothing — neither
+   * of an indexed corpus vector (same cell, cosine ≥ `minCosine`) nor of
+   * a lower-id batch vector. Seeds load from `<table>_seeds` (an
+   * nlist-row collect), the batch assigns map-side against those
+   * literals, and the batch-corpus candidate join equi-joins the bucketed
+   * `<table>_cells` in place — per batch vector ~1/nlist of the corpus,
+   * with zero corpus-side Exchange.
+   */
+  def incrementalSemDedupIndexed(
+      batch: DataFrame,
+      spark: SparkSession,
+      table: String,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    val seeds = spark.table(s"${table}_seeds")
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bAssigned = Similarity.assignClusters(batch, idCol, vecCol, seeds)
+    val corpusHits = bAssigned.as("b")
+      .join(spark.table(s"${table}_cells").as("c"),
+        col("b.cluster") === col("c.cluster"))
+      .where(graft.functions.VectorOps.cosine(col("b.cv"), col("c.cv"))
+        >= minCosine)
+      .select(col("b.cid").as("__drop"))
+    val withinHits = bAssigned.as("a")
+      .join(bAssigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.cid") < col("b.cid"))
+      .where(graft.functions.VectorOps.cosine(col("a.cv"), col("b.cv"))
+        >= minCosine)
+      .select(col("b.cid").as("__drop"))
+    val drops = corpusHits.unionByName(withinHits).distinct()
+    batch.join(drops, col(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+}

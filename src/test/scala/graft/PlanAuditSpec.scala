@@ -465,6 +465,34 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("digest index probe: index scans bucketed, only the batch shuffles") {
+    import graft.operators.{Bucketing, DedupIndex}
+    // the operator-API form of the posture above: writeDigestIndex persists
+    // the corpus digests bucketed on kh ONCE; every incrementalIndexed
+    // probe anti-joins it in place — however many ingests run, the corpus
+    // side never re-shuffles and its text is never re-read
+    val wh = java.nio.file.Files.createTempDirectory("digest_wh").toString
+    Bucketing.scratchDb(spark, "digest_audit", wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    DedupIndex.writeDigestIndex(docs, "doc_id", "text",
+      "digest_audit.digests", buckets = 4)
+    val batch = docs.where(col("doc_id") < 50)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = physical(DedupIndex.incrementalIndexed(
+        batch, spark, "digest_audit.digests", "doc_id", "text"))
+      assert(p.contains("Bucketed: true"),
+        s"the index side must be the bucketed scan:\n$p")
+      // ONE Exchange: the batch aligning to the index's bucketing; the
+      // keep-first aggregate reuses that partitioning (both key on the
+      // digest), and the index side scans in place
+      assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+        s"only the batch probe may shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("ppl buckets: model broadcast, bucketing map-side — no global window") {
     import graft.operators.Perplexity
     val docs = spark.read.parquet(s"$sf/documents.parquet")
