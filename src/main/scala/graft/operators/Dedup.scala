@@ -532,11 +532,12 @@ object Dedup {
    * The anti-join in [[incremental]] shuffles the WHOLE batch on the digest
    * even though (in a healthy crawl) only a small fraction of it collides
    * with the corpus. Here the corpus digest index folds once into a
-   * fixed-size Bloom bitmap (Spark's native `BloomFilterAggregate`, a
-   * mergeable sketch — one aggregate job, bitmap sized by `expectedItems`/
-   * `fpp`, e.g. ~1.2 MB per 10⁶ items at 1%), the bitmap broadcasts as a
-   * LITERAL, and every batch row tests membership MAP-SIDE via the
-   * codegen'd `BloomFilterMightContain`:
+   * digest-range-SHARDED Bloom filter bank (Spark's native
+   * `BloomFilterAggregate` per shard, all shards in one aggregate job —
+   * total bits sized by `expectedItems`/`fpp`, e.g. ~1.2 MB per 10⁶ items
+   * at 1%), the bank broadcasts (torrent — fetched once per executor,
+   * never inside a task binary), and every batch row tests its shard's
+   * filter MAP-SIDE via the codegen'd `bloom_bank_contains`:
    *
    *  - definite misses (the overwhelming majority of new data) bypass the
    *    corpus join entirely — no shuffle, no corpus probe;
@@ -549,39 +550,81 @@ object Dedup {
    * rows — ever reaches the shuffle. In-batch keep-first still sees every
    * row, but via the same map-side-combinable min_by.
    */
+  /** Hard cap on the bank's total bit-array bytes (1 GiB). Beyond it the
+    * gate stops being the right tool — the fpp required to stay under the
+    * cap decays toward 1 and the gate stops gating — so the operator fails
+    * LOUDLY and points at the persisted digest index
+    * ([[DedupIndex.writeDigestIndex]] + [[DedupIndex.incrementalIndexed]]),
+    * which is the 10¹¹-document answer. */
+  private[graft] val MaxBloomBankBytes: Long = 1L << 30
+
   /**
-   * Fold the corpus's key digests into a fixed-size Bloom bitmap (ONE
-   * aggregate job, bitmap bytes = `optimalNumOfBits(expectedItems,fpp)/8`
-   * regardless of corpus row count) and return the map-side membership
-   * probe — a codegen'd `might_contain(bitmap, xxhash64(digestCol))`
-   * predicate over a LITERAL bitmap. Shared by the batch
+   * Fold the corpus's key digests into a digest-range-SHARDED Bloom filter
+   * BANK (ONE aggregate job: `groupBy(hash mod shards)` builds all shard
+   * filters in a single pass, each sized `expectedItems/shards`) and
+   * return the map-side membership probe — a codegen'd
+   * `bloom_bank_contains` over the broadcast bank, which picks the item's
+   * shard from its hash and tests that filter only. Shared by the batch
    * ([[incrementalBloom]]) and streaming
    * ([[graft.streaming.Streams.incrementalDedupStream]]) ingest gates.
    *
-   * Returns None when the corpus contributed nothing to the filter (empty
-   * corpus — `BloomFilterAggregate` evaluates to null): the correct
-   * degenerate gate is NO gate, since a null bitmap literal would make
-   * `might_contain` null and silently drop every probe row.
+   * Why a bank, not one bitmap: a single filter's bytes had to ship as a
+   * LITERAL inside every task binary — ~1.2 GB at 10⁹ corpus docs / 1%
+   * fpp, no torrent distribution, resent per task. The bank travels as a
+   * normal broadcast (fetched once per executor), each shard filter is
+   * individually bounded (`expectedItems/shards` capacity — the driver
+   * never materializes more than the bank, and each aggregate partial
+   * stays shard-sized), and the total is `require`-capped at
+   * [[MaxBloomBankBytes]] with the persisted digest index named as the
+   * beyond-cap design. Sharding by `floorMod(hash, shards)` partitions
+   * items across filters, so the bank's aggregate fpp equals the single
+   * filter's at the same total bits — results are IDENTICAL either way
+   * (both designs are exact-confirmed downstream; the spec pins bank ≡
+   * single-filter survivors).
+   *
+   * Returns None when the corpus contributed nothing (empty corpus — the
+   * groupBy yields no shard rows): the correct degenerate gate is NO
+   * gate. A shard with no corpus items stays null in the bank and probes
+   * as a definite miss.
    */
   private[graft] def corpusBloomProbe(
       corpusDigests: Column,
       corpus: DataFrame,
       expectedItems: Long,
-      fpp: Double): Option[Column => Column] = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      fpp: Double,
+      shards: Int = 64): Option[Column => Column] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.util.sketch.BloomFilter
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    require(shards >= 1, "shards must be >= 1")
+    require(BloomFilter.optimalNumOfBits(expectedItems, fpp) / 8 <= MaxBloomBankBytes,
+      s"Bloom bank for expectedItems=$expectedItems at fpp=$fpp exceeds " +
+        s"$MaxBloomBankBytes bytes; at this corpus cardinality the gate " +
+        "stops gating — maintain a persisted digest index instead " +
+        "(DedupIndex.writeDigestIndex / incrementalIndexed)")
+    val perShard = math.max(1L, (expectedItems + shards - 1) / shards)
+    val numBits = BloomFilter.optimalNumOfBits(perShard, fpp)
+    val h = xxhash64(corpusDigests)
     val bloomAgg = ColumnBridge.column(
-      new BloomFilterAggregate(ColumnBridge.expression(xxhash64(corpusDigests)),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    Option(corpus.select(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf"))
-      .map { bloomBytes => (digest: Column) =>
-        ColumnBridge.column(BloomFilterMightContain(
-          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
-          ColumnBridge.expression(xxhash64(digest))))
+      new BloomFilterAggregate(ColumnBridge.expression(h),
+        Literal(perShard), Literal(numBits)).toAggregateExpression())
+    val rows = corpus
+      .groupBy(pmod(h, lit(shards.toLong)).cast("int").as("__shard"))
+      .agg(bloomAgg.as("bf"))
+      .collect()
+    if (rows.isEmpty) None
+    else {
+      val bank = new Array[BloomFilter](shards)
+      rows.foreach { r =>
+        if (!r.isNullAt(1)) bank(r.getInt(0)) = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
       }
+      val bc = corpus.sparkSession.sparkContext.broadcast(bank)
+      Some((digest: Column) => ColumnBridge.column(
+        graft.plans.BloomBankContainsExpr(
+          ColumnBridge.expression(xxhash64(digest)), bc, shards)))
+    }
   }
 
   def incrementalBloom(
@@ -590,9 +633,10 @@ object Dedup {
       idCol: String,
       keyCol: String,
       expectedItems: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      shards: Int = 64): DataFrame = {
     val kh = sha2(col(keyCol).cast("binary"), 256)
-    corpusBloomProbe(kh, corpus, expectedItems, fpp) match {
+    corpusBloomProbe(kh, corpus, expectedItems, fpp, shards) match {
       // empty corpus: nothing can collide — the gate degenerates to the
       // plain operator (which the result is pinned to equal anyway)
       case None => incremental(batch, corpus, idCol, keyCol)

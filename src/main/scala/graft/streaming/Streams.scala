@@ -292,15 +292,17 @@ object Streams {
         sha2(col("text").cast("binary"), 256).as("digest"))
     // Optional broadcast-Bloom pre-gate (the streaming door of
     // Dedup.incrementalBloom): the corpus digest index folds ONCE into a
-    // literal bitmap and every arriving doc tests membership MAP-SIDE —
-    // definite misses skip the per-batch static probe entirely, so the
-    // stream-static join prices at |possible hits| per batch instead of
-    // |batch|. Bloom misses can't be false, and hits are exact-confirmed
-    // by the same join, so the result is identical with or without the
-    // gate (the spec pins that).
-    // the shared corpus-bitmap probe (Dedup.corpusBloomProbe): None on an
-    // empty corpus — the degenerate gate is no gate (a null bitmap literal
-    // would null out might_contain and silently drop every arriving doc)
+    // digest-range-sharded filter BANK (broadcast, per-shard bounded) and
+    // every arriving doc tests its shard MAP-SIDE — definite misses skip
+    // the per-batch static probe entirely, so the stream-static join
+    // prices at |possible hits| per batch instead of |batch|. Bloom
+    // misses can't be false, and hits are exact-confirmed by the same
+    // join, so the result is identical with or without the gate (the
+    // spec pins that).
+    // the shared bank probe (Dedup.corpusBloomProbe): None on an empty
+    // corpus — the degenerate gate is no gate (an all-null bank would
+    // classify every arriving doc as a miss, which happens to be right,
+    // but None keeps the no-gate plan shape explicit)
     val probe = bloomExpectedItems.flatMap(items =>
       graft.operators.Dedup.corpusBloomProbe(
         sha2(col("text").cast("binary"), 256), corpus, items, bloomFpp))

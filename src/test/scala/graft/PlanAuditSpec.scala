@@ -138,8 +138,8 @@ class PlanAuditSpec extends SparkSuite {
     val antiJoins = p.linesIterator.count(l =>
       l.contains("LeftAnti") || l.contains("left_anti"))
     assert(antiJoins == 1, s"expected one confirm anti-join, got $antiJoins:\n$p")
-    assert(p.contains("might_contain"),
-      s"map-side bloom probe missing from the plan:\n$p")
+    assert(p.contains("bloom_bank_contains"),
+      s"map-side bloom-bank probe missing from the plan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -206,6 +206,28 @@ class DedupSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(gated == plain, s"items=$items fpp=$fpp")
     }
+    // and at any shard-bank width: a single filter, the default bank, and
+    // a wider-than-corpus bank (most shards null → definite misses) all
+    // produce the identical survivor set
+    for (shards <- Seq(1, 16, 1024)) {
+      val gated = Dedup.incrementalBloom(batch, corpus, "id", "text",
+          expectedItems = 100000L, fpp = 0.01, shards = shards)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(gated == plain, s"shards=$shards")
+    }
+  }
+
+  test("incrementalBloom refuses a bank beyond the byte cap, loudly") {
+    // 10^11 corpus docs at 1% fpp wants ~120 GB of bits — the regime where
+    // the gate stops gating; the operator must fail with a pointer at the
+    // persisted digest index rather than OOM the driver or silently decay
+    val corpus = Seq((1L, "a")).toDF("id", "text")
+    val batch = Seq((2L, "b")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalBloom(batch, corpus, "id", "text",
+        expectedItems = 100000000000L, fpp = 0.01)
+    }
+    assert(e.getMessage.contains("digest index"))
   }
 
   test("incrementalBloom: an EMPTY corpus admits the whole deduped batch") {
