@@ -63,19 +63,45 @@ object Bpe {
     df.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** Default cap on the collected vocabulary rows (~4M words ≈ a few
+    * hundred MB of driver strings — bounded however large the corpus). */
+  val DefaultMaxVocab: Int = 4000000
+
   /**
    * Train `k` merges on a (word, freq) vocabulary. Returns fewer than `k`
    * merges if the vocabulary runs out of adjacent pairs. ONE collect of the
-   * vocabulary table (vocabulary-sized — the corpus never reaches the
-   * driver), then [[trainLocal]]; ties break on the lexicographically
-   * smallest pair string in UTF-8 byte order, which for space-separated
-   * symbols orders exactly like the (left, right) tuple.
+   * vocabulary table, then [[trainLocal]]; ties break on the
+   * lexicographically smallest pair string in UTF-8 byte order, which for
+   * space-separated symbols orders exactly like the (left, right) tuple.
+   *
+   * The collect is BOUNDED: rows below `minFreq` are filtered out and at
+   * most `topM` words (by freq desc, word asc — deterministic) reach the
+   * driver, via a `TakeOrderedAndProject` whose per-partition state is
+   * top-M-bounded. A web corpus's "word" set is unbounded (URLs, typos,
+   * hex blobs), so an uncapped collect is a driver OOM at 100 TB; the
+   * truncation is the standard approximation — singleton and tail words
+   * cannot influence early merges (a pair's count is bounded by the sum of
+   * freqs of the words containing it, so dropping words of total weight W
+   * perturbs any pair count by at most W — rank inversions only among
+   * pairs closer than W), and `minFreq = 2` alone removes the unbounded
+   * crawl tail. Defaults keep every word of a ≤[[DefaultMaxVocab]]-word
+   * vocabulary: small-corpus training is exact, and the cross-engine
+   * oracle pins that path bit-for-bit.
    */
-  def train(vocab: DataFrame, wordCol: String, freqCol: String, k: Int): Seq[Merge] =
-    trainLocal(
-      vocab.select(col(wordCol).cast("string"), col(freqCol).cast("long"))
-        .collect().toSeq.map(r => (r.getString(0), r.getLong(1))),
-      k)
+  def train(
+      vocab: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      k: Int,
+      minFreq: Long = 1L,
+      topM: Int = DefaultMaxVocab): Seq[Merge] = {
+    val typed = vocab.select(
+        col(wordCol).cast("string").as("__w"), col(freqCol).cast("long").as("__f"))
+      .where(col("__f") >= minFreq)
+      .orderBy(col("__f").desc, col("__w").asc)
+      .limit(topM)
+    trainLocal(typed.collect().toSeq.map(r => (r.getString(0), r.getLong(1))), k)
+  }
 
   /** UTF-8 byte order — Spark's string `asc` and DuckDB's BINARY collation. */
   private def ltUtf8(a: String, b: String): Boolean = {
@@ -101,8 +127,13 @@ object Bpe {
    * so the sequence is bit-identical to the unrolled oracle), re-add its
    * new pairs. Occurrence sets may hold stale indices after unrelated
    * merges; they are verified by a `contains` check before use. The argmax
-   * is a linear scan of the live pair table — O(distinct pairs) per round,
-   * replaceable by a heap if vocabularies ever make it measurable.
+   * is a lazy-deletion HEAP: every count update pushes its (count, pair),
+   * and pops discard entries whose recorded count no longer matches the
+   * live table — a stale entry can only match the live count by being
+   * value-identical to a fresh one, so the top valid entry IS the exact
+   * (count desc, pair UTF-8 asc) argmax. Per round that is O(log P)
+   * amortized instead of the previous O(P) linear scan, which is what
+   * makes 32k-merge vocabularies train in seconds (spec-pinned).
    */
   def trainLocal(vocab: Seq[(String, Long)], k: Int): Seq[Merge] = {
     require(k >= 1 && k <= 100000, "merge count 1..100000 supported")
@@ -124,14 +155,28 @@ object Bpe {
       counts.update(p, counts.getOrElse(p, 0L) + fs(i))
       occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
     }
+    // (count desc, pair utf8 asc) max-heap with lazy deletion: greater
+    // ordering value = higher priority
+    val heapOrd = new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else if (a._2 == b._2) 0
+        else if (ltUtf8(a._2, b._2)) 1
+        else -1
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String)](heapOrd)
+    counts.foreach { case (p, c) => heap.enqueue((c, p)) }
+    def bump(p: String, c: Long): Unit = heap.enqueue((c, p))
     val merges = ArrayBuffer.empty[Merge]
     var rank = 1
     while (rank <= k && counts.nonEmpty) {
-      var bp: String = null
-      var bc = 0L
-      counts.foreach { case (p, c) =>
-        if (bp == null || c > bc || (c == bc && ltUtf8(p, bp))) { bp = p; bc = c }
-      }
+      // pop stale entries; the top entry matching its live count is the
+      // exact global argmax (heap top is max over all entries, and every
+      // live pair's latest count was pushed)
+      while (counts.getOrElse(heap.head._2, -1L) != heap.head._1) heap.dequeue()
+      val (bc, bp) = heap.head
       merges += Merge(rank, bp, bc)
       val pat = " " + bp + " "
       val rep = " " + bp.replace("  ", "") + " "
@@ -144,12 +189,14 @@ object Bpe {
           val f = fs(i)
           pairsOf(s).foreach { q =>
             val nv = counts.getOrElse(q, 0L) - f
-            if (nv <= 0) counts.remove(q) else counts.update(q, nv)
+            if (nv <= 0) counts.remove(q) else { counts.update(q, nv); bump(q, nv) }
           }
           val ns = s.replace(pat, rep)
           ss(i) = ns
           pairsOf(ns).foreach { q =>
-            counts.update(q, counts.getOrElse(q, 0L) + f)
+            val nv = counts.getOrElse(q, 0L) + f
+            counts.update(q, nv)
+            bump(q, nv)
             occ.getOrElseUpdate(q, mutable.BitSet.empty) += i
           }
         }

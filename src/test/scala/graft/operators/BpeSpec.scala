@@ -106,4 +106,45 @@ class BpeSpec extends SparkSuite {
     val ranked = Bpe.trainLocal(vocab, 80)
     assert(ranked.map(_.rank) == (1 to ranked.size))
   }
+
+  test("train: minFreq/topM truncation bounds the collect, deterministically") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 4L), ("typo1xz", 1L), ("typo2qj", 1L))
+      .toDF("word", "freq")
+    // minFreq = 2 drops exactly the singleton crawl tail: training equals
+    // training on the hand-truncated vocabulary
+    val got = Bpe.train(vocab, "word", "freq", 8, minFreq = 2L)
+      .map(m => (m.rank, m.pair, m.cnt))
+    val want = Bpe.train(sennrich, "word", "freq", 8)
+      .map(m => (m.rank, m.pair, m.cnt))
+    assert(got == want)
+    // topM keeps the highest-frequency words (freq desc, word asc):
+    // top-3 of the mixed vocab is {newest, low, lowest}
+    val top3 = Bpe.train(vocab, "word", "freq", 2, topM = 3)
+    val manual = Bpe.trainLocal(
+      Seq(("newest", 6L), ("low", 5L), ("lowest", 4L)), 2)
+    assert(top3.map(m => (m.pair, m.cnt)) == manual.map(m => (m.pair, m.cnt)))
+  }
+
+  test("trainLocal: a 32k-merge train on a bounded vocab stays driver-feasible") {
+    // ~40k distinct pseudo-random words (the topM shape a truncated 100 TB
+    // vocabulary collect produces): the lazy-deletion heap argmax must
+    // sustain 32768 merges without per-round O(distinct pairs) scans
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghijklmnop"
+    val vocab = (1 to 40000).map { _ =>
+      val len = 6 + rnd.nextInt(7)
+      val w = (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (w, (1 + rnd.nextInt(99)).toLong)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainLocal(vocab, 32768)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 32768, s"vocab must sustain 32k merges, got ${merges.size}")
+    assert(merges.map(_.rank) == (1 to 32768))
+    // counts are non-increasing only per-pair, but the heap must never
+    // return a pair with a stale (higher) count: spot-check monotone sanity
+    assert(merges.head.cnt >= merges.last.cnt)
+    assert(secs < 120.0, f"32k merges took $secs%.1f s — argmax has regressed")
+  }
 }
