@@ -2460,6 +2460,43 @@ object SparkEntry {
       Multimodal.decodeMeta(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id"))),
 
+    // REAL image decode through javax.imageio: deterministic PNG/JPEG/
+    // gray-PNG fixtures round-trip encoder→decoder inside mapPartitions,
+    // plus two corrupt payloads that must flag rather than throw. The
+    // oracle recomputes the construction arithmetic independently — the
+    // decoded dims/channels must equal what the images were built with
+    "mm_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      def img(w: Int, h: Int, gray: Boolean): java.awt.image.BufferedImage = {
+        val tpe = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_INT_RGB
+        val im = new java.awt.image.BufferedImage(w, h, tpe)
+        for (y <- 0 until h; x <- 0 until w)
+          im.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+        im
+      }
+      def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      val rows = (0 until 20).map { i =>
+        val (w, h) = (16 + (i * 7) % 50, 16 + (i * 11) % 40)
+        val payload = (i % 3) match {
+          case 0 => enc(img(w, h, gray = false), "png")
+          case 1 => enc(img(w, h, gray = false), "jpg")
+          case _ => enc(img(w, h, gray = true), "png")
+        }
+        (i.toLong, payload)
+      } :+
+        (100L, "definitely not an image payload".getBytes("UTF-8")) :+
+        (101L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 7, 7, 7))
+      Multimodal.decodeImageMeta(rows.toDF("id", "payload"), "id", "payload")
+        .select(col("id"), col("mime"), col("width_px"), col("height_px"),
+          col("n_channels"), col("decode_ok"))
+        .orderBy(col("id"))
+    }),
+
     "mm_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
         Multimodal.decodeMeta(t(s, dir, "documents"), "doc_id", "text"), 128)
@@ -5228,6 +5265,22 @@ object SparkEntry {
           |       64 + (ascii(substr(sha256(text),2,1)) % 16) * 4 AS height_px,
           |       octet_length(text::BLOB)::BIGINT AS n_bytes
           |FROM documents ORDER BY id""".stripMargin,
+
+      // independent reconstruction of the image-fixture arithmetic: the
+      // Spark side must report the dims/channels the images were BUILT
+      // with (round-tripped through the real codec), and the corrupt
+      // rows must flag, not throw
+      "mm_decode_real" ->
+        """SELECT CAST(id AS BIGINT) AS id,
+          |  CASE WHEN id % 3 = 1 THEN 'image/jpeg' ELSE 'image/png' END AS mime,
+          |  CAST(16 + (id * 7) % 50 AS INTEGER) AS width_px,
+          |  CAST(16 + (id * 11) % 40 AS INTEGER) AS height_px,
+          |  CAST(CASE WHEN id % 3 = 2 THEN 1 ELSE 3 END AS INTEGER) AS n_channels,
+          |  TRUE AS decode_ok
+          |FROM range(0, 20) t(id)
+          |UNION ALL SELECT 100, 'application/octet-stream', 0, 0, 0, FALSE
+          |UNION ALL SELECT 101, 'image/png', 0, 0, 0, FALSE
+          |ORDER BY id""".stripMargin,
 
       "mm_resize_plan" ->
         """WITH m AS (SELECT doc_id::BIGINT AS id,

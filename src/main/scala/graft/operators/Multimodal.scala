@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
  * codecs never run inside SQL expressions, and payload bytes never shuffle
  * for metadata-only operations).
  *
- * The decode step is STUBBED: this container has no image/audio codecs, so
- * [[decodeMeta]] derives deterministic "pixel dimensions" from the
- * payload's sha-256 — the distributed plumbing (schema, encoder,
- * mapPartitions batching, downstream planning on the typed metadata) is
- * real and tested; swapping the stub for a codec call changes one function.
+ * Two decode arms share the same partition-batched plumbing:
+ *
+ *  - [[decodeImageMeta]] is a REAL image decode — `javax.imageio` (the
+ *    JDK's built-in PNG/JPEG/GIF/BMP codecs, no external dependency)
+ *    reads each payload inside `mapPartitions`, yielding true pixel
+ *    dimensions, channel count, and a magic-byte MIME sniff; undecodable
+ *    payloads come back flagged, never thrown (one corrupt crawl byte
+ *    must not kill a 100 TB decode pass);
+ *  - [[decodeMeta]] keeps the deterministic STUB arm (dimensions from the
+ *    payload's sha-256) for codecs this container lacks (audio/video) —
+ *    the plumbing is identical, so swapping a stub for a codec call
+ *    changes one function, exactly as [[decodeImageMeta]] demonstrates.
  */
 object Multimodal {
 
@@ -60,6 +67,56 @@ object Multimodal {
           val sha = sha256Hex(payload)
           val (w, h) = stubDims(sha)
           DecodedMeta(id, "image/x-stub", w, h, payload.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  final case class ImageMeta(
+      id: Long, mime: String, width_px: Int, height_px: Int,
+      n_channels: Int, n_bytes: Long, decode_ok: Boolean)
+
+  /** Magic-byte MIME sniff — runs BEFORE any codec touches the payload, so
+    * even an undecodable row carries its container type. */
+  private[graft] def sniffMime(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N'
+        && b(3) == 'G') "image/png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      "image/jpeg"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+        && b(3) == '8') "image/gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "image/bmp"
+    else "application/octet-stream"
+
+  /**
+   * REAL partition-level batch image decode: `javax.imageio` reads each
+   * binary payload inside `mapPartitions` — codec/registry setup and the
+   * disk-cache opt-out happen once per partition, payload bytes never
+   * shuffle, and the output is the typed metadata row downstream planning
+   * runs on. A payload no reader accepts (or that throws mid-decode)
+   * yields `decode_ok = false` with zeroed dimensions — corrupt crawl
+   * bytes are data, not exceptions.
+   */
+  def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec setup: no temp-file cache on executors
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val mime = sniffMime(payload)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null)
+            ImageMeta(id, mime, 0, 0, 0, payload.length.toLong, decode_ok = false)
+          else
+            ImageMeta(id, mime, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, payload.length.toLong,
+              decode_ok = true)
         }
       }
       .toDF()

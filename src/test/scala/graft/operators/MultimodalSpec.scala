@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Real javax.imageio decode: encoder→decoder round-trip must report the
+  * construction dimensions/channels; corrupt payloads flag, never throw. */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int, gray: Boolean): Array[Byte] = {
+    val tpe = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val im = new java.awt.image.BufferedImage(w, h, tpe)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, (x * 7 + y) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  private def jpg(w: Int, h: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImageMeta: true dims/channels for png, jpeg, gray png") {
+    val rows = Seq(
+      (1L, png(33, 21, gray = false)),
+      (2L, jpg(64, 48)),
+      (3L, png(17, 17, gray = true))).toDF("id", "payload")
+    val got = Multimodal.decodeImageMeta(rows, "id", "payload")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(6)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "image/png", 33, 21, 3, true),
+      (2L, "image/jpeg", 64, 48, 3, true),
+      (3L, "image/png", 17, 17, 1, true)))
+  }
+
+  test("decodeImageMeta: corrupt payloads flag decode_ok=false, keep mime sniff") {
+    val rows = Seq(
+      (1L, "plain text, not an image".getBytes("UTF-8")),
+      (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)),
+      (3L, Array[Byte](0xff.toByte, 0xd8.toByte, 9, 9, 9)),
+      (4L, Array.empty[Byte])).toDF("id", "payload")
+    val got = Multimodal.decodeImageMeta(rows, "id", "payload")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(6)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "application/octet-stream", 0, false),
+      (2L, "image/png", 0, false),
+      (3L, "image/jpeg", 0, false),
+      (4L, "application/octet-stream", 0, false)))
+  }
+
+  test("decodeImageMeta: n_bytes is the payload size, not the pixel size") {
+    val p = png(10, 10, gray = false)
+    val r = Multimodal.decodeImageMeta(
+      Seq((7L, p)).toDF("id", "payload"), "id", "payload").collect()(0)
+    assert(r.getLong(5) == p.length.toLong)
+  }
+}
