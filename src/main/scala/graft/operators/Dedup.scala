@@ -357,6 +357,17 @@ object Dedup {
     var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("component"))
       .repartition(width, col("__id"))
       .localCheckpoint()
+    // convergence counts ride the checkpoint materialization itself as
+    // OBSERVED metrics (CollectMetrics accumulators delivered on the same
+    // action) — one driver round-trip per shuffle round instead of a
+    // second count() job over each checkpointed frame; on a diameter-d
+    // graph that halves the loop's action count
+    def observedCheckpoint(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(when(col("__chg"), lit(1))).as("chg"))
+        .localCheckpoint()
+      (ck, obs.get("chg").asInstanceOf[Long])
+    }
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -367,13 +378,12 @@ object Dedup {
         .repartition(width, col("__id"))
         .groupBy(col("__id"))
         .agg(min(col("component")).as("__in"))
-      val viaEdge = labels.join(inMin, Seq("__id"), "left_outer")
-        .select(col("__id"),
-          least(col("component"), coalesce(col("__in"), col("component")))
-            .as("component"),
-          (coalesce(col("__in") < col("component"), lit(false))).as("__chg"))
-        .localCheckpoint()
-      val edgeChanged = viaEdge.where(col("__chg")).count()
+      val (viaEdge, edgeChanged) = observedCheckpoint(
+        labels.join(inMin, Seq("__id"), "left_outer")
+          .select(col("__id"),
+            least(col("component"), coalesce(col("__in"), col("component")))
+              .as("component"),
+            (coalesce(col("__in") < col("component"), lit(false))).as("__chg")))
       if (edgeChanged == 0) {
         // classic edge-hop fixpoint: no label moved in a full pass, so
         // labels are equal across every edge — constant per component and
@@ -390,16 +400,15 @@ object Dedup {
         val self = viaEdge
           .select(col("__id").as("__c"), col("component").as("__cc"))
           .repartition(width, col("__c"))
-        val next = viaEdge
+        val (next, nextChanged) = observedCheckpoint(viaEdge
           .repartition(width, col("component"))
           .join(self, col("component") === col("__c"), "left_outer")
           .select(col("__id"),
             least(col("component"), coalesce(col("__cc"), col("component")))
               .as("component"),
             (col("__chg") ||
-              coalesce(col("__cc") < col("component"), lit(false))).as("__chg"))
-          .localCheckpoint()
-        changed = next.where(col("__chg")).count()
+              coalesce(col("__cc") < col("component"), lit(false))).as("__chg")))
+        changed = nextChanged
         val prev = labels
         labels = next.drop("__chg")
         prev.unpersist()

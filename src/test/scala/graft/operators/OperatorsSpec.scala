@@ -71,6 +71,36 @@ class DedupSpec extends SparkSuite {
     assert(got == (0L to 40L).map(_ -> 0L).toMap, got.toString)
   }
 
+  test("components loop: convergence counts ride the checkpoint jobs") {
+    // the per-round convergence check must be an OBSERVED metric on the
+    // checkpoint materialization, not a second count() job per frame: on
+    // the diameter-40 path (≈6 doubling rounds) the job total must stay at
+    // ~2 jobs/round + fixed setup. The pre-observation loop ran 2 extra
+    // count jobs per round (~12 more here) and trips this bound.
+    val sc = spark.sparkContext
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE splits one action into a job per shuffle stage — disable it so
+    // actions and jobs correspond 1:1 and the bound is crisp
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-jobcount", "components job-count pin")
+    try {
+      val nodes = (0L to 40L).toDF("id")
+      val pairs = (0L until 40L).map(i => (i + 1L, i)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodes, "id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L to 40L).map(_ -> 0L).toMap)
+    } finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+    Thread.sleep(500) // listener bus drain for the status tracker
+    val jobs = sc.statusTracker.getJobIdsForGroup("cc-jobcount").length
+    // measured: 24 jobs (2 checkpoint jobs per round + fixed setup); the
+    // pre-observation loop added one count job per checkpoint (~43 total)
+    assert(jobs <= 30, s"components loop ran $jobs jobs — the convergence " +
+      "check has stopped riding the checkpoint materialization")
+  }
+
   test("minhash LSH: 1k-copy identical cluster expands arithmetically") {
     // an m-copy boilerplate cluster must contribute ONE banded row per band
     // (never m) and its m(m-1)/2 intra pairs must come from the sorted-ids
