@@ -130,10 +130,13 @@ object Relevance {
    * dense arm through the bounded top-k aggregate in
    * [[Similarity.bruteForceTopK]] — swap in the IVF/PQ probe at 100 TB,
    * identical downstream shape). Rank assignment and the full-outer
-   * fusion then run over two ≤ armK-row tables — the only window in the
-   * plan orders a driver-bounded table, never a corpus partition. The
-   * fused score is two double divisions summed in a fixed expression
-   * order, so it is bit-identical cross-engine; ties break on id.
+   * fusion then run over two ≤ armK-row tables — the only windows in the
+   * plan order driver-bounded tables, never a corpus partition; they
+   * carry a constant partition key so the (correct-but-noisy) "No
+   * Partition Defined" WindowExec warning cannot muddy run logs where it
+   * WOULD signal a real risk. The fused score is two double divisions
+   * summed in a fixed expression order, so it is bit-identical
+   * cross-engine; ties break on id.
    */
   def rrfHybrid(
       docs: DataFrame,
@@ -151,13 +154,19 @@ object Relevance {
     val bmRank = bm25TopK(docs, docIdCol, textCol, queryTerms, topK = armK)
       .select(col(docIdCol).as("id"), col("bm25"))
       .withColumn("r_text", row_number()
-        .over(Window.orderBy(col("bm25").desc, col("id"))).cast("long"))
+        // pmod(id, 1) ≡ 0 but is non-foldable: a LITERAL key would be
+        // constant-folded out of the partition spec and WindowExec would
+        // warn "No Partition Defined" — noise here (armK-bounded input),
+        // but worth silencing so real unbounded windows stay visible
+        .over(Window.partitionBy(pmod(col("id"), lit(1)))
+          .orderBy(col("bm25").desc, col("id"))).cast("long"))
     val cosRank = Similarity.bruteForceTopK(
         embeddings, embeddings.where(col(vecIdCol) === queryVecId),
         vecIdCol, vecCol, armK)
       .select(col("neighbor_id").as("id"), col("cosine"))
       .withColumn("r_vec", row_number()
-        .over(Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
+        .over(Window.partitionBy(pmod(col("id"), lit(1)))
+          .orderBy(col("cosine").desc, col("id"))).cast("long"))
     bmRank.select(col("id"), col("r_text"))
       .join(cosRank.select(col("id"), col("r_vec")), Seq("id"), "full_outer")
       .select(col("id").as(docIdCol),
