@@ -55,7 +55,13 @@ object Domains {
   /** Keep rows whose host is NOT a blocked domain nor a subdomain of one.
     * Adds the extracted `host` column; the match is a map-side
     * `arrays_overlap` against the (lowercased) blocklist literal — no
-    * Exchange. */
+    * Exchange.
+    *
+    * Unparseable URLs ([[hostOf]] yields `''`) PASS the filter: a
+    * blocklist names real domains, and an empty host can never match one
+    * — the row is unattributable, not blocked. Callers that want
+    * malformed URLs gone filter `host =!= ""` on the result (the added
+    * column makes that a map-side predicate). */
   def blocklistFilter(
       df: DataFrame,
       urlCol: String,
@@ -79,7 +85,14 @@ object Domains {
   /** Drop ENTIRE hosts whose mean tokens/doc falls below `minMeanTokens`;
     * surviving rows carry their host's rounded mean. One host-sized
     * aggregate + one broadcast join back — the corpus is scanned twice but
-    * never shuffled on a corpus-sized key. */
+    * never shuffled on a corpus-sized key.
+    *
+    * Unparseable URLs pool into the single `''` pseudo-host and are kept
+    * or dropped COLLECTIVELY by that group's mean — deliberate: rows
+    * that cannot be attributed to a domain form their own "domain", and
+    * a per-domain rule should treat them as one. Callers wanting them
+    * exempted (or always dropped) filter `hostOf(url) === ""` before the
+    * prune. */
   def domainQualityPrune(
       df: DataFrame,
       urlCol: String,

@@ -48,6 +48,16 @@ object Pca {
       iters: Int = 3,
       scale: Long = 1L << 20): Array[Double] = {
     require(dim > 0 && iters > 0, "pca: dim and iters must be positive")
+    // ragged input fails LOUDLY up front: a longer vector would make
+    // posexplode emit __j >= dim (driver ArrayIndexOutOfBounds), a shorter
+    // one nulls its zip_with dot and silently drops the row from the
+    // matvec — a wrong component with no error. limit(1) short-circuits
+    // the scan on the first offender.
+    val ragged = df.where(size(col(vecCol)) =!= dim || col(vecCol).isNull)
+      .limit(1).count()
+    require(ragged == 0L,
+      s"pca: input contains null or non-$dim-element vectors — ragged " +
+        "input would crash or silently skew the component")
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
       val dotc = dotLit(vecCol, v)

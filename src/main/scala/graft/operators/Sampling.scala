@@ -184,6 +184,11 @@ object Sampling {
    * seed-switchable, u ∈ (0,1)); the key ROUNDS to 9 decimals before any
    * ranking so a last-ulp `ln` divergence between engines cannot flip a
    * cut (the bm25/DSIR house rule), with id tie-breaks.
+   *
+   * CONTRACT: weights must be strictly positive and non-null. Weight 0
+   * yields an infinite key (the row can never be drawn) and a negative
+   * weight a negative key that ALWAYS wins — both silently invert the
+   * sampling bias, so [[weightedKPerGroup]] raises on them in-plan.
    */
   def exponentialKey(id: Column, weight: Column, seed: Long): Column =
     round(-log((hash16(id, seed).cast("double") + 1.0) / 65537.0)
@@ -207,8 +212,17 @@ object Sampling {
       seed: Long = 0L): DataFrame = {
     require(k > 0, "weightedKPerGroup: k must be positive")
     val topk = Similarity.topKUdaf(k)
-    df.select(col(groupCol), col(idCol),
-        exponentialKey(col(idCol), col(weightCol), seed).as("__e"))
+    // enforce the exponentialKey contract in-plan: a zero/negative/null
+    // weight silently inverts the draw (never-sampled / always-wins), so
+    // the offending ROW raises a named error instead
+    val w = col(weightCol).cast("double")
+    val checkedKey = when(w.isNull || w <= 0.0,
+        raise_error(concat(
+          lit("weightedKPerGroup: non-positive or null weight for id "),
+          col(idCol).cast("string"),
+          lit(" — weights must be strictly positive"))))
+      .otherwise(exponentialKey(col(idCol), col(weightCol), seed))
+    df.select(col(groupCol), col(idCol), checkedKey.as("__e"))
       .groupBy(col(groupCol))
       // score = -e: the aggregate's (score desc, id asc) order is exactly
       // (e asc, id asc)

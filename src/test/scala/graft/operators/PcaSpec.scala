@@ -56,4 +56,17 @@ class PcaSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq,
       "integer micro-unit sums must make the matvec combine-order independent")
   }
+
+  test("ragged or null vectors fail loudly before any iteration") {
+    val df = Seq(Tuple1(Seq(1f, 0f)), Tuple1(Seq(1f, 0f, 9f)))
+      .toDF("embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.topComponentVector(df, "embedding", dim = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("ragged"))
+    val withNull = Seq(Some(Seq(1f, 0f)), None).toDF("embedding")
+    intercept[IllegalArgumentException] {
+      Pca.topComponentVector(withNull, "embedding", dim = 2, iters = 2)
+    }
+  }
 }

@@ -38,4 +38,25 @@ class RangeJoinSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
       s"the grid decomposition must hash-join:\n$p")
   }
+
+  test("NULL bounds drop; an over-wide interval raises a named error") {
+    val iv = Seq(
+      (1L, Some(0.0), Some(10.0)),
+      (2L, None, Some(5.0)),        // null lo -> dropped
+      (3L, Some(1.0), None)         // null hi -> dropped
+    ).toDF("band_id", "lo", "hi")
+    val pts = Seq((100L, 1.0)).toDF("pid", "v")
+    val got = RangeJoin.pointInInterval(pts, "v", iv, "lo", "hi", grid = 8L)
+      .select("band_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), "null-bounded intervals must match nothing")
+    // fan-out tripwire: a 10^9-wide interval at grid=1 must raise the
+    // NAMED rangeJoin error, not an opaque sequence-length failure
+    val wide = Seq((9L, 0.0, 1.0e9)).toDF("band_id", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "v", wide, "lo", "hi", grid = 1L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("rangeJoin")), msgs(e).mkString("; "))
+  }
 }

@@ -87,4 +87,23 @@ class SamplingSpec extends SparkSuite {
       Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
     }
   }
+
+  test("weighted k: zero/negative/null weights raise a named error in-plan") {
+    import spark.implicits._
+    for (w <- Seq(0.0, -1.0)) {
+      val df = Seq((1L, "g", w), (2L, "g", 1.0)).toDF("id", "grp", "wt")
+      val e = intercept[Exception] {
+        Sampling.weightedKPerGroup(df, "grp", "id", "wt", k = 1).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("strictly positive")),
+        s"weight $w: " + msgs(e).mkString("; "))
+    }
+    val withNull = Seq((1L, "g", Some(1.0)), (2L, "g", None))
+      .toDF("id", "grp", "wt")
+    intercept[Exception] {
+      Sampling.weightedKPerGroup(withNull, "grp", "id", "wt", k = 1).count()
+    }
+  }
 }
