@@ -52,7 +52,46 @@ object Cli {
     def close(): Unit = out.foreach(_.close())
   }
 
+  /** `-h|-help` output — the Syntax section of the reference's POD
+    * (bin/linz_bde_uploader.pl:328-386), which is what `help(1, ...)`
+    * prints there. */
+  val UsageText: String =
+    """Syntax:
+      |  graft.bde.Cli [options..] [tables..]
+      |
+      |If no options are given a brief help message is displayed. At least
+      |one of the -full, -incremental, -rebuild, -purge, -remove-zombie
+      |options must be supplied. If tables are included, then only those
+      |tables will be updated.
+      |
+      |Options:
+      |  -config-path or -c <cfgpath>      configuration file to use
+      |  -config-extension or -x <cfgext>  extra configuration extension
+      |  -purge or -p                      purge old jobs (negatable: -no-purge)
+      |  -remove-zombie or -z              clean up dead jobs (negatable)
+      |  -full or -f                       apply level-0 loads (negatable)
+      |  -full-incremental or -j           level 0 as table-diff (negatable)
+      |  -incremental or -i                apply level-5 loads (negatable)
+      |  -rebuild or -r                    implies -full -incremental (negatable)
+      |  -full-if-needed                   level 0 only when required
+      |  -before or -b yyyymmdd[hhmmss]    only datasets before this time
+      |  -maintain-database or -m          vacuum/analyze after run
+      |  -dry-run or -d                    plan, do not apply (negatable)
+      |  -full-timeout or -t <hours>       level-0 time budget
+      |  -inc-timeout or -u <hours>        level-5 time budget
+      |  -override-locks or -o             steal existing locks
+      |  -skip-postupload-tasks            skip post-load hooks (negatable)
+      |  -listing_file or -l <file>        append run log to file
+      |  -keep-files or -k                 keep temp files after run
+      |  -version                          print version and exit
+      |  -verbose or -v                    log to stdout
+      |  -log-level <LEVEL>                ERROR WARN INFO DEBUG ALL
+      |  -enable-hooks or -e               run configured event hooks (negatable)
+      |  -help or -h                       this message
+      |""".stripMargin
+
   final case class Options(
+      showHelp: Boolean = false,        // -h | -help
       full: Boolean = false,            // -f | -full
       incremental: Boolean = false,     // -i | -incremental
       rebuild: Boolean = false,         // -r | -rebuild (implies -f -i)
@@ -83,18 +122,35 @@ object Cli {
   def parseArgs(args: Seq[String]): Either[String, Options] = {
     def loop(rest: List[String], o: Options): Either[String, Options] = rest match {
       case Nil => Right(o)
+      case ("-h" | "-help") :: t => loop(t, o.copy(showHelp = true))
       case ("-f" | "-full") :: t => loop(t, o.copy(full = true))
+      // negatable `!` forms, as Getopt::Long declares them ("full|f!" →
+      // --no-full/--nofull): later options override earlier ones
+      case ("-no-full" | "-nofull") :: t => loop(t, o.copy(full = false))
       case ("-i" | "-incremental") :: t => loop(t, o.copy(incremental = true))
+      case ("-no-incremental" | "-noincremental") :: t =>
+        loop(t, o.copy(incremental = false))
       case ("-r" | "-rebuild") :: t => loop(t, o.copy(rebuild = true))
+      case ("-no-rebuild" | "-norebuild") :: t => loop(t, o.copy(rebuild = false))
       case ("-j" | "-full-incremental") :: t => loop(t, o.copy(fullIncremental = true))
+      case ("-no-full-incremental" | "-nofull-incremental") :: t =>
+        loop(t, o.copy(fullIncremental = false))
       case "-full-if-needed" :: t => loop(t, o.copy(fullIfNeeded = true))
       case ("-d" | "-dry-run") :: t => loop(t, o.copy(dryRun = true))
+      case ("-no-dry-run" | "-nodry-run") :: t => loop(t, o.copy(dryRun = false))
       case ("-p" | "-purge") :: t => loop(t, o.copy(purge = true))
+      case ("-no-purge" | "-nopurge") :: t => loop(t, o.copy(purge = false))
       case ("-z" | "-remove-zombie") :: t => loop(t, o.copy(removeZombie = true))
+      case ("-no-remove-zombie" | "-noremove-zombie") :: t =>
+        loop(t, o.copy(removeZombie = false))
       case ("-o" | "-override-locks") :: t => loop(t, o.copy(overrideLocks = true))
       case ("-m" | "-maintain-database") :: t => loop(t, o.copy(maintain = true))
       case ("-e" | "-enable-hooks") :: t => loop(t, o.copy(enableHooks = true))
+      case ("-no-enable-hooks" | "-noenable-hooks") :: t =>
+        loop(t, o.copy(enableHooks = false))
       case "-skip-postupload-tasks" :: t => loop(t, o.copy(skipPostUpload = true))
+      case ("-no-skip-postupload-tasks" | "-noskip-postupload-tasks") :: t =>
+        loop(t, o.copy(skipPostUpload = false))
       case ("-t" | "-full-timeout") :: v :: t =>
         loop(t, o.copy(fullTimeout = Some(v.toDouble)))
       case ("-u" | "-inc-timeout") :: v :: t =>
@@ -116,19 +172,40 @@ object Cli {
       case tbl :: t => loop(t, o.copy(selectTables = o.selectTables :+ tbl))
     }
     loop(args.toList, Options()).flatMap { o0 =>
+      // -before normalization + validation (bin/linz_bde_uploader.pl:
+      // 138-143): an 8-digit date extends to midnight (append '000000');
+      // anything not then exactly 14 digits is rejected — the
+      // lexicographic dataset filter would otherwise silently accept
+      // garbage and compare it against YYYYMMDDhhmmss ids
+      val before = o0.before.map { v =>
+        if (v.matches("^\\d{8}$")) v + "000000" else v
+      }
       // implication rules (bin/linz_bde_uploader.pl:118-148): `-j` implies
       // `-f`, and `-j` with `-r` is contradictory (linz issue #116)
       if (o0.logLevel.exists(l => !LogLevels.contains(l)))
         Left(s"Log level must be one of ${LogLevels.mkString(", ")}")
+      else if (before.exists(v => !v.matches("^\\d{14}$")))
+        Left(s"Invalid value ${o0.before.get} for -before - must be " +
+          "yyyymmdd or yyyymmddhhmmss")
       else if (o0.fullIncremental && o0.rebuild)
         Left("-full-incremental and -rebuild are contradictory, use one or the other")
       else if (o0.fullIfNeeded && o0.rebuild)
         Left("Cannot use -full-if-needed with -rebuild")
       else Right(o0.copy(
+        before = before,
         full = o0.full || o0.fullIncremental || o0.fullIfNeeded || o0.rebuild,
         incremental = o0.incremental || o0.rebuild))
     }
   }
+
+  /** The post-getopt "at least one action" rule (bin/linz_bde_uploader.pl:
+    * 131-136): `-m` and the diagnostics flags alone are not a run. Called
+    * by [[main]] after help/version short-circuit, exposed for specs. */
+  def requireAction(o: Options): Either[String, Options] =
+    if (o.full || o.incremental || o.purge || o.removeZombie || o.rebuild)
+      Right(o)
+    else Left("Need at least one option of -full, -incremental, " +
+      "-full-incremental, -purge, or -remove-zombie")
 
   /** Resolve the layered configuration for the given `-config-path`: a FILE
     * loads base → `-x` extension → `.test` overlay; a DIRECTORY (the
@@ -199,8 +276,14 @@ object Cli {
     parseArgs(args.toIndexedSeq) match {
       case Left(err) =>
         System.err.println(s"error: $err"); sys.exit(1)
+      case Right(o) if o.showHelp =>
+        println(UsageText)
       case Right(o) if o.printVersion =>
         println(Version)
+      case Right(o) if requireAction(o).isLeft =>
+        System.err.println(requireAction(o).swap.getOrElse(""))
+        System.err.println(UsageText)
+        sys.exit(1)
       case Right(o) =>
         val spark = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

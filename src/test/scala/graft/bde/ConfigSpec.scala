@@ -142,6 +142,38 @@ class ConfigSpec extends AnyFunSuite {
       Seq("OFF", "FATAL", "ERROR", "WARN", "INFO", "DEBUG", "TRACE", "ALL"))
   }
 
+  test("-before: 8-digit dates normalize to midnight, garbage rejected (pl:138-143)") {
+    val Right(d8) = Cli.parseArgs(Seq("-f", "-b", "20170630"))
+    assert(d8.before.contains("20170630000000"))
+    val Right(d14) = Cli.parseArgs(Seq("-f", "-before", "20170630120000"))
+    assert(d14.before.contains("20170630120000"))
+    for (bad <- Seq("2017063", "yesterday", "201706300", "2017-06-30"))
+      assert(Cli.parseArgs(Seq("-f", "-b", bad)).isLeft, bad)
+  }
+
+  test("negatable flags: -no-X overrides an earlier -X (Getopt::Long '!')") {
+    val Right(o) = Cli.parseArgs(Seq("-f", "-no-full", "-p", "-nopurge",
+      "-d", "-no-dry-run", "-e", "-noenable-hooks"))
+    assert(!o.full && !o.purge && !o.dryRun && !o.enableHooks)
+    // order matters: a later positive wins back
+    val Right(o2) = Cli.parseArgs(Seq("-no-full", "-f"))
+    assert(o2.full)
+    // negating -j must not leave the implied -f behind
+    val Right(o3) = Cli.parseArgs(Seq("-j", "-no-full-incremental"))
+    assert(!o3.fullIncremental && !o3.full)
+  }
+
+  test("-h|-help parses; the action rule rejects a run with no action (pl:131-136)") {
+    val Right(h) = Cli.parseArgs(Seq("-h"))
+    assert(h.showHelp)
+    assert(Cli.UsageText.contains("-full-incremental or -j"))
+    // -m or diagnostics alone are not a run
+    assert(Cli.requireAction(Cli.parseArgs(Seq("-m")).toOption.get).isLeft)
+    assert(Cli.requireAction(Cli.parseArgs(Seq("-k", "-v")).toOption.get).isLeft)
+    for (ok <- Seq("-f", "-i", "-j", "-p", "-z", "-r"))
+      assert(Cli.requireAction(Cli.parseArgs(Seq(ok)).toOption.get).isRight, ok)
+  }
+
   test("RunLog: threshold filters; listing file appends; verbose echoes") {
     val f = java.nio.file.Files.createTempFile("graft-listing", ".log")
     val log = new Cli.RunLog(verbose = false, Some(f.toString), "INFO")
