@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, VocabCoverage}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, Unigram, VocabCoverage}
 import graft.streaming.Streams
 
 /**
@@ -1610,6 +1610,40 @@ object SparkEntry {
         .map(m => (m.rank.toLong, m.left, m.right, m.cnt))
         .toDF("rank", "left_sym", "right_sym", "pair_freq")
         .orderBy(col("rank"))
+    }),
+
+    // INTENT pin for the unigram-LM (SentencePiece-style) tokenizer
+    // trainer: EM over the pinned vocabulary's segmentation lattices in
+    // raw probability space (bit-identical op sequence to the independent
+    // tools/unigram_reference.py — no log/exp), compared after a
+    // 9-decimal round. The Spark path exercises the bounded vocab collect
+    "unigram_tokenizer" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+        ("widest", 3L), ("lowest", 4L)).toDF("word", "freq")
+      Unigram.train(vocab, "word", "freq",
+          maxLen = 4, seedSize = 30, emIters = 2, vocabSize = 15)
+        .map { case (p, prob) =>
+          (p, BigDecimal(prob).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }
+        .toDF("piece", "prob")
+        .orderBy(col("piece"))
+    }),
+
+    // Viterbi encodings of fixed words under the pinned model — the
+    // native-expression DP (longest-last-piece tie rule, UNK singletons)
+    // against the reference's segmentations
+    "unigram_encode_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val model = Unigram.trainLocal(
+        Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+          ("widest", 3L), ("lowest", 4L)),
+        maxLen = 4, seedSize = 30, emIters = 2, vocabSize = 15)
+      Seq("lowest", "newest", "low", "wider", "newlow").toDF("word")
+        .select(col("word"),
+          array_join(Unigram.encode(col("word"), model, 4), " ").as("pieces"))
+        .orderBy(col("word"))
     }),
 
     // split-leakage check (train/test hygiene): identical content assigned
@@ -4630,6 +4664,26 @@ object SparkEntry {
           |  (7, 'n', 'ewest', 6), (8, 'low', 'est', 4)
           |) t(rank, left_sym, right_sym, pair_freq)
           |ORDER BY rank""".stripMargin,
+
+      // literal expected VALUES from tools/unigram_reference.py — the
+      // independent EM implementation's trained distribution at 9 decimals
+      "unigram_tokenizer" ->
+        """SELECT piece, CAST(prob AS DOUBLE) AS prob FROM (VALUES
+          |  ('d', 0.041268399), ('e', 0.005874964), ('est', 0.194856490),
+          |  ('i', 0.087650864), ('l', 0.000140486), ('low', 0.221547923),
+          |  ('lowe', 0.081095236), ('n', 0.000132884), ('new', 0.073616489),
+          |  ('o', 0.000008082), ('r', 0.058433909), ('s', 0.000217430),
+          |  ('st', 0.124118211), ('t', 0.012880653), ('w', 0.098157979)
+          |) t(piece, prob)
+          |ORDER BY piece""".stripMargin,
+
+      // the reference's Viterbi segmentations of the pinned probe words
+      "unigram_encode_pinned" ->
+        """SELECT word, pieces FROM (VALUES
+          |  ('lowest', 'low est'), ('newest', 'new est'), ('low', 'low'),
+          |  ('wider', 'w i d e r'), ('newlow', 'new low')
+          |) t(word, pieces)
+          |ORDER BY word""".stripMargin,
 
       "text_fingerprint" -> {
         val thw = TextOpsSql.tokenHashesWide(toks)

@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Viterbi segmentation of one word under a trained unigram-LM piece model
+ * ([[graft.operators.Unigram]]): `best[i]` maximizes `best[j] · p(w[j,i))`
+ * over spans of length ≤ `maxLen`, scanning span starts ascending with a
+ * STRICT comparison so the longest last piece wins ties — exactly the
+ * reference implementation's rule (`tools/unigram_reference.py`), which is
+ * what keeps the pinned oracle exact. Characters absent from the model act
+ * as singleton pieces at probability 1e-9 (the UNK rule), so any word
+ * segments.
+ *
+ * The model travels as literals inside the expression (vocabSize entries —
+ * driver-bounded by training); the per-row DP is O(len · maxLen) with a
+ * hash probe per span, codegen'd via a reference object so encoding stays
+ * inside whole-stage codegen. Null word → null.
+ */
+case class UnigramEncodeExpr(
+    child: Expression,
+    pieces: Seq[(String, Double)],
+    maxLen: Int)
+    extends UnaryExpression {
+
+  require(maxLen >= 1, "maxLen must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode requires string, got ${other.catalogString}")
+  }
+
+  override def prettyName: String = "unigram_encode"
+
+  @transient private lazy val probs: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (s, p) => m.put(s, p) }
+    m
+  }
+
+  /** The DP, shared by interpreted eval and codegen. */
+  def segment(wordU: UTF8String): ArrayData = {
+    val word = wordU.toString
+    val n = word.length
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    best(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val s = word.substring(j, i)
+        val p0 = probs.get(s)
+        val p: java.lang.Double =
+          if (p0 != null) p0
+          else if (i - j == 1) java.lang.Double.valueOf(UnigramEncodeExpr.PUnk)
+          else null
+        if (p != null) {
+          val cand = best(j) * p.doubleValue()
+          if (cand > best(i)) { best(i) = cand; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var k = n
+    while (k > 0) {
+      out += UTF8String.fromString(word.substring(back(k), k))
+      k = back(k)
+    }
+    new GenericArrayData(out.reverse.toArray[Any])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramModel", this,
+      classOf[UnigramEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, w => {
+      s"${ev.value} = $ref.segment($w);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+    copy(child = newChild)
+}
+
+object UnigramEncodeExpr {
+  /** Probability assigned to out-of-model single characters (UNK). */
+  val PUnk: Double = 1e-9
+}
