@@ -75,17 +75,20 @@ object DedupIndex {
    * once, at its own ingest.
    */
   def appendDigestIndex(
-      batch: DataFrame, idCol: String, keyCol: String, table: String): Unit = {
-    val spark = batch.sparkSession
-    // an append must RESTATE the table's bucketing (Spark refuses an
-    // unbucketed append into a bucketed table) — read it from the catalog
-    // so the new files land in the same fixed bucket layout
+      batch: DataFrame, idCol: String, keyCol: String, table: String): Unit =
+    appendBucketed(digestRows(batch, idCol, keyCol), table)
+
+  /** Append rows into a bucketed index table: the append must RESTATE the
+    * table's bucketing (Spark refuses an unbucketed append into a bucketed
+    * table) — read from the catalog so new files land in the same fixed
+    * bucket layout and probes stay Exchange-free. */
+  private def appendBucketed(rows: DataFrame, table: String): Unit = {
+    val spark = rows.sparkSession
     val spec = spark.sessionState.catalog
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec
       .getOrElse(sys.error(s"$table is not a bucketed index table"))
-    digestRows(batch, idCol, keyCol)
-      .write.mode("append").format("parquet")
+    rows.write.mode("append").format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
       .sortBy(spec.sortColumnNames.head)
       .saveAsTable(table)
@@ -187,6 +190,19 @@ object DedupIndex {
     CacheScope.unpersistAfterAction(result, Seq(bSig))
   }
 
+  /** Fold a committed batch's signatures INTO the band index (bands +
+    * shingle verify table, both appended in their bucket layouts). Call
+    * with the SURVIVORS of the batch's own dedup. */
+  def appendBandIndex(
+      batch: DataFrame, idCol: String, textCol: String, table: String): Unit = {
+    val sig = Dedup.withSignature(
+        batch.select(col(idCol).as("id"), col(textCol)), "id", textCol)
+      .cache()
+    appendBucketed(bandRows(sig), s"${table}_bands")
+    appendBucketed(sig.select(col("id"), col("shingles")), s"${table}_shingles")
+    sig.unpersist()
+  }
+
   // =====================================================================
   // Semantic (cluster) index
   // =====================================================================
@@ -228,6 +244,24 @@ object DedupIndex {
    * `<table>_cells` in place — per batch vector ~1/nlist of the corpus,
    * with zero corpus-side Exchange.
    */
+  /** The persisted partitioner centroids, loaded for probe/append use —
+    * an nlist-row collect. */
+  private def loadSeeds(
+      spark: SparkSession, table: String): Array[(Long, Array[Float])] =
+    spark.table(s"${table}_seeds")
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Fold a committed batch's cluster assignments INTO the cells table —
+    * assigned against the PERSISTED seeds, so the index keeps one
+    * consistent partition of vector space across every ingest. */
+  def appendClusterIndex(
+      batch: DataFrame, idCol: String, vecCol: String, table: String): Unit = {
+    val seeds = loadSeeds(batch.sparkSession, table)
+    appendBucketed(
+      Similarity.assignClusters(batch, idCol, vecCol, seeds), s"${table}_cells")
+  }
+
   def incrementalSemDedupIndexed(
       batch: DataFrame,
       spark: SparkSession,
@@ -235,9 +269,7 @@ object DedupIndex {
       idCol: String,
       vecCol: String,
       minCosine: Double): DataFrame = {
-    val seeds = spark.table(s"${table}_seeds")
-      .orderBy(col("cluster")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val seeds = loadSeeds(spark, table)
     val bAssigned = Similarity.assignClusters(batch, idCol, vecCol, seeds)
     val corpusHits = bAssigned.as("b")
       .join(spark.table(s"${table}_cells").as("c"),

@@ -493,6 +493,31 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("band index probe operator: both index tables scan bucketed in place") {
+    import graft.operators.{Bucketing, DedupIndex}
+    val wh = java.nio.file.Files.createTempDirectory("bandop_wh").toString
+    Bucketing.scratchDb(spark, "bandop_audit", wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    DedupIndex.writeBandIndex(docs, "doc_id", "text",
+      "bandop_audit.band", buckets = 4)
+    val batch = docs.where(col("doc_id") < 50)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = physical(DedupIndex.incrementalNearDupIndexed(
+        batch, spark, "bandop_audit.band", "doc_id", "text", 0.7))
+      // the candidate join reads <table>_bands and the verify join
+      // <table>_shingles — BOTH must be bucketed in-place scans; batch
+      // signatures recompute per ingest, corpus text never re-reads
+      assert(p.linesIterator.count(l =>
+        l.contains("Bucketed: true")) >= 2,
+        s"both index tables must scan bucketed:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("ppl buckets: model broadcast, bucketing map-side — no global window") {
     import graft.operators.Perplexity
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -68,6 +68,31 @@ class DedupIndexSpec extends SparkSuite {
     assert(reprobe.count() == 0L)
   }
 
+  test("appendBandIndex / appendClusterIndex: survivors gate the next ingest") {
+    DedupIndex.writeBandIndex(corpus, "doc_id", "text", s"$db.band_app", 4)
+    val kept = DedupIndex.incrementalNearDupIndexed(batch, spark,
+      s"$db.band_app", "doc_id", "text", 0.5)
+    DedupIndex.appendBandIndex(kept, "doc_id", "text", s"$db.band_app")
+    // re-ingesting the kept docs under new ids: every one is now a
+    // near-duplicate of its indexed self and drops
+    val reprobe = DedupIndex.incrementalNearDupIndexed(
+      kept.select((col("doc_id") + 1000).as("doc_id"), col("text")),
+      spark, s"$db.band_app", "doc_id", "text", 0.5)
+    assert(reprobe.count() == 0L)
+
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    DedupIndex.writeClusterIndex(vecs, "vec_id", "embedding",
+      s"$db.cluster_app", nlist = 2, buckets = 2)
+    val vkept = Seq((10L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    DedupIndex.appendClusterIndex(vkept, "vec_id", "embedding", s"$db.cluster_app")
+    val vreprobe = DedupIndex.incrementalSemDedupIndexed(
+      Seq((20L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      spark, s"$db.cluster_app", "vec_id", "embedding", minCosine = 0.9)
+    assert(vreprobe.count() == 0L,
+      "a copy of the appended vector must drop against the grown index")
+  }
+
   test("band index probe == Dedup.incrementalNearDup (rescan)") {
     DedupIndex.writeBandIndex(corpus, "doc_id", "text",
       s"$db.band", buckets = 4)
