@@ -2473,6 +2473,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // ivfTopK through the PERSISTED inverted file: the assigned corpus is
+    // written partitioned by cluster once, queries assign against the
+    // persisted seeds, and the probe reads ONLY its probed cells from
+    // disk (partition-pruned scan, plan-pinned). Oracle identical to
+    // ann_ivf_topk: same seeds, same assignment, same candidates
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$indexDbDir/ivf_index"
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", path, nlist = 16)
+      Similarity.ivfTopKIndexed(s, path, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "embed_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
@@ -3459,6 +3475,39 @@ object SparkEntry {
            |  AND doc_id NOT IN (SELECT doc_id FROM wdrop)
            |ORDER BY doc_id""".stripMargin
     }
+
+    val ivfTopKSql =
+      s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
+           |               FROM embeddings ORDER BY vec_id LIMIT 16),
+           |assigned AS (
+           |  SELECT cid, cv, cluster FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS cv,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM embeddings e, seeds s)
+           |  WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, qvec, cluster FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("q.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM embeddings q, seeds s WHERE q.vec_id < 8)
+           |  WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.query_id, a.cid AS neighbor_id,
+           |         ${VectorOpsSql.cosine("p.qvec", "a.cv")} AS cos
+           |  FROM probes p JOIN assigned a USING (cluster)
+           |  WHERE a.cid <> p.query_id)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored) WHERE rn <= 5
+           |ORDER BY query_id, neighbor_id""".stripMargin
 
     Map(
       "q1_pricing_summary" ->
@@ -5243,38 +5292,10 @@ object SparkEntry {
            |ORDER BY vec_id""".stripMargin
       },
 
-      "ann_ivf_topk" ->
-        s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
-           |               FROM embeddings ORDER BY vec_id LIMIT 16),
-           |assigned AS (
-           |  SELECT cid, cv, cluster FROM (
-           |    SELECT e.vec_id AS cid, e.embedding AS cv,
-           |           s.centroid_id AS cluster,
-           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
-           |             s.centroid_id) AS rn
-           |    FROM embeddings e, seeds s)
-           |  WHERE rn = 1),
-           |probes AS (
-           |  SELECT query_id, qvec, cluster FROM (
-           |    SELECT q.vec_id AS query_id, q.embedding AS qvec,
-           |           s.centroid_id AS cluster,
-           |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |             ${VectorOpsSql.cosine("q.embedding", "s.cvec")} DESC,
-           |             s.centroid_id) AS rn
-           |    FROM embeddings q, seeds s WHERE q.vec_id < 8)
-           |  WHERE rn <= 4),
-           |scored AS (
-           |  SELECT p.query_id, a.cid AS neighbor_id,
-           |         ${VectorOpsSql.cosine("p.qvec", "a.cv")} AS cos
-           |  FROM probes p JOIN assigned a USING (cluster)
-           |  WHERE a.cid <> p.query_id)
-           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
-           |  SELECT query_id, neighbor_id, cos,
-           |         row_number() OVER (PARTITION BY query_id
-           |                            ORDER BY cos DESC, neighbor_id) AS rn
-           |  FROM scored) WHERE rn <= 5
-           |ORDER BY query_id, neighbor_id""".stripMargin,
+      "ann_ivf_topk" -> ivfTopKSql,
+      // the persisted inverted file stores exactly the seeds/assignments
+      // the rescan computes — same contract, same SQL
+      "ann_ivf_indexed" -> ivfTopKSql,
 
       "ann_lsh_pairs" -> {
         val tables = (0 until 4).map(tbl =>

@@ -173,6 +173,79 @@ object Similarity {
   }
 
   /**
+   * Persist the corpus's IVF inverted file AT REST: the assigned corpus
+   * written `partitionBy(cluster)` (one directory per cell —
+   * [[Bucketing.writePartitioned]]) plus the seed centroids beside it, so
+   * every later [[ivfTopKIndexed]] probe is a PARTITION-PRUNED scan of
+   * exactly its probed cells. This is the written form of the posture
+   * [[ivfTopK]] documents ("at rest the assigned corpus would be written
+   * partitioned by cluster") — assignment is computed once per corpus
+   * lifetime, and a probe reads ~nprobe/nlist of the data from disk, not
+   * just post-scan.
+   */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nlist: Int): Unit = {
+    val seeds = collectSeeds(corpus, idCol, vecCol, nlist)
+    Bucketing.writePartitioned(
+      assignClusters(corpus, idCol, vecCol, seeds), path, "cluster")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    seeds.toSeq.toDF("cluster", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.seeds")
+  }
+
+  /**
+   * [[ivfTopK]] against the PERSISTED inverted file: queries assign to
+   * their `nprobe` nearest persisted seeds map-side, the UNION of probed
+   * cell ids (≤ queries × nprobe, driver-bounded because the query set
+   * is) becomes a partition-pruning `IN` filter on the index scan —
+   * unprobed cells are never read from disk (`PartitionFilters`, plan-
+   * pinned) — and ranking reuses the bounded top-k aggregate. Result ≡
+   * `ivfTopK(corpus, …)` whenever `path` was written from `corpus`
+   * (pinned by the oracle): same seeds, same assignment, same candidates.
+   */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val seedRows = spark.read.parquet(s"$path.seeds")
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(nprobe >= 1 && nprobe <= seedRows.length,
+      "need 1 <= nprobe <= nlist")
+    val probes = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"),
+      explode(nearest(seedRows, col(vecCol), nprobe)).as("pr"))
+      .select(col("query_id"), col("qvec"), (-col("pr.nid")).as("cluster"))
+      .cache()
+    // the probed cell set: queries × nprobe ids, driver-bounded — this is
+    // what turns the index read into static partition pruning
+    val probedCells = probes.select(col("cluster"))
+      .distinct().collect().map(_.getLong(0))
+    val cells = spark.read.parquet(path)
+      .where(col("cluster").isin(probedCells: _*))
+    val scored = probes.join(cells, Seq("cluster"))
+      .where(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        VectorOps.cosine(col("qvec"), col("cv")).as("cosine"))
+    val topk = udaf(new TopKAgg(k))
+    val result = scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), explode(col("topk.items")).as("nb"))
+      .select(col("query_id"), col("nb._2").as("neighbor_id"),
+        col("nb._1").as("cosine"))
+    CacheScope.unpersistAfterAction(result, Seq(probes))
+  }
+
+  /**
    * Multi-table SRP-LSH near-neighbor pairs: vectors colliding in at least
    * one table's `bits`-wide random-hyperplane bucket, verified by exact
    * cosine ≥ `minCosine`. Emits (id_a, id_b, cosine), id_a < id_b.

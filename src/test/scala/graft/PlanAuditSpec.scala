@@ -518,6 +518,30 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("ivf index probe: the inverted-file scan partition-prunes to probed cells") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivf_wh").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = s"$dir/ivf"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", path, nlist = 16)
+    val out = Similarity.ivfTopKIndexed(spark, path,
+      emb.where(col("vec_id") < 4), "vec_id", "embedding", k = 3, nprobe = 2)
+    val p = physical(out)
+    // the index scan must carry a non-empty PartitionFilters on cluster:
+    // unprobed cells are pruned BEFORE file listing, not post-scan
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("cluster")).getOrElse("")
+    assert(scanLine.nonEmpty && !scanLine.contains("PartitionFilters: []"),
+      s"index scan must partition-prune on cluster:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // and the result equals the rescan operator's
+    val rescan = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 4),
+      "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2)
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = rescan.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("ppl buckets: model broadcast, bucketing map-side — no global window") {
     import graft.operators.Perplexity
     val docs = spark.read.parquet(s"$sf/documents.parquet")
