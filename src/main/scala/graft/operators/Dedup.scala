@@ -514,7 +514,10 @@ object Dedup {
    * digest, so shuffle volume is O(rows), never O(corpus bytes)); at
    * 100 TB the `corpus` side is the maintained digest INDEX from prior
    * ingests — exactly the digest this operator keys on, persisted once
-   * per ingest — not a rescan of prior text.
+   * per ingest — not a rescan of prior text. That maintained index IS an
+   * operator API: [[DedupIndex.writeDigestIndex]] /
+   * [[DedupIndex.incrementalIndexed]] / [[DedupIndex.appendDigestIndex]]
+   * (result pinned equal to this operator's; zero corpus-side Exchange).
    */
   def incremental(
       batch: DataFrame,
@@ -677,7 +680,10 @@ object Dedup {
    * (bucketed on the band bucket / id respectively), not a rescan of
    * prior text, exactly as [[incremental]]'s digest index. The bucket
    * equi-join carries ids only; shingle arrays travel only for the
-   * candidate pairs that reach verification.
+   * candidate pairs that reach verification. The persisted form is
+   * [[DedupIndex.writeBandIndex]] / [[DedupIndex.incrementalNearDupIndexed]]
+   * / [[DedupIndex.appendBandIndex]] (result pinned equal to this
+   * operator's; both index tables scan bucketed in place).
    */
   def incrementalNearDup(
       batch: DataFrame,
@@ -783,7 +789,11 @@ object Dedup {
    * `cluster`-partitioned layout [[Similarity.ivfTopK]] describes); the
    * batch assigns map-side against the same seed literals, so the
    * batch-corpus candidate join is cluster-equality — per batch vector,
-   * ~1/nlist of the corpus, never all of it.
+   * ~1/nlist of the corpus, never all of it. The persisted form is
+   * [[DedupIndex.writeClusterIndex]] /
+   * [[DedupIndex.incrementalSemDedupIndexed]] /
+   * [[DedupIndex.appendClusterIndex]] (result pinned equal to this
+   * operator's; the cells table scans bucketed in place).
    */
   def incrementalSemDedup(
       batch: DataFrame,
