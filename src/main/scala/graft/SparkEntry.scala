@@ -2264,6 +2264,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TRAINED hashed linear classifier: full-batch GD with integer
+    // micro-unit weights (every distributed sum exact — bit-identical
+    // under any partitioning) and a rational sigmoid (no libm exp), so
+    // the DuckDB oracle replays the whole training loop as unrolled CTE
+    // levels and matches the final weight table exactly. Labels derive
+    // deterministically from length(text)
+    "classifier_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        (length(col("text")) >= 200).cast("long").as("y"))
+      val model = operators.Classifier.train(docs, "text", "y",
+        buckets = 64, iters = 2)
+      (model.wUnits.zipWithIndex
+        .collect { case (w, c) if w != 0L => (c.toLong, w) }
+        .toSeq :+ ((64L, model.biasUnits)))
+        .toDF("cell", "w_units")
+        .orderBy(col("cell"))
+    }),
+
+    // the corpus scored under that trained model: exact integer margins,
+    // squashed keep-probability, margin-sign keep rule — one map-side
+    // projection through the learned weight literals
+    "classifier_train_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        (length(col("text")) >= 200).cast("long").as("y"))
+      val model = operators.Classifier.train(docs, "text", "y",
+        buckets = 64, iters = 2)
+      operators.Classifier.score(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
     // hashed linear classifier (the fastText-style model-based quality
     // filter reduced to its plumbing): tokens hash into weight cells, cell
     // weights sum per doc in exact integer arithmetic, one double
@@ -4436,6 +4467,32 @@ object SparkEntry {
           |  (4, 1.284146),
           |  (1, 0.743865)
           |) t(doc_id, bm25) ORDER BY doc_id""".stripMargin,
+
+      "classifier_train" -> {
+        import graft.operators.ClassifierSql
+        s"""WITH cdocs AS (
+           |  SELECT doc_id,
+           |         CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+           |         ${TextOpsSql.tokenHashes(toks)} AS th
+           |  FROM documents),
+           |${ClassifierSql.trainCtes(64, 2, 1L, 1L)}
+           |SELECT cell, w AS w_units FROM w2 WHERE w <> 0
+           |UNION ALL SELECT 64, bu FROM b2
+           |ORDER BY cell""".stripMargin
+      },
+
+      "classifier_train_score" -> {
+        import graft.operators.ClassifierSql
+        s"""WITH cdocs AS (
+           |  SELECT doc_id,
+           |         CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+           |         ${TextOpsSql.tokenHashes(toks)} AS th
+           |  FROM documents),
+           |${ClassifierSql.trainCtes(64, 2, 1L, 1L)}
+           |SELECT * FROM (
+           |${ClassifierSql.scoreSelect(64, 2)}
+           |) ORDER BY doc_id""".stripMargin
+      },
 
       "quality_classifier" -> {
         val score = QualityOpsSql.classifierScore("th")
