@@ -2268,12 +2268,15 @@ object SparkEntry {
     // micro-unit weights (every distributed sum exact — bit-identical
     // under any partitioning) and a rational sigmoid (no libm exp), so
     // the DuckDB oracle replays the whole training loop as unrolled CTE
-    // levels and matches the final weight table exactly. Labels derive
-    // deterministically from length(text)
+    // levels and matches the final weight table exactly. These rows pin
+    // the ARITHMETIC: the synthetic corpus draws text and lang
+    // independently, so no classifier can separate them and the trained
+    // model honestly converges toward the class prior — LEARNED
+    // separation on separable data is ClassifierSpec's job
     "classifier_train" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
-        (length(col("text")) >= 200).cast("long").as("y"))
+        (col("lang") === "en").cast("long").as("y"))
       val model = operators.Classifier.train(docs, "text", "y",
         buckets = 64, iters = 2)
       (model.wUnits.zipWithIndex
@@ -2288,7 +2291,7 @@ object SparkEntry {
     // projection through the learned weight literals
     "classifier_train_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
-        (length(col("text")) >= 200).cast("long").as("y"))
+        (col("lang") === "en").cast("long").as("y"))
       val model = operators.Classifier.train(docs, "text", "y",
         buckets = 64, iters = 2)
       operators.Classifier.score(docs, "doc_id", "text", model)
@@ -2709,6 +2712,23 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Streams.perplexityGateStream(s, docs = d,
           refDocs = d.where(col("lang") === "en"), minMeanLogProb = -1.49)
+        .orderBy(col("doc_id"))
+    }),
+
+    // trained-model ingest door: the hashed-linear classifier trained
+    // offline (same deterministic labels as classifier_train) gates the
+    // arriving documents map-side — kept = margin >= 0 under the learned
+    // weight literals. Oracle replays training as unrolled CTEs and
+    // applies the same margin-sign rule. Like classifier_train this pins
+    // arithmetic — the label-free synthetic corpus gives the gate nothing
+    // to discriminate; ClassifierSpec pins real separation
+    "stream_classifier_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val labeled = d.select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("long").as("y"))
+      val model = operators.Classifier.train(labeled, "text", "y",
+        buckets = 64, iters = 2)
+      Streams.classifierGateStream(s, d, model)
         .orderBy(col("doc_id"))
     }),
 
@@ -4472,7 +4492,7 @@ object SparkEntry {
         import graft.operators.ClassifierSql
         s"""WITH cdocs AS (
            |  SELECT doc_id,
-           |         CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+           |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            |         ${TextOpsSql.tokenHashes(toks)} AS th
            |  FROM documents),
            |${ClassifierSql.trainCtes(64, 2, 1L, 1L)}
@@ -4485,7 +4505,7 @@ object SparkEntry {
         import graft.operators.ClassifierSql
         s"""WITH cdocs AS (
            |  SELECT doc_id,
-           |         CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+           |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            |         ${TextOpsSql.tokenHashes(toks)} AS th
            |  FROM documents),
            |${ClassifierSql.trainCtes(64, 2, 1L, 1L)}
@@ -5535,6 +5555,19 @@ object SparkEntry {
       // batch statement of the streaming perplexity gate: Laplace unigram
       // scores under the 'en'-slice model (ref vocab only — the gate has
       // no corpus-wide vocabulary), fixed threshold
+      "stream_classifier_gate" -> {
+        import graft.operators.ClassifierSql
+        s"""WITH cdocs AS (
+           |  SELECT doc_id,
+           |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |         ${TextOpsSql.tokenHashes(toks)} AS th
+           |  FROM documents),
+           |${ClassifierSql.trainCtes(64, 2, 1L, 1L)}
+           |SELECT doc_id FROM (
+           |${ClassifierSql.scoreSelect(64, 2)}
+           |) WHERE margin_units >= 0 ORDER BY doc_id""".stripMargin
+      },
+
       "stream_ppl_gate" -> {
         val th = TextOpsSql.tokenHashes(TextOpsSql.tokens("text"))
         s"""WITH tok AS (SELECT doc_id, unnest($th) AS u FROM documents),
