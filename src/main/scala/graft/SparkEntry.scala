@@ -725,7 +725,8 @@ object SparkEntry {
     // near-dup REMOVAL (keep rule): corpus minus rows with a lower-id
     // near-duplicate at Jaccard >= 0.5 — one anti-join over the pair stream
     "dedup_minhash_keep" -> ((s, dir) =>
-      Dedup.minHashKeep(nearDupCorpus(s, dir), "doc_id", "text", 0.5)
+      Dedup.minHashKeepFromPairs(nearDupCorpus(s, dir), "doc_id",
+          nearDupPairs(s, dir))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 

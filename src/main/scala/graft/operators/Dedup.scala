@@ -288,10 +288,16 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       blockCol: Option[String] = None): DataFrame =
-    df.join(
-      minHashLshPairs(df, idCol, textCol, minJaccard, blockCol)
-        .select(col("id_b").as(idCol)),
-      Seq(idCol), "left_anti")
+    minHashKeepFromPairs(df,
+      idCol, minHashLshPairs(df, idCol, textCol, minJaccard, blockCol))
+
+  /** [[minHashKeep]] over an ALREADY-COMPUTED verified pair stream — the
+    * form a pipeline uses when several downstream rules (keep-first,
+    * components, cluster-best) share one LSH pass: a single anti-join on
+    * the higher pair ids, no signature recomputation. */
+  def minHashKeepFromPairs(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)), Seq(idCol), "left_anti")
 
   /**
    * Connected components over an undirected pair graph — the transitive-
