@@ -2598,6 +2598,38 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // REAL audio decode through javax.sound.sampled: PCM WAV fixtures
+    // with known rate/channels/frames round-trip writer→reader inside
+    // mapPartitions; corrupt payloads flag rather than throw. The oracle
+    // recomputes the construction arithmetic independently
+    "mm_decode_audio_real" -> ((s, dir) => {
+      import s.implicits._
+      def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val pcm = new Array[Byte](frames * channels * 2)
+        var i = 0
+        while (i < pcm.length) { pcm(i) = (i * 7 % 251).toByte; i += 1 }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val rows = (0 until 12).map { i =>
+        (i.toLong,
+          wav(8000 + (i % 5) * 2000, 1 + i % 2, 100 + i * 37))
+      } :+
+        (100L, "definitely not an audio payload".getBytes("UTF-8")) :+
+        (101L, "RIFF0000WAVEgarbage".getBytes("UTF-8"))
+      Multimodal.decodeAudioMeta(rows.toDF("id", "payload"), "id", "payload")
+        .select(col("id"), col("mime"), col("sample_rate_hz"),
+          col("n_channels"), col("n_frames"), col("duration_ms"),
+          col("decode_ok"))
+        .orderBy(col("id"))
+    }),
+
     "mm_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
         Multimodal.decodeMeta(t(s, dir, "documents"), "doc_id", "text"), 128)
@@ -5449,6 +5481,21 @@ object SparkEntry {
           |FROM range(0, 20) t(id)
           |UNION ALL SELECT 100, 'application/octet-stream', 0, 0, 0, FALSE
           |UNION ALL SELECT 101, 'image/png', 0, 0, 0, FALSE
+          |ORDER BY id""".stripMargin,
+
+      // independent reconstruction of the audio-fixture arithmetic; the
+      // corrupt rows flag with their sniffed container type
+      "mm_decode_audio_real" ->
+        """SELECT CAST(id AS BIGINT) AS id, 'audio/wav' AS mime,
+          |  CAST(8000 + (id % 5) * 2000 AS INTEGER) AS sample_rate_hz,
+          |  CAST(1 + id % 2 AS INTEGER) AS n_channels,
+          |  CAST(100 + id * 37 AS BIGINT) AS n_frames,
+          |  CAST((100 + id * 37) * 1000 // (8000 + (id % 5) * 2000) AS BIGINT)
+          |    AS duration_ms,
+          |  TRUE AS decode_ok
+          |FROM range(0, 12) t(id)
+          |UNION ALL SELECT 100, 'application/octet-stream', 0, 0, 0, 0, FALSE
+          |UNION ALL SELECT 101, 'audio/wav', 0, 0, 0, 0, FALSE
           |ORDER BY id""".stripMargin,
 
       "mm_resize_plan" ->

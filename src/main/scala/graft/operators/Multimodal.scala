@@ -122,6 +122,54 @@ object Multimodal {
       .toDF()
   }
 
+  final case class AudioMeta(
+      id: Long, mime: String, sample_rate_hz: Int, n_channels: Int,
+      n_frames: Long, duration_ms: Long, n_bytes: Long, decode_ok: Boolean)
+
+  /**
+   * REAL partition-level batch audio decode: `javax.sound.sampled` (the
+   * JDK's built-in WAV/AIFF/AU parsers, no external dependency) reads
+   * each payload's header inside `mapPartitions`, yielding true sample
+   * rate, channel count, frame count, and duration — the audio analogue
+   * of [[decodeImageMeta]], closing the second modality with a real
+   * codec. Duration is integer milliseconds (⌊frames·1000/rate⌋ — exact,
+   * engine-reproducible). Unparseable payloads flag `decode_ok = false`.
+   */
+  def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val mime =
+            if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I'
+              && payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W'
+              && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')
+              "audio/wav"
+            else if (payload.length >= 4 && payload(0) == 'F' && payload(1) == 'O'
+              && payload(2) == 'R' && payload(3) == 'M') "audio/aiff"
+            else "application/octet-stream"
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val rate = fmt.getSampleRate.toInt
+            val durMs = if (rate > 0) frames * 1000L / rate else 0L
+            in.close()
+            AudioMeta(id, mime, rate, fmt.getChannels, frames, durMs,
+              payload.length.toLong, decode_ok = true)
+          } catch {
+            case _: Exception =>
+              AudioMeta(id, mime, 0, 0, 0L, 0L, payload.length.toLong,
+                decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Resize planning: pure integer metadata math (aspect-preserving fit to
     * `maxDim`), no payload access — runs as codegen'd expressions. */
   def resizePlan(df: DataFrame, maxDim: Int): DataFrame = {

@@ -62,6 +62,33 @@ class MultimodalSpec extends SparkSuite {
       (4L, "application/octet-stream", 0, false)))
   }
 
+  test("decodeAudioMeta: true rate/channels/frames for wav; corrupt flags") {
+    def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(
+          new Array[Byte](frames * channels * 2)), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(16000, 1, 16000)),  // exactly one second
+      (2L, wav(8000, 2, 2000)),    // 250 ms stereo
+      (3L, "not audio at all".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = Multimodal.decodeAudioMeta(rows, "id", "payload")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(7)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "audio/wav", 16000, 1, 16000L, 1000L, true),
+      (2L, "audio/wav", 8000, 2, 2000L, 250L, true),
+      (3L, "application/octet-stream", 0, 0, 0L, 0L, false)))
+  }
+
   test("decodeImageMeta: n_bytes is the payload size, not the pixel size") {
     val p = png(10, 10, gray = false)
     val r = Multimodal.decodeImageMeta(
