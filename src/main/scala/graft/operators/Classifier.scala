@@ -127,7 +127,10 @@ object Classifier {
 
   /** Score documents under a trained model: exact margin units, the
     * squashed probability (6 decimals), and the keep decision
-    * (margin ≥ 0) — one map-side projection, no shuffle. */
+    * (margin ≥ 0) — one map-side projection, no shuffle. A null text
+    * yields a null margin/keep (the [[graft.plans.HashCellSumExpr]]
+    * contract: corrupt upstream data poisons its row visibly rather
+    * than scoring as empty). */
   def score(
       df: DataFrame,
       idCol: String,

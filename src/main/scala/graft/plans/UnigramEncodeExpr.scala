@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * reference implementation's rule (`tools/unigram_reference.py`), which is
  * what keeps the pinned oracle exact. Characters absent from the model act
  * as singleton pieces at probability 1e-9 (the UNK rule), so any word
- * segments.
+ * segments. Positions are UTF-16 units (Java string indexing — the
+ * Python reference indexes code points, so the cross-engine pins use BMP
+ * text); an astral character may split into surrogate-half UNK pieces,
+ * which still reassemble to the original word.
  *
  * The model travels as literals inside the expression (vocabSize entries —
  * driver-bounded by training); the per-row DP is O(len · maxLen) with a
