@@ -186,9 +186,12 @@ object SparkEntry {
     * unchanged — the checkpoint materializes exactly the frame the
     * operators consumed before. Same memoization shape as the E2E slice. */
   private val nearDupPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    nearDupPairsCache.computeIfAbsent(dir, _ =>
+    // keyed by (session, dir): a checkpointed RDD is bound to its
+    // SparkContext, so a later session in the same JVM must not receive
+    // the first session's frame (the E2E slice cache keys the same way)
+    nearDupPairsCache.computeIfAbsent((s, dir), _ =>
       Dedup.minHashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 0.5)
         .localCheckpoint())
 

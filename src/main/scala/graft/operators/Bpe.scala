@@ -94,14 +94,27 @@ object Bpe {
       freqCol: String,
       k: Int,
       minFreq: Long = 1L,
-      topM: Int = DefaultMaxVocab): Seq[Merge] = {
-    val typed = vocab.select(
+      topM: Int = DefaultMaxVocab): Seq[Merge] =
+    trainLocal(boundedVocabCollect(vocab, wordCol, freqCol, minFreq, topM), k)
+
+  /** THE bounded driver collect both tokenizer trainers share ([[train]]
+    * and [[Unigram.train]]): filter below `minFreq`, keep at most `topM`
+    * words by (freq desc, word asc — deterministic) via a
+    * `TakeOrderedAndProject` whose per-partition state is top-M-bounded.
+    * One definition so the truncation contract cannot silently diverge
+    * between the trainers. */
+  private[operators] def boundedVocabCollect(
+      vocab: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      minFreq: Long,
+      topM: Int): Seq[(String, Long)] =
+    vocab.select(
         col(wordCol).cast("string").as("__w"), col(freqCol).cast("long").as("__f"))
       .where(col("__f") >= minFreq)
       .orderBy(col("__f").desc, col("__w").asc)
       .limit(topM)
-    trainLocal(typed.collect().toSeq.map(r => (r.getString(0), r.getLong(1))), k)
-  }
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
 
   /** UTF-8 byte order — Spark's string `asc` and DuckDB's BINARY collation. */
   private def ltUtf8(a: String, b: String): Boolean = {

@@ -185,7 +185,25 @@ object DedupIndex {
         .select(col("id").as("cid"), col("shingles").as("csh")), Seq("cid"))
       .where(TextOps.jaccard(col("bsh"), col("csh")) >= minJaccard)
       .select(col("bid").as(idCol)).distinct()
-    val result = Dedup.minHashKeep(batch, idCol, textCol, minJaccard)
+    // within-batch pairs from the SAME cached signatures — the batch is
+    // tokenized/minhashed exactly once per ingest (a second
+    // minHashLshPairs pass over the batch text was the one redundancy
+    // left in this probe). Identical texts pair through their shared
+    // buckets at Jaccard 1.0, short docs' null buckets join nothing —
+    // the pinned minHashLshPairs semantics (the collapse there is a
+    // perf shape for boilerplate-heavy FULL corpora; an ingest batch is
+    // the small side)
+    val wBands = probe.where(col("bb").isNotNull)
+    val withinPairs = wBands.as("l")
+      .join(wBands.as("r"),
+        col("l.bb") === col("r.bb") && col("l.bid") < col("r.bid"))
+      .select(col("l.bid").as("id_a"), col("r.bid").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(bSig.select(col("id").as("id_a"), col("shingles").as("ash")), Seq("id_a"))
+      .join(bSig.select(col("id").as("id_b"), col("shingles").as("bsh2")), Seq("id_b"))
+      .where(TextOps.jaccard(col("ash"), col("bsh2")) >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val result = Dedup.minHashKeepFromPairs(batch, idCol, withinPairs)
       .join(corpusHits, Seq(idCol), "left_anti")
     CacheScope.unpersistAfterAction(result, Seq(bSig))
   }

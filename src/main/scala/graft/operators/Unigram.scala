@@ -172,15 +172,9 @@ object Unigram {
       emIters: Int = 2,
       vocabSize: Int = 100,
       minFreq: Long = 1L,
-      topM: Int = Bpe.DefaultMaxVocab): Model = {
-    val typed = vocab.select(
-        col(wordCol).cast("string").as("__w"), col(freqCol).cast("long").as("__f"))
-      .where(col("__f") >= minFreq)
-      .orderBy(col("__f").desc, col("__w").asc)
-      .limit(topM)
-    trainLocal(typed.collect().toSeq.map(r => (r.getString(0), r.getLong(1))),
+      topM: Int = Bpe.DefaultMaxVocab): Model =
+    trainLocal(Bpe.boundedVocabCollect(vocab, wordCol, freqCol, minFreq, topM),
       maxLen, seedSize, emIters, vocabSize)
-  }
 
   /** Viterbi segmentation of one word column under `model` — a map-side
     * native expression, model as literals. */

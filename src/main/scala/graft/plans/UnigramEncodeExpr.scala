@@ -49,7 +49,14 @@ case class UnigramEncodeExpr(
     m
   }
 
-  /** The DP, shared by interpreted eval and codegen. */
+  /** The DP, shared by interpreted eval and codegen. Long words would
+    * underflow raw-space products to 0.0 (at which point `>` never fires
+    * and the whole word would fall out as ONE bogus piece): whenever the
+    * newest cell drops below 2^-600 the whole computed prefix rescales by
+    * 2^600 — a pure exponent shift (`ldexp`), so every mantissa and
+    * therefore every comparison is EXACTLY as in unbounded precision; all
+    * live cells scale together, so the argmax chain is unchanged. The
+    * Python reference applies the identical rescale. */
   def segment(wordU: UTF8String): ArrayData = {
     val word = wordU.toString
     val n = word.length
@@ -71,6 +78,19 @@ case class UnigramEncodeExpr(
           if (cand > best(i)) { best(i) = cand; back(i) = j }
         }
         j += 1
+      }
+      if (best(i) > 0.0 && best(i) < UnigramEncodeExpr.RescaleBelow) {
+        // only the LIVE WINDOW rescales (cells a later position can still
+        // read — position i+1 reads j ≥ i+1−maxLen); stale cells stay at
+        // their old scale and are never touched, which also keeps repeated
+        // rescales from overflowing early cells. Window cells are at most
+        // PUnk^-maxLen above the frontier (every step has a ≥ PUnk
+        // factor), so the scaled window stays far below Double.MaxValue.
+        var k = math.max(0, i - maxLen + 1)
+        while (k <= i) {
+          best(k) = java.lang.Math.scalb(best(k), UnigramEncodeExpr.RescaleExp)
+          k += 1
+        }
       }
       i += 1
     }
@@ -101,4 +121,9 @@ case class UnigramEncodeExpr(
 object UnigramEncodeExpr {
   /** Probability assigned to out-of-model single characters (UNK). */
   val PUnk: Double = 1e-9
+
+  /** Underflow guard: when the DP frontier drops below 2^-600 the live
+    * window rescales by 2^600 — an exact exponent shift, argmax-exact. */
+  val RescaleExp: Int = 600
+  val RescaleBelow: Double = java.lang.Math.scalb(1.0, -RescaleExp)
 }

@@ -741,36 +741,6 @@ object Streams {
    *
    * Returns the KEPT doc ids.
    */
-  /**
-   * TRAINED-model quality gate at the ingest door: each arriving document
-   * scores map-side under the hashed-linear model's weight literals
-   * ([[graft.operators.Classifier.score]] — exact integer cell sum inside
-   * whole-stage codegen, no join, no state) and passes iff its margin is
-   * non-negative. The model-based sibling of the heuristic
-   * [[contaminationGateStream]] / [[perplexityGateStream]] doors: train
-   * offline on labeled documents ([[graft.operators.Classifier.train]]),
-   * gate the crawl live. Stateless projection — append mode, no
-   * watermark, per-batch cost is scan + hash.
-   */
-  def classifierGateStream(
-      spark: SparkSession,
-      docs: DataFrame,
-      model: graft.operators.Classifier.Model): DataFrame = {
-    val dir = Files.createTempDirectory("graft-stream-clsgate")
-    docs.select(col("doc_id"), col("text")).write
-      .mode("overwrite").parquet(dir.toString)
-    val schema = spark.read.parquet(dir.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val scored = graft.operators.Classifier
-      .score(stream, "doc_id", "text", model)
-    val drained = runToMemory(
-      scored.where(col("keep")).select(col("doc_id")),
-      "append", statePartitionsFor(dir.toString))
-    cleanupStaging(dir)
-    drained
-  }
-
   def perplexityGateStream(
       spark: SparkSession,
       docs: DataFrame,
@@ -807,6 +777,36 @@ object Streams {
           .as("mean_logprob"))
       .where(col("mean_logprob") >= minMeanLogProb)
       .select(col("doc_id"))
+  }
+
+  /**
+   * TRAINED-model quality gate at the ingest door: each arriving document
+   * scores map-side under the hashed-linear model's weight literals
+   * ([[graft.operators.Classifier.score]] — exact integer cell sum inside
+   * whole-stage codegen, no join, no state) and passes iff its margin is
+   * non-negative. The model-based sibling of the heuristic
+   * [[contaminationGateStream]] / [[perplexityGateStream]] doors: train
+   * offline on labeled documents ([[graft.operators.Classifier.train]]),
+   * gate the crawl live. Stateless projection — append mode, no
+   * watermark, per-batch cost is scan + hash.
+   */
+  def classifierGateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      model: graft.operators.Classifier.Model): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-clsgate")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val scored = graft.operators.Classifier
+      .score(stream, "doc_id", "text", model)
+    val drained = runToMemory(
+      scored.where(col("keep")).select(col("doc_id")),
+      "append", statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
   }
 
   /**

@@ -104,15 +104,28 @@ class TrainerPropertySpec extends SparkSuite {
     def pOf(s: String): Option[Double] =
       probs.get(s).orElse(
         if (s.length == 1) Some(graft.plans.UnigramEncodeExpr.PUnk) else None)
-    // brute-force best product over ALL segmentations (words <= 7 chars)
-    def bestProduct(w: String): Double = {
-      if (w.isEmpty) 1.0
-      else (1 to math.min(4, w.length)).flatMap { l =>
-        pOf(w.take(l)).map(_ * bestProduct(w.drop(l)))
-      }.max
+    // brute-force best LOG-mass over all segmentations — log space so the
+    // reference itself cannot underflow on long words (memoized on suffix
+    // length: O(len·maxLen) states)
+    def bestLog(w: String): Double = {
+      val memo = new Array[java.lang.Double](w.length + 1)
+      def go(i: Int): Double = {
+        if (i == w.length) 0.0
+        else {
+          if (memo(i) == null) {
+            memo(i) = (1 to math.min(4, w.length - i)).flatMap { l =>
+              pOf(w.substring(i, i + l)).map(p => math.log(p) + go(i + l))
+            }.max
+          }
+          memo(i).doubleValue()
+        }
+      }
+      go(0)
     }
     val chars = Gen.oneOf(('a' to 'z') ++ Seq('l', 'o', 'w', 'e', 's', 't'))
-    val genWord = Gen.choose(1, 7).flatMap(n =>
+    // up to 60 chars: well past the ~37-char raw-space underflow point,
+    // exercising the DP's exact live-window rescale
+    val genWord = Gen.choose(1, 60).flatMap(n =>
       Gen.listOfN(n, chars).map(_.mkString))
     run(Prop.forAllNoShrink(Gen.nonEmptyListOf(genWord)) { words =>
       val got = words.distinct.toDF("word")
@@ -121,10 +134,10 @@ class TrainerPropertySpec extends SparkSuite {
         .map(r => (r.getString(0), r.getSeq[String](1))).toMap
       words.distinct.forall { w =>
         val pieces = got(w)
-        val prod = pieces.map(p => pOf(p).get).product
-        // products associate differently between the recursive reference
-        // and the DP's left fold — compare at relative 1e-9
-        pieces.mkString("") == w && prod >= bestProduct(w) * (1.0 - 1e-9)
+        val logMass = pieces.map(p => math.log(pOf(p).get)).sum
+        // log sums associate/round differently than the reference's
+        // recursion — compare at absolute 1e-6
+        pieces.mkString("") == w && logMass >= bestLog(w) - 1e-6
       } :| s"got=$got"
     }, n = 10)
   }

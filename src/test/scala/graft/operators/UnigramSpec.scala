@@ -48,6 +48,20 @@ class UnigramSpec extends SparkSuite {
     assert(got("zzz") == "z z z")
   }
 
+  test("viterbi: long words segment through the underflow rescale") {
+    // pre-rescale, a ~37+-char out-of-model word drove best(i) to 0.0 and
+    // fell out as ONE bogus whole-word piece; the exact 2^600 live-window
+    // rescale must keep segmenting arbitrarily long words
+    val unk = "z" * 64
+    val lows = "low" * 40 // 120 chars of model pieces
+    val got = Seq(unk, lows).toDF("word")
+      .select(col("word"), Unigram.encode(col("word"), model, 4).as("p"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    assert(got(unk) == Seq.fill(64)("z"),
+      s"UNK singletons expected, got ${got(unk).take(5)}... (${got(unk).size})")
+    assert(got(lows) == Seq.fill(40)("low"), got(lows).take(5).toString)
+  }
+
   test("encodeStats: pieces reassemble words; ratio bounded by chars") {
     val docs = Seq((1L, "lowest newest low"), (2L, ""), (3L, "newlow"))
       .toDF("id", "text")

@@ -107,6 +107,12 @@ def train(vocab, max_len, seed_size, em_iters, vocab_size):
 
 
 def viterbi(word, probs, max_len):
+    """Raw-space DP with the EXACT underflow rescale the Scala expression
+    applies: when the frontier drops below 2^-600 the live window (the
+    only cells a later position reads) shifts up by 2^600 via ldexp — a
+    pure exponent change, so every comparison matches unbounded
+    precision and arbitrarily long words segment correctly."""
+    import math
     n = len(word)
     best = [0.0] * (n + 1)
     back = [0] * (n + 1)
@@ -121,6 +127,9 @@ def viterbi(word, probs, max_len):
             if cand > best[i]:
                 best[i] = cand
                 back[i] = j
+        if 0.0 < best[i] < math.ldexp(1.0, -600):
+            for k in range(max(0, i - max_len + 1), i + 1):
+                best[k] = math.ldexp(best[k], 600)
     pieces = []
     i = n
     while i > 0:
