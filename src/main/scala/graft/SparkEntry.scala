@@ -185,15 +185,21 @@ object SparkEntry {
     * RDD-level persistence, not a catalog cache entry); results are
     * unchanged — the checkpoint materializes exactly the frame the
     * operators consumed before. Same memoization shape as the E2E slice. */
-  private val nearDupPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val nearDupPairsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    // keyed by (session, dir): a checkpointed RDD is bound to its
-    // SparkContext, so a later session in the same JVM must not receive
-    // the first session's frame (the E2E slice cache keys the same way)
-    nearDupPairsCache.computeIfAbsent((s, dir), _ =>
-      Dedup.minHashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 0.5)
-        .localCheckpoint())
+    // keyed per SESSION (weakly — a stopped session and its checkpointed
+    // RDD blocks must stay collectable, never pinned by this cache for
+    // the JVM's lifetime) then per dir: a checkpointed RDD is bound to
+    // its SparkContext, so a later session in the same JVM must not
+    // receive the first session's frame
+    nearDupPairsCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir, _ =>
+        Dedup.minHashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 0.5)
+          .localCheckpoint())
 
   /** Scratch database for the at-rest dedup-index roundtrip queries: one
     * location per JVM (CREATE DATABASE IF NOT EXISTS keeps the first);

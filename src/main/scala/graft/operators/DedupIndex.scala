@@ -193,9 +193,10 @@ object DedupIndex {
     // the pinned minHashLshPairs semantics (the collapse there is a
     // perf shape for boilerplate-heavy FULL corpora; an ingest batch is
     // the small side)
-    val wBands = probe.where(col("bb").isNotNull)
-    val withinPairs = wBands.as("l")
-      .join(wBands.as("r"),
+    // probe rows carry no null bb by construction (bandRows drops null
+    // buckets before folding), so both arms join it directly
+    val withinPairs = probe.as("l")
+      .join(probe.as("r"),
         col("l.bb") === col("r.bb") && col("l.bid") < col("r.bid"))
       .select(col("l.bid").as("id_a"), col("r.bid").as("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -90,12 +90,17 @@ object Multimodal {
 
   /**
    * REAL partition-level batch image decode: `javax.imageio` reads each
-   * binary payload inside `mapPartitions` — codec/registry setup and the
-   * disk-cache opt-out happen once per partition, payload bytes never
-   * shuffle, and the output is the typed metadata row downstream planning
-   * runs on. A payload no reader accepts (or that throws mid-decode)
-   * yields `decode_ok = false` with zeroed dimensions — corrupt crawl
-   * bytes are data, not exceptions.
+   * binary payload's HEADER inside `mapPartitions` — codec/registry setup
+   * and the disk-cache opt-out happen once per partition, payload bytes
+   * never shuffle, and the output is the typed metadata row downstream
+   * planning runs on. Header-only deliberately: `ImageReader.getWidth`/
+   * `getHeight`/`getImageTypes` never allocate the pixel raster, so a
+   * metadata pass over 100 TB pays bytes-scanned, not pixels-decoded —
+   * and a decompression bomb (a few-KB PNG declaring 60000×60000) cannot
+   * OOM an executor the way a full `ImageIO.read` raster allocation
+   * could. A payload no reader accepts (or that throws mid-parse) yields
+   * `decode_ok = false` with zeroed dimensions — corrupt crawl bytes are
+   * data, not exceptions.
    */
   def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -107,16 +112,30 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
           val mime = sniffMime(payload)
-          val img =
-            try javax.imageio.ImageIO.read(
+          var meta: ImageMeta = null
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(payload))
-            catch { case _: Exception => null }
-          if (img == null)
-            ImageMeta(id, mime, 0, 0, 0, payload.length.toLong, decode_ok = false)
-          else
-            ImageMeta(id, mime, img.getWidth, img.getHeight,
-              img.getColorModel.getNumComponents, payload.length.toLong,
-              decode_ok = true)
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (readers.hasNext) {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  val (w, h) = (r.getWidth(0), r.getHeight(0))
+                  val types = r.getImageTypes(0)
+                  val ch = if (types.hasNext)
+                    types.next().getColorModel.getNumComponents else 0
+                  meta = ImageMeta(id, mime, w, h, ch,
+                    payload.length.toLong, decode_ok = true)
+                } finally r.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          } catch { case _: Exception => () }
+          if (meta == null)
+            ImageMeta(id, mime, 0, 0, 0, payload.length.toLong,
+              decode_ok = false)
+          else meta
         }
       }
       .toDF()
@@ -156,10 +175,18 @@ object Multimodal {
             val fmt = in.getFormat
             val frames = in.getFrameLength
             val rate = fmt.getSampleRate.toInt
-            val durMs = if (rate > 0) frames * 1000L / rate else 0L
             in.close()
-            AudioMeta(id, mime, rate, fmt.getChannels, frames, durMs,
-              payload.length.toLong, decode_ok = true)
+            // NOT_SPECIFIED (-1) frame length or a non-positive rate
+            // means the header did NOT yield the metadata this operator
+            // exists to report — that is a failed decode, not a success
+            // with a negative frame count poisoning downstream planning
+            if (frames < 0 || rate <= 0)
+              AudioMeta(id, mime, 0, 0, 0L, 0L, payload.length.toLong,
+                decode_ok = false)
+            else
+              AudioMeta(id, mime, rate, fmt.getChannels, frames,
+                frames * 1000L / rate, payload.length.toLong,
+                decode_ok = true)
           } catch {
             case _: Exception =>
               AudioMeta(id, mime, 0, 0, 0L, 0L, payload.length.toLong,

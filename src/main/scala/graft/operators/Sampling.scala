@@ -185,10 +185,11 @@ object Sampling {
    * ranking so a last-ulp `ln` divergence between engines cannot flip a
    * cut (the bm25/DSIR house rule), with id tie-breaks.
    *
-   * CONTRACT: weights must be strictly positive and non-null. Weight 0
-   * yields an infinite key (the row can never be drawn) and a negative
-   * weight a negative key that ALWAYS wins — both silently invert the
-   * sampling bias, so [[weightedKPerGroup]] raises on them in-plan.
+   * CONTRACT: weights must be non-negative and non-null. A negative
+   * weight yields a negative key that ALWAYS wins — silently inverting
+   * the sampling bias — so [[weightedKPerGroup]] raises on it (and on
+   * null) in-plan; weight EXACTLY 0 is the well-defined never-drawn
+   * limit and its rows are excluded there before the key computes.
    */
   def exponentialKey(id: Column, weight: Column, seed: Long): Column =
     round(-log((hash16(id, seed).cast("double") + 1.0) / 65537.0)
@@ -212,17 +213,21 @@ object Sampling {
       seed: Long = 0L): DataFrame = {
     require(k > 0, "weightedKPerGroup: k must be positive")
     val topk = Similarity.topKUdaf(k)
-    // enforce the exponentialKey contract in-plan: a zero/negative/null
-    // weight silently inverts the draw (never-sampled / always-wins), so
-    // the offending ROW raises a named error instead
+    // the exponentialKey contract, enforced in-plan: a NEGATIVE or null
+    // weight silently inverts the draw (always-wins / poisoned key) and
+    // raises a named error on the offending ROW; weight EXACTLY 0 is the
+    // well-defined Efraimidis–Spirakis limit — probability zero, never
+    // drawn — so those rows are excluded rather than failing a 100 TB
+    // sampling pass over one empty document
     val w = col(weightCol).cast("double")
-    val checkedKey = when(w.isNull || w <= 0.0,
+    val checkedKey = when(w.isNull || w < 0.0,
         raise_error(concat(
-          lit("weightedKPerGroup: non-positive or null weight for id "),
+          lit("weightedKPerGroup: negative or null weight for id "),
           col(idCol).cast("string"),
-          lit(" — weights must be strictly positive"))))
+          lit(" — weights must be non-negative"))))
       .otherwise(exponentialKey(col(idCol), col(weightCol), seed))
-    df.select(col(groupCol), col(idCol), checkedKey.as("__e"))
+    df.where(w.isNull || w =!= 0.0)
+      .select(col(groupCol), col(idCol), checkedKey.as("__e"))
       .groupBy(col(groupCol))
       // score = -e: the aggregate's (score desc, id asc) order is exactly
       // (e asc, id asc)

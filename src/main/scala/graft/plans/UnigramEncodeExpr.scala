@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * reference implementation's rule (`tools/unigram_reference.py`), which is
  * what keeps the pinned oracle exact. Characters absent from the model act
  * as singleton pieces at probability 1e-9 (the UNK rule), so any word
- * segments. Positions are UTF-16 units (Java string indexing — the
- * Python reference indexes code points, so the cross-engine pins use BMP
- * text); an astral character may split into surrogate-half UNK pieces,
- * which still reassemble to the original word.
+ * segments. Positions are CODE POINTS (precomputed boundary offsets over
+ * the UTF-16 string) — exactly the Python reference's string indexing,
+ * so an astral character is ONE UNK piece, never two mangled surrogate
+ * halves, and pieces always reassemble to the original word. (A lone
+ * surrogate in the INPUT is already invalid UTF-16 and round-trips as
+ * U+FFFD-style replacement — corrupt upstream bytes, not a segmentation
+ * artifact.)
  *
  * The model travels as literals inside the expression (vocabSize entries —
  * driver-bounded by training); the per-row DP is O(len · maxLen) with a
@@ -59,7 +62,22 @@ case class UnigramEncodeExpr(
     * Python reference applies the identical rescale. */
   def segment(wordU: UTF8String): ArrayData = {
     val word = wordU.toString
-    val n = word.length
+    // code-point boundaries: off(k) = UTF-16 offset of the k-th code
+    // point; spans substring between boundaries, so maxLen counts code
+    // points and surrogate pairs never split
+    val off = {
+      val b = new Array[Int](word.codePointCount(0, word.length) + 1)
+      var o = 0
+      var k = 0
+      while (o < word.length) {
+        b(k) = o
+        o += Character.charCount(word.codePointAt(o))
+        k += 1
+      }
+      b(k) = word.length
+      b
+    }
+    val n = off.length - 1
     val best = new Array[Double](n + 1)
     val back = new Array[Int](n + 1)
     best(0) = 1.0
@@ -67,7 +85,7 @@ case class UnigramEncodeExpr(
     while (i <= n) {
       var j = math.max(0, i - maxLen)
       while (j < i) {
-        val s = word.substring(j, i)
+        val s = word.substring(off(j), off(i))
         val p0 = probs.get(s)
         val p: java.lang.Double =
           if (p0 != null) p0
@@ -97,7 +115,7 @@ case class UnigramEncodeExpr(
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var k = n
     while (k > 0) {
-      out += UTF8String.fromString(word.substring(back(k), k))
+      out += UTF8String.fromString(word.substring(off(back(k)), off(k)))
       k = back(k)
     }
     new GenericArrayData(out.reverse.toArray[Any])

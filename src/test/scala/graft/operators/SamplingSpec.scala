@@ -88,22 +88,27 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
-  test("weighted k: zero/negative/null weights raise a named error in-plan") {
+  test("weighted k: negative/null raise; weight 0 is the never-drawn limit") {
     import spark.implicits._
-    for (w <- Seq(0.0, -1.0)) {
-      val df = Seq((1L, "g", w), (2L, "g", 1.0)).toDF("id", "grp", "wt")
-      val e = intercept[Exception] {
-        Sampling.weightedKPerGroup(df, "grp", "id", "wt", k = 1).count()
-      }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("strictly positive")),
-        s"weight $w: " + msgs(e).mkString("; "))
+    // negative inverts the draw — job-fatal with a named error
+    val neg = Seq((1L, "g", -1.0), (2L, "g", 1.0)).toDF("id", "grp", "wt")
+    val e = intercept[Exception] {
+      Sampling.weightedKPerGroup(neg, "grp", "id", "wt", k = 1).count()
     }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-negative")), msgs(e).mkString("; "))
     val withNull = Seq((1L, "g", Some(1.0)), (2L, "g", None))
       .toDF("id", "grp", "wt")
     intercept[Exception] {
-      Sampling.weightedKPerGroup(withNull, "grp", "id", "wt", k = 1).count()
+      Sampling.weightedKPerGroup(withNull, "grp", "id", "wt", k = 2).count()
     }
+    // weight EXACTLY 0: probability-zero row is excluded, never job-fatal
+    // (one empty document must not kill a 100 TB sampling pass)
+    val zero = Seq((1L, "g", 0.0), (2L, "g", 1.0), (3L, "g", 1.0))
+      .toDF("id", "grp", "wt")
+    val got = Sampling.weightedKPerGroup(zero, "grp", "id", "wt", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), s"zero-weight row must never be drawn: $got")
   }
 }

@@ -62,6 +62,19 @@ class UnigramSpec extends SparkSuite {
     assert(got(lows) == Seq.fill(40)("low"), got(lows).take(5).toString)
   }
 
+  test("viterbi: astral characters are ONE code-point UNK piece, not halves") {
+    // U+1D54F (math double-struck X) is a surrogate pair in UTF-16: the
+    // DP must segment on code points (the Python reference's indexing) —
+    // a UTF-16-unit DP would emit two lone-surrogate pieces that mangle
+    // to '?' on UTF-8 conversion and never reassemble
+    val x = new String(Character.toChars(0x1D54F))
+    val got = Seq(s"a${x}b").toDF("word")
+      .select(Unigram.encode(col("word"), model, 4).as("p"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a", x, "b"), got.toString)
+    assert(got.mkString("") == s"a${x}b")
+  }
+
   test("encodeStats: pieces reassemble words; ratio bounded by chars") {
     val docs = Seq((1L, "lowest newest low"), (2L, ""), (3L, "newlow"))
       .toDF("id", "text")
