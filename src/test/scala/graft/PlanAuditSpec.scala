@@ -542,6 +542,34 @@ class PlanAuditSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("classifier scoring: margin is one map-side codegen'd projection") {
+    import graft.operators.Classifier
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = Classifier.Model(Array.fill(64)(7L), 3L)
+    val p = physical(Classifier.score(docs, "doc_id", "text", model))
+    assert(!p.contains("Exchange"),
+      s"scoring must not shuffle — the model rides the expression:\n$p")
+    // the `*(n)` operator prefix is the WholeStageCodegen marker in the
+    // compact rendering
+    assert(p.contains("*(1) Project"),
+      s"the cell-sum margin must stay inside codegen:\n$p")
+  }
+
+  test("unigram encode: the Viterbi DP runs inside whole-stage codegen, no shuffle") {
+    import graft.operators.Unigram
+    val model: Unigram.Model =
+      Seq(("a", 0.4), ("b", 0.3), ("ab", 0.2), ("c", 0.1))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = physical(docs.select(col("doc_id"),
+      Unigram.encode(col("text"), model, 4).as("p")))
+    assert(!plan.contains("Exchange"), s"pure projection expected:\n$plan")
+    assert(plan.contains("*(1) Project"),
+      s"unigram_encode must codegen:\n$plan")
+    assert(plan.contains("unigram_encode"), plan)
+  }
+
   test("ppl buckets: model broadcast, bucketing map-side — no global window") {
     import graft.operators.Perplexity
     val docs = spark.read.parquet(s"$sf/documents.parquet")
