@@ -857,6 +857,35 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // THE INGEST LOOP, composed end-to-end: the corpus's digest and band
+    // indexes persist once; the incoming batch flows exact-dedup (indexed
+    // digest anti-probe + within-batch keep-first) → near-dedup (indexed
+    // band probe + verify, within-batch rule) → trained-classifier gate
+    // (margin >= 0 under the corpus-trained model) — the round-trip a
+    // continuously-crawled corpus runs per ingest, every stage probing
+    // at-rest state instead of rescanning prior text. The oracle restates
+    // all three stages independently (keep-first window + NOT IN, banding
+    // joins at jaccard >= 0.7 over the exact survivors, unrolled training
+    // CTEs + margin join)
+    "pipeline_ingest" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val db = indexDb(s)
+      DedupIndex.writeDigestIndex(d, "doc_id", "text", s"$db.ing_digest", 8)
+      DedupIndex.writeBandIndex(d, "doc_id", "text", s"$db.ing_band", 8)
+      val labeled = t(s, dir, "documents").select(col("text"),
+        (col("lang") === "en").cast("long").as("y"))
+      val model = operators.Classifier.train(labeled, "text", "y",
+        buckets = 64, iters = 2)
+      val exact = DedupIndex.incrementalIndexed(
+        incrementalIngestBatch(s, dir), s, s"$db.ing_digest", "doc_id", "text")
+      val near = DedupIndex.incrementalNearDupIndexed(exact, s,
+        s"$db.ing_band", "doc_id", "text", 0.7)
+      operators.Classifier.score(near, "doc_id", "text", model)
+        .where(col("keep"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup: embedding-cluster-bounded semantic near-dup removal — the
     // higher id of any same-cluster pair with cosine >= 0.2 drops
     "dedup_semantic" -> ((s, dir) =>
@@ -4031,6 +4060,72 @@ object SparkEntry {
            |WHERE doc_id NOT IN (
            |  SELECT c.id FROM comp c JOIN winners w
            |    ON c.component = w.component AND c.id <> w.keep)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // the composed ingest loop: exact keep-first + corpus NOT IN, then
+      // banding + jaccard >= 0.7 over the exact survivors (corpus hits
+      // and the within-survivor rule), then the unrolled classifier
+      // training CTEs with the margin-sign gate over the near survivors
+      "pipeline_ingest" -> {
+        import graft.operators.ClassifierSql
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        val sig = TextOpsSql.minHashSignature("ss")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        def setsOf(src: String) =
+          s"""SELECT doc_id, list_distinct($shingles) AS ss FROM (
+             |  SELECT doc_id, $thash AS th FROM (
+             |    SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM $src))""".stripMargin
+        s"""WITH cdocs AS (
+           |  SELECT doc_id,
+           |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |         ${TextOpsSql.tokenHashes(toks)} AS th
+           |  FROM documents),
+           |${ClassifierSql.trainCtes(64, 2, 1L, 1L)},
+           |mut AS (
+           |  SELECT doc_id + 20000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |batch AS (
+           |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id, text FROM mut
+           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut),
+           |exact AS (SELECT doc_id, text FROM (
+           |  SELECT doc_id, text,
+           |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM batch WHERE text NOT IN (SELECT text FROM documents))
+           |  WHERE rn = 1),
+           |bd AS (${setsOf("exact")}),
+           |cd AS (${setsOf("documents")}),
+           |bsg AS (SELECT doc_id, ss, $sig AS sig FROM bd),
+           |csg AS (SELECT doc_id, ss, $sig AS sig FROM cd),
+           |bb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |       FROM bsg, (VALUES (0), (1), (2), (3)) b(band)),
+           |cb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+           |       FROM csg, (VALUES (0), (1), (2), (3)) b(band)),
+           |chit AS (SELECT DISTINCT l.doc_id
+           |         FROM bb l JOIN cb r
+           |           ON l.band = r.band AND l.bucket = r.bucket
+           |         WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |               >= CAST(0.7 AS DOUBLE)),
+           |wdrop AS (SELECT DISTINCT r.doc_id
+           |          FROM bb l JOIN bb r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id
+           |          WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+           |                >= CAST(0.7 AS DOUBLE)),
+           |near AS (SELECT e.doc_id, e.text FROM exact e
+           |         WHERE e.doc_id NOT IN (SELECT doc_id FROM chit)
+           |           AND e.doc_id NOT IN (SELECT doc_id FROM wdrop)),
+           |nth AS (SELECT doc_id, ${TextOpsSql.tokenHashes(toks)} AS th
+           |        FROM near),
+           |sc AS (${ClassifierSql.marginOver("nth", 64, 2)})
+           |SELECT doc_id FROM sc WHERE margin_units >= 0
            |ORDER BY doc_id""".stripMargin
       },
 

@@ -208,6 +208,20 @@ object ClassifierSql {
     (header ++ levels).mkString(",\n")
   }
 
+  /** Margin units of an arbitrary (doc_id, th) source CTE under the final
+    * weights — the scoring join reusable over any doc set, not just the
+    * training one. Emits `SELECT doc_id, margin_units FROM ...`. */
+  def marginOver(src: String, buckets: Int, iters: Int): String = {
+    val mu = s"CAST(COALESCE(s.mu, 0) + (SELECT bu FROM b$iters) AS BIGINT)"
+    s"""SELECT d.doc_id, $mu AS margin_units
+       |FROM $src d LEFT JOIN (
+       |  SELECT e.doc_id, SUM(w.w) AS mu FROM (
+       |    SELECT doc_id, (h * $Mult) % $buckets AS cell
+       |    FROM (SELECT doc_id, unnest(th) AS h FROM $src)) e
+       |  JOIN w$iters w ON w.cell = e.cell
+       |  GROUP BY e.doc_id) s ON s.doc_id = d.doc_id""".stripMargin
+  }
+
   /** Margin-units + scored columns of `cdocs` under the final weights.
     * (DuckDB's SUM over BIGINT yields HUGEINT — cast back so the output
     * schema matches Spark's long margin.) */
