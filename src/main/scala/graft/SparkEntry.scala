@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, Unigram, VocabCoverage}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -1649,6 +1649,52 @@ object SparkEntry {
         .map(m => (m.rank.toLong, m.left, m.right, m.cnt))
         .toDF("rank", "left_sym", "right_sym", "pair_freq")
         .orderBy(col("rank"))
+    }),
+
+    // ---- WordPiece tokenizer (likelihood-scored merges) ---------------
+    // corpus-trained merge table under the BERT score rule
+    // cnt/(c(left)·c(right)): same ONE corpus-wide vocabulary aggregate
+    // as BPE, training driver-side on the bounded vocab; oracle = the
+    // same likelihood rule unrolled to 10 CTE levels in DuckDB (pair +
+    // symbol counts → IEEE-division score argmax → merged vocab)
+    "wordpiece_merges" -> ((s, dir) => {
+      import s.implicits._
+      WordPiece.train(WordPiece.vocabulary(t(s, dir, "documents"), "text"),
+          "word", "freq", 10)
+        .map(m => (m.rank.toLong, m.left, m.right, m.cnt,
+          BigDecimal(m.score).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toDF("rank", "left_sym", "right_sym", "pair_freq", "score")
+        .orderBy(col("rank"))
+    }),
+
+    // INTENT pin: literal VALUES from tools/wordpiece_reference.py (naive
+    // full-recount trainer — not a rendering of the incremental one)
+    "wordpiece_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+        ("widest", 3L), ("lowest", 4L)).toDF("word", "freq")
+      WordPiece.train(vocab, "word", "freq", 8)
+        .map(m => (m.rank.toLong, m.left, m.right, m.cnt,
+          BigDecimal(m.score).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toDF("rank", "left_sym", "right_sym", "pair_freq", "score")
+        .orderBy(col("rank"))
+    }),
+
+    // greedy longest-match-first encodings of fixed probe words under the
+    // pinned trained piece set — the native-expression scan (BERT
+    // whole-word-UNK rule) against the reference's segmentations
+    "wordpiece_encode_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+        ("widest", 3L), ("lowest", 4L))
+      val ps = WordPiece.pieces(vocab, WordPiece.trainLocal(vocab, 8))
+      Seq("lowest", "newest", "low", "wider", "newlow", "elow", "zzz")
+        .toDF("word")
+        .select(col("word"),
+          array_join(WordPiece.encode(col("word"), ps), " ").as("pieces"))
+        .orderBy(col("word"))
     }),
 
     // INTENT pin for the unigram-LM (SentencePiece-style) tokenizer
@@ -4927,6 +4973,43 @@ object SparkEntry {
           |  (7, 'n', 'ewest', 6), (8, 'low', 'est', 4)
           |) t(rank, left_sym, right_sym, pair_freq)
           |ORDER BY rank""".stripMargin,
+
+      "wordpiece_merges" ->
+        s"""WITH wp_vocab AS (SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
+           |${WordPieceSql.trainCtes(10)}
+           |SELECT * FROM (
+           |${WordPieceSql.mergeRows(10)}
+           |) ORDER BY rank""".stripMargin,
+
+      // literal VALUES from tools/wordpiece_reference.py (independent
+      // naive-recount implementation of the same likelihood rule)
+      "wordpiece_pinned" ->
+        """SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym,
+          |       CAST(pair_freq AS BIGINT) AS pair_freq,
+          |       CAST(score AS DOUBLE) AS score
+          |FROM (VALUES
+          |  (1, '##i', '##d', 3, 0.333333333),
+          |  (2, 'w', '##id', 3, 0.333333333),
+          |  (3, 'l', '##o', 11, 0.090909091),
+          |  (4, '##s', '##t', 13, 0.076923077),
+          |  (5, 'lo', '##w', 11, 0.058823529),
+          |  (6, '##e', '##r', 2, 0.047619048),
+          |  (7, 'low', '##er', 2, 0.090909091),
+          |  (8, '##e', '##st', 13, 0.052631579)
+          |) t(rank, left_sym, right_sym, pair_freq, score)
+          |ORDER BY rank""".stripMargin,
+
+      // the reference's greedy segmentations of the pinned probe words;
+      // '##l' never occurs (l is only word-initial), so 'newlow'/'elow'
+      // void to ONE [UNK] — the BERT rule, not a partial segmentation
+      "wordpiece_encode_pinned" ->
+        """SELECT word, pieces FROM (VALUES
+          |  ('lowest', 'low ##est'), ('newest', 'n ##e ##w ##est'),
+          |  ('low', 'low'), ('wider', 'wid ##er'), ('newlow', '[UNK]'),
+          |  ('elow', '[UNK]'), ('zzz', '[UNK]')
+          |) t(word, pieces)
+          |ORDER BY word""".stripMargin,
 
       // literal expected VALUES from tools/unigram_reference.py — the
       // independent EM implementation's trained distribution at 9 decimals

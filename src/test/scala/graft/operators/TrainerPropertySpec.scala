@@ -95,6 +95,65 @@ class TrainerPropertySpec extends SparkSuite {
     }, n = 10)
   }
 
+  /** Sequential reference for [[WordPiece.trainLocal]]: naive full
+    * recount of pair and symbol tables every round over symbol LISTS —
+    * no incremental counts, no occurrence index, no string-replace
+    * encoding of the vocabulary (the Python reference's shape). */
+  private def naiveWordPiece(
+      vocab: Seq[(String, Long)], k: Int): Seq[(Int, String, Long, Double)] = {
+    var words: Seq[(Seq[String], Long)] = vocab.map { case (w, f) =>
+      val cps = w.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp)))
+      (cps.head +: cps.tail.map("##" + _), f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Double)]
+    for (rank <- 1 to k if words.exists(_._1.size >= 2)) {
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sy, f) =>
+        sy.foreach(s => symCnt.update(s, symCnt.getOrElse(s, 0L) + f))
+        sy.zip(sy.tail).foreach(p =>
+          pairCnt.update(p, pairCnt.getOrElse(p, 0L) + f))
+      }
+      val ((a, b), c) = pairCnt.minBy { case ((a, b), c) =>
+        (-(c.toDouble / (symCnt(a).toDouble * symCnt(b).toDouble)),
+          a + "  " + b)
+      }
+      val merged = a + b.stripPrefix("##")
+      out += ((rank, a + "  " + b, c,
+        c.toDouble / (symCnt(a).toDouble * symCnt(b).toDouble)))
+      words = words.map { case (sy, f) =>
+        val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sy.size) {
+          if (i + 1 < sy.size && sy(i) == a && sy(i + 1) == b) {
+            ns += merged; i += 2
+          } else { ns += sy(i); i += 1 }
+        }
+        (ns.toSeq, f)
+      }
+    }
+    out.toSeq
+  }
+
+  test("wordpiece training equals the naive full-recount reference, any vocab") {
+    // ASCII-only alphabet, so the naive minBy's Java-string tie order
+    // coincides with the trainer's UTF-8 byte order
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val entry = for {
+      w <- word; f <- Gen.choose(1L, 9L)
+    } yield (w, f)
+    val genVocab = Gen.nonEmptyListOf(entry)
+      .map(_.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }.toSeq)
+    run(Prop.forAllNoShrink(genVocab, Gen.choose(1, 12)) { (vocab, k) =>
+      val got = WordPiece.trainLocal(vocab, k)
+        .map(m => (m.rank, m.pair, m.cnt, m.score))
+      val want = naiveWordPiece(vocab, k)
+      (got == want) :| s"vocab=$vocab k=$k got=$got want=$want"
+    }, n = 40)
+  }
+
   test("viterbi encode maximizes the segmentation product, any short word") {
     val model = Unigram.trainLocal(
       Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
