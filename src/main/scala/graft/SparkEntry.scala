@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -1696,6 +1696,23 @@ object SparkEntry {
           array_join(WordPiece.encode(col("word"), ps), " ").as("pieces"))
         .orderBy(col("word"))
     }),
+
+    // ---- Suffix array (prefix doubling) -------------------------------
+    // window-bounded generalized suffix array — the Lee et al. 2022
+    // exact-substring-dedup primitive — by log₂(window) prefix-doubling
+    // rounds, each a per-doc lead() window + a distributed dense rank
+    // (range repartition, per-partition run counting, P-row driver
+    // offsets — never a global-order window). Output folds EVERY rank
+    // into a per-doc checksum, so one wrong rank anywhere fails the row;
+    // oracle = DuckDB's dense_rank over the sorted suffix strings
+    "suffix_array_ranks" -> ((s, dir) =>
+      SuffixArray.rankChecksums(
+        t(s, dir, "documents"), "doc_id", "text", 48)),
+
+    // the array head with its suffix strings — bounded TakeOrdered
+    "suffix_array_top" -> ((s, dir) =>
+      SuffixArray.topSuffixes(
+        t(s, dir, "documents"), "doc_id", "text", 48, 20)),
 
     // INTENT pin for the unigram-LM (SentencePiece-style) tokenizer
     // trainer: EM over the pinned vocabulary's segmentation lattices in
@@ -4981,6 +4998,33 @@ object SparkEntry {
            |SELECT * FROM (
            |${WordPieceSql.mergeRows(10)}
            |) ORDER BY rank""".stripMargin,
+
+      // an independent statement of the suffix ordering: DuckDB sorts the
+      // window-bounded suffix STRINGS directly (binary collation = the
+      // prefix-doubling ranks' UTF-8 byte order)
+      "suffix_array_ranks" ->
+        """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS t
+          |           FROM documents WHERE length(substr(text, 1, 48)) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |r AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          |             CAST(dense_rank() OVER (ORDER BY substr(t, i)) - 1
+          |                  AS BIGINT) AS rk
+          |      FROM s)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_suffixes,
+          |       CAST(sum(rk * (pos + 1)) AS BIGINT) AS rank_checksum
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "suffix_array_top" ->
+        """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS t
+          |           FROM documents WHERE length(substr(text, 1, 48)) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |r AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          |             substr(t, i) AS suffix,
+          |             CAST(dense_rank() OVER (ORDER BY substr(t, i)) - 1
+          |                  AS BIGINT) AS rk
+          |      FROM s)
+          |SELECT rk AS rank, doc_id, pos, suffix
+          |FROM r ORDER BY rank, doc_id, pos LIMIT 20""".stripMargin,
 
       // literal VALUES from tools/wordpiece_reference.py (independent
       // naive-recount implementation of the same likelihood rule)

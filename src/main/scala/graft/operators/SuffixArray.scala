@@ -1,0 +1,189 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Window-bounded generalized suffix array over a document collection by
+ * PREFIX DOUBLING (Manber & Myers 1990; the distributed formulation is
+ * Larsson–Sadakane's rank doubling): rank every suffix (doc, pos) of
+ * every document by its first `window` code points, in global
+ * lexicographic (UTF-8 byte) order. The suffix array is the primitive
+ * under exact-substring deduplication (Lee et al. 2022, "Deduplicating
+ * Training Data Makes Language Models Better", arXiv:2107.06499 — their
+ * ExactSubstr pipeline builds exactly this over the tokenized corpus);
+ * the `window` bound matches that use (matches shorter than the dedup
+ * threshold never need deeper comparisons) and caps the round count —
+ * `window` ≥ the longest document gives the exact unbounded array.
+ *
+ * Shape at 100 TB: ⌈log₂ window⌉ + 1 rounds, each of which is
+ *  - a per-document `lead(rank, h)` window (partitioned by doc — never a
+ *    global window; group width is bounded by the document length), and
+ *  - ONE distributed dense rank: range-repartition on the (rank, partner)
+ *    key, count key RUNS per partition, collect P summary rows
+ *    (partition count, not data), fix run numbering across partition
+ *    boundaries driver-side, then assign `offset + local run index` in a
+ *    second partition-local pass. No global-order window anywhere — a
+ *    corpus-sized `dense_rank() OVER (ORDER BY …)` would funnel every
+ *    suffix through one unsplittable task, which is the exact
+ *    anti-pattern this module replaces. The per-partition passes are
+ *    `mapPartitionsWithIndex` over the SAME persisted sorted RDD (the
+ *    genuinely imperative per-partition case: run-length numbering
+ *    against the previous row), so both passes see identical partition
+ *    indices.
+ *
+ * Rounds stop early once every suffix's rank is distinct (the run
+ * summaries make the distinct count free). Ranks are DENSE 0-based —
+ * `dense_rank() − 1` over the window-bounded suffix strings, ties (equal
+ * bounded suffixes) sharing a rank — which is what the DuckDB oracle
+ * states independently. Content-deterministic: range-partition sampling
+ * moves partition boundaries, never ranks.
+ */
+object SuffixArray {
+
+  /**
+   * (idCol, pos, rank) for every suffix position of every non-empty
+   * document, `pos` 0-based in code points, `rank` the dense 0-based
+   * global order of the suffix's first `window` code points.
+   */
+  def suffixRanks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1 && window <= 65536,
+      "suffixRanks: window must be in 1..65536")
+    val base = df
+      .select(col(idCol).cast("long").as("__id"),
+        substring(col(textCol), 1, window).as("__t"))
+      .where(length(col("__t")) > 0)
+    val chars = base.select(col("__id"),
+        explode(sequence(lit(0), length(col("__t")) - 1)).as("__p"),
+        col("__t"))
+      .select(col("__id"), col("__p").cast("long").as("__pos"),
+        col("__t").substr(col("__p") + lit(1), lit(1)).as("__c"))
+    val persisted = mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Row]]
+    try {
+      var (cur, distinct, total) =
+        denseRank(chars, struct(col("__c")), persisted)
+      var h = 1
+      val perDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      while (h < window && distinct < total) {
+        val keyed = cur.select(col("__id"), col("__pos"),
+          struct(col("__rank"),
+            coalesce(lead(col("__rank"), h).over(perDoc), lit(-1L))).as("__k"))
+        val r = denseRank(keyed, col("__k"), persisted)
+        cur = r._1; distinct = r._2; total = r._3
+        h *= 2
+      }
+      // materialize the result before releasing the per-round RDDs it
+      // reads through
+      cur.select(col("__id").as(idCol), col("__pos").as("pos"),
+        col("__rank").as("rank")).localCheckpoint(true)
+    } finally {
+      persisted.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /**
+   * Distributed dense rank: returns (frame with (__id, __pos, __rank),
+   * distinct key count, row count). `key` must be orderable and
+   * null-free. The frame is backed by a persisted sorted RDD registered
+   * in `persisted` — the caller owns unpersisting once downstream
+   * results are materialized.
+   */
+  private def denseRank(
+      df: DataFrame,
+      key: Column,
+      persisted: mutable.ArrayBuffer[org.apache.spark.rdd.RDD[Row]])
+      : (DataFrame, Long, Long) = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.select(key.as("__k"), col("__id"), col("__pos"))
+      .repartitionByRange(p, col("__k"))
+      .sortWithinPartitions(col("__k"))
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted += sorted
+    // pass 1: per-partition run summaries — P driver rows, not data
+    val stats = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var d = 0L
+      var first: Any = null
+      var last: Any = null
+      it.foreach { r =>
+        val k = r.get(0)
+        if (n == 0L) first = k
+        if (last == null || k != last) d += 1
+        last = k
+        n += 1
+      }
+      if (n == 0L) Iterator.empty else Iterator.single((pid, n, d, first, last))
+    }.collect().sortBy(_._1)
+    // driver: global run numbering across partition boundaries — a key
+    // run spanning partitions counts once and every partition of the
+    // span starts at the run's first number
+    val start = new Array[Long](p)
+    var cum = 0L
+    var total = 0L
+    var prevLast: Any = null
+    stats.foreach { case (pid, n, d, first, last) =>
+      val shared = prevLast != null && first == prevLast
+      start(pid) = cum - (if (shared) 1L else 0L)
+      cum += d - (if (shared) 1L else 0L)
+      total += n
+      prevLast = last
+    }
+    val bc = spark.sparkContext.broadcast(start)
+    // pass 2: same persisted RDD, same partition indices — assign
+    // offset + local run index
+    val assigned = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var prev: Any = null
+      var local = -1L
+      it.map { r =>
+        val k = r.get(0)
+        if (prev == null || k != prev) { local += 1; prev = k }
+        Row(r.get(1), r.get(2), bc.value(pid) + local)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("__id", LongType, nullable = false),
+      StructField("__pos", LongType, nullable = false),
+      StructField("__rank", LongType, nullable = false)))
+    (spark.createDataFrame(assigned, schema), cum, total)
+  }
+
+  /** Per-document verification fold of the full rank table:
+    * (id, n_suffixes, Σ rank·(pos+1)) — every rank participates, so a
+    * single wrong rank anywhere moves some document's checksum. */
+  def rankChecksums(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int): DataFrame =
+    suffixRanks(df, idCol, textCol, window)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_suffixes"),
+        sum(col("rank") * (col("pos") + 1)).as("rank_checksum"))
+      .orderBy(col(idCol))
+
+  /** The head of the suffix array with its window-bounded suffix strings
+    * — bounded `TakeOrderedAndProject`, ties by (id, pos). */
+  def topSuffixes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      k: Int): DataFrame =
+    suffixRanks(df, idCol, textCol, window)
+      .join(df.select(col(idCol),
+        substring(col(textCol), 1, window).as("__t")), Seq(idCol))
+      .select(col("rank"), col(idCol), col("pos"),
+        expr("substring(__t, pos + 1)").as("suffix"))
+      .orderBy(col("rank"), col(idCol), col("pos"))
+      .limit(k)
+}

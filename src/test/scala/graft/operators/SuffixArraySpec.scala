@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.SparkSuite
+
+/** Prefix-doubling suffix ranks vs a naive sort-all-suffixes reference
+  * (UTF-8 byte order, code-point windows — nothing shared with the
+  * distributed dense-rank machinery). */
+class SuffixArraySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Dense 0-based ranks of every (id, pos) by the suffix of the first
+    * `window` code points, compared as UTF-8 bytes (Spark string order
+    * and DuckDB binary collation; Java String.compareTo is UTF-16 order,
+    * which differs for astral vs some BMP characters). */
+  private def naive(
+      docs: Seq[(Long, String)], window: Int): Set[(Long, Long, Long)] = {
+    val ord = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+    val sufs = docs.flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+        .take(window).map(cp => new String(Character.toChars(cp)))
+      cps.indices.map(p => (id, p.toLong, cps.drop(p).mkString))
+    }
+    val ranks = sufs.map(_._3).distinct.sorted(ord).zipWithIndex.toMap
+    sufs.map { case (id, p, s) => (id, p, ranks(s).toLong) }.toSet
+  }
+
+  private def run(df: Seq[(Long, String)], window: Int): Set[(Long, Long, Long)] =
+    SuffixArray.suffixRanks(df.toDF("id", "text"), "id", "text", window)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("ranks equal the naive reference; ties across docs share a rank") {
+    val docs = Seq((1L, "banana"), (2L, "ananas"), (3L, ""), (4L, "b"))
+    assert(run(docs, 16) == naive(docs, 16))
+    // "ana(na)" ties: suffix "ana" of doc1 pos 3 vs... window-bounded
+    // equal strings must share a dense rank
+    val tied = Seq((1L, "xyz"), (2L, "xyz"))
+    val got = run(tied, 16)
+    assert(got == naive(tied, 16))
+    val pos0 = got.toSeq.filter(_._2 == 0L)
+    assert(pos0.size == 2 && pos0.map(_._3).distinct.size == 1)
+  }
+
+  test("window bound truncates comparisons (shorter window merges ranks)") {
+    val docs = Seq((1L, "abcX"), (2L, "abcY"))
+    // window 3: both pos-0 suffixes compare as "abc" — same rank
+    val w3 = run(docs, 3).toSeq.filter(_._2 == 0L)
+    assert(w3.size == 2 && w3.map(_._3).distinct.size == 1)
+    assert(run(docs, 3) == naive(docs, 3))
+    // window 4 separates them
+    val w4 = run(docs, 4).toSeq.filter(_._2 == 0L)
+    assert(w4.map(_._3).distinct.size == 2)
+    assert(run(docs, 4) == naive(docs, 4))
+  }
+
+  test("astral code points: one position per code point, UTF-8 order") {
+    val x = new String(Character.toChars(0x1D54F)) // 4 UTF-8 bytes, F0…
+    val docs = Seq((1L, s"a${x}b"))
+    val got = run(docs, 8)
+    assert(got == naive(docs, 8))
+    // UTF-8 byte order: "a𝕏b" < "b" < "𝕏b" (0x61 < 0x62 < 0xF0)
+    assert(got == Set((1L, 0L, 0L), (1L, 2L, 1L), (1L, 1L, 2L)))
+  }
+
+  test("rankChecksums folds every rank; topSuffixes returns the array head") {
+    val docs = Seq((1L, "abab"), (2L, "ba")).toDF("id", "text")
+    val cks = SuffixArray.rankChecksums(docs, "id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // suffixes: abab(0) ab(2) b(3) bab(1) / ba(0) a(1) →
+    // sorted: a=0 ab=1 abab=2 b=3 ba=4 bab=5
+    // doc1: 2*1 + 5*2 + 1*3 + 3*4 = 27; doc2: 4*1 + 0*2 = 4
+    assert(cks == Seq((1L, 4L, 27L), (2L, 2L, 4L)))
+    val top = SuffixArray.topSuffixes(docs, "id", "text", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(top == Seq((0L, 2L, 1L, "a"), (1L, 1L, 2L, "ab"),
+      (2L, 1L, 0L, "abab")))
+  }
+
+  test("property: any corpus, any window — ranks equal the naive reference") {
+    val word = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genDocs = Gen.nonEmptyListOf(word)
+      .map(_.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAllNoShrink(genDocs, Gen.choose(1, 8)) { (docs, w) =>
+        (run(docs, w) == naive(docs, w)) :| s"docs=$docs w=$w"
+      })
+    assert(res.passed, res.status.toString)
+  }
+}
