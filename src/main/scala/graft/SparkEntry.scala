@@ -5003,11 +5003,11 @@ object SparkEntry {
       // window-bounded suffix STRINGS directly (binary collation = the
       // prefix-doubling ranks' UTF-8 byte order)
       "suffix_array_ranks" ->
-        """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS t
-          |           FROM documents WHERE length(substr(text, 1, 48)) > 0),
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
           |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
           |r AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-          |             CAST(dense_rank() OVER (ORDER BY substr(t, i)) - 1
+          |             CAST(dense_rank() OVER (ORDER BY substr(t, i, 48)) - 1
           |                  AS BIGINT) AS rk
           |      FROM s)
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_suffixes,
@@ -5015,12 +5015,12 @@ object SparkEntry {
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "suffix_array_top" ->
-        """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS t
-          |           FROM documents WHERE length(substr(text, 1, 48)) > 0),
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
           |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
           |r AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-          |             substr(t, i) AS suffix,
-          |             CAST(dense_rank() OVER (ORDER BY substr(t, i)) - 1
+          |             substr(t, i, 48) AS suffix,
+          |             CAST(dense_rank() OVER (ORDER BY substr(t, i, 48)) - 1
           |                  AS BIGINT) AS rk
           |      FROM s)
           |SELECT rk AS rank, doc_id, pos, suffix

@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,19 +8,26 @@ import org.apache.spark.storage.StorageLevel
 
 /**
  * Window-bounded generalized suffix array over a document collection by
- * PREFIX DOUBLING (Manber & Myers 1990; the distributed formulation is
- * Larsson–Sadakane's rank doubling): rank every suffix (doc, pos) of
- * every document by its first `window` code points, in global
- * lexicographic (UTF-8 byte) order. The suffix array is the primitive
- * under exact-substring deduplication (Lee et al. 2022, "Deduplicating
- * Training Data Makes Language Models Better", arXiv:2107.06499 — their
- * ExactSubstr pipeline builds exactly this over the tokenized corpus);
- * the `window` bound matches that use (matches shorter than the dedup
+ * PREFIX DOUBLING (Manber & Myers 1990; the rank-doubling refinement is
+ * Larsson–Sadakane's): rank EVERY suffix (doc, pos) of every document by
+ * its first `window` code points, in global lexicographic (UTF-8 byte)
+ * order. The suffix array is the primitive under exact-substring
+ * deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+ * Language Models Better", arXiv:2107.06499 — their ExactSubstr pipeline
+ * builds exactly this over the tokenized corpus); the `window` bound on
+ * comparison depth matches that use (matches shorter than the dedup
  * threshold never need deeper comparisons) and caps the round count —
  * `window` ≥ the longest document gives the exact unbounded array.
  *
- * Shape at 100 TB: ⌈log₂ window⌉ + 1 rounds, each of which is
- *  - a per-document `lead(rank, h)` window (partitioned by doc — never a
+ * Comparison depth is EXACT: coverage grows 1, 2, 4, … by pure doubling
+ * and the last round takes the partial step d = window − c ≤ c (the key
+ * (rank_c(i), rank_c(i+d)) orders by the first d + c code points — the
+ * overlap is benign: given the first c equal, positions d..d+c decide),
+ * so ranks compare suffixes by exactly `window` code points, not the
+ * next power of two.
+ *
+ * Shape at 100 TB: ≤ ⌈log₂ window⌉ + 1 rounds, each of which is
+ *  - a per-document `lead(rank, d)` window (partitioned by doc — never a
  *    global window; group width is bounded by the document length), and
  *  - ONE distributed dense rank: range-repartition on the (rank, partner)
  *    key, count key RUNS per partition, collect P summary rows
@@ -35,21 +40,33 @@ import org.apache.spark.storage.StorageLevel
  *    `mapPartitionsWithIndex` over the SAME persisted sorted RDD (the
  *    genuinely imperative per-partition case: run-length numbering
  *    against the previous row), so both passes see identical partition
- *    indices.
+ *    indices. Only a 2-deep persist window is held: round r reads only
+ *    round r−1's RDD, which is released as soon as round r is
+ *    materialized by its stats pass.
  *
- * Rounds stop early once every suffix's rank is distinct (the run
- * summaries make the distinct count free). Ranks are DENSE 0-based —
- * `dense_rank() − 1` over the window-bounded suffix strings, ties (equal
- * bounded suffixes) sharing a rank — which is what the DuckDB oracle
- * states independently. Content-deterministic: range-partition sampling
- * moves partition boundaries, never ranks.
+ * Early exit, twice over: when every rank is distinct (nothing left to
+ * refine), and at the duplicate-content FIXED POINT — if a pure-doubling
+ * round (d = c) splits no class, classes equal at depth c have equal
+ * successors-at-c in equal classes, so by induction they are equal at
+ * every depth and no later round can split them (the classical
+ * stability argument; it does not hold for the partial final step,
+ * which is the last round anyway). A dedup corpus full of identical
+ * documents — the stated use case — converges in O(log max-doc-length)
+ * rounds regardless of `window`.
+ *
+ * Ranks are DENSE 0-based — `dense_rank() − 1` over the window-bounded
+ * suffix strings, ties (equal bounded suffixes) sharing a rank — which
+ * is what the DuckDB oracle states independently. Content-deterministic:
+ * range-partition sampling moves partition boundaries, never ranks.
  */
 object SuffixArray {
 
   /**
    * (idCol, pos, rank) for every suffix position of every non-empty
    * document, `pos` 0-based in code points, `rank` the dense 0-based
-   * global order of the suffix's first `window` code points.
+   * global order of the suffix's first `window` code points. `idCol`
+   * passes through untouched (any equatable type); `textCol` must be a
+   * string.
    */
   def suffixRanks(
       df: DataFrame,
@@ -58,57 +75,62 @@ object SuffixArray {
       window: Int): DataFrame = {
     require(window >= 1 && window <= 65536,
       "suffixRanks: window must be in 1..65536")
-    val base = df
-      .select(col(idCol).cast("long").as("__id"),
-        substring(col(textCol), 1, window).as("__t"))
-      .where(length(col("__t")) > 0)
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) > 0)
+    val idField = StructField("__id",
+      df.schema(df.schema.fieldIndex(idCol)).dataType, nullable = true)
     val chars = base.select(col("__id"),
         explode(sequence(lit(0), length(col("__t")) - 1)).as("__p"),
         col("__t"))
       .select(col("__id"), col("__p").cast("long").as("__pos"),
         col("__t").substr(col("__p") + lit(1), lit(1)).as("__c"))
-    val persisted = mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Row]]
+    var prevRdd: org.apache.spark.rdd.RDD[Row] = null
     try {
-      var (cur, distinct, total) =
-        denseRank(chars, struct(col("__c")), persisted)
-      var h = 1
+      var (cur, rdd, distinct, total) =
+        denseRank(chars, struct(col("__c")), idField)
+      prevRdd = rdd
+      var c = 1 // coverage: ranks currently order by the first c code points
       val perDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-      while (h < window && distinct < total) {
+      var fixedPoint = distinct == total
+      while (c < window && !fixedPoint) {
+        val d = math.min(c, window - c)
         val keyed = cur.select(col("__id"), col("__pos"),
           struct(col("__rank"),
-            coalesce(lead(col("__rank"), h).over(perDoc), lit(-1L))).as("__k"))
-        val r = denseRank(keyed, col("__k"), persisted)
-        cur = r._1; distinct = r._2; total = r._3
-        h *= 2
+            coalesce(lead(col("__rank"), d).over(perDoc), lit(-1L))).as("__k"))
+        val r = denseRank(keyed, col("__k"), idField)
+        // r is materialized (stats pass ran): release the previous round
+        prevRdd.unpersist(blocking = false)
+        prevRdd = r._2
+        // pure-doubling stability (d == c, no class split) is final for
+        // every depth; the partial step (d < c) is the last round anyway
+        fixedPoint = r._3 == total || (d == c && r._3 == distinct)
+        cur = r._1; distinct = r._3
+        c += d
       }
-      // materialize the result before releasing the per-round RDDs it
-      // reads through
+      // materialize the result before releasing the RDD it reads through
       cur.select(col("__id").as(idCol), col("__pos").as("pos"),
         col("__rank").as("rank")).localCheckpoint(true)
     } finally {
-      persisted.foreach(_.unpersist(blocking = false))
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
     }
   }
 
   /**
    * Distributed dense rank: returns (frame with (__id, __pos, __rank),
-   * distinct key count, row count). `key` must be orderable and
-   * null-free. The frame is backed by a persisted sorted RDD registered
-   * in `persisted` — the caller owns unpersisting once downstream
-   * results are materialized.
+   * its persisted sorted RDD — materialized by the stats pass, owned by
+   * the caller — distinct key count, row count). `key` must be orderable
+   * and null-free.
    */
   private def denseRank(
       df: DataFrame,
       key: Column,
-      persisted: mutable.ArrayBuffer[org.apache.spark.rdd.RDD[Row]])
-      : (DataFrame, Long, Long) = {
+      idField: StructField): (DataFrame, org.apache.spark.rdd.RDD[Row], Long, Long) = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val sorted = df.select(key.as("__k"), col("__id"), col("__pos"))
       .repartitionByRange(p, col("__k"))
       .sortWithinPartitions(col("__k"))
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    persisted += sorted
     // pass 1: per-partition run summaries — P driver rows, not data
     val stats = sorted.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
@@ -150,11 +172,10 @@ object SuffixArray {
         Row(r.get(1), r.get(2), bc.value(pid) + local)
       }
     }
-    val schema = StructType(Seq(
-      StructField("__id", LongType, nullable = false),
+    val schema = StructType(Seq(idField,
       StructField("__pos", LongType, nullable = false),
       StructField("__rank", LongType, nullable = false)))
-    (spark.createDataFrame(assigned, schema), cum, total)
+    (spark.createDataFrame(assigned, schema), sorted, cum, total)
   }
 
   /** Per-document verification fold of the full rank table:
@@ -180,10 +201,9 @@ object SuffixArray {
       window: Int,
       k: Int): DataFrame =
     suffixRanks(df, idCol, textCol, window)
-      .join(df.select(col(idCol),
-        substring(col(textCol), 1, window).as("__t")), Seq(idCol))
+      .join(df.select(col(idCol), col(textCol).as("__t")), Seq(idCol))
       .select(col("rank"), col(idCol), col("pos"),
-        expr("substring(__t, pos + 1)").as("suffix"))
+        expr(s"substring(__t, pos + 1, $window)").as("suffix"))
       .orderBy(col("rank"), col(idCol), col("pos"))
       .limit(k)
 }

@@ -66,15 +66,6 @@ object WordPiece {
   /** The whole-word UNK piece emitted for unmatchable words. */
   val UnkPiece: String = "[UNK]"
 
-  /** ' l  ##o  ##w ' symbol string of a word — [[Bpe]]'s separator
-    * invariant with `##` continuation prefixes (code-point granularity:
-    * `(.)` matches a code point in Spark's Java regex and DuckDB's RE2
-    * alike, so astral characters are one symbol, never two surrogate
-    * halves). */
-  private def symString(w: Column): Column =
-    concat(lit(" "),
-      regexp_replace(regexp_replace(w, "(.)", "##$1  "), "^##", ""))
-
   /** Corpus word-frequency vocabulary — the one corpus-wide aggregate
     * (identical to [[Bpe.vocabulary]]; whitespace tokens). */
   def vocabulary(df: DataFrame, textCol: String): DataFrame =

@@ -12,9 +12,9 @@ import graft.SparkSuite
 class SuffixArraySpec extends SparkSuite {
   import spark.implicits._
 
-  /** Dense 0-based ranks of every (id, pos) by the suffix of the first
-    * `window` code points, compared as UTF-8 bytes (Spark string order
-    * and DuckDB binary collation; Java String.compareTo is UTF-16 order,
+  /** Dense 0-based ranks of EVERY (id, pos), each suffix compared by its
+    * first `window` code points, as UTF-8 bytes (Spark string order and
+    * DuckDB binary collation; Java String.compareTo is UTF-16 order,
     * which differs for astral vs some BMP characters). */
   private def naive(
       docs: Seq[(Long, String)], window: Int): Set[(Long, Long, Long)] = {
@@ -34,8 +34,9 @@ class SuffixArraySpec extends SparkSuite {
     }
     val sufs = docs.flatMap { case (id, text) =>
       val cps = text.codePoints().toArray
-        .take(window).map(cp => new String(Character.toChars(cp)))
-      cps.indices.map(p => (id, p.toLong, cps.drop(p).mkString))
+        .map(cp => new String(Character.toChars(cp)))
+      cps.indices.map(p =>
+        (id, p.toLong, cps.slice(p, p + window).mkString))
     }
     val ranks = sufs.map(_._3).distinct.sorted(ord).zipWithIndex.toMap
     sufs.map { case (id, p, s) => (id, p, ranks(s).toLong) }.toSet
@@ -67,6 +68,11 @@ class SuffixArraySpec extends SparkSuite {
     val w4 = run(docs, 4).toSeq.filter(_._2 == 0L)
     assert(w4.map(_._3).distinct.size == 2)
     assert(run(docs, 4) == naive(docs, 4))
+    // every position gets a suffix — the window bounds COMPARISONS, it
+    // does not truncate the document
+    val deep = run(Seq((1L, "abcdef")), 3)
+    assert(deep.map(_._2) == (0L to 5L).toSet)
+    assert(deep == naive(Seq((1L, "abcdef")), 3))
   }
 
   test("astral code points: one position per code point, UTF-8 order") {
@@ -91,6 +97,13 @@ class SuffixArraySpec extends SparkSuite {
         r.getString(3))).toSeq
     assert(top == Seq((0L, 2L, 1L, "a"), (1L, 1L, 2L, "ab"),
       (2L, 1L, 0L, "abab")))
+  }
+
+  test("fixed point: duplicate documents converge under a huge window") {
+    // identical docs keep distinct < total forever; the pure-doubling
+    // stability exit must stop refining without mis-ranking anything
+    val docs = Seq((1L, "abcab"), (2L, "abcab"), (3L, "ab"))
+    assert(run(docs, 65536) == naive(docs, 65536))
   }
 
   test("property: any corpus, any window — ranks equal the naive reference") {
