@@ -1714,6 +1714,14 @@ object SparkEntry {
       SuffixArray.topSuffixes(
         t(s, dir, "documents"), "doc_id", "text", 48, 20)),
 
+    // the ExactSubstr dedup outcome: every 48-code-point substring
+    // occurring more than once, via rank-key groupBy (8-byte shuffle
+    // keys, snippet materialized only for the witness); oracle groups
+    // the substrings directly
+    "suffix_repeated_windows" -> ((s, dir) =>
+      SuffixArray.repeatedWindows(
+        t(s, dir, "documents"), "doc_id", "text", 48, 20)),
+
     // INTENT pin for the unigram-LM (SentencePiece-style) tokenizer
     // trainer: EM over the pinned vocabulary's segmentation lattices in
     // raw probability space (bit-identical op sequence to the independent
@@ -5025,6 +5033,17 @@ object SparkEntry {
           |      FROM s)
           |SELECT rk AS rank, doc_id, pos, suffix
           |FROM r ORDER BY rank, doc_id, pos LIMIT 20""".stripMargin,
+
+      "suffix_repeated_windows" ->
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |w AS (SELECT doc_id, substr(t, i, 48) AS sub
+          |      FROM s WHERE i + 47 <= length(t))
+          |SELECT sub AS snippet, CAST(count(*) AS BIGINT) AS n_occurrences,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM w GROUP BY sub HAVING count(*) > 1
+          |ORDER BY n_occurrences DESC, snippet LIMIT 20""".stripMargin,
 
       // literal VALUES from tools/wordpiece_reference.py (independent
       // naive-recount implementation of the same likelihood rule)

@@ -192,6 +192,41 @@ object SuffixArray {
         sum(col("rank") * (col("pos") + 1)).as("rank_checksum"))
       .orderBy(col(idCol))
 
+  /**
+   * Exact repeated windows — the ExactSubstr dedup outcome (Lee et al.
+   * 2022): every `window`-code-point substring occurring more than once
+   * in the corpus, with its occurrence and document counts; top `k` by
+   * (count desc, snippet asc). Suffixes sharing a rank ARE the equal
+   * windows (restricted to positions with a full window left), so the
+   * heavy groupBy shuffles 8-byte RANK keys instead of shipping
+   * `window`-sized substrings, and the snippet string is materialized
+   * only for the one witness occurrence per surviving group.
+   */
+  def repeatedWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      k: Int): DataFrame = {
+    val ranks = suffixRanks(df, idCol, textCol, window)
+    val lens = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__len"))
+    val groups = ranks.join(lens, Seq(idCol))
+      .where(col("pos") + window <= col("__len"))
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol), col("pos"))).as("__w"))
+      .where(col("n_occurrences") > 1)
+    groups
+      .join(df.select(col(idCol).as("__wid"), col(textCol).as("__t")),
+        col("__w").getField(idCol) === col("__wid"))
+      .select(expr(s"substring(__t, __w.pos + 1, $window)").as("snippet"),
+        col("n_occurrences"), col("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("snippet"))
+      .limit(k)
+  }
+
   /** The head of the suffix array with its window-bounded suffix strings
     * — bounded `TakeOrderedAndProject`, ties by (id, pos). */
   def topSuffixes(

@@ -99,6 +99,15 @@ class SuffixArraySpec extends SparkSuite {
       (2L, 1L, 0L, "abab")))
   }
 
+  test("repeatedWindows finds exactly the multiply-occurring substrings") {
+    // 3-cp windows: "aba" at (1,0),(1,2),(2,0) — 3 occurrences, 2 docs;
+    // "bab" at (1,1),(2,1) — 2 occurrences, 2 docs; everything else once
+    val docs = Seq((1L, "ababa"), (2L, "abab"), (3L, "zzz")).toDF("id", "text")
+    val got = SuffixArray.repeatedWindows(docs, "id", "text", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("aba", 3L, 2L), ("bab", 2L, 2L)))
+  }
+
   test("fixed point: duplicate documents converge under a huge window") {
     // identical docs keep distinct < total forever; the pure-doubling
     // stability exit must stop refining without mis-ranking anything
