@@ -1668,6 +1668,18 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // encode the corpus with its own trained piece set: per-doc
+    // word/piece counts and compression ratio — greedy longest-match
+    // native expression; oracle re-states the greedy scan as a
+    // RECURSIVE CTE advancing each word by the longest matching piece
+    "wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, ps) = WordPiece.trainPieces(
+        WordPiece.vocabulary(docs, "text"), "word", "freq", 10)
+      WordPiece.encodeStats(docs, "doc_id", "text", ps)
+        .orderBy(col("doc_id"))
+    }),
+
     // INTENT pin: literal VALUES from tools/wordpiece_reference.py (naive
     // full-recount trainer — not a rendering of the incremental one)
     "wordpiece_pinned" -> ((s, dir) => {
@@ -5044,6 +5056,19 @@ object SparkEntry {
           |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           |FROM w GROUP BY sub HAVING count(*) > 1
           |ORDER BY n_occurrences DESC, snippet LIMIT 20""".stripMargin,
+
+      "wordpiece_encode" ->
+        s"""WITH RECURSIVE wp_vocab AS (SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
+           |${WordPieceSql.trainCtes(10)},
+           |wp_words AS MATERIALIZED (SELECT DISTINCT word FROM wp_vocab),
+           |${WordPieceSql.encodeCtes(10)},
+           |w AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(sum(npieces) AS BIGINT) AS n_pieces,
+           |       round(sum(npieces)::DOUBLE / count(*)::DOUBLE, 6) AS ratio
+           |FROM w JOIN wp_npieces USING (word)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // literal VALUES from tools/wordpiece_reference.py (independent
       // naive-recount implementation of the same likelihood rule)

@@ -89,6 +89,21 @@ object WordPiece {
       topM: Int = Bpe.DefaultMaxVocab): Seq[Merge] =
     trainLocal(Bpe.boundedVocabCollect(vocab, wordCol, freqCol, minFreq, topM), k)
 
+  /** [[train]] plus the trained piece set, from ONE bounded collect of
+    * the vocabulary (the encoder needs the initial alphabet as well as
+    * the merge products). */
+  def trainPieces(
+      vocab: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      k: Int,
+      minFreq: Long = 1L,
+      topM: Int = Bpe.DefaultMaxVocab): (Seq[Merge], Seq[String]) = {
+    val v = Bpe.boundedVocabCollect(vocab, wordCol, freqCol, minFreq, topM)
+    val ms = trainLocal(v, k)
+    (ms, pieces(v, ms))
+  }
+
   /** Local ' l  ##o  ##w ' form of a word (code-point granularity —
     * `(?s).` would differ; Java's `(.)` already matches a full code
     * point, matching the Column/RE2 forms). */
@@ -311,4 +326,52 @@ object WordPieceSql {
         s"string_split(p, '  ')[2] AS right_sym, cnt AS pair_freq, " +
         s"round(score, 9) AS score FROM m$i"
     }.mkString("\nUNION ALL\n")
+
+  /**
+   * CTE levels rendering greedy longest-match-first encoding of every
+   * word in a `wp_words(word)` CTE under the k-merge trained piece set
+   * (appended after [[trainCtes]]): `wp_pieces` = initial alphabet ∪
+   * merge products; `wp_enc` walks each word RECURSIVELY, each step
+   * advancing by the LONGEST piece body matching at the position (a
+   * grouped max over a prefix-match join — an independent statement of
+   * the scan [[graft.plans.WordPieceEncodeExpr]] runs imperatively; a
+   * correlated-subquery form silently yields NULL inside DuckDB's
+   * recursive term over this CTE chain, hence the join);
+   * `wp_npieces` = (word, npieces) with any unmatchable position
+   * collapsing to 1 (the whole-word `[UNK]` rule). The surrounding WITH
+   * must be RECURSIVE.
+   */
+  def encodeCtes(k: Int): String = {
+    val products = (1 to k).map { i =>
+      s"SELECT string_split(p, '  ')[1] || " +
+        s"${stripHH("string_split(p, '  ')[2]")} AS piece FROM m$i"
+    }.mkString("\n  UNION\n")
+    s"""wp_pieces AS MATERIALIZED (
+       |  SELECT DISTINCT sym AS piece
+       |  FROM (SELECT unnest(string_split(trim(s), '  ')) AS sym FROM v0)
+       |  UNION
+       |$products),
+       |wp_pv AS MATERIALIZED (
+       |  SELECT piece, (piece LIKE '##%') AS cont,
+       |         ${stripHH("piece")} AS body
+       |  FROM wp_pieces),
+       |wp_enc(word, pos, np, dead) AS (
+       |  SELECT word, 0, 0, FALSE FROM wp_words
+       |  UNION ALL
+       |  SELECT word, pos + l, np + 1, l = 0
+       |  FROM (SELECT e.word, e.pos, e.np,
+       |               COALESCE(max(length(p.body)), 0) AS l
+       |        FROM wp_enc e
+       |        LEFT JOIN wp_pv p
+       |          ON p.cont = (e.pos > 0)
+       |         AND p.body = substr(e.word, e.pos + 1, length(p.body))
+       |        WHERE e.pos < length(e.word) AND NOT e.dead
+       |        GROUP BY e.word, e.pos, e.np)),
+       |wp_npieces AS (
+       |  SELECT word,
+       |         CASE WHEN max(CASE WHEN dead THEN 1 ELSE 0 END) = 1 THEN 1
+       |              ELSE max(CASE WHEN pos = length(word) THEN np END)
+       |         END AS npieces
+       |  FROM wp_enc GROUP BY word)""".stripMargin
+  }
 }
