@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -25,6 +25,11 @@ import graft.streaming.Streams
  *   chg = keys ≡ 0 (mod 3)                            (the change table)
  */
 object SparkEntry {
+
+  /** Fixed blocklist for the Aho–Corasick dictionary-scan query:
+    * suffix-nested, prefix, cross-token, and absent phrases. */
+  val DictPhrases: Seq[String] = Seq("table", "able", "le", "query", "que",
+    "scan", "can", "stream", "ream", "value table", "zebra")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -1708,6 +1713,18 @@ object SparkEntry {
           array_join(WordPiece.encode(col("word"), ps), " ").as("pieces"))
         .orderBy(col("word"))
     }),
+
+    // ---- Dictionary scan (Aho–Corasick) -------------------------------
+    // multi-phrase blocklist accounting: ONE automaton pass per doc finds
+    // every occurrence of every phrase (overlapping and nested included)
+    // in O(len + matches) — the scale path where a regex alternation
+    // dies; dictionary exercises suffix-nested ("table"/"able"/"le"),
+    // prefix ("query"/"que"), cross-token ("value table") and absent
+    // ("zebra") phrases; oracle re-counts by joining every text position
+    // against the phrase table
+    "dict_match_stats" -> ((s, dir) =>
+      DictMatch.matchStats(t(s, dir, "documents"), "doc_id", "text",
+        SparkEntry.DictPhrases)),
 
     // ---- Suffix array (prefix doubling) -------------------------------
     // window-bounded generalized suffix array — the Lee et al. 2022
@@ -5018,6 +5035,22 @@ object SparkEntry {
            |SELECT * FROM (
            |${WordPieceSql.mergeRows(10)}
            |) ORDER BY rank""".stripMargin,
+
+      "dict_match_stats" -> {
+        val vals = SparkEntry.DictPhrases
+          .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+        s"""WITH ph AS (SELECT * FROM (VALUES $vals) t(phrase)),
+           |d AS (SELECT doc_id, text AS t FROM documents
+           |      WHERE text IS NOT NULL),
+           |pos AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+           |        FROM d),
+           |m AS (SELECT pos.doc_id, ph.phrase
+           |      FROM pos JOIN ph
+           |        ON substr(pos.t, pos.i, length(ph.phrase)) = ph.phrase)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS total_matches,
+           |       CAST(count(DISTINCT phrase) AS BIGINT) AS distinct_phrases
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       // an independent statement of the suffix ordering: DuckDB sorts the
       // window-bounded suffix STRINGS directly (binary collation = the
