@@ -675,4 +675,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
       s"the keep decision is map-side against the broadcast cuts:\n$p")
   }
+
+  test("dict match: automaton scan is pure projection inside codegen") {
+    import graft.operators.DictMatch
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(docs.select(col("doc_id"),
+      DictMatch.stats(col("text"), SparkEntry.DictPhrases).as("m")))
+    assert(!p.contains("Exchange"),
+      s"the dictionary scan must not shuffle — the automaton is a literal:\n$p")
+    val projectLine = p.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(projectLine.trim.startsWith("*("),
+      s"the scan must run inside whole-stage codegen:\n$p")
+  }
+
+  test("wordpiece encode: literal piece set, zero-shuffle stats projection") {
+    import graft.operators.WordPiece
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L)).toDF("w", "f")
+    val (_, ps) = WordPiece.trainPieces(vocab, "w", "f", 4)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val stats = WordPiece.encodeStats(docs, "doc_id", "text", ps)
+    val p = physical(stats)
+    assert(!p.contains("Exchange"),
+      s"encode stats are per-doc projection — the piece set rides as " +
+        s"literals, no join, no shuffle:\n$p")
+  }
 }
