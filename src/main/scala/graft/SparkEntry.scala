@@ -31,6 +31,10 @@ object SparkEntry {
   val DictPhrases: Seq[String] = Seq("table", "able", "le", "query", "que",
     "scan", "can", "stream", "ream", "value table", "zebra")
 
+  /** Rejection list for the streaming blocklist gate — any occurrence
+    * voids the document. */
+  val BlockPhrases: Seq[String] = Seq("stream", "value table", "zebra")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -2903,6 +2907,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // blocklist door: one automaton pass per arriving doc, passes iff no
+    // blocked phrase occurs — stateless projection, oracle re-counts by
+    // position-joining the phrase table
+    "stream_dict_gate" -> ((s, dir) =>
+      Streams.dictGateStream(s, t(s, dir, "documents"),
+        SparkEntry.BlockPhrases)
+        .orderBy(col("doc_id"))),
+
     "stream_window_counts" -> ((s, dir) =>
       Streams.windowedEventCounts(s, s"$dir/events.parquet")
         .orderBy(col("window_start"), col("event_type"))),
@@ -5035,6 +5047,22 @@ object SparkEntry {
            |SELECT * FROM (
            |${WordPieceSql.mergeRows(10)}
            |) ORDER BY rank""".stripMargin,
+
+      "stream_dict_gate" -> {
+        val vals = SparkEntry.BlockPhrases
+          .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+        s"""WITH ph AS (SELECT * FROM (VALUES $vals) t(phrase)),
+           |d AS (SELECT doc_id, text AS t FROM documents
+           |      WHERE text IS NOT NULL),
+           |pos AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+           |        FROM d),
+           |hit AS (SELECT DISTINCT pos.doc_id
+           |        FROM pos JOIN ph
+           |          ON substr(pos.t, pos.i, length(ph.phrase)) = ph.phrase)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "dict_match_stats" -> {
         val vals = SparkEntry.DictPhrases

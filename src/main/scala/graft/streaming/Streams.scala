@@ -810,6 +810,38 @@ object Streams {
   }
 
   /**
+   * BLOCKLIST gate at the ingest door: each arriving document runs one
+   * Aho–Corasick automaton pass ([[graft.operators.DictMatch.stats]] —
+   * dictionary as plan literals, whole-stage codegen) and passes iff NO
+   * blocked phrase occurs. The dictionary-scan sibling of
+   * [[classifierGateStream]]: same stateless-projection door shape
+   * (append mode, no watermark, per-batch cost is scan + automaton), but
+   * the policy is an explicit phrase list — the shape a licensed-span or
+   * toxic-phrase blocklist takes at 10⁵ entries, where a regex
+   * alternation cannot compile.
+   */
+  def dictGateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      blocked: Seq[String]): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-dictgate")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.DictMatch.stats(col("text"), blocked).as("__m"))
+      .where(col("__m.total_matches") === 0L)
+      .select(col("doc_id"))
+    val drained = runToMemory(stream, "append",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+  }
+
+  /**
    * Stream-stream INTERVAL JOIN: each click joined to the same user's
    * purchases in the `within` interval after it — streaming attribution,
    * the two-sided stateful operator (both sides buffer state, the
