@@ -178,15 +178,14 @@ object SuffixArray {
     (spark.createDataFrame(assigned, schema), sorted, cum, total)
   }
 
-  /** Per-document verification fold of the full rank table:
+  /** Per-document verification fold of a [[suffixRanks]] table:
     * (id, n_suffixes, Σ rank·(pos+1)) — every rank participates, so a
-    * single wrong rank anywhere moves some document's checksum. */
-  def rankChecksums(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      window: Int): DataFrame =
-    suffixRanks(df, idCol, textCol, window)
+    * single wrong rank anywhere moves some document's checksum. Derived
+    * ops take the rank table rather than recomputing it: the array is
+    * built once per corpus and shared (at 100 TB it would be a persisted
+    * artifact, like the dedup indexes). */
+  def rankChecksums(ranks: DataFrame, idCol: String): DataFrame =
+    ranks
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_suffixes"),
         sum(col("rank") * (col("pos") + 1)).as("rank_checksum"))
@@ -203,12 +202,12 @@ object SuffixArray {
    * only for the one witness occurrence per surviving group.
    */
   def repeatedWindows(
+      ranks: DataFrame,
       df: DataFrame,
       idCol: String,
       textCol: String,
       window: Int,
       k: Int): DataFrame = {
-    val ranks = suffixRanks(df, idCol, textCol, window)
     val lens = df.select(col(idCol),
       length(col(textCol)).cast("long").as("__len"))
     val groups = ranks.join(lens, Seq(idCol))
@@ -230,12 +229,13 @@ object SuffixArray {
   /** The head of the suffix array with its window-bounded suffix strings
     * — bounded `TakeOrderedAndProject`, ties by (id, pos). */
   def topSuffixes(
+      ranks: DataFrame,
       df: DataFrame,
       idCol: String,
       textCol: String,
       window: Int,
       k: Int): DataFrame =
-    suffixRanks(df, idCol, textCol, window)
+    ranks
       .join(df.select(col(idCol), col(textCol).as("__t")), Seq(idCol))
       .select(col("rank"), col(idCol), col("pos"),
         expr(s"substring(__t, pos + 1, $window)").as("suffix"))

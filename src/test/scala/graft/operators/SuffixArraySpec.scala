@@ -86,13 +86,14 @@ class SuffixArraySpec extends SparkSuite {
 
   test("rankChecksums folds every rank; topSuffixes returns the array head") {
     val docs = Seq((1L, "abab"), (2L, "ba")).toDF("id", "text")
-    val cks = SuffixArray.rankChecksums(docs, "id", "text", 8)
+    val ranks = SuffixArray.suffixRanks(docs, "id", "text", 8)
+    val cks = SuffixArray.rankChecksums(ranks, "id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // suffixes: abab(0) ab(2) b(3) bab(1) / ba(0) a(1) →
     // sorted: a=0 ab=1 abab=2 b=3 ba=4 bab=5
     // doc1: 2*1 + 5*2 + 1*3 + 3*4 = 27; doc2: 4*1 + 0*2 = 4
     assert(cks == Seq((1L, 4L, 27L), (2L, 2L, 4L)))
-    val top = SuffixArray.topSuffixes(docs, "id", "text", 8, 3)
+    val top = SuffixArray.topSuffixes(ranks, docs, "id", "text", 8, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3))).toSeq
     assert(top == Seq((0L, 2L, 1L, "a"), (1L, 1L, 2L, "ab"),
@@ -103,7 +104,8 @@ class SuffixArraySpec extends SparkSuite {
     // 3-cp windows: "aba" at (1,0),(1,2),(2,0) — 3 occurrences, 2 docs;
     // "bab" at (1,1),(2,1) — 2 occurrences, 2 docs; everything else once
     val docs = Seq((1L, "ababa"), (2L, "abab"), (3L, "zzz")).toDF("id", "text")
-    val got = SuffixArray.repeatedWindows(docs, "id", "text", 3, 10)
+    val got = SuffixArray.repeatedWindows(
+        SuffixArray.suffixRanks(docs, "id", "text", 3), docs, "id", "text", 3, 10)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("aba", 3L, 2L), ("bab", 2L, 2L)))
   }
