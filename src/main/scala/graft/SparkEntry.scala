@@ -1295,6 +1295,26 @@ object SparkEntry {
       Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "merge"))),
 
+    // text_bm25 through the PERSISTED inverted index (the at-rest lexical
+    // retrieval leg next to the digest/band/cluster and IVF indexes): half
+    // the corpus is indexed at write time, the other half FOLDED IN by
+    // append — tokenization paid once per document lifetime — then the
+    // probe reads postings in place (bucket-pruned on the query terms,
+    // pinned) and never touches corpus text. Oracle identical to
+    // text_bm25: the index stores exactly the per-(doc, term) stream the
+    // rescan derives, and the appended stats rows fold to the same N/avgdl
+    "bm25_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val db = indexDb(s)
+      Relevance.writePostingsIndex(d.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$db.postings_rt", buckets = 8)
+      Relevance.appendPostingsIndex(d.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", s"$db.postings_rt")
+      Relevance.bm25TopKIndexed(s, s"$db.postings_rt",
+          Seq("spark", "hash", "merge"))
+        .select(col("id").as("doc_id"), col("bm25"))
+    }),
+
     // language-adaptive quality cut (CCNet, Wenzek et al. 2020 §4.3): the
     // keep threshold is the per-LANGUAGE 0.7 exact percentile of token
     // counts — a group-count-sized aggregate broadcast back, keep decision
@@ -4679,6 +4699,11 @@ object SparkEntry {
         "documents", "doc_id", "text", topK = 500),
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
+        Seq("spark", "hash", "merge")),
+
+      // indexed probe ≡ rescan: the oracle is the SAME full-corpus BM25 —
+      // the write/append/probe cycle must reproduce it exactly
+      "bm25_indexed" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
         Seq("spark", "hash", "merge")),
 
       "embed_pca_power" -> PcaSql.topComponent("embeddings", "embedding",

@@ -26,14 +26,11 @@ object Bucketing {
   def scratchDb(spark: SparkSession, db: String, location: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
 
-  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table.
-    * Drops any previous incarnation AND clears a leftover table directory
-    * first: the in-memory catalog forgets managed tables at JVM exit but
-    * the filesystem doesn't, and creating a managed table over a non-empty
-    * location is an error (`LOCATION_ALREADY_EXISTS`). */
-  def writeBucketed(
-      df: DataFrame, table: String, key: String, buckets: Int): Unit = {
-    val spark = df.sparkSession
+  /** Drop `table` AND clear a leftover table directory: the in-memory
+    * catalog forgets managed tables at JVM exit but the filesystem doesn't,
+    * and creating a managed table over a non-empty location is an error
+    * (`LOCATION_ALREADY_EXISTS`). */
+  private[graft] def resetTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     table.split('.') match {
       case Array(db, name) =>
@@ -48,8 +45,23 @@ object Bucketing {
         }
       case _ => () // default database: DROP TABLE alone cleared the location
     }
+  }
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table
+    * (previous incarnations dropped and their directories cleared first). */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    resetTable(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
+  /** Write `df` as a plain (unbucketed) managed parquet table with the same
+    * drop-and-clear hygiene — for small index companion tables (stats rows)
+    * that later `mode("append")` writes fold into. */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    resetTable(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** Equi-join of two tables bucketed on `key` with the SAME bucket count:

@@ -82,7 +82,7 @@ object DedupIndex {
     * table's bucketing (Spark refuses an unbucketed append into a bucketed
     * table) — read from the catalog so new files land in the same fixed
     * bucket layout and probes stay Exchange-free. */
-  private def appendBucketed(rows: DataFrame, table: String): Unit = {
+  private[graft] def appendBucketed(rows: DataFrame, table: String): Unit = {
     val spark = rows.sparkSession
     val spec = spark.sessionState.catalog
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))

@@ -542,6 +542,46 @@ class PlanAuditSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("postings index probe: bucket-pruned scan, dfreq aggregates in place") {
+    import graft.operators.{Bucketing, Relevance}
+    // the at-rest lexical-retrieval posture: writePostingsIndex persists
+    // (tok, id, tf, dl) bucketed on tok ONCE; a bm25TopKIndexed probe must
+    // (a) bucket-prune its scan to the buckets holding the query terms,
+    // (b) aggregate per-term document frequencies WITHOUT an Exchange
+    //     (groupBy on the bucketing key), and
+    // (c) shuffle only matched postings for the per-document score —
+    // corpus text is never read, however many probes run
+    val wh = java.nio.file.Files.createTempDirectory("postings_wh").toString
+    Bucketing.scratchDb(spark, "postings_audit", wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Relevance.writePostingsIndex(docs, "doc_id", "text",
+      "postings_audit.postings", buckets = 8)
+    val out = Relevance.bm25TopKIndexed(spark, "postings_audit.postings",
+      Seq("spark", "hash", "merge"))
+    val p = physical(out)
+    assert(p.contains("Bucketed: true"),
+      s"the postings side must be the bucketed scan:\n$p")
+    val sel = p.linesIterator.find(_.contains("SelectedBucketsCount"))
+      .getOrElse(fail(s"probe must bucket-prune on the query terms:\n$p"))
+    // 3 query terms hit at most 3 of the 8 buckets
+    val selected = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(sel).map(_.group(1).toInt)
+      .getOrElse(fail(s"unparseable bucket count:\n$sel"))
+    assert(selected <= 3, s"pruned to <=3 buckets:\n$sel")
+    // exactly one Exchange: matched postings aligning to the per-document
+    // aggregate; dfreq groups on the bucketing key and broadcasts back
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2 &&
+      p.contains("BroadcastExchange"),
+      s"only matched postings may shuffle; dfreq must broadcast:\n$p")
+    // and the probe result equals the rescan operator's
+    val a = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Relevance.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "hash", "merge"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
   test("classifier scoring: margin is one map-side codegen'd projection") {
     import graft.operators.Classifier
     val docs = spark.read.parquet(s"$sf/documents.parquet")
