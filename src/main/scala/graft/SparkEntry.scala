@@ -1273,6 +1273,16 @@ object SparkEntry {
           topK = 500)
         .orderBy(col("doc_id"))),
 
+    // interpolated Kneser–Ney bigram scoring (the KenLM default): ONE
+    // distinct-bigram aggregate feeds every vocabulary-sized model table
+    // (context counts, forward/reverse continuation counts — all
+    // broadcast); pruned to top-500 so the continuation-only backoff arm
+    // exercises on every SF alongside the full discounted-ML arm.
+    "text_kn_logprob" -> ((s, dir) =>
+      LanguageModel.knBigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          topK = 500)
+        .orderBy(col("doc_id"))),
+
     // DSIR-style importance scores (hashed-unigram log-likelihood ratio):
     // raw docs (non-English split) scored against the English split as the
     // target — both bucket models are <= 256 rows and broadcast; positive
@@ -4696,6 +4706,9 @@ object SparkEntry {
       },
 
       "text_bigram_logprob" -> LanguageModelSql.bigramLogProb(
+        "documents", "doc_id", "text", topK = 500),
+
+      "text_kn_logprob" -> LanguageModelSql.knBigramLogProb(
         "documents", "doc_id", "text", topK = 500),
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
