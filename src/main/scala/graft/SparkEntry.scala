@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
-import graft.functions.{QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
+import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
 import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
@@ -283,6 +283,39 @@ object SparkEntry {
     base.unionByName(
       base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
+
+  /** Markup fixture for the HTML extraction queries: the document text
+    * entity-encoded into a page with a title, script/style blocks (tag-like
+    * noise inside both), an h1, a prose paragraph with one inline link, a
+    * list, an all-anchor nav div, and a comment — built IDENTICALLY by
+    * [[SynthHtmlSql]], so the oracle exercises extraction semantics over
+    * real corpus text. */
+  private def synthHtml(text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val enc = replace(replace(replace(text,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    concat(
+      lit("<html><head><title>Graft</title>" +
+        "<script type=\"text/javascript\">if (x<1) { alert(\"a&b\"); }</script>" +
+        "<style>.a>b{}</style></head><body><h1>Doc "),
+      id.cast("string"),
+      lit("</h1><p>"), enc,
+      lit("</p><p>See <a href=\"/docs\">docs</a> for details and more</p>" +
+        "<ul><li>item one</li><li>item &amp; two</li></ul>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a></div>" +
+        "<!-- footer --></body></html>"))
+  }
+
+  private val SynthHtmlSql =
+    """'<html><head><title>Graft</title>' ||
+      |'<script type="text/javascript">if (x<1) { alert("a&b"); }</script>' ||
+      |'<style>.a>b{}</style></head><body><h1>Doc ' ||
+      |CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      |replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |'</p><p>See <a href="/docs">docs</a> for details and more</p>' ||
+      |'<ul><li>item one</li><li>item &amp; two</li></ul>' ||
+      |'<div class="nav"><a href="/">Home</a> <a href="/about">About</a></div>' ||
+      |'<!-- footer --></body></html>'""".stripMargin
 
   /** Punctuated line corpus for the C4 rule filter: 8-token lines from
     * each document, a terminal '.' appended iff (doc_id + line index) % 3
@@ -1020,6 +1053,30 @@ object SparkEntry {
     "c4_line_filter" -> ((s, dir) =>
       operators.LineRules.c4LineFilter(c4Corpus(s, dir), "doc_id", "text",
           minWords = 5, minLines = 2, blocklist = Seq("spark"))
+        .orderBy(col("doc_id"))),
+
+    // HTML → text extraction over a markup fixture SYNTHESIZED IN-QUERY
+    // from the documents corpus (both engines wrap the same text in the
+    // same script/style/comment/nav scaffolding, entity-encoding the body
+    // — so the oracle checks the extraction semantics on real corpus
+    // text, not an echo of a canned answer). Whole pipeline is one
+    // map-side projection: no explode, no shuffle beyond the sort.
+    "html_extract" -> ((s, dir) =>
+      HtmlOps.extract(
+          t(s, dir, "documents").select(col("doc_id"),
+            synthHtml(col("text"), col("doc_id")).as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"))),
+
+    // + jusText-style boilerplate pruning: the all-anchor nav block (link
+    // density 1.0) drops, the prose block with one inline link (0.2) and
+    // the plain blocks stay — the density rule measured in TOKENS so both
+    // engines count identically whatever the text's encoding width
+    "html_main_text" -> ((s, dir) =>
+      HtmlOps.extractMainText(
+          t(s, dir, "documents").select(col("doc_id"),
+            synthHtml(col("text"), col("doc_id")).as("html")),
+          "doc_id", "html", maxLinkDensity = 0.5)
         .orderBy(col("doc_id"))),
 
     // per-document TF-IDF top terms: term frequencies aggregate per (doc,
@@ -4386,6 +4443,16 @@ object SparkEntry {
 
       "ccnet_ppl_buckets" -> operators.PerplexitySql.pplBuckets(
         "documents", "doc_id", "text", "lang = 'en'"),
+
+      "html_extract" ->
+        s"""WITH h AS (SELECT doc_id, $SynthHtmlSql AS html FROM documents)
+           |SELECT doc_id, ${HtmlOpsSql.htmlToText("html")} AS text
+           |FROM h ORDER BY doc_id""".stripMargin,
+
+      "html_main_text" ->
+        s"""WITH h AS (SELECT doc_id, $SynthHtmlSql AS html FROM documents)
+           |SELECT doc_id, ${HtmlOpsSql.mainText("html", 0.5)} AS text
+           |FROM h ORDER BY doc_id""".stripMargin,
 
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),

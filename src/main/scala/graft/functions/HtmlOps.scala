@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * HTML → text extraction — the step BEFORE every text operator in a web
+ * pipeline (the reference ingests pre-structured exports; a crawl corpus
+ * starts as markup). Two tiers, one shared mechanism:
+ *
+ *  - [[htmlToText]]: structural cleanup — comments and
+ *    script/style/noscript/template blocks removed, block-level tags
+ *    become line breaks, remaining tags stripped, core entities decoded,
+ *    whitespace normalized, empty lines dropped;
+ *  - [[extractMainText]]: jusText/trafilatura-style boilerplate pruning on
+ *    top — a block whose LINK DENSITY (anchor-text tokens / block tokens)
+ *    exceeds `maxLinkDensity` is dropped (nav bars, footers, related-link
+ *    boxes are mostly anchors; body prose is not). Density is measured in
+ *    whitespace TOKENS, not characters, so the measure is agnostic to
+ *    UTF-16 vs codepoint length semantics across engines.
+ *
+ * Scale shape: the whole extraction is ONE map-side projection — regex
+ * rewrites + higher-order array functions (split → per-block transform →
+ * filter → join), no explode, no shuffle, no per-row UDF. Spark's
+ * higher-order functions run as interpreted expressions (CodegenFallback),
+ * the documented cost of keeping block structure in-row; the operator
+ * stays embarrassingly parallel and pipelines with any downstream gate.
+ *
+ * Contract notes: entity decoding covers the five XML entities + nbsp
+ * (the long tail of named entities passes through verbatim); tag matching
+ * is regex-level (a pathological unclosed `<script` swallows to the next
+ * `</script>` or end of document — the standard tradeoff short of a full
+ * parser); NULL html yields NULL text.
+ */
+object HtmlOps {
+
+  private val BlockTags =
+    "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|" +
+      "header|footer|blockquote|nav|pre|form"
+
+  /** Comments and content-bearing non-text blocks out; block tags → '\n'. */
+  private def preClean(h: Column): Column = {
+    val noComments = regexp_replace(h, "(?s)<!--.*?-->", " ")
+    val noBlocks = Seq("script", "style", "noscript", "template")
+      .foldLeft(noComments)((c, t) =>
+        regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " "))
+    regexp_replace(noBlocks, s"(?i)</?($BlockTags)[^>]*>", "\n")
+  }
+
+  /** Strip inline tags, decode core entities (amp LAST — else '&amp;lt;'
+    * would double-decode), collapse spaces, trim. */
+  private def stripInline(b: Column): Column = {
+    val noTags = regexp_replace(b, "<[^>]*>", " ")
+    val ent = replace(replace(replace(replace(replace(
+      noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" "))
+    trim(regexp_replace(replace(ent, lit("&amp;"), lit("&")), "[ \\t\\r]+", " "))
+  }
+
+  /** Anchor-text token count of a raw block (anchors may carry inline
+    * markup of their own — stripped before counting). */
+  private def linkTokens(b: Column): Column =
+    coalesce(
+      aggregate(
+        transform(
+          regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+          a => size(TextOps.tokens(stripInline(a)))),
+        lit(0), (acc, x) => acc + x),
+      lit(0))
+
+  /** Full structural extraction: every non-empty text block, one per line. */
+  def htmlToText(html: Column): Column =
+    array_join(
+      filter(transform(split(preClean(html), "\n"), stripInline(_)),
+        t => t =!= ""),
+      "\n")
+
+  /** [[htmlToText]] + link-density boilerplate pruning. */
+  def mainText(html: Column, maxLinkDensity: Double): Column = {
+    val enriched = transform(split(preClean(html), "\n"),
+      b => struct(stripInline(b).as("t"), linkTokens(b).as("lt")))
+    val kept = filter(enriched, c =>
+      c.getField("t") =!= "" &&
+        c.getField("lt").cast("double") <=
+          lit(maxLinkDensity) * size(TextOps.tokens(c.getField("t"))).cast("double"))
+    array_join(transform(kept, _.getField("t")), "\n")
+  }
+
+  /** Dataset form of [[htmlToText]]: (id, text). */
+  def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol), htmlToText(col(htmlCol)).as("text"))
+
+  /** Dataset form of [[mainText]]: (id, text) with boilerplate pruned. */
+  def extractMainText(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      maxLinkDensity: Double = 0.5): DataFrame =
+    df.select(col(idCol), mainText(col(htmlCol), maxLinkDensity).as("text"))
+}
+
+/** DuckDB rendering of [[HtmlOps]] — the same regex pipeline (RE2 and Java
+  * regex agree on this conservative subset: inline (?is) flags, non-greedy
+  * spans, character classes), the same entity order, the same token-density
+  * rule; every regexp_replace passes 'g' to match Spark's replace-all. */
+object HtmlOpsSql {
+
+  private val BlockTags =
+    "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|" +
+      "header|footer|blockquote|nav|pre|form"
+
+  /** The preClean → per-block strip pipeline as a SQL expression over
+    * `htmlExpr`, yielding a LIST of (t, lt) structs named `bl`. */
+  private def strip(e: String): String =
+    s"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(replace(
+       |    regexp_replace($e, '<[^>]*>', ' ', 'g'),
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |    '&nbsp;', ' '), '&amp;', '&'),
+       |  '[ \\t\\r]+', ' ', 'g'))""".stripMargin
+
+  private def toks(e: String): String =
+    s"len(list_filter(string_split($e, ' '), x -> x <> ''))"
+
+  private def pre(htmlExpr: String): String =
+    s"""regexp_replace(
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace($htmlExpr, '(?s)<!--.*?-->', ' ', 'g'),
+       |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+       |    '(?is)<template[^>]*>.*?</template>', ' ', 'g'),
+       |  '(?i)</?($BlockTags)[^>]*>', chr(10), 'g')""".stripMargin
+
+  private def blockList(htmlExpr: String): String =
+    s"""list_transform(string_split(${pre(htmlExpr)}, chr(10)), b -> struct_pack(
+       |  t := ${strip("b")},
+       |  lt := coalesce(list_sum(list_transform(
+       |          regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |          a -> ${toks(strip("a"))})), 0)))""".stripMargin
+
+  /** SELECT fragment: extracted full text of `htmlExpr`. */
+  def htmlToText(htmlExpr: String): String =
+    s"""array_to_string(list_transform(
+       |  list_filter(${blockList(htmlExpr)}, c -> c.t <> ''),
+       |  c -> c.t), chr(10))""".stripMargin
+
+  /** SELECT fragment: main text of `htmlExpr` under the density rule. */
+  def mainText(htmlExpr: String, maxLinkDensity: Double): String =
+    s"""array_to_string(list_transform(
+       |  list_filter(${blockList(htmlExpr)}, c -> c.t <> '' AND
+       |    c.lt <= CAST($maxLinkDensity AS DOUBLE) * ${toks("c.t")}),
+       |  c -> c.t), chr(10))""".stripMargin
+}
