@@ -1377,6 +1377,9 @@ object SparkEntry {
         "doc_id", "text", s"$db.postings_rt", buckets = 8)
       Relevance.appendPostingsIndex(d.where(col("doc_id") % 2 === 1),
         "doc_id", "text", s"$db.postings_rt")
+      // maintenance fold: one file per bucket again, stats rows summed —
+      // the probe after compaction must still equal the full-corpus BM25
+      Relevance.compactPostingsIndex(s, s"$db.postings_rt")
       Relevance.bm25TopKIndexed(s, s"$db.postings_rt",
           Seq("spark", "hash", "merge"))
         .select(col("id").as("doc_id"), col("bm25"))
@@ -3020,6 +3023,17 @@ object SparkEntry {
     "stream_dict_gate" -> ((s, dir) =>
       Streams.dictGateStream(s, t(s, dir, "documents"),
         SparkEntry.BlockPhrases)
+        .orderBy(col("doc_id"))),
+
+    // crawl-ingest extraction door: markup synthesized from the corpus
+    // streams through the SAME map-side HtmlOps.mainText projection as the
+    // batch operator + a min-token keep gate — stateless, so AvailableNow
+    // drains to exactly the batch answer the oracle restates
+    "stream_html_gate" -> ((s, dir) =>
+      Streams.htmlGateStream(s,
+          t(s, dir, "documents").select(col("doc_id"),
+            synthHtml(col("text"), col("doc_id")).as("html")),
+          "html", minTokens = 12)
         .orderBy(col("doc_id"))),
 
     "stream_window_counts" -> ((s, dir) =>
@@ -5188,6 +5202,19 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
            |ORDER BY doc_id""".stripMargin
       },
+
+      "stream_html_gate" ->
+        s"""WITH h AS (SELECT doc_id, $SynthHtmlSql AS html FROM documents),
+           |x AS (SELECT doc_id,
+           |             replace(${HtmlOpsSql.mainText("html", 0.5)},
+           |                     chr(10), ' ') AS text
+           |      FROM h)
+           |SELECT doc_id,
+           |       CAST(len(list_filter(string_split(text, ' '),
+           |                 t -> t <> '')) AS BIGINT) AS n_tokens
+           |FROM x
+           |WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 12
+           |ORDER BY doc_id""".stripMargin,
 
       "dict_match_stats" -> {
         val vals = SparkEntry.DictPhrases

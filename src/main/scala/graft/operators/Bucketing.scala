@@ -64,6 +64,41 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Compact a bucketed table in place: every append lands one MORE file
+    * per touched bucket, so an ingest loop's probe cost and file-listing
+    * overhead creep with append count — the maintenance debt of the
+    * append-friendly layout (the at-rest analogue of the reference's `-m`
+    * maintenance mode, `bin/linz_bde_uploader.pl` version pruning). One
+    * rewrite folds each bucket back to a single sorted file:
+    * `repartition(buckets, key)` aligns rows to their bucket task (the
+    * repartition hash IS the bucketing hash, so each task holds exactly
+    * one bucket), the rewrite lands in a temp table, and a catalog RENAME
+    * swaps it in — the bucketing spec, probe plans, and results are
+    * unchanged (spec-pinned). */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec
+      .getOrElse(sys.error(s"$table is not a bucketed table"))
+    val tmp = s"${table}__compact"
+    resetTable(spark, tmp)
+    import org.apache.spark.sql.functions.col
+    // read the FILES, not the table: over a bucketed-table read the planner
+    // elides a repartition on the bucket column, leaving arbitrary
+    // file-slice tasks that each write files for several buckets — the
+    // plain-parquet read keeps the explicit repartition, so each write
+    // task holds exactly one bucket
+    spark.read.schema(spark.table(table).schema)
+      .parquet(meta.location.toString)
+      .repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(tmp)
+    resetTable(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Equi-join of two tables bucketed on `key` with the SAME bucket count:
     * both sides scan their buckets in place — no Exchange in the plan. */
   def join(

@@ -252,6 +252,27 @@ object Relevance {
       .write.mode("append").format("parquet").saveAsTable(s"${table}_stats")
   }
 
+  /** Maintenance fold for the postings index: compact the bucketed
+    * postings back to one sorted file per bucket
+    * ([[Bucketing.compactBucketed]]) and collapse the accumulated
+    * per-append stats rows into their SUM (exact long folds — N/avgdl are
+    * unchanged by construction). Run on the ingest loop's maintenance
+    * cadence; probes before and after return identical results
+    * (exercised inside the `bm25_indexed` oracle row). */
+  def compactPostingsIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    Bucketing.compactBucketed(spark, table)
+    val folded = spark.table(s"${table}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_dl")).as("n_dl"),
+        sum(col("sum_dl")).as("sum_dl"))
+      .collect()
+    import spark.implicits._
+    val one = folded.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("n_docs", "n_dl", "sum_dl")
+    Bucketing.writeTable(one, s"${table}_stats")
+  }
+
   /**
    * [[bm25TopK]] against the PERSISTED postings index: the corpus text is
    * never read — the probe filters the postings table to the query terms

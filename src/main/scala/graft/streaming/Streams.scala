@@ -842,6 +842,40 @@ object Streams {
   }
 
   /**
+   * HTML extraction at the ingest door: raw markup rows stream through
+   * the SAME map-side [[graft.functions.HtmlOps.mainText]] projection the
+   * batch operator uses (boilerplate pruned by link density), then a
+   * minimum-token keep gate — the first transform of a crawl-ingest
+   * pipeline, stateless by construction (no watermark, no state store;
+   * the extraction is per-row, so the stream form is exactly the batch
+   * form under `AvailableNow`). Emits (doc_id, n_tokens) per kept doc.
+   */
+  def htmlGateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      htmlCol: String,
+      minTokens: Int): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-htmlgate")
+    docs.select(col("doc_id"), col(htmlCol).as("html")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.HtmlOps.mainText(col("html"), 0.5).as("text"))
+      .select(col("doc_id"),
+        // extracted text separates blocks with '\n' — fold to spaces so
+        // the token count sees block boundaries as separators
+        size(graft.functions.TextOps.tokens(
+          regexp_replace(col("text"), "\n", " "))).cast("long")
+          .as("n_tokens"))
+      .where(col("n_tokens") >= minTokens)
+    val drained = runToMemory(stream, "append",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+  }
+
+  /**
    * Stream-stream INTERVAL JOIN: each click joined to the same user's
    * purchases in the `within` interval after it — streaming attribution,
    * the two-sided stateful operator (both sides buffer state, the

@@ -68,6 +68,42 @@ class DedupIndexSpec extends SparkSuite {
     assert(reprobe.count() == 0L)
   }
 
+  test("compactBucketed: folds append files to one per bucket, probes unchanged") {
+    DedupIndex.writeDigestIndex(corpus, "doc_id", "text",
+      s"$db.digest_cmp", buckets = 4)
+    // three appends: file count grows past the bucket count
+    for (off <- Seq(1000L, 2000L, 3000L))
+      DedupIndex.appendDigestIndex(
+        batch.select((col("doc_id") + off).as("doc_id"), col("text")),
+        "doc_id", "text", s"$db.digest_cmp")
+    def dataFiles: Seq[java.nio.file.Path] = {
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(s"$db.digest_cmp"))
+          .location.toString).getPath)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(loc).iterator().asScala.toSeq
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+    }
+    val before = spark.table(s"$db.digest_cmp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dataFiles.size > 4, "appends must have accumulated files")
+    Bucketing.compactBucketed(spark, s"$db.digest_cmp")
+    // one sorted file per bucket; contents and bucketing spec unchanged
+    assert(dataFiles.size == 4, s"want 4 bucket files, got ${dataFiles.size}")
+    val after = spark.table(s"$db.digest_cmp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"$db.digest_cmp"))
+      .bucketSpec.exists(_.numBuckets == 4))
+    // and the probe still anti-joins the bucketed scan in place
+    val p = DedupIndex.incrementalIndexed(batch, spark,
+      s"$db.digest_cmp", "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), s"probe must stay bucketed:\n$p")
+  }
+
   test("appendBandIndex / appendClusterIndex: survivors gate the next ingest") {
     DedupIndex.writeBandIndex(corpus, "doc_id", "text", s"$db.band_app", 4)
     val kept = DedupIndex.incrementalNearDupIndexed(batch, spark,
