@@ -1079,6 +1079,31 @@ object SparkEntry {
           "doc_id", "html", maxLinkDensity = 0.5)
         .orderBy(col("doc_id"))),
 
+    // INTENT pin for the extraction semantics: six hand-written markup
+    // fixtures (script/style/comment removal, block vs inline tags,
+    // entity order, whitespace, density drop/keep, nested-anchor
+    // counting) against literal VALUES from tools/html_reference.py — an
+    // independent Python statement of the rules, so a bug shared by the
+    // Scala and SQL renderings still fails CORRECTNESS
+    "html_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, "<p>keep</p><script>if (a<b) { x(); }</script>" +
+          "<style>p>em{}</style><!-- <p>gone</p> --><p>also</p>"),
+        (2L, "<div>one <b>bold</b> word</div><p>two</p>three<br>four"),
+        (3L, "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; &amp;lt; &copy;</p>"),
+        (4L, "<p>  a   b\t c </p><p>   </p><p>d</p>"),
+        (5L, "<p>real prose with <a href='/'>one link</a> in seven words</p>" +
+          "<div><a href='/'>Home</a> <a href='/a'>About</a>" +
+          " <a href='/b'>More</a></div><p>plain text</p>"),
+        (6L, "<div><a href='/'><em>big</em> deal</a></div><p>tail text here</p>"))
+        .toDF("case_id", "html")
+        .select(col("case_id"),
+          HtmlOps.htmlToText(col("html")).as("text"),
+          HtmlOps.mainText(col("html"), 0.5).as("main_text"))
+        .orderBy(col("case_id"))
+    }),
+
     // per-document TF-IDF top terms: term frequencies aggregate per (doc,
     // token) — map-side combined, O(distinct doc-term) shuffle rows —
     // document frequencies per token (vocabulary-sized), idf joins back
@@ -4467,6 +4492,19 @@ object SparkEntry {
         s"""WITH h AS (SELECT doc_id, $SynthHtmlSql AS html FROM documents)
            |SELECT doc_id, ${HtmlOpsSql.mainText("html", 0.5)} AS text
            |FROM h ORDER BY doc_id""".stripMargin,
+
+      // literal VALUES from tools/html_reference.py (independent Python
+      // statement of the extraction rules)
+      "html_pinned" ->
+        """SELECT CAST(case_id AS BIGINT) AS case_id, text, main_text
+          |FROM (VALUES
+          |  (1, 'keep' || chr(10) || 'also', 'keep' || chr(10) || 'also'),
+          |  (2, 'one bold word' || chr(10) || 'two' || chr(10) || 'three' || chr(10) || 'four', 'one bold word' || chr(10) || 'two' || chr(10) || 'three' || chr(10) || 'four'),
+          |  (3, 'a <b> "c" ''d'' &lt; &copy;', 'a <b> "c" ''d'' &lt; &copy;'),
+          |  (4, 'a b c' || chr(10) || 'd', 'a b c' || chr(10) || 'd'),
+          |  (5, 'real prose with one link in seven words' || chr(10) || 'Home About More' || chr(10) || 'plain text', 'real prose with one link in seven words' || chr(10) || 'plain text'),
+          |  (6, 'big deal' || chr(10) || 'tail text here', 'tail text here')
+          |) t(case_id, text, main_text) ORDER BY case_id""".stripMargin,
 
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
