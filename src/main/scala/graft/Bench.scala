@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // every bucketed table in this engine is an at-rest index whose scans
+      // are probes: keep bucketed reading (and with it bucket PRUNING) even
+      // when no downstream operator needs the hash distribution —
+      // DisableUnnecessaryBucketedScan would otherwise forfeit the prune
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // static conf, must precede the first session: 200 queries × several
       // codegen stages each far exceed the default 100-class cache, so by
       // the back half of the run every stage recompiles (janino) what an

@@ -1410,6 +1410,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("bm25"))
     }),
 
+    // exact phrase search through the SAME positional postings index: a
+    // two-term phrase, a repeated-term phrase (overlapping occurrences —
+    // "table table table" counts 2), and a three-term fold, all against an
+    // INDEPENDENT oracle that recomputes adjacency directly on the raw
+    // token stream — the probe and the oracle share no machinery
+    "phrase_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val db = indexDb(s)
+      Relevance.writePostingsIndex(d, "doc_id", "text",
+        s"$db.phrase_rt", buckets = 8)
+      Seq(Seq("merge", "sort"), Seq("table", "table"),
+          Seq("value", "table", "part"))
+        .map(ph => Relevance.phraseSearch(s, s"$db.phrase_rt", ph)
+          .select(lit(ph.mkString(" ")).as("phrase"),
+            col("id").as("doc_id"), col("n_matches").cast("long").as("n_matches")))
+        .reduce(_ unionAll _)
+        .orderBy(col("phrase"), col("doc_id"))
+    }),
+
     // language-adaptive quality cut (CCNet, Wenzek et al. 2020 §4.3): the
     // keep threshold is the per-LANGUAGE 0.7 exact percentile of token
     // counts — a group-count-sized aggregate broadcast back, keep decision
@@ -4837,6 +4856,33 @@ object SparkEntry {
       // the write/append/probe cycle must reproduce it exactly
       "bm25_indexed" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
         Seq("spark", "hash", "merge")),
+
+      // INDEPENDENT adjacency recompute on the raw token stream: for each
+      // phrase, a position i matches iff tokens i..i+k-1 equal the phrase
+      // — no postings, no position lists, overlaps counted naturally
+      "phrase_indexed" -> {
+        def arm(ph: Seq[String]) = {
+          val k = ph.size
+          val cond = ph.zipWithIndex
+            .map { case (t, j) => s"tk[i+${j + 1}] = '$t'" }.mkString(" AND ")
+          s"""SELECT '${ph.mkString(" ")}' AS phrase, doc_id,
+             |       CAST(n AS BIGINT) AS n_matches
+             |FROM (SELECT doc_id,
+             |             len(list_filter(range(len(tk) - ${k - 1}),
+             |                 i -> $cond)) AS n
+             |      FROM d) WHERE n > 0""".stripMargin
+        }
+        s"""WITH d AS (SELECT doc_id,
+           |                  list_filter(string_split(text, ' '),
+           |                              x -> x <> '') AS tk
+           |           FROM documents WHERE text IS NOT NULL)
+           |${arm(Seq("merge", "sort"))}
+           |UNION ALL
+           |${arm(Seq("table", "table"))}
+           |UNION ALL
+           |${arm(Seq("value", "table", "part"))}
+           |ORDER BY phrase, doc_id""".stripMargin
+      },
 
       "embed_pca_power" -> PcaSql.topComponent("embeddings", "embedding",
         dim = 64),

@@ -15,6 +15,11 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized parquet
       // reader rejects; read it as long nanos and convert where used.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // every bucketed table in this engine is an at-rest index whose scans
+      // are probes: keep bucketed reading (and with it bucket PRUNING) even
+      // when no downstream operator needs the hash distribution —
+      // DisableUnnecessaryBucketedScan would otherwise forfeit the prune
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -183,19 +183,25 @@ object Relevance {
   // Persisted inverted (postings) index — at-rest lexical retrieval
   // =====================================================================
 
-  /** Postings rows for `corpus`: one (tok, id, tf, dl) per distinct
-    * (document, token) — exactly the per-term stream [[bm25TopK]] derives
-    * from raw text on every call. */
+  /** POSITIONAL postings rows for `corpus`: one (tok, id, tf, dl, pos)
+    * per distinct (document, token) — tf/dl are exactly the per-term
+    * stream [[bm25TopK]] derives from raw text on every call, and `pos`
+    * is the sorted 0-based occurrence list that phrase probes fold over.
+    * Because the layout is columnar, positions are FREE for probes that
+    * don't use them: a BM25 probe's scan never reads the `pos` column
+    * (`ReadSchema` pinned pos-free in `PlanAuditSpec`). */
   private def postingsRows(
       corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-      .select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+      .select(col("id"), col("dl"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
       .groupBy(col("tok"), col("id"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .select(col("tok"), col("id"), col("tf"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("p"))).as("pos"))
+      .select(col("tok"), col("id"), col("tf"), col("dl"), col("pos"))
 
   /** Corpus-statistics row that keeps the index self-describing AND
     * append-foldable: every write/append contributes ONE (n_docs, n_dl,
@@ -311,6 +317,40 @@ object Relevance {
       .agg(round(sum(term), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("id"))
       .limit(topK)
+  }
+
+  /**
+   * Exact PHRASE search against the positional postings index: documents
+   * where `phrase`'s tokens occur consecutively, with the (overlapping)
+   * occurrence count. The classic positional-index query (Manning,
+   * Raghavan & Schütze, IIR §2.4.2), folded as position-list arithmetic:
+   * starting from the first term's occurrence list, each next term
+   * intersects its list with the previous survivors shifted by one —
+   * after k−1 folds the survivors are exactly the phrase's end positions.
+   * A repeated-term phrase ("table table") needs no special case: the
+   * same list intersects against its own shift.
+   *
+   * Scale shape: the scan BUCKET-PRUNES to the phrase's terms (same pin
+   * as the BM25 probe), the only shuffle groups the matched postings by
+   * document, and the fold is a map-side array expression — corpus text
+   * is never read, and documents missing any phrase term die in the
+   * intersection (null kills the fold) before the filter.
+   */
+  def phraseSearch(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val byDoc = spark.table(table)
+      .where(col("tok").isin(phrase.distinct: _*))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("tok"), col("pos")))).as("m"))
+    val matched = phrase.drop(1).foldLeft(
+      element_at(col("m"), phrase.head))((acc, t) =>
+        array_intersect(transform(acc, _ + 1), element_at(col("m"), t)))
+    byDoc.select(col("id"), size(matched).as("n_matches"))
+      .where(col("n_matches") >= 1)
   }
 }
 

@@ -574,12 +574,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Exchange")) == 2 &&
       p.contains("BroadcastExchange"),
       s"only matched postings may shuffle; dfreq must broadcast:\n$p")
+    // the index is POSITIONAL, but a BM25 probe must never read the pos
+    // column — columnar pruning is what makes positions free for
+    // non-positional probes
+    assert(sel.contains("ReadSchema: struct<tok:string,id:bigint,tf:double,dl:double>"),
+      s"BM25 probe must prune the pos column from its scan:\n$sel")
     // and the probe result equals the rescan operator's
     val a = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     val b = Relevance.bm25TopK(docs, "doc_id", "text",
         Seq("spark", "hash", "merge"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(a == b)
+    // the phrase probe over the same index also bucket-prunes, and its
+    // only Exchange groups matched postings by document
+    val pp = physical(Relevance.phraseSearch(spark,
+      "postings_audit.postings", Seq("spark", "hash")))
+    assert(pp.contains("SelectedBucketsCount"),
+      s"phrase probe must bucket-prune:\n$pp")
+    assert(pp.linesIterator.count(_.contains("Exchange")) == 1,
+      s"phrase probe shuffles matched postings only:\n$pp")
   }
 
   test("classifier scoring: margin is one map-side codegen'd projection") {

@@ -12,6 +12,8 @@ object SparkSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // match the runtime posture: bucketed index scans keep bucket pruning
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .getOrCreate()
 }
 
