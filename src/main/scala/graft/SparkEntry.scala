@@ -2812,7 +2812,15 @@ object SparkEntry {
     "ann_ivf_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = s"$indexDbDir/ivf_index"
-      Similarity.writeIvfIndex(emb, "vec_id", "embedding", path, nlist = 16)
+      // write→append→probe, like every other index family: the initial
+      // write holds the 16 lowest ids (so its deterministic seeds equal
+      // the full corpus's), the rest folds in by appendIvfIndex against
+      // the PERSISTED seeds — the probe after append must equal the
+      // full-corpus rescan the oracle renders
+      Similarity.writeIvfIndex(emb.where(col("vec_id") < 64),
+        "vec_id", "embedding", path, nlist = 16)
+      Similarity.appendIvfIndex(emb.where(col("vec_id") >= 64),
+        "vec_id", "embedding", path)
       Similarity.ivfTopKIndexed(s, path, emb.where(col("vec_id") < 8),
           "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),

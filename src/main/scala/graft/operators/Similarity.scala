@@ -199,6 +199,27 @@ object Similarity {
   }
 
   /**
+   * Fold a committed batch INTO the persisted inverted file: vectors
+   * assign against the index's OWN persisted seeds map-side and append
+   * into their cell directories — the FAISS `add` semantics (centroids
+   * fixed at ingest; assignment is paid once per vector lifetime, and
+   * probes stay partition-pruned because new files land inside existing
+   * cell partitions). Re-training the centroids is a separate maintenance
+   * decision = a fresh [[writeIvfIndex]]; fixed seeds mean an append-heavy
+   * index slowly drifts from what retrained centroids would give — the
+   * standard IVF tradeoff, stated rather than hidden.
+   */
+  def appendIvfIndex(
+      batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val seedRows = spark.read.parquet(s"$path.seeds")
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assignClusters(batch, idCol, vecCol, seedRows)
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
+  /**
    * [[ivfTopK]] against the PERSISTED inverted file: queries assign to
    * their `nprobe` nearest persisted seeds map-side, the UNION of probed
    * cell ids (≤ queries × nprobe, driver-bounded because the query set
