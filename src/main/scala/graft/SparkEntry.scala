@@ -210,17 +210,17 @@ object SparkEntry {
         Dedup.minHashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 0.5)
           .localCheckpoint())
 
-  /** Session-memoized window-48 suffix rank table over `documents` — the
-    * shared upstream of the suffix-array family (`suffix_array_ranks` /
-    * `suffix_array_top` / `suffix_repeated_windows`). Each consumes the
-    * IDENTICAL rank table; without memoization every one re-ran the full
-    * prefix-doubling pipeline, so a bench pass measured the same ~7
-    * doubling rounds three times (~54 s of the bench). [[SuffixArray
-    * .suffixRanks]] already localCheckpoints its result, so the frame is
-    * self-contained and survives the bench's per-query `clearCache()`.
-    * Same memoization shape (and session-weak keying rationale) as
-    * [[nearDupPairs]]. At 100 TB the array is a persisted per-corpus
-    * artifact, like the dedup indexes. */
+  /** The PERSISTED window-48 suffix-rank index over `documents` — the
+    * shared at-rest upstream of the suffix-array family
+    * (`suffix_array_ranks` / `suffix_array_top` /
+    * `suffix_repeated_windows`). [[SuffixArray.writeRankIndex]] runs the
+    * full prefix-doubling build ONCE per (session, dir) — the
+    * build-once-per-corpus-release posture — and every consumer probes
+    * `spark.table` over the bucketed artifact: no re-ranking anywhere
+    * downstream (pinned by `PlanAuditSpec`), and the table survives the
+    * bench's per-query `clearCache()` because it lives on disk, not in
+    * block storage. Session-weak keying rationale as [[nearDupPairs]];
+    * the table name is dir-hashed so two sf dirs in one JVM never alias. */
   private val suffixRanksCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
@@ -228,8 +228,13 @@ object SparkEntry {
     suffixRanksCache
       .computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir, _ =>
-        SuffixArray.suffixRanks(t(s, dir, "documents"), "doc_id", "text", 48))
+      .computeIfAbsent(dir, _ => {
+        val tbl = s"${indexDb(s)}.suffix_rank_idx_" +
+          java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+        SuffixArray.writeRankIndex(
+          t(s, dir, "documents"), "doc_id", "text", 48, tbl, buckets = 16)
+        s.table(tbl)
+      })
 
   /** Scratch database for the at-rest dedup-index roundtrip queries: one
     * location per JVM (CREATE DATABASE IF NOT EXISTS keeps the first);

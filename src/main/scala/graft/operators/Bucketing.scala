@@ -72,10 +72,24 @@ object Bucketing {
     * rewrite folds each bucket back to a single sorted file:
     * `repartition(buckets, key)` aligns rows to their bucket task (the
     * repartition hash IS the bucketing hash, so each task holds exactly
-    * one bucket), the rewrite lands in a temp table, and a catalog RENAME
-    * swaps it in — the bucketing spec, probe plans, and results are
-    * unchanged (spec-pinned). */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    * one bucket), the rewrite lands in a temp table, and a two-rename
+    * catalog swap commits it — the bucketing spec, probe plans, and
+    * results are unchanged (spec-pinned).
+    *
+    * Crash-atomicity: nothing live is deleted before the compacted copy is
+    * committed. The swap is rename-aside (live→`__old`, `__compact`→live,
+    * drop `__old`), so a driver death at ANY point leaves the full data
+    * under exactly one of the three names and [[recoverCompaction]] (run
+    * automatically on the next call) restores the live table — the same
+    * publish-then-point discipline as `ParquetTableSink`'s atomic swap. */
+  def compactBucketed(spark: SparkSession, table: String): Unit =
+    compactBucketed(spark, table, () => ())
+
+  /** Test seam: `midSwapFault` fires between the two renames — the widest
+    * crash window — so a spec can kill the swap and prove recovery. */
+  private[graft] def compactBucketed(
+      spark: SparkSession, table: String, midSwapFault: () => Unit): Unit = {
+    recoverCompaction(spark, table) // heal any prior crashed swap first
     val meta = spark.sessionState.catalog
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec
@@ -95,8 +109,30 @@ object Bucketing {
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
       .sortBy(spec.sortColumnNames.head)
       .saveAsTable(tmp)
-    resetTable(spark, table)
+    val old = s"$table$OldSuffix"
+    resetTable(spark, old) // only ever clears a fully-superseded leftover
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    midSwapFault()
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    resetTable(spark, old)
+  }
+
+  private val OldSuffix = "__old"
+
+  /** Restore `table` after a compaction swap died mid-way. The swap's
+    * invariant is that the full pre-compaction data always survives under
+    * `table` or `table__old` (never deleted before commit), so recovery is
+    * pure catalog surgery: roll BACK to `__old` if the live name is gone
+    * (the compacted `__compact`, though logically identical, is not
+    * trusted here — a crash during its build also leaves one), or drop a
+    * superseded `__old` if the live name already points at the new copy.
+    * Idempotent; a no-op on a healthy table. */
+  def recoverCompaction(spark: SparkSession, table: String): Unit = {
+    val old = s"$table$OldSuffix"
+    val liveExists = spark.catalog.tableExists(table)
+    val oldExists = spark.catalog.tableExists(old)
+    if (!liveExists && oldExists) spark.sql(s"ALTER TABLE $old RENAME TO $table")
+    else if (liveExists && oldExists) resetTable(spark, old)
   }
 
   /** Equi-join of two tables bucketed on `key` with the SAME bucket count:

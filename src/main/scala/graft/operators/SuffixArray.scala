@@ -178,12 +178,44 @@ object SuffixArray {
     (spark.createDataFrame(assigned, schema), sorted, cum, total)
   }
 
+  /**
+   * Persist the rank table as the AT-REST suffix-array artifact: one
+   * prefix-doubling build per corpus release, shared by every downstream
+   * probe ([[rankChecksums]] / [[topSuffixes]] / [[repeatedWindows]] all
+   * take the rank table — pass `spark.table(table)` and none of them
+   * re-ranks anything; pinned by `PlanAuditSpec`). Bucketed (and
+   * per-bucket sorted) on `rank`, because the heavy consumer is
+   * [[repeatedWindows]]'s rank-groupBy — over the bucketed scan the
+   * aggregation runs in place with ZERO Exchange on the index side.
+   *
+   * Append semantics, stated honestly: ranks are CORPUS-GLOBAL — one
+   * appended document shifts, in general, the rank of every suffix that
+   * sorts after any of its suffixes, so there is no per-document append;
+   * the artifact is rebuilt per corpus release (call this again). That is
+   * the same build-once-per-release posture as FAISS's retrain cycle for
+   * IVF centroids (contrast `Similarity.writeIvfIndex`, which accepts
+   * seed drift to buy cheap appends — a suffix array has no analogous
+   * slack: a stale rank is a WRONG rank, not an approximate one). The
+   * build cost this amortizes is the engine's largest: ~⌈log₂ window⌉
+   * corpus-wide ranking rounds, paid once here instead of once per
+   * consumer per session.
+   */
+  def writeRankIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      table: String,
+      buckets: Int): Unit =
+    Bucketing.writeBucketed(
+      suffixRanks(df, idCol, textCol, window), table, "rank", buckets)
+
   /** Per-document verification fold of a [[suffixRanks]] table:
     * (id, n_suffixes, Σ rank·(pos+1)) — every rank participates, so a
     * single wrong rank anywhere moves some document's checksum. Derived
     * ops take the rank table rather than recomputing it: the array is
-    * built once per corpus and shared (at 100 TB it would be a persisted
-    * artifact, like the dedup indexes). */
+    * built once per corpus release and persisted ([[writeRankIndex]]),
+    * like the dedup indexes. */
   def rankChecksums(ranks: DataFrame, idCol: String): DataFrame =
     ranks
       .groupBy(col(idCol))

@@ -595,6 +595,46 @@ class PlanAuditSpec extends SparkSuite {
       s"phrase probe shuffles matched postings only:\n$pp")
   }
 
+  test("suffix rank index: probes scan the artifact in place — no re-ranking") {
+    import graft.operators.{Bucketing, SuffixArray}
+    // the at-rest ExactSubstr posture: writeRankIndex pays the
+    // prefix-doubling build once per corpus release; every probe must be a
+    // plain scan of the bucketed artifact — the plan may contain NO
+    // ExistingRDD node (the signature of the distributed dense-rank
+    // machinery: any re-ranking would re-enter createDataFrame-over-RDD)
+    val wh = java.nio.file.Files.createTempDirectory("suffix_wh").toString
+    Bucketing.scratchDb(spark, "suffix_audit", wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    SuffixArray.writeRankIndex(docs, "doc_id", "text", 12,
+      "suffix_audit.ranks", buckets = 4)
+    val at = spark.table("suffix_audit.ranks")
+    // the heavy consumer's shape: the rank-groupBy aggregates over the
+    // bucketed scan IN PLACE — zero Exchange on the index side
+    val pg = physical(at.groupBy("rank").count())
+    assert(pg.contains("Bucketed: true"),
+      s"rank-groupBy must scan the bucketed artifact:\n$pg")
+    assert(!pg.contains("Exchange"),
+      s"bucketing on rank must satisfy the rank-groupBy without a shuffle:\n$pg")
+    for (p <- Seq(
+        physical(SuffixArray.rankChecksums(at, "doc_id")),
+        physical(SuffixArray.repeatedWindows(at, docs, "doc_id", "text", 12, 5)),
+        physical(SuffixArray.topSuffixes(at, docs, "doc_id", "text", 12, 5)))) {
+      assert(p.contains("Bucketed: true"),
+        s"probe must scan the persisted rank table:\n$p")
+      assert(!p.contains("ExistingRDD"),
+        s"probe must not re-rank (no dense-rank RDD machinery):\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+    // and probing the artifact returns exactly the in-session result
+    val a = SuffixArray.rankChecksums(at, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = SuffixArray.rankChecksums(
+        SuffixArray.suffixRanks(docs, "doc_id", "text", 12), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("classifier scoring: margin is one map-side codegen'd projection") {
     import graft.operators.Classifier
     val docs = spark.read.parquet(s"$sf/documents.parquet")

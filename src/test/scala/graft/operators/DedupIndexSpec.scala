@@ -104,6 +104,40 @@ class DedupIndexSpec extends SparkSuite {
     assert(p.contains("Bucketed: true"), s"probe must stay bucketed:\n$p")
   }
 
+  test("compactBucketed: mid-swap crash never loses data; recovery restores the table") {
+    DedupIndex.writeDigestIndex(corpus, "doc_id", "text",
+      s"$db.digest_crash", buckets = 4)
+    DedupIndex.appendDigestIndex(
+      batch.select((col("doc_id") + 5000).as("doc_id"), col("text")),
+      "doc_id", "text", s"$db.digest_crash")
+    val before = spark.table(s"$db.digest_crash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // kill the swap in its widest window: live renamed aside, new copy not
+    // yet renamed in — the pre-fix code had already DELETED the live data
+    // by this point
+    val boom = intercept[RuntimeException] {
+      Bucketing.compactBucketed(spark, s"$db.digest_crash",
+        () => throw new RuntimeException("driver died mid-swap"))
+    }
+    assert(boom.getMessage == "driver died mid-swap")
+    // every pre-compaction row still exists on disk (under the aside name)
+    assert(spark.table(s"$db.digest_crash__old").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    // recovery is pure catalog surgery: the live name reads again, with
+    // the full pre-compaction contents
+    Bucketing.recoverCompaction(spark, s"$db.digest_crash")
+    assert(spark.table(s"$db.digest_crash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    assert(!spark.catalog.tableExists(s"$db.digest_crash__old"))
+    // and a fresh compaction (which self-heals first) completes cleanly
+    Bucketing.compactBucketed(spark, s"$db.digest_crash")
+    assert(spark.table(s"$db.digest_crash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"$db.digest_crash"))
+      .bucketSpec.exists(_.numBuckets == 4))
+  }
+
   test("appendBandIndex / appendClusterIndex: survivors gate the next ingest") {
     DedupIndex.writeBandIndex(corpus, "doc_id", "text", s"$db.band_app", 4)
     val kept = DedupIndex.incrementalNearDupIndexed(batch, spark,

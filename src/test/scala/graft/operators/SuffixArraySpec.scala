@@ -110,6 +110,34 @@ class SuffixArraySpec extends SparkSuite {
     assert(got == Seq(("aba", 3L, 2L), ("bab", 2L, 2L)))
   }
 
+  test("writeRankIndex: the persisted artifact equals the in-session ranks") {
+    val wh = java.nio.file.Files.createTempDirectory("suffix_idx_spec").toString
+    Bucketing.scratchDb(spark, "suffix_idx_spec", wh)
+    val docs = Seq((1L, "ababa"), (2L, "abab"), (3L, "zzz")).toDF("id", "text")
+    SuffixArray.writeRankIndex(docs, "id", "text", 3,
+      "suffix_idx_spec.ranks", buckets = 4)
+    val at = spark.table("suffix_idx_spec.ranks")
+    assert(at.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == run(Seq((1L, "ababa"), (2L, "abab"), (3L, "zzz")), 3))
+    // bucketed (and sorted) on rank — the heavy consumer's groupBy key
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("suffix_idx_spec.ranks"))
+      .bucketSpec.getOrElse(fail("rank index must be bucketed"))
+    assert(spec.numBuckets == 4 && spec.bucketColumnNames == Seq("rank"))
+    // probes through the artifact return exactly the in-session results
+    val got = SuffixArray.repeatedWindows(at, docs, "id", "text", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("aba", 3L, 2L), ("bab", 2L, 2L)))
+    // rebuild-per-release: a second write over a grown corpus replaces the
+    // artifact (ranks are corpus-global — no per-document append exists)
+    val grown = docs.unionByName(Seq((4L, "abz")).toDF("id", "text"))
+    SuffixArray.writeRankIndex(grown, "id", "text", 3,
+      "suffix_idx_spec.ranks", buckets = 4)
+    assert(spark.table("suffix_idx_spec.ranks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      run(Seq((1L, "ababa"), (2L, "abab"), (3L, "zzz"), (4L, "abz")), 3))
+  }
+
   test("fixed point: duplicate documents converge under a huge window") {
     // identical docs keep distinct < total forever; the pure-doubling
     // stability exit must stop refining without mis-ranking anything
