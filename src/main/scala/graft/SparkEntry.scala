@@ -2344,6 +2344,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // IVF-PQ through the PERSISTED index (FAISS IndexIVFPQ at rest): codes
+    // partitioned by coarse cell + centroid/codebook companions, written
+    // once; the batch appended with FIXED quantizers (IndexIVFPQ.add); the
+    // probe partition-prunes to its nprobe cells and ranks by the same
+    // broadcast-LUT integer ADC. train = the full corpus (the FAISS
+    // train/add split), base = even ids, append = odd ids — so the probe
+    // must equal ann_ivfpq_adc's full-corpus rescan exactly, which is what
+    // the shared oracle states
+    "ann_ivfpq_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$indexDbDir/ivfpq_index"
+      operators.IvfPq.writeIvfPqIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, nCells = 4, m = 4, ksub = 8, iters = 2,
+        train = Some(emb))
+      operators.IvfPq.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path)
+      operators.IvfPq.topKIndexed(s, path, emb.where(col("vec_id") < 4),
+          "vec_id", "embedding", nprobe = 2, k = 5)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // recall@5 of the nprobe=2 trained-IVF search against the exhaustive
     // nprobe=4 (all cells = exact) reference — the quality gauge for the
     // probe-cost/recall trade, per query
@@ -5750,6 +5771,14 @@ object SparkEntry {
         iters = 2, topK = 5, queryPred = "vec_id < 4"),
 
       "ann_ivfpq_adc" -> operators.IvfPqSql.topK(
+        "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
+        ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 4"),
+
+      // the persisted-index lifecycle (write even ids → append odd ids →
+      // probe) must reproduce the full-corpus rescan bit-for-bit — the
+      // quantizers train on the full corpus (the FAISS train/add split)
+      // and appended codes use them FIXED, so the oracle IS the rescan SQL
+      "ann_ivfpq_indexed" -> operators.IvfPqSql.topK(
         "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
         ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 4"),
 

@@ -256,6 +256,158 @@ object IvfPq {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qd")).as("adc_q")), k)
   }
+
+  // =====================================================================
+  // At-rest IVF-PQ — the persisted form of the index above (FAISS
+  // `IndexIVFPQ` written out: codes + coarse centroids + codebooks)
+  // =====================================================================
+
+  /** Residual-code rows of `df` against FIXED centroids + codebooks:
+    * (vec_id, cluster, codes) — assignment, residual, and encoding are all
+    * map-side literal-constant projections; nothing shuffles. */
+  private def encodeRows(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val residuals = KMeans.assign(df, idCol, vecCol, cents).select(
+      col("cid").as("vec_id"),
+      VectorOps.vecSub(col("v"),
+        element_at(centsLit, col("cluster") + 1)).as("res"),
+      col("cluster"))
+    Pq.encode(residuals, "vec_id", "res", books, carry = Seq("cluster"))
+  }
+
+  /**
+   * Persist the IVF-PQ index AT REST — the 8-bytes-per-vector layout that
+   * lets a billion-vector index live in storage: the code table
+   * (vec_id, codes) written `partitionBy(cluster)` (one directory per
+   * coarse cell, so probes partition-prune exactly like the raw-vector
+   * [[Similarity.writeIvfIndex]]), with two driver-bounded companions —
+   * `<path>.cells` (the coarse centroids) and `<path>.books` (the m × ksub
+   * residual codebooks), the FAISS `IndexIVFPQ` trio of codes + coarse
+   * quantizer + product quantizer.
+   *
+   * `train` is the FAISS `train(xt)` / `add(xb)` split: quantizers learn
+   * from `train` (default: the base set itself — at 100 TB a sample), the
+   * persisted codes cover `base`. Raw vectors are NOT stored: that is the
+   * point of the compression, and the price — stated, not hidden — is that
+   * re-training quantizers later means re-encoding from source data, and
+   * probe results are ADC-approximate (gauge: `ann_pq_recall`).
+   */
+  def writeIvfPqIndex(
+      base: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int, m: Int, ksub: Int, iters: Int,
+      train: Option[DataFrame] = None): Unit = {
+    val tr = train.getOrElse(base)
+    val cents = KMeans.train(tr, idCol, vecCol, nCells, iters)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    // codebooks train on the TRAIN set's residuals — exactly [[topK]]'s
+    // training arrangement, so a probe over the persisted index reproduces
+    // the in-session operator bit-for-bit when train == its corpus
+    val trRes = KMeans.assign(tr, idCol, vecCol, cents).select(
+      col("cid").as("vec_id"),
+      VectorOps.vecSub(col("v"),
+        element_at(centsLit, col("cluster") + 1)).as("res"),
+      col("cluster"))
+      .cache()
+    val books = Pq.trainCodebooks(trRes, "vec_id", "res", m, ksub, iters)
+    trRes.unpersist(blocking = false)
+    Bucketing.writePartitioned(
+      encodeRows(base, idCol, vecCol, cents, books), path, "cluster")
+    val spark = base.sparkSession
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.cells")
+    (for { j <- books.indices; (c, i) <- books(j).zipWithIndex }
+      yield (j, i, c.toSeq)).toDF("sub", "code", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.books")
+  }
+
+  /** The persisted coarse centroids + codebooks — driver-bounded collects
+    * (nCells and m × ksub rows). */
+  private def loadQuantizers(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = spark.read.parquet(s"$path.cells")
+      .orderBy(col("cluster")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val bookRows = spark.read.parquet(s"$path.books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val ksub = bookRows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    bookRows.foreach { case (j, i, c) => books(j)(i) = c }
+    (cents, books.map(_.toArray))
+  }
+
+  /** Fold a committed batch INTO the persisted index with FIXED quantizers
+    * — the FAISS `IndexIVFPQ.add` semantics: vectors assign/encode against
+    * the index's own persisted centroids and codebooks map-side and append
+    * into their cell directories. Quantizer re-training is a separate
+    * maintenance decision = a fresh [[writeIvfPqIndex]] over source data
+    * (codes alone cannot be re-trained — the residual vectors are gone). */
+  def appendIvfPqIndex(
+      batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val (cents, books) = loadQuantizers(batch.sparkSession, path)
+    encodeRows(batch, idCol, vecCol, cents, books)
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
+  /**
+   * [[topK]] against the PERSISTED index: queries probe their `nprobe`
+   * nearest persisted cells, the probed cell set becomes a
+   * partition-pruning filter on the code scan (unprobed cells never read
+   * from disk — `PartitionFilters`, plan-pinned), and candidates rank by
+   * the same broadcast-LUT integer ADC. Result ≡ `IvfPq.topK(corpus, …)`
+   * whenever the index was written from `corpus` with `train = corpus`
+   * (pinned by the oracle): same quantizers, same codes, same arithmetic.
+   */
+  def topKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val (cents, books) = loadQuantizers(spark, path)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val dsub = books(0)(0).length
+    val m = books.length
+    val cellScore = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.sqDist(col("qv"), typedLit(c.toSeq)).as("d"),
+        lit(i).as("cl"))
+    }
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(array(cellScore: _*)), 1, nprobe)).as("pr"))
+      .select(col("query_id"), col("qv"), col("pr.cl").as("cluster"))
+      .withColumn("qres", VectorOps.vecSub(col("qv"),
+        element_at(centsLit, col("cluster") + 1)))
+      .cache()
+    val probedCells = probes.select(col("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(path)
+      .where(col("cluster").isin(probedCells.map(Int.box): _*))
+      .select(col("vec_id"), col("cluster"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val entries: Seq[Column] = for {
+      j <- 0 until m
+      (c, i) <- books(j).toIndexedSeq.zipWithIndex
+    } yield struct(
+      lit(j).as("sub"), lit(i).as("code"),
+      floor(VectorOps.sqDist(slice(col("qres"), j * dsub + 1, dsub),
+        typedLit(c.toSeq)) * lit(KMeans.Quant.toDouble)).cast("long").as("qd"))
+    val lut = probes
+      .select(col("query_id"), col("cluster"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("cluster"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.qd").as("qd"))
+    val result = Pq.rankTopK(
+      codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
+        .where(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("adc_q")), k)
+    CacheScope.unpersistAfterAction(result, Seq(probes))
+  }
 }
 
 /** DuckDB rendering of [[Pq.adcTopK]] by independent mechanics (cross join

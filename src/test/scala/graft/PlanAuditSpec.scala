@@ -542,6 +542,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("ivf-pq index probe: code scan partition-prunes, result equals rescan") {
+    import graft.operators.IvfPq
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_wh").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = s"$dir/ivfpq"
+    // FAISS train/add split: quantizers learn from the full corpus, codes
+    // write for the even half, the odd half appends with FIXED quantizers
+    IvfPq.writeIvfPqIndex(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCells = 4, m = 4, ksub = 8, iters = 2,
+      train = Some(emb))
+    IvfPq.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path)
+    val out = IvfPq.topKIndexed(spark, path,
+      emb.where(col("vec_id") < 4), "vec_id", "embedding", nprobe = 2, k = 5)
+    val p = physical(out)
+    // unprobed cells are pruned BEFORE file listing — the scan reads codes
+    // (ids + m bytes per vector), never raw vectors
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("cluster")).getOrElse("")
+    assert(scanLine.nonEmpty && !scanLine.contains("PartitionFilters: []"),
+      s"code scan must partition-prune on cluster:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"),
+      s"the ADC lookup table must broadcast:\n$p")
+    // write→append→probe equals the in-session full-corpus rescan exactly
+    // (same quantizers, same codes, same integer ADC arithmetic)
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = IvfPq.topK(emb, emb.where(col("vec_id") < 4), "vec_id", "embedding",
+        nCells = 4, m = 4, ksub = 8, iters = 2, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("postings index probe: bucket-pruned scan, dfreq aggregates in place") {
     import graft.operators.{Bucketing, Relevance}
     // the at-rest lexical-retrieval posture: writePostingsIndex persists
