@@ -1434,6 +1434,28 @@ object SparkEntry {
         .orderBy(col("phrase"), col("doc_id"))
     }),
 
+    // proximity (slop-k) search through the SAME positional postings
+    // index: term pairs within k positions (IIR §2.4.2 positional
+    // intersect, the within-k generalization of the phrase fold) — an
+    // ordered-pair count, so the self-pair probe counts each unordered
+    // pair twice (stated convention). Oracle = an INDEPENDENT position
+    // self-join on the raw token stream — no postings, no position maps
+    "proximity_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val db = indexDb(s)
+      Relevance.writePostingsIndex(d, "doc_id", "text",
+        s"$db.prox_rt", buckets = 8)
+      Seq(("merge", "sort", 3), ("value", "part", 4), ("table", "table", 2))
+        .map { case (a, b, k) =>
+          Relevance.proximitySearch(s, s"$db.prox_rt", a, b, k)
+            .select(lit(s"$a $b /$k").as("probe"),
+              col("id").as("doc_id"),
+              col("n_matches").cast("long").as("n_matches"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy(col("probe"), col("doc_id"))
+    }),
+
     // language-adaptive quality cut (CCNet, Wenzek et al. 2020 §4.3): the
     // keep threshold is the per-LANGUAGE 0.7 exact percentile of token
     // counts — a group-count-sized aggregate broadcast back, keep decision
@@ -4916,6 +4938,31 @@ object SparkEntry {
            |UNION ALL
            |${arm(Seq("value", "table", "part"))}
            |ORDER BY phrase, doc_id""".stripMargin
+      },
+
+      // INDEPENDENT slop-k recount: a position self-join over the raw
+      // token stream — (i, j) pairs with the right tokens, i <> j, and
+      // |i - j| <= k — vs the probe's postings-map array fold
+      "proximity_indexed" -> {
+        def arm(a: String, b: String, k: Int) =
+          s"""SELECT '$a $b /$k' AS probe, x.doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_matches
+             |FROM postok x JOIN postok y
+             |  ON x.doc_id = y.doc_id AND x.tok = '$a' AND y.tok = '$b'
+             | AND x.p <> y.p AND abs(x.p - y.p) <= $k
+             |GROUP BY x.doc_id""".stripMargin
+        s"""WITH d AS (SELECT doc_id,
+           |                  list_filter(string_split(text, ' '),
+           |                              x -> x <> '') AS tk
+           |           FROM documents WHERE text IS NOT NULL),
+           |pos AS (SELECT doc_id, unnest(range(len(tk))) AS p, tk FROM d),
+           |postok AS (SELECT doc_id, p, tk[p + 1] AS tok FROM pos)
+           |${arm("merge", "sort", 3)}
+           |UNION ALL
+           |${arm("value", "part", 4)}
+           |UNION ALL
+           |${arm("table", "table", 2)}
+           |ORDER BY probe, doc_id""".stripMargin
       },
 
       "embed_pca_power" -> PcaSql.topComponent("embeddings", "embedding",

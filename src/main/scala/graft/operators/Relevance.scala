@@ -352,6 +352,46 @@ object Relevance {
     byDoc.select(col("id"), size(matched).as("n_matches"))
       .where(col("n_matches") >= 1)
   }
+
+  /**
+   * PROXIMITY (slop-k) search against the positional postings index:
+   * documents where `termA` and `termB` occur within `slop` token
+   * positions of each other, with the pair count — the `/k` operator of
+   * IIR §2.4.2's `PositionalIntersect` (the within-k generalization of
+   * [[phraseSearch]]'s exact adjacency), the standard probe for
+   * licensed-span / boilerplate-neighborhood detection where the phrase
+   * varies but the terms stay close.
+   *
+   * `n_matches` counts ordered position pairs (pa ∈ A, pb ∈ B) with
+   * pa ≠ pb and |pa − pb| ≤ slop — symmetric in the two terms, and for a
+   * self-query (termA == termB) each unordered pair counts twice, a
+   * stated convention the oracle restates independently.
+   *
+   * Scale shape: identical to the phrase probe — the scan BUCKET-PRUNES
+   * to the two terms, the only shuffle groups matched postings by
+   * document, and the pair count is a map-side array fold over the two
+   * position lists (bounded by document length). Documents missing either
+   * term die on the null list before the filter.
+   */
+  def proximitySearch(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      termA: String,
+      termB: String,
+      slop: Int): DataFrame = {
+    require(slop >= 1, "proximitySearch: slop must be >= 1")
+    val byDoc = spark.table(table)
+      .where(col("tok").isin(Seq(termA, termB).distinct: _*))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("tok"), col("pos")))).as("m"))
+    val la = element_at(col("m"), termA)
+    val lb = element_at(col("m"), termB)
+    val pairs = size(flatten(transform(la, pa =>
+      filter(lb, pb => pb =!= pa && abs(pb - pa) <= slop))))
+    byDoc.select(col("id"), pairs.as("n_matches"))
+      .where(col("n_matches") >= 1)
+  }
 }
 
 /** DuckDB rendering of [[Relevance.bm25TopK]] — same arithmetic, with the

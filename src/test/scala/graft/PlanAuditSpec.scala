@@ -626,6 +626,15 @@ class PlanAuditSpec extends SparkSuite {
       s"phrase probe must bucket-prune:\n$pp")
     assert(pp.linesIterator.count(_.contains("Exchange")) == 1,
       s"phrase probe shuffles matched postings only:\n$pp")
+    // the proximity (slop-k) probe shares the phrase probe's shape:
+    // bucket-pruned scan, one Exchange grouping matched postings by doc,
+    // pair counting as a map-side array fold
+    val xp = physical(Relevance.proximitySearch(spark,
+      "postings_audit.postings", "spark", "hash", 4))
+    assert(xp.contains("SelectedBucketsCount"),
+      s"proximity probe must bucket-prune:\n$xp")
+    assert(xp.linesIterator.count(_.contains("Exchange")) == 1,
+      s"proximity probe shuffles matched postings only:\n$xp")
   }
 
   test("suffix rank index: probes scan the artifact in place — no re-ranking") {

@@ -42,6 +42,30 @@ class RelevanceSpec extends SparkSuite {
     assert(rep(1L) < rep(2L) * 8, "tf term must saturate, not scale linearly")
   }
 
+  test("proximity: slop-k pair counts, boundary-inclusive, self-pair doubles") {
+    val wh = java.nio.file.Files.createTempDirectory("prox_spec").toString
+    Bucketing.scratchDb(spark, "prox_spec", wh)
+    val docs = Seq(
+      (1L, "a x x b"),   // a@0, b@3: distance exactly 3
+      (2L, "a b a"),     // a@{0,2}, b@1: two (a,b) pairs at distance 1
+      (3L, "b y y y a")) // b@0, a@4: distance 4
+      .toDF("doc_id", "text")
+    Relevance.writePostingsIndex(docs, "doc_id", "text",
+      "prox_spec.pr", buckets = 2)
+    def got(a: String, b: String, k: Int): Seq[(Long, Int)] =
+      Relevance.proximitySearch(spark, "prox_spec.pr", a, b, k)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(got("a", "b", 2) == Seq((2L, 2)))            // doc1/doc3 too far
+    assert(got("a", "b", 3) == Seq((1L, 1), (2L, 2)))   // slop INCLUSIVE
+    assert(got("a", "b", 4) == Seq((1L, 1), (2L, 2), (3L, 1)))
+    // symmetric in the terms
+    assert(got("b", "a", 3) == Seq((1L, 1), (2L, 2)))
+    // self-pair: ordered pairs, each unordered pair counts twice
+    assert(got("a", "a", 2) == Seq((2L, 2)))
+    // a term absent from a doc kills it on the null list
+    assert(got("a", "z", 10) == Seq())
+  }
+
   test("rrf fusion: both-arm docs sum two reciprocal terms, single-arm one") {
     // text arm: docs 1,2,4 score (query 'cat dog'); dense arm: vectors
     // orthogonal except 2 and 3 near the query vector 0
