@@ -3035,6 +3035,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the CLOSED streaming ingest loop over the at-rest indexes: two
+    // staged batches drain through foreachBatch — digest probe, band
+    // probe, then survivors APPEND to both indexes before the next batch
+    // runs. Batch 2 re-ships batch 1's content under higher ids: without
+    // the in-run append those rows would be admitted (novel vs the base
+    // corpus); the oracle — restating both chained stages independently —
+    // proves the second batch sees the first's admissions. Ids ascend
+    // with arrival, so the drained result is micro-batch-independent
+    // (within-batch keep-first and cross-batch first-arrival pick the
+    // same winners however the drain splits)
+    "stream_ingest_loop" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val db = indexDb(s)
+      DedupIndex.writeDigestIndex(d, "doc_id", "text", s"$db.loop_digest", 8)
+      DedupIndex.writeBandIndex(d, "doc_id", "text", s"$db.loop_band", 8)
+      val toks = TextOps.tokens(col("text"))
+      def mut(drop: Int, off: Long) = d.select(
+        (col("doc_id") + off).as("doc_id"),
+        when(size(toks) > drop,
+          array_join(slice(toks, lit(drop + 1), size(toks) - drop), " "))
+          .otherwise(col("text")).as("text"))
+      val b1 = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(mut(5, 20000))
+      val b2 = mut(5, 40000).unionByName(mut(8, 50000))
+      Streams.ingestLoopStream(s, Seq(b1, b2),
+          s"$db.loop_digest", s"$db.loop_band", 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming near-dup ingest filter over the mutated corpus: MinHash
     // band buckets map-side, keyed state = ONE long (min id) per distinct
     // (band, bucket); a doc drops when any of its buckets holds a lower
@@ -6191,6 +6220,71 @@ object SparkEntry {
       // identical semantics to dedup_incremental, replayed as a batch
       "stream_incremental_dedup" -> streamIncDedupSql,
       "stream_bloom_gate" -> streamIncDedupSql,
+
+      // the chained ingest loop, restated stage by stage: stage 1's
+      // admissions (exact keep-first vs the base corpus, then banding +
+      // jaccard >= 0.7) JOIN the corpus for stage 2 — exactly the append
+      // the stream performs between micro-batches. Any drift in the
+      // in-run append (survivors not folded, or folded into one index
+      // only) breaks stage 2's rows
+      "stream_ingest_loop" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        val sig = TextOpsSql.minHashSignature("ss")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        def setsOf(src: String) =
+          s"""SELECT doc_id, list_distinct($shingles) AS ss FROM (
+             |  SELECT doc_id, $thash AS th FROM (
+             |    SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM $src))""".stripMargin
+        def mutSql(dropN: Int, off: Long) =
+          s"""SELECT doc_id + $off AS doc_id,
+             |       CASE WHEN len($toks) > $dropN
+             |            THEN array_to_string(($toks)[${dropN + 1}:], ' ')
+             |            ELSE text END AS text
+             |  FROM documents""".stripMargin
+        def stage(p: String, batch: String, corpus: String) =
+          s"""e$p AS (SELECT doc_id, text FROM (
+             |  SELECT doc_id, text,
+             |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |  FROM $batch WHERE text NOT IN (SELECT text FROM $corpus))
+             |  WHERE rn = 1),
+             |bd$p AS (${setsOf(s"e$p")}),
+             |cd$p AS (${setsOf(corpus)}),
+             |bsg$p AS (SELECT doc_id, ss, $sig AS sig FROM bd$p),
+             |csg$p AS (SELECT doc_id, ss, $sig AS sig FROM cd$p),
+             |bb$p AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+             |         FROM bsg$p, (VALUES (0), (1), (2), (3)) b(band)),
+             |cb$p AS (SELECT doc_id, ss, band, $bucketCase AS bucket
+             |         FROM csg$p, (VALUES (0), (1), (2), (3)) b(band)),
+             |chit$p AS (SELECT DISTINCT l.doc_id
+             |           FROM bb$p l JOIN cb$p r
+             |             ON l.band = r.band AND l.bucket = r.bucket
+             |           WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+             |                 >= CAST(0.7 AS DOUBLE)),
+             |wdrop$p AS (SELECT DISTINCT r.doc_id
+             |            FROM bb$p l JOIN bb$p r
+             |              ON l.band = r.band AND l.bucket = r.bucket
+             |             AND l.doc_id < r.doc_id
+             |            WHERE ${TextOpsSql.jaccard("l.ss", "r.ss")}
+             |                  >= CAST(0.7 AS DOUBLE)),
+             |s$p AS (SELECT e.doc_id, e.text FROM e$p e
+             |        WHERE e.doc_id NOT IN (SELECT doc_id FROM chit$p)
+             |          AND e.doc_id NOT IN (SELECT doc_id FROM wdrop$p))""".stripMargin
+        s"""WITH mut5 AS (${mutSql(5, 20000)}),
+           |b1 AS (SELECT doc_id + 10000 AS doc_id, text FROM documents
+           |       UNION ALL SELECT doc_id, text FROM mut5),
+           |b2 AS (SELECT doc_id + 20000 AS doc_id, text FROM mut5
+           |       UNION ALL ${mutSql(8, 50000)}),
+           |corp0 AS (SELECT doc_id, text FROM documents),
+           |${stage("1", "b1", "corp0")},
+           |corp1 AS (SELECT doc_id, text FROM corp0
+           |          UNION ALL SELECT doc_id, text FROM s1),
+           |${stage("2", "b2", "corp1")}
+           |SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+           |ORDER BY doc_id""".stripMargin
+      },
 
       // batch statement of the streaming LSH keep rule: a doc survives iff
       // NO band bucket of its holds a lower id — the bucket-minimum join

@@ -340,6 +340,111 @@ object Streams {
   }
 
   /**
+   * The CLOSED ingest loop over the at-rest dedup indexes: a stream of
+   * document batches drains through the persisted digest + band index
+   * probes, and each micro-batch's SURVIVORS are appended to BOTH indexes
+   * before the next micro-batch runs — so batch N+1's probes see batch N's
+   * admissions, within one streaming run. This is the composition the
+   * index API exists for (`DedupIndex`'s write → probe → append cycle,
+   * here driven by `foreachBatch` instead of a batch driver): signature
+   * computation is paid once per document lifetime, at its own ingest, and
+   * the corpus side of every probe is the bucketed index scan, never a
+   * text rescan.
+   *
+   * Each element of `batches` stages as ONE file with strictly increasing
+   * modification times, and `maxFilesPerTrigger=1` makes each staged batch
+   * its own micro-batch in arrival order. The drained result (admitted
+   * doc ids across all batches) is nevertheless MICRO-BATCH-INDEPENDENT
+   * for id-ordered ingests (every content group's lowest id arrives in
+   * the earliest batch containing it — the natural shape of monotonically
+   * assigned ids): within-batch keep-first keeps the lowest id, and
+   * cross-batch the index keeps the first arrival, which is then the same
+   * winner however the drain splits — the oracle restates the chained
+   * batches independently and pins exactly that.
+   *
+   * `foreachBatch` is the right tool (not a stateful operator): the
+   * "state" here IS the persisted index — durable across runs, shared
+   * with the batch pipeline — not per-key streaming state scoped to one
+   * query's checkpoint.
+   */
+  def ingestLoopStream(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      digestTable: String,
+      bandTable: String,
+      minJaccard: Double): DataFrame = {
+    import graft.operators.DedupIndex
+    val dir = Files.createTempDirectory("graft-stream-ingest")
+    val out = Files.createTempDirectory("graft-stream-ingest-out")
+    val ckpt = Files.createTempDirectory("graft-stream-ingest-ckpt")
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = Files.createTempDirectory("graft-stream-ingest-tmp")
+        try {
+          b.select(col("doc_id"), col("text"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = {
+            val s = Files.list(tmp)
+            try s.iterator().asScala.find { f =>
+              val n = f.getFileName.toString
+              n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+            }.getOrElse(sys.error(s"no part file staged for batch $i"))
+            finally s.close()
+          }
+          val dst = dir.resolve(f"batch-$i%05d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          // the file source processes oldest-first: arrival order must be
+          // batch order even when the two writes land in the same ms
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000L))
+        } finally cleanupStaging(tmp)
+      }
+      val schema = spark.read.parquet(dir.toString).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the micro-batch frame belongs to the stream's CLONED session,
+          // whose table-relation cache was populated by the previous
+          // batch's probes; the appends below refresh only the session
+          // that ran them — refresh BOTH so every probe sees the files
+          // the previous batch appended (the bug this guards against:
+          // batch N+1 silently re-admitting batch N's content through a
+          // stale cached file listing)
+          for {
+            ss <- Seq(spark, batch.sparkSession).distinct
+            t <- Seq(digestTable, s"${bandTable}_bands", s"${bandTable}_shingles")
+          } ss.catalog.refreshTable(t)
+          val exact = DedupIndex.incrementalIndexed(
+            batch, spark, digestTable, "doc_id", "text")
+          val near = DedupIndex.incrementalNearDupIndexed(
+            exact, spark, bandTable, "doc_id", "text", minJaccard)
+          // materialize BEFORE the appends: the survivor plan READS the
+          // same tables the appends grow, and lazy evaluation would let
+          // survivors probe the index they are about to join
+          val survivors = near.localCheckpoint(true)
+          DedupIndex.appendDigestIndex(survivors, "doc_id", "text", digestTable)
+          DedupIndex.appendBandIndex(survivors, "doc_id", "text", bandTable)
+          survivors.select(col("doc_id"))
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // the last batch's appends invalidated only the cloned session's
+      // relation cache — refresh the caller's session so its next probe
+      // sees the fully-grown index
+      Seq(digestTable, s"${bandTable}_bands", s"${bandTable}_shingles")
+        .foreach(spark.catalog.refreshTable)
+      spark.read.parquet(out.toString).localCheckpoint(true)
+    } finally {
+      cleanupStaging(dir); cleanupStaging(out); cleanupStaging(ckpt)
+    }
+  }
+
+  /**
    * Streaming NEAR-duplicate ingest filter — the LSH-candidate keep rule
    * run as keyed streaming state: each arriving document's MinHash band
    * buckets are computed MAP-SIDE (the same native signature expressions

@@ -303,6 +303,45 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == Set(11L, 13L), got.toString)
   }
 
+  test("ingest loop stream: batch 2 sees batch 1's in-run index appends") {
+    val wh = java.nio.file.Files.createTempDirectory("ingest_loop_spec").toString
+    Bucketing.scratchDb(spark, "ingest_loop_spec", wh)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "pack my box with five dozen liquor jugs for the trip"))
+      .toDF("doc_id", "text")
+    DedupIndex.writeDigestIndex(corpus, "doc_id", "text",
+      "ingest_loop_spec.dg", 4)
+    DedupIndex.writeBandIndex(corpus, "doc_id", "text",
+      "ingest_loop_spec.bd", 4)
+    val b1 = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again"), // corpus hit
+      (102L, "a wholly novel sentence about spark physical planning"),
+      (103L, "a wholly novel sentence about spark physical planning"), // in-batch dup
+      (104L, "independent text mentioning shuffle partitions and codegen"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (201L, "a wholly novel sentence about spark physical planning"),  // = b1 admit
+      (202L, "independent text mentioning shuffle partitions and codegen"), // = b1 admit
+      (203L, "fresh content arriving only in the second batch"),
+      (204L, "pack my box with five dozen liquor jugs for the trip")) // corpus hit
+      .toDF("doc_id", "text")
+    val got = Streams.ingestLoopStream(spark, Seq(b1, b2),
+        "ingest_loop_spec.dg", "ingest_loop_spec.bd", 0.7)
+      .collect().map(_.getLong(0)).toSet
+    // 201/202 re-ship batch 1's admissions: WITHOUT the in-run append they
+    // are novel vs the base corpus and would be admitted — their absence
+    // is the closed-loop proof
+    assert(got == Set(102L, 104L, 203L), got.toString)
+    // and the indexes now hold corpus + every admitted doc: a third probe
+    // of the admitted content (fresh ids) drops everything
+    val reprobe = DedupIndex.incrementalIndexed(
+      Seq((301L, "fresh content arriving only in the second batch"))
+        .toDF("doc_id", "text"),
+      spark, "ingest_loop_spec.dg", "doc_id", "text")
+    assert(reprobe.count() == 0L)
+  }
+
   test("profile: one row per column, exact metrics, nulls counted out") {
     val df = Seq(
       (1L, "en", None: Option[String]),
