@@ -2982,6 +2982,64 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // REAL video container decode: minimal-but-well-formed MP4 fixtures
+    // (ftyp + moov{mvhd, trak{tkhd}×n} + mdat) built byte-for-byte from
+    // the ISO BMFF layout, v0 and v1 box versions both exercised; the
+    // moov walk recovers dims/tracks/duration, corrupt and truncated
+    // payloads flag rather than throw. Oracle = the construction
+    // arithmetic, recomputed independently
+    "mm_decode_video_real" -> ((s, dir) => {
+      import s.implicits._
+      def u32(v: Long): Array[Byte] =
+        java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array
+      def box(typ: String, body: Array[Byte]): Array[Byte] =
+        u32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+      def mvhd(ver: Int, timescale: Int, duration: Long): Array[Byte] = {
+        val body = new Array[Byte](if (ver == 1) 112 else 100)
+        body(0) = ver.toByte
+        if (ver == 1) {
+          System.arraycopy(u32(timescale.toLong), 0, body, 20, 4)
+          System.arraycopy(u32(duration >>> 32), 0, body, 24, 4)
+          System.arraycopy(u32(duration & 0xffffffffL), 0, body, 28, 4)
+        } else {
+          System.arraycopy(u32(timescale.toLong), 0, body, 12, 4)
+          System.arraycopy(u32(duration), 0, body, 16, 4)
+        }
+        box("mvhd", body)
+      }
+      def tkhd(ver: Int, w: Int, h: Int): Array[Byte] = {
+        val off = if (ver == 1) 88 else 76
+        val body = new Array[Byte](off + 8)
+        body(0) = ver.toByte
+        System.arraycopy(u32(w.toLong << 16), 0, body, off, 4)
+        System.arraycopy(u32(h.toLong << 16), 0, body, off + 4, 4)
+        box("tkhd", body)
+      }
+      def mp4(ver: Int, timescale: Int, duration: Long, nTracks: Int,
+          w: Int, h: Int): Array[Byte] = {
+        val traks = (0 until nTracks).flatMap { t =>
+          // track 0 is the video track; the rest (audio/hint) carry 0×0
+          box("trak", if (t == 0) tkhd(ver, w, h) else tkhd(ver, 0, 0))
+        }.toArray
+        box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L) ++
+            "isom".getBytes("ISO-8859-1")) ++
+          box("moov", mvhd(ver, timescale, duration) ++ traks) ++
+          box("mdat", Array.fill[Byte](16)(7))
+      }
+      val rows = (0 until 10).map { i =>
+        (i.toLong, mp4(if (i % 5 == 4) 1 else 0, 600 + (i % 4) * 400,
+          1200L + i * 600L, 1 + i % 3, 320 + 16 * i, 240 + 8 * i))
+      } :+
+        (100L, "definitely not a video payload".getBytes("UTF-8")) :+
+        (101L, box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L))) :+ // no moov
+        (102L, box("ftyp", "isom".getBytes("ISO-8859-1")) ++
+          u32(64L) ++ "moov".getBytes("ISO-8859-1")) // moov overruns payload
+      Multimodal.decodeVideoMeta(rows.toDF("id", "payload"), "id", "payload")
+        .select(col("id"), col("mime"), col("width_px"), col("height_px"),
+          col("n_tracks"), col("duration_ms"), col("decode_ok"))
+        .orderBy(col("id"))
+    }),
+
     "mm_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
         Multimodal.decodeMeta(t(s, dir, "documents"), "doc_id", "text"), 128)
@@ -6175,6 +6233,24 @@ object SparkEntry {
 
       // independent reconstruction of the audio-fixture arithmetic; the
       // corrupt rows flag with their sniffed container type
+      // construction arithmetic, independently recomputed: duration_ms is
+      // the fixture's duration*1000 over its movie timescale (integer
+      // division), dims/tracks are the built values, and the three
+      // corrupt arms flag decode_ok = FALSE with zeroed fields
+      "mm_decode_video_real" ->
+        """SELECT CAST(id AS BIGINT) AS id, 'video/mp4' AS mime,
+          |  CAST(320 + 16 * id AS INTEGER) AS width_px,
+          |  CAST(240 + 8 * id AS INTEGER) AS height_px,
+          |  CAST(1 + id % 3 AS INTEGER) AS n_tracks,
+          |  CAST((1200 + id * 600) * 1000 // (600 + (id % 4) * 400) AS BIGINT)
+          |    AS duration_ms,
+          |  TRUE AS decode_ok
+          |FROM range(0, 10) t(id)
+          |UNION ALL SELECT 100, 'application/octet-stream', 0, 0, 0, 0, FALSE
+          |UNION ALL SELECT 101, 'video/mp4', 0, 0, 0, 0, FALSE
+          |UNION ALL SELECT 102, 'video/mp4', 0, 0, 0, 0, FALSE
+          |ORDER BY id""".stripMargin,
+
       "mm_decode_audio_real" ->
         """SELECT CAST(id AS BIGINT) AS id, 'audio/wav' AS mime,
           |  CAST(8000 + (id % 5) * 2000 AS INTEGER) AS sample_rate_hz,

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
  *    dimensions, channel count, and a magic-byte MIME sniff; undecodable
  *    payloads come back flagged, never thrown (one corrupt crawl byte
  *    must not kill a 100 TB decode pass);
+ *  - [[decodeAudioMeta]] (javax.sound.sampled WAV/AIFF headers) and
+ *    [[decodeVideoMeta]] (an ISO BMFF `moov` atom walk — real container
+ *    structure, no codec needed for a metadata pass) close the other two
+ *    modalities with the same plumbing;
  *  - [[decodeMeta]] keeps the deterministic STUB arm (dimensions from the
- *    payload's sha-256) for codecs this container lacks (audio/video) —
- *    the plumbing is identical, so swapping a stub for a codec call
- *    changes one function, exactly as [[decodeImageMeta]] demonstrates.
+ *    payload's sha-256) as the plumbing exemplar: swapping a stub for a
+ *    codec call changes one function, as the three real arms demonstrate.
  */
 object Multimodal {
 
@@ -191,6 +194,139 @@ object Multimodal {
             case _: Exception =>
               AudioMeta(id, mime, 0, 0, 0L, 0L, payload.length.toLong,
                 decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  final case class VideoMeta(
+      id: Long, mime: String, width_px: Int, height_px: Int,
+      n_tracks: Int, duration_ms: Long, n_bytes: Long, decode_ok: Boolean)
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+
+  private def boxType(b: Array[Byte], o: Int): String =
+    new String(b, o + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** ISO BMFF box header at `p` bounded by `end`: (bodyStart, boxSize), or
+    * None if malformed/truncated. size==1 reads the 64-bit largesize;
+    * size==0 means "to end of enclosing box". */
+  private def boxHeader(
+      b: Array[Byte], p: Int, end: Int): Option[(Int, Long)] = {
+    if (p + 8 > end) return None
+    val size = u32(b, p)
+    val (bodyStart, boxSize) =
+      if (size == 1L) {
+        if (p + 16 > end) return None
+        (p + 16, u64(b, p + 8))
+      } else if (size == 0L) (p + 8, (end - p).toLong)
+      else (p + 8, size)
+    if (boxSize < (bodyStart - p).toLong || p + boxSize > end) None
+    else Some((bodyStart, boxSize))
+  }
+
+  /** Walk an MP4 payload's `moov` atom: (width_px, height_px, n_tracks,
+    * duration_ms) from `mvhd` (movie timescale + duration, v0 and v1
+    * layouts) and each `trak`'s `tkhd` (16.16 fixed-point presentation
+    * dims; the movie dims are the max over tracks — audio tracks carry
+    * 0×0). Pure structural parse of the container INDEX — no codec, no
+    * sample data read — which is exactly the metadata pass shape:
+    * bytes-scanned cost, never pixels-decoded. */
+  private[graft] def parseMp4Moov(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    // top level: find moov
+    var p = 0
+    var moov = -1
+    var moovEnd = -1
+    while (p + 8 <= b.length && moov < 0) {
+      boxHeader(b, p, b.length) match {
+        case None => return None
+        case Some((bs, sz)) =>
+          if (boxType(b, p) == "moov") { moov = bs; moovEnd = p + sz.toInt }
+          p += sz.toInt
+      }
+    }
+    if (moov < 0) return None
+    var q = moov
+    var timescale = 0L
+    var duration = -1L
+    var tracks = 0
+    var w = 0
+    var h = 0
+    while (q + 8 <= moovEnd) {
+      boxHeader(b, q, moovEnd) match {
+        case None => return None
+        case Some((bs, sz)) =>
+          boxType(b, q) match {
+            case "mvhd" =>
+              val ver = b(bs) & 0xff
+              if (ver == 1) { timescale = u32(b, bs + 20); duration = u64(b, bs + 24) }
+              else { timescale = u32(b, bs + 12); duration = u32(b, bs + 16) }
+            case "trak" =>
+              tracks += 1
+              val te = q + sz.toInt
+              var r = bs
+              while (r + 8 <= te) {
+                boxHeader(b, r, te) match {
+                  case None => return None
+                  case Some((cbs, csz)) =>
+                    if (boxType(b, r) == "tkhd") {
+                      val off = if ((b(cbs) & 0xff) == 1) 88 else 76
+                      val tw = (u32(b, cbs + off) >> 16).toInt
+                      val th = (u32(b, cbs + off + 4) >> 16).toInt
+                      if (tw > w) w = tw
+                      if (th > h) h = th
+                    }
+                    r += csz.toInt
+                }
+              }
+            case _ => ()
+          }
+          q += sz.toInt
+      }
+    }
+    if (timescale <= 0 || duration < 0) None
+    else Some((w, h, tracks, duration * 1000L / timescale))
+  }
+
+  /**
+   * REAL partition-level batch video CONTAINER decode: an ISO BMFF (MP4)
+   * `moov` atom walk inside `mapPartitions` — movie dimensions (max over
+   * `tkhd` presentation sizes), track count, and duration from the `mvhd`
+   * timescale — closing the third modality the way [[decodeAudioMeta]]
+   * closed audio: real bytes, real structure, no codec (this JDK ships no
+   * video codec, and a metadata pass needs none — the container INDEX
+   * carries everything downstream planning uses). Payloads without a
+   * well-formed `moov`/`mvhd` (or with boxes overrunning their parent)
+   * flag `decode_ok = false`: corrupt crawl bytes are data, not
+   * exceptions.
+   */
+  def decodeVideoMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val mime =
+            if (payload.length >= 12 && payload(4) == 'f' && payload(5) == 't'
+              && payload(6) == 'y' && payload(7) == 'p') "video/mp4"
+            else "application/octet-stream"
+          val parsed =
+            try parseMp4Moov(payload)
+            catch { case _: Exception => None }
+          parsed match {
+            case Some((w, h, tracks, durMs)) =>
+              VideoMeta(id, mime, w, h, tracks, durMs,
+                payload.length.toLong, decode_ok = true)
+            case None =>
+              VideoMeta(id, mime, 0, 0, 0, 0L,
+                payload.length.toLong, decode_ok = false)
           }
         }
       }

@@ -89,6 +89,46 @@ class MultimodalSpec extends SparkSuite {
       (3L, "application/octet-stream", 0, 0, 0L, 0L, false)))
   }
 
+  test("parseMp4Moov: size==0 and largesize boxes, malformed overruns flag") {
+    def u32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+    def mvhd(timescale: Int, duration: Int): Array[Byte] = {
+      val body = new Array[Byte](100)
+      System.arraycopy(u32(timescale.toLong), 0, body, 12, 4)
+      System.arraycopy(u32(duration.toLong), 0, body, 16, 4)
+      box("mvhd", body)
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val body = new Array[Byte](84)
+      System.arraycopy(u32(w.toLong << 16), 0, body, 76, 4)
+      System.arraycopy(u32(h.toLong << 16), 0, body, 80, 4)
+      box("tkhd", body)
+    }
+    val moovBody = mvhd(1000, 2500) ++ box("trak", tkhd(640, 360))
+    // plain: ftyp + moov
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L))
+    assert(Multimodal.parseMp4Moov(ftyp ++ box("moov", moovBody))
+      == Some((640, 360, 1, 2500L)))
+    // largesize (size==1 + 64-bit size) moov header
+    val large = u32(1L) ++ "moov".getBytes("ISO-8859-1") ++
+      u32(0L) ++ u32(moovBody.length + 16L) ++ moovBody
+    assert(Multimodal.parseMp4Moov(ftyp ++ large)
+      == Some((640, 360, 1, 2500L)))
+    // size==0 (to end-of-file) moov as the LAST box
+    val toEnd = u32(0L) ++ "moov".getBytes("ISO-8859-1") ++ moovBody
+    assert(Multimodal.parseMp4Moov(ftyp ++ toEnd)
+      == Some((640, 360, 1, 2500L)))
+    // a child trak overrunning its parent is malformed, not a crash
+    val bad = ftyp ++ box("moov",
+      mvhd(1000, 2500) ++ u32(9999L) ++ "trak".getBytes("ISO-8859-1"))
+    assert(Multimodal.parseMp4Moov(bad).isEmpty)
+    // moov without mvhd yields no duration -> malformed
+    assert(Multimodal.parseMp4Moov(
+      ftyp ++ box("moov", box("trak", tkhd(64, 64)))).isEmpty)
+  }
+
   test("decodeImageMeta: n_bytes is the payload size, not the pixel size") {
     val p = png(10, 10, gray = false)
     val r = Multimodal.decodeImageMeta(
