@@ -3,13 +3,22 @@
 "queries" map): per-query delta, sorted by absolute regression, plus
 added/removed queries and totals.
 
+With --verdict OUT.json, additionally writes a machine-readable
+CONTENTION VERDICT comparing the two runs' recorded process-CPU seconds:
+identical plans on identical data cannot burn materially more CPU, so a
+run whose common-query CPU total is far above the other's was measured on
+a contended host — its wall-clock total indicts the host, not the code.
+(That analysis previously had to be re-derived by hand each round; this
+emits it as one citable artifact.)
+
 Usage: bench_compare.py <old.json> <new.json> [min_delta_sec]
+                        [--verdict OUT.json]
 """
 import json
 import sys
 
 
-def load(path):
+def load_raw(path):
     d = json.load(open(path))
     if "queries" not in d and "tail" in d:
         # driver-wrapped BENCH_r{N}.json: the bench's one-line JSON sits at
@@ -19,14 +28,98 @@ def load(path):
             if i >= 0:
                 d = json.loads(line[i:])
                 break
+    return d
+
+
+def queries_of(d):
     return {k: v for k, v in d.get("queries", {}).items()
             if not k.startswith("_other") and isinstance(v, (int, float))
             and v >= 0}
 
 
+def load(path):
+    return queries_of(load_raw(path))
+
+
+def contention_verdict(old_path, new_path):
+    do, dn = load_raw(old_path), load_raw(new_path)
+    old, new = queries_of(do), queries_of(dn)
+    cpu_old = do.get("cpu_secs", {}) or {}
+    cpu_new = dn.get("cpu_secs", {}) or {}
+    both = sorted(set(old) & set(new))
+    cpu_both = [q for q in both if q in cpu_old and q in cpu_new
+                and cpu_old[q] > 0 and cpu_new[q] > 0]
+    wall_o = sum(old[q] for q in both)
+    wall_n = sum(new[q] for q in both)
+    co = sum(cpu_old[q] for q in cpu_both)
+    cn = sum(cpu_new[q] for q in cpu_both)
+    per_query = sorted(
+        ({"query": q, "wall_old_s": round(old[q], 3),
+          "wall_new_s": round(new[q], 3),
+          "cpu_old_s": round(cpu_old.get(q, -1), 3),
+          "cpu_new_s": round(cpu_new.get(q, -1), 3),
+          "cpu_ratio": round(cpu_new[q] / cpu_old[q], 2)
+          if q in cpu_both else None}
+         for q in both),
+        key=lambda r: -(r["wall_new_s"] - r["wall_old_s"]))
+    cpu_ratio = cn / co if co > 0 else None
+    wall_ratio = wall_n / wall_o if wall_o > 0 else None
+    if cpu_ratio is None:
+        verdict, why = "no-cpu-data", \
+            "one run lacks cpu_secs; wall totals alone cannot separate " \
+            "code regressions from host contention"
+    elif cpu_ratio > 1.5:
+        verdict, why = "new-run-contended", \
+            (f"the new run burned {cpu_ratio:.2f}x the CPU of the old run "
+             f"on the same {len(cpu_both)} queries — identical plans "
+             "cannot do that; the wall-clock total indicts the "
+             "measurement host, not the code")
+    elif cpu_ratio < 1 / 1.5:
+        verdict, why = "old-run-contended", \
+            (f"the OLD run burned {1/cpu_ratio:.2f}x the CPU of the new "
+             f"run on the same {len(cpu_both)} queries — its wall total "
+             "reflects a contended host")
+    elif wall_ratio is not None and wall_ratio > 1.25 and cpu_ratio < 1.2:
+        verdict, why = "new-run-starved", \
+            (f"wall inflated {wall_ratio:.2f}x with CPU within "
+             f"{cpu_ratio:.2f}x — the new run waited (starved executors / "
+             "busy host), it did not compute more")
+    elif wall_ratio is not None and abs(wall_ratio - 1) <= 0.25:
+        verdict, why = "comparable", \
+            (f"wall {wall_ratio:.2f}x and CPU {cpu_ratio:.2f}x on "
+             f"{len(both)} common queries — runs are comparable; "
+             "per-query deltas reflect the code")
+    else:
+        verdict, why = "inspect-per-query", \
+            (f"wall {wall_ratio:.2f}x with CPU {cpu_ratio:.2f}x — no "
+             "single host-level explanation; read the per_query rows")
+    return {
+        "old": old_path, "new": new_path,
+        "n_common": len(both), "n_with_cpu": len(cpu_both),
+        "wall_old_s": round(wall_o, 1), "wall_new_s": round(wall_n, 1),
+        "wall_ratio": round(wall_ratio, 3) if wall_ratio else None,
+        "cpu_old_s": round(co, 1), "cpu_new_s": round(cn, 1),
+        "cpu_ratio": round(cpu_ratio, 3) if cpu_ratio else None,
+        "verdict": verdict, "rationale": why,
+        "per_query": per_query,
+    }
+
+
 def main():
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    min_delta = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
+    args = list(sys.argv[1:])
+    verdict_out = None
+    if "--verdict" in args:
+        i = args.index("--verdict")
+        verdict_out = args[i + 1]
+        del args[i:i + 2]
+    old_path, new_path = args[0], args[1]
+    min_delta = float(args[2]) if len(args) > 2 else 0.5
+    if verdict_out:
+        v = contention_verdict(old_path, new_path)
+        with open(verdict_out, "w") as f:
+            json.dump(v, f, indent=1)
+        print(f"[verdict] {v['verdict']}: {v['rationale']}")
+        print(f"[verdict] written to {verdict_out}")
     old, new = load(old_path), load(new_path)
     both = sorted(set(old) & set(new),
                   key=lambda q: -(new[q] - old[q]))
