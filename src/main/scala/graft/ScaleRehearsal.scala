@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bucketing, DedupIndex, Relevance, Similarity, SuffixArray}
+
+/**
+ * Scale rehearsal: self-replicate the sf corpus N× (distinct ids, each
+ * replica tagged so content is near-dup rather than identical) into a temp
+ * corpus, then run the INDEX BUILDS + INDEXED PROBES + the suffix-array
+ * ranking once at 1× and once at N×, recording wall and process-CPU per
+ * operation. The point is not a benchmark — it is to catch what sf0.1
+ * cannot expose before the 100 TB design claims are believed: an
+ * accidental driver materialization, a memory cliff, or a super-linear
+ * shuffle hiding behind small-corpus constants. Results land as one JSON
+ * line per (op, scale) on stdout; `BASELINE.md` records the measured
+ * ratios.
+ *
+ * Usage: `runMain graft.ScaleRehearsal <factor>` (default 10); corpus dir
+ * from SPARK_GRAFT_SF_DIR (default sf0.1). Testdata is read-only — the
+ * replicated corpus derives into java.io.tmpdir and is deleted on exit.
+ */
+object ScaleRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+    def timed[A](op: String, rows: Long)(body: => A): A = {
+      val t0 = System.nanoTime(); val c0 = cpuNanos()
+      val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (cpuNanos() - c0) / 1e9
+      println(f"""{"op":"$op","scale":$factor,"rows":$rows,"wall_s":$wall%.2f,"cpu_s":$cpu%.2f}""")
+      r
+    }
+
+    val work = java.nio.file.Files.createTempDirectory(s"graft-scale-$factor")
+    try {
+      val db = s"scale_x$factor"
+      Bucketing.scratchDb(spark, db,
+        java.nio.file.Files.createDirectory(work.resolve("db")).toString)
+
+      // ---- replicate: distinct ids, replica-tagged text (near-dup, not
+      // identical — identical copies would fixed-point the suffix array
+      // and collapse every digest, understating the work) ---------------
+      def tag(r: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) =
+        when(r === 0, text).otherwise(concat(lit("rep"), r, lit(" "), text))
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpusPath = work.resolve("documents").toString
+      docs0.select(explode(sequence(lit(0), lit(factor - 1))).as("r"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+          tag(col("r"), col("text")).as("text"))
+        .write.mode("overwrite").parquet(corpusPath)
+      val corpus = spark.read.parquet(corpusPath)
+      val nDocs = corpus.count()
+
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val embPath = work.resolve("embeddings").toString
+      emb0.select(explode(sequence(lit(0), lit(factor - 1))).as("r"),
+          col("vec_id"), col("embedding"))
+        .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
+          col("embedding"))
+        .write.mode("overwrite").parquet(embPath)
+      val emb = spark.read.parquet(embPath)
+      val nVecs = emb.count()
+
+      // a probe batch: 500 exact re-ships (must drop) + 500 novel docs
+      val probe = corpus.limit(500)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .unionByName(corpus.limit(500)
+          .select((col("doc_id") + 910000000L).as("doc_id"),
+            concat(lit("novel probe content "), col("doc_id"), lit(" "),
+              col("text")).as("text")))
+
+      // ---- dedup indexes ----------------------------------------------
+      timed("digest_index_build", nDocs) {
+        DedupIndex.writeDigestIndex(corpus, "doc_id", "text",
+          s"$db.digest", buckets = 32)
+      }
+      timed("digest_probe", 1000) {
+        DedupIndex.incrementalIndexed(probe, spark, s"$db.digest",
+          "doc_id", "text").count()
+      }
+      timed("band_index_build", nDocs) {
+        DedupIndex.writeBandIndex(corpus, "doc_id", "text",
+          s"$db.band", buckets = 32)
+      }
+      timed("band_probe", 1000) {
+        DedupIndex.incrementalNearDupIndexed(probe, spark, s"$db.band",
+          "doc_id", "text", 0.7).count()
+      }
+
+      // ---- postings index ---------------------------------------------
+      timed("postings_build", nDocs) {
+        Relevance.writePostingsIndex(corpus, "doc_id", "text",
+          s"$db.postings", buckets = 32)
+      }
+      timed("bm25_probe", nDocs) {
+        Relevance.bm25TopKIndexed(spark, s"$db.postings",
+          Seq("spark", "hash", "merge")).count()
+      }
+      timed("phrase_probe", nDocs) {
+        Relevance.phraseSearch(spark, s"$db.postings",
+          Seq("merge", "sort")).count()
+      }
+      timed("proximity_probe", nDocs) {
+        Relevance.proximitySearch(spark, s"$db.postings",
+          "merge", "sort", 4).count()
+      }
+
+      // ---- IVF --------------------------------------------------------
+      val ivfPath = work.resolve("ivf").toString
+      timed("ivf_index_build", nVecs) {
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfPath,
+          nlist = 64)
+      }
+      timed("ivf_probe", 8) {
+        Similarity.ivfTopKIndexed(spark, ivfPath, emb.limit(8),
+          "vec_id", "embedding", k = 5, nprobe = 4).count()
+      }
+
+      // ---- suffix array (the single most expensive build) -------------
+      timed("suffix_rank_index_build", nDocs) {
+        SuffixArray.writeRankIndex(corpus, "doc_id", "text", 48,
+          s"$db.suffix", buckets = 32)
+      }
+      timed("suffix_repeated_windows", nDocs) {
+        SuffixArray.repeatedWindows(spark.table(s"$db.suffix"), corpus,
+          "doc_id", "text", 48, 20).count()
+      }
+    } finally {
+      graft.streaming.Streams.cleanupStaging(work)
+      spark.stop()
+    }
+  }
+}
