@@ -1936,6 +1936,16 @@ object SparkEntry {
       SuffixArray.repeatedWindows(suffixRanks48(s, dir),
         t(s, dir, "documents"), "doc_id", "text", 48, 20)),
 
+    // the EXCISION position set of the ExactSubstr pass (Lee et al. 2022
+    // §4): every (doc, pos) whose 48-cp window occurs in another document
+    // too — shared ranks in the persisted index, one rank-groupBy + a
+    // co-bucketed semi-join back; the oracle re-derives multiplicity by
+    // grouping the substrings themselves
+    "suffix_repeated_positions" -> ((s, dir) =>
+      SuffixArray.repeatedPositions(suffixRanks48(s, dir),
+          t(s, dir, "documents"), "doc_id", "text", 48)
+        .orderBy(col("doc_id"), col("pos"))),
+
     // INTENT pin for the unigram-LM (SentencePiece-style) tokenizer
     // trainer: EM over the pinned vocabulary's segmentation lattices in
     // raw probability space (bit-identical op sequence to the independent
@@ -2382,6 +2392,7 @@ object SparkEntry {
         train = Some(emb))
       operators.IvfPq.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", path)
+      operators.Bucketing.compactPartitioned(s, path, "cluster")
       operators.IvfPq.topKIndexed(s, path, emb.where(col("vec_id") < 4),
           "vec_id", "embedding", nprobe = 2, k = 5)
         .orderBy(col("query_id"), col("neighbor_id"))
@@ -2869,6 +2880,10 @@ object SparkEntry {
         "vec_id", "embedding", path, nlist = 16)
       Similarity.appendIvfIndex(emb.where(col("vec_id") >= 64),
         "vec_id", "embedding", path)
+      // maintenance fold: one file per cell directory again (crash-atomic
+      // rename-aside swap) — the probe after compaction must still equal
+      // the full-corpus rescan
+      operators.Bucketing.compactPartitioned(s, path, "cluster")
       Similarity.ivfTopKIndexed(s, path, emb.where(col("vec_id") < 8),
           "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),
@@ -5521,6 +5536,21 @@ object SparkEntry {
           |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           |FROM w GROUP BY sub HAVING count(*) > 1
           |ORDER BY n_occurrences DESC, snippet LIMIT 20""".stripMargin,
+
+      // excision positions re-derived from the substrings themselves:
+      // multiplicity by grouping the 48-cp windows, position set by
+      // joining back — no ranks, no index
+      "suffix_repeated_positions" ->
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |w AS (SELECT doc_id, i, substr(t, i, 48) AS sub
+          |      FROM s WHERE i + 47 <= length(t)),
+          |m AS (SELECT sub FROM w GROUP BY sub
+          |      HAVING count(DISTINCT doc_id) > 1)
+          |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+          |FROM w JOIN m USING (sub)
+          |ORDER BY doc_id, pos""".stripMargin,
 
       "wordpiece_encode" ->
         s"""WITH RECURSIVE wp_vocab AS (SELECT tok AS word, count(*) AS freq

@@ -135,6 +135,63 @@ object Bucketing {
     else if (liveExists && oldExists) resetTable(spark, old)
   }
 
+  /** Compact a `partitionBy(col)` parquet index DIRECTORY (the IVF /
+    * IVF-PQ layout): every append lands one more file per touched cell
+    * directory, creeping probe listing cost — one rewrite folds each cell
+    * back to a single file (`repartition(col)` routes each partition
+    * value to exactly one task). Same crash discipline as
+    * [[compactBucketed]]: the compacted copy builds beside the live
+    * directory, the swap is two renames (live→`__old`, `__compact`→live,
+    * delete `__old`), nothing live is deleted before the new copy
+    * commits, and [[recoverPartitionedCompaction]] (run automatically on
+    * entry) heals a crashed swap. Companion files (`<path>.seeds`,
+    * `<path>.cells`, `<path>.books`) are untouched — they are
+    * driver-bounded and never accumulate. */
+  def compactPartitioned(
+      spark: SparkSession, path: String, partCol: String): Unit =
+    compactPartitioned(spark, path, partCol, () => ())
+
+  private[graft] def compactPartitioned(
+      spark: SparkSession, path: String, partCol: String,
+      midSwapFault: () => Unit): Unit = {
+    recoverPartitionedCompaction(spark, path)
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Paths.get(s"$path$CompactSuffix")
+    val old = java.nio.file.Paths.get(s"$path$OldSuffix")
+    deleteDir(tmp)
+    spark.read.parquet(path)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    deleteDir(old) // only ever a fully-superseded leftover
+    val live = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(live, old)
+    midSwapFault()
+    java.nio.file.Files.move(tmp, live)
+    deleteDir(old)
+  }
+
+  /** Heal a [[compactPartitioned]] swap that died mid-way: the live data
+    * always survives under `path` or `path__old`, so recovery is pure
+    * renames — roll back to `__old` if the live directory is gone, or
+    * drop a superseded `__old` if the live directory exists. Idempotent. */
+  def recoverPartitionedCompaction(spark: SparkSession, path: String): Unit = {
+    val live = java.nio.file.Paths.get(path)
+    val old = java.nio.file.Paths.get(s"$path$OldSuffix")
+    if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
+      java.nio.file.Files.move(old, live)
+    else if (java.nio.file.Files.exists(live)) deleteDir(old)
+  }
+
+  private val CompactSuffix = "__compact"
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** Equi-join of two tables bucketed on `key` with the SAME bucket count:
     * both sides scan their buckets in place — no Exchange in the plan. */
   def join(

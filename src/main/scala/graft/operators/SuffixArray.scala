@@ -258,6 +258,38 @@ object SuffixArray {
       .limit(k)
   }
 
+  /**
+   * The EXCISION positions of the ExactSubstr pass (Lee et al. 2022 §4:
+   * "remove the repeated substring" — this is the position set a cleaner
+   * cuts): every (id, pos) whose `window`-code-point substring occurs in
+   * MORE THAN ONE document, derived entirely from the rank table — equal
+   * windows ARE shared ranks (restricted to positions with a full window
+   * left), so cross-document multiplicity is one rank-groupBy and the
+   * position set comes back via a semi-join on the same key. Over the
+   * PERSISTED artifact ([[writeRankIndex]], bucketed on `rank`) both the
+   * groupBy and the join co-locate on the bucketing — text is touched
+   * only for the per-document length bound, never for window strings
+   * (contrast the shingle-hash formulation in `Dedup.repeatedSpans`,
+   * which re-hashes text per call and can collide; ranks are exact).
+   */
+  def repeatedPositions(
+      ranks: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int): DataFrame = {
+    val lens = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__len"))
+    val full = ranks.join(lens, Seq(idCol))
+      .where(col("pos") + window <= col("__len"))
+    val multi = full.groupBy(col("rank"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") > 1)
+      .select(col("rank"))
+    full.join(multi, Seq("rank"), "left_semi")
+      .select(col(idCol), col("pos"))
+  }
+
   /** The head of the suffix array with its window-bounded suffix strings
     * — bounded `TakeOrderedAndProject`, ties by (id, pos). */
   def topSuffixes(

@@ -661,6 +661,7 @@ class PlanAuditSpec extends SparkSuite {
     for (p <- Seq(
         physical(SuffixArray.rankChecksums(at, "doc_id")),
         physical(SuffixArray.repeatedWindows(at, docs, "doc_id", "text", 12, 5)),
+        physical(SuffixArray.repeatedPositions(at, docs, "doc_id", "text", 12)),
         physical(SuffixArray.topSuffixes(at, docs, "doc_id", "text", 12, 5)))) {
       assert(p.contains("Bucketed: true"),
         s"probe must scan the persisted rank table:\n$p")

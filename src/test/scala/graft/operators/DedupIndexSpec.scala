@@ -138,6 +138,43 @@ class DedupIndexSpec extends SparkSuite {
       .bucketSpec.exists(_.numBuckets == 4))
   }
 
+  test("compactPartitioned: folds cell files, crash mid-swap recovers, probes equal") {
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("part_cmp").toString
+    val path = s"$dir/ivf"
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(emb.where(col("vec_id") <= 2),
+      "vec_id", "embedding", path, nlist = 2)
+    Similarity.appendIvfIndex(emb.where(col("vec_id") > 2),
+      "vec_id", "embedding", path)
+    def probe(): Set[(Long, Long)] =
+      Similarity.ivfTopKIndexed(spark, path, emb.where(col("vec_id") === 1),
+        "vec_id", "embedding", k = 2, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cellFiles(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val before = probe()
+    assert(cellFiles() > 2, "append must have accumulated files")
+    // crash in the widest window: live dir renamed aside, new copy not in
+    val boom = intercept[RuntimeException] {
+      Bucketing.compactPartitioned(spark, path, "cluster",
+        () => throw new RuntimeException("died mid-swap"))
+    }
+    assert(boom.getMessage == "died mid-swap")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    Bucketing.recoverPartitionedCompaction(spark, path)
+    assert(probe() == before, "recovery must restore the live index")
+    // a clean compaction (self-healing on entry) folds to one file per cell
+    Bucketing.compactPartitioned(spark, path, "cluster")
+    assert(cellFiles() == 2, s"want one file per cell, got ${cellFiles()}")
+    assert(probe() == before, "compaction must not change probe results")
+  }
+
   test("appendBandIndex / appendClusterIndex: survivors gate the next ingest") {
     DedupIndex.writeBandIndex(corpus, "doc_id", "text", s"$db.band_app", 4)
     val kept = DedupIndex.incrementalNearDupIndexed(batch, spark,

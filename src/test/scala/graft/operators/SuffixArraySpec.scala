@@ -110,6 +110,17 @@ class SuffixArraySpec extends SparkSuite {
     assert(got == Seq(("aba", 3L, 2L), ("bab", 2L, 2L)))
   }
 
+  test("repeatedPositions: exactly the cross-document repeated-window positions") {
+    // 3-cp windows: "aba" at (1,0),(1,2),(2,0) and "bab" at (1,1),(2,1)
+    // cross documents; "zzz" repeats only WITHIN doc 3 — excluded (the
+    // cross-doc rule: a window must occur in MORE THAN ONE document)
+    val docs = Seq((1L, "ababa"), (2L, "abab"), (3L, "zzzz")).toDF("id", "text")
+    val got = SuffixArray.repeatedPositions(
+        SuffixArray.suffixRanks(docs, "id", "text", 3), docs, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 1L)))
+  }
+
   test("writeRankIndex: the persisted artifact equals the in-session ranks") {
     val wh = java.nio.file.Files.createTempDirectory("suffix_idx_spec").toString
     Bucketing.scratchDb(spark, "suffix_idx_spec", wh)
