@@ -26,6 +26,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    require(factor >= 1, s"replication factor must be >= 1, got $factor" +
+      " (sequence(0, factor-1) would silently DESCEND for factor <= 0)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -220,7 +220,9 @@ object SparkEntry {
     * downstream (pinned by `PlanAuditSpec`), and the table survives the
     * bench's per-query `clearCache()` because it lives on disk, not in
     * block storage. Session-weak keying rationale as [[nearDupPairs]];
-    * the table name is dir-hashed so two sf dirs in one JVM never alias. */
+    * the table name carries a 64-bit sha-256 prefix of the dir (a 32-bit
+    * String.hashCode could collide across arbitrary paths and silently
+    * alias two corpora's rank tables). */
   private val suffixRanksCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
@@ -229,8 +231,10 @@ object SparkEntry {
       .computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
       .computeIfAbsent(dir, _ => {
-        val tbl = s"${indexDb(s)}.suffix_rank_idx_" +
-          java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString
+        val tbl = s"${indexDb(s)}.suffix_rank_idx_$digest"
         SuffixArray.writeRankIndex(
           t(s, dir, "documents"), "doc_id", "text", 48, tbl, buckets = 16)
         s.table(tbl)

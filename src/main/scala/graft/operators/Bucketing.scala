@@ -34,15 +34,9 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     table.split('.') match {
       case Array(db, name) =>
-        val loc = java.nio.file.Paths.get(
+        deleteDir(java.nio.file.Paths.get(
           new java.net.URI(spark.catalog.getDatabase(db).locationUri).getPath)
-          .resolve(name)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+          .resolve(name))
       case _ => () // default database: DROP TABLE alone cleared the location
     }
   }
@@ -154,11 +148,10 @@ object Bucketing {
   private[graft] def compactPartitioned(
       spark: SparkSession, path: String, partCol: String,
       midSwapFault: () => Unit): Unit = {
-    recoverPartitionedCompaction(spark, path)
+    recoverPartitionedCompaction(spark, path) // also clears a stale __compact
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Paths.get(s"$path$CompactSuffix")
     val old = java.nio.file.Paths.get(s"$path$OldSuffix")
-    deleteDir(tmp)
     spark.read.parquet(path)
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
@@ -173,13 +166,18 @@ object Bucketing {
   /** Heal a [[compactPartitioned]] swap that died mid-way: the live data
     * always survives under `path` or `path__old`, so recovery is pure
     * renames — roll back to `__old` if the live directory is gone, or
-    * drop a superseded `__old` if the live directory exists. Idempotent. */
+    * drop a superseded `__old` if the live directory exists. A leftover
+    * `__compact` (a full-size orphan copy from a crash during the tmp
+    * rewrite or before the swap committed) is cleared in both arms — it
+    * is never trusted for recovery, and left alone it would silently
+    * double the index's storage footprint. Idempotent. */
   def recoverPartitionedCompaction(spark: SparkSession, path: String): Unit = {
     val live = java.nio.file.Paths.get(path)
     val old = java.nio.file.Paths.get(s"$path$OldSuffix")
     if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
       java.nio.file.Files.move(old, live)
     else if (java.nio.file.Files.exists(live)) deleteDir(old)
+    deleteDir(java.nio.file.Paths.get(s"$path$CompactSuffix"))
   }
 
   private val CompactSuffix = "__compact"

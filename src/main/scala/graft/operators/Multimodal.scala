@@ -262,11 +262,20 @@ object Multimodal {
       boxHeader(b, q, moovEnd) match {
         case None => return None
         case Some((bs, sz)) =>
+          val bodyLen = (q + sz).toInt - bs
           boxType(b, q) match {
             case "mvhd" =>
+              // field reads are bounded by the box's DECLARED body size —
+              // an undersized mvhd is a corrupt container, not license to
+              // read the next box's bytes as timescale/duration
               val ver = b(bs) & 0xff
-              if (ver == 1) { timescale = u32(b, bs + 20); duration = u64(b, bs + 24) }
-              else { timescale = u32(b, bs + 12); duration = u32(b, bs + 16) }
+              if (ver == 1) {
+                if (bodyLen < 32) return None
+                timescale = u32(b, bs + 20); duration = u64(b, bs + 24)
+              } else {
+                if (bodyLen < 20) return None
+                timescale = u32(b, bs + 12); duration = u32(b, bs + 16)
+              }
             case "trak" =>
               tracks += 1
               val te = q + sz.toInt
@@ -277,6 +286,7 @@ object Multimodal {
                   case Some((cbs, csz)) =>
                     if (boxType(b, r) == "tkhd") {
                       val off = if ((b(cbs) & 0xff) == 1) 88 else 76
+                      if ((r + csz).toInt - cbs < off + 8) return None
                       val tw = (u32(b, cbs + off) >> 16).toInt
                       val th = (u32(b, cbs + off + 4) >> 16).toInt
                       if (tw > w) w = tw
@@ -290,7 +300,9 @@ object Multimodal {
           q += sz.toInt
       }
     }
-    if (timescale <= 0 || duration < 0) None
+    // an adversarial 64-bit duration must not overflow into a negative
+    // "successful" duration_ms
+    if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000L) None
     else Some((w, h, tracks, duration * 1000L / timescale))
   }
 

@@ -336,16 +336,27 @@ object Relevance {
    * is never read, and documents missing any phrase term die in the
    * intersection (null kills the fold) before the filter.
    */
+  /** Per-document tok → position-list map for the given query terms —
+    * the shared front half of every positional probe: bucket-pruned scan
+    * of the terms' postings, ONE Exchange grouping matched postings by
+    * document. (tok, id) rows are unique by construction, so the map has
+    * no duplicate keys. */
+  private def positionsByDoc(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      terms: Seq[String]): DataFrame =
+    spark.table(table)
+      .where(col("tok").isin(terms.distinct: _*))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("tok"), col("pos")))).as("m"))
+
   def phraseSearch(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
-    val byDoc = spark.table(table)
-      .where(col("tok").isin(phrase.distinct: _*))
-      .groupBy(col("id"))
-      .agg(map_from_entries(collect_list(
-        struct(col("tok"), col("pos")))).as("m"))
+    val byDoc = positionsByDoc(spark, table, phrase)
     val matched = phrase.drop(1).foldLeft(
       element_at(col("m"), phrase.head))((acc, t) =>
         array_intersect(transform(acc, _ + 1), element_at(col("m"), t)))
@@ -380,11 +391,7 @@ object Relevance {
       termB: String,
       slop: Int): DataFrame = {
     require(slop >= 1, "proximitySearch: slop must be >= 1")
-    val byDoc = spark.table(table)
-      .where(col("tok").isin(Seq(termA, termB).distinct: _*))
-      .groupBy(col("id"))
-      .agg(map_from_entries(collect_list(
-        struct(col("tok"), col("pos")))).as("m"))
+    val byDoc = positionsByDoc(spark, table, Seq(termA, termB))
     val la = element_at(col("m"), termA)
     val lb = element_at(col("m"), termB)
     val pairs = size(flatten(transform(la, pa =>

@@ -388,17 +388,32 @@ object Streams {
             try s.iterator().asScala.find { f =>
               val n = f.getFileName.toString
               n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-            }.getOrElse(sys.error(s"no part file staged for batch $i"))
+            }
             finally s.close()
           }
-          val dst = dir.resolve(f"batch-$i%05d.parquet")
-          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-          // the file source processes oldest-first: arrival order must be
-          // batch order even when the two writes land in the same ms
-          Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000L))
+          // an all-empty batch writes no part file (Spark materializes
+          // files lazily on the first row) — it stages nothing and
+          // contributes nothing, which is the right semantics for it
+          part.foreach { f =>
+            val dst = dir.resolve(f"batch-$i%05d.parquet")
+            Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
+            // the file source processes oldest-first: arrival order must be
+            // batch order even when the two writes land in the same ms
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000L))
+          }
         } finally cleanupStaging(tmp)
       }
+      def hasParquet(d: java.nio.file.Path): Boolean = {
+        val s = Files.list(d)
+        try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      def emptyIds(): DataFrame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType))))
+      if (!hasParquet(dir)) return emptyIds() // every batch was empty
       val schema = spark.read.parquet(dir.toString).schema
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
@@ -438,7 +453,9 @@ object Streams {
       // sees the fully-grown index
       Seq(digestTable, s"${bandTable}_bands", s"${bandTable}_shingles")
         .foreach(spark.catalog.refreshTable)
-      spark.read.parquet(out.toString).localCheckpoint(true)
+      // no survivors at all → no files in the sink (same lazy-file rule)
+      if (!hasParquet(out)) emptyIds()
+      else spark.read.parquet(out.toString).localCheckpoint(true)
     } finally {
       cleanupStaging(dir); cleanupStaging(out); cleanupStaging(ckpt)
     }

@@ -127,6 +127,13 @@ class MultimodalSpec extends SparkSuite {
     // moov without mvhd yields no duration -> malformed
     assert(Multimodal.parseMp4Moov(
       ftyp ++ box("moov", box("trak", tkhd(64, 64)))).isEmpty)
+    // an UNDERSIZED mvhd must flag — not read the next box's bytes as
+    // timescale/duration and report them with decode_ok=true
+    assert(Multimodal.parseMp4Moov(ftyp ++ box("moov",
+      box("mvhd", new Array[Byte](4)) ++ box("trak", tkhd(640, 360)))).isEmpty)
+    // same for an undersized tkhd
+    assert(Multimodal.parseMp4Moov(ftyp ++ box("moov",
+      mvhd(1000, 2500) ++ box("trak", box("tkhd", new Array[Byte](8))))).isEmpty)
   }
 
   test("decodeImageMeta: n_bytes is the payload size, not the pixel size") {

@@ -340,6 +340,12 @@ class PipelineOpsSpec extends SparkSuite {
         .toDF("doc_id", "text"),
       spark, "ingest_loop_spec.dg", "doc_id", "text")
     assert(reprobe.count() == 0L)
+    // an all-duplicate drain admits nothing and returns an EMPTY frame
+    // (not an unreadable empty sink); an empty batch stages nothing
+    val nothing = Streams.ingestLoopStream(spark,
+      Seq(b1, Seq.empty[(Long, String)].toDF("doc_id", "text")),
+      "ingest_loop_spec.dg", "ingest_loop_spec.bd", 0.7)
+    assert(nothing.count() == 0L)
   }
 
   test("profile: one row per column, exact metrics, nulls counted out") {

@@ -110,6 +110,9 @@ def main():
     verdict_out = None
     if "--verdict" in args:
         i = args.index("--verdict")
+        if i + 1 >= len(args):
+            sys.exit("usage: bench_compare.py <old.json> <new.json> "
+                     "[min_delta_sec] [--verdict OUT.json]")
         verdict_out = args[i + 1]
         del args[i:i + 2]
     old_path, new_path = args[0], args[1]
