@@ -19,14 +19,20 @@ import org.apache.spark.storage.StorageLevel
  * threshold never need deeper comparisons) and caps the round count —
  * `window` ≥ the longest document gives the exact unbounded array.
  *
- * Comparison depth is EXACT: coverage grows 1, 2, 4, … by pure doubling
- * and the last round takes the partial step d = window − c ≤ c (the key
+ * Comparison depth is EXACT: the FIRST pass ranks by the leading
+ * c₀ = min(window, 8) code points directly (the key is the substring
+ * itself — one pass instead of three; beyond ~8 the key would shuffle
+ * document text rather than 16-byte rank pairs, so deeper starts trade
+ * shuffle width for round count and 8 is where that trade flips),
+ * coverage then grows c₀, 2c₀, 4c₀, … by pure doubling, and the last
+ * round takes the partial step d = window − c ≤ c (the key
  * (rank_c(i), rank_c(i+d)) orders by the first d + c code points — the
  * overlap is benign: given the first c equal, positions d..d+c decide),
  * so ranks compare suffixes by exactly `window` code points, not the
- * next power of two.
+ * next power of two. For window 48 that is 4 ranking passes
+ * (8, 16, 32, 48) instead of the 7 a single-character start pays.
  *
- * Shape at 100 TB: ≤ ⌈log₂ window⌉ + 1 rounds, each of which is
+ * Shape at 100 TB: ≤ ⌈log₂(window / 8)⌉ + 1 ranking rounds, each of which is
  *  - a per-document `lead(rank, d)` window (partitioned by doc — never a
  *    global window; group width is bounded by the document length), and
  *  - ONE distributed dense rank: range-repartition on the (rank, partner)
@@ -79,17 +85,21 @@ object SuffixArray {
       .where(col("__t").isNotNull && length(col("__t")) > 0)
     val idField = StructField("__id",
       df.schema(df.schema.fieldIndex(idCol)).dataType, nullable = true)
+    // first-pass coverage: rank by the leading c0 code points in ONE pass
+    // (substr extracts code points; Spark string order is UTF-8 byte
+    // order, the same collation every later round refines under)
+    val c0 = math.min(window, 8)
     val chars = base.select(col("__id"),
         explode(sequence(lit(0), length(col("__t")) - 1)).as("__p"),
         col("__t"))
       .select(col("__id"), col("__p").cast("long").as("__pos"),
-        col("__t").substr(col("__p") + lit(1), lit(1)).as("__c"))
+        col("__t").substr(col("__p") + lit(1), lit(c0)).as("__c"))
     var prevRdd: org.apache.spark.rdd.RDD[Row] = null
     try {
       var (cur, rdd, distinct, total) =
         denseRank(chars, struct(col("__c")), idField)
       prevRdd = rdd
-      var c = 1 // coverage: ranks currently order by the first c code points
+      var c = c0 // coverage: ranks currently order by the first c code points
       val perDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
       var fixedPoint = distinct == total
       while (c < window && !fixedPoint) {
