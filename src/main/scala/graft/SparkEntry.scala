@@ -3159,6 +3159,17 @@ object SparkEntry {
       Streams.sourceQuotaStream(s, t(s, dir, "documents"), quota = 12)
         .orderBy(col("doc_id"))),
 
+    // ingest-time per-source TOKEN budget (mixtures are specified in
+    // tokens, not doc counts): admit while the source's cumulative token
+    // count fits 800 — ONE LONG of state per source, non-skipping
+    // (an overflowing doc still advances the count, keeping prefix sums
+    // monotone); the oracle-facing refold is the batch rule (id-ordered
+    // prefix sums per source), computed via the id-bucket histogram +
+    // boundary-bucket-only window — never a full per-source cumsum
+    "stream_token_budget" -> ((s, dir) =>
+      Streams.tokenBudgetStream(s, t(s, dir, "documents"), budget = 800L)
+        .orderBy(col("doc_id"))),
+
     // ingest-time URL dedup (the crawl-frontier door): arriving pages key
     // on their canonical URL, ONE LONG of state per distinct URL (the
     // lowest id seen); the oracle-facing fold is the batch rule (min id
@@ -6429,6 +6440,20 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+
+      // the batch token-budget rule as ONE ordered cumsum per source — an
+      // independent formulation (the oracle may funnel; the operator's
+      // refold may not)
+      "stream_token_budget" ->
+        s"""WITH d AS (SELECT doc_id, source,
+           |             coalesce(len($toks), 0)::BIGINT AS n_tokens
+           |           FROM documents),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |             sum(n_tokens) OVER (PARTITION BY source
+           |                                 ORDER BY doc_id) AS cum
+           |      FROM d)
+           |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+           |ORDER BY doc_id""".stripMargin,
 
       "stream_url_dedup" ->
         """SELECT 'https://site' || CAST(doc_id % 100 AS VARCHAR)

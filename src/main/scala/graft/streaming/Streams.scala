@@ -621,6 +621,118 @@ object Streams {
     drained
   }
 
+  /**
+   * Streaming per-source TOKEN-BUDGET admission — the ingest door of the
+   * token-budget selection family (`Selection.selectTokenBudget`):
+   * training mixtures are specified in TOKENS, not document counts, so
+   * the door each source needs is "admit while my cumulative token count
+   * fits the budget". State = ONE LONG per source (cumulative tokens of
+   * every ARRIVAL so far — deliberately NON-SKIPPING: an overflowing doc
+   * still advances the count, so later smaller docs cannot sneak in past
+   * it; prefix sums are then monotone, which is exactly what makes the
+   * batch rule refoldable). Each arriving doc passes through with its
+   * source-cumulative token count INCLUDING itself — `cum_tokens <=
+   * budget` is the LIVE admission signal (batch arrivals order by id for
+   * determinism).
+   *
+   * As with [[sourceQuotaStream]], first-arrival admission is inherently
+   * batch-boundary-dependent, so the oracle-checked RESULT refolds the
+   * batch rule (per source, the id-ordered prefix-sum prefix that fits
+   * `budget`) from the drained membership rows — micro-batch-independent
+   * because the refold recomputes the sums from the rows themselves. The
+   * refold avoids a corpus-wide per-source ordered cumsum (a window over
+   * a hot source is one unsplittable task): `Selection.selectTokenBudget`'s
+   * histogram-boundary shape, per source — id-RANGE buckets (width from
+   * the observed id span), one bounded (source × bucket) aggregate, a
+   * driver budget walk per source, and an ordered window over ONLY each
+   * source's single boundary bucket (~1/buckets of its rows).
+   */
+  private[graft] def tokenBudgetArrivals(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      maxFilesPerTrigger: Option[Int]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft-stream-tokbudget")
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source").cast("string").as("source"),
+        coalesce(size(graft.functions.TextOps.tokens(col("text"))), lit(0))
+          .cast("long").as("n_tokens"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val keyed = reader.parquet(dir.toString)
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+    val ranked = keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (source: String, rows: Iterator[(Long, String, Long)],
+       state: GroupState[Long]) => {
+        val arr = rows.map(r => (r._1, r._3)).toArray.sortBy(_._1)
+        var cum = if (state.exists) state.get else 0L
+        val out = arr.map { case (id, tk) =>
+          cum += tk
+          (id, source, tk, cum) // cumulative INCLUDING self
+        }
+        state.update(cum)
+        out.iterator
+      })
+    val drained = runToMemory(
+      ranked.toDF("doc_id", "source", "n_tokens", "cum_tokens"),
+      "append", statePartitionsFor(dir.toString))
+      .localCheckpoint()
+    cleanupStaging(dir)
+    drained
+  }
+
+  def tokenBudgetStream(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      budget: Long,
+      maxFilesPerTrigger: Option[Int] = None,
+      idBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val drained = tokenBudgetArrivals(spark, docs, maxFilesPerTrigger)
+    val t = drained.select(col("doc_id"), col("source"), col("n_tokens"))
+    val maxId = t.agg(coalesce(max(col("doc_id")), lit(0L))).first().getLong(0)
+    val width = math.max(1L, (maxId + 1L) / idBuckets)
+    val tagged = t.withColumn("__idb", (col("doc_id") / width).cast("long"))
+      .cache()
+    // bounded (source × id-bucket) histogram + per-source driver walk —
+    // the Selection.selectTokenBudget shape with id-order standing in for
+    // score-order
+    val hist = tagged.groupBy(col("source"), col("__idb"))
+      .agg(sum(col("n_tokens")).as("btoks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val bounds = hist.toSeq.map { case (source, rows) =>
+      var cum = 0L
+      var boundary = Long.MinValue
+      var remaining = 0L
+      rows.sortBy(_._2).foreach { case (_, idb, btoks) =>
+        if (boundary == Long.MinValue) {
+          if (cum + btoks <= budget) cum += btoks
+          else { boundary = idb; remaining = budget - cum }
+        }
+      }
+      // no boundary: every bucket fits — admit the whole source
+      (source, if (boundary == Long.MinValue) Long.MaxValue else boundary,
+        remaining)
+    }.toDF("source", "__bidb", "__rem")
+    val full = tagged.join(broadcast(bounds), Seq("source"))
+      .where(col("__idb") < col("__bidb"))
+    val partial = tagged.join(broadcast(bounds), Seq("source"))
+      .where(col("__idb") === col("__bidb"))
+      .withColumn("__cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .where(col("__cum") <= col("__rem"))
+    val result = full.unionByName(partial.drop("__cum"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    graft.operators.CacheScope.unpersistAfterAction(result, Seq(tagged))
+  }
+
   def sourceQuotaStream(
       spark: SparkSession,
       docs: org.apache.spark.sql.DataFrame,

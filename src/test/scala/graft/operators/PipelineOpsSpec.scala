@@ -348,6 +348,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(nothing.count() == 0L)
   }
 
+  test("token budget stream: non-skipping cumulative admission, batch-rule refold") {
+    def doc(id: Long, source: String, n: Int): (Long, String, String) =
+      (id, source, Seq.fill(n)("t").mkString(" "))
+    val docs = Seq(
+      doc(1, "A", 300), doc(2, "A", 400), doc(3, "A", 200), doc(4, "A", 50),
+      doc(10, "B", 799), doc(11, "B", 1), doc(12, "B", 1),
+      doc(20, "C", 900),
+      (30L, "D", "")) // empty text -> 0 tokens, always fits
+      .toDF("doc_id", "source", "text")
+    val got = Streams.tokenBudgetStream(spark, docs, budget = 800,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // A prefixes: 300, 700, 900, 950 -> docs 1,2 admitted; doc 4 (50 tok)
+    // would FIT if doc 3 were skipped — non-skipping means it must not
+    // B: 799, 800, 801 -> budget boundary is INCLUSIVE at exactly 800
+    // C: a single over-budget doc admits nothing
+    assert(got == Set((1L, "A"), (2L, "A"), (10L, "B"), (11L, "B"), (30L, "D")))
+    // live-signal arithmetic: cum_tokens includes self and keeps growing
+    // past the budget (the non-skipping invariant, pinned on the raw
+    // membership rows)
+    val arrivals = Streams.tokenBudgetArrivals(spark, docs, None)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(arrivals(1L) == 300L && arrivals(2L) == 700L &&
+      arrivals(3L) == 900L && arrivals(4L) == 950L)
+  }
+
   test("profile: one row per column, exact metrics, nulls counted out") {
     val df = Seq(
       (1L, "en", None: Option[String]),
