@@ -2895,6 +2895,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // IVF-SQ8 at rest (FAISS IndexIVFScalarQuantizer): int8 codes by
+    // cell, 4x less storage; cosine probes rank on the CODES directly —
+    // the per-vector scale cancels in cosine, so it is never read
+    // (ReadSchema pinned scale-free). Same write -> append -> compact ->
+    // probe lifecycle as the raw inverted file
+    "ann_ivfsq8_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$indexDbDir/ivfsq8_index"
+      Similarity.writeIvfSq8Index(emb.where(col("vec_id") < 64),
+        "vec_id", "embedding", path, nlist = 16)
+      Similarity.appendIvfSq8Index(emb.where(col("vec_id") >= 64),
+        "vec_id", "embedding", path)
+      operators.Bucketing.compactPartitioned(s, path, "cluster")
+      Similarity.ivfSq8TopKIndexed(s, path, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "embed_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
@@ -4073,6 +4093,48 @@ object SparkEntry {
            |  SELECT p.query_id, a.cid AS neighbor_id,
            |         ${VectorOpsSql.cosine("p.qvec", "a.cv")} AS cos
            |  FROM probes p JOIN assigned a USING (cluster)
+           |  WHERE a.cid <> p.query_id)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored) WHERE rn <= 5
+           |ORDER BY query_id, neighbor_id""".stripMargin
+
+    // the SQ8 restatement: same seeds/assignment/probes as ivfTopKSql,
+    // but candidates score as cosine over their int8 quantized codes —
+    // scale cancels in cosine, so the oracle (like the probe) derives it
+    // only to BUILD the codes, never to score
+    val ivfSq8TopKSql =
+      s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
+           |               FROM embeddings ORDER BY vec_id LIMIT 16),
+           |assigned AS (
+           |  SELECT cid, cv, cluster FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS cv,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM embeddings e, seeds s)
+           |  WHERE rn = 1),
+           |quant AS (
+           |  SELECT cid, cluster, ${VectorOpsSql.quantize("cv", "sc")} AS qv
+           |  FROM (SELECT cid, cluster, cv,
+           |               ${VectorOpsSql.quantScale("cv")} AS sc
+           |        FROM assigned)),
+           |probes AS (
+           |  SELECT query_id, qvec, cluster FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec,
+           |           s.centroid_id AS cluster,
+           |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |             ${VectorOpsSql.cosine("q.embedding", "s.cvec")} DESC,
+           |             s.centroid_id) AS rn
+           |    FROM embeddings q, seeds s WHERE q.vec_id < 8)
+           |  WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.query_id, a.cid AS neighbor_id,
+           |         ${VectorOpsSql.cosine("p.qvec", "a.qv")} AS cos
+           |  FROM probes p JOIN quant a USING (cluster)
            |  WHERE a.cid <> p.query_id)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
            |  SELECT query_id, neighbor_id, cos,
@@ -6199,6 +6261,7 @@ object SparkEntry {
       // the persisted inverted file stores exactly the seeds/assignments
       // the rescan computes — same contract, same SQL
       "ann_ivf_indexed" -> ivfTopKSql,
+      "ann_ivfsq8_indexed" -> ivfSq8TopKSql,
 
       "ann_lsh_pairs" -> {
         val tables = (0 until 4).map(tbl =>

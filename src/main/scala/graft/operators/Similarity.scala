@@ -198,6 +198,15 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path.seeds")
   }
 
+  /** The persisted seed centroids of an at-rest inverted file — an
+    * nlist-row collect shared by every probe/append entry point. */
+  private def loadIvfSeeds(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$path.seeds")
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
   /**
    * Fold a committed batch INTO the persisted inverted file: vectors
    * assign against the index's OWN persisted seeds map-side and append
@@ -210,14 +219,10 @@ object Similarity {
    * standard IVF tradeoff, stated rather than hidden.
    */
   def appendIvfIndex(
-      batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
-    val spark = batch.sparkSession
-    val seedRows = spark.read.parquet(s"$path.seeds")
-      .orderBy(col("cluster")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    assignClusters(batch, idCol, vecCol, seedRows)
+      batch: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    assignClusters(batch, idCol, vecCol,
+      loadIvfSeeds(batch.sparkSession, path))
       .write.mode("append").partitionBy("cluster").parquet(path)
-  }
 
   /**
    * [[ivfTopK]] against the PERSISTED inverted file: queries assign to
@@ -237,9 +242,7 @@ object Similarity {
       vecCol: String,
       k: Int,
       nprobe: Int): DataFrame = {
-    val seedRows = spark.read.parquet(s"$path.seeds")
-      .orderBy(col("cluster")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val seedRows = loadIvfSeeds(spark, path)
     require(nprobe >= 1 && nprobe <= seedRows.length,
       "need 1 <= nprobe <= nlist")
     val probes = queries.select(
@@ -257,6 +260,103 @@ object Similarity {
       .where(col("cid") =!= col("query_id"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
         VectorOps.cosine(col("qvec"), col("cv")).as("cosine"))
+    val topk = udaf(new TopKAgg(k))
+    val result = scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), explode(col("topk.items")).as("nb"))
+      .select(col("query_id"), col("nb._2").as("neighbor_id"),
+        col("nb._1").as("cosine"))
+    CacheScope.unpersistAfterAction(result, Seq(probes))
+  }
+
+  // =====================================================================
+  // At-rest IVF-SQ8 — the FAISS IndexIVFScalarQuantizer tier between the
+  // raw-vector inverted file (exact, 4·d bytes/vector) and IVF-PQ
+  // (m bytes/vector, ADC-approximate)
+  // =====================================================================
+
+  /** (cid, cluster, scale, qv): each vector's cell plus its symmetric
+    * int8 quantization — `scale = max|x|/127`, `qv[i] = round(x[i]/scale)`
+    * — all map-side against the seed literals. */
+  private def sq8Rows(
+      df: DataFrame, idCol: String, vecCol: String,
+      seeds: Array[(Long, Array[Float])]): DataFrame =
+    assignClusters(df, idCol, vecCol, seeds)
+      // scale in its OWN select: a same-projection reference would
+      // lateral-alias-resolve to the rounded value (the embed_quantize
+      // lesson)
+      .select(col("cid"), col("cv"), col("cluster"),
+        VectorOps.quantScale(col("cv")).as("scale"))
+      .select(col("cid"), col("cluster"), col("scale"),
+        VectorOps.quantize(col("cv"), col("scale")).as("qv"))
+
+  /**
+   * Persist the corpus as an IVF inverted file of INT8 scalar-quantized
+   * vectors (FAISS `IndexIVFScalarQuantizer` at rest): 4× less storage
+   * than the raw-vector index, exact-rank cosine probes. The key
+   * arithmetic fact this tier stands on: the per-vector `scale` CANCELS
+   * in cosine — cosine(q·scale, y) ≡ cosine(q, y) — so a cosine probe
+   * ranks on the integer codes directly, never dequantizes, and never
+   * even READS the `scale` column (columnar pruning makes it free;
+   * `scale` exists for L2/reconstruction consumers). Quantization is the
+   * only approximation: ranks are the true cosine ranks of the rounded
+   * vectors, with per-component error ≤ scale/2 (`embed_quantize`
+   * measures it).
+   */
+  def writeIvfSq8Index(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nlist: Int): Unit = {
+    val seeds = collectSeeds(corpus, idCol, vecCol, nlist)
+    Bucketing.writePartitioned(
+      sq8Rows(corpus, idCol, vecCol, seeds), path, "cluster")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    seeds.toSeq.toDF("cluster", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.seeds")
+  }
+
+  /** FAISS `add` semantics against the persisted seeds, like
+    * [[appendIvfIndex]] — quantization happens at ingest with the same
+    * per-vector rule, so appended codes are indistinguishable from
+    * build-time codes. */
+  def appendIvfSq8Index(
+      batch: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    sq8Rows(batch, idCol, vecCol, loadIvfSeeds(batch.sparkSession, path))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
+  /** [[ivfTopKIndexed]] over the SQ8 index: partition-pruned cell scan
+    * reading ONLY (cid, qv, cluster) — `ReadSchema` excludes `scale`,
+    * plan-pinned — with the native codegen'd cosine over the codes (≤127
+    * integers are exact in float, so the cast is lossless). */
+  def ivfSq8TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val seedRows = loadIvfSeeds(spark, path)
+    require(nprobe >= 1 && nprobe <= seedRows.length,
+      "need 1 <= nprobe <= nlist")
+    val probes = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"),
+      explode(nearest(seedRows, col(vecCol), nprobe)).as("pr"))
+      .select(col("query_id"), col("qvec"), (-col("pr.nid")).as("cluster"))
+      .cache()
+    val probedCells = probes.select(col("cluster"))
+      .distinct().collect().map(_.getLong(0))
+    val cells = spark.read.parquet(path)
+      .where(col("cluster").isin(probedCells: _*))
+      .select(col("cid"), col("qv"), col("cluster"))
+    val scored = probes.join(cells, Seq("cluster"))
+      .where(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        VectorOps.cosine(col("qvec"), col("qv").cast("array<float>"))
+          .as("cosine"))
     val topk = udaf(new TopKAgg(k))
     val result = scored.groupBy(col("query_id"))
       .agg(topk(col("cosine"), col("neighbor_id")).as("topk"))

@@ -542,6 +542,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("ivf-sq8 index probe: partition-pruned, never reads the scale column") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8_wh").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = s"$dir/ivfsq8"
+    Similarity.writeIvfSq8Index(emb.where(col("vec_id") < 64),
+      "vec_id", "embedding", path, nlist = 16)
+    Similarity.appendIvfSq8Index(emb.where(col("vec_id") >= 64),
+      "vec_id", "embedding", path)
+    val out = Similarity.ivfSq8TopKIndexed(spark, path,
+      emb.where(col("vec_id") < 4), "vec_id", "embedding", k = 3, nprobe = 2)
+    val p = physical(out)
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("cluster")).getOrElse("")
+    assert(scanLine.nonEmpty && !scanLine.contains("PartitionFilters: []"),
+      s"code scan must partition-prune on cluster:\n$p")
+    // scale cancels in cosine: the probe must not read it — columnar
+    // pruning is what makes the reconstruction column free for ranking
+    assert(!scanLine.contains("scale"),
+      s"SQ8 cosine probe must prune the scale column:\n$scanLine")
+    assert(p.contains("cosine("),
+      s"scoring must be the native codegen'd cosine expression:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ivf-pq index probe: code scan partition-prunes, result equals rescan") {
     import graft.operators.IvfPq
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_wh").toString
