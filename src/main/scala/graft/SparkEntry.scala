@@ -2450,6 +2450,33 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // recall@5 of the COMPOSED IVF-PQ arm (coarse pruning AND residual-
+    // code compression losing accuracy together) against exact
+    // brute-force squared-L2 — the gauge for the full billion-scale
+    // configuration, complementing ann_recall (pruning only) and
+    // ann_pq_recall (compression only)
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val approx = operators.IvfPq.topK(emb, q, "vec_id", "embedding",
+        nCells = 4, m = 4, ksub = 8, iters = 2, nprobe = 2, k = 5)
+      val topk = operators.Similarity.topKUdaf(5)
+      val exact = emb
+        .select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("cv"))
+        .join(broadcast(q.select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qv"))),
+          col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VectorOps.sqDist(col("qv"), col("cv")).as("d"))
+        .groupBy(col("query_id"))
+        .agg(topk(-col("d"), col("neighbor_id")).as("tk"))
+        .select(col("query_id"), explode(col("tk.items._2")).as("neighbor_id"))
+      operators.Similarity.recallAtK(approx, exact)
+        .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // salted two-stage aggregation over the MOST skewed key in the data
     // (5 event_type values carry the whole stream — an unsalted groupBy
     // runs 5 reducer tasks however wide the cluster): partials group on
@@ -6039,6 +6066,35 @@ object SparkEntry {
            |    WHERE q.vec_id < 8)
            |  WHERE rn <= 5),
            |approx AS ($pq)
+           |SELECT e.query_id,
+           |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |       round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                      THEN 1 ELSE 0 END)::DOUBLE
+           |             / count(*)::DOUBLE, 6) AS recall
+           |FROM exact e
+           |LEFT JOIN approx a USING (query_id, neighbor_id)
+           |GROUP BY e.query_id ORDER BY query_id""".stripMargin
+      },
+
+      // the composed-arm gauge: same exact-L2 reference, approx arm = the
+      // full IVF-PQ chain (coarse cells + residual codes + nprobe)
+      "ann_ivfpq_recall" -> {
+        val ivfpq = operators.IvfPqSql.topK(
+          "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
+          ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 8")
+        val dist = operators.KMeansSql.distSql(
+          "list_transform(q.embedding, x -> x::DOUBLE)",
+          "list_transform(c.embedding, x -> x::DOUBLE)")
+        s"""WITH exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |                              ORDER BY $dist, c.vec_id) AS rn
+           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 8)
+           |  WHERE rn <= 5),
+           |approx AS ($ivfpq)
            |SELECT e.query_id,
            |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
