@@ -20,6 +20,8 @@ import graft.operators.{Bucketing, DedupIndex, Relevance, Similarity, SuffixArra
  * Usage: `runMain graft.ScaleRehearsal <factor>` (default 10); corpus dir
  * from SPARK_GRAFT_SF_DIR (default sf0.1). Testdata is read-only — the
  * replicated corpus derives into java.io.tmpdir and is deleted on exit.
+ * SPARK_GRAFT_OPS=a,b,c runs only the named ops (a probe needs its build
+ * in the same run).
  */
 object ScaleRehearsal {
 
@@ -45,14 +47,16 @@ object ScaleRehearsal {
         case _ => None
       }
     def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
-    def timed[A](op: String, rows: Long)(body: => A): A = {
-      val t0 = System.nanoTime(); val c0 = cpuNanos()
-      val r = body
-      val wall = (System.nanoTime() - t0) / 1e9
-      val cpu = (cpuNanos() - c0) / 1e9
-      println(f"""{"op":"$op","scale":$factor,"rows":$rows,"wall_s":$wall%.2f,"cpu_s":$cpu%.2f}""")
-      r
-    }
+    // optional comma-separated op filter for targeted re-measurement
+    val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(',').toSet)
+    def timed[A](op: String, rows: Long)(body: => A): Unit =
+      if (only.forall(_.contains(op))) {
+        val t0 = System.nanoTime(); val c0 = cpuNanos()
+        body
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (cpuNanos() - c0) / 1e9
+        println(f"""{"op":"$op","scale":$factor,"rows":$rows,"wall_s":$wall%.2f,"cpu_s":$cpu%.2f}""")
+      }
 
     val work = java.nio.file.Files.createTempDirectory(s"graft-scale-$factor")
     try {
@@ -140,6 +144,26 @@ object ScaleRehearsal {
       timed("ivf_probe", 8) {
         Similarity.ivfTopKIndexed(spark, ivfPath, emb.limit(8),
           "vec_id", "embedding", k = 5, nprobe = 4).count()
+      }
+
+      // ---- SQ8 + IVF-PQ at-rest tiers ---------------------------------
+      val sq8Path = work.resolve("ivfsq8").toString
+      timed("ivfsq8_index_build", nVecs) {
+        Similarity.writeIvfSq8Index(emb, "vec_id", "embedding", sq8Path,
+          nlist = 64)
+      }
+      timed("ivfsq8_probe", 8) {
+        Similarity.ivfSq8TopKIndexed(spark, sq8Path, emb.limit(8),
+          "vec_id", "embedding", k = 5, nprobe = 4).count()
+      }
+      val ivfpqPath = work.resolve("ivfpq").toString
+      timed("ivfpq_index_build", nVecs) {
+        graft.operators.IvfPq.writeIvfPqIndex(emb, "vec_id", "embedding",
+          ivfpqPath, nCells = 16, m = 4, ksub = 8, iters = 2)
+      }
+      timed("ivfpq_probe", 8) {
+        graft.operators.IvfPq.topKIndexed(spark, ivfpqPath, emb.limit(8),
+          "vec_id", "embedding", nprobe = 4, k = 5).count()
       }
 
       // ---- suffix array (the single most expensive build) -------------

@@ -2942,6 +2942,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // recall@5 of the SQ8 codes against the RAW-vector IVF arm with the
+    // SAME seeds and nprobe — pruning identical on both sides, so the
+    // gauge isolates exactly what int8 quantization costs the ranking
+    "ann_ivfsq8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val path = s"$indexDbDir/ivfsq8_recall_index"
+      Similarity.writeIvfSq8Index(emb, "vec_id", "embedding", path, nlist = 16)
+      val approx = Similarity.ivfSq8TopKIndexed(s, path, q,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      val exact = Similarity.ivfTopK(emb, q,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      Similarity.recallAtK(approx, exact)
+        .select(col("query_id"), col("n_hit"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     "embed_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
@@ -6318,6 +6336,21 @@ object SparkEntry {
       // the rescan computes — same contract, same SQL
       "ann_ivf_indexed" -> ivfTopKSql,
       "ann_ivfsq8_indexed" -> ivfSq8TopKSql,
+
+      // quantization-loss gauge: both arms restated from their own SQL
+      // chains (identical seeds/probes), recall joined on the id pairs
+      "ann_ivfsq8_recall" ->
+        s"""WITH exact AS ($ivfTopKSql),
+           |approx AS ($ivfSq8TopKSql)
+           |SELECT e.query_id,
+           |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |       round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+           |                      THEN 1 ELSE 0 END)::DOUBLE
+           |             / count(*)::DOUBLE, 6) AS recall
+           |FROM exact e
+           |LEFT JOIN approx a USING (query_id, neighbor_id)
+           |GROUP BY e.query_id ORDER BY query_id""".stripMargin,
 
       "ann_lsh_pairs" -> {
         val tables = (0 until 4).map(tbl =>
