@@ -1950,6 +1950,16 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", 48)
         .orderBy(col("doc_id"), col("pos"))),
 
+    // the ExactSubstr CLEANING step itself: every document with its
+    // cross-document-repeated 48-cp spans CUT OUT — only documents with
+    // repeated spans pay character surgery (the clean majority passes
+    // through map-side); oracle re-derives coverage from the substrings
+    // and reassembles with string_agg — no ranks, no index
+    "suffix_excise" -> ((s, dir) =>
+      SuffixArray.exciseRepeated(suffixRanks48(s, dir),
+          t(s, dir, "documents"), "doc_id", "text", 48)
+        .orderBy(col("doc_id"))),
+
     // INTENT pin for the unigram-LM (SentencePiece-style) tokenizer
     // trainer: EM over the pinned vocabulary's segmentation lattices in
     // raw probability space (bit-identical op sequence to the independent
@@ -5673,6 +5683,33 @@ object SparkEntry {
           |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
           |FROM w JOIN m USING (sub)
           |ORDER BY doc_id, pos""".stripMargin,
+
+      // the excision restated from the substrings: coverage = repeated
+      // windows expanded to character indices, clean text = the ordered
+      // string_agg of uncovered characters (empty when fully covered)
+      "suffix_excise" ->
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |w AS (SELECT doc_id, i, substr(t, i, 48) AS sub
+          |      FROM s WHERE i + 47 <= length(t)),
+          |m AS (SELECT sub FROM w GROUP BY sub
+          |      HAVING count(DISTINCT doc_id) > 1),
+          |cov AS (SELECT DISTINCT w.doc_id, w.i - 1 + x.k AS ci
+          |        FROM w JOIN m USING (sub)
+          |        CROSS JOIN (SELECT unnest(range(48)) AS k) x),
+          |c AS (SELECT doc_id, t, unnest(range(length(t))) AS ci FROM d),
+          |kept AS (SELECT c.doc_id, c.ci, substr(c.t, c.ci + 1, 1) AS ch
+          |         FROM c LEFT JOIN cov
+          |           ON c.doc_id = cov.doc_id AND c.ci = cov.ci
+          |         WHERE cov.ci IS NULL),
+          |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY ci) AS kt
+          |        FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(a.kt, '') AS clean_text,
+          |       CAST(length(d.t) - coalesce(length(a.kt), 0) AS BIGINT)
+          |         AS n_cut
+          |FROM d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "wordpiece_encode" ->
         s"""WITH RECURSIVE wp_vocab AS (SELECT tok AS word, count(*) AS freq

@@ -300,6 +300,56 @@ object SuffixArray {
       .select(col(idCol), col("pos"))
   }
 
+  /**
+   * The ExactSubstr CLEANING step itself (Lee et al. 2022 §4): every
+   * document with its cross-document-repeated `window`-code-point spans
+   * CUT OUT — (id, clean_text, n_cut), `n_cut` the number of removed code
+   * points. Composes [[repeatedPositions]]: positions expand to covered
+   * character indices (×`window` bounded fan-out, proportional to
+   * repeated content — the `Dedup.repeatedSpans` bound), and only
+   * documents that HAVE repeated spans pay the character-level surgery —
+   * the overwhelmingly-clean majority of a real corpus passes through
+   * map-side untouched (an anti-join, no explode). Surgery is
+   * explode-chars → anti-join covered → ordered reassembly; a document
+   * whose every character is covered comes back as the empty string, not
+   * a dropped row.
+   */
+  def exciseRepeated(
+      ranks: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) > 0)
+    val covered = repeatedPositions(ranks, df, idCol, textCol, window)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + window - 1)).as("__i"))
+      .distinct()
+    val dirtyIds = covered.select(col(idCol)).distinct()
+    val clean = base.join(dirtyIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__t").as("clean_text"), lit(0L).as("n_cut"))
+    val dirty = base.join(dirtyIds, Seq(idCol), "left_semi")
+    val rebuilt = dirty
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), length(col("__t")).cast("long") - 1))
+          .as("__i"))
+      .select(col(idCol), col("__i"),
+        col("__t").substr((col("__i") + lit(1)).cast("int"), lit(1)).as("__ch"))
+      .join(covered, Seq(idCol, "__i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__i"), col("__ch")))),
+        x => x.getField("__ch")), "").as("__kept"))
+    val cut = dirty
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__kept"), lit("")).as("clean_text"),
+        (length(col("__t")) - coalesce(length(col("__kept")), lit(0)))
+          .cast("long").as("n_cut"))
+    clean.unionByName(cut)
+  }
+
   /** The head of the suffix array with its window-bounded suffix strings
     * — bounded `TakeOrderedAndProject`, ties by (id, pos). */
   def topSuffixes(

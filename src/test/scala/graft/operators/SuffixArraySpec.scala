@@ -121,6 +121,20 @@ class SuffixArraySpec extends SparkSuite {
     assert(got == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 1L)))
   }
 
+  test("exciseRepeated: cuts exactly the covered spans; clean docs untouched") {
+    val docs = Seq((1L, "ababa"), (2L, "abab"), (3L, "zzzz"), (4L, "xxabay"))
+      .toDF("id", "text")
+    val got = SuffixArray.exciseRepeated(
+        SuffixArray.suffixRanks(docs, "id", "text", 3), docs, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // doc1/doc2: every position sits in a cross-doc-repeated 3-cp window
+    // -> fully excised (empty string, not a dropped row); doc3 repeats
+    // only WITHIN itself -> untouched; doc4: "aba" covers chars 2..4,
+    // "xx" and "y" survive
+    assert(got == Set(
+      (1L, "", 5L), (2L, "", 4L), (3L, "zzzz", 0L), (4L, "xxy", 3L)))
+  }
+
   test("writeRankIndex: the persisted artifact equals the in-session ranks") {
     val wh = java.nio.file.Files.createTempDirectory("suffix_idx_spec").toString
     Bucketing.scratchDb(spark, "suffix_idx_spec", wh)
