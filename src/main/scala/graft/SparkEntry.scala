@@ -240,6 +240,28 @@ object SparkEntry {
         s.table(tbl)
       })
 
+  /** Exact brute-force squared-L2 top-k — the shared ground-truth arm of
+    * every ANN recall gauge (broadcast queries, one native-fold distance
+    * per pair). Ranked by the bounded top-k aggregate (score = -distance
+    * → distance asc, id asc), not a row_number window: the query_id
+    * partition holds the whole corpus per query, and a window partition
+    * can never be split — the aggregate combines map-side to ≤ k rows
+    * per query per task. */
+  private def exactL2TopK(emb: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val topk = operators.Similarity.topKUdaf(k)
+    emb
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .join(broadcast(q.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qv"))),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorOps.sqDist(col("qv"), col("cv")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(topk(-col("d"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items._2")).as("neighbor_id"))
+  }
+
   /** Scratch database for the at-rest dedup-index roundtrip queries: one
     * location per JVM (CREATE DATABASE IF NOT EXISTS keeps the first);
     * `Bucketing.writeBucketed` drops/clears per table, so every query is
@@ -2438,23 +2460,7 @@ object SparkEntry {
       val q = emb.where(col("vec_id") < 8)
       val approx = operators.Pq.adcTopK(emb, q, "vec_id", "embedding",
         m = 4, ksub = 8, iters = 2, k = 5)
-      // exact arm ranked by the bounded top-k aggregate (score = -distance
-      // → distance asc, id asc), not a row_number window: the query_id
-      // partition holds the whole corpus per query, and a window partition
-      // can never be split — the aggregate combines map-side to ≤ k rows
-      // per query per task
-      val topk = operators.Similarity.topKUdaf(5)
-      val exact = emb
-        .select(col("vec_id").cast("long").as("neighbor_id"),
-          col("embedding").as("cv"))
-        .join(broadcast(q.select(col("vec_id").cast("long").as("query_id"),
-          col("embedding").as("qv"))),
-          col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          graft.functions.VectorOps.sqDist(col("qv"), col("cv")).as("d"))
-        .groupBy(col("query_id"))
-        .agg(topk(-col("d"), col("neighbor_id")).as("tk"))
-        .select(col("query_id"), explode(col("tk.items._2")).as("neighbor_id"))
+      val exact = exactL2TopK(emb, q, 5)
       operators.Similarity.recallAtK(approx, exact)
         .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
         .orderBy(col("query_id"))
@@ -2470,18 +2476,7 @@ object SparkEntry {
       val q = emb.where(col("vec_id") < 8)
       val approx = operators.IvfPq.topK(emb, q, "vec_id", "embedding",
         nCells = 4, m = 4, ksub = 8, iters = 2, nprobe = 2, k = 5)
-      val topk = operators.Similarity.topKUdaf(5)
-      val exact = emb
-        .select(col("vec_id").cast("long").as("neighbor_id"),
-          col("embedding").as("cv"))
-        .join(broadcast(q.select(col("vec_id").cast("long").as("query_id"),
-          col("embedding").as("qv"))),
-          col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          graft.functions.VectorOps.sqDist(col("qv"), col("cv")).as("d"))
-        .groupBy(col("query_id"))
-        .agg(topk(-col("d"), col("neighbor_id")).as("tk"))
-        .select(col("query_id"), explode(col("tk.items._2")).as("neighbor_id"))
+      val exact = exactL2TopK(emb, q, 5)
       operators.Similarity.recallAtK(approx, exact)
         .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
         .orderBy(col("query_id"))
@@ -4123,7 +4118,13 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
     }
 
-    val ivfTopKSql =
+    // one builder for every IVF-shaped oracle: seeds, nearest-seed
+    // assignment, nprobe probes, and the per-query top-5 are shared;
+    // a variant supplies an extra CTE deriving its candidate table from
+    // `assigned` plus the column candidates score on — so the IVF shape
+    // (seed count, nprobe, tie-breaks) has exactly one place to change
+    def ivfShapedSql(
+        extraCte: String, candSrc: String, scoreCol: String): String =
       s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
            |               FROM embeddings ORDER BY vec_id LIMIT 16),
            |assigned AS (
@@ -4134,7 +4135,7 @@ object SparkEntry {
            |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
            |             s.centroid_id) AS rn
            |    FROM embeddings e, seeds s)
-           |  WHERE rn = 1),
+           |  WHERE rn = 1),$extraCte
            |probes AS (
            |  SELECT query_id, qvec, cluster FROM (
            |    SELECT q.vec_id AS query_id, q.embedding AS qvec,
@@ -4146,8 +4147,8 @@ object SparkEntry {
            |  WHERE rn <= 4),
            |scored AS (
            |  SELECT p.query_id, a.cid AS neighbor_id,
-           |         ${VectorOpsSql.cosine("p.qvec", "a.cv")} AS cos
-           |  FROM probes p JOIN assigned a USING (cluster)
+           |         ${VectorOpsSql.cosine("p.qvec", s"a.$scoreCol")} AS cos
+           |  FROM probes p JOIN $candSrc a USING (cluster)
            |  WHERE a.cid <> p.query_id)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
            |  SELECT query_id, neighbor_id, cos,
@@ -4156,47 +4157,20 @@ object SparkEntry {
            |  FROM scored) WHERE rn <= 5
            |ORDER BY query_id, neighbor_id""".stripMargin
 
-    // the SQ8 restatement: same seeds/assignment/probes as ivfTopKSql,
-    // but candidates score as cosine over their int8 quantized codes —
-    // scale cancels in cosine, so the oracle (like the probe) derives it
-    // only to BUILD the codes, never to score
-    val ivfSq8TopKSql =
-      s"""WITH seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
-           |               FROM embeddings ORDER BY vec_id LIMIT 16),
-           |assigned AS (
-           |  SELECT cid, cv, cluster FROM (
-           |    SELECT e.vec_id AS cid, e.embedding AS cv,
-           |           s.centroid_id AS cluster,
-           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |             ${VectorOpsSql.cosine("e.embedding", "s.cvec")} DESC,
-           |             s.centroid_id) AS rn
-           |    FROM embeddings e, seeds s)
-           |  WHERE rn = 1),
+    val ivfTopKSql = ivfShapedSql("", "assigned", "cv")
+
+    // the SQ8 restatement: same seeds/assignment/probes, but candidates
+    // score as cosine over their int8 quantized codes — scale cancels in
+    // cosine, so the oracle (like the probe) derives it only to BUILD
+    // the codes, never to score
+    val ivfSq8TopKSql = ivfShapedSql(
+      s"""
            |quant AS (
            |  SELECT cid, cluster, ${VectorOpsSql.quantize("cv", "sc")} AS qv
            |  FROM (SELECT cid, cluster, cv,
            |               ${VectorOpsSql.quantScale("cv")} AS sc
-           |        FROM assigned)),
-           |probes AS (
-           |  SELECT query_id, qvec, cluster FROM (
-           |    SELECT q.vec_id AS query_id, q.embedding AS qvec,
-           |           s.centroid_id AS cluster,
-           |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |             ${VectorOpsSql.cosine("q.embedding", "s.cvec")} DESC,
-           |             s.centroid_id) AS rn
-           |    FROM embeddings q, seeds s WHERE q.vec_id < 8)
-           |  WHERE rn <= 4),
-           |scored AS (
-           |  SELECT p.query_id, a.cid AS neighbor_id,
-           |         ${VectorOpsSql.cosine("p.qvec", "a.qv")} AS cos
-           |  FROM probes p JOIN quant a USING (cluster)
-           |  WHERE a.cid <> p.query_id)
-           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
-           |  SELECT query_id, neighbor_id, cos,
-           |         row_number() OVER (PARTITION BY query_id
-           |                            ORDER BY cos DESC, neighbor_id) AS rn
-           |  FROM scored) WHERE rn <= 5
-           |ORDER BY query_id, neighbor_id""".stripMargin
+           |        FROM assigned)),""".stripMargin,
+      "quant", "qv")
 
     Map(
       "q1_pricing_summary" ->

@@ -241,7 +241,27 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfIndexedProbe(spark, path, queries, idCol, vecCol, k, nprobe,
+      candCols = None, score = VectorOps.cosine(col("qvec"), col("cv")))
+
+  /** The shared probe scaffolding of every at-rest IVF tier (raw / SQ8):
+    * nprobe nearest seeds per query, the driver-bounded probed-cell set
+    * turned into static partition pruning on the code scan, candidate
+    * scoring by `score` over the (probes × cells) cluster join, and the
+    * bounded per-query top-k aggregate. Tiers differ ONLY in which
+    * columns the scan reads (`candCols`; None = all) and the scoring
+    * expression — one place for the IVF probe shape to change. */
+  private def ivfIndexedProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      candCols: Option[Seq[String]],
+      score: org.apache.spark.sql.Column): DataFrame = {
     val seedRows = loadIvfSeeds(spark, path)
     require(nprobe >= 1 && nprobe <= seedRows.length,
       "need 1 <= nprobe <= nlist")
@@ -254,12 +274,13 @@ object Similarity {
     // what turns the index read into static partition pruning
     val probedCells = probes.select(col("cluster"))
       .distinct().collect().map(_.getLong(0))
-    val cells = spark.read.parquet(path)
+    val scan = spark.read.parquet(path)
       .where(col("cluster").isin(probedCells: _*))
+    val cells = candCols.map(cs => scan.select(cs.map(col): _*)).getOrElse(scan)
     val scored = probes.join(cells, Seq("cluster"))
       .where(col("cid") =!= col("query_id"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
-        VectorOps.cosine(col("qvec"), col("cv")).as("cosine"))
+        score.as("cosine"))
     val topk = udaf(new TopKAgg(k))
     val result = scored.groupBy(col("query_id"))
       .agg(topk(col("cosine"), col("neighbor_id")).as("topk"))
@@ -287,8 +308,13 @@ object Similarity {
       // lesson)
       .select(col("cid"), col("cv"), col("cluster"),
         VectorOps.quantScale(col("cv")).as("scale"))
+      // stored as array<tinyint>: values are in [-127, 127] by
+      // construction, and the 1-byte leaf type is what makes the "4x
+      // less storage than the raw float index" claim STRUCTURAL rather
+      // than dependent on the parquet writer's dictionary encoding
       .select(col("cid"), col("cluster"), col("scale"),
-        VectorOps.quantize(col("cv"), col("scale")).as("qv"))
+        VectorOps.quantize(col("cv"), col("scale"))
+          .cast("array<tinyint>").as("qv"))
 
   /**
    * Persist the corpus as an IVF inverted file of INT8 scalar-quantized
@@ -338,33 +364,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
-    val seedRows = loadIvfSeeds(spark, path)
-    require(nprobe >= 1 && nprobe <= seedRows.length,
-      "need 1 <= nprobe <= nlist")
-    val probes = queries.select(
-      col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"),
-      explode(nearest(seedRows, col(vecCol), nprobe)).as("pr"))
-      .select(col("query_id"), col("qvec"), (-col("pr.nid")).as("cluster"))
-      .cache()
-    val probedCells = probes.select(col("cluster"))
-      .distinct().collect().map(_.getLong(0))
-    val cells = spark.read.parquet(path)
-      .where(col("cluster").isin(probedCells: _*))
-      .select(col("cid"), col("qv"), col("cluster"))
-    val scored = probes.join(cells, Seq("cluster"))
-      .where(col("cid") =!= col("query_id"))
-      .select(col("query_id"), col("cid").as("neighbor_id"),
-        VectorOps.cosine(col("qvec"), col("qv").cast("array<float>"))
-          .as("cosine"))
-    val topk = udaf(new TopKAgg(k))
-    val result = scored.groupBy(col("query_id"))
-      .agg(topk(col("cosine"), col("neighbor_id")).as("topk"))
-      .select(col("query_id"), explode(col("topk.items")).as("nb"))
-      .select(col("query_id"), col("nb._2").as("neighbor_id"),
-        col("nb._1").as("cosine"))
-    CacheScope.unpersistAfterAction(result, Seq(probes))
-  }
+      nprobe: Int): DataFrame =
+    ivfIndexedProbe(spark, path, queries, idCol, vecCol, k, nprobe,
+      // explicit candidate projection: the probe never reads `scale`
+      candCols = Some(Seq("cid", "qv", "cluster")),
+      score = VectorOps.cosine(col("qvec"), col("qv").cast("array<float>")))
 
   /**
    * Multi-table SRP-LSH near-neighbor pairs: vectors colliding in at least

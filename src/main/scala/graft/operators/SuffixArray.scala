@@ -322,10 +322,16 @@ object SuffixArray {
       window: Int): DataFrame = {
     val base = df.select(col(idCol), col(textCol).as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) > 0)
+    // cached: the final plan reaches `covered` through four paths (the
+    // clean anti-join, the dirty semi-join, rebuilt's explode input, and
+    // rebuilt's anti-join) — without the cache each re-runs the whole
+    // rank-groupBy + semi-join + explode chain (ReuseExchange shares only
+    // the bottom shuffles), multiplying the op's dominant cost ~4x
     val covered = repeatedPositions(ranks, df, idCol, textCol, window)
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + window - 1)).as("__i"))
       .distinct()
+      .cache()
     val dirtyIds = covered.select(col(idCol)).distinct()
     val clean = base.join(dirtyIds, Seq(idCol), "left_anti")
       .select(col(idCol), col("__t").as("clean_text"), lit(0L).as("n_cut"))
@@ -347,7 +353,7 @@ object SuffixArray {
         coalesce(col("__kept"), lit("")).as("clean_text"),
         (length(col("__t")) - coalesce(length(col("__kept")), lit(0)))
           .cast("long").as("n_cut"))
-    clean.unionByName(cut)
+    CacheScope.unpersistAfterAction(clean.unionByName(cut), Seq(covered))
   }
 
   /** The head of the suffix array with its window-bounded suffix strings

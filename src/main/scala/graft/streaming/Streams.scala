@@ -720,10 +720,14 @@ object Streams {
       (source, if (boundary == Long.MinValue) Long.MaxValue else boundary,
         remaining)
     }.toDF("source", "__bidb", "__rem")
-    val full = tagged.join(broadcast(bounds), Seq("source"))
-      .where(col("__idb") < col("__bidb"))
-    val partial = tagged.join(broadcast(bounds), Seq("source"))
-      .where(col("__idb") === col("__bidb"))
+    // null-safe join: a NULL source is a real group (the arrival gate and
+    // the per-source window both admit it) — an equi-join would silently
+    // drop it from the refold
+    val joined = tagged.join(broadcast(bounds),
+        tagged("source") <=> bounds("source"))
+      .drop(bounds("source"))
+    val full = joined.where(col("__idb") < col("__bidb"))
+    val partial = joined.where(col("__idb") === col("__bidb"))
       .withColumn("__cum", sum(col("n_tokens")).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("source")).orderBy(col("doc_id"))))

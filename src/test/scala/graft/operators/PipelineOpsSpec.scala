@@ -374,6 +374,30 @@ class PipelineOpsSpec extends SparkSuite {
       arrivals(3L) == 900L && arrivals(4L) == 950L)
   }
 
+  test("token budget stream: multi-doc boundary bucket and NULL source") {
+    def doc(id: Long, source: String, n: Int): (Long, String, String) =
+      (id, source, Seq.fill(n)("t").mkString(" "))
+    // idBuckets = 2 over ids 0..9 -> width 5: bucket 0 holds ids 0-4,
+    // bucket 1 ids 5-9, so the boundary bucket genuinely mixes admitted
+    // and rejected rows and full-bucket admission sums several docs
+    val docs = Seq(
+      doc(1, "A", 100), doc(2, "A", 100), doc(3, "A", 100), doc(4, "A", 100),
+      doc(5, "A", 150), doc(6, "A", 150), doc(7, "A", 200), doc(8, "A", 10),
+      doc(0, null.asInstanceOf[String], 300), // NULL source is a real group
+      doc(9, null.asInstanceOf[String], 500))
+      .toDF("doc_id", "source", "text")
+    val got = Streams.tokenBudgetStream(spark, docs, budget = 700,
+        idBuckets = 2)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // A prefixes: 100,200,300,400 | 550,700,900,910 -> bucket 0 admitted
+    // whole (400 <= 700), boundary bucket 1 admits 5,6 (cum 550,700
+    // INCLUSIVE), rejects 7, and non-skipping rejects 8 (10 tok would fit)
+    // NULL source: prefixes 300, 800 -> doc 0 admitted, doc 9 rejected
+    // (9 sits in the boundary bucket 1 with remaining 400 < 500)
+    assert(got == Set((1L, Some("A")), (2L, Some("A")), (3L, Some("A")),
+      (4L, Some("A")), (5L, Some("A")), (6L, Some("A")), (0L, None)), got)
+  }
+
   test("profile: one row per column, exact metrics, nulls counted out") {
     val df = Seq(
       (1L, "en", None: Option[String]),
