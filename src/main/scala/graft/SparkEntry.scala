@@ -348,6 +348,64 @@ object SparkEntry {
       |'<div class="nav"><a href="/">Home</a> <a href="/about">About</a></div>' ||
       |'<!-- footer --></body></html>'""".stripMargin
 
+  /** The HTTP response head every WARC response fixture carries (WARC
+    * payload of a response record = the raw HTTP message). */
+  private val WarcHttpHead =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
+  /** Deterministic WARC shard set built from the documents corpus, once
+    * per (session, sf dir): doc_id < 40 split across 4 shards
+    * (`doc_id % 4`), each headed by a `warcinfo` record; even doc_ids are
+    * `response` records whose payload is the HTTP message wrapping
+    * [[synthHtml]]'s markup, odd doc_ids are raw-text `resource` records;
+    * shards 2 and 3 use the one-gzip-member-per-record Common Crawl
+    * layout (and keep the plain `.warc` name — extensions lie on real
+    * crawls, the reader sniffs magic bytes). Fixture construction is
+    * driver-side by design (40 rows); the READ under test is the
+    * distributed one. */
+  private val warcDirCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def warcFixture(s: SparkSession, dir: String): String =
+    warcDirCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        import graft.sources.Warc
+        val rows = t(s, dir, "documents").where(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"),
+            synthHtml(col("text"), col("doc_id")).as("html"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1)
+        val out = java.nio.file.Files.createTempDirectory("graft_warc").toString
+        val date = "2026-01-01T00:00:00Z"
+        (0 until 4).foreach { shard =>
+          val recs = Warc.renderRecord("warcinfo", None, date,
+            "application/warc-fields", "software: graft".getBytes("UTF-8")) +:
+            rows.filter(_._1 % 4 == shard).map { case (id, text, html) =>
+              if (id % 2 == 0)
+                Warc.renderRecord("response",
+                  Some(s"https://graft.test/doc/$id"), date,
+                  "application/http;msgtype=response",
+                  (WarcHttpHead + html).getBytes("UTF-8"))
+              else
+                Warc.renderRecord("resource",
+                  Some(s"https://graft.test/doc/$id"), date,
+                  "text/plain", text.getBytes("UTF-8"))
+            }
+          val bytes =
+            if (shard >= 2) recs.map(Warc.gzipMember)
+            else recs
+          val bos = new java.io.ByteArrayOutputStream()
+          bytes.foreach(bos.write)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"shard$shard.warc"),
+            bos.toByteArray)
+        }
+        out
+      })
+
   /** Punctuated line corpus for the C4 rule filter: 8-token lines from
     * each document, a terminal '.' appended iff (doc_id + line index) % 3
     * != 0 — so roughly a third of lines fail the punctuation rule, short
@@ -1109,6 +1167,35 @@ object SparkEntry {
             synthHtml(col("text"), col("doc_id")).as("html")),
           "doc_id", "html", maxLinkDensity = 0.5)
         .orderBy(col("doc_id"))),
+
+    // WARC ingest (ISO 28500 — the format crawl corpora arrive in): the
+    // deterministic 4-shard fixture (2 plain, 2 in the one-gzip-member-
+    // per-record Common Crawl layout) reads back through the DISTRIBUTED
+    // reader — one task per shard, magic-byte gzip sniff, streaming
+    // Content-Length framing — and the oracle restates every record's
+    // headers, byte length, and payload digest from the documents table
+    // and the same construction arithmetic (incl. re-rendering the HTML
+    // payloads via SynthHtmlSql)
+    "warc_read" -> ((s, dir) =>
+      graft.sources.Warc.readRecords(s, warcFixture(s, dir))
+        .where(col("parse_ok"))
+        .select(col("target_uri"), col("rec_type"), col("content_type"),
+          col("content_length"), sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy(col("target_uri"), col("rec_type"))),
+
+    // the crawl front door end-to-end: WARC shards → response records →
+    // HTTP header strip (the WARC payload of a response IS the raw HTTP
+    // message) → main-text extraction with link-density pruning — the
+    // full path from archive bytes to curated text as ONE declarative
+    // plan over the distributed reader
+    "warc_extract" -> ((s, dir) =>
+      HtmlOps.extractMainText(
+          graft.sources.Warc.readRecords(s, warcFixture(s, dir))
+            .where(col("parse_ok") && col("rec_type") === "response")
+            .select(col("target_uri"),
+              graft.sources.Warc.httpBodyText(col("payload")).as("html")),
+          "target_uri", "html", maxLinkDensity = 0.5)
+        .orderBy(col("target_uri"))),
 
     // INTENT pin for the extraction semantics: six hand-written markup
     // fixtures (script/style/comment removal, block vs inline tags,
@@ -4775,6 +4862,57 @@ object SparkEntry {
         s"""WITH h AS (SELECT doc_id, $SynthHtmlSql AS html FROM documents)
            |SELECT doc_id, ${HtmlOpsSql.mainText("html", 0.5)} AS text
            |FROM h ORDER BY doc_id""".stripMargin,
+
+      // independent restatement of the WARC fixture's construction: the
+      // HTTP head re-concatenated byte-for-byte (chr(13)||chr(10) CRLFs),
+      // the HTML payloads re-rendered via SynthHtmlSql, digests and byte
+      // lengths recomputed in SQL — a framing bug in the reader (lost
+      // bytes, header bleed into payload, gzip member boundary slip)
+      // changes a digest or a length and fails the row
+      "warc_read" ->
+        s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+           |hh AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+           |         'Content-Type: text/html' || chr(13) || chr(10) ||
+           |         chr(13) || chr(10) AS v),
+           |resp AS (
+           |  SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |           AS target_uri,
+           |         'response' AS rec_type,
+           |         'application/http;msgtype=response' AS content_type,
+           |         CAST(octet_length(encode(
+           |           (SELECT v FROM hh) || $SynthHtmlSql)) AS BIGINT)
+           |           AS content_length,
+           |         sha256((SELECT v FROM hh) || $SynthHtmlSql) AS payload_sha
+           |  FROM docs WHERE doc_id % 2 = 0),
+           |res AS (
+           |  SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |           AS target_uri,
+           |         'resource' AS rec_type, 'text/plain' AS content_type,
+           |         CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           |         sha256(text) AS payload_sha
+           |  FROM docs WHERE doc_id % 2 = 1),
+           |info AS (
+           |  SELECT CAST(NULL AS VARCHAR) AS target_uri,
+           |         'warcinfo' AS rec_type,
+           |         'application/warc-fields' AS content_type,
+           |         CAST(15 AS BIGINT) AS content_length,
+           |         sha256('software: graft') AS payload_sha
+           |  FROM range(0, 4))
+           |SELECT * FROM resp UNION ALL SELECT * FROM res
+           |UNION ALL SELECT * FROM info
+           |ORDER BY target_uri, rec_type""".stripMargin,
+
+      // archive bytes → curated text, restated: the response payloads'
+      // markup re-rendered from the corpus and pushed through the same
+      // SQL extraction pipeline the html_main_text oracle uses
+      "warc_extract" ->
+        s"""WITH h AS (
+           |  SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |           AS target_uri,
+           |         $SynthHtmlSql AS html
+           |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0)
+           |SELECT target_uri, ${HtmlOpsSql.mainText("html", 0.5)} AS text
+           |FROM h ORDER BY target_uri""".stripMargin,
 
       // literal VALUES from tools/html_reference.py (independent Python
       // statement of the extraction rules)
