@@ -1197,6 +1197,41 @@ object SparkEntry {
           "target_uri", "html", maxLinkDensity = 0.5)
         .orderBy(col("target_uri"))),
 
+    // Unicode NFC canonicalization (the pre-hash step of CCNet-style
+    // dedup: the same page crawled precomposed and as combining
+    // sequences must digest identically). Fixture appends DECOMPOSED
+    // material (e + U+0301, Å as U+212B, o + U+0308) to real corpus
+    // text in-query, identically in both engines; byte lengths pin that
+    // composition genuinely happened (3 code points disappear per row)
+    "text_normalize" -> ((s, dir) => {
+      val raw = concat(col("text"),
+        lit(" cafe\u0301 \u212Bngstro\u0308m"))
+      t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), TextOps.nfc(raw).as("nfc_text"),
+          octet_length(raw).cast("long").as("bytes_raw"),
+          octet_length(TextOps.nfc(raw)).cast("long").as("bytes_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // accent-folded match keys (strip_accents(lower(x)) semantics):
+    // `same_key` additionally pins Spark-side that the COMPOSED and
+    // DECOMPOSED spellings of the suffix fold to one key (the oracle
+    // states TRUE — strip_accents engines differ on bare combining
+    // marks, so the cross-engine row checks the composed arm and the
+    // composed-vs-decomposed equivalence is the Spark-side invariant)
+    "text_accent_fold" -> ((s, dir) => {
+      val composed = concat(col("text"),
+        lit(" CAF\u00C9 \u00DCn\u00EFcod\u00E9 \u00D1O\u00D1O"))
+      val decomposed = concat(col("text"),
+        lit(" CAFE\u0301 U\u0308nI\u0308codE\u0301 N\u0303ON\u0303O"))
+      t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"),
+          TextOps.accentFold(composed).as("folded"),
+          (TextOps.accentFold(composed) === TextOps.accentFold(decomposed))
+            .as("same_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // INTENT pin for the extraction semantics: six hand-written markup
     // fixtures (script/style/comment removal, block vs inline tags,
     // entity order, whitespace, density drop/keep, nested-anchor
@@ -4913,6 +4948,35 @@ object SparkEntry {
            |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0)
            |SELECT target_uri, ${HtmlOpsSql.mainText("html", 0.5)} AS text
            |FROM h ORDER BY target_uri""".stripMargin,
+
+      // the same decomposed suffix rebuilt from code points (chr(769) =
+      // U+0301 combining acute, chr(8491) = U+212B angstrom sign,
+      // chr(776) = U+0308 combining diaeresis), normalized by DuckDB's
+      // own nfc_normalize — byte lengths pin that 3 bytes per row
+      // genuinely composed away
+      "text_normalize" ->
+        """WITH v AS (
+          |  SELECT doc_id,
+          |         text || ' caf' || 'e' || chr(769) || ' ' || chr(8491) ||
+          |           'ngstro' || chr(776) || 'm' AS raw
+          |  FROM documents WHERE doc_id < 60)
+          |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+          |       CAST(octet_length(encode(raw)) AS BIGINT) AS bytes_raw,
+          |       CAST(octet_length(encode(nfc_normalize(raw))) AS BIGINT)
+          |         AS bytes_nfc
+          |FROM v ORDER BY doc_id""".stripMargin,
+
+      // strip_accents(lower(x)) over the COMPOSED arm; same_key is the
+      // Spark-side composed-vs-decomposed invariant (strip_accents
+      // engines differ on bare combining marks, so the oracle states it
+      // as the constant it must equal)
+      "text_accent_fold" ->
+        """SELECT doc_id,
+          |  strip_accents(lower(text || ' CAF' || chr(201) || ' ' ||
+          |    chr(220) || 'n' || chr(239) || 'cod' || chr(233) || ' ' ||
+          |    chr(209) || 'O' || chr(209) || 'O')) AS folded,
+          |  TRUE AS same_key
+          |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
       // literal VALUES from tools/html_reference.py (independent Python
       // statement of the extraction rules)

@@ -54,6 +54,20 @@ object TextOps {
   private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
 
+  /** Unicode NFC canonicalization (native codegen'd
+    * [[graft.plans.NfcNormalizeExpr]]) — run BEFORE content hashing so
+    * byte-level variants of identical text (precomposed vs combining
+    * sequences) dedup together; already-normalized rows pass through with
+    * zero allocation. */
+  def nfc(text: Column): Column =
+    bridged(graft.plans.NfcNormalizeExpr(expr(text)))
+
+  /** Accent-folded match key: lowercase then strip combining marks after
+    * canonical decomposition (`strip_accents(lower(x))` semantics), via
+    * the native [[graft.plans.AccentFoldExpr]]. */
+  def accentFold(text: Column): Column =
+    bridged(graft.plans.AccentFoldExpr(expr(text)))
+
   /** Polynomial rolling hash of a string: (acc*31 + codepoint) % P, via the
     * native codegen'd [[graft.plans.PolyHashExpr]]. */
   def polyHash(s: Column): Column =
