@@ -883,6 +883,30 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // keep-first exact dedup over the NFC-CANONICALIZED digest — the
+    // composition the normalization expression exists for: ids + 70000
+    // re-ship each doc's text with its accent suffix DECOMPOSED
+    // (e + U+0301 etc.), a byte-level variant a raw digest cannot see
+    // (raw sha256 keeps all 2n rows); canonicalize-then-digest collapses
+    // every variant onto its original. One map-side expression in front
+    // of the same min_by digest aggregate — the dedup plan is unchanged
+    "dedup_exact_normalized" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00E9 \u00C5ngstr\u00F6m"))
+            .as("text"))
+      val variants = base.select((col("doc_id") + 70000).as("doc_id"),
+        concat(substring(col("text"), lit(1),
+            (length(col("text")) - 14).cast("int")),
+          lit(" cafe\u0301 \u212Bngstro\u0308m")).as("text"))
+      Dedup.keepFirst(
+          base.unionByName(variants)
+            .select(col("doc_id"), TextOps.nfc(col("text")).as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup REMOVAL (keep rule): corpus minus rows with a lower-id
     // near-duplicate at Jaccard >= 0.5 — one anti-join over the pair stream
     "dedup_minhash_keep" -> ((s, dir) =>
@@ -1196,6 +1220,27 @@ object SparkEntry {
               graft.sources.Warc.httpBodyText(col("payload")).as("html")),
           "target_uri", "html", maxLinkDensity = 0.5)
         .orderBy(col("target_uri"))),
+
+    // the crawl's capture INDEX at rest (the public CDX convention):
+    // SURT-keyed bucketed table over the archive metadata, exercised
+    // through the full index lifecycle — build from shards 0-1, FAISS-
+    // add-style append of shards 2-3 (one parse per shard lifetime),
+    // compaction fold, then URL lookups that bucket-prune to the probed
+    // keys and never touch archive bytes; oracle restates every probed
+    // capture's fields from the documents construction
+    "warc_cdx_indexed" -> ((s, dir) => {
+      val fix = warcFixture(s, dir)
+      val tbl = s"${indexDb(s)}.warc_cdx_idx"
+      graft.sources.Warc.writeCdxIndex(s, s"$fix/shard{0,1}.warc", tbl,
+        buckets = 8)
+      graft.sources.Warc.appendCdxIndex(s, s"$fix/shard{2,3}.warc", tbl)
+      operators.Bucketing.compactBucketed(s, tbl)
+      graft.sources.Warc.lookupCdx(s, tbl,
+          (0 until 12).map(i => s"https://graft.test/doc/$i"))
+        .select(col("surt"), col("target_uri"), col("rec_type"),
+          col("content_length"), col("digest"))
+        .orderBy(col("target_uri"))
+    }),
 
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
     // dedup: the same page crawled precomposed and as combining
@@ -4517,6 +4562,28 @@ object SparkEntry {
            |                           ORDER BY doc_id) = 1
            |ORDER BY doc_id""".stripMargin,
 
+      // the same corpus construction (composed originals, decomposed
+      // +70000 variants), canonicalized by DuckDB's own nfc_normalize
+      // before the digest partition — every variant must collapse onto
+      // its original, so the survivor set is exactly the originals
+      "dedup_exact_normalized" ->
+        """WITH base AS (
+          |  SELECT doc_id, text || ' caf' || chr(233) || ' ' || chr(197) ||
+          |           'ngstr' || chr(246) || 'm' AS text
+          |  FROM documents WHERE doc_id < 200),
+          |variants AS (
+          |  SELECT doc_id + 70000 AS doc_id,
+          |         substr(text, 1, length(text) - 14) || ' caf' || 'e' ||
+          |           chr(769) || ' ' || chr(8491) || 'ngstro' || chr(776) ||
+          |           'm' AS text
+          |  FROM base),
+          |u AS (SELECT * FROM base UNION ALL SELECT * FROM variants)
+          |SELECT doc_id
+          |FROM (SELECT doc_id, nfc_normalize(text) AS nt FROM u)
+          |QUALIFY row_number() OVER (PARTITION BY sha256(nt)
+          |                           ORDER BY doc_id) = 1
+          |ORDER BY doc_id""".stripMargin,
+
       "dedup_minhash_lsh" -> {
         val thash = TextOpsSql.tokenHashes("toks")
         val shingles = TextOpsSql.shingleHashes("thash")
@@ -4948,6 +5015,30 @@ object SparkEntry {
            |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0)
            |SELECT target_uri, ${HtmlOpsSql.mainText("html", 0.5)} AS text
            |FROM h ORDER BY target_uri""".stripMargin,
+
+      // every probed capture restated from the construction: SURT =
+      // reversed host labels + ')' + path, lengths/digests recomputed as
+      // in warc_read — an index row that lost its offset provenance or
+      // picked up a stale digest through append/compact fails here
+      "warc_cdx_indexed" ->
+        s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 12),
+           |hh AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+           |         'Content-Type: text/html' || chr(13) || chr(10) ||
+           |         chr(13) || chr(10) AS v)
+           |SELECT 'test,graft)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+           |       'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |         AS target_uri,
+           |       CASE WHEN doc_id % 2 = 0 THEN 'response'
+           |            ELSE 'resource' END AS rec_type,
+           |       CAST(CASE WHEN doc_id % 2 = 0
+           |            THEN octet_length(encode(
+           |              (SELECT v FROM hh) || $SynthHtmlSql))
+           |            ELSE octet_length(encode(text)) END AS BIGINT)
+           |         AS content_length,
+           |       CASE WHEN doc_id % 2 = 0
+           |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
+           |            ELSE sha256(text) END AS digest
+           |FROM docs ORDER BY target_uri""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

@@ -185,6 +185,66 @@ object Warc {
       .otherwise(s)
   }
 
+  // ---- the crawl INDEX: CDX-style capture lookup, persisted at rest ----
+
+  /** SURT (Sort-friendly URI Reordering Transform — the public CDX index
+    * key convention): host labels reversed and comma-joined, `)` then the
+    * path+query, over the CANONICAL url — so all of a registered domain's
+    * captures sort (and bucket) together. Pure column expressions. */
+  def surtKey(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val canon = graft.functions.UrlOps.normalizeUrl(url)
+    val host = regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    val rest = regexp_replace(canon, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), rest)
+  }
+
+  /** One CDX row per parsed capture: SURT key, original URI, record type,
+    * (file, offset) — how a capture is re-fetched without re-scanning the
+    * corpus — byte length and payload digest. The metadata-only read:
+    * payload bytes feed the digest map-side and are never carried. */
+  def cdxRows(spark: SparkSession, warcPath: String): DataFrame =
+    readRecords(spark, warcPath)
+      .where(col("parse_ok") && col("target_uri").isNotNull)
+      .select(surtKey(col("target_uri")).as("surt"),
+        col("target_uri"), col("rec_type"), col("warc_file"),
+        col("rec_offset"), col("content_length"),
+        sha2(col("payload"), 256).as("digest"))
+
+  /**
+   * Persist the crawl's capture index as a bucketed managed table keyed
+   * on SURT — the engine's rendering of the public CDX index beside every
+   * crawl archive: URL-addressed capture lookup without touching archive
+   * bytes. Same at-rest lifecycle as the dedup/postings indexes:
+   * [[appendCdxIndex]] folds new shards in preserving the bucket layout
+   * (one parse per shard lifetime), `Bucketing.compactBucketed` is the
+   * maintenance fold, probes bucket-prune to the queried keys.
+   */
+  def writeCdxIndex(
+      spark: SparkSession, warcPath: String, table: String,
+      buckets: Int = 16): Unit =
+    graft.operators.Bucketing.writeBucketed(
+      cdxRows(spark, warcPath), table, "surt", buckets)
+
+  /** Index newly-arrived shards into the existing CDX table (bucket
+    * layout restated from the catalog, like every index append). */
+  def appendCdxIndex(
+      spark: SparkSession, warcPath: String, table: String): Unit =
+    graft.operators.DedupIndex.appendBucketed(
+      cdxRows(spark, warcPath), table)
+
+  /** Capture lookup by URL: the probe urls canonicalize to SURT keys
+    * through the SAME expression the index was built with (computed over
+    * a tiny local frame — one driver-bounded collect of the lookup set),
+    * and the scan prunes to those keys' buckets. */
+  def lookupCdx(
+      spark: SparkSession, table: String, urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(urls.nonEmpty, "lookupCdx: empty url set")
+    val keys = urls.toDF("u").select(surtKey(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    spark.table(table).where(col("surt").isin(keys: _*))
+  }
+
   // ---- fixture/sink side: render records to spec-shaped bytes ----
 
   /** Render one record (CRLF framing, the spec's mandatory headers). */

@@ -600,6 +600,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("cdx index lookup: bucket-pruned scan over the at-rest capture index") {
+    import graft.sources.Warc
+    val wh = java.nio.file.Files.createTempDirectory("cdx_wh").toString
+    graft.operators.Bucketing.scratchDb(spark, "cdx_audit", wh)
+    val dir = java.nio.file.Files.createTempDirectory("cdx_warc")
+    (0 until 2).foreach { shard =>
+      val bos = new java.io.ByteArrayOutputStream()
+      (0 until 8).map(i => shard * 8 + i).foreach { i =>
+        bos.write(Warc.renderRecord("resource",
+          Some(s"https://site$i.test/page/$i"), "2026-01-01T00:00:00Z",
+          "text/plain", s"capture $i".getBytes("UTF-8")))
+      }
+      java.nio.file.Files.write(dir.resolve(s"s$shard.warc"), bos.toByteArray)
+    }
+    Warc.writeCdxIndex(spark, s"$dir/s0.warc", "cdx_audit.cdx", buckets = 8)
+    Warc.appendCdxIndex(spark, s"$dir/s1.warc", "cdx_audit.cdx")
+    val out = Warc.lookupCdx(spark, "cdx_audit.cdx",
+      Seq("https://site3.test/page/3", "https://site12.test/page/12"))
+    // the lookup finds both captures (one from the build, one appended)
+    // with their provenance intact
+    val rows = out.select(col("target_uri"), col("rec_offset")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet ==
+      Set("https://site3.test/page/3", "https://site12.test/page/12"))
+    assert(rows.values.forall(_ >= 0L))
+    // and the scan is the bucketed index, pruned to <= 2 of 8 buckets —
+    // archive bytes are never touched by a lookup
+    val p = physical(out)
+    assert(p.contains("Bucketed: true"), s"lookup must scan the index:\n$p")
+    val sel = p.linesIterator.find(_.contains("SelectedBucketsCount"))
+      .getOrElse(fail(s"lookup must bucket-prune on the surt keys:\n$p"))
+    val selected = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(sel).map(_.group(1).toInt)
+      .getOrElse(fail(s"unparseable bucket count:\n$sel"))
+    assert(selected <= 2, s"pruned to <=2 buckets:\n$sel")
+  }
+
   test("postings index probe: bucket-pruned scan, dfreq aggregates in place") {
     import graft.operators.{Bucketing, Relevance}
     // the at-rest lexical-retrieval posture: writePostingsIndex persists
