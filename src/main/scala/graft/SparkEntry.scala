@@ -3490,6 +3490,16 @@ object SparkEntry {
           "html", minTokens = 12)
         .orderBy(col("doc_id"))),
 
+    // the archive-bytes ingest door: the 4 WARC fixture shards drain one
+    // per micro-batch through parse → HTTP strip → extraction → token
+    // gate, all stateless (micro-batch independent by construction);
+    // oracle restates the surviving uris + token counts from the same
+    // markup construction the stream's shards carry
+    "stream_warc_gate" -> ((s, dir) =>
+      Streams.warcGateStream(s, warcFixture(s, dir), minTokens = 40,
+          maxFilesPerTrigger = Some(1))
+        .orderBy(col("target_uri"))),
+
     "stream_window_counts" -> ((s, dir) =>
       Streams.windowedEventCounts(s, s"$dir/events.parquet")
         .orderBy(col("window_start"), col("event_type"))),
@@ -5015,6 +5025,23 @@ object SparkEntry {
            |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0)
            |SELECT target_uri, ${HtmlOpsSql.mainText("html", 0.5)} AS text
            |FROM h ORDER BY target_uri""".stripMargin,
+
+      // the gate rule restated from the same markup construction the
+      // stream's response records carry (response = even doc_ids < 40)
+      "stream_warc_gate" ->
+        s"""WITH h AS (SELECT doc_id, $SynthHtmlSql AS html
+           |           FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
+           |x AS (SELECT doc_id,
+           |             replace(${HtmlOpsSql.mainText("html", 0.5)},
+           |                     chr(10), ' ') AS text
+           |      FROM h)
+           |SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |         AS target_uri,
+           |       CAST(len(list_filter(string_split(text, ' '),
+           |                 t -> t <> '')) AS BIGINT) AS n_tokens
+           |FROM x
+           |WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 40
+           |ORDER BY target_uri""".stripMargin,
 
       // every probed capture restated from the construction: SURT =
       // reversed host labels + ')' + path, lengths/digests recomputed as

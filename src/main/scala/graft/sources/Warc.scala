@@ -159,17 +159,22 @@ object Warc {
    * consumers (type/URI filters, dedup on URI, per-shard accounting)
    * never pay decode or payload shuffle — the Multimodal column rule.
    */
+  /** Parse one shard's bytes (plain or gzip, sniffed) — the per-file unit
+    * [[readRecords]] distributes, also the batch body of the streaming
+    * ingest door ([[graft.streaming.Streams]]). */
+  def parseShard(file: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val base = new java.io.ByteArrayInputStream(bytes)
+    val in: java.io.InputStream =
+      if (isGzip(bytes)) new java.util.zip.GZIPInputStream(base) else base
+    parseStream(file, in)
+  }
+
   def readRecords(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val base = new java.io.ByteArrayInputStream(bytes)
-        val in: java.io.InputStream =
-          if (isGzip(bytes)) new java.util.zip.GZIPInputStream(base) else base
-        parseStream(p, in)
-      }
+      .flatMap { case (p, bytes) => parseShard(p, bytes) }
       .toDF()
   }
 

@@ -1114,6 +1114,44 @@ object Streams {
   }
 
   /**
+   * The crawl-ARCHIVE ingest door: WARC shards arriving in a drop
+   * directory (the unit a crawler actually delivers — one `binaryFile`
+   * row per shard, `maxFilesPerTrigger` paces shards per micro-batch)
+   * parse, strip HTTP heads, extract main text, and gate on token count
+   * in ONE stateless pass — record parse is a per-shard `flatMap`
+   * (`Warc.parseShard`, the same framing the batch reader distributes)
+   * and everything downstream is the [[htmlGateStream]] projection, so
+   * the door is micro-batch independent by construction. Corrupt shards
+   * contribute their parseable prefix and a flagged tail row the gate
+   * drops — one bad shard never stalls the stream.
+   */
+  def warcGateStream(
+      spark: SparkSession,
+      warcDir: String,
+      minTokens: Int,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.format("binaryFile").load(warcDir).schema
+    val reader = spark.readStream.format("binaryFile").schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val gated = reader.load(warcDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => graft.sources.Warc.parseShard(p, bytes) }
+      .toDF()
+      .where(col("parse_ok") && col("rec_type") === "response")
+      .select(col("target_uri"),
+        graft.functions.HtmlOps.mainText(
+          graft.sources.Warc.httpBodyText(col("payload")), 0.5).as("text"))
+      .select(col("target_uri"),
+        size(graft.functions.TextOps.tokens(
+          regexp_replace(col("text"), "\n", " "))).cast("long")
+          .as("n_tokens"))
+      .where(col("n_tokens") >= minTokens)
+    runToMemory(gated, "append", statePartitionsFor(warcDir))
+  }
+
+  /**
    * Stream-stream INTERVAL JOIN: each click joined to the same user's
    * purchases in the `within` interval after it — streaming attribution,
    * the two-sided stateful operator (both sides buffer state, the
