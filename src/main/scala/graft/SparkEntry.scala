@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -1240,6 +1240,59 @@ object SparkEntry {
         .select(col("surt"), col("target_uri"), col("rec_type"),
           col("content_length"), col("digest"))
         .orderBy(col("target_uri"))
+    }),
+
+    // the index's reason to exist at 100 TB: captures re-fetched by URL
+    // as RANGED reads of their stored spans (one gzip member for the gz
+    // shards, the raw record span for the plain ones) — probe resolves
+    // (file, offset, length) in the bucket-pruned index, fetch is one
+    // positioned read per capture, no shard scan; the oracle restates
+    // every fetched record's fields/digest from the documents
+    // construction, so a span that addressed the wrong member or sliced
+    // a record re-parses wrong and fails the row (WarcSpec additionally
+    // proves bytes outside the spans are never read)
+    "warc_fetch_ranged" -> ((s, dir) => {
+      val fix = warcFixture(s, dir)
+      val tbl = s"${indexDb(s)}.warc_cdx_fetch"
+      graft.sources.Warc.writeCdxIndex(s, fix, tbl, buckets = 8)
+      graft.sources.Warc.fetchCaptures(s, tbl,
+          (0 until 16).map(i => s"https://graft.test/doc/$i"))
+        .select(col("target_uri"), col("rec_type"), col("content_type"),
+          col("content_length"), sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy(col("target_uri"))
+    }),
+
+    // robots.txt URL admission (RFC 9309): even hosts carry a graftbot
+    // group (so the '*' group's Disallow:/ must be IGNORED — §2.2.1
+    // group selection), odd hosts only '*' (fallback); paths exercise
+    // longest-prefix-wins (/data/raw vs /data) and allow-over-disallow
+    // (/private/ok under /private). Rules parse from real robots.txt
+    // text; the oracle restates the RULE SET directly as VALUES and the
+    // match as SQL argmax — parse and gate cannot echo each other
+    "robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val even = "User-agent: graftbot\nDisallow: /private\n" +
+        "Allow: /private/ok\n\nUser-agent: *\nDisallow: /"
+      val odd = "User-agent: *\nDisallow: /private\n" +
+        "Disallow: /data/raw\nAllow: /data"
+      val robots = (0 until 5)
+        .map(k => (s"h$k.test", if (k % 2 == 0) even else odd))
+        .toDF("host", "txt")
+      val rules = Robots.parseRules(robots, "host", "txt")
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 6
+      val path = when(m === 0, concat(lit("/public/page"), id))
+        .when(m === 1, concat(lit("/private/page"), id))
+        .when(m === 2, concat(lit("/private/ok/page"), id))
+        .when(m === 3, concat(lit("/data/raw/x"), id))
+        .when(m === 4, concat(lit("/data/clean"), id))
+        .otherwise(lit(""))
+      val urls = t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+            lit(".test"), path).as("url"))
+      Robots.gate(urls, rules, "graftbot", "doc_id", "url")
+        .orderBy(col("doc_id"))
     }),
 
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
@@ -5066,6 +5119,73 @@ object SparkEntry {
            |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
            |            ELSE sha256(text) END AS digest
            |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // every ranged-fetched record restated from the construction (the
+      // warc_read per-record shape over the probed doc_ids) — a stored
+      // span addressing the wrong member or slicing a record re-parses
+      // to different fields/digest and fails here
+      "warc_fetch_ranged" ->
+        s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 16),
+           |hh AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+           |         'Content-Type: text/html' || chr(13) || chr(10) ||
+           |         chr(13) || chr(10) AS v)
+           |SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |         AS target_uri,
+           |       CASE WHEN doc_id % 2 = 0 THEN 'response'
+           |            ELSE 'resource' END AS rec_type,
+           |       CASE WHEN doc_id % 2 = 0
+           |            THEN 'application/http;msgtype=response'
+           |            ELSE 'text/plain' END AS content_type,
+           |       CAST(CASE WHEN doc_id % 2 = 0
+           |            THEN octet_length(encode(
+           |              (SELECT v FROM hh) || $SynthHtmlSql))
+           |            ELSE octet_length(encode(text)) END AS BIGINT)
+           |         AS content_length,
+           |       CASE WHEN doc_id % 2 = 0
+           |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
+           |            ELSE sha256(text) END AS payload_sha
+           |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // the applicable rule set restated as VALUES (group selection
+      // pre-resolved: par 0 = what graftbot sees on even hosts, par 1 =
+      // the '*' fallback on odd hosts) and the RFC match as SQL argmax —
+      // longest prefix, allow over disallow, no match admits
+      "robots_gate" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |         CASE doc_id % 6
+          |           WHEN 0 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+          |           WHEN 1 THEN '/private/page' || CAST(doc_id AS VARCHAR)
+          |           WHEN 2 THEN '/private/ok/page' || CAST(doc_id AS VARCHAR)
+          |           WHEN 3 THEN '/data/raw/x' || CAST(doc_id AS VARCHAR)
+          |           WHEN 4 THEN '/data/clean' || CAST(doc_id AS VARCHAR)
+          |           ELSE '' END AS rawpath,
+          |         doc_id % 5 AS k
+          |  FROM documents WHERE doc_id < 100),
+          |p AS (
+          |  SELECT doc_id,
+          |         'https://h' || CAST(k AS VARCHAR) || '.test' || rawpath
+          |           AS url,
+          |         CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+          |         k % 2 AS par
+          |  FROM u),
+          |r AS (SELECT * FROM (VALUES
+          |        (0, FALSE, '/private'), (0, TRUE, '/private/ok'),
+          |        (1, FALSE, '/private'), (1, FALSE, '/data/raw'),
+          |        (1, TRUE, '/data')) t(par, allow, prefix)),
+          |j AS (
+          |  SELECT p.doc_id, p.url, r.allow, r.prefix
+          |  FROM p LEFT JOIN r
+          |    ON r.par = p.par AND starts_with(p.path, r.prefix)),
+          |best AS (
+          |  SELECT doc_id, url, allow, prefix,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY length(prefix) DESC,
+          |                    CAST(allow AS INT) DESC, prefix DESC) AS rn
+          |  FROM j)
+          |SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
+          |       prefix AS rule_prefix
+          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * robots.txt URL admission (RFC 9309, the Robots Exclusion Protocol) —
+ * the politeness gate in front of a crawl frontier: before a URL is
+ * fetched (or, curation-side, before a capture is admitted into a
+ * corpus whose license posture excludes disallowed paths), the host's
+ * robots rules decide it. Reference analogue: the per-table
+ * include/exclude selection gating what the uploader touches
+ * (`BdeUploadUtilities.pm` table selection), re-expressed for URLs.
+ *
+ * Semantics implemented (the RFC core):
+ *  - a robots.txt is GROUPS: one or more `User-agent:` lines followed by
+ *    `Allow:` / `Disallow:` rules — a rule belongs to every agent named
+ *    by its group;
+ *  - group selection: the gate's agent's own groups if any exist for it,
+ *    else the `*` groups (RFC 9309 §2.2.1 — most-specific match; this
+ *    module matches agent tokens exactly/`*`, not by product-token
+ *    prefix);
+ *  - rule selection per URL: the LONGEST matching path prefix wins, and
+ *    at equal length `Allow` beats `Disallow` (§2.2.2); an empty
+ *    `Disallow:` matches nothing; no matching rule → allowed;
+ *  - `*`/`$` wildcard patterns are NOT expanded (stated cut: the RFC
+ *    makes them optional "special characters"; prefix rules are the
+ *    overwhelming deployed case — a pattern arm would slot into
+ *    `__plen`/match with a regex compile per rule).
+ *
+ * Scale shape: parsing is one per-(host,file) `flatMap` (the same
+ * per-record imperative-parse family as the WARC/BDE readers — group
+ * state is inherently sequential within ONE file, files parse in
+ * parallel); the rules table is tiny next to the URL stream and
+ * BROADCASTS, so the gate is a map-side join + one bounded per-URL
+ * argmax aggregate — the URL stream never shuffles by host.
+ */
+object Robots {
+
+  final case class RobotsRule(
+      host: String, agent: String, allow: Boolean, prefix: String)
+
+  /** Parse (host, robots.txt text) rows into one rule per row. Lines that
+    * fit no production (comments, unknown directives, rules before any
+    * `User-agent:`) are ignored, per the RFC's parse-what-you-can rule. */
+  def parseRules(
+      df: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+        var agents = List.empty[String]
+        var inGroupHeader = false
+        Option(txt).getOrElse("").linesIterator.foreach { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val i = line.indexOf(':')
+          if (i > 0) {
+            val field = line.substring(0, i).trim.toLowerCase
+            val value = line.substring(i + 1).trim
+            field match {
+              case "user-agent" =>
+                // consecutive User-agent lines open ONE group for all of
+                // them; a User-agent after rules starts a NEW group
+                agents =
+                  if (inGroupHeader) value.toLowerCase :: agents
+                  else List(value.toLowerCase)
+                inGroupHeader = true
+              case "allow" | "disallow" if agents.nonEmpty =>
+                inGroupHeader = false
+                // empty Disallow = "matches nothing" (explicitly legal);
+                // empty Allow likewise adds no information — drop both
+                if (value.nonEmpty)
+                  agents.foreach(a =>
+                    out += RobotsRule(host, a, field == "allow", value))
+              case _ => inGroupHeader = false
+            }
+          }
+        }
+        out
+      }
+      .toDF()
+  }
+
+  /**
+   * Admit each URL its host's rules allow for `agent`. `urls` carries
+   * (idCol, urlCol); returns (idCol, urlCol, allowed, rule_prefix) —
+   * `rule_prefix` the deciding rule's prefix (null when no rule matched,
+   * which admits). One broadcast join + one bounded per-URL argmax.
+   */
+  def gate(
+      urls: DataFrame, rules: DataFrame, agent: String,
+      idCol: String, urlCol: String): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val path0 = regexp_replace(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val a = lit(agent.toLowerCase)
+    // RFC group selection: the agent's own groups if it has any on that
+    // host, else the '*' groups — resolved per host BEFORE the URL join
+    // so the broadcast side stays one row per applicable rule
+    val perHost = rules.groupBy(col("host"))
+      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
+    val applicable = rules.join(perHost, "host")
+      .where(when(col("__own") === 1, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .select(col("host").as("__rh"), col("allow"), col("prefix"))
+    val joined = urls
+      .withColumn("__host", host).withColumn("__path", path)
+      .join(broadcast(applicable),
+        col("__host") === col("__rh") &&
+          col("__path").startsWith(col("prefix")),
+        "left")
+    // longest prefix wins; ties break to allow — exactly max over the
+    // (length, allow) pair; no match (null length) admits
+    val verdict = joined.groupBy(col(idCol))
+      .agg(first(col(urlCol)).as(urlCol),
+        max_by(struct(length(col("prefix")).as("l"),
+            col("allow").cast("int").as("a"), col("prefix").as("p")),
+          // prefix itself is the last tiebreak so the REPORTED deciding
+          // rule is deterministic when two equal-length same-verdict
+          // rules both match
+          struct(length(col("prefix")), col("allow").cast("int"),
+            col("prefix")))
+          .as("__best"))
+    verdict.select(col(idCol), col(urlCol),
+      coalesce(col("__best.a") === 1, lit(true)).as("allowed"),
+      col("__best.p").as("rule_prefix"))
+  }
+}

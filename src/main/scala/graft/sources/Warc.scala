@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
  */
 object Warc {
 
+  /** `stored_offset`/`stored_length` are the record's AT-REST byte span in
+    * its shard — the compressed gzip-member span for `.warc.gz` input (the
+    * public CDX convention: compressed offset + length is what makes a
+    * capture one ranged read instead of an archive scan), the raw record
+    * span for plain input. `rec_offset` stays the DECOMPRESSED-stream
+    * offset (the address a sequential reader walks). */
   final case class WarcRecord(
       warc_file: String,
       rec_offset: Long,
@@ -46,7 +52,9 @@ object Warc {
       content_type: String,
       content_length: Long,
       payload: Array[Byte],
-      parse_ok: Boolean)
+      parse_ok: Boolean,
+      stored_offset: Long,
+      stored_length: Long)
 
   private[sources] def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
@@ -103,7 +111,7 @@ object Warc {
       private var done = false
       private def bad(offset: Long): WarcRecord =
         WarcRecord(file, offset, "", null, null, null, -1L,
-          Array.emptyByteArray, parse_ok = false)
+          Array.emptyByteArray, parse_ok = false, offset, 0L)
       private def advance(): Unit = {
         if (done) return
         // skip the record separator / any stray blank lines
@@ -132,12 +140,17 @@ object Warc {
               .flatMap(readFully(in, _)) match {
               case None => nextRec = bad(offset); done = true
               case Some(payload) =>
+                // stored span: through the payload plus the two record-
+                // separator CRLFs (may overrun a separator-less EOF by ≤4
+                // bytes — a ranged re-read just gets a shorter tail, and
+                // the payload is complete, so the re-parse still lands)
                 nextRec = WarcRecord(file, offset,
                   headers.getOrElse("warc-type", ""),
                   headers.getOrElse("warc-target-uri", null),
                   headers.getOrElse("warc-date", null),
                   headers.getOrElse("content-type", null),
-                  payload.length.toLong, payload, parse_ok = true)
+                  payload.length.toLong, payload, parse_ok = true,
+                  offset, in.count - offset + 4L)
             }
         }
       }
@@ -159,14 +172,107 @@ object Warc {
    * consumers (type/URI filters, dedup on URI, per-shard accounting)
    * never pay decode or payload shuffle — the Multimodal column rule.
    */
+  /** One decoded gzip member: its compressed span in the shard and its
+    * decompressed bytes. `None` = corrupt member (bad header, deflate
+    * error, truncation, CRC/ISIZE mismatch) — the caller flags and stops,
+    * the same no-trustworthy-resync rule as a Content-Length violation. */
+  private final class GzipMembers(bytes: Array[Byte])
+      extends Iterator[Option[(Long, Long, Array[Byte])]] {
+    private var pos = 0
+    private var dead = false
+    override def hasNext: Boolean = !dead && pos < bytes.length
+    override def next(): Option[(Long, Long, Array[Byte])] = {
+      val start = pos
+      val d = dataStart(start)
+      if (d < 0) { dead = true; return None }
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, d, bytes.length - d)
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      try {
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException =>
+              dead = true; return None }
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput()) { dead = true; return None } // truncated
+        }
+        val end = d + inf.getBytesRead.toInt + 8 // + CRC32 + ISIZE trailer
+        if (end > bytes.length) { dead = true; return None }
+        val data = out.toByteArray
+        val crc = new java.util.zip.CRC32(); crc.update(data)
+        if (le32(d + inf.getBytesRead.toInt) != (crc.getValue & 0xffffffffL) ||
+          le32(d + inf.getBytesRead.toInt + 4) != (data.length & 0xffffffffL)) {
+          dead = true; return None
+        }
+        pos = end
+        Some((start.toLong, (end - start).toLong, data))
+      } finally inf.end()
+    }
+    private def le32(i: Int): Long =
+      if (i + 4 > bytes.length) -1L
+      else (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    /** Offset of the deflate stream inside the member at `p`, or -1. */
+    private def dataStart(p: Int): Int = {
+      if (p + 10 > bytes.length || (bytes(p) & 0xff) != 0x1f ||
+        (bytes(p + 1) & 0xff) != 0x8b || bytes(p + 2) != 8) return -1
+      val flg = bytes(p + 3) & 0xff
+      var i = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (i + 2 > bytes.length) return -1
+        i += 2 + ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (i < bytes.length && bytes(i) != 0) i += 1
+        i += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (i < bytes.length && bytes(i) != 0) i += 1
+        i += 1
+      }
+      if ((flg & 2) != 0) i += 2 // FHCRC
+      if (i >= bytes.length) -1 else i
+    }
+  }
+
   /** Parse one shard's bytes (plain or gzip, sniffed) — the per-file unit
     * [[readRecords]] distributes, also the batch body of the streaming
-    * ingest door ([[graft.streaming.Streams]]). */
+    * ingest door ([[graft.streaming.Streams]]). Gzip shards walk one
+    * MEMBER at a time (never more than one record's payload in memory),
+    * recording each member's compressed span as the records' stored span
+    * — how [[fetchCaptures]] re-reads a capture without the shard — and
+    * a corrupt member (bad header/deflate/CRC) flags a `parse_ok=false`
+    * tail instead of throwing, same as a Content-Length violation. */
   def parseShard(file: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
-    val base = new java.io.ByteArrayInputStream(bytes)
-    val in: java.io.InputStream =
-      if (isGzip(bytes)) new java.util.zip.GZIPInputStream(base) else base
-    parseStream(file, in)
+    if (!isGzip(bytes))
+      return parseStream(file, new java.io.ByteArrayInputStream(bytes))
+    val members = new GzipMembers(bytes)
+    var decompBase = 0L
+    val raw = members.flatMap {
+      case None =>
+        Iterator.single(WarcRecord(file, decompBase, "", null, null, null,
+          -1L, Array.emptyByteArray, parse_ok = false, decompBase, 0L))
+      case Some((mOff, mLen, data)) =>
+        val base = decompBase
+        decompBase += data.length
+        parseStream(file, new java.io.ByteArrayInputStream(data)).map { r =>
+          r.copy(rec_offset = r.rec_offset + base, stored_offset = mOff,
+            stored_length = if (r.parse_ok) mLen else 0L)
+        }
+    }
+    // one flagged row then stop — a framing violation inside a member has
+    // no trustworthy resync either (the stream rule, member-aware)
+    new Iterator[WarcRecord] {
+      private var emittedBad = false
+      override def hasNext: Boolean = !emittedBad && raw.hasNext
+      override def next(): WarcRecord = {
+        val r = raw.next()
+        if (!r.parse_ok) emittedBad = true
+        r
+      }
+    }
   }
 
   def readRecords(spark: SparkSession, path: String): DataFrame = {
@@ -213,7 +319,8 @@ object Warc {
       .select(surtKey(col("target_uri")).as("surt"),
         col("target_uri"), col("rec_type"), col("warc_file"),
         col("rec_offset"), col("content_length"),
-        sha2(col("payload"), 256).as("digest"))
+        sha2(col("payload"), 256).as("digest"),
+        col("stored_offset"), col("stored_length"))
 
   /**
    * Persist the crawl's capture index as a bucketed managed table keyed
@@ -248,6 +355,76 @@ object Warc {
     val keys = urls.toDF("u").select(surtKey(col("u")))
       .collect().map(_.getString(0)).toSeq
     spark.table(table).where(col("surt").isin(keys: _*))
+  }
+
+  /** Hadoop `Configuration` is not `Serializable`; this is the standard
+    * write/readFields envelope so fetch tasks see the session's FS config
+    * (credentials, object-store endpoints) instead of a bare default. */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /**
+   * Re-fetch captures by URL through the index as RANGED reads — the
+   * reason a CDX index exists beside a 100 TB archive: the probe resolves
+   * each URL to (file, stored_offset, stored_length) in the bucket-pruned
+   * index scan, and each capture is then ONE positioned read of its
+   * stored span (a single gzip member for `.warc.gz` shards) — archive
+   * bytes outside the requested spans are never touched, and no shard is
+   * scanned. Fetch work partitions by shard file (one open stream per
+   * file per task) with spans read in ascending offset order (sequential
+   * disk motion; on object stores, one GET per span). Returned rows are
+   * the re-parsed records; `rec_offset` is span-relative (provenance is
+   * the carried `stored_offset`).
+   */
+  def fetchCaptures(
+      spark: SparkSession, table: String, urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val caps = lookupCdx(spark, table, urls)
+      .select(col("warc_file"), col("stored_offset"), col("stored_length"),
+        col("target_uri"))
+      .distinct()
+    val conf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    caps.as[(String, Long, Long, String)]
+      .repartition(col("warc_file"))
+      .sortWithinPartitions(col("warc_file"), col("stored_offset"))
+      .mapPartitions { iter =>
+        var curFile: String = null
+        var curLen = 0L
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit = if (in != null) { in.close(); in = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        iter.flatMap { case (file, off, len, uri) =>
+          if (file != curFile) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(file)
+            val fs = p.getFileSystem(conf.value.value)
+            curLen = fs.getFileStatus(p).getLen
+            in = fs.open(p)
+            curFile = file
+          }
+          // the stored span may overrun a separator-less EOF by ≤4 bytes
+          // (plain shards) — clamp, the payload itself is complete
+          val n = math.min(len, curLen - off).toInt
+          val buf = new Array[Byte](math.max(n, 0))
+          in.readFully(off, buf)
+          parseShard(file, buf)
+            .filter(r => r.parse_ok && r.target_uri == uri)
+            .map(_.copy(stored_offset = off, stored_length = len))
+        }
+      }
+      .toDF()
   }
 
   // ---- fixture/sink side: render records to spec-shaped bytes ----

@@ -114,6 +114,126 @@ class WarcSpec extends SparkSuite {
     assert(got(0).getAs[Long]("content_length") == 0L)
   }
 
+  test("stored spans: plain = the record's own bytes, gz = its member's bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_span")
+    val recs = (0 until 3).map(i => renderRecord("resource",
+      Some(s"https://x.test/$i"), "2026-01-01T00:00:00Z", "text/plain",
+      utf8(s"payload $i with some differing lengths ${"x" * i}")))
+    writeFile(dir, "plain.warc", concatBytes(recs: _*))
+    val members = recs.map(gzipMember)
+    writeFile(dir, "gz.warc", concatBytes(members: _*))
+    val got = readRecords(spark, dir.toString)
+      .select(col("warc_file"), col("target_uri"),
+        col("stored_offset"), col("stored_length"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val plainOffs = recs.scanLeft(0L)(_ + _.length)
+    val gzOffs = members.scanLeft(0L)(_ + _.length)
+    (0 until 3).foreach { i =>
+      assert(got.contains(("plain.warc", s"https://x.test/$i",
+        plainOffs(i), recs(i).length.toLong)))
+      assert(got.contains(("gz.warc", s"https://x.test/$i",
+        gzOffs(i), members(i).length.toLong)))
+    }
+  }
+
+  test("corrupt gzip member flags a bad tail and stops — no throw") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_gzbad")
+    val good = gzipMember(renderRecord("resource", Some("https://x.test/ok"),
+      "2026-01-01T00:00:00Z", "text/plain", utf8("fine")))
+    val corrupt = gzipMember(renderRecord("resource", Some("https://x.test/no"),
+      "2026-01-01T00:00:00Z", "text/plain", utf8("gone")))
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x55).toByte
+    val after = gzipMember(renderRecord("resource", Some("https://x.test/later"),
+      "2026-01-01T00:00:00Z", "text/plain", utf8("unreached")))
+    writeFile(dir, "mid.warc", concatBytes(good, corrupt, after))
+    // CRC-valid members whose DECOMPRESSED content violates framing also
+    // flag (member boundaries are not a resync point for record framing)
+    writeFile(dir, "frame.warc", concatBytes(good, gzipMember(utf8("junk"))))
+    val got = readRecords(spark, dir.toString)
+      .select(col("warc_file"), col("parse_ok"), col("target_uri"))
+      .collect()
+      .groupBy(_.getString(0).split('/').last)
+      .view.mapValues(_.map(r => (r.getBoolean(1), r.getString(2))).toSeq.sortBy(_.toString))
+      .toMap
+    assert(got("mid.warc") == Seq((false, null), (true, "https://x.test/ok")))
+    assert(got("frame.warc") == Seq((false, null), (true, "https://x.test/ok")))
+  }
+
+  private lazy val cdxDb: String = {
+    val loc = java.nio.file.Files.createTempDirectory("warc_cdx_spec").toString
+    graft.operators.Bucketing.scratchDb(spark, "warc_cdx_spec", loc)
+    "warc_cdx_spec"
+  }
+
+  test("fetchCaptures reads ONLY the indexed spans: every other byte scrambled") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_fetch")
+    val date = "2026-01-01T00:00:00Z"
+    def rec(i: Int) = renderRecord("resource", Some(s"https://x.test/$i"),
+      date, "text/plain", utf8(s"span-proof payload number $i"))
+    // shard 0 plain (records 0-3), shard 1 gz members (records 4-7)
+    writeFile(dir, "s0.warc", concatBytes((0 until 4).map(rec): _*))
+    writeFile(dir, "s1.warc",
+      concatBytes((4 until 8).map(i => gzipMember(rec(i))): _*))
+    val tbl = s"$cdxDb.fetch_span_proof"
+    writeCdxIndex(spark, dir.toString, tbl, buckets = 4)
+    val want = Seq(1, 2, 5, 6) // a plain pair and a gz pair
+    val spans = spark.table(tbl)
+      .where(col("target_uri").isin(want.map(i => s"https://x.test/$i"): _*))
+      .select(col("warc_file"), col("stored_offset"), col("stored_length"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // scramble every byte OUTSIDE the wanted spans, in place
+    Seq("s0.warc", "s1.warc").foreach { name =>
+      val p = dir.resolve(name)
+      val b = java.nio.file.Files.readAllBytes(p)
+      val keep = new Array[Boolean](b.length)
+      spans.filter(_._1.endsWith(name)).foreach { case (_, off, len) =>
+        (off until math.min(off + len, b.length.toLong))
+          .foreach(i => keep(i.toInt) = true)
+      }
+      b.indices.foreach(i => if (!keep(i)) b(i) = 0xFF.toByte)
+      java.nio.file.Files.write(p, b)
+    }
+    val got = fetchCaptures(spark, tbl, want.map(i => s"https://x.test/$i"))
+      .select(col("target_uri"), col("payload"))
+      .collect()
+      .map(r => (r.getString(0),
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+      .toMap
+    assert(got == want.map(i =>
+      s"https://x.test/$i" -> s"span-proof payload number $i").toMap)
+  }
+
+  test("fetchCaptures equals the sequential read for both layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_fetch_eq")
+    val date = "2026-01-01T00:00:00Z"
+    val recs = (0 until 6).map { i =>
+      renderRecord(if (i % 2 == 0) "response" else "resource",
+        Some(s"https://y.test/p/$i"), date, "text/plain",
+        utf8(s"content $i ${"pad" * (i % 3)}"))
+    }
+    writeFile(dir, "p.warc", concatBytes(recs.take(3): _*))
+    writeFile(dir, "g.warc",
+      concatBytes(recs.drop(3).map(gzipMember): _*))
+    val tbl = s"$cdxDb.fetch_eq"
+    writeCdxIndex(spark, dir.toString, tbl, buckets = 4)
+    val urls = (0 until 6).map(i => s"https://y.test/p/$i")
+    val fetched = fetchCaptures(spark, tbl, urls)
+      .select(col("target_uri"), col("rec_type"), col("content_length"),
+        sha2(col("payload"), 256).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    val scanned = readRecords(spark, dir.toString)
+      .where(col("parse_ok"))
+      .select(col("target_uri"), col("rec_type"), col("content_length"),
+        sha2(col("payload"), 256).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(fetched == scanned && fetched.size == 6)
+  }
+
   test("httpBodyText strips the HTTP header block; non-HTTP passes through") {
     val spark2 = spark
     import spark2.implicits._
