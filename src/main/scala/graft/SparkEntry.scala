@@ -1295,6 +1295,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the RFC 9309 special characters: '*' spans, trailing '$' anchors.
+    // Rules exercise wildcard-vs-prefix ties at equal pattern length
+    // (/docs/* vs /*.pdf$, both 7 octets — allow wins), an end anchor
+    // that must NOT match a longer path, and a mid-pattern '*'; the
+    // oracle hand-writes the translated regexes as VALUES, so the
+    // engine's regexp construction cannot echo into the check
+    "robots_gate_wildcard" -> ((s, dir) => {
+      import s.implicits._
+      val txt = "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/*\n" +
+        "Disallow: /docs\nDisallow: /tmp/*/cache"
+      val rules = Robots.parseRules(
+        Seq(("w.test", txt)).toDF("host", "txt"), "host", "txt")
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 6
+      val path = when(m === 0, concat(lit("/docs/file"), id, lit(".html")))
+        .when(m === 1, concat(lit("/files/report"), id, lit(".pdf")))
+        .when(m === 2, concat(lit("/docs/x"), id, lit(".pdf")))
+        .when(m === 3, concat(lit("/tmp/a"), id, lit("/cache")))
+        .when(m === 4, concat(lit("/files/report"), id, lit(".pdfx")))
+        .otherwise(concat(lit("/other"), id))
+      val urls = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id"),
+          concat(lit("https://w.test"), path).as("url"))
+      Robots.gate(urls, rules, "anybot", "doc_id", "url")
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
     // dedup: the same page crawled precomposed and as combining
     // sequences must digest identically). Fixture appends DECOMPOSED
@@ -5185,6 +5212,45 @@ object SparkEntry {
           |  FROM j)
           |SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
           |       prefix AS rule_prefix
+          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // the wildcard rules restated with HAND-WRITTEN translated regexes
+      // (the engine derives its regexes by expression; a translation bug
+      // cannot echo here) and the RFC argmax over pattern octet length
+      "robots_gate_wildcard" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |         CASE doc_id % 6
+          |           WHEN 0 THEN '/docs/file' || CAST(doc_id AS VARCHAR)
+          |                       || '.html'
+          |           WHEN 1 THEN '/files/report' || CAST(doc_id AS VARCHAR)
+          |                       || '.pdf'
+          |           WHEN 2 THEN '/docs/x' || CAST(doc_id AS VARCHAR)
+          |                       || '.pdf'
+          |           WHEN 3 THEN '/tmp/a' || CAST(doc_id AS VARCHAR)
+          |                       || '/cache'
+          |           WHEN 4 THEN '/files/report' || CAST(doc_id AS VARCHAR)
+          |                       || '.pdfx'
+          |           ELSE '/other' || CAST(doc_id AS VARCHAR) END AS path
+          |  FROM documents WHERE doc_id < 120),
+          |p AS (SELECT doc_id, 'https://w.test' || path AS url, path FROM u),
+          |r AS (SELECT * FROM (VALUES
+          |        (TRUE,  '/docs/*',      '^/docs/.*'),
+          |        (FALSE, '/*.pdf$',      '^/.*\.pdf$'),
+          |        (FALSE, '/docs',        '^/docs'),
+          |        (FALSE, '/tmp/*/cache', '^/tmp/.*/cache'))
+          |        t(allow, pat, rx)),
+          |j AS (
+          |  SELECT p.doc_id, p.url, r.allow, r.pat
+          |  FROM p LEFT JOIN r ON regexp_matches(p.path, r.rx)),
+          |best AS (
+          |  SELECT doc_id, url, allow, pat,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY length(pat) DESC,
+          |                    CAST(allow AS INT) DESC, pat DESC) AS rn
+          |  FROM j)
+          |SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
+          |       pat AS rule_prefix
           |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =

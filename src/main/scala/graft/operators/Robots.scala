@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
  *    else the `*` groups (RFC 9309 §2.2.1 — most-specific match; this
  *    module matches agent tokens exactly/`*`, not by product-token
  *    prefix);
- *  - rule selection per URL: the LONGEST matching path prefix wins, and
- *    at equal length `Allow` beats `Disallow` (§2.2.2); an empty
- *    `Disallow:` matches nothing; no matching rule → allowed;
- *  - `*`/`$` wildcard patterns are NOT expanded (stated cut: the RFC
- *    makes them optional "special characters"; prefix rules are the
- *    overwhelming deployed case — a pattern arm would slot into
- *    `__plen`/match with a regex compile per rule).
+ *  - rule selection per URL: the LONGEST matching pattern wins (RFC
+ *    §2.2.2 "most specific" = octet length of the pattern), and at
+ *    equal length `Allow` beats `Disallow`; an empty `Disallow:`
+ *    matches nothing; no matching rule → allowed;
+ *  - `*`/`$` special characters (RFC §2.2.3): `*` matches any span,
+ *    a trailing `$` anchors the pattern at the URL's end — wildcard
+ *    rules translate to an anchored regex ON THE BROADCAST SIDE (a
+ *    few `regexp_replace`s over the tiny rules frame); plain-prefix
+ *    rules keep the cheap `startsWith` arm, so the common case never
+ *    pays a regex.
  *
  * Scale shape: parsing is one per-(host,file) `flatMap` (the same
  * per-record imperative-parse family as the WARC/BDE readers — group
@@ -103,15 +106,27 @@ object Robots {
     // so the broadcast side stays one row per applicable rule
     val perHost = rules.groupBy(col("host"))
       .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
+    // wildcard rules (RFC §2.2.3) become an anchored regex, built with
+    // column expressions over the tiny broadcast side: strip a trailing
+    // '$' (the end anchor), escape regex metacharacters, expand '*';
+    // plain-prefix rules keep the startsWith fast path
+    val anchored = col("prefix").endsWith("$")
+    val core = when(anchored,
+      expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
+    val esc = regexp_replace(core, "[.^$+?()\\[\\]{}|\\\\]", "\\\\$0")
+    val rx = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
     val applicable = rules.join(perHost, "host")
       .where(when(col("__own") === 1, col("agent") === a)
         .otherwise(col("agent") === "*"))
-      .select(col("host").as("__rh"), col("allow"), col("prefix"))
+      .select(col("host").as("__rh"), col("allow"), col("prefix"),
+        (col("prefix").contains("*") || anchored).as("__wild"), rx.as("__rx"))
     val joined = urls
       .withColumn("__host", host).withColumn("__path", path)
       .join(broadcast(applicable),
         col("__host") === col("__rh") &&
-          col("__path").startsWith(col("prefix")),
+          when(col("__wild"), regexp_like(col("__path"), col("__rx")))
+            .otherwise(col("__path").startsWith(col("prefix"))),
         "left")
     // longest prefix wins; ties break to allow — exactly max over the
     // (length, allow) pair; no match (null length) admits

@@ -44,13 +44,25 @@ class RobotsSpec extends SparkSuite {
     assert(got == 0L)
   }
 
+  /** Independent wildcard match: split on '*', quote the literal parts,
+    * prefix-anchor with find() (nothing shared with the gate's
+    * regexp_replace translation chain). */
+  private def patMatches(path: String, pat: String): Boolean = {
+    val anchored = pat.endsWith("$")
+    val core = if (anchored) pat.dropRight(1) else pat
+    val rx = "^" + core.split("\\*", -1)
+      .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+      .mkString(".*") + (if (anchored) "$" else "")
+    java.util.regex.Pattern.compile(rx).matcher(path).find()
+  }
+
   private def naive(
       rules: Seq[(String, String, Boolean, String)],
       host: String, path: String, agent: String): (Boolean, Option[String]) = {
     val onHost = rules.filter(_._1 == host)
     val own = onHost.filter(_._2 == agent)
     val applicable = if (own.nonEmpty) own else onHost.filter(_._2 == "*")
-    val hit = applicable.filter(r => path.startsWith(r._4))
+    val hit = applicable.filter(r => patMatches(path, r._4))
     if (hit.isEmpty) (true, None)
     else {
       val best = hit.maxBy(r => (r._4.length, r._3, r._4))
@@ -104,12 +116,41 @@ class RobotsSpec extends SparkSuite {
     assert(got(2L) == (false, Some("/")))
   }
 
+  test("wildcards: '*' spans, trailing '$' anchors, regex metachars stay literal") {
+    val rules = Seq(
+      ("h.test", "*", false, "/*.pdf$"),
+      ("h.test", "*", true, "/docs/*"),
+      ("h.test", "*", false, "/docs"),
+      ("h.test", "*", false, "/a+b"), // '+' must match literally
+      ("h.test", "*", false, "/tmp/*/cache"))
+    val urls = Seq(
+      (1L, "https://h.test/files/x.pdf"), // anchored wildcard hits
+      (2L, "https://h.test/files/x.pdfy"), // anchor rejects
+      (3L, "https://h.test/docs/x.pdf"), // 7-octet tie → allow wins
+      (4L, "https://h.test/a+b/c"), // literal '+'
+      (5L, "https://h.test/aab/c"), // would match if '+' were regex
+      (6L, "https://h.test/tmp/deep/er/cache"))
+    val got = runGate2(rules, urls, "any")
+    assert(got(1L) == (false, Some("/*.pdf$")))
+    assert(got(2L) == (true, None))
+    assert(got(3L) == (true, Some("/docs/*")))
+    assert(got(4L) == (false, Some("/a+b")))
+    assert(got(5L) == (true, None))
+    assert(got(6L) == (false, Some("/tmp/*/cache")))
+    urls.foreach { case (id, u) =>
+      val path = u.stripPrefix("https://h.test")
+      assert(got(id) == naive(rules, "h.test", path, "any"))
+    }
+  }
+
   test("property: any rule set, any URLs — equals the sequential evaluator") {
     val hosts = Seq("a.test", "b.test")
     val agents = Seq("me", "other", "*")
     val segs = Seq("/x", "/y", "/xy", "/x/1")
     val genPrefix = Gen.choose(1, 2)
       .flatMap(n => Gen.listOfN(n, Gen.oneOf(segs)).map(_.mkString))
+      .flatMap(p => Gen.oneOf(p, p.replaceFirst("/([^/]+)$", "/*"),
+        p + "$", "/*" + p.drop(2)))
     val genRule = for {
       h <- Gen.oneOf(hosts); a <- Gen.oneOf(agents)
       al <- Gen.oneOf(true, false); p <- genPrefix
