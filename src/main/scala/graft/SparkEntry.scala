@@ -1322,6 +1322,70 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the URL-discovery loop end-to-end: robots.txt names the sitemap
+    // index (Sitemap: directive), the index names two child urlsets,
+    // the urlsets name the page URLs (with lastmod/priority metadata,
+    // loc whitespace, and &amp; entities to unescape), and the robots
+    // gate admits them — XML renders Spark-side from the documents
+    // table, so the oracle restates every admitted row from the same
+    // construction arithmetic without touching XML
+    "sitemap_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("doc_id") < 80)
+      val id = col("doc_id").cast("string")
+      val qs = when(col("doc_id") % 7 === 0, lit("?a=1&amp;b=2"))
+        .otherwise(lit(""))
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/private/p"), id))
+        .otherwise(concat(lit("/docs/p"), id))
+      val entry = concat(lit("  <url>\n    <loc> https://s.test"), path, qs,
+        lit(" </loc>\n"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("    <lastmod>2026-0"),
+            (col("doc_id") % 9 + 1).cast("string"), lit("-15</lastmod>\n")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("    <priority>0."),
+            (col("doc_id") % 10).cast("string"), lit("</priority>\n")))
+          .otherwise(lit("")),
+        lit("  </url>\n"))
+      val children = docs
+        .select((col("doc_id") % 2).as("k"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("k"))
+        .agg(concat(lit("<urlset>\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), ""),
+          lit("</urlset>")).as("xml"))
+        .select(concat(lit("https://s.test/sm"), col("k").cast("string"),
+          lit(".xml")).as("sm_url"), col("xml"))
+      val indexDoc = Seq(("https://s.test/sitemap_index.xml",
+        "<sitemapindex>\n" +
+          "  <sitemap><loc>https://s.test/sm0.xml</loc></sitemap>\n" +
+          "  <sitemap><loc>https://s.test/sm1.xml</loc></sitemap>\n" +
+          "</sitemapindex>")).toDF("u", "xml")
+      val robotsTxt = Seq(("s.test",
+        "User-agent: *\nDisallow: /private\n" +
+          "Sitemap: https://s.test/sitemap_index.xml")).toDF("host", "txt")
+      val rules = Robots.parseRules(robotsTxt, "host", "txt")
+      val declared = Robots.sitemapDirectives(robotsTxt, "host", "txt")
+      val idxEntries = graft.sources.Sitemaps.parse(
+        declared.join(indexDoc, col("sitemap") === col("u")), "u", "xml")
+        .where(col("kind") === "index")
+      val frontier = graft.sources.Sitemaps.parse(
+        idxEntries.select(col("loc").as("child"))
+          .join(children, col("child") === col("sm_url")),
+        "sm_url", "xml")
+        .where(col("kind") === "urlset")
+      val gated = Robots.gate(
+        frontier.select(col("loc").as("u"), col("loc").as("url")),
+        rules, "graftbot", "u", "url")
+      frontier.select(col("loc"), col("lastmod"), col("priority"))
+        .join(gated.select(col("u"), col("allowed")),
+          col("loc") === col("u"))
+        .select(col("loc"), col("lastmod"), col("priority"), col("allowed"))
+        .orderBy(col("loc"))
+    }),
+
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
     // dedup: the same page crawled precomposed and as combining
     // sequences must digest identically). Fixture appends DECOMPOSED
@@ -5252,6 +5316,26 @@ object SparkEntry {
           |SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
           |       pat AS rule_prefix
           |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // every admitted frontier row restated from the construction
+      // arithmetic (no XML in the oracle: loc with the UNESCAPED '&',
+      // lastmod/priority from the same modular rules, admission = the
+      // one Disallow prefix)
+      "sitemap_discovery" ->
+        """SELECT 'https://s.test' ||
+          |         CASE WHEN doc_id % 5 = 0
+          |              THEN '/private/p' || CAST(doc_id AS VARCHAR)
+          |              ELSE '/docs/p' || CAST(doc_id AS VARCHAR) END ||
+          |         CASE WHEN doc_id % 7 = 0 THEN '?a=1&b=2' ELSE '' END
+          |         AS loc,
+          |       CASE WHEN doc_id % 3 = 0
+          |            THEN '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+          |                 || '-15' END AS lastmod,
+          |       CASE WHEN doc_id % 4 = 0
+          |            THEN CAST('0.' || CAST(doc_id % 10 AS VARCHAR)
+          |                      AS DOUBLE) END AS priority,
+          |       doc_id % 5 <> 0 AS allowed
+          |FROM documents WHERE doc_id < 80 ORDER BY loc""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

@@ -86,6 +86,21 @@ object Robots {
       .toDF()
   }
 
+  /** The `Sitemap:` directives of each robots.txt (the discovery hook:
+    * robots names the sitemaps, the sitemaps name the URLs). Group-
+    * independent per RFC 9309 §2.3 — one row per (host, sitemap URL),
+    * as pure column expressions (split / filter / extract, map-side). */
+  def sitemapDirectives(
+      df: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val line = explode(split(col(txtCol), "\n")).as("__line")
+    val noComment = regexp_replace(col("__line"), "#.*$", "")
+    df.select(col(hostCol).as("host"), line)
+      .select(col("host"),
+        regexp_extract(noComment, "(?i)^\\s*sitemap\\s*:\\s*(\\S+)\\s*$", 1)
+          .as("sitemap"))
+      .where(col("sitemap") =!= "")
+  }
+
   /**
    * Admit each URL its host's rules allow for `agent`. `urls` carries
    * (idCol, urlCol); returns (idCol, urlCol, allowed, rule_prefix) —
