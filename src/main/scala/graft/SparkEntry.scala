@@ -1322,6 +1322,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the robots gate as a STREAMING door: same wildcard fixture, but
+    // each URL's verdict computes map-side via the per-row array fold
+    // (a genuinely different match implementation than the batch join-
+    // argmax — the oracle arbitrates both), stateless by construction
+    "stream_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val txt = "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/*\n" +
+        "Disallow: /docs\nDisallow: /tmp/*/cache"
+      val rules = Robots.parseRules(
+        Seq(("w.test", txt)).toDF("host", "txt"), "host", "txt")
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 6
+      val path = when(m === 0, concat(lit("/docs/file"), id, lit(".html")))
+        .when(m === 1, concat(lit("/files/report"), id, lit(".pdf")))
+        .when(m === 2, concat(lit("/docs/x"), id, lit(".pdf")))
+        .when(m === 3, concat(lit("/tmp/a"), id, lit("/cache")))
+        .when(m === 4, concat(lit("/files/report"), id, lit(".pdfx")))
+        .otherwise(concat(lit("/other"), id))
+      val urls = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id"),
+          concat(lit("https://w.test"), path).as("url"))
+      Streams.robotsGateStream(s, urls, rules, "anybot")
+        .orderBy(col("doc_id"))
+    }),
+
     // the URL-discovery loop end-to-end: robots.txt names the sitemap
     // index (Sitemap: directive), the index names two child urlsets,
     // the urlsets name the page URLs (with lastmod/priority metadata,
@@ -5282,6 +5307,45 @@ object SparkEntry {
       // (the engine derives its regexes by expression; a translation bug
       // cannot echo here) and the RFC argmax over pattern octet length
       "robots_gate_wildcard" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |         CASE doc_id % 6
+          |           WHEN 0 THEN '/docs/file' || CAST(doc_id AS VARCHAR)
+          |                       || '.html'
+          |           WHEN 1 THEN '/files/report' || CAST(doc_id AS VARCHAR)
+          |                       || '.pdf'
+          |           WHEN 2 THEN '/docs/x' || CAST(doc_id AS VARCHAR)
+          |                       || '.pdf'
+          |           WHEN 3 THEN '/tmp/a' || CAST(doc_id AS VARCHAR)
+          |                       || '/cache'
+          |           WHEN 4 THEN '/files/report' || CAST(doc_id AS VARCHAR)
+          |                       || '.pdfx'
+          |           ELSE '/other' || CAST(doc_id AS VARCHAR) END AS path
+          |  FROM documents WHERE doc_id < 120),
+          |p AS (SELECT doc_id, 'https://w.test' || path AS url, path FROM u),
+          |r AS (SELECT * FROM (VALUES
+          |        (TRUE,  '/docs/*',      '^/docs/.*'),
+          |        (FALSE, '/*.pdf$',      '^/.*\.pdf$'),
+          |        (FALSE, '/docs',        '^/docs'),
+          |        (FALSE, '/tmp/*/cache', '^/tmp/.*/cache'))
+          |        t(allow, pat, rx)),
+          |j AS (
+          |  SELECT p.doc_id, p.url, r.allow, r.pat
+          |  FROM p LEFT JOIN r ON regexp_matches(p.path, r.rx)),
+          |best AS (
+          |  SELECT doc_id, url, allow, pat,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY length(pat) DESC,
+          |                    CAST(allow AS INT) DESC, pat DESC) AS rn
+          |  FROM j)
+          |SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
+          |       pat AS rule_prefix
+          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // same restatement as robots_gate_wildcard — the door must agree
+      // with the hand-written regex VALUES even though its match runs
+      // as the per-row array fold rather than the batch join-argmax
+      "stream_robots_gate" ->
         """WITH u AS (
           |  SELECT doc_id,
           |         CASE doc_id % 6

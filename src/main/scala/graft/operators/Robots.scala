@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -107,37 +107,80 @@ object Robots {
    * `rule_prefix` the deciding rule's prefix (null when no rule matched,
    * which admits). One broadcast join + one bounded per-URL argmax.
    */
-  def gate(
-      urls: DataFrame, rules: DataFrame, agent: String,
-      idCol: String, urlCol: String): DataFrame = {
-    val host = lower(regexp_extract(col(urlCol),
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
-    val path0 = regexp_replace(col(urlCol),
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val path = when(path0 === "", lit("/")).otherwise(path0)
+  /** Host (lowercased authority) of a URL column. */
+  private[graft] def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** Path+query of a URL column; empty path reads as "/" (the RFC match
+    * target is the path-and-after portion). */
+  private[graft] def urlPath(url: Column): Column = {
+    val p = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /**
+   * The rules that apply to `agent`, one row per (host `__rh`, rule):
+   * RFC group selection resolved per host (the agent's own groups if any
+   * exist there, else the `*` groups), and wildcard rules (RFC §2.2.3)
+   * pre-translated to an anchored regex `__rx` with column expressions —
+   * strip a trailing `$` (the end anchor), escape regex metacharacters,
+   * expand `*`; `__wild` marks rules that need the regex arm (plain
+   * prefixes keep the `startsWith` fast path).
+   */
+  private[graft] def applicableRules(
+      rules: DataFrame, agent: String): DataFrame = {
     val a = lit(agent.toLowerCase)
-    // RFC group selection: the agent's own groups if it has any on that
-    // host, else the '*' groups — resolved per host BEFORE the URL join
-    // so the broadcast side stays one row per applicable rule
     val perHost = rules.groupBy(col("host"))
       .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
-    // wildcard rules (RFC §2.2.3) become an anchored regex, built with
-    // column expressions over the tiny broadcast side: strip a trailing
-    // '$' (the end anchor), escape regex metacharacters, expand '*';
-    // plain-prefix rules keep the startsWith fast path
     val anchored = col("prefix").endsWith("$")
     val core = when(anchored,
       expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
     val esc = regexp_replace(core, "[.^$+?()\\[\\]{}|\\\\]", "\\\\$0")
     val rx = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
       when(anchored, lit("$")).otherwise(lit("")))
-    val applicable = rules.join(perHost, "host")
+    rules.join(perHost, "host")
       .where(when(col("__own") === 1, col("agent") === a)
         .otherwise(col("agent") === "*"))
       .select(col("host").as("__rh"), col("allow"), col("prefix"),
         (col("prefix").contains("*") || anchored).as("__wild"), rx.as("__rx"))
+  }
+
+  /** The applicable rules collapsed to ONE row per host with the rules
+    * as an array — the broadcast shape of the stateless per-row gate
+    * ([[verdict]]; the streaming door's form, where the batch gate's
+    * groupBy argmax would be a stateful streaming aggregation). */
+  private[graft] def hostRuleSets(rules: DataFrame, agent: String): DataFrame =
+    applicableRules(rules, agent)
+      .groupBy(col("__rh"))
+      .agg(collect_list(struct(col("allow"), col("prefix"),
+        col("__wild").as("wild"), col("__rx").as("rx"))).as("__rules"))
+
+  private val RuleStructDdl =
+    "struct<allow:boolean,prefix:string,wild:boolean,rx:string>"
+
+  /** (allowed, deciding prefix) of one path against its host's rule
+    * array — pure per-row expressions: filter the matching rules, fold
+    * to the RFC argmax (longest pattern, allow over disallow). A null
+    * array (host without rules) admits. */
+  private[graft] def verdict(path: Column, rulesArr: Column): (Column, Column) = {
+    val hits = filter(
+      coalesce(rulesArr, array().cast(s"array<$RuleStructDdl>")),
+      r => when(r.getField("wild"), regexp_like(path, r.getField("rx")))
+        .otherwise(path.startsWith(r.getField("prefix"))))
+    def key(r: Column) = struct(length(r.getField("prefix")),
+      r.getField("allow").cast("int"), r.getField("prefix"))
+    val best = aggregate(hits, lit(null).cast(RuleStructDdl),
+      (acc, r) => when(acc.isNull || key(r) > key(acc), r).otherwise(acc))
+    (coalesce(best.getField("allow"), lit(true)), best.getField("prefix"))
+  }
+
+  def gate(
+      urls: DataFrame, rules: DataFrame, agent: String,
+      idCol: String, urlCol: String): DataFrame = {
+    val applicable = applicableRules(rules, agent)
     val joined = urls
-      .withColumn("__host", host).withColumn("__path", path)
+      .withColumn("__host", urlHost(col(urlCol)))
+      .withColumn("__path", urlPath(col(urlCol)))
       .join(broadcast(applicable),
         col("__host") === col("__rh") &&
           when(col("__wild"), regexp_like(col("__path"), col("__rx")))

@@ -1114,6 +1114,38 @@ object Streams {
   }
 
   /**
+   * robots.txt admission at the ingest door: each discovered URL on the
+   * stream gates MAP-SIDE against the broadcast host→rule-array frame —
+   * the batch gate's groupBy argmax re-expressed as a per-row array fold
+   * ([[graft.operators.Robots.verdict]]), so the door is STATELESS (no
+   * watermark, no state store — a stream-static broadcast join plus row
+   * expressions) and micro-batch independent by construction. Emits
+   * (doc_id, url, allowed, rule_prefix) per URL.
+   */
+  def robotsGateStream(
+      spark: SparkSession,
+      urls: DataFrame,
+      rules: DataFrame,
+      agent: String): DataFrame = {
+    import graft.operators.Robots
+    val dir = Files.createTempDirectory("graft-stream-robots")
+    urls.select(col("doc_id"), col("url")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val hostRules = Robots.hostRuleSets(rules, agent)
+    val joined = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("__host", Robots.urlHost(col("url")))
+      .withColumn("__path", Robots.urlPath(col("url")))
+      .join(broadcast(hostRules), col("__host") === col("__rh"), "left")
+    val (allowed, rulePrefix) = Robots.verdict(col("__path"), col("__rules"))
+    val out = joined.select(col("doc_id"), col("url"),
+      allowed.as("allowed"), rulePrefix.as("rule_prefix"))
+    val drained = runToMemory(out, "append", statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+  }
+
+  /**
    * The crawl-ARCHIVE ingest door: WARC shards arriving in a drop
    * directory (the unit a crawler actually delivers — one `binaryFile`
    * row per shard, `maxFilesPerTrigger` paces shards per micro-batch)

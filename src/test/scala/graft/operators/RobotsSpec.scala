@@ -70,6 +70,25 @@ class RobotsSpec extends SparkSuite {
     }
   }
 
+  /** The stateless per-row form (the streaming door's match): host→rule
+    * array broadcast + Robots.verdict fold. */
+  private def runFold(
+      rules: Seq[(String, String, Boolean, String)],
+      urls: Seq[(Long, String)], agent: String): Map[Long, (Boolean, Option[String])] = {
+    val hostRules = Robots.hostRuleSets(
+      rules.toDF("host", "agent", "allow", "prefix"), agent)
+    val joined = urls.toDF("id", "url")
+      .withColumn("__host", Robots.urlHost(col("url")))
+      .withColumn("__path", Robots.urlPath(col("url")))
+      .join(broadcast(hostRules), col("__host") === col("__rh"), "left")
+    val (allowed, rp) = Robots.verdict(col("__path"), col("__rules"))
+    joined.select(col("id"), allowed.as("a"), rp.as("p"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getString(2)))))
+      .toMap
+  }
+
   private def runGate2(
       rules: Seq[(String, String, Boolean, String)],
       urls: Seq[(Long, String)], agent: String): Map[Long, (Boolean, Option[String])] =
@@ -166,13 +185,15 @@ class RobotsSpec extends SparkSuite {
         Gen.nonEmptyListOf(genUrl)) { (rules, urlList) =>
         val urls = urlList.zipWithIndex.map { case (u, i) => (i.toLong, u) }
         val got = runGate2(rules, urls, "me")
+        val fold = runFold(rules, urls, "me")
         val bad = urls.filterNot { case (id, u) =>
           val host = u.stripPrefix("https://").takeWhile(_ != '/')
           val rawPath = u.stripPrefix(s"https://$host")
           val path = if (rawPath.isEmpty) "/" else rawPath
-          got(id) == naive(rules, host, path, "me")
+          val want = naive(rules, host, path, "me")
+          got(id) == want && fold(id) == want
         }
-        bad.isEmpty :| s"mismatches=$bad got=$got rules=$rules"
+        bad.isEmpty :| s"mismatches=$bad got=$got fold=$fold rules=$rules"
       })
     assert(res.passed, res.status.toString)
   }
