@@ -897,4 +897,64 @@ class PlanAuditSpec extends SparkSuite {
       s"encode stats are per-doc projection — the piece set rides as " +
         s"literals, no join, no shuffle:\n$p")
   }
+
+  test("robots gate: rules broadcast onto the URL stream, never sort-merge") {
+    import graft.operators.Robots
+    val rules = Seq(
+      ("a.test", "*", false, "/private"), ("a.test", "*", true, "/pub"),
+      ("b.test", "*", false, "/*.pdf$")).toDF("host", "agent", "allow", "prefix")
+    val urls = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://a.test/p/"), col("doc_id")).as("url"))
+    val p = physical(Robots.gate(urls, rules, "bot", "doc_id", "url"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny rules frame must broadcast — the URL side never " +
+        s"shuffles by host:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-side shuffle join:\n$p")
+    // the stateless per-row form (the streaming door): broadcast join +
+    // fold, no exchange on the URL side after the join
+    val joined = urls
+      .withColumn("__host", Robots.urlHost(col("url")))
+      .withColumn("__path", Robots.urlPath(col("url")))
+      .join(broadcast(Robots.hostRuleSets(rules, "bot")),
+        col("__host") === col("__rh"), "left")
+    val (allowed, rp) = Robots.verdict(col("__path"), col("__rules"))
+    val pf = physical(joined.select(col("doc_id"), allowed.as("allowed"),
+      rp.as("rule_prefix")))
+    assert(pf.contains("BroadcastHashJoin") && !pf.contains("SortMergeJoin"),
+      s"door form: broadcast join only:\n$pf")
+  }
+
+  test("sitemap parse: block extraction + explode, zero shuffle") {
+    import graft.sources.Sitemaps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat(lit("<urlset><url><loc>https://x/"),
+        col("doc_id"), lit("</loc></url></urlset>")).as("xml"))
+    val p = physical(Sitemaps.parse(docs, "doc_id", "xml"))
+    assert(!p.contains("Exchange"),
+      s"sitemap parsing is a map-side projection + generate:\n$p")
+  }
+
+  test("cdx ranged fetch: bucket-pruned index probe, no archive file scan") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("plan_cdx")
+    val date = "2026-01-01T00:00:00Z"
+    val recs = (0 until 6).map(i => Warc.renderRecord("resource",
+      Some(s"https://p.test/$i"), date, "text/plain",
+      s"plan fixture $i".getBytes("UTF-8")))
+    val bytes = new java.io.ByteArrayOutputStream()
+    recs.foreach(r => bytes.write(Warc.gzipMember(r)))
+    java.nio.file.Files.write(dir.resolve("s.warc"), bytes.toByteArray)
+    graft.operators.Bucketing.scratchDb(spark, "plan_cdx",
+      java.nio.file.Files.createTempDirectory("plan_cdx_db").toString)
+    Warc.writeCdxIndex(spark, dir.toString, "plan_cdx.idx", buckets = 8)
+    val fetch = Warc.fetchCaptures(spark, "plan_cdx.idx",
+      Seq("https://p.test/1", "https://p.test/4"))
+    val p = physical(fetch)
+    assert(p.contains("SelectedBucketsCount"),
+      s"the probe must bucket-prune to the looked-up SURT keys:\n$p")
+    assert(!p.toLowerCase.contains("binaryfile"),
+      s"a ranged fetch never scans archive shards:\n$p")
+  }
 }
