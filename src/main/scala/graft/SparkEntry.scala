@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Frontier, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -1409,6 +1409,36 @@ object SparkEntry {
           col("loc") === col("u"))
         .select(col("loc"), col("lastmod"), col("priority"), col("allowed"))
         .orderBy(col("loc"))
+    }),
+
+    // per-host politeness scheduling: Crawl-delay parses with RFC group
+    // semantics (host par 1 is the §2.2.1 exclusion trap — graftbot has
+    // its own delay-less group, so the '*' group's delay 9 must NOT
+    // apply and the default does), then each host's frontier ranks by
+    // (priority desc, url) into slots spaced delay_s apart, cut at the
+    // cycle horizon. The oracle restates the resolved delays as hand-
+    // written VALUES and the slotting as a SQL window — parse,
+    // precedence, and schedule arithmetic cannot echo
+    "frontier_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val own = "User-agent: graftbot\nCrawl-delay: 1\nDisallow: /x"
+      val trap = "User-agent: graftbot\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 9"
+      val star = "User-agent: *\nCrawl-delay: 2.5"
+      val robots = (0 until 20).filter(_ % 4 != 3)
+        .map(k => (s"src$k.test",
+          k % 4 match { case 0 => own; case 1 => trap; case _ => star }))
+        .toDF("host", "txt")
+      val delays = Frontier.hostDelays(
+        Robots.crawlDelays(robots, "host", "txt"), "graftbot")
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".test/doc/"),
+            col("doc_id").cast("string")).as("url"),
+          (col("n_chars") % 11).cast("double").as("priority"))
+      Frontier.schedule(urls, delays, "doc_id", "url", "priority",
+          defaultDelayS = 0.5, horizonS = 10.0)
+        .orderBy(col("url"))
     }),
 
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
@@ -5400,6 +5430,33 @@ object SparkEntry {
           |                      AS DOUBLE) END AS priority,
           |       doc_id % 5 <> 0 AS allowed
           |FROM documents WHERE doc_id < 80 ORDER BY loc""".stripMargin,
+
+      // the resolved per-host delays restated as hand-written VALUES
+      // (par 0 = graftbot's own Crawl-delay 1; par 1 = the §2.2.1
+      // exclusion trap, own delay-less group → DEFAULT 0.5, never the
+      // '*' group's 9; par 2 = the '*' fallback 2.5; par 3 = no robots
+      // → default) and the slotting as a SQL window over the same
+      // (priority desc, url) order with the horizon cut
+      "frontier_schedule" ->
+        """WITH d AS (SELECT par, CAST(delay_s AS DOUBLE) AS delay_s
+          |  FROM (VALUES
+          |        (0, 1.0), (1, 0.5), (2, 2.5), (3, 0.5)) t(par, delay_s)),
+          |u AS (
+          |  SELECT doc_id,
+          |         'https://' || source || '.test/doc/'
+          |           || CAST(doc_id AS VARCHAR) AS url,
+          |         source || '.test' AS host,
+          |         CAST(n_chars % 11 AS DOUBLE) AS priority,
+          |         CAST(substring(source, 4) AS INT) % 4 AS par
+          |  FROM documents),
+          |r AS (
+          |  SELECT u.doc_id, u.url, u.host, u.priority, d.delay_s,
+          |         row_number() OVER (PARTITION BY u.host
+          |           ORDER BY u.priority DESC, u.url) - 1 AS slot
+          |  FROM u JOIN d ON d.par = u.par)
+          |SELECT doc_id, url, host, priority, slot, delay_s,
+          |       slot * delay_s AS sched_s
+          |FROM r WHERE slot * delay_s < 10.0 ORDER BY url""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-host politeness scheduling of a crawl frontier: given the URLs a
+ * crawl cycle wants to fetch (already robots-gated — [[Robots.gate]])
+ * and each host's `Crawl-delay` ([[Robots.crawlDelays]]), assign every
+ * URL its fetch slot so that fetches against one host are spaced at
+ * least the host's delay apart, highest-priority URLs first, and URLs
+ * that cannot be reached within the cycle's horizon are deferred to the
+ * next cycle. Reference analogue: the uploader's `parallel_tables`
+ * orchestration — global parallelism with strictly-sequential work per
+ * resource (`BdeUploader.pm` table scheduling) — re-expressed for
+ * (host, URL) instead of (database, table).
+ *
+ * Scale shape: ONE shuffle, the inherent cluster-by-host (per-host
+ * sequencing cannot be computed without co-locating a host's URLs);
+ * the delay table rides in as a broadcast, so resolution adds no
+ * exchange. The per-host slot is `row_number` over (priority desc,
+ * url) — a running-count frame, so the window buffers nothing beyond
+ * the sort, and the sort is external (spills, never OOMs) when a
+ * mega-host's frontier exceeds memory. Emitted rows per host are
+ * bounded by ceil(horizon / delay) regardless of frontier size, so the
+ * output of a cycle is politeness-bounded by construction — the
+ * deferred tail stays in the frontier store for the next cycle.
+ */
+object Frontier {
+
+  /** One delay per host for `agent`, resolved with RFC 9309 group
+    * precedence over [[Robots.crawlDelays]] rows: the agent's own
+    * groups if any exist on that host, else the `*` groups; several
+    * applicable groups combine to the most conservative (max) delay;
+    * a host whose applicable groups declare no delay resolves to NO
+    * row (the scheduler's default applies), even when an inapplicable
+    * group declares one — the §2.2.1 exclusion trap. */
+  def hostDelays(delays: DataFrame, agent: String): DataFrame = {
+    val a = lit(agent.toLowerCase)
+    val perHost = delays.groupBy(col("host"))
+      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
+    delays.join(perHost, "host")
+      .where(when(col("__own") === 1, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .groupBy(col("host"))
+      .agg(max(col("delay_s")).as("delay_s"))
+      .where(col("delay_s").isNotNull)
+  }
+
+  /**
+   * Assign each URL of one crawl cycle its politeness slot. `urls`
+   * carries (idCol, urlCol, priorityCol); `delays` is [[hostDelays]]
+   * output (host, delay_s). Returns (idCol, urlCol, host, priority,
+   * slot, delay_s, sched_s) for the URLs fetchable within
+   * `horizonS` seconds: per host, slot k goes to the k-th URL by
+   * (priority desc, url asc — the deterministic tiebreak) and is
+   * fetched at `sched_s = k * delay_s`; hosts without a resolved
+   * delay use `defaultDelayS`.
+   */
+  def schedule(
+      urls: DataFrame, delays: DataFrame,
+      idCol: String, urlCol: String, priorityCol: String,
+      defaultDelayS: Double, horizonS: Double): DataFrame = {
+    require(defaultDelayS > 0, "schedule: defaultDelayS must be positive")
+    require(horizonS > 0, "schedule: horizonS must be positive")
+    val host = Robots.urlHost(col(urlCol))
+    val slots = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col(urlCol))
+    urls
+      .select(col(idCol), col(urlCol), host.as("host"),
+        col(priorityCol).as("priority"))
+      .join(broadcast(delays.select(col("host").as("__dh"),
+        col("delay_s").as("__d"))), col("host") === col("__dh"), "left")
+      .withColumn("delay_s", coalesce(col("__d"), lit(defaultDelayS)))
+      .withColumn("slot", (row_number().over(slots) - 1).cast("long"))
+      .withColumn("sched_s", col("slot") * col("delay_s"))
+      .where(col("sched_s") < lit(horizonS))
+      .select(col(idCol), col(urlCol), col("host"), col("priority"),
+        col("slot"), col("delay_s"), col("sched_s"))
+  }
+}

@@ -86,6 +86,54 @@ object Robots {
       .toDF()
   }
 
+  /** `Crawl-delay:` per GROUP of each robots.txt — one row per
+    * (host, agent, delay_s) where `delay_s` is the group's delay (NULL
+    * when the group declares none; the row still emits, because group
+    * PRESENCE decides precedence — an agent whose own group has no
+    * delay gets the caller's default, not the `*` group's delay, per
+    * the RFC §2.2.1 selection rule that a matched group excludes all
+    * others). Same state machine as [[parseRules]]: consecutive
+    * `User-agent:` lines share a group, any other directive closes the
+    * header, a later delay line in the same group wins (common-parser
+    * behavior), non-numeric/negative values are ignored. */
+  def crawlDelays(
+      df: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Option[Double])]
+        var agents = List.empty[String]
+        var delay: Option[Double] = None
+        var inGroupHeader = false
+        def flush(): Unit = agents.foreach(a => out += ((host, a, delay)))
+        Option(txt).getOrElse("").linesIterator.foreach { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val i = line.indexOf(':')
+          if (i > 0) {
+            val field = line.substring(0, i).trim.toLowerCase
+            val value = line.substring(i + 1).trim
+            field match {
+              case "user-agent" =>
+                if (!inGroupHeader) { flush(); agents = Nil; delay = None }
+                agents = value.toLowerCase :: agents
+                inGroupHeader = true
+              case "crawl-delay" if agents.nonEmpty =>
+                inGroupHeader = false
+                value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+                  .foreach(d => delay = Some(d))
+              case _ => inGroupHeader = false
+            }
+          }
+        }
+        flush()
+        out
+      }
+      .toDF("host", "agent", "delay_s")
+  }
+
   /** The `Sitemap:` directives of each robots.txt (the discovery hook:
     * robots names the sitemaps, the sitemaps name the URLs). Group-
     * independent per RFC 9309 §2.3 — one row per (host, sitemap URL),

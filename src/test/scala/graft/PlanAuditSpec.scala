@@ -957,4 +957,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("binaryfile"),
       s"a ranged fetch never scans archive shards:\n$p")
   }
+
+  test("frontier schedule: delays broadcast, ONE shuffle (the host window)") {
+    import graft.operators.Frontier
+    val urls = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".test/doc/"),
+          col("doc_id").cast("string")).as("url"),
+        (col("n_chars") % 11).cast("double").as("priority"))
+    val d = Seq(("src0.test", 2.0)).toDF("host", "delay_s")
+    val p = physical(
+      Frontier.schedule(urls, d, "doc_id", "url", "priority", 0.5, 10.0))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the delay table must ride in as a broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"exactly the inherent cluster-by-host shuffle:\n$p")
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Crawl-delay parsing, RFC group precedence, and politeness slotting. */
+class FrontierSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def delays(rows: Seq[(String, String)]): Set[(String, String, Option[Double])] =
+    Robots.crawlDelays(rows.toDF("host", "txt"), "host", "txt")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+
+  test("crawl-delay parses per group; delay-less groups still emit") {
+    val txt = "User-agent: A\nUser-agent: B\nCrawl-delay: 3\nDisallow: /x\n" +
+      "User-agent: C\nDisallow: /y\n" +
+      "User-agent: *\nCrawl-delay: 0.5"
+    assert(delays(Seq(("h", txt))) == Set(
+      ("h", "a", Some(3.0)), ("h", "b", Some(3.0)),
+      ("h", "c", None), ("h", "*", Some(0.5))))
+  }
+
+  test("later delay in a group wins; bad values ignored; null text empty") {
+    val txt = "User-agent: A\nCrawl-delay: 1\nCrawl-delay: oops\n" +
+      "Crawl-delay: -2\nCrawl-delay: 4"
+    assert(delays(Seq(("h", txt))) == Set(("h", "a", Some(4.0))))
+    assert(delays(Seq(("h", null: String))).isEmpty)
+  }
+
+  test("a User-agent line after rules starts a new group") {
+    val txt = "User-agent: A\nDisallow: /x\nUser-agent: B\nCrawl-delay: 7"
+    assert(delays(Seq(("h", txt))) == Set(
+      ("h", "a", None), ("h", "b", Some(7.0))))
+  }
+
+  private def resolved(
+      rows: Seq[(String, String, Option[Double])], agent: String): Map[String, Double] =
+    Frontier.hostDelays(
+      rows.toDF("host", "agent", "delay_s"), agent)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("hostDelays: own group wins; delay-less own group excludes '*' (§2.2.1)") {
+    val rows = Seq(
+      ("own", "bot", Some(2.0)), ("own", "*", Some(9.0)),
+      ("trap", "bot", None), ("trap", "*", Some(9.0)),
+      ("star", "*", Some(1.5)),
+      ("multi", "bot", Some(1.0)), ("multi", "bot", Some(6.0)))
+    assert(resolved(rows, "Bot") ==
+      Map("own" -> 2.0, "star" -> 1.5, "multi" -> 6.0))
+  }
+
+  test("schedule: per-host slots by priority desc then url, horizon cut") {
+    val urls = Seq(
+      ("a1", "https://a.test/p1", 5.0),
+      ("a2", "https://a.test/p2", 9.0),
+      ("a3", "https://a.test/p3", 5.0), // ties with p1 → url breaks
+      ("b1", "https://b.test/q1", 1.0),
+      ("b2", "https://b.test/q2", 2.0),
+      ("b3", "https://b.test/q3", 3.0)).toDF("id", "url", "prio")
+    val d = Seq(("a.test", 2.0)).toDF("host", "delay_s")
+    val got = Frontier.schedule(urls, d, "id", "url", "prio", 3.0, 6.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toSet
+    // a.test delay 2: slots 0,1,2 at 0/2/4 all < 6; b.test default 3:
+    // slot 2 would fire at 6 — cut, so only b3 (prio 3) and b2 admit
+    assert(got == Set(
+      ("a2", 0L, 2.0, 0.0), ("a1", 1L, 2.0, 2.0), ("a3", 2L, 2.0, 4.0),
+      ("b3", 0L, 3.0, 0.0), ("b2", 1L, 3.0, 3.0)))
+  }
+
+  test("schedule output per host is bounded by ceil(horizon/delay)") {
+    val urls = (0 until 500)
+      .map(i => (i.toString, f"https://big.test/p$i%03d", i.toDouble))
+      .toDF("id", "url", "prio")
+    val got = Frontier.schedule(
+      urls, Seq.empty[(String, Double)].toDF("host", "delay_s"),
+      "id", "url", "prio", 0.25, 10.0)
+    assert(got.count() == 40L) // 10 / 0.25
+    // the admitted rows are exactly the top-40 by priority
+    assert(got.agg(min(col("priority"))).head.getDouble(0) == 460.0)
+  }
+}
