@@ -1441,6 +1441,27 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // freshness-driven revisit priority (Cho & Garcia-Molina 2003):
+    // capture history from events (97 URLs × ~10-100 captures, digest =
+    // event_type so change runs vary), the bias-corrected Poisson rate
+    // from (intervals, changes, mean gap), and p(changed since last
+    // capture) against an injected clock. The oracle recomputes the
+    // estimator from its own lag window; single-capture URLs must
+    // return NULL rate/priority, not an invented one
+    "frontier_revisit" -> ((s, dir) => {
+      val caps = t(s, dir, "events")
+        .select(concat(lit("https://e.test/u"),
+            (col("event_id") % 97).cast("string")).as("url"),
+          col("ts"), col("event_type").as("digest"))
+      Frontier.revisitPriority(caps, "url", "ts", "digest",
+          "2024-02-15 00:00:00")
+        .select(col("url"), col("n_intervals"), col("n_changes"),
+          round(col("mean_interval_s"), 6).as("mean_interval_s"),
+          round(col("change_rate") * 86400d, 6).as("change_rate_day"),
+          round(col("p_changed"), 6).as("p_changed"))
+        .orderBy(col("url"))
+    }),
+
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
     // dedup: the same page crawled precomposed and as combining
     // sequences must digest identically). Fixture appends DECOMPOSED
@@ -5457,6 +5478,39 @@ object SparkEntry {
           |SELECT doc_id, url, host, priority, slot, delay_s,
           |       slot * delay_s AS sched_s
           |FROM r WHERE slot * delay_s < 10.0 ORDER BY url""".stripMargin,
+
+      // the Cho–Garcia-Molina estimator recomputed from the oracle's
+      // own lag window: λ̂ = -ln((n-x+0.5)/(n+0.5))/ī per day, p =
+      // 1-exp(-λ̂·age) against the same injected clock
+      "frontier_revisit" ->
+        """WITH c AS (
+          |  SELECT 'https://e.test/u' || CAST(event_id % 97 AS VARCHAR)
+          |           AS url,
+          |         ts, event_type AS digest
+          |  FROM events),
+          |l AS (
+          |  SELECT url, epoch_us(ts) AS us,
+          |         lag(epoch_us(ts)) OVER w AS prev_us,
+          |         CAST(digest <> lag(digest) OVER w AS INT) AS chg
+          |  FROM c WINDOW w AS (PARTITION BY url ORDER BY ts)),
+          |g AS (
+          |  SELECT url,
+          |         count(prev_us) AS n_intervals,
+          |         CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+          |         avg(us - prev_us) / 1e6 AS mi,
+          |         (epoch_us(TIMESTAMP '2024-02-15 00:00:00') - max(us))
+          |           / 1e6 AS age_s
+          |  FROM l GROUP BY url)
+          |SELECT url, n_intervals, n_changes,
+          |       round(mi, 6) AS mean_interval_s,
+          |       round(CASE WHEN n_intervals > 0 THEN
+          |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+          |           / mi * 86400 END, 6) AS change_rate_day,
+          |       round(CASE WHEN n_intervals > 0 THEN
+          |         1 - exp(ln((n_intervals - n_changes + 0.5)
+          |                    / (n_intervals + 0.5)) / mi * age_s) END, 6)
+          |         AS p_changed
+          |FROM g ORDER BY url""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

@@ -49,6 +49,56 @@ object Frontier {
   }
 
   /**
+   * Freshness-driven revisit priority from capture history (Cho &
+   * Garcia-Molina 2003, "Effective page refresh policies for Web
+   * crawlers"): per URL, consecutive captures whose content digests
+   * differ are observed CHANGES; the Poisson change rate estimates as
+   * the bias-corrected `λ̂ = -ln((n - x + 0.5) / (n + 0.5)) / ī`
+   * (n intervals, x changes, ī the mean interval), and the revisit
+   * priority is the probability the page changed since its last
+   * capture, `p = 1 - exp(-λ̂ · age)`. URLs captured once carry no
+   * interval evidence and return NULL rate/priority (the caller's
+   * cold-start policy decides — the estimator must not invent one).
+   *
+   * Scale shape: ONE shuffle clustering by URL; the per-URL `lag` is a
+   * bounded window (a URL's capture history, CDX-sized), and the
+   * groupBy that follows reuses the window's hash partitioning, so the
+   * fold adds no exchange. `nowTs` is an injected literal (the clock
+   * never comes from the engine — the reference's injectable job
+   * clock, `sql/02-bde_control_functions.sql.in` event times).
+   *
+   * Returns (urlCol, n_intervals, n_changes, mean_interval_s,
+   * change_rate, p_changed).
+   */
+  def revisitPriority(
+      captures: DataFrame, urlCol: String, tsCol: String,
+      digestCol: String, nowTs: String): DataFrame = {
+    val byTime = Window.partitionBy(col(urlCol)).orderBy(col(tsCol))
+    // NTZ capture times read as UTC instants (the session runs UTC;
+    // DuckDB's epoch_us makes the same reading)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val prevUs = lag(us, 1).over(byTime)
+    val changed = (col(digestCol) =!=
+      lag(col(digestCol), 1).over(byTime)).cast("int")
+    val nowUs = unix_micros(lit(nowTs).cast("timestamp"))
+    val g = captures
+      .select(col(urlCol), us.as("__us"), prevUs.as("__prev"),
+        changed.as("__chg"))
+      .groupBy(col(urlCol))
+      .agg(count(col("__prev")).as("n_intervals"),
+        coalesce(sum(col("__chg")), lit(0L)).as("n_changes"),
+        (avg(col("__us") - col("__prev")) / 1e6).as("mean_interval_s"),
+        ((nowUs - max(col("__us"))) / 1e6).as("__age_s"))
+    val rate = -log((col("n_intervals") - col("n_changes") + lit(0.5)) /
+      (col("n_intervals") + lit(0.5))) / col("mean_interval_s")
+    g.select(col(urlCol), col("n_intervals"), col("n_changes"),
+        col("mean_interval_s"),
+        when(col("n_intervals") > 0, rate).as("change_rate"),
+        when(col("n_intervals") > 0,
+          lit(1.0) - exp(-rate * col("__age_s"))).as("p_changed"))
+  }
+
+  /**
    * Assign each URL of one crawl cycle its politeness slot. `urls`
    * carries (idCol, urlCol, priorityCol); `delays` is [[hostDelays]]
    * output (host, delay_s). Returns (idCol, urlCol, host, priority,

@@ -84,4 +84,36 @@ class FrontierSpec extends SparkSuite {
     // the admitted rows are exactly the top-40 by priority
     assert(got.agg(min(col("priority"))).head.getDouble(0) == 460.0)
   }
+
+  test("revisitPriority matches the hand-computed Cho–GM estimator") {
+    // u: captures at t=0,100,200,300 s with digests a,a,b,b →
+    // n=3 intervals, x=1 change, ī=100 s; age(now=1000) = 700 s
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    def ts(sec: Long) = new java.sql.Timestamp(base / 1000 + sec * 1000)
+    val caps = Seq(
+      ("u", ts(0), "a"), ("u", ts(100), "a"),
+      ("u", ts(200), "b"), ("u", ts(300), "b"),
+      ("once", ts(50), "z")).toDF("url", "t", "digest")
+    val got = Frontier.revisitPriority(
+        caps, "url", "t", "digest", "2024-01-01 00:16:40")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = got("u")
+    assert(u.getLong(1) == 3L && u.getLong(2) == 1L)
+    assert(u.getDouble(3) == 100.0)
+    val lam = -math.log((3 - 1 + 0.5) / 3.5) / 100.0
+    assert(math.abs(u.getDouble(4) - lam) < 1e-15)
+    assert(math.abs(u.getDouble(5) - (1 - math.exp(-lam * 700))) < 1e-15)
+    // a single capture is no interval evidence: NULL, not a guess
+    val once = got("once")
+    assert(once.getLong(1) == 0L && once.isNullAt(4) && once.isNullAt(5))
+  }
+
+  test("revisitPriority: window and fold share ONE shuffle") {
+    val caps = Seq(("u", new java.sql.Timestamp(0L), "a"))
+      .toDF("url", "t", "digest")
+    val p = Frontier.revisitPriority(caps, "url", "t", "digest",
+      "2024-01-01 00:00:00").queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"the groupBy must reuse the window's url clustering:\n$p")
+  }
 }
