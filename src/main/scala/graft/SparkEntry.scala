@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Frontier, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -1459,6 +1459,50 @@ object SparkEntry {
           round(col("mean_interval_s"), 6).as("mean_interval_s"),
           round(col("change_rate") * 86400d, 6).as("change_rate_day"),
           round(col("p_changed"), 6).as("p_changed"))
+        .orderBy(col("url"))
+    }),
+
+    // PageRank over a 500-node doc graph (two modular out-links per
+    // non-dangling doc; docs ≡0 mod 7 are DANGLING — their mass must
+    // redistribute uniformly, not vanish), 3 damped rounds in integer
+    // micro-units. The oracle replays the ENTIRE fixpoint as unrolled
+    // CTEs — every iteration's floor divisions must agree bit-for-bit
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      Graph.pagerank(e1.union(e2), "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // the crawl-ordering loop composed (Cho, Garcia-Molina & Page 1998:
+    // rank-ordered fetches under politeness): PageRank scores become
+    // the frontier priority, the per-host scheduler slots them under
+    // each host's delay and the cycle horizon. The oracle replays the
+    // fixpoint CTEs AND the schedule window independently
+    "frontier_ranked" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val linked = docs.where(col("doc_id") % 7 =!= 0)
+      val e1 = linked.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = linked.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val pr = Graph.pagerank(e1.union(e2), "src", "dst", iters = 3)
+      val urls = docs.join(pr, docs("doc_id") === pr("node"))
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".test/doc/"),
+            col("doc_id").cast("string")).as("url"),
+          col("rank_units").cast("double").as("priority"))
+      val delays = Seq(("src1.test", 2.0), ("src3.test", 2.5))
+        .toDF("host", "delay_s")
+      Frontier.schedule(urls, delays, "doc_id", "url", "priority",
+          defaultDelayS = 1.0, horizonS = 5.0)
         .orderBy(col("url"))
     }),
 
@@ -5511,6 +5555,48 @@ object SparkEntry {
           |                    / (n_intervals + 0.5)) / mi * age_s) END, 6)
           |         AS p_changed
           |FROM g ORDER BY url""".stripMargin,
+
+      // the whole damped fixpoint unrolled (ClassifierSql pattern):
+      // same integer micro-unit update each round, '//' floors like
+      // Spark's div on these non-negative values
+      "graph_pagerank" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |${GraphSql.pagerankCtes(3)}
+           |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      // fixpoint CTEs + the schedule window, both restated
+      "frontier_ranked" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |${GraphSql.pagerankCtes(3)},
+           |d AS (SELECT host, CAST(delay_s AS DOUBLE) AS delay_s
+           |  FROM (VALUES ('src1.test', 2.0), ('src3.test', 2.5))
+           |    t(host, delay_s)),
+           |u AS (
+           |  SELECT doc_id,
+           |         'https://' || source || '.test/doc/'
+           |           || CAST(doc_id AS VARCHAR) AS url,
+           |         source || '.test' AS host,
+           |         CAST(pr AS DOUBLE) AS priority
+           |  FROM documents JOIN r3 ON r3.node = documents.doc_id),
+           |sch AS (
+           |  SELECT u.doc_id, u.url, u.host, u.priority,
+           |         coalesce(d.delay_s, CAST(1.0 AS DOUBLE)) AS delay_s,
+           |         row_number() OVER (PARTITION BY u.host
+           |           ORDER BY u.priority DESC, u.url) - 1 AS slot
+           |  FROM u LEFT JOIN d USING (host))
+           |SELECT doc_id, url, host, priority, slot, delay_s,
+           |       slot * delay_s AS sched_s
+           |FROM sch WHERE slot * delay_s < 5.0 ORDER BY url""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

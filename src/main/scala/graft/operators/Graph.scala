@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph centrality for crawl prioritization: PageRank (Page et al.
+ * 1999) over the edge list a link extraction produces, feeding the
+ * frontier scheduler's priority column ([[Frontier.schedule]]) — the
+ * crawl-ordering signal of Cho, Garcia-Molina & Page 1998 ("Efficient
+ * crawling through URL ordering"). Reference analogue: the uploader's
+ * dependency-ordered table scheduling (`BdeUploader.pm` load order),
+ * generalized to a fixpoint over an arbitrary graph.
+ *
+ * Exactness: ranks are INTEGER MICRO-UNITS (the KMeans/Pca/Classifier
+ * house pattern — every distributed sum is a sum of longs, so results
+ * are bit-identical across engines and partitionings, and the oracle
+ * can replay the whole fixpoint as unrolled CTEs). Per iteration, with
+ * unit U and damping 85/100:
+ *
+ *   contrib(j→i) = rank(j) div outdeg(j)
+ *   redist       = (Σ rank over DANGLING nodes) div N
+ *   rank'(i)     = (15·U + 85·(Σ contrib(·→i) + redist)) div 100
+ *
+ * — dangling mass redistributes uniformly (the standard random-surfer
+ * repair), and `div` floors, so the tiny floor losses are themselves
+ * deterministic.
+ *
+ * Scale shape: the edge list dedups and partitions ONCE outside the
+ * loop; each iteration is the inherent pair — ranks join edges on the
+ * source (ranks are node-sized, edges dominate and stay put) and the
+ * contributions aggregate by destination (map-side partial sums). The
+ * dangling total and N ride as 1-row crossJoin combines, never a
+ * driver collect. Iterations chain linearly in the plan; at fixpoint
+ * depths beyond a few dozen, checkpoint the rank table between rounds
+ * the way [[Dedup]]'s component doubling does.
+ */
+object Graph {
+
+  val RankUnit: Long = 1000000000000L
+
+  /** (node, rank_units) after `iters` damped rounds from a uniform
+    * start of [[RankUnit]] per node. Nodes are every distinct edge
+    * endpoint; parallel edges collapse (the rank model is a simple
+    * directed graph). */
+  def pagerank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, "pagerank: iters must be in 1..64")
+    val e = edges
+      .select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("node")).agg(count(lit(1)).as("__odeg"))
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    var r = nodes.select(col("node"), lit(RankUnit).as("__pr"))
+    for (_ <- 1 to iters) {
+      val inflow = r.join(outdeg, "node").join(e, "node")
+        .select(col("dst").as("node"),
+          expr("__pr div __odeg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val dangRow = r.join(outdeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("__pr")), lit(0L)).as("__dang"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .crossJoin(dangRow).crossJoin(nRow)
+        .select(col("node"),
+          expr(s"(15 * ${RankUnit}L + 85 * (coalesce(__in, 0L) + " +
+            "(__dang div __n))) div 100").as("__pr"))
+    }
+    r.select(col("node"), col("__pr").as("rank_units"))
+  }
+}
+
+/** DuckDB renderings of the same fixpoint, for oracle SQL: the whole
+  * training loop unrolls as CTEs (the ClassifierSql pattern), so the
+  * oracle replays every iteration bit-for-bit. */
+object GraphSql {
+
+  /** CTE chain `e, nodes, odeg, nn, r0, …, r{iters}` over a prior CTE
+    * `raw(src, dst)`. Ranks are BIGINT micro-units; `//` floors like
+    * Spark's `div` on the non-negative values here. */
+  def pagerankCtes(iters: Int): String = {
+    val u = Graph.RankUnit
+    val fixed =
+      s"""e AS (SELECT DISTINCT src, dst FROM raw),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST($u AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS (
+         |  SELECT e.dst AS node, r$p.pr // odeg.odeg AS c
+         |  FROM r$p JOIN odeg ON odeg.src = r$p.node
+         |           JOIN e ON e.src = r$p.node),
+         |inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
+         |          FROM c$i GROUP BY node),
+         |dang$i AS (
+         |  SELECT CAST(coalesce(sum(r$p.pr), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN odeg ON odeg.src = r$p.node
+         |  WHERE odeg.src IS NULL),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |         (15 * $u + 85 * (coalesce(inflow, 0) + dang // n)) // 100
+         |           AS pr
+         |  FROM nodes LEFT JOIN inf$i USING (node)
+         |  CROSS JOIN dang$i CROSS JOIN nn)""".stripMargin
+    }
+    (fixed +: rounds).mkString(",\n")
+  }
+}
