@@ -1506,6 +1506,35 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // hyperlink extraction + resolution: every href form a link graph
+    // meets — absolute, protocol-relative (base scheme), root-relative
+    // (base origin), directory-relative, entity-escaped query,
+    // fragment-only (drops), mailto (drops), commented-out (drops),
+    // both quote styles. HTML renders Spark-side, so the oracle
+    // restates every resolved link from the construction arithmetic
+    // without touching markup
+    "html_links" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>x <a href=\"https://abs.test/a"), id,
+        lit("\">abs</a> <a href='//cdn.test/c"), id,
+        lit("'>pr</a> <a class=\"z\" href=\"/root/r"), id,
+        lit("\">root</a> <a href=\"rel/p"), id,
+        lit("\">rel</a> <a href=\"#frag\">f</a>"),
+        lit(" <a href=\"mailto:x@y.test\">m</a>"),
+        lit("<!-- <a href=\"https://no.test/\">c</a> -->"),
+        lit(" <a href=\"https://q.test/d?a=1&amp;b="), id,
+        lit("\">e</a></p></body></html>"))
+      val base = concat(lit("https://h"),
+        (col("doc_id") % 5).cast("string"), lit(".test/dir/page"), id,
+        lit(".html"))
+      HtmlOps.extractLinks(
+          t(s, dir, "documents").where(col("doc_id") < 100)
+            .select(col("doc_id"), html.as("html"), base.as("base")),
+          "doc_id", "html", "base")
+        .orderBy(col("doc_id"), col("link"))
+    }),
+
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
     // dedup: the same page crawled precomposed and as combining
     // sequences must digest identically). Fixture appends DECOMPOSED
@@ -5597,6 +5626,25 @@ object SparkEntry {
            |SELECT doc_id, url, host, priority, slot, delay_s,
            |       slot * delay_s AS sched_s
            |FROM sch WHERE slot * delay_s < 5.0 ORDER BY url""".stripMargin,
+
+      // the five surviving link forms restated from arithmetic (the
+      // fragment-only, mailto, and commented-out anchors must NOT
+      // appear); no markup anywhere in the oracle
+      "html_links" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+          |                  CAST(doc_id % 5 AS VARCHAR) AS k
+          |           FROM documents WHERE doc_id < 100)
+          |SELECT doc_id, link FROM (
+          |  SELECT doc_id, 'https://abs.test/a' || i AS link FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://cdn.test/c' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/root/r' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/dir/rel/p' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://q.test/d?a=1&b=' || i FROM d)
+          |ORDER BY doc_id, link""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

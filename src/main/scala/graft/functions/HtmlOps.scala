@@ -99,6 +99,49 @@ object HtmlOps {
       htmlCol: String,
       maxLinkDensity: Double = 0.5): DataFrame =
     df.select(col(idCol), mainText(col(htmlCol), maxLinkDensity).as("text"))
+
+  /** One row (idCol, link) per outgoing hyperlink: `href`s of anchor
+    * tags after comment/script/style removal (commented-out markup
+    * never links), entity-decoded, FRAGMENT-stripped, and resolved
+    * against the page's own URL — absolute http(s) links pass through,
+    * protocol-relative (`//…`) take the base scheme, root-relative
+    * (`/…`) take the base origin, and other relative paths concatenate
+    * onto the base directory (no `../` normalization and no
+    * query-relative (`?…`) handling — the conservative subset a corpus
+    * link graph needs; non-fetchable schemes like `mailto:` /
+    * `javascript:` / `data:` drop). Duplicates emit as-is — edge
+    * collapsing belongs to the graph builder ([[graft.operators.Graph]]).
+    * Pure map-side: regex extract-all + explode, no UDF, no shuffle. */
+  def extractLinks(
+      df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(preClean(col(htmlCol)),
+      lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
+    val noQ = regexp_replace(col(baseUrlCol), "[?#].*$", "")
+    val scheme = regexp_extract(col(baseUrlCol),
+      "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(col(baseUrlCol),
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val dir = when(noQ === origin, concat(origin, lit("/")))
+      .otherwise(regexp_replace(noQ, "/[^/]*$", "/"))
+    val raw = explode(hrefs).as("__href")
+    val decoded = replace(replace(replace(replace(replace(
+      col("__href"),
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    val u = trim(regexp_replace(decoded, "#.*$", ""))
+    val resolved = when(u === "", lit(null))
+      .when(u.rlike("(?i)^https?://"), u)
+      .when(u.startsWith("//"), concat(col("__s"), lit(":"), u))
+      .when(u.startsWith("/"), concat(col("__o"), u))
+      .when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .otherwise(concat(col("__d"), u))
+    df.select(col(idCol), raw, scheme.as("__s"), origin.as("__o"),
+        dir.as("__d"))
+      .select(col(idCol), resolved.as("link"))
+      .where(col("link").isNotNull)
+  }
 }
 
 /** DuckDB rendering of [[HtmlOps]] — the same regex pipeline (RE2 and Java

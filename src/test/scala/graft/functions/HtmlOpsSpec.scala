@@ -59,4 +59,50 @@ class HtmlOpsSpec extends SparkSuite {
       Seq((1L, Option.empty[String])).toDF("id", "html"), "id", "html")
     assert(out.collect().head.isNullAt(1))
   }
+
+  private def links(html: String, base: String): Seq[String] =
+    HtmlOps.extractLinks(
+        Seq((1L, html, base)).toDF("id", "html", "base"),
+        "id", "html", "base")
+      .collect().map(_.getString(1)).toSeq
+
+  test("links: every resolution form against a paged base URL") {
+    val html = "<a href=\"https://a.test/x\">1</a>" +
+      "<a href='//c.test/y'>2</a>" +
+      "<a href=\"/r\">3</a>" +
+      "<a rel=nofollow href=\"sub/p\">4</a>" +
+      "<a href=\"HTTPS://UP.test/z\">5</a>"
+    assert(links(html, "https://h.test/d/page.html?q=1") == Seq(
+      "https://a.test/x", "https://c.test/y", "https://h.test/r",
+      "https://h.test/d/sub/p", "HTTPS://UP.test/z"))
+  }
+
+  test("links: an origin-only base resolves relatives under '/'") {
+    assert(links("<a href=\"p\">x</a>", "https://h.test") ==
+      Seq("https://h.test/p"))
+  }
+
+  test("links: fragments strip, non-fetchable schemes and comments drop") {
+    val html = "<a href=\"/k#sec\">a</a><a href=\"#only\">b</a>" +
+      "<a href=\"mailto:x@y\">c</a><a href=\"javascript:void(0)\">d</a>" +
+      "<!-- <a href=\"/commented\">e</a> -->" +
+      "<script>var s = '<a href=\"/scripted\">f</a>';</script>" +
+      "<a href=\"/q?a=1&amp;b=2\">g</a>"
+    assert(links(html, "https://h.test/") ==
+      Seq("https://h.test/k", "https://h.test/q?a=1&b=2"))
+  }
+
+  test("links: duplicates emit as-is; anchors without href emit nothing") {
+    val html = "<a href=\"/p\">1</a><a name=\"n\">2</a><a href=\"/p\">3</a>"
+    assert(links(html, "https://h.test/") ==
+      Seq("https://h.test/p", "https://h.test/p"))
+  }
+
+  test("links plan: map-side projection + generate, zero shuffle") {
+    val df = Seq((1L, "<a href=\"/p\">x</a>", "https://h.test/"))
+      .toDF("id", "html", "base")
+    val p = HtmlOps.extractLinks(df, "id", "html", "base")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"extraction must not shuffle:\n$p")
+  }
 }
