@@ -1479,6 +1479,25 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // TrustRank: the same graph, teleport restricted to 10 trusted
+    // seeds (docs ≡0 mod 50) — rank must flow OUT of the seed
+    // neighborhood and nodes far from any seed starve. Same unrolled-
+    // CTE oracle discipline as graph_pagerank
+    "graph_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val seeds = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 50 === 0)
+      Graph.personalizedPagerank(e1.union(e2), "src", "dst",
+          seeds, "doc_id", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // the crawl-ordering loop composed (Cho, Garcia-Molina & Page 1998:
     // rank-ordered fetches under politeness): PageRank scores become
     // the frontier priority, the per-host scheduler slots them under
@@ -5596,6 +5615,18 @@ object SparkEntry {
            |  SELECT doc_id, (doc_id * 7 + 5) % 500
            |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
            |${GraphSql.pagerankCtes(3)}
+           |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      "graph_trustrank" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |rawseed AS (SELECT doc_id AS node FROM documents
+           |            WHERE doc_id % 50 = 0),
+           |${GraphSql.personalizedCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
 
       // fixpoint CTEs + the schedule window, both restated

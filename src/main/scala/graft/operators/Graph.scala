@@ -71,6 +71,61 @@ object Graph {
     }
     r.select(col("node"), col("__pr").as("rank_units"))
   }
+
+  /**
+   * Personalized PageRank with a trusted seed set (TrustRank — Gyöngyi,
+   * Garcia-Molina & Pedersen 2004): the random surfer teleports ONLY to
+   * seeds, so rank flows outward from trust and spam farms far from any
+   * seed starve — the standard frontier-quality demotion signal. Same
+   * integer micro-unit fixpoint as [[pagerank]], with the teleport and
+   * the dangling mass both returning to the seeds:
+   *
+   *   tele       = (15·T div 100) div S          (T = N·U total mass)
+   *   dangShare  = (85·Σ_dangling rank div 100) div S
+   *   rank'(i)   = (85·Σ contrib(·→i)) div 100
+   *                + [i ∈ seeds] (tele + dangShare)
+   *
+   * Seeds outside the edge set's node universe are ignored (they can
+   * receive no links and give none). Starts from the uniform U per node
+   * so round counts compare with [[pagerank]].
+   */
+  def personalizedPagerank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      "personalizedPagerank: iters must be in 1..64")
+    val e = edges
+      .select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("node")).agg(count(lit(1)).as("__odeg"))
+    val seed = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().join(nodes, "node")
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    val sRow = seed.agg(count(lit(1)).as("__s"))
+    var r = nodes.select(col("node"), lit(RankUnit).as("__pr"))
+    for (_ <- 1 to iters) {
+      val inflow = r.join(outdeg, "node").join(e, "node")
+        .select(col("dst").as("node"),
+          expr("__pr div __odeg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val dangRow = r.join(outdeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("__pr")), lit(0L)).as("__dang"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .join(seed.select(col("node"), lit(1).as("__seed")),
+          Seq("node"), "left")
+        .crossJoin(dangRow).crossJoin(nRow).crossJoin(sRow)
+        .select(col("node"),
+          (expr("(85 * coalesce(__in, 0L)) div 100") +
+            when(col("__seed").isNotNull,
+              expr(s"((15 * (__n * ${RankUnit}L)) div 100) div __s + " +
+                "((85 * __dang) div 100) div __s"))
+              .otherwise(lit(0L))).as("__pr"))
+    }
+    r.select(col("node"), col("__pr").as("rank_units"))
+  }
 }
 
 /** DuckDB renderings of the same fixpoint, for oracle SQL: the whole
@@ -107,6 +162,45 @@ object GraphSql {
          |           AS pr
          |  FROM nodes LEFT JOIN inf$i USING (node)
          |  CROSS JOIN dang$i CROSS JOIN nn)""".stripMargin
+    }
+    (fixed +: rounds).mkString(",\n")
+  }
+
+  /** CTE chain for [[Graph.personalizedPagerank]] over prior CTEs
+    * `raw(src, dst)` and `rawseed(node)`. */
+  def personalizedCtes(iters: Int): String = {
+    val u = Graph.RankUnit
+    val fixed =
+      s"""e AS (SELECT DISTINCT src, dst FROM raw),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+         |seed AS (SELECT DISTINCT rawseed.node FROM rawseed
+         |         JOIN nodes ON nodes.node = rawseed.node),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |ss AS (SELECT count(*) AS s FROM seed),
+         |r0 AS (SELECT node, CAST($u AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS (
+         |  SELECT e.dst AS node, r$p.pr // odeg.odeg AS c
+         |  FROM r$p JOIN odeg ON odeg.src = r$p.node
+         |           JOIN e ON e.src = r$p.node),
+         |inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
+         |          FROM c$i GROUP BY node),
+         |dang$i AS (
+         |  SELECT CAST(coalesce(sum(r$p.pr), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN odeg ON odeg.src = r$p.node
+         |  WHERE odeg.src IS NULL),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |         (85 * coalesce(inflow, 0)) // 100
+         |         + CASE WHEN seed.node IS NOT NULL
+         |             THEN ((15 * (n * $u)) // 100) // s
+         |                  + ((85 * dang) // 100) // s
+         |             ELSE 0 END AS pr
+         |  FROM nodes LEFT JOIN inf$i USING (node)
+         |  LEFT JOIN seed ON seed.node = nodes.node
+         |  CROSS JOIN dang$i CROSS JOIN nn CROSS JOIN ss)""".stripMargin
     }
     (fixed +: rounds).mkString(",\n")
   }

@@ -57,6 +57,53 @@ class GraphSpec extends SparkSuite {
     assert(got.values.toSet.size == 1) // symmetry: every node equal
   }
 
+  /** Independent sequential TrustRank with the same integer update. */
+  private def seqTrust(
+      edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val sd = seeds.distinct.filter(nodes.contains).toSet
+    val (n, sN) = (nodes.size.toLong, sd.size.toLong)
+    var r = nodes.map(_ -> U).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map(v => v -> ((85 * inflow.getOrElse(v, 0L)) / 100 +
+        (if (sd(v)) (15 * (n * U)) / 100 / sN + (85 * dang) / 100 / sN
+         else 0L))).toMap
+    }
+    r
+  }
+
+  test("trustrank matches the sequential fixpoint; rank flows from seeds") {
+    // chain: 1→2→3→4 (4 dangles), seed {1}; an off-chain pair 5↔6
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L))
+    val got = Graph.personalizedPagerank(
+        e.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == seqTrust(e, Seq(1L), 3))
+    // trust decays along the chain; the pair NOT reachable from the
+    // seed starves toward zero
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
+    // the pair unreachable from the seed gets no teleport — only the
+    // decaying 85% echo of its start mass; trust-adjacent beats it
+    assert(got(2L) > got(5L))
+  }
+
+  test("trustrank ignores seeds outside the node universe") {
+    val e = Seq((1L, 2L), (2L, 1L))
+    val got = Graph.personalizedPagerank(
+        e.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 99L).toDF("node"), "node", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == seqTrust(e, Seq(1L, 99L), 2))
+    assert(!got.contains(99L))
+  }
+
   test("plan: the 1-row total/count sides never become a cartesian") {
     val e = (0L until 50L).map(i => (i, (i * 3 + 1) % 50))
     val p = Graph.pagerank(e.toDF("src", "dst"), "src", "dst", 2)
