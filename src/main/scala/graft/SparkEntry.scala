@@ -1554,6 +1554,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("link"))
     }),
 
+    // anchor-text evidence aggregated per TARGET (the linking pages'
+    // words describe the linked page — classic web-IR): anchors render
+    // Spark-side with root-relative and protocol-relative hrefs whose
+    // targets collide across source docs, then fold to (link, n_refs,
+    // distinct anchor texts). The oracle restates both link forms and
+    // the texts from arithmetic and refolds independently
+    "anchor_text_agg" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val d1 = (col("doc_id") * 3 + 1) % 500
+      val d2 = (col("doc_id") * 7 + 5) % 500
+      val html = concat(
+        lit("<p>see <a href=\"/doc/"), d1.cast("string"),
+        lit("\">guide <b>topic</b> "), (d1 % 13).cast("string"),
+        lit("</a> and <a href='//h"), (d2 % 5).cast("string"),
+        lit(".test/doc/"), d2.cast("string"),
+        lit("'>ref topic "), (d2 % 13).cast("string"),
+        lit("</a></p>"))
+      val base = concat(lit("https://h"),
+        (col("doc_id") % 5).cast("string"), lit(".test/dir/p"), id,
+        lit(".html"))
+      HtmlOps.extractAnchors(
+          t(s, dir, "documents")
+            .select(col("doc_id"), html.as("html"), base.as("base")),
+          "doc_id", "html", "base")
+        .groupBy(col("link"))
+        .agg(count(lit(1)).as("n_refs"),
+          array_join(array_sort(collect_set(col("anchor"))), "|")
+            .as("anchors"))
+        .orderBy(col("link"))
+    }),
+
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
     // dedup: the same page crawled precomposed and as combining
     // sequences must digest identically). Fixture appends DECOMPOSED
@@ -5676,6 +5707,31 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT doc_id, 'https://q.test/d?a=1&b=' || i FROM d)
           |ORDER BY doc_id, link""".stripMargin,
+
+      // both anchor rows restated from the same arithmetic (the
+      // root-relative href resolves against the SOURCE doc's host, the
+      // protocol-relative one against the TARGET's), refolded with an
+      // independent DISTINCT string_agg
+      "anchor_text_agg" ->
+        """WITH a AS (
+          |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+          |           || '.test/doc/'
+          |           || CAST((doc_id * 3 + 1) % 500 AS VARCHAR) AS link,
+          |         'guide topic '
+          |           || CAST((doc_id * 3 + 1) % 500 % 13 AS VARCHAR)
+          |           AS anchor
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'https://h' || CAST((doc_id * 7 + 5) % 500 % 5 AS VARCHAR)
+          |           || '.test/doc/'
+          |           || CAST((doc_id * 7 + 5) % 500 AS VARCHAR),
+          |         'ref topic '
+          |           || CAST((doc_id * 7 + 5) % 500 % 13 AS VARCHAR)
+          |  FROM documents)
+          |SELECT link, count(*) AS n_refs,
+          |       string_agg(DISTINCT anchor, '|' ORDER BY anchor)
+          |         AS anchors
+          |FROM a GROUP BY link ORDER BY link""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

@@ -117,30 +117,65 @@ object HtmlOps {
       baseUrlCol: String): DataFrame = {
     val hrefs = regexp_extract_all(preClean(col(htmlCol)),
       lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
-    val noQ = regexp_replace(col(baseUrlCol), "[?#].*$", "")
-    val scheme = regexp_extract(col(baseUrlCol),
-      "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    val origin = regexp_extract(col(baseUrlCol),
-      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    df.select(Seq(col(idCol), explode(hrefs).as("__href")) ++
+        baseParts(col(baseUrlCol)): _*)
+      .select(col(idCol), resolveHref(col("__href")).as("link"))
+      .where(col("link").isNotNull)
+  }
+
+  /** [[extractLinks]] keeping each link's ANCHOR TEXT — the target-side
+    * description signal (the linking pages' words describe the linked
+    * page better than its own markup — classic web-IR anchor evidence).
+    * One row (idCol, link, anchor) per href'd anchor element; the
+    * anchor text is inline-stripped/entity-decoded like any text block
+    * and may be empty (image links). Same resolution/drop rules and the
+    * same map-side shape as [[extractLinks]]. */
+  def extractAnchors(
+      df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val elems = regexp_extract_all(preClean(col(htmlCol)),
+      lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"'][^\"'>]*[\"'][^>]*>.*?</a>"),
+      lit(0))
+    val href = regexp_extract(col("__a"),
+      "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+    df.select(Seq(col(idCol), explode(elems).as("__a")) ++
+        baseParts(col(baseUrlCol)): _*)
+      .select(col(idCol), href.as("__href"),
+        stripInline(regexp_replace(col("__a"), "(?is)^<a[^>]*>|</a>$", " "))
+          .as("anchor"),
+        col("__s"), col("__o"), col("__d"))
+      .select(col(idCol), resolveHref(col("__href")).as("link"),
+        col("anchor"))
+      .where(col("link").isNotNull)
+  }
+
+  /** (scheme `__s`, origin `__o`, directory `__d`) of a base URL — the
+    * three resolution anchors of [[resolveHref]]. */
+  private def baseParts(base: Column): Seq[Column] = {
+    val noQ = regexp_replace(base, "[?#].*$", "")
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val dir = when(noQ === origin, concat(origin, lit("/")))
       .otherwise(regexp_replace(noQ, "/[^/]*$", "/"))
-    val raw = explode(hrefs).as("__href")
+    Seq(scheme.as("__s"), origin.as("__o"), dir.as("__d"))
+  }
+
+  /** Entity-decode, fragment-strip, and resolve one raw href against
+    * the `__s`/`__o`/`__d` base parts; NULL = drop (empty after the
+    * fragment strip, or a non-fetchable scheme). */
+  private def resolveHref(href: Column): Column = {
     val decoded = replace(replace(replace(replace(replace(
-      col("__href"),
+      href,
       lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
       lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
       lit("&amp;"), lit("&"))
     val u = trim(regexp_replace(decoded, "#.*$", ""))
-    val resolved = when(u === "", lit(null))
+    when(u === "", lit(null))
       .when(u.rlike("(?i)^https?://"), u)
       .when(u.startsWith("//"), concat(col("__s"), lit(":"), u))
       .when(u.startsWith("/"), concat(col("__o"), u))
       .when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
       .otherwise(concat(col("__d"), u))
-    df.select(col(idCol), raw, scheme.as("__s"), origin.as("__o"),
-        dir.as("__d"))
-      .select(col(idCol), resolved.as("link"))
-      .where(col("link").isNotNull)
   }
 }
 

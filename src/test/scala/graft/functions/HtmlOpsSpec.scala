@@ -98,6 +98,19 @@ class HtmlOpsSpec extends SparkSuite {
       Seq("https://h.test/p", "https://h.test/p"))
   }
 
+  test("anchors: text strips inline markup; empty anchors keep their row") {
+    val html = "<a href=\"/p\">guide <b>topic</b> 7</a>" +
+      "<a href=\"/img\"><img src=\"x.png\"/></a>" +
+      "<a href=\"mailto:x@y\">dropped with its text</a>"
+    val got = HtmlOps.extractAnchors(
+        Seq((1L, html, "https://h.test/")).toDF("id", "html", "base"),
+        "id", "html", "base")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("https://h.test/p", "guide topic 7"),
+      ("https://h.test/img", "")))
+  }
+
   test("links plan: map-side projection + generate, zero shuffle") {
     val df = Seq((1L, "<a href=\"/p\">x</a>", "https://h.test/"))
       .toDF("id", "html", "base")
