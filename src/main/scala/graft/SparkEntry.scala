@@ -3750,6 +3750,26 @@ object SparkEntry {
       Streams.tokenBudgetStream(s, t(s, dir, "documents"), budget = 800L)
         .orderBy(col("doc_id"))),
 
+    // ingest-time per-host politeness door: each arriving URL takes its
+    // host's next fetch slot (ONE LONG of state per host), scheduled at
+    // slot × delay with the four delay postures of frontier_schedule;
+    // the oracle-facing refold is the batch rule (id-ordered slots per
+    // host through the batch scheduler itself), micro-batch independent
+    "stream_politeness_gate" -> ((s, dir) => {
+      val delays = (0 until 20).flatMap(k => k % 4 match {
+        case 0 => Some(s"src$k.test" -> 1.0)
+        case 2 => Some(s"src$k.test" -> 2.5)
+        case _ => None
+      }).toMap
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".test/doc/"),
+            col("doc_id").cast("string")).as("url"))
+      Streams.politenessStream(s, urls, delays,
+          defaultDelayS = 0.5, horizonS = 10.0)
+        .orderBy(col("url"))
+    }),
+
     // ingest-time URL dedup (the crawl-frontier door): arriving pages key
     // on their canonical URL, ONE LONG of state per distinct URL (the
     // lowest id seen); the oracle-facing fold is the batch rule (min id
@@ -7603,6 +7623,27 @@ object SparkEntry {
            |      FROM d)
            |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
            |ORDER BY doc_id""".stripMargin,
+
+      // frontier_schedule's resolved-delay VALUES with id-ordered slots
+      "stream_politeness_gate" ->
+        """WITH d AS (SELECT par, CAST(delay_s AS DOUBLE) AS delay_s
+          |  FROM (VALUES
+          |        (0, 1.0), (1, 0.5), (2, 2.5), (3, 0.5)) t(par, delay_s)),
+          |u AS (
+          |  SELECT doc_id,
+          |         'https://' || source || '.test/doc/'
+          |           || CAST(doc_id AS VARCHAR) AS url,
+          |         source || '.test' AS host,
+          |         CAST(substring(source, 4) AS INT) % 4 AS par
+          |  FROM documents),
+          |r AS (
+          |  SELECT u.doc_id, u.url, u.host, d.delay_s,
+          |         row_number() OVER (PARTITION BY u.host
+          |           ORDER BY u.doc_id) - 1 AS slot
+          |  FROM u JOIN d ON d.par = u.par)
+          |SELECT doc_id, url, host, slot, delay_s,
+          |       slot * delay_s AS sched_s
+          |FROM r WHERE slot * delay_s < 10.0 ORDER BY url""".stripMargin,
 
       "stream_url_dedup" ->
         """SELECT 'https://site' || CAST(doc_id % 100 AS VARCHAR)

@@ -737,6 +737,83 @@ object Streams {
     graft.operators.CacheScope.unpersistAfterAction(result, Seq(tagged))
   }
 
+  /**
+   * Streaming per-host POLITENESS door — the ingest form of
+   * [[graft.operators.Frontier.schedule]]: per-host state = ONE LONG
+   * (the next free fetch slot); each arriving URL takes the next slot
+   * and is scheduled at `slot × delay(host)`; `sched_s < horizonS` is
+   * the LIVE admission signal. The resolved per-host delays ride into
+   * the state function as a tiny driver map (hosts-with-rules-sized —
+   * the same small side the batch scheduler broadcasts).
+   *
+   * As with [[sourceQuotaStream]], first-arrival slotting is inherently
+   * batch-boundary-dependent, so the drained membership table carries
+   * the live arrival slots (spec-pinned: contiguous per host, id-ordered
+   * within a batch, delay arithmetic exact) and the oracle-checked
+   * RESULT refolds the batch rule — id-ordered slots per host — by
+   * handing the drained arrivals to the batch scheduler itself with
+   * priority = −id.
+   */
+  private[graft] def politenessArrivals(
+      spark: SparkSession,
+      urls: org.apache.spark.sql.DataFrame,
+      delays: Map[String, Double],
+      defaultDelayS: Double,
+      maxFilesPerTrigger: Option[Int]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft-stream-polite")
+    urls.select(col("doc_id").cast("long").as("doc_id"),
+        col("url").cast("string").as("url"),
+        graft.operators.Robots.urlHost(col("url")).as("host"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val keyed = reader.parquet(dir.toString)
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+    val slotted = keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (host: String, rows: Iterator[(Long, String, String)],
+       state: GroupState[Long]) => {
+        val delay = delays.getOrElse(host, defaultDelayS)
+        val arr = rows.toArray.sortBy(_._1) // id order within a batch
+        var next = if (state.exists) state.get else 0L
+        val out = arr.map { case (id, url, h) =>
+          val slot = next; next += 1
+          (id, url, h, slot, slot * delay)
+        }
+        state.update(next)
+        out.iterator
+      })
+    val drained = runToMemory(
+      slotted.toDF("doc_id", "url", "host", "arrival_slot", "arrival_sched_s"),
+      "append", statePartitionsFor(dir.toString))
+      .localCheckpoint()
+    cleanupStaging(dir)
+    drained
+  }
+
+  def politenessStream(
+      spark: SparkSession,
+      urls: org.apache.spark.sql.DataFrame,
+      delays: Map[String, Double],
+      defaultDelayS: Double,
+      horizonS: Double,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val drained =
+      politenessArrivals(spark, urls, delays, defaultDelayS, maxFilesPerTrigger)
+    val delayDf = delays.toSeq.toDF("host", "delay_s")
+    graft.operators.Frontier.schedule(
+        drained.select(col("doc_id"), col("url"),
+          (-col("doc_id")).cast("double").as("__prio")),
+        delayDf, "doc_id", "url", "__prio", defaultDelayS, horizonS)
+      .select(col("doc_id"), col("url"), col("host"), col("slot"),
+        col("delay_s"), col("sched_s"))
+  }
+
   def sourceQuotaStream(
       spark: SparkSession,
       docs: org.apache.spark.sql.DataFrame,

@@ -564,6 +564,37 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(0L, 1L, 2L), kept.toString)
   }
 
+  test("streaming politeness door: live slots contiguous per host, delay exact") {
+    // one URL per micro-batch: the per-host slot counter must hand out
+    // contiguous 0-based slots in arrival order and multiply by the
+    // host's delay (a.test 2.0, others the 0.5 default) — this pins the
+    // STATE arithmetic the live admission reads (`sched_s < horizon`)
+    val urls = ((0L until 5L).map(i => (i, s"https://a.test/p$i")) ++
+      (100L until 103L).map(i => (i, s"https://b.test/q$i")))
+      .toDF("doc_id", "url").repartition(8, col("doc_id"))
+    val got = Streams.politenessArrivals(spark, urls,
+        Map("a.test" -> 2.0), defaultDelayS = 0.5,
+        maxFilesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSeq
+    for ((host, n, d) <- Seq(("a.test", 5, 2.0), ("b.test", 3, 0.5))) {
+      val slots = got.filter(_._1 == host).map(_._2).sorted.toSeq
+      assert(slots == (0L until n.toLong).toSeq, s"$host: $slots")
+      assert(got.filter(_._1 == host)
+        .forall(r => r._3 == r._2 * d), s"$host sched")
+    }
+    // the public refold equals the batch scheduler on id order
+    val folded = Streams.politenessStream(spark, urls,
+        Map("a.test" -> 2.0), defaultDelayS = 0.5, horizonS = 4.0,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+      .toSet
+    // a.test: slots 0,1 fit (0,2 < 4); b.test: slots 0..7 would fit but
+    // only 3 urls exist
+    assert(folded == Set((0L, 0L, 0.0), (1L, 1L, 2.0),
+      (100L, 0L, 0.0), (101L, 1L, 0.5), (102L, 2L, 1.0)), folded.toString)
+  }
+
   test("incrementalNearDup: corpus near-dups drop, batch keep-first, novel kept") {
     val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val near1 = (3 to 30).map(i => s"w$i").mkString(" ")  // near-dup of long1
