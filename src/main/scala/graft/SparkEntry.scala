@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
-import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, VectorOps, VectorOpsSql}
+import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, UrlOps, VectorOps, VectorOpsSql}
 import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
@@ -1583,6 +1583,24 @@ object SparkEntry {
           array_join(array_sort(collect_set(col("anchor"))), "|")
             .as("anchors"))
         .orderBy(col("link"))
+    }),
+
+    // spider-trap heuristics: URLs with varying path depth, repeated
+    // segments (the self-embedding trap), parameter echo, and length,
+    // all derived from doc_id arithmetic. The engine measures the
+    // STRINGS (split/distinct/regex); the oracle restates every signal
+    // from the construction ARITHMETIC — the two cannot echo
+    "url_trap_filter" -> ((s, dir) => {
+      val url = expr("'https://t.test' || " +
+        "repeat('/dir', CAST(doc_id % 6 AS INT)) || '/p' || " +
+        "CAST(doc_id AS STRING) || " +
+        "CASE WHEN doc_id % 9 = 0 THEN '' ELSE '?q=1' || " +
+        "repeat('&x=1', CAST(doc_id % 9 AS INT) - 1) END")
+      UrlOps.trapFilter(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "doc_id", "url",
+          maxDepth = 4, maxDupSegments = 2, maxParams = 6, maxLen = 60)
+        .orderBy(col("doc_id"))
     }),
 
     // Unicode NFC canonicalization (the pre-hash step of CCNet-style
@@ -5752,6 +5770,32 @@ object SparkEntry {
           |       string_agg(DISTINCT anchor, '|' ORDER BY anchor)
           |         AS anchors
           |FROM a GROUP BY link ORDER BY link""".stripMargin,
+
+      // every trap signal restated from the construction arithmetic
+      // (depth = reps+1, dup = max(reps-1, 0), params = the modulus) —
+      // only url_len touches the string, via the same construction
+      "url_trap_filter" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |         'https://t.test'
+          |           || repeat('/dir', CAST(doc_id % 6 AS INT)) || '/p'
+          |           || CAST(doc_id AS VARCHAR)
+          |           || CASE WHEN doc_id % 9 = 0 THEN '' ELSE '?q=1'
+          |                || repeat('&x=1', CAST(doc_id % 9 AS INT) - 1)
+          |              END AS url
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, url,
+          |         CAST(doc_id % 6 + 1 AS BIGINT) AS depth,
+          |         CAST(greatest(doc_id % 6 - 1, 0) AS BIGINT)
+          |           AS dup_segments,
+          |         CAST(doc_id % 9 AS BIGINT) AS n_params,
+          |         CAST(length(url) AS BIGINT) AS url_len
+          |  FROM u)
+          |SELECT doc_id, url, depth, dup_segments, n_params, url_len,
+          |       (depth > 4 OR dup_segments >= 2 OR n_params > 6
+          |        OR url_len > 60) AS is_trap
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       // the same decomposed suffix rebuilt from code points (chr(769) =
       // U+0301 combining acute, chr(8491) = U+212B angstrom sign,

@@ -57,4 +57,50 @@ object UrlOps {
     df.groupBy(normalizeUrl(col(urlCol)).as("canonical_url"))
       .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
       .select(col("__row.*"), col("canonical_url"))
+
+  /** Spider-trap signals of one URL — the frontier-side heuristics that
+    * keep a crawler out of infinite URL spaces (calendar pages, session
+    * echoes, faceted-search explosions; Heydon & Najork's Mercator and
+    * every production crawler since apply this family before fetching):
+    *
+    *  - `depth`: non-empty path segments;
+    *  - `dup_segments`: segments minus distinct segments (a repeated
+    *    segment is the classic self-embedding trap `/a/b/a/b/…`);
+    *  - `n_params`: `&`-separated query parameters (duplicate keys
+    *    count — parameter echo IS the signal);
+    *  - `url_len`: total characters.
+    *
+    * Pure per-row array/regex expressions — no explode, no shuffle. */
+  def trapSignals(u: Column): Column = {
+    val path = regexp_replace(
+      regexp_replace(u, SchemeHost, ""), "[?#].*$", "")
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val nParams = when(query === "", lit(0))
+      .otherwise(size(split(query, "&")))
+    struct(
+      size(segs).cast("long").as("depth"),
+      (size(segs) - size(array_distinct(segs))).cast("long")
+        .as("dup_segments"),
+      nParams.cast("long").as("n_params"),
+      length(u).cast("long").as("url_len"))
+  }
+
+  /** (idCol, urlCol, depth, dup_segments, n_params, url_len, is_trap):
+    * a URL is a trap candidate when any signal crosses its bound. */
+  def trapFilter(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      urlCol: String,
+      maxDepth: Int = 8,
+      maxDupSegments: Int = 2,
+      maxParams: Int = 6,
+      maxLen: Int = 512): org.apache.spark.sql.DataFrame = {
+    val sig = trapSignals(col(urlCol))
+    df.select(col(idCol), col(urlCol), sig.as("__sig"))
+      .select(col(idCol), col(urlCol), col("__sig.*"))
+      .withColumn("is_trap",
+        col("depth") > maxDepth || col("dup_segments") >= maxDupSegments ||
+          col("n_params") > maxParams || col("url_len") > maxLen)
+  }
 }

@@ -48,4 +48,28 @@ class UrlOpsSpec extends SparkSuite {
       Set(1L, 2L))
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("trapSignals: depth/dup/params/len on hand-built URLs") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "https://h.test"),                       // no path: depth 0
+      (2L, "https://h.test/a/b/a/b?x=1&x=2#frag"),  // dup segs, frag cut
+      (3L, "https://h.test/one/?q="))               // trailing slash
+    val got = UrlOps.trapFilter(cases.toDF("id", "url"), "id", "url",
+        maxDepth = 3, maxDupSegments = 2, maxParams = 1, maxLen = 100)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, false)))
+    assert(got(2L) == ((4L, 2L, 2L, true))) // depth 4 > 3, dup 2, params 2
+    assert(got(3L) == ((1L, 0L, 1L, false)))
+  }
+
+  test("trapFilter plan: pure projection, zero shuffle") {
+    import spark.implicits._
+    val p = UrlOps.trapFilter(
+        Seq((1L, "https://h.test/a")).toDF("id", "url"), "id", "url")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"trap signals must not shuffle:\n$p")
+  }
 }
