@@ -1498,6 +1498,25 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // crawl depth from the trusted frontier: 4 min-plus rounds from the
+    // same seeds; nodes unreached within the horizon must read NULL
+    // (unknown), not a sentinel. Integer min/plus — exact; the oracle
+    // unrolls the same relaxation
+    "graph_seed_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val seeds = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 50 === 0)
+      Graph.seedDistance(e1.union(e2), "src", "dst",
+          seeds, "doc_id", maxHops = 4)
+        .orderBy(col("node"))
+    }),
+
     // the crawl-ordering loop composed (Cho, Garcia-Molina & Page 1998:
     // rank-ordered fetches under politeness): PageRank scores become
     // the frontier priority, the per-host scheduler slots them under
@@ -5697,6 +5716,20 @@ object SparkEntry {
            |            WHERE doc_id % 50 = 0),
            |${GraphSql.personalizedCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      "graph_seed_distance" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |rawseed AS (SELECT doc_id AS node FROM documents
+           |            WHERE doc_id % 50 = 0),
+           |${GraphSql.seedDistanceCtes(4)}
+           |SELECT nodes.node, d4.dist
+           |FROM nodes LEFT JOIN d4 ON d4.node = nodes.node
+           |ORDER BY nodes.node""".stripMargin,
 
       // fixpoint CTEs + the schedule window, both restated
       "frontier_ranked" ->

@@ -126,6 +126,46 @@ object Graph {
     }
     r.select(col("node"), col("__pr").as("rank_units"))
   }
+
+  /**
+   * Hop distance from a seed set along edge direction — crawl DEPTH
+   * from the trusted frontier (the companion diagnostic of
+   * [[personalizedPagerank]]: TrustRank's own seed selection uses
+   * inverse-PageRank reach, and crawl policies cap by depth-from-seed).
+   * `maxHops` rounds of min-plus relaxation: dist(seed) = 0,
+   * dist(v) = min(dist(v), min over edges u→v of dist(u)+1); nodes not
+   * reached within `maxHops` return NULL (unknown, not infinite — the
+   * next release's deeper walk may reach them).
+   *
+   * Scale shape: each round is one ranks⋈edges join + a min aggregate
+   * (map-side combinable); the reached set only grows, and all
+   * arithmetic is integer min/plus — exact everywhere. BFS depth on a
+   * web graph converges in ~diameter rounds (tens); checkpoint between
+   * rounds at that depth like the component doubling.
+   */
+  def seedDistance(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      "seedDistance: maxHops must be in 1..64")
+    val e = edges
+      .select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var d = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().join(nodes, "node")
+      .select(col("node"), lit(0L).as("__dist"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = d.join(e, "node")
+        .select(col("dst").as("node"), (col("__dist") + 1L).as("__dist"))
+      d = d.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("__dist")).as("__dist"))
+    }
+    nodes.join(d, Seq("node"), "left")
+      .select(col("node"), col("__dist").as("dist"))
+  }
 }
 
 /** DuckDB renderings of the same fixpoint, for oracle SQL: the whole
@@ -201,6 +241,27 @@ object GraphSql {
          |  FROM nodes LEFT JOIN inf$i USING (node)
          |  LEFT JOIN seed ON seed.node = nodes.node
          |  CROSS JOIN dang$i CROSS JOIN nn CROSS JOIN ss)""".stripMargin
+    }
+    (fixed +: rounds).mkString(",\n")
+  }
+
+  /** CTE chain for [[Graph.seedDistance]] over prior CTEs `raw(src,
+    * dst)` and `rawseed(node)`: `d0 … d{maxHops}` of min-plus rounds. */
+  def seedDistanceCtes(maxHops: Int): String = {
+    val fixed =
+      """e AS (SELECT DISTINCT src, dst FROM raw),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |d0 AS (SELECT DISTINCT rawseed.node, CAST(0 AS BIGINT) AS dist
+        |       FROM rawseed JOIN nodes ON nodes.node = rawseed.node)""".stripMargin
+    val rounds = (1 to maxHops).map { i =>
+      val p = i - 1
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d$p
+         |    UNION ALL
+         |    SELECT e.dst AS node, d$p.dist + 1 AS dist
+         |    FROM d$p JOIN e ON e.src = d$p.node)
+         |  GROUP BY node)""".stripMargin
     }
     (fixed +: rounds).mkString(",\n")
   }

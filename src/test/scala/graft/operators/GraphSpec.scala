@@ -104,6 +104,26 @@ class GraphSpec extends SparkSuite {
     assert(!got.contains(99L))
   }
 
+  test("seedDistance: BFS depth along edges, NULL beyond the horizon") {
+    // 1→2→3→4→5 with a shortcut 1→3; seed {1}; 9↔8 unreachable
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (9L, 8L), (8L, 9L))
+    val got = Graph.seedDistance(e.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", maxHops = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(
+      1L -> Some(0L), 2L -> Some(1L), 3L -> Some(1L), // shortcut wins
+      4L -> Some(2L), 5L -> Some(3L),
+      8L -> None, 9L -> None))
+    // a tighter horizon leaves the tail unknown
+    val h2 = Graph.seedDistance(e.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", maxHops = 2)
+      .collect().filter(_.getLong(0) == 5L).head
+    assert(h2.isNullAt(1))
+  }
+
   test("plan: the 1-row total/count sides never become a cartesian") {
     val e = (0L until 50L).map(i => (i, (i * 3 + 1) % 50))
     val p = Graph.pagerank(e.toDF("src", "dst"), "src", "dst", 2)
