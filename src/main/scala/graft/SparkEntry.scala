@@ -1517,6 +1517,67 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // the whole crawl-admission-and-ordering pipeline composed, every
+    // stage load-bearing: pages render with two legit doc links (absent
+    // for dangling docs ≡0 mod 7), one robots-DISALLOWED link and one
+    // spider-TRAP link — both pointing at VALID doc URLs, so a gate or
+    // trap-filter failure adds real edges and changes the PageRank the
+    // oracle replays; survivors form the graph, ranks become frontier
+    // priority, the per-host scheduler slots them. The oracle restates
+    // only the legit edge arithmetic + fixpoint CTEs + schedule window
+    "pipeline_crawl" -> ((s, dir) => {
+      import s.implicits._
+      def docUrl(d: org.apache.spark.sql.Column) = concat(lit("https://h"),
+        (d % 5).cast("string"), lit(".test/dir/p"), d.cast("string"),
+        lit(".html"))
+      val id = col("doc_id")
+      val d1 = (id * 3 + 1) % 500
+      val d2 = (id * 7 + 5) % 500
+      val d3 = (id * 11 + 2) % 500
+      val d4 = (id * 13 + 7) % 500
+      val priv = concat(lit("https://h"), (d3 % 5).cast("string"),
+        lit(".test/private/p"), d3.cast("string"), lit(".html"))
+      val deep = concat(lit("https://h"), (d4 % 5).cast("string"),
+        lit(".test/dir/dir/dir/dir/dir/p"), d4.cast("string"),
+        lit(".html"))
+      val legit = concat(lit("<p><a href=\""), docUrl(d1),
+        lit("\">a</a> <a href=\""),
+        when(id % 3 === 0, docUrl(d2)).otherwise(docUrl(d1)),
+        lit("\">b</a></p>"))
+      val html = concat(
+        when(id % 7 =!= 0, legit).otherwise(lit("<p>no links</p>")),
+        lit("<p><a href=\""), priv, lit("\">p</a> <a href=\""), deep,
+        lit("\">t</a></p>"))
+      val pages = t(s, dir, "documents")
+        .select(id, html.as("html"), docUrl(id).as("base"))
+      val links = HtmlOps.extractLinks(pages, "doc_id", "html", "base")
+        .select(concat(col("doc_id").cast("string"), lit("#"),
+          col("link")).as("lid"), col("doc_id"), col("link"))
+      val robots = (0 until 5)
+        .map(k => (s"h$k.test", "User-agent: *\nDisallow: /private"))
+        .toDF("host", "txt")
+      val admitted = Robots.gate(
+          links.select(col("lid"), col("link")),
+          Robots.parseRules(robots, "host", "txt"), "graftbot",
+          "lid", "link")
+        .where(col("allowed"))
+      val safe = UrlOps.trapFilter(admitted, "lid", "link",
+          maxDepth = 4, maxDupSegments = 2, maxParams = 6, maxLen = 512)
+        .where(!col("is_trap"))
+      val edges = safe
+        .select(split(col("lid"), "#").getItem(0).cast("long").as("src"),
+          regexp_extract(col("link"), "/p(\\d+)\\.html$", 1).cast("long")
+            .as("dst"))
+      val pr = Graph.pagerank(edges, "src", "dst", iters = 3)
+      val urls = pr.select(col("node"), docUrl(col("node")).as("url"),
+        col("rank_units").cast("double").as("priority"))
+      val delays = Seq(("h0.test", 2.0), ("h3.test", 1.5))
+        .toDF("host", "delay_s")
+      Frontier.schedule(urls, delays, "node", "url", "priority",
+          defaultDelayS = 0.5, horizonS = 6.0)
+        .orderBy(col("url"))
+    }),
+
     // the crawl-ordering loop composed (Cho, Garcia-Molina & Page 1998:
     // rank-ordered fetches under politeness): PageRank scores become
     // the frontier priority, the per-host scheduler slots them under
@@ -5730,6 +5791,38 @@ object SparkEntry {
            |SELECT nodes.node, d4.dist
            |FROM nodes LEFT JOIN d4 ON d4.node = nodes.node
            |ORDER BY nodes.node""".stripMargin,
+
+      // only the LEGIT edge arithmetic appears — a robots-gate or
+      // trap-filter failure upstream would add real doc→doc edges and
+      // shift the replayed fixpoint
+      "pipeline_crawl" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |${GraphSql.pagerankCtes(3)},
+           |d AS (SELECT host, CAST(delay_s AS DOUBLE) AS delay_s
+           |  FROM (VALUES ('h0.test', 2.0), ('h3.test', 1.5))
+           |    t(host, delay_s)),
+           |u AS (
+           |  SELECT node,
+           |         'https://h' || CAST(node % 5 AS VARCHAR)
+           |           || '.test/dir/p' || CAST(node AS VARCHAR)
+           |           || '.html' AS url,
+           |         'h' || CAST(node % 5 AS VARCHAR) || '.test' AS host,
+           |         CAST(pr AS DOUBLE) AS priority
+           |  FROM r3),
+           |sch AS (
+           |  SELECT u.node, u.url, u.host, u.priority,
+           |         coalesce(d.delay_s, CAST(0.5 AS DOUBLE)) AS delay_s,
+           |         row_number() OVER (PARTITION BY u.host
+           |           ORDER BY u.priority DESC, u.url) - 1 AS slot
+           |  FROM u LEFT JOIN d USING (host))
+           |SELECT node, url, host, priority, slot, delay_s,
+           |       slot * delay_s AS sched_s
+           |FROM sch WHERE slot * delay_s < 6.0 ORDER BY url""".stripMargin,
 
       // fixpoint CTEs + the schedule window, both restated
       "frontier_ranked" ->
