@@ -1517,6 +1517,34 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // the link graph as an AT-REST artifact (the dedup/IVF/postings
+    // index lifecycle): release 1 writes the d1 edges bucketed on src,
+    // release 2 APPENDS the d2 edges (with a deliberate re-observation
+    // overlap that must collapse at read), compaction folds the files,
+    // then out-degrees and the 3-round PageRank both run THROUGH the
+    // table. The oracle replays the union arithmetic — the index
+    // lifecycle must be invisible in the values
+    "graph_edge_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val tbl = s"${indexDb(s)}.link_graph"
+      Graph.writeEdgeIndex(e1, "src", "dst", tbl, buckets = 8)
+      // the append re-ships a slice of release 1 (docs ≡0 mod 21 carry
+      // their d1 edge again) — re-observed edges must not double-count
+      Graph.appendEdgeIndex(
+        e2.unionByName(e1.where(col("src") % 21 === 0)),
+        "src", "dst", tbl)
+      Bucketing.compactBucketed(s, tbl)
+      Graph.pagerankIndexed(s, tbl, iters = 3)
+        .join(Graph.outDegrees(s, tbl), Seq("node"), "left")
+        .orderBy(col("node"))
+    }),
+
     // the whole crawl-admission-and-ordering pipeline composed, every
     // stage load-bearing: pages render with two legit doc links (absent
     // for dangling docs ≡0 mod 7), one robots-DISALLOWED link and one
@@ -5791,6 +5819,21 @@ object SparkEntry {
            |SELECT nodes.node, d4.dist
            |FROM nodes LEFT JOIN d4 ON d4.node = nodes.node
            |ORDER BY nodes.node""".stripMargin,
+
+      // the union arithmetic, re-observations collapsed by DISTINCT —
+      // identical to graph_pagerank's fixpoint plus the degree fold
+      "graph_edge_indexed" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |${GraphSql.pagerankCtes(3)}
+           |SELECT node, pr AS rank_units,
+           |       CAST(odeg.odeg AS BIGINT) AS out_degree
+           |FROM r3 LEFT JOIN odeg ON odeg.src = r3.node
+           |ORDER BY node""".stripMargin,
 
       // only the LEGIT edge arithmetic appears — a robots-gate or
       // trap-filter failure upstream would add real doc→doc edges and

@@ -958,6 +958,20 @@ class PlanAuditSpec extends SparkSuite {
       s"a ranged fetch never scans archive shards:\n$p")
   }
 
+  test("edge index: the per-source degree fold scans bucketed, zero Exchange") {
+    import graft.operators.{Bucketing, Graph}
+    Bucketing.scratchDb(spark, "plan_graph",
+      java.nio.file.Files.createTempDirectory("plan_graph_db").toString)
+    val e = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % 500).as("dst"))
+    Graph.writeEdgeIndex(e, "src", "dst", "plan_graph.edges", buckets = 8)
+    val p = physical(Graph.outDegrees(spark, "plan_graph.edges"))
+    assert(!p.contains("Exchange"),
+      s"out-degree must fold in place over the src bucketing:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"the index scan must be bucketed:\n$p")
+  }
+
   test("frontier schedule: delays broadcast, ONE shuffle (the host window)") {
     import graft.operators.Frontier
     val urls = spark.read.parquet(s"$sf/documents.parquet")
