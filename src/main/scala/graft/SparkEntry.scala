@@ -1534,10 +1534,10 @@ object SparkEntry {
           ((col("doc_id") * 7 + 5) % 500).as("dst"))
       val tbl = s"${indexDb(s)}.link_graph"
       Graph.writeEdgeIndex(e1, "src", "dst", tbl, buckets = 8)
-      // the append re-ships a slice of release 1 (docs ≡0 mod 21 carry
+      // the append re-ships a slice of release 1 (docs ≡0 mod 20 carry
       // their d1 edge again) — re-observed edges must not double-count
       Graph.appendEdgeIndex(
-        e2.unionByName(e1.where(col("src") % 21 === 0)),
+        e2.unionByName(e1.where(col("src") % 20 === 0)),
         "src", "dst", tbl)
       Bucketing.compactBucketed(s, tbl)
       Graph.pagerankIndexed(s, tbl, iters = 3)
@@ -1707,7 +1707,7 @@ object SparkEntry {
       UrlOps.trapFilter(
           t(s, dir, "documents").select(col("doc_id"), url.as("url")),
           "doc_id", "url",
-          maxDepth = 4, maxDupSegments = 2, maxParams = 6, maxLen = 60)
+          maxDepth = 4, maxDupSegments = 1, maxParams = 6, maxLen = 60)
         .orderBy(col("doc_id"))
     }),
 
@@ -5761,7 +5761,7 @@ object SparkEntry {
           |  SELECT url, epoch_us(ts) AS us,
           |         lag(epoch_us(ts)) OVER w AS prev_us,
           |         CAST(digest <> lag(digest) OVER w AS INT) AS chg
-          |  FROM c WINDOW w AS (PARTITION BY url ORDER BY ts)),
+          |  FROM c WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),
           |g AS (
           |  SELECT url,
           |         count(prev_us) AS n_intervals,
@@ -5772,10 +5772,10 @@ object SparkEntry {
           |  FROM l GROUP BY url)
           |SELECT url, n_intervals, n_changes,
           |       round(mi, 6) AS mean_interval_s,
-          |       round(CASE WHEN n_intervals > 0 THEN
+          |       round(CASE WHEN n_intervals > 0 AND mi > 0 THEN
           |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
           |           / mi * 86400 END, 6) AS change_rate_day,
-          |       round(CASE WHEN n_intervals > 0 THEN
+          |       round(CASE WHEN n_intervals > 0 AND mi > 0 THEN
           |         1 - exp(ln((n_intervals - n_changes + 0.5)
           |                    / (n_intervals + 0.5)) / mi * age_s) END, 6)
           |         AS p_changed
@@ -5962,7 +5962,7 @@ object SparkEntry {
           |         CAST(length(url) AS BIGINT) AS url_len
           |  FROM u)
           |SELECT doc_id, url, depth, dup_segments, n_params, url_len,
-          |       (depth > 4 OR dup_segments >= 2 OR n_params > 6
+          |       (depth > 4 OR dup_segments > 1 OR n_params > 6
           |        OR url_len > 60) AS is_trap
           |FROM s ORDER BY doc_id""".stripMargin,
 

@@ -116,7 +116,7 @@ object HtmlOps {
       df: DataFrame, idCol: String, htmlCol: String,
       baseUrlCol: String): DataFrame = {
     val hrefs = regexp_extract_all(preClean(col(htmlCol)),
-      lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
+      lit(HrefPattern), lit(1))
     df.select(Seq(col(idCol), explode(hrefs).as("__href")) ++
         baseParts(col(baseUrlCol)): _*)
       .select(col(idCol), resolveHref(col("__href")).as("link"))
@@ -134,10 +134,8 @@ object HtmlOps {
       df: DataFrame, idCol: String, htmlCol: String,
       baseUrlCol: String): DataFrame = {
     val elems = regexp_extract_all(preClean(col(htmlCol)),
-      lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"'][^\"'>]*[\"'][^>]*>.*?</a>"),
-      lit(0))
-    val href = regexp_extract(col("__a"),
-      "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+      lit(s"(?is)$AnchorOpen[^>]*>.*?</a>"), lit(0))
+    val href = regexp_extract(col("__a"), HrefPattern, 1)
     df.select(Seq(col(idCol), explode(elems).as("__a")) ++
         baseParts(col(baseUrlCol)): _*)
       .select(col(idCol), href.as("__href"),
@@ -148,6 +146,16 @@ object HtmlOps {
         col("anchor"))
       .where(col("link").isNotNull)
   }
+
+  /** The `href` attribute of an anchor's OPEN tag. The `\s` boundary
+    * before `href` (the tag name's end or a previous attribute's end)
+    * keeps `data-href` / `xlink:href` from matching as a suffix. The
+    * value class excludes both quote characters, so a mismatched-quote
+    * attribute truncates at the first quote rather than swallowing the
+    * rest of the tag. */
+  private val AnchorOpen = "<a\\s(?:[^>]*?\\s)?"
+  private val HrefPattern =
+    s"(?is)${AnchorOpen}href\\s*=\\s*[\"']([^\"'>]*)[\"']"
 
   /** (scheme `__s`, origin `__o`, directory `__d`) of a base URL — the
     * three resolution anchors of [[resolveHref]]. */

@@ -87,20 +87,21 @@ object UrlOps {
   }
 
   /** (idCol, urlCol, depth, dup_segments, n_params, url_len, is_trap):
-    * a URL is a trap candidate when any signal crosses its bound. */
+    * a URL is a trap candidate when any signal EXCEEDS its max — every
+    * bound is inclusive (a URL at exactly the max passes). */
   def trapFilter(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       urlCol: String,
       maxDepth: Int = 8,
-      maxDupSegments: Int = 2,
+      maxDupSegments: Int = 1,
       maxParams: Int = 6,
       maxLen: Int = 512): org.apache.spark.sql.DataFrame = {
     val sig = trapSignals(col(urlCol))
     df.select(col(idCol), col(urlCol), sig.as("__sig"))
       .select(col(idCol), col(urlCol), col("__sig.*"))
       .withColumn("is_trap",
-        col("depth") > maxDepth || col("dup_segments") >= maxDupSegments ||
+        col("depth") > maxDepth || col("dup_segments") > maxDupSegments ||
           col("n_params") > maxParams || col("url_len") > maxLen)
   }
 }

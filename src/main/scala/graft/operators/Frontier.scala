@@ -36,17 +36,11 @@ object Frontier {
     * a host whose applicable groups declare no delay resolves to NO
     * row (the scheduler's default applies), even when an inapplicable
     * group declares one — the §2.2.1 exclusion trap. */
-  def hostDelays(delays: DataFrame, agent: String): DataFrame = {
-    val a = lit(agent.toLowerCase)
-    val perHost = delays.groupBy(col("host"))
-      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
-    delays.join(perHost, "host")
-      .where(when(col("__own") === 1, col("agent") === a)
-        .otherwise(col("agent") === "*"))
+  def hostDelays(delays: DataFrame, agent: String): DataFrame =
+    Robots.selectGroups(delays, agent)
       .groupBy(col("host"))
       .agg(max(col("delay_s")).as("delay_s"))
       .where(col("delay_s").isNotNull)
-  }
 
   /**
    * Freshness-driven revisit priority from capture history (Cho &
@@ -73,7 +67,13 @@ object Frontier {
   def revisitPriority(
       captures: DataFrame, urlCol: String, tsCol: String,
       digestCol: String, nowTs: String): DataFrame = {
-    val byTime = Window.partitionBy(col(urlCol)).orderBy(col(tsCol))
+    // digest tiebreak: equal-timestamp captures of one URL would leave
+    // lag() peer order undefined (engine-/partitioning-dependent change
+    // counts); with the digest in the order, only exact (ts, digest)
+    // duplicates stay interchangeable — and those cannot change the
+    // change count whichever way they land
+    val byTime = Window.partitionBy(col(urlCol))
+      .orderBy(col(tsCol), col(digestCol))
     // NTZ capture times read as UTC instants (the session runs UTC;
     // DuckDB's epoch_us makes the same reading)
     val us = unix_micros(col(tsCol).cast("timestamp"))
@@ -91,10 +91,14 @@ object Frontier {
         ((nowUs - max(col("__us"))) / 1e6).as("__age_s"))
     val rate = -log((col("n_intervals") - col("n_changes") + lit(0.5)) /
       (col("n_intervals") + lit(0.5))) / col("mean_interval_s")
+    // a zero mean interval (all captures at one instant) is as
+    // evidence-free as a single capture: NULL, never an Infinity rate
+    val hasEvidence =
+      col("n_intervals") > 0 && col("mean_interval_s") > 0
     g.select(col(urlCol), col("n_intervals"), col("n_changes"),
         col("mean_interval_s"),
-        when(col("n_intervals") > 0, rate).as("change_rate"),
-        when(col("n_intervals") > 0,
+        when(hasEvidence, rate).as("change_rate"),
+        when(hasEvidence,
           lit(1.0) - exp(-rate * col("__age_s"))).as("p_changed"))
   }
 

@@ -39,23 +39,50 @@ object Graph {
 
   val RankUnit: Long = 1000000000000L
 
-  /** (node, rank_units) after `iters` damped rounds from a uniform
-    * start of [[RankUnit]] per node. Nodes are every distinct edge
-    * endpoint; parallel edges collapse (the rank model is a simple
-    * directed graph). */
-  def pagerank(
-      edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 64, "pagerank: iters must be in 1..64")
+  /** Normalized (edges, node universe) every operator here starts from:
+    * long-cast endpoints, parallel edges collapsed (the rank model is a
+    * simple directed graph), nodes = every distinct endpoint. One place
+    * to change edge hygiene for all five consumers. */
+  private def prepGraph(
+      edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val e = edges
       .select(col(srcCol).cast("long").as("node"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
     val nodes = e.select(col("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    (e, nodes)
+  }
+
+  /** The node-count 1-row frame, guarded against the integer-unit
+    * arithmetic's overflow envelope: every product in the rank update
+    * is ≤ 100 · 2 · N · unit, so N must stay under Long.Max / (200 ·
+    * unit) — at the default unit that is ~46k nodes; a billion-node web
+    * graph runs with `unit = 1e6` (six significant rank digits, cap
+    * ~46e9 nodes). The guard rides the 1-row aggregate as a
+    * `raise_error` arm — distributed, never a driver count. */
+  private def guardedN(nodes: DataFrame, unit: Long): DataFrame = {
+    val maxNodes = Long.MaxValue / 200 / unit
+    nodes.agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") > maxNodes,
+        raise_error(concat(lit(s"pagerank: more than $maxNodes nodes " +
+          s"overflows the unit=$unit integer ranks; lower the unit"),
+          lit("")))).otherwise(col("__n")).as("__n"))
+  }
+
+  /** (node, rank_units) after `iters` damped rounds from a uniform
+    * start of `unit` per node ([[RankUnit]] default; lower it for
+    * graphs beyond the [[guardedN]] envelope). */
+  def pagerank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, unit: Long = RankUnit): DataFrame = {
+    require(iters >= 1 && iters <= 64, "pagerank: iters must be in 1..64")
+    require(unit >= 100L, "pagerank: unit must be at least 100")
+    val (e, nodes) = prepGraph(edges, srcCol, dstCol)
     val outdeg = e.groupBy(col("node")).agg(count(lit(1)).as("__odeg"))
-    val nRow = nodes.agg(count(lit(1)).as("__n"))
-    var r = nodes.select(col("node"), lit(RankUnit).as("__pr"))
+    val nRow = guardedN(nodes, unit)
+    var r = nodes.select(col("node"), lit(unit).as("__pr"))
     for (_ <- 1 to iters) {
       val inflow = r.join(outdeg, "node").join(e, "node")
         .select(col("dst").as("node"),
@@ -66,7 +93,7 @@ object Graph {
       r = nodes.join(inflow, Seq("node"), "left")
         .crossJoin(dangRow).crossJoin(nRow)
         .select(col("node"),
-          expr(s"(15 * ${RankUnit}L + 85 * (coalesce(__in, 0L) + " +
+          expr(s"(15 * ${unit}L + 85 * (coalesce(__in, 0L) + " +
             "(__dang div __n))) div 100").as("__pr"))
     }
     r.select(col("node"), col("__pr").as("rank_units"))
@@ -91,21 +118,18 @@ object Graph {
    */
   def personalizedPagerank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, iters: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, iters: Int,
+      unit: Long = RankUnit): DataFrame = {
     require(iters >= 1 && iters <= 64,
       "personalizedPagerank: iters must be in 1..64")
-    val e = edges
-      .select(col(srcCol).cast("long").as("node"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct()
-    val nodes = e.select(col("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    require(unit >= 100L, "personalizedPagerank: unit must be at least 100")
+    val (e, nodes) = prepGraph(edges, srcCol, dstCol)
     val outdeg = e.groupBy(col("node")).agg(count(lit(1)).as("__odeg"))
     val seed = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().join(nodes, "node")
-    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    val nRow = guardedN(nodes, unit)
     val sRow = seed.agg(count(lit(1)).as("__s"))
-    var r = nodes.select(col("node"), lit(RankUnit).as("__pr"))
+    var r = nodes.select(col("node"), lit(unit).as("__pr"))
     for (_ <- 1 to iters) {
       val inflow = r.join(outdeg, "node").join(e, "node")
         .select(col("dst").as("node"),
@@ -120,7 +144,7 @@ object Graph {
         .select(col("node"),
           (expr("(85 * coalesce(__in, 0L)) div 100") +
             when(col("__seed").isNotNull,
-              expr(s"((15 * (__n * ${RankUnit}L)) div 100) div __s + " +
+              expr(s"((15 * (__n * ${unit}L)) div 100) div __s + " +
                 "((85 * __dang) div 100) div __s"))
               .otherwise(lit(0L))).as("__pr"))
     }
@@ -148,12 +172,7 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       "seedDistance: maxHops must be in 1..64")
-    val e = edges
-      .select(col(srcCol).cast("long").as("node"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct()
-    val nodes = e.select(col("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val (e, nodes) = prepGraph(edges, srcCol, dstCol)
     var d = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().join(nodes, "node")
       .select(col("node"), lit(0L).as("__dist"))
@@ -219,32 +238,50 @@ object Graph {
   * oracle replays every iteration bit-for-bit. */
 object GraphSql {
 
+  /** Shared edge/node-universe CTEs over a prior CTE `raw(src, dst)` —
+    * the SQL twin of [[Graph]]'s prepGraph. */
+  private val GraphFixed =
+    """e AS (SELECT DISTINCT src, dst FROM raw),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)""".stripMargin
+
+  private val OdegCte =
+    "odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src)"
+
+  /** Seed set restricted to the node universe (prior CTE `rawseed`). */
+  private val SeedCte =
+    """seed AS (SELECT DISTINCT rawseed.node FROM rawseed
+      |         JOIN nodes ON nodes.node = rawseed.node)""".stripMargin
+
+  /** The per-round contribution / inflow / dangling trio both rank
+    * fixpoints share. */
+  private def flowCtes(i: Int): String = {
+    val p = i - 1
+    s"""c$i AS (
+       |  SELECT e.dst AS node, r$p.pr // odeg.odeg AS c
+       |  FROM r$p JOIN odeg ON odeg.src = r$p.node
+       |           JOIN e ON e.src = r$p.node),
+       |inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
+       |          FROM c$i GROUP BY node),
+       |dang$i AS (
+       |  SELECT CAST(coalesce(sum(r$p.pr), 0) AS BIGINT) AS dang
+       |  FROM r$p LEFT JOIN odeg ON odeg.src = r$p.node
+       |  WHERE odeg.src IS NULL)""".stripMargin
+  }
+
   /** CTE chain `e, nodes, odeg, nn, r0, …, r{iters}` over a prior CTE
     * `raw(src, dst)`. Ranks are BIGINT micro-units; `//` floors like
     * Spark's `div` on the non-negative values here. */
-  def pagerankCtes(iters: Int): String = {
-    val u = Graph.RankUnit
+  def pagerankCtes(iters: Int, unit: Long = Graph.RankUnit): String = {
     val fixed =
-      s"""e AS (SELECT DISTINCT src, dst FROM raw),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+      s"""$GraphFixed,
+         |$OdegCte,
          |nn AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT node, CAST($u AS BIGINT) AS pr FROM nodes)""".stripMargin
+         |r0 AS (SELECT node, CAST($unit AS BIGINT) AS pr FROM nodes)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      val p = i - 1
-      s"""c$i AS (
-         |  SELECT e.dst AS node, r$p.pr // odeg.odeg AS c
-         |  FROM r$p JOIN odeg ON odeg.src = r$p.node
-         |           JOIN e ON e.src = r$p.node),
-         |inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
-         |          FROM c$i GROUP BY node),
-         |dang$i AS (
-         |  SELECT CAST(coalesce(sum(r$p.pr), 0) AS BIGINT) AS dang
-         |  FROM r$p LEFT JOIN odeg ON odeg.src = r$p.node
-         |  WHERE odeg.src IS NULL),
+      s"""${flowCtes(i)},
          |r$i AS (
          |  SELECT nodes.node,
-         |         (15 * $u + 85 * (coalesce(inflow, 0) + dang // n)) // 100
+         |         (15 * $unit + 85 * (coalesce(inflow, 0) + dang // n)) // 100
          |           AS pr
          |  FROM nodes LEFT JOIN inf$i USING (node)
          |  CROSS JOIN dang$i CROSS JOIN nn)""".stripMargin
@@ -254,34 +291,21 @@ object GraphSql {
 
   /** CTE chain for [[Graph.personalizedPagerank]] over prior CTEs
     * `raw(src, dst)` and `rawseed(node)`. */
-  def personalizedCtes(iters: Int): String = {
-    val u = Graph.RankUnit
+  def personalizedCtes(iters: Int, unit: Long = Graph.RankUnit): String = {
     val fixed =
-      s"""e AS (SELECT DISTINCT src, dst FROM raw),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
-         |seed AS (SELECT DISTINCT rawseed.node FROM rawseed
-         |         JOIN nodes ON nodes.node = rawseed.node),
+      s"""$GraphFixed,
+         |$OdegCte,
+         |$SeedCte,
          |nn AS (SELECT count(*) AS n FROM nodes),
          |ss AS (SELECT count(*) AS s FROM seed),
-         |r0 AS (SELECT node, CAST($u AS BIGINT) AS pr FROM nodes)""".stripMargin
+         |r0 AS (SELECT node, CAST($unit AS BIGINT) AS pr FROM nodes)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      val p = i - 1
-      s"""c$i AS (
-         |  SELECT e.dst AS node, r$p.pr // odeg.odeg AS c
-         |  FROM r$p JOIN odeg ON odeg.src = r$p.node
-         |           JOIN e ON e.src = r$p.node),
-         |inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
-         |          FROM c$i GROUP BY node),
-         |dang$i AS (
-         |  SELECT CAST(coalesce(sum(r$p.pr), 0) AS BIGINT) AS dang
-         |  FROM r$p LEFT JOIN odeg ON odeg.src = r$p.node
-         |  WHERE odeg.src IS NULL),
+      s"""${flowCtes(i)},
          |r$i AS (
          |  SELECT nodes.node,
          |         (85 * coalesce(inflow, 0)) // 100
          |         + CASE WHEN seed.node IS NOT NULL
-         |             THEN ((15 * (n * $u)) // 100) // s
+         |             THEN ((15 * (n * $unit)) // 100) // s
          |                  + ((85 * dang) // 100) // s
          |             ELSE 0 END AS pr
          |  FROM nodes LEFT JOIN inf$i USING (node)
@@ -295,10 +319,9 @@ object GraphSql {
     * dst)` and `rawseed(node)`: `d0 … d{maxHops}` of min-plus rounds. */
   def seedDistanceCtes(maxHops: Int): String = {
     val fixed =
-      """e AS (SELECT DISTINCT src, dst FROM raw),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |d0 AS (SELECT DISTINCT rawseed.node, CAST(0 AS BIGINT) AS dist
-        |       FROM rawseed JOIN nodes ON nodes.node = rawseed.node)""".stripMargin
+      s"""$GraphFixed,
+         |$SeedCte,
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed)""".stripMargin
     val rounds = (1 to maxHops).map { i =>
       val p = i - 1
       s"""d$i AS (

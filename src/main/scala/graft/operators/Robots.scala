@@ -175,20 +175,31 @@ object Robots {
    * expand `*`; `__wild` marks rules that need the regex arm (plain
    * prefixes keep the `startsWith` fast path).
    */
+  /** Rows of a per-(host, agent) frame restricted to the groups RFC
+    * §2.2.1 selects for `agent`: the agent's OWN groups where any exist
+    * on the host, else the `*` groups — the one selection rule shared
+    * by rule gating and Crawl-delay resolution
+    * ([[Frontier.hostDelays]]). */
+  private[graft] def selectGroups(
+      df: DataFrame, agent: String): DataFrame = {
+    val a = lit(agent.toLowerCase)
+    val perHost = df.groupBy(col("host"))
+      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
+    df.join(perHost, "host")
+      .where(when(col("__own") === 1, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .drop("__own")
+  }
+
   private[graft] def applicableRules(
       rules: DataFrame, agent: String): DataFrame = {
-    val a = lit(agent.toLowerCase)
-    val perHost = rules.groupBy(col("host"))
-      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
     val anchored = col("prefix").endsWith("$")
     val core = when(anchored,
       expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
     val esc = regexp_replace(core, "[.^$+?()\\[\\]{}|\\\\]", "\\\\$0")
     val rx = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
       when(anchored, lit("$")).otherwise(lit("")))
-    rules.join(perHost, "host")
-      .where(when(col("__own") === 1, col("agent") === a)
-        .otherwise(col("agent") === "*"))
+    selectGroups(rules, agent)
       .select(col("host").as("__rh"), col("allow"), col("prefix"),
         (col("prefix").contains("*") || anchored).as("__wild"), rx.as("__rx"))
   }

@@ -92,6 +92,12 @@ class HtmlOpsSpec extends SparkSuite {
       Seq("https://h.test/k", "https://h.test/q?a=1&b=2"))
   }
 
+  test("links: data-href and xlink:href never match as an href suffix") {
+    val html = "<a data-href=\"/wrong\" href=\"/right\">x</a>" +
+      "<a xlink:href=\"/also-wrong\">y</a>"
+    assert(links(html, "https://h.test/") == Seq("https://h.test/right"))
+  }
+
   test("links: duplicates emit as-is; anchors without href emit nothing") {
     val html = "<a href=\"/p\">1</a><a name=\"n\">2</a><a href=\"/p\">3</a>"
     assert(links(html, "https://h.test/") ==

@@ -56,7 +56,7 @@ class UrlOpsSpec extends SparkSuite {
       (2L, "https://h.test/a/b/a/b?x=1&x=2#frag"),  // dup segs, frag cut
       (3L, "https://h.test/one/?q="))               // trailing slash
     val got = UrlOps.trapFilter(cases.toDF("id", "url"), "id", "url",
-        maxDepth = 3, maxDupSegments = 2, maxParams = 1, maxLen = 100)
+        maxDepth = 3, maxDupSegments = 1, maxParams = 1, maxLen = 100)
       .collect()
       .map(r => r.getLong(0) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
