@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bucketing, DedupIndex, Relevance, Similarity, SuffixArray}
+import graft.operators.{Bucketing, DedupIndex, Graph, Relevance, Similarity, SuffixArray}
 
 /**
  * Scale rehearsal: self-replicate the sf corpus N× (distinct ids, each
@@ -174,6 +174,27 @@ object ScaleRehearsal {
       timed("suffix_repeated_windows", nDocs) {
         SuffixArray.repeatedWindows(spark.table(s"$db.suffix"), corpus,
           "doc_id", "text", 48, 20).count()
+      }
+
+      // ---- link graph (3 out-links per doc over the replicated id
+      // space — edges scale with the corpus) ----------------------------
+      val edges = corpus.select(
+          explode(array(lit(3L), lit(7L), lit(13L))).as("m"),
+          col("doc_id"))
+        .select(col("doc_id").as("src"),
+          (col("doc_id") * col("m") % lit(nDocs) +
+            (col("doc_id") % lit(97))).as("dst"))
+      timed("edge_index_build", nDocs * 3) {
+        Graph.writeEdgeIndex(edges, "src", "dst", s"$db.edges",
+          buckets = 32)
+      }
+      timed("pagerank_3_rounds", nDocs * 3) {
+        Graph.pagerankIndexed(spark, s"$db.edges", iters = 3).count()
+      }
+      timed("seed_distance_4_hops", nDocs * 3) {
+        Graph.seedDistance(spark.table(s"$db.edges"), "src", "dst",
+          corpus.select(col("doc_id")).where(col("doc_id") % 101 === 0),
+          "doc_id", maxHops = 4).count()
       }
     } finally {
       graft.streaming.Streams.cleanupStaging(work)
