@@ -1479,6 +1479,20 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // the truncation gauge: rank movement between rounds 2 and 3 in
+    // units (L1 + max) — the house every-approximation-ships-a-gauge
+    // rule applied to the fixpoint cut; the oracle replays BOTH rounds
+    "graph_pagerank_gauge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      Graph.pagerankGauge(e1.union(e2), "src", "dst", iters = 3)
+    }),
+
     // TrustRank: the same graph, teleport restricted to 10 trusted
     // seeds (docs ≡0 mod 50) — rank must flow OUT of the seed
     // neighborhood and nodes far from any seed starve. Same unrolled-
@@ -3876,6 +3890,30 @@ object SparkEntry {
       Streams.tokenBudgetStream(s, t(s, dir, "documents"), budget = 800L)
         .orderBy(col("doc_id"))),
 
+    // the crawl loop's frontier PRODUCER as a streaming door: arriving
+    // markup yields its resolved outgoing links map-side (stateless —
+    // the html_links fixture and oracle, through the stream)
+    "stream_link_discovery" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>x <a href=\"https://abs.test/a"), id,
+        lit("\">abs</a> <a href='//cdn.test/c"), id,
+        lit("'>pr</a> <a class=\"z\" href=\"/root/r"), id,
+        lit("\">root</a> <a href=\"rel/p"), id,
+        lit("\">rel</a> <a href=\"#frag\">f</a>"),
+        lit(" <a href=\"mailto:x@y.test\">m</a>"),
+        lit("<!-- <a href=\"https://no.test/\">c</a> -->"),
+        lit(" <a href=\"https://q.test/d?a=1&amp;b="), id,
+        lit("\">e</a></p></body></html>"))
+      val base = concat(lit("https://h"),
+        (col("doc_id") % 5).cast("string"), lit(".test/dir/page"), id,
+        lit(".html"))
+      Streams.linkDiscoveryStream(s,
+          t(s, dir, "documents").where(col("doc_id") < 100)
+            .select(col("doc_id"), html.as("html"), base.as("base")))
+        .orderBy(col("doc_id"), col("link"))
+    }),
+
     // ingest-time per-host politeness door: each arriving URL takes its
     // host's next fetch slot (ONE LONG of state per host), scheduled at
     // slot × delay with the four delay postures of frontier_schedule;
@@ -5794,6 +5832,21 @@ object SparkEntry {
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
 
+      "graph_pagerank_gauge" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |${GraphSql.pagerankCtes(3)}
+           |SELECT CAST(sum(abs(r3.pr - r2.pr)) AS BIGINT)
+           |         AS l1_delta_units,
+           |       CAST(max(abs(r3.pr - r2.pr)) AS BIGINT)
+           |         AS max_delta_units,
+           |       count(*) AS n_nodes
+           |FROM r3 JOIN r2 ON r2.node = r3.node""".stripMargin,
+
       "graph_trustrank" ->
         s"""WITH raw AS (
            |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
@@ -5900,6 +5953,24 @@ object SparkEntry {
       // fragment-only, mailto, and commented-out anchors must NOT
       // appear); no markup anywhere in the oracle
       "html_links" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+          |                  CAST(doc_id % 5 AS VARCHAR) AS k
+          |           FROM documents WHERE doc_id < 100)
+          |SELECT doc_id, link FROM (
+          |  SELECT doc_id, 'https://abs.test/a' || i AS link FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://cdn.test/c' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/root/r' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/dir/rel/p' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://q.test/d?a=1&b=' || i FROM d)
+          |ORDER BY doc_id, link""".stripMargin,
+
+      // same construction oracle as html_links — the door is the
+      // batch projection behind a stream reader
+      "stream_link_discovery" ->
         """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
           |                  CAST(doc_id % 5 AS VARCHAR) AS k
           |           FROM documents WHERE doc_id < 100)

@@ -99,6 +99,29 @@ object Graph {
     r.select(col("node"), col("__pr").as("rank_units"))
   }
 
+  /** The gauge of [[pagerank]]'s one approximation — TRUNCATION at
+    * `iters` rounds (the arithmetic itself is exact): the L1 and max
+    * movement between the last two rounds, in rank units. A run whose
+    * `l1_delta_units` is still a large share of total mass needs more
+    * rounds; the house rule is that every approximate arm ships its
+    * gauge. Costs one extra fixpoint prefix — the prefix is
+    * deterministic, so round `iters-1` of the second run is
+    * bit-identical to the first's. */
+  def pagerankGauge(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, unit: Long = RankUnit): DataFrame = {
+    require(iters >= 2, "pagerankGauge: needs iters >= 2 to compare")
+    val prev = pagerank(edges, srcCol, dstCol, iters - 1, unit)
+      .withColumnRenamed("rank_units", "__prev")
+    pagerank(edges, srcCol, dstCol, iters, unit)
+      .join(prev, "node")
+      .agg(sum(abs(col("rank_units") - col("__prev")))
+          .as("l1_delta_units"),
+        max(abs(col("rank_units") - col("__prev")))
+          .as("max_delta_units"),
+        count(lit(1)).as("n_nodes"))
+  }
+
   /**
    * Personalized PageRank with a trusted seed set (TrustRank — Gyöngyi,
    * Garcia-Molina & Pedersen 2004): the random surfer teleports ONLY to

@@ -738,6 +738,35 @@ object Streams {
   }
 
   /**
+   * Streaming LINK-DISCOVERY door — the frontier producer of the crawl
+   * loop: pages arrive as markup, their outgoing hyperlinks extract and
+   * resolve map-side (`HtmlOps.extractLinks` — the same regex/resolve
+   * projection as the batch operator, plus the explode; stateless, no
+   * watermark, no state store), and the emitted (page id, link) rows
+   * are the frontier candidates the robots/trap/politeness doors then
+   * gate. Micro-batch independent by construction.
+   */
+  def linkDiscoveryStream(
+      spark: SparkSession,
+      pages: org.apache.spark.sql.DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-links")
+    pages.select(col("doc_id").cast("long").as("doc_id"),
+        col("html").cast("string").as("html"),
+        col("base").cast("string").as("base"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val links = graft.functions.HtmlOps.extractLinks(
+      reader.parquet(dir.toString), "doc_id", "html", "base")
+    val drained = runToMemory(links, "append", statePartitionsFor(dir.toString))
+      .localCheckpoint()
+    cleanupStaging(dir)
+    drained
+  }
+
+  /**
    * Streaming per-host POLITENESS door — the ingest form of
    * [[graft.operators.Frontier.schedule]]: per-host state = ONE LONG
    * (the next free fetch slot); each arriving URL takes the next slot
