@@ -1479,6 +1479,40 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // co-citation neighbors (pages the same sources link to) and
+    // bibliographic coupling (pages citing the same targets) over the
+    // shared doc graph; the mega-hub cap is exercised by an injected
+    // 12-out-link hub that must NOT contribute pairs. The oracle
+    // restates both as independent SQL self-joins
+    "graph_cocitation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val hub = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 12)
+        .select(lit(9000L).as("src"), col("doc_id").as("dst"))
+      Graph.coCitation(e1.union(e2).union(hub), "src", "dst",
+          maxOutDegree = 8)
+        .orderBy(col("node_a"), col("node_b"))
+    }),
+
+    "graph_coupling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      Graph.bibliographicCoupling(e1.union(e2), "src", "dst",
+          maxInDegree = 8)
+        .orderBy(col("node_a"), col("node_b"))
+    }),
+
     // the truncation gauge: rank movement between rounds 2 and 3 in
     // units (L1 + max) — the house every-approximation-ships-a-gauge
     // rule applied to the fixpoint cut; the oracle replays BOTH rounds
@@ -5831,6 +5865,36 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      // independent self-join restatement; the hub's 12 out-links
+      // exceed the cap, so none of its C(12,2) pairs may appear
+      "graph_cocitation" ->
+        """WITH raw AS (
+          |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id, (doc_id * 7 + 5) % 500
+          |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+          |e AS (SELECT DISTINCT src, dst FROM raw),
+          |ok AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 8)
+          |SELECT a.dst AS node_a, b.dst AS node_b, count(*) AS n_common
+          |FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+          |JOIN ok ON ok.src = a.src
+          |GROUP BY 1, 2 ORDER BY node_a, node_b""".stripMargin,
+
+      "graph_coupling" ->
+        """WITH raw AS (
+          |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id, (doc_id * 7 + 5) % 500
+          |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+          |e AS (SELECT DISTINCT src, dst FROM raw),
+          |ok AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 8)
+          |SELECT a.src AS node_a, b.src AS node_b, count(*) AS n_common
+          |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+          |JOIN ok ON ok.dst = a.dst
+          |GROUP BY 1, 2 ORDER BY node_a, node_b""".stripMargin,
 
       "graph_pagerank_gauge" ->
         s"""WITH raw AS (

@@ -210,6 +210,51 @@ object Graph {
   }
 
   /**
+   * Co-citation similarity (Small 1973): pages are similar when the
+   * same pages LINK TO BOTH — n_common(a, b) = |{s : s→a and s→b}|.
+   * The complementary [[bibliographicCoupling]] (Kessler 1963) counts
+   * shared OUT-links. Both are the link-evidence neighbors feeding
+   * related-page retrieval and seed expansion.
+   *
+   * Scale shape: the pair explosion is per-SOURCE (C(outdeg, 2) pairs),
+   * so the one skew risk is a navigational mega-hub — `maxOutDegree`
+   * drops sources above the cap BEFORE pairing (the standard repair:
+   * a page linking to thousands of others carries no co-citation
+   * signal per pair anyway). After the cap the self-join groups are
+   * bounded by cap², and the pair count aggregate is map-side
+   * combinable.
+   */
+  def coCitation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxOutDegree: Int): DataFrame = {
+    require(maxOutDegree >= 2 && maxOutDegree <= 10000,
+      "coCitation: maxOutDegree must be in 2..10000")
+    val (e, _) = prepGraph(edges, srcCol, dstCol)
+    val capped = e.join(
+      e.groupBy(col("node")).agg(count(lit(1)).as("__od"))
+        .where(col("__od") <= maxOutDegree)
+        .select(col("node")),
+      "node")
+    val left = capped.select(col("node"), col("dst").as("node_a"))
+    val right = capped.select(col("node"), col("dst").as("node_b"))
+    left.join(right, "node")
+      .where(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  /** Shared-out-link similarity (Kessler 1963) — [[coCitation]] on the
+    * transposed graph; `maxInDegree` caps the popular-target hub the
+    * same way. */
+  def bibliographicCoupling(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxInDegree: Int): DataFrame = {
+    val flipped = edges.select(col(dstCol).as("__f_src"),
+      col(srcCol).as("__f_dst"))
+    coCitation(flipped, "__f_src", "__f_dst", maxInDegree)
+  }
+
+  /**
    * Persist the link graph as an at-rest artifact — the same lifecycle
    * as the dedup/IVF/postings indexes: a crawl pays link extraction
    * once per page, the EDGES accumulate across releases ([[

@@ -124,6 +124,27 @@ class GraphSpec extends SparkSuite {
     assert(h2.isNullAt(1))
   }
 
+  test("coCitation counts shared citers; the hub cap drops mega-sources") {
+    // s1 → {a, b, c}; s2 → {a, b}; hub → {a, b, c, d} (capped out)
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L))
+    val got = Graph.coCitation(e.toDF("src", "dst"), "src", "dst",
+        maxOutDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (10L, 11L) -> 2L, (10L, 12L) -> 1L, (11L, 12L) -> 1L))
+    // coupling = co-citation transposed: 10 and 11 share citers {1, 2}
+    val coup = Graph.bibliographicCoupling(e.toDF("src", "dst"),
+        "src", "dst", maxInDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // targets 10/11 have in-degree 3 (capped out); only 12 (deg 2,
+    // citers 1 and 9) and 13 (deg 1) survive
+    assert(coup == Map((1L, 9L) -> 1L))
+  }
+
   test("plan: the 1-row total/count sides never become a cartesian") {
     val e = (0L until 50L).map(i => (i, (i * 3 + 1) % 50))
     val p = Graph.pagerank(e.toDF("src", "dst"), "src", "dst", 2)
