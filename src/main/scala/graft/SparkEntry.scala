@@ -1479,6 +1479,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Hamilton apportionment of a 997-slot fetch budget across the 20
+    // sources by character mass — Σ alloc must equal the budget EXACTLY
+    // (largest remainders take the leftover); the oracle recomputes the
+    // floor/remainder arithmetic and the remainder ranking itself
+    "frontier_budget" -> ((s, dir) => {
+      val scores = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("mass"))
+      Frontier.apportionBudget(scores, "source", "mass", budget = 997L)
+        .orderBy(col("source"))
+    }),
+
     // co-citation neighbors (pages the same sources link to) and
     // bibliographic coupling (pages citing the same targets) over the
     // shared doc graph; the mega-hub cap is exercised by an injected
@@ -5865,6 +5877,23 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      "frontier_budget" ->
+        """WITH sc AS (SELECT source,
+          |              CAST(sum(n_chars) AS BIGINT) AS score
+          |            FROM documents GROUP BY source),
+          |t AS (SELECT CAST(sum(score) AS BIGINT) AS tot FROM sc),
+          |b AS (SELECT source, score,
+          |             (score * 997) // tot AS base,
+          |             (score * 997) % tot AS rem
+          |      FROM sc CROSS JOIN t),
+          |l AS (SELECT 997 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+          |r AS (SELECT source, score, base,
+          |             row_number() OVER (ORDER BY rem DESC, source) AS rn
+          |      FROM b)
+          |SELECT source, score,
+          |       base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS alloc
+          |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
 
       // independent self-join restatement; the hub's 12 out-links
       // exceed the cap, so none of its C(12,2) pairs may appear

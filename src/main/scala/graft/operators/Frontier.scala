@@ -103,6 +103,52 @@ object Frontier {
   }
 
   /**
+   * Apportion a crawl cycle's fetch budget across hosts proportionally
+   * to a score mass (rank sums, document counts, revisit pressure) with
+   * EXACT sum preservation — the largest-remainder (Hamilton) method:
+   * every host gets `floor(budget · score / total)`, and the leftover
+   * slots go to the largest fractional remainders (key-ordered
+   * tiebreak). Pure integer arithmetic, so allocations are
+   * bit-identical across engines; Σ alloc = budget exactly, which
+   * per-host rounding cannot promise.
+   *
+   * Scale shape: `scores` is the HOST frame — already aggregated,
+   * orders of magnitude smaller than the corpus — so the remainder
+   * ranking's global window is a window over that small frame (at
+   * extreme host cardinality the Selection boundary-bucket scheme
+   * applies; the apportionment itself inherently needs the global
+   * remainder order). Overflow is guarded distributedly: the total
+   * rides a 1-row `raise_error` arm that fails LOUDLY when
+   * `total × budget` would wrap.
+   */
+  def apportionBudget(
+      scores: DataFrame, keyCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "apportionBudget: budget must be positive")
+    val tot = scores
+      .agg(sum(col(scoreCol)).cast("long").as("__tot"))
+      .select(when(col("__tot") <= 0 ||
+          col("__tot") > Long.MaxValue / budget,
+        raise_error(concat(lit("apportionBudget: total score must be in " +
+          s"1..${Long.MaxValue / budget} for budget=$budget"), lit(""))))
+        .otherwise(col("__tot")).as("__tot"))
+    val based = scores
+      .select(col(keyCol), col(scoreCol).cast("long").as("score"))
+      .crossJoin(tot)
+      .select(col(keyCol), col("score"),
+        expr(s"(score * ${budget}L) div __tot").as("__base"),
+        expr(s"(score * ${budget}L) % __tot").as("__rem"))
+    val leftRow = based
+      .agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val byRemainder = Window.orderBy(col("__rem").desc, col(keyCol))
+    based.crossJoin(leftRow)
+      .withColumn("alloc", col("__base") +
+        when(row_number().over(byRemainder) <= col("__left"), 1L)
+          .otherwise(0L))
+      .select(col(keyCol), col("score"), col("alloc"))
+  }
+
+  /**
    * Assign each URL of one crawl cycle its politeness slot. `urls`
    * carries (idCol, urlCol, priorityCol); `delays` is [[hostDelays]]
    * output (host, delay_s). Returns (idCol, urlCol, host, priority,

@@ -85,6 +85,33 @@ class FrontierSpec extends SparkSuite {
     assert(got.agg(min(col("priority"))).head.getDouble(0) == 460.0)
   }
 
+  test("apportionBudget: exact sum, largest remainders take the leftover") {
+    // scores 5, 3, 2 over budget 7: quotas 3.5/2.1/1.4 → bases 3/2/1,
+    // leftover 1 goes to the largest remainder (a: .5)
+    val got = Frontier.apportionBudget(
+        Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("host", "mass"),
+        "host", "mass", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(got.values.sum == 7L)
+    // remainder ties break on the key: scores 1,1 budget 3 → bases 1/1,
+    // leftover 1 → equal remainders, 'a' wins
+    val tie = Frontier.apportionBudget(
+        Seq(("b", 1L), ("a", 1L)).toDF("host", "mass"),
+        "host", "mass", budget = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tie == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("apportionBudget fails loudly when total × budget would wrap") {
+    val big = Seq(("a", Long.MaxValue / 10)).toDF("host", "mass")
+    val ex = intercept[Exception] {
+      Frontier.apportionBudget(big, "host", "mass", budget = 100L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("apportionBudget"), ex.getMessage)
+  }
+
   test("revisitPriority matches the hand-computed Cho–GM estimator") {
     // u: captures at t=0,100,200,300 s with digests a,a,b,b →
     // n=3 intervals, x=1 change, ī=100 s; age(now=1000) = 700 s
