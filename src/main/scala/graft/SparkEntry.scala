@@ -1479,6 +1479,29 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // per-node triangle counts (link-farm near-cliques light up): the
+    // doc graph plus an injected K5 clique whose nodes must each count
+    // C(4,2)=6 triangles. Engine = degree-oriented compact-forward;
+    // oracle = the OTHER standard formulation (ordered triple
+    // self-join) — the implementations share nothing
+    "graph_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val five = t(s, dir, "documents")
+        .where(col("doc_id") < 5)
+        .select((col("doc_id") + 9000).as("n"))
+      val clique = five.crossJoin(five.select(col("n").as("m")))
+        .where(col("n") < col("m"))
+        .select(col("n").as("src"), col("m").as("dst"))
+      Graph.triangles(e1.union(e2).union(clique), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // Hamilton apportionment of a 997-slot fetch budget across the 20
     // sources by character mass — Σ alloc must equal the budget EXACTLY
     // (largest remainders take the leftover); the oracle recomputes the
@@ -5877,6 +5900,37 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      // ordered triple self-join over the undirected view — nothing
+      // shared with the engine's degree orientation
+      "graph_triangles" ->
+        """WITH five AS (SELECT doc_id + 9000 AS n FROM documents
+          |              WHERE doc_id < 5),
+          |raw AS (
+          |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id, (doc_id * 7 + 5) % 500
+          |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT a.n, b.n FROM five a JOIN five b ON a.n < b.n),
+          |und AS (SELECT DISTINCT least(src, dst) AS u,
+          |               greatest(src, dst) AS v
+          |        FROM raw WHERE src <> dst),
+          |tri AS (
+          |  SELECT a.u AS x, a.v AS y, b.v AS z
+          |  FROM und a JOIN und b ON b.u = a.v
+          |             JOIN und c ON c.u = a.u AND c.v = b.v),
+          |corners AS (
+          |  SELECT x AS node FROM tri
+          |  UNION ALL SELECT y FROM tri
+          |  UNION ALL SELECT z FROM tri),
+          |cnt AS (SELECT node, count(*) AS t FROM corners GROUP BY node),
+          |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw)
+          |SELECT nodes.node,
+          |       CAST(coalesce(cnt.t, 0) AS BIGINT) AS n_triangles
+          |FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+          |ORDER BY nodes.node""".stripMargin,
 
       "frontier_budget" ->
         """WITH sc AS (SELECT source,

@@ -243,6 +243,63 @@ object Graph {
       .agg(count(lit(1)).as("n_common"))
   }
 
+  /**
+   * Per-node triangle counts over the UNDIRECTED view of the graph —
+   * the local-density signal behind clustering coefficients, community
+   * sanity checks, and link-farm detection (farms are near-cliques;
+   * honest web neighborhoods are sparse). Direction is ignored and
+   * self-loops drop: a triangle is an unordered {u, v, w} with all
+   * three edges present either way.
+   *
+   * Scale shape: the compact-forward algorithm (Schank & Wagner 2005 /
+   * Cohen 2009's MapReduce form) — every undirected edge ORIENTS from
+   * the lower (degree, id) endpoint to the higher, which turns the
+   * graph into a DAG whose out-degrees are O(√m) on any graph, so the
+   * wedge join (out-neighbor pairs per source) is bounded by Σ
+   * out-deg² = O(m^1.5) TOTAL and no hub explodes a single task; each
+   * triangle closes exactly once (its corners meet in k-order). The
+   * oracle deliberately uses the OTHER standard formulation (ordered
+   * triple self-join), so the implementations share nothing.
+   *
+   * Returns (node, n_triangles) for every node of the universe,
+   * zero-filled.
+   */
+  def triangles(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (e, nodes) = prepGraph(edges, srcCol, dstCol)
+    val und = e.where(col("node") =!= col("dst"))
+      .select(least(col("node"), col("dst")).as("u"),
+        greatest(col("node"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val keyed = und
+      .join(deg.select(col("n").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("__dv")), "v")
+    val uKey = struct(col("__du").as("d"), col("u").as("n"))
+    val vKey = struct(col("__dv").as("d"), col("v").as("n"))
+    val oriented = keyed.select(
+      when(uKey < vKey, col("u")).otherwise(col("v")).as("a"),
+      when(uKey < vKey, col("v")).otherwise(col("u")).as("b"),
+      when(uKey < vKey, vKey).otherwise(uKey).as("__kb"))
+    val o1 = oriented.select(col("a"), col("b").as("x"),
+      col("__kb").as("__kx"))
+    val o2 = oriented.select(col("a"), col("b").as("y"),
+      col("__kb").as("__ky"))
+    val wedges = o1.join(o2, "a").where(col("__kx") < col("__ky"))
+      .select(col("a").as("corner"), col("x"), col("y"))
+    val closed = wedges.join(
+      oriented.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"))
+    val perCorner = closed
+      .select(explode(array(col("corner"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__t"))
+    nodes.join(perCorner, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"))
+  }
+
   /** Shared-out-link similarity (Kessler 1963) — [[coCitation]] on the
     * transposed graph; `maxInDegree` caps the popular-target hub the
     * same way. */

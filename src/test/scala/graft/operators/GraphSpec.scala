@@ -145,6 +145,17 @@ class GraphSpec extends SparkSuite {
     assert(coup == Map((1L, 9L) -> 1L))
   }
 
+  test("triangles: direction ignored, each corner counts once, K4 = 3 each") {
+    // K4 on 1..4 (some edges reversed, one duplicated both ways), a
+    // pendant 5, a self-loop, and a directed 2-cycle 6↔7 (no triangle)
+    val e = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 5L), (6L, 7L), (7L, 6L))
+    val got = Graph.triangles(e.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
   test("plan: the 1-row total/count sides never become a cartesian") {
     val e = (0L until 50L).map(i => (i, (i * 3 + 1) % 50))
     val p = Graph.pagerank(e.toDF("src", "dst"), "src", "dst", 2)
