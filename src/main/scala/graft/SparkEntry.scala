@@ -3959,6 +3959,60 @@ object SparkEntry {
       Streams.tokenBudgetStream(s, t(s, dir, "documents"), budget = 800L)
         .orderBy(col("doc_id"))),
 
+    // the CLOSED crawl-discovery loop: three id-range page batches
+    // drain through extract → robots → trap → canonicalize, each
+    // batch's novel canonical URLs probe the persisted seen-URL table
+    // and append before the next batch (batch 3 re-discovering batch
+    // 1's URLs must emit nothing); canonicalization noise (utm params,
+    // UPPERCASE hosts) and the disallowed/trap links are all
+    // load-bearing. The oracle restates the whole chain independently
+    "stream_crawl_loop" -> ((s, dir) => {
+      def du(d: org.apache.spark.sql.Column) = concat(lit("https://h"),
+        (d % 5).cast("string"), lit(".test/dir/p"), d.cast("string"),
+        lit(".html"))
+      val id = col("doc_id")
+      val d1 = (id * 3 + 1) % 500
+      val d2 = (id * 7 + 5) % 500
+      val d3 = (id * 11 + 2) % 500
+      val d4 = (id * 13 + 7) % 500
+      val h1 = when(id % 5 === 0,
+          concat(lit("HTTPS://H"), (d1 % 5).cast("string"),
+            lit(".TEST/dir/p"), d1.cast("string"), lit(".html")))
+        .otherwise(du(d1))
+      val h1q = when(id % 4 === 0, concat(h1, lit("?utm_x=1")))
+        .otherwise(h1)
+      val priv = concat(lit("https://h"), (d3 % 5).cast("string"),
+        lit(".test/private/p"), d3.cast("string"), lit(".html"))
+      val deep = concat(lit("https://h"), (d4 % 5).cast("string"),
+        lit(".test/dir/dir/dir/dir/dir/p"), d4.cast("string"),
+        lit(".html"))
+      val legit = concat(lit("<p><a href=\""), h1q,
+        lit("\">a</a> <a href=\""),
+        when(id % 3 === 0, du(d2)).otherwise(du(d1)),
+        lit("\">b</a></p>"))
+      val html = concat(
+        when(id % 7 =!= 0, legit).otherwise(lit("<p>no links</p>")),
+        lit("<p><a href=\""), priv, lit("\">p</a> <a href=\""), deep,
+        lit("\">t</a></p>"))
+      val pages = t(s, dir, "documents")
+        .select(id, html.as("html"), du(id).as("base"))
+      val batches = Seq(pages.where(id < 166),
+        pages.where(id >= 166 && id < 333), pages.where(id >= 333))
+      val robots = {
+        import s.implicits._
+        (0 until 5)
+          .map(k => (s"h$k.test", "User-agent: *\nDisallow: /private"))
+          .toDF("host", "txt")
+      }
+      val tbl = s"${indexDb(s)}.seen_urls"
+      Bucketing.writeBucketed(
+        t(s, dir, "documents").where(id % 10 === 0)
+          .select(du(id).as("curl")), tbl, "curl", 8)
+      Streams.crawlLoopStream(s, batches,
+          Robots.parseRules(robots, "host", "txt"), "graftbot", tbl)
+        .orderBy(col("curl"))
+    }),
+
     // the crawl loop's frontier PRODUCER as a streaming door: arriving
     // markup yields its resolved outgoing links map-side (stateless —
     // the html_links fixture and oracle, through the stream)
@@ -5900,6 +5954,34 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      // the whole chain restated: only the legit links appear (gate and
+      // trap failures would add URLs), the noisy forms restate as their
+      // CANONICAL construction, seeds subtract, min(doc_id) discovers
+      "stream_crawl_loop" ->
+        """WITH l AS (
+          |  SELECT doc_id,
+          |         'https://h' || CAST((doc_id * 3 + 1) % 500 % 5 AS VARCHAR)
+          |           || '.test/dir/p'
+          |           || CAST((doc_id * 3 + 1) % 500 AS VARCHAR)
+          |           || '.html' AS curl
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id,
+          |         'https://h' || CAST((doc_id * 7 + 5) % 500 % 5 AS VARCHAR)
+          |           || '.test/dir/p'
+          |           || CAST((doc_id * 7 + 5) % 500 AS VARCHAR)
+          |           || '.html'
+          |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+          |seeds AS (
+          |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+          |           || '.test/dir/p' || CAST(doc_id AS VARCHAR)
+          |           || '.html' AS curl
+          |  FROM documents WHERE doc_id % 10 = 0)
+          |SELECT l.curl, min(l.doc_id) AS discovered_by
+          |FROM l LEFT JOIN seeds ON seeds.curl = l.curl
+          |WHERE seeds.curl IS NULL
+          |GROUP BY l.curl ORDER BY l.curl""".stripMargin,
 
       // ordered triple self-join over the undirected view — nothing
       // shared with the engine's degree orientation

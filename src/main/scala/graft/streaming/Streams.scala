@@ -462,6 +462,116 @@ object Streams {
   }
 
   /**
+   * The CLOSED crawl-discovery loop over an at-rest SEEN-URL index —
+   * the crawl-side sibling of [[ingestLoopStream]]: batches of fetched
+   * pages drain through link extraction → robots gate → spider-trap
+   * filter → URL canonicalization, each micro-batch's NOVEL canonical
+   * URLs probe the persisted seen-URL table (bucketed on the canonical
+   * string; the crawl's cumulative frontier memory, durable across
+   * runs and shared with the batch pipeline) and are APPENDED before
+   * the next batch runs — so batch N+1 cannot re-discover what batch N
+   * already emitted. `foreachBatch`, not a stateful operator: the
+   * state IS the index.
+   *
+   * Result = (curl, discovered_by) for every never-seen canonical URL,
+   * `discovered_by` the lowest page id that produced it. For id-RANGE
+   * batch ingests (the natural crawl shape) the result is micro-batch
+   * independent: a URL's global-minimum discoverer sits in the
+   * earliest batch containing the URL, which is exactly the batch the
+   * loop emits it from — the oracle restates the whole chain
+   * independently and pins that.
+   */
+  def crawlLoopStream(
+      spark: SparkSession,
+      pageBatches: Seq[DataFrame],
+      rules: DataFrame,
+      agent: String,
+      seenTable: String): DataFrame = {
+    import graft.operators.{DedupIndex, Robots}
+    import graft.functions.{HtmlOps, UrlOps}
+    val dir = Files.createTempDirectory("graft-stream-crawl")
+    val out = Files.createTempDirectory("graft-stream-crawl-out")
+    val ckpt = Files.createTempDirectory("graft-stream-crawl-ckpt")
+    try {
+      pageBatches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = Files.createTempDirectory("graft-stream-crawl-tmp")
+        try {
+          b.select(col("doc_id").cast("long").as("doc_id"),
+              col("html").cast("string").as("html"),
+              col("base").cast("string").as("base"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = {
+            val s = Files.list(tmp)
+            try s.iterator().asScala.find { f =>
+              val n = f.getFileName.toString
+              n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+            }
+            finally s.close()
+          }
+          part.foreach { f =>
+            val dst = dir.resolve(f"batch-$i%05d.parquet")
+            Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000L))
+          }
+        } finally cleanupStaging(tmp)
+      }
+      def hasParquet(d: java.nio.file.Path): Boolean = {
+        val s = Files.list(d)
+        try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      def empty(): DataFrame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("curl", StringType),
+          StructField("discovered_by", LongType))))
+      if (!hasParquet(dir)) return empty()
+      val schema = spark.read.parquet(dir.toString).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // same stale-relation-cache guard as ingestLoopStream: the
+          // micro-batch frame lives in the stream's CLONED session
+          for (ss <- Seq(spark, batch.sparkSession).distinct)
+            ss.catalog.refreshTable(seenTable)
+          val links = HtmlOps.extractLinks(batch, "doc_id", "html", "base")
+            .select(concat(col("doc_id").cast("string"), lit("#"),
+              col("link")).as("lid"), col("link"))
+          val admitted = Robots.gate(links, rules, agent, "lid", "link")
+            .where(col("allowed"))
+          val safe = UrlOps.trapFilter(admitted, "lid", "link",
+              maxDepth = 4, maxDupSegments = 2, maxParams = 6,
+              maxLen = 512)
+            .where(!col("is_trap"))
+          val firsts = safe
+            .select(UrlOps.normalizeUrl(col("link")).as("curl"),
+              split(col("lid"), "#").getItem(0).cast("long").as("doc_id"))
+            .groupBy(col("curl"))
+            .agg(min(col("doc_id")).as("discovered_by"))
+          // materialize BEFORE the append — the probe reads the table
+          // the append grows
+          val novel = firsts
+            .join(spark.table(seenTable), Seq("curl"), "left_anti")
+            .localCheckpoint(true)
+          DedupIndex.appendBucketed(novel.select(col("curl")), seenTable)
+          novel.write.mode("append").parquet(out.toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.catalog.refreshTable(seenTable)
+      if (!hasParquet(out)) empty()
+      else spark.read.parquet(out.toString).localCheckpoint(true)
+    } finally {
+      cleanupStaging(dir); cleanupStaging(out); cleanupStaging(ckpt)
+    }
+  }
+
+  /**
    * Streaming NEAR-duplicate ingest filter — the LSH-candidate keep rule
    * run as keyed streaming state: each arriving document's MinHash band
    * buckets are computed MAP-SIDE (the same native signature expressions

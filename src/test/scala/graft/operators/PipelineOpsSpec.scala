@@ -595,6 +595,33 @@ class PipelineOpsSpec extends SparkSuite {
       (100L, 0L, 0.0), (101L, 1L, 0.5), (102L, 2L, 1.0)), folded.toString)
   }
 
+  test("crawl loop: a later batch cannot re-discover an earlier batch's URL") {
+    import graft.operators.{Bucketing, Robots}
+    Bucketing.scratchDb(spark, "crawl_loop_spec",
+      java.nio.file.Files.createTempDirectory("crawl_loop_db").toString)
+    val tbl = "crawl_loop_spec.seen"
+    // seed: S already known
+    Bucketing.writeBucketed(
+      Seq("https://x.test/s").toDF("curl"), tbl, "curl", 4)
+    def page(id: Long, hrefs: String*) =
+      (id, hrefs.map(h => s"""<a href="$h">l</a>""").mkString,
+        s"https://x.test/p$id")
+    // b1: page 1 → A, S (seeded: drop); b2: page 2 → A (re-discovery:
+    // drop), B; page 3 → B too (same batch: min id wins)
+    val b1 = Seq(page(1L, "/a", "/s")).toDF("doc_id", "html", "base")
+    val b2 = Seq(page(3L, "/b"), page(2L, "/a", "/b"))
+      .toDF("doc_id", "html", "base")
+    val rules = Robots.parseRules(
+      Seq.empty[(String, String)].toDF("host", "txt"), "host", "txt")
+    val got = Streams.crawlLoopStream(spark, Seq(b1, b2), rules,
+        "anybot", tbl)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("https://x.test/a" -> 1L, "https://x.test/b" -> 2L),
+      got.toString)
+    // the seen table accumulated seed + both discoveries
+    assert(spark.table(tbl).count() == 3L)
+  }
+
   test("incrementalNearDup: corpus near-dups drop, batch keep-first, novel kept") {
     val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val near1 = (3 to 30).map(i => s"w$i").mkString(" ")  // near-dup of long1
