@@ -79,8 +79,15 @@ object Graph {
       iters: Int, unit: Long = RankUnit): DataFrame = {
     require(iters >= 1 && iters <= 64, "pagerank: iters must be in 1..64")
     require(unit >= 100L, "pagerank: unit must be at least 100")
-    val (e, nodes) = prepGraph(edges, srcCol, dstCol)
-    val outdeg = e.groupBy(col("node")).agg(count(lit(1)).as("__odeg"))
+    // persist the loop-invariant frames: every round re-joins e/outdeg
+    // and re-reads nodes — without the cache a k-round run re-executes
+    // the edge lineage (which may be a whole extract→gate→trap chain,
+    // as in pipeline_crawl) ~3k times
+    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
+    val e = e0.persist()
+    val nodes = nodes0.persist()
+    val outdeg =
+      e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
     val nRow = guardedN(nodes, unit)
     var r = nodes.select(col("node"), lit(unit).as("__pr"))
     for (_ <- 1 to iters) {
@@ -96,7 +103,9 @@ object Graph {
           expr(s"(15 * ${unit}L + 85 * (coalesce(__in, 0L) + " +
             "(__dang div __n))) div 100").as("__pr"))
     }
-    r.select(col("node"), col("__pr").as("rank_units"))
+    CacheScope.unpersistAfterAction(
+      r.select(col("node"), col("__pr").as("rank_units")),
+      Seq(e, nodes, outdeg))
   }
 
   /** The gauge of [[pagerank]]'s one approximation — TRUNCATION at
@@ -146,10 +155,13 @@ object Graph {
     require(iters >= 1 && iters <= 64,
       "personalizedPagerank: iters must be in 1..64")
     require(unit >= 100L, "personalizedPagerank: unit must be at least 100")
-    val (e, nodes) = prepGraph(edges, srcCol, dstCol)
-    val outdeg = e.groupBy(col("node")).agg(count(lit(1)).as("__odeg"))
+    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
+    val e = e0.persist()
+    val nodes = nodes0.persist()
+    val outdeg =
+      e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
     val seed = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct().join(nodes, "node")
+      .distinct().join(nodes, "node").persist()
     val nRow = guardedN(nodes, unit)
     val sRow = seed.agg(count(lit(1)).as("__s"))
     var r = nodes.select(col("node"), lit(unit).as("__pr"))
@@ -171,7 +183,9 @@ object Graph {
                 "((85 * __dang) div 100) div __s"))
               .otherwise(lit(0L))).as("__pr"))
     }
-    r.select(col("node"), col("__pr").as("rank_units"))
+    CacheScope.unpersistAfterAction(
+      r.select(col("node"), col("__pr").as("rank_units")),
+      Seq(e, nodes, outdeg, seed))
   }
 
   /**
@@ -195,7 +209,9 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       "seedDistance: maxHops must be in 1..64")
-    val (e, nodes) = prepGraph(edges, srcCol, dstCol)
+    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
+    val e = e0.persist()
+    val nodes = nodes0.persist()
     var d = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().join(nodes, "node")
       .select(col("node"), lit(0L).as("__dist"))
@@ -205,8 +221,10 @@ object Graph {
       d = d.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("__dist")).as("__dist"))
     }
-    nodes.join(d, Seq("node"), "left")
-      .select(col("node"), col("__dist").as("dist"))
+    CacheScope.unpersistAfterAction(
+      nodes.join(d, Seq("node"), "left")
+        .select(col("node"), col("__dist").as("dist")),
+      Seq(e, nodes))
   }
 
   /**
@@ -231,16 +249,19 @@ object Graph {
       "coCitation: maxOutDegree must be in 2..10000")
     val (e, _) = prepGraph(edges, srcCol, dstCol)
     val capped = e.join(
-      e.groupBy(col("node")).agg(count(lit(1)).as("__od"))
-        .where(col("__od") <= maxOutDegree)
-        .select(col("node")),
-      "node")
+        e.groupBy(col("node")).agg(count(lit(1)).as("__od"))
+          .where(col("__od") <= maxOutDegree)
+          .select(col("node")),
+        "node")
+      .persist() // both self-join sides scan it
     val left = capped.select(col("node"), col("dst").as("node_a"))
     val right = capped.select(col("node"), col("dst").as("node_b"))
-    left.join(right, "node")
-      .where(col("node_a") < col("node_b"))
-      .groupBy(col("node_a"), col("node_b"))
-      .agg(count(lit(1)).as("n_common"))
+    CacheScope.unpersistAfterAction(
+      left.join(right, "node")
+        .where(col("node_a") < col("node_b"))
+        .groupBy(col("node_a"), col("node_b"))
+        .agg(count(lit(1)).as("n_common")),
+      Seq(capped))
   }
 
   /**
@@ -270,7 +291,7 @@ object Graph {
     val und = e.where(col("node") =!= col("dst"))
       .select(least(col("node"), col("dst")).as("u"),
         greatest(col("node"), col("dst")).as("v"))
-      .distinct()
+      .distinct().persist()
     val deg = und.select(col("u").as("n"))
       .union(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -280,9 +301,10 @@ object Graph {
     val uKey = struct(col("__du").as("d"), col("u").as("n"))
     val vKey = struct(col("__dv").as("d"), col("v").as("n"))
     val oriented = keyed.select(
-      when(uKey < vKey, col("u")).otherwise(col("v")).as("a"),
-      when(uKey < vKey, col("v")).otherwise(col("u")).as("b"),
-      when(uKey < vKey, vKey).otherwise(uKey).as("__kb"))
+        when(uKey < vKey, col("u")).otherwise(col("v")).as("a"),
+        when(uKey < vKey, col("v")).otherwise(col("u")).as("b"),
+        when(uKey < vKey, vKey).otherwise(uKey).as("__kb"))
+      .persist() // scanned three times: both wedge sides and the closure
     val o1 = oriented.select(col("a"), col("b").as("x"),
       col("__kb").as("__kx"))
     val o2 = oriented.select(col("a"), col("b").as("y"),
@@ -295,9 +317,11 @@ object Graph {
     val perCorner = closed
       .select(explode(array(col("corner"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("__t"))
-    nodes.join(perCorner, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("__t"), lit(0L)).as("n_triangles"))
+    CacheScope.unpersistAfterAction(
+      nodes.join(perCorner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__t"), lit(0L)).as("n_triangles")),
+      Seq(und, oriented))
   }
 
   /** Shared-out-link similarity (Kessler 1963) — [[coCitation]] on the
