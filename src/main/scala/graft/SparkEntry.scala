@@ -1548,6 +1548,25 @@ object SparkEntry {
         .orderBy(col("node_a"), col("node_b"))
     }),
 
+    // the HOST-graph rank: the doc graph collapses to 50 hosts with
+    // link-count edge WEIGHTS (parallel page links must combine, and a
+    // host's rank flows in proportion to its link counts, not once per
+    // distinct neighbor); 3 weighted rounds, unrolled-CTE oracle
+    "graph_host_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 =!= 0)
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val hosts = e1.union(e2)
+        .groupBy((col("src") % 50).as("hsrc"), (col("dst") % 50).as("hdst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.weightedPagerank(hosts, "hsrc", "hdst", "w", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // the truncation gauge: rank movement between rounds 2 and 3 in
     // units (L1 + max) — the house every-approximation-ships-a-gauge
     // rule applied to the fixpoint cut; the oracle replays BOTH rounds
@@ -6060,6 +6079,19 @@ object SparkEntry {
           |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
           |JOIN ok ON ok.dst = a.dst
           |GROUP BY 1, 2 ORDER BY node_a, node_b""".stripMargin,
+
+      "graph_host_pagerank" ->
+        s"""WITH de AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500
+           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |raw AS (
+           |  SELECT src % 50 AS src, dst % 50 AS dst, count(*) AS w
+           |  FROM de GROUP BY 1, 2),
+           |${GraphSql.weightedCtes(3)}
+           |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
 
       "graph_pagerank_gauge" ->
         s"""WITH raw AS (

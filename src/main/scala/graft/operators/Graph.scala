@@ -108,6 +108,63 @@ object Graph {
       Seq(e, nodes, outdeg))
   }
 
+  /**
+   * Weighted PageRank — the HOST-graph form: collapsing a page graph to
+   * hosts turns parallel links into edge WEIGHTS (link counts), and a
+   * host's rank should flow in proportion to how often it links where
+   * it links, not once per distinct neighbor. Same integer fixpoint
+   * with `contrib(j→i) = (rank(j) · w(j→i)) div Σ_k w(j→k)`; parallel
+   * (src, dst) rows COMBINE their weights; non-positive weights drop.
+   * The overflow envelope gains the max-weight factor, guarded
+   * distributedly like [[guardedN]]: N · unit · maxW must stay under
+   * Long.Max/200 — at the default unit a 46k-node graph tolerates
+   * maxW = 1; size `unit` to the weight scale (the scaladoc example:
+   * unit 1e6 and maxW 1e6 still allows 9e6 hosts... the guard does the
+   * arithmetic, loudly).
+   */
+  def weightedPagerank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, unit: Long = RankUnit): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      "weightedPagerank: iters must be in 1..64")
+    require(unit >= 100L, "weightedPagerank: unit must be at least 100")
+    val e = edges
+      .select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__w") > 0)
+      .groupBy(col("node"), col("dst"))
+      .agg(sum(col("__w")).as("__w"))
+      .persist()
+    val nodes = e.select(col("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outw = e.groupBy(col("node")).agg(sum(col("__w")).as("__ow"))
+      .persist()
+    val maxW = e.agg(coalesce(max(col("__w")), lit(1L)).as("__mw"))
+    val nRow = nodes.agg(count(lit(1)).as("__n")).crossJoin(maxW)
+      .select(when(col("__n") * col("__mw") > Long.MaxValue / 200 / unit,
+        raise_error(concat(lit("weightedPagerank: N × maxW exceeds the " +
+          s"unit=$unit overflow envelope; lower the unit"), lit(""))))
+        .otherwise(col("__n")).as("__n"))
+    var r = nodes.select(col("node"), lit(unit).as("__pr"))
+    for (_ <- 1 to iters) {
+      val inflow = r.join(outw, "node").join(e, "node")
+        .select(col("dst").as("node"),
+          expr("(__pr * __w) div __ow").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val dangRow = r.join(outw, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("__pr")), lit(0L)).as("__dang"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .crossJoin(dangRow).crossJoin(nRow)
+        .select(col("node"),
+          expr(s"(15 * ${unit}L + 85 * (coalesce(__in, 0L) + " +
+            "(__dang div __n))) div 100").as("__pr"))
+    }
+    CacheScope.unpersistAfterAction(
+      r.select(col("node"), col("__pr").as("rank_units")),
+      Seq(e, nodes, outw))
+  }
+
   /** The gauge of [[pagerank]]'s one approximation — TRUNCATION at
     * `iters` rounds (the arithmetic itself is exact): the L1 and max
     * movement between the last two rounds, in rank units. A run whose
@@ -428,6 +485,39 @@ object GraphSql {
          |r0 AS (SELECT node, CAST($unit AS BIGINT) AS pr FROM nodes)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""${flowCtes(i)},
+         |r$i AS (
+         |  SELECT nodes.node,
+         |         (15 * $unit + 85 * (coalesce(inflow, 0) + dang // n)) // 100
+         |           AS pr
+         |  FROM nodes LEFT JOIN inf$i USING (node)
+         |  CROSS JOIN dang$i CROSS JOIN nn)""".stripMargin
+    }
+    (fixed +: rounds).mkString(",\n")
+  }
+
+  /** CTE chain for [[Graph.weightedPagerank]] over a prior CTE
+    * `raw(src, dst, w)`. */
+  def weightedCtes(iters: Int, unit: Long = Graph.RankUnit): String = {
+    val fixed =
+      s"""e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+         |      FROM raw WHERE w > 0 GROUP BY src, dst),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+         |       FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST($unit AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS (
+         |  SELECT e.dst AS node, (r$p.pr * e.w) // ow.ow AS c
+         |  FROM r$p JOIN ow ON ow.src = r$p.node
+         |           JOIN e ON e.src = r$p.node),
+         |inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
+         |          FROM c$i GROUP BY node),
+         |dang$i AS (
+         |  SELECT CAST(coalesce(sum(r$p.pr), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN ow ON ow.src = r$p.node
+         |  WHERE ow.src IS NULL),
          |r$i AS (
          |  SELECT nodes.node,
          |         (15 * $unit + 85 * (coalesce(inflow, 0) + dang // n)) // 100

@@ -145,6 +145,58 @@ class GraphSpec extends SparkSuite {
     assert(coup == Map((1L, 9L) -> 1L))
   }
 
+  /** Sequential weighted reference with the same integer update. */
+  private def seqWeighted(
+      edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.filter(_._3 > 0)
+      .groupBy(p => (p._1, p._2)).view.mapValues(_.map(_._3).sum)
+      .toMap.toSeq.map { case ((s, d), w) => (s, d, w) }
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val ow = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> U).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * w / ow(s) }.sum).toMap
+      val dang = nodes.filterNot(ow.contains).map(r).sum
+      r = nodes.map(v =>
+        v -> (15 * U + 85 * (inflow.getOrElse(v, 0L) + dang / n)) / 100).toMap
+    }
+    r
+  }
+
+  test("weightedPagerank: flow proportional to weight, parallel edges combine") {
+    // 1 sends 3/4 of its mass to 2 and 1/4 to 3 (weights 3 and 1, the
+    // latter as two parallel rows that must combine); 2 and 3 dangle
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (1L, 3L, 0L)) // zero drops
+    val eSplit = Seq((1L, 2L, 3L), (1L, 3L, 1L)) // pre-combined view
+    val got = Graph.weightedPagerank(
+        (e :+ (1L, 3L, 0L)).toDF("src", "dst", "w"), "src", "dst", "w", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == seqWeighted(eSplit, 2))
+    assert(got(2L) > got(3L))
+    // unit weights reduce to the unweighted operator exactly
+    val uw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val viaWeighted = Graph.weightedPagerank(
+        uw.map(p => (p._1, p._2, 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPlain = Graph.pagerank(uw.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaWeighted == viaPlain)
+  }
+
+  test("weightedPagerank fails loudly beyond the N × maxW envelope") {
+    // whichever arm evaluates first wins — the guard's raise_error or
+    // ANSI mode's multiply check; either way the failure is LOUD, never
+    // a silent wrap
+    val e = Seq((1L, 2L, Long.MaxValue / 100)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.weightedPagerank(e, "src", "dst", "w", 1).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("overflow"), ex.getMessage)
+  }
+
   test("triangles: direction ignored, each corner counts once, K4 = 3 each") {
     // K4 on 1..4 (some edges reversed, one duplicated both ways), a
     // pendant 5, a self-loop, and a directed 2-cycle 6↔7 (no triangle)
