@@ -188,13 +188,21 @@ object ScaleRehearsal {
         Graph.writeEdgeIndex(edges, "src", "dst", s"$db.edges",
           buckets = 32)
       }
+      // consume the RANK/DIST columns, not .count() — a count lets
+      // Catalyst prune the entire fixpoint arithmetic (and the overflow
+      // guard) and the timing measures only the join skeleton; unit 1e6
+      // because the replicated node count exceeds the default-unit
+      // envelope (the guard fires, by design)
       timed("pagerank_3_rounds", nDocs * 3) {
-        Graph.pagerankIndexed(spark, s"$db.edges", iters = 3).count()
+        Graph.pagerankIndexed(spark, s"$db.edges", iters = 3,
+            unit = 1000000L)
+          .agg(sum(col("rank_units"))).collect()
       }
       timed("seed_distance_4_hops", nDocs * 3) {
         Graph.seedDistance(spark.table(s"$db.edges"), "src", "dst",
-          corpus.select(col("doc_id")).where(col("doc_id") % 101 === 0),
-          "doc_id", maxHops = 4).count()
+            corpus.select(col("doc_id")).where(col("doc_id") % 101 === 0),
+            "doc_id", maxHops = 4)
+          .agg(sum(coalesce(col("dist"), lit(0L)))).collect()
       }
     } finally {
       graft.streaming.Streams.cleanupStaging(work)

@@ -38,6 +38,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The shared 500-node doc graph of the graph_* fixtures: two modular
+    * out-links per non-dangling doc (docs ≡0 mod 7 dangle). The SQL twin
+    * is [[DocGraphRawSql]]. */
+  private def docGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .where(col("doc_id") % 7 =!= 0)
+    val e1 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 3 + 1) % 500).as("dst"))
+    val e2 = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 5) % 500).as("dst"))
+    e1.union(e2)
+  }
+
+  /** The doc graph as a `raw(src, dst)` CTE body (oracle side). */
+  private val DocGraphRawSql: String =
+    """SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 7 + 5) % 500
+      |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0""".stripMargin
+
   /** `events` with `ts` surfaced as a proper TimestampType (µs),
     * schema-adaptively: generated data has shipped both TIMESTAMP(NANOS)
     * (read as a long of ns under `spark.sql.legacy.parquet.nanosAsLong`,
@@ -1468,14 +1490,8 @@ object SparkEntry {
     // micro-units. The oracle replays the ENTIRE fixpoint as unrolled
     // CTEs — every iteration's floor divisions must agree bit-for-bit
     "graph_pagerank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
-      Graph.pagerank(e1.union(e2), "src", "dst", iters = 3)
+      val edges = docGraphEdges(s, dir)
+      Graph.pagerank(edges, "src", "dst", iters = 3)
         .orderBy(col("node"))
     }),
 
@@ -1485,20 +1501,14 @@ object SparkEntry {
     // oracle = the OTHER standard formulation (ordered triple
     // self-join) — the implementations share nothing
     "graph_triangles" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val edges = docGraphEdges(s, dir)
       val five = t(s, dir, "documents")
         .where(col("doc_id") < 5)
         .select((col("doc_id") + 9000).as("n"))
       val clique = five.crossJoin(five.select(col("n").as("m")))
         .where(col("n") < col("m"))
         .select(col("n").as("src"), col("m").as("dst"))
-      Graph.triangles(e1.union(e2).union(clique), "src", "dst")
+      Graph.triangles(edges.union(clique), "src", "dst")
         .orderBy(col("node"))
     }),
 
@@ -1520,30 +1530,18 @@ object SparkEntry {
     // 12-out-link hub that must NOT contribute pairs. The oracle
     // restates both as independent SQL self-joins
     "graph_cocitation" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val edges = docGraphEdges(s, dir)
       val hub = t(s, dir, "documents").select(col("doc_id"))
         .where(col("doc_id") < 12)
         .select(lit(9000L).as("src"), col("doc_id").as("dst"))
-      Graph.coCitation(e1.union(e2).union(hub), "src", "dst",
+      Graph.coCitation(edges.union(hub), "src", "dst",
           maxOutDegree = 8)
         .orderBy(col("node_a"), col("node_b"))
     }),
 
     "graph_coupling" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
-      Graph.bibliographicCoupling(e1.union(e2), "src", "dst",
+      val edges = docGraphEdges(s, dir)
+      Graph.bibliographicCoupling(edges, "src", "dst",
           maxInDegree = 8)
         .orderBy(col("node_a"), col("node_b"))
     }),
@@ -1553,14 +1551,8 @@ object SparkEntry {
     // host's rank flows in proportion to its link counts, not once per
     // distinct neighbor); 3 weighted rounds, unrolled-CTE oracle
     "graph_host_pagerank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
-      val hosts = e1.union(e2)
+      val edges = docGraphEdges(s, dir)
+      val hosts = edges
         .groupBy((col("src") % 50).as("hsrc"), (col("dst") % 50).as("hdst"))
         .agg(count(lit(1)).as("w"))
       Graph.weightedPagerank(hosts, "hsrc", "hdst", "w", iters = 3)
@@ -1571,14 +1563,8 @@ object SparkEntry {
     // units (L1 + max) — the house every-approximation-ships-a-gauge
     // rule applied to the fixpoint cut; the oracle replays BOTH rounds
     "graph_pagerank_gauge" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
-      Graph.pagerankGauge(e1.union(e2), "src", "dst", iters = 3)
+      val edges = docGraphEdges(s, dir)
+      Graph.pagerankGauge(edges, "src", "dst", iters = 3)
     }),
 
     // TrustRank: the same graph, teleport restricted to 10 trusted
@@ -1586,16 +1572,10 @@ object SparkEntry {
     // neighborhood and nodes far from any seed starve. Same unrolled-
     // CTE oracle discipline as graph_pagerank
     "graph_trustrank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val edges = docGraphEdges(s, dir)
       val seeds = t(s, dir, "documents").select(col("doc_id"))
         .where(col("doc_id") % 50 === 0)
-      Graph.personalizedPagerank(e1.union(e2), "src", "dst",
+      Graph.personalizedPagerank(edges, "src", "dst",
           seeds, "doc_id", iters = 3)
         .orderBy(col("node"))
     }),
@@ -1605,16 +1585,10 @@ object SparkEntry {
     // (unknown), not a sentinel. Integer min/plus — exact; the oracle
     // unrolls the same relaxation
     "graph_seed_distance" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") % 7 =!= 0)
-      val e1 = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
+      val edges = docGraphEdges(s, dir)
       val seeds = t(s, dir, "documents").select(col("doc_id"))
         .where(col("doc_id") % 50 === 0)
-      Graph.seedDistance(e1.union(e2), "src", "dst",
+      Graph.seedDistance(edges, "src", "dst",
           seeds, "doc_id", maxHops = 4)
         .orderBy(col("node"))
     }),
@@ -1627,6 +1601,9 @@ object SparkEntry {
     // table. The oracle replays the union arithmetic — the index
     // lifecycle must be invisible in the values
     "graph_edge_indexed" -> ((s, dir) => {
+      // the two releases are the doc graph's two link families — e1
+      // writes, e2 appends (the split is why this site cannot use the
+      // combined docGraphEdges helper)
       val docs = t(s, dir, "documents").select(col("doc_id"))
         .where(col("doc_id") % 7 =!= 0)
       val e1 = docs.select(col("doc_id").as("src"),
@@ -1716,13 +1693,8 @@ object SparkEntry {
     "frontier_ranked" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val linked = docs.where(col("doc_id") % 7 =!= 0)
-      val e1 = linked.select(col("doc_id").as("src"),
-        ((col("doc_id") * 3 + 1) % 500).as("dst"))
-      val e2 = linked.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 5) % 500).as("dst"))
-      val pr = Graph.pagerank(e1.union(e2), "src", "dst", iters = 3)
+      val pr = Graph.pagerank(docGraphEdges(s, dir), "src", "dst",
+        iters = 3)
       val urls = docs.join(pr, docs("doc_id") === pr("node"))
         .select(col("doc_id"),
           concat(lit("https://"), col("source"), lit(".test/doc/"),
@@ -5966,11 +5938,7 @@ object SparkEntry {
       // Spark's div on these non-negative values
       "graph_pagerank" ->
         s"""WITH raw AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
 
@@ -6082,11 +6050,7 @@ object SparkEntry {
 
       "graph_host_pagerank" ->
         s"""WITH de AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |raw AS (
            |  SELECT src % 50 AS src, dst % 50 AS dst, count(*) AS w
            |  FROM de GROUP BY 1, 2),
@@ -6095,11 +6059,7 @@ object SparkEntry {
 
       "graph_pagerank_gauge" ->
         s"""WITH raw AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |${GraphSql.pagerankCtes(3)}
            |SELECT CAST(sum(abs(r3.pr - r2.pr)) AS BIGINT)
            |         AS l1_delta_units,
@@ -6110,11 +6070,7 @@ object SparkEntry {
 
       "graph_trustrank" ->
         s"""WITH raw AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |rawseed AS (SELECT doc_id AS node FROM documents
            |            WHERE doc_id % 50 = 0),
            |${GraphSql.personalizedCtes(3)}
@@ -6122,11 +6078,7 @@ object SparkEntry {
 
       "graph_seed_distance" ->
         s"""WITH raw AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |rawseed AS (SELECT doc_id AS node FROM documents
            |            WHERE doc_id % 50 = 0),
            |${GraphSql.seedDistanceCtes(4)}
@@ -6138,11 +6090,7 @@ object SparkEntry {
       // identical to graph_pagerank's fixpoint plus the degree fold
       "graph_edge_indexed" ->
         s"""WITH raw AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units,
            |       CAST(odeg.odeg AS BIGINT) AS out_degree
@@ -6154,11 +6102,7 @@ object SparkEntry {
       // shift the replayed fixpoint
       "pipeline_crawl" ->
         s"""WITH raw AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |${GraphSql.pagerankCtes(3)},
            |d AS (SELECT host, CAST(delay_s AS DOUBLE) AS delay_s
            |  FROM (VALUES ('h0.test', 2.0), ('h3.test', 1.5))
@@ -6184,11 +6128,7 @@ object SparkEntry {
       // fixpoint CTEs + the schedule window, both restated
       "frontier_ranked" ->
         s"""WITH raw AS (
-           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id * 7 + 5) % 500
-           |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0),
+           |  $DocGraphRawSql),
            |${GraphSql.pagerankCtes(3)},
            |d AS (SELECT host, CAST(delay_s AS DOUBLE) AS delay_s
            |  FROM (VALUES ('src1.test', 2.0), ('src3.test', 2.5))

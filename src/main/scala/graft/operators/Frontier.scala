@@ -125,12 +125,17 @@ object Frontier {
       scores: DataFrame, keyCol: String, scoreCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "apportionBudget: budget must be positive")
+    // negative scores would break the exact-sum contract silently
+    // (truncating div diverges from floor, leftover can go negative) —
+    // refuse them loudly, with the total bounds
     val tot = scores
-      .agg(sum(col(scoreCol)).cast("long").as("__tot"))
-      .select(when(col("__tot") <= 0 ||
+      .agg(sum(col(scoreCol)).cast("long").as("__tot"),
+        min(col(scoreCol)).cast("long").as("__min"))
+      .select(when(col("__min") < 0 || col("__tot") <= 0 ||
           col("__tot") > Long.MaxValue / budget,
-        raise_error(concat(lit("apportionBudget: total score must be in " +
-          s"1..${Long.MaxValue / budget} for budget=$budget"), lit(""))))
+        raise_error(concat(lit("apportionBudget: scores must be " +
+          s"non-negative with total in 1..${Long.MaxValue / budget} " +
+          s"for budget=$budget"), lit(""))))
         .otherwise(col("__tot")).as("__tot"))
     val based = scores
       .select(col(keyCol), col(scoreCol).cast("long").as("score"))

@@ -141,8 +141,11 @@ object Graph {
     val outw = e.groupBy(col("node")).agg(sum(col("__w")).as("__ow"))
       .persist()
     val maxW = e.agg(coalesce(max(col("__w")), lit(1L)).as("__mw"))
+    // compare via division — the product n·maxW could itself wrap, and
+    // the guard must stay loud even with ANSI checks off
     val nRow = nodes.agg(count(lit(1)).as("__n")).crossJoin(maxW)
-      .select(when(col("__n") * col("__mw") > Long.MaxValue / 200 / unit,
+      .select(when(
+        col("__mw") > expr(s"${Long.MaxValue / 200 / unit}L div __n"),
         raise_error(concat(lit("weightedPagerank: N × maxW exceeds the " +
           s"unit=$unit overflow envelope; lower the unit"), lit(""))))
         .otherwise(col("__n")).as("__n"))
@@ -433,10 +436,11 @@ object Graph {
     spark.table(table).groupBy(col("src").as("node"))
       .agg(countDistinct(col("dst")).as("out_degree"))
 
-  /** [[pagerank]] over the persisted graph. */
+  /** [[pagerank]] over the persisted graph (`unit` passes through for
+    * graphs past the default envelope). */
   def pagerankIndexed(spark: org.apache.spark.sql.SparkSession,
-      table: String, iters: Int): DataFrame =
-    pagerank(spark.table(table), "src", "dst", iters)
+      table: String, iters: Int, unit: Long = RankUnit): DataFrame =
+    pagerank(spark.table(table), "src", "dst", iters, unit)
 }
 
 /** DuckDB renderings of the same fixpoint, for oracle SQL: the whole

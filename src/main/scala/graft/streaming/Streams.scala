@@ -367,6 +367,61 @@ object Streams {
    * with the batch pipeline — not per-key streaming state scoped to one
    * query's checkpoint.
    */
+  /** Stage each batch frame as ONE parquet file in `dir`, named and
+    * mtime-stamped so the file source's oldest-first order IS batch
+    * order (even when two writes land in the same ms). An all-empty
+    * batch writes no part file (Spark materializes files lazily on the
+    * first row) — it stages nothing and contributes nothing, the right
+    * semantics for it. Returns false when EVERY batch was empty. */
+  private def stageBatchFiles(
+      dir: java.nio.file.Path, batches: Seq[DataFrame],
+      columns: Seq[org.apache.spark.sql.Column]): Boolean = {
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory("graft-stage-batch")
+      try {
+        b.select(columns: _*)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val s = Files.list(tmp)
+          try s.iterator().asScala.find { f =>
+            val n = f.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }
+          finally s.close()
+        }
+        part.foreach { f =>
+          val dst = dir.resolve(f"batch-$i%05d.parquet")
+          Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000L))
+        }
+      } finally cleanupStaging(tmp)
+    }
+    hasParquet(dir)
+  }
+
+  private def hasParquet(d: java.nio.file.Path): Boolean = {
+    val s = Files.list(d)
+    try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  /** Drain `dir` one staged file per micro-batch through `body`
+    * (AvailableNow, checkpoint at `ckpt`). */
+  private def drainLoop(
+      spark: SparkSession, dir: java.nio.file.Path,
+      ckpt: java.nio.file.Path)(body: DataFrame => Unit): Unit = {
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) => body(batch) }
+      .start()
+    q.awaitTermination()
+  }
+
   def ingestLoopStream(
       spark: SparkSession,
       batches: Seq[DataFrame],
@@ -378,49 +433,13 @@ object Streams {
     val out = Files.createTempDirectory("graft-stream-ingest-out")
     val ckpt = Files.createTempDirectory("graft-stream-ingest-ckpt")
     try {
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val tmp = Files.createTempDirectory("graft-stream-ingest-tmp")
-        try {
-          b.select(col("doc_id"), col("text"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = {
-            val s = Files.list(tmp)
-            try s.iterator().asScala.find { f =>
-              val n = f.getFileName.toString
-              n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-            }
-            finally s.close()
-          }
-          // an all-empty batch writes no part file (Spark materializes
-          // files lazily on the first row) — it stages nothing and
-          // contributes nothing, which is the right semantics for it
-          part.foreach { f =>
-            val dst = dir.resolve(f"batch-$i%05d.parquet")
-            Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
-            // the file source processes oldest-first: arrival order must be
-            // batch order even when the two writes land in the same ms
-            Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000L))
-          }
-        } finally cleanupStaging(tmp)
-      }
-      def hasParquet(d: java.nio.file.Path): Boolean = {
-        val s = Files.list(d)
-        try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-        finally s.close()
-      }
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       def emptyIds(): DataFrame = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType))))
-      if (!hasParquet(dir)) return emptyIds() // every batch was empty
-      val schema = spark.read.parquet(dir.toString).schema
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!stageBatchFiles(dir, batches, Seq(col("doc_id"), col("text"))))
+        return emptyIds() // every batch was empty
+      drainLoop(spark, dir, ckpt) { (batch: DataFrame) =>
           // the micro-batch frame belongs to the stream's CLONED session,
           // whose table-relation cache was populated by the previous
           // batch's probes; the appends below refresh only the session
@@ -445,9 +464,7 @@ object Streams {
           survivors.select(col("doc_id"))
             .write.mode("append").parquet(out.toString)
           ()
-        }
-        .start()
-      q.awaitTermination()
+      }
       // the last batch's appends invalidated only the cloned session's
       // relation cache — refresh the caller's session so its next probe
       // sees the fully-grown index
@@ -493,47 +510,17 @@ object Streams {
     val out = Files.createTempDirectory("graft-stream-crawl-out")
     val ckpt = Files.createTempDirectory("graft-stream-crawl-ckpt")
     try {
-      pageBatches.zipWithIndex.foreach { case (b, i) =>
-        val tmp = Files.createTempDirectory("graft-stream-crawl-tmp")
-        try {
-          b.select(col("doc_id").cast("long").as("doc_id"),
-              col("html").cast("string").as("html"),
-              col("base").cast("string").as("base"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = {
-            val s = Files.list(tmp)
-            try s.iterator().asScala.find { f =>
-              val n = f.getFileName.toString
-              n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-            }
-            finally s.close()
-          }
-          part.foreach { f =>
-            val dst = dir.resolve(f"batch-$i%05d.parquet")
-            Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
-            Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000L))
-          }
-        } finally cleanupStaging(tmp)
-      }
-      def hasParquet(d: java.nio.file.Path): Boolean = {
-        val s = Files.list(d)
-        try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-        finally s.close()
-      }
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       def empty(): DataFrame = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("curl", StringType),
           StructField("discovered_by", LongType))))
-      if (!hasParquet(dir)) return empty()
-      val schema = spark.read.parquet(dir.toString).schema
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!stageBatchFiles(dir, pageBatches,
+          Seq(col("doc_id").cast("long").as("doc_id"),
+            col("html").cast("string").as("html"),
+            col("base").cast("string").as("base"))))
+        return empty()
+      drainLoop(spark, dir, ckpt) { (batch: DataFrame) =>
           // same stale-relation-cache guard as ingestLoopStream: the
           // micro-batch frame lives in the stream's CLONED session
           for (ss <- Seq(spark, batch.sparkSession).distinct)
@@ -560,9 +547,7 @@ object Streams {
           DedupIndex.appendBucketed(novel.select(col("curl")), seenTable)
           novel.write.mode("append").parquet(out.toString)
           ()
-        }
-        .start()
-      q.awaitTermination()
+      }
       spark.catalog.refreshTable(seenTable)
       if (!hasParquet(out)) empty()
       else spark.read.parquet(out.toString).localCheckpoint(true)

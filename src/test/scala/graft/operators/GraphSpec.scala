@@ -166,12 +166,13 @@ class GraphSpec extends SparkSuite {
   }
 
   test("weightedPagerank: flow proportional to weight, parallel edges combine") {
-    // 1 sends 3/4 of its mass to 2 and 1/4 to 3 (weights 3 and 1, the
-    // latter as two parallel rows that must combine); 2 and 3 dangle
-    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (1L, 3L, 0L)) // zero drops
-    val eSplit = Seq((1L, 2L, 3L), (1L, 3L, 1L)) // pre-combined view
+    // 1 sends 3/5 of its mass to 2 and 2/5 to 3 — the weight-2 edge
+    // arrives as TWO parallel weight-1 rows that must SUM (a keep-first
+    // combine would send 1/4 and fail), plus a zero-weight row to drop
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (1L, 3L, 1L), (1L, 3L, 0L))
+    val eSplit = Seq((1L, 2L, 3L), (1L, 3L, 2L)) // pre-combined view
     val got = Graph.weightedPagerank(
-        (e :+ (1L, 3L, 0L)).toDF("src", "dst", "w"), "src", "dst", "w", 2)
+        e.toDF("src", "dst", "w"), "src", "dst", "w", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == seqWeighted(eSplit, 2))
     assert(got(2L) > got(3L))
