@@ -1512,6 +1512,27 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // redirect-chain resolution: 3-hop chains must land on their
+    // terminal with exact hop counts, 2-loops must walk the full
+    // 8-hop budget back to themselves and flag resolved=false. Engine
+    // = pointer DOUBLING (3 self-joins); oracle = 8 SINGLE-step CTEs —
+    // the same semantics by the other construction
+    "url_redirects" -> ((s, dir) => {
+      val id = col("doc_id")
+      def p(x: org.apache.spark.sql.Column) =
+        concat(lit("https://r.test/p"), x.cast("string"))
+      val chain = t(s, dir, "documents")
+        .where(id % 10 <= 2)
+        .select(p(id).as("src"), p(id + 1).as("dst"))
+      val loopF = t(s, dir, "documents").where(id % 10 === 5)
+        .select(p(id).as("src"), p(id + 1).as("dst"))
+      val loopB = t(s, dir, "documents").where(id % 10 === 6)
+        .select(p(id).as("src"), p(id - 1).as("dst"))
+      graft.operators.Redirects.resolve(
+          chain.union(loopF).union(loopB), "src", "dst", maxHops = 8)
+        .orderBy(col("url"))
+    }),
+
     // Hamilton apportionment of a 997-slot fetch budget across the 20
     // sources by character mass — Σ alloc must equal the budget EXACTLY
     // (largest remainders take the leftover); the oracle recomputes the
@@ -6000,6 +6021,24 @@ object SparkEntry {
           |       CAST(coalesce(cnt.t, 0) AS BIGINT) AS n_triangles
           |FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
           |ORDER BY nodes.node""".stripMargin,
+
+      "url_redirects" -> {
+        import graft.operators.RedirectsSql
+        s"""WITH m AS (
+           |  SELECT 'https://r.test/p' || CAST(doc_id AS VARCHAR) AS u,
+           |         'https://r.test/p' || CAST(doc_id + 1 AS VARCHAR) AS v
+           |  FROM documents WHERE doc_id % 10 <= 2 OR doc_id % 10 = 5
+           |  UNION ALL
+           |  SELECT 'https://r.test/p' || CAST(doc_id AS VARCHAR),
+           |         'https://r.test/p' || CAST(doc_id - 1 AS VARCHAR)
+           |  FROM documents WHERE doc_id % 10 = 6),
+           |${RedirectsSql.stepCtes(8)}
+           |SELECT s8.url, s8.cur AS final_url,
+           |       CAST(s8.hops AS BIGINT) AS hops,
+           |       mf.u IS NULL AS resolved
+           |FROM s8 LEFT JOIN m mf ON mf.u = s8.cur
+           |ORDER BY s8.url""".stripMargin
+      },
 
       "frontier_budget" ->
         """WITH sc AS (SELECT source,
