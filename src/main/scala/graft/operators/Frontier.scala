@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,15 +19,46 @@ import org.apache.spark.sql.functions._
  * Scale shape: ONE shuffle, the inherent cluster-by-host (per-host
  * sequencing cannot be computed without co-locating a host's URLs);
  * the delay table rides in as a broadcast, so resolution adds no
- * exchange. The per-host slot is `row_number` over (priority desc,
- * url) — a running-count frame, so the window buffers nothing beyond
- * the sort, and the sort is external (spills, never OOMs) when a
- * mega-host's frontier exceeds memory. Emitted rows per host are
- * bounded by ceil(horizon / delay) regardless of frontier size, so the
- * output of a cycle is politeness-bounded by construction — the
- * deferred tail stays in the frontier store for the next cycle.
+ * exchange. A cycle emits at most ceil(horizon / delay) rows per host,
+ * so the slotting is a BOUNDED top-k aggregate (cap = ceil(horizonS /
+ * min resolved delay), ≤ cap entries of state per host per map task,
+ * combined map-side) — never a `row_number` window over the host
+ * partition, which would external-sort a mega-host's ENTIRE frontier
+ * (the canonically skewed key of web crawling: one host can hold 10⁸
+ * frontier URLs) in one unsplittable task while emitting only the
+ * bounded head. The sorted buffer's position IS the slot, so no window
+ * runs at all; the deferred tail stays in the frontier store for the
+ * next cycle.
  */
+/** Bounded per-host slot buffer: (priority, url, id) ordered
+  * (priority desc, url asc). Top-level so encoder codegen can
+  * construct it (the [[graft.operators.TopKBuf]] convention). */
+final case class SlotKBuf(items: Seq[(Double, String, String)])
+
 object Frontier {
+
+  /** Bounded top-k of (priority, url, id) by (priority desc, url asc) —
+    * the [[Similarity.topKUdaf]] pattern with the scheduler's ordering
+    * and an opaque id payload. An Aggregator, so Spark plans partial
+    * aggregation: each map task holds ≤ k entries per host. */
+  private final class SlotKAgg(k: Int)
+      extends Aggregator[(Double, String, String), SlotKBuf, SlotKBuf] {
+    private val ord =
+      Ordering.by[(Double, String, String), (Double, String)] {
+        case (p, u, _) => (-p, u)
+      }
+    def zero: SlotKBuf = SlotKBuf(Vector.empty)
+    def reduce(buf: SlotKBuf, x: (Double, String, String)): SlotKBuf =
+      // full buffer + x at-or-past the cut: x cannot place (stable sort
+      // would order it after the equal/greater last element)
+      if (buf.items.size >= k && ord.gteq(x, buf.items.last)) buf
+      else SlotKBuf((buf.items :+ x).sorted(ord).take(k))
+    def merge(a: SlotKBuf, b: SlotKBuf): SlotKBuf =
+      SlotKBuf((a.items ++ b.items).sorted(ord).take(k))
+    def finish(buf: SlotKBuf): SlotKBuf = buf
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[SlotKBuf]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[SlotKBuf]
+  }
 
   /** One delay per host for `agent`, resolved with RFC 9309 group
     * precedence over [[Robots.crawlDelays]] rows: the agent's own
@@ -162,6 +193,19 @@ object Frontier {
    * (priority desc, url asc — the deterministic tiebreak) and is
    * fetched at `sched_s = k * delay_s`; hosts without a resolved
    * delay use `defaultDelayS`.
+   *
+   * A host emits at most ceil(horizonS / delay_s) rows, so the slotting
+   * is ONE bounded top-k aggregate per host with cap = ceil(horizonS /
+   * min resolved delay) — the global minimum lower-bounds every host's
+   * delay, so the cap upper-bounds every host's emitted count and the
+   * pre-horizon results are identical to ranking the full frontier.
+   * The cap is computed driver-side from the delay table (it rides to
+   * every task as a broadcast anyway — one extra driver read of a
+   * broadcast-sized frame). The sorted buffer's position is the slot;
+   * the horizon cut then trims hosts whose own delay exceeds the
+   * minimum. Delays must be positive — a zero delay would unbound the
+   * cap — and the cap must stay sane (≤ 2²⁰ buffered rows per host);
+   * both are enforced loudly.
    */
   def schedule(
       urls: DataFrame, delays: DataFrame,
@@ -169,19 +213,37 @@ object Frontier {
       defaultDelayS: Double, horizonS: Double): DataFrame = {
     require(defaultDelayS > 0, "schedule: defaultDelayS must be positive")
     require(horizonS > 0, "schedule: horizonS must be positive")
-    val host = Robots.urlHost(col(urlCol))
-    val slots = Window.partitionBy(col("host"))
-      .orderBy(col("priority").desc, col(urlCol))
+    val minRow = delays
+      .agg(min(col("delay_s").cast("double"))).head()
+    val minDelay =
+      if (minRow.isNullAt(0)) defaultDelayS
+      else math.min(defaultDelayS, minRow.getDouble(0))
+    require(minDelay > 0,
+      s"schedule: resolved delays must be positive (min=$minDelay)")
+    val cap = math.ceil(horizonS / minDelay)
+    require(cap <= (1 << 20),
+      s"schedule: horizon/min-delay cap $cap exceeds 2^20 buffered rows " +
+        "per host — split the cycle into shorter horizons")
+    val idType = urls.schema(idCol).dataType
+    val prioType = urls.schema(priorityCol).dataType
+    val top = udaf(new SlotKAgg(cap.toInt))
     urls
-      .select(col(idCol), col(urlCol), host.as("host"),
-        col(priorityCol).as("priority"))
+      .select(col(idCol).cast("string").as("__id"), col(urlCol),
+        Robots.urlHost(col(urlCol)).as("host"),
+        col(priorityCol).cast("double").as("__prio"))
+      .groupBy(col("host"))
+      .agg(top(col("__prio"), col(urlCol), col("__id")).as("__top"))
+      .select(col("host"),
+        posexplode(col("__top.items")).as(Seq("__slot", "__e")))
       .join(broadcast(delays.select(col("host").as("__dh"),
         col("delay_s").as("__d"))), col("host") === col("__dh"), "left")
       .withColumn("delay_s", coalesce(col("__d"), lit(defaultDelayS)))
-      .withColumn("slot", (row_number().over(slots) - 1).cast("long"))
+      .withColumn("slot", col("__slot").cast("long"))
       .withColumn("sched_s", col("slot") * col("delay_s"))
       .where(col("sched_s") < lit(horizonS))
-      .select(col(idCol), col(urlCol), col("host"), col("priority"),
+      .select(col("__e._3").cast(idType).as(idCol),
+        col("__e._2").as(urlCol), col("host"),
+        col("__e._1").cast(prioType).as("priority"),
         col("slot"), col("delay_s"), col("sched_s"))
   }
 }

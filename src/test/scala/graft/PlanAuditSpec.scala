@@ -972,7 +972,7 @@ class PlanAuditSpec extends SparkSuite {
       s"the index scan must be bucketed:\n$p")
   }
 
-  test("frontier schedule: delays broadcast, ONE shuffle (the host window)") {
+  test("frontier schedule: bounded top-k aggregate, no window over the host") {
     import graft.operators.Frontier
     val urls = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"),
@@ -986,5 +986,13 @@ class PlanAuditSpec extends SparkSuite {
       s"the delay table must ride in as a broadcast:\n$p")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"exactly the inherent cluster-by-host shuffle:\n$p")
+    // the quota_per_source posture: slots come from the bounded per-host
+    // aggregate (≤ cap state per map task, combined map-side) — a
+    // row_number window here would sort a mega-host's ENTIRE frontier
+    // in one unsplittable task while emitting only the bounded head
+    assert(!p.contains("Window"),
+      s"per-host slotting must be the bounded aggregate, not a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"the typed top-k aggregate must plan with partial aggregation:\n$p")
   }
 }
