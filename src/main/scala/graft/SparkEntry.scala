@@ -1730,9 +1730,11 @@ object SparkEntry {
 
     // hyperlink extraction + resolution: every href form a link graph
     // meets — absolute, protocol-relative (base scheme), root-relative
-    // (base origin), directory-relative, entity-escaped query,
-    // fragment-only (drops), mailto (drops), commented-out (drops),
-    // both quote styles. HTML renders Spark-side, so the oracle
+    // (base origin), directory-relative, dot-segment up (../), same-dir
+    // (./), double-up clamped at the root (RFC 3986 §5.2.4),
+    // query-relative (§5.3), entity-escaped query, fragment-only
+    // (drops), mailto (drops), commented-out (drops), both quote
+    // styles. HTML renders Spark-side, so the oracle
     // restates every resolved link from the construction arithmetic
     // without touching markup
     "html_links" -> ((s, dir) => {
@@ -1742,7 +1744,11 @@ object SparkEntry {
         lit("\">abs</a> <a href='//cdn.test/c"), id,
         lit("'>pr</a> <a class=\"z\" href=\"/root/r"), id,
         lit("\">root</a> <a href=\"rel/p"), id,
-        lit("\">rel</a> <a href=\"#frag\">f</a>"),
+        lit("\">rel</a> <a href=\"../up"), id,
+        lit("\">up</a> <a href=\"./same"), id,
+        lit("\">dot</a> <a href=\"../../deep"), id,
+        lit("\">clamp</a> <a href=\"?page="), id,
+        lit("\">qrel</a> <a href=\"#frag\">f</a>"),
         lit(" <a href=\"mailto:x@y.test\">m</a>"),
         lit("<!-- <a href=\"https://no.test/\">c</a> -->"),
         lit(" <a href=\"https://q.test/d?a=1&amp;b="), id,
@@ -4035,7 +4041,11 @@ object SparkEntry {
         lit("\">abs</a> <a href='//cdn.test/c"), id,
         lit("'>pr</a> <a class=\"z\" href=\"/root/r"), id,
         lit("\">root</a> <a href=\"rel/p"), id,
-        lit("\">rel</a> <a href=\"#frag\">f</a>"),
+        lit("\">rel</a> <a href=\"../up"), id,
+        lit("\">up</a> <a href=\"./same"), id,
+        lit("\">dot</a> <a href=\"../../deep"), id,
+        lit("\">clamp</a> <a href=\"?page="), id,
+        lit("\">qrel</a> <a href=\"#frag\">f</a>"),
         lit(" <a href=\"mailto:x@y.test\">m</a>"),
         lit("<!-- <a href=\"https://no.test/\">c</a> -->"),
         lit(" <a href=\"https://q.test/d?a=1&amp;b="), id,
@@ -6189,9 +6199,10 @@ object SparkEntry {
            |       slot * delay_s AS sched_s
            |FROM sch WHERE slot * delay_s < 5.0 ORDER BY url""".stripMargin,
 
-      // the five surviving link forms restated from arithmetic (the
+      // the nine surviving link forms restated from arithmetic (the
       // fragment-only, mailto, and commented-out anchors must NOT
-      // appear); no markup anywhere in the oracle
+      // appear; ../ pops a directory, ../../ clamps at the root, ?…
+      // keeps the base path); no markup anywhere in the oracle
       "html_links" ->
         """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
           |                  CAST(doc_id % 5 AS VARCHAR) AS k
@@ -6204,6 +6215,15 @@ object SparkEntry {
           |  SELECT doc_id, 'https://h' || k || '.test/root/r' || i FROM d
           |  UNION ALL
           |  SELECT doc_id, 'https://h' || k || '.test/dir/rel/p' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/up' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/dir/same' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/deep' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/dir/page' || i
+          |                 || '.html?page=' || i FROM d
           |  UNION ALL
           |  SELECT doc_id, 'https://q.test/d?a=1&b=' || i FROM d)
           |ORDER BY doc_id, link""".stripMargin,
@@ -6222,6 +6242,15 @@ object SparkEntry {
           |  SELECT doc_id, 'https://h' || k || '.test/root/r' || i FROM d
           |  UNION ALL
           |  SELECT doc_id, 'https://h' || k || '.test/dir/rel/p' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/up' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/dir/same' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/deep' || i FROM d
+          |  UNION ALL
+          |  SELECT doc_id, 'https://h' || k || '.test/dir/page' || i
+          |                 || '.html?page=' || i FROM d
           |  UNION ALL
           |  SELECT doc_id, 'https://q.test/d?a=1&b=' || i FROM d)
           |ORDER BY doc_id, link""".stripMargin,

@@ -103,15 +103,17 @@ object HtmlOps {
   /** One row (idCol, link) per outgoing hyperlink: `href`s of anchor
     * tags after comment/script/style removal (commented-out markup
     * never links), entity-decoded, FRAGMENT-stripped, and resolved
-    * against the page's own URL — absolute http(s) links pass through,
-    * protocol-relative (`//…`) take the base scheme, root-relative
-    * (`/…`) take the base origin, and other relative paths concatenate
-    * onto the base directory (no `../` normalization and no
-    * query-relative (`?…`) handling — the conservative subset a corpus
-    * link graph needs; non-fetchable schemes like `mailto:` /
-    * `javascript:` / `data:` drop). Duplicates emit as-is — edge
-    * collapsing belongs to the graph builder ([[graft.operators.Graph]]).
-    * Pure map-side: regex extract-all + explode, no UDF, no shuffle. */
+    * against the page's own URL per RFC 3986 §5 — absolute http(s)
+    * links pass through, protocol-relative (`//…`) take the base
+    * scheme, query-relative (`?…`) take the base path (§5.3),
+    * root-relative (`/…`) take the base origin, and other relative
+    * paths merge onto the base directory (§5.2.3); both path-carrying
+    * forms then run dot-segment removal (§5.2.4: `./` drops, `../`
+    * pops one directory, clamped at the root). Non-fetchable schemes
+    * like `mailto:` / `javascript:` / `data:` drop. Duplicates emit
+    * as-is — edge collapsing belongs to the graph builder
+    * ([[graft.operators.Graph]]). Pure map-side: regex extract-all +
+    * explode + an array fold, no UDF, no shuffle. */
   def extractLinks(
       df: DataFrame, idCol: String, htmlCol: String,
       baseUrlCol: String): DataFrame = {
@@ -141,7 +143,7 @@ object HtmlOps {
       .select(col(idCol), href.as("__href"),
         stripInline(regexp_replace(col("__a"), "(?is)^<a[^>]*>|</a>$", " "))
           .as("anchor"),
-        col("__s"), col("__o"), col("__d"))
+        col("__s"), col("__o"), col("__d"), col("__p"))
       .select(col(idCol), resolveHref(col("__href")).as("link"),
         col("anchor"))
       .where(col("link").isNotNull)
@@ -157,20 +159,46 @@ object HtmlOps {
   private val HrefPattern =
     s"(?is)${AnchorOpen}href\\s*=\\s*[\"']([^\"'>]*)[\"']"
 
-  /** (scheme `__s`, origin `__o`, directory `__d`) of a base URL — the
-    * three resolution anchors of [[resolveHref]]. */
+  /** (scheme `__s`, origin `__o`, directory `__d`, path `__p`) of a
+    * base URL — the four resolution anchors of [[resolveHref]]: `__d`
+    * is the full directory URL (origin + path up to the last `/`) for
+    * path-relative merges, `__p` the full base-path URL (base minus
+    * query/fragment) for query-relative references (RFC 3986 §5.3). */
   private def baseParts(base: Column): Seq[Column] = {
     val noQ = regexp_replace(base, "[?#].*$", "")
     val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val dir = when(noQ === origin, concat(origin, lit("/")))
       .otherwise(regexp_replace(noQ, "/[^/]*$", "/"))
-    Seq(scheme.as("__s"), origin.as("__o"), dir.as("__d"))
+    Seq(scheme.as("__s"), origin.as("__o"), dir.as("__d"), noQ.as("__p"))
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a root-anchored path
+    * (`/…`): fold the segments after the root — `.` drops, `..` pops
+    * one segment (clamped at the root, per the algorithm's empty-stack
+    * case), anything else (empty segments included, so `a//b` is
+    * preserved) appends. A path ending in a bare `.` or `..` segment
+    * normalizes to a directory (trailing `/`). A pure array fold —
+    * stays map-side. */
+  private def removeDotSegments(path: Column): Column = {
+    val segs = split(path, "/")
+    val folded = aggregate(
+      // drop the leading "" the root split produces
+      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))),
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(s === ".", acc)
+          .when(s === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+          .otherwise(concat(acc, array(s))))
+    val joined = concat(lit("/"), array_join(folded, "/"))
+    when(path.rlike("(^|/)\\.\\.?$") && !joined.endsWith("/"),
+      concat(joined, lit("/"))).otherwise(joined)
   }
 
   /** Entity-decode, fragment-strip, and resolve one raw href against
-    * the `__s`/`__o`/`__d` base parts; NULL = drop (empty after the
-    * fragment strip, or a non-fetchable scheme). */
+    * the `__s`/`__o`/`__d`/`__p` base parts per RFC 3986 §5; NULL =
+    * drop (empty after the fragment strip, or a non-fetchable
+    * scheme). */
   private def resolveHref(href: Column): Column = {
     val decoded = replace(replace(replace(replace(replace(
       href,
@@ -178,12 +206,20 @@ object HtmlOps {
       lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
       lit("&amp;"), lit("&"))
     val u = trim(regexp_replace(decoded, "#.*$", ""))
+    // dot-segment removal runs on the PATH only (§5.2.4 operates on the
+    // merged path; the reference's query survives untouched)
+    val uPath = regexp_replace(u, "\\?.*$", "")
+    val uQuery = regexp_extract(u, "(\\?.*)$", 1)
+    def withPath(rootedPath: Column): Column =
+      concat(col("__o"), removeDotSegments(rootedPath), uQuery)
+    val baseDirPath = col("__d").substr(length(col("__o")) + 1, lit(1 << 24))
     when(u === "", lit(null))
       .when(u.rlike("(?i)^https?://"), u)
       .when(u.startsWith("//"), concat(col("__s"), lit(":"), u))
-      .when(u.startsWith("/"), concat(col("__o"), u))
+      .when(u.startsWith("?"), concat(col("__p"), u))
+      .when(u.startsWith("/"), withPath(uPath))
       .when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
-      .otherwise(concat(col("__d"), u))
+      .otherwise(withPath(concat(baseDirPath, uPath)))
   }
 }
 

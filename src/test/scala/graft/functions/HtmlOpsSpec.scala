@@ -82,6 +82,31 @@ class HtmlOpsSpec extends SparkSuite {
       Seq("https://h.test/p"))
   }
 
+  test("links: dot segments remove per RFC 3986 §5.2.4") {
+    val html = "<a href=\"../up\">1</a>" +
+      "<a href=\"./here\">2</a>" +
+      "<a href=\"../../twice\">3</a>" +
+      "<a href=\"a/../b/./c\">4</a>" +
+      "<a href=\"/r/../s\">5</a>" +
+      "<a href=\"..\">6</a>"
+    assert(links(html, "https://h.test/d/e/page.html") == Seq(
+      "https://h.test/d/up", "https://h.test/d/e/here",
+      "https://h.test/twice", "https://h.test/d/e/b/c",
+      "https://h.test/s", "https://h.test/d/"))
+  }
+
+  test("links: '..' past the root clamps at the root") {
+    val html = "<a href=\"../../../deep\">1</a><a href=\"../..\">2</a>"
+    assert(links(html, "https://h.test/d/page.html") == Seq(
+      "https://h.test/deep", "https://h.test/"))
+  }
+
+  test("links: query-relative hrefs take the base path (§5.3)") {
+    val html = "<a href=\"?page=2\">1</a><a href=\"../x?k=v\">2</a>"
+    assert(links(html, "https://h.test/d/list.html?page=1") == Seq(
+      "https://h.test/d/list.html?page=2", "https://h.test/x?k=v"))
+  }
+
   test("links: fragments strip, non-fetchable schemes and comments drop") {
     val html = "<a href=\"/k#sec\">a</a><a href=\"#only\">b</a>" +
       "<a href=\"mailto:x@y\">c</a><a href=\"javascript:void(0)\">d</a>" +
