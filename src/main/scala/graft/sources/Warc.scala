@@ -114,14 +114,18 @@ object Warc {
           Array.emptyByteArray, parse_ok = false, offset, 0L)
       private def advance(): Unit = {
         if (done) return
-        // skip the record separator / any stray blank lines
+        // skip the record separator / any stray blank lines; the record
+        // offset is the stream position BEFORE its version line — exact
+        // by construction whatever the line terminator (CRLF or the
+        // tolerated bare LF) or header byte width
+        var before = in.count
         var line: Option[String] = readLine(in)
-        while (line.exists(_.isEmpty)) line = readLine(in)
-        val offset = line.map(l => in.count - l.length - 2).getOrElse(in.count)
+        while (line.exists(_.isEmpty)) { before = in.count; line = readLine(in) }
+        val offset = before
         line match {
           case None => done = true
           case Some(v) if !v.startsWith("WARC/") =>
-            nextRec = bad(math.max(offset, 0L)); done = true
+            nextRec = bad(offset); done = true
           case Some(_) =>
             val headers = scala.collection.mutable.Map.empty[String, String]
             var h = readLine(in)
@@ -275,9 +279,16 @@ object Warc {
     }
   }
 
-  def readRecords(spark: SparkSession, path: String): DataFrame = {
+  def readRecords(spark: SparkSession, path: String): DataFrame =
+    readRecords(spark, Seq(path))
+
+  /** Multi-path variant — pass explicit shard files instead of a brace
+    * glob (Spark's `FileStreamSink.hasMetadata` probe logs a caught
+    * FileNotFoundException stack for glob paths on every read, noising
+    * gate logs). */
+  def readRecords(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseShard(p, bytes) }
@@ -288,7 +299,10 @@ object Warc {
     * HTTP header block (everything through the first blank line — the
     * WARC payload of a response record IS the raw HTTP message) and
     * decodes the remainder as UTF-8 text. Pure column expressions — the
-    * split is one `instr`/`substr` over the binary, no UDF. */
+    * split is one `instr`/`substr` over the binary, no UDF. For bodies
+    * behind `Transfer-Encoding: chunked` / `Content-Encoding: gzip`
+    * (most real response captures) use [[httpResponses]], which undoes
+    * both — this projection reads the wire bytes as-is. */
   def httpBodyText(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val s = payload.cast("string")
     val sep = instr(s, "\r\n\r\n")
@@ -296,17 +310,164 @@ object Warc {
       .otherwise(s)
   }
 
+  /** One decoded HTTP response message: status, entity Content-Type,
+    * the body after undoing the wire encodings, and whether every
+    * decode step succeeded ([[parseHttpResponse]]). */
+  final case class HttpBody(
+      http_status: Int,
+      http_content_type: String,
+      body: Array[Byte],
+      decode_ok: Boolean)
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): (Int, Int) = {
+    // returns (bodyStart, headerEnd); tolerates bare-LF header framing
+    var i = 0
+    while (i + 1 < b.length) {
+      if (b(i) == '\n') {
+        if (b(i + 1) == '\n') return (i + 2, i)
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n')
+          return (i + 3, i)
+      }
+      i += 1
+    }
+    (-1, -1)
+  }
+
+  /** RFC 9112 §7.1 chunked decoding: hex-size line (chunk extensions
+    * after `;` ignored), that many bytes, CRLF; the 0-size chunk ends
+    * the body (trailer fields ignored). None = malformed framing —
+    * the caller keeps the raw bytes and flags. */
+  private[sources] def dechunk(b: Array[Byte], from: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length - from, 16))
+    var i = from
+    while (true) {
+      var eol = i
+      while (eol < b.length && b(eol) != '\n') eol += 1
+      if (eol >= b.length) return None
+      val line = new String(b, i, eol - i,
+        java.nio.charset.StandardCharsets.US_ASCII).trim
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size =
+        try java.lang.Long.parseLong(hex, 16)
+        catch { case _: NumberFormatException => return None }
+      i = eol + 1
+      if (size == 0L) return Some(out.toByteArray)
+      if (size > b.length - i) return None
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      // the chunk-data CRLF (tolerate bare LF)
+      if (i < b.length && b(i) == '\r') i += 1
+      if (i >= b.length || b(i) != '\n') return None
+      i += 1
+    }
+    None // unreachable
+  }
+
+  private[sources] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 64))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /**
+   * Parse one `response` record's payload as an HTTP message and undo
+   * the wire encodings real captures carry: `Transfer-Encoding:
+   * chunked` de-frames first (chunking wraps the transfer), then
+   * `Content-Encoding: gzip`/`x-gzip` inflates the entity —
+   * `identity`/absent passes through. Anything that fails to decode —
+   * no status line, malformed chunk framing, a broken gzip stream, or
+   * an encoding outside the stated subset (deflate/br/zstd) — keeps
+   * the bytes as far as they decoded and flags `decode_ok = false`
+   * (corrupt input is data, the file-reader rule).
+   */
+  def parseHttpResponse(payload: Array[Byte]): HttpBody = {
+    val (bodyStart, headerEnd) = indexOfCrlfCrlf(payload)
+    val headText =
+      if (headerEnd < 0) ""
+      else new String(payload, 0, headerEnd,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = headText.split("\r?\n")
+    val status =
+      if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+        val m = "^HTTP/\\S+\\s+(\\d{3})".r.findFirstMatchIn(lines(0))
+        m.map(_.group(1).toInt).getOrElse(-1)
+      } else -1
+    if (bodyStart < 0 || status < 0)
+      return HttpBody(-1, null, payload, decode_ok = false)
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    lines.iterator.drop(1).foreach { s =>
+      val i = s.indexOf(':')
+      if (i > 0) headers(s.substring(0, i).trim.toLowerCase) =
+        s.substring(i + 1).trim
+    }
+    val wire = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+    val chunked = headers.get("transfer-encoding")
+      .exists(_.split(",").lastOption.exists(_.trim.equalsIgnoreCase("chunked")))
+    val (deframed, okT) =
+      if (!chunked) (wire, true)
+      else dechunk(payload, bodyStart) match {
+        case Some(d) => (d, true)
+        case None => (wire, false)
+      }
+    val enc = headers.get("content-encoding").map(_.trim.toLowerCase)
+    val (body, okC) = enc match {
+      case Some("gzip") | Some("x-gzip") =>
+        gunzip(deframed) match {
+          case Some(d) => (d, true)
+          case None => (deframed, false)
+        }
+      case Some("identity") | None => (deframed, true)
+      case Some(_) => (deframed, false) // outside the stated subset
+    }
+    HttpBody(status, headers.getOrElse("content-type", null), body,
+      okT && okC)
+  }
+
+  /** Decoded response bodies as a DataFrame operator: (keyCol [cast to
+    * string], http_status, http_content_type, body_text, decode_ok) —
+    * the decode runs per row in the map task holding the payload
+    * (imperative byte work: chunk framing and inflate cannot be column
+    * expressions), so bodies never shuffle encoded. */
+  def httpResponses(
+      df: DataFrame, keyCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .map { case (k, p) =>
+        val h = parseHttpResponse(p)
+        (k, h.http_status, h.http_content_type,
+          new String(h.body, java.nio.charset.StandardCharsets.UTF_8),
+          h.decode_ok)
+      }
+      .toDF(keyCol, "http_status", "http_content_type", "body_text",
+        "decode_ok")
+  }
+
   // ---- the crawl INDEX: CDX-style capture lookup, persisted at rest ----
 
   /** SURT (Sort-friendly URI Reordering Transform — the public CDX index
-    * key convention): host labels reversed and comma-joined, `)` then the
-    * path+query, over the CANONICAL url — so all of a registered domain's
-    * captures sort (and bucket) together. Pure column expressions. */
+    * key convention): host labels reversed and comma-joined, `:port`
+    * when an explicit non-default port survives canonicalization (the
+    * public convention keeps it — captures of one host on different
+    * ports must not alias to one key), `)` then the path+query, over
+    * the CANONICAL url — so all of a registered domain's captures sort
+    * (and bucket) together. Pure column expressions. */
   def surtKey(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val canon = graft.functions.UrlOps.normalizeUrl(url)
     val host = regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    // normalizeUrl already drops the scheme-default :80/:443, so any
+    // port still present here is a distinguishing non-default one
+    val port = regexp_extract(canon, "^[a-z][a-z0-9+.-]*://[^/:?#]+:(\\d+)", 1)
     val rest = regexp_replace(canon, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
-    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), rest)
+    concat(array_join(reverse(split(host, "\\.")), ","),
+      when(port === "", lit("")).otherwise(concat(lit(":"), port)),
+      lit(")"), rest)
   }
 
   /** One CDX row per parsed capture: SURT key, original URI, record type,
@@ -314,7 +475,10 @@ object Warc {
     * corpus — byte length and payload digest. The metadata-only read:
     * payload bytes feed the digest map-side and are never carried. */
   def cdxRows(spark: SparkSession, warcPath: String): DataFrame =
-    readRecords(spark, warcPath)
+    cdxRows(spark, Seq(warcPath))
+
+  def cdxRows(spark: SparkSession, warcPaths: Seq[String]): DataFrame =
+    readRecords(spark, warcPaths)
       .where(col("parse_ok") && col("target_uri").isNotNull)
       .select(surtKey(col("target_uri")).as("surt"),
         col("target_uri"), col("rec_type"), col("warc_file"),
@@ -334,15 +498,24 @@ object Warc {
   def writeCdxIndex(
       spark: SparkSession, warcPath: String, table: String,
       buckets: Int = 16): Unit =
+    writeCdxIndex(spark, Seq(warcPath), table, buckets)
+
+  def writeCdxIndex(
+      spark: SparkSession, warcPaths: Seq[String], table: String,
+      buckets: Int): Unit =
     graft.operators.Bucketing.writeBucketed(
-      cdxRows(spark, warcPath), table, "surt", buckets)
+      cdxRows(spark, warcPaths), table, "surt", buckets)
 
   /** Index newly-arrived shards into the existing CDX table (bucket
     * layout restated from the catalog, like every index append). */
   def appendCdxIndex(
       spark: SparkSession, warcPath: String, table: String): Unit =
+    appendCdxIndex(spark, Seq(warcPath), table)
+
+  def appendCdxIndex(
+      spark: SparkSession, warcPaths: Seq[String], table: String): Unit =
     graft.operators.DedupIndex.appendBucketed(
-      cdxRows(spark, warcPath), table)
+      cdxRows(spark, warcPaths), table)
 
   /** Capture lookup by URL: the probe urls canonicalize to SURT keys
     * through the SAME expression the index was built with (computed over
@@ -444,6 +617,24 @@ object Warc {
     val head = sb.toString.getBytes("UTF-8")
     val out = new java.io.ByteArrayOutputStream(head.length + payload.length + 4)
     out.write(head); out.write(payload); out.write("\r\n\r\n".getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  /** Chunked transfer encoding of a body (RFC 9112 §7.1) for fixture
+    * responses: `chunkSize`-byte chunks, each a hex-size line + data +
+    * CRLF, closed by the 0-size terminator chunk. */
+  def chunkedBody(b: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0, "chunkedBody: chunkSize must be positive")
+    val out = new java.io.ByteArrayOutputStream(b.length + 64)
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(chunkSize, b.length - i)
+      out.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+      out.write(b, i, n)
+      out.write("\r\n".getBytes("US-ASCII"))
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
     out.toByteArray
   }
 

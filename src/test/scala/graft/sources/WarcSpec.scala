@@ -246,4 +246,92 @@ class WarcSpec extends SparkSuite {
     assert(df(0).getString(1) == "<p>hi</p>")
     assert(df(1).getString(1) == "no http header here")
   }
+
+  test("parseHttpResponse decodes chunked, gzip, and chunked-over-gzip bodies") {
+    val body = "<html><p>" + ("word " * 60) + "é—end</p></html>"
+    val entity = utf8(body)
+    def msg(extra: String, wire: Array[Byte]) = concatBytes(
+      utf8(s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$extra\r\n"), wire)
+    val plain = parseHttpResponse(msg("", entity))
+    val gz = parseHttpResponse(
+      msg("Content-Encoding: gzip\r\n", gzipMember(entity)))
+    val ch = parseHttpResponse(
+      msg("Transfer-Encoding: chunked\r\n", chunkedBody(entity, 37)))
+    val both = parseHttpResponse(
+      msg("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunkedBody(gzipMember(entity), 37)))
+    for (h <- Seq(plain, gz, ch, both)) {
+      assert(h.decode_ok && h.http_status == 200)
+      assert(h.http_content_type == "text/html")
+      assert(new String(h.body, "UTF-8") == body)
+    }
+  }
+
+  test("parseHttpResponse flags malformed framing, keeps the raw bytes") {
+    // bad chunk-size line
+    val badChunk = parseHttpResponse(concatBytes(
+      utf8("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
+      utf8("zz\r\ndata\r\n0\r\n\r\n")))
+    assert(!badChunk.decode_ok && badChunk.http_status == 200)
+    assert(new String(badChunk.body, "UTF-8") == "zz\r\ndata\r\n0\r\n\r\n")
+    // chunk claims more bytes than the payload holds
+    val shortChunk = parseHttpResponse(concatBytes(
+      utf8("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
+      utf8("ff\r\ntiny")))
+    assert(!shortChunk.decode_ok)
+    // broken gzip stream
+    val badGz = parseHttpResponse(concatBytes(
+      utf8("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"),
+      utf8("not gzip at all")))
+    assert(!badGz.decode_ok &&
+      new String(badGz.body, "UTF-8") == "not gzip at all")
+    // an encoding outside the stated subset
+    val br = parseHttpResponse(concatBytes(
+      utf8("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"), utf8("x")))
+    assert(!br.decode_ok)
+    // no status line at all
+    val notHttp = parseHttpResponse(utf8("just bytes"))
+    assert(!notHttp.decode_ok && notHttp.http_status == -1 &&
+      new String(notHttp.body, "UTF-8") == "just bytes")
+  }
+
+  test("bare-LF shard: offsets and stored spans are byte-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_lf")
+    // CRLF-rendered records rewritten with bare-LF line endings in the
+    // header block (payloads carry no CR here, so a global rewrite of
+    // the header+separator bytes is safe for this fixture)
+    def lf(b: Array[Byte]): Array[Byte] =
+      utf8(new String(b, "UTF-8").replace("\r\n", "\n"))
+    val r1 = lf(renderRecord("resource", Some("https://x.test/a"),
+      "2026-01-01T00:00:00Z", "text/plain", utf8("payload one")))
+    val r2 = lf(renderRecord("resource", Some("https://x.test/b"),
+      "2026-01-01T00:00:00Z", "text/plain", utf8("payload two!")))
+    writeFile(dir, "a.warc", concatBytes(r1, r2))
+    val got = readRecords(spark, dir.toString)
+      .orderBy(col("rec_offset")).collect()
+    assert(got.length == 2 && got.forall(_.getAs[Boolean]("parse_ok")))
+    // the second record must start exactly where the first one's bytes
+    // end — the reconstruction bug this pins against assumed CRLF and
+    // drifted one byte per header line on bare-LF input
+    assert(got(0).getAs[Long]("rec_offset") == 0L)
+    assert(got(1).getAs[Long]("rec_offset") == r1.length.toLong)
+    assert(got(1).getAs[Long]("stored_offset") == r1.length.toLong)
+  }
+
+  test("surtKey keeps an explicit non-default port; default ports drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = Seq(
+      "https://a.example.test:8443/x",
+      "http://a.example.test:8080/x?q=1",
+      "https://a.example.test:443/x",
+      "http://a.example.test/x")
+      .toDF("u").select(Warc.surtKey(col("u")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "test,example,a:8443)/x",
+      "test,example,a:8080)/x?q=1",
+      "test,example,a)/x",
+      "test,example,a)/x"))
+  }
 }
