@@ -1387,6 +1387,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.2.1 product-token group selection: the versioned UA
+    // "GraftBot-News/2.1 (+url)" must select `GraftBot-News` groups by
+    // case-insensitive token match, with `graftbot` a '-'-boundary
+    // prefix match that LOSES to the longer token where both exist,
+    // WINS where it is the only match (even via a versioned group line
+    // "Graftbot/2.0"), and `graft` never matching; hosts with no
+    // matching group fall back to '*'. The oracle restates the
+    // SELECTED rule set per host class as VALUES — the token matcher
+    // cannot echo into the check
+    "robots_gate_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val newsHost = "User-agent: GraftBot-News\nDisallow: /news-private\n\n" +
+        "User-agent: graftbot\nDisallow: /private\n\n" +
+        "User-agent: *\nDisallow: /"
+      val botHost = "User-agent: Graftbot/2.0\nDisallow: /private\n" +
+        "Allow: /private/ok\n\nUser-agent: graft\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /"
+      val starHost = "User-agent: otherbot\nAllow: /x\n\n" +
+        "User-agent: *\nDisallow: /data"
+      val robots = (0 until 6).map(k => (s"h$k.test", (k % 3) match {
+        case 0 => newsHost; case 1 => botHost; case _ => starHost
+      })).toDF("host", "txt")
+      val rules = Robots.parseRules(robots, "host", "txt")
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val path = when(m === 0, concat(lit("/news-private/x"), id))
+        .when(m === 1, concat(lit("/private/ok/y"), id))
+        .when(m === 2, concat(lit("/private/z"), id))
+        .otherwise(concat(lit("/data/w"), id))
+      val urls = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id"),
+          concat(lit("https://h"), (col("doc_id") % 6).cast("string"),
+            lit(".test"), path).as("url"))
+      Robots.gate(urls, rules,
+          "GraftBot-News/2.1 (+https://graft.test/bot)", "doc_id", "url")
+        .orderBy(col("doc_id"))
+    }),
+
     // the RFC 9309 special characters: '*' spans, trailing '$' anchors.
     // Rules exercise wildcard-vs-prefix ties at equal pattern length
     // (/docs/* vs /*.pdf$, both 7 octets — allow wins), an end anchor
@@ -5875,6 +5913,44 @@ object SparkEntry {
           |        (0, FALSE, '/private'), (0, TRUE, '/private/ok'),
           |        (1, FALSE, '/private'), (1, FALSE, '/data/raw'),
           |        (1, TRUE, '/data')) t(par, allow, prefix)),
+          |j AS (
+          |  SELECT p.doc_id, p.url, r.allow, r.prefix
+          |  FROM p LEFT JOIN r
+          |    ON r.par = p.par AND starts_with(p.path, r.prefix)),
+          |best AS (
+          |  SELECT doc_id, url, allow, prefix,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY length(prefix) DESC,
+          |                    CAST(allow AS INT) DESC, prefix DESC) AS rn
+          |  FROM j)
+          |SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
+          |       prefix AS rule_prefix
+          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // the SELECTED rule set per host class restated as VALUES: host
+      // k%3=0 resolves to the graftbot-news group (longest token), 1 to
+      // the graftbot group (boundary-prefix via a versioned group line;
+      // 'graft' must not match), 2 to '*' — then the same RFC argmax
+      "robots_gate_tokens" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |         CASE doc_id % 4
+          |           WHEN 0 THEN '/news-private/x' || CAST(doc_id AS VARCHAR)
+          |           WHEN 1 THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+          |           WHEN 2 THEN '/private/z' || CAST(doc_id AS VARCHAR)
+          |           ELSE '/data/w' || CAST(doc_id AS VARCHAR) END AS path,
+          |         doc_id % 6 AS k
+          |  FROM documents WHERE doc_id < 120),
+          |p AS (
+          |  SELECT doc_id,
+          |         'https://h' || CAST(k AS VARCHAR) || '.test' || path
+          |           AS url,
+          |         path, k % 3 AS par
+          |  FROM u),
+          |r AS (SELECT * FROM (VALUES
+          |        (0, FALSE, '/news-private'),
+          |        (1, FALSE, '/private'), (1, TRUE, '/private/ok'),
+          |        (2, FALSE, '/data')) t(par, allow, prefix)),
           |j AS (
           |  SELECT p.doc_id, p.url, r.allow, r.prefix
           |  FROM p LEFT JOIN r

@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
  *  - a robots.txt is GROUPS: one or more `User-agent:` lines followed by
  *    `Allow:` / `Disallow:` rules — a rule belongs to every agent named
  *    by its group;
- *  - group selection: the gate's agent's own groups if any exist for it,
- *    else the `*` groups (RFC 9309 §2.2.1 — most-specific match; this
- *    module matches agent tokens exactly/`*`, not by product-token
- *    prefix);
+ *  - group selection: case-insensitive PRODUCT-TOKEN matching (RFC 9309
+ *    §2.2.1 — "graftbot/1.2" selects `User-agent: graftbot` groups),
+ *    `-`-boundary prefixes count with the longest matching token most
+ *    specific (the Googlebot-News convention), and hosts with no
+ *    matching group fall back to their `*` groups;
  *  - rule selection per URL: the LONGEST matching pattern wins (RFC
  *    §2.2.2 "most specific" = octet length of the pattern), and at
  *    equal length `Allow` beats `Disallow`; an empty `Disallow:`
@@ -175,20 +176,43 @@ object Robots {
    * expand `*`; `__wild` marks rules that need the regex arm (plain
    * prefixes keep the `startsWith` fast path).
    */
+  /** The PRODUCT TOKEN of a user-agent string (RFC 9309 §2.2.1):
+    * its leading `[a-z0-9_-]` run, lowercased — "GraftBot-News/2.1
+    * (+https://…)" → "graftbot-news". Matching is on tokens, never on
+    * the full UA string. */
+  private[graft] def productToken(agent: String): String = {
+    val lower = agent.toLowerCase
+    lower.takeWhile(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-' || c == '_')
+  }
+
   /** Rows of a per-(host, agent) frame restricted to the groups RFC
-    * §2.2.1 selects for `agent`: the agent's OWN groups where any exist
-    * on the host, else the `*` groups — the one selection rule shared
-    * by rule gating and Crawl-delay resolution
+    * §2.2.1 selects for `agent`: case-insensitive PRODUCT-TOKEN
+    * matching — a group's token matches when it equals the caller's
+    * token or is a `-`-boundary prefix of it (the Googlebot-News
+    * convention: "graftbot-news/2.1" matches `graftbot-news` and
+    * `graftbot` groups, never `graft`); among matching groups the
+    * LONGEST token is most specific and excludes the rest, and a host
+    * with no matching group falls back to its `*` groups — the one
+    * selection rule shared by rule gating and Crawl-delay resolution
     * ([[Frontier.hostDelays]]). */
   private[graft] def selectGroups(
       df: DataFrame, agent: String): DataFrame = {
-    val a = lit(agent.toLowerCase)
+    val tok = productToken(agent)
+    // the stored agent values are lowercased at parse; extract each
+    // group's own product token (a versioned group line like
+    // "graftbot/2.0" still selects for "graftbot")
+    val g = regexp_extract(col("agent"), "^([a-z0-9_-]+)", 1)
+    // (tok + "-") startsWith (g + "-") covers equality AND the
+    // '-'-boundary prefix in one comparison
+    val m = g =!= "" &&
+      lit(tok + "-").startsWith(concat(g, lit("-")))
     val perHost = df.groupBy(col("host"))
-      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("__own"))
+      .agg(max(when(m, length(g))).as("__best"))
     df.join(perHost, "host")
-      .where(when(col("__own") === 1, col("agent") === a)
+      .where(when(col("__best").isNotNull, m && length(g) === col("__best"))
         .otherwise(col("agent") === "*"))
-      .drop("__own")
+      .drop("__best")
   }
 
   private[graft] def applicableRules(

@@ -135,6 +135,35 @@ class RobotsSpec extends SparkSuite {
     assert(got(2L) == (false, Some("/")))
   }
 
+  test("group selection matches product tokens, longest token most specific") {
+    // caller "GraftBot-News/2.1 (+url)" → token "graftbot-news"
+    val agent = "GraftBot-News/2.1 (+https://graft.test/bot)"
+    val rules = Seq(
+      // h1: both tokens match; the longer one excludes the shorter
+      ("h1.test", "graftbot-news", false, "/news"),
+      ("h1.test", "graftbot", false, "/bot"),
+      ("h1.test", "*", false, "/"),
+      // h2: '-'-boundary prefix via a VERSIONED group line; "graft" is
+      // not a token match and must not select
+      ("h2.test", "graftbot/2.0", false, "/private"),
+      ("h2.test", "graft", false, "/"),
+      ("h2.test", "*", false, "/"),
+      // h3: nothing matches → '*' fallback
+      ("h3.test", "otherbot", false, "/"),
+      ("h3.test", "*", false, "/data"))
+    val got = runGate2(rules, Seq(
+      (1L, "https://h1.test/news/x"), (2L, "https://h1.test/bot/x"),
+      (3L, "https://h2.test/private/x"), (4L, "https://h2.test/open"),
+      (5L, "https://h3.test/data/x"), (6L, "https://h3.test/open")),
+      agent)
+    assert(got(1L) == (false, Some("/news")))
+    assert(got(2L) == (true, None)) // the graftbot group did NOT apply
+    assert(got(3L) == (false, Some("/private")))
+    assert(got(4L) == (true, None)) // "graft" never matched
+    assert(got(5L) == (false, Some("/data")))
+    assert(got(6L) == (true, None))
+  }
+
   test("wildcards: '*' spans, trailing '$' anchors, regex metachars stay literal") {
     val rules = Seq(
       ("h.test", "*", false, "/*.pdf$"),
