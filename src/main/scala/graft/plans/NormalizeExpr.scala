@@ -97,7 +97,10 @@ object NormalizeEval {
   }
 
   /** Lowercase, canonical-decompose, drop combining marks (general
-    * category M) — one pass over the decomposed chars. */
+    * category M) — one pass over the decomposed CODE POINTS, so
+    * supplementary-plane marks (e.g. the U+1D165..1D169 musical
+    * combiners, surrogate pairs in UTF-16) strip like BMP ones instead
+    * of classifying as SURROGATE and surviving. */
   def accentFold(s: UTF8String): UTF8String = {
     if (isAscii(s)) return s.toLowerCase
     val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
@@ -105,14 +108,14 @@ object NormalizeEval {
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if ((Character.getType(c) match {
+      val cp = d.codePointAt(i)
+      if ((Character.getType(cp) match {
             case Character.NON_SPACING_MARK |
                 Character.COMBINING_SPACING_MARK |
                 Character.ENCLOSING_MARK => false
             case _ => true
-          })) sb.append(c)
-      i += 1
+          })) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

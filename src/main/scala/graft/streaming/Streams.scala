@@ -152,7 +152,15 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
-    df.sparkSession.table(name)
+    // materialize off the memory sink, then DROP its temp view — a long
+    // verify/bench session drains ~30 streams, and leaving each drained
+    // result registered would retain every one in driver memory for the
+    // session's lifetime. localCheckpoint also re-roots the rows as a
+    // fresh plan, which self-joining consumers need anyway (Catalyst
+    // does not deduplicate MemoryPlan attributes)
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /**
@@ -641,10 +649,6 @@ object Streams {
     val drained = runToMemory(
       perBucket.toDF("doc_id", "band", "bucket", "arrival_min"),
       "append", statePartitionsFor(dir.toString))
-      // the memory-sink view cannot self-join (Catalyst does not
-      // deduplicate MemoryPlan attributes); localCheckpoint re-roots the
-      // already-materialized sink rows as a fresh plan
-      .localCheckpoint()
     cleanupStaging(dir)
     // global fold over the drained membership rows: every doc emitted every
     // bucket it belongs to, so min(doc_id) per (band, bucket) IS the global
@@ -711,7 +715,6 @@ object Streams {
     val drained = runToMemory(
       ranked.toDF("doc_id", "source", "arrival_rank"),
       "append", statePartitionsFor(dir.toString))
-      .localCheckpoint()
     cleanupStaging(dir)
     drained
   }
@@ -776,7 +779,6 @@ object Streams {
     val drained = runToMemory(
       ranked.toDF("doc_id", "source", "n_tokens", "cum_tokens"),
       "append", statePartitionsFor(dir.toString))
-      .localCheckpoint()
     cleanupStaging(dir)
     drained
   }
@@ -856,7 +858,6 @@ object Streams {
     val links = graft.functions.HtmlOps.extractLinks(
       reader.parquet(dir.toString), "doc_id", "html", "base")
     val drained = runToMemory(links, "append", statePartitionsFor(dir.toString))
-      .localCheckpoint()
     cleanupStaging(dir)
     drained
   }
@@ -914,7 +915,6 @@ object Streams {
     val drained = runToMemory(
       slotted.toDF("doc_id", "url", "host", "arrival_slot", "arrival_sched_s"),
       "append", statePartitionsFor(dir.toString))
-      .localCheckpoint()
     cleanupStaging(dir)
     drained
   }
@@ -1070,7 +1070,6 @@ object Streams {
     val drained = runToMemory(
       membership.toDF("canonical_url", "doc_id", "running_min"),
       "append", statePartitionsFor(dir.toString))
-      .localCheckpoint()
     cleanupStaging(dir)
     drained.groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("kept_id"))

@@ -34,6 +34,12 @@ class NormalizeSpec extends SparkSuite {
     assert(foldOf("\u00dcn\u00effcod\u00e9 \u00d1O\u00d1O") == "unifcode nono")
     assert(foldOf("MiXeD AsCiI!") == "mixed ascii!") // ascii fast path
     assert(foldOf("") == "")
+    // supplementary-plane combining marks (surrogate pairs in UTF-16)
+    // strip like BMP ones: U+1D165/U+1D166 are Mc, U+1D167..69 Mn —
+    // a char-wise walk would classify the surrogates and keep them
+    assert(foldOf("a𝅥b𝅧c") == "abc")
+    // non-mark astral chars survive (U+1D11E MUSICAL SYMBOL G CLEF)
+    assert(foldOf("x𝄞y") == "x𝄞y")
   }
 
   test("null propagates; expressions run inside codegen projections") {
