@@ -52,6 +52,19 @@ object SparkEntry {
     e1.union(e2)
   }
 
+  /** The "prior release" doc graph — the ×3-link arm only (the ×7 links
+    * arrive with the next release; [[docGraphEdges]] is the full set). */
+  private def docGraphPriorEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"))
+      .where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 500).as("dst"))
+
+  /** [[docGraphPriorEdges]] as a CTE body (oracle side). */
+  private val DocGraphPriorRawSql: String =
+    """SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
+      |  FROM documents WHERE doc_id % 7 <> 0""".stripMargin
+
   /** The doc graph as a `raw(src, dst)` CTE body (oracle side). */
   private val DocGraphRawSql: String =
     """SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst
@@ -1694,6 +1707,47 @@ object SparkEntry {
     "graph_pagerank_gauge" -> ((s, dir) => {
       val edges = docGraphEdges(s, dir)
       Graph.pagerankGauge(edges, "src", "dst", iters = 3)
+    }),
+
+    // release-over-release rank maintenance: release R-1's graph is the
+    // ×3-link arm only, release R adds the ×7 links; the prior release's
+    // 3-round ranks warm-start TWO rounds on the new graph (new nodes
+    // start cold, per-round arithmetic identical). The oracle replays
+    // the prior fixpoint AND the warm rounds as prefixed CTE chains —
+    // the engine's warm path shares nothing with the replay
+    "graph_pagerank_warm" -> ((s, dir) => {
+      val prior = Graph.pagerank(docGraphPriorEdges(s, dir), "src", "dst",
+        iters = 3)
+      Graph.pagerankWarm(docGraphEdges(s, dir), "src", "dst",
+          prior, "node", "rank_units", iters = 2)
+        .orderBy(col("node"))
+    }),
+
+    // the warm start's reason to exist, measured: round-2 L1 movement
+    // of the warm restart vs the cold fixpoint on the SAME new graph —
+    // the warm start begins near the fixpoint, so its movement must be
+    // the smaller. The oracle replays all FOUR rank vectors (warm/cold
+    // × rounds 1,2) as prefixed CTE chains and refolds the L1s
+    "graph_pagerank_warm_gauge" -> ((s, dir) => {
+      val g2 = docGraphEdges(s, dir)
+      val prior = Graph.pagerank(docGraphPriorEdges(s, dir), "src", "dst",
+        iters = 3)
+      val w1 = Graph.pagerankWarm(g2, "src", "dst", prior, "node",
+        "rank_units", iters = 1).withColumnRenamed("rank_units", "w1")
+      val w2 = Graph.pagerankWarm(g2, "src", "dst", prior, "node",
+        "rank_units", iters = 2).withColumnRenamed("rank_units", "w2")
+      val c1 = Graph.pagerank(g2, "src", "dst", iters = 1)
+        .withColumnRenamed("rank_units", "c1")
+      val c2 = Graph.pagerank(g2, "src", "dst", iters = 2)
+        .withColumnRenamed("rank_units", "c2")
+      val warm = w2.join(w1, "node")
+        .agg(sum(abs(col("w2") - col("w1"))).as("l1_warm_units"),
+          count(lit(1)).as("n_nodes"))
+      val cold = c2.join(c1, "node")
+        .agg(sum(abs(col("c2") - col("c1"))).as("l1_cold_units"))
+      warm.crossJoin(cold)
+        .select(col("n_nodes"), col("l1_warm_units"), col("l1_cold_units"),
+          (col("l1_warm_units") <= col("l1_cold_units")).as("warm_tighter"))
     }),
 
     // TrustRank: the same graph, teleport restricted to 10 trusted
@@ -6275,6 +6329,49 @@ object SparkEntry {
            |         AS max_delta_units,
            |       count(*) AS n_nodes
            |FROM r3 JOIN r2 ON r2.node = r3.node""".stripMargin,
+
+      // the prior release's fixpoint (prefix a, 3 rounds on the ×3-only
+      // graph) and the warm rounds (prefix w, start = a's round-3 ranks
+      // mapped onto the NEW node universe, cold unit for new nodes)
+      // replayed as independent CTE chains
+      "graph_pagerank_warm" ->
+        s"""WITH araw AS (
+           |  $DocGraphPriorRawSql),
+           |${GraphSql.pagerankCtes(3, Graph.RankUnit, "a", None)},
+           |wraw AS (
+           |  $DocGraphRawSql),
+           |${GraphSql.pagerankCtes(2, Graph.RankUnit, "w", Some(
+             s"SELECT wnodes.node, CAST(coalesce(ar3.pr, ${Graph.RankUnit}) " +
+               "AS BIGINT) AS pr FROM wnodes " +
+               "LEFT JOIN ar3 ON ar3.node = wnodes.node"))}
+           |SELECT node, pr AS rank_units FROM wr2 ORDER BY node""".stripMargin,
+
+      // all four round-1/round-2 vectors (warm w1/w2, cold c1/c2 — the
+      // cold chain rides prefix c over its own copy of the new graph)
+      // replayed, then the two L1 movements refolded independently
+      "graph_pagerank_warm_gauge" ->
+        s"""WITH araw AS (
+           |  $DocGraphPriorRawSql),
+           |${GraphSql.pagerankCtes(3, Graph.RankUnit, "a", None)},
+           |wraw AS (
+           |  $DocGraphRawSql),
+           |${GraphSql.pagerankCtes(2, Graph.RankUnit, "w", Some(
+             s"SELECT wnodes.node, CAST(coalesce(ar3.pr, ${Graph.RankUnit}) " +
+               "AS BIGINT) AS pr FROM wnodes " +
+               "LEFT JOIN ar3 ON ar3.node = wnodes.node"))},
+           |craw AS (
+           |  $DocGraphRawSql),
+           |${GraphSql.pagerankCtes(2, Graph.RankUnit, "c", None)},
+           |gw AS (SELECT CAST(sum(abs(wr2.pr - wr1.pr)) AS BIGINT)
+           |                AS l1_warm_units,
+           |              count(*) AS n_nodes
+           |       FROM wr2 JOIN wr1 ON wr1.node = wr2.node),
+           |gc AS (SELECT CAST(sum(abs(cr2.pr - cr1.pr)) AS BIGINT)
+           |                AS l1_cold_units
+           |       FROM cr2 JOIN cr1 ON cr1.node = cr2.node)
+           |SELECT n_nodes, l1_warm_units, l1_cold_units,
+           |       l1_warm_units <= l1_cold_units AS warm_tighter
+           |FROM gw CROSS JOIN gc""".stripMargin,
 
       "graph_trustrank" ->
         s"""WITH raw AS (

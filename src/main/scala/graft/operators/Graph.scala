@@ -88,8 +88,49 @@ object Graph {
     val nodes = nodes0.persist()
     val outdeg =
       e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
+    val r0 = nodes.select(col("node"), lit(unit).as("__pr"))
+    runRounds(e, nodes, outdeg, r0, iters, unit)
+  }
+
+  /**
+   * [[pagerank]] WARM-STARTED from a prior release's rank vector — the
+   * release-over-release maintenance arm: instead of recomputing the
+   * fixpoint cold after an edge-index append, round 1 starts from
+   * `prior` (nodeCol, rankCol — the previous release's `rank_units`,
+   * which MUST come from the same `unit`). Nodes new to the graph start
+   * at the cold uniform `unit`; prior nodes that left the graph drop.
+   * The per-round arithmetic is identical, so on an UNCHANGED graph k
+   * warm rounds from cold round n are bit-identical to cold round n+k
+   * (the GraphSpec pin); on a drifted graph the start is already near
+   * the fixpoint and the round-k movement is smaller than cold's — the
+   * `graph_pagerank_warm_gauge` measurement.
+   */
+  def pagerankWarm(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      prior: DataFrame, nodeCol: String, rankCol: String,
+      iters: Int, unit: Long = RankUnit): DataFrame = {
+    require(iters >= 1 && iters <= 64, "pagerankWarm: iters must be in 1..64")
+    require(unit >= 100L, "pagerankWarm: unit must be at least 100")
+    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
+    val e = e0.persist()
+    val nodes = nodes0.persist()
+    val outdeg =
+      e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
+    val r0 = nodes.join(
+        prior.select(col(nodeCol).cast("long").as("node"),
+          col(rankCol).cast("long").as("__pr0")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__pr0"), lit(unit)).as("__pr"))
+    runRounds(e, nodes, outdeg, r0, iters, unit)
+  }
+
+  /** The shared damped-round loop over a prepared (and persisted)
+    * graph, from an arbitrary integer start vector. */
+  private def runRounds(
+      e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+      r0: DataFrame, iters: Int, unit: Long): DataFrame = {
     val nRow = guardedN(nodes, unit)
-    var r = nodes.select(col("node"), lit(unit).as("__pr"))
+    var r = r0
     for (_ <- 1 to iters) {
       val inflow = r.join(outdeg, "node").join(e, "node")
         .select(col("dst").as("node"),
@@ -448,14 +489,21 @@ object Graph {
   * oracle replays every iteration bit-for-bit. */
 object GraphSql {
 
-  /** Shared edge/node-universe CTEs over a prior CTE `raw(src, dst)` —
-    * the SQL twin of [[Graph]]'s prepGraph. */
-  private val GraphFixed =
-    """e AS (SELECT DISTINCT src, dst FROM raw),
-      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)""".stripMargin
+  /** Shared edge/node-universe CTEs over a prior CTE `<px>raw(src,
+    * dst)` — the SQL twin of [[Graph]]'s prepGraph. The prefix keeps
+    * two fixpoints (e.g. a prior release's and a warm restart's) in one
+    * oracle query from colliding. */
+  private def graphFixed(px: String) =
+    s"""${px}e AS (SELECT DISTINCT src, dst FROM ${px}raw),
+       |${px}nodes AS (SELECT src AS node FROM ${px}e
+       |               UNION SELECT dst FROM ${px}e)""".stripMargin
 
-  private val OdegCte =
-    "odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src)"
+  private val GraphFixed = graphFixed("")
+
+  private def odegCte(px: String) =
+    s"${px}odeg AS (SELECT src, count(*) AS odeg FROM ${px}e GROUP BY src)"
+
+  private val OdegCte = odegCte("")
 
   /** Seed set restricted to the node universe (prior CTE `rawseed`). */
   private val SeedCte =
@@ -464,37 +512,47 @@ object GraphSql {
 
   /** The per-round contribution / inflow / dangling trio both rank
     * fixpoints share. */
-  private def flowCtes(i: Int): String = {
+  private def flowCtes(i: Int, px: String = ""): String = {
     val p = i - 1
-    s"""c$i AS (
-       |  SELECT e.dst AS node, r$p.pr // odeg.odeg AS c
-       |  FROM r$p JOIN odeg ON odeg.src = r$p.node
-       |           JOIN e ON e.src = r$p.node),
-       |inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
-       |          FROM c$i GROUP BY node),
-       |dang$i AS (
-       |  SELECT CAST(coalesce(sum(r$p.pr), 0) AS BIGINT) AS dang
-       |  FROM r$p LEFT JOIN odeg ON odeg.src = r$p.node
-       |  WHERE odeg.src IS NULL)""".stripMargin
+    s"""${px}c$i AS (
+       |  SELECT ${px}e.dst AS node, ${px}r$p.pr // ${px}odeg.odeg AS c
+       |  FROM ${px}r$p JOIN ${px}odeg ON ${px}odeg.src = ${px}r$p.node
+       |           JOIN ${px}e ON ${px}e.src = ${px}r$p.node),
+       |${px}inf$i AS (SELECT node, CAST(sum(c) AS BIGINT) AS inflow
+       |          FROM ${px}c$i GROUP BY node),
+       |${px}dang$i AS (
+       |  SELECT CAST(coalesce(sum(${px}r$p.pr), 0) AS BIGINT) AS dang
+       |  FROM ${px}r$p LEFT JOIN ${px}odeg ON ${px}odeg.src = ${px}r$p.node
+       |  WHERE ${px}odeg.src IS NULL)""".stripMargin
   }
 
   /** CTE chain `e, nodes, odeg, nn, r0, …, r{iters}` over a prior CTE
     * `raw(src, dst)`. Ranks are BIGINT micro-units; `//` floors like
     * Spark's `div` on the non-negative values here. */
-  def pagerankCtes(iters: Int, unit: Long = Graph.RankUnit): String = {
+  def pagerankCtes(iters: Int, unit: Long = Graph.RankUnit): String =
+    pagerankCtes(iters, unit, "", None)
+
+  /** Prefixed variant over a prior CTE `<prefix>raw(src, dst)`; every
+    * CTE name gains `prefix`, and `start` (when given) replaces the
+    * uniform `r0` body — the warm-start oracle's hook. */
+  def pagerankCtes(iters: Int, unit: Long, prefix: String,
+      start: Option[String]): String = {
+    val px = prefix
+    val r0 = start.getOrElse(
+      s"SELECT node, CAST($unit AS BIGINT) AS pr FROM ${px}nodes")
     val fixed =
-      s"""$GraphFixed,
-         |$OdegCte,
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT node, CAST($unit AS BIGINT) AS pr FROM nodes)""".stripMargin
+      s"""${graphFixed(px)},
+         |${odegCte(px)},
+         |${px}nn AS (SELECT count(*) AS n FROM ${px}nodes),
+         |${px}r0 AS ($r0)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""${flowCtes(i)},
-         |r$i AS (
-         |  SELECT nodes.node,
+      s"""${flowCtes(i, px)},
+         |${px}r$i AS (
+         |  SELECT ${px}nodes.node,
          |         (15 * $unit + 85 * (coalesce(inflow, 0) + dang // n)) // 100
          |           AS pr
-         |  FROM nodes LEFT JOIN inf$i USING (node)
-         |  CROSS JOIN dang$i CROSS JOIN nn)""".stripMargin
+         |  FROM ${px}nodes LEFT JOIN ${px}inf$i USING (node)
+         |  CROSS JOIN ${px}dang$i CROSS JOIN ${px}nn)""".stripMargin
     }
     (fixed +: rounds).mkString(",\n")
   }

@@ -78,6 +78,37 @@ class GraphSpec extends SparkSuite {
     r
   }
 
+  test("warm start: k warm rounds from cold_n equal cold_{n+k} bit-for-bit") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 2L))
+    val prior = Graph.pagerank(e.toDF("src", "dst"), "src", "dst", iters = 2)
+    val warm = Graph.pagerankWarm(e.toDF("src", "dst"), "src", "dst",
+        prior, "node", "rank_units", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == seqPagerank(e, 5))
+  }
+
+  test("warm start: new nodes begin cold, departed prior nodes drop") {
+    val g1 = Seq((1L, 2L), (2L, 1L), (9L, 1L)) // node 9 leaves in g2
+    val g2 = Seq((1L, 2L), (2L, 1L), (2L, 3L)) // node 3 is new
+    val prior = Graph.pagerank(g1.toDF("src", "dst"), "src", "dst", 2)
+    val got = Graph.pagerankWarm(g2.toDF("src", "dst"), "src", "dst",
+        prior, "node", "rank_units", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // 9 dropped, 3 present
+    // independent sequential replay of ONE warm round on g2
+    val pr = Graph.pagerank(g1.toDF("src", "dst"), "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Seq(1L, 2L, 3L)
+    val out = Map(1L -> 1L, 2L -> 2L)
+    val r0 = nodes.map(v => v -> pr.getOrElse(v, U)).toMap
+    val inflow = Map(
+      1L -> r0(2L) / 2, 2L -> r0(1L) / 1, 3L -> r0(2L) / 2)
+    val dang = r0(3L)
+    val want = nodes.map(v =>
+      v -> (15 * U + 85 * (inflow.getOrElse(v, 0L) + dang / 3)) / 100).toMap
+    assert(got == want)
+  }
+
   test("trustrank matches the sequential fixpoint; rank flows from seeds") {
     // chain: 1→2→3→4 (4 dangles), seed {1}; an off-chain pair 5↔6
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L))
