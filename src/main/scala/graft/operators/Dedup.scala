@@ -432,6 +432,47 @@ object Dedup {
   }
 
   /**
+   * Incremental transitive-duplicate maintenance — the cluster-index
+   * release-over-release arm (the [[Graph.pagerankWarm]] posture applied
+   * to components): merge a NEW batch of duplicate pairs into a prior
+   * release's (id, label) table WITHOUT re-reading the accumulated pair
+   * log. The prior labeling enters the propagation as STAR edges
+   * (member → its component label): a label is always the id of a
+   * member of the same component, so the stars preserve exactly the
+   * prior connectivity, and duplicate pairs are only ever APPENDED
+   * (a dedup pair log never retracts an observed duplication), so
+   * min-label propagation over (stars ∪ new pairs) converges to the
+   * SAME canonical min-id labels as a cold run over the full
+   * accumulated log — the spec + oracle pin.
+   *
+   * Scale: the loop's frame is (prior members + new-pair members), with
+   * every prior component contributing diameter 1 (a star) — rounds
+   * track the NEW merges' diameter, not the accumulated graph's, and
+   * the accumulated pair log (the expensive LSH output of every past
+   * release) is never re-scanned.
+   */
+  def componentsMerge(
+      prior: DataFrame,
+      idCol: String,
+      labelCol: String,
+      newPairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val np = newPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .localCheckpoint()
+    val stars = prior
+      .select(col(idCol).as("id_a"), col(labelCol).as("id_b"))
+      .where(col("id_a") =!= col("id_b")) // self-labels carry no edge
+    val nodes = prior.select(col(idCol))
+      .unionByName(np.select(col("id_a").as(idCol)))
+      .unionByName(np.select(col("id_b").as(idCol)))
+      .distinct()
+    connectedComponents(nodes, idCol, stars.unionByName(np),
+      "id_a", "id_b", maxIter)
+  }
+
+  /**
    * Transitive near-duplicate REMOVAL: keep exactly one document per
    * connected component of the pair graph (the component's minimum id) —
    * the closure of the one-hop [[minHashKeep]] rule: in a chain `a~b~c`

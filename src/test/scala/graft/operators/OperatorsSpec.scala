@@ -59,6 +59,26 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 6L -> 6L, 7L -> 6L), got.toString)
   }
 
+  test("componentsMerge: star-edge merge equals the cold recompute") {
+    // release 1: chains {1,2,3} and {10,11}; release 2 appends a bridge
+    // (3,10) merging them, an extension (11,12) adding a new node, and a
+    // fresh pair (20,21) with no prior members at all
+    val p1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val m1 = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val prior = Dedup.connectedComponents(m1, "id", p1)
+    val p2 = Seq((3L, 10L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.componentsMerge(prior, "id", "component", p2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cold recompute over the full accumulated pair log
+    val allNodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L).toDF("id")
+    val cold = Dedup.connectedComponents(allNodes, "id",
+        p1.unionByName(p2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == cold, s"got=$got cold=$cold")
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      12L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("connectedComponents converges on an adversarial diameter-40 path") {
     // a 41-node path graph has diameter 40 > the default maxIter=20: plain
     // min-label propagation would fail the fixpoint guard; pointer doubling
