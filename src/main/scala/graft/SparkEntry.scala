@@ -551,6 +551,21 @@ object SparkEntry {
     (4, "+1 (555) 123-4567 and 10.0.0.255 and bob@sub.domain.io"),
     (5, ""))
 
+  /** GPT-2 pre-tokenizer edge corpus: contractions, an interior
+    * multi-space run (the lookahead arm), letter/digit boundary splits,
+    * trailing whitespace, non-ASCII letters/punctuation/currency,
+    * newlines, and the empty string. Expected pieces derive from the
+    * published pattern run under the reference Python `regex` module
+    * (independent engine); oracle VALUES kept in sync by hand. */
+  private val PretokenCorpus = Seq(
+    (1, "I've said he'll don't, can't."),
+    (2, "Hello   world"),
+    (3, "abc123 42x  7"),
+    (4, "tail spaces  "),
+    (5, "naïve café — €5,00"),
+    (6, "line1\nline2  \n x"),
+    (7, ""))
+
   /** BM25 intent-pin corpus; expected scores derive from
     * `tools/bm25_reference.py` (independent Python implementation). */
   private val Bm25Corpus = Seq(
@@ -1390,6 +1405,83 @@ object SparkEntry {
         .select(col("target_uri"), col("rec_type"), col("content_type"),
           col("content_length"), sha2(col("payload"), 256).as("payload_sha"))
         .orderBy(col("target_uri"))
+    }),
+
+    // curated text back INTO the archive convention (the public WET
+    // sidecar): extract main text from the response captures, write it
+    // as distributed conversion-record shards (one gzip member per
+    // record, one shard per task), then re-read through the same
+    // reader. The oracle restates the text from the markup construction
+    // and never sees shard bytes — a mangled gzip member, lost
+    // Content-Length framing, or mis-typed record fails the row
+    "warc_wet_roundtrip" -> ((s, dir) => {
+      val fix = warcFixture(s, dir)
+      val texts = HtmlOps.extractMainText(
+        graft.sources.Warc.httpResponses(
+            graft.sources.Warc.readRecords(s, fix)
+              .where(col("parse_ok") && col("rec_type") === "response")
+              .select(col("target_uri"), col("payload")),
+            "target_uri", "payload")
+          .select(col("target_uri"), col("body_text").as("html")),
+        "target_uri", "html", maxLinkDensity = 0.5)
+      val out = java.nio.file.Files.createTempDirectory("graft_wet").toString
+      val shards = graft.sources.Warc.writeWetShards(texts,
+        "target_uri", "text", out, "2026-01-01T00:00:00Z", numShards = 2)
+      graft.sources.Warc.readRecords(s, shards)
+        .where(col("parse_ok") && col("rec_type") === "conversion")
+        .select(col("target_uri"), col("content_type"),
+          col("content_length"), col("payload").cast("string").as("text"))
+        .orderBy(col("target_uri"))
+    }),
+
+    // digest-based payload dedup across crawl releases (the WARC
+    // revisit convention): the prior index holds shards 0-1's captures;
+    // the "new crawl" re-captures all 40 URLs — URLs whose payload
+    // digest is already indexed fold to `revisit` rows (payload
+    // elided, refers-to addressing the earliest prior capture), unseen
+    // ones keep full rows. Oracle restates type/elision/refers-to
+    // shard from the doc_id arithmetic and digests from construction
+    "warc_revisit_dedup" -> ((s, dir) => {
+      val fix = warcFixture(s, dir)
+      val prior = graft.sources.Warc.cdxRows(s,
+        Seq(s"$fix/shard0.warc", s"$fix/shard1.warc"))
+      val fresh = graft.sources.Warc.cdxRows(s,
+        (0 until 4).map(i => s"$fix/shard$i.warc"))
+      graft.sources.Warc.revisitCaptures(fresh, prior)
+        .select(col("surt"), col("target_uri"), col("rec_type"),
+          col("digest"), col("content_length"),
+          (col("stored_length") === 0).as("payload_elided"),
+          regexp_extract(col("refers_to_file"), "shard\\d\\.warc", 0)
+            .as("refers_to_shard"),
+          col("refers_to_offset").isNotNull.as("has_refers_offset"))
+        .orderBy(col("target_uri"))
+    }),
+
+    // conditional-revisit fetch plan (RFC 9110 §13.1): two fetch-state
+    // releases over the doc URLs — release 1 covers ids < 50 (ETag iff
+    // id%3=0, Last-Modified iff id%3<2), release 2 refreshes the even
+    // ids with a v2 ETag and no Last-Modified — and the plan must emit
+    // each URL's LATEST validators (ids 50-59 carry no state and go
+    // unconditional). Oracle restates latest-wins with its own
+    // max(fetch_time) join-back formulation
+    "crawl_conditional_fetch" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"))
+      val st1 = urls.where(col("doc_id") < 50).select(col("url"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("W/\"v1-"), col("doc_id"), lit("\""))).as("etag"),
+        when(col("doc_id") % 3 < 2,
+          concat(lit("lm-"), col("doc_id"))).as("last_modified"),
+        (col("doc_id") + 100).as("fetch_time"))
+      val st2 = urls.where(col("doc_id") < 50 && col("doc_id") % 2 === 0)
+        .select(col("url"),
+          concat(lit("W/\"v2-"), col("doc_id"), lit("\"")).as("etag"),
+          lit(null).cast("string").as("last_modified"),
+          (col("doc_id") + 1000).as("fetch_time"))
+      operators.Frontier.conditionalFetchPlan(
+          urls.select(col("url")), st1.unionByName(st2))
+        .orderBy(col("url"))
     }),
 
     // robots.txt URL admission (RFC 9309): even hosts carry a graftbot
@@ -2753,6 +2845,38 @@ object SparkEntry {
         .select(col("e._2").as("doc_id"), col("source"),
           col("e._1").as("score"), (col("i") + 1).cast("long").as("rank"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // GPT-2 byte-level BPE pre-tokenization over the pinned edge corpus
+    // (contractions / interior multi-space lookahead / letter-digit
+    // boundaries / trailing whitespace / non-ASCII / newlines / empty):
+    // oracle is literal VALUES generated by the reference Python `regex`
+    // engine running the published pattern — an independent regex
+    // implementation, not a rendering of the Java one
+    "tok_pretoken_gpt2" -> ((s, dir) => {
+      import s.implicits._
+      PretokenCorpus.toDF("case_id", "text")
+        .select(col("case_id"),
+          posexplode_outer(TextOps.pretokenizeGpt2(col("text")))
+            .as(Seq("pos", "piece")))
+        .select(col("case_id"), col("pos").cast("bigint").as("pos"),
+          col("piece"))
+        .orderBy(col("case_id"), col("pos"))
+    }),
+
+    // the pre-tokenizer's lossless-partition property corpus-wide, plus
+    // piece counts: on rows with no multi-space runs and no trailing
+    // whitespace (all of the synthetic corpus — the guard filter makes
+    // the equivalence a construction fact, and the edge corpus above
+    // pins the excluded forms) the lookahead arm never fires, so the
+    // oracle's RE2 restatement with a plain `\s+` tail is exact
+    "tok_pretoken_lossless" -> ((s, dir) => {
+      val pieces = TextOps.pretokenizeGpt2(col("text"))
+      t(s, dir, "documents")
+        .where(!col("text").rlike("\\s\\s|\\s$"))
+        .select(col("doc_id"), size(pieces).cast("bigint").as("n_pieces"),
+          (concat_ws("", pieces) === col("text")).as("lossless"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- BPE tokenizer (trainer + encoder) ----------------------------
@@ -5988,6 +6112,87 @@ object SparkEntry {
            |            ELSE sha256(text) END AS payload_sha
            |FROM docs ORDER BY target_uri""".stripMargin,
 
+      // the conversion records' text restated from the markup
+      // construction (the warc_extract oracle's pipeline) — the oracle
+      // never sees WET shard bytes, so a write→read defect anywhere in
+      // the roundtrip diverges the text or the framing fields
+      "warc_wet_roundtrip" ->
+        s"""WITH h AS (
+           |  SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |           AS target_uri,
+           |         $SynthHtmlSql AS html
+           |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
+           |x AS (SELECT target_uri,
+           |             ${HtmlOpsSql.mainText("html", 0.5)} AS text
+           |      FROM h)
+           |SELECT target_uri, 'text/plain' AS content_type,
+           |       CAST(octet_length(encode(text)) AS BIGINT)
+           |         AS content_length, text
+           |FROM x ORDER BY target_uri""".stripMargin,
+
+      // every new-crawl capture restated: ids captured by shards 0-1
+      // (id%4 < 2) fold to revisit rows pointing at their shard of
+      // origin with the payload elided; ids%4 ∈ {2,3} keep full rows;
+      // digests/lengths recomputed as in warc_read
+      "warc_revisit_dedup" ->
+        s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+           |hh AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+           |         'Content-Type: text/html' || chr(13) || chr(10) ||
+           |         chr(13) || chr(10) AS v)
+           |SELECT 'test,graft)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+           |       'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |         AS target_uri,
+           |       CASE WHEN doc_id % 4 < 2 THEN 'revisit'
+           |            WHEN doc_id % 2 = 0 THEN 'response'
+           |            ELSE 'resource' END AS rec_type,
+           |       CASE WHEN doc_id % 2 = 0
+           |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
+           |            ELSE sha256(text) END AS digest,
+           |       CAST(CASE WHEN doc_id % 2 = 0
+           |            THEN octet_length(encode(
+           |              (SELECT v FROM hh) || $SynthHtmlSql))
+           |            ELSE octet_length(encode(text)) END AS BIGINT)
+           |         AS content_length,
+           |       doc_id % 4 < 2 AS payload_elided,
+           |       CASE WHEN doc_id % 4 = 0 THEN 'shard0.warc'
+           |            WHEN doc_id % 4 = 1 THEN 'shard1.warc' END
+           |         AS refers_to_shard,
+           |       doc_id % 4 < 2 AS has_refers_offset
+           |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // latest-wins restated with the oracle's own max(fetch_time)
+      // join-back (the engine uses one max_by aggregate); validator
+      // values are opaque tokens rebuilt from the same id arithmetic
+      "crawl_conditional_fetch" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |           AS url
+          |  FROM documents WHERE doc_id < 60),
+          |st AS (
+          |  SELECT url,
+          |         CASE WHEN doc_id % 3 = 0 THEN
+          |           'W/"v1-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+          |         CASE WHEN doc_id % 3 < 2 THEN
+          |           'lm-' || CAST(doc_id AS VARCHAR) END AS last_modified,
+          |         doc_id + 100 AS fetch_time
+          |  FROM d WHERE doc_id < 50
+          |  UNION ALL
+          |  SELECT url, 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"',
+          |         NULL, doc_id + 1000
+          |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0),
+          |latest AS (
+          |  SELECT s.url, s.etag AS if_none_match,
+          |         s.last_modified AS if_modified_since
+          |  FROM st s
+          |  JOIN (SELECT url, max(fetch_time) AS mt FROM st GROUP BY url) m
+          |    ON s.url = m.url AND s.fetch_time = m.mt)
+          |SELECT d.url, l.if_none_match, l.if_modified_since,
+          |       (l.if_none_match IS NOT NULL OR
+          |        l.if_modified_since IS NOT NULL) AS conditional
+          |FROM d LEFT JOIN latest l ON d.url = l.url
+          |ORDER BY d.url""".stripMargin,
+
       // the applicable rule set restated as VALUES (group selection
       // pre-resolved: par 0 = what graftbot sees on even hosts, par 1 =
       // the '*' fallback on odd hosts) and the RFC match as SQL argmax —
@@ -7380,6 +7585,43 @@ object SparkEntry {
            |SELECT doc_id, source, score, CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin
       },
+
+      // literal VALUES from the reference Python `regex` engine running
+      // the published GPT-2 pattern over PretokenCorpus (independent
+      // regex implementation) — kept in sync by hand
+      "tok_pretoken_gpt2" ->
+        """SELECT case_id, CAST(pos AS BIGINT) AS pos, piece
+          |FROM (VALUES
+          |  (1, 0, 'I'), (1, 1, '''ve'), (1, 2, ' said'), (1, 3, ' he'),
+          |  (1, 4, '''ll'), (1, 5, ' don'), (1, 6, '''t'), (1, 7, ','),
+          |  (1, 8, ' can'), (1, 9, '''t'), (1, 10, '.'),
+          |  (2, 0, 'Hello'), (2, 1, '  '), (2, 2, ' world'),
+          |  (3, 0, 'abc'), (3, 1, '123'), (3, 2, ' 42'), (3, 3, 'x'),
+          |  (3, 4, ' '), (3, 5, ' 7'),
+          |  (4, 0, 'tail'), (4, 1, ' spaces'), (4, 2, '  '),
+          |  (5, 0, 'naïve'), (5, 1, ' café'), (5, 2, ' —'), (5, 3, ' €'),
+          |  (5, 4, '5'), (5, 5, ','), (5, 6, '00'),
+          |  (6, 0, 'line'), (6, 1, '1'), (6, 2, chr(10)), (6, 3, 'line'),
+          |  (6, 4, '2'), (6, 5, '  ' || chr(10)), (6, 6, ' x'),
+          |  (7, NULL, NULL)
+          |) t(case_id, pos, piece)
+          |ORDER BY case_id, pos""".stripMargin,
+
+      // RE2 restatement: on the guarded rows (no multi-space run, no
+      // trailing whitespace) the lookahead arm never fires, so the
+      // plain `\s+` tail is exactly equivalent — a construction fact,
+      // with the excluded forms pinned by tok_pretoken_gpt2
+      "tok_pretoken_lossless" ->
+        """WITH d AS (SELECT doc_id, text FROM documents
+          |           WHERE NOT regexp_matches(text, '\s\s|\s$')),
+          |p AS (SELECT doc_id, text,
+          |        regexp_extract_all(text,
+          |          '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+          |          AS pieces
+          |      FROM d)
+          |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+          |       array_to_string(pieces, '') = text AS lossless
+          |FROM p ORDER BY doc_id""".stripMargin,
 
       "bpe_merges" ->
         s"""WITH bpe_vocab AS (SELECT tok AS word, count(*) AS freq

@@ -49,6 +49,29 @@ object TextOps {
   def tokens(text: Column): Column =
     array_remove(split(text, " "), "")
 
+  /** The GPT-2 byte-level BPE pre-tokenization pattern (Radford et al.
+    * 2019, released in the public `gpt-2` repo's `encoder.py` and reused
+    * verbatim by RoBERTa/GPT-3-lineage tokenizers): contraction
+    * suffixes, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs, then whitespace — where a
+    * whitespace run followed by a non-space yields its LAST space to
+    * the next token (the `\s+(?!\S)` lookahead). The `(?U)` flag makes
+    * Java's `\s` Unicode-aware (NBSP, NEL…) — the reference Python
+    * `regex` module's semantics; `\p{L}`/`\p{N}` are Unicode categories
+    * in both engines. */
+  val Gpt2PretokenRe: String =
+    """(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** Pre-tokenize for byte-level BPE: the ordered pieces the GPT-2
+    * pattern splits `text` into. A LOSSLESS partition of the string
+    * (every character lands in exactly one piece — the property the
+    * `tok_pretoken_lossless` gauge pins corpus-wide), so merges can
+    * never cross a piece boundary — the pre-tokenizer is what makes
+    * BPE training/encoding embarrassingly parallel at corpus scale.
+    * One codegen'd `regexp_extract_all`; no UDF. */
+  def pretokenizeGpt2(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2PretokenRe), lit(0))
+
   private def bridged(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
   private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =

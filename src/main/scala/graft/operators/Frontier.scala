@@ -246,4 +246,41 @@ object Frontier {
         col("__e._1").cast(prioType).as("priority"),
         col("slot"), col("delay_s"), col("sched_s"))
   }
+
+  /**
+   * Conditional-revisit fetch plan (RFC 9110 §13.1): join the due
+   * frontier against the crawl's fetch-state log (one row per completed
+   * fetch: url, etag, last_modified, fetch_time) and emit each URL's
+   * request validators — `If-None-Match` from the LATEST fetch's ETag
+   * and `If-Modified-Since` from its Last-Modified, both when both
+   * survive (§13.1.3: the recipient ignores If-Modified-Since when
+   * If-None-Match is present, but the sender ships every validator it
+   * holds — a 304 on either saves the payload bytes, the whole point of
+   * revisit crawling at 100 TB). URLs with no fetch history go
+   * unconditional (null validators).
+   *
+   * Latest-per-URL is one max_by aggregate over fetch_time (never a
+   * per-URL window — a URL's history is unbounded over crawl releases,
+   * the aggregate carries one struct); ties on fetch_time break to the
+   * lexically-greater (etag, last_modified) pair, deterministic. The
+   * plan is a single url-keyed shuffle of each side; validator VALUES
+   * are opaque tokens echoed back per the RFC — the plan never parses
+   * them.
+   */
+  def conditionalFetchPlan(
+      frontier: DataFrame, state: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val latest = state
+      .groupBy(col(urlCol))
+      .agg(max_by(
+        struct(col("etag"), col("last_modified")),
+        struct(col("fetch_time"), col("etag"), col("last_modified")))
+        .as("__st"))
+    frontier.join(latest, Seq(urlCol), "left")
+      .withColumn("if_none_match", col("__st.etag"))
+      .withColumn("if_modified_since", col("__st.last_modified"))
+      .withColumn("conditional",
+        col("if_none_match").isNotNull || col("if_modified_since").isNotNull)
+      .drop("__st")
+  }
 }

@@ -600,18 +600,122 @@ object Warc {
       .toDF()
   }
 
+  // ---- WET export: the curated-text sidecar beside a crawl archive ----
+
+  /**
+   * Distributed WET export — the public text-sidecar convention beside a
+   * crawl archive (Common Crawl's `.wet` files): each input row renders
+   * as one `WARC-Type: conversion` record (`Content-Type: text/plain`,
+   * provenance in `WARC-Refers-To-Target-URI`), one gzip member per
+   * record so members concatenate into a valid multi-member `.gz` (the
+   * shard layout [[parseShard]] and the CDX offsets address), shards
+   * headed by a `warcinfo` record. One shard file per hash partition of
+   * the URI, written straight from its task through the task-side
+   * filesystem — no driver materialization; at 100 TB the export is as
+   * wide as `numShards`. Hash partitioning makes shard MEMBERSHIP
+   * deterministic, and each task stages to `<shard>.inprogress` then
+   * renames over the target, so a retried or speculative task rewrites
+   * its whole shard instead of interleaving partial bytes (the
+   * compactBucketed rename-aside posture; a full job-commit protocol is
+   * the production sink's job, stated not smuggled).
+   *
+   * Returns the written shard paths (≤ numShards rows — driver-bounded
+   * by construction) so callers re-read with explicit file lists, never
+   * a glob.
+   */
+  def writeWetShards(
+      df: DataFrame, uriCol: String, textCol: String,
+      outDir: String, warcDate: String, numShards: Int): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numShards > 0, "writeWetShards: numShards must be positive")
+    val conf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .repartition(numShards, col(uriCol))
+      .mapPartitions { iter =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val name = f"wet-$pid%05d.warc.gz"
+          val dest = new org.apache.hadoop.fs.Path(outDir, name)
+          val tmp = new org.apache.hadoop.fs.Path(outDir, s"$name.inprogress")
+          val fs = dest.getFileSystem(conf.value.value)
+          val out = fs.create(tmp, true)
+          try {
+            out.write(gzipMember(renderRecord("warcinfo", None, warcDate,
+              "application/warc-fields",
+              "software: graft wet-export".getBytes("UTF-8"))))
+            iter.foreach { case (uri, text) =>
+              out.write(gzipMember(renderRecord("conversion", Some(uri),
+                warcDate, "text/plain",
+                Option(text).getOrElse("")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                Seq("WARC-Refers-To-Target-URI" -> uri))))
+            }
+          } finally out.close()
+          if (fs.exists(dest)) fs.delete(dest, false)
+          fs.rename(tmp, dest)
+          Iterator.single(dest.toString)
+        }
+      }
+      .collect().toSeq.sorted
+  }
+
+  /**
+   * Digest-based revisit folding — the web-archive payload-dedup
+   * convention (WARC `revisit` records / CDX `warc/revisit` rows): a new
+   * capture whose payload digest already appears in the prior index
+   * under the SAME SURT key stores no payload — its index row becomes
+   * `rec_type = 'revisit'` with zero stored bytes and
+   * (`refers_to_file`, `refers_to_offset`) addressing the EARLIEST
+   * prior capture of that (surt, digest) (min by (file, offset) — a
+   * deterministic canonical original); unseen payloads keep their full
+   * rows with null refers-to. One equi-join on (surt, digest); against
+   * a [[writeCdxIndex]] table the prior side pre-aggregates per key so
+   * only (key, ref) pairs shuffle, never archive metadata rows.
+   */
+  def revisitCaptures(newCaps: DataFrame, prior: DataFrame): DataFrame = {
+    val ref = prior
+      .groupBy(col("surt"), col("digest"))
+      .agg(min(struct(col("warc_file"), col("stored_offset"))).as("__ref"))
+    newCaps.join(ref, Seq("surt", "digest"), "left")
+      .select(
+        col("surt"), col("target_uri"),
+        when(col("__ref").isNotNull, lit("revisit"))
+          .otherwise(col("rec_type")).as("rec_type"),
+        col("digest"), col("content_length"),
+        col("warc_file"), col("rec_offset"),
+        when(col("__ref").isNotNull, lit(0L))
+          .otherwise(col("stored_length")).as("stored_length"),
+        col("__ref.warc_file").as("refers_to_file"),
+        col("__ref.stored_offset").as("refers_to_offset"))
+  }
+
   // ---- fixture/sink side: render records to spec-shaped bytes ----
 
   /** Render one record (CRLF framing, the spec's mandatory headers). */
   def renderRecord(
       recType: String, targetUri: Option[String], warcDate: String,
-      contentType: String, payload: Array[Byte]): Array[Byte] = {
+      contentType: String, payload: Array[Byte]): Array[Byte] =
+    renderRecord(recType, targetUri, warcDate, contentType, payload, Nil)
+
+  /** Variant with caller-supplied extra WARC named fields (conversion
+    * provenance `WARC-Refers-To-Target-URI`, revisit profile headers). */
+  def renderRecord(
+      recType: String, targetUri: Option[String], warcDate: String,
+      contentType: String, payload: Array[Byte],
+      extraHeaders: Seq[(String, String)]): Array[Byte] = {
     val sb = new java.lang.StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(recType).append("\r\n")
     targetUri.foreach(u =>
       sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
     sb.append("WARC-Date: ").append(warcDate).append("\r\n")
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n")
+    }
     sb.append("Content-Type: ").append(contentType).append("\r\n")
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = sb.toString.getBytes("UTF-8")

@@ -143,4 +143,30 @@ class FrontierSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"the groupBy must reuse the window's url clustering:\n$p")
   }
+
+  test("conditionalFetchPlan: latest validators win; no history = unconditional") {
+    val frontier = Seq("u1", "u2", "u3", "u4").toDF("url")
+    val state = Seq(
+      // u1: older fetch has both validators, latest has only an ETag —
+      // the plan must NOT mix releases (IMS goes null with the ETag)
+      ("u1", "e-old", "lm-old", 10L),
+      ("u1", "e-new", null, 20L),
+      // u2: only a Last-Modified ever
+      ("u2", null, "lm-2", 5L),
+      // u4: tie on fetch_time — deterministic lexically-greater pair
+      ("u4", "e-a", "lm-a", 7L),
+      ("u4", "e-b", "lm-b", 7L))
+      .toDF("url", "etag", "last_modified", "fetch_time")
+    val got = Frontier.conditionalFetchPlan(frontier, state)
+      .orderBy(col("url"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      ("u1", Some("e-new"), None, true),
+      ("u2", None, Some("lm-2"), true),
+      ("u3", None, None, false),
+      ("u4", Some("e-b"), Some("lm-b"), true)))
+  }
 }

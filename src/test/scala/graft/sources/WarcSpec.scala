@@ -334,4 +334,86 @@ class WarcSpec extends SparkSuite {
       "test,example,a)/x",
       "test,example,a)/x"))
   }
+
+  test("writeWetShards: roundtrip, shard bound, rewrite idempotent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      ("https://x.test/a", "plain text a"),
+      ("https://x.test/b", "multi\nline\ntext"),
+      ("https://x.test/c", "unicodé — café"),
+      ("https://x.test/d", ""),
+      ("https://x.test/e", "last one"))
+    val df = rows.toDF("uri", "text")
+    val out = java.nio.file.Files.createTempDirectory("wet_spec").toString
+    val shards = Warc.writeWetShards(df, "uri", "text", out,
+      "2026-01-01T00:00:00Z", numShards = 2)
+    assert(shards.nonEmpty && shards.size <= 2)
+    assert(shards.forall(_.endsWith(".warc.gz")))
+    // no .inprogress staging files left behind
+    val left = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(left.forall(!_.endsWith(".inprogress")), left.toString)
+    def readBack(): Map[String, (String, String, Long)] =
+      Warc.readRecords(spark, shards)
+        .where(col("rec_type") === "conversion")
+        .select(col("target_uri"), col("content_type"),
+          col("payload").cast("string"), col("content_length"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getString(2),
+          r.getLong(3))).toMap
+    val got = readBack()
+    assert(got == rows.map { case (u, t) =>
+      u -> ("text/plain", t, t.getBytes("UTF-8").length.toLong)
+    }.toMap)
+    // every shard leads with its warcinfo header record
+    val infos = Warc.readRecords(spark, shards)
+      .where(col("rec_type") === "warcinfo" && col("rec_offset") === 0)
+      .count()
+    assert(infos == shards.size.toLong)
+    // a re-run (the task-retry path) rewrites shards in place: same
+    // shard set, same records, no duplicate or partial content
+    val shards2 = Warc.writeWetShards(df, "uri", "text", out,
+      "2026-01-01T00:00:00Z", numShards = 2)
+    assert(shards2 == shards)
+    assert(readBack() == got)
+  }
+
+  test("revisitCaptures: seen digests fold to revisit rows addressing the earliest original") {
+    val spark2 = spark
+    import spark2.implicits._
+    def cap(surt: String, uri: String, rt: String, dig: String,
+        file: String, off: Long): (String, String, String, String, Long,
+        String, Long, Long, Long) =
+      (surt, uri, rt, dig, 10L, file, off, off, 100L)
+    val cols = Seq("surt", "target_uri", "rec_type", "digest",
+      "content_length", "warc_file", "rec_offset", "stored_offset",
+      "stored_length")
+    // the prior index holds s1/d1 TWICE (two shards captured the same
+    // payload) — the fold must address the lexically-earliest
+    // (file, offset); s2/d2 once; s3 never
+    val prior = Seq(
+      cap("s1", "u1", "response", "d1", "b.warc", 100L),
+      cap("s1", "u1", "response", "d1", "a.warc", 50L),
+      cap("s2", "u2", "resource", "d2", "a.warc", 900L))
+      .toDF(cols: _*)
+    val fresh = Seq(
+      cap("s1", "u1", "response", "d1", "new.warc", 0L), // seen → revisit
+      cap("s1", "u1", "response", "dX", "new.warc", 10L), // changed payload
+      cap("s2", "u2", "resource", "d2", "new.warc", 20L), // seen → revisit
+      cap("s3", "u3", "response", "d2", "new.warc", 30L)) // same digest, other surt
+      .toDF(cols: _*)
+    val got = Warc.revisitCaptures(fresh, prior)
+      .orderBy(col("surt"), col("digest"))
+      .collect()
+      .map(r => (r.getAs[String]("surt"), r.getAs[String]("digest"),
+        r.getAs[String]("rec_type"), r.getAs[Long]("stored_length"),
+        Option(r.getAs[String]("refers_to_file")),
+        Option(r.getAs[Any]("refers_to_offset"))))
+      .toSeq
+    assert(got == Seq(
+      ("s1", "d1", "revisit", 0L, Some("a.warc"), Some(50L)),
+      ("s1", "dX", "response", 100L, None, None),
+      ("s2", "d2", "revisit", 0L, Some("a.warc"), Some(900L)),
+      ("s3", "d2", "response", 100L, None, None)))
+  }
 }
