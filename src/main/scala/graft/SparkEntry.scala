@@ -1044,6 +1044,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the SAME merge through the PERSISTED label index: release 1's
+    // labels land as a component-bucketed table, release 2's pair batch
+    // folds in via mergeComponentIndex (delta-bound propagation +
+    // crash-atomic swap), and the probe reads the table — the oracle is
+    // the identical cold transitive closure, so a label the maintenance
+    // path dropped, duplicated, or mis-merged fails the row
+    "dedup_component_index_merged" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 300)
+      val p1 = d.where(col("doc_id") % 3 === 0 && col("doc_id") + 1 < 300)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val p2 = d.where(col("doc_id") % 6 === 0 && col("doc_id") + 2 < 300)
+        .select((col("doc_id") + 1).as("id_a"), (col("doc_id") + 2).as("id_b"))
+        .unionByName(
+          d.where(col("doc_id") % 15 === 0 && col("doc_id") + 3 < 300)
+            .select((col("doc_id") + 1).as("id_a"),
+              (col("doc_id") + 3).as("id_b")))
+      val members1 = p1.select(col("id_a").as("doc_id"))
+        .unionByName(p1.select(col("id_b").as("doc_id"))).distinct()
+      val tbl = s"${indexDb(s)}.dedup_component_idx"
+      operators.DedupIndex.writeComponentIndex(
+        Dedup.connectedComponents(members1, "doc_id", p1), tbl, buckets = 8)
+      operators.DedupIndex.mergeComponentIndex(s, tbl, p2)
+      s.table(tbl).orderBy(col("doc_id"))
+    }),
+
     // transitive-closure REMOVAL: one survivor (min id) per duplicate
     // component; the propagation loop runs over the duplicate subgraph only
     "dedup_components_keep" -> ((s, dir) => {
@@ -5675,6 +5701,29 @@ object SparkEntry {
       // the FULL accumulated pair set's transitive closure, cold — the
       // engine's star-edge merge must reproduce it exactly
       "dedup_components_merged" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id FROM documents WHERE doc_id < 300),
+          |p1 AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d
+          |       WHERE doc_id % 3 = 0 AND doc_id + 1 < 300),
+          |p2 AS (SELECT doc_id + 1 AS id_a, doc_id + 2 AS id_b FROM d
+          |       WHERE doc_id % 6 = 0 AND doc_id + 2 < 300
+          |       UNION ALL
+          |       SELECT doc_id + 1, doc_id + 3 FROM d
+          |       WHERE doc_id % 15 = 0 AND doc_id + 3 < 300),
+          |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM allp
+          |          UNION ALL SELECT id_b, id_a FROM allp),
+          |members AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, label) AS (
+          |  SELECT id, id FROM members
+          |  UNION
+          |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id)
+          |SELECT id AS doc_id, min(label) AS component
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+      // identical cold closure — the at-rest maintenance path must land
+      // on the same labels the from-scratch recompute does
+      "dedup_component_index_merged" ->
         """WITH RECURSIVE d AS (
           |  SELECT doc_id FROM documents WHERE doc_id < 300),
           |p1 AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d

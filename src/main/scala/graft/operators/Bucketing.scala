@@ -103,12 +103,52 @@ object Bucketing {
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
       .sortBy(spec.sortColumnNames.head)
       .saveAsTable(tmp)
+    swapCommitted(spark, table, tmp, midSwapFault)
+  }
+
+  /** The rename-aside commit shared by every whole-table rewrite: the
+    * built `tmp` supersedes `table` via live→`__old`, tmp→live, drop
+    * `__old` — nothing live is deleted before the new copy is committed,
+    * and [[recoverCompaction]] heals a death at any point. */
+  private def swapCommitted(
+      spark: SparkSession, table: String, tmp: String,
+      midSwapFault: () => Unit): Unit = {
     val old = s"$table$OldSuffix"
     resetTable(spark, old) // only ever clears a fully-superseded leftover
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     midSwapFault()
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     resetTable(spark, old)
+  }
+
+  /** Atomically replace a bucketed table's CONTENTS with `df` (bucket
+    * spec restated from the catalog, like every append): the new copy
+    * builds beside the live table, then commits with the
+    * [[compactBucketed]] rename-aside swap — a crash at any point
+    * leaves a complete readable incarnation under the live or `__old`
+    * name, healed by [[recoverCompaction]]. The maintenance primitive
+    * for indexes whose rows CHANGE between releases (component labels)
+    * rather than only accumulate (digests, bands, captures). */
+  def replaceBucketed(spark: SparkSession, table: String, df: DataFrame): Unit =
+    replaceBucketed(spark, table, df, () => ())
+
+  private[graft] def replaceBucketed(
+      spark: SparkSession, table: String, df: DataFrame,
+      midSwapFault: () => Unit): Unit = {
+    recoverCompaction(spark, table)
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec
+      .getOrElse(sys.error(s"$table is not a bucketed table"))
+    val tmp = s"${table}$CompactSuffix"
+    resetTable(spark, tmp)
+    import org.apache.spark.sql.functions.col
+    df.repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(tmp)
+    swapCommitted(spark, table, tmp, midSwapFault)
   }
 
   private val OldSuffix = "__old"

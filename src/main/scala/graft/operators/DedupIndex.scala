@@ -305,4 +305,72 @@ object DedupIndex {
     val drops = corpusHits.unionByName(withinHits).distinct()
     batch.join(drops, col(idCol).cast("long") === col("__drop"), "left_anti")
   }
+
+  // =====================================================================
+  // Duplicate-components label index
+  // =====================================================================
+
+  /**
+   * Persist the corpus's duplicate-component labeling (id → canonical
+   * min-id component, [[Dedup.connectedComponents]] output) as a
+   * bucketed managed table — the at-rest answer to "which documents
+   * duplicate which" that survivor election and removal lists read
+   * WITHOUT re-running label propagation. Bucketed on the COMPONENT
+   * label: the heavy consumers group by component (keep-first folds,
+   * cluster-size profiles), so those folds plan with zero index-side
+   * Exchange; the by-id lookup is a probe the layout doesn't hurt.
+   */
+  def writeComponentIndex(
+      labels: DataFrame, table: String,
+      idCol: String = "doc_id", labelCol: String = "component",
+      buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(
+      labels.select(col(idCol), col(labelCol)), table, labelCol, buckets)
+
+  /**
+   * Release-over-release label maintenance: fold THIS release's new
+   * duplicate pairs (its LSH/digest join output) into the persisted
+   * labels without re-reading any prior release's pair log —
+   * [[Dedup.componentsMerge]]'s star-edge argument applied at rest.
+   *
+   * The propagation frame is DELTA-BOUND: only components containing a
+   * new-pair member enter the merge loop (a merge only ever UNIONS
+   * components, so a component disjoint from every new pair cannot
+   * change its label — those rows copy through outside the loop). Per
+   * merge the cost is: one id-keyed shuffle of the label table to find
+   * touched components (the labels are bucketed on component, not id —
+   * stated trade: the consumers' folds stay exchange-free every read,
+   * the maintenance pays one shuffle per release), the propagation
+   * rounds over the delta subgraph only, and one full-table rewrite
+   * committed with the [[Bucketing.replaceBucketed]] rename-aside swap
+   * (crash at any point leaves a readable incarnation). The label
+   * table is 2 longs/doc — the rewrite is the cheap linear pass; the
+   * pair log (the expensive artifact) is never re-scanned.
+   */
+  def mergeComponentIndex(
+      spark: SparkSession, table: String, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): Unit =
+    mergeComponentIndex(spark, table, newPairs, aCol, bCol, () => ())
+
+  private[graft] def mergeComponentIndex(
+      spark: SparkSession, table: String, newPairs: DataFrame,
+      aCol: String, bCol: String, midSwapFault: () => Unit): Unit = {
+    val prior = spark.table(table)
+    val Seq(idCol, labelCol) = prior.schema.fieldNames.toSeq
+    val np = newPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .localCheckpoint()
+    val newIds = np.select(col("id_a").as(idCol))
+      .unionByName(np.select(col("id_b").as(idCol))).distinct()
+    val touched = prior.join(newIds, Seq(idCol), "left_semi")
+      .select(col(labelCol)).distinct()
+    val affected = prior.join(touched, Seq(labelCol), "left_semi")
+      .select(col(idCol), col(labelCol))
+    val untouched = prior.join(touched, Seq(labelCol), "left_anti")
+      .select(col(idCol), col(labelCol))
+    val merged = Dedup.componentsMerge(affected, idCol, labelCol, np)
+      .withColumnRenamed("component", labelCol)
+      .select(col(idCol), col(labelCol))
+    Bucketing.replaceBucketed(spark, table,
+      untouched.unionByName(merged), midSwapFault)
+  }
 }

@@ -235,4 +235,59 @@ class DedupIndexSpec extends SparkSuite {
     assert(ids(indexed, "vec_id") == ids(rescan, "vec_id"))
     assert(ids(indexed, "vec_id") == Seq(102L))
   }
+
+  private def labelMap(table: String): Map[Long, Long] =
+    spark.table(table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("mergeComponentIndex equals the cold recompute; untouched components pass through") {
+    // release 1: chains {1,2,3}, {10,11}, and the untouched {50,51}
+    val p1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L))
+      .toDF("id_a", "id_b")
+    val m1 = Seq(1L, 2L, 3L, 10L, 11L, 50L, 51L).toDF("id")
+    DedupIndex.writeComponentIndex(
+      Dedup.connectedComponents(m1, "id", p1), s"$db.comp_idx",
+      idCol = "id", labelCol = "component", buckets = 4)
+    // release 2: a bridge (3,10), an extension (11,12), a fresh pair
+    val p2 = Seq((3L, 10L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    DedupIndex.mergeComponentIndex(spark, s"$db.comp_idx", p2)
+    val got = labelMap(s"$db.comp_idx")
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 50L, 51L).toDF("id")
+    val cold = Dedup.connectedComponents(all, "id", p1.unionByName(p2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == cold)
+    assert(got(50L) == 50L && got(51L) == 50L) // untouched survives intact
+    assert(got(12L) == 1L && got(20L) == 20L)
+    // the rewrite preserved the bucket layout: a component fold over the
+    // merged table plans without an index-side Exchange
+    val plan = spark.table(s"$db.comp_idx")
+      .groupBy(col("component")).count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"component fold must reuse the bucketing:\n$plan")
+  }
+
+  test("mergeComponentIndex: mid-swap crash never loses labels; recovery restores") {
+    val p1 = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val m1 = Seq(1L, 2L, 10L, 11L).toDF("id")
+    DedupIndex.writeComponentIndex(
+      Dedup.connectedComponents(m1, "id", p1), s"$db.comp_crash",
+      idCol = "id", labelCol = "component", buckets = 4)
+    val before = labelMap(s"$db.comp_crash")
+    val boom = intercept[RuntimeException] {
+      DedupIndex.mergeComponentIndex(spark, s"$db.comp_crash",
+        Seq((2L, 10L)).toDF("id_a", "id_b"), "id_a", "id_b",
+        () => throw new RuntimeException("driver died mid-swap"))
+    }
+    assert(boom.getMessage == "driver died mid-swap")
+    // the full pre-merge labeling survives under the aside name
+    assert(labelMap(s"$db.comp_crash__old") == before)
+    Bucketing.recoverCompaction(spark, s"$db.comp_crash")
+    assert(labelMap(s"$db.comp_crash") == before)
+    // re-running the merge (which self-heals first) lands the new labels
+    DedupIndex.mergeComponentIndex(spark, s"$db.comp_crash",
+      Seq((2L, 10L)).toDF("id_a", "id_b"))
+    assert(labelMap(s"$db.comp_crash") ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
 }
