@@ -566,6 +566,39 @@ object SparkEntry {
     (6, "line1\nline2  \n x"),
     (7, ""))
 
+  /** The conditional-fetch restatement shared by the batch and
+    * streaming doors (the stream is a stateless projection, so both
+    * must land on identical rows). */
+  private val CondFetchOracleSql: String =
+    """WITH d AS (
+          |  SELECT doc_id,
+          |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |           AS url
+          |  FROM documents WHERE doc_id < 60),
+          |st AS (
+          |  SELECT url,
+          |         CASE WHEN doc_id % 3 = 0 THEN
+          |           'W/"v1-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+          |         CASE WHEN doc_id % 3 < 2 THEN
+          |           'lm-' || CAST(doc_id AS VARCHAR) END AS last_modified,
+          |         doc_id + 100 AS fetch_time
+          |  FROM d WHERE doc_id < 50
+          |  UNION ALL
+          |  SELECT url, 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"',
+          |         NULL, doc_id + 1000
+          |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0),
+          |latest AS (
+          |  SELECT s.url, s.etag AS if_none_match,
+          |         s.last_modified AS if_modified_since
+          |  FROM st s
+          |  JOIN (SELECT url, max(fetch_time) AS mt FROM st GROUP BY url) m
+          |    ON s.url = m.url AND s.fetch_time = m.mt)
+          |SELECT d.url, l.if_none_match, l.if_modified_since,
+          |       (l.if_none_match IS NOT NULL OR
+          |        l.if_modified_since IS NOT NULL) AS conditional
+          |FROM d LEFT JOIN latest l ON d.url = l.url
+          |ORDER BY d.url""".stripMargin
+
   /** BM25 intent-pin corpus; expected scores derive from
     * `tools/bm25_reference.py` (independent Python implementation). */
   private val Bm25Corpus = Seq(
@@ -4430,6 +4463,31 @@ object SparkEntry {
       Streams.urlDedupStream(s, pages).orderBy(col("kept_id"))
     }),
 
+    // the conditional-fetch door live: the same two-release fetch-state
+    // fixture as crawl_conditional_fetch, with the due URLs arriving in
+    // forced micro-batches (2 files per trigger) — a stateless
+    // stream-static join, so the drain must equal the batch plan
+    // row-for-row (the shared oracle formulation)
+    "stream_conditional_fetch" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"))
+      val st1 = urls.where(col("doc_id") < 50).select(col("url"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("W/\"v1-"), col("doc_id"), lit("\""))).as("etag"),
+        when(col("doc_id") % 3 < 2,
+          concat(lit("lm-"), col("doc_id"))).as("last_modified"),
+        (col("doc_id") + 100).as("fetch_time"))
+      val st2 = urls.where(col("doc_id") < 50 && col("doc_id") % 2 === 0)
+        .select(col("url"),
+          concat(lit("W/\"v2-"), col("doc_id"), lit("\"")).as("etag"),
+          lit(null).cast("string").as("last_modified"),
+          (col("doc_id") + 1000).as("fetch_time"))
+      Streams.conditionalFetchStream(s, urls.select(col("url")),
+          st1.unionByName(st2), maxFilesPerTrigger = Some(2))
+        .orderBy(col("url"))
+    }),
+
     // ingest-time decontamination gate: arriving docs score against the
     // static eval shingle set (15% hash split) map-side and pass at
     // contam_frac <= 0.2 — the streaming counterpart of contamination_check
@@ -6212,35 +6270,12 @@ object SparkEntry {
       // latest-wins restated with the oracle's own max(fetch_time)
       // join-back (the engine uses one max_by aggregate); validator
       // values are opaque tokens rebuilt from the same id arithmetic
-      "crawl_conditional_fetch" ->
-        """WITH d AS (
-          |  SELECT doc_id,
-          |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
-          |           AS url
-          |  FROM documents WHERE doc_id < 60),
-          |st AS (
-          |  SELECT url,
-          |         CASE WHEN doc_id % 3 = 0 THEN
-          |           'W/"v1-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
-          |         CASE WHEN doc_id % 3 < 2 THEN
-          |           'lm-' || CAST(doc_id AS VARCHAR) END AS last_modified,
-          |         doc_id + 100 AS fetch_time
-          |  FROM d WHERE doc_id < 50
-          |  UNION ALL
-          |  SELECT url, 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"',
-          |         NULL, doc_id + 1000
-          |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0),
-          |latest AS (
-          |  SELECT s.url, s.etag AS if_none_match,
-          |         s.last_modified AS if_modified_since
-          |  FROM st s
-          |  JOIN (SELECT url, max(fetch_time) AS mt FROM st GROUP BY url) m
-          |    ON s.url = m.url AND s.fetch_time = m.mt)
-          |SELECT d.url, l.if_none_match, l.if_modified_since,
-          |       (l.if_none_match IS NOT NULL OR
-          |        l.if_modified_since IS NOT NULL) AS conditional
-          |FROM d LEFT JOIN latest l ON d.url = l.url
-          |ORDER BY d.url""".stripMargin,
+      "crawl_conditional_fetch" -> CondFetchOracleSql,
+
+      // the stream door is a stateless projection — the drain must equal
+      // the batch plan exactly, so the oracle is the SAME restatement
+      "stream_conditional_fetch" -> CondFetchOracleSql,
+
 
       // the applicable rule set restated as VALUES (group selection
       // pre-resolved: par 0 = what graftbot sees on even hosts, par 1 =

@@ -938,6 +938,36 @@ object Streams {
         col("delay_s"), col("sched_s"))
   }
 
+  /**
+   * Streaming conditional-fetch door — the live form of
+   * [[graft.operators.Frontier.conditionalFetchPlan]]: due URLs arrive
+   * as a stream and every micro-batch left-joins the fetch-state side's
+   * latest validators. The stream-static equi-join is STATELESS on the
+   * stream side (no watermark, no state-store rows — each URL is
+   * planned and forgotten), and Spark re-plans the static relation per
+   * micro-batch, so a state table appended between batches is seen by
+   * the next one (the ingest-loop posture). A pure projection door:
+   * batch-boundary-independent, the drain equals the batch plan
+   * row-for-row — which is exactly the oracle's formulation.
+   */
+  def conditionalFetchStream(
+      spark: SparkSession,
+      frontier: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-condfetch")
+    frontier.select(col("url").cast("string").as("url"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val plans = graft.operators.Frontier.conditionalFetchPlan(
+      reader.parquet(dir.toString), state)
+    val drained = runToMemory(plans, "append", statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+  }
+
   def sourceQuotaStream(
       spark: SparkSession,
       docs: org.apache.spark.sql.DataFrame,

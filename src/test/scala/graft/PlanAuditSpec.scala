@@ -995,4 +995,44 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"the typed top-k aggregate must plan with partial aggregation:\n$p")
   }
+
+  test("conditional fetch plan: latest-per-url is an aggregate, never a window") {
+    import graft.operators.Frontier
+    val frontier = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"))
+    val state = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        concat(lit("e"), col("doc_id")).as("etag"),
+        concat(lit("lm"), col("doc_id")).as("last_modified"),
+        col("doc_id").as("fetch_time"))
+    val p = physical(Frontier.conditionalFetchPlan(frontier, state))
+    // a URL's fetch history is unbounded across releases: latest-wins
+    // must fold as a partial-aggregable max_by, not a per-url sort
+    assert(!p.contains("Window"),
+      s"latest validators must come from an aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("revisit fold: prior side pre-aggregates per (surt,digest) before the join") {
+    import graft.sources.Warc
+    def caps(off: Long) = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("test,graft)/doc/"), col("doc_id")).as("surt"),
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("target_uri"),
+        lit("response").as("rec_type"),
+        sha2(col("text").cast("binary"), 256).as("digest"),
+        col("n_chars").cast("long").as("content_length"),
+        lit("a.warc").as("warc_file"), col("doc_id").as("rec_offset"),
+        (col("doc_id") + off).as("stored_offset"), lit(100L).as("stored_length"))
+    val p = physical(Warc.revisitCaptures(caps(1000L), caps(0L)))
+    // duplicate prior captures of one payload collapse to ONE (key, ref)
+    // row before the join — only references shuffle, never capture rows,
+    // and the earliest-original pick is a combinable min, not a window
+    assert(!p.contains("Window"),
+      s"the earliest-original pick must be an aggregate:\n$p")
+    // struct-min plans as SortAggregate — what matters is the PARTIAL
+    // phase (map-side combine before any exchange)
+    assert(p.contains("partial_min"),
+      s"the prior side must pre-aggregate map-side per key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
