@@ -2962,6 +2962,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the production composition: GPT-2 pre-tokenizer pieces as the
+    // encode units (merges cannot cross piece boundaries), the same
+    // corpus-trained merge table applied per piece — the guard filter
+    // makes the oracle's RE2 piece restatement exact (tok_pretoken_*
+    // pins the excluded forms)
+    "bpe_encode_pretok" -> ((s, dir) => {
+      val merges = Bpe.train(Bpe.vocabulary(t(s, dir, "documents"), "text"),
+        "word", "freq", 12)
+      Bpe.encodeStatsPretokenized(
+          t(s, dir, "documents").where(!col("text").rlike("\\s\\s|\\s$")),
+          "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // INTENT pin: the classic Sennrich worked example plus "lowest";
     // literal VALUES from tools/bpe_reference.py (list-based independent
     // implementation — not a rendering of the replace-chain)
@@ -7726,6 +7740,29 @@ object SparkEntry {
            |       FROM w)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            |       CAST(sum(np) AS BIGINT) AS n_pieces,
+           |       round(sum(np)::DOUBLE / count(*)::DOUBLE, 6) AS ratio
+           |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // same trained merges, applied per RE2-restated pre-tokenizer
+      // piece (exact on the guarded rows); a piece's leading space drops
+      // out of the symbol framing in both engines by the shared trim
+      "bpe_encode_pretok" ->
+        s"""WITH bpe_vocab AS (SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
+           |${BpeSql.trainCtes(12)},
+           |d AS (SELECT doc_id, text FROM documents
+           |      WHERE NOT regexp_matches(text, '\\s\\s|\\s$$')),
+           |w AS (SELECT doc_id,
+           |        unnest(regexp_extract_all(text,
+           |          '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+           |          AS word
+           |      FROM d),
+           |pc AS (SELECT doc_id,
+           |         len(string_split(trim(${BpeSql.encodeWord("word", 12)}),
+           |             '  ')) AS np
+           |       FROM w)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pre_pieces,
+           |       CAST(sum(np) AS BIGINT) AS n_bpe_pieces,
            |       round(sum(np)::DOUBLE / count(*)::DOUBLE, 6) AS ratio
            |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

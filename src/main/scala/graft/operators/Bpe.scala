@@ -241,6 +241,29 @@ object Bpe {
           lit(0L), (a, x) => a + x).as("n_pieces"))
       .withColumn("ratio",
         round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6))
+
+  /**
+   * [[encodeStats]] over GPT-2 pre-tokenizer pieces instead of
+   * whitespace words — the production tokenizer shape: the
+   * pre-tokenizer's lossless pieces are the units merges may not cross,
+   * so corpus encoding is per-piece map-side work with no cross-row
+   * state however the corpus partitions. Merge tables trained on
+   * whitespace words apply unchanged (a piece's leading space drops out
+   * of the symbol framing — the trim that bounds symbol strings strips
+   * it — so pieces encode by their visible characters). Same pure
+   * projection; documents yielding no pieces drop.
+   */
+  def encodeStatsPretokenized(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    df.select(col(idCol), TextOps.pretokenizeGpt2(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_pre_pieces"),
+        aggregate(transform(col("w"), w => pieceCount(w, merges)),
+          lit(0L), (a, x) => a + x).as("n_bpe_pieces"))
+      .withColumn("ratio",
+        round(col("n_bpe_pieces").cast("double") /
+          col("n_pre_pieces").cast("double"), 6))
 }
 
 /** DuckDB renderings of [[Bpe]] for the correctness oracle: the training

@@ -48,6 +48,29 @@ class BpeSpec extends SparkSuite {
     assert(r.getDouble(3) == 2.0)
   }
 
+  test("encodeStatsPretokenized: per-piece encode, boundaries uncrossed") {
+    // no merges: bpe pieces = visible (non-framing-space) chars per piece
+    val df = Seq((1L, "ab c d't")).toDF("id", "text")
+    val r0 = Bpe.encodeStatsPretokenized(df, "id", "text", Seq.empty)
+      .collect()(0)
+    // pieces: ["ab", " c", " d", "'t"] — leading spaces drop from the
+    // symbol framing, so 2+1+1+2 symbols
+    assert(r0.getLong(1) == 4L, r0.toString)
+    assert(r0.getLong(2) == 6L, r0.toString)
+    // one deterministic merge (a,a): "aa" merges inside a piece, and the
+    // piece boundary between "aa" and " baa" keeps their a's apart
+    val merges = Bpe.train(Seq(("aa", 5L)).toDF("word", "freq"),
+      "word", "freq", 1)
+    val r1 = Bpe.encodeStatsPretokenized(
+      Seq((1L, "aa baa")).toDF("id", "text"), "id", "text", merges)
+      .collect()(0)
+    // "aa" -> [aa] = 1; " baa" -> [b, aa] = 2
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 3L, r1.toString)
+    // empty docs drop like encodeStats
+    assert(Bpe.encodeStatsPretokenized(
+      Seq((1L, "")).toDF("id", "text"), "id", "text", merges).count() == 0L)
+  }
+
   test("encodeStats: empty docs dropped, pieces never exceed chars") {
     val docs = Seq((1L, ""), (2L, "low lower")).toDF("id", "text")
     val merges = Bpe.train(sennrich, "word", "freq", 8)
