@@ -204,6 +204,84 @@ object ScaleRehearsal {
             "doc_id", maxHops = 4)
           .agg(sum(coalesce(col("dist"), lit(0L)))).collect()
       }
+
+      // ---- component label index: build scales with the corpus, the
+      // MERGE must scale with the delta (a fixed new-pair batch) plus
+      // the linear rewrite — the claim under rehearsal -----------------
+      val pairs = corpus.select(col("doc_id"))
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      timed("component_index_build", nDocs) {
+        DedupIndex.writeComponentIndex(
+          graft.operators.Dedup.connectedComponents(
+            pairs.select(col("id_a").as("doc_id"))
+              .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct(),
+            "doc_id", pairs),
+          s"$db.components", buckets = 32)
+      }
+      // fixed 1000-pair delta at every scale: bridges between adjacent
+      // prior chains, so real components merge
+      val delta = corpus.select(col("doc_id"))
+        .where(col("doc_id") % 3 === 1).limit(1000)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 2).as("id_b"))
+      timed("component_index_merge_1k_delta", 1000) {
+        DedupIndex.mergeComponentIndex(spark, s"$db.components", delta)
+      }
+
+      // ---- WET export: width = shard count, no driver materialization -
+      val urisTexts = corpus.select(
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      timed("wet_export", nDocs) {
+        graft.sources.Warc.writeWetShards(urisTexts, "uri", "text",
+          work.resolve(s"wet$factor").toString, "2026-01-01T00:00:00Z",
+          numShards = 32)
+      }
+
+      // ---- revisit fold: prior = the corpus's captures, fresh = the
+      // same plus 10% changed payloads ----------------------------------
+      def capFrame(d: DataFrame, offset: Long) = d.select(
+        concat(lit("test,graft)/doc/"), col("doc_id")).as("surt"),
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("target_uri"),
+        lit("response").as("rec_type"),
+        sha2(col("text").cast("binary"), 256).as("digest"),
+        length(col("text")).cast("long").as("content_length"),
+        lit("a.warc").as("warc_file"), col("doc_id").as("rec_offset"),
+        (col("doc_id") + offset).as("stored_offset"),
+        lit(100L).as("stored_length"))
+      val fresh = capFrame(corpus, 1000000000L).unionByName(
+        capFrame(corpus.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(lit("changed "), col("text"))
+            .as("text")), 2000000000L))
+      timed("revisit_fold", nDocs) {
+        graft.sources.Warc.revisitCaptures(fresh, capFrame(corpus, 0L))
+          .agg(sum(col("stored_length"))).collect()
+      }
+
+      // ---- conditional fetch plan: two state releases over every URL --
+      val urls = corpus.select(
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        col("doc_id"))
+      val state = urls.select(col("url"),
+          concat(lit("e1-"), col("doc_id")).as("etag"),
+          concat(lit("lm1-"), col("doc_id")).as("last_modified"),
+          col("doc_id").as("fetch_time"))
+        .unionByName(urls.where(col("doc_id") % 2 === 0).select(col("url"),
+          concat(lit("e2-"), col("doc_id")).as("etag"),
+          lit(null).cast("string").as("last_modified"),
+          (col("doc_id") + 1000000000L).as("fetch_time")))
+      timed("conditional_fetch_plan", nDocs) {
+        graft.operators.Frontier.conditionalFetchPlan(
+            urls.select(col("url")), state)
+          .agg(count(col("if_none_match"))).collect()
+      }
+
+      // ---- GPT-2 pre-tokenize: pure map-side, must track scan CPU -----
+      timed("pretokenize_count", nDocs) {
+        corpus.select(size(graft.functions.TextOps.pretokenizeGpt2(
+            col("text"))).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
     } finally {
       graft.streaming.Streams.cleanupStaging(work)
       spark.stop()

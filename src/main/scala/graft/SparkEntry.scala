@@ -1466,6 +1466,27 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // the OTHER canonical CDX access pattern: every capture of a host —
+    // the same rows as warc_cdx_indexed but partitioned by the SURT
+    // host key, so the domain probe prunes to one directory (per-site
+    // accounting / takedown sweeps / re-crawl seeding); build from
+    // shards 0-1, blind-append 2-3, compact, probe the host — the
+    // oracle restates all 40 captures from construction
+    "warc_cdx_host_indexed" -> ((s, dir) => {
+      val fix = warcFixture(s, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cdx_host").toString + "/idx"
+      graft.sources.Warc.writeCdxHostIndex(s,
+        Seq(s"$fix/shard0.warc", s"$fix/shard1.warc"), out)
+      graft.sources.Warc.appendCdxHostIndex(s,
+        Seq(s"$fix/shard2.warc", s"$fix/shard3.warc"), out)
+      operators.Bucketing.compactPartitioned(s, out, "surt_host")
+      graft.sources.Warc.lookupCdxByHost(s, out, Seq("graft.test"))
+        .select(col("surt_host"), col("target_uri"), col("rec_type"),
+          col("content_length"), col("digest"))
+        .orderBy(col("target_uri"), col("rec_type"))
+    }),
+
     // curated text back INTO the archive convention (the public WET
     // sidecar): extract main text from the response captures, write it
     // as distributed conversion-record shards (one gzip member per
@@ -6232,6 +6253,30 @@ object SparkEntry {
            |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
            |            ELSE sha256(text) END AS payload_sha
            |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // all 40 captures of the probed host restated from construction —
+      // the warc_cdx_indexed shape with the host partition key; an
+      // append or compaction that dropped/duplicated a capture, or a
+      // probe that missed a release's directory file, fails here
+      "warc_cdx_host_indexed" ->
+        s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+           |hh AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+           |         'Content-Type: text/html' || chr(13) || chr(10) ||
+           |         chr(13) || chr(10) AS v)
+           |SELECT 'test,graft' AS surt_host,
+           |       'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |         AS target_uri,
+           |       CASE WHEN doc_id % 2 = 0 THEN 'response'
+           |            ELSE 'resource' END AS rec_type,
+           |       CAST(CASE WHEN doc_id % 2 = 0
+           |            THEN octet_length(encode(
+           |              (SELECT v FROM hh) || $SynthHtmlSql))
+           |            ELSE octet_length(encode(text)) END AS BIGINT)
+           |         AS content_length,
+           |       CASE WHEN doc_id % 2 = 0
+           |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
+           |            ELSE sha256(text) END AS digest
+           |FROM docs ORDER BY target_uri, rec_type""".stripMargin,
 
       // the conversion records' text restated from the markup
       // construction (the warc_extract oracle's pipeline) — the oracle

@@ -530,6 +530,61 @@ object Warc {
     spark.table(table).where(col("surt").isin(keys: _*))
   }
 
+  /** The SURT's host segment (everything before `)`) — the partition key
+    * of the host-partitioned CDX companion. */
+  private def surtHost(surt: org.apache.spark.sql.Column) =
+    substring_index(surt, ")", 1)
+
+  /**
+   * Host-partitioned CDX companion — the DOMAIN-query layout beside the
+   * SURT-bucketed one: the same capture rows written
+   * `partitionBy(surt_host)` (one directory per host key, the IVF cell
+   * convention), so "every capture of host X" — the other canonical CDX
+   * access pattern (per-site accounting, takedown sweeps, re-crawl
+   * seeding) — prunes to that host's directory (`PartitionFilters`,
+   * plan-pinned) instead of scanning a snapshot-wide index. Appends are
+   * blind directory adds per release;
+   * [[graft.operators.Bucketing.compactPartitioned]] is the maintenance
+   * fold. The bucketed index answers by-URL probes; this one answers
+   * by-host scans — same rows, two at-rest sort orders, each pruning
+   * its own query shape.
+   */
+  def writeCdxHostIndex(
+      spark: SparkSession, warcPaths: Seq[String], path: String): Unit =
+    cdxHostRows(spark, warcPaths)
+      .write.mode("overwrite").partitionBy("surt_host").parquet(path)
+
+  /** Index newly-arrived shards into the host-partitioned layout (blind
+    * per-release append — one more file per touched host directory). */
+  def appendCdxHostIndex(
+      spark: SparkSession, warcPaths: Seq[String], path: String): Unit =
+    cdxHostRows(spark, warcPaths)
+      .write.mode("append").partitionBy("surt_host").parquet(path)
+
+  private def cdxHostRows(
+      spark: SparkSession, warcPaths: Seq[String]): DataFrame =
+    cdxRows(spark, warcPaths)
+      .withColumn("surt_host", surtHost(col("surt")))
+
+  /** Every capture of the probed hosts (plain host names, `host:port`
+    * for explicit non-default ports): the probe keys derive through the
+    * SAME reversal expression the writer used, and the scan prunes to
+    * those hosts' directories. */
+  def lookupCdxByHost(
+      spark: SparkSession, path: String, hosts: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(hosts.nonEmpty, "lookupCdxByHost: empty host set")
+    val keys = hosts.toDF("h")
+      .select(concat(
+        array_join(reverse(split(substring_index(col("h"), ":", 1), "\\.")),
+          ","),
+        when(col("h").contains(":"),
+            concat(lit(":"), substring_index(col("h"), ":", -1)))
+          .otherwise(lit(""))))
+      .collect().map(_.getString(0)).toSeq
+    spark.read.parquet(path).where(col("surt_host").isin(keys: _*))
+  }
+
   /** Hadoop `Configuration` is not `Serializable`; this is the standard
     * write/readFields envelope so fetch tasks see the session's FS config
     * (credentials, object-store endpoints) instead of a bare default. */

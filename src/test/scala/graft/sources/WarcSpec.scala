@@ -378,6 +378,38 @@ class WarcSpec extends SparkSuite {
     assert(readBack() == got)
   }
 
+  test("host-partitioned CDX: the domain probe prunes to the host's directory") {
+    val dir = java.nio.file.Files.createTempDirectory("cdx_host")
+    val date = "2026-01-01T00:00:00Z"
+    val recs = Seq(
+      renderRecord("resource", Some("https://a.test/x"), date,
+        "text/plain", utf8("content ax")),
+      renderRecord("resource", Some("https://a.test/y"), date,
+        "text/plain", utf8("content ay")),
+      renderRecord("resource", Some("https://b.test/z"), date,
+        "text/plain", utf8("content bz")),
+      renderRecord("resource", Some("https://b.test:8080/p"), date,
+        "text/plain", utf8("content bp")))
+    writeFile(dir, "s.warc", concatBytes(recs: _*))
+    val out = dir.resolve("idx").toString
+    Warc.writeCdxHostIndex(spark, Seq(dir.resolve("s.warc").toString), out)
+    val probe = Warc.lookupCdxByHost(spark, out, Seq("a.test"))
+    assert(probe.collect().map(_.getAs[String]("target_uri")).sorted.toSeq ==
+      Seq("https://a.test/x", "https://a.test/y"))
+    val p = probe.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("PartitionFilters: ["))
+      .getOrElse("")
+    assert(scan.contains("surt_host") && !scan.contains("PartitionFilters: []"),
+      s"the host probe must prune partitions:\n$p")
+    // an explicit non-default port is its own host key (the surtKey rule)
+    assert(Warc.lookupCdxByHost(spark, out, Seq("b.test:8080"))
+      .collect().map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("https://b.test:8080/p"))
+    assert(Warc.lookupCdxByHost(spark, out, Seq("b.test"))
+      .collect().map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("https://b.test/z"))
+  }
+
   test("revisitCaptures: seen digests fold to revisit rows addressing the earliest original") {
     val spark2 = spark
     import spark2.implicits._
