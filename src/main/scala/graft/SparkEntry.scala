@@ -2983,6 +2983,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // train on what you will encode: the merge table learned from the
+    // pre-tokenizer PIECE vocabulary (leading spaces drop through the
+    // shared symbol-framing trim), oracle = the same 12-level unrolled
+    // trainer over the RE2 piece restatement
+    "bpe_merges_pretok" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.train(Bpe.vocabularyPretokenized(
+          t(s, dir, "documents").where(!col("text").rlike("\\s\\s|\\s$")),
+          "text"), "word", "freq", 12)
+        .map(m => (m.rank.toLong, m.left, m.right, m.cnt))
+        .toDF("rank", "left_sym", "right_sym", "pair_freq")
+        .orderBy(col("rank"))
+    }),
+
     // the production composition: GPT-2 pre-tokenizer pieces as the
     // encode units (merges cannot cross piece boundaries), the same
     // corpus-trained merge table applied per piece — the guard filter
@@ -7769,6 +7783,22 @@ object SparkEntry {
       "bpe_merges" ->
         s"""WITH bpe_vocab AS (SELECT tok AS word, count(*) AS freq
            |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
+           |${BpeSql.trainCtes(12)}
+           |SELECT * FROM (
+           |${BpeSql.mergeRows(12)}
+           |) ORDER BY rank""".stripMargin,
+
+      // the same unrolled trainer over the RE2-restated pre-tokenizer
+      // piece vocabulary (exact on the guarded rows): train on what you
+      // will encode — both engines drop a piece's leading space through
+      // the shared symbol-framing trim
+      "bpe_merges_pretok" ->
+        s"""WITH d AS (SELECT text FROM documents
+           |      WHERE NOT regexp_matches(text, '\\s\\s|\\s$$')),
+           |bpe_vocab AS (SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest(regexp_extract_all(text,
+           |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+           |    AS tok FROM d) GROUP BY tok),
            |${BpeSql.trainCtes(12)}
            |SELECT * FROM (
            |${BpeSql.mergeRows(12)}

@@ -63,6 +63,16 @@ object Bpe {
     df.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** [[vocabulary]] over GPT-2 pre-tokenizer pieces — the production
+    * trainer input (train on what you will encode): pieces keep their
+    * leading space as part of the unit, but the symbol framing's trim
+    * drops it from the symbol string, so a piece trains by its visible
+    * characters (identically in the local trainer and the SQL oracle —
+    * the shared trim rule). Same one corpus-wide aggregate. */
+  def vocabularyPretokenized(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.pretokenizeGpt2(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
   /** Default cap on the collected vocabulary rows (~4M words ≈ a few
     * hundred MB of driver strings — bounded however large the corpus). */
   val DefaultMaxVocab: Int = 4000000
