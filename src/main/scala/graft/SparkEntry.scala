@@ -566,6 +566,30 @@ object SparkEntry {
     (6, "line1\nline2  \n x"),
     (7, ""))
 
+  /** Shared two-release fetch-state fixture for the conditional-fetch
+    * gates: release 1 covers ids < 50 (ETag iff id%3=0, Last-Modified
+    * iff id%3<2), release 2 refreshes even ids with a v2 ETag and no
+    * Last-Modified; ids 50-59 never fetched. Returns (frontier urls,
+    * state log); [[CondFetchOracleSql]] is its restatement. */
+  private def condFetchFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val urls = t(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"),
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"))
+    val st1 = urls.where(col("doc_id") < 50).select(col("url"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("W/\"v1-"), col("doc_id"), lit("\""))).as("etag"),
+      when(col("doc_id") % 3 < 2,
+        concat(lit("lm-"), col("doc_id"))).as("last_modified"),
+      (col("doc_id") + 100).as("fetch_time"))
+    val st2 = urls.where(col("doc_id") < 50 && col("doc_id") % 2 === 0)
+      .select(col("url"),
+        concat(lit("W/\"v2-"), col("doc_id"), lit("\"")).as("etag"),
+        lit(null).cast("string").as("last_modified"),
+        (col("doc_id") + 1000).as("fetch_time"))
+    (urls.select(col("url")), st1.unionByName(st2))
+  }
+
   /** The conditional-fetch restatement shared by the batch and
     * streaming doors (the stream is a stateless projection, so both
     * must land on identical rows). */
@@ -598,6 +622,51 @@ object SparkEntry {
           |        l.if_modified_since IS NOT NULL) AS conditional
           |FROM d LEFT JOIN latest l ON d.url = l.url
           |ORDER BY d.url""".stripMargin
+
+  /** Shared two-release duplicate-pair fixture: release 1 chains
+    * (3k, 3k+1); release 2 extends (3k+1, 3k+2) on even k and bridges
+    * (3k+1, 3k+3) on k ≡ 0 (mod 5). Returns (p1, p2, release-1
+    * members); [[ComponentsMergeOracleSql]] is its cold closure. */
+  private def componentPairFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .where(col("doc_id") < 300)
+    val p1 = d.where(col("doc_id") % 3 === 0 && col("doc_id") + 1 < 300)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    val p2 = d.where(col("doc_id") % 6 === 0 && col("doc_id") + 2 < 300)
+      .select((col("doc_id") + 1).as("id_a"), (col("doc_id") + 2).as("id_b"))
+      .unionByName(
+        d.where(col("doc_id") % 15 === 0 && col("doc_id") + 3 < 300)
+          .select((col("doc_id") + 1).as("id_a"),
+            (col("doc_id") + 3).as("id_b")))
+    val members1 = p1.select(col("id_a").as("doc_id"))
+      .unionByName(p1.select(col("id_b").as("doc_id"))).distinct()
+    (p1, p2, members1)
+  }
+
+  /** The cold transitive closure over the FULL accumulated pair set of
+    * [[componentPairFixture]] — shared by both merge gates (the at-rest
+    * path must land on identical labels). */
+  private val ComponentsMergeOracleSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id FROM documents WHERE doc_id < 300),
+      |p1 AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d
+      |       WHERE doc_id % 3 = 0 AND doc_id + 1 < 300),
+      |p2 AS (SELECT doc_id + 1 AS id_a, doc_id + 2 AS id_b FROM d
+      |       WHERE doc_id % 6 = 0 AND doc_id + 2 < 300
+      |       UNION ALL
+      |       SELECT doc_id + 1, doc_id + 3 FROM d
+      |       WHERE doc_id % 15 = 0 AND doc_id + 3 < 300),
+      |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM allp
+      |          UNION ALL SELECT id_b, id_a FROM allp),
+      |members AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, label) AS (
+      |  SELECT id, id FROM members
+      |  UNION
+      |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id)
+      |SELECT id AS doc_id, min(label) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** BM25 intent-pin corpus; expected scores derive from
     * `tools/bm25_reference.py` (independent Python implementation). */
@@ -1060,18 +1129,7 @@ object SparkEntry {
     // full accumulated pair set as a recursive CTE, so the merge path
     // must land on identical canonical min-id labels
     "dedup_components_merged" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") < 300)
-      val p1 = d.where(col("doc_id") % 3 === 0 && col("doc_id") + 1 < 300)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      val p2 = d.where(col("doc_id") % 6 === 0 && col("doc_id") + 2 < 300)
-        .select((col("doc_id") + 1).as("id_a"), (col("doc_id") + 2).as("id_b"))
-        .unionByName(
-          d.where(col("doc_id") % 15 === 0 && col("doc_id") + 3 < 300)
-            .select((col("doc_id") + 1).as("id_a"),
-              (col("doc_id") + 3).as("id_b")))
-      val members1 = p1.select(col("id_a").as("doc_id"))
-        .unionByName(p1.select(col("id_b").as("doc_id"))).distinct()
+      val (p1, p2, members1) = componentPairFixture(s, dir)
       val prior = Dedup.connectedComponents(members1, "doc_id", p1)
       Dedup.componentsMerge(prior, "doc_id", "component", p2)
         .orderBy(col("doc_id"))
@@ -1084,18 +1142,7 @@ object SparkEntry {
     // the identical cold transitive closure, so a label the maintenance
     // path dropped, duplicated, or mis-merged fails the row
     "dedup_component_index_merged" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id") < 300)
-      val p1 = d.where(col("doc_id") % 3 === 0 && col("doc_id") + 1 < 300)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      val p2 = d.where(col("doc_id") % 6 === 0 && col("doc_id") + 2 < 300)
-        .select((col("doc_id") + 1).as("id_a"), (col("doc_id") + 2).as("id_b"))
-        .unionByName(
-          d.where(col("doc_id") % 15 === 0 && col("doc_id") + 3 < 300)
-            .select((col("doc_id") + 1).as("id_a"),
-              (col("doc_id") + 3).as("id_b")))
-      val members1 = p1.select(col("id_a").as("doc_id"))
-        .unionByName(p1.select(col("id_b").as("doc_id"))).distinct()
+      val (p1, p2, members1) = componentPairFixture(s, dir)
       val tbl = s"${indexDb(s)}.dedup_component_idx"
       operators.DedupIndex.writeComponentIndex(
         Dedup.connectedComponents(members1, "doc_id", p1), tbl, buckets = 8)
@@ -1545,22 +1592,8 @@ object SparkEntry {
     // unconditional). Oracle restates latest-wins with its own
     // max(fetch_time) join-back formulation
     "crawl_conditional_fetch" -> ((s, dir) => {
-      val urls = t(s, dir, "documents").where(col("doc_id") < 60)
-        .select(col("doc_id"),
-          concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"))
-      val st1 = urls.where(col("doc_id") < 50).select(col("url"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("W/\"v1-"), col("doc_id"), lit("\""))).as("etag"),
-        when(col("doc_id") % 3 < 2,
-          concat(lit("lm-"), col("doc_id"))).as("last_modified"),
-        (col("doc_id") + 100).as("fetch_time"))
-      val st2 = urls.where(col("doc_id") < 50 && col("doc_id") % 2 === 0)
-        .select(col("url"),
-          concat(lit("W/\"v2-"), col("doc_id"), lit("\"")).as("etag"),
-          lit(null).cast("string").as("last_modified"),
-          (col("doc_id") + 1000).as("fetch_time"))
-      operators.Frontier.conditionalFetchPlan(
-          urls.select(col("url")), st1.unionByName(st2))
+      val (frontier, state) = condFetchFixture(s, dir)
+      operators.Frontier.conditionalFetchPlan(frontier, state)
         .orderBy(col("url"))
     }),
 
@@ -2945,15 +2978,16 @@ object SparkEntry {
     }),
 
     // the pre-tokenizer's lossless-partition property corpus-wide, plus
-    // piece counts: on rows with no multi-space runs and no trailing
-    // whitespace (all of the synthetic corpus — the guard filter makes
-    // the equivalence a construction fact, and the edge corpus above
-    // pins the excluded forms) the lookahead arm never fires, so the
+    // piece counts: on ASCII-only rows with no multi-space runs and no
+    // trailing whitespace (all of the synthetic corpus — the guard
+    // filter makes the equivalence a construction fact, and the edge
+    // corpus above pins the excluded forms) the lookahead arm never
+    // fires and Java's (?U)\s agrees with RE2's ASCII \s, so the
     // oracle's RE2 restatement with a plain `\s+` tail is exact
     "tok_pretoken_lossless" -> ((s, dir) => {
       val pieces = TextOps.pretokenizeGpt2(col("text"))
       t(s, dir, "documents")
-        .where(!col("text").rlike("\\s\\s|\\s$"))
+        .where(!col("text").rlike("[^\\x00-\\x7F]|\\s\\s|\\s$"))
         .select(col("doc_id"), size(pieces).cast("bigint").as("n_pieces"),
           (concat_ws("", pieces) === col("text")).as("lossless"))
         .orderBy(col("doc_id"))
@@ -2990,7 +3024,7 @@ object SparkEntry {
     "bpe_merges_pretok" -> ((s, dir) => {
       import s.implicits._
       Bpe.train(Bpe.vocabularyPretokenized(
-          t(s, dir, "documents").where(!col("text").rlike("\\s\\s|\\s$")),
+          t(s, dir, "documents").where(!col("text").rlike("[^\\x00-\\x7F]|\\s\\s|\\s$")),
           "text"), "word", "freq", 12)
         .map(m => (m.rank.toLong, m.left, m.right, m.cnt))
         .toDF("rank", "left_sym", "right_sym", "pair_freq")
@@ -3006,7 +3040,7 @@ object SparkEntry {
       val merges = Bpe.train(Bpe.vocabulary(t(s, dir, "documents"), "text"),
         "word", "freq", 12)
       Bpe.encodeStatsPretokenized(
-          t(s, dir, "documents").where(!col("text").rlike("\\s\\s|\\s$")),
+          t(s, dir, "documents").where(!col("text").rlike("[^\\x00-\\x7F]|\\s\\s|\\s$")),
           "doc_id", "text", merges)
         .orderBy(col("doc_id"))
     }),
@@ -4518,22 +4552,9 @@ object SparkEntry {
     // stream-static join, so the drain must equal the batch plan
     // row-for-row (the shared oracle formulation)
     "stream_conditional_fetch" -> ((s, dir) => {
-      val urls = t(s, dir, "documents").where(col("doc_id") < 60)
-        .select(col("doc_id"),
-          concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"))
-      val st1 = urls.where(col("doc_id") < 50).select(col("url"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("W/\"v1-"), col("doc_id"), lit("\""))).as("etag"),
-        when(col("doc_id") % 3 < 2,
-          concat(lit("lm-"), col("doc_id"))).as("last_modified"),
-        (col("doc_id") + 100).as("fetch_time"))
-      val st2 = urls.where(col("doc_id") < 50 && col("doc_id") % 2 === 0)
-        .select(col("url"),
-          concat(lit("W/\"v2-"), col("doc_id"), lit("\"")).as("etag"),
-          lit(null).cast("string").as("last_modified"),
-          (col("doc_id") + 1000).as("fetch_time"))
-      Streams.conditionalFetchStream(s, urls.select(col("url")),
-          st1.unionByName(st2), maxFilesPerTrigger = Some(2))
+      val (frontier, state) = condFetchFixture(s, dir)
+      Streams.conditionalFetchStream(s, frontier, state,
+          maxFilesPerTrigger = Some(2))
         .orderBy(col("url"))
     }),
 
@@ -5807,49 +5828,11 @@ object SparkEntry {
 
       // the FULL accumulated pair set's transitive closure, cold — the
       // engine's star-edge merge must reproduce it exactly
-      "dedup_components_merged" ->
-        """WITH RECURSIVE d AS (
-          |  SELECT doc_id FROM documents WHERE doc_id < 300),
-          |p1 AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d
-          |       WHERE doc_id % 3 = 0 AND doc_id + 1 < 300),
-          |p2 AS (SELECT doc_id + 1 AS id_a, doc_id + 2 AS id_b FROM d
-          |       WHERE doc_id % 6 = 0 AND doc_id + 2 < 300
-          |       UNION ALL
-          |       SELECT doc_id + 1, doc_id + 3 FROM d
-          |       WHERE doc_id % 15 = 0 AND doc_id + 3 < 300),
-          |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM allp
-          |          UNION ALL SELECT id_b, id_a FROM allp),
-          |members AS (SELECT DISTINCT src AS id FROM edges),
-          |reach(id, label) AS (
-          |  SELECT id, id FROM members
-          |  UNION
-          |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id)
-          |SELECT id AS doc_id, min(label) AS component
-          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      "dedup_components_merged" -> ComponentsMergeOracleSql,
 
       // identical cold closure — the at-rest maintenance path must land
       // on the same labels the from-scratch recompute does
-      "dedup_component_index_merged" ->
-        """WITH RECURSIVE d AS (
-          |  SELECT doc_id FROM documents WHERE doc_id < 300),
-          |p1 AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d
-          |       WHERE doc_id % 3 = 0 AND doc_id + 1 < 300),
-          |p2 AS (SELECT doc_id + 1 AS id_a, doc_id + 2 AS id_b FROM d
-          |       WHERE doc_id % 6 = 0 AND doc_id + 2 < 300
-          |       UNION ALL
-          |       SELECT doc_id + 1, doc_id + 3 FROM d
-          |       WHERE doc_id % 15 = 0 AND doc_id + 3 < 300),
-          |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM allp
-          |          UNION ALL SELECT id_b, id_a FROM allp),
-          |members AS (SELECT DISTINCT src AS id FROM edges),
-          |reach(id, label) AS (
-          |  SELECT id, id FROM members
-          |  UNION
-          |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id)
-          |SELECT id AS doc_id, min(label) AS component
-          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      "dedup_component_index_merged" -> ComponentsMergeOracleSql,
 
       "dedup_components" -> {
         val thash = TextOpsSql.tokenHashes("toks")
@@ -7770,7 +7753,7 @@ object SparkEntry {
       // with the excluded forms pinned by tok_pretoken_gpt2
       "tok_pretoken_lossless" ->
         """WITH d AS (SELECT doc_id, text FROM documents
-          |           WHERE NOT regexp_matches(text, '\s\s|\s$')),
+          |           WHERE NOT regexp_matches(text, '[^\x00-\x7f]|\s\s|\s$')),
           |p AS (SELECT doc_id, text,
           |        regexp_extract_all(text,
           |          '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
@@ -7794,7 +7777,7 @@ object SparkEntry {
       // the shared symbol-framing trim
       "bpe_merges_pretok" ->
         s"""WITH d AS (SELECT text FROM documents
-           |      WHERE NOT regexp_matches(text, '\\s\\s|\\s$$')),
+           |      WHERE NOT regexp_matches(text, '[^\\x00-\\x7f]|\\s\\s|\\s$$')),
            |bpe_vocab AS (SELECT tok AS word, count(*) AS freq
            |  FROM (SELECT unnest(regexp_extract_all(text,
            |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
@@ -7826,7 +7809,7 @@ object SparkEntry {
            |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
            |${BpeSql.trainCtes(12)},
            |d AS (SELECT doc_id, text FROM documents
-           |      WHERE NOT regexp_matches(text, '\\s\\s|\\s$$')),
+           |      WHERE NOT regexp_matches(text, '[^\\x00-\\x7f]|\\s\\s|\\s$$')),
            |w AS (SELECT doc_id,
            |        unnest(regexp_extract_all(text,
            |          '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))

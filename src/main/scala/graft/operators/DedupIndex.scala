@@ -355,22 +355,33 @@ object DedupIndex {
   private[graft] def mergeComponentIndex(
       spark: SparkSession, table: String, newPairs: DataFrame,
       aCol: String, bCol: String, midSwapFault: () => Unit): Unit = {
-    val prior = spark.table(table)
-    val Seq(idCol, labelCol) = prior.schema.fieldNames.toSeq
-    val np = newPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
-      .localCheckpoint()
-    val newIds = np.select(col("id_a").as(idCol))
-      .unionByName(np.select(col("id_b").as(idCol))).distinct()
-    val touched = prior.join(newIds, Seq(idCol), "left_semi")
-      .select(col(labelCol)).distinct()
-    val affected = prior.join(touched, Seq(labelCol), "left_semi")
-      .select(col(idCol), col(labelCol))
-    val untouched = prior.join(touched, Seq(labelCol), "left_anti")
-      .select(col(idCol), col(labelCol))
-    val merged = Dedup.componentsMerge(affected, idCol, labelCol, np)
-      .withColumnRenamed("component", labelCol)
-      .select(col(idCol), col(labelCol))
-    Bucketing.replaceBucketed(spark, table,
-      untouched.unionByName(merged), midSwapFault)
+    // self-heal a crashed prior swap BEFORE resolving the table name —
+    // after a death between the swap's renames only `<table>__old`
+    // exists, and the maintenance entry point must be re-runnable
+    // (the compactBucketed discipline)
+    Bucketing.recoverCompaction(spark, table)
+    // one materialized read of the (compact — 2 longs/doc) label table:
+    // it feeds the touched/affected/untouched splits AND the star frame,
+    // and the rewrite must not re-derive them from repeated table scans
+    val prior = spark.table(table).persist()
+    try {
+      val Seq(idCol, labelCol) = prior.schema.fieldNames.toSeq
+      val np = newPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+        .localCheckpoint()
+      val newIds = np.select(col("id_a").as(idCol))
+        .unionByName(np.select(col("id_b").as(idCol))).distinct()
+      val touched = prior.join(newIds, Seq(idCol), "left_semi")
+        .select(col(labelCol)).distinct()
+        .localCheckpoint() // delta-sized; read by the semi AND anti join
+      val affected = prior.join(touched, Seq(labelCol), "left_semi")
+        .select(col(idCol), col(labelCol))
+      val untouched = prior.join(touched, Seq(labelCol), "left_anti")
+        .select(col(idCol), col(labelCol))
+      val merged = Dedup.componentsMerge(affected, idCol, labelCol, np)
+        .withColumnRenamed("component", labelCol)
+        .select(col(idCol), col(labelCol))
+      Bucketing.replaceBucketed(spark, table,
+        untouched.unionByName(merged), midSwapFault)
+    } finally prior.unpersist()
   }
 }

@@ -206,6 +206,12 @@ object Frontier {
    * minimum. Delays must be positive — a zero delay would unbound the
    * cap — and the cap must stay sane (≤ 2²⁰ buffered rows per host);
    * both are enforced loudly.
+   *
+   * Null handling: a NULL priority (e.g. [[revisitPriority]]'s
+   * cold-start URLs, which return no estimate by design) schedules
+   * AFTER every prioritized URL of its host — the desc-nulls-last
+   * convention — and surfaces as NULL in the output; a NULL url is
+   * unfetchable and is dropped.
    */
   def schedule(
       urls: DataFrame, delays: DataFrame,
@@ -228,9 +234,14 @@ object Frontier {
     val prioType = urls.schema(priorityCol).dataType
     val top = udaf(new SlotKAgg(cap.toInt))
     urls
+      .where(col(urlCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"), col(urlCol),
         Robots.urlHost(col(urlCol)).as("host"),
-        col(priorityCol).cast("double").as("__prio"))
+        // nulls-last under the desc sort inside the typed aggregate
+        // (the Tuple3 encoder's Double field is non-nullable): -∞ is
+        // below every real priority and maps back to NULL on output
+        coalesce(col(priorityCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__prio"))
       .groupBy(col("host"))
       .agg(top(col("__prio"), col(urlCol), col("__id")).as("__top"))
       .select(col("host"),
@@ -243,7 +254,8 @@ object Frontier {
       .where(col("sched_s") < lit(horizonS))
       .select(col("__e._3").cast(idType).as(idCol),
         col("__e._2").as(urlCol), col("host"),
-        col("__e._1").cast(prioType).as("priority"),
+        when(col("__e._1") === lit(Double.NegativeInfinity), lit(null))
+          .otherwise(col("__e._1")).cast(prioType).as("priority"),
         col("slot"), col("delay_s"), col("sched_s"))
   }
 

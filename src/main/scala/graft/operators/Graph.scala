@@ -79,15 +79,7 @@ object Graph {
       iters: Int, unit: Long = RankUnit): DataFrame = {
     require(iters >= 1 && iters <= 64, "pagerank: iters must be in 1..64")
     require(unit >= 100L, "pagerank: unit must be at least 100")
-    // persist the loop-invariant frames: every round re-joins e/outdeg
-    // and re-reads nodes — without the cache a k-round run re-executes
-    // the edge lineage (which may be a whole extract→gate→trap chain,
-    // as in pipeline_crawl) ~3k times
-    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
-    val e = e0.persist()
-    val nodes = nodes0.persist()
-    val outdeg =
-      e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
+    val (e, nodes, outdeg) = prepPersisted(edges, srcCol, dstCol)
     val r0 = nodes.select(col("node"), lit(unit).as("__pr"))
     runRounds(e, nodes, outdeg, r0, iters, unit)
   }
@@ -111,17 +103,29 @@ object Graph {
       iters: Int, unit: Long = RankUnit): DataFrame = {
     require(iters >= 1 && iters <= 64, "pagerankWarm: iters must be in 1..64")
     require(unit >= 100L, "pagerankWarm: unit must be at least 100")
-    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
-    val e = e0.persist()
-    val nodes = nodes0.persist()
-    val outdeg =
-      e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
+    val (e, nodes, outdeg) = prepPersisted(edges, srcCol, dstCol)
     val r0 = nodes.join(
         prior.select(col(nodeCol).cast("long").as("node"),
           col(rankCol).cast("long").as("__pr0")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__pr0"), lit(unit)).as("__pr"))
     runRounds(e, nodes, outdeg, r0, iters, unit)
+  }
+
+  /** The loop-invariant frames both fixpoint entry points share,
+    * persisted once: every round re-joins e/outdeg and re-reads nodes —
+    * without the cache a k-round run re-executes the edge lineage
+    * (which may be a whole extract→gate→trap chain, as in
+    * pipeline_crawl) ~3k times. */
+  private def prepPersisted(
+      edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
+    val e = e0.persist()
+    val nodes = nodes0.persist()
+    val outdeg =
+      e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
+    (e, nodes, outdeg)
   }
 
   /** The shared damped-round loop over a prepared (and persisted)

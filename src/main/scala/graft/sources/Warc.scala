@@ -353,7 +353,9 @@ object Warc {
         catch { case _: NumberFormatException => return None }
       i = eol + 1
       if (size == 0L) return Some(out.toByteArray)
-      if (size > b.length - i) return None
+      // a negative hex size ("-1") is malformed framing, not an
+      // exception: it would pass the overrun guard and crash the write
+      if (size < 0L || size > b.length - i) return None
       out.write(b, i, size.toInt)
       i += size.toInt
       // the chunk-data CRLF (tolerate bare LF)
@@ -567,21 +569,21 @@ object Warc {
       .withColumn("surt_host", surtHost(col("surt")))
 
   /** Every capture of the probed hosts (plain host names, `host:port`
-    * for explicit non-default ports): the probe keys derive through the
-    * SAME reversal expression the writer used, and the scan prunes to
-    * those hosts' directories. */
+    * for explicit non-default ports): the probe keys derive by the SAME
+    * label-reversal rule the writer's SURT expression applies — a pure
+    * string computation, done driver-side (a Spark job to reverse a
+    * handful of probe strings would cost a full scheduling round-trip
+    * per lookup) — and the scan prunes to those hosts' directories. */
   def lookupCdxByHost(
       spark: SparkSession, path: String, hosts: Seq[String]): DataFrame = {
-    import spark.implicits._
     require(hosts.nonEmpty, "lookupCdxByHost: empty host set")
-    val keys = hosts.toDF("h")
-      .select(concat(
-        array_join(reverse(split(substring_index(col("h"), ":", 1), "\\.")),
-          ","),
-        when(col("h").contains(":"),
-            concat(lit(":"), substring_index(col("h"), ":", -1)))
-          .otherwise(lit(""))))
-      .collect().map(_.getString(0)).toSeq
+    val keys = hosts.map { h =>
+      val (host, port) = h.indexOf(':') match {
+        case -1 => (h, "")
+        case i => (h.substring(0, i), h.substring(i))
+      }
+      host.split('.').reverseIterator.mkString(",") + port
+    }
     spark.read.parquet(path).where(col("surt_host").isin(keys: _*))
   }
 
@@ -668,11 +670,14 @@ object Warc {
    * the URI, written straight from its task through the task-side
    * filesystem — no driver materialization; at 100 TB the export is as
    * wide as `numShards`. Hash partitioning makes shard MEMBERSHIP
-   * deterministic, and each task stages to `<shard>.inprogress` then
-   * renames over the target, so a retried or speculative task rewrites
-   * its whole shard instead of interleaving partial bytes (the
-   * compactBucketed rename-aside posture; a full job-commit protocol is
-   * the production sink's job, stated not smuggled).
+   * deterministic, and each attempt stages to an ATTEMPT-UNIQUE
+   * `<shard>.inprogress-<attemptId>` then renames over the target, so a
+   * retried or even concurrently-speculated attempt rewrites its whole
+   * shard from its own staging file — two attempts never share a write
+   * handle, and the last rename wins with a complete copy (the
+   * compactBucketed rename-aside posture; a killed attempt can orphan
+   * its staging file — swept by maintenance; a full job-commit protocol
+   * is the production sink's job, stated not smuggled).
    *
    * Returns the written shard paths (≤ numShards rows — driver-bounded
    * by construction) so callers re-read with explicit file lists, never
@@ -692,10 +697,12 @@ object Warc {
       .mapPartitions { iter =>
         if (iter.isEmpty) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val name = f"wet-$pid%05d.warc.gz"
           val dest = new org.apache.hadoop.fs.Path(outDir, name)
-          val tmp = new org.apache.hadoop.fs.Path(outDir, s"$name.inprogress")
+          val tmp = new org.apache.hadoop.fs.Path(outDir,
+            s"$name.inprogress-${tc.taskAttemptId()}")
           val fs = dest.getFileSystem(conf.value.value)
           val out = fs.create(tmp, true)
           try {

@@ -282,11 +282,23 @@ class DedupIndexSpec extends SparkSuite {
     assert(boom.getMessage == "driver died mid-swap")
     // the full pre-merge labeling survives under the aside name
     assert(labelMap(s"$db.comp_crash__old") == before)
-    Bucketing.recoverCompaction(spark, s"$db.comp_crash")
-    assert(labelMap(s"$db.comp_crash") == before)
-    // re-running the merge (which self-heals first) lands the new labels
+    // re-running the merge DIRECTLY (no manual recovery) must self-heal
+    // the crashed swap first — the maintenance entry point is
+    // re-runnable from any crash point, the compactBucketed discipline
     DedupIndex.mergeComponentIndex(spark, s"$db.comp_crash",
       Seq((2L, 10L)).toDF("id_a", "id_b"))
+    assert(labelMap(s"$db.comp_crash") ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    assert(!spark.catalog.tableExists(s"$db.comp_crash__old"))
+    // recoverCompaction alone also restores a readable table (the
+    // read-path heal, exercised against a fresh crash)
+    val boom2 = intercept[RuntimeException] {
+      DedupIndex.mergeComponentIndex(spark, s"$db.comp_crash",
+        Seq((10L, 11L)).toDF("id_a", "id_b"), "id_a", "id_b",
+        () => throw new RuntimeException("died again"))
+    }
+    assert(boom2.getMessage == "died again")
+    Bucketing.recoverCompaction(spark, s"$db.comp_crash")
     assert(labelMap(s"$db.comp_crash") ==
       Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
   }

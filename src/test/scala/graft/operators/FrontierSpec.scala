@@ -144,6 +144,27 @@ class FrontierSpec extends SparkSuite {
       s"the groupBy must reuse the window's url clustering:\n$p")
   }
 
+  test("schedule: null priority slots last and surfaces NULL; null url drops") {
+    // revisitPriority returns NULL for cold-start URLs by design — the
+    // scheduler must slot them after every prioritized URL, not crash
+    // in the typed aggregate's non-nullable encoder
+    val urls = Seq(
+      (1L, "https://h.test/a", Option(1.0)),
+      (2L, "https://h.test/b", Option.empty[Double]),
+      (3L, "https://h.test/c", Option(9.0)),
+      (4L, null.asInstanceOf[String], Option(5.0)))
+      .toDF("id", "url", "prio")
+    val delays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+    val got = Frontier.schedule(urls, delays, "id", "url", "prio",
+        defaultDelayS = 1.0, horizonS = 10.0)
+      .orderBy(col("slot")).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("slot")),
+        Option(r.get(r.fieldIndex("priority")))))
+      .toSeq
+    assert(got == Seq(
+      (3L, 0L, Some(9.0)), (1L, 1L, Some(1.0)), (2L, 2L, None)))
+  }
+
   test("conditionalFetchPlan: latest validators win; no history = unconditional") {
     val frontier = Seq("u1", "u2", "u3", "u4").toDF("url")
     val state = Seq(

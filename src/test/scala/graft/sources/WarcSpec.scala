@@ -279,6 +279,12 @@ class WarcSpec extends SparkSuite {
       utf8("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
       utf8("ff\r\ntiny")))
     assert(!shortChunk.decode_ok)
+    // a NEGATIVE hex chunk size parses ("-1") but is malformed framing —
+    // it must flag, not crash the array write with an out-of-bounds
+    val negChunk = parseHttpResponse(concatBytes(
+      utf8("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
+      utf8("-1\r\ndata\r\n0\r\n\r\n")))
+    assert(!negChunk.decode_ok && negChunk.http_status == 200)
     // broken gzip stream
     val badGz = parseHttpResponse(concatBytes(
       utf8("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"),
@@ -350,9 +356,9 @@ class WarcSpec extends SparkSuite {
       "2026-01-01T00:00:00Z", numShards = 2)
     assert(shards.nonEmpty && shards.size <= 2)
     assert(shards.forall(_.endsWith(".warc.gz")))
-    // no .inprogress staging files left behind
+    // no .inprogress-<attempt> staging files left behind
     val left = new java.io.File(out).listFiles().map(_.getName).toSeq
-    assert(left.forall(!_.endsWith(".inprogress")), left.toString)
+    assert(left.forall(!_.contains(".inprogress")), left.toString)
     def readBack(): Map[String, (String, String, Long)] =
       Warc.readRecords(spark, shards)
         .where(col("rec_type") === "conversion")
