@@ -569,8 +569,9 @@ object SparkEntry {
   /** Shared two-release fetch-state fixture for the conditional-fetch
     * gates: release 1 covers ids < 50 (ETag iff id%3=0, Last-Modified
     * iff id%3<2), release 2 refreshes even ids with a v2 ETag and no
-    * Last-Modified; ids 50-59 never fetched. Returns (frontier urls,
-    * state log); [[CondFetchOracleSql]] is its restatement. */
+    * Last-Modified; ids 50-59 never fetched. Returns (frontier urls
+    * with doc_id, state log); [[CondFetchOracleSql]] is the
+    * conditional-plan restatement. */
   private def condFetchFixture(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val urls = t(s, dir, "documents").where(col("doc_id") < 60)
@@ -587,7 +588,7 @@ object SparkEntry {
         concat(lit("W/\"v2-"), col("doc_id"), lit("\"")).as("etag"),
         lit(null).cast("string").as("last_modified"),
         (col("doc_id") + 1000).as("fetch_time"))
-    (urls.select(col("url")), st1.unionByName(st2))
+    (urls, st1.unionByName(st2))
   }
 
   /** The conditional-fetch restatement shared by the batch and
@@ -1593,7 +1594,23 @@ object SparkEntry {
     // max(fetch_time) join-back formulation
     "crawl_conditional_fetch" -> ((s, dir) => {
       val (frontier, state) = condFetchFixture(s, dir)
-      operators.Frontier.conditionalFetchPlan(frontier, state)
+      operators.Frontier.conditionalFetchPlan(
+          frontier.select(col("url")), state)
+        .orderBy(col("url"))
+    }),
+
+    // the publisher's own change signal composed in: sitemap lastmod
+    // NEWER than the latest fetch skips validators entirely (a
+    // guaranteed 200), older/absent lastmod falls back to the
+    // conditional plan, never-fetched URLs are plain new fetches —
+    // lastmod is COMPARED, never parsed (ids%5=0 carry a newer-than-
+    // any-fetch lastmod, %5 in {1,2} an ancient one, {3,4} none)
+    "crawl_sitemap_refetch" -> ((s, dir) => {
+      val (frontier, state) = condFetchFixture(s, dir)
+      val entries = frontier.select(col("url"),
+        when(col("doc_id") % 5 === 0, col("doc_id") + 5000)
+          .when(col("doc_id") % 5 <= 2, lit(10L)).as("lastmod"))
+      operators.Frontier.sitemapRefetchPlan(entries, state)
         .orderBy(col("url"))
     }),
 
@@ -4553,7 +4570,7 @@ object SparkEntry {
     // row-for-row (the shared oracle formulation)
     "stream_conditional_fetch" -> ((s, dir) => {
       val (frontier, state) = condFetchFixture(s, dir)
-      Streams.conditionalFetchStream(s, frontier, state,
+      Streams.conditionalFetchStream(s, frontier.select(col("url")), state,
           maxFilesPerTrigger = Some(2))
         .orderBy(col("url"))
     }),
@@ -6331,6 +6348,55 @@ object SparkEntry {
       // the stream door is a stateless projection — the drain must equal
       // the batch plan exactly, so the oracle is the SAME restatement
       "stream_conditional_fetch" -> CondFetchOracleSql,
+
+      // lastmod arbitration restated over the shared state fixture: the
+      // oracle recomputes due/new/modified/revalidate and gates the
+      // validators on the revalidate arm with its own formulation
+      "crawl_sitemap_refetch" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |           AS url
+          |  FROM documents WHERE doc_id < 60),
+          |st AS (
+          |  SELECT url,
+          |         CASE WHEN doc_id % 3 = 0 THEN
+          |           'W/"v1-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+          |         CASE WHEN doc_id % 3 < 2 THEN
+          |           'lm-' || CAST(doc_id AS VARCHAR) END AS last_modified,
+          |         doc_id + 100 AS fetch_time
+          |  FROM d WHERE doc_id < 50
+          |  UNION ALL
+          |  SELECT url, 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"',
+          |         NULL, doc_id + 1000
+          |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0),
+          |latest AS (
+          |  SELECT s.url, s.etag, s.last_modified, s.fetch_time
+          |  FROM st s
+          |  JOIN (SELECT url, max(fetch_time) AS mt FROM st GROUP BY url) m
+          |    ON s.url = m.url AND s.fetch_time = m.mt),
+          |e AS (
+          |  SELECT url, doc_id,
+          |         CASE WHEN doc_id % 5 = 0 THEN doc_id + 5000
+          |              WHEN doc_id % 5 <= 2 THEN 10 END AS lastmod
+          |  FROM d),
+          |due AS (
+          |  SELECT e.url, e.lastmod,
+          |         CASE WHEN l.url IS NULL THEN 'new'
+          |              WHEN e.lastmod IS NOT NULL AND
+          |                   e.lastmod > l.fetch_time THEN 'modified'
+          |              ELSE 'revalidate' END AS due,
+          |         l.etag, l.last_modified
+          |  FROM e LEFT JOIN latest l ON e.url = l.url)
+          |SELECT url, CAST(lastmod AS BIGINT) AS lastmod, due,
+          |       CASE WHEN due = 'revalidate' THEN etag END
+          |         AS if_none_match,
+          |       CASE WHEN due = 'revalidate' THEN last_modified END
+          |         AS if_modified_since,
+          |       (CASE WHEN due = 'revalidate' THEN etag END IS NOT NULL OR
+          |        CASE WHEN due = 'revalidate' THEN last_modified END
+          |          IS NOT NULL) AS conditional
+          |FROM due ORDER BY url""".stripMargin,
 
 
       // the applicable rule set restated as VALUES (group selection

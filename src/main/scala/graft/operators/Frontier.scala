@@ -281,18 +281,59 @@ object Frontier {
    */
   def conditionalFetchPlan(
       frontier: DataFrame, state: DataFrame,
-      urlCol: String = "url"): DataFrame = {
-    val latest = state
-      .groupBy(col(urlCol))
-      .agg(max_by(
-        struct(col("etag"), col("last_modified")),
-        struct(col("fetch_time"), col("etag"), col("last_modified")))
-        .as("__st"))
-    frontier.join(latest, Seq(urlCol), "left")
+      urlCol: String = "url"): DataFrame =
+    frontier.join(latestState(state, urlCol), Seq(urlCol), "left")
       .withColumn("if_none_match", col("__st.etag"))
       .withColumn("if_modified_since", col("__st.last_modified"))
       .withColumn("conditional",
         col("if_none_match").isNotNull || col("if_modified_since").isNotNull)
       .drop("__st")
-  }
+
+  /** The latest fetch-state row per URL as ONE max_by aggregate (the
+    * shared latest-wins fold of [[conditionalFetchPlan]] and
+    * [[sitemapRefetchPlan]]) — never a per-URL window. */
+  private def latestState(state: DataFrame, urlCol: String): DataFrame =
+    state
+      .groupBy(col(urlCol))
+      .agg(max_by(
+        struct(col("etag"), col("last_modified"), col("fetch_time")),
+        struct(col("fetch_time"), col("etag"), col("last_modified")))
+        .as("__st"))
+
+  /**
+   * Sitemap-freshness fetch plan — the `<lastmod>` half of revisit
+   * crawling (sitemaps.org + RFC 9110 §13.1): the publisher's own
+   * change signal decides WHETHER to spend validators at all. Per
+   * sitemap entry (urlCol, lastmod — any type ordered consistently
+   * with the state's fetch_time):
+   *
+   *  - never fetched → `due = 'new'` (plain fetch, null validators);
+   *  - lastmod AFTER the latest fetch → `due = 'modified'` (the
+   *    publisher declared a change — a conditional request would waste
+   *    the round-trip on a guaranteed 200; null validators);
+   *  - otherwise (older/absent lastmod) → `due = 'revalidate'` with
+   *    [[conditionalFetchPlan]]'s validators from the latest state
+   *    (both-null validators degrade to a plain fetch, flagged by
+   *    `conditional = false`).
+   *
+   * Same single url-keyed join as the conditional plan; lastmod is
+   * compared, never parsed (upstream owns the W3C-datetime →
+   * comparable conversion, [[graft.sources.Sitemaps]] the extraction).
+   */
+  def sitemapRefetchPlan(
+      entries: DataFrame, state: DataFrame,
+      urlCol: String = "url", lastmodCol: String = "lastmod"): DataFrame =
+    entries.join(latestState(state, urlCol), Seq(urlCol), "left")
+      .withColumn("due",
+        when(col("__st").isNull, lit("new"))
+          .when(col(lastmodCol).isNotNull &&
+            col(lastmodCol) > col("__st.fetch_time"), lit("modified"))
+          .otherwise(lit("revalidate")))
+      .withColumn("if_none_match",
+        when(col("due") === "revalidate", col("__st.etag")))
+      .withColumn("if_modified_since",
+        when(col("due") === "revalidate", col("__st.last_modified")))
+      .withColumn("conditional",
+        col("if_none_match").isNotNull || col("if_modified_since").isNotNull)
+      .drop("__st")
 }

@@ -190,4 +190,32 @@ class FrontierSpec extends SparkSuite {
       ("u3", None, None, false),
       ("u4", Some("e-b"), Some("lm-b"), true)))
   }
+
+  test("sitemapRefetchPlan: lastmod arbitration, boundary equality revalidates") {
+    val state = Seq(
+      ("u1", "e1", "lm1", 100L),
+      ("u2", "e2", "lm2", 100L),
+      ("u3", null, null, 100L))
+      .toDF("url", "etag", "last_modified", "fetch_time")
+    val entries = Seq(
+      ("u1", Some(101L)), // newer than the fetch -> modified, no validators
+      ("u2", Some(100L)), // EQUAL is not newer -> revalidate with validators
+      ("u3", Some(101L)), // modified but the state had no validators anyway
+      ("u3", None),       // duplicate entry, no lastmod -> revalidate
+      ("u9", Some(1L)))   // never fetched -> new
+      .toDF("url", "lastmod")
+    val got = Frontier.sitemapRefetchPlan(entries, state)
+      .orderBy(col("url"), col("lastmod"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(r.fieldIndex("due")),
+        Option(r.getString(r.fieldIndex("if_none_match"))),
+        r.getBoolean(r.fieldIndex("conditional"))))
+      .toSeq
+    assert(got == Seq(
+      ("u1", "modified", None, false),
+      ("u2", "revalidate", Some("e2"), true),
+      ("u3", "revalidate", None, false),
+      ("u3", "modified", None, false),
+      ("u9", "new", None, false)))
+  }
 }
