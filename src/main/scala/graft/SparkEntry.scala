@@ -591,6 +591,23 @@ object SparkEntry {
     (urls, st1.unionByName(st2))
   }
 
+  /** The WET text restatement shared by the batch roundtrip and the
+    * streaming export door (shard membership differs, record content
+    * must not). */
+  private lazy val WetRoundtripOracleSql: String =
+    s"""WITH h AS (
+           |  SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |           AS target_uri,
+           |         $SynthHtmlSql AS html
+           |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
+           |x AS (SELECT target_uri,
+           |             ${HtmlOpsSql.mainText("html", 0.5)} AS text
+           |      FROM h)
+           |SELECT target_uri, 'text/plain' AS content_type,
+           |       CAST(octet_length(encode(text)) AS BIGINT)
+           |         AS content_length, text
+           |FROM x ORDER BY target_uri""".stripMargin
+
   /** The conditional-fetch restatement shared by the batch and
     * streaming doors (the stream is a stateless projection, so both
     * must land on identical rows). */
@@ -4563,6 +4580,30 @@ object SparkEntry {
       Streams.urlDedupStream(s, pages).orderBy(col("kept_id"))
     }),
 
+    // the archive-writer door: the warc_wet_roundtrip extraction fed
+    // through one-file micro-batches, each batch committing its own
+    // WET shard set, the drain re-reading every shard — batch
+    // boundaries decide shard membership, never record content, so the
+    // oracle is the same batch-independent text restatement
+    "stream_wet_export" -> ((s, dir) => {
+      val fix = warcFixture(s, dir)
+      val texts = HtmlOps.extractMainText(
+        graft.sources.Warc.httpResponses(
+            graft.sources.Warc.readRecords(s, fix)
+              .where(col("parse_ok") && col("rec_type") === "response")
+              .select(col("target_uri"), col("payload")),
+            "target_uri", "payload")
+          .select(col("target_uri"), col("body_text").as("html")),
+        "target_uri", "html", maxLinkDensity = 0.5)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_wet_stream").toString
+      Streams.wetExportStream(s,
+          texts.select(col("target_uri").as("uri"), col("text"))
+            .repartition(4),
+          out)
+        .orderBy(col("target_uri"))
+    }),
+
     // the conditional-fetch door live: the same two-release fetch-state
     // fixture as crawl_conditional_fetch, with the due URLs arriving in
     // forced micro-batches (2 files per trigger) — a stateless
@@ -6296,19 +6337,11 @@ object SparkEntry {
       // construction (the warc_extract oracle's pipeline) — the oracle
       // never sees WET shard bytes, so a write→read defect anywhere in
       // the roundtrip diverges the text or the framing fields
-      "warc_wet_roundtrip" ->
-        s"""WITH h AS (
-           |  SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
-           |           AS target_uri,
-           |         $SynthHtmlSql AS html
-           |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
-           |x AS (SELECT target_uri,
-           |             ${HtmlOpsSql.mainText("html", 0.5)} AS text
-           |      FROM h)
-           |SELECT target_uri, 'text/plain' AS content_type,
-           |       CAST(octet_length(encode(text)) AS BIGINT)
-           |         AS content_length, text
-           |FROM x ORDER BY target_uri""".stripMargin,
+      "warc_wet_roundtrip" -> WetRoundtripOracleSql,
+
+      // the streaming door commits per-batch shards of the SAME records
+      // — the drain must be batch-boundary invisible
+      "stream_wet_export" -> WetRoundtripOracleSql,
 
       // every new-crawl capture restated: ids captured by shards 0-1
       // (id%4 < 2) fold to revisit rows pointing at their shard of

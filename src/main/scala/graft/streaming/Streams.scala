@@ -430,6 +430,61 @@ object Streams {
     q.awaitTermination()
   }
 
+  /**
+   * Streaming ARCHIVE-writer door — the ingest loop's at-rest OUTPUT
+   * arm ([[ingestLoopStream]] persists the dedup indexes; this
+   * persists the curated text itself, in the public WET
+   * conversion-shard convention): each micro-batch of (uri, text) rows
+   * writes its own shard set under `outDir/batch-<n>/` through
+   * [[graft.sources.Warc.writeWetShards]] (rename-committed, one gzip
+   * member per record, warcinfo-headed), and the drain re-reads EVERY
+   * written shard through the batch reader. Batch boundaries decide
+   * shard MEMBERSHIP, never record content — the returned frame (and
+   * the oracle) is the per-URI text, micro-batch independent. Returns
+   * (target_uri, content_type, content_length, text).
+   */
+  def wetExportStream(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      outDir: String,
+      warcDate: String = "2026-01-01T00:00:00Z"): org.apache.spark.sql.DataFrame = {
+    import graft.sources.Warc
+    val dir = Files.createTempDirectory("graft-stream-wet")
+    val ckpt = Files.createTempDirectory("graft-stream-wet-ckpt")
+    try {
+      docs.select(col("uri").cast("string").as("uri"),
+          col("text").cast("string").as("text"))
+        .write.mode("overwrite").parquet(dir.toString)
+      val shards = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val batchNo = new java.util.concurrent.atomic.AtomicLong(0L)
+      drainLoop(spark, dir, ckpt) { (batch: DataFrame) =>
+        val n = batchNo.getAndIncrement()
+        if (!batch.isEmpty) {
+          Warc.writeWetShards(batch, "uri", "text",
+              s"$outDir/batch-$n", warcDate, numShards = 2)
+            .foreach(shards.add)
+        }
+      }
+      val written = shards.toArray(Array.empty[String]).toSeq.sorted
+      if (written.isEmpty) {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("target_uri", StringType),
+            StructField("content_type", StringType),
+            StructField("content_length", LongType),
+            StructField("text", StringType))))
+      }
+      Warc.readRecords(spark, written)
+        .where(col("parse_ok") && col("rec_type") === "conversion")
+        .select(col("target_uri"), col("content_type"),
+          col("content_length"), col("payload").cast("string").as("text"))
+        .localCheckpoint(true)
+    } finally {
+      cleanupStaging(dir); cleanupStaging(ckpt)
+    }
+  }
+
   def ingestLoopStream(
       spark: SparkSession,
       batches: Seq[DataFrame],
