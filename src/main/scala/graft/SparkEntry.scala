@@ -1602,6 +1602,29 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // the refers-to provenance is LOAD-BEARING: each folded revisit
+    // row's (refers_to_file, offset, length) span fetches the ORIGINAL
+    // capture's bytes through the same ranged reader — the oracle
+    // restates the original records (type/content-type/length/digest)
+    // from construction, so a span addressing the wrong original
+    // re-parses wrong and fails the row
+    "warc_revisit_fetch" -> ((s, dir) => {
+      val fix = warcFixture(s, dir)
+      val prior = graft.sources.Warc.cdxRows(s,
+        Seq(s"$fix/shard0.warc", s"$fix/shard1.warc"))
+      val fresh = graft.sources.Warc.cdxRows(s,
+        (0 until 4).map(i => s"$fix/shard$i.warc"))
+      val spans = graft.sources.Warc.revisitCaptures(fresh, prior)
+        .where(col("rec_type") === "revisit")
+        .select(col("refers_to_file").as("warc_file"),
+          col("refers_to_offset").as("stored_offset"),
+          col("refers_to_length").as("stored_length"), col("target_uri"))
+      graft.sources.Warc.fetchSpans(s, spans)
+        .select(col("target_uri"), col("rec_type"), col("content_type"),
+          col("content_length"), sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy(col("target_uri"))
+    }),
+
     // conditional-revisit fetch plan (RFC 9110 §13.1): two fetch-state
     // releases over the doc URLs — release 1 covers ids < 50 (ETag iff
     // id%3=0, Last-Modified iff id%3<2), release 2 refreshes the even
@@ -6371,6 +6394,32 @@ object SparkEntry {
            |            WHEN doc_id % 4 = 1 THEN 'shard1.warc' END
            |         AS refers_to_shard,
            |       doc_id % 4 < 2 AS has_refers_offset
+           |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // the fetched ORIGINALS restated (the warc_read per-record shape
+      // over the revisit ids, id%4 < 2) — a refers-to span addressing
+      // the wrong original re-parses to different fields/digest
+      "warc_revisit_fetch" ->
+        s"""WITH docs AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id < 40 AND doc_id % 4 < 2),
+           |hh AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+           |         'Content-Type: text/html' || chr(13) || chr(10) ||
+           |         chr(13) || chr(10) AS v)
+           |SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+           |         AS target_uri,
+           |       CASE WHEN doc_id % 2 = 0 THEN 'response'
+           |            ELSE 'resource' END AS rec_type,
+           |       CASE WHEN doc_id % 2 = 0
+           |            THEN 'application/http;msgtype=response'
+           |            ELSE 'text/plain' END AS content_type,
+           |       CAST(CASE WHEN doc_id % 2 = 0
+           |            THEN octet_length(encode(
+           |              (SELECT v FROM hh) || $SynthHtmlSql))
+           |            ELSE octet_length(encode(text)) END AS BIGINT)
+           |         AS content_length,
+           |       CASE WHEN doc_id % 2 = 0
+           |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
+           |            ELSE sha256(text) END AS payload_sha
            |FROM docs ORDER BY target_uri""".stripMargin,
 
       // latest-wins restated with the oracle's own max(fetch_time)

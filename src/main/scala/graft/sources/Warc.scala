@@ -617,15 +617,25 @@ object Warc {
    * the carried `stored_offset`).
    */
   def fetchCaptures(
-      spark: SparkSession, table: String, urls: Seq[String]): DataFrame = {
+      spark: SparkSession, table: String, urls: Seq[String]): DataFrame =
+    fetchSpans(spark,
+      lookupCdx(spark, table, urls)
+        .select(col("warc_file"), col("stored_offset"), col("stored_length"),
+          col("target_uri"))
+        .distinct())
+
+  /** The ranged-read engine behind [[fetchCaptures]], over an arbitrary
+    * span frame (warc_file, stored_offset, stored_length, target_uri) —
+    * how a `revisit` row's payload is ALSO fetched: resolve its
+    * (refers_to_file, refers_to_offset, refers_to_length) to a span and
+    * read the ORIGINAL's bytes, no separate code path. */
+  def fetchSpans(spark: SparkSession, caps: DataFrame): DataFrame = {
     import spark.implicits._
-    val caps = lookupCdx(spark, table, urls)
-      .select(col("warc_file"), col("stored_offset"), col("stored_length"),
-        col("target_uri"))
-      .distinct()
     val conf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-    caps.as[(String, Long, Long, String)]
+    caps.select(col("warc_file"), col("stored_offset"),
+        col("stored_length"), col("target_uri"))
+      .as[(String, Long, Long, String)]
       .repartition(col("warc_file"))
       .sortWithinPartitions(col("warc_file"), col("stored_offset"))
       .mapPartitions { iter =>
@@ -741,7 +751,8 @@ object Warc {
   def revisitCaptures(newCaps: DataFrame, prior: DataFrame): DataFrame = {
     val ref = prior
       .groupBy(col("surt"), col("digest"))
-      .agg(min(struct(col("warc_file"), col("stored_offset"))).as("__ref"))
+      .agg(min(struct(col("warc_file"), col("stored_offset"),
+        col("stored_length"))).as("__ref"))
     newCaps.join(ref, Seq("surt", "digest"), "left")
       .select(
         col("surt"), col("target_uri"),
@@ -752,7 +763,8 @@ object Warc {
         when(col("__ref").isNotNull, lit(0L))
           .otherwise(col("stored_length")).as("stored_length"),
         col("__ref.warc_file").as("refers_to_file"),
-        col("__ref.stored_offset").as("refers_to_offset"))
+        col("__ref.stored_offset").as("refers_to_offset"),
+        col("__ref.stored_length").as("refers_to_length"))
   }
 
   // ---- fixture/sink side: render records to spec-shaped bytes ----
