@@ -1168,6 +1168,41 @@ object SparkEntry {
       s.table(tbl).orderBy(col("doc_id"))
     }),
 
+    // canonical-link-aware URL dedup (RFC 6596): ids%3≠0 declare their
+    // group head (id − id%3) as canonical through four markup variants —
+    // absolute href, href-before-unquoted-rel with a RELATIVE href,
+    // single-quoted root-relative, and a ../ dot-segment form — so
+    // extraction, attribute-order/quoting tolerance, AND RFC 3986
+    // resolution are all load-bearing; heads declare nothing and stand
+    // on their own URL. Oracle restates groups from id arithmetic only
+    "dedup_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 90)
+      val tgt = (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")
+      val link = when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
+        .when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://graft.test/doc/"),
+            tgt, lit("\">")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("<link href=\""), tgt, lit("\" rel=canonical>")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("<link rel='canonical' href='/doc/"), tgt, lit("'>")))
+        .otherwise(
+          concat(lit("<link rel=\"canonical\" href=\"../doc/"), tgt,
+            lit("\">")))
+      val pages = d.select(col("doc_id"),
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        concat(lit("<html><head>"), link,
+          lit("</head><body><p>content "), col("doc_id"),
+          lit("</p></body></html>")).as("html"))
+      val canon = HtmlOps.extractCanonical(pages, "doc_id", "html", "url")
+      UrlOps.canonicalDedup(
+          pages.join(canon, "doc_id")
+            .select(col("doc_id"), col("url"), col("canonical")),
+          "doc_id", "url", "canonical")
+        .select(col("canonical_url"), col("doc_id").as("kept_id"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // transitive-closure REMOVAL: one survivor (min id) per duplicate
     // component; the propagation loop runs over the duplicate subgraph only
     "dedup_components_keep" -> ((s, dir) => {
@@ -5906,6 +5941,16 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
            |ORDER BY doc_id""".stripMargin
       },
+
+      // every group restated from id arithmetic alone: the head's URL is
+      // the canonical key, the head its survivor — markup, extraction,
+      // and resolution never appear in the oracle
+      "dedup_canonical" ->
+        """SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |         AS canonical_url,
+          |       doc_id AS kept_id
+          |FROM documents WHERE doc_id < 90 AND doc_id % 3 = 0
+          |ORDER BY canonical_url""".stripMargin,
 
       // the FULL accumulated pair set's transitive closure, cold — the
       // engine's star-edge merge must reproduce it exactly

@@ -44,7 +44,13 @@ object HtmlOps {
     val noBlocks = Seq("script", "style", "noscript", "template")
       .foldLeft(noComments)((c, t) =>
         regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " "))
-    regexp_replace(noBlocks, s"(?i)</?($BlockTags)[^>]*>", "\n")
+    // the name must END at the match — without the boundary `li` eats
+    // every `<link …>` and `p` every `<picture>`; RE2-safe (the SQL
+    // mirror cannot use lookahead): the name is followed either by the
+    // closing `>` directly or by a whitespace/`/`-introduced attribute
+    // tail (`>` must NOT join that class, or `<p>` would swallow
+    // through the next tag's close)
+    regexp_replace(noBlocks, s"(?i)</?($BlockTags)([\\s/][^>]*)?>", "\n")
   }
 
   /** Strip inline tags, decode core entities (amp LAST — else '&amp;lt;'
@@ -159,6 +165,40 @@ object HtmlOps {
   private val HrefPattern =
     s"(?is)${AnchorOpen}href\\s*=\\s*[\"']([^\"'>]*)[\"']"
 
+  /** `<link>` tags whose `rel` is exactly `canonical` (quoted or
+    * unquoted, either attribute order) — the canonical link element,
+    * RFC 6596. Multi-token `rel` lists are out of the stated subset. */
+  private val CanonicalRelRe = "(?i)\\brel\\s*=\\s*[\"']?canonical[\"'\\s>]"
+
+  /**
+   * The page's DECLARED canonical URL (`<link rel="canonical"
+   * href=…>`, RFC 6596 — the mirror/variant-collapse signal every
+   * production pipeline honors before content dedup): the FIRST such
+   * element after comment/script/style removal (per-spec there is at
+   * most one; duplicates take document order), its href resolved
+   * against the page URL by the same RFC 3986 rules as
+   * [[extractLinks]]. One row per input row: (idCol, canonical —
+   * NULL when absent/non-fetchable). Map-side: tag extraction is one
+   * `regexp_extract_all` + array ops, no shuffle.
+   */
+  def extractCanonical(
+      df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val tags = regexp_extract_all(preClean(col(htmlCol)),
+      lit("(?is)<link\\b[^>]*>"), lit(0))
+    // try_element_at: a page with no canonical declaration filters to
+    // an empty array, which must yield NULL, not an index error
+    val canonTag = try_element_at(
+      filter(tags, t => t.rlike(CanonicalRelRe)), lit(1))
+    val href = regexp_extract(canonTag,
+      "(?is)\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+    df.select(Seq(col(idCol),
+        when(href === "" || href.isNull, lit(null)).otherwise(href)
+          .as("__href")) ++
+        baseParts(col(baseUrlCol)): _*)
+      .select(col(idCol), resolveHref(col("__href")).as("canonical"))
+  }
+
   /** (scheme `__s`, origin `__o`, directory `__d`, path `__p`) of a
     * base URL — the four resolution anchors of [[resolveHref]]: `__d`
     * is the full directory URL (origin + path up to the last `/`) for
@@ -257,7 +297,7 @@ object HtmlOpsSql {
        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
        |      '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
        |    '(?is)<template[^>]*>.*?</template>', ' ', 'g'),
-       |  '(?i)</?($BlockTags)[^>]*>', chr(10), 'g')""".stripMargin
+       |  '(?i)</?($BlockTags)([\\s/][^>]*)?>', chr(10), 'g')""".stripMargin
 
   private def blockList(htmlExpr: String): String =
     s"""list_transform(string_split(${pre(htmlExpr)}, chr(10)), b -> struct_pack(

@@ -58,6 +58,24 @@ object UrlOps {
       .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
       .select(col("__row.*"), col("canonical_url"))
 
+  /** Canonical-link-aware URL dedup (RFC 6596 composed into
+    * [[urlDedup]]'s keep rule): rows group by their DECLARED canonical
+    * target when one exists ([[graft.functions.HtmlOps.extractCanonical]]'s
+    * output, normalized by the same rules), else by their own canonical
+    * form — so mirror/variant pages collapse onto the page they
+    * declare, whatever URL they were fetched under. Same
+    * map-side-combinable `min_by` fold, never a window. */
+  def canonicalDedup(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      urlCol: String,
+      declaredCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(
+        coalesce(normalizeUrl(col(declaredCol)), normalizeUrl(col(urlCol)))
+          .as("canonical_url"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"), col("canonical_url"))
+
   /** Spider-trap signals of one URL — the frontier-side heuristics that
     * keep a crawler out of infinite URL spaces (calendar pages, session
     * echoes, faceted-search explosions; Heydon & Najork's Mercator and

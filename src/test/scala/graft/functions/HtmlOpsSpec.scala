@@ -142,6 +142,72 @@ class HtmlOpsSpec extends SparkSuite {
       ("https://h.test/img", "")))
   }
 
+  private def canonOf(html: String, base: String): Option[String] =
+    Option(HtmlOps.extractCanonical(
+        Seq((1L, html, base)).toDF("id", "html", "base"),
+        "id", "html", "base")
+      .collect()(0).getString(1))
+
+  test("canonical: all four declaration shapes resolve; absent is NULL") {
+    val base = "https://h.test/dir/page.html"
+    assert(canonOf("<head><link rel=\"canonical\" " +
+      "href=\"https://h.test/doc/0\"></head>", base) ==
+      Some("https://h.test/doc/0"))
+    // href before an UNQUOTED rel, relative href
+    assert(canonOf("<head><link href=\"0\" rel=canonical></head>", base) ==
+      Some("https://h.test/dir/0"))
+    // single quotes, root-relative
+    assert(canonOf("<head><link rel='canonical' href='/doc/0'></head>",
+      base) == Some("https://h.test/doc/0"))
+    // dot-segment resolution
+    assert(canonOf("<head><link rel=\"canonical\" " +
+      "href=\"../doc/0\"></head>", base) == Some("https://h.test/doc/0"))
+    assert(canonOf("<head><title>t</title></head>", base) == None)
+    // other rel values never match; stylesheet links are not canonical
+    assert(canonOf("<head><link rel=\"stylesheet\" " +
+      "href=\"/s.css\"></head>", base) == None)
+    // first declaration wins (per-spec there is at most one)
+    assert(canonOf("<link rel=\"canonical\" href=\"/a\">" +
+      "<link rel=\"canonical\" href=\"/b\">", base) ==
+      Some("https://h.test/a"))
+    // non-fetchable scheme drops like any link
+    assert(canonOf("<link rel=\"canonical\" href=\"mailto:x@y\">", base)
+      == None)
+  }
+
+  test("block-tag boundary: <link>/<picture> are not li/p blocks") {
+    val base = "https://h.test/"
+    // the regression this pins: `li` must not eat `<link …>` (canonical
+    // extraction reads it) and `<p>` must not swallow through the NEXT
+    // tag's close
+    assert(canonOf("<p>x <a href=\"/k\">a</a></p>" +
+      "<link rel=\"canonical\" href=\"/c\">", base) ==
+      Some("https://h.test/c"))
+    assert(links("<p>x <a href=\"/k\">a</a></p>", base) ==
+      Seq("https://h.test/k"))
+    // <picture> is inline (not in BlockTags): its text joins the
+    // surrounding block instead of splitting it
+    val txt = Seq((1L, "<p>before <picture>img</picture> after</p>"))
+      .toDF("id", "html")
+      .select(HtmlOps.htmlToText(col("html"))).collect()(0).getString(0)
+    assert(txt == "before img after", txt)
+  }
+
+  test("canonicalDedup: declared targets group; undeclared stand alone") {
+    val rows = Seq(
+      (1L, "https://h.test/a?utm_source=x", null.asInstanceOf[String]),
+      (2L, "https://h.test/mirror/a", "https://h.test/a"),
+      (3L, "https://h.test/b", null.asInstanceOf[String]),
+      (4L, "https://h.test/a.amp", "https://h.test/a/"))
+      .toDF("id", "url", "canonical")
+    val got = UrlOps.canonicalDedup(rows, "id", "url", "canonical")
+      .select(col("canonical_url"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // 1 (own url normalizes to /a), 2 and 4 (declared /a, trailing slash
+    // normalized) all collapse; 3 stands alone
+    assert(got == Set(("https://h.test/a", 1L), ("https://h.test/b", 3L)))
+  }
+
   test("links plan: map-side projection + generate, zero shuffle") {
     val df = Seq((1L, "<a href=\"/p\">x</a>", "https://h.test/"))
       .toDF("id", "html", "base")
