@@ -1013,6 +1013,51 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("sitemap refetch plan: lastmod arbitration joins once, never a window") {
+    import graft.operators.Frontier
+    val entries = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        col("doc_id").as("lastmod"))
+    val state = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        concat(lit("e"), col("doc_id")).as("etag"),
+        concat(lit("lm"), col("doc_id")).as("last_modified"),
+        col("doc_id").as("fetch_time"))
+    val p = physical(Frontier.sitemapRefetchPlan(entries, state))
+    assert(!p.contains("Window"),
+      s"latest state must fold as an aggregate:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"one url-keyed shuffle per side, no more:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("revisit fold over the bucketed CDX table: index side never re-shuffles") {
+    import graft.sources.Warc
+    import graft.operators.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("revisit_pin").toString
+    Bucketing.scratchDb(spark, "revisit_pin", dir)
+    val caps = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("test,graft)/doc/"), col("doc_id")).as("surt"),
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("target_uri"),
+        lit("response").as("rec_type"),
+        sha2(col("text").cast("binary"), 256).as("digest"),
+        col("n_chars").cast("long").as("content_length"),
+        lit("a.warc").as("warc_file"), col("doc_id").as("rec_offset"),
+        col("doc_id").as("stored_offset"), lit(100L).as("stored_length"))
+    Bucketing.writeBucketed(caps, "revisit_pin.cdx", "surt", 4)
+    val p = physical(
+      Warc.revisitCaptures(caps, spark.table("revisit_pin.cdx")))
+    // the per-(surt,digest) pre-aggregate's clustering is satisfied by
+    // the table's surt bucketing (equal (surt,digest) ⇒ equal surt ⇒
+    // one bucket), so the prior side plans with ZERO Exchange — at
+    // 100 TB only the new crawl's rows ever move
+    val aggSide = p.linesIterator.dropWhile(!_.contains("min(struct"))
+      .takeWhile(!_.contains("FileScan")).mkString("\n")
+    assert(!aggSide.contains("Exchange hashpartitioning"),
+      s"the bucketed prior side must not re-shuffle:\n$p")
+    assert(p.contains("Bucketed: true"), s"prior scan must stay bucketed:\n$p")
+  }
+
   test("revisit fold: prior side pre-aggregates per (surt,digest) before the join") {
     import graft.sources.Warc
     def caps(off: Long) = spark.read.parquet(s"$sf/documents.parquet")
