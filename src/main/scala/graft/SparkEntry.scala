@@ -1168,6 +1168,46 @@ object SparkEntry {
       s.table(tbl).orderBy(col("doc_id"))
     }),
 
+    // page-level robots META directives (the HTML counterpart of
+    // robots.txt): four constructed shapes — quoted pair list, reversed
+    // attribute order with unquoted name, explicit index/follow, no
+    // tag — the oracle restates verdicts from id arithmetic only
+    "html_meta_robots" -> ((s, dir) => {
+      val meta = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("<meta content='nofollow' name=robots>"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .otherwise(lit(""))
+      HtmlOps.extractMetaRobots(
+          t(s, dir, "documents").where(col("doc_id") < 100)
+            .select(col("doc_id"),
+              concat(lit("<html><head>"), meta,
+                lit("</head><body><p>x</p></body></html>")).as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // anchor-level rel=nofollow (the 2005 link-graph annotation): a
+    // nofollow'd link still feeds the frontier but must not flow rank —
+    // quoted, space-separated-list, and unquoted rel forms all flag;
+    // oracle restates links AND verdicts from construction
+    "html_links_nofollow" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<p><a href=\"/plain/"), id, lit("\">a</a>"),
+        lit("<a rel=\"nofollow\" href=\"/nf/"), id, lit("\">b</a>"),
+        lit("<a rel='external nofollow' href='/ext/"), id, lit("'>c</a>"),
+        lit("<a href=\"/unq/"), id, lit("\" rel=nofollow>d</a></p>"))
+      HtmlOps.extractLinksRel(
+          t(s, dir, "documents").where(col("doc_id") < 100)
+            .select(col("doc_id"), html.as("html"),
+              concat(lit("https://h.test/p"), id).as("base")),
+          "doc_id", "html", "base")
+        .orderBy(col("doc_id"), col("link"))
+    }),
+
     // canonical-link-aware URL dedup (RFC 6596): ids%3≠0 declare their
     // group head (id − id%3) as canonical through four markup variants —
     // absolute href, href-before-unquoted-rel with a RELATIVE href,
@@ -5941,6 +5981,24 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
            |ORDER BY doc_id""".stripMargin
       },
+
+      // verdicts restated from id arithmetic only — the markup shapes
+      // never appear in the oracle
+      "html_meta_robots" ->
+        """SELECT doc_id,
+          |       doc_id % 4 = 0 AS noindex,
+          |       doc_id % 4 IN (0, 1) AS nofollow
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+      // the four per-doc links and their verdicts from construction
+      "html_links_nofollow" ->
+        """SELECT doc_id,
+          |       'https://h.test' || p || CAST(doc_id AS VARCHAR) AS link,
+          |       nf AS nofollow
+          |FROM documents,
+          |     (VALUES ('/plain/', FALSE), ('/nf/', TRUE),
+          |             ('/ext/', TRUE), ('/unq/', TRUE)) t(p, nf)
+          |WHERE doc_id < 100 ORDER BY doc_id, link""".stripMargin,
 
       // every group restated from id arithmetic alone: the head's URL is
       // the canonical key, the head its survivor — markup, extraction,

@@ -199,6 +199,70 @@ object HtmlOps {
       .select(col(idCol), resolveHref(col("__href")).as("canonical"))
   }
 
+  /** A comma-separated directive list contains `tok` (case-insensitive,
+    * whitespace-tolerant) — the robots-META content grammar. */
+  private def directiveHas(content: Column, tok: String): Column =
+    content.rlike(s"(?i)(^|,)\\s*$tok\\s*(,|$$)")
+
+  /**
+   * Page-level robots META directives — the HTML-side counterpart of
+   * robots.txt (documented by every major engine; robots.txt gates the
+   * FETCH, this gates what the fetched page may feed): `<meta
+   * name="robots" content="…">` (either attribute order, quoted or
+   * unquoted name), `noindex` / `nofollow` matched as tokens of the
+   * comma-separated content list — `noindex` drops the page from the
+   * text corpus/index, `nofollow` voids ALL its outgoing edges for the
+   * link graph. Returns (idCol, noindex, nofollow); a page without the
+   * tag is (false, false). Map-side, no shuffle.
+   */
+  def extractMetaRobots(
+      df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val tags = regexp_extract_all(preClean(col(htmlCol)),
+      lit("(?is)<meta\\b[^>]*>"), lit(0))
+    val robots = try_element_at(
+      filter(tags, t =>
+        t.rlike("(?i)\\bname\\s*=\\s*[\"']?robots[\"'\\s>]")), lit(1))
+    val content = regexp_extract(robots,
+      "(?is)\\bcontent\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+    df.select(col(idCol),
+      coalesce(directiveHas(content, "noindex"), lit(false)).as("noindex"),
+      coalesce(directiveHas(content, "nofollow"), lit(false)).as("nofollow"))
+  }
+
+  /**
+   * [[extractLinks]] carrying each link's `rel="nofollow"` verdict —
+   * the anchor-level edge annotation (the original Google 2005
+   * semantic): a nofollow'd link still names a fetchable URL for the
+   * frontier, but the link graph must not flow rank through it.
+   * One row (idCol, link, nofollow) per href'd anchor; page-level META
+   * `nofollow` ([[extractMetaRobots]]) composes by OR-ing over every
+   * row of the page. Same per-element extraction shape as
+   * [[extractAnchors]].
+   */
+  def extractLinksRel(
+      df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val elems = regexp_extract_all(preClean(col(htmlCol)),
+      lit(s"(?is)$AnchorOpen[^>]*>.*?</a>"), lit(0))
+    val open = regexp_extract(col("__a"), "(?is)^(<a[^>]*>)", 1)
+    val rel = regexp_extract(open,
+      "(?is)\\brel\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+    val relUnq = regexp_extract(open,
+      "(?is)\\brel\\s*=\\s*([^\\s\"'>]+)", 1)
+    val nofollow = directiveHas(
+      when(rel =!= "", rel).otherwise(relUnq), "nofollow") ||
+      // rel lists are SPACE-separated in HTML (the comma grammar is the
+      // META content's); accept both
+      when(rel =!= "", rel).otherwise(relUnq)
+        .rlike("(?i)(^|\\s)nofollow(\\s|$)")
+    df.select(Seq(col(idCol), explode(elems).as("__a")) ++
+        baseParts(col(baseUrlCol)): _*)
+      .select(col(idCol),
+        resolveHref(regexp_extract(col("__a"), HrefPattern, 1)).as("link"),
+        coalesce(nofollow, lit(false)).as("nofollow"))
+      .where(col("link").isNotNull)
+  }
+
   /** (scheme `__s`, origin `__o`, directory `__d`, path `__p`) of a
     * base URL — the four resolution anchors of [[resolveHref]]: `__d`
     * is the full directory URL (origin + path up to the last `/`) for

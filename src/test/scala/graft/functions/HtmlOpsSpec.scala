@@ -208,6 +208,46 @@ class HtmlOpsSpec extends SparkSuite {
     assert(got == Set(("https://h.test/a", 1L), ("https://h.test/b", 3L)))
   }
 
+  test("meta robots: token-level match, attribute order free, other metas inert") {
+    def mr(html: String): (Boolean, Boolean) = {
+      val r = HtmlOps.extractMetaRobots(
+        Seq((1L, html)).toDF("id", "html"), "id", "html").collect()(0)
+      (r.getBoolean(1), r.getBoolean(2))
+    }
+    assert(mr("<meta name=\"robots\" content=\"noindex, nofollow\">") ==
+      (true, true))
+    assert(mr("<meta content='nofollow' name=robots>") == (false, true))
+    assert(mr("<meta name=\"robots\" content=\"index, follow\">") ==
+      (false, false))
+    assert(mr("<p>no meta</p>") == (false, false))
+    // directives are TOKENS of the comma list, not substrings
+    assert(mr("<meta name=\"robots\" content=\"noindexing\">") ==
+      (false, false))
+    // a non-robots meta never matches, whatever its content says
+    assert(mr("<meta name=\"description\" content=\"noindex\">") ==
+      (false, false))
+    // whitespace-tolerant token split
+    assert(mr("<meta name=\"robots\" content=\" noindex ,follow\">") ==
+      (true, false))
+  }
+
+  test("links rel: nofollow flags per anchor, space lists, unquoted; others false") {
+    val html = "<a href=\"/a\">1</a>" +
+      "<a rel=\"nofollow\" href=\"/b\">2</a>" +
+      "<a rel='external nofollow' href='/c'>3</a>" +
+      "<a href=\"/d\" rel=nofollow>4</a>" +
+      "<a rel=\"noreferrer\" href=\"/e\">5</a>" +
+      "<a rel=\"nofollowish\" href=\"/f\">6</a>"
+    val got = HtmlOps.extractLinksRel(
+        Seq((1L, html, "https://h.test/")).toDF("id", "html", "base"),
+        "id", "html", "base")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      ("https://h.test/a", false), ("https://h.test/b", true),
+      ("https://h.test/c", true), ("https://h.test/d", true),
+      ("https://h.test/e", false), ("https://h.test/f", false)))
+  }
+
   test("links plan: map-side projection + generate, zero shuffle") {
     val df = Seq((1L, "<a href=\"/p\">x</a>", "https://h.test/"))
       .toDF("id", "html", "base")
