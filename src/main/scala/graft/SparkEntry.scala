@@ -4465,6 +4465,33 @@ object SparkEntry {
         "id", "n_frames", 5)
         .orderBy(col("id"), col("frame_idx"))),
 
+    // interleaved image-text assembly (the MMC4/OBELICS layout): two
+    // image slots per page split the prose into ordered spans; slot 0's
+    // sidecar payload exists for ids%3≠0, slot 1's for even ids — the
+    // sequence SHAPE survives fetch failures (has_payload=false keeps
+    // the slot). Oracle restates all five rows per doc from arithmetic
+    "mm_interleaved" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val d = t(s, dir, "documents").where(col("doc_id") < 80)
+      val html = concat(
+        lit("<html><body><p>intro "), id,
+        lit(" <img src=\"img/"), id, lit("/0.png\"> middle "),
+        lit("<img alt=\"x\" src='img/"), id, lit("/1.png'> outro</p>"),
+        lit("<p>tail</p></body></html>"))
+      val pages = d.select(col("doc_id"), html.as("html"))
+      val images = d.select(col("doc_id"),
+          concat(lit("img/"), id, lit("/0.png")).as("src"),
+          when(col("doc_id") % 3 =!= 0, col("text").cast("binary"))
+            .as("payload"))
+        .unionByName(d.select(col("doc_id"),
+          concat(lit("img/"), id, lit("/1.png")).as("src"),
+          when(col("doc_id") % 2 === 0, col("text").cast("binary"))
+            .as("payload")))
+      Multimodal.interleave(pages, "doc_id", "html",
+          images, "doc_id", "src", "payload")
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     // BPE-ish token counting alongside whitespace tokens
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -9027,6 +9054,35 @@ object SparkEntry {
           |       FROM documents)
           |SELECT id, CAST(unnest(range(0, w, 5)) AS INTEGER) AS frame_idx
           |FROM m ORDER BY id, frame_idx""".stripMargin,
+
+      // all five interleaved rows per doc from arithmetic — spans,
+      // slot order, and payload flags never touch markup in the oracle
+      "mm_interleaved" ->
+        """SELECT doc_id, CAST(seq AS BIGINT) AS seq, kind, text,
+          |       image_src, has_payload FROM (
+          |  SELECT doc_id, 0 AS seq, 'text' AS kind,
+          |         'intro ' || CAST(doc_id AS VARCHAR) AS text,
+          |         CAST(NULL AS VARCHAR) AS image_src,
+          |         CAST(NULL AS BOOLEAN) AS has_payload
+          |  FROM documents WHERE doc_id < 80
+          |  UNION ALL
+          |  SELECT doc_id, 1, 'image', NULL,
+          |         'img/' || CAST(doc_id AS VARCHAR) || '/0.png',
+          |         doc_id % 3 <> 0
+          |  FROM documents WHERE doc_id < 80
+          |  UNION ALL
+          |  SELECT doc_id, 2, 'text', 'middle', NULL, NULL
+          |  FROM documents WHERE doc_id < 80
+          |  UNION ALL
+          |  SELECT doc_id, 3, 'image', NULL,
+          |         'img/' || CAST(doc_id AS VARCHAR) || '/1.png',
+          |         doc_id % 2 = 0
+          |  FROM documents WHERE doc_id < 80
+          |  UNION ALL
+          |  SELECT doc_id, 4, 'text', 'outro' || chr(10) || 'tail',
+          |         NULL, NULL
+          |  FROM documents WHERE doc_id < 80
+          |) ORDER BY doc_id, seq""".stripMargin,
 
       // batch replay of the streaming first-seen dedup: keyed state keeps
       // one id per distinct digest, lowest id wins within a batch — the

@@ -368,4 +368,59 @@ object Multimodal {
       col(idCol).cast("long").as("id"),
       explode(sequence(lit(0), col(nFramesCol).cast("int") - 1,
         lit(everyK))).as("frame_idx"))
+
+  /**
+   * Interleaved image-text document assembly — the MMC4/OBELICS layout
+   * multimodal pretraining consumes (Zhu et al. 2023; Laurençon et al.
+   * 2023): a page becomes an ORDERED sequence of text spans and image
+   * slots. `<img src=…>` positions substitute to sentinels BEFORE text
+   * extraction (so the slots survive block splitting in document
+   * order), the extracted text splits on them, and each image slot
+   * left-joins the binary SIDECAR table on (page, src) — payload
+   * presence rides as a flag, payload bytes never join for this
+   * metadata pass (fetch them per slot when training shards
+   * materialize). Images that failed to fetch keep their slot with
+   * `has_payload = false`: the sequence SHAPE is the training
+   * contract, not the fetch success; `src`-less `<img>` tags drop.
+   *
+   * Output: (idCol, seq, kind ∈ text|image, text, image_src,
+   * has_payload), `seq` the document-order ordinal (gaps where empty
+   * text spans dropped). One map-side extraction + posexplode + one
+   * equi-join of the image SLOTS only against the sidecar.
+   */
+  def interleave(
+      pages: DataFrame, idCol: String, htmlCol: String,
+      images: DataFrame, imgIdCol: String, srcCol: String,
+      payloadCol: String): DataFrame = {
+    val S = "\u0000"
+    val withSlots = regexp_replace(col(htmlCol),
+      "(?is)<img\\b[^>]*?\\bsrc\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*>",
+      s"$S$$1$S")
+    val cleaned = regexp_replace(withSlots, "(?is)<img\\b[^>]*>", " ")
+    val segs = split(
+      graft.functions.HtmlOps.htmlToText(cleaned), S, -1)
+    val rows = pages
+      .select(col(idCol), posexplode(segs).as(Seq("seq", "__seg")))
+      .select(col(idCol), col("seq").cast("long").as("seq"),
+        when(pmod(col("seq"), lit(2)) === 1, lit("image"))
+          .otherwise(lit("text")).as("kind"),
+        trim(col("__seg")).as("__t"))
+      .where(col("kind") === "image" || col("__t") =!= "")
+    val slots = images
+      .select(col(imgIdCol).as(idCol), col(srcCol).as("__src"),
+        col(payloadCol).isNotNull.as("__has"))
+      // one sidecar row per (page, src) however the fetcher logged
+      // retries — a duplicate would duplicate the SLOT row after join
+      .groupBy(col(idCol), col("__src"))
+      .agg(max(col("__has")).as("__has"))
+    rows.join(slots,
+        rows(idCol) === slots(idCol) &&
+          col("kind") === "image" && col("__t") === col("__src"),
+        "left")
+      .select(rows(idCol), col("seq"), col("kind"),
+        when(col("kind") === "text", col("__t")).as("text"),
+        when(col("kind") === "image", col("__t")).as("image_src"),
+        when(col("kind") === "image", coalesce(col("__has"), lit(false)))
+          .as("has_payload"))
+  }
 }

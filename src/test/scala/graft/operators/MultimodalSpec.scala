@@ -142,4 +142,30 @@ class MultimodalSpec extends SparkSuite {
       Seq((7L, p)).toDF("id", "payload"), "id", "payload").collect()(0)
     assert(r.getLong(5) == p.length.toLong)
   }
+
+  test("interleave: slot order, src-less imgs drop, adjacency, retry dedup") {
+    val html = "<p>a <img src=\"i1\"><img src=\"i2\"> b</p>" +
+      "<p><img alt=\"no src\"> c <img src=\"i1\"></p>"
+    val pages = Seq((1L, html)).toDF("id", "html")
+    val images = Seq(
+      (1L, "i1", Some(Array[Byte](1))),
+      (1L, "i1", Option.empty[Array[Byte]]), // fetch retry logged twice
+      (1L, "i2", Option.empty[Array[Byte]]))
+      .toDF("id", "src", "payload")
+    val got = Multimodal.interleave(pages, "id", "html",
+        images, "id", "src", "payload")
+      .orderBy(col("seq")).collect()
+      .map(r => (r.getString(2), Option(r.getString(3)),
+        Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+      .toSeq
+    assert(got == Seq(
+      ("text", Some("a"), None, None),
+      ("image", None, Some("i1"), Some(true)), // retry dedup: max(has)
+      // adjacent images: the empty span between them drops, slots stay
+      ("image", None, Some("i2"), Some(false)),
+      // src-less img vanished; "b" and "c" join across the block break
+      ("text", Some("b\nc"), None, None),
+      ("image", None, Some("i1"), Some(true))))
+  }
 }
