@@ -1978,6 +1978,39 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // the directives are LOAD-BEARING in the rank flow: pages render
+    // two links (×3 plain; ×7 rel=nofollow on odd ids) and ids%10=0
+    // carry a page-level META nofollow voiding both — extraction, both
+    // directive gates, and URL parsing feed the integer fixpoint, and
+    // the oracle replays it over the surviving edge set restated from
+    // id arithmetic alone (a missed or over-applied directive shifts
+    // the whole rank vector)
+    "graph_pagerank_nofollow" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val a = ((col("doc_id") * 3 + 1) % 500).cast("string")
+      val b = ((col("doc_id") * 7 + 5) % 500).cast("string")
+      val meta = when(col("doc_id") % 10 === 0,
+        lit("<meta name=\"robots\" content=\"nofollow\">")).otherwise(lit(""))
+      val relB = when(col("doc_id") % 2 === 1, lit(" rel=\"nofollow\""))
+        .otherwise(lit(""))
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<html><head>"), meta,
+          lit("</head><body><p><a href=\"/doc/"), a,
+          lit("\">a</a> <a"), relB, lit(" href=\"/doc/"), b,
+          lit("\">b</a></p></body></html>")).as("html"),
+        concat(lit("https://g.test/p"), id).as("base"))
+      val rel = HtmlOps.extractLinksRel(pages, "doc_id", "html", "base")
+      val pageNf = HtmlOps.extractMetaRobots(pages, "doc_id", "html")
+        .select(col("doc_id"), col("nofollow").as("page_nf"))
+      val edges = rel.join(pageNf, "doc_id")
+        .where(!col("nofollow") && !col("page_nf"))
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("link"), "/doc/(\\d+)$", 1).cast("long")
+            .as("dst"))
+      Graph.pagerank(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // per-node triangle counts (link-farm near-cliques light up): the
     // doc graph plus an injected K5 clique whose nodes must each count
     // C(4,2)=6 triangles. Engine = degree-oriented compact-forward;
@@ -6854,6 +6887,20 @@ object SparkEntry {
       "graph_pagerank" ->
         s"""WITH raw AS (
            |  $DocGraphRawSql),
+           |${GraphSql.pagerankCtes(3)}
+           |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      // the surviving edge set from id arithmetic alone (markup and
+      // directive parsing never appear), then the identical unrolled
+      // integer fixpoint
+      "graph_pagerank_nofollow" ->
+        s"""WITH d AS (SELECT doc_id FROM documents),
+           |raw AS (
+           |  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst FROM d
+           |  WHERE doc_id % 10 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 5) % 500 FROM d
+           |  WHERE doc_id % 10 <> 0 AND doc_id % 2 = 0),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
 
