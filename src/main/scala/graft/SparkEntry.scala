@@ -4525,6 +4525,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    // the pipeline's TERMINAL artifact: packed fixed-length sequences
+    // (docs laid end-to-end per group, straddlers split, partial tails
+    // dropped) written as int32-LE binary shards + index, then read
+    // BACK by positioned record reads — tokens and document-boundary
+    // masks must survive the byte layout; oracle restates every
+    // sequence from the packing arithmetic alone
+    "train_shards_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("string").as("grp"),
+          sequence((col("doc_id") * 100).cast("int"),
+            (col("doc_id") * 100 + pmod(col("doc_id"), lit(7)) + 2)
+              .cast("int")).as("toks"))
+      val seqs = operators.TrainShards.assembleSequences(
+        docs, "grp", "doc_id", "toks", seqLen = 16)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_trainshards").toString
+      val idx = operators.TrainShards.writeTokenShards(
+        seqs, "grp", out, seqLen = 16, numShards = 4)
+      operators.TrainShards.readTokenShards(s, idx, seqLen = 16)
+        .select(col("group"), col("seq_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"),
+          concat_ws(",", col("boundaries")).as("boundaries_csv"))
+        .orderBy(col("group"), col("seq_id"))
+    }),
+
     // BPE-ish token counting alongside whitespace tokens
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -9101,6 +9127,40 @@ object SparkEntry {
           |       FROM documents)
           |SELECT id, CAST(unnest(range(0, w, 5)) AS INTEGER) AS frame_idx
           |FROM m ORDER BY id, frame_idx""".stripMargin,
+
+      // every complete sequence restated from the packing arithmetic:
+      // per-group cumulative token offsets place each doc's tokens at
+      // global positions, sequences are 16-position windows, boundaries
+      // the doc-start positions — the engine's explode/aggregate path
+      // and the byte roundtrip never appear
+      "train_shards_roundtrip" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS grp,
+          |                  doc_id % 7 + 3 AS n
+          |           FROM documents WHERE doc_id < 200),
+          |o AS (SELECT doc_id, grp, n,
+          |        sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+          |                     ROWS UNBOUNDED PRECEDING) - n AS p0
+          |      FROM d),
+          |tok0 AS (SELECT grp, doc_id, p0, unnest(range(0, n)) AS u FROM o),
+          |tok AS (SELECT grp, p0 + u AS pos, doc_id * 100 + u AS tk
+          |        FROM tok0),
+          |sq AS (SELECT grp, pos // 16 AS seq_id, pos % 16 AS ip, tk
+          |       FROM tok),
+          |filled AS (SELECT grp, seq_id,
+          |             array_to_string(list(tk ORDER BY ip), ',')
+          |               AS tokens_csv,
+          |             count(*) AS c
+          |           FROM sq GROUP BY grp, seq_id),
+          |bnd AS (SELECT grp, p0 // 16 AS seq_id,
+          |          array_to_string(list(p0 % 16 ORDER BY p0 % 16), ',')
+          |            AS boundaries_csv
+          |        FROM o GROUP BY 1, 2)
+          |SELECT f.grp AS "group", CAST(f.seq_id AS BIGINT) AS seq_id,
+          |       f.tokens_csv,
+          |       coalesce(b.boundaries_csv, '') AS boundaries_csv
+          |FROM filled f
+          |LEFT JOIN bnd b ON f.grp = b.grp AND f.seq_id = b.seq_id
+          |WHERE f.c = 16 ORDER BY f.grp, f.seq_id""".stripMargin,
 
       // all five interleaved rows per doc from arithmetic — spans,
       // slot order, and payload flags never touch markup in the oracle

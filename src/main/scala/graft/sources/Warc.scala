@@ -590,7 +590,7 @@ object Warc {
   /** Hadoop `Configuration` is not `Serializable`; this is the standard
     * write/readFields envelope so fetch tasks see the session's FS config
     * (credentials, object-store endpoints) instead of a bare default. */
-  private final class SerializableHadoopConf(
+  private[graft] final class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

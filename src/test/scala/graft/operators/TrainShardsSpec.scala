@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Packed-sequence assembly semantics, the int32-LE byte contract, and
+  * the positioned-read subset path. */
+class TrainShardsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // one group, seqLen 4: docs (1: [10,11,12]), (2: [20,21,22]),
+  // (3: [30]), (4: [40,41]) lie end-to-end as positions 0..8 —
+  // seq 0 = [10,11,12,20] (doc 2 straddles), seq 1 = [21,22,30,40],
+  // the tail [41] drops
+  private lazy val docs = Seq(
+    (1L, "g", Seq(10, 11, 12)),
+    (2L, "g", Seq(20, 21, 22)),
+    (3L, "g", Seq(30)),
+    (4L, "g", Seq(40, 41)))
+    .toDF("id", "grp", "toks")
+
+  private def assembled() =
+    TrainShards.assembleSequences(docs, "grp", "id", "toks", seqLen = 4)
+      .orderBy(col("seq_id"))
+      .collect()
+      .map(r => (r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](3)))
+      .toSeq
+
+  test("assembly: straddlers split, tails drop, boundaries are doc STARTS") {
+    assert(assembled() == Seq(
+      // doc 1 starts at 0, doc 2 at 3; doc 2's continuation into seq 1
+      // is NOT a boundary — docs 3 (pos 6 -> ip 2) and 4 (pos 7 -> 3) are
+      (0L, Seq(10, 11, 12, 20), Seq(0, 3)),
+      (1L, Seq(21, 22, 30, 40), Seq(2, 3))))
+  }
+
+  test("assembly: a doc starting exactly at a sequence start is boundary 0") {
+    val d = Seq((1L, "g", Seq(1, 2, 3, 4)), (2L, "g", Seq(5, 6, 7, 8)))
+      .toDF("id", "grp", "toks")
+    val got = TrainShards.assembleSequences(d, "grp", "id", "toks", 4)
+      .orderBy(col("seq_id")).collect()
+      .map(r => (r.getLong(1), r.getSeq[Int](3))).toSeq
+    assert(got == Seq((0L, Seq(0)), (1L, Seq(0))))
+  }
+
+  test("write/read roundtrip; bytes are int32-LE records; subset reads") {
+    val out = java.nio.file.Files.createTempDirectory("ts_spec").toString
+    val seqs = TrainShards.assembleSequences(docs, "grp", "id", "toks", 4)
+    val idx = TrainShards.writeTokenShards(seqs, "grp", out, 4, numShards = 1)
+    val rows = idx.orderBy(col("record_idx")).collect()
+    assert(rows.length == 2)
+    // byte-level contract: record 0's first token 10 = 0A 00 00 00 LE
+    val file = rows(0).getString(0)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(file).getPath match {
+        case "" => file.stripPrefix("file:"); case p => p
+      }))
+    assert(bytes.length == 2 * 4 * 4)
+    assert(bytes.slice(0, 4).toSeq == Seq[Byte](10, 0, 0, 0))
+    // roundtrip equality against the assembly
+    val back = TrainShards.readTokenShards(spark, idx, 4)
+      .orderBy(col("seq_id")).collect()
+      .map(r => (r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](3))).toSeq
+    assert(back == assembled())
+    // a SUBSET of the index reads only its records (the sampled-batch
+    // path: positioned reads, never a shard scan)
+    val one = TrainShards.readTokenShards(spark,
+        idx.where(col("seq_id") === 1), 4)
+      .collect().map(r => (r.getLong(1), r.getSeq[Int](2))).toSeq
+    assert(one == Seq((1L, Seq(21, 22, 30, 40))))
+    // no staging leftovers
+    val left = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(left.forall(!_.contains(".inprogress")), left.toString)
+  }
+
+  test("writer refuses a wrong-shape record loudly") {
+    val bad = Seq(("g", 0L, Seq(1, 2, 3), Seq(0)))
+      .toDF("grp", "seq_id", "tokens", "boundaries")
+    val out = java.nio.file.Files.createTempDirectory("ts_bad").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      TrainShards.writeTokenShards(bad, "grp", out, 4, 1).count()
+    }
+    assert(e.getMessage.contains("exactly 4 tokens") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactly 4 tokens")))
+  }
+}
