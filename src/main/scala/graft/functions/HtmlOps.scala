@@ -171,7 +171,10 @@ object HtmlOps {
   /** `<link>` tags whose `rel` is exactly `canonical` (quoted or
     * unquoted, either attribute order) — the canonical link element,
     * RFC 6596. Multi-token `rel` lists are out of the stated subset. */
-  private val CanonicalRelRe = "(?i)\\brel\\s*=\\s*[\"']?canonical[\"'\\s>]"
+  // the \s boundary anchors rel= at an ATTRIBUTE position (the
+  // AnchorOpen rule): 'rel=canonical' inside an href VALUE must not
+  // select the tag; the terminator admits '/' for self-closing tags
+  private val CanonicalRelRe = "(?i)\\srel\\s*=\\s*[\"']?canonical[\"'\\s>/]"
 
   /**
    * The page's DECLARED canonical URL (`<link rel="canonical"
@@ -222,14 +225,21 @@ object HtmlOps {
       df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val tags = regexp_extract_all(preClean(col(htmlCol)),
       lit("(?is)<meta\\b[^>]*>"), lit(0))
-    val robots = try_element_at(
-      filter(tags, t =>
-        t.rlike("(?i)\\bname\\s*=\\s*[\"']?robots[\"'\\s>]")), lit(1))
-    val content = regexp_extract(robots,
-      "(?is)\\bcontent\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+    // ALL robots metas combine (the documented engine behavior — a CMS
+    // emits one tag, a plugin another); name anchored at an attribute
+    // position, '/' admitted for self-closing tags
+    val robots = filter(tags, t =>
+      t.rlike("(?i)\\sname\\s*=\\s*[\"']?robots[\"'\\s>/]"))
+    def anyHas(tok: String) = exists(robots, t => {
+      val q = regexp_extract(t,
+        "(?is)\\scontent\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+      val u = regexp_extract(t,
+        "(?is)\\scontent\\s*=\\s*([^\\s\"'>]+)", 1)
+      directiveHas(when(q =!= "", q).otherwise(u), tok)
+    })
     df.select(col(idCol),
-      coalesce(directiveHas(content, "noindex"), lit(false)).as("noindex"),
-      coalesce(directiveHas(content, "nofollow"), lit(false)).as("nofollow"))
+      coalesce(anyHas("noindex"), lit(false)).as("noindex"),
+      coalesce(anyHas("nofollow"), lit(false)).as("nofollow"))
   }
 
   /**
@@ -248,10 +258,12 @@ object HtmlOps {
     val elems = regexp_extract_all(preClean(col(htmlCol)),
       lit(s"(?is)$AnchorOpen[^>]*>.*?</a>"), lit(0))
     val open = regexp_extract(col("__a"), "(?is)^(<a[^>]*>)", 1)
+    // \s-anchored like CanonicalRelRe: 'rel=nofollow' inside an href
+    // VALUE (or a data-rel attribute) must not flag the link
     val rel = regexp_extract(open,
-      "(?is)\\brel\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+      "(?is)\\srel\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
     val relUnq = regexp_extract(open,
-      "(?is)\\brel\\s*=\\s*([^\\s\"'>]+)", 1)
+      "(?is)\\srel\\s*=\\s*([^\\s\"'>]+)", 1)
     val nofollow = directiveHas(
       when(rel =!= "", rel).otherwise(relUnq), "nofollow") ||
       // rel lists are SPACE-separated in HTML (the comma grammar is the

@@ -70,11 +70,13 @@ object UrlOps {
       idCol: String,
       urlCol: String,
       declaredCol: String): org.apache.spark.sql.DataFrame =
-    df.groupBy(
-        coalesce(normalizeUrl(col(declaredCol)), normalizeUrl(col(urlCol)))
-          .as("canonical_url"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
-      .select(col("__row.*"), col("canonical_url"))
+    // one keep rule, one site: normalizeUrl null-propagates, so keying
+    // urlDedup on the pre-coalesced raw URL is exactly grouping by
+    // coalesce(normalize(declared), normalize(own))
+    urlDedup(
+      df.withColumn("__eff", coalesce(col(declaredCol), col(urlCol))),
+      idCol, "__eff")
+      .drop("__eff")
 
   /** Spider-trap signals of one URL — the frontier-side heuristics that
     * keep a crawler out of infinite URL spaces (calendar pages, session

@@ -393,8 +393,13 @@ object Multimodal {
       images: DataFrame, imgIdCol: String, srcCol: String,
       payloadCol: String): DataFrame = {
     val S = "\u0000"
-    val withSlots = regexp_replace(col(htmlCol),
-      "(?is)<img\\b[^>]*?\\bsrc\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*>",
+    // crawled HTML can carry stray NUL bytes — strip them BEFORE they
+    // can alias the slot sentinel and flip the text/image parity; and
+    // src must sit at an ATTRIBUTE boundary (the AnchorOpen rule), or
+    // a lazy-loader's data-src placeholder captures as the slot
+    val noNul = regexp_replace(col(htmlCol), S, " ")
+    val withSlots = regexp_replace(noNul,
+      "(?is)<img\\s(?:[^>]*?\\s)?src\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*>",
       s"$S$$1$S")
     val cleaned = regexp_replace(withSlots, "(?is)<img\\b[^>]*>", " ")
     val segs = split(

@@ -173,6 +173,12 @@ class HtmlOpsSpec extends SparkSuite {
     // non-fetchable scheme drops like any link
     assert(canonOf("<link rel=\"canonical\" href=\"mailto:x@y\">", base)
       == None)
+    // 'rel=canonical' inside an href VALUE must not select the tag
+    assert(canonOf("<link rel=\"alternate\" " +
+      "href=\"/feed?rel=canonical\">", base) == None)
+    // self-closing tag with unquoted rel as the last attribute
+    assert(canonOf("<link href=\"/doc/0\" rel=canonical/>", base) ==
+      Some("https://h.test/doc/0"))
   }
 
   test("block-tag boundary: <link>/<picture> are not li/p blocks") {
@@ -229,6 +235,14 @@ class HtmlOpsSpec extends SparkSuite {
     // whitespace-tolerant token split
     assert(mr("<meta name=\"robots\" content=\" noindex ,follow\">") ==
       (true, false))
+    // MULTIPLE robots metas combine (CMS + plugin each emit one)
+    assert(mr("<meta name=\"robots\" content=\"noindex\">" +
+      "<meta name=\"robots\" content=\"nofollow\">") == (true, true))
+    // unquoted content value is legal HTML
+    assert(mr("<meta name=robots content=noindex,nofollow>") ==
+      (true, true))
+    // self-closing variant
+    assert(mr("<meta content=\"noindex\" name=robots/>") == (true, false))
   }
 
   test("links rel: nofollow flags per anchor, space lists, unquoted; others false") {
@@ -237,7 +251,9 @@ class HtmlOpsSpec extends SparkSuite {
       "<a rel='external nofollow' href='/c'>3</a>" +
       "<a href=\"/d\" rel=nofollow>4</a>" +
       "<a rel=\"noreferrer\" href=\"/e\">5</a>" +
-      "<a rel=\"nofollowish\" href=\"/f\">6</a>"
+      "<a rel=\"nofollowish\" href=\"/f\">6</a>" +
+      "<a href=\"/g?rel=nofollow\">7</a>" + // rel INSIDE the href value
+      "<a data-rel=\"nofollow\" href=\"/h\">8</a>" // not a rel attribute
     val got = HtmlOps.extractLinksRel(
         Seq((1L, html, "https://h.test/")).toDF("id", "html", "base"),
         "id", "html", "base")
@@ -245,7 +261,9 @@ class HtmlOpsSpec extends SparkSuite {
     assert(got == Seq(
       ("https://h.test/a", false), ("https://h.test/b", true),
       ("https://h.test/c", true), ("https://h.test/d", true),
-      ("https://h.test/e", false), ("https://h.test/f", false)))
+      ("https://h.test/e", false), ("https://h.test/f", false),
+      ("https://h.test/g?rel=nofollow", false),
+      ("https://h.test/h", false)))
   }
 
   test("links plan: map-side projection + generate, zero shuffle") {

@@ -168,4 +168,24 @@ class MultimodalSpec extends SparkSuite {
       ("text", Some("b\nc"), None, None),
       ("image", None, Some("i1"), Some(true))))
   }
+
+  test("interleave: data-src never captures as the slot; NUL bytes inert") {
+    // lazy-loader markup: the placeholder must NOT become the slot src,
+    // and a stray NUL in crawled text must not flip text/image parity
+    val html = "<p>x\u0000y <img data-src=\"ph.gif\" src=\"real.jpg\"> z</p>"
+    val pages = Seq((1L, html)).toDF("id", "html")
+    val images = Seq((1L, "real.jpg", Some(Array[Byte](1))))
+      .toDF("id", "src", "payload")
+    val got = Multimodal.interleave(pages, "id", "html",
+        images, "id", "src", "payload")
+      .orderBy(col("seq")).collect()
+      .map(r => (r.getString(2), Option(r.getString(3)),
+        Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+      .toSeq
+    assert(got == Seq(
+      ("text", Some("x y"), None, None),
+      ("image", None, Some("real.jpg"), Some(true)),
+      ("text", Some("z"), None, None)))
+  }
 }
