@@ -441,6 +441,35 @@ object SparkEntry {
         out
       })
 
+  /** Three-crawl TEMPORAL fixture: one shard per crawl month
+    * (2026-01/02/03-01), each capturing resource records for doc_id <
+    * 20 with crawl-tagged payloads — the closest-capture probe's input
+    * (every URL has three dated captures to arbitrate between). */
+  private def warcTemporalFixture(s: SparkSession, dir: String): String =
+    warcDirCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(s"$dir#temporal", _ => {
+        import graft.sources.Warc
+        val rows = t(s, dir, "documents").where(col("doc_id") < 20)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val out =
+          java.nio.file.Files.createTempDirectory("graft_warc_time").toString
+        (0 until 3).foreach { k =>
+          val date = f"2026-0${k + 1}%d-01T00:00:00Z"
+          val bos = new java.io.ByteArrayOutputStream()
+          rows.foreach { case (id, text) =>
+            bos.write(Warc.renderRecord("resource",
+              Some(s"https://graft.test/doc/$id"), date, "text/plain",
+              s"crawl$k $text".getBytes("UTF-8")))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"shard$k.warc"), bos.toByteArray)
+        }
+        out
+      })
+
   /** Single-shard WARC fixture whose response bodies carry the wire
     * encodings real captures do, by `doc_id % 4`: 0 = plain, 1 =
     * `Content-Encoding: gzip`, 2 = `Transfer-Encoding: chunked`
@@ -1603,6 +1632,25 @@ object SparkEntry {
           (0 until 16).map(i => s"https://graft.test/doc/$i"))
         .select(col("target_uri"), col("rec_type"), col("content_type"),
           col("content_length"), sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy(col("target_uri"))
+    }),
+
+    // the TEMPORAL CDX query (wayback semantics — real CDX keys are
+    // (SURT, timestamp) for this): three dated crawls of every URL,
+    // probe "closest to 2026-02-10" — Feb 1 (9 days) must beat Jan 1
+    // (40) and Mar 1 (19); the oracle restates the Feb capture's
+    // fields from construction, so a wrong arbitration or a dropped
+    // date fails every row
+    "warc_cdx_temporal" -> ((s, dir) => {
+      val fix = warcTemporalFixture(s, dir)
+      val tbl = s"${indexDb(s)}.warc_cdx_temporal"
+      graft.sources.Warc.writeCdxIndex(s,
+        (0 until 3).map(k => s"$fix/shard$k.warc"), tbl, buckets = 8)
+      graft.sources.Warc.lookupCdxNearest(s, tbl,
+          (0 until 20).map(i => s"https://graft.test/doc/$i"),
+          "2026-02-10T00:00:00Z")
+        .select(col("surt"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("digest"))
         .orderBy(col("target_uri"))
     }),
 
@@ -6520,6 +6568,19 @@ object SparkEntry {
            |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
            |            ELSE sha256(text) END AS payload_sha
            |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // the February capture's fields restated from construction —
+      // closest-to-T arbitration and date carriage never echo
+      "warc_cdx_temporal" ->
+        """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20)
+          |SELECT 'test,graft)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+          |       'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |         AS target_uri,
+          |       '2026-02-01T00:00:00Z' AS warc_date,
+          |       CAST(octet_length(encode('crawl1 ' || text)) AS BIGINT)
+          |         AS content_length,
+          |       sha256('crawl1 ' || text) AS digest
+          |FROM docs ORDER BY target_uri""".stripMargin,
 
       // all 40 captures of the probed host restated from construction —
       // the warc_cdx_indexed shape with the host partition key; an

@@ -483,10 +483,36 @@ object Warc {
     readRecords(spark, warcPaths)
       .where(col("parse_ok") && col("target_uri").isNotNull)
       .select(surtKey(col("target_uri")).as("surt"),
-        col("target_uri"), col("rec_type"), col("warc_file"),
-        col("rec_offset"), col("content_length"),
+        col("target_uri"), col("rec_type"), col("warc_date"),
+        col("warc_file"), col("rec_offset"), col("content_length"),
         sha2(col("payload"), 256).as("digest"),
         col("stored_offset"), col("stored_length"))
+
+  /**
+   * The TEMPORAL CDX query — the public archive's canonical lookup
+   * ("the capture of this URL closest to time T", the wayback
+   * semantics; real CDX keys are (SURT, timestamp14) for exactly
+   * this): probe the bucket-pruned index for the URLs' keys, then pick
+   * per URL the capture minimizing |warc_date − t|, ties to the
+   * EARLIER capture — one `min_by` aggregate over the probed rows
+   * (captures-per-URL sized), never a window. `t` is ISO-8601, like
+   * `WARC-Date` itself; rows whose date fails to parse are ignored
+   * (a capture without a parseable date cannot compete on time).
+   */
+  def lookupCdxNearest(
+      spark: SparkSession, table: String, urls: Seq[String],
+      t: String): DataFrame = {
+    val target = to_timestamp(lit(t)).cast("long")
+    // try_: a junk-dated capture must be ignored, not throw under ANSI
+    val ts = try_to_timestamp(col("warc_date")).cast("long")
+    lookupCdx(spark, table, urls)
+      .where(ts.isNotNull)
+      .groupBy(col("surt"))
+      .agg(min_by(
+        struct(col("*")),
+        struct(abs(ts - target).as("d"), ts.as("t"))).as("__c"))
+      .select(col("__c.*"))
+  }
 
   /**
    * Persist the crawl's capture index as a bucketed managed table keyed

@@ -416,6 +416,36 @@ class WarcSpec extends SparkSuite {
       Seq("https://b.test/z"))
   }
 
+  test("lookupCdxNearest: ties go earlier; unparseable dates never compete") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdx_time")
+    def shard(name: String, date: String, body: String): Unit =
+      writeFile(dir, name, renderRecord("resource",
+        Some("https://t.test/a"), date, "text/plain", utf8(body)))
+    shard("s0.warc", "2026-01-01T00:00:00Z", "jan")
+    shard("s1.warc", "2026-01-03T00:00:00Z", "jan3")
+    shard("s2.warc", "not-a-date", "junk")
+    val spec = graft.operators.Bucketing
+    spec.scratchDb(spark, "cdx_time_spec",
+      java.nio.file.Files.createDirectory(dir.resolve("db")).toString)
+    Warc.writeCdxIndex(spark,
+      Seq("s0", "s1", "s2").map(n => dir.resolve(s"$n.warc").toString),
+      "cdx_time_spec.idx", buckets = 2)
+    def nearest(t: String): (String, String) = {
+      val r = Warc.lookupCdxNearest(spark, "cdx_time_spec.idx",
+        Seq("https://t.test/a"), t).collect()
+      assert(r.length == 1)
+      (r(0).getAs[String]("warc_date"), r(0).getAs[String]("warc_file"))
+    }
+    // Jan 2 noon sits 36h from Jan 1 and 12h from Jan 3
+    assert(nearest("2026-01-02T12:00:00Z")._1 == "2026-01-03T00:00:00Z")
+    // Jan 2 midnight is EQUIDISTANT (24h both ways): the earlier wins
+    assert(nearest("2026-01-02T00:00:00Z")._1 == "2026-01-01T00:00:00Z")
+    // far future: the latest parseable capture, never the junk-dated one
+    assert(nearest("2030-01-01T00:00:00Z")._1 == "2026-01-03T00:00:00Z")
+  }
+
   test("revisitCaptures: seen digests fold to revisit rows addressing the earliest original") {
     val spark2 = spark
     import spark2.implicits._
