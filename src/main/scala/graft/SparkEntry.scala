@@ -1218,6 +1218,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the directive gate live: the html_meta_robots fixture through the
+    // stream door — noindex pages drop at ingest, survivors carry their
+    // nofollow verdict; stateless, so the drain equals the batch rule
+    "stream_meta_robots_gate" -> ((s, dir) => {
+      val meta = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("<meta content='nofollow' name=robots>"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .otherwise(lit(""))
+      Streams.metaRobotsGateStream(s,
+          t(s, dir, "documents").where(col("doc_id") < 100)
+            .select(col("doc_id"),
+              concat(lit("<html><head>"), meta,
+                lit("</head><body><p>x</p></body></html>")).as("html")),
+          "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // anchor-level rel=nofollow (the 2005 link-graph annotation): a
     // nofollow'd link still feeds the frontier but must not flow rank —
     // quoted, space-separated-list, and unquoted rel forms all flag;
@@ -6123,6 +6143,14 @@ object SparkEntry {
           |       doc_id % 4 = 0 AS noindex,
           |       doc_id % 4 IN (0, 1) AS nofollow
           |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+      // survivors + verdicts from id arithmetic: %4=0 drops (noindex),
+      // %4=1 passes with nofollow, the rest pass clean
+      "stream_meta_robots_gate" ->
+        """SELECT doc_id, doc_id % 4 = 1 AS nofollow
+          |FROM documents
+          |WHERE doc_id < 100 AND doc_id % 4 <> 0
+          |ORDER BY doc_id""".stripMargin,
 
       // the four per-doc links and their verdicts from construction
       "html_links_nofollow" ->

@@ -1373,6 +1373,32 @@ object Streams {
    * the extraction is per-row, so the stream form is exactly the batch
    * form under `AvailableNow`). Emits (doc_id, n_tokens) per kept doc.
    */
+  /** The robots-META door — the page-level directive gate at ingest
+    * ([[graft.functions.HtmlOps.extractMetaRobots]] behind a stream
+    * reader): arriving markup parses its directives map-side and only
+    * indexable pages pass, each carrying its `nofollow` verdict for
+    * the edge producer downstream. Stateless, micro-batch independent
+    * by construction. */
+  def metaRobotsGateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      htmlCol: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-metarobots")
+    docs.select(col("doc_id"), col(htmlCol).as("html")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.functions.HtmlOps.extractMetaRobots(
+        spark.readStream.schema(schema).parquet(dir.toString)
+          .select(col("doc_id").cast("long").as("doc_id"), col("html")),
+        "doc_id", "html")
+      .where(!col("noindex"))
+      .select(col("doc_id"), col("nofollow"))
+    val drained = runToMemory(stream, "append",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+  }
+
   def htmlGateStream(
       spark: SparkSession,
       docs: DataFrame,
