@@ -129,4 +129,84 @@ class OpsPropertySpec extends SparkSuite {
       (got == want) :| s"got=$got want=$want"
     })
   }
+
+  test("componentsMerge equals the cold recompute on arbitrary release splits") {
+    // random small graphs, random 2-way split of the pair log into
+    // releases: star-edge maintenance over release 1's labels + release
+    // 2's pairs must equal the cold closure over the union — the
+    // incremental cluster index's correctness argument, brute-forced
+    val genCase = for {
+      n <- Gen.choose(2, 14)
+      nEdges <- Gen.choose(1, 20)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      split <- Gen.listOfN(edges.size, Gen.oneOf(true, false))
+    } yield (n, edges.distinct, split)
+    run(Prop.forAllNoShrink(genCase) { case (n, edges, split) =>
+      val r1 = edges.zip(split).collect { case (e, true) => e }
+      val r2 = edges.zip(split).collect { case (e, false) => e }
+      (r1.nonEmpty && r2.nonEmpty) ==> {
+        val p1 = r1.toDF("id_a", "id_b")
+        val m1 = r1.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+        val prior = Dedup.connectedComponents(m1, "id", p1)
+        val got = Dedup.componentsMerge(prior, "id", "component",
+            r2.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val allM = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+        val cold = Dedup.connectedComponents(allM, "id",
+            edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (got == cold) :| s"edges=$edges split=$split got=$got cold=$cold"
+      }
+    })
+  }
+
+  test("train-shard assembly conserves tokens; boundaries count the packed docs") {
+    // arbitrary doc sizes in one group: every produced sequence is
+    // exactly seqLen tokens in stream order, the kept+dropped token
+    // count equals the input total, and boundary positions are exactly
+    // the doc starts landing inside complete sequences
+    val genDocs = Gen.listOf(Gen.choose(1, 9)).suchThat(_.nonEmpty)
+    run(Prop.forAllNoShrink(genDocs) { sizes =>
+      val seqLen = 6
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, "g", (0 until n).map(j => i * 100 + j))
+      }.toDF("id", "grp", "toks")
+      val got = TrainShards.assembleSequences(docs, "grp", "id", "toks",
+          seqLen)
+        .orderBy(col("seq_id")).collect()
+        .map(r => (r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](3)))
+      val stream = sizes.zipWithIndex.flatMap { case (n, i) =>
+        (0 until n).map(j => i * 100 + j)
+      }
+      val nSeqs = stream.size / seqLen
+      val wantSeqs = (0 until nSeqs).map(k =>
+        stream.slice(k * seqLen, (k + 1) * seqLen))
+      val starts = sizes.scanLeft(0)(_ + _).dropRight(1)
+      val wantBounds = (0 until nSeqs).map(k =>
+        starts.filter(p => p >= k * seqLen && p < (k + 1) * seqLen)
+          .map(_ % seqLen))
+      val okSeqs = got.map(_._2.toSeq).toSeq == wantSeqs
+      val okBounds = got.map(_._3.toSeq).toSeq == wantBounds
+      val okIds = got.map(_._1).toSeq == (0L until nSeqs.toLong)
+      (okSeqs && okBounds && okIds) :|
+        s"sizes=$sizes got=${got.toSeq} want=$wantSeqs/$wantBounds"
+    })
+  }
+
+  test("gpt2 pre-tokenization is a lossless partition of arbitrary strings") {
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\u00a0', '\t', '\n', '\u2028'),
+      Gen.oneOf('\'', '.', ',', '\u2014', '\u20ac', '\u8a9e', '\u00df')))
+      .map(_.mkString)
+    run(Prop.forAllNoShrink(genText) { s =>
+      val pieces = Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.TextOps.pretokenizeGpt2(col("t")))
+        .first().getSeq[String](0)
+      (pieces.mkString == s && pieces.forall(_.nonEmpty)) :|
+        s"text=${s.take(40)} pieces=$pieces"
+    })
+  }
 }
