@@ -1058,6 +1058,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Bucketed: true"), s"prior scan must stay bucketed:\n$p")
   }
 
+  test("canonical dedup: one min_by fold, never a window over the URL group") {
+    import graft.functions.UrlOps
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit("https://graft.test/doc/"),
+            col("doc_id") - pmod(col("doc_id"), lit(3)))).as("canonical"))
+    val p = physical(UrlOps.canonicalDedup(df, "doc_id", "url", "canonical"))
+    assert(!p.contains("Window"),
+      s"the keep rule must be the min_by aggregate:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_minby") ||
+      p.contains("min_by"),
+      s"map-side partial keep per canonical key:\n$p")
+  }
+
+  test("mm interleave: extraction map-side, only image SLOTS join the sidecar") {
+    import graft.operators.Multimodal
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("<p>a <img src=\"i"), col("doc_id"),
+          lit("\"> b</p>")).as("html"))
+    val images = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat(lit("i"), col("doc_id")).as("src"),
+        col("text").cast("binary").as("payload"))
+    val p = physical(Multimodal.interleave(pages, "doc_id", "html",
+      images, "doc_id", "src", "payload"))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the sidecar side pre-aggregates the presence FLAG (retry dedup)
+    // before the join — payload bytes reduce to max(__has) and never
+    // ride the join build side
+    assert(p.contains("max(__has") || p.contains("partial_max(__has"),
+      s"the sidecar must fold to a presence flag before joining:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
   test("revisit fold: prior side pre-aggregates per (surt,digest) before the join") {
     import graft.sources.Warc
     def caps(off: Long) = spark.read.parquet(s"$sf/documents.parquet")
