@@ -670,6 +670,150 @@ object SparkEntry {
           |FROM d LEFT JOIN latest l ON d.url = l.url
           |ORDER BY d.url""".stripMargin
 
+  /** The sitemap-lastmod arbitration restatement shared by the ephemeral
+    * and persisted-index doors (the index stores exactly the state log
+    * the ephemeral plan consumed, so both must land on identical rows). */
+  private val SitemapRefetchOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+      |           AS url
+      |  FROM documents WHERE doc_id < 60),
+      |st AS (
+      |  SELECT url,
+      |         CASE WHEN doc_id % 3 = 0 THEN
+      |           'W/"v1-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+      |         CASE WHEN doc_id % 3 < 2 THEN
+      |           'lm-' || CAST(doc_id AS VARCHAR) END AS last_modified,
+      |         doc_id + 100 AS fetch_time
+      |  FROM d WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT url, 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"',
+      |         NULL, doc_id + 1000
+      |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0),
+      |latest AS (
+      |  SELECT s.url, s.etag, s.last_modified, s.fetch_time
+      |  FROM st s
+      |  JOIN (SELECT url, max(fetch_time) AS mt FROM st GROUP BY url) m
+      |    ON s.url = m.url AND s.fetch_time = m.mt),
+      |e AS (
+      |  SELECT url, doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN doc_id + 5000
+      |              WHEN doc_id % 5 <= 2 THEN 10 END AS lastmod
+      |  FROM d),
+      |due AS (
+      |  SELECT e.url, e.lastmod,
+      |         CASE WHEN l.url IS NULL THEN 'new'
+      |              WHEN e.lastmod IS NOT NULL AND
+      |                   e.lastmod > l.fetch_time THEN 'modified'
+      |              ELSE 'revalidate' END AS due,
+      |         l.etag, l.last_modified
+      |  FROM e LEFT JOIN latest l ON e.url = l.url)
+      |SELECT url, CAST(lastmod AS BIGINT) AS lastmod, due,
+      |       CASE WHEN due = 'revalidate' THEN etag END
+      |         AS if_none_match,
+      |       CASE WHEN due = 'revalidate' THEN last_modified END
+      |         AS if_modified_since,
+      |       (CASE WHEN due = 'revalidate' THEN etag END IS NOT NULL OR
+      |        CASE WHEN due = 'revalidate' THEN last_modified END
+      |          IS NOT NULL) AS conditional
+      |FROM due ORDER BY url""".stripMargin
+
+  /** The Cho–Garcia-Molina estimator restatement shared by the ephemeral
+    * capture-history door and the persisted fetch-state index door. */
+  private val RevisitOracleSql: String =
+    """WITH c AS (
+      |  SELECT 'https://e.test/u' || CAST(event_id % 97 AS VARCHAR)
+      |           AS url,
+      |         ts, event_type AS digest
+      |  FROM events),
+      |l AS (
+      |  SELECT url, epoch_us(ts) AS us,
+      |         lag(epoch_us(ts)) OVER w AS prev_us,
+      |         CAST(digest <> lag(digest) OVER w AS INT) AS chg
+      |  FROM c WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),
+      |g AS (
+      |  SELECT url,
+      |         count(prev_us) AS n_intervals,
+      |         CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+      |         avg(us - prev_us) / 1e6 AS mi,
+      |         (epoch_us(TIMESTAMP '2024-02-15 00:00:00') - max(us))
+      |           / 1e6 AS age_s
+      |  FROM l GROUP BY url)
+      |SELECT url, n_intervals, n_changes,
+      |       round(mi, 6) AS mean_interval_s,
+      |       round(CASE WHEN n_intervals > 0 AND mi > 0 THEN
+      |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+      |           / mi * 86400 END, 6) AS change_rate_day,
+      |       round(CASE WHEN n_intervals > 0 AND mi > 0 THEN
+      |         1 - exp(ln((n_intervals - n_changes + 0.5)
+      |                    / (n_intervals + 0.5)) / mi * age_s) END, 6)
+      |         AS p_changed
+      |FROM g ORDER BY url""".stripMargin
+
+  /** The closed 3-cycle crawl loop over the durable frontier + fetch-state
+    * stores, unrolled cycle by cycle: per-host top-3 schedule (horizon 30 s
+    * / default delay 10 s), the (id%7)+100 discovery fold with
+    * max-over-discoverers priority, the never-fetched admission gate, and
+    * the deferred-tail merge that REPLACES the frontier store. */
+  private val CrawlCycleLoopOracleSql: String = {
+    def urlOf(idExpr: String): String =
+      s"'https://h' || CAST(($idExpr) % 3 AS VARCHAR) || '.test/u' || " +
+        s"CAST($idExpr AS VARCHAR)"
+    def schedCte(out: String, in: String): String =
+      s"""$out AS (
+         |  SELECT id, url, priority,
+         |         CAST(row_number() OVER w - 1 AS BIGINT) AS slot
+         |  FROM $in
+         |  WINDOW w AS (PARTITION BY id % 3 ORDER BY priority DESC, url)
+         |  QUALIFY row_number() OVER w <= 3)""".stripMargin
+    def discCte(out: String, in: String, fetchedSoFar: String): String =
+      s"""$out AS (
+         |  SELECT id, ${urlOf("id")} AS url, priority FROM (
+         |    SELECT (id % 7) + 100 AS id,
+         |           max(CAST((id * 3) % 17 AS DOUBLE)) AS priority
+         |    FROM $in GROUP BY (id % 7) + 100)
+         |  WHERE id NOT IN ($fetchedSoFar))""".stripMargin
+    def mergeCte(out: String, frontier: String, sched: String,
+        novel: String): String =
+      s"""$out AS (
+         |  SELECT id, url, max(priority) AS priority FROM (
+         |    SELECT id, url, priority FROM $frontier
+         |    WHERE id NOT IN (SELECT id FROM $sched)
+         |    UNION ALL
+         |    SELECT id, url, priority FROM $novel)
+         |  GROUP BY id, url)""".stripMargin
+    s"""WITH f1 AS (
+       |  SELECT doc_id AS id, ${urlOf("doc_id")} AS url,
+       |         CAST((doc_id * 7) % 13 AS DOUBLE) AS priority
+       |  FROM documents WHERE doc_id < 30),
+       |${schedCte("s1", "f1")},
+       |${discCte("n1", "s1", "SELECT id FROM s1")},
+       |${mergeCte("f2", "f1", "s1", "n1")},
+       |${schedCte("s2", "f2")},
+       |${discCte("n2", "s2",
+          "SELECT id FROM s1 UNION ALL SELECT id FROM s2")},
+       |${mergeCte("f3", "f2", "s2", "n2")},
+       |${schedCte("s3", "f3")},
+       |${discCte("n3", "s3",
+          "SELECT id FROM s1 UNION ALL SELECT id FROM s2 " +
+            "UNION ALL SELECT id FROM s3")},
+       |${mergeCte("f4", "f3", "s3", "n3")}
+       |SELECT * FROM (
+       |  SELECT 1 AS cycle, 'sched' AS kind, id, url, priority, slot,
+       |         CAST(slot * 10.0 AS DOUBLE) AS sched_s FROM s1
+       |  UNION ALL
+       |  SELECT 2, 'sched', id, url, priority, slot,
+       |         CAST(slot * 10.0 AS DOUBLE) FROM s2
+       |  UNION ALL
+       |  SELECT 3, 'sched', id, url, priority, slot,
+       |         CAST(slot * 10.0 AS DOUBLE) FROM s3
+       |  UNION ALL
+       |  SELECT 3, 'tail', id, url, priority, CAST(NULL AS BIGINT),
+       |         CAST(NULL AS DOUBLE) FROM f4)
+       |ORDER BY cycle, kind, url""".stripMargin
+  }
+
   /** Shared two-release duplicate-pair fixture: release 1 chains
     * (3k, 3k+1); release 2 extends (3k+1, 3k+2) on even k and bridges
     * (3k+1, 3k+3) on k ≡ 0 (mod 5). Returns (p1, p2, release-1
@@ -1795,6 +1939,133 @@ object SparkEntry {
           .when(col("doc_id") % 5 <= 2, lit(10L)).as("lastmod"))
       operators.Frontier.sitemapRefetchPlan(entries, state)
         .orderBy(col("url"))
+    }),
+
+    // the SAME conditional plan with the state side the PERSISTED
+    // url-bucketed fetch-state index (the durable crawl-cycle state):
+    // release 1 written, release 2 APPENDED — the per-cycle lifecycle —
+    // then the latest-wins fold aggregates the bucketed scan in place
+    // (zero index-side Exchange, plan-pinned). Must equal the
+    // ephemeral-frame plan row for row — the shared oracle binds both
+    "crawl_conditional_fetch_indexed" -> ((s, dir) => {
+      val (frontier, state) = condFetchFixture(s, dir)
+      val tbl = s"${indexDb(s)}.fetch_state_idx"
+      val withDigest = state.withColumn("digest",
+        concat(lit("sha-"), col("fetch_time").cast("string")))
+      operators.FetchState.writeStateIndex(
+        withDigest.where(col("fetch_time") < 1000), tbl, buckets = 8)
+      operators.FetchState.appendState(
+        withDigest.where(col("fetch_time") >= 1000), tbl)
+      operators.FetchState.conditionalFetchPlanIndexed(
+          frontier.select(col("url")), s, tbl)
+        .orderBy(col("url"))
+    }),
+
+    // lastmod arbitration over the persisted index — the publisher's
+    // change signal against the DURABLE fetch history instead of an
+    // ephemeral state frame; same two-release write+append lifecycle
+    "crawl_sitemap_refetch_indexed" -> ((s, dir) => {
+      val (frontier, state) = condFetchFixture(s, dir)
+      val tbl = s"${indexDb(s)}.fetch_state_sm_idx"
+      val withDigest = state.withColumn("digest",
+        concat(lit("sha-"), col("fetch_time").cast("string")))
+      operators.FetchState.writeStateIndex(
+        withDigest.where(col("fetch_time") < 1000), tbl, buckets = 8)
+      operators.FetchState.appendState(
+        withDigest.where(col("fetch_time") >= 1000), tbl)
+      val entries = frontier.select(col("url"),
+        when(col("doc_id") % 5 === 0, col("doc_id") + 5000)
+          .when(col("doc_id") % 5 <= 2, lit(10L)).as("lastmod"))
+      operators.FetchState.sitemapRefetchPlanIndexed(entries, s, tbl)
+        .orderBy(col("url"))
+    }),
+
+    // the Cho–Garcia-Molina revisit estimator over the persisted index:
+    // the fetch log IS the capture history (fetch_time the instant,
+    // digest the change witness) — frontier_revisit's fixture written
+    // as fetch-state rows, read back through the durable artifact; the
+    // shared oracle pins both doors to identical estimates
+    "crawl_revisit_priority_indexed" -> ((s, dir) => {
+      val tbl = s"${indexDb(s)}.fetch_state_rv_idx"
+      val caps = t(s, dir, "events")
+        .select(concat(lit("https://e.test/u"),
+            (col("event_id") % 97).cast("string")).as("url"),
+          lit(null).cast("string").as("etag"),
+          lit(null).cast("string").as("last_modified"),
+          col("ts").as("fetch_time"),
+          col("event_type").as("digest"))
+      operators.FetchState.writeStateIndex(caps, tbl, buckets = 8)
+      operators.FetchState.revisitPriorityIndexed(s, tbl,
+          "2024-02-15 00:00:00")
+        .select(col("url"), col("n_intervals"), col("n_changes"),
+          round(col("mean_interval_s"), 6).as("mean_interval_s"),
+          round(col("change_rate") * 86400d, 6).as("change_rate_day"),
+          round(col("p_changed"), 6).as("p_changed"))
+        .orderBy(col("url"))
+    }),
+
+    // the CLOSED multi-cycle crawl loop over the durable stores — the
+    // stream_ingest_loop posture for the frontier: each cycle schedules
+    // from the PERSISTED frontier (per-host bounded top-3 under the
+    // 30 s horizon / 10 s default delay), appends its fetches into the
+    // fetch-state index, folds its discoveries ((id%7)+100, priority =
+    // max over discoverers, never-fetched URLs only), and REPLACES the
+    // frontier store with the merged tail via the crash-atomic swap —
+    // so cycle N+1's input is exactly cycle N's committed artifact.
+    // Output = every cycle's schedule + the final deferred tail; the
+    // oracle unrolls all three cycles independently
+    "crawl_cycle_loop" -> ((s, dir) => {
+      import s.implicits._
+      val db = indexDb(s)
+      val fTbl = s"$db.crawl_frontier_store"
+      val stTbl = s"$db.crawl_cycle_state"
+      val seeds = t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id").as("id"),
+          concat(lit("https://h"), (col("doc_id") % 3).cast("string"),
+            lit(".test/u"), col("doc_id").cast("string")).as("url"),
+          ((col("doc_id") * 7) % 13).cast("double").as("priority"))
+      operators.FetchState.writeFrontierStore(seeds, fTbl, buckets = 4)
+      operators.FetchState.writeStateIndex(
+        seeds.where(lit(false)).select(col("url"),
+          lit(null).cast("string").as("etag"),
+          lit(null).cast("string").as("last_modified"),
+          lit(0L).as("fetch_time"),
+          lit(null).cast("string").as("digest")),
+        stTbl, buckets = 4)
+      val delays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+      val cycles = (1 to 3).map { c =>
+        val due = operators.FetchState.frontier(s, fTbl)
+        // materialized: the commit below swaps the very table this
+        // schedule reads, and the cycle's output rows outlive the swap
+        val sched = operators.Frontier.schedule(due, delays,
+          "id", "url", "priority", defaultDelayS = 10.0, horizonS = 30.0)
+          .localCheckpoint(true)
+        val fetched = sched.select(col("url"),
+          concat(lit(s"""W/"c$c-"""), col("id").cast("string"), lit("\""))
+            .as("etag"),
+          lit(null).cast("string").as("last_modified"),
+          lit(c.toLong).as("fetch_time"),
+          concat(lit("d"), (col("id") % 4).cast("string")).as("digest"))
+        val discovered = sched
+          .select(((col("id") % 7) + 100).as("did"),
+            ((col("id") * 3) % 17).cast("double").as("p"))
+          .groupBy(col("did")).agg(max(col("p")).as("priority"))
+          .select(col("did").as("id"),
+            concat(lit("https://h"), (col("did") % 3).cast("string"),
+              lit(".test/u"), col("did").cast("string")).as("url"),
+            col("priority"))
+        operators.FetchState.commitCycle(s, fTbl, stTbl,
+          sched, fetched, discovered)
+        sched.select(lit(c).as("cycle"), lit("sched").as("kind"),
+          col("id"), col("url"), col("priority"), col("slot"),
+          col("sched_s"))
+      }
+      val tail = operators.FetchState.frontier(s, fTbl)
+        .select(lit(3).as("cycle"), lit("tail").as("kind"), col("id"),
+          col("url"), col("priority"), lit(null).cast("long").as("slot"),
+          lit(null).cast("double").as("sched_s"))
+      cycles.reduce(_ unionByName _).unionByName(tail)
+        .orderBy(col("cycle"), col("kind"), col("url"))
     }),
 
     // robots.txt URL admission (RFC 9309): even hosts carry a graftbot
@@ -6712,52 +6983,22 @@ object SparkEntry {
       // lastmod arbitration restated over the shared state fixture: the
       // oracle recomputes due/new/modified/revalidate and gates the
       // validators on the revalidate arm with its own formulation
-      "crawl_sitemap_refetch" ->
-        """WITH d AS (
-          |  SELECT doc_id,
-          |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
-          |           AS url
-          |  FROM documents WHERE doc_id < 60),
-          |st AS (
-          |  SELECT url,
-          |         CASE WHEN doc_id % 3 = 0 THEN
-          |           'W/"v1-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
-          |         CASE WHEN doc_id % 3 < 2 THEN
-          |           'lm-' || CAST(doc_id AS VARCHAR) END AS last_modified,
-          |         doc_id + 100 AS fetch_time
-          |  FROM d WHERE doc_id < 50
-          |  UNION ALL
-          |  SELECT url, 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"',
-          |         NULL, doc_id + 1000
-          |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0),
-          |latest AS (
-          |  SELECT s.url, s.etag, s.last_modified, s.fetch_time
-          |  FROM st s
-          |  JOIN (SELECT url, max(fetch_time) AS mt FROM st GROUP BY url) m
-          |    ON s.url = m.url AND s.fetch_time = m.mt),
-          |e AS (
-          |  SELECT url, doc_id,
-          |         CASE WHEN doc_id % 5 = 0 THEN doc_id + 5000
-          |              WHEN doc_id % 5 <= 2 THEN 10 END AS lastmod
-          |  FROM d),
-          |due AS (
-          |  SELECT e.url, e.lastmod,
-          |         CASE WHEN l.url IS NULL THEN 'new'
-          |              WHEN e.lastmod IS NOT NULL AND
-          |                   e.lastmod > l.fetch_time THEN 'modified'
-          |              ELSE 'revalidate' END AS due,
-          |         l.etag, l.last_modified
-          |  FROM e LEFT JOIN latest l ON e.url = l.url)
-          |SELECT url, CAST(lastmod AS BIGINT) AS lastmod, due,
-          |       CASE WHEN due = 'revalidate' THEN etag END
-          |         AS if_none_match,
-          |       CASE WHEN due = 'revalidate' THEN last_modified END
-          |         AS if_modified_since,
-          |       (CASE WHEN due = 'revalidate' THEN etag END IS NOT NULL OR
-          |        CASE WHEN due = 'revalidate' THEN last_modified END
-          |          IS NOT NULL) AS conditional
-          |FROM due ORDER BY url""".stripMargin,
+      "crawl_sitemap_refetch" -> SitemapRefetchOracleSql,
 
+      // the PERSISTED-state variants must land on the identical rows —
+      // the index stores exactly the state log the ephemeral plans
+      // consumed, so the shared restatements bind them too
+      "crawl_conditional_fetch_indexed" -> CondFetchOracleSql,
+      "crawl_sitemap_refetch_indexed" -> SitemapRefetchOracleSql,
+      "crawl_revisit_priority_indexed" -> RevisitOracleSql,
+
+      // the closed 3-cycle loop over the durable stores, unrolled: per
+      // cycle the oracle re-derives the per-host top-3 schedule with its
+      // own window, the (id%7)+100 discovery fold (max priority over
+      // discoverers), the never-fetched gate, and the tail merge — a
+      // stale frontier swap, a leaked scheduled row, or a resurrected
+      // fetched URL shifts some cycle's rows
+      "crawl_cycle_loop" -> CrawlCycleLoopOracleSql,
 
       // the applicable rule set restated as VALUES (group selection
       // pre-resolved: par 0 = what graftbot sees on even hosts, par 1 =
@@ -6966,35 +7207,7 @@ object SparkEntry {
       // the Cho–Garcia-Molina estimator recomputed from the oracle's
       // own lag window: λ̂ = -ln((n-x+0.5)/(n+0.5))/ī per day, p =
       // 1-exp(-λ̂·age) against the same injected clock
-      "frontier_revisit" ->
-        """WITH c AS (
-          |  SELECT 'https://e.test/u' || CAST(event_id % 97 AS VARCHAR)
-          |           AS url,
-          |         ts, event_type AS digest
-          |  FROM events),
-          |l AS (
-          |  SELECT url, epoch_us(ts) AS us,
-          |         lag(epoch_us(ts)) OVER w AS prev_us,
-          |         CAST(digest <> lag(digest) OVER w AS INT) AS chg
-          |  FROM c WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),
-          |g AS (
-          |  SELECT url,
-          |         count(prev_us) AS n_intervals,
-          |         CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
-          |         avg(us - prev_us) / 1e6 AS mi,
-          |         (epoch_us(TIMESTAMP '2024-02-15 00:00:00') - max(us))
-          |           / 1e6 AS age_s
-          |  FROM l GROUP BY url)
-          |SELECT url, n_intervals, n_changes,
-          |       round(mi, 6) AS mean_interval_s,
-          |       round(CASE WHEN n_intervals > 0 AND mi > 0 THEN
-          |         -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
-          |           / mi * 86400 END, 6) AS change_rate_day,
-          |       round(CASE WHEN n_intervals > 0 AND mi > 0 THEN
-          |         1 - exp(ln((n_intervals - n_changes + 0.5)
-          |                    / (n_intervals + 0.5)) / mi * age_s) END, 6)
-          |         AS p_changed
-          |FROM g ORDER BY url""".stripMargin,
+      "frontier_revisit" -> RevisitOracleSql,
 
       // the whole damped fixpoint unrolled (ClassifierSql pattern):
       // same integer micro-unit update each round, '//' floors like

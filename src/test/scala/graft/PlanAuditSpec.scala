@@ -1013,6 +1013,34 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("fetch-state index probe: latest-wins folds the bucketed scan in place") {
+    import graft.operators.{Bucketing, FetchState}
+    Bucketing.scratchDb(spark, "plan_fs",
+      java.nio.file.Files.createTempDirectory("plan_fs_db").toString)
+    val state = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        concat(lit("e"), col("doc_id")).as("etag"),
+        concat(lit("lm"), col("doc_id")).as("last_modified"),
+        col("doc_id").as("fetch_time"),
+        concat(lit("d"), col("doc_id")).as("digest"))
+    FetchState.writeStateIndex(state, "plan_fs.state", buckets = 4)
+    val frontier = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"))
+    val p = physical(
+      FetchState.conditionalFetchPlanIndexed(frontier, spark, "plan_fs.state"))
+    // the fetch-state table is the crawl's LARGEST control structure (one
+    // row per fetch attempt across releases): the latest-per-url fold must
+    // aggregate the url-bucketed scan in place — no Window, no index-side
+    // Exchange; the only shuffle is the frontier aligning to the bucketing
+    assert(!p.contains("Window"),
+      s"latest validators must come from an aggregate, not a window:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"the state side must be the bucketed scan:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"exactly one Exchange — the frontier probe aligning to the index's " +
+        s"bucketing; the index side must fold in place:\n$p")
+  }
+
   test("sitemap refetch plan: lastmod arbitration joins once, never a window") {
     import graft.operators.Frontier
     val entries = spark.read.parquet(s"$sf/documents.parquet")
