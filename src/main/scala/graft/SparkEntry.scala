@@ -321,6 +321,31 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Shared interleaved image-text fixture (pages with two img slots
+    * splitting the prose; slot 0's sidecar payload exists for ids%3≠0,
+    * slot 1's for even ids — the payload BYTES are the doc's text).
+    * Returns (pages, images). */
+  private def mmFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val id = col("doc_id").cast("string")
+    val d = t(s, dir, "documents").where(col("doc_id") < 80)
+    val html = concat(
+      lit("<html><body><p>intro "), id,
+      lit(" <img src=\"img/"), id, lit("/0.png\"> middle "),
+      lit("<img alt=\"x\" src='img/"), id, lit("/1.png'> outro</p>"),
+      lit("<p>tail</p></body></html>"))
+    val pages = d.select(col("doc_id"), html.as("html"))
+    val images = d.select(col("doc_id"),
+        concat(lit("img/"), id, lit("/0.png")).as("src"),
+        when(col("doc_id") % 3 =!= 0, col("text").cast("binary"))
+          .as("payload"))
+      .unionByName(d.select(col("doc_id"),
+        concat(lit("img/"), id, lit("/1.png")).as("src"),
+        when(col("doc_id") % 2 === 0, col("text").cast("binary"))
+          .as("payload")))
+    (pages, images)
+  }
+
   /** documents ∪ an exact copy (ids +10000). */
   private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -4843,25 +4868,58 @@ object SparkEntry {
     // sequence SHAPE survives fetch failures (has_payload=false keeps
     // the slot). Oracle restates all five rows per doc from arithmetic
     "mm_interleaved" -> ((s, dir) => {
-      val id = col("doc_id").cast("string")
-      val d = t(s, dir, "documents").where(col("doc_id") < 80)
-      val html = concat(
-        lit("<html><body><p>intro "), id,
-        lit(" <img src=\"img/"), id, lit("/0.png\"> middle "),
-        lit("<img alt=\"x\" src='img/"), id, lit("/1.png'> outro</p>"),
-        lit("<p>tail</p></body></html>"))
-      val pages = d.select(col("doc_id"), html.as("html"))
-      val images = d.select(col("doc_id"),
-          concat(lit("img/"), id, lit("/0.png")).as("src"),
-          when(col("doc_id") % 3 =!= 0, col("text").cast("binary"))
-            .as("payload"))
-        .unionByName(d.select(col("doc_id"),
-          concat(lit("img/"), id, lit("/1.png")).as("src"),
-          when(col("doc_id") % 2 === 0, col("text").cast("binary"))
-            .as("payload")))
+      val (pages, images) = mmFixture(s, dir)
       Multimodal.interleave(pages, "doc_id", "html",
           images, "doc_id", "src", "payload")
         .orderBy(col("doc_id"), col("seq"))
+    }),
+
+    // the TERMINAL multimodal artifact: the interleaved corpus packed
+    // into int32 token records (image slots the 2^20 sentinel), written
+    // as binary shards and read BACK by positioned record reads — the
+    // oracle restates every sequence from the span tokenization + 6-
+    // tokens-per-page packing arithmetic alone (markup, the assembler,
+    // and the byte layout never appear in it)
+    "mm_shards_roundtrip" -> ((s, dir) => {
+      val (pages, images) = mmFixture(s, dir)
+      val inter = Multimodal.interleave(pages, "doc_id", "html",
+        images, "doc_id", "src", "payload")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mmshards").toString
+      val (tokIdx, _, _) = Multimodal.writeInterleavedShards(
+        inter, "doc_id", pmod(col("doc_id"), lit(4)).cast("string"),
+        images, "doc_id", "src", "payload", out,
+        seqLen = 16, numShards = 2)
+      operators.TrainShards.readTokenShards(s, tokIdx, seqLen = 16)
+        .select(col("group"), col("seq_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"),
+          concat_ws(",", col("boundaries")).as("boundaries_csv"))
+        .orderBy(col("group"), col("seq_id"))
+    }),
+
+    // the slot-reference half of the artifact: every image slot's
+    // (group, seq_id, slot_pos) address in the PACKED layout, its
+    // payload fetched back through the content-addressed sidecar by
+    // positioned span reads — byte equality restated from construction
+    // (the payload IS the doc's text); failed fetches keep their slot
+    // with a null payload, and slots in dropped partial tails drop
+    "mm_payload_roundtrip" -> ((s, dir) => {
+      val (pages, images) = mmFixture(s, dir)
+      val inter = Multimodal.interleave(pages, "doc_id", "html",
+        images, "doc_id", "src", "payload")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mmpayload").toString
+      val (_, slots, payIdx) = Multimodal.writeInterleavedShards(
+        inter, "doc_id", pmod(col("doc_id"), lit(4)).cast("string"),
+        images, "doc_id", "src", "payload", out,
+        seqLen = 16, numShards = 2)
+      slots.join(Multimodal.readPayloadSpans(s, payIdx),
+          Seq("digest"), "left")
+        .select(col("group"), col("seq_id"), col("slot_pos"),
+          col("doc_id"), col("image_src"),
+          col("digest").isNotNull.as("has_payload"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy(col("doc_id"), col("image_src"))
     }),
 
     // the pipeline's TERMINAL artifact: packed fixed-length sequences
@@ -9492,6 +9550,84 @@ object SparkEntry {
           |         NULL, NULL
           |  FROM documents WHERE doc_id < 80
           |) ORDER BY doc_id, seq""".stripMargin,
+
+      // every multimodal sequence from span tokenization + packing
+      // arithmetic: a page's stream is [h(intro), h(id), SLOT, h(middle),
+      // SLOT, h(outro\ntail)] — 6 tokens — laid end-to-end per group in
+      // doc order, 16-position windows, partial tails dropped
+      "mm_shards_roundtrip" -> {
+        val h = TextOpsSql.tokenHashes(
+          "list_value('intro', CAST(doc_id AS VARCHAR), 'middle', " +
+            "'outro' || chr(10) || 'tail')")
+        s"""WITH d AS (
+           |  SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS grp, $h AS h
+           |  FROM documents WHERE doc_id < 80),
+           |p AS (
+           |  SELECT doc_id, grp,
+           |         [h[1], h[2], 1048576, h[3], 1048576, h[4]] AS toks
+           |  FROM d),
+           |o AS (SELECT doc_id, grp, toks,
+           |        sum(6) OVER (PARTITION BY grp ORDER BY doc_id
+           |                     ROWS UNBOUNDED PRECEDING) - 6 AS p0
+           |      FROM p),
+           |tok0 AS (SELECT grp, p0, toks, unnest(range(0, 6)) AS i FROM o),
+           |tok AS (SELECT grp, p0 + i AS pos,
+           |               toks[CAST(i AS INT) + 1] AS tk
+           |        FROM tok0),
+           |sq AS (SELECT grp, pos // 16 AS seq_id, pos % 16 AS ip, tk
+           |       FROM tok),
+           |filled AS (SELECT grp, seq_id,
+           |             array_to_string(list(tk ORDER BY ip), ',')
+           |               AS tokens_csv,
+           |             count(*) AS c
+           |           FROM sq GROUP BY grp, seq_id),
+           |bnd AS (SELECT grp, p0 // 16 AS seq_id,
+           |          array_to_string(list(p0 % 16 ORDER BY p0 % 16), ',')
+           |            AS boundaries_csv
+           |        FROM o GROUP BY 1, 2)
+           |SELECT f.grp AS "group", CAST(f.seq_id AS BIGINT) AS seq_id,
+           |       f.tokens_csv,
+           |       coalesce(b.boundaries_csv, '') AS boundaries_csv
+           |FROM filled f
+           |LEFT JOIN bnd b ON f.grp = b.grp AND f.seq_id = b.seq_id
+           |WHERE f.c = 16 ORDER BY f.grp, f.seq_id""".stripMargin
+      },
+
+      // slot addresses from the same 6-per-page layout (slot 0 at page
+      // offset 2, slot 1 at 4), kept only inside full sequences; payload
+      // byte-equality restated as the doc's own text where the fetch
+      // succeeded — the content-addressed sidecar and the positioned
+      // reads never appear in the oracle
+      "mm_payload_roundtrip" ->
+        """WITH o AS (
+          |  SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS grp,
+          |         sum(6) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+          |                      ROWS UNBOUNDED PRECEDING) - 6 AS p0
+          |  FROM documents WHERE doc_id < 80),
+          |fullseqs AS (SELECT grp, (count(*) * 6) // 16 AS nfull
+          |             FROM o GROUP BY grp),
+          |slots AS (
+          |  SELECT doc_id, grp, p0 + 2 AS pos,
+          |         'img/' || CAST(doc_id AS VARCHAR) || '/0.png'
+          |           AS image_src,
+          |         doc_id % 3 <> 0 AS has_payload
+          |  FROM o
+          |  UNION ALL
+          |  SELECT doc_id, grp, p0 + 4,
+          |         'img/' || CAST(doc_id AS VARCHAR) || '/1.png',
+          |         doc_id % 2 = 0
+          |  FROM o),
+          |kept AS (
+          |  SELECT s.grp, CAST(s.pos // 16 AS BIGINT) AS seq_id,
+          |         CAST(s.pos % 16 AS INT) AS slot_pos, s.doc_id,
+          |         s.image_src, s.has_payload
+          |  FROM slots s JOIN fullseqs f ON s.grp = f.grp
+          |  WHERE s.pos // 16 < f.nfull)
+          |SELECT k.grp AS "group", k.seq_id, k.slot_pos, k.doc_id,
+          |       k.image_src, k.has_payload,
+          |       CASE WHEN k.has_payload THEN d.text END AS payload_text
+          |FROM kept k JOIN documents d USING (doc_id)
+          |ORDER BY k.doc_id, k.image_src""".stripMargin,
 
       // batch replay of the streaming first-seen dedup: keyed state keeps
       // one id per distinct digest, lowest id wins within a batch — the

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -427,5 +428,213 @@ object Multimodal {
         when(col("kind") === "image", col("__t")).as("image_src"),
         when(col("kind") === "image", coalesce(col("__has"), lit(false)))
           .as("has_payload"))
+  }
+
+  // =====================================================================
+  // Multimodal TRAINING SHARDS — the terminal artifact of the
+  // interleaved arm: [[interleave]]'s sequences materialized as packed
+  // int32 token records ([[TrainShards]] layout, image slots a sentinel
+  // token) plus a content-addressed payload sidecar, both read back by
+  // positioned reads — the `fetchSpans` posture applied to the training
+  // side. Reference analogue: the final-table publish step
+  // (`sql/02-bde_control_functions.sql.in:1949-1973`) — staged work
+  // becomes the artifact consumers read, here for the multimodal arm.
+  // =====================================================================
+
+  /** Sentinel token marking an image slot in a tokenized interleaved
+    * stream — outside the token-hash range ([[graft.functions.TextOps]]
+    * hashes are < TokenMod < 2²⁰), so no text token can alias it. */
+  val ImageSlotToken: Int = 1 << 20
+
+  /** One [[interleave]] row as its token rendering: text spans hash to
+    * int tokens, image slots to the sentinel. */
+  private def rowToks =
+    when(col("kind") === "image", array(lit(ImageSlotToken)))
+      .otherwise(transform(
+        graft.functions.TextOps.tokenHashes(
+          graft.functions.TextOps.tokens(col("text"))),
+        t => t.cast("int")))
+
+  /** (idCol, toks): each page's interleaved stream as ONE int array —
+    * text spans tokenized, image slots the sentinel — in document order
+    * (one per-page aggregate; page length bounds the state). */
+  def interleavedPageTokens(inter: DataFrame, idCol: String): DataFrame =
+    inter.select(col(idCol), col("seq"), rowToks.as("__t"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("seq"), col("__t")))),
+        e => e.getField("__t"))).as("toks"))
+
+  /** (idCol, in_page_pos, image_src): each image slot's token offset
+    * within its page's stream — a per-PAGE running sum (bounded window,
+    * the per-document convention), never a corpus-wide one. */
+  def interleavedSlotOffsets(inter: DataFrame, idCol: String): DataFrame = {
+    val before = Window.partitionBy(col(idCol)).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inter.select(col(idCol), col("seq"), col("kind"), col("image_src"),
+        size(rowToks).as("__n"))
+      .withColumn("__pos",
+        coalesce(sum(col("__n")).over(before), lit(0)).cast("long"))
+      .where(col("kind") === "image")
+      .select(col(idCol), col("__pos").as("in_page_pos"), col("image_src"))
+  }
+
+  /**
+   * Content-addressed payload sidecar: every DISTINCT payload (by
+   * sha-256) written ONCE as a blob span in a sidecar shard file —
+   * identical images across a corpus (logos, spacers, re-hosted memes —
+   * the common crawl case) store once however many slots reference
+   * them. Returns the index (digest, payload_file, payload_offset,
+   * payload_length): any slot's bytes are one positioned read. Same
+   * attempt-unique staging + rename commit as
+   * [[TrainShards.writeTokenShards]].
+   */
+  def writePayloadSidecar(
+      images: DataFrame, payloadCol: String, outDir: String,
+      numShards: Int): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    require(numShards > 0, "writePayloadSidecar: numShards must be positive")
+    val conf = spark.sparkContext.broadcast(
+      new graft.sources.Warc.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))
+    images
+      .where(col(payloadCol).isNotNull)
+      .select(sha2(col(payloadCol), 256).as("digest"),
+        col(payloadCol).cast("binary").as("__p"))
+      // rows sharing a digest carry identical bytes — any witness works
+      .groupBy(col("digest")).agg(first(col("__p")).as("__p"))
+      .as[(String, Array[Byte])]
+      .repartition(numShards, col("digest"))
+      .sortWithinPartitions(col("digest"))
+      .mapPartitions { iter =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val name = f"payloads-${tc.partitionId()}%05d.bin"
+          val dest = new org.apache.hadoop.fs.Path(outDir, name)
+          val tmp = new org.apache.hadoop.fs.Path(outDir,
+            s"$name.inprogress-${tc.taskAttemptId()}")
+          val fs = dest.getFileSystem(conf.value.value)
+          val out = fs.create(tmp, true)
+          val rows =
+            scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+          var off = 0L
+          try {
+            iter.foreach { case (digest, bytes) =>
+              out.write(bytes)
+              rows += ((digest, dest.toString, off, bytes.length.toLong))
+              off += bytes.length
+            }
+          } finally out.close()
+          if (fs.exists(dest)) fs.delete(dest, false)
+          fs.rename(tmp, dest)
+          rows.iterator
+        }
+      }
+      .toDF("digest", "payload_file", "payload_offset", "payload_length")
+      .localCheckpoint(true) // eager: blobs exist when this returns
+  }
+
+  /** Positioned readback of sidecar spans: one open stream per blob file
+    * per task, spans read in ascending offset order (the fetchSpans
+    * shape) — sampling 10 images from a million-payload sidecar touches
+    * 10 spans, never a blob scan. Returns (digest, payload). */
+  def readPayloadSpans(spark: SparkSession, index: DataFrame): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.broadcast(
+      new graft.sources.Warc.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))
+    index
+      .select(col("digest"), col("payload_file"), col("payload_offset"),
+        col("payload_length"))
+      .as[(String, String, Long, Long)]
+      .repartition(col("payload_file"))
+      .sortWithinPartitions(col("payload_file"), col("payload_offset"))
+      .mapPartitions { iter =>
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit = if (in != null) { in.close(); in = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        iter.map { case (digest, file, off, len) =>
+          if (file != curFile) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(file)
+            in = p.getFileSystem(conf.value.value).open(p)
+            curFile = file
+          }
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(off, buf)
+          (digest, buf)
+        }
+      }
+      .toDF("digest", "payload")
+  }
+
+  /**
+   * Materialize an interleaved corpus as TRAINING SHARDS — the terminal
+   * multimodal artifact:
+   *
+   *  1. token records: each page's stream (text tokens + sentinel image
+   *     slots) packed into `seqLen` int32-LE records per
+   *     [[TrainShards.assembleSequences]] / `writeTokenShards` (docs
+   *     end-to-end per group, straddlers split, partial tails dropped);
+   *  2. slot references: every image slot's address IN the packed
+   *     layout — (group, seq_id, slot_pos) — with its page, src, and
+   *     payload digest (null digest = fetch failed; the slot row
+   *     remains, the sequence SHAPE being the training contract);
+   *     slots landing in a dropped partial tail drop with it;
+   *  3. payload sidecar: [[writePayloadSidecar]] over the image table —
+   *     content-addressed, positioned-read blobs.
+   *
+   * Returns (tokenIndex, slotRefs, payloadIndex). A training loader
+   * reads a record by its index row, finds its slots by (group,
+   * seq_id), and fetches bytes by digest through the sidecar index —
+   * three positioned reads, zero corpus scans. Slot addresses come from
+   * the SAME `packSequences` layout the assembler used, so slot_pos
+   * always lands on a sentinel token in the written record (pinned by
+   * the roundtrip oracle and the property spec).
+   */
+  def writeInterleavedShards(
+      inter: DataFrame, idCol: String, groupOf: org.apache.spark.sql.Column,
+      images: DataFrame, imgIdCol: String, srcCol: String,
+      payloadCol: String, outDir: String, seqLen: Int,
+      numShards: Int): (DataFrame, DataFrame, DataFrame) = {
+    val pages = interleavedPageTokens(inter, idCol)
+      .withColumn("__grp", groupOf)
+    val seqs = TrainShards.assembleSequences(
+      pages, "__grp", idCol, "toks", seqLen)
+    val tokenIndex = TrainShards.writeTokenShards(
+      seqs, "__grp", s"$outDir/tokens", seqLen, numShards)
+    val packed = Sampling.packSequences(
+        pages.withColumn("__n", size(col("toks"))).where(col("__n") > 0),
+        "__grp", idCol, "__n", seqLen.toLong)
+      .select(col(idCol), col("__grp"),
+        (col("seq_id") * seqLen + col("tok_offset")).as("__p0"))
+    val digests = images
+      .select(col(imgIdCol).as(idCol), col(srcCol).as("image_src"),
+        sha2(col(payloadCol).cast("binary"), 256).as("digest"))
+      // one row per (page, src) however the fetcher logged retries —
+      // the interleave() sidecar rule; max keeps a successful fetch's
+      // digest over a failed retry's null
+      .groupBy(col(idCol), col("image_src"))
+      .agg(max(col("digest")).as("digest"))
+    val slotRefs = interleavedSlotOffsets(inter, idCol)
+      .join(packed, Seq(idCol))
+      .select(col(idCol), col("__grp").as("group"),
+        expr(s"(__p0 + in_page_pos) div ${seqLen}L").as("seq_id"),
+        expr(s"(__p0 + in_page_pos) % ${seqLen}L").cast("int").as("slot_pos"),
+        col("image_src"))
+      // a slot in the group's dropped partial tail drops with it
+      .join(tokenIndex.select(col("group"), col("seq_id")),
+        Seq("group", "seq_id"), "left_semi")
+      .join(digests, Seq(idCol, "image_src"), "left")
+      .select(col("group"), col("seq_id"), col("slot_pos"), col(idCol),
+        col("image_src"), col("digest"))
+    val payloadIndex = writePayloadSidecar(
+      images.select(col(payloadCol)), payloadCol,
+      s"$outDir/payloads", numShards)
+    (tokenIndex, slotRefs, payloadIndex)
   }
 }
