@@ -176,6 +176,28 @@ object ScaleRehearsal {
           "doc_id", "text", 48, 20).count()
       }
 
+      // ---- SHARDED suffix maintenance: the shard-0 build scales with
+      // the corpus (it replaces the monolithic build, same cost class +
+      // the window dictionary); the APPEND of a fixed 500-doc release
+      // must stay FLAT across scales (only the delta is ranked — the
+      // delta-bound claim under rehearsal); the consumer merge reads
+      // dictionaries, never re-ranks ------------------------------------
+      timed("suffix_shard0_build", nDocs) {
+        SuffixArray.writeShardedRankIndex(corpus, "doc_id", "text", 48,
+          s"$db.suffix_sh", buckets = 32, shard = 0L)
+      }
+      val release = corpus.limit(500).select(
+        (col("doc_id") + 950000000L).as("doc_id"),
+        concat(lit("release2 "), col("text")).as("text"))
+      timed("suffix_shard_append_fixed_delta", 500) {
+        SuffixArray.appendRankShard(release, "doc_id", "text", 48,
+          s"$db.suffix_sh", shard = 1L)
+      }
+      timed("suffix_sharded_windows_merge", nDocs) {
+        SuffixArray.repeatedWindowsSharded(spark, s"$db.suffix_sh", 20)
+          .count()
+      }
+
       // ---- link graph (3 out-links per doc over the replicated id
       // space — edges scale with the corpus) ----------------------------
       val edges = corpus.select(
@@ -274,6 +296,42 @@ object ScaleRehearsal {
         graft.operators.Frontier.conditionalFetchPlan(
             urls.select(col("url")), state)
           .agg(count(col("if_none_match"))).collect()
+      }
+
+      // ---- durable crawl-cycle state: the state-index build scales
+      // with the fetch log; the per-cycle COMMIT (fixed 1000-URL cycle)
+      // pays the fixed delta's append plus the frontier store's linear
+      // rewrite — the stated trade, rehearsed ----------------------------
+      val stateD = state.withColumn("digest",
+        concat(lit("d-"), col("etag")))
+      timed("fetch_state_index_build", nDocs) {
+        graft.operators.FetchState.writeStateIndex(stateD,
+          s"$db.fetchstate", buckets = 32)
+      }
+      timed("conditional_fetch_indexed", nDocs) {
+        graft.operators.FetchState.conditionalFetchPlanIndexed(
+            urls.select(col("url")), spark, s"$db.fetchstate")
+          .agg(count(col("if_none_match"))).collect()
+      }
+      timed("frontier_store_build", nDocs) {
+        graft.operators.FetchState.writeFrontierStore(
+          urls.select(col("doc_id").as("id"), col("url"),
+            (col("doc_id") % 13).cast("double").as("priority")),
+          s"$db.frontier", buckets = 32)
+      }
+      val cycleUrls = urls.limit(1000).localCheckpoint(true)
+      timed("frontier_commit_cycle_1k", 1000) {
+        graft.operators.FetchState.commitCycle(spark, s"$db.frontier",
+          s"$db.fetchstate",
+          cycleUrls.select(col("url")),
+          cycleUrls.select(col("url"),
+            concat(lit("ec-"), col("doc_id")).as("etag"),
+            lit(null).cast("string").as("last_modified"),
+            (col("doc_id") + 3000000000L).as("fetch_time"),
+            concat(lit("dc-"), col("doc_id")).as("digest")),
+          cycleUrls.select((col("doc_id") + 970000000L).as("id"),
+            concat(col("url"), lit("/next")).as("url"),
+            lit(1.0).as("priority")))
       }
 
       // ---- GPT-2 pre-tokenize: pure map-side, must track scan CPU -----

@@ -275,6 +275,33 @@ object SparkEntry {
         s.table(tbl)
       })
 
+  /** The SHARDED suffix index of the documents corpus, built once per
+    * (session, sf dir) and shared by the three sharded-consumer gates:
+    * release 1 (even ids) creates the index, release 2 (odd ids) folds
+    * in through the delta-only [[SuffixArray.appendRankShard]] — so the
+    * maintenance path, not just the layout, is what the consumers read. */
+  private val shardedSuffixCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def shardedSuffix48(s: SparkSession, dir: String): String =
+    shardedSuffixCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString
+        val tbl = s"${indexDb(s)}.suffix_shard_idx_$digest"
+        val docs = t(s, dir, "documents")
+        SuffixArray.writeShardedRankIndex(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text", 48,
+          tbl, buckets = 16, shard = 0L)
+        SuffixArray.appendRankShard(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", 48,
+          tbl, shard = 1L)
+        tbl
+      })
+
   /** Exact brute-force squared-L2 top-k — the shared ground-truth arm of
     * every ANN recall gauge (broadcast queries, one native-fold distance
     * per pair). Ranked by the bounded top-k aggregate (score = -distance
@@ -3698,6 +3725,31 @@ object SparkEntry {
     // and reassembles with string_agg — no ranks, no index
     "suffix_excise" -> ((s, dir) =>
       SuffixArray.exciseRepeated(suffixRanks48(s, dir),
+          t(s, dir, "documents"), "doc_id", "text", 48)
+        .orderBy(col("doc_id"))),
+
+    // the SHARDED index, built by the MAINTENANCE path (release 1
+    // creates shard 0, release 2 folds in as shard 1 — only its own
+    // docs ranked), then the repeated-window merge over the per-shard
+    // dictionaries: counts sum by snippet equality across shards. The
+    // oracle is the monolithic full-corpus statement — the sharded
+    // derivation must land on EXACTLY the rebuild's rows
+    "suffix_sharded_windows" -> ((s, dir) =>
+      SuffixArray.repeatedWindowsSharded(s, shardedSuffix48(s, dir), 20)),
+
+    // the excision position set derived cross-shard: globally-hot
+    // snippets (doc counts summed over shards) select their per-shard
+    // rank groups, one semi-join brings the positions back — pinned
+    // EQUAL to the monolithic rank-table derivation
+    "suffix_sharded_positions" -> ((s, dir) =>
+      SuffixArray.repeatedPositionsSharded(s, shardedSuffix48(s, dir),
+          t(s, dir, "documents"), "doc_id", "text", 48)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // the ExactSubstr cleaning step fed by the sharded derivation —
+    // the whole dedup consumer chain must survive the shard split
+    "suffix_sharded_excise" -> ((s, dir) =>
+      SuffixArray.exciseRepeatedSharded(s, shardedSuffix48(s, dir),
           t(s, dir, "documents"), "doc_id", "text", 48)
         .orderBy(col("doc_id"))),
 
@@ -8637,6 +8689,57 @@ object SparkEntry {
           |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           |FROM w GROUP BY sub HAVING count(*) > 1
           |ORDER BY n_occurrences DESC, snippet LIMIT 20""".stripMargin,
+
+      // the sharded derivations must equal the monolithic rebuild — the
+      // oracles ARE the monolithic full-corpus statements (shards never
+      // appear: the partition of documents into releases is invisible
+      // to the corpus-level answer)
+      "suffix_sharded_windows" ->
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |w AS (SELECT doc_id, substr(t, i, 48) AS sub
+          |      FROM s WHERE i + 47 <= length(t))
+          |SELECT sub AS snippet, CAST(count(*) AS BIGINT) AS n_occurrences,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM w GROUP BY sub HAVING count(*) > 1
+          |ORDER BY n_occurrences DESC, snippet LIMIT 20""".stripMargin,
+
+      "suffix_sharded_positions" ->
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |w AS (SELECT doc_id, i, substr(t, i, 48) AS sub
+          |      FROM s WHERE i + 47 <= length(t)),
+          |m AS (SELECT sub FROM w GROUP BY sub
+          |      HAVING count(DISTINCT doc_id) > 1)
+          |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+          |FROM w JOIN m USING (sub)
+          |ORDER BY doc_id, pos""".stripMargin,
+
+      "suffix_sharded_excise" ->
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |s AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+          |w AS (SELECT doc_id, i, substr(t, i, 48) AS sub
+          |      FROM s WHERE i + 47 <= length(t)),
+          |m AS (SELECT sub FROM w GROUP BY sub
+          |      HAVING count(DISTINCT doc_id) > 1),
+          |cov AS (SELECT DISTINCT w.doc_id, w.i - 1 + x.k AS ci
+          |        FROM w JOIN m USING (sub)
+          |        CROSS JOIN (SELECT unnest(range(48)) AS k) x),
+          |c AS (SELECT doc_id, t, unnest(range(length(t))) AS ci FROM d),
+          |kept AS (SELECT c.doc_id, c.ci, substr(c.t, c.ci + 1, 1) AS ch
+          |         FROM c LEFT JOIN cov
+          |           ON c.doc_id = cov.doc_id AND c.ci = cov.ci
+          |         WHERE cov.ci IS NULL),
+          |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY ci) AS kt
+          |        FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(a.kt, '') AS clean_text,
+          |       CAST(length(d.t) - coalesce(length(a.kt), 0) AS BIGINT)
+          |         AS n_cut
+          |FROM d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       // excision positions re-derived from the substrings themselves:
       // multiplicity by grouping the 48-cp windows, position set by

@@ -319,6 +319,19 @@ object SuffixArray {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      window: Int): DataFrame =
+    exciseAtPositions(
+      repeatedPositions(ranks, df, idCol, textCol, window),
+      df, idCol, textCol, window)
+
+  /** The character surgery of [[exciseRepeated]] over an arbitrary
+    * excision-position frame (idCol, pos) — shared by the monolithic and
+    * sharded position derivations. */
+  private def exciseAtPositions(
+      positions: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
       window: Int): DataFrame = {
     val base = df.select(col(idCol), col(textCol).as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) > 0)
@@ -327,7 +340,7 @@ object SuffixArray {
     // rebuilt's anti-join) — without the cache each re-runs the whole
     // rank-groupBy + semi-join + explode chain (ReuseExchange shares only
     // the bottom shuffles), multiplying the op's dominant cost ~4x
-    val covered = repeatedPositions(ranks, df, idCol, textCol, window)
+    val covered = positions
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + window - 1)).as("__i"))
       .distinct()
@@ -371,4 +384,138 @@ object SuffixArray {
         expr(s"substring(__t, pos + 1, $window)").as("suffix"))
       .orderBy(col("rank"), col(idCol), col("pos"))
       .limit(k)
+
+  // =====================================================================
+  // SHARDED maintenance — the delta-bound arm of the one index family
+  // that had none: a corpus RELEASE becomes a SHARD. Ranks are
+  // shard-local (one prefix-doubling build over ONLY the release's
+  // documents — the delta, never the accumulated corpus), and each
+  // shard additionally persists its WINDOW DICTIONARY: one row per
+  // distinct full-window string with its occurrence/doc counts and a
+  // witness snippet. The ExactSubstr consumers then merge DICTIONARIES
+  // across shards by snippet equality — exact, because within a shard
+  // full-window positions share a rank iff their window strings are
+  // identical, and shards partition the documents so per-shard doc
+  // counts sum. Results are pinned EQUAL to the monolithic rebuild.
+  //
+  // Stated trades: (1) the dictionary stores one `window`-length string
+  // per DISTINCT window per shard — bounded by the shard's text volume,
+  // compressing well at rest, and the price of never re-ranking old
+  // releases; (2) the global rank ORDER is not maintained across shards
+  // — [[topSuffixes]]-style order queries still take the monolithic
+  // [[writeRankIndex]]; the dedup consumers (repeated windows /
+  // positions / excision — the reason the index exists, Lee et al.
+  // 2022) never needed it.
+  // =====================================================================
+
+  /** One shard's window dictionary: per distinct full-window string —
+    * i.e. per rank over full-window positions — its occurrence count,
+    * distinct-doc count, and witness snippet (one string materialized
+    * per GROUP, the [[repeatedWindows]] economy, without its >1 cut:
+    * a window occurring once here may repeat in another shard). */
+  private def shardWindowRows(
+      ranks: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      window: Int, shard: Long): DataFrame = {
+    val lens = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__len"))
+    ranks.join(lens, Seq(idCol))
+      .where(col("pos") + window <= col("__len"))
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol), col("pos"))).as("__w"))
+      .join(df.select(col(idCol).as("__wid"), col(textCol).as("__t")),
+        col("__w").getField(idCol) === col("__wid"))
+      .select(lit(shard).as("shard"), col("rank"),
+        expr(s"substring(__t, __w.pos + 1, $window)").as("snippet"),
+        col("n_occurrences"), col("n_docs"))
+  }
+
+  private def shardRankRows(
+      df: DataFrame, idCol: String, textCol: String, window: Int,
+      shard: Long): (DataFrame, DataFrame) = {
+    val ranks = suffixRanks(df, idCol, textCol, window)
+    (ranks.select(lit(shard).as("shard"), col(idCol), col("pos"),
+        col("rank")),
+      shardWindowRows(ranks, df, idCol, textCol, window, shard))
+  }
+
+  /** Create the sharded index from its first release: `<table>` the
+    * shard-local rank rows (bucketed on `rank` — the grouping/probing
+    * key; `shard` rides along, and grouping by (shard, rank) still
+    * clusters on a superset of the bucketing), `<table>_windows` the
+    * dictionary (bucketed on `snippet` — the cross-shard merge key, so
+    * the merge fold aggregates the scan in place). */
+  def writeShardedRankIndex(
+      df: DataFrame, idCol: String, textCol: String, window: Int,
+      table: String, buckets: Int, shard: Long = 0L): Unit = {
+    val (ranks, windows) = shardRankRows(df, idCol, textCol, window, shard)
+    Bucketing.writeBucketed(ranks, table, "rank", buckets)
+    Bucketing.writeBucketed(windows, s"${table}_windows", "snippet", buckets)
+  }
+
+  /** Fold a NEW RELEASE into the sharded index: rank and summarize ONLY
+    * `df` (the delta) as shard `shard`, append both tables in their
+    * bucket layouts. No prior release's text, ranks, or pair structure
+    * is touched — the maintenance cost is the delta's own build plus
+    * two appends (the component-merge evidence standard; rehearsed at
+    * 10× in `ScaleRehearsal`). */
+  def appendRankShard(
+      df: DataFrame, idCol: String, textCol: String, window: Int,
+      table: String, shard: Long): Unit = {
+    val (ranks, windows) = shardRankRows(df, idCol, textCol, window, shard)
+    DedupIndex.appendBucketed(ranks, table)
+    DedupIndex.appendBucketed(windows, s"${table}_windows")
+  }
+
+  /** [[repeatedWindows]] over the sharded index: ONE aggregate over the
+    * window dictionaries — occurrence and doc counts SUM across shards
+    * (shards partition the documents), snippets equal iff windows equal.
+    * Positions, ranks, and text never enter the merge. Result ≡ the
+    * monolithic [[repeatedWindows]] (pinned by the shared oracle). */
+  def repeatedWindowsSharded(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      k: Int): DataFrame =
+    spark.table(s"${table}_windows")
+      .groupBy(col("snippet"))
+      .agg(sum(col("n_occurrences")).as("n_occurrences"),
+        sum(col("n_docs")).as("n_docs"))
+      .where(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("snippet"))
+      .limit(k)
+
+  /** [[repeatedPositions]] over the sharded index: snippets whose doc
+    * count summed across shards exceeds one select their per-shard
+    * (shard, rank) groups, and the position set comes back via one
+    * semi-join against the rank table (full-window positions only) —
+    * the probe side is dictionary-derived, orders of magnitude under
+    * the position table it prunes. */
+  def repeatedPositionsSharded(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val dict = spark.table(s"${table}_windows")
+    val hot = dict.groupBy(col("snippet"))
+      .agg(sum(col("n_docs")).as("__nd"))
+      .where(col("__nd") > 1)
+      .select(col("snippet"))
+    val hotGroups = dict.join(hot, Seq("snippet"), "left_semi")
+      .select(col("shard"), col("rank"))
+    val lens = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__len"))
+    spark.table(table).join(lens, Seq(idCol))
+      .where(col("pos") + window <= col("__len"))
+      .join(hotGroups, Seq("shard", "rank"), "left_semi")
+      .select(col(idCol), col("pos"))
+  }
+
+  /** [[exciseRepeated]] over the sharded index — the same character
+    * surgery fed by the cross-shard position derivation. */
+  def exciseRepeatedSharded(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame =
+    exciseAtPositions(
+      repeatedPositionsSharded(spark, table, df, idCol, textCol, window),
+      df, idCol, textCol, window)
 }
