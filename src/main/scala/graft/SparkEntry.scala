@@ -522,6 +522,45 @@ object SparkEntry {
         out
       })
 
+  /** Multi-host fixture for the domain/prefix CDX queries: a subdomain
+    * ladder under graft.test plus a sibling host sharing its
+    * registered-domain PREFIX string (graftother.test — the
+    * label-boundary trap a naive string prefix fails), three path
+    * families (/doc, /docs, /img — /docs is the string-prefix twin of
+    * /doc). Resource records, payload = the doc's text. */
+  private def warcPrefixFixture(s: SparkSession, dir: String): String =
+    warcDirCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(s"$dir#prefix", _ => {
+        import graft.sources.Warc
+        val rows = t(s, dir, "documents").where(col("doc_id") < 24)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val out =
+          java.nio.file.Files.createTempDirectory("graft_warc_pfx").toString
+        val bos = new java.io.ByteArrayOutputStream()
+        rows.foreach { case (id, text) =>
+          val host = (id % 4) match {
+            case 0 => "graft.test"
+            case 1 => "sub.graft.test"
+            case 2 => "a.sub.graft.test"
+            case _ => "graftother.test"
+          }
+          val path = (id % 3) match {
+            case 0 => s"/doc/$id"
+            case 1 => s"/docs/$id"
+            case _ => s"/img/$id"
+          }
+          bos.write(Warc.renderRecord("resource",
+            Some(s"https://$host$path"), "2026-01-01T00:00:00Z",
+            "text/plain", text.getBytes("UTF-8")))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "shard0.warc"), bos.toByteArray)
+        out
+      })
+
   /** Single-shard WARC fixture whose response bodies carry the wire
     * encodings real captures do, by `doc_id % 4`: 0 = plain, 1 =
     * `Content-Encoding: gzip`, 2 = `Transfer-Encoding: chunked`
@@ -1889,6 +1928,30 @@ object SparkEntry {
         .select(col("surt_host"), col("target_uri"), col("rec_type"),
           col("content_length"), col("digest"))
         .orderBy(col("target_uri"), col("rec_type"))
+    }),
+
+    // the CDX matchType=domain / matchType=prefix queries: the domain
+    // arm must answer graft.test AND its subdomain ladder while
+    // REFUSING graftother.test (the label-boundary trap — reversed-
+    // label SURTs make a naive string prefix match it); the prefix arm
+    // answers everything under graft.test/doc by honest string-prefix
+    // semantics (so /docs matches too, as public CDX servers answer
+    // it). Oracle restates both answer sets from the host/path
+    // arithmetic
+    "warc_cdx_prefix" -> ((s, dir) => {
+      val fix = warcPrefixFixture(s, dir)
+      val tbl = s"${indexDb(s)}.warc_cdx_prefix"
+      graft.sources.Warc.writeCdxIndex(s,
+        Seq(s"$fix/shard0.warc"), tbl, buckets = 8)
+      val cols = Seq(col("surt"), col("target_uri"),
+        col("content_length"), col("digest"))
+      graft.sources.Warc.lookupCdxDomain(s, tbl, Seq("graft.test"))
+        .select(lit("domain").as("arm") +: cols: _*)
+        .unionByName(
+          graft.sources.Warc
+            .lookupCdxPrefix(s, tbl, Seq("https://graft.test/doc"))
+            .select(lit("prefix").as("arm") +: cols: _*))
+        .orderBy(col("arm"), col("target_uri"))
     }),
 
     // curated text back INTO the archive convention (the public WET
@@ -6951,6 +7014,46 @@ object SparkEntry {
            |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
            |            ELSE sha256(text) END AS digest
            |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // both match-type answer sets from the host/path arithmetic: the
+      // domain arm is hosts 0-2 of the ladder (graftother.test — host 3
+      // — must be absent, the label-boundary trap), the prefix arm is
+      // graft.test paths under /doc by STRING prefix (so /docs rows
+      // appear; /img must not)
+      "warc_cdx_prefix" ->
+        """WITH d AS (
+          |  SELECT doc_id, text,
+          |         CASE doc_id % 4
+          |           WHEN 0 THEN 'graft.test'
+          |           WHEN 1 THEN 'sub.graft.test'
+          |           WHEN 2 THEN 'a.sub.graft.test'
+          |           ELSE 'graftother.test' END AS host,
+          |         CASE doc_id % 4
+          |           WHEN 0 THEN 'test,graft'
+          |           WHEN 1 THEN 'test,graft,sub'
+          |           WHEN 2 THEN 'test,graft,sub,a'
+          |           ELSE 'test,graftother' END AS rhost,
+          |         CASE doc_id % 3
+          |           WHEN 0 THEN '/doc/'
+          |           WHEN 1 THEN '/docs/'
+          |           ELSE '/img/' END || CAST(doc_id AS VARCHAR) AS path
+          |  FROM documents WHERE doc_id < 24),
+          |caps AS (
+          |  SELECT rhost || ')' || path AS surt,
+          |         'https://' || host || path AS target_uri,
+          |         CAST(octet_length(encode(text)) AS BIGINT)
+          |           AS content_length,
+          |         sha256(text) AS digest,
+          |         doc_id % 4 AS hk, doc_id % 3 AS pk
+          |  FROM d)
+          |SELECT * FROM (
+          |  SELECT 'domain' AS arm, surt, target_uri, content_length,
+          |         digest
+          |  FROM caps WHERE hk < 3
+          |  UNION ALL
+          |  SELECT 'prefix', surt, target_uri, content_length, digest
+          |  FROM caps WHERE hk = 0 AND pk < 2)
+          |ORDER BY arm, target_uri""".stripMargin,
 
       // every ranged-fetched record restated from the construction (the
       // warc_read per-record shape over the probed doc_ids) — a stored

@@ -564,6 +564,53 @@ object Warc {
     substring_index(surt, ")", 1)
 
   /**
+   * The CDX `matchType=domain` query — every capture of each domain AND
+   * its subdomains ("everything under example.com", the takedown /
+   * re-crawl-seed shape): the reversed-label SURT makes a domain
+   * subtree one string
+   * RANGE, so the probe is a range predicate the per-bucket-sorted
+   * parquet prunes by row-group stats, tightened by an exact
+   * label-boundary check — `graftother.test` must NOT answer for
+   * `graft.test`, so a bare string prefix is not enough: the host
+   * segment must equal the reversed domain or extend it at a `,`
+   * boundary (explicit non-default ports of the domain's hosts match —
+   * same authority set, the public CDX convention).
+   */
+  def lookupCdxDomain(
+      spark: SparkSession, table: String, domains: Seq[String]): DataFrame = {
+    require(domains.nonEmpty, "lookupCdxDomain: empty domain set")
+    val revs = domains.map(_.split('.').reverseIterator.mkString(","))
+    val host = substring_index(surtHost(col("surt")), ":", 1)
+    val exact = revs.map(r =>
+      host === r || host.startsWith(r + ",")).reduce(_ || _)
+    // the coarse range is PUSHABLE (plain comparisons on the sort
+    // column); the boundary check above exacts it post-scan
+    val prune = revs.map(r =>
+      col("surt") >= r && col("surt") < r + "\uffff").reduce(_ || _)
+    spark.table(table).where(prune && exact)
+  }
+
+  /**
+   * The CDX `matchType=prefix` query — every capture whose canonical
+   * URL extends the probe ("everything under example.com/data"): the
+   * probe canonicalizes to its SURT through the SAME expression the
+   * index was built with, and the scan keeps keys that string-prefix it
+   * (`StringStartsWith` pushes to parquet, so the per-bucket-sorted
+   * layout prunes row groups). Pure string-prefix semantics, as public
+   * CDX servers answer it: `/doc` also matches `/docs` — end the probe
+   * with `/` to bound it at a path segment.
+   */
+  def lookupCdxPrefix(
+      spark: SparkSession, table: String, prefixes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(prefixes.nonEmpty, "lookupCdxPrefix: empty prefix set")
+    val keys = prefixes.toDF("u").select(surtKey(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    spark.table(table)
+      .where(keys.map(k => col("surt").startsWith(k)).reduce(_ || _))
+  }
+
+  /**
    * Host-partitioned CDX companion — the DOMAIN-query layout beside the
    * SURT-bucketed one: the same capture rows written
    * `partitionBy(surt_host)` (one directory per host key, the IVF cell

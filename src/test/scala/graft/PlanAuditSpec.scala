@@ -1013,6 +1013,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("CDX domain/prefix probes: range and StartsWith reach the scan") {
+    import graft.operators.Bucketing
+    import graft.sources.Warc
+    Bucketing.scratchDb(spark, "plan_cdx",
+      java.nio.file.Files.createTempDirectory("plan_cdx_db").toString)
+    val caps = spark.read.parquet(s"$sf/documents.parquet")
+      .select(
+        concat(lit("test,graft)/doc/"), col("doc_id")).as("surt"),
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("target_uri"),
+        lit("resource").as("rec_type"), lit("2026-01-01").as("warc_date"),
+        lit("a.warc").as("warc_file"), col("doc_id").as("rec_offset"),
+        lit(1L).as("content_length"), sha2(col("text"), 256).as("digest"),
+        col("doc_id").as("stored_offset"), lit(1L).as("stored_length"))
+    Bucketing.writeBucketed(caps, "plan_cdx.cdx", "surt", 4)
+    val pd = physical(Warc.lookupCdxDomain(spark, "plan_cdx.cdx",
+      Seq("graft.test")))
+    // the coarse range on the sort column must reach the parquet scan —
+    // over the per-bucket-sorted layout that is the row-group prune; the
+    // label-boundary check is the post-scan exactness filter
+    assert(pd.contains("PushedFilters") &&
+      pd.linesIterator.exists(l => l.contains("PushedFilters") &&
+        l.contains("GreaterThanOrEqual(surt") && l.contains("LessThan(surt")),
+      s"the domain range must push to the scan:\n$pd")
+    val pp = physical(Warc.lookupCdxPrefix(spark, "plan_cdx.cdx",
+      Seq("https://graft.test/doc")))
+    assert(pp.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("StringStartsWith(surt")),
+      s"the prefix probe must push StringStartsWith:\n$pp")
+  }
+
   test("fetch-state index probe: latest-wins folds the bucketed scan in place") {
     import graft.operators.{Bucketing, FetchState}
     Bucketing.scratchDb(spark, "plan_fs",
