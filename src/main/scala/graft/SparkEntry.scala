@@ -561,6 +561,44 @@ object SparkEntry {
         out
       })
 
+  /** Fixture for the WAT sidecar: response captures whose pages carry
+    * every signal the sidecar records — two anchors (one plain with
+    * anchor text, one rel=nofollow), a canonical declaration on ids%3=0,
+    * a robots META noindex,nofollow on ids%5=0. */
+  private def warcWatFixture(s: SparkSession, dir: String): String =
+    warcDirCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(s"$dir#wat", _ => {
+        import graft.sources.Warc
+        val ids = t(s, dir, "documents").where(col("doc_id") < 30)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        val out =
+          java.nio.file.Files.createTempDirectory("graft_warc_wat").toString
+        val bos = new java.io.ByteArrayOutputStream()
+        ids.foreach { id =>
+          val canonical =
+            if (id % 3 == 0)
+              s"""<link rel="canonical" href="https://graft.test/c$id">"""
+            else ""
+          val robots =
+            if (id % 5 == 0)
+              """<meta name="robots" content="noindex, nofollow">"""
+            else ""
+          val html =
+            s"""<html><head>$canonical$robots</head><body><p>body $id</p>
+               |<p><a href="/p$id">to $id</a> <a rel="nofollow" href="/q$id">skip</a></p>
+               |</body></html>""".stripMargin
+          bos.write(Warc.renderRecord("response",
+            Some(s"https://graft.test/doc/$id"), "2026-01-01T00:00:00Z",
+            "application/http;msgtype=response",
+            (WarcHttpHead + html).getBytes("UTF-8")))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "shard0.warc"), bos.toByteArray)
+        out
+      })
+
   /** Single-shard WARC fixture whose response bodies carry the wire
     * encodings real captures do, by `doc_id % 4`: 0 = plain, 1 =
     * `Content-Encoding: gzip`, 2 = `Transfer-Encoding: chunked`
@@ -1928,6 +1966,28 @@ object SparkEntry {
         .select(col("surt_host"), col("target_uri"), col("rec_type"),
           col("content_length"), col("digest"))
         .orderBy(col("target_uri"), col("rec_type"))
+    }),
+
+    // the WAT sidecar — the third public artifact beside WARC/WET:
+    // per-capture robots META verdicts, canonical declaration, and the
+    // outlink set with anchors + rel-nofollow, extracted once from
+    // payloads into parquet and read back; the oracle restates every
+    // page's signals and both edges from the fixture arithmetic (the
+    // sidecar must equal what extracting from archive bytes yields)
+    "warc_wat_roundtrip" -> ((s, dir) => {
+      val fix = warcWatFixture(s, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_wat").toString + "/wat"
+      graft.sources.Warc.writeWatSidecar(s, Seq(s"$fix/shard0.warc"), out)
+      s.read.parquet(out)
+        .select(col("target_uri"), col("noindex"), col("nofollow"),
+          col("canonical"),
+          posexplode_outer(col("links")).as(Seq("link_seq", "__l")))
+        .select(col("target_uri"), col("noindex"), col("nofollow"),
+          col("canonical"), col("link_seq").cast("int").as("link_seq"),
+          col("__l.link").as("link"), col("__l.anchor").as("anchor"),
+          col("__l.nofollow").as("link_nofollow"))
+        .orderBy(col("target_uri"), col("link_seq"))
     }),
 
     // the CDX matchType=domain / matchType=prefix queries: the domain
@@ -7014,6 +7074,31 @@ object SparkEntry {
            |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
            |            ELSE sha256(text) END AS digest
            |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // every sidecar row from the fixture arithmetic: META verdicts on
+      // ids%5=0, canonical on ids%3=0, and per page exactly two edges —
+      // /p<id> (anchored, followed) sorting before /q<id> (nofollow)
+      "warc_wat_roundtrip" ->
+        """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+          |pages AS (
+          |  SELECT 'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |           AS target_uri,
+          |         doc_id % 5 = 0 AS noindex, doc_id % 5 = 0 AS nofollow,
+          |         CASE WHEN doc_id % 3 = 0 THEN
+          |           'https://graft.test/c' || CAST(doc_id AS VARCHAR)
+          |         END AS canonical,
+          |         doc_id
+          |  FROM d)
+          |SELECT target_uri, noindex, nofollow, canonical,
+          |       CAST(u.s AS INT) AS link_seq,
+          |       CASE u.s WHEN 0 THEN 'https://graft.test/p'
+          |            ELSE 'https://graft.test/q' END
+          |         || CAST(doc_id AS VARCHAR) AS link,
+          |       CASE u.s WHEN 0 THEN 'to ' || CAST(doc_id AS VARCHAR)
+          |            ELSE 'skip' END AS anchor,
+          |       u.s = 1 AS link_nofollow
+          |FROM pages, (SELECT unnest(range(0, 2)) AS s) u
+          |ORDER BY target_uri, link_seq""".stripMargin,
 
       // both match-type answer sets from the host/path arithmetic: the
       // domain arm is hosts 0-2 of the ladder (graftother.test — host 3

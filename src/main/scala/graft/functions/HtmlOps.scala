@@ -278,6 +278,35 @@ object HtmlOps {
       .where(col("link").isNotNull)
   }
 
+  /** [[extractAnchors]] and [[extractLinksRel]] fused into ONE element
+    * pass — (idCol, link, anchor, nofollow) — so a per-edge consumer
+    * (the WAT sidecar) extracts anchors once instead of joining two
+    * per-element extractions on a non-key. Same resolution, anchor
+    * stripping, and rel grammar as the two single-signal operators. */
+  def extractAnchorsRel(
+      df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val elems = regexp_extract_all(preClean(col(htmlCol)),
+      lit(s"(?is)$AnchorOpen[^>]*>.*?</a>"), lit(0))
+    val open = regexp_extract(col("__a"), "(?is)^(<a[^>]*>)", 1)
+    val rel = regexp_extract(open,
+      "(?is)\\srel\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)
+    val relUnq = regexp_extract(open,
+      "(?is)\\srel\\s*=\\s*([^\\s\"'>]+)", 1)
+    val nofollow = directiveHas(
+      when(rel =!= "", rel).otherwise(relUnq), "nofollow") ||
+      when(rel =!= "", rel).otherwise(relUnq)
+        .rlike("(?i)(^|\\s)nofollow(\\s|$)")
+    df.select(Seq(col(idCol), explode(elems).as("__a")) ++
+        baseParts(col(baseUrlCol)): _*)
+      .select(col(idCol),
+        resolveHref(regexp_extract(col("__a"), HrefPattern, 1)).as("link"),
+        stripInline(regexp_replace(col("__a"), "(?is)^<a[^>]*>|</a>$", " "))
+          .as("anchor"),
+        coalesce(nofollow, lit(false)).as("nofollow"))
+      .where(col("link").isNotNull)
+  }
+
   /** (scheme `__s`, origin `__o`, directory `__d`, path `__p`) of a
     * base URL — the four resolution anchors of [[resolveHref]]: `__d`
     * is the full directory URL (origin + path up to the last `/`) for

@@ -740,6 +740,57 @@ object Warc {
       .toDF()
   }
 
+  // ---- WAT export: the link-metadata sidecar beside a crawl archive ----
+
+  /**
+   * WAT-style per-capture link metadata (the third public artifact next
+   * to WARC/WET — Common Crawl ships it as JSON; columnar parquet is
+   * the engine's rendering): per response capture, its page-level
+   * robots META verdicts, declared canonical URL, and outlink set with
+   * anchor text and rel-nofollow annotations — everything the link
+   * graph, frontier, and mirror-collapse consumers need, derived ONCE
+   * from payload bytes at export time. After [[writeWatSidecar]] those
+   * consumers read THIS, never the archive.
+   *
+   * Input: (target_uri, payload) response rows. The payload decodes
+   * through [[parseHttpResponse]] (chunked/gzip wire encodings), links
+   * resolve against the capture's own URI, and the outlink array sorts
+   * by (link, anchor) — deterministic at rest whatever the extraction
+   * partitioning. One row per capture; link-less pages keep their row
+   * with an empty array.
+   */
+  def watRows(responses: DataFrame): DataFrame = {
+    import graft.functions.HtmlOps
+    val pages = httpResponses(responses, "target_uri", "payload")
+      .select(col("target_uri"), col("body_text").as("html"))
+    val meta = HtmlOps.extractMetaRobots(pages, "target_uri", "html")
+    val canon = HtmlOps.extractCanonical(
+      pages, "target_uri", "html", "target_uri")
+    val edges = HtmlOps.extractAnchorsRel(
+        pages, "target_uri", "html", "target_uri")
+      .groupBy(col("target_uri"))
+      .agg(array_sort(collect_list(
+        struct(col("link"), col("anchor"), col("nofollow")))).as("links"))
+    meta.join(canon, Seq("target_uri"))
+      .join(edges, Seq("target_uri"), "left")
+      .select(col("target_uri"), col("noindex"), col("nofollow"),
+        col("canonical"),
+        coalesce(col("links"), array().cast(
+          "array<struct<link:string,anchor:string,nofollow:boolean>>"))
+          .as("links"))
+  }
+
+  /** Materialize the sidecar beside the archive: one parquet dataset
+    * over the shards' response records (metadata-only once written —
+    * payload bytes are touched here and never again). */
+  def writeWatSidecar(
+      spark: SparkSession, warcPaths: Seq[String], path: String): Unit =
+    watRows(readRecords(spark, warcPaths)
+        .where(col("parse_ok") && col("rec_type") === "response" &&
+          col("target_uri").isNotNull)
+        .select(col("target_uri"), col("payload")))
+      .write.mode("overwrite").parquet(path)
+
   // ---- WET export: the curated-text sidecar beside a crawl archive ----
 
   /**
