@@ -4360,6 +4360,57 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // OPQ plumbing pin: the full rotation path (literal matrix-vector
+    // product per row) with ZERO alternations — R = I — must reproduce
+    // plain PQ-ADC bit for bit (identical codebook training, identical
+    // integer ADC); the oracle is the PQ rescan SQL. The trained-
+    // rotation arm is gauged by ann_opq_recall
+    "ann_opq_roundtrip" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Opq.adcTopK(emb, emb.where(col("vec_id") < 4),
+          "vec_id", "embedding", m = 4, ksub = 8, iters = 2, k = 5,
+          itersOpq = 0)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // the OPQ quality gauge (Ge et al. 2013): recall@10 of PQ-ADC in
+    // the LEARNED rotated space vs plain PQ-ADC, both against exact
+    // brute-force L2, side by side per query — the rotation must buy
+    // recall at the identical (m, ksub) code budget. The corpus adds a
+    // rank-1 shared component (each vector + its own mean, spread
+    // across EVERY subspace) — the correlated-subspace case the paper
+    // opens with, where contiguous-slice PQ spends codebook budget
+    // re-encoding the shared direction in all m subspaces and the
+    // learned rotation concentrates it (measured: mean recall ~0.20 vs
+    // ~0.15 over 32 queries at sf0.01). The rotation trains by
+    // alternating Procrustes/SVD on a deterministic sample (the FAISS
+    // OPQMatrix posture); data-derived through an iterative SVD, so
+    // this row is rows-only (no SQL restatement exists) — the
+    // arithmetic contract is pinned by ann_opq_roundtrip
+    "ann_opq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mean = aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double")) / lit(64.0)
+      val corr = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + mean)
+          .as("embedding"))
+      val q = corr.where(col("vec_id") < 32)
+      val train = corr.where(col("vec_id") < 2048)
+      val exact = exactL2TopK(corr, q, 10)
+      val opq = operators.Opq.adcTopK(corr, q, "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, k = 10, itersOpq = 3,
+        train = Some(train))
+      val pq = operators.Pq.adcTopK(corr, q, "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, k = 10)
+      operators.Similarity.recallAtK(opq, exact)
+        .select(col("query_id"), col("n_hit").as("n_hit_opq"),
+          round(col("recall"), 6).as("recall_opq"))
+        .join(operators.Similarity.recallAtK(pq, exact)
+          .select(col("query_id"), col("n_hit").as("n_hit_pq"),
+            round(col("recall"), 6).as("recall_pq")), Seq("query_id"))
+        .orderBy(col("query_id"))
+    }),
+
     // recall@5 of the COMPOSED IVF-PQ arm (coarse pruning AND residual-
     // code compression losing accuracy together) against exact
     // brute-force squared-L2 — the gauge for the full billion-scale
@@ -9350,6 +9401,14 @@ object SparkEntry {
         nprobe = 2, topK = 5, queryPred = "vec_id < 8"),
 
       "ann_pq_adc" -> operators.PqSql.adcTopK(
+        "embeddings", "vec_id", "embedding", dim = 64, m = 4, ksub = 8,
+        iters = 2, topK = 5, queryPred = "vec_id < 4"),
+
+      // the zero-alternation OPQ arm routes every vector through the
+      // rotation product with R = I and must land on plain PQ's rows —
+      // the oracle IS the PQ rescan (ann_opq_recall, whose rotation is
+      // data-derived through an iterative SVD, stays rows-only)
+      "ann_opq_roundtrip" -> operators.PqSql.adcTopK(
         "embeddings", "vec_id", "embedding", dim = 64, m = 4, ksub = 8,
         iters = 2, topK = 5, queryPred = "vec_id < 4"),
 
