@@ -143,20 +143,8 @@ object HtmlOps {
     * same map-side shape as [[extractLinks]]. */
   def extractAnchors(
       df: DataFrame, idCol: String, htmlCol: String,
-      baseUrlCol: String): DataFrame = {
-    val elems = regexp_extract_all(preClean(col(htmlCol)),
-      lit(s"(?is)$AnchorOpen[^>]*>.*?</a>"), lit(0))
-    val href = regexp_extract(col("__a"), HrefPattern, 1)
-    df.select(Seq(col(idCol), explode(elems).as("__a")) ++
-        baseParts(col(baseUrlCol)): _*)
-      .select(col(idCol), href.as("__href"),
-        stripInline(regexp_replace(col("__a"), "(?is)^<a[^>]*>|</a>$", " "))
-          .as("anchor"),
-        col("__s"), col("__o"), col("__d"), col("__p"))
-      .select(col(idCol), resolveHref(col("__href")).as("link"),
-        col("anchor"))
-      .where(col("link").isNotNull)
-  }
+      baseUrlCol: String): DataFrame =
+    extractAnchorsRel(df, idCol, htmlCol, baseUrlCol).drop("nofollow")
 
   /** The `href` attribute of an anchor's OPEN tag. The `\s` boundary
     * before `href` (the tag name's end or a previous attribute's end)

@@ -455,29 +455,48 @@ object Multimodal {
           graft.functions.TextOps.tokens(col("text"))),
         t => t.cast("int")))
 
-  /** (idCol, toks): each page's interleaved stream as ONE int array —
-    * text spans tokenized, image slots the sentinel — in document order
-    * (one per-page aggregate; page length bounds the state). */
-  def interleavedPageTokens(inter: DataFrame, idCol: String): DataFrame =
-    inter.select(col(idCol), col("seq"), rowToks.as("__t"))
+  /** Per-page assembly from ONE aggregate over ONE tokenization pass:
+    * (idCol, toks — the page's full stream, slots — the image slots'
+    * (off, src) in-page addresses). Both outputs fold over the same
+    * sorted per-page row array, so text spans tokenize exactly once;
+    * page length bounds the aggregate's state (the per-document
+    * convention). */
+  private def pageAssembly(inter: DataFrame, idCol: String): DataFrame = {
+    val sorted = array_sort(col("__rows"))
+    val zero = struct(lit(0).as("n"),
+      array().cast("array<struct<off:int,src:string>>").as("slots"))
+    val folded = aggregate(sorted, zero, (acc, e) =>
+      struct(
+        (acc.getField("n") + size(e.getField("__t"))).as("n"),
+        when(e.getField("kind") === "image",
+          array_append(acc.getField("slots"),
+            struct(acc.getField("n").as("off"),
+              e.getField("image_src").as("src"))))
+          .otherwise(acc.getField("slots")).as("slots")))
+    inter
+      .select(col(idCol), col("seq"), col("kind"), col("image_src"),
+        rowToks.as("__t"))
       .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("seq"), col("__t")))),
-        e => e.getField("__t"))).as("toks"))
+      .agg(collect_list(struct(col("seq"), col("kind"), col("image_src"),
+        col("__t"))).as("__rows"))
+      .select(col(idCol),
+        flatten(transform(sorted, e => e.getField("__t"))).as("toks"),
+        folded.getField("slots").as("slots"))
+  }
+
+  /** (idCol, toks): each page's interleaved stream as ONE int array —
+    * text spans tokenized, image slots the sentinel — in document
+    * order. */
+  def interleavedPageTokens(inter: DataFrame, idCol: String): DataFrame =
+    pageAssembly(inter, idCol).select(col(idCol), col("toks"))
 
   /** (idCol, in_page_pos, image_src): each image slot's token offset
-    * within its page's stream — a per-PAGE running sum (bounded window,
-    * the per-document convention), never a corpus-wide one. */
-  def interleavedSlotOffsets(inter: DataFrame, idCol: String): DataFrame = {
-    val before = Window.partitionBy(col(idCol)).orderBy(col("seq"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    inter.select(col(idCol), col("seq"), col("kind"), col("image_src"),
-        size(rowToks).as("__n"))
-      .withColumn("__pos",
-        coalesce(sum(col("__n")).over(before), lit(0)).cast("long"))
-      .where(col("kind") === "image")
-      .select(col(idCol), col("__pos").as("in_page_pos"), col("image_src"))
-  }
+    * within its page's stream. */
+  def interleavedSlotOffsets(inter: DataFrame, idCol: String): DataFrame =
+    pageAssembly(inter, idCol)
+      .select(col(idCol), explode(col("slots")).as("__sl"))
+      .select(col(idCol), col("__sl.off").cast("long").as("in_page_pos"),
+        col("__sl.src").as("image_src"))
 
   /**
    * Content-addressed payload sidecar: every DISTINCT payload (by
@@ -601,17 +620,21 @@ object Multimodal {
       images: DataFrame, imgIdCol: String, srcCol: String,
       payloadCol: String, outDir: String, seqLen: Int,
       numShards: Int): (DataFrame, DataFrame, DataFrame) = {
-    val pages = interleavedPageTokens(inter, idCol)
-      .withColumn("__grp", groupOf)
-    val seqs = TrainShards.assembleSequences(
-      pages, "__grp", idCol, "toks", seqLen)
+    // cached: the assembly (the expensive tokenize + per-page aggregate)
+    // feeds the packed layout, the record writer, AND the slot table —
+    // released when the caller's first action over the slot refs runs
+    // (the CacheScope convention)
+    val asm = pageAssembly(inter, idCol).withColumn("__grp", groupOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE packSequences layout, shared by the assembler and the slot
+    // addressing — never computed twice from the same inputs
+    val packed = Sampling.packSequences(
+        asm.withColumn("__n", size(col("toks"))).where(col("__n") > 0),
+        "__grp", idCol, "__n", seqLen.toLong)
+      .withColumn("__start", col("seq_id") * seqLen + col("tok_offset"))
+    val seqs = TrainShards.assemblePacked(packed, "__grp", "toks", seqLen)
     val tokenIndex = TrainShards.writeTokenShards(
       seqs, "__grp", s"$outDir/tokens", seqLen, numShards)
-    val packed = Sampling.packSequences(
-        pages.withColumn("__n", size(col("toks"))).where(col("__n") > 0),
-        "__grp", idCol, "__n", seqLen.toLong)
-      .select(col(idCol), col("__grp"),
-        (col("seq_id") * seqLen + col("tok_offset")).as("__p0"))
     val digests = images
       .select(col(imgIdCol).as(idCol), col(srcCol).as("image_src"),
         sha2(col(payloadCol).cast("binary"), 256).as("digest"))
@@ -620,8 +643,12 @@ object Multimodal {
       // digest over a failed retry's null
       .groupBy(col(idCol), col("image_src"))
       .agg(max(col("digest")).as("digest"))
-    val slotRefs = interleavedSlotOffsets(inter, idCol)
-      .join(packed, Seq(idCol))
+    val slotRefs = asm
+      .select(col(idCol), col("__grp"), explode(col("slots")).as("__sl"))
+      .select(col(idCol), col("__grp"),
+        col("__sl.off").cast("long").as("in_page_pos"),
+        col("__sl.src").as("image_src"))
+      .join(packed.select(col(idCol), col("__start").as("__p0")), Seq(idCol))
       .select(col(idCol), col("__grp").as("group"),
         expr(s"(__p0 + in_page_pos) div ${seqLen}L").as("seq_id"),
         expr(s"(__p0 + in_page_pos) % ${seqLen}L").cast("int").as("slot_pos"),
@@ -635,6 +662,7 @@ object Multimodal {
     val payloadIndex = writePayloadSidecar(
       images.select(col(payloadCol)), payloadCol,
       s"$outDir/payloads", numShards)
-    (tokenIndex, slotRefs, payloadIndex)
+    (tokenIndex, CacheScope.unpersistAfterAction(slotRefs, Seq(asm)),
+      payloadIndex)
   }
 }

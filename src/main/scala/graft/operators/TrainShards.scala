@@ -49,11 +49,23 @@ object TrainShards {
       df: DataFrame, groupCol: String, orderCol: String,
       tokensCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0, "assembleSequences: seqLen must be positive")
-    val packed = Sampling.packSequences(
-      df.withColumn("__n", size(col(tokensCol))).where(col("__n") > 0),
-      groupCol, orderCol, "__n", seqLen.toLong)
-      .withColumn("__start",
-        col("seq_id") * seqLen + col("tok_offset"))
+    assemblePacked(
+      Sampling.packSequences(
+        df.withColumn("__n", size(col(tokensCol))).where(col("__n") > 0),
+        groupCol, orderCol, "__n", seqLen.toLong)
+        .withColumn("__start",
+          col("seq_id") * seqLen + col("tok_offset")),
+      groupCol, tokensCol, seqLen)
+  }
+
+  /** The assembly half over an ALREADY-PACKED layout (rows carrying
+    * `__start` = each doc's global token position) — callers that need
+    * the layout for their own addressing (multimodal slot references)
+    * compute `packSequences` once and share it instead of paying the
+    * pack window twice. */
+  private[operators] def assemblePacked(
+      packed: DataFrame, groupCol: String, tokensCol: String,
+      seqLen: Int): DataFrame = {
     val tokRows = packed
       .select(col(groupCol), col("__start"),
         posexplode(col(tokensCol)).as(Seq("__i", "__tok")))

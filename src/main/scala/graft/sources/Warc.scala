@@ -579,7 +579,11 @@ object Warc {
   def lookupCdxDomain(
       spark: SparkSession, table: String, domains: Seq[String]): DataFrame = {
     require(domains.nonEmpty, "lookupCdxDomain: empty domain set")
-    val revs = domains.map(_.split('.').reverseIterator.mkString(","))
+    // canonicalize like the index's own keys (normalizeUrl lowercases
+    // hosts; a root-label trailing dot is the same authority): a pasted
+    // "Graft.Test" takedown probe must not silently match nothing
+    val revs = domains.map(_.toLowerCase.stripSuffix(".")
+      .split('.').reverseIterator.mkString(","))
     val host = substring_index(surtHost(col("surt")), ":", 1)
     val exact = revs.map(r =>
       host === r || host.startsWith(r + ",")).reduce(_ || _)
@@ -752,29 +756,39 @@ object Warc {
    * from payload bytes at export time. After [[writeWatSidecar]] those
    * consumers read THIS, never the archive.
    *
-   * Input: (target_uri, payload) response rows. The payload decodes
-   * through [[parseHttpResponse]] (chunked/gzip wire encodings), links
-   * resolve against the capture's own URI, and the outlink array sorts
-   * by (link, anchor) — deterministic at rest whatever the extraction
-   * partitioning. One row per capture; link-less pages keep their row
-   * with an empty array.
+   * Input: (warc_file, rec_offset, target_uri, payload) response rows —
+   * extraction keys on the CAPTURE identity (file, offset), never the
+   * URI: a routine re-crawl holds several captures of one URI, and
+   * URI-keyed joins would cross-pair their signals and merge their
+   * outlink sets. The payload decodes through [[parseHttpResponse]]
+   * (chunked/gzip wire encodings), links resolve against the capture's
+   * own URI, and the outlink array sorts by (link, anchor) —
+   * deterministic at rest whatever the extraction partitioning. One row
+   * per capture; link-less pages keep their row with an empty array.
    */
   def watRows(responses: DataFrame): DataFrame = {
     import graft.functions.HtmlOps
-    val pages = httpResponses(responses, "target_uri", "payload")
-      .select(col("target_uri"), col("body_text").as("html"))
-    val meta = HtmlOps.extractMetaRobots(pages, "target_uri", "html")
-    val canon = HtmlOps.extractCanonical(
-      pages, "target_uri", "html", "target_uri")
-    val edges = HtmlOps.extractAnchorsRel(
-        pages, "target_uri", "html", "target_uri")
-      .groupBy(col("target_uri"))
+    val caps = responses.select(
+      concat_ws("#", col("warc_file"), col("rec_offset")).as("cap"),
+      col("warc_file"), col("rec_offset"), col("target_uri"),
+      col("payload"))
+    val pages = httpResponses(
+        caps.select(col("cap"), col("payload")), "cap", "payload")
+      .select(col("cap"), col("body_text").as("html"))
+      .join(caps.select(col("cap"), col("target_uri")), Seq("cap"))
+    val meta = HtmlOps.extractMetaRobots(pages, "cap", "html")
+    val canon = HtmlOps.extractCanonical(pages, "cap", "html", "target_uri")
+    val edges = HtmlOps.extractAnchorsRel(pages, "cap", "html", "target_uri")
+      .groupBy(col("cap"))
       .agg(array_sort(collect_list(
         struct(col("link"), col("anchor"), col("nofollow")))).as("links"))
-    meta.join(canon, Seq("target_uri"))
-      .join(edges, Seq("target_uri"), "left")
-      .select(col("target_uri"), col("noindex"), col("nofollow"),
-        col("canonical"),
+    caps.select(col("cap"), col("warc_file"), col("rec_offset"),
+        col("target_uri"))
+      .join(meta, Seq("cap"))
+      .join(canon, Seq("cap"))
+      .join(edges, Seq("cap"), "left")
+      .select(col("warc_file"), col("rec_offset"), col("target_uri"),
+        col("noindex"), col("nofollow"), col("canonical"),
         coalesce(col("links"), array().cast(
           "array<struct<link:string,anchor:string,nofollow:boolean>>"))
           .as("links"))
@@ -788,7 +802,8 @@ object Warc {
     watRows(readRecords(spark, warcPaths)
         .where(col("parse_ok") && col("rec_type") === "response" &&
           col("target_uri").isNotNull)
-        .select(col("target_uri"), col("payload")))
+        .select(col("warc_file"), col("rec_offset"), col("target_uri"),
+          col("payload")))
       .write.mode("overwrite").parquet(path)
 
   // ---- WET export: the curated-text sidecar beside a crawl archive ----

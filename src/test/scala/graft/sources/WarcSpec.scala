@@ -384,6 +384,52 @@ class WarcSpec extends SparkSuite {
     assert(readBack() == got)
   }
 
+  test("watRows: two captures of one URI stay two independent rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    def page(links: String) =
+      utf8("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><body><p>$links</p></body></html>")
+    // same URI captured twice (a re-crawl), different outlinks per
+    // capture — signals must never cross-pair or merge
+    val rows = Seq(
+      ("a.warc", 0L, "https://x.test/", page("""<a href="/one">first</a>""")),
+      ("a.warc", 500L, "https://x.test/", page("""<a href="/two">second</a>""")),
+      ("b.warc", 0L, "https://y.test/", page("")))
+      .toDF("warc_file", "rec_offset", "target_uri", "payload")
+    val got = Warc.watRows(rows)
+      .select(col("warc_file"), col("rec_offset"), col("target_uri"),
+        size(col("links")).as("n"),
+        try_element_at(col("links"), lit(1)).getField("link").as("l1"))
+      .orderBy(col("warc_file"), col("rec_offset"))
+      .collect()
+    assert(got.length == 3, "one sidecar row per CAPTURE, not per URI")
+    assert(got(0).getInt(3) == 1 && got(0).getString(4) == "https://x.test/one")
+    assert(got(1).getInt(3) == 1 && got(1).getString(4) == "https://x.test/two")
+    assert(got(2).getInt(3) == 0 && got(2).getString(4) == null)
+  }
+
+  test("lookupCdxDomain canonicalizes pasted casing and trailing dots") {
+    val dir = java.nio.file.Files.createTempDirectory("cdx_dom_case")
+    val date = "2026-01-01T00:00:00Z"
+    writeFile(dir, "a.warc", concatBytes(
+      renderRecord("resource", Some("https://graft.test/x"), date,
+        "text/plain", utf8("gx")),
+      renderRecord("resource", Some("https://sub.graft.test/y"), date,
+        "text/plain", utf8("gy")),
+      renderRecord("resource", Some("https://graftother.test/z"), date,
+        "text/plain", utf8("gz"))))
+    val db = s"wat_dom_${System.nanoTime()}"
+    graft.operators.Bucketing.scratchDb(spark, db,
+      java.nio.file.Files.createTempDirectory(db).toString)
+    Warc.writeCdxIndex(spark, Seq(s"$dir/a.warc"), s"$db.cdx", buckets = 2)
+    // original casing + root-label dot, as a takedown request arrives
+    val got = Warc.lookupCdxDomain(spark, s"$db.cdx", Seq("Graft.Test."))
+      .select(col("target_uri")).collect().map(_.getString(0)).sorted
+    assert(got.toSeq ==
+      Seq("https://graft.test/x", "https://sub.graft.test/y"))
+  }
+
   test("host-partitioned CDX: the domain probe prunes to the host's directory") {
     val dir = java.nio.file.Files.createTempDirectory("cdx_host")
     val date = "2026-01-01T00:00:00Z"
