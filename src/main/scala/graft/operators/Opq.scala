@@ -41,9 +41,19 @@ import org.apache.spark.sql.functions._
  */
 object Opq {
 
-  /** R·x as a map-side projection: one fixed-order dot fold per output
-    * dimension against the literal rotation rows. */
-  def rotate(vecCol: Column, r: Array[Array[Double]]): Column =
+  /** R·x as a map-side projection — the native literal matrix-vector
+    * product ([[graft.plans.MatVecExpr]]: one JIT'd d×d loop per row;
+    * the HOF formulation is CodegenFallback and re-interprets d² lambda
+    * steps per row per pass — [[rotateHof]] pins the arithmetic). */
+  def rotate(vecCol: Column, r: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.MatVecExpr(ColumnBridge.expression(vecCol), r))
+  }
+
+  /** Higher-order reference for [[rotate]], pinning the native loop's
+    * fixed-order sums (spec compares them bit-for-bit). */
+  private[graft] def rotateHof(vecCol: Column, r: Array[Array[Double]]): Column =
     array(r.toIndexedSeq.map(row =>
       aggregate(
         zip_with(vecCol, typedlit(row.toSeq),
@@ -143,8 +153,13 @@ object Opq {
     require(dim % m == 0, s"opq: dim $dim not divisible into $m subspaces")
     var r = identity(dim)
     for (_ <- 0 until itersOpq) {
+      // cached per alternation: the PQ trainer makes itersPq+1 passes
+      // and the Procrustes statistic two more — rotate the train set
+      // once per alternation, not once per pass (all actions run inside
+      // this loop body, so the release is synchronous)
       val rot = train.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("xv"), rotate(col(vecCol), r).as("rv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val books = Pq.trainCodebooks(rot, "vec_id", "rv", m, ksub, itersPq)
       val booksLit = books.toIndexedSeq.map(b => typedlit(b.map(_.toSeq).toSeq))
       val q = flatten(array((0 until m).map(j =>
@@ -161,6 +176,7 @@ object Opq {
         .agg(sum(floor(col("__qi") * col("__xj").cast("double") *
           lit(KMeans.Quant.toDouble)).cast("long")).as("__n"))
         .collect()
+      rot.unpersist(blocking = false)
       val n = Array.ofDim[Double](dim, dim)
       cells.foreach(row =>
         n(row.getInt(0))(row.getInt(1)) = row.getLong(2).toDouble)
@@ -183,8 +199,13 @@ object Opq {
       train: Option[DataFrame] = None): DataFrame = {
     val r = trainRotation(train.getOrElse(corpus), idCol, vecCol,
       m, ksub, iters, itersOpq)
+    // the PQ trainer re-scans its corpus iters+1 times and the ADC code
+    // build once more: rotate the corpus ONCE and cache, released on the
+    // caller's first action (the CacheScope convention)
     val rc = corpus.select(col(idCol), rotate(col(vecCol), r).as("__rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rq = queries.select(col(idCol), rotate(col(vecCol), r).as("__rv"))
-    Pq.adcTopK(rc, rq, idCol, "__rv", m, ksub, iters, k)
+    CacheScope.unpersistAfterAction(
+      Pq.adcTopK(rc, rq, idCol, "__rv", m, ksub, iters, k), Seq(rc))
   }
 }

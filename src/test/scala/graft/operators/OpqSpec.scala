@@ -46,6 +46,19 @@ class OpqSpec extends SparkSuite {
     assert(orthogonalityError(v) < 1e-6, "V must be orthogonal")
   }
 
+  test("native rotate equals the higher-order fold bit-for-bit") {
+    val d = 6
+    val r = Array.tabulate(d, d)((i, j) => math.sin(i * 1.9 + j * 0.7))
+    val df = (0 until 40).map(k =>
+      (k.toLong, (0 until d).map(j => (k * 0.37f + j * 1.21f) - 7.5f)))
+      .toDF("id", "v")
+    val got = df.select(col("id"), Opq.rotate(col("v"), r).as("rv"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    val want = df.select(col("id"), Opq.rotateHof(col("v"), r).as("rv"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    assert(got == want, "native mat-vec must reproduce the HOF fold exactly")
+  }
+
   test("rotate with the identity is value-preserving") {
     val r = Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
     val df = Seq((1L, Seq(1.5f, -2.25f, 0.0f, 7.125f)))
