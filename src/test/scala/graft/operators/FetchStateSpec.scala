@@ -68,6 +68,63 @@ class FetchStateSpec extends SparkSuite {
     assert(st === Seq("u1", "u2"))
   }
 
+  test("multi-cycle evolution equals a sequential simulation on random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val urls = (0 until 10).map(i => s"u$i")
+    val genEntry = for {
+      u <- Gen.oneOf(urls)
+      id <- Gen.choose(0L, 99L)
+      p <- Gen.choose(0, 9).map(_.toDouble)
+    } yield (id, u, p)
+    val genCase = for {
+      seed <- Gen.nonEmptyListOf(genEntry)
+      cycles <- Gen.listOfN(3, for {
+        cand <- Gen.someOf(urls) // scheduled = cand ∩ current frontier
+        disc <- Gen.listOf(genEntry)
+      } yield (cand.toSet, disc))
+    } yield (seed, cycles)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAllNoShrink(genCase) { case (seed, cycles) =>
+        val db = freshDb()
+        val fTbl = s"$db.frontier"
+        val stTbl = s"$db.state"
+        // sequential model: frontier url → (min id, max priority), seen set
+        var model = seed.groupBy(_._2).map { case (u, rows) =>
+          u -> (rows.map(_._1).min, rows.map(_._3).max)
+        }
+        var seen = Set.empty[String]
+        FetchState.writeFrontierStore(
+          model.toSeq.map { case (u, (id, p)) => (id, u, p) }
+            .toDF("id", "url", "priority"), fTbl, buckets = 2)
+        FetchState.writeStateIndex(stateRows(Nil), stTbl, buckets = 2)
+        var ok = true
+        var t = 0L
+        cycles.foreach { case (cand, disc) =>
+          t += 1
+          val sched = model.keySet.intersect(cand).toSeq.sorted
+          val schedDf = sched.map(u => (model(u)._1, u)).toDF("id", "url")
+          val fetched = stateRows(sched.map(u => (u, s"e$u", null, t, s"d$u")))
+          val discDf = disc.toDF("id", "url", "priority")
+          FetchState.commitCycle(spark, fTbl, stTbl, schedDf, fetched, discDf)
+          // model transition
+          seen ++= sched
+          val tail = model -- sched
+          val novel = disc.filterNot(d => seen(d._2))
+          model = (tail.toSeq.map { case (u, (id, p)) => (id, u, p) } ++ novel)
+            .groupBy(_._2).map { case (u, rows) =>
+              u -> (rows.map(_._1).min, rows.map(_._3).max)
+            }
+          val got = spark.table(fTbl).collect()
+            .map(r => r.getString(1) -> (r.getLong(0), r.getDouble(2))).toMap
+          ok = ok && got == model
+        }
+        ok :| s"frontier diverged from the sequential model"
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("commitCycle: rerunnable after a crashed frontier swap") {
     val db = freshDb()
     val fTbl = s"$db.frontier"

@@ -163,6 +163,63 @@ class SuffixArraySpec extends SparkSuite {
       run(Seq((1L, "ababa"), (2L, "abab"), (3L, "zzz"), (4L, "abz")), 3))
   }
 
+  test("sharded consumers equal the monolithic rebuild on arbitrary corpora") {
+    // tiny alphabet forces repeats; random 2-way shard split — the
+    // corpus-level answers must be invariant to how releases cut it
+    val genDoc = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCase = for {
+      nDocs <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(nDocs, genDoc)
+      window <- Gen.choose(2, 5)
+      split <- Gen.listOfN(nDocs, Gen.oneOf(0L, 1L))
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      window, split)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAllNoShrink(genCase) { case (docs, window, split) =>
+        val db = s"sfx_prop_${System.nanoTime()}"
+        Bucketing.scratchDb(spark, db,
+          java.nio.file.Files.createTempDirectory(db).toString)
+        val tbl = s"$db.sharded"
+        val df = docs.toDF("id", "text")
+        val byShard = docs.zip(split).groupBy(_._2)
+          .view.mapValues(_.map(_._1)).toMap
+        val r0 = byShard.getOrElse(0L, Nil).toDF("id", "text")
+        val r1 = byShard.getOrElse(1L, Nil).toDF("id", "text")
+        SuffixArray.writeShardedRankIndex(
+          r0, "id", "text", window, tbl, buckets = 2, shard = 0L)
+        SuffixArray.appendRankShard(r1, "id", "text", window, tbl, 1L)
+        val ranks = SuffixArray.suffixRanks(df, "id", "text", window)
+
+        val wSh = SuffixArray.repeatedWindowsSharded(spark, tbl, 1000)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val wMono = SuffixArray.repeatedWindows(
+            ranks, df, "id", "text", window, 1000)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val pSh = SuffixArray.repeatedPositionsSharded(
+            spark, tbl, df, "id", "text", window)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pMono = SuffixArray.repeatedPositions(
+            ranks, df, "id", "text", window)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val eSh = SuffixArray.exciseRepeatedSharded(
+            spark, tbl, df, "id", "text", window)
+          .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+          .toMap
+        val eMono = SuffixArray.exciseRepeated(
+            ranks, df, "id", "text", window)
+          .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+          .toMap
+        ((wSh == wMono) :| s"windows sh=$wSh mono=$wMono") &&
+          ((pSh == pMono) :| s"positions sh=$pSh mono=$pMono") &&
+          ((eSh == eMono) :| s"excise sh=$eSh mono=$eMono")
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("fixed point: duplicate documents converge under a huge window") {
     // identical docs keep distinct < total forever; the pure-doubling
     // stability exit must stop refining without mis-ranking anything
