@@ -4328,6 +4328,60 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // the FAISS "OPQ,IVF,PQ" at-rest arrangement, plumbing-pinned: the
+    // rotation persists as the index's fourth companion and every door
+    // (build, append, probe) applies it map-side — with the IDENTITY
+    // rotation the whole lifecycle must reproduce the un-rotated
+    // ann_ivfpq_indexed rows bit for bit (the shared rescan oracle)
+    "ann_opq_ivfpq_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$indexDbDir/opq_ivfpq_index"
+      val eye = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+      operators.IvfPq.writeIvfPqIndexRotated(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
+        nCells = 4, m = 4, ksub = 8, iters = 2, rotation = eye,
+        train = Some(emb))
+      operators.IvfPq.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path)
+      operators.Bucketing.compactPartitioned(s, path, "cluster")
+      operators.IvfPq.topKIndexed(s, path, emb.where(col("vec_id") < 4),
+          "vec_id", "embedding", nprobe = 2, k = 5)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // the composed quality gauge (rows-only — the trained rotation is
+    // SVD-derived): recall@10 of the at-rest OPQ,IVF,PQ index vs the
+    // plain in-session IVF-PQ on the rank-1-correlated corpus, both
+    // against exact L2 — the pre-transform must help (or at least not
+    // hurt) through the coarse quantizer too
+    "ann_opq_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mean = aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double")) / lit(64.0)
+      val corr = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + mean)
+          .as("embedding")).localCheckpoint(true)
+      val q = corr.where(col("vec_id") < 32)
+      val r = operators.Opq.trainRotation(
+        corr.where(col("vec_id") < 2048), "vec_id", "embedding",
+        m = 4, ksub = 8, itersPq = 2, itersOpq = 3)
+      val path = s"$indexDbDir/opq_ivfpq_recall_index"
+      operators.IvfPq.writeIvfPqIndexRotated(corr, "vec_id", "embedding",
+        path, nCells = 4, m = 4, ksub = 8, iters = 2, rotation = r)
+      val opq = operators.IvfPq.topKIndexed(s, path, q,
+        "vec_id", "embedding", nprobe = 2, k = 10)
+      val plain = operators.IvfPq.topK(corr, q, "vec_id", "embedding",
+        nCells = 4, m = 4, ksub = 8, iters = 2, nprobe = 2, k = 10)
+      val exact = exactL2TopK(corr, q, 10)
+      operators.Similarity.recallAtK(opq, exact)
+        .select(col("query_id"), col("n_hit").as("n_hit_opq"),
+          round(col("recall"), 6).as("recall_opq"))
+        .join(operators.Similarity.recallAtK(plain, exact)
+          .select(col("query_id"), col("n_hit").as("n_hit_pq"),
+            round(col("recall"), 6).as("recall_pq")), Seq("query_id"))
+        .orderBy(col("query_id"))
+    }),
+
     // recall@5 of the nprobe=2 trained-IVF search against the exhaustive
     // nprobe=4 (all cells = exact) reference — the quality gauge for the
     // probe-cost/recall trade, per query
@@ -9421,6 +9475,14 @@ object SparkEntry {
       // quantizers train on the full corpus (the FAISS train/add split)
       // and appended codes use them FIXED, so the oracle IS the rescan SQL
       "ann_ivfpq_indexed" -> operators.IvfPqSql.topK(
+        "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
+        ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 4"),
+
+      // the identity-rotation OPQ,IVF,PQ lifecycle must land on the
+      // un-rotated index's rows — the oracle IS the same rescan SQL
+      // (ann_opq_ivfpq_recall, whose rotation is SVD-trained, stays
+      // rows-only)
+      "ann_opq_ivfpq_indexed" -> operators.IvfPqSql.topK(
         "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
         ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 4"),
 

@@ -325,6 +325,60 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path.books")
   }
 
+  // =====================================================================
+  // OPQ pre-transform at rest — the FAISS "OPQ,IVF,PQ" index string:
+  // a learned orthogonal rotation persisted as a FOURTH companion
+  // (`<path>.rot`) beside codes/cells/books, applied map-side by every
+  // door (build, append, probe) so the whole IVF-PQ machinery runs in
+  // the rotated space. Rotations preserve L2, so probe results ARE
+  // original-space neighbors; the rotation itself trains against the
+  // flat-PQ objective ([[Opq.trainRotation]] — the FAISS OPQMatrix
+  // arrangement, trained standalone and composed as a pre-transform).
+  // =====================================================================
+
+  /** [[writeIvfPqIndex]] with an OPQ pre-transform: the rotation writes
+    * as `<path>.rot` and the quantizers/codes build over R·x. Pass the
+    * identity to pin the plumbing (the `ann_opq_ivfpq_indexed` arm —
+    * results must equal the un-rotated index bit for bit). */
+  def writeIvfPqIndexRotated(
+      base: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int, m: Int, ksub: Int, iters: Int,
+      rotation: Array[Array[Double]],
+      train: Option[DataFrame] = None): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.rot")
+    def rot(df: DataFrame) = df.select(col(idCol),
+      Opq.rotate(col(vecCol), rotation).as("__rv"))
+    writeIvfPqIndex(rot(base), idCol, "__rv", path, nCells, m, ksub,
+      iters, train.map(rot))
+  }
+
+  /** The persisted rotation, when the index carries one — d rows of d
+    * doubles, a driver-bounded collect like the other companions. */
+  private def loadRotation(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path.rot")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path.rot")
+      .orderBy(col("i")).collect()
+      .map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Apply the index's persisted rotation (when present) to a probe or
+    * append frame — the pre-transform every door shares. */
+  private def applyRotation(
+      df: DataFrame, idCol: String, vecCol: String,
+      rot: Option[Array[Array[Double]]]): (DataFrame, String) = rot match {
+    case None => (df, vecCol)
+    case Some(r) =>
+      (df.select(col(idCol), Opq.rotate(col(vecCol), r).as("__rv")), "__rv")
+  }
+
   /** The persisted coarse centroids + codebooks — driver-bounded collects
     * (nCells and m × ksub rows). */
   private def loadQuantizers(
@@ -351,7 +405,9 @@ object IvfPq {
   def appendIvfPqIndex(
       batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val (cents, books) = loadQuantizers(batch.sparkSession, path)
-    encodeRows(batch, idCol, vecCol, cents, books)
+    val (b, vc) = applyRotation(batch, idCol, vecCol,
+      loadRotation(batch.sparkSession, path))
+    encodeRows(b, idCol, vc, cents, books)
       .write.mode("append").partitionBy("cluster").parquet(path)
   }
 
@@ -366,8 +422,10 @@ object IvfPq {
    */
   def topKIndexed(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      path: String, queries0: DataFrame, idCol: String, vecCol0: String,
       nprobe: Int, k: Int): DataFrame = {
+    val (queries, vecCol) = applyRotation(queries0, idCol, vecCol0,
+      loadRotation(spark, path))
     val (cents, books) = loadQuantizers(spark, path)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val dsub = books(0)(0).length
