@@ -5477,6 +5477,25 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // the durable-state STREAMING door: due URLs drain in micro-batches
+    // against the PERSISTED fetch-state index (write release 1, append
+    // release 2 — the per-cycle lifecycle), each batch re-planning the
+    // table relation; must equal the batch plan row for row under the
+    // same shared restatement
+    "stream_conditional_fetch_indexed" -> ((s, dir) => {
+      val (frontier, state) = condFetchFixture(s, dir)
+      val tbl = s"${indexDb(s)}.fetch_state_stream_idx"
+      val withDigest = state.withColumn("digest",
+        concat(lit("sha-"), col("fetch_time").cast("string")))
+      operators.FetchState.writeStateIndex(
+        withDigest.where(col("fetch_time") < 1000), tbl, buckets = 8)
+      operators.FetchState.appendState(
+        withDigest.where(col("fetch_time") >= 1000), tbl)
+      Streams.conditionalFetchStreamIndexed(s, frontier.select(col("url")),
+          tbl, maxFilesPerTrigger = Some(2))
+        .orderBy(col("url"))
+    }),
+
     // ingest-time decontamination gate: arriving docs score against the
     // static eval shingle set (15% hash split) map-side and pass at
     // contam_frac <= 0.2 — the streaming counterpart of contamination_check
@@ -7394,6 +7413,7 @@ object SparkEntry {
       "crawl_conditional_fetch_indexed" -> CondFetchOracleSql,
       "crawl_sitemap_refetch_indexed" -> SitemapRefetchOracleSql,
       "crawl_revisit_priority_indexed" -> RevisitOracleSql,
+      "stream_conditional_fetch_indexed" -> CondFetchOracleSql,
 
       // the closed 3-cycle loop over the durable stores, unrolled: per
       // cycle the oracle re-derives the per-host top-3 schedule with its

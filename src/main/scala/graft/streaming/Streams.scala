@@ -1005,6 +1005,21 @@ object Streams {
    * batch-boundary-independent, the drain equals the batch plan
    * row-for-row — which is exactly the oracle's formulation.
    */
+  /** [[conditionalFetchStream]] with the state side the PERSISTED
+    * url-bucketed fetch-state index ([[graft.operators.FetchState]]):
+    * each micro-batch's due URLs join the table relation — re-planned
+    * per batch, so state appended by a concurrent cycle is visible to
+    * the next trigger — and the latest-wins fold aggregates the
+    * bucketed scan, exactly the batch door's plan. The durable-state
+    * door a live crawl actually runs. */
+  def conditionalFetchStreamIndexed(
+      spark: SparkSession,
+      frontier: org.apache.spark.sql.DataFrame,
+      stateTable: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    conditionalFetchStream(spark, frontier, spark.table(stateTable),
+      maxFilesPerTrigger)
+
   def conditionalFetchStream(
       spark: SparkSession,
       frontier: org.apache.spark.sql.DataFrame,
