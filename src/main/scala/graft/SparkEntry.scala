@@ -522,6 +522,36 @@ object SparkEntry {
         out
       })
 
+  /** Three-crawl fixture for the CDX collapse query: crawls 0 and 1
+    * capture IDENTICAL payloads (the unchanged-page case collapse
+    * exists to drop), crawl 2 changes — per URL the change points are
+    * January and March. */
+  private def warcCollapseFixture(s: SparkSession, dir: String): String =
+    warcDirCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(s"$dir#collapse", _ => {
+        import graft.sources.Warc
+        val rows = t(s, dir, "documents").where(col("doc_id") < 20)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val out =
+          java.nio.file.Files.createTempDirectory("graft_warc_clps").toString
+        (0 until 3).foreach { k =>
+          val date = f"2026-0${k + 1}%d-01T00:00:00Z"
+          val tag = if (k < 2) "crawlA" else "crawlB"
+          val bos = new java.io.ByteArrayOutputStream()
+          rows.foreach { case (id, text) =>
+            bos.write(Warc.renderRecord("resource",
+              Some(s"https://graft.test/doc/$id"), date, "text/plain",
+              s"$tag $text".getBytes("UTF-8")))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"shard$k.warc"), bos.toByteArray)
+        }
+        out
+      })
+
   /** Multi-host fixture for the domain/prefix CDX queries: a subdomain
     * ladder under graft.test plus a sibling host sharing its
     * registered-domain PREFIX string (graftother.test — the
@@ -1966,6 +1996,22 @@ object SparkEntry {
         .select(col("surt_host"), col("target_uri"), col("rec_type"),
           col("content_length"), col("digest"))
         .orderBy(col("target_uri"), col("rec_type"))
+    }),
+
+    // the public CDX collapse=digest view over the persisted index:
+    // per URL, only CHANGE POINTS survive (a capture whose digest
+    // equals its predecessor's drops) — crawls 0-1 captured identical
+    // payloads, so January and March remain and February drops; the
+    // oracle restates both kept captures per doc from construction
+    "warc_cdx_collapse" -> ((s, dir) => {
+      val fix = warcCollapseFixture(s, dir)
+      val tbl = s"${indexDb(s)}.warc_cdx_collapse"
+      graft.sources.Warc.writeCdxIndex(s,
+        (0 until 3).map(k => s"$fix/shard$k.warc"), tbl, buckets = 8)
+      graft.sources.Warc.collapseCaptures(s.table(tbl))
+        .select(col("surt"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("digest"))
+        .orderBy(col("target_uri"), col("warc_date"))
     }),
 
     // the WAT sidecar — the third public artifact beside WARC/WET:
@@ -7198,6 +7244,24 @@ object SparkEntry {
            |            THEN sha256((SELECT v FROM hh) || $SynthHtmlSql)
            |            ELSE sha256(text) END AS digest
            |FROM docs ORDER BY target_uri""".stripMargin,
+
+      // the two change points per doc restated from construction: the
+      // January capture (first) and the March capture (content change);
+      // February's identical payload must be gone
+      "warc_cdx_collapse" ->
+        """SELECT 'test,graft)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+          |       'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |         AS target_uri,
+          |       CASE k WHEN 0 THEN '2026-01-01T00:00:00Z'
+          |              ELSE '2026-03-01T00:00:00Z' END AS warc_date,
+          |       CAST(octet_length(encode(
+          |         (CASE k WHEN 0 THEN 'crawlA ' ELSE 'crawlB ' END)
+          |           || text)) AS BIGINT) AS content_length,
+          |       sha256((CASE k WHEN 0 THEN 'crawlA ' ELSE 'crawlB ' END)
+          |         || text) AS digest
+          |FROM documents, (SELECT unnest([0, 1]) AS k)
+          |WHERE doc_id < 20
+          |ORDER BY target_uri, warc_date""".stripMargin,
 
       // every sidecar row from the fixture arithmetic: META verdicts on
       // ids%5=0, canonical on ids%3=0, and per page exactly two edges —

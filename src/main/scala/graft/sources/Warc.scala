@@ -515,6 +515,28 @@ object Warc {
   }
 
   /**
+   * The public CDX server's `collapse=digest` — per URL key, drop every
+   * capture whose digest equals its PREDECESSOR's in capture-time order
+   * (consecutive-run dedup: the "show me the change points" view).
+   * Distinct from [[revisitCaptures]]' global (surt, digest) fold: a
+   * content flip-flop A→B→A keeps all three captures here, because the
+   * middle B is a change point both ways. One per-key lag window — a
+   * URL's capture history is CDX-sized (the bounded
+   * [[graft.operators.Frontier.revisitPriority]] shape), never a
+   * corpus-wide window; ties on the timestamp order by digest, the same
+   * deterministic tiebreak.
+   */
+  def collapseCaptures(
+      caps: DataFrame, keyCol: String = "surt",
+      tsCol: String = "warc_date", digestCol: String = "digest"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(digestCol))
+    caps.withColumn("__prev", lag(col(digestCol), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(digestCol))
+      .drop("__prev")
+  }
+
+  /**
    * Persist the crawl's capture index as a bucketed managed table keyed
    * on SURT — the engine's rendering of the public CDX index beside every
    * crawl archive: URL-addressed capture lookup without touching archive
