@@ -2225,6 +2225,38 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // the durable state FEEDING the scheduler — the freshness-driven
+    // crawl composition (Cho–Garcia-Molina priorities from the
+    // persisted fetch log, then the bounded politeness slotting): the
+    // host's top-4 change probabilities take the cycle's four slots
+    // (horizon 40 s / delay 10 s), cold-start URLs (null priority)
+    // schedule last and never reach a slot here. Priorities round to 6
+    // decimals BEFORE slotting (the ln/exp arms are the one libm path —
+    // rounding makes the sort key cross-engine exact); the oracle
+    // recomputes estimator + window independently
+    "crawl_revisit_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = s"${indexDb(s)}.fetch_state_rvs_idx"
+      val caps = t(s, dir, "events")
+        .select(concat(lit("https://e.test/u"),
+            (col("event_id") % 97).cast("string")).as("url"),
+          lit(null).cast("string").as("etag"),
+          lit(null).cast("string").as("last_modified"),
+          col("ts").as("fetch_time"),
+          col("event_type").as("digest"))
+      operators.FetchState.writeStateIndex(caps, tbl, buckets = 8)
+      val pri = operators.FetchState.revisitPriorityIndexed(s, tbl,
+          "2024-02-15 00:00:00")
+        .select(col("url"), round(col("p_changed"), 6).as("priority"))
+        .withColumn("id",
+          regexp_extract(col("url"), "u(\\d+)$", 1).cast("long"))
+      val delays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+      operators.Frontier.schedule(pri, delays, "id", "url", "priority",
+          defaultDelayS = 10.0, horizonS = 40.0)
+        .select(col("url"), col("priority"), col("slot"), col("sched_s"))
+        .orderBy(col("slot"))
+    }),
+
     // the CLOSED multi-cycle crawl loop over the durable stores — the
     // stream_ingest_loop posture for the frontier: each cycle schedules
     // from the PERSISTED frontier (per-host bounded top-3 under the
@@ -7478,6 +7510,46 @@ object SparkEntry {
       "crawl_sitemap_refetch_indexed" -> SitemapRefetchOracleSql,
       "crawl_revisit_priority_indexed" -> RevisitOracleSql,
       "stream_conditional_fetch_indexed" -> CondFetchOracleSql,
+
+      // the estimator chain recomputed independently, then the cycle's
+      // four slots by (rounded priority desc, url) — nulls last, so
+      // cold-start URLs never take a slot
+      "crawl_revisit_schedule" ->
+        """WITH c AS (
+          |  SELECT 'https://e.test/u' || CAST(event_id % 97 AS VARCHAR)
+          |           AS url,
+          |         ts, event_type AS digest
+          |  FROM events),
+          |l AS (
+          |  SELECT url, epoch_us(ts) AS us,
+          |         lag(epoch_us(ts)) OVER w AS prev_us,
+          |         CAST(digest <> lag(digest) OVER w AS INT) AS chg
+          |  FROM c WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),
+          |g AS (
+          |  SELECT url,
+          |         count(prev_us) AS n_intervals,
+          |         CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+          |         avg(us - prev_us) / 1e6 AS mi,
+          |         (epoch_us(TIMESTAMP '2024-02-15 00:00:00') - max(us))
+          |           / 1e6 AS age_s
+          |  FROM l GROUP BY url),
+          |pri AS (
+          |  SELECT url,
+          |         round(CASE WHEN n_intervals > 0 AND mi > 0 THEN
+          |           1 - exp(ln((n_intervals - n_changes + 0.5)
+          |                      / (n_intervals + 0.5)) / mi * age_s) END, 6)
+          |           AS priority
+          |  FROM g),
+          |r AS (
+          |  SELECT url, priority,
+          |         CAST(row_number() OVER (ORDER BY priority DESC
+          |           NULLS LAST, url) - 1 AS BIGINT) AS slot
+          |  FROM pri
+          |  QUALIFY row_number() OVER (ORDER BY priority DESC NULLS LAST,
+          |    url) <= 4)
+          |SELECT url, priority, slot, CAST(slot * 10.0 AS DOUBLE)
+          |         AS sched_s
+          |FROM r ORDER BY slot""".stripMargin,
 
       // the closed 3-cycle loop over the durable stores, unrolled: per
       // cycle the oracle re-derives the per-host top-3 schedule with its

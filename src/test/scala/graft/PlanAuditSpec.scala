@@ -1013,6 +1013,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("sharded suffix dictionary merge: folds the bucketed scan in place") {
+    import graft.operators.{Bucketing, SuffixArray}
+    Bucketing.scratchDb(spark, "plan_sfx",
+      java.nio.file.Files.createTempDirectory("plan_sfx_db").toString)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    SuffixArray.writeShardedRankIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", 8,
+      "plan_sfx.sh", buckets = 4, shard = 0L)
+    SuffixArray.appendRankShard(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", 8,
+      "plan_sfx.sh", shard = 1L)
+    val p = physical(
+      SuffixArray.repeatedWindowsSharded(spark, "plan_sfx.sh", 20))
+    // the merge is the whole point of the sharded layout: the dictionary
+    // is bucketed on snippet, so the cross-shard groupBy(snippet) must
+    // aggregate the scan in place — no Exchange anywhere (the top-k is a
+    // TakeOrdered, not a global sort)
+    assert(p.contains("Bucketed: true"),
+      s"the dictionary side must be the bucketed scan:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the snippet merge must fold in place over the bucketing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must be bounded, never a global sort:\n$p")
+  }
+
   test("CDX domain/prefix probes: range and StartsWith reach the scan") {
     import graft.operators.Bucketing
     import graft.sources.Warc
