@@ -1998,6 +1998,27 @@ object SparkEntry {
         .orderBy(col("target_uri"), col("rec_type"))
     }),
 
+    // the content-addressing pin: identical payloads STORE ONCE — the
+    // sidecar holds exactly one blob per distinct payload byte string
+    // however many slots reference it; kept slots and their distinct
+    // payloads restated from the 6-per-page packing + payload-presence
+    // arithmetic
+    "mm_payload_dedup" -> ((s, dir) => {
+      val (pages, images) = mmFixture(s, dir)
+      val inter = Multimodal.interleave(pages, "doc_id", "html",
+        images, "doc_id", "src", "payload")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mmdedup").toString
+      val (_, slots, payIdx) = Multimodal.writeInterleavedShards(
+        inter, "doc_id", pmod(col("doc_id"), lit(4)).cast("string"),
+        images, "doc_id", "src", "payload", out,
+        seqLen = 16, numShards = 2)
+      slots.agg(
+          count(col("digest")).as("n_payload_slots"),
+          countDistinct(col("digest")).as("n_kept_distinct"))
+        .crossJoin(payIdx.agg(count(lit(1)).as("n_blobs")))
+    }),
+
     // the public CDX collapse=digest view over the persisted index:
     // per URL, only CHANGE POINTS survive (a capture whose digest
     // equals its predecessor's drops) — crawls 0-1 captured identical
@@ -10160,6 +10181,40 @@ object SparkEntry {
            |LEFT JOIN bnd b ON f.grp = b.grp AND f.seq_id = b.seq_id
            |WHERE f.c = 16 ORDER BY f.grp, f.seq_id""".stripMargin
       },
+
+      // one blob per DISTINCT payload byte string across the whole image
+      // table; kept-slot counts from the packing + presence arithmetic
+      "mm_payload_dedup" ->
+        """WITH o AS (
+          |  SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS grp,
+          |         sum(6) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+          |                      ROWS UNBOUNDED PRECEDING) - 6 AS p0
+          |  FROM documents WHERE doc_id < 80),
+          |fullseqs AS (SELECT grp, (count(*) * 6) // 16 AS nfull
+          |             FROM o GROUP BY grp),
+          |slots AS (
+          |  SELECT o.doc_id, d.text, o.p0 + 2 AS pos,
+          |         o.doc_id % 3 <> 0 AS has_payload
+          |  FROM o JOIN documents d USING (doc_id)
+          |  UNION ALL
+          |  SELECT o.doc_id, d.text, o.p0 + 4, o.doc_id % 2 = 0
+          |  FROM o JOIN documents d USING (doc_id)),
+          |kept AS (
+          |  SELECT s.* FROM slots s
+          |  JOIN o ON s.doc_id = o.doc_id
+          |  JOIN fullseqs f ON CAST(o.doc_id % 4 AS VARCHAR) = f.grp
+          |  WHERE s.pos // 16 < f.nfull),
+          |allpay AS (
+          |  SELECT text FROM documents
+          |  WHERE doc_id < 80 AND doc_id % 3 <> 0
+          |  UNION ALL
+          |  SELECT text FROM documents WHERE doc_id < 80 AND doc_id % 2 = 0)
+          |SELECT
+          |  (SELECT count(*) FROM kept WHERE has_payload)
+          |    AS n_payload_slots,
+          |  (SELECT count(DISTINCT text) FROM kept WHERE has_payload)
+          |    AS n_kept_distinct,
+          |  (SELECT count(DISTINCT text) FROM allpay) AS n_blobs""".stripMargin,
 
       // slot addresses from the same 6-per-page layout (slot 0 at page
       // offset 2, slot 1 at 4), kept only inside full sequences; payload
