@@ -302,6 +302,33 @@ object SparkEntry {
         tbl
       })
 
+  /** The OPQ rotation of the rank-1-correlated gauge corpus, trained ONCE
+    * per (session, sf dir) and shared by both recall gauges
+    * (`ann_opq_recall`, `ann_opq_ivfpq_recall`) — the FAISS train-once
+    * posture: one `OPQMatrix` per corpus release, applied by every
+    * searcher. Both gauges train on the identical sample (vec_id < 2048
+    * of the mean-augmented corpus) at identical (m=4, ksub=8, itersPq=2,
+    * itersOpq=3), so sharing changes nothing but the repeated
+    * alternations. Session-weak keying rationale as [[suffixRanks48]]. */
+  private val opqRotationCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]]())
+  private def opqRotation48(s: SparkSession, dir: String): Array[Array[Double]] =
+    opqRotationCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]())
+      .computeIfAbsent(dir, _ => {
+        val emb = t(s, dir, "embeddings")
+        val mean = aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double")) / lit(64.0)
+        val corr = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") + mean)
+            .as("embedding"))
+        operators.Opq.trainRotation(
+          corr.where(col("vec_id") < 2048), "vec_id", "embedding",
+          m = 4, ksub = 8, itersPq = 2, itersOpq = 3)
+      })
+
   /** Exact brute-force squared-L2 top-k — the shared ground-truth arm of
     * every ANN recall gauge (broadcast queries, one native-fold distance
     * per pair). Ranked by the bounded top-k aggregate (score = -distance
@@ -4461,9 +4488,7 @@ object SparkEntry {
         transform(col("embedding"), x => x.cast("double") + mean)
           .as("embedding")).localCheckpoint(true)
       val q = corr.where(col("vec_id") < 32)
-      val r = operators.Opq.trainRotation(
-        corr.where(col("vec_id") < 2048), "vec_id", "embedding",
-        m = 4, ksub = 8, itersPq = 2, itersOpq = 3)
+      val r = opqRotation48(s, dir)
       val path = s"$indexDbDir/opq_ivfpq_recall_index"
       operators.IvfPq.writeIvfPqIndexRotated(corr, "vec_id", "embedding",
         path, nCells = 4, m = 4, ksub = 8, iters = 2, rotation = r)
@@ -4548,11 +4573,9 @@ object SparkEntry {
         transform(col("embedding"), x => x.cast("double") + mean)
           .as("embedding"))
       val q = corr.where(col("vec_id") < 32)
-      val train = corr.where(col("vec_id") < 2048)
       val exact = exactL2TopK(corr, q, 10)
-      val opq = operators.Opq.adcTopK(corr, q, "vec_id", "embedding",
-        m = 4, ksub = 8, iters = 2, k = 10, itersOpq = 3,
-        train = Some(train))
+      val opq = operators.Opq.adcTopKRotated(corr, q, "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, k = 10, rotation = opqRotation48(s, dir))
       val pq = operators.Pq.adcTopK(corr, q, "vec_id", "embedding",
         m = 4, ksub = 8, iters = 2, k = 10)
       operators.Similarity.recallAtK(opq, exact)
@@ -4577,6 +4600,47 @@ object SparkEntry {
       val exact = exactL2TopK(emb, q, 5)
       operators.Similarity.recallAtK(approx, exact)
         .select(col("query_id"), col("n_hit"), round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
+    // the REFINE stage (FAISS RFlat): the IVF-PQ arm overfetches a 4x
+    // shortlist (k'=20), and the refine re-ranks ONLY those candidates
+    // with exact micro-unit squared-L2 against the raw parquet vectors —
+    // the corpus is probed by one broadcast-shortlist hash join, never
+    // rescanned. The oracle restates shortlist + rescore independently
+    "ann_ivfpq_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 4)
+      val shortlist = operators.IvfPq.topK(emb, q, "vec_id", "embedding",
+        nCells = 4, m = 4, ksub = 8, iters = 2, nprobe = 2, k = 20)
+      operators.Similarity.refineTopK(shortlist, emb, q,
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("d_micro"), col("neighbor_id"))
+    }),
+
+    // the refine-vs-plain quality gauge: recall@5 of the refined
+    // 4x-overfetched IVF-PQ arm NEXT TO the un-refined ADC top-5, both
+    // against exact L2 — refinement must buy back ADC mis-rankings
+    // inside the shortlist (it can only reorder candidates the coarse
+    // arm surfaced, so refine recall ≥ plain recall per construction
+    // whenever the shortlist contains the ADC top-5, which k'=4k makes
+    // overwhelmingly likely; the gauge MEASURES it per query)
+    "ann_refine_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val shortlist = operators.IvfPq.topK(emb, q, "vec_id", "embedding",
+        nCells = 4, m = 4, ksub = 8, iters = 2, nprobe = 2, k = 20)
+      val refined = operators.Similarity.refineTopK(shortlist, emb, q,
+        "vec_id", "embedding", k = 5)
+      val plain = operators.IvfPq.topK(emb, q, "vec_id", "embedding",
+        nCells = 4, m = 4, ksub = 8, iters = 2, nprobe = 2, k = 5)
+      val exact = exactL2TopK(emb, q, 5)
+      operators.Similarity.recallAtK(refined, exact)
+        .select(col("query_id"), col("n_hit").as("n_hit_refine"),
+          round(col("recall"), 6).as("recall_refine"))
+        .join(operators.Similarity.recallAtK(plain, exact)
+          .select(col("query_id"), col("n_hit").as("n_hit_pq"),
+            round(col("recall"), 6).as("recall_pq")), Seq("query_id"))
         .orderBy(col("query_id"))
     }),
 
@@ -9716,6 +9780,87 @@ object SparkEntry {
            |             / count(*)::DOUBLE, 6) AS recall
            |FROM exact e
            |LEFT JOIN approx a USING (query_id, neighbor_id)
+           |GROUP BY e.query_id ORDER BY query_id""".stripMargin
+      },
+
+      // the refine stage restated independently: the same IVF-PQ rescan
+      // overfetches k'=20, the rescore is the exact sequential-fold L2 in
+      // integer micro-units, and the top-5 is a plain window (the oracle
+      // may window; the Spark plan must not)
+      "ann_ivfpq_refine" -> {
+        val short = operators.IvfPqSql.topK(
+          "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
+          ksub = 8, iters = 2, nprobe = 2, topK = 20, queryPred = "vec_id < 4")
+        val dist = operators.KMeansSql.distSql(
+          "list_transform(q.embedding, x -> x::DOUBLE)",
+          "list_transform(c.embedding, x -> x::DOUBLE)")
+        s"""WITH short AS ($short),
+           |scored AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |         CAST(floor($dist * 1048576.0) AS BIGINT) AS d_micro
+           |  FROM short s
+           |  JOIN embeddings c ON c.vec_id = s.neighbor_id
+           |  JOIN embeddings q ON q.vec_id = s.query_id)
+           |SELECT query_id, neighbor_id, d_micro FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |              ORDER BY d_micro, neighbor_id) AS rn
+           |  FROM scored)
+           |WHERE rn <= 5
+           |ORDER BY query_id, d_micro, neighbor_id""".stripMargin
+      },
+
+      // both gauge arms AND the ground truth restated: refine = the
+      // k'=20 rescan rescored exactly, plain = the k=5 rescan, exact =
+      // the brute-force window — the whole gauge is oracle-checked, not
+      // rows-only
+      "ann_refine_recall" -> {
+        val short = operators.IvfPqSql.topK(
+          "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
+          ksub = 8, iters = 2, nprobe = 2, topK = 20, queryPred = "vec_id < 8")
+        val plain = operators.IvfPqSql.topK(
+          "embeddings", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
+          ksub = 8, iters = 2, nprobe = 2, topK = 5, queryPred = "vec_id < 8")
+        val rescore = operators.KMeansSql.distSql(
+          "list_transform(q.embedding, x -> x::DOUBLE)",
+          "list_transform(c.embedding, x -> x::DOUBLE)")
+        val exactDist = operators.KMeansSql.distSql(
+          "list_transform(q.embedding, x -> x::DOUBLE)",
+          "list_transform(c.embedding, x -> x::DOUBLE)")
+        s"""WITH short AS ($short),
+           |refined AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT s.query_id, s.neighbor_id,
+           |           CAST(floor($rescore * 1048576.0) AS BIGINT) AS d_micro,
+           |           row_number() OVER (PARTITION BY s.query_id
+           |             ORDER BY CAST(floor($rescore * 1048576.0) AS BIGINT),
+           |                      s.neighbor_id) AS rn
+           |    FROM short s
+           |    JOIN embeddings c ON c.vec_id = s.neighbor_id
+           |    JOIN embeddings q ON q.vec_id = s.query_id)
+           |  WHERE rn <= 5),
+           |plain AS ($plain),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |                              ORDER BY $exactDist, c.vec_id) AS rn
+           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 8)
+           |  WHERE rn <= 5)
+           |SELECT e.query_id,
+           |       CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_refine,
+           |       round(sum(CASE WHEN r.neighbor_id IS NOT NULL
+           |                      THEN 1 ELSE 0 END)::DOUBLE
+           |             / count(*)::DOUBLE, 6) AS recall_refine,
+           |       CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_pq,
+           |       round(sum(CASE WHEN p.neighbor_id IS NOT NULL
+           |                      THEN 1 ELSE 0 END)::DOUBLE
+           |             / count(*)::DOUBLE, 6) AS recall_pq
+           |FROM exact e
+           |LEFT JOIN refined r USING (query_id, neighbor_id)
+           |LEFT JOIN plain p USING (query_id, neighbor_id)
            |GROUP BY e.query_id ORDER BY query_id""".stripMargin
       },
 

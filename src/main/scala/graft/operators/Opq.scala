@@ -196,15 +196,27 @@ object Opq {
   def adcTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int, k: Int, itersOpq: Int,
-      train: Option[DataFrame] = None): DataFrame = {
-    val r = trainRotation(train.getOrElse(corpus), idCol, vecCol,
-      m, ksub, iters, itersOpq)
+      train: Option[DataFrame] = None): DataFrame =
+    adcTopKRotated(corpus, queries, idCol, vecCol, m, ksub, iters, k,
+      trainRotation(train.getOrElse(corpus), idCol, vecCol,
+        m, ksub, iters, itersOpq))
+
+  /** [[adcTopK]] with a PRECOMPUTED rotation — the train-once posture:
+    * like FAISS, one `OPQMatrix` is trained per corpus release and every
+    * searcher applies it; callers that gauge several arms over the same
+    * corpus (recall vs plain PQ, composed IVF-PQ) share one training
+    * instead of re-alternating per arm. */
+  def adcTopKRotated(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, k: Int,
+      rotation: Array[Array[Double]]): DataFrame = {
     // the PQ trainer re-scans its corpus iters+1 times and the ADC code
     // build once more: rotate the corpus ONCE and cache, released on the
     // caller's first action (the CacheScope convention)
-    val rc = corpus.select(col(idCol), rotate(col(vecCol), r).as("__rv"))
+    val rc = corpus.select(col(idCol), rotate(col(vecCol), rotation).as("__rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rq = queries.select(col(idCol), rotate(col(vecCol), r).as("__rv"))
+    val rq = queries.select(col(idCol),
+      rotate(col(vecCol), rotation).as("__rv"))
     CacheScope.unpersistAfterAction(
       Pq.adcTopK(rc, rq, idCol, "__rv", m, ksub, iters, k), Seq(rc))
   }

@@ -453,6 +453,53 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Exact re-rank of an approximate shortlist — the FAISS refine stage
+    * (`IndexRefineFlat` / the `RFlat` suffix of an index-factory string):
+    * an ANN arm overfetches `k' > k` candidates cheaply (compressed-code
+    * ADC), and the refine stage rescores ONLY those candidates with exact
+    * squared-L2 against the RAW vectors, returning the true top-`k` of the
+    * shortlist. This is the standard way to buy back the compression
+    * loss: ADC mis-rankings inside the shortlist cost nothing, only
+    * candidates the coarse arm never surfaced stay lost.
+    *
+    * Spark geometry: the shortlist (nq × k' id pairs — integers only) and
+    * the queries BROADCAST; the corpus is probed by ONE hash join on
+    * `neighbor_id` (a semi-join-sized read — at rest the corpus is the
+    * parquet table itself, no second copy of the vectors lives in the
+    * index, unlike FAISS's in-RAM refine layer). Distances quantize to
+    * integer micro-units (`floor(d · 2^20)`) so the (d, id) rank is a
+    * cross-engine total order, and the per-query top-k is the bounded
+    * aggregate — never a corpus-wide window.
+    *
+    * `candidates`: (query_id, neighbor_id). Returns (query_id,
+    * neighbor_id, d_micro), the exact-rescored top-`k` per query.
+    */
+  def refineTopK(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val top = topKUdaf(k)
+    val cand = candidates.select(col("query_id").cast("long"),
+      col("neighbor_id").cast("long"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(VectorOps.sqDist(col("__qv"), col("__cv")) *
+          lit(KMeans.Quant.toDouble)).cast("long").as("d_micro"))
+      .groupBy(col("query_id"))
+      .agg(top(-col("d_micro").cast("double"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("e"))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        (-col("e._1")).cast("long").as("d_micro"))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val a = approx.select(col("query_id"), col("neighbor_id"))
       .withColumn("__hit", lit(1L))

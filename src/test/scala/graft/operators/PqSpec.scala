@@ -95,4 +95,39 @@ class PqSpec extends SparkSuite {
       .collect().map(_.getLong(1)).toSet
     assert(out.nonEmpty && out.subsetOf(Set(0L, 2L, 3L)), out.toString)
   }
+
+  test("refineTopK: exact rescore of a shortlist, micro-unit distances, " +
+      "bounded to the candidates") {
+    val df = vecs(
+      0L -> Seq(0f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),   // d=1
+      2L -> Seq(2f, 0f, 0f, 0f),   // d=4
+      3L -> Seq(3f, 0f, 0f, 0f),   // d=9
+      4L -> Seq(0.5f, 0f, 0f, 0f)) // d=0.25 — but NOT in the shortlist
+    val q = df.where($"vec_id" === 0L)
+    // a deliberately mis-ranked shortlist (as an ADC arm might produce):
+    // refine must restore the true order and NEVER resurrect id 4
+    val shortlist = Seq((0L, 3L), (0L, 1L), (0L, 2L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.refineTopK(shortlist, df, q, "vec_id", "embedding",
+        k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qm = KMeans.Quant
+    assert(out.toSeq == Seq((0L, 1L, 1L * qm), (0L, 2L, 4L * qm)),
+      out.mkString(","))
+  }
+
+  test("refineTopK: refined recall can only see shortlist candidates; " +
+      "within them it is exact") {
+    // corpus on a line; query at origin; shortlist = ids 1..6 shuffled —
+    // refine@3 returns exactly {1,2,3} in distance order
+    val pts = (0L to 8L).map(i => i -> Seq(i.toFloat, 0f, 0f, 0f))
+    val df = vecs(pts: _*)
+    val q = df.where($"vec_id" === 0L)
+    val shortlist = Seq(6L, 4L, 2L, 5L, 1L, 3L).map(n => (0L, n))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.refineTopK(shortlist, df, q, "vec_id", "embedding",
+        k = 3).collect().map(_.getLong(1)).toSeq
+    assert(out.sorted == Seq(1L, 2L, 3L), out.mkString(","))
+  }
 }
