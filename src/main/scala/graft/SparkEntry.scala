@@ -2618,6 +2618,16 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs and authorities (Kleinberg 1999) over the same doc
+    // graph — the directory-vs-content separation PageRank can't make;
+    // integer micro-unit half-steps with L1 normalization, the oracle
+    // replays every half-step as unrolled CTEs
+    "graph_hits" -> ((s, dir) => {
+      val edges = docGraphEdges(s, dir)
+      Graph.hits(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // the directives are LOAD-BEARING in the rank flow: pages render
     // two links (×3 plain; ×7 rel=nofollow on odd ids) and ids%10=0
     // carry a page-level META nofollow voiding both — extraction, both
@@ -7861,6 +7871,15 @@ object SparkEntry {
            |  $DocGraphRawSql),
            |${GraphSql.pagerankCtes(3)}
            |SELECT node, pr AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+      // every HITS half-step replayed: edge-join raw sums, integer L1
+      // normalization with the zero-total guard
+      "graph_hits" ->
+        s"""WITH raw AS (
+           |  $DocGraphRawSql),
+           |${GraphSql.hitsCtes(3)}
+           |SELECT node, a3.s AS auth_units, h3.s AS hub_units
+           |FROM a3 JOIN h3 USING (node) ORDER BY node""".stripMargin,
 
       // the surviving edge set from id arithmetic alone (markup and
       // directive parsing never appear), then the identical unrolled

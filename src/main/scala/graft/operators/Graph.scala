@@ -236,6 +236,79 @@ object Graph {
         count(lit(1)).as("n_nodes"))
   }
 
+  /** Default integer unit for [[hits]] — smaller than [[RankUnit]]
+    * because the normalization step multiplies a raw score (≤ N·unit)
+    * by `unit` before the floor division, so the envelope is N·unit²
+    * < Long.Max: at 1e6 that admits ~9.2M nodes (lower the unit for
+    * bigger graphs; the guard is loud). */
+  val HitsUnit: Long = 1000000L
+
+  /**
+   * HITS hubs and authorities (Kleinberg 1999, "Authoritative sources
+   * in a hyperlinked environment", JACM 46(5) §2): the mutual
+   * recursion a(i) = Σ_{j→i} h(j), h(j) = Σ_{j→i} a(i), normalized
+   * each half-step. Complements PageRank in crawl curation — PageRank
+   * scores endorsement mass, HITS separates DIRECTORY pages (hubs:
+   * pages whose links concentrate on strong authorities) from CONTENT
+   * pages (authorities: pages the strong hubs agree on) — the classic
+   * seed-list / link-farm diagnostic pair.
+   *
+   * Exactness: integer micro-units like [[pagerank]], with L1 (sum)
+   * normalization instead of Kleinberg's L2 — the normalization only
+   * fixes the vector's SCALE, never its direction, and a sum stays in
+   * integer arithmetic: score'(i) = (raw(i) · unit) div (Σ raw), so
+   * each half-step is one edge join + one map-side-combinable sum +
+   * a 1-row total riding a crossJoin (never a driver collect). An
+   * all-zero half-step (no edges) yields all-zero scores rather than
+   * dividing by zero.
+   *
+   * Scale shape: identical to [[runRounds]] — edges dedup/persist once,
+   * each half-step joins the node-sized score vector to the edge list
+   * on its flow side and aggregates by the other endpoint.
+   */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, unit: Long = HitsUnit): DataFrame = {
+    require(iters >= 1 && iters <= 64, "hits: iters must be in 1..64")
+    require(unit >= 100L, "hits: unit must be at least 100")
+    val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
+    val e = e0.persist()
+    val nodes = nodes0.persist()
+    val maxNodes = Long.MaxValue / unit / unit
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") > maxNodes,
+        raise_error(concat(lit(s"hits: more than $maxNodes nodes " +
+          s"overflows the unit=$unit integer scores; lower the unit"),
+          lit("")))).otherwise(col("__n")).as("__n"))
+    // L1-normalize a raw integer score vector to total ≈ unit
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(coalesce(sum(col("__raw")), lit(0L)).as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(tot).crossJoin(nRow)
+        .select(col("node"),
+          when(col("__tot") > 0,
+            expr(s"(coalesce(__raw, 0L) * ${unit}L) div __tot"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+    var h = nodes.select(col("node"), lit(unit).as("__h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = h.join(e, "node")
+        .select(col("dst").as("node"), col("__h").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__raw"))
+      a = normalized(aRaw, "__a")
+      val hRaw = a.withColumnRenamed("node", "dst").join(e, "dst")
+        .select(col("node"), col("__a").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__raw"))
+      h = normalized(hRaw, "__h")
+    }
+    CacheScope.unpersistAfterAction(
+      a.join(h, "node")
+        .select(col("node"), col("__a").as("auth_units"),
+          col("__h").as("hub_units")),
+      Seq(e, nodes))
+  }
+
   /**
    * Personalized PageRank with a trusted seed set (TrustRank — Gyöngyi,
    * Garcia-Molina & Pedersen 2004): the random surfer teleports ONLY to
@@ -636,6 +709,38 @@ object GraphSql {
          |    SELECT e.dst AS node, d$p.dist + 1 AS dist
          |    FROM d$p JOIN e ON e.src = d$p.node)
          |  GROUP BY node)""".stripMargin
+    }
+    (fixed +: rounds).mkString(",\n")
+  }
+
+  /** CTE chain replaying [[Graph.hits]]'s integer half-steps over a
+    * prior CTE `raw(src, dst)`: `e, nodes, h0, a1, h1, …, a{iters},
+    * h{iters}` — raw flows as edge-join sums, each half-step
+    * L1-normalized by `(raw · unit) // total` with an all-zero guard,
+    * exactly the Spark arithmetic. */
+  def hitsCtes(iters: Int, unit: Long = Graph.HitsUnit): String = {
+    val fixed =
+      s"""$GraphFixed,
+         |h0 AS (SELECT node, CAST($unit AS BIGINT) AS s FROM nodes)""".stripMargin
+    def norm(rawCte: String, out: String): String =
+      s"""$out AS (
+         |  SELECT nodes.node,
+         |         CASE WHEN t.tot > 0
+         |              THEN (coalesce(r.raw, 0) * $unit) // t.tot
+         |              ELSE CAST(0 AS BIGINT) END AS s
+         |  FROM nodes LEFT JOIN $rawCte r USING (node)
+         |  CROSS JOIN (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS tot
+         |              FROM $rawCte) t)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""araw$i AS (
+         |  SELECT e.dst AS node, CAST(sum(h$p.s) AS BIGINT) AS raw
+         |  FROM h$p JOIN e ON e.src = h$p.node GROUP BY e.dst),
+         |${norm(s"araw$i", s"a$i")},
+         |hraw$i AS (
+         |  SELECT e.src AS node, CAST(sum(a$i.s) AS BIGINT) AS raw
+         |  FROM a$i JOIN e ON e.dst = a$i.node GROUP BY e.src),
+         |${norm(s"hraw$i", s"h$i")}""".stripMargin
     }
     (fixed +: rounds).mkString(",\n")
   }

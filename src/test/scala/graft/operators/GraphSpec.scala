@@ -247,4 +247,58 @@ class GraphSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"),
       s"1-row combines must broadcast:\n$p")
   }
+
+  /** Independent HITS reference: sequential Maps, the same integer L1
+    * half-steps (nothing shared with the DataFrame loop). */
+  private def seqHits(
+      edges: Seq[(Long, Long)], iters: Int,
+      unit: Long = Graph.HitsUnit): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = raw.values.sum
+      nodes.map(v => v ->
+        (if (tot > 0) raw.getOrElse(v, 0L) * unit / tot else 0L)).toMap
+    }
+    var h = nodes.map(_ -> unit).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      a = norm(e.groupBy(_._2).view.mapValues(_.map(p => h(p._1)).sum).toMap)
+      h = norm(e.groupBy(_._1).view.mapValues(_.map(p => a(p._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (a.getOrElse(v, 0L), h.getOrElse(v, 0L))).toMap
+  }
+
+  private def runHits(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits: bipartite hub/authority structure matches the sequential " +
+      "half-steps and separates the roles") {
+    // 1 links to both authorities, 2 to one; 10 also links out once —
+    // mixed roles exercise both flows
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (10L, 11L))
+    for (k <- Seq(1, 2, 4)) {
+      val got = runHits(e, k)
+      assert(got == seqHits(e, k), s"iters=$k")
+    }
+    val fin = runHits(e, 4)
+    // 10 (two pure-hub in-links) and 11 both authoritative; 1 is the
+    // stronger hub (two links to strong authorities)
+    assert(fin(1L)._2 > fin(2L)._2, fin.toString)
+    assert(fin(10L)._1 > 0 && fin(11L)._1 > 0)
+    // pure hubs carry no authority
+    assert(fin(1L)._1 == 0 && fin(2L)._1 == 0)
+  }
+
+  test("hits: random graphs match the sequential reference bit for bit") {
+    val rnd = new scala.util.Random(414)
+    for (trial <- 0 until 3) {
+      val n = 12 + rnd.nextInt(10)
+      val e = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      assert(runHits(e, 3) == seqHits(e, 3), s"trial=$trial e=$e")
+    }
+  }
 }
