@@ -3745,6 +3745,67 @@ object SparkEntry {
           col("seq_id"), col("tok_offset"))
         .orderBy(col("doc_id"))),
 
+    // INTENT pin for best-fit-decreasing whole-document packing (Ding
+    // et al. 2024 — no truncation: over-long docs pre-split, everything
+    // else packs whole, unfilled capacity is padding): a pinned fixture
+    // with an over-long doc, duplicates, and an exact-fill length,
+    // checked against literal VALUES from the independent
+    // tools/binpack_reference.py (every placement, not just validity)
+    "pack_bestfit_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = Seq((1L, 7L), (2L, 23L), (3L, 4L), (4L, 4L),
+        (5L, 10L), (6L, 3L), (7L, 6L), (8L, 2L), (9L, 5L))
+        .toDF("doc_id", "n_toks")
+        .withColumn("g", lit("all"))
+      Sampling.packBestFit(fixture, "g", "doc_id", "n_toks", seqLen = 10)
+        .select(col("doc_id"), col("piece"), col("len"),
+          col("seq_id"), col("offset"))
+        .orderBy(col("doc_id"), col("piece"))
+    }),
+
+    // corpus-scale best-fit packing, gated on what SQL can state
+    // independently: conservation (every doc's every token placed —
+    // doc/piece/token counts restate from token arithmetic alone),
+    // per-sequence capacity and contiguity (no overlap, no gap), and
+    // Johnson's BFD guarantee (9·seqs ≤ 11·OPT + 6 with OPT ≥
+    // ⌈total/seqLen⌉) — a dropped doc, a split that shouldn't happen,
+    // an overfull or gappy bin, or a degenerate one-piece-per-bin
+    // packing each flips a column
+    "pack_bestfit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_toks"))
+      val asg = Sampling.packBestFit(docs, "source", "doc_id", "n_toks",
+        seqLen = 64)
+      val perSeq = asg
+        .groupBy(col("source"), col("seq_id"))
+        .agg(sum(col("len")).as("__fill"),
+          array_sort(collect_list(struct(col("offset"), col("len"))))
+            .as("__iv"))
+        .select(col("source"), col("__fill"),
+          (col("__fill") <= 64).as("__cap"),
+          (element_at(col("__iv"), 1).getField("offset") === 0 &&
+            aggregate(
+              zip_with(slice(col("__iv"), lit(1), size(col("__iv")) - 1),
+                slice(col("__iv"), lit(2), size(col("__iv")) - 1),
+                (a, b) => b.getField("offset") ===
+                  a.getField("offset") + a.getField("len")),
+              lit(true), (acc, x) => acc && x)).as("__contig"))
+      val stats = asg.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_pieces"),
+          sum(col("len")).cast("bigint").as("total_tokens"),
+          countDistinct(col("seq_id")).as("__nseqs"))
+      val valid = perSeq.groupBy(col("source"))
+        .agg(bool_and(col("__cap")).as("capacity_ok"),
+          bool_and(col("__contig")).as("contiguous_ok"))
+      stats.join(valid, "source")
+        .select(col("source"), col("n_docs"), col("n_pieces"),
+          col("total_tokens"), col("capacity_ok"), col("contiguous_ok"),
+          (col("__nseqs") * 9 <=
+            expr("11 * ((total_tokens + 63) div 64) + 6")).as("bound_ok"))
+        .orderBy(col("source"))
+    }),
+
     // sliding-window chunking (LM context segmentation): 32-token chunks
     // every 16 tokens, entirely map-side — starts from `sequence`, per-chunk
     // digest folded over an array slice, posexplode emits chunk rows; no
@@ -9021,6 +9082,41 @@ object SparkEntry {
            |       CAST(cb % 1024 AS BIGINT) AS tok_offset
            |FROM p ORDER BY doc_id""".stripMargin
       },
+
+      // literal VALUES from tools/binpack_reference.py — an independent
+      // hand-maintained best-fit-decreasing statement (split-then-pack,
+      // len-desc order, smallest-fitting-bin tie-lowest-id)
+      "pack_bestfit_pinned" ->
+        """SELECT * FROM (VALUES
+          |  (1, 0, 7, 3, 0),
+          |  (2, 0, 10, 0, 0),
+          |  (2, 1, 10, 1, 0),
+          |  (2, 2, 3, 3, 7),
+          |  (3, 0, 4, 4, 6),
+          |  (4, 0, 4, 5, 5),
+          |  (5, 0, 10, 2, 0),
+          |  (6, 0, 3, 6, 0),
+          |  (7, 0, 6, 4, 0),
+          |  (8, 0, 2, 6, 3),
+          |  (9, 0, 5, 5, 0)
+          |) t(doc_id, piece, len, seq_id, "offset")
+          |ORDER BY doc_id, piece""".stripMargin,
+
+      // conservation restated from token arithmetic alone; the validity
+      // and BFD-bound columns are the invariants' expected verdicts —
+      // any packing defect flips one on the Spark side
+      "pack_bestfit" ->
+        s"""WITH d AS (
+           |  SELECT source, CAST(len($toks) AS BIGINT) AS n
+           |  FROM documents)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum((n + 63) // 64) AS BIGINT) AS n_pieces,
+           |       CAST(sum(n) AS BIGINT) AS total_tokens,
+           |       true AS capacity_ok, true AS contiguous_ok,
+           |       true AS bound_ok
+           |FROM d WHERE n > 0
+           |GROUP BY source ORDER BY source""".stripMargin,
 
       "chunk_sliding" -> {
         val thash = TextOpsSql.tokenHashes("tk")

@@ -175,6 +175,87 @@ object Sampling {
   }
 
   /**
+   * Best-fit-decreasing WHOLE-DOCUMENT packing — the truncation-free
+   * alternative to [[packSequences]]'s concat-and-split layout (Ding et
+   * al. 2024, "Fewer Truncations Improve Language Modeling",
+   * arXiv:2404.10830 — their Best-fit Packing): a document is never
+   * split across training sequences mid-stream; instead documents
+   * longer than `seqLen` pre-split into ⌈n/seqLen⌉ PIECES (full-length
+   * pieces plus one remainder — the paper's split-then-pack
+   * arrangement, so nothing drops), and pieces bin-pack into
+   * fixed-capacity sequences by best-fit over the length-descending
+   * order: each piece lands in the open sequence with the SMALLEST
+   * remaining capacity that still fits it (ties → lowest sequence id),
+   * or opens a new sequence. Unfilled capacity is PADDING, not another
+   * document's truncated head — the attention mask never crosses a
+   * document boundary and no document loses its tail.
+   *
+   * Spark geometry, stated honestly: bin packing is inherently
+   * sequential, so the GROUP (shard) is the parallel unit — one
+   * `repartition(group)` + in-partition sort by (len desc, id, piece),
+   * then one `mapPartitions` pass holding only the group's OPEN-BIN
+   * tree (≤ bins-per-group entries — bounded by the group's token
+   * volume over `seqLen`; size groups to executors the way the paper
+   * packs within bounded corpus chunks). Deterministic: the order and
+   * the tie rule fix every placement. BFD's classic guarantee bounds
+   * the output: sequences used ≤ (11·OPT + 6)/9 (Johnson 1973), with
+   * OPT ≥ ⌈total/seqLen⌉ — the `pack_bestfit` gate checks that bound
+   * corpus-wide.
+   *
+   * Returns (groupCol string-cast, idCol long-cast, piece, len, seq_id,
+   * offset): piece = the document's split index (0 for unsplit docs),
+   * offset = the piece's first token position inside its sequence.
+   */
+  def packBestFit(
+      df: DataFrame, groupCol: String, idCol: String,
+      nTokensCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "packBestFit: seqLen must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieces = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        col(nTokensCol).cast("long").as("n"))
+      .where(col("n") > 0)
+      .select(col("g"), col("id"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div ${seqLen}L")))
+          .as("piece"), col("n"))
+      .select(col("g"), col("id"), col("piece").cast("int").as("piece"),
+        least(col("n") - col("piece") * seqLen, lit(seqLen.toLong))
+          .cast("int").as("len"))
+    pieces.as[(String, Long, Int, Int)]
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("len").desc, col("id"),
+        col("piece"))
+      .mapPartitions { it =>
+        var curG: String = null
+        // open bins as (remaining, binId) — minAfter((len, MinValue))
+        // IS the best-fit rule: smallest remaining ≥ len, tie lowest id
+        var bins: scala.collection.mutable.TreeSet[(Int, Long)] = null
+        var nextBin = 0L
+        it.map { case (g, id, piece, len) =>
+          if (g != curG) {
+            curG = g
+            bins = scala.collection.mutable.TreeSet.empty[(Int, Long)]
+            nextBin = 0L
+          }
+          bins.minAfter((len, Long.MinValue)) match {
+            case Some(hit @ (rem, bid)) =>
+              bins.remove(hit)
+              bins.add((rem - len, bid))
+              (g, id, piece, len, bid, seqLen - rem)
+            case None =>
+              val bid = nextBin
+              nextBin += 1
+              bins.add((seqLen - len, bid))
+              (g, id, piece, len, bid, 0)
+          }
+        }
+      }
+      .toDF(groupCol, idCol, "piece", "len", "seq_id", "offset")
+  }
+
+  /**
    * The Efraimidis–Spirakis exponential sort key for WEIGHTED sampling
    * without replacement (Efraimidis & Spirakis 2006, "Weighted random
    * sampling with a reservoir", IPL 97): keeping the k items with the

@@ -111,4 +111,80 @@ class SamplingSpec extends SparkSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(2L, 3L), s"zero-weight row must never be drawn: $got")
   }
+
+  /** Independent sequential best-fit-decreasing: linear-scan bin search
+    * (nothing shared with the TreeSet engine or the Python tool). */
+  private def seqBestFit(docs: Seq[(Long, Long)], seqLen: Int)
+      : Seq[(Long, Int, Int, Long, Int)] = {
+    val pieces = docs.filter(_._2 > 0).flatMap { case (id, n) =>
+      (0L until (n + seqLen - 1) / seqLen).map { i =>
+        (id, i.toInt, math.min(seqLen.toLong, n - i * seqLen).toInt)
+      }
+    }.sortBy { case (id, piece, len) => (-len, id, piece) }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var next = 0L
+    pieces.map { case (id, piece, len) =>
+      val fits = bins.zipWithIndex
+        .filter { case ((rem, _), _) => rem >= len }
+      if (fits.isEmpty) {
+        bins += ((seqLen - len, next)); next += 1
+        (id, piece, len, next - 1, 0)
+      } else {
+        val (best @ (rem, bid), j) = fits.minBy { case ((r, b), _) => (r, b) }
+        bins(j) = (rem - len, bid)
+        (id, piece, len, bid, seqLen - rem)
+      }
+    }
+  }
+
+  private def runBestFit(docs: Seq[(Long, Long)], seqLen: Int)
+      : Seq[(Long, Int, Int, Long, Int)] = {
+    import spark.implicits._
+    val df = docs.toDF("id", "n").withColumn("g", lit("all"))
+    Sampling.packBestFit(df, "g", "id", "n", seqLen)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getInt(5))).toSeq.sorted
+  }
+
+  test("packBestFit: random corpora match the sequential reference " +
+      "placement for placement; invariants hold") {
+    val rnd = new scala.util.Random(1414)
+    for (trial <- 0 until 4) {
+      val seqLen = 8 + rnd.nextInt(24)
+      val docs = (1L to (20L + rnd.nextInt(30))).map(i =>
+        i -> (1L + rnd.nextInt(3 * seqLen)))
+      val got = runBestFit(docs, seqLen)
+      assert(got == seqBestFit(docs, seqLen).sorted,
+        s"trial=$trial seqLen=$seqLen")
+      // conservation: every token of every doc placed exactly once
+      val bylen = got.groupBy(_._1).view.mapValues(_.map(_._3.toLong).sum)
+      assert(bylen.toMap == docs.toMap, "token conservation")
+      // capacity + disjoint intervals per bin
+      got.groupBy(_._4).foreach { case (_, ps) =>
+        assert(ps.map(_._3).sum <= seqLen, "capacity")
+        val iv = ps.map(p => (p._5, p._5 + p._3)).sorted
+        iv.sliding(2).foreach {
+          case Seq(a, b) => assert(b._1 >= a._2, s"overlap: $a $b")
+          case _ =>
+        }
+      }
+      // the BFD guarantee: 9·bins ≤ 11·OPT + 6
+      val total = docs.map(_._2).sum
+      val opt = (total + seqLen - 1) / seqLen
+      val nBins = got.map(_._4).distinct.size
+      assert(9L * nBins <= 11L * opt + 6L, s"bound: $nBins bins, opt=$opt")
+    }
+  }
+
+  test("packBestFit: groups pack independently; empty docs drop") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, "a"), (2L, 5L, "a"), (3L, 5L, "b"),
+      (4L, 0L, "b")).toDF("id", "n", "g")
+    val got = Sampling.packBestFit(df, "g", "id", "n", seqLen = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    // a's two docs share bin 0 of group a; b restarts bin ids at 0
+    assert(got == Set(("a", 1L, 0L), ("a", 2L, 0L), ("b", 3L, 0L)), got)
+  }
 }
