@@ -2135,6 +2135,60 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // the crawler's EMIT path: fetched responses write as gzip-member
+    // response shards WITH their CDX rows computed at write time (the
+    // archive is never re-read to index it). Three doors must agree:
+    // the sequential re-parse, the CDX rescan of the written files, and
+    // the ranged span fetch through the writer's own index — the oracle
+    // restates body text and lengths from construction and expects
+    // every agreement verdict true; a wrong offset, digest, length, or
+    // framing byte flips a column
+    "warc_write_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 60)
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\ncontent-type: text/plain\r\n\r\nbody "),
+        col("doc_id").cast("string"))
+      val pages = d.select(
+        concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".test/p"), col("doc_id").cast("string")).as("uri"),
+        lit("2026-08-01T00:00:00Z").as("wdate"),
+        http.cast("binary").as("payload"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_warc_write").toString
+      val idx = graft.sources.Warc.writeWarcShards(pages,
+        "uri", "wdate", "payload", out, numShards = 3)
+      val files = idx.select(col("warc_file")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted // bounded: numShards
+      // door 2: the CDX rescan of the written shards must equal the
+      // writer's index row for row, field for field
+      val rescan = graft.sources.Warc.cdxRows(s, files)
+        .where(col("rec_type") === "response")
+        .select(col("target_uri"), col("warc_date").as("r_date"),
+          col("warc_file").as("r_file"), col("rec_offset").as("r_off"),
+          col("content_length").as("r_len"), col("digest").as("r_digest"),
+          col("stored_offset").as("r_soff"),
+          col("stored_length").as("r_slen"))
+      // door 3: ranged reads through the writer's spans re-parse the
+      // full records
+      val spans = graft.sources.Warc.fetchSpans(s,
+        idx.select(col("warc_file"), col("stored_offset"),
+          col("stored_length"), col("target_uri")))
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"),
+          col("content_length").as("s_len"))
+      idx.join(rescan, "target_uri").join(spans, "target_uri")
+        .select(col("target_uri"), col("content_length"), col("body"),
+          (col("warc_date") === col("r_date") &&
+            col("warc_file") === col("r_file") &&
+            col("rec_offset") === col("r_off") &&
+            col("content_length") === col("r_len") &&
+            col("digest") === col("r_digest") &&
+            col("stored_offset") === col("r_soff") &&
+            col("stored_length") === col("r_slen")).as("index_match"),
+          (col("content_length") === col("s_len")).as("span_match"))
+        .orderBy(col("target_uri"))
+    }),
+
     // digest-based payload dedup across crawl releases (the WARC
     // revisit convention): the prior index holds shards 0-1's captures;
     // the "new crawl" re-captures all 40 URLs — URLs whose payload
@@ -7584,6 +7638,24 @@ object SparkEntry {
       // never sees WET shard bytes, so a write→read defect anywhere in
       // the roundtrip diverges the text or the framing fields
       "warc_wet_roundtrip" -> WetRoundtripOracleSql,
+
+      // the emitted archive restated from construction: URI and HTTP
+      // message from doc_id arithmetic, lengths from the string itself;
+      // the three-door agreement verdicts are the expected `true`s — a
+      // wrong write-time offset/digest/length shows up as false
+      "warc_write_roundtrip" ->
+        """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+          |p AS (SELECT
+          |  'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/p'
+          |    || CAST(doc_id AS VARCHAR) AS target_uri,
+          |  'HTTP/1.1 200 OK' || chr(13) || chr(10)
+          |    || 'content-type: text/plain' || chr(13) || chr(10)
+          |    || chr(13) || chr(10)
+          |    || 'body ' || CAST(doc_id AS VARCHAR) AS body
+          |  FROM d)
+          |SELECT target_uri, CAST(length(body) AS BIGINT) AS content_length,
+          |       body, true AS index_match, true AS span_match
+          |FROM p ORDER BY target_uri""".stripMargin,
 
       // the streaming door commits per-batch shards of the SAME records
       // — the drain must be batch-boundary invisible

@@ -897,6 +897,101 @@ object Warc {
   }
 
   /**
+   * Write fetched HTTP responses as a WARC archive — the crawler's EMIT
+   * path, closing the read/write symmetry (ISO 28500 `response` records,
+   * one gzip member per record — the Common Crawl shard convention the
+   * reader already parses) — and return the CDX rows computed AT WRITE
+   * TIME: the writer knows every member's byte span as it writes, so the
+   * archive is NEVER re-read to index it (at 100 TB, re-parsing what you
+   * just wrote is a second full pass; real crawlers emit WARC + CDX
+   * together for exactly this reason). The returned frame has the exact
+   * [[cdxRows]] schema — feed it straight to
+   * `Bucketing.writeBucketed(..., "surt", ...)` /
+   * `DedupIndex.appendBucketed` like any parsed index batch.
+   *
+   * Layout per shard: a `warcinfo` member, then one member per response.
+   * `rec_offset` is the decompressed-stream offset (what a sequential
+   * re-read reports), `stored_offset`/`stored_length` the compressed
+   * member span (what [[fetchSpans]] range-reads). Rows hash-partition
+   * by URI and sort within shards, so shard contents are deterministic.
+   * Commit discipline as [[writeWetShards]]: attempt-unique `.inprogress`
+   * staging + rename, retried attempts never share a handle.
+   */
+  def writeWarcShards(
+      df: DataFrame, uriCol: String, dateCol: String, payloadCol: String,
+      outDir: String, numShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numShards > 0, "writeWarcShards: numShards must be positive")
+    val conf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val rows = df
+      .select(col(uriCol).cast("string"), col(dateCol).cast("string"),
+        col(payloadCol).cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .repartition(numShards, col(uriCol))
+      .sortWithinPartitions(col(uriCol))
+      .mapPartitions { iter =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val name = f"crawl-${tc.partitionId()}%05d.warc.gz"
+          val dest = new org.apache.hadoop.fs.Path(outDir, name)
+          val tmp = new org.apache.hadoop.fs.Path(outDir,
+            s"$name.inprogress-${tc.taskAttemptId()}")
+          val fs = dest.getFileSystem(conf.value.value)
+          val out = fs.create(tmp, true)
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+          val recs = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, String, Long, Long, String, Long, Long)]
+          var storedPos = 0L   // compressed file position
+          var decompPos = 0L   // decompressed-stream position
+          try {
+            val info = renderRecord("warcinfo", None,
+              "2000-01-01T00:00:00Z", "application/warc-fields",
+              "software: graft warc-export".getBytes("UTF-8"))
+            val infoGz = gzipMember(info)
+            out.write(infoGz)
+            storedPos += infoGz.length
+            decompPos += info.length
+            iter.foreach { case (uri, date, payload0) =>
+              val payload =
+                if (payload0 == null) Array.emptyByteArray else payload0
+              val rec = renderRecord("response", Some(uri), date,
+                "application/http;msgtype=response", payload)
+              val gz = gzipMember(rec)
+              out.write(gz)
+              val digest = sha.digest(payload)
+                .map("%02x".format(_)).mkString
+              recs += ((uri, "response", date, decompPos,
+                payload.length.toLong, digest, storedPos, gz.length.toLong))
+              storedPos += gz.length
+              decompPos += rec.length
+              sha.reset()
+            }
+          } finally out.close()
+          if (fs.exists(dest)) fs.delete(dest, false)
+          fs.rename(tmp, dest)
+          // the fully-qualified form (scheme included) — what a re-parse
+          // of the shard reports as `warc_file`, so index rows from the
+          // write-time and rescan doors compare equal
+          val qualified = fs.makeQualified(dest).toString
+          recs.iterator.map(r => (r._1, r._2, r._3, r._4, r._5, r._6,
+            r._7, r._8, qualified))
+        }
+      }
+      .toDF("target_uri", "rec_type", "warc_date", "rec_offset",
+        "content_length", "digest", "stored_offset", "stored_length",
+        "warc_file")
+    rows
+      .select(surtKey(col("target_uri")).as("surt"),
+        col("target_uri"), col("rec_type"), col("warc_date"),
+        col("warc_file"), col("rec_offset"), col("content_length"),
+        col("digest"), col("stored_offset"), col("stored_length"))
+      .localCheckpoint(true) // eager: shards exist when this returns
+  }
+
+  /**
    * Digest-based revisit folding — the web-archive payload-dedup
    * convention (WARC `revisit` records / CDX `warc/revisit` rows): a new
    * capture whose payload digest already appears in the prior index

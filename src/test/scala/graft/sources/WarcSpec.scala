@@ -384,6 +384,47 @@ class WarcSpec extends SparkSuite {
     assert(readBack() == got)
   }
 
+  test("writeWarcShards: write-time CDX equals the rescan; spans fetch; " +
+      "empty payloads survive") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      ("https://w.test/a", "HTTP/1.1 200 OK\r\n\r\nalpha"),
+      ("https://w.test/b", "HTTP/1.1 200 OK\r\n\r\nbëta — café"),
+      ("https://w.test/c", ""), // an empty capture must not derail framing
+      ("https://w.test/d", "HTTP/1.1 404 Not Found\r\n\r\n"))
+    val df = rows.toDF("uri", "payload")
+      .select(col("uri"), lit("2026-02-02T00:00:00Z").as("wdate"),
+        col("payload").cast("binary").as("payload"))
+    val out = java.nio.file.Files.createTempDirectory("warc_w_spec").toString
+    val idx = Warc.writeWarcShards(df, "uri", "wdate", "payload", out,
+      numShards = 2)
+    val files = idx.select(col("warc_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(files.forall(_.endsWith(".warc.gz")))
+    // no staging files left behind
+    val left = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(left.forall(!_.contains(".inprogress")), left.toString)
+    // the write-time index IS the rescan index, field for field
+    val wrote = idx.orderBy("target_uri").collect()
+    val rescanned = Warc.cdxRows(spark, files)
+      .where(col("rec_type") === "response").orderBy("target_uri").collect()
+    assert(wrote.map(_.toSeq).toSeq == rescanned.map(_.toSeq).toSeq,
+      s"wrote=${wrote.mkString("\n")}\nrescan=${rescanned.mkString("\n")}")
+    // ranged span reads return the exact payloads, empty included
+    val viaSpans = Warc.fetchSpans(spark,
+      idx.select(col("warc_file"), col("stored_offset"),
+        col("stored_length"), col("target_uri")))
+      .select(col("target_uri"), col("payload").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaSpans == rows.toMap, viaSpans.toString)
+    // every shard leads with its warcinfo member
+    val infos = Warc.readRecords(spark, files)
+      .where(col("rec_type") === "warcinfo" && col("rec_offset") === 0)
+      .count()
+    assert(infos == files.size.toLong)
+  }
+
   test("watRows: two captures of one URI stay two independent rows") {
     val spark2 = spark
     import spark2.implicits._
