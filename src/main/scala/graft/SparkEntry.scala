@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, UrlOps, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Fim, FimSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -756,6 +756,21 @@ object SparkEntry {
        |    FROM corpus
        |)""".stripMargin
   }
+
+  /** Compression-ratio edge-case corpus: pure repetition, natural-language
+    * repetition, an incompressible alnum string, empty, multi-byte UTF-8,
+    * a single char, and JSON boilerplate. Its oracle pins the LITERAL
+    * compressed lengths produced by the INDEPENDENT CPython zlib
+    * (`tools/zlib_reference.py` — regenerate there, never from the JVM
+    * side under test); keep the two corpora byte-identical by hand. */
+  private val CompressionCorpus = Seq(
+    (1, "a" * 200),
+    (2, "the quick brown fox jumps over the lazy dog. " * 10),
+    (3, "k9G2mX7qLpZ4wN8vB1cR5tY0uJ6hD3fS"),
+    (4, ""),
+    (5, "héllo wörld — 你好世界 " * 8),
+    (6, "x"),
+    (7, "{\"id\": 1, \"tags\": [\"a\", \"b\"], \"ok\": true}\n" * 25))
 
   /** PII edge-case corpus. Its oracle is literal expected VALUES (intent),
     * not a rendering of the same regexes — keep the two in sync by hand. */
@@ -5099,6 +5114,51 @@ object SparkEntry {
         .orderBy(col("case_id"))
     }),
 
+    // compression-ratio quality signal (Dolma-lineage gate): zlib-deflated
+    // bytes / raw UTF-8 bytes via the native DeflateLenExpr, over a pinned
+    // edge-case corpus. The oracle pins LITERAL lengths from the
+    // independent CPython zlib (tools/zlib_reference.py) — the JVM
+    // Deflater under test must land on the canonical zlib's bytes. The
+    // corpus-scale arm (deflate throughput over documents at 10x) lives in
+    // ScaleRehearsal — its zlib lengths have no SQL restatement
+    "quality_compression" -> ((s, dir) => {
+      import s.implicits._
+      CompressionCorpus.toDF("case_id", "text").select(
+        col("case_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        QualityOps.deflateLen(col("text")).as("z_bytes"),
+        QualityOps.compressionRatio(col("text")).as("ratio"))
+        .orderBy(col("case_id"))
+    }),
+
+    // ranked-retrieval quality metrics (trec_eval's nDCG@10 / MRR / AP@10 /
+    // P@10 / R@10) of the BM25 ranking against term-frequency-graded
+    // relevance labels — one metrics row per query term; the oracle
+    // restates BM25 AND every metric definition independently
+    "retrieval_metrics" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val terms = Seq("spark", "hash", "merge")
+      val ranked = terms.map { q =>
+        Relevance.bm25TopK(d, "doc_id", "text", Seq(q), topK = 10)
+          .select(lit(q).as("query"), col("doc_id").cast("long").as("id"),
+            // rank over a 10-row arm (bounded by construction); the
+            // non-foldable constant key silences the spurious
+            // "No Partition Defined" warning, as in rrfHybrid
+            row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+              .orderBy(col("bm25").desc, col("doc_id"))).cast("long").as("rank"))
+      }.reduce(_ unionByName _)
+      val labels = d
+        .select(col("doc_id").cast("long").as("id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .where(col("tok").isin(terms: _*))
+        .groupBy(col("tok"), col("id"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("tok").as("query"), col("id"),
+          least(col("tf"), lit(3L)).as("grade"))
+      Relevance.retrievalMetrics(ranked, labels, "query", "id", k = 10)
+        .orderBy(col("query"))
+    }),
+
     // benchmark-contamination: train docs sharing word-3-grams with the
     // hash-selected eval split (eval shingle set is the broadcast side)
     "contamination_check" -> ((s, dir) =>
@@ -5514,6 +5574,22 @@ object SparkEntry {
           concat_ws(",", col("tokens")).as("tokens_csv"),
           concat_ws(",", col("boundaries")).as("boundaries_csv"))
         .orderBy(col("group"), col("seq_id"))
+    }),
+
+    // fill-in-the-middle training transform (Bavarian et al. 2022):
+    // 40% of documents (LCG-gated by id) rewritten into sentinel-marked
+    // (prefix, suffix, middle) order — both PSM and SPM layouts — the
+    // rest passing through as plain AR rows; cut points are LCG-uniform
+    // over 0..len and the oracle restates gate, cuts, and assembly from
+    // the same integer arithmetic
+    "train_fim" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Fim.transform(d, "doc_id", "text", ratePct = 40)
+        .select(lit("psm").as("mode"), col("*"))
+        .unionByName(
+          Fim.transform(d, "doc_id", "text", ratePct = 40, spm = true)
+            .select(lit("spm").as("mode"), col("*")))
+        .orderBy(col("mode"), col("id"))
     }),
 
     // BPE-ish token counting alongside whitespace tokens
@@ -10195,6 +10271,45 @@ object SparkEntry {
           |  (5, 0, 0, 0, '')
           |) t(case_id, n_email, n_ip, n_phone, redacted)
           |ORDER BY case_id""".stripMargin,
+
+      // LITERAL compressed lengths from the independent CPython zlib
+      // (tools/zlib_reference.py — regenerate there); the ratio is
+      // re-derived IN SQL from those literals, so rounding is the
+      // engine's, not Python's
+      "quality_compression" ->
+        """SELECT case_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+          |       CAST(z_bytes AS BIGINT) AS z_bytes,
+          |       round(CASE WHEN n_bytes > 0
+          |                  THEN z_bytes::DOUBLE / n_bytes END, 6) AS ratio
+          |FROM (VALUES
+          |  (1, 200, 12), (2, 450, 57), (3, 32, 40), (4, 0, 8),
+          |  (5, 248, 44), (6, 1, 9), (7, 1050, 55)
+          |) t(case_id, n_bytes, z_bytes) ORDER BY case_id""".stripMargin,
+
+      "retrieval_metrics" -> {
+        val ranked = Seq("spark", "hash", "merge").map { q =>
+          s"""SELECT '$q' AS query, doc_id AS id,
+             |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+             |FROM (${RelevanceSql.bm25TopK("documents", "doc_id", "text",
+                        Seq(q), topK = 10)})""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val toks = TextOpsSql.tokens("text")
+        val labels =
+          s"""SELECT tok AS query, doc_id AS id, least(count(*), 3) AS grade
+             |FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+             |WHERE tok IN ('spark', 'hash', 'merge')
+             |GROUP BY tok, doc_id""".stripMargin
+        RelevanceSql.retrievalMetrics(ranked, labels, k = 10) +
+          "\nORDER BY query"
+      },
+
+      "train_fim" ->
+        (s"SELECT 'psm' AS mode, * FROM (${FimSql.transform("documents",
+            "doc_id", "text", ratePct = 40)})\n" +
+          "UNION ALL\n" +
+          s"SELECT 'spm' AS mode, * FROM (${FimSql.transform("documents",
+            "doc_id", "text", ratePct = 40, spm = true)})\n" +
+          "ORDER BY mode, id"),
 
       "contamination_check" ->
         (ContaminationSql.check("doc_id", "text", evalRate = 0.05, seed = 11,

@@ -164,6 +164,26 @@ object QualityOps {
         regexp_replace(text, EmailRe, EmailTag),
         Ipv4Re, IpTag),
       PhoneRe, PhoneTag)
+
+  /** zlib-compressed byte length of the text's UTF-8 bytes (native
+    * codegen'd [[graft.plans.DeflateLenExpr]] — one reused Deflater per
+    * executor thread; only the length leaves the expression). */
+  def deflateLen(text: Column, level: Int = 6): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.DeflateLenExpr(
+      ColumnBridge.expression(text), level))
+  }
+
+  /** Compression-ratio quality signal (Dolma-lineage): deflated bytes /
+    * raw UTF-8 bytes, 6-decimal rounded. LOW = near-pure repetition
+    * (boilerplate loops, keyboard mash); NEAR/ABOVE 1 = incompressible
+    * noise. Empty text has no ratio → null (gates treat it as its own
+    * degenerate class, not as repetitive). The division is two exact
+    * integer-valued doubles, so the rounded value is engine-portable. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    when(octet_length(text) > 0,
+      round(deflateLen(text, level).cast("double") /
+        octet_length(text).cast("double"), 6))
 }
 
 /** DuckDB renderings of [[QualityOps]] — same regexes, same order. */

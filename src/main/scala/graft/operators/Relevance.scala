@@ -399,6 +399,111 @@ object Relevance {
     byDoc.select(col("id"), pairs.as("n_matches"))
       .where(col("n_matches") >= 1)
   }
+
+  /**
+   * Ranked-retrieval quality metrics — the trec_eval measures every
+   * retrieval stack is graded on (nDCG: Järvelin & Kekäläinen 2002,
+   * "Cumulated gain-based evaluation of IR techniques", TOIS 20(4);
+   * MRR: Voorhees 1999, TREC-8 QA track; AP/P@k/R@k: classic TREC):
+   * given per-query RANKINGS and graded relevance LABELS (qrels), emit
+   * one metrics row per query.
+   *
+   *  - `ranked`: (query, id, rank) — rank 1-based; rows with rank > k are
+   *    ignored. Bounded ≤ k per query by construction (every ranking in
+   *    this engine comes out of a bounded top-k probe).
+   *  - `labels`: (query, id, grade) — integer grade ≥ 1 means relevant;
+   *    unlabeled retrieved documents count grade 0 (the TREC convention).
+   *
+   * Definitions, pinned so the oracle can restate them exactly:
+   *  - DCG@k  = Σ_{r≤k} (2^grade(r) − 1) / log2(r + 1)
+   *  - IDCG@k = the same sum over the k highest label grades, descending
+   *  - nDCG@k = DCG/IDCG (null when the query has no positive label)
+   *  - MRR    = 1 / min{r : grade(r) > 0} (0.0 when nothing relevant
+   *    was retrieved)
+   *  - AP@k   = Σ_{r≤k, rel(r)} P(r) / R, P(r) = relevant-in-top-r / r,
+   *    R = TOTAL relevant in labels (trec_eval "map" with cutoff k)
+   *  - P@k = relevant-retrieved / k;  R@k = relevant-retrieved / R
+   *
+   * Scale shape: the retrieved side folds to ≤ |Q| rows in ONE aggregate
+   * over per-query arrays bounded by k (sort + higher-order folds, all
+   * map-side after the query groupBy); the label side folds to ≤ |Q| rows
+   * with the bounded top-k aggregate carrying the k best grades (a qrels
+   * table is small by construction — human judgments — but the plan never
+   * assumes it: no window, no unbounded collect). The two ≤|Q|-row sides
+   * meet in one broadcast join. Doubles round to 6 decimals, and every
+   * sum folds a sorted bounded array in a FIXED order, so the values are
+   * engine-portable.
+   */
+  def retrievalMetrics(
+      ranked: DataFrame,
+      labels: DataFrame,
+      queryCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "retrievalMetrics: k must be >= 1")
+    val lab = labels.select(col(queryCol).as("query"), col(idCol).as("id"),
+      col("grade").cast("long").as("grade"))
+    // retrieved side: per query, the rank-sorted (rank, grade) array
+    val rg = ranked
+      .select(col(queryCol).as("query"), col(idCol).as("id"),
+        col("rank").cast("long").as("rank"))
+      .where(col("rank") <= k)
+      .join(lab, Seq("query", "id"), "left_outer")
+      .select(col("query"), col("rank"), coalesce(col("grade"), lit(0L)).as("grade"))
+      .groupBy(col("query"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("grade")))).as("rg"))
+    val gain = (g: Column) => pow(lit(2.0), g.cast("double")) - lit(1.0)
+    val dcg = aggregate(col("rg"), lit(0.0), (acc, x) =>
+      acc + gain(x.getField("grade")) /
+        log2(x.getField("rank").cast("double") + lit(1.0)))
+    val relRanks = transform(
+      filter(col("rg"), x => x.getField("grade") > 0), _.getField("rank"))
+    val mrr = coalesce(lit(1.0) / array_min(relRanks).cast("double"), lit(0.0))
+    // AP numerator: fold in rank order carrying (relevant-so-far, sum)
+    val apNum = aggregate(col("rg"),
+      struct(lit(0L).as("seen"), lit(0.0).as("s")),
+      (acc, x) => {
+        val rel = x.getField("grade") > 0
+        val seen = acc.getField("seen") + when(rel, 1L).otherwise(0L)
+        struct(seen.as("seen"),
+          (acc.getField("s") + when(rel,
+            seen.cast("double") / x.getField("rank").cast("double"))
+            .otherwise(lit(0.0))).as("s"))
+      }).getField("s")
+    val nHit = size(relRanks).cast("long")
+    val retrieved = rg.select(col("query"), dcg.as("__dcg"), mrr.as("__mrr"),
+      apNum.as("__apnum"), nHit.as("n_hit"))
+    // label side: R and IDCG@k from the k best grades (bounded aggregate)
+    val topg = Similarity.topKUdaf(k)
+    val ideal = lab.where(col("grade") > 0)
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("n_rel"),
+        topg(col("grade").cast("double"), col("id").cast("long")).as("tg"))
+      .select(col("query"), col("n_rel"),
+        // items are (grade, id) in grade-desc order; position i (0-based)
+        // discounts by log2(i + 2) — fold carries (i, sum)
+        aggregate(col("tg.items"),
+          struct(lit(0L).as("i"), lit(0.0).as("s")),
+          (acc, x) => struct((acc.getField("i") + 1L).as("i"),
+            (acc.getField("s") + gain(x.getField("_1")) /
+              log2(acc.getField("i").cast("double") + lit(2.0))).as("s")))
+          .getField("s").as("__idcg"))
+    retrieved.join(broadcast(ideal), Seq("query"), "full_outer")
+      .select(col("query"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(when(col("__idcg") > 0, coalesce(col("__dcg"), lit(0.0)) / col("__idcg")), 6)
+          .as("ndcg"),
+        round(coalesce(col("__mrr"), lit(0.0)), 6).as("mrr"),
+        round(when(col("n_rel") > 0,
+          coalesce(col("__apnum"), lit(0.0)) / col("n_rel").cast("double")), 6)
+          .as("ap"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("precision_k"),
+        round(when(col("n_rel") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_rel").cast("double")), 6)
+          .as("recall_k"))
+  }
 }
 
 /** DuckDB rendering of [[Relevance.bm25TopK]] — same arithmetic, with the
@@ -481,6 +586,61 @@ object RelevanceSql {
        |SELECT id AS $docIdCol, rrf_score, r_text, r_vec
        |FROM f ORDER BY rrf_score DESC, id LIMIT $topN""".stripMargin
   }
+
+  /** Mirror of [[Relevance.retrievalMetrics]]: `rankedSql` / `labelsSql`
+    * are full SELECTs producing (query, id, rank) / (query, id, grade)
+    * rows; the metrics restate the pinned definitions with window
+    * functions (per-query partitions over k-bounded ranked lists). */
+  def retrievalMetrics(rankedSql: String, labelsSql: String, k: Int): String =
+    s"""WITH ranked AS ($rankedSql),
+       |labels AS ($labelsSql),
+       |j AS (SELECT r.query, r.rank, coalesce(l.grade, 0) AS grade
+       |      FROM ranked r LEFT JOIN labels l
+       |        ON r.query = l.query AND r.id = l.id
+       |      WHERE r.rank <= $k),
+       |ret AS (SELECT query,
+       |          sum((pow(CAST(2.0 AS DOUBLE), grade) - 1.0)
+       |              / log2(rank + CAST(1.0 AS DOUBLE))) AS dcg,
+       |          coalesce(CAST(1.0 AS DOUBLE)
+       |              / min(CASE WHEN grade > 0 THEN rank END), 0.0) AS mrr,
+       |          CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_hit
+       |        FROM j GROUP BY query),
+       |apx AS (SELECT query, rank, grade,
+       |          sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY query ORDER BY rank) AS cum
+       |        FROM j),
+       |ap AS (SELECT query,
+       |         sum(CASE WHEN grade > 0
+       |                  THEN cum::DOUBLE / rank ELSE 0.0 END) AS apnum
+       |       FROM apx GROUP BY query),
+       |nrel AS (SELECT query, count(*) AS n_rel
+       |         FROM labels WHERE grade > 0 GROUP BY query),
+       |idl AS (SELECT query,
+       |          sum((pow(CAST(2.0 AS DOUBLE), grade) - 1.0)
+       |              / log2(i + CAST(1.0 AS DOUBLE))) AS idcg
+       |        FROM (SELECT query, grade,
+       |                row_number() OVER (PARTITION BY query
+       |                                   ORDER BY grade DESC, id) AS i
+       |              FROM labels WHERE grade > 0)
+       |        WHERE i <= $k GROUP BY query),
+       |lbl AS (SELECT query, n_rel, idcg
+       |        FROM nrel JOIN idl USING (query))
+       |SELECT coalesce(r.query, l.query) AS query,
+       |       CAST(coalesce(l.n_rel, 0) AS BIGINT) AS n_rel,
+       |       CAST(coalesce(r.n_hit, 0) AS BIGINT) AS n_hit,
+       |       round(CASE WHEN l.idcg > 0
+       |                  THEN coalesce(r.dcg, 0.0) / l.idcg END, 6) AS ndcg,
+       |       round(coalesce(r.mrr, 0.0), 6) AS mrr,
+       |       round(CASE WHEN l.n_rel > 0
+       |                  THEN coalesce(a.apnum, 0.0) / l.n_rel END, 6) AS ap,
+       |       round(coalesce(r.n_hit, 0)::DOUBLE / $k, 6) AS precision_k,
+       |       round(CASE WHEN l.n_rel > 0
+       |                  THEN coalesce(r.n_hit, 0)::DOUBLE / l.n_rel END, 6)
+       |         AS recall_k
+       |FROM ret r
+       |FULL OUTER JOIN lbl l ON r.query = l.query
+       |LEFT JOIN ap a ON coalesce(r.query, l.query) = a.query""".stripMargin
 
   /** Mirror of [[Relevance.dsirScores]]. `rawFrom`/`targetFrom` are FROM
     * bodies producing ($idCol,) $textCol rows; the ((h % B) + B) % B

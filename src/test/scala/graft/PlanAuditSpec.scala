@@ -1199,4 +1199,44 @@ class PlanAuditSpec extends SparkSuite {
       s"the prior side must pre-aggregate map-side per key:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("FIM transform: one map-side projection — no shuffle, no join, no window") {
+    import graft.operators.Fim
+    val p = physical(Fim.transform(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 40))
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"),
+      s"FIM must be a free rider on the scan:\n$p")
+  }
+
+  test("retrieval metrics: label side bounded-aggregates and broadcasts; " +
+    "no window anywhere") {
+    import graft.operators.Relevance
+    val ranked = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lit("q").as("query"), col("doc_id").as("id"),
+        (col("doc_id") % 10 + 1).as("rank"))
+    val labels = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lit("q").as("query"), col("doc_id").as("id"),
+        (col("doc_id") % 4).as("grade"))
+    val p = physical(
+      Relevance.retrievalMetrics(ranked, labels, "query", "id", 10))
+    // a qrels table is small, but the plan must never assume it: the k
+    // best grades come from the bounded top-k aggregate, not a per-query
+    // sort or window, and the two ≤|Q|-row sides meet in a broadcast
+    assert(!p.contains("Window"), s"no window over the label group:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the two per-query aggregates must broadcast-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("compression ratio: stays inside whole-stage codegen on the scan") {
+    import graft.functions.QualityOps
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), QualityOps.compressionRatio(col("text")).as("r"))
+    val p = physical(df)
+    assert(!p.contains("Exchange"), s"map-side only:\n$p")
+    // the deflate expression must not knock the projection out of codegen
+    assert(p.linesIterator.next().contains("WholeStageCodegen") ||
+      p.contains("*(1)"), s"projection must stay codegen'd:\n$p")
+  }
 }
