@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, UrlOps, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Fim, FimSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Fim, FimSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Preference, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -428,6 +428,71 @@ object SparkEntry {
     base.unionByName(
       base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
+
+  /** Host-structured corpus for the host-template family: every doc of a
+    * source carries that source's nav line, even ids also carry the
+    * source's footer, and exactly one doc per source (`doc_id < 20`;
+    * source = src(id%20)) carries a corpus-wide famous-quote line —
+    * host-RARE but globally frequent, the discriminator between the
+    * host-scoped rule and the corpus-global `boilerplateStrip`. */
+  private def hostTemplateCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat_ws("\n",
+        concat(lit("nav menu for "), col("source")),
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("(c) "), col("source"), lit(" all rights reserved"))),
+        when(col("doc_id") < 20,
+          lit("famous quote line shared across the web"))).as("text"))
+
+  private val HostTemplateCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, source,
+      |         concat_ws(chr(10),
+      |           'nav menu for ' || source,
+      |           text,
+      |           CASE WHEN doc_id % 2 = 0
+      |                THEN '(c) ' || source || ' all rights reserved' END,
+      |           CASE WHEN doc_id < 20
+      |                THEN 'famous quote line shared across the web' END)
+      |           AS text
+      |    FROM documents
+      |),
+      |lines AS (
+      |  SELECT doc_id, source,
+      |         unnest(range(len(string_split(text, chr(10))))) AS pos,
+      |         unnest(string_split(text, chr(10))) AS line
+      |    FROM corpus
+      |)""".stripMargin
+
+  /** Mirrored-hosts corpus: documents ∪ a FULL copy of src0's pages under
+    * host `mirror0` (content Jaccard 1.0) ∪ a 60% copy of src1's pages
+    * under `mirror1` (15 of 25 pages by sequence index — Jaccard
+    * 15/(25+15−15) = 0.6). Src docs are `doc_id ≡ k (mod 20)`, so the
+    * sequence index is `doc_id // 20`. */
+  private def mirrorCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("text"))
+    val full = d.where(col("source") === "src0")
+      .select((col("doc_id") + 10000).as("doc_id"),
+        lit("mirror0").as("source"), col("text"))
+    val partial = d.where(col("source") === "src1" &&
+        floor(col("doc_id") / 20) % 5 < 3)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        lit("mirror1").as("source"), col("text"))
+    d.unionByName(full).unionByName(partial)
+  }
+
+  private val MirrorCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, 'mirror0' AS source, text
+      |    FROM documents WHERE source = 'src0'
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, 'mirror1' AS source, text
+      |    FROM documents WHERE source = 'src1' AND (doc_id // 20) % 5 < 3
+      |)""".stripMargin
 
   /** Markup fixture for the HTML extraction queries: the document text
     * entity-encoded into a page with a title, script/style blocks (tag-like
@@ -1432,6 +1497,62 @@ object SparkEntry {
           round(when(col("n_exact") === 0, lit(1.0))
             .otherwise(col("n_found").cast("double")
               / col("n_exact").cast("double")), 6).as("recall"))
+    }),
+
+    // two-stage near-dup: LSH proposes, EXACT normalized edit similarity
+    // verifies — the O(L^2) Levenshtein runs only on the shortlist, text
+    // ships only for ids that appear in some candidate pair. The oracle
+    // restates the full LSH pipeline AND DuckDB's own levenshtein (byte-
+    // based, == chars on this ASCII corpus; the per-CHARACTER contract is
+    // pinned in EditConfirmSpec)
+    "dedup_edit_confirm" -> ((s, dir) =>
+      Dedup.editConfirmPairs(nearDupCorpus(s, dir), "doc_id", "text",
+          minSim = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // host-scoped template lines (CCNet-family nav/chrome rule, scoped to
+    // the host): a line is template iff >= 3 DISTINCT docs of the SAME
+    // source carry it; the famous-quote line (20 docs globally, 1 per
+    // source) stays off the list — the discriminator vs dedup_boilerplate
+    "boilerplate_host_lines" -> ((s, dir) =>
+      Dedup.hostTemplateLines(hostTemplateCorpus(s, dir), "doc_id", "text",
+          "source", minDocs = 3)
+        .orderBy(col("source"), col("line"))),
+
+    "boilerplate_host_strip" -> ((s, dir) =>
+      Dedup.hostTemplateStrip(hostTemplateCorpus(s, dir), "doc_id", "text",
+          "source", minDocs = 3)
+        .orderBy(col("doc_id"))),
+
+    // mirror-host detection: host pairs by content-digest-set Jaccard —
+    // the full mirror scores 1.0, the 60% mirror exactly 0.6, unrelated
+    // hosts share nothing; the boilerplate guard (digests on > 256 hosts
+    // drop from pairing) is restated by the oracle
+    "dedup_host_mirrors" -> ((s, dir) =>
+      Dedup.hostMirrorPairs(mirrorCorpus(s, dir), "source", "text",
+          minJaccard = 0.5)
+        .orderBy(col("host_a"), col("host_b"))),
+
+    // preference-pair prep (DPO/reward-model): per source, chosen = the
+    // longest doc, rejected = the shortest, (score, id)-lexicographic
+    // selection so ties are deterministic; pairs keep only with >= 50
+    // chars of margin
+    "pref_pairs" -> ((s, dir) =>
+      Preference.pairs(t(s, dir, "documents"), "source", "doc_id",
+          "n_chars", "doc_id", minMargin = 50)
+        .orderBy(col("source"))),
+
+    // SFT chat-template assembly: ChatML-style rendering of (system,
+    // first-8-token prompt, full-text response) + whitespace token budget
+    // — a pure map-side projection, no shuffle beyond the sort
+    "sft_chat_format" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Preference.chatFormat(t(s, dir, "documents"), "doc_id",
+          lit("You are a helpful assistant."),
+          array_join(slice(toks, 1, 8), " "),
+          col("text"),
+          maxTokens = 60)
+        .orderBy(col("doc_id"))
     }),
 
     // incremental SEMANTIC dedup: an exact-copy slice (cosine 1.0 with
@@ -7439,6 +7560,109 @@ object SparkEntry {
            |         WHERE l.line NOT IN (SELECT line FROM hot))
            |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
            |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the LSH pipeline restated (band join proposes) + DuckDB's OWN
+      // levenshtein verifying — an independent two-stage formulation.
+      // DuckDB counts bytes, Spark counts chars; equal on this ASCII
+      // corpus (the char contract is pinned in EditConfirmSpec)
+      "dedup_edit_confirm" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val sig = TextOpsSql.minHashSignature("shingles")
+        val bucketCase = (0 until TextOps.Bands)
+          .map(b => s"WHEN ${b} THEN ${TextOpsSql.bandHash("sig", b)}")
+          .mkString("CASE band ", " ", " END")
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, list_distinct($shingles) AS shingles FROM th),
+           |sg AS (SELECT doc_id, $sig AS sig FROM sh),
+           |bands AS (SELECT doc_id, band, $bucketCase AS bucket
+           |          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+           |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |          FROM bands l JOIN bands r
+           |            ON l.band = r.band AND l.bucket = r.bucket
+           |           AND l.doc_id < r.doc_id)
+           |SELECT id_a, id_b, lev, edit_sim FROM (
+           |  SELECT p.id_a, p.id_b,
+           |         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+           |         round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+           |               / greatest(len(a.text), len(b.text)), 6) AS edit_sim
+           |  FROM pairs p
+           |  JOIN corpus a ON a.doc_id = p.id_a
+           |  JOIN corpus b ON b.doc_id = p.id_b) v
+           |WHERE edit_sim >= 0.8 ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "boilerplate_host_lines" ->
+        s"""WITH $HostTemplateCorpusSql
+           |SELECT source, line, count(DISTINCT doc_id) AS n_docs
+           |FROM lines GROUP BY source, line
+           |HAVING count(DISTINCT doc_id) >= 3
+           |ORDER BY source, line""".stripMargin,
+
+      "boilerplate_host_strip" ->
+        s"""WITH $HostTemplateCorpusSql,
+           |hot AS (SELECT source, line FROM lines GROUP BY source, line
+           |        HAVING count(DISTINCT doc_id) >= 3),
+           |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+           |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+           |                           WHERE h.source = l.source
+           |                             AND h.line = l.line))
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "dedup_host_mirrors" ->
+        s"""WITH $MirrorCorpusSql,
+           |hd AS (SELECT DISTINCT source AS host, sha256(text) AS kh
+           |       FROM corpus),
+           |ok AS (SELECT kh FROM hd GROUP BY kh
+           |       HAVING count(DISTINCT host) <= 256),
+           |sizes AS (SELECT host, count(*) AS n FROM hd GROUP BY host),
+           |shared AS (SELECT l.host AS host_a, r.host AS host_b,
+           |                  count(*) AS n_shared
+           |           FROM hd l JOIN hd r
+           |             ON l.kh = r.kh AND l.host < r.host
+           |           WHERE l.kh IN (SELECT kh FROM ok)
+           |           GROUP BY 1, 2)
+           |SELECT host_a, host_b, n_shared, jaccard FROM (
+           |  SELECT host_a, host_b, n_shared,
+           |         round(CAST(n_shared AS DOUBLE)
+           |               / (sa.n + sb.n - n_shared), 6) AS jaccard
+           |  FROM shared
+           |  JOIN sizes sa ON sa.host = host_a
+           |  JOIN sizes sb ON sb.host = host_b) v
+           |WHERE jaccard >= 0.5 ORDER BY host_a, host_b""".stripMargin,
+
+      // selection key restated as ONE integer composite (n_chars, doc_id)
+      // lexicographic — valid while doc_id < 100000, which TESTDATA.md's
+      // scales guarantee; margin is on the raw score
+      "pref_pairs" ->
+        """SELECT source,
+          |       arg_max(doc_id, n_chars * 100000 + doc_id) AS chosen_id,
+          |       arg_min(doc_id, n_chars * 100000 + doc_id) AS rejected_id,
+          |       round(CAST(max(n_chars) - min(n_chars) AS DOUBLE), 6)
+          |         AS margin
+          |FROM documents GROUP BY source
+          |HAVING max(n_chars) - min(n_chars) >= 50
+          |ORDER BY source""".stripMargin,
+
+      "sft_chat_format" -> {
+        val sampleToks = TextOpsSql.tokens("sample")
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |         '<|system|>' || chr(10) ||
+           |         'You are a helpful assistant.' || chr(10) ||
+           |         '<|user|>' || chr(10) ||
+           |         array_to_string(($toks)[1:8], ' ') || chr(10) ||
+           |         '<|assistant|>' || chr(10) || text || '<|end|>'
+           |           AS sample
+           |    FROM documents)
+           |SELECT doc_id, sample, n_tokens FROM (
+           |  SELECT doc_id, sample,
+           |         CAST(len($sampleToks) AS BIGINT) AS n_tokens FROM s) v
+           |WHERE n_tokens <= 60 ORDER BY doc_id""".stripMargin
+      },
 
       "c4_line_filter" ->
         s"""WITH $C4CorpusSql,

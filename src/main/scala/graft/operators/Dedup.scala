@@ -1108,4 +1108,177 @@ object Dedup {
       .select(col("__id"), col("__pos"), col("__line"))
     reassemble(kept, idCol, textCol, sep)
   }
+
+  /**
+   * Two-stage near-duplicate confirmation: MinHash-LSH proposes candidate
+   * pairs, EXACT normalized edit similarity verifies them — the standard
+   * candidate→verify architecture (the LSH stage bounds the quadratic
+   * edit-distance work to the shortlist; edit distance is the verifier
+   * shingle-Jaccard cannot be, since it sees transpositions and
+   * in-shingle character noise that shingling blurs).
+   *
+   * `edit_sim = 1 − lev(a, b) / max(len(a), len(b))` — 1.0 for identical
+   * texts, 0.0 when every character differs. Pairs keep iff
+   * `edit_sim ≥ minSim`.
+   *
+   * Scale shape for a 100 TB corpus:
+   *  - the O(L²)-per-pair Levenshtein runs ONLY on LSH-shortlisted pairs —
+   *    never corpus × corpus;
+   *  - the candidate relation carries only (id_a, id_b) until the verify
+   *    join; text ships solely for ids that appear in some pair (one
+   *    explode + distinct yields the shortlist ids, a semi-join prunes the
+   *    corpus to them BEFORE any wide join);
+   *  - `levenshtein` is a codegen'd binary expression — the verify stage
+   *    stays inside whole-stage codegen.
+   *
+   * NOTE: Spark's `levenshtein` counts CHARACTERS. Engines that count
+   * bytes (e.g. DuckDB) agree only on ASCII text; the per-char contract
+   * is pinned by the ScalaTest spec, the oracle runs on ASCII data.
+   */
+  def editConfirmPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSim: Double = 0.8,
+      minJaccard: Double = 0.0,
+      blockCol: Option[String] = None,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val cand = minHashLshPairs(df, idCol, textCol, minJaccard, blockCol,
+        maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .distinct()
+    val texts = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .join(ids, Seq("__id"), "left_semi")
+    val verified = cand
+      .join(texts.select(col("__id").as("id_a"), col("__t").as("__ta")),
+        Seq("id_a"))
+      .join(texts.select(col("__id").as("id_b"), col("__t").as("__tb")),
+        Seq("id_b"))
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 6))
+      .where(col("edit_sim") >= minSim)
+    verified.select(col("id_a"), col("id_b"), col("lev"), col("edit_sim"))
+  }
+
+  /**
+   * Host-scoped template-line detection — the navigation/chrome filter of
+   * CCNet-style crawl curation (Wenzek et al. 2020, arXiv:1911.00359 §3.1
+   * dedups lines against their shard; real crawl pipelines scope the rule
+   * to the HOST because nav chrome repeats within a site): a line counting
+   * as template iff it occurs in at least `minDocs` DISTINCT documents of
+   * the SAME host. A line popular across many hosts but appearing once
+   * per host (a famous quote) is NOT template — the discriminator vs the
+   * corpus-global [[boilerplateStrip]].
+   *
+   * Returns one row per (host, template line): (`hostCol`, `line`,
+   * `n_docs`). Scale shape: lines shuffle by (host, 256-bit digest) — 32
+   * bytes + keys per row, map-side combinable `count(distinct doc)`; the
+   * digest→text resolution joins back only the TEMPLATE digests (the hot
+   * set is tiny — per-host nav vocabularies, broadcastable).
+   */
+  def hostTemplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      hostCol: String,
+      minDocs: Int,
+      sep: String = "\n"): DataFrame = {
+    val lines = hostParagraphs(df, idCol, textCol, hostCol, sep)
+    val hot = lines.groupBy(col("__host"), col("__kh"))
+      .agg(countDistinct(col("__id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    // resolve digest → line text from ONE representative occurrence (the
+    // min (id, pos) one) so the output is deterministic and the join-back
+    // right side is only the hot digests
+    val rep = lines.join(broadcast(hot.select(col("__host"), col("__kh"))),
+        Seq("__host", "__kh"), "left_semi")
+      .groupBy(col("__host"), col("__kh"))
+      .agg(min(struct(col("__id"), col("__pos"), col("__line"))).as("__f"))
+      .select(col("__host"), col("__kh"), col("__f.__line").as("line"))
+    hot.join(rep, Seq("__host", "__kh"))
+      .select(col("__host").as(hostCol), col("line"), col("n_docs"))
+  }
+
+  /** Remove every host-template line (per [[hostTemplateLines]]'s rule)
+    * from every document of that host and reassemble; documents reduced to
+    * nothing drop. The anti-join runs on (host, digest) — the hot side is
+    * the per-host template vocabulary, broadcastable. */
+  def hostTemplateStrip(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      hostCol: String,
+      minDocs: Int,
+      sep: String = "\n"): DataFrame = {
+    val lines = hostParagraphs(df, idCol, textCol, hostCol, sep)
+    val hot = lines.groupBy(col("__host"), col("__kh"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__host"), col("__kh"))
+    val kept = lines.join(broadcast(hot), Seq("__host", "__kh"), "left_anti")
+      .select(col("__id"), col("__pos"), col("__line"))
+    reassemble(kept, idCol, textCol, sep)
+  }
+
+  /**
+   * Mirror-host detection: host pairs whose CONTENT-DIGEST sets overlap
+   * with Jaccard ≥ `minJaccard` — the site-mirror filter of crawl curation
+   * (a corpus that keeps both `ftp.gnu.org` and its 40 mirrors pays 41×
+   * for the same text; UbiCrawler / IRLbot-family pipelines drop mirrors
+   * at the HOST level before document-level dedup ever runs).
+   *
+   * Scale shape:
+   *  - per-host set sizes are one map-side-combinable
+   *    `count(distinct digest)` aggregate;
+   *  - candidate pairs come from co-occurrence on a SHARED digest — the
+   *    digest→hosts relation, self-joined per digest. A digest carried by
+   *    thousands of hosts (a boilerplate page: "403 Forbidden") would
+   *    expand quadratically, so digests on more than `maxHostsPerDigest`
+   *    DISTINCT hosts are dropped from pairing first (they are evidence of
+   *    boilerplate, not mirroring; the cap is the same hard bound as
+   *    [[minHashLshPairs]]'s `maxBucket`);
+   *  - shared counts aggregate on (host_a, host_b) — map-side combinable —
+   *    and the per-host sizes broadcast back (host cardinality ≪ corpus).
+   *
+   * Returns (`host_a`, `host_b`, `n_shared`, `jaccard`), host_a < host_b.
+   */
+  def hostMirrorPairs(
+      df: DataFrame,
+      hostCol: String,
+      textCol: String,
+      minJaccard: Double,
+      maxHostsPerDigest: Int = 256): DataFrame = {
+    val hd = df.select(col(hostCol).as("__host"),
+        sha2(col(textCol).cast("binary"), 256).as("__kh"))
+      .distinct()
+    val sizes = hd.groupBy(col("__host"))
+      .agg(count(lit(1)).as("__n"))
+    val pairable = hd.withColumn("__nh",
+        count(lit(1)).over(Window.partitionBy(col("__kh"))))
+      .where(col("__nh") <= maxHostsPerDigest)
+    val shared = pairable.as("l").join(pairable.as("r"),
+        col("l.__kh") === col("r.__kh") && col("l.__host") < col("r.__host"))
+      .groupBy(col("l.__host").as("host_a"), col("r.__host").as("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("__host").as("host_a"),
+        col("__n").as("__na"))), Seq("host_a"))
+      .join(broadcast(sizes.select(col("__host").as("host_b"),
+        col("__n").as("__nb"))), Seq("host_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")).cast("double"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("host_a"), col("host_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** [[paragraphs]] with the host key carried alongside each line. */
+  private def hostParagraphs(df: DataFrame, idCol: String, textCol: String,
+      hostCol: String, sep: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(hostCol).as("__host"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__kh", sha2(col("__line").cast("binary"), 256))
 }

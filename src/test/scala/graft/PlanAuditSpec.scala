@@ -1239,4 +1239,75 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.linesIterator.next().contains("WholeStageCodegen") ||
       p.contains("*(1)"), s"projection must stay codegen'd:\n$p")
   }
+
+  test("edit-confirm: text ships only via the shortlist semi-join, " +
+    "Levenshtein stays codegen'd") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(Dedup.editConfirmPairs(docs, "doc_id", "text", 0.8))
+    // the corpus must be pruned to ids appearing in some candidate pair
+    // BEFORE the wide text join — O(L^2) verification only on the shortlist
+    assert(p.contains("LeftSemi"),
+      s"corpus must semi-join the shortlist ids before text joins:\n$p")
+    assert(p.contains("levenshtein"),
+      s"the verifier must be the native levenshtein expression:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("host-template strip: hot set broadcasts into the anti-join, " +
+    "no window over the line partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val p = physical(
+      Dedup.hostTemplateStrip(docs, "doc_id", "text", "source", 3))
+    // a nav line on millions of pages of one host must not funnel a
+    // window task; the template vocabulary is tiny and broadcasts
+    assert(!p.contains("Window"),
+      s"template detection must not window over (host, digest):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the hot set must broadcast into the anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("host mirrors: per-host sizes broadcast back; digest self-join is " +
+    "keyed on the digest at scale") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // kill the size-based broadcast so the plan is the 100 TB one: at
+    // scale the digest relation exceeds any broadcast threshold and the
+    // self-join must be an EQUI-join on the digest (exchange reuse of the
+    // hotness guard's digest partitioning lands at runtime via AQE); the
+    // hinted size broadcasts survive the -1 threshold — hints override it
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = physical(Dedup.hostMirrorPairs(docs, "source", "text", 0.5))
+      assert(p.contains("BroadcastHashJoin"),
+        s"host-cardinality sizes must broadcast onto the pair stream:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"digest self-join must be keyed, never broadcast at scale:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("preference pairs: one combinable aggregate, never a window") {
+    import graft.operators.Preference
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(
+      Preference.pairs(docs, "source", "doc_id", "n_chars", "doc_id", 50))
+    // a prompt group with millions of sampled responses must ship one
+    // candidate per mapper (max_by/min_by partials), not funnel a window
+    assert(!p.contains("Window"), s"no window over the prompt group:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"selection must be an aggregate:\n$p")
+    assert(!p.contains("Join"), s"no join at all:\n$p")
+  }
+
+  test("chat format: pure map-side projection, no shuffle") {
+    import graft.operators.Preference
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(Preference.chatFormat(docs, "doc_id",
+      lit("sys"), lit("ask"), col("text"), 60))
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"),
+      s"chat assembly must be a free rider on the scan:\n$p")
+  }
 }
