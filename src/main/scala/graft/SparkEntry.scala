@@ -4322,6 +4322,19 @@ object SparkEntry {
           .as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // winnowing fingerprint SELECTION (Schleimer et al. 2003, the MOSS
+    // algorithm): per window of w=4 consecutive shingle hashes the minimum
+    // is selected, ties to the RIGHTMOST — density 2/(w+1) with the
+    // guarantee that any shared ≥ w+k−1-token run shares a fingerprint;
+    // pure per-row HOF arithmetic, dual-rendered in the oracle
+    "text_winnow" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), explode(TextOps.winnow(TextOps.shingleHashes(
+          TextOps.tokenHashes(TextOps.tokens(col("text")))), 4)).as("s"))
+        .select(col("doc_id"), col("s.pos").cast("long").as("pos"),
+          col("s.fp").as("fp"))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))),
+
     // INTENT pin for the whole text-hash family (polyHash / wide prints /
     // shingles / MinHash bands / SimHash) over a pinned corpus, checked
     // against VALUES computed by an INDEPENDENT reimplementation
@@ -5235,6 +5248,27 @@ object SparkEntry {
         .orderBy(col("case_id"))
     }),
 
+    // payment-card PII with Luhn validation (ISO/IEC 7812-1 Annex B): the
+    // separator-tolerant candidate regex proposes, the checksum disposes —
+    // a random digit run passes 1-in-10, so the validator is what keeps
+    // card redaction from eating order numbers; valid AND invalid
+    // candidates report with their verdict
+    "pii_luhn" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" card 4532 0151 1283 0366 ok")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" pay 4111-1111-1111-1112 now")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" amex 371449635398431.")).otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          explode(QualityOps.creditCardCandidates(col("text")))
+            .as("candidate"))
+        .withColumn("valid", QualityOps.luhnValid(col("candidate")))
+        .orderBy(col("doc_id"), col("candidate"))
+    }),
+
     // compression-ratio quality signal (Dolma-lineage gate): zlib-deflated
     // bytes / raw UTF-8 bytes via the native DeflateLenExpr, over a pinned
     // edge-case corpus. The oracle pins LITERAL lengths from the
@@ -5304,6 +5338,25 @@ object SparkEntry {
           minJaccard = 0.5)
         .select(col("doc_id"), col("eval_id"),
           round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
+    // winnowing-fingerprint contamination (the MOSS match): both sides
+    // reduce to their winnow-SELECTED fingerprints (~3× fewer than the
+    // shingle stream at w=4), join on the hash, pairs with >= 2 shared
+    // fingerprints report — a SUBSTRING detector (a verbatim pasted run of
+    // >= w+k−1 tokens always shares a fingerprint), where whole-document
+    // Jaccard can dilute a pasted paragraph below any threshold
+    "contamination_winnow" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val h = Sampling.hash16(col("doc_id"), 7)
+      val r = math.round(0.05 * Sampling.Buckets)
+      val toks = TextOps.tokens(col("text"))
+      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      Contamination.winnowMatches(train, d.where(h < lit(r)), "doc_id",
+          "text", w = 4, minShared = 2)
         .orderBy(col("doc_id"), col("eval_id"))
     }),
 
@@ -10556,6 +10609,64 @@ object SparkEntry {
             s"${operators.SamplingSql.hash16("doc_id", 7)} < $r) esrc",
           minJaccard = 0.5) + "\nORDER BY doc_id, eval_id")
       },
+
+      "text_winnow" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents
+           |             WHERE doc_id < 100),
+           |th AS (SELECT doc_id, $thash AS thash FROM tok),
+           |sh AS (SELECT doc_id, $shingles AS sh FROM th),
+           |w AS (SELECT doc_id, unnest(${TextOpsSql.winnow("sh", 4)}) AS k
+           |      FROM sh)
+           |SELECT doc_id, CAST(${TextOpsSql.winnowPos("k")} AS BIGINT) AS pos,
+           |       CAST(${TextOpsSql.winnowFp("k")} AS BIGINT) AS fp
+           |FROM w ORDER BY doc_id, pos, fp""".stripMargin
+      },
+
+      "contamination_winnow" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val r = math.round(0.05 * operators.Sampling.Buckets)
+        def fps(src: String, id: String) =
+          s"""(SELECT DISTINCT $id, ${TextOpsSql.winnowFp("k")} AS fp FROM (
+             |   SELECT $id, unnest(${TextOpsSql.winnow("sh", 4)}) AS k
+             |   FROM (SELECT $id, $shingles AS sh
+             |         FROM (SELECT $id, $thash AS thash
+             |               FROM (SELECT $id, $toks AS toks FROM $src)))))""".stripMargin
+        s"""WITH mut AS (
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |ev AS (SELECT doc_id AS eval_id, text FROM documents
+           |       WHERE ${operators.SamplingSql.hash16("doc_id", 7)} < $r),
+           |tf AS ${fps("mut", "doc_id")},
+           |ef AS ${fps("ev", "eval_id")}
+           |SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM tf JOIN ef ON tf.fp = ef.fp
+           |GROUP BY doc_id, eval_id HAVING count(*) >= 2
+           |ORDER BY doc_id, eval_id""".stripMargin
+      },
+
+      "pii_luhn" ->
+        s"""WITH injected AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0
+           |         THEN ' card 4532 0151 1283 0366 ok' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |         THEN ' pay 4111-1111-1111-1112 now' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0
+           |         THEN ' amex 371449635398431.' ELSE '' END AS text
+           |  FROM documents),
+           |cand AS (SELECT doc_id,
+           |    unnest(${functions.QualityOpsSql.creditCardCandidates("text")})
+           |      AS candidate
+           |  FROM injected)
+           |SELECT doc_id, candidate,
+           |       ${functions.QualityOpsSql.luhnValid("candidate")} AS valid
+           |FROM cand ORDER BY doc_id, candidate""".stripMargin,
 
       "ann_range_search" ->
         s"""SELECT query_id, neighbor_id, round(cos, 6) AS cosine

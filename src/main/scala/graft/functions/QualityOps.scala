@@ -184,6 +184,33 @@ object QualityOps {
     when(octet_length(text) > 0,
       round(deflateLen(text, level).cast("double") /
         octet_length(text).cast("double"), 6))
+
+  /** Payment-card candidate runs: 13–19 digits with optional interior
+    * space/dash separators (the formats cards are actually typed in),
+    * normalized to bare digit strings. RE2-safe — no lookarounds — so the
+    * oracle runs the IDENTICAL pattern. */
+  val CardRe = "[0-9](?:[0-9 -]{11,21})[0-9]"
+
+  def creditCardCandidates(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit(CardRe), lit(0)),
+        m => regexp_replace(m, "[ -]", "")),
+      c => length(c) >= 13 && length(c) <= 19)
+
+  /** Luhn checksum (ISO/IEC 7812-1 Annex B) over a bare digit string —
+    * the standard false-positive filter for payment-card PII (a random
+    * 16-digit run passes 1-in-10; a Luhn-validated one is worth
+    * redacting). Right-to-left fold, every second digit doubled with
+    * digit-sum correction; exact integer arithmetic, engine-portable. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val sum = aggregate(sequence(lit(1), length(rev)), lit(0L), (acc, i) => {
+      val d = (ascii(rev.substr(i, lit(1))) - lit(48)).cast("long")
+      acc + when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    length(digits) > 0 && sum % 10 === 0
+  }
 }
 
 /** DuckDB renderings of [[QualityOps]] — same regexes, same order. */
@@ -241,4 +268,18 @@ object QualityOpsSql {
       s"${q(EmailRe)}, '$EmailTag', 'g'), " +
       s"${q(Ipv4Re)}, '$IpTag', 'g'), " +
       s"${q(PhoneRe)}, '$PhoneTag', 'g')"
+
+  def creditCardCandidates(text: String): String =
+    s"list_filter(list_transform(regexp_extract_all($text, ${q(CardRe)}), " +
+      s"m -> regexp_replace(m, '[ -]', '', 'g')), " +
+      s"c -> length(c) >= 13 and length(c) <= 19)"
+
+  /** Mirror of [[QualityOps.luhnValid]] — same right-to-left fold. */
+  def luhnValid(d: String): String = {
+    val dig = s"(ascii(substr(reverse($d), i, 1)) - 48)"
+    s"(length($d) > 0 and list_sum(list_transform(range(1, length($d)+1), " +
+      s"i -> case when i % 2 = 0 then " +
+      s"case when $dig * 2 > 9 then $dig * 2 - 9 else $dig * 2 end " +
+      s"else $dig end)) % 10 = 0)"
+  }
 }

@@ -321,6 +321,36 @@ object TextOps {
     * collisions at 2⁻⁶² instead of [[fingerprint]]'s 20-bit slack. */
   def wideFingerprint(text: Column): Column =
     polyHashWide(text, 31L) * lit(HashMod) + polyHashWide(text, 131L)
+
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+   * the MOSS algorithm): over the k-gram hash stream, slide a window of
+   * `w` consecutive hashes and select each window's minimum, ties to the
+   * RIGHTMOST occurrence (the paper's robust winnowing — re-selecting the
+   * same (pos, hash) across overlapping windows dedupes to one
+   * fingerprint). Guarantees: any shared substring of length ≥ w+k−1
+   * tokens shares at least one selected fingerprint (the detection floor),
+   * and expected density is 2/(w+1) — the selected set is ~3× smaller than
+   * the full shingle stream at w = 4, which is what makes fingerprint
+   * joins cheap at corpus scale.
+   *
+   * Input: the [[shingleHashes]] stream. Output: `array<struct<pos:int,
+   * fp:bigint>>`, position-sorted. Fewer than `w` shingles → empty (no
+   * full window exists). Pure per-row HOF arithmetic — O(n·w) with w
+   * single-digit, inside codegen, no shuffle.
+   */
+  def winnow(shingles: Column, w: Int = 4): Column = {
+    require(w >= 1 && w <= 64, "winnow window 1..64 supported")
+    val sel = transform(sequence(lit(0), size(shingles) - lit(w)), j =>
+      aggregate(sequence(j, j + lit(w - 1)),
+        struct(lit(-1).cast("int").as("pos"),
+          lit(Long.MaxValue).as("fp")),
+        (acc, i) => when(get(shingles, i) <= acc.getField("fp"),
+            struct(i.cast("int").as("pos"), get(shingles, i).as("fp")))
+          .otherwise(acc)))
+    when(size(shingles) >= w, array_sort(array_distinct(sel)))
+      .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
+  }
 }
 
 /**
@@ -423,4 +453,25 @@ object TextOpsSql {
     s"(case when len($toks) = 0 then 0.0 else " +
       s"list_reduce(list_transform($toks, t -> length(t)::BIGINT), (a,b) -> a+b)::DOUBLE " +
       s"/ len($toks)::DOUBLE end)"
+
+  /** Mirror of [[TextOps.winnow]], rendered over PACKED keys because
+    * DuckDB's list_distinct cannot histogram struct lists: each (pos, fp)
+    * packs as `fp·2^21 + (2^21−1−pos)` — fp-major with the position
+    * REVERSED, so the window's `list_min` is the minimum fp with ties to
+    * the RIGHTMOST position, exactly the Spark fold's rule. Decode with
+    * [[winnowFp]]/[[winnowPos]]. Valid while the shingle stream is under
+    * 2^21 elements — any oracle-scale document. fp < HashMod < 2^31 keeps
+    * the product under 2^52, exact in BIGINT. */
+  def winnow(shingles: String, w: Int = 4): String =
+    s"(case when len($shingles) >= $w then " +
+      s"list_sort(list_distinct(list_transform(range(len($shingles)-$w+1), j -> " +
+      s"list_min(list_transform(range($w), d -> " +
+      s"$shingles[j+d+1] * $WinnowPosSpan + ($WinnowPosSpan - 1 - (j+d))))))) " +
+      s"else []::BIGINT[] end)"
+
+  val WinnowPosSpan = 2097152L // 2^21
+
+  def winnowFp(key: String): String = s"($key // $WinnowPosSpan)"
+  def winnowPos(key: String): String =
+    s"(${WinnowPosSpan - 1} - ($key % $WinnowPosSpan))"
 }

@@ -151,6 +151,43 @@ object Contamination {
       .where(col("jaccard") >= minJaccard)
     CacheScope.unpersistAfterAction(verified, Seq(tSig, eSig))
   }
+
+  /**
+   * Winnowing-fingerprint contamination (the MOSS match, Schleimer et al.
+   * 2003): train and eval documents each reduce to their winnow-SELECTED
+   * fingerprint sets (density 2/(w+1) of the full shingle stream), the two
+   * fingerprint relations equi-join on the hash, and pairs sharing at
+   * least `minShared` fingerprints report. The winnowing guarantee makes
+   * this a substring detector: any shared run of ≥ w+k−1 tokens shares a
+   * selected fingerprint — Jaccard-style whole-document similarity can
+   * miss a verbatim paragraph pasted into an otherwise-unrelated document;
+   * this cannot.
+   *
+   * Scale shape: the train side carries (id, fp) only — the ~3×-reduced
+   * selected stream, never text or positions; the eval side (benchmark
+   * suites are small) aggregates to distinct (eval_id, fp) and BROADCASTS.
+   */
+  def winnowMatches(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    import graft.functions.TextOps
+    def fps(df: DataFrame, id: String) =
+      df.select(col(id), explode(TextOps.winnow(TextOps.shingleHashes(
+          TextOps.tokenHashes(TextOps.tokens(col(textCol)))), w)).as("__s"))
+        .select(col(id), col("__s.fp").as("__fp"))
+        .distinct()
+    val tFps = fps(train, idCol)
+    val eFps = fps(evalSet.select(col(idCol).as("eval_id"), col(textCol)),
+      "eval_id")
+    tFps.join(broadcast(eFps), Seq("__fp"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }
 
 /** DuckDB rendering of [[Contamination.check]] for the oracle. */

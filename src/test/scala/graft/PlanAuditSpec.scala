@@ -1301,6 +1301,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), s"no join at all:\n$p")
   }
 
+  test("winnow contamination: eval fingerprints broadcast, no window") {
+    import graft.operators.Contamination
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(Contamination.winnowMatches(
+      docs, docs.where(col("doc_id") < 10), "doc_id", "text"))
+    // the train side ships (id, fp) only; the benchmark side broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval fingerprints must broadcast onto the train stream:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("luhn validation: candidate extraction + checksum stay map-side") {
+    import graft.functions.QualityOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(docs.select(col("doc_id"),
+      QualityOps.creditCardCandidates(col("text")).as("c")))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"PII extraction must be a free rider on the scan:\n$p")
+  }
+
   test("chat format: pure map-side projection, no shuffle") {
     import graft.operators.Preference
     val docs = spark.read.parquet(s"$sf/documents.parquet")
