@@ -3451,6 +3451,47 @@ object SparkEntry {
             ceil(col("n_distinct") * 0.10)).as("hll_ok"))
         .orderBy(col("source"))),
 
+    // KMV bottom-k distinct sketch WITH its gauge (Bar-Yossef et al.
+    // 2002; the theta-sketch primitive): k smallest distinct 62-bit
+    // hashes, estimate (k−1)·S/v_k — σ ≈ n/√(k−2) ≈ 12.7% at k=64, the
+    // 0.375 flag is ~3σ. Unlike HLL the state is plain BIGINT rows —
+    // persisted, audited, and merged in SQL
+    "sketch_kmv_gauge" -> ((s, dir) => {
+      val corpus = exactDupCorpus(s, dir)
+      val k = 64
+      val exact = corpus.agg(countDistinct(col("text"))).head().getLong(0)
+      Sketches.kmvEstimate(Sketches.kmvSketch(corpus, col("text"), k), k)
+        .select(col("n_sketch"), col("v_k"), col("est_distinct"),
+          lit(exact).as("n_distinct"),
+          (abs(col("est_distinct") - lit(exact.toDouble)) <=
+            lit(exact.toDouble * 0.375)).as("kmv_ok"))
+    }),
+
+    // the at-rest cardinality ledger: per-release bottom-k sets persisted
+    // (blind release appends, k BIGINT rows each), merged estimate pinned
+    // EQUAL to the pooled-corpus sketch — the KMV merge theorem makes
+    // release-over-release distinct maintenance exact WITHOUT rescanning
+    // any release's documents (cross-release duplicate texts collide in
+    // hash space and collapse in the merge)
+    "sketch_kmv_indexed" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val k = 64
+      val path = s"$indexDbDir/kmv_ledger"
+      Sketches.writeKmv(corpus.where(col("doc_id") < 10000), col("text"),
+        k, path, 0)
+      Sketches.writeKmv(corpus.where(col("doc_id") >= 10000), col("text"),
+        k, path, 1)
+      val merged = Sketches.kmvIndexedEstimate(s, path, k)
+      val pooled = Sketches.kmvEstimate(
+        Sketches.kmvSketch(corpus, col("text"), k), k)
+        .select(col("n_sketch").as("__pn"), col("v_k").as("__pv"),
+          col("est_distinct").as("__pe"))
+      merged.crossJoin(pooled)
+        .select(col("n_sketch"), col("v_k"), col("est_distinct"),
+          (col("n_sketch") === col("__pn") && col("v_k") === col("__pv") &&
+            col("est_distinct") === col("__pe")).as("merge_exact"))
+    }),
+
     // robust outlier flag on document token counts: |n − median| > 3·MAD
     // (median absolute deviation — robust to the very outliers it hunts,
     // unlike a stddev cut). Two exact-percentile aggregates reduce to two
@@ -9104,6 +9145,56 @@ object SparkEntry {
           |       count(DISTINCT text) AS n_distinct,
           |       true AS hll_ok
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // unlike the HLL gauge, the KMV sketch is fully SQL-restatable: the
+      // oracle recomputes the bottom-64 hashes, the estimate, and the 3σ
+      // flag itself — nothing is taken on faith
+      "sketch_kmv_gauge" -> {
+        val fp = TextOpsSql.wideFingerprint("text")
+        s"""WITH $ExactDupCorpusSql,
+           |sk AS (SELECT DISTINCT $fp AS fp FROM corpus
+           |       ORDER BY fp LIMIT 64),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+           |               max(fp) AS v_k FROM sk),
+           |ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT)
+           |         AS n_distinct FROM corpus)
+           |SELECT n_sketch, v_k,
+           |       round(CASE WHEN n_sketch < 64 THEN n_sketch::DOUBLE
+           |             ELSE 63.0 * ${operators.Sketches.KmvSpace}
+           |                  / v_k::DOUBLE END, 6) AS est_distinct,
+           |       n_distinct,
+           |       abs(CASE WHEN n_sketch < 64 THEN n_sketch::DOUBLE
+           |           ELSE 63.0 * ${operators.Sketches.KmvSpace}
+           |                / v_k::DOUBLE END - n_distinct::DOUBLE)
+           |         <= n_distinct::DOUBLE * 0.375 AS kmv_ok
+           |FROM agg, ex""".stripMargin
+      },
+
+      // the merge theorem restated: per-release bottom-64 sets, unioned
+      // and re-bottomed, must equal the pooled-corpus sketch exactly
+      "sketch_kmv_indexed" -> {
+        val fp = TextOpsSql.wideFingerprint("text")
+        s"""WITH $NearDupCorpusSql,
+           |r0 AS (SELECT DISTINCT $fp AS fp FROM corpus
+           |       WHERE doc_id < 10000 ORDER BY fp LIMIT 64),
+           |r1 AS (SELECT DISTINCT $fp AS fp FROM corpus
+           |       WHERE doc_id >= 10000 ORDER BY fp LIMIT 64),
+           |merged AS (SELECT DISTINCT fp FROM
+           |             (SELECT fp FROM r0 UNION ALL SELECT fp FROM r1)
+           |           ORDER BY fp LIMIT 64),
+           |pooled AS (SELECT DISTINCT $fp AS fp FROM corpus
+           |           ORDER BY fp LIMIT 64),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+           |             max(fp) AS v_k FROM merged),
+           |p AS (SELECT CAST(count(*) AS BIGINT) AS pn, max(fp) AS pv
+           |      FROM pooled)
+           |SELECT n_sketch, v_k,
+           |       round(CASE WHEN n_sketch < 64 THEN n_sketch::DOUBLE
+           |             ELSE 63.0 * ${operators.Sketches.KmvSpace}
+           |                  / v_k::DOUBLE END, 6) AS est_distinct,
+           |       (n_sketch = pn AND v_k = pv) AS merge_exact
+           |FROM m, p""".stripMargin
+      },
 
       "profile_outliers" -> {
         val toksSql = TextOpsSql.tokens("text")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -69,4 +69,59 @@ object Sketches {
       (p, exact, est >= exact && est <= exact + bound)
     }.toDF("token", "exact_count", "cms_ok")
   }
+
+  // ---- KMV (k-minimum-values / bottom-k) distinct-count sketch ---------
+  //
+  // Bar-Yossef et al. 2002 ("Counting distinct elements in a data
+  // stream"), the bottom-k form underlying the theta-sketch family: keep
+  // the k SMALLEST distinct hash values; with v_k the k-th smallest over
+  // a hash space of size S, the distinct count estimates (k−1)·S / v_k
+  // (unbiased, σ ≈ n/√(k−2)). Unlike HLL registers the state is plain
+  // rows of BIGINT — trivially persisted, audited, and merged in SQL —
+  // and the MERGE IS EXACT: the bottom-k of a union is computable from
+  // the per-part bottom-k sets alone, so release-over-release cardinality
+  // maintenance never rescans an old release's documents.
+
+  /** Hash space size of [[TextOps.wideFingerprint]] (values in
+    * [0, HashMod²)); the double is shared verbatim by the SQL rendering
+    * so both engines' estimate arithmetic is bit-identical. */
+  val KmvSpace: Double = TextOps.HashMod.toDouble * TextOps.HashMod.toDouble
+
+  /** The bottom-k sketch of a column: k smallest DISTINCT 62-bit hashes,
+    * one `fp` column. Scale shape: the distinct is an 8-byte-key shuffle;
+    * the bottom-k is `orderBy(fp).limit(k)` — map-side top-k per task +
+    * a driver-side k-way merge (TakeOrdered), never a global sort. */
+  def kmvSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, "kmv: k >= 2")
+    df.select(TextOps.wideFingerprint(valueCol).as("fp"))
+      .distinct().orderBy(col("fp")).limit(k)
+  }
+
+  /** Estimate row from a sketch (or a union of sketches): when fewer than
+    * `k` hashes exist the stream's distinct count IS the sketch size
+    * (exact); otherwise (k−1)·S / v_k. One tiny aggregate. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_sketch"), max(col("fp")).as("v_k"))
+      .select(col("n_sketch"), col("v_k"),
+        round(when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) /
+            col("v_k").cast("double")), 6).as("est_distinct"))
+
+  /** Persist one release's bottom-k under `path/release=<n>` — k rows of
+    * BIGINT, the at-rest cardinality ledger (blind per-release append,
+    * like every index family's ingest loop). */
+  def writeKmv(df: DataFrame, valueCol: Column, k: Int, path: String,
+      release: Int): Unit =
+    kmvSketch(df, valueCol, k).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/release=$release")
+
+  /** Merged estimate over every persisted release: union the (tiny)
+    * per-release bottom-k sets, re-take the bottom-k, estimate — EQUAL to
+    * the pooled-corpus sketch by the KMV merge theorem, without touching
+    * any release's documents again. */
+  def kmvIndexedEstimate(spark: SparkSession, path: String,
+      k: Int): DataFrame =
+    kmvEstimate(
+      spark.read.parquet(path).select(col("fp"))
+        .distinct().orderBy(col("fp")).limit(k), k)
 }

@@ -81,6 +81,59 @@ class SketchesSpec extends SparkSuite {
     assert(clean.getBoolean(3))
   }
 
+  test("kmv: below k the sketch IS the exact distinct count") {
+    val df = Seq("a", "b", "c", "a", "b").toDF("v")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(df, col("v"), 64), 64).collect().head
+    assert(est.getLong(0) == 3L)          // n_sketch = 3 distinct
+    assert(est.getDouble(2) == 3.0)       // exact mode
+  }
+
+  test("kmv: duplicates collapse — sketch has k DISTINCT hashes") {
+    val df = (0 until 500).map(i => s"t${i % 100}").toDF("v")
+    val sk = Sketches.kmvSketch(df, col("v"), 64).collect().map(_.getLong(0))
+    assert(sk.length == 64 && sk.distinct.length == 64)
+    assert(sk.sorted.toSeq == sk.toSeq, "sketch must be the SMALLEST k")
+  }
+
+  test("kmv estimate lands within 3 sigma on a 2000-distinct stream") {
+    val df = (0 until 2000).map(i => s"item-$i-payload").toDF("v")
+    val k = 64
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(df, col("v"), k), k)
+      .collect().head.getDouble(2)
+    val sigma = 2000.0 / math.sqrt(k - 2)
+    assert(math.abs(est - 2000.0) <= 3 * sigma, s"est=$est")
+  }
+
+  test("kmv merge equals pooled under full and partial overlap") {
+    val a = (0 until 300).map(i => s"x$i").toDF("v")
+    val b = (150 until 450).map(i => s"x$i").toDF("v")   // half overlap
+    val k = 32
+    val merged = Sketches.kmvSketch(a, col("v"), k)
+      .unionByName(Sketches.kmvSketch(b, col("v"), k))
+      .distinct().orderBy(col("fp")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val pooled = Sketches.kmvSketch(a.unionByName(b), col("v"), k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == pooled, "bottom-k of union must be exact from parts")
+  }
+
+  test("kmv at-rest ledger: write two releases, merged estimate = pooled") {
+    val dir = java.nio.file.Files.createTempDirectory("kmv_test").toString
+    val a = (0 until 200).map(i => s"r0-$i").toDF("v")
+    val b = (0 until 200).map(i => if (i % 2 == 0) s"r0-$i" else s"r1-$i")
+      .toDF("v")
+    Sketches.writeKmv(a, col("v"), 32, dir, 0)
+    Sketches.writeKmv(b, col("v"), 32, dir, 1)
+    val merged = Sketches.kmvIndexedEstimate(spark, dir, 32).collect().head
+    val pooled = Sketches.kmvEstimate(
+      Sketches.kmvSketch(a.unionByName(b), col("v"), 32), 32)
+      .collect().head
+    assert(merged.getLong(0) == pooled.getLong(0))
+    assert(merged.getLong(1) == pooled.getLong(1))
+    assert(merged.getDouble(2) == pooled.getDouble(2))
+  }
+
   test("cms gauge: a deliberately tiny sketch still never underestimates") {
     // eps = 0.9 -> width 3: with ~200 distinct filler tokens every cell
     // collides, so estimates overshoot — the one-sided contract (est >=
