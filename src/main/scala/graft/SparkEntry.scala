@@ -5289,6 +5289,27 @@ object SparkEntry {
         .orderBy(col("case_id"))
     }),
 
+    // mojibake detection + repair (ftfy's core rule): UTF-8-as-cp1252
+    // artifacts injected over real corpus text round-trip back to their
+    // true characters; untouched ASCII docs pass through IDENTICAL (the
+    // conservative whole-string contract — single-encoded text never
+    // "repairs"). The oracle states the repaired text from construction:
+    // the injected artifact IS the cp1252 rendering of the expected char
+    "text_mojibake" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 4 === 0,
+            lit(" donâ€™t stop"))
+          .when(col("doc_id") % 4 === 1, lit(" cafÃ© olÃ©"))
+          .when(col("doc_id") % 4 === 2, lit(" naÃ¯ve Ã¼ber"))
+          .otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          QualityOps.mojibakeScore(col("text")).as("n_bad"),
+          QualityOps.mojibakeRepair(col("text")).as("repaired"),
+          (QualityOps.mojibakeRepair(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // payment-card PII with Luhn validation (ISO/IEC 7812-1 Annex B): the
     // separator-tolerant candidate regex proposes, the checksum disposes —
     // a random digit run passes 1-in-10, so the validator is what keeps
@@ -10740,6 +10761,29 @@ object SparkEntry {
            |GROUP BY doc_id, eval_id HAVING count(*) >= 2
            |ORDER BY doc_id, eval_id""".stripMargin
       },
+
+      "text_mojibake" ->
+        s"""WITH injected AS (
+           |  SELECT doc_id, text ||
+           |    CASE doc_id % 4 WHEN 0 THEN ' donâ€™t stop'
+           |                    WHEN 1 THEN ' cafÃ© olÃ©'
+           |                    WHEN 2 THEN ' naÃ¯ve Ã¼ber'
+           |                    ELSE '' END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |       ${functions.QualityOpsSql.mojibakeScore("text")} AS n_bad,
+           |       text_repaired AS repaired,
+           |       text_repaired <> text AS changed
+           |FROM (SELECT doc_id, text,
+           |        CASE doc_id % 4
+           |          WHEN 0 THEN replace(text, ' donâ€™t stop',
+           |                              ' don’t stop')
+           |          WHEN 1 THEN replace(text, ' cafÃ© olÃ©', ' café olé')
+           |          WHEN 2 THEN replace(text, ' naÃ¯ve Ã¼ber',
+           |                              ' naïve über')
+           |          ELSE text END AS text_repaired
+           |      FROM injected) v
+           |ORDER BY doc_id""".stripMargin,
 
       "pii_luhn" ->
         s"""WITH injected AS (

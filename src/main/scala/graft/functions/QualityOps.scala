@@ -185,6 +185,23 @@ object QualityOps {
       round(deflateLen(text, level).cast("double") /
         octet_length(text).cast("double"), 6))
 
+  /** Mojibake artifact density: occurrences of the cp1252-glyph lead-ins
+    * every UTF-8-as-cp1252 double-decode produces (Ã for U+00C0-range
+    * leads, â€ for the punctuation block, Â for NBSP-family) — the cheap
+    * detector that decides which documents pay the repair round-trip. */
+  def mojibakeScore(text: Column): Column =
+    regexp_count(text, lit("Ã|â€|Â")).cast("long")
+
+  /** ftfy-style mojibake repair: re-encode as cp1252, strictly re-decode
+    * as UTF-8, keep the result only when the whole string round-trips and
+    * shrinks (native codegen'd [[graft.plans.MojibakeRepairExpr]] — see
+    * its contract for why single-encoded text is safe). */
+  def mojibakeRepair(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.MojibakeRepairExpr(
+      ColumnBridge.expression(text)))
+  }
+
   /** Payment-card candidate runs: 13–19 digits with optional interior
     * space/dash separators (the formats cards are actually typed in),
     * normalized to bare digit strings. RE2-safe — no lookarounds — so the
@@ -268,6 +285,9 @@ object QualityOpsSql {
       s"${q(EmailRe)}, '$EmailTag', 'g'), " +
       s"${q(Ipv4Re)}, '$IpTag', 'g'), " +
       s"${q(PhoneRe)}, '$PhoneTag', 'g')"
+
+  def mojibakeScore(text: String): String =
+    s"CAST(len(regexp_extract_all($text, 'Ã|â€|Â')) AS BIGINT)"
 
   def creditCardCandidates(text: String): String =
     s"list_filter(list_transform(regexp_extract_all($text, ${q(CardRe)}), " +

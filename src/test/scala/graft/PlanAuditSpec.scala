@@ -1313,6 +1313,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("mojibake repair: stays inside whole-stage codegen on the scan") {
+    import graft.functions.QualityOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = physical(docs.select(col("doc_id"),
+      QualityOps.mojibakeRepair(col("text")).as("r")))
+    assert(!p.contains("Exchange"), s"map-side only:\n$p")
+    assert(p.linesIterator.next().contains("WholeStageCodegen") ||
+      p.contains("*(1)"), s"projection must stay codegen'd:\n$p")
+  }
+
   test("luhn validation: candidate extraction + checksum stay map-side") {
     import graft.functions.QualityOps
     val docs = spark.read.parquet(s"$sf/documents.parquet")
