@@ -545,6 +545,32 @@ object SparkEntry {
   private val warcDirCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
+  /** JSONL dump fixture: every document rendered `to_json(struct(doc_id,
+    * lang, text))` — one object per line, the distribution convention —
+    * with ids ≡ 0 (mod 13) TRUNCATED five chars short (an unterminated
+    * string: guaranteed-malformed JSON), written once per (session, sf). */
+  private val jsonlDirCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def jsonlFixture(s: SparkSession, dir: String): String =
+    jsonlDirCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_jsonl")
+          .toString
+        val json = to_json(struct(col("doc_id"), col("lang"), col("text")))
+        t(s, dir, "documents")
+          .select(when(col("doc_id") % 13 === 0,
+              json.substr(lit(1), length(json) - 5))
+            .otherwise(json).as("value"),
+            col("doc_id"))
+          .repartition(4, col("doc_id")).select(col("value"))
+          .write.mode("overwrite").text(out)
+        out
+      })
+
   private def warcFixture(s: SparkSession, dir: String): String =
     warcDirCache
       .computeIfAbsent(s,
@@ -2034,6 +2060,32 @@ object SparkEntry {
     // headers, byte length, and payload digest from the documents table
     // and the same construction arithmetic (incl. re-rendering the HTML
     // payloads via SynthHtmlSql)
+    // JSONL dump ingest (the Dolma/RedPajama/FineWeb distribution format):
+    // schema'd PERMISSIVE read over the splittable line files — parsed
+    // rows must round-trip to the EXACT source rows (JSON escaping
+    // inverted bit-for-bit), truncated lines quarantine instead of
+    // dropping silently or killing the job
+    "source_jsonl" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+        .add("text", StringType)
+      graft.sources.Jsonl.clean(
+          graft.sources.Jsonl.read(s, jsonlFixture(s, dir), schema))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the ingest audit row: total / parsed / quarantined from ONE parse
+    // pass — restated by the oracle from the corruption arithmetic alone
+    "source_jsonl_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+        .add("text", StringType)
+      graft.sources.Jsonl.quarantineStats(
+        graft.sources.Jsonl.read(s, jsonlFixture(s, dir), schema), "doc_id")
+    }),
+
     "warc_read" -> ((s, dir) =>
       graft.sources.Warc.readRecords(s, warcFixture(s, dir))
         .where(col("parse_ok"))
@@ -7803,6 +7855,20 @@ object SparkEntry {
       // lengths recomputed in SQL — a framing bug in the reader (lost
       // bytes, header bleed into payload, gzip member boundary slip)
       // changes a digest or a length and fails the row
+      "source_jsonl" ->
+        """SELECT doc_id, lang, text FROM documents
+          |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+
+      "source_jsonl_quarantine" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_good,
+          |       CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_bad,
+          |       CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_with_key
+          |FROM documents""".stripMargin,
+
       "warc_read" ->
         s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
            |hh AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
