@@ -2860,6 +2860,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // reciprocal-link (nepotistic/link-farm) profile: the doc graph plus
+    // a deliberately-reciprocated slice (edges from src%5=0 reversed back)
+    // — trading nodes surface with high recip_frac, organic nodes stay
+    // asymmetric; dedup'd edges join their own reversal, one aggregate
+    "graph_reciprocal" -> ((s, dir) => {
+      val base = docGraphEdges(s, dir)
+      val edges = base.unionByName(base.where(col("src") % 5 === 0)
+        .select(col("dst").as("src"), col("src").as("dst")))
+      Graph.reciprocalLinks(edges, "src", "dst")
+        .where(col("n_reciprocal") > 0)
+        .orderBy(col("node"))
+    }),
+
     // HITS hubs and authorities (Kleinberg 1999) over the same doc
     // graph — the directory-vs-content separation PageRank can't make;
     // integer micro-unit half-steps with L1 normalization, the oracle
@@ -8480,6 +8493,22 @@ object SparkEntry {
       // the whole damped fixpoint unrolled (ClassifierSql pattern):
       // same integer micro-unit update each round, '//' floors like
       // Spark's div on these non-negative values
+      "graph_reciprocal" ->
+        s"""WITH raw AS ($DocGraphRawSql),
+           |aug AS (SELECT src, dst FROM raw
+           |        UNION ALL
+           |        SELECT dst AS src, src AS dst FROM raw WHERE src % 5 = 0),
+           |e AS (SELECT DISTINCT src, dst FROM aug WHERE src <> dst),
+           |j AS (SELECT e.src,
+           |             CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS rr
+           |      FROM e LEFT JOIN e r
+           |        ON r.src = e.dst AND r.dst = e.src)
+           |SELECT src AS node, CAST(count(*) AS BIGINT) AS out_degree,
+           |       CAST(sum(rr) AS BIGINT) AS n_reciprocal,
+           |       round(sum(rr)::DOUBLE / count(*), 6) AS recip_frac
+           |FROM j GROUP BY src HAVING sum(rr) > 0
+           |ORDER BY node""".stripMargin,
+
       "graph_pagerank" ->
         s"""WITH raw AS (
            |  $DocGraphRawSql),

@@ -514,6 +514,36 @@ object Graph {
   }
 
   /**
+   * Reciprocal-link profile per node — the classic nepotistic-link /
+   * link-farm signal (Davison 2000, "Recognizing nepotistic links on the
+   * web"; the TrustRank-era heuristic): organic link graphs are strongly
+   * asymmetric (news links to sources, directories to members), so a node
+   * whose out-edges are mostly RECIPROCATED (A→B and B→A) is trading
+   * links, not citing. Rank flows (PageRank/HITS) treat such edges as
+   * endorsements unless the curation layer discounts them first.
+   *
+   * One pass: dedup'd edges left-join their own reversal (an equi-join
+   * keyed (src, dst) vs (dst, src) — no window, no cartesian), then one
+   * map-side-combinable per-source aggregate. Self-loops are dropped
+   * (trivially "reciprocal", pure noise). Returns (`node`, `out_degree`,
+   * `n_reciprocal`, `recip_frac`).
+   */
+  def reciprocalLinks(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("__r"))
+    e.join(rev, Seq("src", "dst"), "left_outer")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"),
+        sum(coalesce(col("__r"), lit(0L))).as("n_reciprocal"))
+      .withColumn("recip_frac",
+        round(col("n_reciprocal").cast("double") /
+          col("out_degree").cast("double"), 6))
+  }
+
+  /**
    * Persist the link graph as an at-rest artifact — the same lifecycle
    * as the dedup/IVF/postings indexes: a crawl pays link extraction
    * once per page, the EDGES accumulate across releases ([[

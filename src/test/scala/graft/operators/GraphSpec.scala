@@ -301,4 +301,22 @@ class GraphSpec extends SparkSuite {
       assert(runHits(e, 3) == seqHits(e, 3), s"trial=$trial e=$e")
     }
   }
+
+  test("reciprocalLinks: trading pair flagged, one-way and self edges not") {
+    val e = Seq(
+      (1L, 2L), (2L, 1L),            // trading pair
+      (1L, 3L),                      // one-way
+      (3L, 3L),                      // self loop: dropped entirely
+      (4L, 1L), (4L, 1L),            // duplicate edge counts once
+      (3L, 4L)
+    ).toDF("src", "dst")
+    val out = Graph.reciprocalLinks(e, "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)), out.toString)    // 1→2 recip, 1→3 not
+    assert(out(2L) == ((1L, 1L, 1.0)), out.toString)
+    assert(out(3L) == ((1L, 0L, 0.0)), out.toString)    // self loop gone
+    assert(out(4L) == ((1L, 0L, 0.0)), out.toString)    // dup collapsed
+  }
 }
