@@ -1550,6 +1550,46 @@ object SparkEntry {
           "source", minDocs = 3)
         .orderBy(col("doc_id"))),
 
+    // the SimHash SEMANTIC gauge (the lsh_jaccard_recall pattern): the
+    // banding itself is pigeonhole-COMPLETE for hamming <= 3, so the
+    // quality question is how well hamming proxies set similarity — of
+    // the guaranteed-complete exact-Jaccard pairs at 0.7, the fraction
+    // surfaced by hamming <= 3; the oracle's sim side is an EXHAUSTIVE
+    // all-pairs formulation, independent of the banding
+    "dedup_simhash_recall" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val exact = Dedup.jaccardPrefixPairs(corpus, "doc_id", "text", 0.7)
+        .select(col("id_a"), col("id_b"))
+      val sim = Dedup.simHashHammingPairs(corpus, "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b")).withColumn("__hit", lit(1L))
+      exact.join(sim, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(col("n_exact"), col("n_found"),
+          round(when(col("n_exact") === 0, lit(1.0))
+            .otherwise(col("n_found").cast("double")
+              / col("n_exact").cast("double")), 6).as("recall"))
+    }),
+
+    // SFT loss masking: the 0-based char offset where the assistant span
+    // begins — labels before it are masked so the objective trains the
+    // RESPONSE only; Spark locates the sentinel (instr), the oracle
+    // restates the offset from pure LENGTH arithmetic — two independent
+    // formulations of the same boundary
+    "sft_loss_mask" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Preference.chatFormat(t(s, dir, "documents"), "doc_id",
+          lit("You are a helpful assistant."),
+          array_join(slice(toks, 1, 8), " "),
+          col("text"),
+          maxTokens = 60)
+        .select(col("doc_id"),
+          (instr(col("sample"), "<|assistant|>\n") - 1 +
+            lit("<|assistant|>\n".length)).cast("long").as("loss_start"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // mirror-host detection: host pairs by content-digest-set Jaccard —
     // the full mirror scores 1.0, the 60% mirror exactly 0.6, unrelated
     // hosts share nothing; the boilerplate guard (digests on > 256 hosts
@@ -9127,6 +9167,59 @@ object SparkEntry {
            |                       / count(*)::DOUBLE END, 6) AS recall
            |FROM exact LEFT JOIN lsh USING (id_a, id_b)""".stripMargin
       },
+
+      "dedup_simhash_recall" -> {
+        val thash = TextOpsSql.tokenHashes("tk")
+        val shingles = TextOpsSql.shingleHashes("th")
+        val thw = TextOpsSql.tokenHashesWide("tk")
+        s"""WITH $NearDupCorpusSql,
+           |tok AS (SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk
+           |        FROM corpus),
+           |th AS (SELECT doc_id, tk, $thash AS th FROM tok),
+           |d AS (SELECT doc_id, tk, list_distinct($shingles) AS ss FROM th),
+           |e AS (SELECT doc_id, len(ss) AS m, unnest(ss) AS sh
+           |      FROM d WHERE len(ss) > 0),
+           |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o,
+           |             any_value(a.m) AS m1, any_value(b.m) AS m2
+           |      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |exact AS (SELECT id_a, id_b FROM (
+           |  SELECT id_a, id_b, o::DOUBLE / (m1 + m2 - o)::DOUBLE AS jac
+           |  FROM c) WHERE jac >= CAST(0.7 AS DOUBLE)),
+           |pr AS (SELECT doc_id AS id,
+           |              ${TextOpsSql.simHash("thw")} AS print
+           |       FROM (SELECT doc_id, $thw AS thw FROM tok)),
+           |sim AS (SELECT a.id AS id_a, b.id AS id_b, 1 AS hit
+           |        FROM pr a JOIN pr b ON a.id < b.id
+           |        WHERE ${TextOpsSql.hamming("a.print", "b.print")} <= 3)
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_found,
+           |       round(CASE WHEN count(*) = 0 THEN 1.0
+           |                  ELSE sum(coalesce(hit, 0))::DOUBLE
+           |                       / count(*)::DOUBLE END, 6) AS recall
+           |FROM exact LEFT JOIN sim USING (id_a, id_b)""".stripMargin
+      },
+
+      "sft_loss_mask" ->
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |         CAST(length('<|system|>' || chr(10) ||
+           |           'You are a helpful assistant.' || chr(10) ||
+           |           '<|user|>' || chr(10) ||
+           |           array_to_string(($toks)[1:8], ' ') || chr(10) ||
+           |           '<|assistant|>' || chr(10)) AS BIGINT) AS loss_start,
+           |         '<|system|>' || chr(10) ||
+           |           'You are a helpful assistant.' || chr(10) ||
+           |           '<|user|>' || chr(10) ||
+           |           array_to_string(($toks)[1:8], ' ') || chr(10) ||
+           |           '<|assistant|>' || chr(10) || text || '<|end|>'
+           |           AS sample
+           |    FROM documents)
+           |SELECT doc_id, loss_start, n_tokens FROM (
+           |  SELECT doc_id, loss_start,
+           |         CAST(len(${TextOpsSql.tokens("sample")}) AS BIGINT)
+           |           AS n_tokens FROM s) v
+           |WHERE n_tokens <= 60 ORDER BY doc_id""".stripMargin,
 
       "text_stats" ->
         s"""SELECT doc_id,
