@@ -340,6 +340,35 @@ object ScaleRehearsal {
             col("text"))).as("n"))
           .agg(sum(col("n"))).collect()
       }
+
+      // ---- round-14 additions -----------------------------------------
+      // host-template strip: line explode + (host, digest) aggregate +
+      // broadcast anti-join — wall must track rows, never the host count
+      // (host here = doc_id % 20 across the replicated id space, so the
+      // 10x corpus has 10x docs per host: the hot set stays tiny)
+      val hosted = corpus.select(col("doc_id"),
+        concat(lit("h"), col("doc_id") % 20).as("host"),
+        concat(lit("nav line for host "), col("doc_id") % 20, lit("\n"),
+          col("text")).as("text"))
+      timed("host_template_strip", nDocs) {
+        graft.operators.Dedup.hostTemplateStrip(hosted, "doc_id", "text",
+          "host", minDocs = 3).count()
+      }
+      // edit-confirm: the verify stage runs ONLY on the LSH shortlist;
+      // replicas are near-dups of their original, so the 10x corpus pairs
+      // each original with its replicas — the measure is verify-stage
+      // throughput under a genuinely grown candidate set
+      timed("edit_confirm_pairs", nDocs) {
+        graft.operators.Dedup.editConfirmPairs(corpus, "doc_id", "text",
+          minSim = 0.5).count()
+      }
+      // KMV ledger: distinct + bottom-k — wall must stay scan-bound
+      // (the sketch is 64 rows at any corpus size)
+      timed("kmv_sketch", nDocs) {
+        graft.operators.Sketches.kmvEstimate(
+          graft.operators.Sketches.kmvSketch(corpus, col("text"), 64),
+          64).collect()
+      }
     } finally {
       graft.streaming.Streams.cleanupStaging(work)
       spark.stop()

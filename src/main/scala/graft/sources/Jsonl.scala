@@ -37,9 +37,21 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
-  /** The clean stream: rows that parsed, corrupt column dropped. */
-  def clean(df: DataFrame): DataFrame =
-    df.where(col(CorruptCol).isNull).drop(CorruptCol)
+  /** The clean stream: rows that parsed, corrupt column dropped. The
+    * `length(coalesce(w, '')) >= 0` conjunct is always true; its job is to
+    * keep a data column in the scan's required schema under COUNT-shaped
+    * consumers — `clean(df).count()` prunes every data column, leaving the
+    * corrupt-only scan Spark rejects (`a === a` does NOT work here:
+    * SimplifyBinaryComparison folds it for non-nullable sides). Because
+    * the predicate is universally true it is also safe under JSON filter
+    * pushdown's mid-parse evaluation (see [[quarantined]] for why a
+    * witness filter with real selectivity is NOT safe there). */
+  def clean(df: DataFrame): DataFrame = {
+    val w = col(df.columns.find(_ != CorruptCol).get)
+    df.where(col(CorruptCol).isNull &&
+        length(coalesce(w.cast("string"), lit(""))) >= 0)
+      .drop(CorruptCol)
+  }
 
   /** The quarantine stream: raw bytes of every malformed line, plus the
     * (always-null today) parsed key — selected, never FILTERED on: the
