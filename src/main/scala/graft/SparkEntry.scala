@@ -6263,6 +6263,29 @@ object SparkEntry {
     // streams through the SAME map-side HtmlOps.mainText projection as the
     // batch operator + a min-token keep gate — stateless, so AvailableNow
     // drains to exactly the batch answer the oracle restates
+    // the text-hygiene ingest door: mojibake repair -> Luhn-valid-card
+    // row drop -> email/IP/phone redaction, one stateless projection; the
+    // fixture injects BOTH artifact families (three mojibake arms by
+    // id%4, three card arms by id%5/7/11 — only the two VALID cards
+    // drop), and the oracle restates repair from construction and the
+    // drop rule SEMANTICALLY (candidates + Luhn in SQL, not id
+    // arithmetic)
+    "stream_hygiene_gate" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" donâ€™t stop"))
+            .when(col("doc_id") % 4 === 1, lit(" cafÃ© olÃ©"))
+            .when(col("doc_id") % 4 === 2, lit(" naÃ¯ve Ã¼ber"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" card 4532 0151 1283 0366 ok")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" pay 4111-1111-1111-1112 now")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" amex 371449635398431.")).otherwise(lit(""))).as("text"))
+      Streams.hygieneGateStream(s, injected).orderBy(col("doc_id"))
+    }),
+
     "stream_html_gate" -> ((s, dir) =>
       Streams.htmlGateStream(s,
           t(s, dir, "documents").select(col("doc_id"),
@@ -9995,6 +10018,29 @@ object SparkEntry {
            |SELECT doc_id FROM d
            |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
            |ORDER BY doc_id""".stripMargin
+      },
+
+      "stream_hygiene_gate" -> {
+        val cands = functions.QualityOpsSql.creditCardCandidates("text")
+        val luhn = functions.QualityOpsSql.luhnValid("c")
+        s"""WITH injected AS (
+           |  SELECT doc_id, text ||
+           |    CASE doc_id % 4 WHEN 0 THEN ' don’t stop'
+           |                    WHEN 1 THEN ' café olé'
+           |                    WHEN 2 THEN ' naïve über'
+           |                    ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0
+           |         THEN ' card 4532 0151 1283 0366 ok' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |         THEN ' pay 4111-1111-1111-1112 now' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0
+           |         THEN ' amex 371449635398431.' ELSE '' END AS text
+           |  FROM documents),
+           |kept AS (SELECT doc_id, text FROM injected
+           |         WHERE len(list_filter($cands, c -> $luhn)) = 0)
+           |SELECT doc_id, ${functions.QualityOpsSql.redactPii("text")}
+           |         AS text
+           |FROM kept ORDER BY doc_id""".stripMargin
       },
 
       "stream_html_gate" ->

@@ -1414,6 +1414,36 @@ object Streams {
     drained
   }
 
+  /**
+   * The text-hygiene ingest door — three batch rules composed as ONE
+   * stateless streaming projection (no watermark, no state store,
+   * micro-batch independent by construction): mojibake repairs first
+   * (PII patterns must see the true characters), rows carrying a
+   * Luhn-VALID payment card drop whole (a card number is not redactable
+   * noise — the row is a liability), and survivors emit with
+   * email/IP/phone redacted. Emits (doc_id, text).
+   */
+  def hygieneGateStream(
+      spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import graft.functions.QualityOps
+    val dir = Files.createTempDirectory("graft-stream-hygiene")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val repaired = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        QualityOps.mojibakeRepair(col("text")).as("text"))
+    val gated = repaired
+      .where(size(filter(QualityOps.creditCardCandidates(col("text")),
+        c => QualityOps.luhnValid(c))) === 0)
+      .select(col("doc_id"), QualityOps.redactPii(col("text")).as("text"))
+    val drained = runToMemory(gated, "append",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained
+  }
+
   def htmlGateStream(
       spark: SparkSession,
       docs: DataFrame,

@@ -690,6 +690,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kept == Set(11L, 12L), kept.toString)
   }
 
+  test("hygiene gate stream: repair then drop valid cards then redact") {
+    val docs = Seq(
+      (1L, "clean prose, nothing to do"),
+      (2L, "cafÃ© talk and a phone 555-123-4567"),   // repaired + redacted
+      (3L, "buy now 4532 0151 1283 0366 thanks"),    // valid card -> drop
+      (4L, "order 4111-1111-1111-1112 is fine"),     // luhn-invalid -> keep
+      (5L, "mail me bob@example.com please")
+    ).toDF("doc_id", "text")
+    val out = Streams.hygieneGateStream(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(3L), out.keys.toString)
+    assert(out(1L) == "clean prose, nothing to do")
+    assert(out(2L) == "café talk and a phone <PHONE>", out(2L))
+    assert(out(4L) == "order 4111-1111-1111-1112 is fine")
+    assert(out(5L) == "mail me <EMAIL> please")
+  }
+
   test("statePartitionsFor sizes to staged bytes: 1 per 64 MB, clamped") {
     val dir = java.nio.file.Files.createTempDirectory("state-size")
     def write(name: String, mb: Int): Unit =
