@@ -4566,6 +4566,34 @@ object SparkEntry {
     // whose means ride exact integer micro-unit sums — associative, so
     // bit-identical in any partitioning. The oracle derives the SAME
     // training independently in DuckDB (cross-join argmin + unnest means)
+    // chunk->document mean-pooling (the Sentence-BERT/E5 aggregation):
+    // element-wise mean per key over micro-unit INTEGER sums (the KMeans
+    // trick — exact long arithmetic, order-independent where a double sum
+    // is partition-order-dependent), division in the fixed order
+    // sum/count/unit mirrored by the oracle; output flattened to
+    // (key, pos, value) rows per house convention
+    "embed_mean_pool" -> ((s, dir) =>
+      operators.Pooling.meanPool(t(s, dir, "embeddings"),
+          col("vec_id") % 100, col("embedding"))
+        .select(col("key"), col("n_chunks"),
+          posexplode(col("vec")).as(Seq("pos", "m")))
+        .select(col("key"), col("n_chunks"),
+          col("pos").cast("long").as("pos"), round(col("m"), 6).as("m"))
+        .orderBy(col("key"), col("pos"))),
+
+    // + unit-length normalization (cosine against a pooled vector must
+    // not reward chunk count); the norm is the same sequential fold over
+    // the same pooled doubles on both engines, so the per-element
+    // division is bit-identical before rounding
+    "embed_mean_pool_unit" -> ((s, dir) =>
+      operators.Pooling.meanPoolNormalized(t(s, dir, "embeddings"),
+          col("vec_id") % 100, col("embedding"))
+        .select(col("key"), col("n_chunks"),
+          posexplode(col("vec")).as(Seq("pos", "m")))
+        .select(col("key"), col("n_chunks"),
+          col("pos").cast("long").as("pos"), round(col("m"), 6).as("m"))
+        .orderBy(col("key"), col("pos"))),
+
     "kmeans_train" -> ((s, dir) =>
       operators.KMeans.centroidsDF(t(s, dir, "embeddings"), "vec_id",
           "embedding", k = 4, iters = 2)
@@ -10424,6 +10452,29 @@ object SparkEntry {
         s"""SELECT d.doc_id, d.lang, e.label
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "embed_mean_pool" ->
+        s"""WITH src AS (SELECT vec_id % 100 AS key, embedding AS emb
+           |             FROM embeddings),
+           |${operators.PoolingSql.meanPoolCtes("src")}
+           |SELECT key, n_chunks,
+           |       CAST(unnest(range(len(vec))) AS BIGINT) AS pos,
+           |       round(unnest(vec), 6) AS m
+           |FROM pooled ORDER BY key, pos""".stripMargin,
+
+      "embed_mean_pool_unit" -> {
+        val nrm = VectorOpsSql.norm("vec")
+        s"""WITH src AS (SELECT vec_id % 100 AS key, embedding AS emb
+           |             FROM embeddings),
+           |${operators.PoolingSql.meanPoolCtes("src")}
+           |SELECT key, n_chunks, pos, round(v, 6) AS m FROM (
+           |  SELECT key, n_chunks,
+           |         CAST(unnest(range(len(vec))) AS BIGINT) AS pos,
+           |         unnest(CASE WHEN $nrm > 0
+           |                THEN list_transform(vec, e -> e / $nrm)
+           |                ELSE vec END) AS v
+           |  FROM pooled) z ORDER BY key, pos""".stripMargin
+      },
 
       "kmeans_train" -> operators.KMeansSql.centroids(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2),

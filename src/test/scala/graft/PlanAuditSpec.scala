@@ -1332,6 +1332,20 @@ class PlanAuditSpec extends SparkSuite {
       s"PII extraction must be a free rider on the scan:\n$p")
   }
 
+  test("mean pooling: combinable (key, pos) aggregate, no window") {
+    import graft.operators.Pooling
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = physical(
+      Pooling.meanPool(emb, col("vec_id") % 100, col("embedding")))
+    // per-key state is dim longs via map-side partials — a key with
+    // millions of chunks must not funnel a window or collect raw vectors
+    assert(!p.contains("Window"), s"no window over the key partition:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"the element sums must be combinable aggregates:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"no join anywhere:\n$p")
+  }
+
   test("chat format: pure map-side projection, no shuffle") {
     import graft.operators.Preference
     val docs = spark.read.parquet(s"$sf/documents.parquet")
