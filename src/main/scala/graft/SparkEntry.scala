@@ -4566,6 +4566,21 @@ object SparkEntry {
     // whose means ride exact integer micro-unit sums — associative, so
     // bit-identical in any partitioning. The oracle derives the SAME
     // training independently in DuckDB (cross-join argmin + unnest means)
+    // MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+    // relevance-vs-redundancy selection over a bounded overfetch
+    // shortlist — plain top-k returns k copies of the same popular
+    // passage, MMR returns one plus its best alternatives; the oracle
+    // replays all five greedy steps as unrolled CTEs with the same
+    // sequential-fold cosine, so every comparison is bit-identical
+    "ann_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      operators.Similarity.mmrTopK(emb.where(col("vec_id") > 0),
+          "vec_id", "embedding", qv, k = 5, lambda = 0.5, overfetch = 16)
+        .orderBy(col("rank"))
+    }),
+
     // chunk->document mean-pooling (the Sentence-BERT/E5 aggregation):
     // element-wise mean per key over micro-unit INTEGER sums (the KMeans
     // trick — exact long arithmetic, order-independent where a double sum
@@ -10452,6 +10467,44 @@ object SparkEntry {
         s"""SELECT d.doc_id, d.lang, e.label
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "ann_mmr_topk" -> {
+        val k = 5
+        val lam = 0.5
+        // DuckDB bars subqueries inside lambdas, so each greedy step
+        // CROSS JOINs the prior single-row picks as p1..p_{i-1} and the
+        // cosine folds reference their columns directly
+        val steps = (2 to k).map { i =>
+          val joins = (1 until i).map(j => s"s$j p$j").mkString(", ")
+          val notPrev = (1 until i).map(j => s"short.id <> p$j.id")
+            .mkString(" AND ")
+          val sims = (1 until i).map(j =>
+            VectorOpsSql.cosine("short.v", s"p$j.v"))
+          val maxsim =
+            if (sims.size == 1) sims.head
+            else s"greatest(${sims.mkString(", ")})"
+          s"""s$i AS (SELECT short.id, short.v, short.rel,
+             |  $lam * short.rel - ${1 - lam} * $maxsim AS score
+             |  FROM short, $joins WHERE $notPrev
+             |  ORDER BY score DESC, short.id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to k).map { i =>
+          val sc = if (i == 1) "rel" else "score"
+          s"SELECT CAST($i AS BIGINT) AS rank, id, round(rel, 6) AS rel, " +
+            s"round($sc, 6) AS mmr FROM s$i"
+        }.mkString("\nUNION ALL ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+           |           WHERE vec_id = 0),
+           |c AS (SELECT vec_id AS id, embedding AS v,
+           |             ${VectorOpsSql.cosine("embedding", "qv")} AS rel
+           |      FROM embeddings, q WHERE vec_id > 0),
+           |short AS (SELECT * FROM c ORDER BY rel DESC, id LIMIT 16),
+           |s1 AS (SELECT id, v, rel, rel AS score FROM short
+           |       ORDER BY rel DESC, id LIMIT 1),
+           |$steps
+           |$out
+           |ORDER BY rank""".stripMargin
+      },
 
       "embed_mean_pool" ->
         s"""WITH src AS (SELECT vec_id % 100 AS key, embedding AS emb

@@ -500,6 +500,80 @@ object Similarity {
         (-col("e._1")).cast("long").as("d_micro"))
   }
 
+  /**
+   * Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+   * 1998): greedy selection balancing relevance to the query against
+   * redundancy with what's already picked —
+   * `score = λ·rel − (1−λ)·max_{s∈S} cos(c, s)` (first pick scores its
+   * raw relevance; ties break to the lower id). The de-duplication step
+   * of retrieval-augmented data curation: plain top-k returns k copies of
+   * the same popular passage, MMR returns one plus its best alternatives.
+   *
+   * Scale shape, stated honestly: the greedy loop is SEQUENTIAL, so the
+   * DISTRIBUTED stage is the relevance scan + bounded top-`overfetch`
+   * shortlist (TakeOrdered — map-side top-k per task, driver k-way
+   * merge); the O(k·overfetch) greedy then runs driver-side over ≤
+   * overfetch rows with the SAME sequential-fold cosine the SQL rendering
+   * uses, so every comparison is bit-identical cross-engine.
+   */
+  def mmrTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      lambda: Double = 0.5,
+      overfetch: Int = 16): DataFrame = {
+    require(k >= 1 && overfetch >= k, "mmr: need overfetch >= k >= 1")
+    val spark = corpus.sparkSession
+    val rel = VectorOps.cosine(col(vecCol), typedLit(query))
+    val short = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"), rel.as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(overfetch)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      short.map(t => t._1 -> t).toSeq: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scored = remaining.values.map { case (id, v, r) =>
+        val score =
+          if (selVecs.isEmpty) r
+          else lambda * r -
+            (1 - lambda) * selVecs.map(s => cosSeq(v, s)).max
+        (id, v, r, score)
+      }
+      val best = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+      selected += ((best._1, best._3, best._4))
+      selVecs += best._2
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    selected.zipWithIndex.map { case ((id, r, sc), i) =>
+      ((i + 1).toLong, id, r6(r), r6(sc))
+    }.toSeq.toDF("rank", "id", "rel", "mmr")
+  }
+
+  /** Driver-side cosine with EXACTLY the SQL rendering's fold: sequential
+    * left-to-right double sums for dot and both norms, zero-denominator →
+    * 0.0 — bit-identical to `VectorOpsSql.cosine`. */
+  private def cosSeq(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0) 0.0 else dot / den
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val a = approx.select(col("query_id"), col("neighbor_id"))
       .withColumn("__hit", lit(1L))

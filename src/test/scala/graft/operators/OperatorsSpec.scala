@@ -474,6 +474,32 @@ class SimilaritySpec extends SparkSuite {
     assert(out.forall(_._3 >= 0.9))
     assert(!ids.exists { case (a, b) => a == 3L || b == 3L }) // opposite vec
   }
+
+  test("mmrTopK: redundant near-copy of the top hit is demoted") {
+    // query (0.8, 0.6): rel = {1: .861, 4: .830, 0: .8, 2: .6, 3: -.8} ->
+    // plain top-3 is {1, 4, 0}, three copies of the x-direction. After
+    // picking 1, the orthogonal 2 scores .5*.6 - .5*.110 = .245 while the
+    // redundant 4 scores .5*.830 - .5*.998 = -.084 -> MMR picks 1, 2, 4.
+    val out = Similarity.mmrTopK(vecs, "vec_id", "embedding",
+        Seq(0.8f, 0.6f, 0f, 0f), k = 3, lambda = 0.5, overfetch = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 4L), out.mkString(","))
+  }
+
+  test("mmrTopK: lambda = 1 reduces to plain relevance order") {
+    val out = Similarity.mmrTopK(vecs, "vec_id", "embedding",
+        Seq(0.8f, 0.6f, 0f, 0f), k = 3, lambda = 1.0, overfetch = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(1L, 4L, 0L), out.toString)
+  }
+
+  test("mmrTopK: first pick scores raw relevance; ranks are 1..k") {
+    val out = Similarity.mmrTopK(vecs, "vec_id", "embedding",
+        Seq(0.8f, 0.6f, 0f, 0f), k = 4, lambda = 0.5, overfetch = 5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.head.getDouble(2) == out.head.getDouble(3)) // rel == mmr at 1
+  }
 }
 
 class RpBucketsSpec extends SparkSuite {
