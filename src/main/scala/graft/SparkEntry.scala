@@ -429,6 +429,17 @@ object SparkEntry {
       base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** One representative per NFKC compatibility class (ligature, fullwidth,
+    * vulgar fraction, superscript, squared unit, letterlike, roman
+    * numeral, DECOMPOSED accent, NBSP); [[NfkcExpectedSuffix]] is the
+    * CPython `unicodedata.normalize('NFKC', …)` literal for it —
+    * generated and re-verifiable via tools/nfkc_reference.py. */
+  private val NfkcRawSuffix =
+    " ﬁle ＦＵＬＬ ½ x² ㎞ ℕ " +
+      "Ⅳ café no brk"
+  private val NfkcExpectedSuffix =
+    " file FULL 1⁄2 x2 km N IV café no brk"
+
   /** Host-structured corpus for the host-template family: every doc of a
     * source carries that source's nav line, even ids also carry the
     * source's footer, and exactly one doc per source (`doc_id < 20`;
@@ -1481,6 +1492,14 @@ object SparkEntry {
           maxBucket = Some(2))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // soft dedup: every row kept, duplicates downweighted to 1/n so the
+    // gradient mass per distinct text stays 1 — the loss-weighting
+    // alternative to dropping (provenance survives, the drop decision
+    // stays revisable)
+    "dedup_soft_weights" -> ((s, dir) =>
+      Dedup.softWeights(exactDupCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashClusters(exactDupCorpus(s, dir), "doc_id", "text")
@@ -3320,6 +3339,22 @@ object SparkEntry {
     // material (e + U+0301, Å as U+212B, o + U+0308) to real corpus
     // text in-query, identically in both engines; byte lengths pin that
     // composition genuinely happened (3 code points disappear per row)
+    // NFKC compatibility normalization (the SentencePiece default): one
+    // representative per compatibility class rides every doc — ligature,
+    // fullwidth letters, vulgar fraction, superscript, squared unit,
+    // letterlike, roman numeral, decomposed accent, NBSP. The expected
+    // text is a LITERAL generated by CPython unicodedata (an independent
+    // UAX #15 implementation, tools/nfkc_reference.py) since DuckDB has
+    // no NFKC; byte counts restate from construction
+    "text_nfkc" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(NfkcRawSuffix))
+      t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), TextOps.nfkc(raw).as("nfkc_text"),
+          octet_length(raw).cast("long").as("bytes_raw"),
+          octet_length(TextOps.nfkc(raw)).cast("long").as("bytes_nfkc"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_normalize" -> ((s, dir) => {
       val raw = concat(col("text"),
         lit(" cafe\u0301 \u212Bngstro\u0308m"))
@@ -7851,6 +7886,15 @@ object SparkEntry {
       // levenshtein verifying — an independent two-stage formulation.
       // DuckDB counts bytes, Spark counts chars; equal on this ASCII
       // corpus (the char contract is pinned in EditConfirmSpec)
+      "dedup_soft_weights" ->
+        s"""WITH $ExactDupCorpusSql,
+           |counts AS (SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+           |           FROM corpus GROUP BY text)
+           |SELECT doc_id, n_copies,
+           |       round(1.0 / n_copies, 6) AS weight
+           |FROM corpus JOIN counts USING (text)
+           |ORDER BY doc_id""".stripMargin,
+
       "dedup_edit_confirm" -> {
         val thash = TextOpsSql.tokenHashes("toks")
         val shingles = TextOpsSql.shingleHashes("thash")
@@ -9025,6 +9069,18 @@ object SparkEntry {
       // chr(776) = U+0308 combining diaeresis), normalized by DuckDB's
       // own nfc_normalize — byte lengths pin that 3 bytes per row
       // genuinely composed away
+      "text_nfkc" -> {
+        val rawBytes = NfkcRawSuffix.getBytes("UTF-8").length
+        val expBytes = NfkcExpectedSuffix.getBytes("UTF-8").length
+        s"""SELECT doc_id,
+           |       text || '$NfkcExpectedSuffix' AS nfkc_text,
+           |       CAST(octet_length(encode(text)) + $rawBytes AS BIGINT)
+           |         AS bytes_raw,
+           |       CAST(octet_length(encode(text)) + $expBytes AS BIGINT)
+           |         AS bytes_nfkc
+           |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+      },
+
       "text_normalize" ->
         """WITH v AS (
           |  SELECT doc_id,

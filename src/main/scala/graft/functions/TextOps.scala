@@ -85,6 +85,13 @@ object TextOps {
   def nfc(text: Column): Column =
     bridged(graft.plans.NfcNormalizeExpr(expr(text)))
 
+  /** Unicode NFKC compatibility normalization (native codegen'd
+    * [[graft.plans.NfkcNormalizeExpr]]) — the SentencePiece-default
+    * tokenizer prep: width/presentation variants (ligatures, fullwidth,
+    * superscripts, squared units) fold to their plain equivalents. */
+  def nfkc(text: Column): Column =
+    bridged(graft.plans.NfkcNormalizeExpr(expr(text)))
+
   /** Accent-folded match key: lowercase then strip combining marks after
     * canonical decomposition (`strip_accents(lower(x))` semantics), via
     * the native [[graft.plans.AccentFoldExpr]]. */

@@ -1224,6 +1224,27 @@ object Dedup {
   }
 
   /**
+   * Soft deduplication: keep EVERY row, downweight duplicates to
+   * `1 / n_copies` — the loss-weighting alternative to dropping (total
+   * gradient mass per distinct text stays 1, so boilerplate stops
+   * dominating the objective without discarding provenance or the
+   * ability to re-decide later; the "soft dedup" option discussed in
+   * SemDeDup-era ablations). Scale shape: counts are one digest-keyed
+   * map-side-combinable aggregate joined back on the 32-byte digest
+   * (broadcastable when few texts duplicate, AQE-splittable when one is
+   * hot — never a window). Returns (`idCol`, `n_copies`, `weight`).
+   */
+  def softWeights(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val keyed = df.select(col(idCol),
+      sha2(col(keyCol).cast("binary"), 256).as("__kh"))
+    val counts = keyed.groupBy(col("__kh"))
+      .agg(count(lit(1)).as("n_copies"))
+    keyed.join(counts, Seq("__kh"))
+      .select(col(idCol), col("n_copies"),
+        round(lit(1.0) / col("n_copies").cast("double"), 6).as("weight"))
+  }
+
+  /**
    * Mirror-host detection: host pairs whose CONTENT-DIGEST sets overlap
    * with Jaccard ≥ `minJaccard` — the site-mirror filter of crawl curation
    * (a corpus that keeps both `ftp.gnu.org` and its 40 mirrors pays 41×
