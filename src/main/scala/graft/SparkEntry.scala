@@ -4264,6 +4264,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility (chars per piece, per language) — the standard
+    // tokenizer-quality gauge: a vocabulary that fragments one language
+    // into byte confetti shows up as LOW fertility there, and that
+    // language pays more compute per character at train time; integer-
+    // exact char and piece sums, one rounded division per group
+    "tok_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = Bpe.train(Bpe.vocabulary(d, "text"), "word", "freq", 12)
+      d.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .join(Bpe.encodeStats(d, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_pieces")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("chars"),
+          sum(col("n_pieces")).as("pieces"))
+        .select(col("lang"), col("chars"), col("pieces"),
+          round(col("chars").cast("double") / col("pieces").cast("double"),
+            6).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // train on what you will encode: the merge table learned from the
     // pre-tokenizer PIECE vocabulary (leading spaces drop through the
     // shared symbol-framing trim), oracle = the same 12-level unrolled
@@ -10059,6 +10080,26 @@ object SparkEntry {
            |       CAST(sum(np) AS BIGINT) AS n_pieces,
            |       round(sum(np)::DOUBLE / count(*)::DOUBLE, 6) AS ratio
            |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "tok_fertility" ->
+        s"""WITH bpe_vocab AS (SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok),
+           |${BpeSql.trainCtes(12)},
+           |w AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+           |pc AS (SELECT doc_id,
+           |         len(string_split(trim(${BpeSql.encodeWord("word", 12)}),
+           |             '  ')) AS np
+           |       FROM w),
+           |per_doc AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces
+           |            FROM pc GROUP BY doc_id),
+           |j AS (SELECT d.lang, CAST(length(d.text) AS BIGINT) AS n_chars,
+           |             p.n_pieces
+           |      FROM documents d JOIN per_doc p USING (doc_id))
+           |SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars,
+           |       CAST(sum(n_pieces) AS BIGINT) AS pieces,
+           |       round(sum(n_chars)::DOUBLE / sum(n_pieces)::DOUBLE, 6)
+           |         AS fertility
+           |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
       // same trained merges, applied per RE2-restated pre-tokenizer
       // piece (exact on the guarded rows); a piece's leading space drops
