@@ -5626,6 +5626,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("eval_id"))
     }),
 
+    // the winnow fingerprints AT REST (the ingest-loop API): extraction —
+    // tokenize+shingle+winnow over every corpus byte — is paid once per
+    // document at its own ingest (write half, blind-append the rest);
+    // the eval probe touches only the index, never corpus text. Pinned
+    // EQUAL to the in-session winnowMatches via the shared oracle SQL
+    "contamination_winnow_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val h = Sampling.hash16(col("doc_id"), 7)
+      val r = math.round(0.05 * Sampling.Buckets)
+      val toks = TextOps.tokens(col("text"))
+      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val table = s"${indexDb(s)}.winnow_fp"
+      Contamination.writeWinnowIndex(train.where(col("doc_id") < 10250),
+        "doc_id", "text", 4, table, buckets = 8)
+      Contamination.appendWinnowIndex(train.where(col("doc_id") >= 10250),
+        "doc_id", "text", 4, table)
+      Contamination.winnowMatchesIndexed(s, table, d.where(h < lit(r)),
+          "doc_id", "text", w = 4, minShared = 2)
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
     // multi-benchmark decontamination: three hash-carved eval sets checked
     // in ONE broadcast of the set-tagged shingle union, hits attributed
     // per set — train-side cost identical to the single-set check
@@ -11172,6 +11195,34 @@ object SparkEntry {
       },
 
       "contamination_winnow" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val r = math.round(0.05 * operators.Sampling.Buckets)
+        def fps(src: String, id: String) =
+          s"""(SELECT DISTINCT $id, ${TextOpsSql.winnowFp("k")} AS fp FROM (
+             |   SELECT $id, unnest(${TextOpsSql.winnow("sh", 4)}) AS k
+             |   FROM (SELECT $id, $shingles AS sh
+             |         FROM (SELECT $id, $thash AS thash
+             |               FROM (SELECT $id, $toks AS toks FROM $src)))))""".stripMargin
+        s"""WITH mut AS (
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |ev AS (SELECT doc_id AS eval_id, text FROM documents
+           |       WHERE ${operators.SamplingSql.hash16("doc_id", 7)} < $r),
+           |tf AS ${fps("mut", "doc_id")},
+           |ef AS ${fps("ev", "eval_id")}
+           |SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM tf JOIN ef ON tf.fp = ef.fp
+           |GROUP BY doc_id, eval_id HAVING count(*) >= 2
+           |ORDER BY doc_id, eval_id""".stripMargin
+      },
+
+      // the at-rest probe must yield IDENTICAL rows to the in-session
+      // match — one restatement serves both
+      "contamination_winnow_indexed" -> {
         val thash = TextOpsSql.tokenHashes("toks")
         val shingles = TextOpsSql.shingleHashes("thash")
         val r = math.round(0.05 * operators.Sampling.Buckets)

@@ -188,6 +188,61 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** The (id, fp) winnow-fingerprint rows [[winnowMatches]] computes for
+    * its train side — extracted so they can persist. */
+  private[operators] def winnowRows(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    import graft.functions.TextOps
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TextOps.winnow(TextOps.shingleHashes(
+          TextOps.tokenHashes(TextOps.tokens(col(textCol)))), w)).as("__s"))
+      .select(col("id"), col("__s.fp").as("fp"))
+      .distinct()
+  }
+
+  /**
+   * Persist the train corpus's winnow-SELECTED fingerprints as an at-rest
+   * index (the same bucketed ingest-loop lifecycle as the digest/band/
+   * postings indexes): fingerprint EXTRACTION — tokenize + shingle +
+   * winnow over every corpus byte — is the expensive stage, and it is
+   * paid exactly once per document at its own ingest; every later
+   * benchmark release probes the index without touching corpus text.
+   * Bucketed on `fp`, so a non-broadcast probe co-locates without an
+   * index-side Exchange.
+   */
+  def writeWinnowIndex(train: DataFrame, idCol: String, textCol: String,
+      w: Int, table: String, buckets: Int): Unit =
+    Bucketing.writeBucketed(winnowRows(train, idCol, textCol, w),
+      table, "fp", buckets)
+
+  /** Blind per-release append — restates the table's bucket spec, same
+    * as every index family. */
+  def appendWinnowIndex(batch: DataFrame, idCol: String, textCol: String,
+      w: Int, table: String): Unit =
+    DedupIndex.appendBucketed(winnowRows(batch, idCol, textCol, w), table)
+
+  /** [[winnowMatches]] against the PERSISTED train fingerprints: the
+    * eval side fingerprints fresh (benchmarks are small) and broadcasts
+    * onto the index scan — no corpus re-fingerprinting, ever. */
+  def winnowMatchesIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val eFps = winnowRows(
+      evalSet.select(col(idCol).as("eval_id"), col(textCol)),
+      "eval_id", textCol, w)
+      .select(col("id").as("eval_id"), col("fp"))
+    spark.table(table)
+      .join(broadcast(eFps), Seq("fp"))
+      .groupBy(col("id").as(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }
 
 /** DuckDB rendering of [[Contamination.check]] for the oracle. */

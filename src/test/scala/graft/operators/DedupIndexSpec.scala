@@ -302,4 +302,25 @@ class DedupIndexSpec extends SparkSuite {
     assert(labelMap(s"$db.comp_crash") ==
       Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
   }
+
+  test("winnow index probe == winnowMatches (rescan); appends fold in") {
+    // two releases: write docs 1-3, append 4-5; probe with an eval doc
+    // sharing doc 2's long run — the indexed match must equal the
+    // in-session rescan row-for-row
+    val evalSet = Seq(
+      (7L, "pack my box with five dozen liquor jugs for the long trip ok"))
+      .toDF("doc_id", "text")
+    Contamination.writeWinnowIndex(corpus.where(col("doc_id") <= 3),
+      "doc_id", "text", 4, s"$db.winnow", buckets = 4)
+    Contamination.appendWinnowIndex(corpus.where(col("doc_id") > 3),
+      "doc_id", "text", 4, s"$db.winnow")
+    val indexed = Contamination.winnowMatchesIndexed(spark, s"$db.winnow",
+        evalSet, "doc_id", "text", w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rescan = Contamination.winnowMatches(corpus, evalSet,
+        "doc_id", "text", w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == rescan, s"indexed=$indexed rescan=$rescan")
+    assert(indexed.map(_._1).contains(2L), indexed.toString)
+  }
 }
