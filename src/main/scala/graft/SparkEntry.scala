@@ -582,6 +582,31 @@ object SparkEntry {
         out
       })
 
+  /** CSV dump fixture: `doc_id,lang,"text"` per line; ids ≡ 0 (mod 17)
+    * get their doc_id prefixed with `x` — a type violation under the
+    * LONG schema column, the deterministic way to a PERMISSIVE corrupt
+    * row (wrong arity under-fills; unclosed quotes eat following lines). */
+  private val csvDirCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def csvFixture(s: SparkSession, dir: String): String =
+    csvDirCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_csv")
+          .toString
+        val line = concat(col("doc_id").cast("string"), lit(","),
+          col("lang"), lit(",\""), col("text"), lit("\""))
+        t(s, dir, "documents")
+          .select(when(col("doc_id") % 17 === 0, concat(lit("x"), line))
+            .otherwise(line).as("value"), col("doc_id"))
+          .repartition(4, col("doc_id")).select(col("value"))
+          .write.mode("overwrite").text(out)
+        out
+      })
+
   private def warcFixture(s: SparkSession, dir: String): String =
     warcDirCache
       .computeIfAbsent(s,
@@ -2143,6 +2168,28 @@ object SparkEntry {
         .add("text", StringType)
       graft.sources.Jsonl.quarantineStats(
         graft.sources.Jsonl.read(s, jsonlFixture(s, dir), schema), "doc_id")
+    }),
+
+    // CSV dump ingest, same quarantine contract as JSONL: parsed rows
+    // round-trip exactly (quote framing inverted), type-violating rows
+    // quarantine instead of vanishing
+    "source_csv" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+        .add("text", StringType)
+      graft.sources.Csv.clean(
+          graft.sources.Csv.read(s, csvFixture(s, dir), schema))
+        .orderBy(col("doc_id"))
+    }),
+
+    "source_csv_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+        .add("text", StringType)
+      graft.sources.Csv.quarantineStats(
+        graft.sources.Csv.read(s, csvFixture(s, dir), schema), "doc_id")
     }),
 
     "warc_read" -> ((s, dir) =>
@@ -8065,6 +8112,20 @@ object SparkEntry {
       "source_jsonl" ->
         """SELECT doc_id, lang, text FROM documents
           |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+
+      "source_csv" ->
+        """SELECT doc_id, lang, text FROM documents
+          |WHERE doc_id % 17 <> 0 ORDER BY doc_id""".stripMargin,
+
+      "source_csv_quarantine" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_good,
+          |       CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_bad,
+          |       CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_with_key
+          |FROM documents""".stripMargin,
 
       "source_jsonl_quarantine" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -45,6 +45,25 @@ class JsonlSpec extends SparkSuite {
       == ((3L, 2L, 1L, 1L)), row.toString)
   }
 
+  test("csv: type violations quarantine; quoted fields round-trip") {
+    val dir = writeFixture(Seq(
+      """1,en,"hello, world"""",      // quoted comma survives
+      """x2,en,"broken id"""",        // LONG violation -> corrupt
+      """3,fr,"says ""hi"" twice""""  // doubled-quote escape
+    ))
+    val df = Csv.read(spark, dir, schema2)
+    val good = Csv.clean(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(good.toSeq == Seq((1L, "hello, world"), (3L, "says \"hi\" twice")),
+      good.mkString(";"))
+    val stats = Csv.quarantineStats(df, "doc_id").collect().head
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) ==
+      ((3L, 2L, 1L)), stats.toString)
+  }
+
+  private val schema2 = new StructType()
+    .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+
   test("json escaping round-trips: quotes, backslashes, unicode escapes") {
     val texts = Seq("with \"quotes\"", "back\\slash", "tab\there",
       "café ’")
