@@ -4684,6 +4684,34 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // the pooled vectors are RETRIEVAL inputs, composed end-to-end: chunk
+    // embeddings -> unit mean-pool per doc -> exact cosine top-k of doc 0
+    // against every other pooled doc — pooling, normalization, and
+    // ranking all load-bearing in one plan; ties (if any) break by id
+    "embed_pooled_topk" -> ((s, dir) => {
+      val pooled = operators.Pooling.meanPoolNormalized(
+        t(s, dir, "embeddings"), col("vec_id") % 100, col("embedding"))
+      val q = pooled.where(col("key") === 0)
+        .select(col("vec").as("__qv"))
+      // the native cosine expression is float-typed; pooled vectors are
+      // doubles, so the ranking uses the same sequential HOF folds the
+      // SQL rendering states (left-to-right dot and norms)
+      def seqSum(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (s, v) => s + v)
+      def cosD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val dot = seqSum(zip_with(a, b, (x, y) => x * y))
+        val den = sqrt(seqSum(transform(a, x => x * x))) *
+          sqrt(seqSum(transform(b, x => x * x)))
+        when(den === 0.0, lit(0.0)).otherwise(dot / den)
+      }
+      pooled.where(col("key") > 0).crossJoin(broadcast(q))
+        .select(col("key"),
+          round(cosD(col("vec"), col("__qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("key"))
+        .limit(10)
+        .orderBy(col("key"))
+    }),
+
     // chunk->document mean-pooling (the Sentence-BERT/E5 aggregation):
     // element-wise mean per key over micro-unit INTEGER sums (the KMeans
     // trick — exact long arithmetic, order-independent where a double sum
@@ -10685,6 +10713,27 @@ object SparkEntry {
            |$steps
            |$out
            |ORDER BY rank""".stripMargin
+      },
+
+      "embed_pooled_topk" -> {
+        val nrm = VectorOpsSql.norm("vec")
+        s"""WITH src AS (SELECT vec_id % 100 AS key, embedding AS emb
+           |             FROM embeddings),
+           |${operators.PoolingSql.meanPoolCtes("src")},
+           |unitv AS (SELECT key,
+           |            CASE WHEN $nrm > 0
+           |                 THEN list_transform(vec, e -> e / $nrm)
+           |                 ELSE vec END AS vec
+           |          FROM pooled),
+           |q AS (SELECT vec AS qv FROM unitv WHERE key = 0),
+           |scored AS (SELECT key,
+           |             round(${VectorOpsSql.cosine("vec", "qv")}, 6)
+           |               AS cosine
+           |           FROM unitv, q WHERE key > 0)
+           |SELECT key, cosine FROM (
+           |  SELECT key, cosine FROM scored
+           |  ORDER BY cosine DESC, key LIMIT 10) v
+           |ORDER BY key""".stripMargin
       },
 
       "embed_mean_pool" ->
