@@ -5589,6 +5589,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch Reading Ease (Flesch 1948) — the readability gate of
+    // textbook-style quality filters: heuristic vowel-group syllables
+    // (floored at 1/token), terminal-punctuation sentences (floored at
+    // 1/doc), integer-exact counts into one fixed-order double formula
+    "quality_flesch" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          QualityOps.sentenceCount(col("text")).as("n_sentences"),
+          QualityOps.syllableCount(toks).as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          QualityOps.fleschScore(col("n_words"), col("n_sentences"),
+            col("n_syllables")).as("fre"))
+        .orderBy(col("doc_id"))
+    }),
+
     // payment-card PII with Luhn validation (ISO/IEC 7812-1 Annex B): the
     // separator-tolerant candidate regex proposes, the checksum disposes —
     // a random digit run passes 1-in-10, so the validator is what keeps
@@ -5722,6 +5740,29 @@ object SparkEntry {
       Contamination.winnowMatchesIndexed(s, table, d.where(h < lit(r)),
           "doc_id", "text", w = 4, minShared = 2)
         .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
+    // the decontamination door CLOSED over the at-rest benchmark index:
+    // benchmark fingerprints persist once (write + blind append), the
+    // ingest stream drops any doc sharing >= 2 DISTINCT fingerprints with
+    // the benchmark UNION — note the union semantic vs the pair-counting
+    // match; the oracle restates it as such
+    "stream_winnow_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val h = Sampling.hash16(col("doc_id"), 7)
+      val r = math.round(0.05 * Sampling.Buckets)
+      val toks = TextOps.tokens(col("text"))
+      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+        when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val bench = d.where(h < lit(r))
+      val table = s"${indexDb(s)}.winnow_bench"
+      Contamination.writeWinnowIndex(bench.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 4, table, buckets = 4)
+      Contamination.appendWinnowIndex(bench.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 4, table)
+      Streams.winnowGateStream(s, train, table, w = 4, minShared = 2)
+        .orderBy(col("doc_id"))
     }),
 
     // multi-benchmark decontamination: three hash-carved eval sets checked
@@ -11358,6 +11399,34 @@ object SparkEntry {
            |ORDER BY doc_id, eval_id""".stripMargin
       },
 
+      "stream_winnow_gate" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val r = math.round(0.05 * operators.Sampling.Buckets)
+        def fps(src: String, id: String) =
+          s"""(SELECT DISTINCT $id, ${TextOpsSql.winnowFp("k")} AS fp FROM (
+             |   SELECT $id, unnest(${TextOpsSql.winnow("sh", 4)}) AS k
+             |   FROM (SELECT $id, $shingles AS sh
+             |         FROM (SELECT $id, $thash AS thash
+             |               FROM (SELECT $id, $toks AS toks FROM $src)))))""".stripMargin
+        s"""WITH mut AS (
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents),
+           |ev AS (SELECT doc_id AS eval_id, text FROM documents
+           |       WHERE ${operators.SamplingSql.hash16("doc_id", 7)} < $r),
+           |tf AS ${fps("mut", "doc_id")},
+           |ef AS ${fps("ev", "eval_id")},
+           |bench AS (SELECT DISTINCT fp FROM ef),
+           |dropped AS (SELECT doc_id FROM tf JOIN bench USING (fp)
+           |            GROUP BY doc_id HAVING count(*) >= 2)
+           |SELECT doc_id FROM mut
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+           |ORDER BY doc_id""".stripMargin
+      },
+
       "text_mojibake" ->
         s"""WITH injected AS (
            |  SELECT doc_id, text ||
@@ -11380,6 +11449,19 @@ object SparkEntry {
            |          ELSE text END AS text_repaired
            |      FROM injected) v
            |ORDER BY doc_id""".stripMargin,
+
+      "quality_flesch" -> {
+        val syl = functions.QualityOpsSql.syllableCount("toks")
+        val sen = functions.QualityOpsSql.sentenceCount("text")
+        s"""WITH base AS (
+           |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_words,
+           |         $sen AS n_sentences, $syl AS n_syllables
+           |  FROM (SELECT doc_id, text, $toks AS toks FROM documents))
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |       ${functions.QualityOpsSql.fleschScore("n_words",
+                      "n_sentences", "n_syllables")} AS fre
+           |FROM base ORDER BY doc_id""".stripMargin
+      },
 
       "pii_luhn" ->
         s"""WITH injected AS (

@@ -185,6 +185,29 @@ object QualityOps {
       round(deflateLen(text, level).cast("double") /
         octet_length(text).cast("double"), 6))
 
+  /** Heuristic syllable count: vowel GROUPS per lowercased token, floored
+    * at one per token — the standard cheap approximation under Flesch
+    * scoring (exact syllabification needs a dictionary; readability
+    * formulas were calibrated on approximations like this one). */
+  def syllableCount(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, w) => a +
+      greatest(lit(1L), regexp_count(lower(w), lit("[aeiouy]+")).cast("long")))
+
+  /** Sentence count: terminal-punctuation runs, floored at one (a
+    * fragment is one sentence, not a division by zero). */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L), regexp_count(text, lit("[.!?]+")).cast("long"))
+
+  /** Flesch Reading Ease (Flesch 1948; the readability gate of
+    * textbook-style quality filters): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Fixed subtraction order, integer-exact
+    * counts in, one double formula out — engine-portable. */
+  def fleschScore(nWords: Column, nSentences: Column,
+      nSyllables: Column): Column =
+    round(lit(206.835)
+      - lit(1.015) * nWords.cast("double") / nSentences.cast("double")
+      - lit(84.6) * nSyllables.cast("double") / nWords.cast("double"), 6)
+
   /** Mojibake artifact density: occurrences of the cp1252-glyph lead-ins
     * every UTF-8-as-cp1252 double-decode produces (Ã for U+00C0-range
     * leads, â€ for the punctuation block, Â for NBSP-family) — the cheap
@@ -285,6 +308,19 @@ object QualityOpsSql {
       s"${q(EmailRe)}, '$EmailTag', 'g'), " +
       s"${q(Ipv4Re)}, '$IpTag', 'g'), " +
       s"${q(PhoneRe)}, '$PhoneTag', 'g')"
+
+  def syllableCount(toks: String): String =
+    s"coalesce(list_sum(list_transform($toks, w -> greatest(1, " +
+      s"len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0)::BIGINT"
+
+  def sentenceCount(text: String): String =
+    s"greatest(1, len(regexp_extract_all($text, '[.!?]+')))::BIGINT"
+
+  /** Mirror of [[QualityOps.fleschScore]] — same subtraction order. */
+  def fleschScore(nWords: String, nSentences: String,
+      nSyllables: String): String =
+    s"round(206.835 - 1.015 * $nWords::DOUBLE / $nSentences::DOUBLE " +
+      s"- 84.6 * $nSyllables::DOUBLE / $nWords::DOUBLE, 6)"
 
   def mojibakeScore(text: String): String =
     s"CAST(len(regexp_extract_all($text, 'Ã|â€|Â')) AS BIGINT)"

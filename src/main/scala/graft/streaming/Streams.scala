@@ -1229,6 +1229,47 @@ object Streams {
   }
 
   /**
+   * Streaming decontamination against the PERSISTED winnow-fingerprint
+   * index ([[graft.operators.Contamination.writeWinnowIndex]] holds the
+   * benchmark suites' fingerprints — inherently the small side): each
+   * ingested document reduces map-side to its winnow-SELECTED fingerprint
+   * set, joins the broadcast index, and drops when it shares at least
+   * `minShared` DISTINCT fingerprints with the benchmark UNION (the
+   * substring guarantee: a pasted ≥ w+k−1-token benchmark run always
+   * shares a fingerprint — whole-document Jaccard gates can dilute it
+   * away). The benchmark side is at rest: re-deploying the door never
+   * re-fingerprints the suites.
+   */
+  def winnowGateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      table: String,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    import graft.functions.TextOps
+    val dir = Files.createTempDirectory("graft-stream-winnowgate")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val fps = array_distinct(transform(
+      TextOps.winnow(TextOps.shingleHashes(
+        TextOps.tokenHashes(TextOps.tokens(col("text")))), w),
+      s => s.getField("fp")))
+    val idx = broadcast(spark.table(table).select(col("fp")).distinct()
+      .withColumn("__hit", lit(true)))
+    val scored = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode_outer(fps).as("fp"))
+      .join(idx, Seq("fp"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__hit"), lit(1L)).otherwise(lit(0L))).as("n_shared"))
+    val drained = runToMemory(scored, "complete",
+      statePartitionsFor(dir.toString))
+    cleanupStaging(dir)
+    drained.where(col("n_shared") < minShared).select(col("doc_id"))
+  }
+
+  /**
    * Streaming heavy hitters — the Misra–Gries summary as a STREAMING
    * aggregate: its mergeability (Agarwal et al. 2013) is exactly what a
    * streaming state store needs, so the always-on "what's trending in the

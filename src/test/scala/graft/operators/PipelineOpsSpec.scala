@@ -707,6 +707,50 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(5L) == "mail me <EMAIL> please")
   }
 
+  test("winnow gate stream: union semantics against the at-rest index") {
+    val db = {
+      val dir = java.nio.file.Files.createTempDirectory("winnow_gate").toString
+      Bucketing.scratchDb(spark, "winnow_gate_spec", dir)
+      "winnow_gate_spec"
+    }
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(
+      (900L, s"$run benchmark one tail"),
+      (901L, "completely unrelated benchmark text with its own words"))
+      .toDF("doc_id", "text")
+    Contamination.writeWinnowIndex(bench, "doc_id", "text", 4,
+      s"$db.fps", buckets = 2)
+    val stream = Seq(
+      (1L, s"prefix words here then $run pasted"),   // shares the run -> drop
+      (2L, "nothing in common with any benchmark at all today"),
+      (3L, "short doc")                              // too short to fingerprint
+    ).toDF("doc_id", "text")
+    val kept = Streams.winnowGateStream(spark, stream, s"$db.fps")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), kept.toString)
+  }
+
+  test("flesch: counts floor correctly, monosyllabic prose scores high") {
+    import graft.functions.TextOps
+    val df = Seq(
+      (1L, "the cat sat. the dog ran. we all nap."),  // easy: high FRE
+      (2L, "extraordinary institutionalization necessitates comprehensive reorganization"),
+      (3L, "no terminal punctuation here")            // sentences floor to 1
+    ).toDF("doc_id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val out = df.select(col("doc_id"),
+        size(toks).cast("long").as("w"),
+        QualityOps.sentenceCount(col("text")).as("s"),
+        QualityOps.syllableCount(toks).as("y"))
+      .withColumn("fre", QualityOps.fleschScore(col("w"), col("s"), col("y")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L)._2 == 3L)                  // three sentences
+    assert(out(3L)._2 == 1L)                  // floored
+    assert(out(1L)._4 > 90.0, out(1L).toString)   // monosyllables read easy
+    assert(out(2L)._4 < 0.0, out(2L).toString)    // polysyllabic soup
+  }
+
   test("statePartitionsFor sizes to staged bytes: 1 per 64 MB, clamped") {
     val dir = java.nio.file.Files.createTempDirectory("state-size")
     def write(name: String, mb: Int): Unit =
