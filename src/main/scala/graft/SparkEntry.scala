@@ -429,6 +429,28 @@ object SparkEntry {
       base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** Crafted violators for the Gopher document-shape rules — one arm per
+    * rule (short, symbol soup, numeric words, bullet lines, ellipsis
+    * lines, no stop words); shared verbatim by the SQL rendering. */
+  private val GopherArms: Seq[(Long, String)] = {
+    val stops = "the of and that have with to be"
+    Seq(
+      20001L -> s"too short $stops",
+      20002L -> (Seq.fill(30)("# word").mkString(" ") + " " + stops),
+      20003L -> (Seq.fill(60)("12345").mkString(" ") + " " + stops),
+      20004L -> (1 to 10).map(i =>
+        s"- bullet item number $i with the words of and").mkString("\n"),
+      20005L -> (1 to 10).map(i =>
+        s"line $i of the trailing text goes on and on ...").mkString("\n"),
+      20006L -> Seq.tabulate(60)(i => s"word$i").mkString(" "))
+  }
+
+  private val GopherArmsSql: String =
+    GopherArms.map { case (id, text) =>
+      val lit = text.replace("\n", "' || chr(10) || '")
+      s"($id, '$lit')"
+    }.mkString("VALUES ", ", ", "")
+
   /** One representative per NFKC compatibility class (ligature, fullwidth,
     * vulgar fraction, superscript, squared unit, letterlike, roman
     * numeral, DECOMPOSED accent, NBSP); [[NfkcExpectedSuffix]] is the
@@ -5586,6 +5608,39 @@ object SparkEntry {
           QualityOps.mojibakeRepair(col("text")).as("repaired"),
           (QualityOps.mojibakeRepair(col("text")) =!= col("text"))
             .as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the Gopher document-shape battery (Rae et al. 2021, Table A1):
+    // word-count bounds, mean word length, symbol-to-word ratio, bullet/
+    // ellipsis line fractions, alphabetic-word fraction, stop-word
+    // presence — per-rule verdict columns over the corpus plus one
+    // crafted violator per rule, all map-side
+    "quality_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(GopherArms.toDF("doc_id", "text"))
+      val toks = TextOps.tokens(col("text"))
+      corpus.select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          TextOps.meanTokenLen(toks).as("__ml"),
+          QualityOps.symbolWordRatio(col("text"), toks).as("__sym"),
+          QualityOps.bulletLineFrac(col("text")).as("__bul"),
+          QualityOps.ellipsisLineFrac(col("text")).as("__ell"),
+          QualityOps.alphaWordFrac(toks).as("__alpha"),
+          QualityOps.gopherStopHits(toks).as("__stops"))
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
+          (col("__ml") >= 3.0 && col("__ml") <= 10.0).as("r_mean_len"),
+          (col("__sym") <= 0.1).as("r_symbols"),
+          (col("__bul") <= 0.9).as("r_bullets"),
+          (col("__ell") <= 0.3).as("r_ellipsis"),
+          (col("__alpha") >= 0.8).as("r_alpha"),
+          (col("__stops") >= 2L).as("r_stops"))
+        .withColumn("pass",
+          col("r_words") && col("r_mean_len") && col("r_symbols") &&
+            col("r_bullets") && col("r_ellipsis") && col("r_alpha") &&
+            col("r_stops"))
         .orderBy(col("doc_id"))
     }),
 
@@ -11449,6 +11504,37 @@ object SparkEntry {
            |          ELSE text END AS text_repaired
            |      FROM injected) v
            |ORDER BY doc_id""".stripMargin,
+
+      "quality_gopher_rules" -> {
+        val Q = functions.QualityOpsSql
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT * FROM ($GopherArmsSql) arms(doc_id, text)),
+           |base AS (SELECT doc_id, text, $toks AS toks FROM corpus),
+           |m AS (SELECT doc_id,
+           |        CAST(len(toks) AS BIGINT) AS n_words,
+           |        ${TextOpsSql.meanTokenLen("toks")} AS ml,
+           |        ${Q.symbolWordRatio("text", "toks")} AS sym,
+           |        ${Q.bulletLineFrac("text")} AS bul,
+           |        ${Q.ellipsisLineFrac("text")} AS ell,
+           |        ${Q.alphaWordFrac("toks")} AS alpha,
+           |        ${Q.gopherStopHits("toks")} AS stops
+           |      FROM base)
+           |SELECT doc_id, n_words,
+           |       n_words >= 50 AND n_words <= 100000 AS r_words,
+           |       ml >= 3.0 AND ml <= 10.0 AS r_mean_len,
+           |       sym <= 0.1 AS r_symbols,
+           |       bul <= 0.9 AS r_bullets,
+           |       ell <= 0.3 AS r_ellipsis,
+           |       alpha >= 0.8 AS r_alpha,
+           |       stops >= 2 AS r_stops,
+           |       (n_words >= 50 AND n_words <= 100000) AND
+           |       (ml >= 3.0 AND ml <= 10.0) AND sym <= 0.1 AND
+           |       bul <= 0.9 AND ell <= 0.3 AND alpha >= 0.8 AND
+           |       stops >= 2 AS pass
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
 
       "quality_flesch" -> {
         val syl = functions.QualityOpsSql.syllableCount("toks")

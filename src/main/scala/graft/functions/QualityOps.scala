@@ -185,6 +185,46 @@ object QualityOps {
       round(deflateLen(text, level).cast("double") /
         octet_length(text).cast("double"), 6))
 
+  // ---- Gopher document-shape rules (Rae et al. 2021, Table A1) --------
+
+  /** The stop-word presence list Gopher's rule 6 names. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** `#`/ellipsis symbols per word (rule: ≤ 0.1). */
+  def symbolWordRatio(text: Column, toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      (regexp_count(text, lit("#")) +
+        regexp_count(text, lit("\\.\\.\\.|…"))).cast("double") /
+        size(toks).cast("double"))
+
+  /** Fraction of lines starting with a bullet glyph (rule: ≤ 0.9). */
+  def bulletLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => trim(l).startsWith("-") ||
+      trim(l).startsWith("*") || trim(l).startsWith("•"))).cast("double") /
+      size(lines).cast("double")
+  }
+
+  /** Fraction of lines ending with an ellipsis (rule: ≤ 0.3). */
+  def ellipsisLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => trim(l).endsWith("...") ||
+      trim(l).endsWith("…"))).cast("double") / size(lines).cast("double")
+  }
+
+  /** Fraction of words containing at least one alphabetic char
+    * (rule: ≥ 0.8). */
+  def alphaWordFrac(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") /
+        size(toks).cast("double"))
+
+  /** Count of DISTINCT Gopher stop words present (rule: ≥ 2). */
+  def gopherStopHits(toks: Column): Column =
+    size(array_intersect(array_distinct(transform(toks, lower(_))),
+      typedLit(GopherStops))).cast("long")
+
   /** Heuristic syllable count: vowel GROUPS per lowercased token, floored
     * at one per token — the standard cheap approximation under Flesch
     * scoring (exact syllabification needs a dictionary; readability
@@ -308,6 +348,36 @@ object QualityOpsSql {
       s"${q(EmailRe)}, '$EmailTag', 'g'), " +
       s"${q(Ipv4Re)}, '$IpTag', 'g'), " +
       s"${q(PhoneRe)}, '$PhoneTag', 'g')"
+
+  // ---- Gopher document-shape mirrors ----------------------------------
+
+  def symbolWordRatio(text: String, toks: String): String =
+    s"(case when len($toks) = 0 then 0.0 else " +
+      s"(len(regexp_extract_all($text, '#')) + " +
+      s"len(regexp_extract_all($text, '\\.\\.\\.|…')))::DOUBLE " +
+      s"/ len($toks)::DOUBLE end)"
+
+  private def lineFrac(text: String, pred: String): String =
+    s"(len(list_filter(string_split($text, chr(10)), l -> $pred))::DOUBLE " +
+      s"/ len(string_split($text, chr(10)))::DOUBLE)"
+
+  def bulletLineFrac(text: String): String =
+    lineFrac(text, "starts_with(trim(l), '-') or " +
+      "starts_with(trim(l), '*') or starts_with(trim(l), '•')")
+
+  def ellipsisLineFrac(text: String): String =
+    lineFrac(text, "ends_with(trim(l), '...') or ends_with(trim(l), '…')")
+
+  def alphaWordFrac(toks: String): String =
+    s"(case when len($toks) = 0 then 0.0 else " +
+      s"len(list_filter($toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE " +
+      s"/ len($toks)::DOUBLE end)"
+
+  def gopherStopHits(toks: String): String = {
+    val stops = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_intersect(list_distinct(list_transform($toks, " +
+      s"w -> lower(w))), $stops)) AS BIGINT)"
+  }
 
   def syllableCount(toks: String): String =
     s"coalesce(list_sum(list_transform($toks, w -> greatest(1, " +
