@@ -3524,6 +3524,19 @@ object SparkEntry {
         TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // the langid heuristic's confusion matrix against the gold labels —
+    // every classifier in the pipeline ships its accuracy gauge, and a
+    // confusion MATRIX (not a single accuracy number) shows WHICH
+    // languages leak into which (the stopword heuristic has no zh list,
+    // so zh rows concentrate under 'unk'/'en' — visible here, invisible
+    // in an aggregate accuracy)
+    "text_langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // one-pass multi-column profile (ingest sanity gate): every metric of
     // every column rides a single scan + one aggregation
     "profile_table" -> ((s, dir) =>
@@ -9583,6 +9596,12 @@ object SparkEntry {
       "text_langid" ->
         s"""SELECT doc_id, ${TextOpsSql.langId(toks)} AS lang_pred
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_langid_confusion" ->
+        s"""SELECT lang, ${TextOpsSql.langId(toks)} AS lang_pred,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM documents GROUP BY lang, lang_pred
+           |ORDER BY lang, lang_pred""".stripMargin,
 
       "text_top_tokens" ->
         s"""SELECT token, count(*) AS n
