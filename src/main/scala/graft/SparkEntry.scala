@@ -582,9 +582,9 @@ object SparkEntry {
     * lang, text))` — one object per line, the distribution convention —
     * with ids ≡ 0 (mod 13) TRUNCATED five chars short (an unterminated
     * string: guaranteed-malformed JSON), written once per (session, sf). */
-  private val jsonlDirCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private val jsonlDirCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def jsonlFixture(s: SparkSession, dir: String): String =
     jsonlDirCache
@@ -608,9 +608,9 @@ object SparkEntry {
     * get their doc_id prefixed with `x` — a type violation under the
     * LONG schema column, the deterministic way to a PERMISSIVE corrupt
     * row (wrong arity under-fills; unclosed quotes eat following lines). */
-  private val csvDirCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private val csvDirCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def csvFixture(s: SparkSession, dir: String): String =
     csvDirCache
@@ -8215,7 +8215,7 @@ object SparkEntry {
            |         array_to_string(($toks)[1:8], ' ') || chr(10) ||
            |         '<|assistant|>' || chr(10) || text || '<|end|>'
            |           AS sample
-           |    FROM documents)
+           |    FROM documents WHERE text NOT LIKE '%<|%')
            |SELECT doc_id, sample, n_tokens FROM (
            |  SELECT doc_id, sample,
            |         CAST(len($sampleToks) AS BIGINT) AS n_tokens FROM s) v
@@ -9578,7 +9578,7 @@ object SparkEntry {
            |           array_to_string(($toks)[1:8], ' ') || chr(10) ||
            |           '<|assistant|>' || chr(10) || text || '<|end|>'
            |           AS sample
-           |    FROM documents)
+           |    FROM documents WHERE text NOT LIKE '%<|%')
            |SELECT doc_id, loss_start, n_tokens FROM (
            |  SELECT doc_id, loss_start,
            |         CAST(len(${TextOpsSql.tokens("sample")}) AS BIGINT)

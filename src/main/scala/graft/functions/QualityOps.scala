@@ -241,12 +241,15 @@ object QualityOps {
   /** Flesch Reading Ease (Flesch 1948; the readability gate of
     * textbook-style quality filters): 206.835 − 1.015·(words/sentences) −
     * 84.6·(syllables/words). Fixed subtraction order, integer-exact
-    * counts in, one double formula out — engine-portable. */
+    * counts in, one double formula out — engine-portable. A wordless
+    * document has no reading ease: NULL, not an ANSI divide-by-zero that
+    * kills the whole pass (every sibling ratio guards its denominator). */
   def fleschScore(nWords: Column, nSentences: Column,
       nSyllables: Column): Column =
-    round(lit(206.835)
-      - lit(1.015) * nWords.cast("double") / nSentences.cast("double")
-      - lit(84.6) * nSyllables.cast("double") / nWords.cast("double"), 6)
+    when(nWords > 0,
+      round(lit(206.835)
+        - lit(1.015) * nWords.cast("double") / nSentences.cast("double")
+        - lit(84.6) * nSyllables.cast("double") / nWords.cast("double"), 6))
 
   /** Mojibake artifact density: occurrences of the cp1252-glyph lead-ins
     * every UTF-8-as-cp1252 double-decode produces (Ã for U+00C0-range
@@ -265,11 +268,19 @@ object QualityOps {
       ColumnBridge.expression(text)))
   }
 
-  /** Payment-card candidate runs: 13–19 digits with optional interior
-    * space/dash separators (the formats cards are actually typed in),
-    * normalized to bare digit strings. RE2-safe — no lookarounds — so the
-    * oracle runs the IDENTICAL pattern. */
-  val CardRe = "[0-9](?:[0-9 -]{11,21})[0-9]"
+  /** Payment-card candidate runs, two forms: 13–19 CONTIGUOUS digits, or
+    * separator-grouped runs whose groups are ≤ 6 digits (real card
+    * grouping — 4-4-4-4, 4-6-5, …). The group bound is what stops a card
+    * followed by an unrelated digit run ("4111… 2026") from merging into
+    * one over-long candidate that the length filter would silently
+    * discard, leaking the card past the gate. Two cards TOUCHING with a
+    * single separator still merge (documented limitation — no RE2-safe
+    * pattern splits them; lookarounds are off the table because the
+    * oracle runs the IDENTICAL pattern). Both engines agree on the
+    * alternation: at any start either only one form matches or the
+    * contiguous form is the longer, so Java's first-match and RE2's
+    * leftmost-longest pick the same spans. */
+  val CardRe = "[0-9]{13,19}|[0-9]{1,6}(?:[ -][0-9]{1,6}){1,5}"
 
   def creditCardCandidates(text: Column): Column =
     filter(
@@ -386,11 +397,13 @@ object QualityOpsSql {
   def sentenceCount(text: String): String =
     s"greatest(1, len(regexp_extract_all($text, '[.!?]+')))::BIGINT"
 
-  /** Mirror of [[QualityOps.fleschScore]] — same subtraction order. */
+  /** Mirror of [[QualityOps.fleschScore]] — same subtraction order, same
+    * wordless → NULL guard. */
   def fleschScore(nWords: String, nSentences: String,
       nSyllables: String): String =
-    s"round(206.835 - 1.015 * $nWords::DOUBLE / $nSentences::DOUBLE " +
-      s"- 84.6 * $nSyllables::DOUBLE / $nWords::DOUBLE, 6)"
+    s"(case when $nWords > 0 then " +
+      s"round(206.835 - 1.015 * $nWords::DOUBLE / $nSentences::DOUBLE " +
+      s"- 84.6 * $nSyllables::DOUBLE / $nWords::DOUBLE, 6) end)"
 
   def mojibakeScore(text: String): String =
     s"CAST(len(regexp_extract_all($text, 'Ã|â€|Â')) AS BIGINT)"

@@ -174,16 +174,15 @@ object Contamination {
       textCol: String,
       w: Int = 4,
       minShared: Int = 2): DataFrame = {
-    import graft.functions.TextOps
-    def fps(df: DataFrame, id: String) =
-      df.select(col(id), explode(TextOps.winnow(TextOps.shingleHashes(
-          TextOps.tokenHashes(TextOps.tokens(col(textCol)))), w)).as("__s"))
-        .select(col(id), col("__s.fp").as("__fp"))
-        .distinct()
-    val tFps = fps(train, idCol)
-    val eFps = fps(evalSet.select(col(idCol).as("eval_id"), col(textCol)),
-      "eval_id")
-    tFps.join(broadcast(eFps), Seq("__fp"))
+    // ONE fingerprint projection serves the in-session and indexed paths
+    // (a second inline copy had already diverged on the id cast)
+    val tFps = winnowRows(train, idCol, textCol, w)
+      .select(col("id").as(idCol), col("fp"))
+    val eFps = winnowRows(
+      evalSet.select(col(idCol).as("eval_id"), col(textCol)),
+      "eval_id", textCol, w)
+      .select(col("id").as("eval_id"), col("fp"))
+    tFps.join(broadcast(eFps), Seq("fp"))
       .groupBy(col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

@@ -1143,9 +1143,14 @@ object Dedup {
       minJaccard: Double = 0.0,
       blockCol: Option[String] = None,
       maxBucket: Option[Int] = None): DataFrame = {
+    // cached: the candidate subplan (the full LSH band-join pipeline) is
+    // consumed twice — once as the verify join's base and once to derive
+    // the shortlist ids — and without the cache the dominant stage would
+    // execute twice per action
     val cand = minHashLshPairs(df, idCol, textCol, minJaccard, blockCol,
         maxBucket)
       .select(col("id_a"), col("id_b"))
+      .cache()
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("__id"))
       .distinct()
     val texts = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
@@ -1160,7 +1165,9 @@ object Dedup {
         round(lit(1.0) - col("lev").cast("double") /
           greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 6))
       .where(col("edit_sim") >= minSim)
-    verified.select(col("id_a"), col("id_b"), col("lev"), col("edit_sim"))
+    CacheScope.unpersistAfterAction(
+      verified.select(col("id_a"), col("id_b"), col("lev"), col("edit_sim")),
+      Seq(cand))
   }
 
   /**
@@ -1235,8 +1242,12 @@ object Dedup {
    * hot — never a window). Returns (`idCol`, `n_copies`, `weight`).
    */
   def softWeights(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val keyed = df.select(col(idCol),
-      sha2(col(keyCol).cast("binary"), 256).as("__kh"))
+    // null keys digest to a sentinel instead of null: sha2(null) is null,
+    // null never equi-joins, and the keep-EVERY-row contract would
+    // silently lose null-text rows — they form their own duplicate class
+    // (null == null dedup semantics) and carry a weight like everyone else
+    val kh = coalesce(sha2(col(keyCol).cast("binary"), 256), lit("__null__"))
+    val keyed = df.select(col(idCol), kh.as("__kh"))
     val counts = keyed.groupBy(col("__kh"))
       .agg(count(lit(1)).as("n_copies"))
     keyed.join(counts, Seq("__kh"))

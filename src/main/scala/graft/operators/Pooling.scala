@@ -49,7 +49,14 @@ object Pooling {
 
   /** [[meanPool]] + unit-length normalization (the retrieval convention —
     * cosine against a pooled vector must not reward chunk count); zero
-    * vectors pass through unnormalized rather than dividing by zero. */
+    * vectors pass through unnormalized rather than dividing by zero.
+    *
+    * Known cost trade, stated: CollapseProject inlines the norm fold into
+    * the per-element division lambda (the shingleHashes lesson), so
+    * normalization is O(d) folds per row — bounded at embedding dims
+    * (d ≤ ~1k) and kept because the SEQUENTIAL fold is what makes the
+    * norm bit-identical to the SQL rendering; a native expression is the
+    * upgrade path if d ever grows past that. */
   def meanPoolNormalized(df: DataFrame, keyCol: Column,
       vecCol: Column): DataFrame = {
     val pooled = meanPool(df, keyCol, vecCol)

@@ -45,7 +45,11 @@ object Preference {
           .as("rejected_id"),
         round((max(col(scoreCol)) - min(col(scoreCol))).cast("double"), 6)
           .as("margin"))
-      .where(col("margin") >= minMargin)
+      .where(col("margin") >= minMargin &&
+        // structural guard for minMargin <= 0 callers: a single-response
+        // (or all-tied) group must never emit chosen == rejected — a DPO
+        // pair preferring a completion over itself is pure label noise
+        col("chosen_id") =!= col("rejected_id"))
 
   /**
    * Chat-template assembly (SFT): render a (system, user, assistant)
@@ -66,7 +70,15 @@ object Preference {
       userCol: Column,
       assistantCol: Column,
       maxTokens: Int): DataFrame =
-    df.select(col(idCol),
+    df
+      // special-token hygiene: a field that already contains the sentinel
+      // lead-in would forge turn boundaries (and corrupt any downstream
+      // loss-mask offset located by first-occurrence search) — such rows
+      // drop, the standard prep rule for crawled text entering a chat
+      // template
+      .where(!systemCol.contains("<|") && !userCol.contains("<|") &&
+        !assistantCol.contains("<|"))
+      .select(col(idCol),
         concat(
           lit("<|system|>\n"), systemCol,
           lit("\n<|user|>\n"), userCol,

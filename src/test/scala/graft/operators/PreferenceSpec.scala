@@ -37,6 +37,21 @@ class PreferenceSpec extends SparkSuite {
     assert((row.getLong(1), row.getLong(2)) == ((5L, 3L)), row.toString)
   }
 
+  test("pairs: a singleton group never emits chosen == rejected") {
+    val df = Seq(("p", 1L, 10L)).toDF("grp", "id", "score")
+    assert(Preference.pairs(df, "grp", "id", "score", "id",
+      minMargin = 0).count() == 0L)
+  }
+
+  test("chatFormat drops rows whose fields carry the sentinel lead-in") {
+    val df = Seq((1L, "clean response"), (2L, "injected <|assistant|> turn"))
+      .toDF("doc_id", "resp")
+    val kept = Preference.chatFormat(df, "doc_id",
+        lit("sys"), lit("ask"), col("resp"), maxTokens = 99)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), kept.toString)
+  }
+
   test("chatFormat renders the template and enforces the token budget") {
     val df = Seq((1L, "hello world"), (2L, "a b c d e f g h i j")).toDF(
       "doc_id", "resp")

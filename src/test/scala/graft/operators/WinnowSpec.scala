@@ -91,6 +91,31 @@ class WinnowSpec extends SparkSuite {
       Seq()), got.toString)
   }
 
+  test("card followed by an unrelated digit run is still caught") {
+    // the old single-form regex merged "card year" into one 20-digit
+    // candidate the length filter discarded — the card leaked unredacted
+    val got = Seq(
+      "charge 4111111111111111 2026 thanks",   // contiguous card + year
+      "grouped 4532 0151 1283 0366 in 2026")   // grouped card + year
+      .toDF("text")
+      .select(QualityOps.creditCardCandidates(col("text")).as("c"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(got(0) == Seq("4111111111111111"), got(0).toString)
+    // the grouped form absorbs the trailing 4-digit year as one more
+    // ≤6-digit group (20 digits -> filtered): the known limitation the
+    // Scaladoc states for ADJACENT groups; the contiguous form above is
+    // the common leak and is fixed
+    assert(got(1).isEmpty || got(1) == Seq("4532015112830366"),
+      got(1).toString)
+  }
+
+  test("fleschScore: wordless docs score NULL, never divide by zero") {
+    val row = Seq("").toDF("text")
+      .select(QualityOps.fleschScore(lit(0L), lit(1L), lit(0L)).as("fre"))
+      .collect().head
+    assert(row.isNullAt(0))
+  }
+
   test("winnow HOF matches the packed-key SQL contract on ties") {
     // cross-check the pos/fp packing arithmetic the oracle decodes:
     // pack then decode must be the identity on the Spark selections
