@@ -188,12 +188,12 @@ object SparkEntry {
        |)""".stripMargin
 
   // ---- near-dup corpora ------------------------------------------------
-  /** documents ∪ a copy with the first 5 tokens dropped (ids +10000). */
+  /** documents ∪ a copy with the first 5 tokens dropped (ids +10000000). */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val toks = TextOps.tokens(col("text"))
     val mutated = d.select(
-      (col("doc_id") + 10000).as("doc_id"),
+      (col("doc_id") + 10000000).as("doc_id"),
       when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
         .otherwise(col("text")).as("text"))
     d.unionByName(mutated)
@@ -201,20 +201,20 @@ object SparkEntry {
 
   /** The ingest-batch fixture all four incremental-dedup queries share
     * (plain/bloom × batch/stream — ONE definition, as their oracles share
-    * one SQL): an exact copy of documents (ids +10000), a token-sliced
-    * mutation (ids +20000), and a second copy of that mutation
-    * (ids +30000). Copies collide with the ingested corpus and drop;
+    * one SQL): an exact copy of documents (ids +10000000), a token-sliced
+    * mutation (ids +20000000), and a second copy of that mutation
+    * (ids +30000000). Copies collide with the ingested corpus and drop;
     * the duplicated mutation dedups within the batch to its lower id. */
   private def incrementalIngestBatch(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val toks = TextOps.tokens(col("text"))
     val mutated = d.select(
-      (col("doc_id") + 20000).as("doc_id"),
+      (col("doc_id") + 20000000).as("doc_id"),
       when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
         .otherwise(col("text")).as("text"))
-    d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    d.select((col("doc_id") + 10000000).as("doc_id"), col("text"))
       .unionByName(mutated)
-      .unionByName(mutated.select((col("doc_id") + 10000).as("doc_id"),
+      .unionByName(mutated.select((col("doc_id") + 10000000).as("doc_id"),
         col("text")))
   }
 
@@ -367,7 +367,7 @@ object SparkEntry {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 10000 AS doc_id,
+       |  SELECT doc_id + 10000000 AS doc_id,
        |         CASE WHEN len($toks) > 5
        |              THEN array_to_string(($toks)[6:], ' ')
        |              ELSE text END AS text
@@ -400,22 +400,22 @@ object SparkEntry {
     (pages, images)
   }
 
-  /** documents ∪ an exact copy (ids +10000). */
+  /** documents ∪ an exact copy (ids +10000000). */
   private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    d.unionByName(d.select((col("doc_id") + 10000000).as("doc_id"), col("text")))
   }
 
   private val ExactDupCorpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
       |)""".stripMargin
 
   /** Paragraph-structured corpus: each document's tokens reflowed into
     * 8-token newline-separated lines under a constant boilerplate header
-    * line, ∪ an exact copy (ids +10000) — so the header is corpus-wide
+    * line, ∪ an exact copy (ids +10000000) — so the header is corpus-wide
     * boilerplate and every copy line is a cross-document duplicate. */
   private def paragraphCorpus(s: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
@@ -426,7 +426,7 @@ object SparkEntry {
       concat_ws("\n", lit("corpus header boilerplate line"),
         array_join(lines, "\n")).as("text"))
     base.unionByName(
-      base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      base.select((col("doc_id") + 10000000).as("doc_id"), col("text")))
   }
 
   /** Crafted violators for the Gopher document-shape rules — one arm per
@@ -435,14 +435,14 @@ object SparkEntry {
   private val GopherArms: Seq[(Long, String)] = {
     val stops = "the of and that have with to be"
     Seq(
-      20001L -> s"too short $stops",
-      20002L -> (Seq.fill(30)("# word").mkString(" ") + " " + stops),
-      20003L -> (Seq.fill(60)("12345").mkString(" ") + " " + stops),
-      20004L -> (1 to 10).map(i =>
+      20000001L -> s"too short $stops",
+      20000002L -> (Seq.fill(30)("# word").mkString(" ") + " " + stops),
+      20000003L -> (Seq.fill(60)("12345").mkString(" ") + " " + stops),
+      20000004L -> (1 to 10).map(i =>
         s"- bullet item number $i with the words of and").mkString("\n"),
-      20005L -> (1 to 10).map(i =>
+      20000005L -> (1 to 10).map(i =>
         s"line $i of the trailing text goes on and on ...").mkString("\n"),
-      20006L -> Seq.tabulate(60)(i => s"word$i").mkString(" "))
+      20000006L -> Seq.tabulate(60)(i => s"word$i").mkString(" "))
   }
 
   private val GopherArmsSql: String =
@@ -507,11 +507,11 @@ object SparkEntry {
     val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
       col("text"))
     val full = d.where(col("source") === "src0")
-      .select((col("doc_id") + 10000).as("doc_id"),
+      .select((col("doc_id") + 10000000).as("doc_id"),
         lit("mirror0").as("source"), col("text"))
     val partial = d.where(col("source") === "src1" &&
         floor(col("doc_id") / 20) % 5 < 3)
-      .select((col("doc_id") + 20000).as("doc_id"),
+      .select((col("doc_id") + 20000000).as("doc_id"),
         lit("mirror1").as("source"), col("text"))
     d.unionByName(full).unionByName(partial)
   }
@@ -520,10 +520,10 @@ object SparkEntry {
     """corpus AS (
       |  SELECT doc_id, source, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, 'mirror0' AS source, text
+      |  SELECT doc_id + 10000000 AS doc_id, 'mirror0' AS source, text
       |    FROM documents WHERE source = 'src0'
       |  UNION ALL
-      |  SELECT doc_id + 20000 AS doc_id, 'mirror1' AS source, text
+      |  SELECT doc_id + 20000000 AS doc_id, 'mirror1' AS source, text
       |    FROM documents WHERE source = 'src1' AND (doc_id // 20) % 5 < 3
       |)""".stripMargin
 
@@ -896,7 +896,7 @@ object SparkEntry {
        |corpus AS (
        |  SELECT doc_id, text FROM base
        |  UNION ALL
-       |  SELECT doc_id + 10000 AS doc_id, text FROM base
+       |  SELECT doc_id + 10000000 AS doc_id, text FROM base
        |),
        |lines AS (
        |  SELECT doc_id,
@@ -1695,9 +1695,9 @@ object SparkEntry {
     "dedup_incremental_semantic" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = e.where(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 10000000).as("vec_id"), col("embedding"))
       val flipped = e.where(col("vec_id") % 7 === 0)
-        .select((col("vec_id") + 20000).as("vec_id"),
+        .select((col("vec_id") + 20000000).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding"))
       Dedup.incrementalSemDedup(copies.unionByName(flipped), e,
           "vec_id", "embedding", minCosine = 0.8, nlist = 8)
@@ -1712,7 +1712,7 @@ object SparkEntry {
     "dedup_incremental_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val toks = TextOps.tokens(col("text"))
-      val batch = d.select((col("doc_id") + 10000).as("doc_id"),
+      val batch = d.select((col("doc_id") + 10000000).as("doc_id"),
         when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
           .otherwise(col("text")).as("text"))
       Dedup.incrementalNearDup(batch, d, "doc_id", "text", 0.7)
@@ -1913,11 +1913,11 @@ object SparkEntry {
     }),
 
     // ingest-time batch-vs-corpus dedup: the new batch is an exact copy of
-    // documents (ids+10000), a token-sliced mutation (ids+20000), and a
-    // second copy of that mutation (ids+30000). Copies collide with the
+    // documents (ids+10000000), a token-sliced mutation (ids+20000000), and a
+    // second copy of that mutation (ids+30000000). Copies collide with the
     // ingested corpus and drop (as do mutations the slice left unchanged —
     // docs of <= 5 tokens); the duplicated mutation dedups WITHIN the batch
-    // to its lower id. Kept = the +20000 mutations of > 5-token docs.
+    // to its lower id. Kept = the +20000000 mutations of > 5-token docs.
     "dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       Dedup.incremental(incrementalIngestBatch(s, dir), d, "doc_id", "text")
@@ -1965,7 +1965,7 @@ object SparkEntry {
     "dedup_band_index_roundtrip" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val toksB = TextOps.tokens(col("text"))
-      val batch = d.select((col("doc_id") + 10000).as("doc_id"),
+      val batch = d.select((col("doc_id") + 10000000).as("doc_id"),
         when(size(toksB) > 5,
             array_join(slice(toksB, lit(6), size(toksB) - 5), " "))
           .otherwise(col("text")).as("text"))
@@ -1986,9 +1986,9 @@ object SparkEntry {
     "dedup_cluster_index_roundtrip" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = e.where(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 10000000).as("vec_id"), col("embedding"))
       val flipped = e.where(col("vec_id") % 7 === 0)
-        .select((col("vec_id") + 20000).as("vec_id"),
+        .select((col("vec_id") + 20000000).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding"))
       val db = indexDb(s)
       DedupIndex.writeClusterIndex(e, "vec_id", "embedding",
@@ -2107,7 +2107,7 @@ object SparkEntry {
     // paragraph-level exact dedup (C4 / RefinedWeb line dedup): each
     // paragraph survives only at its globally first (doc, position)
     // occurrence; documents reassemble from survivors in order, empty
-    // documents drop. On the fixture: the +10000 copies lose every line
+    // documents drop. On the fixture: the +10000000 copies lose every line
     // (dropped entirely), the corpus-wide header line survives only in the
     // first document. First-occurrence = a map-side-combinable
     // groupBy(digest).min joined back — no window over the digest
@@ -3699,9 +3699,9 @@ object SparkEntry {
       val corpus = nearDupCorpus(s, dir)
       val k = 64
       val path = s"$indexDbDir/kmv_ledger"
-      Sketches.writeKmv(corpus.where(col("doc_id") < 10000), col("text"),
+      Sketches.writeKmv(corpus.where(col("doc_id") < 10000000), col("text"),
         k, path, 0)
-      Sketches.writeKmv(corpus.where(col("doc_id") >= 10000), col("text"),
+      Sketches.writeKmv(corpus.where(col("doc_id") >= 10000000), col("text"),
         k, path, 1)
       val merged = Sketches.kmvIndexedEstimate(s, path, k)
       val pooled = Sketches.kmvEstimate(
@@ -5624,6 +5624,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // segment-scoped mojibake repair on MIXED documents (the corpora the
+    // whole-string rule under-serves): every doc carries one genuine-'é'
+    // line (single-encoded text the strict round-trip rightly refuses to
+    // touch — and under the whole-string rule that refusal poisons the
+    // entire doc) plus an artifact lead line; per-line scoping repairs
+    // the artifact lines while the genuine line passes byte-identical.
+    // The oracle pins whole-string bail-out as literal FALSE and
+    // restates the per-line result from construction
+    "text_mojibake_lines" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("rÃ©sumÃ© artifacts lead\n"), col("text"),
+          lit("\ngenuine café line"),
+          when(col("doc_id") % 2 === 0, lit("\ntail donâ€™t stop"))
+            .otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          (QualityOps.mojibakeRepair(col("text")) =!= col("text"))
+            .as("changed_whole"),
+          QualityOps.mojibakeRepairLines(col("text")).as("by_line"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the Gopher document-shape battery (Rae et al. 2021, Table A1):
     // word-count bounds, mean word length, symbol-to-word ratio, bullet/
     // ellipsis line fractions, alphabetic-word fraction, stop-word
@@ -5751,14 +5772,14 @@ object SparkEntry {
     // FUZZY decontamination: train docs near-duplicating (Jaccard >= 0.5)
     // an eval doc, via cross-corpus MinHash-LSH banding — the leak exact
     // n-gram overlap misses. Eval = a 5% hash split of documents; train =
-    // every document with its 5 leading tokens dropped (ids +10000), so
+    // every document with its 5 leading tokens dropped (ids +10000000), so
     // each eval doc's mutated twin must surface
     "contamination_fuzzy" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val h = Sampling.hash16(col("doc_id"), 7)
       val r = math.round(0.05 * Sampling.Buckets)
       val toks = TextOps.tokens(col("text"))
-      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+      val train = d.select((col("doc_id") + 10000000).as("doc_id"),
         when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
           .otherwise(col("text")).as("text"))
       Contamination.fuzzy(train, d.where(h < lit(r)), "doc_id", "text",
@@ -5779,7 +5800,7 @@ object SparkEntry {
       val h = Sampling.hash16(col("doc_id"), 7)
       val r = math.round(0.05 * Sampling.Buckets)
       val toks = TextOps.tokens(col("text"))
-      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+      val train = d.select((col("doc_id") + 10000000).as("doc_id"),
         when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
           .otherwise(col("text")).as("text"))
       Contamination.winnowMatches(train, d.where(h < lit(r)), "doc_id",
@@ -5797,7 +5818,7 @@ object SparkEntry {
       val h = Sampling.hash16(col("doc_id"), 7)
       val r = math.round(0.05 * Sampling.Buckets)
       val toks = TextOps.tokens(col("text"))
-      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+      val train = d.select((col("doc_id") + 10000000).as("doc_id"),
         when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
           .otherwise(col("text")).as("text"))
       val table = s"${indexDb(s)}.winnow_fp"
@@ -5820,7 +5841,7 @@ object SparkEntry {
       val h = Sampling.hash16(col("doc_id"), 7)
       val r = math.round(0.05 * Sampling.Buckets)
       val toks = TextOps.tokens(col("text"))
-      val train = d.select((col("doc_id") + 10000).as("doc_id"),
+      val train = d.select((col("doc_id") + 10000000).as("doc_id"),
         when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
           .otherwise(col("text")).as("text"))
       val bench = d.where(h < lit(r))
@@ -6299,9 +6320,9 @@ object SparkEntry {
         when(size(toks) > drop,
           array_join(slice(toks, lit(drop + 1), size(toks) - drop), " "))
           .otherwise(col("text")).as("text"))
-      val b1 = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .unionByName(mut(5, 20000))
-      val b2 = mut(5, 40000).unionByName(mut(8, 50000))
+      val b1 = d.select((col("doc_id") + 10000000).as("doc_id"), col("text"))
+        .unionByName(mut(5, 20000000))
+      val b2 = mut(5, 40000000).unionByName(mut(8, 50000000))
       Streams.ingestLoopStream(s, Seq(b1, b2),
           s"$db.loop_digest", s"$db.loop_band", 0.7)
         .orderBy(col("doc_id"))
@@ -6569,13 +6590,17 @@ object SparkEntry {
     // streams through the SAME map-side HtmlOps.mainText projection as the
     // batch operator + a min-token keep gate — stateless, so AvailableNow
     // drains to exactly the batch answer the oracle restates
-    // the text-hygiene ingest door: mojibake repair -> Luhn-valid-card
-    // row drop -> email/IP/phone redaction, one stateless projection; the
-    // fixture injects BOTH artifact families (three mojibake arms by
-    // id%4, three card arms by id%5/7/11 — only the two VALID cards
-    // drop), and the oracle restates repair from construction and the
-    // drop rule SEMANTICALLY (candidates + Luhn in SQL, not id
-    // arithmetic)
+    // the text-hygiene ingest door: segment-scoped mojibake repair ->
+    // Luhn-card row drop (the WINDOW-SCANNING net, not the bounded
+    // reporting regex) -> email/IP/phone redaction, one stateless
+    // projection; the fixture injects BOTH artifact families (three
+    // mojibake arms by id%4; card arms by id%5/7/11/13 — the %13 arm is
+    // the MERGED-RUN leak the net exists for: a valid card + a
+    // separator-joined expiry fuse into one 20-digit run the bounded
+    // regex's length filter would discard, keeping the card in the
+    // corpus), and the oracle restates repair from construction and the
+    // drop rule SEMANTICALLY (the identical window-scan mirror in SQL,
+    // not id arithmetic)
     "stream_hygiene_gate" -> ((s, dir) => {
       val injected = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
@@ -6588,7 +6613,10 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0,
             lit(" pay 4111-1111-1111-1112 now")).otherwise(lit("")),
           when(col("doc_id") % 11 === 0,
-            lit(" amex 371449635398431.")).otherwise(lit(""))).as("text"))
+            lit(" amex 371449635398431.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" visa 4111 1111 1111 1111 12 26 exp")).otherwise(lit("")))
+          .as("text"))
       Streams.hygieneGateStream(s, injected).orderBy(col("doc_id"))
     }),
 
@@ -7289,15 +7317,15 @@ object SparkEntry {
     // pre-gate is exact-confirmed, so its contract IS the plain one's
     val incrementalDedupSql =
       s"""WITH mut AS (
-         |  SELECT doc_id + 20000 AS doc_id,
+         |  SELECT doc_id + 20000000 AS doc_id,
          |         CASE WHEN len($toks) > 5
          |              THEN array_to_string(($toks)[6:], ' ')
          |              ELSE text END AS text
          |    FROM documents),
          |batch AS (
-         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
          |  UNION ALL SELECT doc_id, text FROM mut
-         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
+         |  UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM mut)
          |SELECT doc_id FROM (
          |  SELECT doc_id,
          |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -7308,15 +7336,15 @@ object SparkEntry {
     // ingest door is exact-confirmed, so its contract IS the plain one's
     val streamIncDedupSql =
       s"""WITH mut AS (
-         |  SELECT doc_id + 20000 AS doc_id,
+         |  SELECT doc_id + 20000000 AS doc_id,
          |         CASE WHEN len($toks) > 5
          |              THEN array_to_string(($toks)[6:], ' ')
          |              ELSE text END AS text
          |    FROM documents),
          |batch AS (
-         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
          |  UNION ALL SELECT doc_id, text FROM mut
-         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut)
+         |  UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM mut)
          |SELECT min(doc_id) AS doc_id FROM batch
          |WHERE text NOT IN (SELECT text FROM documents)
          |GROUP BY text ORDER BY doc_id""".stripMargin
@@ -7335,10 +7363,10 @@ object SparkEntry {
            |    FROM $src e, seeds s)
            |  WHERE rn = 1""".stripMargin
       s"""WITH batch AS (
-         |  SELECT vec_id + 10000 AS vec_id, embedding
+         |  SELECT vec_id + 10000000 AS vec_id, embedding
          |  FROM embeddings WHERE vec_id % 5 = 0
          |  UNION ALL
-         |  SELECT vec_id + 20000 AS vec_id,
+         |  SELECT vec_id + 20000000 AS vec_id,
          |         list_transform(embedding, x -> -x) AS embedding
          |  FROM embeddings WHERE vec_id % 7 = 0),
          |seeds AS (SELECT vec_id AS centroid_id, embedding AS cvec
@@ -7374,7 +7402,7 @@ object SparkEntry {
              |  SELECT doc_id, $thash AS th FROM (
              |    SELECT doc_id, ${TextOpsSql.tokens("text")} AS tk FROM $src))""".stripMargin
         s"""WITH batch AS (
-           |  SELECT doc_id + 10000 AS doc_id,
+           |  SELECT doc_id + 10000000 AS doc_id,
            |         CASE WHEN len($toks) > 5
            |              THEN array_to_string(($toks)[6:], ' ')
            |              ELSE text END AS text
@@ -7979,15 +8007,15 @@ object SparkEntry {
            |  FROM documents),
            |${ClassifierSql.trainCtes(64, 2, 1L, 1L)},
            |mut AS (
-           |  SELECT doc_id + 20000 AS doc_id,
+           |  SELECT doc_id + 20000000 AS doc_id,
            |         CASE WHEN len($toks) > 5
            |              THEN array_to_string(($toks)[6:], ' ')
            |              ELSE text END AS text
            |    FROM documents),
            |batch AS (
-           |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+           |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
            |  UNION ALL SELECT doc_id, text FROM mut
-           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM mut),
+           |  UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM mut),
            |exact AS (SELECT doc_id, text FROM (
            |  SELECT doc_id, text,
            |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -8145,7 +8173,8 @@ object SparkEntry {
            |  SELECT p.id_a, p.id_b,
            |         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
            |         round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-           |               / greatest(len(a.text), len(b.text)), 6) AS edit_sim
+           |               / greatest(len(a.text), len(b.text), 1), 6)
+           |           AS edit_sim
            |  FROM pairs p
            |  JOIN corpus a ON a.doc_id = p.id_a
            |  JOIN corpus b ON b.doc_id = p.id_b) v
@@ -9755,9 +9784,9 @@ object SparkEntry {
         val fp = TextOpsSql.wideFingerprint("text")
         s"""WITH $NearDupCorpusSql,
            |r0 AS (SELECT DISTINCT $fp AS fp FROM corpus
-           |       WHERE doc_id < 10000 ORDER BY fp LIMIT 64),
+           |       WHERE doc_id < 10000000 ORDER BY fp LIMIT 64),
            |r1 AS (SELECT DISTINCT $fp AS fp FROM corpus
-           |       WHERE doc_id >= 10000 ORDER BY fp LIMIT 64),
+           |       WHERE doc_id >= 10000000 ORDER BY fp LIMIT 64),
            |merged AS (SELECT DISTINCT fp FROM
            |             (SELECT fp FROM r0 UNION ALL SELECT fp FROM r1)
            |           ORDER BY fp LIMIT 64),
@@ -10388,8 +10417,7 @@ object SparkEntry {
       },
 
       "stream_hygiene_gate" -> {
-        val cands = functions.QualityOpsSql.creditCardCandidates("text")
-        val luhn = functions.QualityOpsSql.luhnValid("c")
+        val net = functions.QualityOpsSql.containsLuhnCard("text")
         s"""WITH injected AS (
            |  SELECT doc_id, text ||
            |    CASE doc_id % 4 WHEN 0 THEN ' don’t stop'
@@ -10401,10 +10429,13 @@ object SparkEntry {
            |    CASE WHEN doc_id % 7 = 0
            |         THEN ' pay 4111-1111-1111-1112 now' ELSE '' END ||
            |    CASE WHEN doc_id % 11 = 0
-           |         THEN ' amex 371449635398431.' ELSE '' END AS text
+           |         THEN ' amex 371449635398431.' ELSE '' END ||
+           |    CASE WHEN doc_id % 13 = 0
+           |         THEN ' visa 4111 1111 1111 1111 12 26 exp'
+           |         ELSE '' END AS text
            |  FROM documents),
            |kept AS (SELECT doc_id, text FROM injected
-           |         WHERE len(list_filter($cands, c -> $luhn)) = 0)
+           |         WHERE NOT $net)
            |SELECT doc_id, ${functions.QualityOpsSql.redactPii("text")}
            |         AS text
            |FROM kept ORDER BY doc_id""".stripMargin
@@ -11395,7 +11426,7 @@ object SparkEntry {
         val toks = TextOpsSql.tokens("text")
         val r = math.round(0.05 * operators.Sampling.Buckets)
         (ContaminationSql.fuzzy("doc_id", "text",
-          trainFrom = s"""(SELECT doc_id + 10000 AS doc_id,
+          trainFrom = s"""(SELECT doc_id + 10000000 AS doc_id,
              |             CASE WHEN len($toks) > 5
              |                  THEN array_to_string(($toks)[6:], ' ')
              |                  ELSE text END AS text
@@ -11430,7 +11461,7 @@ object SparkEntry {
              |         FROM (SELECT $id, $thash AS thash
              |               FROM (SELECT $id, $toks AS toks FROM $src)))))""".stripMargin
         s"""WITH mut AS (
-           |  SELECT doc_id + 10000 AS doc_id,
+           |  SELECT doc_id + 10000000 AS doc_id,
            |         CASE WHEN len($toks) > 5
            |              THEN array_to_string(($toks)[6:], ' ')
            |              ELSE text END AS text
@@ -11458,7 +11489,7 @@ object SparkEntry {
              |         FROM (SELECT $id, $thash AS thash
              |               FROM (SELECT $id, $toks AS toks FROM $src)))))""".stripMargin
         s"""WITH mut AS (
-           |  SELECT doc_id + 10000 AS doc_id,
+           |  SELECT doc_id + 10000000 AS doc_id,
            |         CASE WHEN len($toks) > 5
            |              THEN array_to_string(($toks)[6:], ' ')
            |              ELSE text END AS text
@@ -11484,7 +11515,7 @@ object SparkEntry {
              |         FROM (SELECT $id, $thash AS thash
              |               FROM (SELECT $id, $toks AS toks FROM $src)))))""".stripMargin
         s"""WITH mut AS (
-           |  SELECT doc_id + 10000 AS doc_id,
+           |  SELECT doc_id + 10000000 AS doc_id,
            |         CASE WHEN len($toks) > 5
            |              THEN array_to_string(($toks)[6:], ' ')
            |              ELSE text END AS text
@@ -11523,6 +11554,21 @@ object SparkEntry {
            |          ELSE text END AS text_repaired
            |      FROM injected) v
            |ORDER BY doc_id""".stripMargin,
+
+      "text_mojibake_lines" ->
+        s"""WITH injected AS (
+           |  SELECT doc_id,
+           |    'rÃ©sumÃ© artifacts lead' || chr(10) || text || chr(10) ||
+           |    'genuine café line' ||
+           |    CASE WHEN doc_id % 2 = 0
+           |         THEN chr(10) || 'tail donâ€™t stop' ELSE '' END AS text,
+           |    'résumé artifacts lead' || chr(10) || text || chr(10) ||
+           |    'genuine café line' ||
+           |    CASE WHEN doc_id % 2 = 0
+           |         THEN chr(10) || 'tail don’t stop' ELSE '' END AS fixed
+           |  FROM documents)
+           |SELECT doc_id, FALSE AS changed_whole, fixed AS by_line
+           |FROM injected ORDER BY doc_id""".stripMargin,
 
       "quality_gopher_rules" -> {
         val Q = functions.QualityOpsSql
@@ -12015,11 +12061,11 @@ object SparkEntry {
              |s$p AS (SELECT e.doc_id, e.text FROM e$p e
              |        WHERE e.doc_id NOT IN (SELECT doc_id FROM chit$p)
              |          AND e.doc_id NOT IN (SELECT doc_id FROM wdrop$p))""".stripMargin
-        s"""WITH mut5 AS (${mutSql(5, 20000)}),
-           |b1 AS (SELECT doc_id + 10000 AS doc_id, text FROM documents
+        s"""WITH mut5 AS (${mutSql(5, 20000000)}),
+           |b1 AS (SELECT doc_id + 10000000 AS doc_id, text FROM documents
            |       UNION ALL SELECT doc_id, text FROM mut5),
-           |b2 AS (SELECT doc_id + 20000 AS doc_id, text FROM mut5
-           |       UNION ALL ${mutSql(8, 50000)}),
+           |b2 AS (SELECT doc_id + 20000000 AS doc_id, text FROM mut5
+           |       UNION ALL ${mutSql(8, 50000000)}),
            |corp0 AS (SELECT doc_id, text FROM documents),
            |${stage("1", "b1", "corp0")},
            |corp1 AS (SELECT doc_id, text FROM corp0

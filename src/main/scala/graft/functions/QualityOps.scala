@@ -268,6 +268,22 @@ object QualityOps {
       ColumnBridge.expression(text)))
   }
 
+  /** Segment-scoped mojibake repair (what ftfy actually does on mixed
+    * documents): the conservative whole-string round-trip of
+    * [[mojibakeRepair]] bails on any string mixing genuine non-cp1252
+    * text (CJK, one real 'é') with artifacts — so a multilingual document
+    * with one mojibake line would never repair. Applying the SAME three
+    * rules per NEWLINE-SEGMENT scopes the bail-out to the segment: clean
+    * lines pass through byte-identical, artifact-bearing lines repair
+    * independently. `split(_, "\n", -1)` keeps trailing empty segments,
+    * so join-by-"\n" reconstructs the exact original line structure. The
+    * whole-string expression stays the cross-engine-pinned primitive;
+    * this is a pure composition over it (still map-side, still inside
+    * whole-stage codegen). */
+  def mojibakeRepairLines(text: Column): Column =
+    array_join(
+      transform(split(text, "\n", -1), l => mojibakeRepair(l)), "\n")
+
   /** Payment-card candidate runs, two forms: 13–19 CONTIGUOUS digits, or
     * separator-grouped runs whose groups are ≤ 6 digits (real card
     * grouping — 4-4-4-4, 4-6-5, …). The group bound is what stops a card
@@ -301,6 +317,44 @@ object QualityOps {
         when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
     })
     length(digits) > 0 && sum % 10 === 0
+  }
+
+  /** Unbounded variant of [[CardRe]]: contiguous digit runs of 13+ and
+    * separator-grouped runs of ANY total length. The safety-net scanner
+    * below needs the MERGED runs the bounded candidate regex discards —
+    * a card followed by a separator-joined expiry ("4111 1111 1111 1111
+    * 12 26") merges into one 20-digit run that the 13–19 length filter
+    * would silently keep past the gate. */
+  val CardMergedRe = "[0-9]{13,}|[0-9]{1,6}(?:[ -][0-9]{1,6})+"
+
+  /** Defense-in-depth card detector for the HYGIENE GATE (not the
+    * reporting row). In-bounds runs (13–19 digits after separator
+    * stripping) keep the existing whole-run Luhn rule — window-scanning
+    * them would false-drop on the ~7·starts/10 chance that some
+    * SUB-window of an innocent run passes Luhn. OVER-LONG runs (20–64
+    * digits — where the bounded [[CardRe]]'s length filter silently
+    * discards and LEAKS) are swept for any Luhn-valid 13–19 digit
+    * window: that catches a card merged with a separator-joined expiry
+    * and two touching grouped cards fused past the 5-group cap. Sweep
+    * cost is bounded by construction: ≤ 7 window lengths × ≤ 52 starts
+    * ≈ 360 Luhn folds per run, one codegen'd projection. A >64-digit
+    * run is a digit wall (minified data, dumps), not a card context —
+    * out of scope by the same argument the 6-digit group bound makes.
+    * False-positive direction is the SAFE one for a PII gate (a dropped
+    * innocent row costs a document; a leaked card costs a liability).
+    * Mirrored exactly in [[QualityOpsSql.containsLuhnCard]]. */
+  def containsLuhnCard(text: Column): Column = {
+    val runs = transform(
+      regexp_extract_all(text, lit(CardMergedRe), lit(0)),
+      m => regexp_replace(m, "[ -]", ""))
+    val inBounds = exists(runs,
+      r => length(r) >= 13 && length(r) <= 19 && luhnValid(r))
+    val overLong = exists(filter(runs,
+        r => length(r) >= 20 && length(r) <= 64),
+      r => exists(sequence(lit(13), lit(19)), w =>
+        exists(sequence(lit(1), length(r) - w + 1), i =>
+          luhnValid(r.substr(i, w)))))
+    inBounds || overLong
   }
 }
 
@@ -420,5 +474,26 @@ object QualityOpsSql {
       s"i -> case when i % 2 = 0 then " +
       s"case when $dig * 2 > 9 then $dig * 2 - 9 else $dig * 2 end " +
       s"else $dig end)) % 10 = 0)"
+  }
+
+  /** Mirror of [[QualityOps.containsLuhnCard]] — same merged-run regex,
+    * same whole-run rule for 13–19, same 20–64 window sweep (DuckDB
+    * `range` is half-open where Spark `sequence` is inclusive, hence the
+    * `+ 1`/`+ 2` upper bounds), same Luhn fold. Lambda variables r/w/j/i
+    * nest without capture. */
+  def containsLuhnCard(text: String): String = {
+    val runs = s"list_transform(" +
+      s"regexp_extract_all($text, ${q(CardMergedRe)}), " +
+      s"m -> regexp_replace(m, '[ -]', '', 'g'))"
+    val inB = s"len(list_filter($runs, " +
+      s"r -> length(r) >= 13 and length(r) <= 19 and " +
+      s"${luhnValid("r")})) > 0"
+    val win = luhnValid("substr(r, j, w)")
+    val overL = s"len(list_filter(" +
+      s"list_filter($runs, r -> length(r) >= 20 and length(r) <= 64), " +
+      s"r -> len(list_filter(range(13, 20), " +
+      s"w -> len(list_filter(range(1, length(r) - w + 2), " +
+      s"j -> $win)) > 0)) > 0)) > 0"
+    s"($inB or $overL)"
   }
 }

@@ -1162,8 +1162,14 @@ object Dedup {
         Seq("id_b"))
       .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("edit_sim",
+        // floor-1 denominator: a pair of empty texts (reachable through a
+        // future candidate source, even though minHashLshPairs never pairs
+        // empty-shingle texts) scores lev=0 / 1 = edit_sim 1.0 — the
+        // correct identical-texts verdict — instead of 0/0 (NULL, or an
+        // ANSI divide error)
         round(lit(1.0) - col("lev").cast("double") /
-          greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 6))
+          greatest(length(col("__ta")), length(col("__tb")), lit(1))
+            .cast("double"), 6))
       .where(col("edit_sim") >= minSim)
     CacheScope.unpersistAfterAction(
       verified.select(col("id_a"), col("id_b"), col("lev"), col("edit_sim")),

@@ -1459,10 +1459,14 @@ object Streams {
    * The text-hygiene ingest door — three batch rules composed as ONE
    * stateless streaming projection (no watermark, no state store,
    * micro-batch independent by construction): mojibake repairs first
-   * (PII patterns must see the true characters), rows carrying a
-   * Luhn-VALID payment card drop whole (a card number is not redactable
-   * noise — the row is a liability), and survivors emit with
-   * email/IP/phone redacted. Emits (doc_id, text).
+   * (PII patterns must see the true characters; SEGMENT-scoped so a
+   * multilingual document with one artifact line still repairs), rows
+   * carrying a Luhn-VALID payment card drop whole (a card number is not
+   * redactable noise — the row is a liability; the window-scanning
+   * [[QualityOps.containsLuhnCard]] net, not the bounded reporting
+   * regex, so a card merged with a separator-joined expiry cannot slip
+   * the length filter), and survivors emit with email/IP/phone
+   * redacted. Emits (doc_id, text).
    */
   def hygieneGateStream(
       spark: SparkSession,
@@ -1474,10 +1478,9 @@ object Streams {
     val schema = spark.read.parquet(dir.toString).schema
     val repaired = spark.readStream.schema(schema).parquet(dir.toString)
       .select(col("doc_id").cast("long").as("doc_id"),
-        QualityOps.mojibakeRepair(col("text")).as("text"))
+        QualityOps.mojibakeRepairLines(col("text")).as("text"))
     val gated = repaired
-      .where(size(filter(QualityOps.creditCardCandidates(col("text")),
-        c => QualityOps.luhnValid(c))) === 0)
+      .where(!QualityOps.containsLuhnCard(col("text")))
       .select(col("doc_id"), QualityOps.redactPii(col("text")).as("text"))
     val drained = runToMemory(gated, "append",
       statePartitionsFor(dir.toString))

@@ -56,4 +56,29 @@ class MojibakeSpec extends SparkSuite {
     assert(once == "don’t café")
     assert(repair(once) == once)
   }
+
+  private def repairLines(s: String): String =
+    Seq(s).toDF("t").select(QualityOps.mojibakeRepairLines(col("t")))
+      .collect().head.getString(0)
+
+  test("per-line repair fixes artifact lines in mixed documents") {
+    // whole-string bails (the genuine 'é' fails the strict round-trip);
+    // per-line scopes the bail-out to the genuine line only
+    val mixed = "genuine café line\ndonâ€™t stop artifacts\n汉字 line"
+    assert(repair(mixed) == mixed)
+    assert(repairLines(mixed) ==
+      "genuine café line\ndon’t stop artifacts\n汉字 line")
+  }
+
+  test("per-line repair preserves exact line structure (trailing/empty)") {
+    val s = "\ncafÃ©\n\ntail\n"
+    assert(repairLines(s) == "\ncafé\n\ntail\n")
+    assert(repairLines("no newline cafÃ©") == "no newline café")
+    assert(repairLines("") == "")
+  }
+
+  test("per-line equals whole-string when the whole string round-trips") {
+    val s = "ascii only\nand cafÃ© artifacts\nmore ascii"
+    assert(repairLines(s) == repair(s))
+  }
 }

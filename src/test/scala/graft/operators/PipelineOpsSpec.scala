@@ -696,15 +696,49 @@ class PipelineOpsSpec extends SparkSuite {
       (2L, "cafÃ© talk and a phone 555-123-4567"),   // repaired + redacted
       (3L, "buy now 4532 0151 1283 0366 thanks"),    // valid card -> drop
       (4L, "order 4111-1111-1111-1112 is fine"),     // luhn-invalid -> keep
-      (5L, "mail me bob@example.com please")
+      (5L, "mail me bob@example.com please"),
+      // the merged-run leak: valid card + separator-joined expiry fuse
+      // into a 20-digit run the bounded regex discards — the window net
+      // must still drop the row
+      (6L, "visa 4111 1111 1111 1111 12 26 exp"),
+      // two touching GROUPED cards, single separator between them — the
+      // bounded regex's 5-group cap eats 24 digits and discards, leaving
+      // no candidate; the net scans the merged 32-digit run and drops
+      (7L, "pair 4111 1111 1111 1111 4532 0151 1283 0366 end"),
+      // mixed doc: genuine 'é' on one line, artifact on another — the
+      // per-line repair fixes the artifact line and keeps the genuine one
+      (8L, "genuine café line\nnaÃ¯ve Ã¼ber artifacts")
     ).toDF("doc_id", "text")
     val out = Streams.hygieneGateStream(spark, docs)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(!out.contains(3L), out.keys.toString)
+    assert(!out.contains(6L), out.keys.toString)
+    assert(!out.contains(7L), out.keys.toString)
     assert(out(1L) == "clean prose, nothing to do")
     assert(out(2L) == "café talk and a phone <PHONE>", out(2L))
     assert(out(4L) == "order 4111-1111-1111-1112 is fine")
     assert(out(5L) == "mail me <EMAIL> please")
+    assert(out(8L) == "genuine café line\nnaïve über artifacts", out(8L))
+  }
+
+  test("containsLuhnCard: window net catches merged runs, spares noise") {
+    import graft.functions.QualityOps
+    val cases = Seq(
+      (1L, "plain 4532 0151 1283 0366 card", true),        // in-bounds valid
+      (2L, "invalid 4111-1111-1111-1112 run", false),      // luhn fails
+      (3L, "merged 4111 1111 1111 1111 12 26 leak", true), // card + expiry
+      (4L, "wall 12345678901234567890123456789012345678901234567890123456789012345 x",
+        false),                                            // > 64 digits: out of scope
+      (5L, "phone 555-123-4567 and zip 90210", false),     // short groups only
+      (6L, "touch 4111 1111 1111 1111 4532 0151 1283 0366", true) // grouped cards fused
+    )
+    val got = cases.map { case (id, t, _) => (id, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), QualityOps.containsLuhnCard(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (id, t, want) =>
+      assert(got(id) == want, s"case $id '$t': got ${got(id)}")
+    }
   }
 
   test("winnow gate stream: union semantics against the at-rest index") {
