@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.bde.{BdeFormat, Catalog, Clean, CleanSql, Config, Control, Diff, E2E, Hooks, JdbcTableSink, Loader, OrchestratorScenario, ParquetTableSink, Publication, Repo}
 import graft.functions.{HtmlOps, HtmlOpsSql, QualityOps, QualityOpsSql, TextOps, TextOpsSql, UrlOps, VectorOps, VectorOpsSql}
-import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Fim, FimSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Preference, Relevance, RelevanceSql, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, Bucketing, Chunking, ChunkingSql, Contamination, ContaminationSql, Dedup, DedupIndex, DictMatch, Domains, Drift, DriftSql, Fim, FimSql, Frontier, Graph, GraphSql, LanguageModel, LanguageModelSql, Mixing, MixingSql, Multimodal, Profile, ProfileSql, Pca, PcaSql, PerGroupQuantile, Preference, Relevance, RelevanceSql, Retract, Robots, Salting, Sampling, SamplingSql, Similarity, Sketches, SuffixArray, Unigram, VocabCoverage, WordPiece, WordPieceSql}
 import graft.streaming.Streams
 
 /**
@@ -355,6 +355,52 @@ object SparkEntry {
     * location per JVM (CREATE DATABASE IF NOT EXISTS keeps the first);
     * `Bucketing.writeBucketed` drops/clears per table, so every query is
     * re-runnable within and across sessions. */
+  /** Hand-built minimal JPEG with a little-endian EXIF APP1 (orientation
+    * SHORT inline, DateTime ASCII pointed, optional GPS IFD with lat-ref
+    * + 3 pointed RATIONALs) — the construction fixture behind the
+    * mm_exif_* rows; every offset is computed, nothing is pasted. */
+  private object ExifFixture {
+    def jpeg(orientation: Int, datetime: String, gps: Boolean): Array[Byte] = {
+      val tiff = new java.io.ByteArrayOutputStream()
+      def t8(v: Int): Unit = tiff.write(v & 0xff)
+      def t16(v: Int): Unit = { t8(v); t8(v >> 8) }
+      def t32(v: Long): Unit = {
+        t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt)
+        t8((v >> 24).toInt)
+      }
+      t8('I'); t8('I'); t16(42); t32(8)
+      val nEntries = if (gps) 3 else 2
+      val ifd0End = 8 + 2 + nEntries * 12 + 4
+      val dt = (datetime + "\u0000").getBytes("US-ASCII")
+      val gpsIfdOff = ifd0End + dt.length
+      t16(nEntries)
+      t16(0x0112); t16(3); t32(1); t16(orientation); t16(0)
+      t16(0x0132); t16(2); t32(dt.length.toLong); t32(ifd0End.toLong)
+      if (gps) { t16(0x8825); t16(4); t32(1); t32(gpsIfdOff.toLong) }
+      t32(0)
+      tiff.write(dt)
+      if (gps) {
+        val latOff = gpsIfdOff + 2 + 2 * 12 + 4
+        t16(2)
+        t16(0x0001); t16(2); t32(2); t8('N'); t8(0); t16(0)
+        t16(0x0002); t16(5); t32(3); t32(latOff.toLong)
+        t32(0)
+        for (v <- Seq(37L, 1L, 46L, 1L, 3000L, 100L)) t32(v)
+      }
+      val body = tiff.toByteArray
+      val bb = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = bb.write(v & 0xff)
+      w8(0xff); w8(0xd8)
+      w8(0xff); w8(0xe1)
+      val segLen = 2 + 6 + body.length
+      w8(segLen >> 8); w8(segLen)
+      bb.write("Exif".getBytes("US-ASCII")); w8(0); w8(0)
+      bb.write(body)
+      w8(0xff); w8(0xd9)
+      bb.toByteArray
+    }
+  }
+
   private lazy val indexDbDir =
     java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
   private def indexDb(s: SparkSession): String = {
@@ -990,8 +1036,11 @@ object SparkEntry {
   /** The conditional-fetch restatement shared by the batch and
     * streaming doors (the stream is a stateless projection, so both
     * must land on identical rows). */
-  private val CondFetchOracleSql: String =
-    """WITH d AS (
+  /** [[CondFetchOracleSql]] with the state log additionally filtered —
+    * the retraction oracle's rebuild-from-filtered-history arm
+    * (`stFilter` is a predicate over `doc_id`). */
+  private def condFetchOracleSqlWhere(stFilter: String): String =
+    s"""WITH d AS (
           |  SELECT doc_id,
           |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
           |           AS url
@@ -1003,11 +1052,11 @@ object SparkEntry {
           |         CASE WHEN doc_id % 3 < 2 THEN
           |           'lm-' || CAST(doc_id AS VARCHAR) END AS last_modified,
           |         doc_id + 100 AS fetch_time
-          |  FROM d WHERE doc_id < 50
+          |  FROM d WHERE doc_id < 50 AND ($stFilter)
           |  UNION ALL
           |  SELECT url, 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"',
           |         NULL, doc_id + 1000
-          |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0),
+          |  FROM d WHERE doc_id < 50 AND doc_id % 2 = 0 AND ($stFilter)),
           |latest AS (
           |  SELECT s.url, s.etag AS if_none_match,
           |         s.last_modified AS if_modified_since
@@ -1019,6 +1068,8 @@ object SparkEntry {
           |        l.if_modified_since IS NOT NULL) AS conditional
           |FROM d LEFT JOIN latest l ON d.url = l.url
           |ORDER BY d.url""".stripMargin
+
+  private val CondFetchOracleSql: String = condFetchOracleSqlWhere("TRUE")
 
   /** The sitemap-lastmod arbitration restatement shared by the ephemeral
     * and persisted-index doors (the index stores exactly the state log
@@ -2376,6 +2427,37 @@ object SparkEntry {
         .select(col("surt"), col("target_uri"), col("warc_date"),
           col("content_length"), col("digest"))
         .orderBy(col("target_uri"), col("warc_date"))
+    }),
+
+    // the CDX server's from/to/limit query shape, composed with
+    // collapse=digest exactly as public servers compose them: the
+    // "window" arm slices the three-crawl temporal fixture to its
+    // February captures and caps at 12 rows of the (surt, timestamp)
+    // key order; the "collapse" arm windows over the change-point fold
+    // (Jan + Mar per URL — the unchanged Feb crawl drops first) and
+    // caps at 15. Both restate from construction; the limit is a
+    // bounded TakeOrdered, never a global sort
+    "warc_cdx_window" -> ((s, dir) => {
+      val fixT = warcTemporalFixture(s, dir)
+      val tblT = s"${indexDb(s)}.warc_cdx_win_t"
+      graft.sources.Warc.writeCdxIndex(s,
+        (0 until 3).map(k => s"$fixT/shard$k.warc"), tblT, buckets = 8)
+      val fixC = warcCollapseFixture(s, dir)
+      val tblC = s"${indexDb(s)}.warc_cdx_win_c"
+      graft.sources.Warc.writeCdxIndex(s,
+        (0 until 3).map(k => s"$fixC/shard$k.warc"), tblC, buckets = 8)
+      val urls = (0 until 20).map(i => s"https://graft.test/doc/$i")
+      val cols = Seq(col("surt"), col("target_uri"), col("warc_date"),
+        col("content_length"), col("digest"))
+      graft.sources.Warc.lookupCdxWindow(s, tblT, urls,
+          "2026-01-15T00:00:00Z", "2026-02-15T00:00:00Z", limit = 12)
+        .select(lit("window").as("arm") +: cols: _*)
+        .unionByName(
+          graft.sources.Warc.lookupCdxWindow(s, tblC, urls,
+              "2026-01-01T00:00:00Z", "2026-03-31T00:00:00Z", limit = 15,
+              collapseDigest = true)
+            .select(lit("collapse").as("arm") +: cols: _*))
+        .orderBy(col("arm"), col("surt"), col("warc_date"))
     }),
 
     // the WAT sidecar — the third public artifact beside WARC/WET:
@@ -3791,6 +3873,17 @@ object SparkEntry {
     "text_kn_logprob" -> ((s, dir) =>
       LanguageModel.knBigramLogProb(t(s, dir, "documents"), "doc_id", "text",
           topK = 500)
+        .orderBy(col("doc_id"))),
+
+    // interpolated Kneser–Ney TRIGRAM scoring (the full CCNet/KenLM
+    // order-3 arm): the SAME one-aggregate/broadcast-model geometry one
+    // order up — trigram, trigram-context, and middle continuation
+    // tables pruned to top-500 so every rung of the three-level backoff
+    // ladder (discounted ML, pruned-context fall-through, middle
+    // continuation, bare continuation) exercises on every SF
+    "text_kn3_logprob" -> ((s, dir) =>
+      LanguageModel.knTrigramLogProb(t(s, dir, "documents"), "doc_id",
+          "text", topK = 500)
         .orderBy(col("doc_id"))),
 
     // DSIR-style importance scores (hashed-unigram log-likelihood ratio):
@@ -5645,6 +5738,300 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- perceptual image hashing + EXIF hygiene ----------------------
+    // dHash on NO-RESAMPLE fixtures: 9×8 gray PNGs whose pixel values
+    // follow a closed formula, so the 63-bit difference hash is exact
+    // integer arithmetic the oracle restates bit for bit — the
+    // mm_decode_real standard applied to the hash itself (the general
+    // resample path is pinned structurally in ImageHashSpec)
+    "mm_dhash" -> ((s, dir) => {
+      import s.implicits._
+      def png(id: Int): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val v = (x * 37 + y * 11 + id * 7) % 256
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        bos.toByteArray
+      }
+      val rows = (0 until 40).map(i => (i.toLong, png(i)))
+      Multimodal.imageHashes(rows.toDF("id", "payload"), "id", "payload")
+        .select(col("id"), col("dhash"), col("decode_ok"))
+        .orderBy(col("id"))
+    }),
+
+    // pHash near-dup dedup: four identical-image groups plus one
+    // perturbed copy per group cluster through the SAME Hamming-banding
+    // machinery as text SimHash (pigeonhole recall is exact, so a
+    // constructed near-pair that failed to cluster is a hash defect —
+    // the banding-recall gauge and the dedup are one pinned row);
+    // cluster labels restate from construction
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def png(seed: Int, perturb: Boolean): Array[Byte] = {
+        val (w, h) = (64, 48)
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val base = ((x * 31 + y * 17) * (seed + 1) + seed * 977) & 0xffffff
+          im.setRGB(x, y,
+            if (perturb && (x + y) % 97 == 0) base ^ 0x030303 else base)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        bos.toByteArray
+      }
+      val rows = (0 until 12).map(i => (i.toLong, png(i % 4, false))) ++
+        (0 until 4).map(i => (100L + i, png(i, true)))
+      val hashes = Multimodal.imageHashes(
+        rows.toDF("id", "payload"), "id", "payload")
+      val pairs = Dedup.hammingHashPairs(
+        hashes.where(col("decode_ok")), "id", "phash",
+        bits = 63, maxHamming = 10)
+      Dedup.connectedComponents(
+          hashes.select(col("id")), "id", pairs)
+        .select(col("id"), col("component").as("cluster"))
+        .orderBy(col("id"))
+    }),
+
+    // EXIF walk on hand-built APP1/TIFF fixtures: orientation, DateTime,
+    // and the GPS-IFD presence bit (location PII), all restated from
+    // construction; corrupt/absent EXIF flags, never throws
+    "mm_exif_meta" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0 until 30).map { i =>
+        (i.toLong, ExifFixture.jpeg(
+          orientation = 1 + i % 8,
+          datetime = f"2024:01:${1 + i % 28}%02d 10:00:00",
+          gps = i % 3 == 0))
+      } :+ (100L, "not a jpeg at all".getBytes("UTF-8"))
+      Multimodal.exifMeta(rows.toDF("id", "payload"), "id", "payload")
+        .orderBy(col("id"))
+    }),
+
+    // GPS-PII strip: coordinates zero IN PLACE (no reflow — every other
+    // TIFF offset stays valid, payload length unchanged), the GPS
+    // pointer retags, orientation/DateTime survive; the row re-walks the
+    // STRIPPED bytes through the same parser and also pins
+    // byte-length preservation
+    "mm_exif_strip" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0 until 30).map { i =>
+        (i.toLong, ExifFixture.jpeg(
+          orientation = 1 + i % 8,
+          datetime = f"2024:01:${1 + i % 28}%02d 10:00:00",
+          gps = i % 3 == 0))
+      }
+      val src = rows.toDF("id", "payload")
+      val stripped = Multimodal.stripExifGps(src, "id", "payload")
+      Multimodal.exifMeta(stripped, "id", "payload")
+        .join(stripped.select(col("id"),
+          octet_length(col("payload")).cast("bigint").as("n_bytes")),
+          Seq("id"))
+        .join(src.select(col("id"),
+          octet_length(col("payload")).cast("bigint").as("n_bytes_orig")),
+          Seq("id"))
+        .select(col("id"), col("has_exif"), col("orientation"),
+          col("datetime"), col("gps_present"), col("exif_ok"),
+          (col("n_bytes") === col("n_bytes_orig")).as("len_preserved"))
+        .orderBy(col("id"))
+    }),
+
+    // the dedup ingest door KILLED AND RESUMED: the corpus drains as
+    // run 1, the query stops (the between-batches kill), the ingest
+    // batch arrives, and run 2 RESTARTS from the same checkpoint into
+    // the same file sink — admissions across both incarnations must
+    // equal the uninterrupted contract (batch-1 firsts + batch-2
+    // novelties, exactly once each; mid-batch death arms live in
+    // StreamResumeSpec where the fault injector is clean)
+    "stream_dedup_resumed" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-resume").toString
+      val srcDir = s"$root/src"; val ckpt = s"$root/ck"
+      val out = s"$root/out"
+      def drainOnce(): Unit = {
+        val schema = s.read.parquet(srcDir).schema
+        val q = Streams.dedupTransform(
+            s.readStream.schema(schema).parquet(srcDir))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.coalesce(1).write.mode("append").parquet(srcDir)
+      drainOnce() // run 1 commits, the query is DOWN
+      incrementalIngestBatch(s, dir).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drainOnce() // restart from the same checkpoint
+      s.read.parquet(out).select(col("kept_id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ================= at-rest retraction / takedown =================
+    // the deletion lifecycle every index family now carries: tombstone
+    // (immediate logical delete) -> masked probe view -> crash-atomic
+    // physical purge. Each row pins BOTH phases EQUAL to a rebuild from
+    // the filtered corpus — the takedown contract
+
+    // exact-dedup digest index: retract doc_ids, dump the masked view
+    // AND the post-purge table; both must equal the filtered rebuild
+    "retract_digest_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tbl = s"${indexDb(s)}.digest_retract"
+      DedupIndex.writeDigestIndex(d, "doc_id", "text", tbl, buckets = 8)
+      Bucketing.resetTable(s, Retract.tombTable(tbl)) // re-run hygiene
+      Retract.retract(s, tbl, "id",
+        d.where(col("doc_id") % 7 === 0).select(col("doc_id")))
+      // materialize the masked dump BEFORE purge rewrites the table
+      val masked = Retract.readLive(s, tbl)
+        .select(lit("masked").as("phase"), col("kh"), col("id"))
+        .localCheckpoint(true)
+      Retract.purge(s, tbl)
+      masked.unionByName(s.table(tbl)
+          .select(lit("purged").as("phase"), col("kh"), col("id")))
+        .orderBy(col("phase"), col("kh"), col("id"))
+    }),
+
+    // near-dup band index: retract from bands AND shingles, purge, then
+    // PROBE — the incremental ingest filter against the post-takedown
+    // index must equal the rescan against the filtered corpus (retracted
+    // docs no longer suppress their batch near-duplicates)
+    "retract_band_probe" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tbl = s"${indexDb(s)}.band_retract"
+      DedupIndex.writeBandIndex(d, "doc_id", "text", tbl, buckets = 8)
+      val gone = d.where(col("doc_id") % 5 === 0).select(col("doc_id"))
+      for (part <- Seq(s"${tbl}_bands", s"${tbl}_shingles")) {
+        Bucketing.resetTable(s, Retract.tombTable(part))
+        Retract.retract(s, part, "id", gone)
+        Retract.purge(s, part)
+      }
+      val toksB = TextOps.tokens(col("text"))
+      val batch = d.select((col("doc_id") + 10000000).as("doc_id"),
+        when(size(toksB) > 5,
+            array_join(slice(toksB, lit(6), size(toksB) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      DedupIndex.incrementalNearDupIndexed(batch, s, tbl,
+          "doc_id", "text", 0.7)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // duplicate-component label index: retracting the CANONICAL member
+    // re-elects each component's label as the min SURVIVING id (purge
+    // re-canonicalization; the documented no-split conservative
+    // semantics — on this exact-dup fixture components are text groups,
+    // so filtered rebuild and re-canonicalization coincide exactly)
+    "retract_component_index" -> ((s, dir) => {
+      val corpus = exactDupCorpus(s, dir)
+      val labels = corpus.join(
+          corpus.groupBy(col("text"))
+            .agg(min(col("doc_id")).as("component")),
+          Seq("text"))
+        .select(col("doc_id"), col("component"))
+      val tbl = s"${indexDb(s)}.comp_retract"
+      DedupIndex.writeComponentIndex(labels, tbl, buckets = 8)
+      Bucketing.resetTable(s, Retract.tombTable(tbl))
+      DedupIndex.retractComponentIndex(s, tbl,
+        corpus.where(col("doc_id") % 4 === 0).select(col("doc_id")))
+      DedupIndex.purgeComponentIndex(s, tbl)
+      s.table(tbl).orderBy(col("doc_id"))
+    }),
+
+    // postings index: the takedown appends a NEGATIVE stats correction
+    // so N/avgdl stay exact — the BM25 probe over the masked view AND
+    // after physical purge must both equal the filtered-corpus rescan
+    // (idf's N shifts with the retraction, not just the posting rows)
+    "retract_postings_probe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tbl = s"${indexDb(s)}.postings_retract"
+      Relevance.writePostingsIndex(d, "doc_id", "text", tbl, buckets = 8)
+      Bucketing.resetTable(s, Retract.tombTable(tbl))
+      Relevance.retractPostings(s, tbl,
+        d.where(col("doc_id") % 31 === 0).select(col("doc_id")))
+      val q = Seq("spark", "hash", "merge")
+      val masked = Relevance.bm25TopKIndexed(s, tbl, q)
+        .select(lit("masked").as("phase"), col("id").as("doc_id"),
+          col("bm25"))
+        .localCheckpoint(true)
+      Retract.purge(s, tbl)
+      masked.unionByName(Relevance.bm25TopKIndexed(s, tbl, q)
+          .select(lit("purged").as("phase"), col("id").as("doc_id"),
+            col("bm25")))
+        .orderBy(col("phase"), col("doc_id"))
+    }),
+
+    // link-graph edge index: a retracted node leaves by EITHER endpoint;
+    // the degree fold over the purged table equals the filtered rebuild
+    "retract_edge_probe" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = s"${indexDb(s)}.edge_retract"
+      Graph.writeEdgeIndex(docGraphEdges(s, dir), "src", "dst", tbl,
+        buckets = 8)
+      Bucketing.resetTable(s, Retract.tombTable(tbl))
+      Graph.retractNodes(s, tbl, Seq(50L, 100L, 150L).toDF("node"))
+      Retract.purge(s, tbl)
+      Graph.outDegrees(s, tbl).orderBy(col("node"))
+    }),
+
+    // fetch-state index: a retracted URL's fetch history leaves the
+    // crawl's memory — the conditional-fetch plan re-fetches it
+    // UNCONDITIONALLY (no validators), masked and purged alike
+    "retract_fetch_state" -> ((s, dir) => {
+      val (frontier, state) = condFetchFixture(s, dir)
+      val tbl = s"${indexDb(s)}.fetch_retract"
+      operators.FetchState.writeStateIndex(
+        state.withColumn("digest", lit("d")), tbl, buckets = 8)
+      Bucketing.resetTable(s, Retract.tombTable(tbl))
+      Retract.retract(s, tbl, "url",
+        frontier.where(col("doc_id") % 4 === 0).select(col("url")))
+      val probe = () => operators.FetchState.conditionalFetchPlanIndexed(
+        frontier.select(col("url")), s, tbl)
+      val masked = probe()
+        .select(lit("masked").as("phase"), col("url"),
+          col("if_none_match"), col("if_modified_since"),
+          col("conditional"))
+        .localCheckpoint(true)
+      Retract.purge(s, tbl)
+      masked.unionByName(probe()
+          .select(lit("purged").as("phase"), col("url"),
+            col("if_none_match"), col("if_modified_since"),
+            col("conditional")))
+        .orderBy(col("phase"), col("url"))
+    }),
+
+    // host-partitioned CDX: partition-SELECTIVE purge — only partitions
+    // holding tombstoned captures rewrite, the rest carry over by
+    // rename (pinned by RetractSpec at the file level; this row pins
+    // the VALUES both phases)
+    "retract_cdx_host" -> ((s, dir) => {
+      val caps = t(s, dir, "documents").select(
+        concat(lit("com,h"), (col("doc_id") % 13).cast("string"),
+          lit(")/p"), col("doc_id").cast("string")).as("surt"),
+        concat(lit("com,h"), (col("doc_id") % 13).cast("string"))
+          .as("surt_host"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      val path = s"$indexDbDir/cdx_host_retract"
+      Retract.clearPartitionedTombs(path)
+      caps.write.mode("overwrite").partitionBy("surt_host").parquet(path)
+      Retract.retractPartitioned(s, path, "surt",
+        t(s, dir, "documents").where(col("doc_id") % 9 === 0).select(
+          concat(lit("com,h"), (col("doc_id") % 13).cast("string"),
+            lit(")/p"), col("doc_id").cast("string")).as("surt")))
+      val masked = Retract.readLivePartitioned(s, path)
+        .select(lit("masked").as("phase"), col("surt"), col("digest"))
+        .localCheckpoint(true)
+      Retract.purgePartitioned(s, path, "surt_host")
+      masked.unionByName(s.read.parquet(path)
+          .select(lit("purged").as("phase"), col("surt"), col("digest")))
+        .orderBy(col("phase"), col("surt"))
+    }),
+
     // the Gopher document-shape battery (Rae et al. 2021, Table A1):
     // word-count bounds, mean word length, symbol-to-word ratio, bullet/
     // ellipsis line fractions, alphabetic-word fraction, stop-word
@@ -7349,6 +7736,27 @@ object SparkEntry {
          |WHERE text NOT IN (SELECT text FROM documents)
          |GROUP BY text ORDER BY doc_id""".stripMargin
 
+    // kill-and-resume admissions: run-1 firsts over the corpus, then
+    // run-2 novelties over the batch — each exactly once
+    val streamResumedDedupSql =
+      s"""WITH mut AS (
+         |  SELECT doc_id + 20000000 AS doc_id,
+         |         CASE WHEN len($toks) > 5
+         |              THEN array_to_string(($toks)[6:], ' ')
+         |              ELSE text END AS text
+         |    FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM mut
+         |  UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM mut),
+         |k1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |k2 AS (SELECT min(doc_id) AS doc_id FROM batch
+         |       WHERE text NOT IN (SELECT text FROM documents)
+         |       GROUP BY text)
+         |SELECT doc_id FROM k1
+         |UNION ALL SELECT doc_id FROM k2
+         |ORDER BY doc_id""".stripMargin
+
     // shared by dedup_incremental_semantic and its persisted-cluster-index
     // roundtrip: the index stores exactly the seeds and assignments the
     // rescan computes, so both probes share one contract
@@ -7390,7 +7798,9 @@ object SparkEntry {
     // shared by dedup_incremental_neardup and its persisted-band-index
     // roundtrip: the index stores exactly the bands/shingles the rescan
     // computes, so both probes share one contract
-    val incrementalNearDupSql = {
+    // parameterized on the CORPUS source so the retraction oracle can
+    // restate the probe against a rebuild-from-filtered-corpus index
+    def incrementalNearDupSqlFrom(corpusSrc: String) = {
         val thash = TextOpsSql.tokenHashes("tk")
         val shingles = TextOpsSql.shingleHashes("th")
         val sig = TextOpsSql.minHashSignature("ss")
@@ -7408,7 +7818,7 @@ object SparkEntry {
            |              ELSE text END AS text
            |    FROM documents),
            |bd AS (${setsOf("batch")}),
-           |cd AS (${setsOf("documents")}),
+           |cd AS (${setsOf(corpusSrc)}),
            |bsg AS (SELECT doc_id, ss, $sig AS sig FROM bd),
            |csg AS (SELECT doc_id, ss, $sig AS sig FROM cd),
            |bb AS (SELECT doc_id, ss, band, $bucketCase AS bucket
@@ -7431,6 +7841,7 @@ object SparkEntry {
            |  AND doc_id NOT IN (SELECT doc_id FROM wdrop)
            |ORDER BY doc_id""".stripMargin
     }
+    val incrementalNearDupSql = incrementalNearDupSqlFrom("documents")
 
     // one builder for every IVF-shaped oracle: seeds, nearest-seed
     // assignment, nprobe probes, and the per-query top-5 are shared;
@@ -8419,6 +8830,35 @@ object SparkEntry {
           |FROM documents, (SELECT unnest([0, 1]) AS k)
           |WHERE doc_id < 20
           |ORDER BY target_uri, warc_date""".stripMargin,
+
+      "warc_cdx_window" ->
+        """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+          |win AS (
+          |  SELECT 'window' AS arm,
+          |         'test,graft)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+          |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |           AS target_uri,
+          |         '2026-02-01T00:00:00Z' AS warc_date,
+          |         CAST(octet_length(encode('crawl1 ' || text)) AS BIGINT)
+          |           AS content_length,
+          |         sha256('crawl1 ' || text) AS digest
+          |  FROM docs ORDER BY surt, warc_date, digest LIMIT 12),
+          |clp AS (
+          |  SELECT 'collapse' AS arm,
+          |         'test,graft)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+          |         'https://graft.test/doc/' || CAST(doc_id AS VARCHAR)
+          |           AS target_uri,
+          |         CASE k WHEN 0 THEN '2026-01-01T00:00:00Z'
+          |                ELSE '2026-03-01T00:00:00Z' END AS warc_date,
+          |         CAST(octet_length(encode(
+          |           (CASE k WHEN 0 THEN 'crawlA ' ELSE 'crawlB ' END)
+          |             || text)) AS BIGINT) AS content_length,
+          |         sha256((CASE k WHEN 0 THEN 'crawlA ' ELSE 'crawlB ' END)
+          |           || text) AS digest
+          |  FROM docs, (SELECT unnest([0, 1]) AS k)
+          |  ORDER BY surt, warc_date, digest LIMIT 15)
+          |SELECT * FROM win UNION ALL SELECT * FROM clp
+          |ORDER BY arm, surt, warc_date""".stripMargin,
 
       // every sidecar row from the fixture arithmetic: META verdicts on
       // ids%5=0, canonical on ids%3=0, and per page exactly two edges —
@@ -9521,6 +9961,11 @@ object SparkEntry {
       // shingle sets the rescan computes — same contract, same SQL
       "dedup_band_index_roundtrip" -> incrementalNearDupSql,
 
+      // post-takedown probe ≡ rescan against the FILTERED corpus: the
+      // retracted docs' signatures no longer suppress batch near-dups
+      "retract_band_probe" -> incrementalNearDupSqlFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)"),
+
       // LSH-vs-exact recall gauge: the exact arm is the prefix join's
       // all-shared-shingles formulation, the LSH arm the banding join —
       // both at jaccard >= 0.7 on raw (unrounded) values
@@ -9820,6 +10265,9 @@ object SparkEntry {
         "documents", "doc_id", "text", topK = 500),
 
       "text_kn_logprob" -> LanguageModelSql.knBigramLogProb(
+        "documents", "doc_id", "text", topK = 500),
+
+      "text_kn3_logprob" -> LanguageModelSql.knTrigramLogProb(
         "documents", "doc_id", "text", topK = 500),
 
       "text_bm25" -> RelevanceSql.bm25TopK("documents", "doc_id", "text",
@@ -11570,6 +12018,115 @@ object SparkEntry {
            |SELECT doc_id, FALSE AS changed_whole, fixed AS by_line
            |FROM injected ORDER BY doc_id""".stripMargin,
 
+      // ---- at-rest retraction: both phases equal the filtered rebuild
+      "retract_digest_index" ->
+        s"""WITH f AS (SELECT sha256(text) AS kh, doc_id AS id
+           |           FROM documents WHERE doc_id % 7 <> 0)
+           |SELECT phase, kh, id FROM (
+           |  SELECT 'masked' AS phase, kh, id FROM f
+           |  UNION ALL SELECT 'purged' AS phase, kh, id FROM f)
+           |ORDER BY phase, kh, id""".stripMargin,
+
+      "retract_component_index" ->
+        s"""WITH $ExactDupCorpusSql,
+           |surv AS (SELECT doc_id, text FROM corpus WHERE doc_id % 4 <> 0),
+           |g AS (SELECT text, min(doc_id) AS component
+           |      FROM surv GROUP BY text)
+           |SELECT s.doc_id, g.component
+           |FROM surv s JOIN g USING (text)
+           |ORDER BY s.doc_id""".stripMargin,
+
+      "retract_postings_probe" -> {
+        val m = operators.RelevanceSql.bm25TopK(
+          "(SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0)",
+          "doc_id", "text", Seq("spark", "hash", "merge"))
+        s"""WITH m AS ($m)
+           |SELECT phase, doc_id, bm25 FROM (
+           |  SELECT 'masked' AS phase, doc_id, bm25 FROM m
+           |  UNION ALL SELECT 'purged' AS phase, doc_id, bm25 FROM m)
+           |ORDER BY phase, doc_id""".stripMargin
+      },
+
+      "retract_edge_probe" ->
+        s"""WITH raw AS (
+           |  $DocGraphRawSql),
+           |f AS (SELECT DISTINCT src, dst FROM raw
+           |      WHERE src NOT IN (50, 100, 150)
+           |        AND dst NOT IN (50, 100, 150))
+           |SELECT src AS node,
+           |       CAST(count(DISTINCT dst) AS BIGINT) AS out_degree
+           |FROM f GROUP BY src ORDER BY node""".stripMargin,
+
+      "retract_fetch_state" -> {
+        val base = condFetchOracleSqlWhere("doc_id % 4 <> 0")
+        s"""WITH m AS ($base)
+           |SELECT phase, url, if_none_match, if_modified_since,
+           |       conditional
+           |FROM (SELECT 'masked' AS phase, * FROM m
+           |      UNION ALL SELECT 'purged' AS phase, * FROM m)
+           |ORDER BY phase, url""".stripMargin
+      },
+
+      "retract_cdx_host" ->
+        s"""WITH caps AS (
+           |  SELECT 'com,h' || CAST(doc_id % 13 AS VARCHAR) || ')/p' ||
+           |           CAST(doc_id AS VARCHAR) AS surt,
+           |         sha256(text) AS digest, doc_id
+           |  FROM documents),
+           |f AS (SELECT surt, digest FROM caps WHERE doc_id % 9 <> 0)
+           |SELECT phase, surt, digest FROM (
+           |  SELECT 'masked' AS phase, surt, digest FROM f
+           |  UNION ALL SELECT 'purged' AS phase, surt, digest FROM f)
+           |ORDER BY phase, surt""".stripMargin,
+
+      // ---- perceptual hashes + EXIF: restated from construction
+      "mm_dhash" ->
+        s"""WITH ids AS (SELECT unnest(range(0, 40)) AS id)
+           |SELECT CAST(id AS BIGINT) AS id,
+           |       CAST(coalesce(list_sum(flatten(
+           |         list_transform(range(0, 8), y ->
+           |           list_transform(range(0, 8), x ->
+           |             CASE WHEN y * 8 + x < 63 AND
+           |                  (x * 37 + y * 11 + id * 7) % 256 <
+           |                  ((x + 1) * 37 + y * 11 + id * 7) % 256
+           |                  THEN (CAST(1 AS BIGINT) << (y * 8 + x))
+           |                  ELSE CAST(0 AS BIGINT) END)))), 0) AS BIGINT)
+           |         AS dhash,
+           |       TRUE AS decode_ok
+           |FROM ids ORDER BY id""".stripMargin,
+
+      "mm_phash_dedup" ->
+        s"""SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster
+           |FROM (
+           |  SELECT id, id % 4 AS cluster
+           |  FROM (SELECT unnest(range(0, 12)) AS id)
+           |  UNION ALL
+           |  SELECT 100 + k, k FROM (SELECT unnest(range(0, 4)) AS k))
+           |ORDER BY id""".stripMargin,
+
+      "mm_exif_meta" ->
+        s"""SELECT * FROM (
+           |SELECT CAST(id AS BIGINT) AS id, TRUE AS has_exif,
+           |       CAST(1 + id % 8 AS INTEGER) AS orientation,
+           |       '2024:01:' || lpad(CAST(1 + id % 28 AS VARCHAR), 2, '0')
+           |         || ' 10:00:00' AS datetime,
+           |       id % 3 = 0 AS gps_present, TRUE AS exif_ok
+           |FROM (SELECT unnest(range(0, 30)) AS id)
+           |UNION ALL
+           |SELECT CAST(100 AS BIGINT), FALSE, CAST(0 AS INTEGER), '',
+           |       FALSE, TRUE)
+           |ORDER BY id""".stripMargin,
+
+      "mm_exif_strip" ->
+        s"""SELECT CAST(id AS BIGINT) AS id, TRUE AS has_exif,
+           |       CAST(1 + id % 8 AS INTEGER) AS orientation,
+           |       '2024:01:' || lpad(CAST(1 + id % 28 AS VARCHAR), 2, '0')
+           |         || ' 10:00:00' AS datetime,
+           |       FALSE AS gps_present, TRUE AS exif_ok,
+           |       TRUE AS len_preserved
+           |FROM (SELECT unnest(range(0, 30)) AS id)
+           |ORDER BY id""".stripMargin,
+
       "quality_gopher_rules" -> {
         val Q = functions.QualityOpsSql
         s"""WITH corpus AS (
@@ -12008,6 +12565,7 @@ object SparkEntry {
 
       // identical semantics to dedup_incremental, replayed as a batch
       "stream_incremental_dedup" -> streamIncDedupSql,
+      "stream_dedup_resumed" -> streamResumedDedupSql,
       "stream_bloom_gate" -> streamIncDedupSql,
 
       // the chained ingest loop, restated stage by stage: stage 1's

@@ -31,16 +31,35 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // self-describing run record: per-query ok/failed status, written to
+    // the out dir BEFORE the process can die on a later query and rewritten
+    // after every query — if the driver-side compare ever fails to produce
+    // its artifact (an empty CORRECTNESS file), this manifest plus the
+    // parquet dumps still adjudicate what ran
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    def writeManifest(): Unit = {
+      val body = status.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .take(120) + "\""
+      }.mkString("{", ",", "}")
+      try Files.writeString(Paths.get(s"$outDir/manifest.json"),
+        s"""{"n_total":${selected.size},"n_done":${status.size},"status":$body}\n""")
+      catch { case _: Throwable => () }
+    }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = "ok"
+      }
       catch { case e: Throwable =>
+        status(name) = s"failed: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operator builders cache multi-consumed intermediates (LSH
       // signatures, classified actions); release them between queries so an
       // 80-query run never accumulates executor storage
-      finally spark.catalog.clearCache()
+      finally { spark.catalog.clearCache(); writeManifest() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -222,7 +222,7 @@ object Bucketing {
 
   private val CompactSuffix = "__compact"
 
-  private def deleteDir(p: java.nio.file.Path): Unit =
+  private[operators] def deleteDir(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq

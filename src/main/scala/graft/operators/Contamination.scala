@@ -236,7 +236,7 @@ object Contamination {
       evalSet.select(col(idCol).as("eval_id"), col(textCol)),
       "eval_id", textCol, w)
       .select(col("id").as("eval_id"), col("fp"))
-    spark.table(table)
+    Retract.readLive(spark, table)
       .join(broadcast(eFps), Seq("fp"))
       .groupBy(col("id").as(idCol), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))

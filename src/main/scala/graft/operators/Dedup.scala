@@ -275,6 +275,65 @@ object Dedup {
   }
 
   /**
+   * [[simHashHammingPairs]]' banding/verify machinery over an ALREADY-
+   * COMPUTED fingerprint column — the form the perceptual image hashes
+   * (pHash/dHash, [[Multimodal.imageHashes]]) share with text SimHash:
+   * any `bits`-wide print within `maxHamming` shares one of
+   * `maxHamming + 1` identical bands (pigeonhole — recall exact),
+   * candidates verify by true Hamming distance, identical prints
+   * collapse BEFORE the band self-join (a boilerplate/meme flood of m
+   * copies costs one banded row per band, never m² candidates). `bits`
+   * must leave the sign bit clear (≤ 63): the band extraction is an
+   * arithmetic shift.
+   */
+  def hammingHashPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    require(bits > 0 && bits <= 63, "hammingHashPairs: bits must be 1..63")
+    val bands = maxHamming + 1
+    val width = (bits + bands - 1) / bands
+    val clusters = df
+      .select(col(idCol).as("id"), col(hashCol).as("print"))
+      .groupBy("print")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .cache()
+    val bandedPrints = clusters.select(
+      col("print"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          TextOps.simHashBand(col("print"), b, width).as("value"))): _*))
+        .as("bv"))
+      .select(col("print"), col("bv.band"), col("bv.value"))
+    val printPairs = bandedPrints.as("l")
+      .join(bandedPrints.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.value") === col("r.value") &&
+          col("l.print") < col("r.print"))
+      .select(col("l.print").as("pa"), col("r.print").as("pb"),
+        TextOps.hamming(col("l.print"), col("r.print")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("pa", "pb")
+    val cross = printPairs
+      .join(clusters.as("ca"), col("pa") === col("ca.print"))
+      .join(clusters.as("cb"), col("pb") === col("cb.print"))
+      .select(col("hamming"), explode(col("ca.ids")).as("ia"), col("cb.ids"))
+      .select(col("hamming"), col("ia"), explode(col("cb.ids")).as("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    val intra = clusters
+      .where(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("integer").as("hamming"))
+    CacheScope.unpersistAfterAction(cross.unionByName(intra), Seq(clusters))
+  }
+
+  /**
    * MinHash near-duplicate REMOVAL: the corpus minus every row with a
    * LOWER-id near-duplicate (Jaccard ≥ `minJaccard`) — the keep-the-most-
    * canonical-copy rule, one anti-join over the LSH pair stream. Single

@@ -108,7 +108,7 @@ object DedupIndex {
       idCol: String,
       keyCol: String): DataFrame = {
     val deduped = batch.withColumn("__kh", digest(keyCol))
-      .join(spark.table(table).select(col("kh").as("__kh")),
+      .join(Retract.readLive(spark, table).select(col("kh").as("__kh")),
         Seq("__kh"), "left_anti")
     deduped.groupBy(col("__kh"))
       .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("__row"))
@@ -175,13 +175,13 @@ object DedupIndex {
         batch.select(col(idCol).as("id"), col(textCol)), "id", textCol)
       .cache()
     val probe = bandRows(bSig).select(col("id").as("bid"), col("bb"))
-    val candidates = spark.table(s"${table}_bands")
+    val candidates = Retract.readLive(spark, s"${table}_bands")
       .select(col("id").as("cid"), col("bb"))
       .join(probe, Seq("bb"))
       .select(col("bid"), col("cid")).dropDuplicates("bid", "cid")
     val corpusHits = candidates
       .join(bSig.select(col("id").as("bid"), col("shingles").as("bsh")), Seq("bid"))
-      .join(spark.table(s"${table}_shingles")
+      .join(Retract.readLive(spark, s"${table}_shingles")
         .select(col("id").as("cid"), col("shingles").as("csh")), Seq("cid"))
       .where(TextOps.jaccard(col("bsh"), col("csh")) >= minJaccard)
       .select(col("bid").as(idCol)).distinct()
@@ -291,7 +291,7 @@ object DedupIndex {
     val seeds = loadSeeds(spark, table)
     val bAssigned = Similarity.assignClusters(batch, idCol, vecCol, seeds)
     val corpusHits = bAssigned.as("b")
-      .join(spark.table(s"${table}_cells").as("c"),
+      .join(Retract.readLive(spark, s"${table}_cells").as("c"),
         col("b.cluster") === col("c.cluster"))
       .where(graft.functions.VectorOps.cosine(col("b.cv"), col("c.cv"))
         >= minCosine)
@@ -347,6 +347,47 @@ object DedupIndex {
    * table is 2 longs/doc — the rewrite is the cheap linear pass; the
    * pair log (the expensive artifact) is never re-scanned.
    */
+  /**
+   * Takedown for the component index: tombstone the retracted ids'
+   * label rows ([[Retract]] lifecycle), and at [[purgeComponentIndex]]
+   * time RE-CANONICALIZE — the canonical label is the component's min
+   * member id, so retracting that member must re-elect the label from
+   * the survivors (a groupBy on the bucketing column: zero Exchange).
+   *
+   * Stated semantics, deliberately CONSERVATIVE: retraction never
+   * SPLITS a component. If the retracted document was the only bridge
+   * between two duplicate clusters, the survivors stay co-labeled —
+   * the pair evidence lives in each release's LSH join, which the
+   * at-rest labels summarize precisely so it never needs re-scanning
+   * ([[mergeComponentIndex]]'s contract). For dedup this errs in the
+   * safe direction: an over-grouped component can only drop MORE
+   * near-duplicates, never re-admit one. A rebuild from re-derived
+   * pairs (the full [[Dedup.connectedComponents]] pass) is the exact
+   * path when splits matter.
+   */
+  def retractComponentIndex(
+      spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val idCol = spark.table(table).schema.fieldNames.head
+    Retract.retract(spark, table, idCol, ids)
+  }
+
+  /** Physical purge + label re-canonicalization for the component
+    * index (see [[retractComponentIndex]]); crash-atomic via the
+    * rename-aside swap like every whole-table rewrite here. */
+  def purgeComponentIndex(spark: SparkSession, table: String): Unit =
+    purgeComponentIndex(spark, table, () => ())
+
+  private[graft] def purgeComponentIndex(
+      spark: SparkSession, table: String, midSwapFault: () => Unit): Unit = {
+    val Seq(idCol, labelCol) = spark.table(table).schema.fieldNames.toSeq
+    Retract.purge(spark, table, df => {
+      val relabel = df.groupBy(col(labelCol))
+        .agg(min(col(idCol)).as("__newlab"))
+      df.join(relabel, Seq(labelCol))
+        .select(col(idCol), col("__newlab").as(labelCol))
+    }, midSwapFault)
+  }
+
   def mergeComponentIndex(
       spark: SparkSession, table: String, newPairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): Unit =

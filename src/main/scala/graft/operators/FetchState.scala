@@ -97,7 +97,7 @@ object FetchState {
 
   private def indexedState(
       spark: SparkSession, table: String, urlCol: String): DataFrame = {
-    val t = spark.table(table)
+    val t = Retract.readLive(spark, table)
     if (urlCol == "url") t else t.withColumnRenamed("url", urlCol)
   }
 
@@ -122,7 +122,7 @@ object FetchState {
   /** The due frontier a cycle schedules from — the prior cycle's
     * committed artifact, read in place. */
   def frontier(spark: SparkSession, table: String): DataFrame =
-    spark.table(table)
+    Retract.readLive(spark, table)
 
   /**
    * Commit one crawl cycle against the durable stores — the state

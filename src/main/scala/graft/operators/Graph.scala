@@ -577,18 +577,31 @@ object Graph {
         col(dstCol).cast("long").as("dst")).distinct(),
       table)
 
+  /** Takedown for the edge index: a retracted NODE leaves the graph
+    * entirely — every edge it sources AND every edge pointing at it
+    * ([[Retract]]'s per-column tombstones give the OR semantics; one
+    * broadcast anti-join per endpoint at probe time, physical drop at
+    * the next [[Retract.purge]]). Rank/degree probes over the live view
+    * then equal a rebuild from the filtered edge list by construction —
+    * they are pure folds of the edge set. */
+  def retractNodes(spark: org.apache.spark.sql.SparkSession,
+      table: String, nodes: DataFrame): Unit = {
+    Retract.retract(spark, table, "src", nodes)
+    Retract.retract(spark, table, "dst", nodes)
+  }
+
   /** Out-degree per source from the persisted graph — a bucketed scan
     * folding in place, zero Exchange (plan-pinned). */
   def outDegrees(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame =
-    spark.table(table).groupBy(col("src").as("node"))
+    Retract.readLive(spark, table).groupBy(col("src").as("node"))
       .agg(countDistinct(col("dst")).as("out_degree"))
 
   /** [[pagerank]] over the persisted graph (`unit` passes through for
     * graphs past the default envelope). */
   def pagerankIndexed(spark: org.apache.spark.sql.SparkSession,
       table: String, iters: Int, unit: Long = RankUnit): DataFrame =
-    pagerank(spark.table(table), "src", "dst", iters, unit)
+    pagerank(Retract.readLive(spark, table), "src", "dst", iters, unit)
 }
 
 /** DuckDB renderings of the same fixpoint, for oracle SQL: the whole

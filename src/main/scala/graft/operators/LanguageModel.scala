@@ -137,6 +137,98 @@ object LanguageModel {
       .agg(round(avg(col("lp")), 6).as("mean_kn_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
+
+  /**
+   * Interpolated Kneser–Ney TRIGRAM scoring (Chen & Goodman 1999 §3 —
+   * the full CCNet/KenLM order-3 shape), same fixed absolute discount
+   * `d` at every level:
+   *
+   *   P(w3|w1w2) = max(c(w1w2w3)−d, 0)/c(w1w2·)
+   *                + d·N1+(w1w2·)/c(w1w2·) · P(w3|w2)
+   *   P(w3|w2)   = max(N1+(·w2w3)−d, 0)/N1+(·w2·)
+   *                + d·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+   *   Pcont(w3)  = N1+(·w3)/N1+(··)
+   *
+   * — the middle and bottom levels run on CONTINUATION counts (distinct
+   * predecessors), the defining KN move, all derived from the ONE
+   * distinct-trigram aggregate. Stated boundary contract: counts derive
+   * from the TRIGRAM stream, so a document's first bigram (no
+   * predecessor) contributes no continuation evidence — the standard
+   * sentence-boundary approximation, identical in the oracle.
+   *
+   * 100 TB shape, exactly [[knBigramLogProb]]'s: one trigram-sized
+   * aggregate; the trigram, trigram-context, and middle-level tables
+   * PRUNE to `topK` (count-desc, key-asc tie-breaks) before broadcast —
+   * a pruned entry falls to its lower level (the pruned-backoff
+   * approximation shipped LMs make, stated); the per-`w2` and per-`w3`
+   * tables are vocabulary-sized and broadcast unpruned; N1+(··) is one
+   * driver scalar. Scoring is map-side: five broadcast joins, one
+   * per-doc aggregate. Mass conservation (Σ_w3 P = 1 per context,
+   * unpruned) is spec-pinned.
+   */
+  def knTrigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 10000,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, "knTrigramLogProb: discount must be in (0, 1)")
+    val th = TextOps.tokenHashes(TextOps.tokens(col(textCol)))
+    val base = df.select(col(idCol), th.as("th"))
+    val triples = base
+      .where(size(col("th")) >= 3)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("th"), lit(1), size(col("th")) - 2),
+        slice(col("th"), lit(2), size(col("th")) - 2),
+        slice(col("th"), lit(3), size(col("th")) - 2))).as("p"))
+      .select(col(idCol), col("p.0").as("u1"), col("p.1").as("u2"),
+        col("p.2").as("u3"))
+    // THE aggregate: one row per distinct trigram
+    val tg = triples.groupBy(col("u1"), col("u2"), col("u3"))
+      .agg(count(lit(1)).as("ct"))
+    // trigram context counts c(w1w2·) and N1+(w1w2·)
+    val ctx2 = tg.groupBy(col("u1"), col("u2"))
+      .agg(sum(col("ct")).as("c12"), count(lit(1)).as("n1f12"))
+    // continuation counts: tg is distinct by (u1,u2,u3), so count(*) per
+    // (u2,u3) IS the distinct-predecessor count N1+(·w2w3)
+    val contTri = tg.groupBy(col("u2"), col("u3"))
+      .agg(count(lit(1)).as("n1t"))
+    val midCtx = contTri.groupBy(col("u2"))
+      .agg(sum(col("n1t")).as("n1mid"), count(lit(1)).as("nfol2"))
+    val pcontT = contTri.groupBy(col("u3")).agg(count(lit(1)).as("n1c3"))
+    val n1pp = contTri.count()
+    val tgTop = tg.orderBy(col("ct").desc, col("u1"), col("u2"), col("u3"))
+      .limit(topK)
+    val ctx2Top = ctx2.orderBy(col("c12").desc, col("u1"), col("u2"))
+      .limit(topK)
+    val midTop = contTri.orderBy(col("n1t").desc, col("u2"), col("u3"))
+      .limit(topK)
+    val pc = col("n1c3").cast("double") / lit(n1pp.toDouble)
+    val lamMid = lit(d) * col("nfol2").cast("double") /
+      col("n1mid").cast("double")
+    val pMid = when(col("n1t").isNotNull,
+        (col("n1t").cast("double") - lit(d)) / col("n1mid").cast("double") +
+          lamMid * pc)
+      .otherwise(lamMid * pc)
+    val lamTop = lit(d) * col("n1f12").cast("double") /
+      col("c12").cast("double")
+    val prob = when(col("c12").isNotNull,
+        when(col("ct").isNotNull,
+          (col("ct").cast("double") - lit(d)) / col("c12").cast("double") +
+            lamTop * pMid)
+          .otherwise(lamTop * pMid))
+      .otherwise(pMid)
+    triples
+      .join(broadcast(tgTop), Seq("u1", "u2", "u3"), "left")
+      .join(broadcast(ctx2Top), Seq("u1", "u2"), "left")
+      .join(broadcast(midTop), Seq("u2", "u3"), "left")
+      .join(broadcast(midCtx), Seq("u2"))
+      .join(broadcast(pcontT), Seq("u3"))
+      .withColumn("lp", log(prob))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("lp")), 6).as("mean_kn3_logprob"),
+        count(lit(1)).as("n_trigrams"))
+  }
 }
 
 /** DuckDB rendering of [[LanguageModel.bigramLogProb]] — same counts, same
@@ -219,6 +311,77 @@ object LanguageModelSql {
        |LEFT JOIN bgtop USING (u1, u2)
        |LEFT JOIN ctx USING (u1)
        |JOIN rev USING (u2), tot
+       |GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+
+  /** Mirror of [[LanguageModel.knTrigramLogProb]] — same single
+    * distinct-trigram aggregate, same derived continuation tables, same
+    * pruning tie-breaks and coalesce ladder; the distinct-bigram total
+    * is recomputed IN SQL so the engines derive the bottom denominator
+    * independently. */
+  def knTrigramLogProb(
+      table: String,
+      idCol: String,
+      textCol: String,
+      topK: Int = 10000,
+      d: Double = 0.75): String = {
+    val toks = graft.functions.TextOpsSql.tokens(textCol)
+    val thash = graft.functions.TextOpsSql.tokenHashes("toks")
+    val dd = s"CAST($d AS DOUBLE)"
+    s"""WITH tok AS (SELECT $idCol, $toks AS toks FROM $table),
+       |docs AS (SELECT $idCol, $thash AS th FROM tok),
+       |tr AS (SELECT $idCol, p[1] AS u1, p[2] AS u2, p[3] AS u3 FROM (
+       |         SELECT $idCol, unnest(list_transform(range(0, len(th)-2),
+       |                        i -> [th[i+1], th[i+2], th[i+3]])) AS p
+       |         FROM docs WHERE len(th) >= 3)),
+       |tg AS (SELECT u1, u2, u3, count(*) AS ct FROM tr GROUP BY u1, u2, u3),
+       |ctx2 AS (SELECT u1, u2, sum(ct) AS c12, count(*) AS n1f12
+       |         FROM tg GROUP BY u1, u2),
+       |ctr AS (SELECT u2, u3, count(*) AS n1t FROM tg GROUP BY u2, u3),
+       |midc AS (SELECT u2, sum(n1t) AS n1mid, count(*) AS nfol2
+       |         FROM ctr GROUP BY u2),
+       |pct AS (SELECT u3, count(*) AS n1c3 FROM ctr GROUP BY u3),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n1pp FROM ctr),
+       |tgtop AS (SELECT u1, u2, u3, ct FROM tg
+       |          ORDER BY ct DESC, u1, u2, u3 LIMIT $topK),
+       |ctxtop AS (SELECT u1, u2, c12, n1f12 FROM ctx2
+       |           ORDER BY c12 DESC, u1, u2 LIMIT $topK),
+       |midtop AS (SELECT u2, u3, n1t FROM ctr
+       |           ORDER BY n1t DESC, u2, u3 LIMIT $topK)
+       |SELECT $idCol,
+       |       round(avg(ln(
+       |         CASE WHEN ctxtop.c12 IS NULL THEN
+       |           CASE WHEN midtop.n1t IS NOT NULL
+       |                THEN (midtop.n1t::DOUBLE - $dd)
+       |                       / midc.n1mid::DOUBLE
+       |                     + $dd * midc.nfol2::DOUBLE
+       |                       / midc.n1mid::DOUBLE
+       |                       * (pct.n1c3::DOUBLE / tot.n1pp)
+       |                ELSE $dd * midc.nfol2::DOUBLE
+       |                       / midc.n1mid::DOUBLE
+       |                       * (pct.n1c3::DOUBLE / tot.n1pp) END
+       |         ELSE
+       |           CASE WHEN tgtop.ct IS NOT NULL
+       |                THEN (tgtop.ct::DOUBLE - $dd) / ctxtop.c12::DOUBLE
+       |                ELSE CAST(0 AS DOUBLE) END
+       |           + $dd * ctxtop.n1f12::DOUBLE / ctxtop.c12::DOUBLE
+       |             * (CASE WHEN midtop.n1t IS NOT NULL
+       |                THEN (midtop.n1t::DOUBLE - $dd)
+       |                       / midc.n1mid::DOUBLE
+       |                     + $dd * midc.nfol2::DOUBLE
+       |                       / midc.n1mid::DOUBLE
+       |                       * (pct.n1c3::DOUBLE / tot.n1pp)
+       |                ELSE $dd * midc.nfol2::DOUBLE
+       |                       / midc.n1mid::DOUBLE
+       |                       * (pct.n1c3::DOUBLE / tot.n1pp) END)
+       |         END)), 6) AS mean_kn3_logprob,
+       |       count(*) AS n_trigrams
+       |FROM tr
+       |LEFT JOIN tgtop USING (u1, u2, u3)
+       |LEFT JOIN ctxtop USING (u1, u2)
+       |LEFT JOIN midtop USING (u2, u3)
+       |JOIN midc USING (u2)
+       |JOIN pct USING (u3), tot
        |GROUP BY $idCol ORDER BY $idCol""".stripMargin
   }
 }

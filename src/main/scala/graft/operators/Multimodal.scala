@@ -145,6 +145,359 @@ object Multimodal {
       .toDF()
   }
 
+  // =====================================================================
+  // Perceptual image hashes — the image analogue of MinHash/SimHash
+  // =====================================================================
+
+  final case class ImageHash(
+      id: Long, dhash: Long, phash: Long, decode_ok: Boolean)
+
+  /** Decompression-bomb guard for the FULL-raster decode the perceptual
+    * hashes need (unlike [[decodeImageMeta]]'s header-only pass): a
+    * few-KB payload declaring 60000×60000 would OOM the executor at
+    * raster allocation, so dimensions are checked from the HEADER before
+    * any pixel decodes. 16 Mpx ≈ 64 MB ARGB — bounded per task. */
+  private val MaxHashPixels = 16L * 1024 * 1024
+
+  /** Integer luma (ITU-R 601 weights, exact integer arithmetic:
+    * (299r + 587g + 114b) / 1000 floor) — deterministic across JVMs,
+    * restatable in SQL for the no-resample fixtures. */
+  private def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff; val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Box-average downscale to `tw`×`th`: cell (cx,cy) averages the pixel
+    * block [⌊cx·W/tw⌋, ⌊(cx+1)·W/tw⌋) × [⌊cy·H/th⌋, ⌊(cy+1)·H/th⌋),
+    * integer sum / count floor. When the image IS `tw`×`th` every cell
+    * is exactly one pixel — the identity the fixture oracle exploits. */
+  private def boxScale(
+      gray: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var cy = 0
+    while (cy < th) {
+      val y0 = cy * h / th; val y1 = math.max(y0 + 1, (cy + 1) * h / th)
+      var cx = 0
+      while (cx < tw) {
+        val x0 = cx * w / tw; val x1 = math.max(x0 + 1, (cx + 1) * w / tw)
+        var sum = 0L; var n = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        out(cy * tw + cx) = (sum / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** dHash (difference hash; Krawetz's "kind of like ahash" gradient
+    * variant): 9×8 box-scaled luma, bit (y·8+x) set iff cell (x,y) <
+    * cell (x+1,y) — 64 comparisons, of which the LAST is dropped so the
+    * print stays 63 bits with a clear sign bit (the banding machinery's
+    * arithmetic-shift contract, [[Dedup.hammingHashPairs]]). */
+  private[graft] def dHashOf(g9x8: Array[Int]): Long = {
+    var hash = 0L; var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val idx = y * 8 + x
+        if (idx < 63 && g9x8(y * 9 + x) < g9x8(y * 9 + x + 1))
+          hash |= 1L << idx
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** pHash (DCT hash): 32×32 box-scaled luma → unnormalized 2-D DCT-II
+    * → the 8×8 low-frequency block MINUS the DC coefficient (exactly 63
+    * values, so the median is a single exact element and the print is 63
+    * bits); bit set iff its coefficient exceeds that median. Scale
+    * factors cancel in the compare, so the unnormalized sum is the whole
+    * transform. */
+  private[graft] def pHashOf(g32: Array[Int]): Long = {
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            s += g32(y * 32 + x) *
+              math.cos(math.Pi * (2 * x + 1) * u / 64.0) *
+              math.cos(math.Pi * (2 * y + 1) * v / 64.0)
+            x += 1
+          }
+          y += 1
+        }
+        coef(v * 8 + u) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = coef.drop(1) // 63 non-DC coefficients
+    val med = ac.sorted.apply(31) // exact middle element of 63
+    var hash = 0L; var i = 0
+    while (i < 63) {
+      if (ac(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /**
+   * Perceptual hashes per image payload — the signature pass of image
+   * near-dup dedup (a crawl's meme/logo floods cluster by pHash/dHash
+   * exactly as text near-dups cluster by MinHash): full-raster decode
+   * behind the bomb guard, integer-luma box downscale, both 63-bit
+   * prints per row. Partition-level like [[decodeImageMeta]]: payload
+   * bytes never shuffle, only (id, 2×long) rows leave the scan — at
+   * 100 TB the hash table is ~16 bytes/image against TBs of pixels.
+   * Near-dup candidates come from [[Dedup.hammingHashPairs]] over
+   * either print; undecodable payloads flag rather than throw.
+   */
+  def imageHashes(
+      df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          var out: ImageHash = null
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (readers.hasNext) {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  val (w, h) = (r.getWidth(0), r.getHeight(0))
+                  if (w > 0 && h > 0 && w.toLong * h <= MaxHashPixels) {
+                    val im = r.read(0)
+                    val gray = new Array[Int](w * h)
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        gray(y * w + x) = luma(im.getRGB(x, y))
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    out = ImageHash(id,
+                      dHashOf(boxScale(gray, w, h, 9, 8)),
+                      pHashOf(boxScale(gray, w, h, 32, 32)),
+                      decode_ok = true)
+                  }
+                } finally r.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          } catch { case _: Exception => () }
+          if (out == null) ImageHash(id, 0L, 0L, decode_ok = false)
+          else out
+        }
+      }
+      .toDF()
+  }
+
+  // =====================================================================
+  // EXIF walk + GPS-PII strip — structural APP1/TIFF-IFD parse
+  // =====================================================================
+
+  final case class ExifMeta(
+      id: Long, has_exif: Boolean, orientation: Int, datetime: String,
+      gps_present: Boolean, exif_ok: Boolean)
+
+  private def u16(b: Array[Byte], o: Int, le: Boolean): Int =
+    if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private def u32be(b: Array[Byte], o: Int, le: Boolean): Long =
+    if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Byte size of one TIFF value of `type` (types 1..12; unknown → 1,
+    * which under-reads rather than walking out of bounds). */
+  private def tiffTypeSize(t: Int): Int = t match {
+    case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
+    case 5 | 10 | 12 => 8; case _ => 1
+  }
+
+  /** Locate the EXIF APP1 segment of a JPEG: (payload offset of the
+    * TIFF header, segment data length) — a marker walk, never a codec. */
+  private def findExifTiff(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var o = 2
+    while (o + 4 <= b.length && (b(o) & 0xff) == 0xff) {
+      val marker = b(o + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / scan data
+      val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      if (len < 2 || o + 2 + len > b.length) return None // corrupt length
+      if (marker == 0xe1 && len >= 10 &&
+          b(o + 4) == 'E' && b(o + 5) == 'x' && b(o + 6) == 'i' &&
+          b(o + 7) == 'f' && b(o + 8) == 0 && b(o + 9) == 0)
+        return Some((o + 10, len - 8)) // TIFF header starts after Exif\0\0
+      o += 2 + len
+    }
+    None
+  }
+
+  /** Walk one IFD, returning (tag → (entryOffset, type, count,
+    * valueOrOffset)) for its entries; offsets are TIFF-relative. */
+  private def walkIfd(
+      b: Array[Byte], tiff: Int, tiffLen: Int, ifdOff: Long, le: Boolean)
+      : Seq[(Int, (Int, Int, Long, Long))] = {
+    val base = tiff + ifdOff.toInt
+    if (ifdOff < 0 || base + 2 > tiff + tiffLen || base + 2 > b.length)
+      return Nil
+    val n = u16(b, base, le)
+    (0 until n).flatMap { i =>
+      val e = base + 2 + i * 12
+      if (e + 12 > b.length || e + 12 > tiff + tiffLen) None
+      else Some((u16(b, e, le),
+        (e, u16(b, e + 2, le), u32be(b, e + 4, le), u32be(b, e + 8, le))))
+    }
+  }
+
+  private val TagOrientation = 0x0112
+  private val TagDateTime = 0x0132
+  private val TagGpsIfd = 0x8825
+
+  /** ASCII value of a TIFF entry (inline when ≤ 4 bytes, else pointed). */
+  private def asciiValue(
+      b: Array[Byte], tiff: Int, tiffLen: Int, le: Boolean,
+      entry: (Int, Int, Long, Long)): String = {
+    val (eOff, tpe, count, vo) = entry
+    if (tpe != 2 || count <= 0 || count > 64) return ""
+    val at = if (count <= 4) eOff + 8 else tiff + vo.toInt
+    if (at < 0 || at + count > b.length || at + count > tiff + tiffLen)
+      return ""
+    new String(b, at, count.toInt, "US-ASCII").takeWhile(_ != '\u0000')
+  }
+
+  /**
+   * EXIF metadata walk — the [[parseMp4Moov]] container-walk pattern on
+   * JPEG/TIFF: marker scan to the APP1 `Exif\0\0` segment, endian-aware
+   * IFD0 walk for orientation and DateTime, GPS presence from the
+   * 0x8825 GPS-IFD pointer (coordinates = location PII — the signal the
+   * hygiene gate needs BEFORE any pixel work). Corrupt structures flag
+   * `exif_ok = false`, never throw; a JPEG without APP1 is
+   * `has_exif = false` with defaults.
+   */
+  def exifMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try {
+          findExifTiff(payload) match {
+            case None => ExifMeta(id, has_exif = false, 0, "",
+              gps_present = false, exif_ok = true)
+            case Some((tiff, tiffLen)) =>
+              val le = payload.length >= tiff + 4 &&
+                payload(tiff) == 'I' && payload(tiff + 1) == 'I'
+              val be = payload.length >= tiff + 4 &&
+                payload(tiff) == 'M' && payload(tiff + 1) == 'M'
+              if (!le && !be)
+                ExifMeta(id, has_exif = true, 0, "", gps_present = false,
+                  exif_ok = false)
+              else {
+                val ifd0 = u32be(payload, tiff + 4, le)
+                val entries = walkIfd(payload, tiff, tiffLen, ifd0, le).toMap
+                val orient = entries.get(TagOrientation)
+                  .map(e => e._4.toInt).getOrElse(0)
+                val dt = entries.get(TagDateTime)
+                  .map(e => asciiValue(payload, tiff, tiffLen, le, e))
+                  .getOrElse("")
+                ExifMeta(id, has_exif = true, orient, dt,
+                  gps_present = entries.contains(TagGpsIfd), exif_ok = true)
+              }
+          }
+        } catch {
+          case _: Exception =>
+            ExifMeta(id, has_exif = true, 0, "", gps_present = false,
+              exif_ok = false)
+        }
+      })
+      .toDF()
+  }
+
+  /**
+   * GPS-PII strip: ZERO the GPS data IN PLACE — every GPS-IFD entry's
+   * inline value and pointed value region overwrites with zeros, then
+   * the GPS-IFD pointer tag in IFD0 rewrites to 0xFFFF (an unknown tag
+   * readers skip). Nothing reflows, so every other TIFF offset stays
+   * valid and the payload length is unchanged — the same in-place
+   * discipline as the WKT shift in the reference's cleanser (structure
+   * preserved, values corrected). Non-JPEG / EXIF-less / corrupt
+   * payloads pass through byte-identical. Emits (id, payload).
+   */
+  def stripExifGps(
+      df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val out = try {
+          findExifTiff(payload) match {
+            case None => payload
+            case Some((tiff, tiffLen)) =>
+              val le = payload.length >= tiff + 4 &&
+                payload(tiff) == 'I' && payload(tiff + 1) == 'I'
+              val be = payload.length >= tiff + 4 &&
+                payload(tiff) == 'M' && payload(tiff + 1) == 'M'
+              if (!le && !be) payload
+              else {
+                val ifd0 = u32be(payload, tiff + 4, le)
+                val entries = walkIfd(payload, tiff, tiffLen, ifd0, le)
+                entries.find(_._1 == TagGpsIfd) match {
+                  case None => payload
+                  case Some((_, (eOff, _, _, gpsOff))) =>
+                    val b = payload.clone()
+                    for ((_, (ge, gt, gc, gvo)) <-
+                        walkIfd(b, tiff, tiffLen, gpsOff, le)) {
+                      val n = gc * tiffTypeSize(gt)
+                      // zero the value, inline or pointed
+                      val at = if (n <= 4) ge + 8 else tiff + gvo.toInt
+                      var i = 0
+                      while (i < n && at + i < b.length &&
+                          at + i < tiff + tiffLen) {
+                        b(at + i) = 0; i += 1
+                      }
+                      // zero the entry itself (tag/type/count/value)
+                      var j = 0
+                      while (j < 12) { b(ge + j) = 0; j += 1 }
+                    }
+                    // retag the pointer so readers stop resolving it
+                    if (le) { b(eOff) = 0xff.toByte; b(eOff + 1) = 0xff.toByte }
+                    else { b(eOff) = 0xff.toByte; b(eOff + 1) = 0xff.toByte }
+                    b
+                }
+              }
+          }
+        } catch { case _: Exception => payload }
+        (id, out)
+      })
+      .toDF(idCol, payloadCol)
+  }
+
   final case class AudioMeta(
       id: Long, mime: String, sample_rate_hz: Int, n_channels: Int,
       n_frames: Long, duration_ms: Long, n_bytes: Long, decode_ok: Boolean)

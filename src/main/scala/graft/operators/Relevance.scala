@@ -258,6 +258,42 @@ object Relevance {
       .write.mode("append").format("parquet").saveAsTable(s"${table}_stats")
   }
 
+  /**
+   * Takedown for the postings index: tombstone every postings row of
+   * `ids` ([[Retract]] lifecycle — masked immediately, physically
+   * dropped at the next [[Retract.purge]]), AND append a NEGATIVE
+   * corpus-statistics correction row so N/avgdl stay exact for probes
+   * from this moment on (stats fold by SUM; the correction is computed
+   * from the per-doc `dl` the index itself carries, over NEW keys only
+   * — re-submitting a takedown list must not double-subtract).
+   *
+   * Stated limitation: a document with ZERO tokens has no postings
+   * rows, so its +1 in `n_docs` cannot be found from the index and
+   * survives until a stats rebuild — it never scores, so only idf's N
+   * drifts by the (rare) tokenless-doc count.
+   */
+  def retractPostings(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      ids: DataFrame): Unit = {
+    val tomb = Retract.tombTable(table)
+    val keys = ids.select(col(ids.columns.head).cast("string").as("key"))
+      .where(col("key").isNotNull).distinct()
+    val fresh =
+      if (!spark.catalog.tableExists(tomb)) keys
+      else keys.join(
+        spark.table(tomb).where(col("col_name") === "id").select("key"),
+        Seq("key"), "left_anti")
+    val corr = spark.table(table)
+      .join(broadcast(fresh), col("id").cast("string") === col("key"),
+        "left_semi")
+      .select(col("id"), col("dl")).distinct()
+      .agg((count(lit(1)) * -1).as("n_docs"),
+        (count(lit(1)) * -1).as("n_dl"),
+        (coalesce(sum(col("dl").cast("long")), lit(0L)) * -1).as("sum_dl"))
+    Retract.retract(spark, table, "id", ids)
+    corr.write.mode("append").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
   /** Maintenance fold for the postings index: compact the bucketed
     * postings back to one sorted file per bucket
     * ([[Bucketing.compactBucketed]]) and collapse the accumulated
@@ -304,7 +340,7 @@ object Relevance {
     // integer-valued doubles < 2^53 sum exactly, so this equals the rescan
     // arm's avg(dl) bit-for-bit regardless of how many appends contributed
     val avgdl = st.getLong(2).toDouble / st.getLong(1).toDouble
-    val p = spark.table(table).where(col("tok").isin(query: _*))
+    val p = Retract.readLive(spark, table).where(col("tok").isin(query: _*))
     val dfreq = p.groupBy(col("tok"))
       .agg(countDistinct(col("id")).cast("double").as("dfq"))
     val idf = log(lit(1.0) +
@@ -345,7 +381,7 @@ object Relevance {
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       terms: Seq[String]): DataFrame =
-    spark.table(table)
+    Retract.readLive(spark, table)
       .where(col("tok").isin(terms.distinct: _*))
       .groupBy(col("id"))
       .agg(map_from_entries(collect_list(

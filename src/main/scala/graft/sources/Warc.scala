@@ -515,6 +515,35 @@ object Warc {
   }
 
   /**
+   * The public CDX server's `from=`/`to=`/`limit=` query shape: probe
+   * the bucket-pruned index for the URLs' keys, keep captures whose
+   * `WARC-Date` falls in the CLOSED [from, to] window (ISO-8601
+   * compared as instants, like the temporal probe; junk-dated captures
+   * cannot fall inside any window and drop), order by (surt,
+   * warc_date, digest) — the CDX server's key order with the house
+   * deterministic tiebreak — and return the first `limit` rows. The
+   * limit is a bounded TakeOrdered (per-partition top-k + driver
+   * merge), never a global sort; pass `collapseDigest = true` to apply
+   * [[collapseCaptures]]' change-point fold before windowing, exactly
+   * as CDX servers compose `collapse=digest` with `from/to/limit`.
+   */
+  def lookupCdxWindow(
+      spark: SparkSession, table: String, urls: Seq[String],
+      from: String, to: String, limit: Int,
+      collapseDigest: Boolean = false): DataFrame = {
+    require(limit > 0, "lookupCdxWindow: limit must be positive")
+    val ts = try_to_timestamp(col("warc_date")).cast("long")
+    val base = lookupCdx(spark, table, urls)
+    val collapsed = if (collapseDigest) collapseCaptures(base) else base
+    collapsed
+      .where(ts.isNotNull &&
+        ts >= to_timestamp(lit(from)).cast("long") &&
+        ts <= to_timestamp(lit(to)).cast("long"))
+      .orderBy(col("surt"), col("warc_date"), col("digest"))
+      .limit(limit)
+  }
+
+  /**
    * The public CDX server's `collapse=digest` — per URL key, drop every
    * capture whose digest equals its PREDECESSOR's in capture-time order
    * (consecutive-run dedup: the "show me the change points" view).
@@ -577,7 +606,8 @@ object Warc {
     require(urls.nonEmpty, "lookupCdx: empty url set")
     val keys = urls.toDF("u").select(surtKey(col("u")))
       .collect().map(_.getString(0)).toSeq
-    spark.table(table).where(col("surt").isin(keys: _*))
+    graft.operators.Retract.readLive(spark, table)
+      .where(col("surt").isin(keys: _*))
   }
 
   /** The SURT's host segment (everything before `)`) — the partition key
@@ -613,7 +643,7 @@ object Warc {
     // column); the boundary check above exacts it post-scan
     val prune = revs.map(r =>
       col("surt") >= r && col("surt") < r + "\uffff").reduce(_ || _)
-    spark.table(table).where(prune && exact)
+    graft.operators.Retract.readLive(spark, table).where(prune && exact)
   }
 
   /**
@@ -632,7 +662,7 @@ object Warc {
     require(prefixes.nonEmpty, "lookupCdxPrefix: empty prefix set")
     val keys = prefixes.toDF("u").select(surtKey(col("u")))
       .collect().map(_.getString(0)).toSeq
-    spark.table(table)
+    graft.operators.Retract.readLive(spark, table)
       .where(keys.map(k => col("surt").startsWith(k)).reduce(_ || _))
   }
 

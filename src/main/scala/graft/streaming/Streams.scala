@@ -235,31 +235,47 @@ object Streams {
    * the state store is RocksDB-backed and sized by distinct digests, which
    * is exactly the cardinality an exact-dedup hash table costs anywhere.
    */
-  def streamingDedup(
-      spark: SparkSession,
-      docs: DataFrame): DataFrame = {
+  /**
+   * The DEPLOYABLE form of [[streamingDedup]]'s stateful core: the
+   * caller owns the source stream, the checkpoint location, and the
+   * sink — which is what makes the door KILLABLE AND RESUMABLE (the
+   * state store checkpoints per micro-batch; a restart from the same
+   * checkpoint reloads the last committed state version and replays
+   * the uncommitted batch exactly once — pinned by `StreamResumeSpec`
+   * for between-batch kills AND mid-batch deaths). Emits one
+   * (digest, kept_id) per FIRST-ever-seen digest.
+   */
+  private[graft] def dedupTransform(src: DataFrame): DataFrame = {
+    val spark = src.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val dir = Files.createTempDirectory("graft-stream-dedup")
-    docs.select(col("doc_id"), col("text")).write
-      .mode("overwrite").parquet(dir.toString)
-    val schema = spark.read.parquet(dir.toString).schema
-    val keyed = spark.readStream.schema(schema).parquet(dir.toString)
+    src
       .select(col("doc_id").cast("long").as("doc_id"),
         sha2(col("text").cast("binary"), 256).as("digest"))
       .as[(Long, String)]
       .groupByKey(_._2)
-    val deduped = keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (digest: String, rows: Iterator[(Long, String)],
-       state: GroupState[Boolean]) =>
-        if (state.exists) Iterator.empty
-        else {
-          state.update(true)
-          Iterator.single((digest, rows.map(_._1).min))
-        })
-    val drained = runToMemory(deduped.toDF("digest", "kept_id"), "append",
-      statePartitionsFor(dir.toString))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (digest: String, rows: Iterator[(Long, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((digest, rows.map(_._1).min))
+          })
+      .toDF("digest", "kept_id")
+  }
+
+  def streamingDedup(
+      spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-dedup")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val drained = runToMemory(
+      dedupTransform(spark.readStream.schema(schema).parquet(dir.toString)),
+      "append", statePartitionsFor(dir.toString))
     cleanupStaging(dir)
     drained.select(col("kept_id"))
   }
@@ -655,24 +671,22 @@ object Streams {
    * default); the result is the same for every setting — the spec pins
    * that by draining one file per batch.
    */
-  def minHashDedupStream(
-      spark: SparkSession,
-      docs: org.apache.spark.sql.DataFrame,
-      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+  /** Deployable stateful core of [[minHashDedupStream]] (see
+    * [[dedupTransform]] for the kill-and-resume contract): every
+    * arriving doc emits its LSH bucket memberships with the lowest
+    * bucket occupant at-or-below it — state is 8 bytes per distinct
+    * bucket, checkpointed per micro-batch. */
+  private[graft] def lshMembershipTransform(
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = src.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.functions.TextOps
-    val dir = Files.createTempDirectory("graft-stream-lsh")
-    docs.select(col("doc_id"), col("text")).write
-      .mode("overwrite").parquet(dir.toString)
-    val schema = spark.read.parquet(dir.toString).schema
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val sig = reader.parquet(dir.toString)
+    val sig = src
       .select(col("doc_id").cast("long").as("doc_id"),
         TextOps.minHashSignature(array_distinct(TextOps.shingleHashes(
           TextOps.tokenHashes(TextOps.tokens(col("text")))))).as("sig"))
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(array(
         (0 until TextOps.Bands).map(b => struct(lit(b).as("band"),
           TextOps.bandHash(col("sig"), b).as("bucket"))): _*)).as("bb"))
@@ -681,28 +695,41 @@ object Streams {
       .where(col("bucket").isNotNull)
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
-    val perBucket = banded.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
-       state: GroupState[Long]) => {
-        val ids = rows.map(_._1).toArray.sorted
-        val prior = if (state.exists) state.get else Long.MaxValue
-        state.update(math.min(prior, ids.head))
-        // pass each (doc, band, bucket) through with the lowest occupant
-        // at-or-below it (self included): the live-gate signal. The state
-        // itself stays 8 bytes per distinct bucket.
-        val out = new Array[(Long, Int, Long, Long)](ids.length)
-        var running = prior
-        var i = 0
-        while (i < ids.length) {
-          running = math.min(running, ids(i))
-          out(i) = (ids(i), key._1, key._2, running)
-          i += 1
-        }
-        out.iterator
-      })
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[Long]) => {
+          val ids = rows.map(_._1).toArray.sorted
+          val prior = if (state.exists) state.get else Long.MaxValue
+          state.update(math.min(prior, ids.head))
+          // pass each (doc, band, bucket) through with the lowest occupant
+          // at-or-below it (self included): the live-gate signal. The state
+          // itself stays 8 bytes per distinct bucket.
+          val out = new Array[(Long, Int, Long, Long)](ids.length)
+          var running = prior
+          var i = 0
+          while (i < ids.length) {
+            running = math.min(running, ids(i))
+            out(i) = (ids(i), key._1, key._2, running)
+            i += 1
+          }
+          out.iterator
+        })
+      .toDF("doc_id", "band", "bucket", "arrival_min")
+  }
+
+  def minHashDedupStream(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-lsh")
+    docs.select(col("doc_id"), col("text")).write
+      .mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val drained = runToMemory(
-      perBucket.toDF("doc_id", "band", "bucket", "arrival_min"),
+      lshMembershipTransform(reader.parquet(dir.toString)),
       "append", statePartitionsFor(dir.toString))
     cleanupStaging(dir)
     // global fold over the drained membership rows: every doc emitted every
@@ -753,25 +780,39 @@ object Streams {
     val schema = spark.read.parquet(dir.toString).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val keyed = reader.parquet(dir.toString)
-      .as[(Long, String)]
-      .groupByKey(_._2)
-    val ranked = keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (source: String, rows: Iterator[(Long, String)],
-       state: GroupState[Long]) => {
-        val ids = rows.map(_._1).toArray.sorted
-        val before = if (state.exists) state.get else 0L
-        state.update(before + ids.length)
-        ids.iterator.zipWithIndex.map { case (id, i) =>
-          (id, source, before + i + 1L) // 1-based arrival rank
-        }
-      })
     val drained = runToMemory(
-      ranked.toDF("doc_id", "source", "arrival_rank"),
+      quotaRankTransform(reader.parquet(dir.toString)),
       "append", statePartitionsFor(dir.toString))
     cleanupStaging(dir)
     drained
+  }
+
+  /** Deployable stateful core of [[sourceQuotaStream]] (see
+    * [[dedupTransform]] for the kill-and-resume contract): each doc
+    * passes through with its 1-based arrival rank within its source;
+    * state is the one-long admitted count per source. */
+  private[graft] def quotaRankTransform(
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    src
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("source").cast("string").as("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(Long, String)],
+         state: GroupState[Long]) => {
+          val ids = rows.map(_._1).toArray.sorted
+          val before = if (state.exists) state.get else 0L
+          state.update(before + ids.length)
+          ids.iterator.zipWithIndex.map { case (id, i) =>
+            (id, source, before + i + 1L) // 1-based arrival rank
+          }
+        })
+      .toDF("doc_id", "source", "arrival_rank")
   }
 
   /**
@@ -815,27 +856,43 @@ object Streams {
     val schema = spark.read.parquet(dir.toString).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val keyed = reader.parquet(dir.toString)
-      .as[(Long, String, Long)]
-      .groupByKey(_._2)
-    val ranked = keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (source: String, rows: Iterator[(Long, String, Long)],
-       state: GroupState[Long]) => {
-        val arr = rows.map(r => (r._1, r._3)).toArray.sortBy(_._1)
-        var cum = if (state.exists) state.get else 0L
-        val out = arr.map { case (id, tk) =>
-          cum += tk
-          (id, source, tk, cum) // cumulative INCLUDING self
-        }
-        state.update(cum)
-        out.iterator
-      })
     val drained = runToMemory(
-      ranked.toDF("doc_id", "source", "n_tokens", "cum_tokens"),
+      budgetArrivalTransform(reader.parquet(dir.toString)),
       "append", statePartitionsFor(dir.toString))
     cleanupStaging(dir)
     drained
+  }
+
+  /** Deployable stateful core of [[tokenBudgetStream]] (see
+    * [[dedupTransform]] for the kill-and-resume contract): each doc
+    * passes through with its source-cumulative token count including
+    * itself; state is the one-long cumulative count per source.
+    * Expects (doc_id, source, n_tokens) input rows. */
+  private[graft] def budgetArrivalTransform(
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    src
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("source").cast("string").as("source"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[Long]) => {
+          val arr = rows.map(r => (r._1, r._3)).toArray.sortBy(_._1)
+          var cum = if (state.exists) state.get else 0L
+          val out = arr.map { case (id, tk) =>
+            cum += tk
+            (id, source, tk, cum) // cumulative INCLUDING self
+          }
+          state.update(cum)
+          out.iterator
+        })
+      .toDF("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
   def tokenBudgetStream(
