@@ -110,6 +110,11 @@ object Bucketing {
     * built `tmp` supersedes `table` via live→`__old`, tmp→live, drop
     * `__old` — nothing live is deleted before the new copy is committed,
     * and [[recoverCompaction]] heals a death at any point. */
+  private[operators] def swapTables(
+      spark: SparkSession, table: String, tmp: String,
+      midSwapFault: () => Unit): Unit =
+    swapCommitted(spark, table, tmp, midSwapFault)
+
   private def swapCommitted(
       spark: SparkSession, table: String, tmp: String,
       midSwapFault: () => Unit): Unit = {

@@ -111,25 +111,114 @@ object Retract {
   def readLive(spark: SparkSession, table: String): DataFrame =
     applyTombs(spark, table, spark.table(table))
 
-  /** Physically delete tombstoned rows: anti-join rewrite committed via
-    * the crash-atomic rename-aside swap, tombstones cleared after the
-    * commit. `transform` lets family wrappers restate invariants over
-    * the retained rows in the SAME rewrite (component
-    * re-canonicalization) — it runs after tombstone application. */
+  /** Physically delete tombstoned rows, BUCKET-SELECTIVELY: only
+    * buckets that actually contain tombstoned rows are rewritten;
+    * every untouched bucket's data files carry into the new incarnation
+    * by HARD LINK (a metadata op — no bytes move however large the
+    * bucket), and the commit is the same crash-atomic rename-aside swap
+    * as compaction. At 100 TB this is the difference between a
+    * takedown costing a full-table rewrite and costing
+    * |touched buckets|/n of one — a k-document takedown against a
+    * 1024-bucket index rewrites ~k buckets. Tombstones clear only
+    * after the swap commits (a crash leaves them masking and the
+    * retry idempotent). */
   def purge(spark: SparkSession, table: String): Unit =
-    purge(spark, table, identity, () => ())
+    purge(spark, table, None, () => ())
 
   private[graft] def purge(
       spark: SparkSession, table: String,
       transform: DataFrame => DataFrame,
+      midSwapFault: () => Unit): Unit =
+    purge(spark, table, Some(transform), midSwapFault)
+
+  /** Test seam into the SELECTIVE path's swap (the widest crash
+    * window, after untouched buckets linked and before the renames). */
+  private[graft] def purgeSelective(
+      spark: SparkSession, table: String, midSwapFault: () => Unit): Unit =
+    purge(spark, table, None, midSwapFault)
+
+  private[graft] def purge(
+      spark: SparkSession, table: String,
+      transformOpt: Option[DataFrame => DataFrame],
       midSwapFault: () => Unit): Unit = {
     Bucketing.recoverCompaction(spark, table)
-    if (tombCols(spark, table).nonEmpty) {
+    if (tombCols(spark, table).isEmpty) return
+    if (transformOpt.isDefined) {
+      val transform = transformOpt.get
+      // a transform may MOVE rows across buckets (component
+      // re-canonicalization changes the bucketing key), so it forces
+      // the full rewrite
       Bucketing.replaceBucketed(spark, table,
         transform(readLive(spark, table)), midSwapFault)
       Bucketing.resetTable(spark, tombTable(table))
+      return
     }
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec
+      .getOrElse(sys.error(s"$table is not a bucketed table"))
+    val n = spec.numBuckets
+    val bucketCol = spec.bucketColumnNames.head
+    // touched buckets: pmod(hash, n) IS Spark's bucket id expression
+    // (Murmur3 seed 42 — spec-pinned against the writer's file layout);
+    // one semi-join per tombstoned column, distinct ≤ n values
+    val df = spark.table(table)
+    val touched = tombCols(spark, table).map { c =>
+        val keys = spark.table(tombTable(table))
+          .where(col("col_name") === c)
+          .select(col("key").as(s"__tomb_$c"))
+        df.join(broadcast(keys),
+          df(c).cast("string") === col(s"__tomb_$c"), "left_semi")
+          .select(pmod(hash(col(bucketCol)), lit(n)).as("b"))
+      }.reduce(_ unionByName _)
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { // tombstoned keys absent from the table
+      Bucketing.resetTable(spark, tombTable(table))
+      return
+    }
+    val dir = java.nio.file.Paths.get(
+      new java.net.URI(meta.location.toString).getPath)
+    val liveFiles = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def bucketOf(name: String): Option[Int] =
+      BucketFileRe.findFirstMatchIn(name).map(_.group(1).toInt)
+    val (touchedFiles, keptFiles) = liveFiles.partition(f =>
+      bucketOf(f.getName).exists(touched.contains))
+    // unparseable file names (none in practice) count as touched —
+    // rewritten, never silently carried with possibly-dead rows
+    val unparsed = liveFiles.filter(f => bucketOf(f.getName).isEmpty)
+    val tmp = s"${table}__compact"
+    Bucketing.resetTable(spark, tmp)
+    val rewriteSrc = spark.read.schema(df.schema)
+      .parquet((touchedFiles ++ unparsed).map(_.getPath).distinct: _*)
+    applyTombs(spark, table, rewriteSrc)
+      .repartition(n, col(bucketCol))
+      .write.format("parquet")
+      .bucketBy(n, bucketCol)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(tmp)
+    // carry the untouched buckets across by hard link into the STAGING
+    // table's directory — live is not modified until the swap renames
+    val tmpMeta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tmp))
+    val tmpDir = java.nio.file.Paths.get(
+      new java.net.URI(tmpMeta.location.toString).getPath)
+    keptFiles.filter(f => !unparsed.contains(f)).foreach { f =>
+      val dest = tmpDir.resolve(f.getName)
+      try java.nio.file.Files.createLink(dest, f.toPath)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(f.toPath, dest)
+      }
+    }
+    Bucketing.swapTables(spark, table, tmp, midSwapFault)
+    Bucketing.resetTable(spark, tombTable(table))
   }
+
+  /** Spark's bucketed-file naming: `..._00007.c000.snappy.parquet` —
+    * the bucket id is the digit run after the LAST underscore before
+    * the extensions (the same pattern Spark's own reader parses). */
+  private val BucketFileRe = """.*_(\d+)(?:\..*)?$""".r
 
   // =====================================================================
   // Partition-directory indexes (CDX host index, IVF cell layouts)

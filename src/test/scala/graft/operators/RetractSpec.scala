@@ -64,12 +64,72 @@ class RetractSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("selective purge: untouched buckets carry over without a rewrite") {
+    val t = s"$db.digest_selective"
+    DedupIndex.writeDigestIndex(docs, "doc_id", "text", t, buckets = 4)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    val dir = java.nio.file.Paths.get(
+      new java.net.URI(meta.location.toString).getPath)
+    def files(): Map[String, Long] =
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+    // pin the bucket-id contract the selective rewrite relies on: the
+    // file-name bucket suffix equals pmod(hash(key), n) of its rows
+    val re = """.*_(\d+)(?:\..*)?$""".r
+    for (f <- files().keys) {
+      val re(b) = f: @unchecked
+      val ids = spark.read.parquet(s"$dir/$f")
+        .select(pmod(hash(col("kh")), lit(4))).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(ids.subsetOf(Set(b.toInt)), s"$f holds buckets $ids")
+    }
+    val before = files()
+    // retract ONE doc: only its digest's buckets may rewrite
+    Retract.retract(spark, t, "id", Seq(2L).toDF("id"))
+    val touchedBuckets = spark.table(t)
+      .where(col("id") === 2L)
+      .select(pmod(hash(col("kh")), lit(4))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    Retract.purge(spark, t)
+    val after = files()
+    val untouchedBefore = before.filter { case (name, _) =>
+      val re(b) = name: @unchecked; !touchedBuckets.contains(b.toInt)
+    }
+    // every untouched bucket file is present BYTE-IDENTICAL (same name,
+    // same length — carried by hard link, not rewritten)
+    untouchedBefore.foreach { case (name, len) =>
+      assert(after.get(name).contains(len),
+        s"untouched $name must carry over: $after")
+    }
+    assert(spark.table(t).select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("selective purge survives a mid-swap crash and resumes") {
+    val t = s"$db.digest_sel_crash"
+    DedupIndex.writeDigestIndex(docs, "doc_id", "text", t, buckets = 4)
+    Retract.retract(spark, t, "id", Seq(4L).toDF("id"))
+    intercept[RuntimeException] {
+      Retract.purgeSelective(spark, t,
+        () => throw new RuntimeException("death between the renames"))
+    }
+    Bucketing.recoverCompaction(spark, t)
+    assert(spark.table(t).count() == 5, "full pre-purge data must survive")
+    assert(Retract.readLive(spark, t).count() == 4)
+    Retract.purge(spark, t)
+    assert(spark.table(t).select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L))
+  }
+
   test("purge survives a mid-swap crash and resumes") {
     val t = s"$db.digest_crash"
     DedupIndex.writeDigestIndex(docs, "doc_id", "text", t, buckets = 4)
     Retract.retract(spark, t, "id", Seq(1L).toDF("id"))
     intercept[RuntimeException] {
-      Retract.purge(spark, t, identity,
+      // the transform overload = the FULL-rewrite path's crash window
+      Retract.purge(spark, t, (df: org.apache.spark.sql.DataFrame) => df,
         () => throw new RuntimeException("death between the renames"))
     }
     // live name is gone mid-swap; recovery restores the PRE-purge table
