@@ -6631,6 +6631,35 @@ object SparkEntry {
         .orderBy(col("group"), col("seq_id"))
     }),
 
+    // takedown on the terminal artifact: retract one GROUP from the
+    // written shards — affected shard files rewrite without its records
+    // (originals deleted, survivors' bytes and boundary masks intact,
+    // record_idx re-contiguous), untouched files never open; reading
+    // back through the NEW index must equal packing the retained groups
+    // alone. The retracted group's token values are absent from the
+    // remaining shard BYTES (spec-pinned in TrainShardsSpec)
+    "train_shards_retracted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("string").as("grp"),
+          sequence((col("doc_id") * 100).cast("int"),
+            (col("doc_id") * 100 + pmod(col("doc_id"), lit(7)) + 2)
+              .cast("int")).as("toks"))
+      val seqs = operators.TrainShards.assembleSequences(
+        docs, "grp", "doc_id", "toks", seqLen = 16)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_shards_retract").toString
+      val idx = operators.TrainShards.writeTokenShards(
+        seqs, "grp", out, seqLen = 16, numShards = 4)
+      val idx2 = operators.TrainShards.retractGroups(s, idx, Seq("2"),
+        seqLen = 16)
+      operators.TrainShards.readTokenShards(s, idx2, seqLen = 16)
+        .select(col("group"), col("seq_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"),
+          concat_ws(",", col("boundaries")).as("boundaries_csv"))
+        .orderBy(col("group"), col("seq_id"))
+    }),
+
     // fill-in-the-middle training transform (Bavarian et al. 2022):
     // 40% of documents (LCG-gated by id) rewritten into sentinel-marked
     // (prefix, suffix, middle) order — both PSM and SPM layouts — the
@@ -12385,6 +12414,36 @@ object SparkEntry {
       // global positions, sequences are 16-position windows, boundaries
       // the doc-start positions — the engine's explode/aggregate path
       // and the byte roundtrip never appear
+      "train_shards_retracted" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS grp,
+          |                  doc_id % 7 + 3 AS n
+          |           FROM documents
+          |           WHERE doc_id < 200 AND doc_id % 4 <> 2),
+          |o AS (SELECT doc_id, grp, n,
+          |        sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+          |                     ROWS UNBOUNDED PRECEDING) - n AS p0
+          |      FROM d),
+          |tok0 AS (SELECT grp, doc_id, p0, unnest(range(0, n)) AS u FROM o),
+          |tok AS (SELECT grp, p0 + u AS pos, doc_id * 100 + u AS tk
+          |        FROM tok0),
+          |sq AS (SELECT grp, pos // 16 AS seq_id, pos % 16 AS ip, tk
+          |       FROM tok),
+          |filled AS (SELECT grp, seq_id,
+          |             array_to_string(list(tk ORDER BY ip), ',')
+          |               AS tokens_csv,
+          |             count(*) AS c
+          |           FROM sq GROUP BY grp, seq_id),
+          |bnd AS (SELECT grp, p0 // 16 AS seq_id,
+          |          array_to_string(list(p0 % 16 ORDER BY p0 % 16), ',')
+          |            AS boundaries_csv
+          |        FROM o GROUP BY 1, 2)
+          |SELECT f.grp AS "group", CAST(f.seq_id AS BIGINT) AS seq_id,
+          |       f.tokens_csv,
+          |       coalesce(b.boundaries_csv, '') AS boundaries_csv
+          |FROM filled f
+          |LEFT JOIN bnd b ON f.grp = b.grp AND f.seq_id = b.seq_id
+          |WHERE f.c = 16 ORDER BY f.grp, f.seq_id""".stripMargin,
+
       "train_shards_roundtrip" ->
         """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS grp,
           |                  doc_id % 7 + 3 AS n

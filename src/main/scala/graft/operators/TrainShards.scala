@@ -163,6 +163,107 @@ object TrainShards {
    * 10-sequence sample from a million-record shard touches 10 slots,
    * never the shard. Returns (group, seq_id, tokens, boundaries).
    */
+  /**
+   * Takedown for the terminal artifact: every record of the retracted
+   * GROUPS leaves the binary shards PHYSICALLY — shard files containing
+   * any retracted record are rewritten without them (survivors keep
+   * their relative order, record_idx reassigned contiguously; the
+   * rewrite is the writer's own atomic `.inprogress` → rename
+   * discipline), untouched shard files are not even opened, and the
+   * original affected files are DELETED only after the new index rows
+   * have materialized (a crash before the delete leaves both versions
+   * readable and the retry idempotent). Returns the new index; persist
+   * it as the artifact's catalog exactly like [[writeTokenShards]]'s.
+   *
+   * Group granularity is the honest unit here: packing lays documents
+   * end-to-end per group, so removing one DOCUMENT means re-packing its
+   * group anyway — callers needing that run [[assembleSequences]] over
+   * the retained corpus for the affected groups and retract the group's
+   * old records with this.
+   */
+  def retractGroups(
+      spark: SparkSession, index: DataFrame, groups: Seq[String],
+      seqLen: Int): DataFrame = {
+    import spark.implicits._
+    val gset = groups.toSet
+    val affectedFiles = index
+      .where(col("group").cast("string").isin(groups: _*))
+      .select(col("shard_file")).distinct()
+      .as[String].collect().toSet
+    if (affectedFiles.isEmpty) return index
+    val conf = spark.sparkContext.broadcast(
+      new graft.sources.Warc.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))
+    val gsetB = spark.sparkContext.broadcast(gset)
+    val rewritten = index
+      .where(col("shard_file").isin(affectedFiles.toSeq: _*))
+      .select(col("shard_file"), col("record_idx"),
+        col("group").cast("string"), col("seq_id"), col("boundaries"))
+      .as[(String, Long, String, Long, Seq[Int])]
+      .repartition(col("shard_file"))
+      .sortWithinPartitions(col("shard_file"), col("record_idx"))
+      .mapPartitions { iter =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, String, Long, Seq[Int])]
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        var os: java.io.DataOutputStream = null
+        var tmpPath: org.apache.hadoop.fs.Path = null
+        var destPath: org.apache.hadoop.fs.Path = null
+        var idx = 0L
+        def finishFile(): Unit = if (curFile != null) {
+          os.close(); os = null
+          in.close(); in = null
+          val fs = destPath.getFileSystem(conf.value.value)
+          if (idx == 0L) fs.delete(tmpPath, false) // fully-retracted shard
+          else {
+            if (fs.exists(destPath)) fs.delete(destPath, false)
+            fs.rename(tmpPath, destPath)
+          }
+          curFile = null
+        }
+        def startFile(file: String): Unit = {
+          val src = new org.apache.hadoop.fs.Path(file)
+          val fs = src.getFileSystem(conf.value.value)
+          in = fs.open(src)
+          destPath = new org.apache.hadoop.fs.Path(file + ".purged")
+          val tc = org.apache.spark.TaskContext.get()
+          tmpPath = new org.apache.hadoop.fs.Path(
+            file + s".purged.inprogress-${tc.taskAttemptId()}")
+          os = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(fs.create(tmpPath, true)))
+          curFile = file
+          idx = 0L
+        }
+        iter.foreach { case (file, rec, g, seq, bnd) =>
+          if (file != curFile) { finishFile(); startFile(file) }
+          if (!gsetB.value.contains(g)) {
+            val buf = new Array[Byte](seqLen * 4)
+            in.readFully(rec * seqLen * 4L, buf)
+            os.write(buf)
+            out += ((destPath.toString, idx, g, seq, bnd))
+            idx += 1
+          }
+        }
+        finishFile()
+        out.iterator
+      }
+      .toDF("shard_file", "record_idx", "group", "seq_id", "boundaries")
+      // eager: the new files and index rows must exist BEFORE the
+      // originals are deleted below
+      .localCheckpoint(true)
+    val hconf = spark.sessionState.newHadoopConf()
+    affectedFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    index.where(!col("shard_file").isin(affectedFiles.toSeq: _*))
+      .select(col("shard_file"), col("record_idx"), col("group"),
+        col("seq_id"), col("boundaries"))
+      .unionByName(rewritten)
+  }
+
   def readTokenShards(
       spark: SparkSession, index: DataFrame, seqLen: Int): DataFrame = {
     import spark.implicits._

@@ -74,6 +74,57 @@ class TrainShardsSpec extends SparkSuite {
     assert(left.forall(!_.contains(".inprogress")), left.toString)
   }
 
+  test("group retraction: bytes leave the shards; untouched files stand") {
+    // two groups across two shards; retract "a" and prove its TOKEN
+    // BYTES are gone from disk, not just from the index
+    val two = Seq(
+      (1L, "a", Seq(111, 112, 113, 114)),
+      (2L, "a", Seq(115, 116, 117, 118)),
+      (3L, "b", Seq(211, 212, 213, 214)),
+      (4L, "b", Seq(215, 216, 217, 218)))
+      .toDF("id", "grp", "toks")
+    val out = java.nio.file.Files.createTempDirectory("ts_retract").toString
+    val seqs = TrainShards.assembleSequences(two, "grp", "id", "toks", 4)
+    val idx = TrainShards.writeTokenShards(seqs, "grp", out, 4, numShards = 2)
+      .localCheckpoint(true)
+    val byFile = idx.select(col("shard_file"), col("group")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val aFiles = byFile.filter(_._2 == "a").map(_._1).toSet
+    val bOnlyFiles = byFile.map(_._1).toSet -- aFiles
+    def path(f: String) = java.nio.file.Paths.get(
+      new java.net.URI(f).getPath match {
+        case "" => f.stripPrefix("file:"); case p => p
+      })
+    val bOnlyLens = bOnlyFiles.map(f => f -> path(f).toFile.length).toMap
+    val idx2 = TrainShards.retractGroups(spark, idx, Seq("a"), 4)
+      .localCheckpoint(true)
+    // the original affected files are DELETED
+    aFiles.foreach(f => assert(!path(f).toFile.exists(), s"$f must delete"))
+    // untouched files stand byte-identical
+    bOnlyLens.foreach { case (f, len) =>
+      assert(path(f).toFile.length == len, s"$f must not rewrite")
+    }
+    // no directory-wide byte scan finds group a's int32-LE tokens
+    val dir = new java.io.File(out)
+    val remaining = dir.listFiles()
+      .filter(f => f.isFile && !f.getName.contains("inprogress"))
+      .flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    def hasLe(v: Int): Boolean = remaining.sliding(4).exists(w =>
+      (w(0) & 0xff) == (v & 0xff) && (w(1) & 0xff) == ((v >> 8) & 0xff) &&
+      (w(2) & 0xff) == ((v >> 16) & 0xff) && (w(3) & 0xff) == ((v >> 24) & 0xff))
+    assert(!hasLe(111) && !hasLe(115), "retracted tokens must leave disk")
+    assert(hasLe(211), "retained tokens must survive")
+    // read-back through the new index equals packing group b alone
+    val back = TrainShards.readTokenShards(spark, idx2, 4)
+      .orderBy(col("group"), col("seq_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2))).toSeq
+    assert(back == Seq(("b", 0L, Seq(211, 212, 213, 214)),
+      ("b", 1L, Seq(215, 216, 217, 218))), back.toString)
+    // retracting an absent group is the identity
+    val idx3 = TrainShards.retractGroups(spark, idx2, Seq("zzz"), 4)
+    assert(idx3.count() == idx2.count())
+  }
+
   test("writer refuses a wrong-shape record loudly") {
     val bad = Seq(("g", 0L, Seq(1, 2, 3), Seq(0)))
       .toDF("grp", "seq_id", "tokens", "boundaries")
