@@ -355,20 +355,30 @@ object SparkEntry {
     * location per JVM (CREATE DATABASE IF NOT EXISTS keeps the first);
     * `Bucketing.writeBucketed` drops/clears per table, so every query is
     * re-runnable within and across sessions. */
-  /** Hand-built minimal JPEG with a little-endian EXIF APP1 (orientation
-    * SHORT inline, DateTime ASCII pointed, optional GPS IFD with lat-ref
-    * + 3 pointed RATIONALs) — the construction fixture behind the
-    * mm_exif_* rows; every offset is computed, nothing is pasted. */
-  private object ExifFixture {
-    def jpeg(orientation: Int, datetime: String, gps: Boolean): Array[Byte] = {
+  /** Hand-built minimal JPEG with an EXIF APP1 in EITHER byte order
+    * (orientation SHORT inline — left-justified in the value field, as
+    * TIFF specifies, which is what makes the MM arm a real test —
+    * DateTime ASCII pointed, optional GPS IFD with lat-ref + 3 pointed
+    * RATIONALs) — the ONE construction fixture behind the mm_exif_*
+    * rows and `ImageHashSpec`'s EXIF arms; every offset is computed,
+    * nothing is pasted. */
+  private[graft] object ExifFixture {
+    def jpeg(orientation: Int, datetime: String, gps: Boolean,
+        be: Boolean = false): Array[Byte] = {
       val tiff = new java.io.ByteArrayOutputStream()
       def t8(v: Int): Unit = tiff.write(v & 0xff)
-      def t16(v: Int): Unit = { t8(v); t8(v >> 8) }
-      def t32(v: Long): Unit = {
-        t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt)
-        t8((v >> 24).toInt)
-      }
-      t8('I'); t8('I'); t16(42); t32(8)
+      def t16(v: Int): Unit =
+        if (be) { t8(v >> 8); t8(v) } else { t8(v); t8(v >> 8) }
+      def t32(v: Long): Unit =
+        if (be) {
+          t8((v >> 24).toInt); t8((v >> 16).toInt); t8((v >> 8).toInt)
+          t8(v.toInt)
+        } else {
+          t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt)
+          t8((v >> 24).toInt)
+        }
+      if (be) { t8('M'); t8('M') } else { t8('I'); t8('I') }
+      t16(42); t32(8)
       val nEntries = if (gps) 3 else 2
       val ifd0End = 8 + 2 + nEntries * 12 + 4
       val dt = (datetime + "\u0000").getBytes("US-ASCII")
@@ -5806,7 +5816,8 @@ object SparkEntry {
         (i.toLong, ExifFixture.jpeg(
           orientation = 1 + i % 8,
           datetime = f"2024:01:${1 + i % 28}%02d 10:00:00",
-          gps = i % 3 == 0))
+          gps = i % 3 == 0,
+          be = i % 2 == 1)) // both byte orders walk to the same fields
       } :+ (100L, "not a jpeg at all".getBytes("UTF-8"))
       Multimodal.exifMeta(rows.toDF("id", "payload"), "id", "payload")
         .orderBy(col("id"))
@@ -5823,7 +5834,8 @@ object SparkEntry {
         (i.toLong, ExifFixture.jpeg(
           orientation = 1 + i % 8,
           datetime = f"2024:01:${1 + i % 28}%02d 10:00:00",
-          gps = i % 3 == 0))
+          gps = i % 3 == 0,
+          be = i % 2 == 1))
       }
       val src = rows.toDF("id", "payload")
       val stripped = Multimodal.stripExifGps(src, "id", "payload")

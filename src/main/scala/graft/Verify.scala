@@ -31,17 +31,29 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL or a multi-line Spark error
+    // message would otherwise make the driver's json.load fail and
+    // silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // self-describing run record: per-query ok/failed status, written to
     // the out dir BEFORE the process can die on a later query and rewritten
     // after every query — if the driver-side compare ever fails to produce
     // its artifact (an empty CORRECTNESS file), this manifest plus the
-    // parquet dumps still adjudicate what ran
+    // parquet dumps still adjudicate what ran. Messages truncate BEFORE
+    // escaping so a cut can never split an escape pair.
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
     def writeManifest(): Unit = {
-      val body = status.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .take(120) + "\""
-      }.mkString("{", ",", "}")
+      val body = status.map { case (k, v) => q(k) + ":" + q(v.take(120)) }
+        .mkString("{", ",", "}")
       try Files.writeString(Paths.get(s"$outDir/manifest.json"),
         s"""{"n_total":${selected.size},"n_done":${status.size},"status":$body}\n""")
       catch { case _: Throwable => () }
@@ -61,18 +73,6 @@ object Verify {
       // 80-query run never accumulates executor storage
       finally { spark.catalog.clearCache(); writeManifest() }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

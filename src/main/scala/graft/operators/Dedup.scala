@@ -209,70 +209,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val bands = maxHamming + 1
-    // ceil: bands must PARTITION the bits (a floor width would leave the
-    // top bits outside every band and break the pigeonhole guarantee); the
-    // last band is naturally narrower when width doesn't divide the bits.
-    val width = (TextOps.SimHashBits + bands - 1) / bands
-    val prints = df.select(
-      col(idCol).as("id"),
-      TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col(textCol))))
-        .as("print"))
-    // Collapse identical prints BEFORE banding: the self-join runs over one
-    // representative row per DISTINCT print, so an m-copy boilerplate
-    // cluster contributes one banded row per band instead of m×bands — the
-    // join never sees an intra-cluster candidate at all (at corpus scale an
-    // identical-print cluster of 10M copies would otherwise push
-    // m(m-1)/2 × bands rows through the join). Intra-cluster pairs
-    // (hamming 0) are reconstructed arithmetically from the sorted id list,
-    // and cross-print matches expand by joining the matched print pairs
-    // back to their id lists. Cached: the cluster table feeds the banding
-    // and both expansion joins, and the simhash fold (bit-votes per token)
-    // is the expensive part upstream.
-    val clusters = prints.groupBy("print")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .cache()
-    val bandedPrints = clusters.select(
-      col("print"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          TextOps.simHashBand(col("print"), b, width).as("value"))): _*)).as("bv"))
-      .select(col("print"), col("bv.band"), col("bv.value"))
-    // The print is 8 bytes — carrying it through the band explode is far
-    // cheaper than join-backs, and it lets the Hamming check run INSIDE the
-    // band join: hot buckets are filtered to true near-dup prints before
-    // the dedup shuffle and before any id expansion.
-    val printPairs = bandedPrints.as("l")
-      .join(bandedPrints.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.value") === col("r.value") &&
-          col("l.print") < col("r.print"))
-      .select(col("l.print").as("pa"), col("r.print").as("pb"),
-        TextOps.hamming(col("l.print"), col("r.print")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .dropDuplicates("pa", "pb")
-    val cross = printPairs
-      .join(clusters.as("ca"), col("pa") === col("ca.print"))
-      .join(clusters.as("cb"), col("pb") === col("cb.print"))
-      .select(col("hamming"), explode(col("ca.ids")).as("ia"), col("cb.ids"))
-      .select(col("hamming"), col("ia"), explode(col("cb.ids")).as("ib"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
-    // ids are sorted ascending, so pairing each element with every LATER
-    // element yields exactly the id_a < id_b intra-cluster pairs (slice is
-    // 1-based; i is posexplode's 0-based position, hence i + 2)
-    val intra = clusters
-      .where(size(col("ids")) > 1)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
-      .select(col("id_a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextOps.hamming(lit(0L), lit(0L)).as("hamming"))
-    // a pair never appears twice: (pa, pb) print pairs are deduplicated and
-    // each id belongs to exactly one print cluster, so no final distinct
-    CacheScope.unpersistAfterAction(cross.unionByName(intra), Seq(clusters))
-  }
+      maxHamming: Int = 3): DataFrame =
+    hammingHashPairs(
+      df.select(col(idCol),
+        TextOps.simHash(TextOps.tokenHashesWide(TextOps.tokens(col(textCol))))
+          .as("print")),
+      idCol, "print", TextOps.SimHashBits, maxHamming)
 
   /**
    * [[simHashHammingPairs]]' banding/verify machinery over an ALREADY-

@@ -420,8 +420,14 @@ object Multimodal {
               else {
                 val ifd0 = u32be(payload, tiff + 4, le)
                 val entries = walkIfd(payload, tiff, tiffLen, ifd0, le).toMap
+                // inline values are LEFT-justified in the 4-byte value
+                // field: a big-endian SHORT must be read as u16 at the
+                // field start, not as the full u32 (which would yield
+                // orientation·65536 on every MM-order camera JPEG)
                 val orient = entries.get(TagOrientation)
-                  .map(e => e._4.toInt).getOrElse(0)
+                  .map { case (eOff, tpe, _, vo) =>
+                    if (tpe == 3) u16(payload, eOff + 8, le) else vo.toInt
+                  }.getOrElse(0)
                 val dt = entries.get(TagDateTime)
                   .map(e => asciiValue(payload, tiff, tiffLen, le, e))
                   .getOrElse("")
@@ -486,8 +492,8 @@ object Multimodal {
                       while (j < 12) { b(ge + j) = 0; j += 1 }
                     }
                     // retag the pointer so readers stop resolving it
-                    if (le) { b(eOff) = 0xff.toByte; b(eOff + 1) = 0xff.toByte }
-                    else { b(eOff) = 0xff.toByte; b(eOff + 1) = 0xff.toByte }
+                    // (0xFFFF is the same two bytes in either byte order)
+                    b(eOff) = 0xff.toByte; b(eOff + 1) = 0xff.toByte
                     b
                 }
               }

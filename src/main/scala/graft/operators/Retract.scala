@@ -320,8 +320,8 @@ object Retract {
     val untouched = Option(liveDir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
       .filter(f => !touchedParts.contains(
-        java.net.URLDecoder.decode(
-          f.getName.substring(f.getName.indexOf('=') + 1), "UTF-8")))
+        unescapePartitionValue(
+          f.getName.substring(f.getName.indexOf('=') + 1))))
     java.nio.file.Files.createDirectories(tmp)
     // NOTE: this stages COPIES via hard links where the filesystem
     // allows, falling back to a real copy — live files must stay in
@@ -336,6 +336,26 @@ object Retract {
     java.nio.file.Files.move(tmp, liveDir)
     Bucketing.deleteDir(old)
     Bucketing.deleteDir(java.nio.file.Paths.get(tombDir(path)))
+  }
+
+  /** Invert Spark's partition-directory escaping (`%xx` for its special
+    * set) — NOT URLDecoder, whose extra '+'-to-space rule would
+    * misclassify a partition value containing '+' as untouched and
+    * hard-link its pre-purge files alongside the rebuilt ones. */
+  private[operators] def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Hard-link a file tree (same-filesystem, zero data movement); fall

@@ -211,6 +211,18 @@ object TrainShards {
         var tmpPath: org.apache.hadoop.fs.Path = null
         var destPath: org.apache.hadoop.fs.Path = null
         var idx = 0L
+        // a mid-partition death (truncated shard, task kill, speculation
+        // cancel) must not leak handles or an .inprogress orphan — the
+        // readTokenShards completion-listener discipline, both handles
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            if (os != null) { try os.close() catch { case _: Exception => () } }
+            if (in != null) { try in.close() catch { case _: Exception => () } }
+            if (curFile != null && tmpPath != null)
+              try tmpPath.getFileSystem(conf.value.value)
+                .delete(tmpPath, false)
+              catch { case _: Exception => () }
+          })
         def finishFile(): Unit = if (curFile != null) {
           os.close(); os = null
           in.close(); in = null
@@ -218,7 +230,11 @@ object TrainShards {
           if (idx == 0L) fs.delete(tmpPath, false) // fully-retracted shard
           else {
             if (fs.exists(destPath)) fs.delete(destPath, false)
-            fs.rename(tmpPath, destPath)
+            // Hadoop rename signals failure by RETURNING false; the
+            // originals are deleted after this task, so a silent false
+            // here would lose the surviving records — fail the task
+            require(fs.rename(tmpPath, destPath),
+              s"retractGroups: rename $tmpPath -> $destPath failed")
           }
           curFile = null
         }

@@ -92,68 +92,21 @@ class ImageHashSpec extends SparkSuite {
 
   // ---- EXIF ----
 
-  /** Hand-build a minimal JPEG: SOI + APP1(Exif little-endian TIFF with
-    * orientation, datetime, and optionally a GPS IFD) + EOI. */
   private def jpegWithExif(
-      orientation: Int, datetime: String, gps: Boolean): Array[Byte] = {
-    val bb = new java.io.ByteArrayOutputStream()
-    def w8(v: Int): Unit = bb.write(v & 0xff)
-    def w16le(v: Int): Unit = { w8(v); w8(v >> 8) }
-    def w32le(v: Long): Unit = {
-      w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt)
-      w8((v >> 24).toInt)
-    }
-    // TIFF body (little endian)
-    val tiff = new java.io.ByteArrayOutputStream()
-    def t8(v: Int): Unit = tiff.write(v & 0xff)
-    def t16(v: Int): Unit = { t8(v); t8(v >> 8) }
-    def t32(v: Long): Unit = {
-      t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt)
-      t8((v >> 24).toInt)
-    }
-    t8('I'); t8('I'); t16(42); t32(8) // header: IFD0 at offset 8
-    val nEntries = if (gps) 3 else 2
-    // layout: IFD0 at 8: count(2) + n*12 + next(4); datetime string after
-    val ifd0End = 8 + 2 + nEntries * 12 + 4
-    val dtOff = ifd0End
-    val dt = (datetime + "\u0000").getBytes("US-ASCII")
-    val gpsIfdOff = dtOff + dt.length
-    t16(nEntries)
-    // orientation (0x0112, SHORT, 1) — inline value
-    t16(0x0112); t16(3); t32(1); t16(orientation); t16(0)
-    // datetime (0x0132, ASCII, len) — pointed
-    t16(0x0132); t16(2); t32(dt.length.toLong); t32(dtOff.toLong)
-    if (gps) { t16(0x8825); t16(4); t32(1); t32(gpsIfdOff.toLong) }
-    t32(0) // next IFD
-    tiff.write(dt)
-    if (gps) {
-      // GPS IFD: 2 entries — lat ref (ASCII "N\0", inline) and lat
-      // (RATIONAL x3, pointed just after this IFD)
-      val latOff = gpsIfdOff + 2 + 2 * 12 + 4
-      t16(2)
-      t16(0x0001); t16(2); t32(2); t8('N'); t8(0); t16(0)
-      t16(0x0002); t16(5); t32(3); t32(latOff.toLong)
-      t32(0)
-      for (v <- Seq(37L, 1L, 46L, 1L, 3000L, 100L)) t32(v) // 37°46'30"
-    }
-    val body = tiff.toByteArray
-    // JPEG wrapper
-    w8(0xff); w8(0xd8) // SOI
-    w8(0xff); w8(0xe1) // APP1
-    val segLen = 2 + 6 + body.length
-    w8(segLen >> 8); w8(segLen)
-    bb.write("Exif".getBytes("US-ASCII")); w8(0); w8(0)
-    bb.write(body)
-    w8(0xff); w8(0xd9) // EOI
-    bb.toByteArray
-  }
+      orientation: Int, datetime: String, gps: Boolean,
+      be: Boolean = false): Array[Byte] =
+    graft.SparkEntry.ExifFixture.jpeg(orientation, datetime, gps, be)
 
   test("exif walk: orientation, datetime, gps presence; corrupt flags") {
     val rows = Seq(
       (1L, jpegWithExif(6, "2024:01:02 03:04:05", gps = true)),
       (2L, jpegWithExif(1, "2023:12:31 23:59:59", gps = false)),
       (3L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)),
-      (4L, "not a jpeg at all".getBytes("UTF-8")))
+      (4L, "not a jpeg at all".getBytes("UTF-8")),
+      // the Motorola byte order most cameras emit: the inline SHORT is
+      // LEFT-justified, so a u32 read would yield 6·65536, not 6
+      (5L, jpegWithExif(6, "2024:05:06 07:08:09", gps = true, be = true)),
+      (6L, jpegWithExif(3, "2020:01:01 00:00:01", gps = false, be = true)))
     val got = Multimodal.exifMeta(rows.toDF("id", "payload"), "id", "payload")
       .collect().map(r => r.getLong(0) ->
         (r.getBoolean(1), r.getInt(2), r.getString(3), r.getBoolean(4),
@@ -163,6 +116,23 @@ class ImageHashSpec extends SparkSuite {
     assert(got(2L) == ((true, 1, "2023:12:31 23:59:59", false, true)))
     assert(got(3L) == ((false, 0, "", false, true)))
     assert(got(4L) == ((false, 0, "", false, true)))
+    assert(got(5L) == ((true, 6, "2024:05:06 07:08:09", true, true)),
+      got(5L).toString)
+    assert(got(6L) == ((true, 3, "2020:01:01 00:00:01", false, true)))
+  }
+
+  test("gps strip works on big-endian EXIF too") {
+    val withGps = jpegWithExif(6, "2024:05:06 07:08:09", gps = true,
+      be = true)
+    val stripped = Multimodal.stripExifGps(
+        Seq((1L, withGps)).toDF("id", "payload"), "id", "payload")
+      .collect().head.getAs[Array[Byte]](1)
+    assert(stripped.length == withGps.length)
+    val re = Multimodal.exifMeta(
+        Seq((1L, stripped)).toDF("id", "payload"), "id", "payload")
+      .collect().head
+    assert(re.getBoolean(1) && re.getInt(2) == 6 && !re.getBoolean(4),
+      re.toString)
   }
 
   test("gps strip: coordinates zero in place, length and orientation keep") {

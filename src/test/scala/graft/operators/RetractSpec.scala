@@ -242,6 +242,27 @@ class RetractSpec extends SparkSuite {
       java.nio.file.Paths.get(Retract.tombDir(path))))
   }
 
+  test("partition-name unescape follows Spark's rules, not URL rules") {
+    // URLDecoder would turn '+' into a space and misclassify the
+    // partition as untouched — pre-purge files would be carried over
+    assert(Retract.unescapePartitionValue("c++") == "c++")
+    assert(Retract.unescapePartitionValue("a%2Fb") == "a/b")
+    assert(Retract.unescapePartitionValue("sp%20ace") == "sp ace")
+    assert(Retract.unescapePartitionValue("100%") == "100%")
+  }
+
+  test("partitioned purge handles a '+'-valued partition end to end") {
+    val root = java.nio.file.Files.createTempDirectory("retract_plus")
+    val path = s"$root/idx"
+    Seq(("c++", 1L), ("c++", 2L), ("go", 3L)).toDF("part", "v")
+      .write.partitionBy("part").parquet(path)
+    Retract.retractPartitioned(spark, path, "v", Seq(1L).toDF("v"))
+    Retract.purgePartitioned(spark, path, "part")
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((2L, "c++"), (3L, "go")), rows.toString)
+  }
+
   test("partitioned purge survives a mid-swap crash and retries") {
     val root = java.nio.file.Files.createTempDirectory("retract_part_crash")
     val path = s"$root/idx"
