@@ -369,6 +369,92 @@ object ScaleRehearsal {
           graft.operators.Sketches.kmvSketch(corpus, col("text"), 64),
           64).collect()
       }
+
+      // ---- retraction lifecycle (round 15) ----------------------------
+      // a FIXED 8-doc takedown list against a 256-bucket digest index:
+      // the claims under measurement are (a) tombstone append is
+      // takedown-sized, not corpus-sized; (b) the masked probe's
+      // overhead over the bare probe is a broadcast anti-join, flat;
+      // (c) the SELECTIVE purge rewrites ~touched/256 of the table where
+      // the full-rewrite path pays the whole linear pass — the
+      // selective-vs-full ratio at each scale is the k/n evidence
+      {
+        import graft.operators.Retract
+        import spark.implicits._
+        val takedown = (0 until 8).map(i => i.toLong * 37L).toDF("doc_id")
+        DedupIndex.writeDigestIndex(corpus, "doc_id", "text",
+          s"$db.digest_rt", buckets = 256)
+        timed("retract_tombstone_8keys", 8) {
+          Retract.retract(spark, s"$db.digest_rt", "id", takedown)
+        }
+        timed("retract_masked_probe", 1000) {
+          DedupIndex.incrementalIndexed(probe, spark, s"$db.digest_rt",
+            "doc_id", "text").count()
+        }
+        // file-level evidence for the k/n claim (wall time at rehearsal
+        // scale is overhead-bound — listing and catalog ops swamp 50k
+        // rows): how many of the table's data files carried across the
+        // purge UNREWRITTEN (same name and length — the hard-link path)
+        def tableFiles(tbl: String): Map[String, Long] = {
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+          val dir = java.nio.file.Paths.get(
+            new java.net.URI(meta.location.toString).getPath)
+          Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(f => f.getName -> f.length).toMap
+        }
+        val before = tableFiles(s"$db.digest_rt")
+        timed("retract_purge_selective", nDocs) {
+          Retract.purge(spark, s"$db.digest_rt")
+        }
+        val after = tableFiles(s"$db.digest_rt")
+        val carried = before.count { case (n, l) =>
+          after.get(n).contains(l) }
+        println(s"""{"op":"retract_purge_selective_files","scale":$factor,""" +
+          s""""carried":$carried,"rewritten":${after.size - carried},""" +
+          s""""total_before":${before.size}}""")
+        // the full-rewrite path over the same takedown, for the ratio
+        DedupIndex.writeDigestIndex(corpus, "doc_id", "text",
+          s"$db.digest_rtf", buckets = 256)
+        Retract.retract(spark, s"$db.digest_rtf", "id", takedown)
+        timed("retract_purge_full", nDocs) {
+          Retract.purge(spark, s"$db.digest_rtf",
+            (df: DataFrame) => df, () => ())
+        }
+      }
+
+      // ---- perceptual image hashes (round 15) -------------------------
+      // decode + dHash + pHash throughput: payloads synthesized
+      // per-partition (16x12 PNGs keyed by doc_id), so the measurement
+      // is the hash pass, not a fixture materialization
+      timed("image_hashes", nDocs) {
+        import spark.implicits._
+        val payloads = corpus.select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val im = new java.awt.image.BufferedImage(16, 12,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 12) {
+                var x = 0
+                while (x < 16) {
+                  im.setRGB(x, y,
+                    ((x * 31 + y * 17 + id.toInt) * 2654435761L).toInt
+                      & 0xffffff)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(im, "png", bos)
+              (id, bos.toByteArray)
+            }
+          }.toDF("id", "payload")
+        graft.operators.Multimodal.imageHashes(payloads, "id", "payload")
+          .agg(sum(when(col("decode_ok"), 1L).otherwise(0L))).collect()
+      }
     } finally {
       graft.streaming.Streams.cleanupStaging(work)
       spark.stop()
