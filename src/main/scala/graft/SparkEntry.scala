@@ -5885,6 +5885,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // decontamination-index takedown: a benchmark RETIRES from the
+    // suite — its fingerprints leave the at-rest winnow index (masked
+    // immediately, physically at purge), and the decontamination probe
+    // must equal a rebuild from the retained benchmarks alone (retired
+    // benchmarks must stop suppressing training documents)
+    "retract_winnow" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val h = Sampling.hash16(col("doc_id"), 7)
+      val r = math.round(0.05 * Sampling.Buckets)
+      val toks = TextOps.tokens(col("text"))
+      val train = d.select((col("doc_id") + 10000000).as("doc_id"),
+        when(size(toks) > 5,
+            array_join(slice(toks, lit(6), size(toks) - 5), " "))
+          .otherwise(col("text")).as("text"))
+      val table = s"${indexDb(s)}.winnow_retract"
+      Contamination.writeWinnowIndex(train, "doc_id", "text", 4, table,
+        buckets = 8)
+      Bucketing.resetTable(s, Retract.tombTable(table))
+      Retract.retract(s, table, "id",
+        train.where((col("doc_id") - 10000000) % 17 === 0)
+          .select(col("doc_id")))
+      def probe() = Contamination.winnowMatchesIndexed(s, table,
+        d.where(h < lit(r)), "doc_id", "text", w = 4, minShared = 2)
+      val masked = probe()
+        .select(lit("masked").as("phase"), col("doc_id"), col("eval_id"),
+          col("n_shared"))
+        .localCheckpoint(true)
+      Retract.purge(s, table)
+      masked.unionByName(probe()
+          .select(lit("purged").as("phase"), col("doc_id"),
+            col("eval_id"), col("n_shared")))
+        .orderBy(col("phase"), col("doc_id"), col("eval_id"))
+    }),
+
     // ================= at-rest retraction / takedown =================
     // the deletion lifecycle every index family now carries: tombstone
     // (immediate logical delete) -> masked probe view -> crash-atomic
@@ -6221,9 +6255,9 @@ object SparkEntry {
         when(size(toks) > 5, array_join(slice(toks, lit(6), size(toks) - 5), " "))
           .otherwise(col("text")).as("text"))
       val table = s"${indexDb(s)}.winnow_fp"
-      Contamination.writeWinnowIndex(train.where(col("doc_id") < 10250),
+      Contamination.writeWinnowIndex(train.where(col("doc_id") < 10000250),
         "doc_id", "text", 4, table, buckets = 8)
-      Contamination.appendWinnowIndex(train.where(col("doc_id") >= 10250),
+      Contamination.appendWinnowIndex(train.where(col("doc_id") >= 10000250),
         "doc_id", "text", 4, table)
       Contamination.winnowMatchesIndexed(s, table, d.where(h < lit(r)),
           "doc_id", "text", w = 4, minShared = 2)
@@ -11991,6 +12025,35 @@ object SparkEntry {
            |FROM tf JOIN ef ON tf.fp = ef.fp
            |GROUP BY doc_id, eval_id HAVING count(*) >= 2
            |ORDER BY doc_id, eval_id""".stripMargin
+      },
+
+      "retract_winnow" -> {
+        val thash = TextOpsSql.tokenHashes("toks")
+        val shingles = TextOpsSql.shingleHashes("thash")
+        val r = math.round(0.05 * operators.Sampling.Buckets)
+        def fps(src: String, id: String) =
+          s"""(SELECT DISTINCT $id, ${TextOpsSql.winnowFp("k")} AS fp FROM (
+             |   SELECT $id, unnest(${TextOpsSql.winnow("sh", 4)}) AS k
+             |   FROM (SELECT $id, $shingles AS sh
+             |         FROM (SELECT $id, $thash AS thash
+             |               FROM (SELECT $id, $toks AS toks FROM $src)))))""".stripMargin
+        s"""WITH mut AS (
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |         CASE WHEN len($toks) > 5
+           |              THEN array_to_string(($toks)[6:], ' ')
+           |              ELSE text END AS text
+           |    FROM documents WHERE doc_id % 17 <> 0),
+           |ev AS (SELECT doc_id AS eval_id, text FROM documents
+           |       WHERE ${operators.SamplingSql.hash16("doc_id", 7)} < $r),
+           |tf AS ${fps("mut", "doc_id")},
+           |ef AS ${fps("ev", "eval_id")},
+           |m AS (SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+           |      FROM tf JOIN ef ON tf.fp = ef.fp
+           |      GROUP BY doc_id, eval_id HAVING count(*) >= 2)
+           |SELECT phase, doc_id, eval_id, n_shared FROM (
+           |  SELECT 'masked' AS phase, * FROM m
+           |  UNION ALL SELECT 'purged' AS phase, * FROM m)
+           |ORDER BY phase, doc_id, eval_id""".stripMargin
       },
 
       "stream_winnow_gate" -> {

@@ -235,6 +235,14 @@ object DedupIndex {
    *    (the corpus's `nlist` lowest-id vectors, exactly
    *    [[Dedup.incrementalSemDedup]]'s seeds), persisted so every later
    *    batch assigns against the SAME partition of vector space.
+   *
+   * Retraction caveat ([[Retract]] lifecycle): retracting a vector by
+   * `cid` removes its CELLS rows, but if that vector also serves as a
+   * SEED its embedding persists in `<table>_seeds` as a partitioner
+   * centroid. A seed is space geometry, not corpus content — but a
+   * takedown that must erase the embedding BYTES themselves requires a
+   * seed re-election (rebuild via [[writeClusterIndex]] over the
+   * retained corpus), stated here rather than silently half-done.
    */
   def writeClusterIndex(
       corpus: DataFrame,
