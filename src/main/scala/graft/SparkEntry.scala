@@ -12846,14 +12846,20 @@ object SparkEntry {
       // batch statement of the streaming gate: a train doc passes at
       // eval-overlap fraction <= 0.2; shingle-free docs always pass
       "stream_contamination_gate" -> {
-        val shingles = "list_distinct(" + TextOpsSql.shingleHashes(
-          TextOpsSql.tokenHashes(TextOpsSql.tokens("text"))) + ")"
         val isEval =
           s"${operators.SamplingSql.hash16("doc_id", 11)} < ${math.round(0.15 * operators.Sampling.Buckets)}"
-        s"""WITH sh AS (
+        // staged like ContaminationSql.check: one tokenize→hash→shingle
+        // pass per row, not one per reference (DuckDB inlines CTEs)
+        s"""WITH ctok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |cth AS (SELECT doc_id, ${TextOpsSql.tokenHashes("toks")} AS thash
+           |        FROM ctok),
+           |cshl AS (SELECT doc_id,
+           |            list_distinct(${TextOpsSql.shingleHashes("thash")}) AS shingles
+           |         FROM cth),
+           |sh AS (
            |  SELECT doc_id, $isEval AS is_eval,
-           |         len($shingles) AS n_shingles, unnest($shingles) AS sh
-           |  FROM documents),
+           |         len(shingles) AS n_shingles, unnest(shingles) AS sh
+           |  FROM cshl),
            |base AS (SELECT doc_id FROM documents WHERE NOT ($isEval)),
            |ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
            |hits AS (SELECT sh.doc_id, n_shingles, count(*) AS n_shared
@@ -13337,6 +13343,6 @@ object SparkEntry {
           |  AND l_shipdate > TIMESTAMP '1998-01-01'
           |GROUP BY o_orderkey
           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
-    )
+    ).map { case (k, v) => k -> OracleSql.materializeCtes(v) }
   }
 }

@@ -247,6 +247,26 @@ object Contamination {
 /** DuckDB rendering of [[Contamination.check]] for the oracle. */
 object ContaminationSql {
 
+  /** Staged CTE chain ending in `(idCol, shingles)` — the distinct shingle
+    * hashes of `textCol`, computed ONCE per row. Inlining the composed
+    * shingle expression into a consumer that references it 2-3 times makes
+    * DuckDB re-evaluate the whole tokenize→hash→shingle pipeline per
+    * reference (observed 100+ s per arm); the column-per-stage layering
+    * keeps every downstream reference a plain column read. */
+  private def shingleCtes(
+      prefix: String,
+      table: String,
+      idCol: String,
+      textCol: String,
+      k: Int): String =
+    s"""${prefix}tok AS (SELECT $idCol, ${TextOpsSql.tokens(textCol)} AS toks
+       |               FROM $table),
+       |${prefix}th AS (SELECT $idCol, ${TextOpsSql.tokenHashes("toks")} AS thash
+       |              FROM ${prefix}tok),
+       |${prefix}shl AS (SELECT $idCol,
+       |                    list_distinct(${TextOpsSql.shingleHashes("thash", k)}) AS shingles
+       |               FROM ${prefix}th)""".stripMargin
+
   def check(
       idCol: String,
       textCol: String,
@@ -254,14 +274,13 @@ object ContaminationSql {
       seed: Long = 0L,
       k: Int = 3,
       table: String = "documents"): String = {
-    val shingles = "list_distinct(" + TextOpsSql.shingleHashes(
-      TextOpsSql.tokenHashes(TextOpsSql.tokens(textCol)), k) + ")"
     val isEval =
       s"${SamplingSql.hash16(idCol, seed)} < ${math.round(evalRate * Sampling.Buckets)}"
-    s"""WITH sh AS (
+    s"""WITH ${shingleCtes("c", table, idCol, textCol, k)},
+       |sh AS (
        |  SELECT $idCol, $isEval AS is_eval,
-       |         len($shingles) AS n_shingles, unnest($shingles) AS sh
-       |  FROM $table),
+       |         len(shingles) AS n_shingles, unnest(shingles) AS sh
+       |  FROM cshl),
        |ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval)
        |SELECT sh.$idCol, n_shingles, count(*) AS n_shared,
        |       count(*)::DOUBLE / n_shingles::DOUBLE AS contam_frac
@@ -281,16 +300,15 @@ object ContaminationSql {
       seed: Long = 0L,
       k: Int = 3,
       table: String = "documents"): String = {
-    val shingles = "list_distinct(" + TextOpsSql.shingleHashes(
-      TextOpsSql.tokenHashes(TextOpsSql.tokens(textCol)), k) + ")"
     val r = math.round(evalRate * Sampling.Buckets)
     val setCase = (0 until nSets).map { i =>
       s"WHEN h < ${(i + 1) * r} THEN 'eval_$i'"
     }.mkString(" ")
-    s"""WITH sh AS (
+    s"""WITH ${shingleCtes("c", table, idCol, textCol, k)},
+       |sh AS (
        |  SELECT $idCol, ${SamplingSql.hash16(idCol, seed)} AS h,
-       |         len($shingles) AS n_shingles, unnest($shingles) AS sh
-       |  FROM $table),
+       |         len(shingles) AS n_shingles, unnest(shingles) AS sh
+       |  FROM cshl),
        |ev AS (SELECT DISTINCT CASE $setCase END AS eval_set, sh
        |       FROM sh WHERE h < ${nSets * r})
        |SELECT sh.$idCol, ev.eval_set, n_shingles, count(*) AS n_shared,
