@@ -220,4 +220,74 @@ object Opq {
     CacheScope.unpersistAfterAction(
       Pq.adcTopK(rc, rq, idCol, "__rv", m, ksub, iters, k), Seq(rc))
   }
+
+  /**
+   * Deterministic seeded orthogonal rotation: a 64-bit LCG drives a fixed
+   * sequence of Givens plane rotations with RATIONAL sine/cosine —
+   * c = p/h, s = q/h, h = √(p²+q²) for integer draws p, q — so every
+   * floating-point step is a correctly-rounded IEEE-754 primitive
+   * (integer wrap, sqrt, divide, multiply, subtract) in a fixed order,
+   * and an independent implementation in any language reproduces the
+   * matrix BIT FOR BIT (`tools/opq_reference.py` prints the pinned
+   * entries `OpqSpec` asserts against).
+   *
+   * Purpose: the OPQ recall gauges (`ann_opq_recall`,
+   * `ann_opq_ivfpq_recall`) run the full rotated pipeline under a
+   * rotation BOTH the Spark side and the DuckDB oracle can state exactly
+   * (the matrix renders into the oracle as literals via
+   * [[OpqSql.rotationLiteral]]), making those rows value-pinned instead
+   * of rows-only. A TRAINED rotation ([[trainRotation]]) is data-derived
+   * through an iterative SVD and has no SQL restatement — its recall
+   * advantage is asserted in `OpqSpec`, not the oracle.
+   */
+  def seededRotation(d: Int, seed: Long, nRot: Int = 192): Array[Array[Double]] = {
+    var state = seed
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33 // top bits of the LCG — the well-mixed ones
+    }
+    val r = identity(d)
+    var k = 0
+    while (k < nRot) {
+      val i = (next() % d).toInt
+      val j = (next() % d).toInt
+      val p = (next() % 1000 + 1).toDouble
+      val q = (next() % 1000 + 1).toDouble
+      if (i != j) {
+        val h = math.sqrt(p * p + q * q)
+        val c = p / h
+        val s = q / h
+        var t = 0
+        while (t < d) {
+          val a = r(i)(t); val b = r(j)(t)
+          r(i)(t) = c * a - s * b
+          r(j)(t) = s * a + c * b
+          t += 1
+        }
+      }
+      k += 1
+    }
+    r
+  }
+}
+
+/** DuckDB rendering of the seeded-rotation arms: the rotation matrix as a
+  * nested list literal and R·x as the same ascending-j fold as
+  * [[graft.plans.MatVecExpr]] (list_reduce seeds from the first product;
+  * 0.0 + x ≡ x exactly for the native loop's zero-seeded accumulator). */
+object OpqSql {
+
+  /** `[[r00, r01, …], …]`: `Double.toString` emits the shortest decimal
+    * that round-trips, and DuckDB's parse is correctly rounded, so the
+    * SQL matrix IS the Scala matrix bit for bit. */
+  def rotationLiteral(r: Array[Array[Double]]): String =
+    r.map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n ", "]")
+
+  /** R·`vec` with `rotLit` a [[rotationLiteral]] rendering — one output
+    * element per matrix row, each an ascending-j sequential fold. */
+  def matVec(rotLit: String, vec: String, d: Int): String =
+    s"list_transform($rotLit, rr -> list_reduce(" +
+      s"list_transform(range(1, ${d + 1}), j -> rr[j] * $vec[j]), " +
+      "(a, b) -> a + b))"
 }
