@@ -143,12 +143,15 @@ object Frontier {
    * bit-identical across engines; Σ alloc = budget exactly, which
    * per-host rounding cannot promise.
    *
-   * Scale shape: `scores` is the HOST frame — already aggregated,
-   * orders of magnitude smaller than the corpus — so the remainder
-   * ranking's global window is a window over that small frame (at
-   * extreme host cardinality the Selection boundary-bucket scheme
-   * applies; the apportionment itself inherently needs the global
-   * remainder order). Overflow is guarded distributedly: the total
+   * Scale shape: the apportionment inherently needs the GLOBAL remainder
+   * order, but never a single-partition window — the top-`leftover` set
+   * is found by the same two-pass partition-ranked numbering as
+   * [[SuffixArray]]'s distributed dense rank: range-partition the host
+   * frame by (remainder desc, key), count rows per partition (P driver
+   * rows, not data), prefix-sum the counts driver-side, and let each
+   * partition decide its own rows' global positions from its offset.
+   * Every pass is fully parallel; at 10⁸ hosts no task ever holds more
+   * than its partition. Overflow is guarded distributedly: the total
    * rides a 1-row `raise_error` arm that fails LOUDLY when
    * `total × budget` would wrap.
    */
@@ -156,6 +159,7 @@ object Frontier {
       scores: DataFrame, keyCol: String, scoreCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "apportionBudget: budget must be positive")
+    val spark = scores.sparkSession
     // negative scores would break the exact-sum contract silently
     // (truncating div diverges from floor, leftover can go negative) —
     // refuse them loudly, with the total bounds
@@ -174,14 +178,47 @@ object Frontier {
       .select(col(keyCol), col("score"),
         expr(s"(score * ${budget}L) div __tot").as("__base"),
         expr(s"(score * ${budget}L) % __tot").as("__rem"))
-    val leftRow = based
-      .agg((lit(budget) - sum(col("__base"))).as("__left"))
-    val byRemainder = Window.orderBy(col("__rem").desc, col(keyCol))
-    based.crossJoin(leftRow)
-      .withColumn("alloc", col("__base") +
-        when(row_number().over(byRemainder) <= col("__left"), 1L)
-          .otherwise(0L))
-      .select(col(keyCol), col("score"), col("alloc"))
+    // leftover = budget − Σ base: ONE driver row (the raise_error guard
+    // above has already run inside this aggregate's plan)
+    val leftover = based
+      .agg((lit(budget) - coalesce(sum(col("__base")), lit(0L))).as("l"))
+      .collect()(0).getLong(0)
+    if (leftover == 0L)
+      return based.select(col(keyCol), col("score"),
+        col("__base").as("alloc"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sorted = based
+      .repartitionByRange(p, col("__rem").desc, col(keyCol))
+      .sortWithinPartitions(col("__rem").desc, col(keyCol))
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition row counts — P driver values, not data
+      val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      // pass 2: a row's global remainder rank = partition offset + local
+      // index; the first `leftover` ranks take the +1
+      val assigned = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var rank = bc.value(pid)
+        it.map { r =>
+          val plus = if (rank < leftover) 1L else 0L
+          rank += 1L
+          org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2) + plus)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        based.schema(keyCol),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("alloc",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      // materialize before releasing the RDD the frame reads through
+      spark.createDataFrame(assigned, schema).localCheckpoint(true)
+    } finally {
+      sorted.unpersist(blocking = false)
+    }
   }
 
   /**

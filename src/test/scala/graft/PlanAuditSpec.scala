@@ -996,6 +996,22 @@ class PlanAuditSpec extends SparkSuite {
       s"the typed top-k aggregate must plan with partial aggregation:\n$p")
   }
 
+  test("apportionBudget: no single-partition window, exact sum preserved") {
+    import graft.operators.Frontier
+    val scores = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source")).agg(count(lit(1)).as("mass"))
+    val out = Frontier.apportionBudget(scores, "source", "mass", budget = 997L)
+    // the largest-remainder tie-break needs the GLOBAL remainder order,
+    // but it must come from the two-pass partition-ranked numbering — a
+    // Window.orderBy with no partitionBy would funnel every host row
+    // through ONE task (the 10⁸-host crawl killer)
+    val p = physical(out)
+    assert(!p.contains("Window"),
+      s"the remainder rank must not plan as a window:\n$p")
+    assert(out.agg(sum(col("alloc"))).collect()(0).getLong(0) == 997L,
+      "Σ alloc must equal the budget exactly")
+  }
+
   test("conditional fetch plan: latest-per-url is an aggregate, never a window") {
     import graft.operators.Frontier
     val frontier = spark.read.parquet(s"$sf/documents.parquet")
