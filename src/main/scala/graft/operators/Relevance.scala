@@ -215,6 +215,11 @@ object Relevance {
       .select(size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), count(col("dl")).as("n_dl"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      // batch_key is NULL for ingest rows; a retraction's correction row
+      // carries its takedown batch's digest so a crashed-and-retried
+      // takedown can detect the correction already landed (see
+      // [[retractPostings]])
+      .withColumn("batch_key", lit(null).cast("long"))
 
   /**
    * Persist `corpus` as an inverted index: a (tok, id, tf, dl) postings
@@ -267,6 +272,19 @@ object Relevance {
    * from the per-doc `dl` the index itself carries, over NEW keys only
    * — re-submitting a takedown list must not double-subtract).
    *
+   * Crash ordering: the correction lands BEFORE the tombstones, tagged
+   * with the batch's key digest. A death between the two writes leaves
+   * the correction applied and the keys still fresh; the retry
+   * recomputes the SAME digest (the tombstone table is unchanged, so
+   * the fresh set is identical), finds it already in `_stats`, skips
+   * the correction, and appends the tombstones — exactly-once for both
+   * writes without needing them atomic. (The reverse order was
+   * unhealable: once the keys are tombstoned the retry's fresh set is
+   * empty and the lost correction can never be recomputed.) The digest
+   * is an order-independent 64-bit fold of the fresh keys — a collision
+   * between two DIFFERENT in-flight batches would skip one correction,
+   * at hash64 odds.
+   *
    * Stated limitation: a document with ZERO tokens has no postings
    * rows, so its +1 in `n_docs` cannot be found from the index and
    * survives until a stats rebuild — it never scores, so only idf's N
@@ -283,15 +301,37 @@ object Relevance {
       else keys.join(
         spark.table(tomb).where(col("col_name") === "id").select("key"),
         Seq("key"), "left_anti")
-    val corr = spark.table(table)
+    // one driver row: the correction AND the batch digest, materialized
+    // eagerly before anything is written
+    val head = spark.table(table)
       .join(broadcast(fresh), col("id").cast("string") === col("key"),
         "left_semi")
       .select(col("id"), col("dl")).distinct()
       .agg((count(lit(1)) * -1).as("n_docs"),
         (count(lit(1)) * -1).as("n_dl"),
         (coalesce(sum(col("dl").cast("long")), lit(0L)) * -1).as("sum_dl"))
+      .crossJoin(fresh.agg(
+        // xor fold: order-independent AND overflow-free under ANSI (the
+        // keys are distinct, so no pair can self-cancel a real change)
+        coalesce(expr("bit_xor(xxhash64(key))"), lit(0L)).as("__h"),
+        count(lit(1)).as("__n")))
+      .first()
+    val (nDocs, nDl, sumDl) = (head.getLong(0), head.getLong(1),
+      head.getLong(2))
+    val batchKey = head.getLong(3) * 31L + head.getLong(4)
+    if (head.getLong(4) > 0L) {
+      val stats = spark.table(s"${table}_stats")
+      val applied = stats.columns.contains("batch_key") &&
+        !stats.where(col("batch_key") === batchKey).isEmpty
+      if (!applied) {
+        import spark.implicits._
+        Seq((nDocs, nDl, sumDl, batchKey))
+          .toDF("n_docs", "n_dl", "sum_dl", "batch_key")
+          .write.mode("append").format("parquet")
+          .saveAsTable(s"${table}_stats")
+      }
+    }
     Retract.retract(spark, table, "id", ids)
-    corr.write.mode("append").format("parquet").saveAsTable(s"${table}_stats")
   }
 
   /** Maintenance fold for the postings index: compact the bucketed
@@ -304,15 +344,31 @@ object Relevance {
   def compactPostingsIndex(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     Bucketing.compactBucketed(spark, table)
-    val folded = spark.table(s"${table}_stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_dl")).as("n_dl"),
-        sum(col("sum_dl")).as("sum_dl"))
+    val stats = spark.table(s"${table}_stats")
+    val hasKey = stats.columns.contains("batch_key")
+    // fold only the UNKEYED rows: a keyed row is a takedown correction
+    // whose batch digest must survive compaction, or a takedown retry
+    // straddling a maintenance pass would re-apply its correction.
+    // Keyed rows are one per takedown batch — driver-bounded by nature
+    val foldable = if (hasKey) stats.where(col("batch_key").isNull) else stats
+    val keyed: Seq[(Long, Long, Long, Long)] =
+      if (!hasKey) Seq.empty
+      else stats.where(col("batch_key").isNotNull)
+        .select(col("n_docs"), col("n_dl"), col("sum_dl"), col("batch_key"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val folded = foldable
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("n_dl")), lit(0L)).as("n_dl"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
       .collect()
     import spark.implicits._
     val one = folded.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       .toDF("n_docs", "n_dl", "sum_dl")
-    Bucketing.writeTable(one, s"${table}_stats")
+      .withColumn("batch_key", lit(null).cast("long"))
+    val kept = keyed.toDF("n_docs", "n_dl", "sum_dl", "batch_key")
+    Bucketing.writeTable(one.unionByName(kept), s"${table}_stats")
   }
 
   /**

@@ -157,6 +157,14 @@ object Retract {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec
       .getOrElse(sys.error(s"$table is not a bucketed table"))
+    // public takedown entry point: fail with the CONSTRAINT, not a bare
+    // NoSuchElementException from .head (the whole Bucketing layer writes
+    // single-column sorted buckets, so other shapes are foreign tables)
+    require(spec.bucketColumnNames.size == 1 && spec.sortColumnNames.size == 1,
+      s"purge($table): bucket-selective purge requires a single sorted " +
+        s"bucket column (got bucketBy=${spec.bucketColumnNames.mkString(",")}" +
+        s" sortBy=${spec.sortColumnNames.mkString(",")}); rewrite the table " +
+        "through Bucketing.writeBucketed first")
     val n = spec.numBuckets
     val bucketCol = spec.bucketColumnNames.head
     // touched buckets: pmod(hash, n) IS Spark's bucket id expression
@@ -298,20 +306,31 @@ object Retract {
     val df = spark.read.parquet(path)
     val cols = tombs.select(col("col_name")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val touchedParts = cols.map { c =>
+    val touchedRaw = cols.map { c =>
         val keys = tombs.where(col("col_name") === c)
           .select(col("key").as(s"__tomb_$c"))
         df.join(broadcast(keys),
           df(c).cast("string") === col(s"__tomb_$c"), "left_semi")
           .select(col(partCol).cast("string").as("p"))
       }.reduce(_ unionByName _)
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect().map(r => Option(r.getString(0)))
+    // a NULL partition value cannot ride the string set: `isin` never
+    // matches null and the __HIVE_DEFAULT_PARTITION__ directory name is
+    // not a value — track it as its own flag so a tombstoned row in the
+    // null partition is rebuilt (not carried over and then unmasked when
+    // the tombstones clear)
+    val nullTouched = touchedRaw.contains(None)
+    val touchedParts = touchedRaw.flatten.toSet
     val tmp = java.nio.file.Paths.get(s"${path}__compact")
     val old = java.nio.file.Paths.get(s"${path}__old")
     Bucketing.deleteDir(tmp)
-    // rebuild ONLY touched partitions into the staging tree
-    live.where(col(partCol).cast("string")
-        .isin(touchedParts.toSeq: _*))
+    // rebuild ONLY touched partitions into the staging tree (null-safe:
+    // the null partition joins the rebuild iff it holds tombstoned rows)
+    val touchedPred = {
+      val inSet = col(partCol).cast("string").isin(touchedParts.toSeq: _*)
+      if (nullTouched) inSet <=> lit(true) || col(partCol).isNull else inSet
+    }
+    live.where(touchedPred)
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
     // carry untouched partitions across by directory rename (staging
@@ -319,9 +338,12 @@ object Retract {
     val liveDir = java.nio.file.Paths.get(path)
     val untouched = Option(liveDir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
-      .filter(f => !touchedParts.contains(
-        unescapePartitionValue(
-          f.getName.substring(f.getName.indexOf('=') + 1))))
+      .filter { f =>
+        val v = unescapePartitionValue(
+          f.getName.substring(f.getName.indexOf('=') + 1))
+        if (v == "__HIVE_DEFAULT_PARTITION__") !nullTouched
+        else !touchedParts.contains(v)
+      }
     java.nio.file.Files.createDirectories(tmp)
     // NOTE: this stages COPIES via hard links where the filesystem
     // allows, falling back to a real copy — live files must stay in

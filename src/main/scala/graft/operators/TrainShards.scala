@@ -277,7 +277,11 @@ object TrainShards {
     index.where(!col("shard_file").isin(affectedFiles.toSeq: _*))
       .select(col("shard_file"), col("record_idx"), col("group"),
         col("seq_id"), col("boundaries"))
-      .unionByName(rewritten)
+      // the rewrite pipeline rides a typed Dataset with group AS STRING;
+      // cast it back to the caller's group type so the union does not
+      // silently widen the untouched rows' schema
+      .unionByName(rewritten.withColumn("group",
+        col("group").cast(index.schema("group").dataType)))
   }
 
   def readTokenShards(

@@ -251,6 +251,28 @@ class RetractSpec extends SparkSuite {
     assert(Retract.unescapePartitionValue("100%") == "100%")
   }
 
+  test("partitioned purge physically drops rows in a NULL-valued partition") {
+    // a null partCol lands under __HIVE_DEFAULT_PARTITION__: the touched
+    // set is a string set that can represent neither the null value nor
+    // that directory name, so without the null-touched flag the dead row
+    // would carry over by rename and RESURFACE once the tombstones clear
+    val root = java.nio.file.Files.createTempDirectory("retract_nullpart")
+    val path = s"$root/idx"
+    Seq((Some("a"), 1L), (None, 2L), (None, 3L), (Some("b"), 4L))
+      .toDF("part", "v")
+      .write.partitionBy("part").parquet(path)
+    Retract.retractPartitioned(spark, path, "v", Seq(2L).toDF("v"))
+    Retract.purgePartitioned(spark, path, "part")
+    val rows = spark.read.parquet(path)
+      .select(col("v"), col("part")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("a")), (3L, None), (4L, Some("b"))),
+      rows.toString)
+    // and after the purge no tombstone mask hides anything: the live
+    // view equals the physical files
+    assert(Retract.readLivePartitioned(spark, path).count() == 3)
+  }
+
   test("partitioned purge handles a '+'-valued partition end to end") {
     val root = java.nio.file.Files.createTempDirectory("retract_plus")
     val path = s"$root/idx"

@@ -125,6 +125,31 @@ class TrainShardsSpec extends SparkSuite {
     assert(idx3.count() == idx2.count())
   }
 
+  test("retractGroups preserves a non-string group column's type") {
+    // the rewrite pipeline internally rides group-as-string; the
+    // returned index must come back in the CALLER's group type, not
+    // silently widen the whole column to string through the union
+    val rows = Seq((0L, 7L, Seq(1, 2, 3, 4)), (1L, 7L, Seq(5, 6, 7, 8)),
+      (2L, 9L, Seq(9, 10, 11, 12)))
+      .toDF("id", "grp", "toks")
+    val out = java.nio.file.Files.createTempDirectory("ts_longgrp").toString
+    val seqs = TrainShards.assembleSequences(rows, "grp", "id", "toks", 4)
+    // writeTokenShards emits a string group; a caller that persists the
+    // index typed (e.g. parquet with a BIGINT group) hands retractGroups
+    // a long column — model that shape
+    val idx = TrainShards.writeTokenShards(seqs, "grp", out, 4, numShards = 1)
+      .withColumn("group", col("group").cast("long"))
+      .localCheckpoint(true)
+    assert(idx.schema("group").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val idx2 = TrainShards.retractGroups(spark, idx, Seq("7"), 4)
+    assert(idx2.schema("group").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"group must stay long, got ${idx2.schema("group").dataType}")
+    val back = idx2.select(col("group")).collect().map(_.getLong(0)).toSet
+    assert(back == Set(9L), back.toString)
+  }
+
   test("writer refuses a wrong-shape record loudly") {
     val bad = Seq(("g", 0L, Seq(1, 2, 3), Seq(0)))
       .toDF("grp", "seq_id", "tokens", "boundaries")
