@@ -7214,6 +7214,60 @@ object SparkEntry {
       sink.read().orderBy(col("pri_id"))
     }),
 
+    // S5: _bde_CopySchemaInformation parity (sql/02-bde_control_functions
+    // .sql.in:2487-2559) — a PRE-CREATED live table (the reference's
+    // tables come from linz-bde-schema) carries a PRIMARY KEY and a
+    // secondary index; publish copies both onto the staged working copy
+    // BEFORE the swap (staged data violating the live contract fails
+    // there, pre-DELETE), and the live contract survives the publish
+    "s5_schema_copy" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ddl")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      def raw(sql: String): Unit = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try { c.createStatement().executeUpdate(sql); () } finally c.close()
+      }
+      raw("CREATE TABLE t_ddl (id INT NOT NULL, v VARCHAR(16), " +
+        "CONSTRAINT t_ddl_pk PRIMARY KEY (id))")
+      raw("CREATE INDEX t_ddl_vix ON t_ddl (v)")
+      val sink = new JdbcTableSink(s, url, "t_ddl")
+      val staged = sink.stage(Seq((1, "a"), (2, "b")).toDF("id", "v"), "v1")
+      val ddl = sink.copySchemaInformation(staged)
+      val pkCopied = ddl.exists(_.matches("(?i).*PRIMARY KEY \\(\"?id\"?\\)"))
+      val ixCopied = ddl.exists(d => d.toUpperCase.startsWith("CREATE INDEX")
+        && d.matches("(?i).*\\(\"?v\"?\\)"))
+      // the copied PK rejects a duplicate key on the STAGED table — the
+      // pre-swap validation the reference buys with the constraint copy
+      val dupRejected = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          c.createStatement().executeUpdate(
+            s"INSERT INTO $staged VALUES (1, 'dup')"); false
+        } catch { case _: java.sql.SQLException => true }
+        finally c.close()
+      }
+      sink.publish(staged)
+      val livePkAfter = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = c.getMetaData.getPrimaryKeys(null, null, "T_DDL")
+          val b = scala.collection.mutable.ArrayBuffer[String]()
+          try { while (rs.next()) b += rs.getString("COLUMN_NAME") }
+          finally rs.close()
+          b.mkString(",").toLowerCase
+        } finally c.close()
+      }
+      val rowsAfter = sink.read().count()
+      Seq(
+        ("1_staged_pk_copied", pkCopied.toString),
+        ("2_staged_index_copied", ixCopied.toString),
+        ("3_staged_dup_rejected", dupRejected.toString),
+        ("4_live_pk_after", livePkAfter),
+        ("5_live_rows_after", rowsAfter.toString))
+        .toDF("step", "detail").orderBy(col("step"))
+    }),
+
     // S5/C9: the JDBC exclusive publish lock (_bde_GetExclusiveLock,
     // sql/02-bde_control_functions.sql.in:696-762) — a contender times out
     // with the holder named in the diagnostic, a STALE holder's claim is
@@ -13155,6 +13209,19 @@ object SparkEntry {
           |  (4457330, 5, 20000000, 'Y', 400))
           |  t(pri_id, "sequence", lin_id, reversed, audit_id)
           |ORDER BY pri_id""".stripMargin,
+
+      // schema-information copy outcomes: PK + index land on the staged
+      // table, the copied PK rejects a duplicate pre-swap, and the live
+      // contract survives the publish
+      "s5_schema_copy" ->
+        """SELECT * FROM (VALUES
+          |  ('1_staged_pk_copied', 'true'),
+          |  ('2_staged_index_copied', 'true'),
+          |  ('3_staged_dup_rejected', 'true'),
+          |  ('4_live_pk_after', 'id'),
+          |  ('5_live_rows_after', '2'))
+          |  t(step, detail)
+          |ORDER BY step""".stripMargin,
 
       // exclusive-lock scenario outcomes: contender times out naming the
       // live holder; an aged claim is stolen and publish proceeds

@@ -226,7 +226,26 @@ final class JdbcTableSink(
   def stage(df: DataFrame, version: String): String = {
     require(version.matches("[A-Za-z0-9_]+"), s"unsafe version name: $version")
     val name = s"${table}__stg_$version"
-    df.write.mode("overwrite").jdbc(url, name, props)
+    // reference parity: the working copy is created LIKE the live table
+    // (`bde_CreateWorkingCopy`, sql/02-bde_control_functions.sql.in:
+    // 1237-1288), so staged columns carry the LIVE column types — not the
+    // JDBC writer's defaults (which map strings to CLOB on Derby, an
+    // unindexable type that would break the schema-information copy).
+    // First-ever publish has no live table; the writer's mapping stands
+    val cloned = withConn { c =>
+      if (!tableExists(c, table)) false
+      else {
+        val st = c.createStatement()
+        try {
+          if (tableExists(c, name)) st.executeUpdate(s"DROP TABLE $name")
+          st.executeUpdate(
+            s"CREATE TABLE $name AS SELECT * FROM $table WITH NO DATA")
+          true
+        } finally st.close()
+      }
+    }
+    if (cloned) df.write.mode("append").jdbc(url, name, props)
+    else df.write.mode("overwrite").jdbc(url, name, props)
     name
   }
 
@@ -334,8 +353,147 @@ final class JdbcTableSink(
 
   def publish(stagedName: String): Unit = {
     val owner = acquireExclusive()
-    try publishLocked(stagedName)
+    try {
+      // reference parity: the working copy receives the live table's
+      // constraints/indexes BEFORE the swap transaction
+      // (bde_ApplyLevel0Update 'Copying schema information to temp table',
+      // sql/02-bde_control_functions.sql.in:1883-1905) — staged data that
+      // violates the live contract fails HERE, before the live DELETE
+      copySchemaInformation(stagedName)
+      publishLocked(stagedName)
+    }
     finally releaseExclusive(owner)
+  }
+
+  /**
+   * Mirror of `_bde_CopySchemaInformation`
+   * (/root/reference/sql/02-bde_control_functions.sql.in:2487-2559): copy
+   * the LIVE table's primary key, unique indexes, and plain indexes onto a
+   * staged table, engine-neutrally (JDBC `DatabaseMetaData`
+   * getPrimaryKeys/getIndexInfo + vanilla DDL, where the reference reads
+   * pg_constraint/pg_index). Key columns are set NOT NULL first — the
+   * distributed JDBC writer stages every column nullable — trying the
+   * PostgreSQL form (`SET NOT NULL`) then Derby's (`NOT NULL`).
+   *
+   * Column statistics targets (`_bde_CopyStatisticsInformation`,
+   * sql.in:2561-2593) are PostgreSQL catalog state with no JDBC metadata
+   * surface: applied via pg_attribute when the connection understands it,
+   * silently skipped elsewhere (Derby has no per-column stats targets).
+   *
+   * No-op when the live table does not exist yet (first publish). Returns
+   * the DDL executed, in order, for observability and the oracle row.
+   */
+  def copySchemaInformation(stagedName: String): Seq[String] = withConn { c =>
+    val md = c.getMetaData
+    def firstExisting(n: String): Option[String] =
+      Seq(n.toUpperCase, n.toLowerCase, n).distinct.find { v =>
+        val rs = md.getTables(null, null, v, null)
+        try rs.next() finally rs.close()
+      }
+    (firstExisting(table), firstExisting(stagedName)) match {
+      case (Some(live), Some(staged)) =>
+        val ddl = scala.collection.mutable.ArrayBuffer[String]()
+        val st = c.createStatement()
+        def exec(sql: String): Unit = { st.executeUpdate(sql); ddl += sql }
+        def pkOf(t: String): Seq[String] = {
+          val rs = md.getPrimaryKeys(null, null, t)
+          val buf = scala.collection.mutable.ArrayBuffer[(Short, String)]()
+          try while (rs.next())
+            buf += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
+          finally rs.close()
+          buf.sortBy(_._1).map(_._2).toSeq
+        }
+        def indexesOf(t: String)
+            : Seq[(Boolean, Seq[String])] = {
+          // grouped per index, ordinal order; statistics pseudo-rows
+          // (null column) skipped
+          val byIndex = scala.collection.mutable.LinkedHashMap[
+            String, (Boolean, scala.collection.mutable.ArrayBuffer[(Short, String)])]()
+          val rs = md.getIndexInfo(null, null, t, false, false)
+          try while (rs.next()) {
+            val name = rs.getString("INDEX_NAME")
+            val colName = rs.getString("COLUMN_NAME")
+            if (name != null && colName != null) {
+              val e = byIndex.getOrElseUpdate(name,
+                (!rs.getBoolean("NON_UNIQUE"),
+                  scala.collection.mutable.ArrayBuffer[(Short, String)]()))
+              e._2 += rs.getShort("ORDINAL_POSITION") -> colName
+            }
+          } finally rs.close()
+          byIndex.values.map { case (u, b) =>
+            (u, b.sortBy(_._1).map(_._2).toSeq)
+          }.toSeq
+        }
+        // the distributed JDBC writer creates the staged table with QUOTED
+        // (case-preserved) column names while a pre-created live table
+        // typically stores the unquoted (engine-folded) form — resolve each
+        // live column to the staged table's actual identifier and quote it
+        val stagedCols: Seq[String] = {
+          val rs = md.getColumns(null, null, staged, null)
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          try while (rs.next()) buf += rs.getString("COLUMN_NAME")
+          finally rs.close()
+          buf.toSeq
+        }
+        def q(liveCol: String): String =
+          "\"" + stagedCols.find(_.equalsIgnoreCase(liveCol))
+            .getOrElse(liveCol) + "\""
+        try {
+          val pkCols = pkOf(live)
+          // idempotent under a crashed-publish retry: skip what the
+          // staged table already carries
+          if (pkCols.nonEmpty && pkOf(staged).isEmpty) {
+            pkCols.foreach { k =>
+              try exec(s"ALTER TABLE $stagedName ALTER COLUMN ${q(k)} SET NOT NULL")
+              catch { case _: java.sql.SQLException =>
+                exec(s"ALTER TABLE $stagedName ALTER COLUMN ${q(k)} NOT NULL")
+              }
+            }
+            exec(s"ALTER TABLE $stagedName ADD CONSTRAINT " +
+              s"${stagedName}_pk PRIMARY KEY (${pkCols.map(q).mkString(", ")})")
+          }
+          // indexes: skip the one backing the PRIMARY KEY (the reference's
+          // `indexrelid NOT IN (... contype IN ('u','p'))` exclusion — the
+          // ADD CONSTRAINT above rebuilt it) and any already present on
+          // the staged table (retry idempotence)
+          // compare column LISTS case-insensitively (live folds unquoted
+          // identifiers up, staged preserves the writer's case)
+          def norm(ix: (Boolean, Seq[String])) =
+            (ix._1, ix._2.map(_.toLowerCase))
+          val have = indexesOf(staged).map(norm).toSet
+          indexesOf(live).foreach { case ix @ (unique, cols) =>
+            if (!(unique && cols == pkCols) && !have.contains(norm(ix))) {
+              val u = if (unique) "UNIQUE " else ""
+              // name derives from the column list (not a counter) so a
+              // crashed-and-retried copy can never collide with its own
+              // earlier partial progress
+              val nm = (s"${stagedName}_ix_" +
+                cols.mkString("_").toLowerCase + (if (unique) "_u" else ""))
+                .replaceAll("[^A-Za-z0-9_]", "")
+              exec(s"CREATE ${u}INDEX $nm " +
+                s"ON $stagedName (${cols.map(q).mkString(", ")})")
+            }
+          }
+          // per-column statistics targets — PostgreSQL only
+          try {
+            val targets = {
+              val q = st.executeQuery("SELECT attname, attstattarget " +
+                s"FROM pg_attribute WHERE attrelid = '$live'::regclass " +
+                "AND attnum > 0 AND NOT attisdropped AND attstattarget > 0")
+              val buf = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+              try while (q.next()) buf += q.getString(1) -> q.getInt(2)
+              finally q.close()
+              buf.toSeq
+            }
+            targets.foreach { case (n, t) =>
+              exec(s"ALTER TABLE $stagedName ALTER COLUMN ${q(n)} " +
+                s"SET STATISTICS $t")
+            }
+          } catch { case _: java.sql.SQLException => () }
+          ddl.toSeq
+        } finally st.close()
+      case _ => Seq.empty
+    }
   }
 
   private def publishLocked(stagedName: String): Unit = withConn { c =>

@@ -35,6 +35,53 @@ class JdbcSinkSpec extends SparkSuite {
     assert(sink.currentVersion.contains("t_jdbc__stg_v2"))
   }
 
+  test("publish copies the live table's PK and indexes onto the staged table") {
+    // _bde_CopySchemaInformation parity: a pre-created live table (the
+    // reference's tables come from linz-bde-schema) carries a PRIMARY KEY
+    // and a secondary index; the staged table must receive both before
+    // the swap, and the live contract must survive the publish
+    val url = derbyUrl()
+    def raw(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { c.createStatement().executeUpdate(sql); () } finally c.close()
+    }
+    raw("CREATE TABLE t_ddl (id INT NOT NULL, v VARCHAR(16), " +
+      "CONSTRAINT t_ddl_pk PRIMARY KEY (id))")
+    raw("CREATE INDEX t_ddl_vix ON t_ddl (v)")
+    val sink = new JdbcTableSink(spark, url, "t_ddl")
+    val staged = sink.stage(Seq((1, "a"), (2, "b")).toDF("id", "v"), "v1")
+    val ddl = sink.copySchemaInformation(staged)
+    assert(ddl.exists(_.matches("(?i).*PRIMARY KEY \\(\"?id\"?\\)")),
+      ddl.mkString("; "))
+    assert(ddl.exists(s => s.startsWith("CREATE INDEX") &&
+        s.matches("(?i).*\\(\"?v\"?\\)")),
+      ddl.mkString("; "))
+    // the staged PK now REJECTS duplicate keys — the pre-swap validation
+    // the reference gets from copying constraints onto the working copy
+    val c = java.sql.DriverManager.getConnection(url)
+    try intercept[java.sql.SQLException] {
+      c.createStatement().executeUpdate(
+        s"INSERT INTO $staged VALUES (1, 'dup')")
+    } finally c.close()
+    sink.publish(staged)
+    assert(sink.read().count() == 2)
+    // live PK survives the DELETE/INSERT swap
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.getMetaData.getPrimaryKeys(null, null, "T_DDL")
+      val pk = try {
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        while (rs.next()) b += rs.getString("COLUMN_NAME")
+        b.toSeq
+      } finally rs.close()
+      assert(pk == Seq("ID"), pk.toString)
+    } finally c2.close()
+    // second publish: copy runs again against a fresh staged table
+    val staged2 = sink.stage(Seq((3, "c")).toDF("id", "v"), "v2")
+    sink.publish(staged2)
+    assert(sink.read().collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("publish takes the exclusive lock: held lock times out with owner; released lock is awaited") {
     val url = derbyUrl()
     val fast = new JdbcTableSink(spark, url, "t_lock",
