@@ -314,6 +314,22 @@ object SparkEntry {
   private lazy val opqGaugeRotation: Array[Array[Double]] =
     operators.Opq.seededRotation(64, 7)
 
+  /** Shared fixture of the `s4_clean_lds` gauge — one arm per LDS rule
+    * family (escapes, C0 deletes, Latin-1 transliterations + soft-hyphen
+    * delete, identity keeps through U+017F, the late-addition typographic
+    * keeps, unmapped including a supplementary code point, the decoder's
+    * U+FFFD marker). Authored ONCE; `CleanSql.sqlLit` renders the
+    * identical code points into the oracle. */
+  private val LdsCleanFixture: Seq[String] = Seq(
+    "plain ascii stays",
+    "pipe|and\\back",
+    "line\nbreak\rcr",
+    "ctrl\u0001\u0007tab\tkeep",
+    "nbsp\u00A0dot\u00B7acc\u00B4guil\u00AB\u00BBsoft\u00ADend",
+    "kept\u00E9\u00F1\u0152\u017Fs",
+    "late\u2013\u2014\u2018\u2019\u201C\u201D\u2022punct",
+    "unmapped\u2603\u4E2D\uD83D\uDE00bad\uFFFDend")
+
   /** Exact brute-force squared-L2 top-k — the shared ground-truth arm of
     * every ANN recall gauge (broadcast queries, one native-fold distance
     * per pair). Ranked by the bounded top-k aggregate (score = -distance
@@ -7643,6 +7659,23 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // S4 under the FULL LDS profile (conf:407-1242, proved entry-for-entry
+    // against the reference conf by CleanLdsConfSpec): escapes, C0/C1
+    // deletes, Latin-1 transliterations, the identity keep-set through
+    // U+017F plus the late-addition typographic keeps, unmapped → '?',
+    // and U+FFFD (the decoder's invalid-byte marker) deleted. The oracle
+    // restates the same fixture through the independent DuckDB rendering
+    "s4_clean_lds" -> ((s, dir) => {
+      val input = LdsCleanFixture.zipWithIndex.tail
+        .foldLeft(when(col("doc_id") % 8 === 0, lit(LdsCleanFixture(0)))) {
+          case (acc, (str, i)) => acc.when(col("doc_id") % 8 === i, lit(str))
+        }
+      t(s, dir, "documents").where(col("doc_id") < 400)
+        .select(col("doc_id"),
+          Clean.cleanString(input, Clean.ldsConfig).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- F10: detail-string codec --------------------------------------
     "f10_detail_codec" -> ((s, dir) => {
       import s.implicits._
@@ -13352,6 +13385,18 @@ object SparkEntry {
            |       ${CleanSql.cleanString("str_raw")} AS str_clean,
            |       ${CleanSql.shiftPointWkt("wkt_raw")} AS wkt_clean
            |FROM base ORDER BY o_orderkey""".stripMargin
+      },
+
+      // the full LDS profile restated through the independent DuckDB
+      // rendering over the IDENTICAL fixture code points (sqlLit)
+      "s4_clean_lds" -> {
+        val caseSql = "(CASE CAST(doc_id % 8 AS INTEGER) " +
+          LdsCleanFixture.zipWithIndex.map { case (str, i) =>
+            s"WHEN $i THEN ${CleanSql.sqlLit(str)}"
+          }.mkString(" ") + " END)"
+        s"""SELECT doc_id,
+           |       ${CleanSql.cleanString(caseSql, Clean.ldsConfig)} AS cleaned
+           |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
       },
 
       "f10_detail_codec" ->

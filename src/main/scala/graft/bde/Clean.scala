@@ -42,10 +42,17 @@ object Clean {
         * = the reference's `delete` mode, Some(r) = replace with r, None =
         * keep. Applied BEFORE the map (the reference validates at decode). */
       utf8ReplaceInvalid: Option[String] = None,
-      /** `utf8_replace_unmapped` (conf:409): characters the map doesn't
-        * allow (anything above U+017E in the LDS profile) become this.
-        * Applied after the map. None = keep everything. */
+      /** `utf8_replace_unmapped` (conf:409): characters with NO map entry
+        * and outside the allowed set (ASCII + [[CleanConfig.allowedExtra]])
+        * become this — bde_copy's per-input-character rule, so it applies
+        * BEFORE the map (map keys and identity-kept characters are never
+        * "unmapped", whatever bytes their replacements contain). None =
+        * keep everything. */
       replaceUnmapped: Option[String] = None,
+      /** Identity-kept code-point ranges beyond ASCII — the conf rows of
+        * the form `replace \uNNNN \uNNNN`, which exist purely to mark the
+        * character ALLOWED for the unmapped rule. */
+      allowedExtra: Seq[(Int, Int)] = Seq.empty,
       /** Columns carrying POINT WKT that get the SRID prefix + longitude
         * shift (the reference applies spatial rules to geometry columns). */
       spatialColumns: Set[String] = Set.empty)
@@ -62,35 +69,50 @@ object Clean {
     "×" -> "x")  // multiplication sign
 
   /**
-   * The reference's full LDS character-mapping profile
-   * (conf/linz_bde_uploader.conf:349-1245), reconstructed from its RULES
-   * rather than transcribed row-by-row: the format's own characters are
-   * escaped (`|` and `\` → space, newline/CR → the two-character escapes),
-   * every C0 control except tab/LF/CR and every C1 control (U+0080-U+009F)
-   * is deleted, U+00A0-U+017E is the allowed range (identity, so its 224
-   * keep-entries need no representation) with six punctuation
-   * transliterations, and everything above the range is "unmapped" —
-   * handled by [[CleanConfig.replaceUnmapped]] → '?'.
+   * The reference's full LDS character-mapping profile, transcribed
+   * entry-for-entry from conf/linz_bde_uploader.conf:415-1242 and PROVED
+   * equivalent by `CleanLdsConfSpec`, which re-parses the conf at test
+   * time and compares the compiled pipeline against the literal rules
+   * over the whole BMP. The 71 non-identity rows: the format's own
+   * characters are escaped (`|` and `\` → space, newline/CR → the
+   * two-character escapes), every C0 control except tab/LF/CR and every
+   * C1 control (U+0080-U+009F) is deleted, and seven Latin-1 punctuation
+   * rows transliterate (NBSP/broken-bar → space, guillemets → '"',
+   * middle dot → '.', acute accent → quote, soft hyphen → deleted).
+   * The 224 identity rows live in [[LdsKeepRanges]]; everything else
+   * above ASCII is "unmapped" → [[CleanConfig.replaceUnmapped]] → '?'.
    */
   val LdsReplaceMap: Seq[(String, String)] =
     Seq("|" -> " ", "\\" -> " ", "\n" -> "\\n", "\r" -> "\\r") ++
       (0x01 to 0x1F).filterNot(Seq(0x09, 0x0A, 0x0D).contains)
         .map(c => c.toChar.toString -> "") ++
       (0x80 to 0x9F).map(c => c.toChar.toString -> "") ++
-      Seq(" " -> " ",  // no-break space
-          "¦" -> " ",  // broken bar
-          "«" -> "\"", // left guillemet
-          "»" -> "\"", // right guillemet
-          "·" -> ".",  // middle dot
-          "´" -> "'")  // acute accent
+      Seq("\u00A0" -> " ",  // no-break space
+          "\u00A6" -> " ",  // broken bar
+          "\u00AB" -> "\"", // left guillemet
+          "\u00AD" -> "",   // soft hyphen -- the one A0-17F delete
+          "\u00B4" -> "'",  // acute accent
+          "\u00B7" -> ".",  // middle dot
+          "\u00BB" -> "\"") // right guillemet
 
-  /** The complete LDS cleansing profile: full map + both UTF-8 policies
-    * (`utf8_replace_invalid delete`, `utf8_replace_unmapped ?`). */
+  /** The conf's identity-kept rows as code-point ranges: Latin-1 +
+    * Latin-Extended-A up to U+017F minus the transliterated/deleted
+    * entries, plus the "late addition triple width substitutions"
+    * (conf:1216-1241) keeping the common typographic punctuation. */
+  val LdsKeepRanges: Seq[(Int, Int)] = Seq(
+    0xA1 -> 0xA5, 0xA7 -> 0xAA, 0xAC -> 0xAC, 0xAE -> 0xB3,
+    0xB5 -> 0xB6, 0xB8 -> 0xBA, 0xBC -> 0x17F,
+    0x2013 -> 0x2014, 0x2018 -> 0x2019, 0x201C -> 0x201D, 0x2022 -> 0x2022)
+
+  /** The complete LDS cleansing profile: full map + keep ranges + both
+    * UTF-8 policies (`utf8_replace_invalid delete`,
+    * `utf8_replace_unmapped ?`). */
   def ldsConfig: CleanConfig = CleanConfig(
     replaceMap = LdsReplaceMap,
     stripControlChars = false,     // the map itself deletes C0/C1
     utf8ReplaceInvalid = Some(""), // 'delete' mode
-    replaceUnmapped = Some("?"))
+    replaceUnmapped = Some("?"),
+    allowedExtra = LdsKeepRanges)
 
   /** Timestamps before `minimum_year` → the invalid-datetime sentinel. */
   def repairTimestamp(c: Column, cfg: CleanConfig = CleanConfig()): Column =
@@ -103,14 +125,43 @@ object Clean {
     when(year(c) < cfg.minimumYear, to_date(lit(cfg.invalidDate), "yyyy-MM-dd"))
       .otherwise(c)
 
-  /** String cleansing: control-char strip + ordered replacement map.
+  /** Regex character class matching every code point the profile does
+    * NOT recognize: not ASCII, not a map key, not inside an allowed
+    * identity range. Shared by the Spark (java.util.regex) and DuckDB
+    * (RE2) renderings — both accept `\x{HHHH}` classes. */
+  private[bde] def unmappedClass(cfg: CleanConfig): String = {
+    def hex(cp: Int) = f"\\x{$cp%04X}"
+    val keyCls = cfg.replaceMap.map(_._1)
+      .filter(k => k.length == 1 && k.charAt(0) > 0x7F)
+      .map(k => hex(k.charAt(0).toInt)).mkString
+    val rangeCls = cfg.allowedExtra
+      .map { case (a, b) => if (a == b) hex(a) else s"${hex(a)}-${hex(b)}" }
+      .mkString
+    s"[^\\x00-\\x7F$keyCls$rangeCls]"
+  }
+
+  /** String cleansing in bde_copy's order: decode-time invalid handling
+    * (U+FFFD is what an undecodable byte became once Spark read the
+    * string), then the PER-INPUT-CHARACTER unmapped rule — a character
+    * with no map entry outside the allowed set becomes the unmapped
+    * replacement BEFORE the map runs, so map outputs are never re-judged
+    * — then control-char strip + the ordered replacement map.
     * Single-char→single-char pairs compile to ONE `translate`; the rest
     * chain `replace` calls in map order. */
   def cleanString(c: Column, cfg: CleanConfig = CleanConfig()): Column = {
+    val invalidHandled = cfg.utf8ReplaceInvalid match {
+      case Some(r) => replace(c, lit("�"), lit(r))
+      case None    => c
+    }
+    val unmappedHandled = cfg.replaceUnmapped match {
+      case Some(r) => regexp_replace(invalidHandled, unmappedClass(cfg),
+        java.util.regex.Matcher.quoteReplacement(r))
+      case None => invalidHandled
+    }
     val stripped =
       if (cfg.stripControlChars)
-        regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
-      else c
+        regexp_replace(unmappedHandled, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+      else unmappedHandled
     val (oneToOne, general) = cfg.replaceMap.partition {
       case (f, t) => f.length == 1 && t.length == 1
     }
@@ -173,14 +224,24 @@ object CleanSql {
       s"then DATE '${cfg.invalidDate}' else $c end)"
 
   def cleanString(c: String, cfg: CleanConfig = CleanConfig()): String = {
+    def sq(s: String) = s.replace("'", "''")
+    val invalidHandled = cfg.utf8ReplaceInvalid match {
+      case Some(r) => s"replace($c, chr(65533), '${sq(r)}')"
+      case None    => c
+    }
+    val unmappedHandled = cfg.replaceUnmapped match {
+      case Some(r) =>
+        s"regexp_replace($invalidHandled, " +
+          s"'${Clean.unmappedClass(cfg)}', '${sq(r)}', 'g')"
+      case None => invalidHandled
+    }
     val stripped =
       if (cfg.stripControlChars)
-        s"regexp_replace($c, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')"
-      else c
+        s"regexp_replace($unmappedHandled, " +
+          "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')"
+      else unmappedHandled
     cfg.replaceMap.foldLeft(stripped) { case (acc, (f, t)) =>
-      val tq = t.replace("'", "''")
-      val fq = f.replace("'", "''")
-      s"replace($acc, '$fq', '$tq')"
+      s"replace($acc, '${sq(f)}', '${sq(t)}')"
     }
   }
 
@@ -189,5 +250,25 @@ object CleanSql {
     s"printf('${cfg.wktPrefix}POINT(%.6f %.6f)', " +
       s"regexp_extract($c, $pat, 1)::DOUBLE + ${cfg.longitudeOffset}, " +
       s"regexp_extract($c, $pat, 2)::DOUBLE)"
+  }
+
+  /** Render a Scala string as a DuckDB expression producing EXACTLY the
+    * same code points: printable runs as quoted literals, control and
+    * supplementary characters through `chr(cp)` — so a cleansing fixture
+    * authored once in Scala drives both engines bit-identically. */
+  def sqlLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val run = new StringBuilder
+    def flush(): Unit = if (run.nonEmpty) {
+      parts += "'" + run.toString.replace("'", "''") + "'"
+      run.clear()
+    }
+    s.codePoints().forEach { cp =>
+      if (cp < 0x20 || cp == 0x7F || cp > 0xFFFF) {
+        flush(); parts += s"chr($cp)"
+      } else run.appendAll(Character.toChars(cp))
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
   }
 }
