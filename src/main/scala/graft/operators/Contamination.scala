@@ -188,6 +188,43 @@ object Contamination {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[winnowMatches]] with the TRAIN side's fingerprints precomputed
+    * (`(id, fp)` rows from [[winnowFingerprints]]) — extraction is the
+    * expensive stage, so a caller gauging several winnow paths over one
+    * corpus pays it once and hands the rows to each. */
+  def winnowMatchesRows(
+      trainFps: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val eFps = winnowRows(
+      evalSet.select(col(idCol).as("eval_id"), col(textCol)),
+      "eval_id", textCol, w)
+      .select(col("id").as("eval_id"), col("fp"))
+    trainFps.select(col("id").as(idCol), col("fp"))
+      .join(broadcast(eFps), Seq("fp"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Public face of [[winnowRows]]: the distinct (id, fp) winnow-selected
+    * fingerprints of `df` — the reusable extraction product. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = winnowRows(df, idCol, textCol, w)
+
+  /** [[writeWinnowIndex]] from precomputed (id, fp) rows. */
+  def writeWinnowIndexRows(rows: DataFrame, table: String,
+      buckets: Int): Unit =
+    Bucketing.writeBucketed(rows.select(col("id"), col("fp")),
+      table, "fp", buckets)
+
+  /** [[appendWinnowIndex]] from precomputed (id, fp) rows. */
+  def appendWinnowIndexRows(rows: DataFrame, table: String): Unit =
+    DedupIndex.appendBucketed(rows.select(col("id"), col("fp")), table)
+
   /** The (id, fp) winnow-fingerprint rows [[winnowMatches]] computes for
     * its train side — extracted so they can persist. */
   private[operators] def winnowRows(df: DataFrame, idCol: String,
