@@ -7692,6 +7692,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- EWKT geometry accessors over the cleanser's spatial output ----
+    // the reference stores geometry as EWKT text (PostGIS only in its test
+    // harness); these rows make the carried column QUERYABLE: accessor
+    // round-trip, bbox predicate, nearest-by-planar-distance. All plain
+    // regexp+arithmetic column expressions — the oracle replays the same
+    // grammar with no spatial extension
+    "geo_point_accessors" -> ((s, dir) => {
+      import graft.functions.GeoOps
+      val key = col("o_orderkey")
+      val raw = t(s, dir, "orders").where(key < 3000).select(key,
+        format_string("POINT(%.2f %.2f)",
+          (key % 360).cast("double") / 4.0 - 45.0 + 0.25,
+          (key % 170).cast("double") / 2.0 - 42.5 + 0.25).as("wkt_raw"))
+      val e = Clean.shiftPointWkt(col("wkt_raw"))
+      raw.select(key.as("o_orderkey"),
+          GeoOps.stSrid(e).as("srid"),
+          round(GeoOps.stX(e), 6).as("x"),
+          round(GeoOps.stY(e), 6).as("y"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "geo_bbox_filter" -> ((s, dir) => {
+      import graft.functions.GeoOps
+      val key = col("o_orderkey")
+      val raw = t(s, dir, "orders").select(key,
+        format_string("POINT(%.2f %.2f)",
+          (key % 360).cast("double") / 4.0 - 45.0 + 0.25,
+          (key % 170).cast("double") / 2.0 - 42.5 + 0.25).as("wkt_raw"))
+      val e = Clean.shiftPointWkt(col("wkt_raw"))
+      raw.where(GeoOps.stWithinBBox(e, 150.0, -20.0, 170.0, 0.0))
+        .select(key.as("o_orderkey"),
+          round(GeoOps.stX(e), 6).as("x"), round(GeoOps.stY(e), 6).as("y"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "geo_nearest" -> ((s, dir) => {
+      import graft.functions.GeoOps
+      val key = col("o_orderkey")
+      val probe = lit("SRID=4167;POINT(160.000000 -41.000000)")
+      val raw = t(s, dir, "orders").select(key,
+        format_string("POINT(%.2f %.2f)",
+          (key % 360).cast("double") / 4.0 - 45.0 + 0.25,
+          (key % 170).cast("double") / 2.0 - 42.5 + 0.25).as("wkt_raw"))
+      val e = Clean.shiftPointWkt(col("wkt_raw"))
+      raw.select(key.as("o_orderkey"),
+          round(GeoOps.stDistance(e, probe), 6).as("dist"))
+        .orderBy(col("dist"), col("o_orderkey"))
+        .limit(10)
+    }),
+
     // ---- F10: detail-string codec --------------------------------------
     "f10_detail_codec" -> ((s, dir) => {
       import s.implicits._
@@ -13401,6 +13451,66 @@ object SparkEntry {
            |       ${CleanSql.cleanString("str_raw")} AS str_clean,
            |       ${CleanSql.shiftPointWkt("wkt_raw")} AS wkt_clean
            |FROM base ORDER BY o_orderkey""".stripMargin
+      },
+
+      // EWKT accessors restated via the same regexp grammar (no spatial
+      // extension needed); the construction is s4_clean's WKT arm
+      "geo_point_accessors" -> {
+        import graft.functions.GeoOpsSql
+        val base =
+          """SELECT o_orderkey,
+            |  printf('POINT(%.2f %.2f)',
+            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25,
+            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25) AS wkt_raw
+            |FROM orders WHERE o_orderkey < 3000""".stripMargin
+        s"""WITH base AS ($base),
+           |e AS (SELECT o_orderkey,
+           |             ${CleanSql.shiftPointWkt("wkt_raw")} AS ewkt
+           |      FROM base)
+           |SELECT o_orderkey, ${GeoOpsSql.stSrid("ewkt")} AS srid,
+           |       round(${GeoOpsSql.stX("ewkt")}, 6) AS x,
+           |       round(${GeoOpsSql.stY("ewkt")}, 6) AS y
+           |FROM e ORDER BY o_orderkey""".stripMargin
+      },
+
+      "geo_bbox_filter" -> {
+        import graft.functions.GeoOpsSql
+        val base =
+          """SELECT o_orderkey,
+            |  printf('POINT(%.2f %.2f)',
+            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25,
+            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25) AS wkt_raw
+            |FROM orders""".stripMargin
+        s"""WITH base AS ($base),
+           |e AS (SELECT o_orderkey,
+           |             ${CleanSql.shiftPointWkt("wkt_raw")} AS ewkt
+           |      FROM base)
+           |SELECT o_orderkey,
+           |       round(${GeoOpsSql.stX("ewkt")}, 6) AS x,
+           |       round(${GeoOpsSql.stY("ewkt")}, 6) AS y
+           |FROM e
+           |WHERE ${GeoOpsSql.stWithinBBox("ewkt", 150.0, -20.0, 170.0, 0.0)}
+           |ORDER BY o_orderkey""".stripMargin
+      },
+
+      "geo_nearest" -> {
+        import graft.functions.GeoOpsSql
+        val probe = "'SRID=4167;POINT(160.000000 -41.000000)'"
+        val base =
+          """SELECT o_orderkey,
+            |  printf('POINT(%.2f %.2f)',
+            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25,
+            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25) AS wkt_raw
+            |FROM orders""".stripMargin
+        s"""WITH base AS ($base),
+           |e AS (SELECT o_orderkey,
+           |             ${CleanSql.shiftPointWkt("wkt_raw")} AS ewkt
+           |      FROM base)
+           |SELECT o_orderkey,
+           |       round(${GeoOpsSql.stDistance("ewkt", probe)}, 6) AS dist
+           |FROM e ORDER BY round(${GeoOpsSql.stDistance("ewkt", probe)}, 6),
+           |               o_orderkey
+           |LIMIT 10""".stripMargin
       },
 
       // the full LDS profile restated through the independent DuckDB

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** EWKT POINT accessors/predicates: literal cases incl. malformed input
+  * (NULL, never an exception) and the cleanser's own output format. */
+class GeoOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, "SRID=4167;POINT(160.250000 -41.500000)"),
+    (2L, "POINT(0.5 2.25)"),                    // bare WKT: no SRID
+    (3L, "SRID=4326;POINT(-175.25 89.0)"),
+    (4L, "LINESTRING(0 0, 1 1)"),               // not a point
+    (5L, "garbage"),
+    (6L, null.asInstanceOf[String]))
+    .toDF("id", "e")
+
+  test("srid / x / y accessors with NULL on non-points") {
+    val got = rows.select(col("id"), GeoOps.stSrid(col("e")).as("srid"),
+        GeoOps.stX(col("e")).as("x"), GeoOps.stY(col("e")).as("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == (Some(4167), Some(160.25), Some(-41.5)))
+    assert(got(2L) == (None, Some(0.5), Some(2.25)))
+    assert(got(3L) == (Some(4326), Some(-175.25), Some(89.0)))
+    assert(got(4L) == (None, None, None))
+    assert(got(5L) == (None, None, None))
+    assert(got(6L) == (None, None, None))
+  }
+
+  test("distance, bbox and dwithin predicates") {
+    val a = lit("SRID=4167;POINT(3.000000 0.000000)")
+    val b = lit("SRID=4167;POINT(0.000000 4.000000)")
+    val d = rows.limit(1).select(GeoOps.stDistance(a, b)).collect()(0).getDouble(0)
+    assert(d == 5.0)
+    val in = rows.where(GeoOps.stWithinBBox(col("e"), 0.0, 0.0, 1.0, 3.0))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(in == Seq(2L), in.toString) // only the bare point qualifies
+    val dw = rows.limit(1)
+      .select(GeoOps.stDWithin(a, b, 5.0), GeoOps.stDWithin(a, b, 4.9))
+      .collect()(0)
+    assert(dw.getBoolean(0) && !dw.getBoolean(1))
+  }
+
+  test("round-trips the cleanser's shiftPointWkt output") {
+    val raw = Seq((1L, "POINT(0.25 -42.25)")).toDF("id", "wkt")
+    val e = graft.bde.Clean.shiftPointWkt(col("wkt"))
+    val got = raw.select(GeoOps.stSrid(e), GeoOps.stX(e), GeoOps.stY(e))
+      .collect()(0)
+    assert(got.getInt(0) == 4167)
+    assert(got.getDouble(1) == 160.25)
+    assert(got.getDouble(2) == -42.25)
+  }
+}
