@@ -455,6 +455,78 @@ object ScaleRehearsal {
         graft.operators.Multimodal.imageHashes(payloads, "id", "payload")
           .agg(sum(when(col("decode_ok"), 1L).otherwise(0L))).collect()
       }
+
+      // ---- parallel_tables (round 16): a multi-table level-0 dataset
+      // loaded sequentially vs with concurrent per-table Spark jobs.
+      // The reference's per-table loop is sequential
+      // (lib/LINZ/BdeUpload.pm:787-802); parallel_tables > 1 is this
+      // engine's one orchestration improvement over it, so the claim
+      // needs a number: same fixture, same catalog, outcome lists
+      // asserted identical, wall recorded per mode. Tables are sized so
+      // a single table underuses local[32] — the condition that makes
+      // concurrent jobs pay on a real cluster too.
+      {
+        import graft.bde.{Catalog, Control, Orchestrator, OrchestratorScenario}
+        val nTables = 6
+        val rowsPer = 30000 * factor / 10 // scale with the rehearsal factor
+        val cols = Seq("id" -> "integer", "name" -> "varchar",
+          "born" -> "datetime")
+        def stageRepo(): java.nio.file.Path = {
+          val root = java.nio.file.Files.createTempDirectory("graft-partab")
+          val ds = root.resolve("repo/level_0/20200101000000")
+          java.nio.file.Files.createDirectories(ds)
+          (0 until nTables).foreach { k =>
+            val rows = (0 until rowsPer).map(i =>
+              s"$i|name$i value ${(i * 31 + k) % 97} – token|" +
+                s"2021-0${i % 9 + 1}-01 00:00:0${i % 10}|")
+            java.nio.file.Files.writeString(ds.resolve(s"p$k.crs"),
+              OrchestratorScenario.crs(s"t_p$k", cols, rows))
+          }
+          root
+        }
+        val conf = (0 until nTables)
+          .map(k => s"TABLE t_p$k key=id files p$k").mkString("\n")
+        val (cat, errs) = Catalog.parse(conf.linesIterator)
+        require(errs.isEmpty, s"catalog errors: $errs")
+        def runOnce(par: Int): Seq[Orchestrator.TableOutcome] = {
+          val root = stageRepo()
+          val control = new Control(spark, root.resolve("control").toString,
+            () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+          Orchestrator.applyUpdates(spark,
+            Orchestrator.RunConfig(
+              repoRoot = root.resolve("repo").toString,
+              tablesDir = root.resolve("tables").toString,
+              controlDir = root.resolve("control").toString,
+              parallelTables = par),
+            cat, level0 = true, level5 = false, control)
+        }
+        var seq0: Seq[Orchestrator.TableOutcome] = Seq.empty
+        var par4: Seq[Orchestrator.TableOutcome] = Seq.empty
+        timed("orchestrator_sequential", nTables.toLong * rowsPer) {
+          seq0 = runOnce(1)
+        }
+        timed("orchestrator_parallel4", nTables.toLong * rowsPer) {
+          par4 = runOnce(4)
+        }
+        require(seq0.map(o => (o.table, o.status, o.ninsert)) ==
+          par4.map(o => (o.table, o.status, o.ninsert)),
+          "parallel outcomes must equal sequential, in catalog order")
+      }
+
+      // ---- de-funneled budget apportionment (round 16): the largest-
+      // remainder rank at 10M hosts — the scale at which the former
+      // single-partition Window.orderBy became one unsplittable task.
+      // The two-pass partition-ranked numbering must stay parallel; the
+      // exact-sum contract is asserted on the result.
+      timed("apportion_budget_10m", 10000000L) {
+        val hosts = spark.range(10000000L)
+          .select(concat(lit("h"), col("id")).as("host"),
+            (col("id") % 1000 + 1).as("mass"))
+        val total = graft.operators.Frontier
+          .apportionBudget(hosts, "host", "mass", budget = 1000000L)
+          .agg(sum(col("alloc"))).collect()(0).getLong(0)
+        require(total == 1000000L, s"sum must equal the budget: $total")
+      }
     } finally {
       graft.streaming.Streams.cleanupStaging(work)
       spark.stop()
