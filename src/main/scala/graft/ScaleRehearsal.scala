@@ -488,8 +488,11 @@ object ScaleRehearsal {
           .map(k => s"TABLE t_p$k key=id files p$k").mkString("\n")
         val (cat, errs) = Catalog.parse(conf.linesIterator)
         require(errs.isEmpty, s"catalog errors: $errs")
-        def runOnce(par: Int): Seq[Orchestrator.TableOutcome] = {
-          val root = stageRepo()
+        // stage OUTSIDE the timed blocks: the driver-side fixture
+        // construction is a fixed serial cost that would dilute the very
+        // ratio this section exists to measure
+        def runOnce(root: java.nio.file.Path,
+            par: Int): Seq[Orchestrator.TableOutcome] = {
           val control = new Control(spark, root.resolve("control").toString,
             () => java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
           Orchestrator.applyUpdates(spark,
@@ -500,13 +503,15 @@ object ScaleRehearsal {
               parallelTables = par),
             cat, level0 = true, level5 = false, control)
         }
+        val rootSeq = stageRepo()
+        val rootPar = stageRepo()
         var seq0: Seq[Orchestrator.TableOutcome] = Seq.empty
         var par4: Seq[Orchestrator.TableOutcome] = Seq.empty
         timed("orchestrator_sequential", nTables.toLong * rowsPer) {
-          seq0 = runOnce(1)
+          seq0 = runOnce(rootSeq, 1)
         }
         timed("orchestrator_parallel4", nTables.toLong * rowsPer) {
-          par4 = runOnce(4)
+          par4 = runOnce(rootPar, 4)
         }
         require(seq0.map(o => (o.table, o.status, o.ninsert)) ==
           par4.map(o => (o.table, o.status, o.ninsert)),

@@ -342,6 +342,55 @@ object SparkEntry {
           .localCheckpoint(true)
       })
 
+  /** Shared restatement of the two seeded-rotation OPQ recall oracles:
+    * staged correlated corpus (`corr`) + its rotation (`rotc`, matrix as
+    * literals), exact-L2 top-10 on the UN-rotated corpus, and the two
+    * approx arms the caller renders against those CTE names — recall
+    * joined per query. One builder so the staging/recall math cannot
+    * silently diverge between the PQ and IVF-PQ gauges. */
+  private def opqRecallOracle(opqArm: String, pqArm: String): String = {
+    val rotLit = operators.OpqSql.rotationLiteral(opqGaugeRotation)
+    val dist = operators.KMeansSql.distSql("q.embedding", "c.embedding")
+    s"""WITH cm AS (
+       |  SELECT vec_id, embedding,
+       |         list_reduce(list_transform(embedding, x -> x::DOUBLE),
+       |                     (a, b) -> a + b) / 64.0 AS mu
+       |  FROM embeddings),
+       |corr AS (SELECT vec_id,
+       |                list_transform(embedding, x -> x::DOUBLE + mu)
+       |                  AS embedding
+       |         FROM cm),
+       |rotc AS (SELECT vec_id,
+       |                ${operators.OpqSql.matVec(rotLit, "embedding", 64)}
+       |                  AS embedding
+       |         FROM corr),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $dist, c.vec_id) AS rn
+       |    FROM corr q JOIN corr c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 32)
+       |  WHERE rn <= 10),
+       |aopq AS (SELECT query_id, neighbor_id FROM ($opqArm)),
+       |apq AS (SELECT query_id, neighbor_id FROM ($pqArm))
+       |SELECT e.query_id,
+       |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_opq,
+       |       round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+       |                      THEN 1 ELSE 0 END)::DOUBLE
+       |             / count(*)::DOUBLE, 6) AS recall_opq,
+       |       CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_pq,
+       |       round(sum(CASE WHEN b.neighbor_id IS NOT NULL
+       |                      THEN 1 ELSE 0 END)::DOUBLE
+       |             / count(*)::DOUBLE, 6) AS recall_pq
+       |FROM exact e
+       |LEFT JOIN aopq a USING (query_id, neighbor_id)
+       |LEFT JOIN apq b USING (query_id, neighbor_id)
+       |GROUP BY e.query_id ORDER BY query_id""".stripMargin
+  }
+
   /** Shared fixture of the `s4_clean_lds` gauge — one arm per LDS rule
     * family (escapes, C0 deletes, Latin-1 transliterations + soft-hyphen
     * delete, identity keeps through U+017F, the late-addition typographic
@@ -6026,7 +6075,7 @@ object SparkEntry {
         .select(lit("masked").as("phase"), col("id").as("doc_id"),
           col("bm25"))
         .localCheckpoint(true)
-      Retract.purge(s, tbl)
+      Relevance.purgePostings(s, tbl)
       masked.unionByName(Relevance.bm25TopKIndexed(s, tbl, q)
           .select(lit("purged").as("phase"), col("id").as("doc_id"),
             col("bm25")))
@@ -11754,110 +11803,28 @@ object SparkEntry {
       // bit-for-bit against tools/opq_reference.py in OpqSpec, and
       // Double.toString→DuckDB parse round-trips), the correlated corpus
       // and the rotated corpus are staged CTEs, and both approx arms are
-      // the house PQ / IVF-PQ rescan SQL over those staged tables —
-      // exact arm on the UN-rotated corpus, as in the Spark query
-      "ann_opq_recall" -> {
-        val rotLit = operators.OpqSql.rotationLiteral(opqGaugeRotation)
-        val opqArm = operators.PqSql.adcTopK(
+      // the house PQ rescan SQL over those staged tables — exact arm on
+      // the UN-rotated corpus, as in the Spark query
+      "ann_opq_recall" -> opqRecallOracle(
+        opqArm = operators.PqSql.adcTopK(
           "rotc", "vec_id", "embedding", dim = 64, m = 4, ksub = 8,
-          iters = 2, topK = 10, queryPred = "vec_id < 32")
-        val pqArm = operators.PqSql.adcTopK(
+          iters = 2, topK = 10, queryPred = "vec_id < 32"),
+        pqArm = operators.PqSql.adcTopK(
           "corr", "vec_id", "embedding", dim = 64, m = 4, ksub = 8,
-          iters = 2, topK = 10, queryPred = "vec_id < 32")
-        val dist = operators.KMeansSql.distSql("q.embedding", "c.embedding")
-        s"""WITH cm AS (
-           |  SELECT vec_id, embedding,
-           |         list_reduce(list_transform(embedding, x -> x::DOUBLE),
-           |                     (a, b) -> a + b) / 64.0 AS mu
-           |  FROM embeddings),
-           |corr AS (SELECT vec_id,
-           |                list_transform(embedding, x -> x::DOUBLE + mu)
-           |                  AS embedding
-           |         FROM cm),
-           |rotc AS (SELECT vec_id,
-           |                ${operators.OpqSql.matVec(rotLit, "embedding", 64)}
-           |                  AS embedding
-           |         FROM corr),
-           |exact AS (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |           row_number() OVER (PARTITION BY q.vec_id
-           |                              ORDER BY $dist, c.vec_id) AS rn
-           |    FROM corr q JOIN corr c ON c.vec_id <> q.vec_id
-           |    WHERE q.vec_id < 32)
-           |  WHERE rn <= 10),
-           |aopq AS (SELECT query_id, neighbor_id FROM ($opqArm)),
-           |apq AS (SELECT query_id, neighbor_id FROM ($pqArm))
-           |SELECT e.query_id,
-           |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_opq,
-           |       round(sum(CASE WHEN a.neighbor_id IS NOT NULL
-           |                      THEN 1 ELSE 0 END)::DOUBLE
-           |             / count(*)::DOUBLE, 6) AS recall_opq,
-           |       CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
-           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_pq,
-           |       round(sum(CASE WHEN b.neighbor_id IS NOT NULL
-           |                      THEN 1 ELSE 0 END)::DOUBLE
-           |             / count(*)::DOUBLE, 6) AS recall_pq
-           |FROM exact e
-           |LEFT JOIN aopq a USING (query_id, neighbor_id)
-           |LEFT JOIN apq b USING (query_id, neighbor_id)
-           |GROUP BY e.query_id ORDER BY query_id""".stripMargin
-      },
+          iters = 2, topK = 10, queryPred = "vec_id < 32")),
 
       // same staging at full composition depth: the at-rest rotated
       // index must equal the rotated-corpus rescan (quantizers train on
       // the full corpus), so the opq arm IS IvfPqSql over the rotated CTE
-      "ann_opq_ivfpq_recall" -> {
-        val rotLit = operators.OpqSql.rotationLiteral(opqGaugeRotation)
-        val opqArm = operators.IvfPqSql.topK(
+      "ann_opq_ivfpq_recall" -> opqRecallOracle(
+        opqArm = operators.IvfPqSql.topK(
           "rotc", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
           ksub = 8, iters = 2, nprobe = 2, topK = 10,
-          queryPred = "vec_id < 32")
-        val pqArm = operators.IvfPqSql.topK(
+          queryPred = "vec_id < 32"),
+        pqArm = operators.IvfPqSql.topK(
           "corr", "vec_id", "embedding", dim = 64, nCells = 4, m = 4,
           ksub = 8, iters = 2, nprobe = 2, topK = 10,
-          queryPred = "vec_id < 32")
-        val dist = operators.KMeansSql.distSql("q.embedding", "c.embedding")
-        s"""WITH cm AS (
-           |  SELECT vec_id, embedding,
-           |         list_reduce(list_transform(embedding, x -> x::DOUBLE),
-           |                     (a, b) -> a + b) / 64.0 AS mu
-           |  FROM embeddings),
-           |corr AS (SELECT vec_id,
-           |                list_transform(embedding, x -> x::DOUBLE + mu)
-           |                  AS embedding
-           |         FROM cm),
-           |rotc AS (SELECT vec_id,
-           |                ${operators.OpqSql.matVec(rotLit, "embedding", 64)}
-           |                  AS embedding
-           |         FROM corr),
-           |exact AS (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |           row_number() OVER (PARTITION BY q.vec_id
-           |                              ORDER BY $dist, c.vec_id) AS rn
-           |    FROM corr q JOIN corr c ON c.vec_id <> q.vec_id
-           |    WHERE q.vec_id < 32)
-           |  WHERE rn <= 10),
-           |aopq AS (SELECT query_id, neighbor_id FROM ($opqArm)),
-           |apq AS (SELECT query_id, neighbor_id FROM ($pqArm))
-           |SELECT e.query_id,
-           |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_opq,
-           |       round(sum(CASE WHEN a.neighbor_id IS NOT NULL
-           |                      THEN 1 ELSE 0 END)::DOUBLE
-           |             / count(*)::DOUBLE, 6) AS recall_opq,
-           |       CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
-           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_pq,
-           |       round(sum(CASE WHEN b.neighbor_id IS NOT NULL
-           |                      THEN 1 ELSE 0 END)::DOUBLE
-           |             / count(*)::DOUBLE, 6) AS recall_pq
-           |FROM exact e
-           |LEFT JOIN aopq a USING (query_id, neighbor_id)
-           |LEFT JOIN apq b USING (query_id, neighbor_id)
-           |GROUP BY e.query_id ORDER BY query_id""".stripMargin
-      },
+          queryPred = "vec_id < 32")),
 
       "ann_pq_recall" -> {
         val pq = operators.PqSql.adcTopK(

@@ -145,15 +145,17 @@ object Frontier {
    *
    * Scale shape: the apportionment inherently needs the GLOBAL remainder
    * order, but never a single-partition window — the top-`leftover` set
-   * is found by the same two-pass partition-ranked numbering as
-   * [[SuffixArray]]'s distributed dense rank: range-partition the host
-   * frame by (remainder desc, key), count rows per partition (P driver
-   * rows, not data), prefix-sum the counts driver-side, and let each
-   * partition decide its own rows' global positions from its offset.
-   * Every pass is fully parallel; at 10⁸ hosts no task ever holds more
-   * than its partition. Overflow is guarded distributedly: the total
-   * rides a 1-row `raise_error` arm that fails LOUDLY when
-   * `total × budget` would wrap.
+   * is bounded by its CUTOFF row, found with the same two-pass
+   * partition-ranked numbering as [[SuffixArray]]'s distributed dense
+   * rank: range-partition (remainder desc, key), count rows per
+   * partition (P driver rows, not data), prefix-sum driver-side, and
+   * fetch the single row at global index leftover−1 from its partition.
+   * The returned frame then takes its +1 from a plain comparison against
+   * the cutoff literals — lazy, lineage-recomputable, no checkpoint
+   * blocks to lose. Every pass is fully parallel; at 10⁸ hosts no task
+   * ever holds more than its partition. Overflow is guarded
+   * distributedly: the total rides a 1-row `raise_error` arm that fails
+   * LOUDLY when `total × budget` would wrap.
    */
   def apportionBudget(
       scores: DataFrame, keyCol: String, scoreCol: String,
@@ -186,39 +188,55 @@ object Frontier {
     if (leftover == 0L)
       return based.select(col(keyCol), col("score"),
         col("__base").as("alloc"))
+    // find the CUTOFF row — the leftover-th in (remainder desc, key asc)
+    // order — with the two-pass partition ranking, then return a LAZY
+    // frame whose +1 predicate compares against the cutoff literals.
+    // Only the cutoff (one row) rides the driver; the result is plain
+    // lineage-recomputable expressions over `scores`, so an executor
+    // loss downstream recomputes instead of dying on a lost checkpoint
+    // block. Keys must be unique per row (the host-aggregate contract) —
+    // a duplicated (remainder, key) pair at the cutoff would over-take.
     val p = spark.sessionState.conf.numShufflePartitions
     val sorted = based
+      .select(col("__rem"), col(keyCol))
       .repartitionByRange(p, col("__rem").desc, col(keyCol))
       .sortWithinPartitions(col("__rem").desc, col(keyCol))
       .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // pass 1: per-partition row counts — P driver values, not data
-      val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single((pid, it.size.toLong))
-      }.collect().sortBy(_._1).map(_._2)
-      val offsets = counts.scanLeft(0L)(_ + _)
-      val bc = spark.sparkContext.broadcast(offsets)
-      // pass 2: a row's global remainder rank = partition offset + local
-      // index; the first `leftover` ranks take the +1
-      val assigned = sorted.mapPartitionsWithIndex { (pid, it) =>
-        var rank = bc.value(pid)
-        it.map { r =>
-          val plus = if (rank < leftover) 1L else 0L
-          rank += 1L
-          org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2) + plus)
-        }
+    val (cutRem, cutKey) =
+      try {
+        // pass 1: per-partition row counts — P driver values, not data
+        val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
+          Iterator.single((pid, it.size.toLong))
+        }.collect().sortBy(_._1).map(_._2)
+        val offsets = counts.scanLeft(0L)(_ + _)
+        val cutIdx = leftover - 1 // global index of the last +1 row
+        val cutPid = counts.indices
+          .find(i => offsets(i) <= cutIdx && cutIdx < offsets(i + 1))
+          .getOrElse(sys.error(
+            s"apportionBudget: leftover $leftover exceeds host count"))
+        val local = cutIdx - offsets(cutPid)
+        // pass 2: read ONE row from the cutoff partition
+        val cut = sorted.mapPartitionsWithIndex { (pid, it) =>
+          if (pid != cutPid) Iterator.empty
+          else {
+            var i = 0L
+            var res: Option[org.apache.spark.sql.Row] = None
+            while (it.hasNext && res.isEmpty) {
+              val r = it.next()
+              if (i == local) res = Some(r)
+              i += 1L
+            }
+            res.iterator
+          }
+        }.collect()(0)
+        (cut.getLong(0), cut.get(1))
+      } finally {
+        sorted.unpersist(blocking = false)
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        based.schema(keyCol),
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("alloc",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      // materialize before releasing the RDD the frame reads through
-      spark.createDataFrame(assigned, schema).localCheckpoint(true)
-    } finally {
-      sorted.unpersist(blocking = false)
-    }
+    based.select(col(keyCol), col("score"),
+      (col("__base") + when(col("__rem") > cutRem ||
+          (col("__rem") === cutRem && col(keyCol) <= lit(cutKey)), 1L)
+        .otherwise(0L)).as("alloc"))
   }
 
   /**

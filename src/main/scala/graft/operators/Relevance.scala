@@ -283,7 +283,11 @@ object Relevance {
    * empty and the lost correction can never be recomputed.) The digest
    * is an order-independent 64-bit fold of the fresh keys — a collision
    * between two DIFFERENT in-flight batches would skip one correction,
-   * at hash64 odds.
+   * at hash64 odds. Digest lifetime is ONE takedown epoch: the tags fold
+   * away at [[purgePostings]] (use it, not a bare Retract.purge, on
+   * postings tables), because after a purge clears the tombstones the
+   * same key set can legitimately be retracted again and must not find
+   * its predecessor's tag.
    *
    * Stated limitation: a document with ZERO tokens has no postings
    * rows, so its +1 in `n_docs` cannot be found from the index and
@@ -320,11 +324,23 @@ object Relevance {
       head.getLong(2))
     val batchKey = head.getLong(3) * 31L + head.getLong(4)
     if (head.getLong(4) > 0L) {
+      import spark.implicits._
       val stats = spark.table(s"${table}_stats")
-      val applied = stats.columns.contains("batch_key") &&
-        !stats.where(col("batch_key") === batchKey).isEmpty
+      // a _stats table persisted before digests existed has 3 columns;
+      // migrate it in place (null tags) so the 4-column append can land
+      if (!stats.columns.contains("batch_key")) {
+        val legacy = stats
+          .select(col("n_docs"), col("n_dl"), col("sum_dl"),
+            lit(null).cast("long").as("batch_key"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            Option.empty[Long]))
+          .toDF("n_docs", "n_dl", "sum_dl", "batch_key")
+        Bucketing.writeTable(legacy, s"${table}_stats")
+      }
+      val applied = !spark.table(s"${table}_stats")
+        .where(col("batch_key") === batchKey).isEmpty
       if (!applied) {
-        import spark.implicits._
         Seq((nDocs, nDl, sumDl, batchKey))
           .toDF("n_docs", "n_dl", "sum_dl", "batch_key")
           .write.mode("append").format("parquet")
@@ -332,6 +348,32 @@ object Relevance {
       }
     }
     Retract.retract(spark, table, "id", ids)
+  }
+
+  /**
+   * Physical purge for a postings index: [[Retract.purge]] PLUS the end
+   * of the takedown epoch for the stats digests — every batch_key tag
+   * folds away into the one unkeyed stats row (sums unchanged). The tags
+   * exist only to heal a crash between a correction write and its
+   * tombstone append; once the purge has physically removed the rows,
+   * a LATER retraction of the same key set (possible only after the
+   * purge cleared the tombstones) is a NEW takedown that must compute
+   * its own correction — a surviving tag would silently suppress it.
+   * Use this instead of a bare [[Retract.purge]] on postings tables.
+   */
+  def purgePostings(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    Retract.purge(spark, table)
+    import spark.implicits._
+    val folded = spark.table(s"${table}_stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("n_dl")), lit(0L)).as("n_dl"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+      .collect()
+    val one = folded.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("n_docs", "n_dl", "sum_dl")
+      .withColumn("batch_key", lit(null).cast("long"))
+    Bucketing.writeTable(one, s"${table}_stats")
   }
 
   /** Maintenance fold for the postings index: compact the bucketed

@@ -214,6 +214,44 @@ class RetractSpec extends SparkSuite {
       .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
   }
 
+  test("postings: purge ends the digest epoch — re-ingest + re-retract corrects again") {
+    val t = s"$db.postings_epoch"
+    Relevance.writePostingsIndex(docs, "doc_id", "text", t, buckets = 4)
+    Relevance.retractPostings(spark, t, Seq(2L).toDF("doc_id"))
+    def nDocs() = spark.table(s"${t}_stats")
+      .agg(sum("n_docs")).collect().head.getLong(0)
+    assert(nDocs() == 4L)
+    // physical purge via the postings wrapper: tombstones clear AND the
+    // batch digests fold away (the takedown epoch ends)
+    Relevance.purgePostings(spark, t)
+    assert(spark.table(s"${t}_stats")
+      .where(col("batch_key").isNotNull).isEmpty,
+      "purge must clear the digest tags")
+    // doc 2 re-ingests; the SAME key set retracted again must subtract
+    // again — a surviving tag from epoch 1 would silently suppress it
+    Relevance.appendPostingsIndex(
+      docs.where(col("doc_id") === 2L), "doc_id", "text", t)
+    assert(nDocs() == 5L)
+    Relevance.retractPostings(spark, t, Seq(2L).toDF("doc_id"))
+    assert(nDocs() == 4L, "second-epoch correction must apply")
+  }
+
+  test("retractPostings migrates a legacy 3-column _stats table in place") {
+    val t = s"$db.postings_legacy"
+    Relevance.writePostingsIndex(docs, "doc_id", "text", t, buckets = 4)
+    // simulate an index persisted before digests existed
+    val legacy = spark.table(s"${t}_stats")
+      .select(col("n_docs"), col("n_dl"), col("sum_dl"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("n_docs", "n_dl", "sum_dl")
+    Bucketing.writeTable(legacy, s"${t}_stats")
+    assert(!spark.table(s"${t}_stats").columns.contains("batch_key"))
+    Relevance.retractPostings(spark, t, Seq(3L).toDF("doc_id"))
+    val st = spark.table(s"${t}_stats")
+      .agg(sum("n_docs"), sum("sum_dl")).collect().head
+    assert(st.getLong(0) == 4L && st.getLong(1) == 12L, st.toString)
+  }
+
   test("partitioned purge: touched partitions rewrite, others carry over") {
     val root = java.nio.file.Files.createTempDirectory("retract_part")
     val path = s"$root/cdx_host"
