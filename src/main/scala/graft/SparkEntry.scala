@@ -391,6 +391,17 @@ object SparkEntry {
        |GROUP BY e.query_id ORDER BY query_id""".stripMargin
   }
 
+  /** Script suffixes of the `text_scripts` gauge, one per doc_id%6 arm
+    * (none, Cyrillic, Han, Hiragana, Hangul, Greek) — authored once;
+    * the oracle renders the identical code points via CleanSql.sqlLit. */
+  private val ScriptFixture: Seq[String] = Seq(
+    "",
+    " привет мир",
+    " 中文处理很好",
+    " こんにちは",
+    " 한국어 텍스트",
+    " Ελληνικά")
+
   /** Shared fixture of the `s4_clean_lds` gauge — one arm per LDS rule
     * family (escapes, C0 deletes, Latin-1 transliterations + soft-hyphen
     * delete, identity keeps through U+017F, the late-addition typographic
@@ -3685,6 +3696,23 @@ object SparkEntry {
         length(col("text")).cast("bigint").as("n_chars"),
         round(TextOps.meanTokenLen(toks), 6).as("mean_token_len"),
         TextOps.punctCount(col("text")).cast("bigint").as("n_punct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode-script triage: per-doc letter counts per script family,
+    // dominant script and its share — the coarse multilingual pre-filter
+    // that runs BEFORE any model-based language ID. The corpus is Latin;
+    // the doc_id%6 arms inject Cyrillic/Han/Hiragana/Hangul/Greek runs so
+    // every class and the tie-break order carry signal
+    "text_scripts" -> ((s, dir) => {
+      val inj = ScriptFixture.zipWithIndex.tail
+        .foldLeft(when(col("doc_id") % 6 === 0, lit(ScriptFixture(0)))) {
+          case (acc, (sfx, i)) => acc.when(col("doc_id") % 6 === i, lit(sfx))
+        }
+      graft.functions.ScriptOps.scriptProfile(
+          t(s, dir, "documents")
+            .select(col("doc_id"), concat(col("text"), inj).as("text")),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -10325,6 +10353,33 @@ object SparkEntry {
            |       round(${TextOpsSql.meanTokenLen(toks)}, 6) AS mean_token_len,
            |       CAST(${TextOpsSql.punctCount("text")} AS BIGINT) AS n_punct
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // script profile restated through RE2's \p{Script} spelling of the
+      // same Unicode property, fixture code points via sqlLit
+      "text_scripts" -> {
+        import graft.functions.{ScriptOps, ScriptOpsSql}
+        val injCase = "(CASE CAST(doc_id % 6 AS INTEGER) " +
+          ScriptFixture.zipWithIndex.map { case (s, i) =>
+            s"WHEN $i THEN ${CleanSql.sqlLit(s)}"
+          }.mkString(" ") + " END)"
+        val counts = ScriptOps.Scripts.map { case (n, _, re2) =>
+          s"${ScriptOpsSql.classCount("t", re2)} AS $n"
+        }.mkString(",\n|       ")
+        s"""WITH inj AS (SELECT doc_id, text || $injCase AS t
+           |             FROM documents),
+           |cnt AS (
+           |  SELECT doc_id, ${ScriptOpsSql.letterCount("t")} AS n_letters,
+           |       $counts
+           |  FROM inj)
+           |SELECT doc_id, n_letters,
+           |       ${ScriptOps.Scripts.map(_._1).mkString(", ")},
+           |       ${ScriptOpsSql.dominantCase()} AS dominant,
+           |       round(CASE WHEN n_letters > 0
+           |                  THEN ${ScriptOpsSql.dominantCount()}::DOUBLE
+           |                       / n_letters::DOUBLE
+           |                  ELSE 0.0 END, 6) AS dominant_frac
+           |FROM cnt ORDER BY doc_id""".stripMargin
+      },
 
       "text_langid" ->
         s"""SELECT doc_id, ${TextOpsSql.langId(toks)} AS lang_pred
