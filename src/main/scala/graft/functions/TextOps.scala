@@ -343,10 +343,24 @@ object TextOps {
    *
    * Input: the [[shingleHashes]] stream. Output: `array<struct<pos:int,
    * fp:bigint>>`, position-sorted. Fewer than `w` shingles → empty (no
-   * full window exists). Pure per-row HOF arithmetic — O(n·w) with w
-   * single-digit, inside codegen, no shuffle.
+   * full window exists). Selection runs as the native
+   * [[graft.plans.WinnowExpr]] — ONE compiled pass per row; the HOF
+   * formulation ([[winnowHof]]) is CodegenFallback and re-interprets
+   * O(n·w) lambda steps per document, and extraction is the hot stage of
+   * the whole fingerprint family (index builds, in-session matches, the
+   * streaming gate's per-batch projection). The spec pins the two
+   * element-for-element.
    */
   def winnow(shingles: Column, w: Int = 4): Column = {
+    require(w >= 1 && w <= 64, "winnow window 1..64 supported")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.WinnowExpr(ColumnBridge.expression(shingles), w))
+  }
+
+  /** Higher-order reference for [[winnow]] — the executable statement of
+    * the selection rule the native expression must reproduce exactly. */
+  private[graft] def winnowHof(shingles: Column, w: Int = 4): Column = {
     require(w >= 1 && w <= 64, "winnow window 1..64 supported")
     val sel = transform(sequence(lit(0), size(shingles) - lit(w)), j =>
       aggregate(sequence(j, j + lit(w - 1)),

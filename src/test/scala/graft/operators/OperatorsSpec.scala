@@ -586,6 +586,48 @@ class RpBucketsSpec extends SparkSuite {
     assert(pipe.where(not(col("n") <=> col("r"))).count() == 0)
   }
 
+  test("native WinnowExpr matches the lambda reference exactly") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 300L).map { i =>
+      // shingle streams of 0..40 hashes; occasional nulls exercise the
+      // never-wins rule AND the all-null-window (-1, MaxValue) seed edge
+      (i, Seq.fill(rnd.nextInt(41))(
+        if (rnd.nextInt(8) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong().abs % 1000)))
+    }
+    val df = rows.toDF("id", "sh")
+    for (w <- Seq(1, 2, 4, 9)) {
+      val both = df.select(
+        TextOps.winnow(col("sh"), w).as("native"),
+        TextOps.winnowHof(col("sh"), w).as("ref"))
+      assert(both.where(not(col("native") <=> col("ref"))).count() == 0,
+        s"w=$w")
+    }
+    // a LONG all-null run: non-adjacent repeats of the (-1, MaxValue)
+    // seed must dedupe globally, as array_distinct does
+    val nullRun = Seq((1L, Seq[java.lang.Long](5L, null, null, null, null,
+        null, null, 3L, null, null, null, null, null, 4L))).toDF("id", "sh")
+      .select(TextOps.winnow(col("sh"), 4).as("n"),
+        TextOps.winnowHof(col("sh"), 4).as("r"))
+    assert(nullRun.where(not(col("n") <=> col("r"))).count() == 0)
+    // null / short arrays → empty in both
+    val edge = Seq((1L, null: Seq[java.lang.Long]),
+      (2L, Seq[java.lang.Long](7L, 8L))).toDF("id", "sh")
+      .select(TextOps.winnow(col("sh"), 4).as("n"),
+        TextOps.winnowHof(col("sh"), 4).as("r"))
+      .collect()
+    assert(edge.forall(r => !r.isNullAt(0) && r.getSeq[Any](0).isEmpty))
+    assert(edge.forall(r => !r.isNullAt(1) && r.getSeq[Any](1).isEmpty))
+    // end-to-end over the real pipeline shape
+    val docs = Seq("alpha beta gamma delta epsilon zeta eta theta",
+      "a b c", "", "one two three four five six seven")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def sh = TextOps.shingleHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))))
+    val pipe = docs.select(TextOps.winnow(sh, 4).as("n"),
+      TextOps.winnowHof(sh, 4).as("r"))
+    assert(pipe.where(not(col("n") <=> col("r"))).count() == 0)
+  }
+
   test("native SimHashExpr matches the higher-order-fold reference exactly") {
     val rnd = new scala.util.Random(17)
     val rows = (0L until 300L).map { i =>
