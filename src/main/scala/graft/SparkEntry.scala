@@ -7748,7 +7748,41 @@ object SparkEntry {
           col("o_orderkey"),
           Clean.repairTimestamp(col("ts_raw")).as("ts_clean"),
           Clean.cleanString(col("str_raw")).as("str_clean"),
-          Clean.shiftPointWkt(col("wkt_raw")).as("wkt_clean"))
+          Clean.shiftWkt(col("wkt_raw")).as("wkt_clean"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S4's spatial arm over the FULL WKT grammar: the reference's
+    // bde_copy adds the longitude offset to ALL longitudes of ANY
+    // geometry (conf:388-391 — LINZ production tables carry parcel
+    // POLYGONs and road-centreline LINESTRINGs, not just POINTs), strips
+    // leading digits/spaces (conf:387) and prepends the SRID prefix.
+    // The fixture cycles POINT / LINESTRING / POLYGON / leading-digit
+    // MULTIPOLYGON / plain text; the oracle replays the identical
+    // mark-split-rewrite-join algorithm in DuckDB (CleanSql.shiftWkt)
+    "s4_clean_geometry" -> ((s, dir) => {
+      val key = col("o_orderkey")
+      val lon1 = (key % 360).cast("double") / 4.0 - 45.0 + 0.25
+      val lat1 = (key % 170).cast("double") / 2.0 - 42.5 + 0.25
+      val lon2 = lon1 + 0.5
+      val lat2 = lat1 - 0.25
+      val lon3 = lon1 - 0.75
+      val lat3 = lat1 + 0.5
+      val raw =
+        when(key % 5 === 0, format_string("POINT(%.2f %.2f)", lon1, lat1))
+          .when(key % 5 === 1, format_string(
+            "LINESTRING(%.2f %.2f,%.2f %.2f)", lon1, lat1, lon2, lat2))
+          .when(key % 5 === 2, format_string(
+            "POLYGON((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f))",
+            lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1))
+          .when(key % 5 === 3, format_string(
+            "12 MULTIPOLYGON(((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f)))",
+            lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1))
+          .otherwise(format_string("Lot %d Survey Plan", key))
+      t(s, dir, "orders").where(key < 4000)
+        .select(key, raw.as("wkt_raw"))
+        .select(col("o_orderkey"), col("wkt_raw"),
+          Clean.shiftWkt(col("wkt_raw")).as("wkt_clean"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -7782,7 +7816,7 @@ object SparkEntry {
         format_string("POINT(%.2f %.2f)",
           (key % 360).cast("double") / 4.0 - 45.0 + 0.25,
           (key % 170).cast("double") / 2.0 - 42.5 + 0.25).as("wkt_raw"))
-      val e = Clean.shiftPointWkt(col("wkt_raw"))
+      val e = Clean.shiftWkt(col("wkt_raw"))
       raw.select(key.as("o_orderkey"),
           GeoOps.stSrid(e).as("srid"),
           round(GeoOps.stX(e), 6).as("x"),
@@ -7797,7 +7831,7 @@ object SparkEntry {
         format_string("POINT(%.2f %.2f)",
           (key % 360).cast("double") / 4.0 - 45.0 + 0.25,
           (key % 170).cast("double") / 2.0 - 42.5 + 0.25).as("wkt_raw"))
-      val e = Clean.shiftPointWkt(col("wkt_raw"))
+      val e = Clean.shiftWkt(col("wkt_raw"))
       raw.where(GeoOps.stWithinBBox(e, 150.0, -20.0, 170.0, 0.0))
         .select(key.as("o_orderkey"),
           round(GeoOps.stX(e), 6).as("x"), round(GeoOps.stY(e), 6).as("y"))
@@ -7812,7 +7846,7 @@ object SparkEntry {
         format_string("POINT(%.2f %.2f)",
           (key % 360).cast("double") / 4.0 - 45.0 + 0.25,
           (key % 170).cast("double") / 2.0 - 42.5 + 0.25).as("wkt_raw"))
-      val e = Clean.shiftPointWkt(col("wkt_raw"))
+      val e = Clean.shiftWkt(col("wkt_raw"))
       raw.select(key.as("o_orderkey"),
           round(GeoOps.stDistance(e, probe), 6).as("dist"))
         .orderBy(col("dist"), col("o_orderkey"))
@@ -13471,7 +13505,36 @@ object SparkEntry {
            |SELECT o_orderkey,
            |       ${CleanSql.repairTimestamp("ts_raw")} AS ts_clean,
            |       ${CleanSql.cleanString("str_raw")} AS str_clean,
-           |       ${CleanSql.shiftPointWkt("wkt_raw")} AS wkt_clean
+           |       ${CleanSql.shiftWkt("wkt_raw")} AS wkt_clean
+           |FROM base ORDER BY o_orderkey""".stripMargin
+      },
+
+      "s4_clean_geometry" -> {
+        val base =
+          """SELECT o_orderkey,
+            |  CASE CAST(o_orderkey % 5 AS INTEGER)
+            |    WHEN 0 THEN printf('POINT(%.2f %.2f)', lon1, lat1)
+            |    WHEN 1 THEN printf('LINESTRING(%.2f %.2f,%.2f %.2f)',
+            |                       lon1, lat1, lon2, lat2)
+            |    WHEN 2 THEN printf(
+            |      'POLYGON((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f))',
+            |      lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1)
+            |    WHEN 3 THEN printf(
+            |      '12 MULTIPOLYGON(((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f)))',
+            |      lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1)
+            |    ELSE printf('Lot %d Survey Plan', o_orderkey) END AS wkt_raw
+            |FROM (
+            |  SELECT o_orderkey,
+            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 AS lon1,
+            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 AS lat1,
+            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 + 0.5 AS lon2,
+            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 - 0.25 AS lat2,
+            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 - 0.75 AS lon3,
+            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 + 0.5 AS lat3
+            |  FROM orders WHERE o_orderkey < 4000)""".stripMargin
+        s"""WITH base AS ($base)
+           |SELECT o_orderkey, wkt_raw,
+           |       ${CleanSql.shiftWkt("wkt_raw")} AS wkt_clean
            |FROM base ORDER BY o_orderkey""".stripMargin
       },
 
@@ -13487,7 +13550,7 @@ object SparkEntry {
             |FROM orders WHERE o_orderkey < 3000""".stripMargin
         s"""WITH base AS ($base),
            |e AS (SELECT o_orderkey,
-           |             ${CleanSql.shiftPointWkt("wkt_raw")} AS ewkt
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
            |      FROM base)
            |SELECT o_orderkey, ${GeoOpsSql.stSrid("ewkt")} AS srid,
            |       round(${GeoOpsSql.stX("ewkt")}, 6) AS x,
@@ -13505,7 +13568,7 @@ object SparkEntry {
             |FROM orders""".stripMargin
         s"""WITH base AS ($base),
            |e AS (SELECT o_orderkey,
-           |             ${CleanSql.shiftPointWkt("wkt_raw")} AS ewkt
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
            |      FROM base)
            |SELECT o_orderkey,
            |       round(${GeoOpsSql.stX("ewkt")}, 6) AS x,
@@ -13526,7 +13589,7 @@ object SparkEntry {
             |FROM orders""".stripMargin
         s"""WITH base AS ($base),
            |e AS (SELECT o_orderkey,
-           |             ${CleanSql.shiftPointWkt("wkt_raw")} AS ewkt
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
            |      FROM base)
            |SELECT o_orderkey,
            |       round(${GeoOpsSql.stDistance("ewkt", probe)}, 6) AS dist

@@ -53,8 +53,9 @@ object Clean {
         * the form `replace \uNNNN \uNNNN`, which exist purely to mark the
         * character ALLOWED for the unmapped rule. */
       allowedExtra: Seq[(Int, Int)] = Seq.empty,
-      /** Columns carrying POINT WKT that get the SRID prefix + longitude
-        * shift (the reference applies spatial rules to geometry columns). */
+      /** Columns carrying WKT geometry (any type) that get the SRID
+        * prefix + all-longitudes shift (the reference applies spatial
+        * rules to geometry columns). */
       spatialColumns: Set[String] = Set.empty)
 
   /** Representative character substitutions (mechanism parity with
@@ -174,17 +175,65 @@ object Clean {
     }
   }
 
+  /** WKT type keywords that mark a value as geometry (vs arbitrary text,
+    * which a spatial cleanse must pass through unharmed). */
+  private val WktGuardRe =
+    "^\\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|" +
+      "MULTIPOLYGON|GEOMETRYCOLLECTION)"
+
+  /** A delimiter-free token that is a coordinate group (`x y[ z]`). The
+    * class admits sign/dot/exponent characters but the FIRST character
+    * must be numeric-ish, so type keywords and `EMPTY` never match. */
+  private val CoordGroupRe = "^\\s*[-+.0-9][-+.0-9eE ]*$"
+
   /**
-   * Spatial cleanse for a `POINT(lon lat)` WKT string: shift the longitude
-   * by `longitude_offset` and prepend the SRID prefix. Coordinates are
-   * rendered at fixed precision so the output is engine-reproducible.
+   * Spatial cleanse for a WKT geometry of ANY type: the longitude offset
+   * is added to ALL longitudes (the first number of every coordinate
+   * group — conf:388-391 "longitude offset is added to all longitudes"),
+   * leading digits and spaces are removed (conf:387), and the SRID
+   * prefix is prepended. POINT / LINESTRING / POLYGON / MULTI* /
+   * GEOMETRYCOLLECTION all rewrite; non-geometry text passes through
+   * untouched, and a malformed coordinate group keeps its original text
+   * rather than nulling the value.
+   *
+   * Mechanism: mark every structural delimiter `( ) ,` with a U+0001
+   * sentinel, split on the sentinel — the surviving tokens alternate
+   * between delimiters/keywords and whole coordinate groups — rewrite
+   * each group (first number shifted, every number re-rendered at fixed
+   * 6 dp so output is engine-reproducible), and join back. Pure
+   * higher-order `Column` expressions (no UDF, no lookaround regex), so
+   * the cleanse stays codegen-compatible and the DuckDB oracle twin
+   * ([[CleanSql.shiftWkt]]) can replay the identical algorithm under
+   * RE2. For the POINT(lon lat) values the cleanser emitted before this
+   * generalization, the output is byte-identical.
    */
-  def shiftPointWkt(c: Column, cfg: CleanConfig = CleanConfig()): Column = {
-    val lon = regexp_extract(c, "POINT\\(([-0-9.]+) ([-0-9.]+)\\)", 1).cast("double")
-    val lat = regexp_extract(c, "POINT\\(([-0-9.]+) ([-0-9.]+)\\)", 2).cast("double")
-    format_string(s"${cfg.wktPrefix}POINT(%.6f %.6f)",
-      lon + lit(cfg.longitudeOffset), lat)
+  def shiftWkt(c: Column, cfg: CleanConfig = CleanConfig()): Column = {
+    val stripped = regexp_replace(c, "^[0-9 ]+", "")
+    val marked =
+      regexp_replace(stripped, "([(),])", "\u0001$1\u0001")
+    def rewriteGroup(g: Column): Column = {
+      val nums = split(trim(g), "\\s+")
+      coalesce(
+        concat(
+          format_string("%.6f",
+            element_at(nums, 1).cast("double") + lit(cfg.longitudeOffset)),
+          array_join(
+            transform(slice(nums, lit(2), size(nums)),
+              n => concat(lit(" "), format_string("%.6f", n.cast("double")))),
+            "")),
+        g)
+    }
+    val rebuilt = array_join(
+      transform(split(marked, "\u0001"),
+        t => when(t.rlike(CoordGroupRe), rewriteGroup(t)).otherwise(t)),
+      "")
+    when(stripped.rlike(WktGuardRe), concat(lit(cfg.wktPrefix), rebuilt))
+      .otherwise(c)
   }
+
+  /** Former POINT-only name, kept for source compatibility. */
+  def shiftPointWkt(c: Column, cfg: CleanConfig = CleanConfig()): Column =
+    shiftWkt(c, cfg)
 
   /**
    * The whole-row cleanser the load path applies to every BDE frame (the
@@ -201,7 +250,7 @@ object Clean {
         case TimestampType => repairTimestamp(c, cfg)
         case DateType      => repairDate(c, cfg)
         case StringType if cfg.spatialColumns.contains(f.name.toLowerCase) =>
-          shiftPointWkt(c, cfg)
+          shiftWkt(c, cfg)
         case StringType    => cleanString(c, cfg)
         case _             => c
       }).as(f.name)
@@ -245,12 +294,35 @@ object CleanSql {
     }
   }
 
-  def shiftPointWkt(c: String, cfg: CleanConfig = CleanConfig()): String = {
-    val pat = "'POINT\\(([-0-9.]+) ([-0-9.]+)\\)'"
-    s"printf('${cfg.wktPrefix}POINT(%.6f %.6f)', " +
-      s"regexp_extract($c, $pat, 1)::DOUBLE + ${cfg.longitudeOffset}, " +
-      s"regexp_extract($c, $pat, 2)::DOUBLE)"
+  /** DuckDB replay of [[Clean.shiftWkt]] — the identical mark-split-
+    * rewrite-join algorithm under RE2 (no lookarounds needed): every
+    * coordinate group's first number is shifted, every number re-rendered
+    * at 6 dp, non-geometry text returned untouched, malformed groups kept
+    * verbatim (TRY_CAST + coalesce mirror Spark's NULL-safe cast). */
+  def shiftWkt(c: String, cfg: CleanConfig = CleanConfig()): String = {
+    val strip = s"regexp_replace($c, '^[0-9 ]+', '')"
+    val guard = "'^\\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|" +
+      "MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)'"
+    val marked =
+      s"regexp_replace($strip, '([(),])', chr(1) || '\\1' || chr(1), 'g')"
+    val groupRe = "'^\\s*[-+.0-9][-+.0-9eE ]*$'"
+    val nums = "string_split_regex(trim(t), '\\s+')"
+    val grp =
+      s"coalesce(printf('%.6f', TRY_CAST($nums[1] AS DOUBLE) + " +
+        s"${cfg.longitudeOffset}) || array_to_string(list_transform(" +
+        s"$nums[2:], n -> ' ' || printf('%.6f', TRY_CAST(n AS DOUBLE))), " +
+        "''), t)"
+    val body =
+      s"array_to_string(list_transform(string_split($marked, chr(1)), " +
+        s"t -> CASE WHEN regexp_matches(t, $groupRe) THEN $grp " +
+        "ELSE t END), '')"
+    s"(CASE WHEN regexp_matches($strip, $guard) " +
+      s"THEN '${cfg.wktPrefix}' || $body ELSE $c END)"
   }
+
+  /** Former POINT-only name, kept for source compatibility. */
+  def shiftPointWkt(c: String, cfg: CleanConfig = CleanConfig()): String =
+    shiftWkt(c, cfg)
 
   /** Render a Scala string as a DuckDB expression producing EXACTLY the
     * same code points: printable runs as quoted literals, control and

@@ -188,4 +188,45 @@ class CleanSpec extends SparkSuite {
       .collect().head.getString(0)
     assert(out == "SRID=4167;POINT(114.750000 12.750000)")
   }
+
+  test("WKT shift: ALL longitudes of ALL geometry types (conf:388-391)") {
+    val cases = Seq(
+      // POINT output byte-identical to the pre-generalization renderer
+      "POINT(174.53 -41.25)" ->
+        "SRID=4167;POINT(334.530000 -41.250000)",
+      "LINESTRING(170.1 -45.5,170.2 -45.6)" ->
+        "SRID=4167;LINESTRING(330.100000 -45.500000,330.200000 -45.600000)",
+      "POLYGON((174.5 -41.2,175.0 -41.3,174.8 -40.9,174.5 -41.2))" ->
+        ("SRID=4167;POLYGON((334.500000 -41.200000,335.000000 -41.300000," +
+          "334.800000 -40.900000,334.500000 -41.200000))"),
+      "MULTIPOLYGON(((1 2,3 4,5 6,1 2)),((7 8,9 10,11 12,7 8)))" ->
+        ("SRID=4167;MULTIPOLYGON(((161.000000 2.000000,163.000000 " +
+          "4.000000,165.000000 6.000000,161.000000 2.000000))," +
+          "((167.000000 8.000000,169.000000 10.000000,171.000000 " +
+          "12.000000,167.000000 8.000000)))"),
+      "GEOMETRYCOLLECTION(POINT(4 6),LINESTRING(4 6,7 10))" ->
+        ("SRID=4167;GEOMETRYCOLLECTION(POINT(164.000000 6.000000)," +
+          "LINESTRING(164.000000 6.000000,167.000000 10.000000))"),
+      // z coordinate re-rendered, never shifted
+      "POINT Z (1 2 3)" ->
+        "SRID=4167;POINT Z (161.000000 2.000000 3.000000)",
+      // conf:387 — leading digits and spaces removed before the prefix
+      "12  POLYGON((1 2,3 4,5 6,1 2))" ->
+        ("SRID=4167;POLYGON((161.000000 2.000000,163.000000 4.000000," +
+          "165.000000 6.000000,161.000000 2.000000))"),
+      // EMPTY keyword is not a coordinate group
+      "POINT EMPTY" -> "SRID=4167;POINT EMPTY",
+      // non-geometry text passes through UNTOUCHED (never NULLed)
+      "not a geometry at all" -> "not a geometry at all",
+      "174.5 some text" -> "174.5 some text",
+      // a malformed coordinate group keeps its original text
+      "LINESTRING(bad x,1 2)" ->
+        "SRID=4167;LINESTRING(bad x,161.000000 2.000000)")
+    val out = cases.map(_._1).toDF("s")
+      .select(Clean.shiftWkt(col("s")).as("c"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want)
+    }
+  }
 }
