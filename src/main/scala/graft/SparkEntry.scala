@@ -302,6 +302,58 @@ object SparkEntry {
         tbl
       })
 
+  /** Mixed-geometry WKT fixture shared by `s4_clean_geometry` and the
+    * general-geometry `geo_*` gauges: cycles POINT / LINESTRING /
+    * POLYGON / leading-digit MULTIPOLYGON / plain text by key, all
+    * coordinates exact binary quarters so the 6 dp re-render can never
+    * sit on a rounding tie between engines. */
+  private def mixedWktFixture(s: SparkSession, dir: String): DataFrame = {
+    val key = col("o_orderkey")
+    val lon1 = (key % 360).cast("double") / 4.0 - 45.0 + 0.25
+    val lat1 = (key % 170).cast("double") / 2.0 - 42.5 + 0.25
+    val lon2 = lon1 + 0.5
+    val lat2 = lat1 - 0.25
+    val lon3 = lon1 - 0.75
+    val lat3 = lat1 + 0.5
+    val raw =
+      when(key % 5 === 0, format_string("POINT(%.2f %.2f)", lon1, lat1))
+        .when(key % 5 === 1, format_string(
+          "LINESTRING(%.2f %.2f,%.2f %.2f)", lon1, lat1, lon2, lat2))
+        .when(key % 5 === 2, format_string(
+          "POLYGON((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f))",
+          lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1))
+        .when(key % 5 === 3, format_string(
+          "12 MULTIPOLYGON(((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f)))",
+          lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1))
+        .otherwise(format_string("Lot %d Survey Plan", key))
+    t(s, dir, "orders").where(key < 4000).select(key, raw.as("wkt_raw"))
+  }
+
+  /** DuckDB restatement of [[mixedWktFixture]] (a CTE body producing
+    * o_orderkey, wkt_raw). */
+  private val MixedWktBaseSql: String =
+    """SELECT o_orderkey,
+      |  CASE CAST(o_orderkey % 5 AS INTEGER)
+      |    WHEN 0 THEN printf('POINT(%.2f %.2f)', lon1, lat1)
+      |    WHEN 1 THEN printf('LINESTRING(%.2f %.2f,%.2f %.2f)',
+      |                       lon1, lat1, lon2, lat2)
+      |    WHEN 2 THEN printf(
+      |      'POLYGON((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f))',
+      |      lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1)
+      |    WHEN 3 THEN printf(
+      |      '12 MULTIPOLYGON(((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f)))',
+      |      lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1)
+      |    ELSE printf('Lot %d Survey Plan', o_orderkey) END AS wkt_raw
+      |FROM (
+      |  SELECT o_orderkey,
+      |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 AS lon1,
+      |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 AS lat1,
+      |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 + 0.5 AS lon2,
+      |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 - 0.25 AS lat2,
+      |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 - 0.75 AS lon3,
+      |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 + 0.5 AS lat3
+      |  FROM orders WHERE o_orderkey < 4000)""".stripMargin
+
   /** The shared rotation of the two OPQ recall gauges (`ann_opq_recall`,
     * `ann_opq_ivfpq_recall`): SEEDED-deterministic Givens product
     * ([[operators.Opq.seededRotation]], pinned bit-for-bit against
@@ -7760,31 +7812,11 @@ object SparkEntry {
     // The fixture cycles POINT / LINESTRING / POLYGON / leading-digit
     // MULTIPOLYGON / plain text; the oracle replays the identical
     // mark-split-rewrite-join algorithm in DuckDB (CleanSql.shiftWkt)
-    "s4_clean_geometry" -> ((s, dir) => {
-      val key = col("o_orderkey")
-      val lon1 = (key % 360).cast("double") / 4.0 - 45.0 + 0.25
-      val lat1 = (key % 170).cast("double") / 2.0 - 42.5 + 0.25
-      val lon2 = lon1 + 0.5
-      val lat2 = lat1 - 0.25
-      val lon3 = lon1 - 0.75
-      val lat3 = lat1 + 0.5
-      val raw =
-        when(key % 5 === 0, format_string("POINT(%.2f %.2f)", lon1, lat1))
-          .when(key % 5 === 1, format_string(
-            "LINESTRING(%.2f %.2f,%.2f %.2f)", lon1, lat1, lon2, lat2))
-          .when(key % 5 === 2, format_string(
-            "POLYGON((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f))",
-            lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1))
-          .when(key % 5 === 3, format_string(
-            "12 MULTIPOLYGON(((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f)))",
-            lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1))
-          .otherwise(format_string("Lot %d Survey Plan", key))
-      t(s, dir, "orders").where(key < 4000)
-        .select(key, raw.as("wkt_raw"))
+    "s4_clean_geometry" -> ((s, dir) =>
+      mixedWktFixture(s, dir)
         .select(col("o_orderkey"), col("wkt_raw"),
           Clean.shiftWkt(col("wkt_raw")).as("wkt_clean"))
-        .orderBy(col("o_orderkey"))
-    }),
+        .orderBy(col("o_orderkey"))),
 
     // S4 under the FULL LDS profile (conf:407-1242, proved entry-for-entry
     // against the reference conf by CleanLdsConfSpec): escapes, C0/C1
@@ -7851,6 +7883,37 @@ object SparkEntry {
           round(GeoOps.stDistance(e, probe), 6).as("dist"))
         .orderBy(col("dist"), col("o_orderkey"))
         .limit(10)
+    }),
+
+    // general-geometry accessors over the shifted mixed fixture (the
+    // cleanser's LINESTRING/POLYGON/MULTI* output): envelope bounds +
+    // coarse intersects predicate, and the vertex centroid — one
+    // regexp pair-scan per row, no geometry engine, NULL-propagating
+    // for the plain-text arm exactly like the POINT accessors
+    "geo_envelope" -> ((s, dir) => {
+      import graft.functions.GeoOps
+      val e = Clean.shiftWkt(col("wkt_raw"))
+      mixedWktFixture(s, dir)
+        .where(GeoOps.stEnvelopeIntersects(e, 160.0, -45.0, 200.0, 10.0))
+        .select(col("o_orderkey"),
+          round(GeoOps.stXMin(e), 6).as("xmin"),
+          round(GeoOps.stXMax(e), 6).as("xmax"),
+          round(GeoOps.stYMin(e), 6).as("ymin"),
+          round(GeoOps.stYMax(e), 6).as("ymax"),
+          GeoOps.stNPoints(e).as("n_points"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "geo_centroid" -> ((s, dir) => {
+      import graft.functions.GeoOps
+      val e = Clean.shiftWkt(col("wkt_raw"))
+      mixedWktFixture(s, dir)
+        .where(GeoOps.stNPoints(e).isNotNull)
+        .select(col("o_orderkey"),
+          round(GeoOps.stCentroidX(e), 6).as("cx"),
+          round(GeoOps.stCentroidY(e), 6).as("cy"),
+          GeoOps.stNPoints(e).as("n_points"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // ---- F10: detail-string codec --------------------------------------
@@ -13509,33 +13572,46 @@ object SparkEntry {
            |FROM base ORDER BY o_orderkey""".stripMargin
       },
 
-      "s4_clean_geometry" -> {
-        val base =
-          """SELECT o_orderkey,
-            |  CASE CAST(o_orderkey % 5 AS INTEGER)
-            |    WHEN 0 THEN printf('POINT(%.2f %.2f)', lon1, lat1)
-            |    WHEN 1 THEN printf('LINESTRING(%.2f %.2f,%.2f %.2f)',
-            |                       lon1, lat1, lon2, lat2)
-            |    WHEN 2 THEN printf(
-            |      'POLYGON((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f))',
-            |      lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1)
-            |    WHEN 3 THEN printf(
-            |      '12 MULTIPOLYGON(((%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f)))',
-            |      lon1, lat1, lon2, lat2, lon3, lat3, lon1, lat1)
-            |    ELSE printf('Lot %d Survey Plan', o_orderkey) END AS wkt_raw
-            |FROM (
-            |  SELECT o_orderkey,
-            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 AS lon1,
-            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 AS lat1,
-            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 + 0.5 AS lon2,
-            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 - 0.25 AS lat2,
-            |         (o_orderkey % 360)::DOUBLE / 4.0 - 45.0 + 0.25 - 0.75 AS lon3,
-            |         (o_orderkey % 170)::DOUBLE / 2.0 - 42.5 + 0.25 + 0.5 AS lat3
-            |  FROM orders WHERE o_orderkey < 4000)""".stripMargin
-        s"""WITH base AS ($base)
+      "s4_clean_geometry" ->
+        s"""WITH base AS ($MixedWktBaseSql)
            |SELECT o_orderkey, wkt_raw,
            |       ${CleanSql.shiftWkt("wkt_raw")} AS wkt_clean
-           |FROM base ORDER BY o_orderkey""".stripMargin
+           |FROM base ORDER BY o_orderkey""".stripMargin,
+
+      // general-geometry envelope + vertex-centroid accessors over the
+      // SHIFTED mixed fixture: plain-text rows NULL-propagate out of the
+      // envelope predicate, exactly as in the Spark expressions
+      "geo_envelope" -> {
+        import graft.functions.GeoOpsSql
+        s"""WITH base AS ($MixedWktBaseSql),
+           |e AS (SELECT o_orderkey,
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
+           |      FROM base)
+           |SELECT o_orderkey,
+           |       round(${GeoOpsSql.stXMin("ewkt")}, 6) AS xmin,
+           |       round(${GeoOpsSql.stXMax("ewkt")}, 6) AS xmax,
+           |       round(${GeoOpsSql.stYMin("ewkt")}, 6) AS ymin,
+           |       round(${GeoOpsSql.stYMax("ewkt")}, 6) AS ymax,
+           |       ${GeoOpsSql.stNPoints("ewkt")} AS n_points
+           |FROM e
+           |WHERE ${GeoOpsSql.stEnvelopeIntersects(
+                     "ewkt", 160.0, -45.0, 200.0, 10.0)}
+           |ORDER BY o_orderkey""".stripMargin
+      },
+
+      "geo_centroid" -> {
+        import graft.functions.GeoOpsSql
+        s"""WITH base AS ($MixedWktBaseSql),
+           |e AS (SELECT o_orderkey,
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
+           |      FROM base)
+           |SELECT o_orderkey,
+           |       round(${GeoOpsSql.stCentroidX("ewkt")}, 6) AS cx,
+           |       round(${GeoOpsSql.stCentroidY("ewkt")}, 6) AS cy,
+           |       ${GeoOpsSql.stNPoints("ewkt")} AS n_points
+           |FROM e
+           |WHERE ${GeoOpsSql.stNPoints("ewkt")} IS NOT NULL
+           |ORDER BY o_orderkey""".stripMargin
       },
 
       // EWKT accessors restated via the same regexp grammar (no spatial

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * Minimal EWKT POINT operations over the spatial strings the cleanser
- * produces (`Clean.shiftPointWkt` renders `SRID=4167;POINT(lon lat)` —
+ * EWKT operations over the spatial strings the cleanser produces
+ * (`Clean.shiftWkt` renders `SRID=4167;<WKT>` with all longitudes
+ * shifted, for ANY geometry type —
  * the reference's `wkt_prefix`/`longitude_offset` treatment,
  * /root/reference/conf/linz_bde_uploader.conf:390-391). The reference
  * itself never queries geometry (PostGIS is required only by its test
@@ -62,6 +63,64 @@ object GeoOps {
   /** Points within planar distance `d` of each other (ST_DWithin). */
   def stDWithin(a: Column, b: Column, d: Double): Column =
     stDistance(a, b) <= d
+
+  // ---- general-geometry accessors over the coordinate list -----------
+  // The cleanser now shifts ALL geometry types (Clean.shiftWkt), so the
+  // carried column can hold LINESTRING/POLYGON/MULTI* EWKT. These
+  // operate on the flat vertex list: every `x y` pair in the text, via
+  // one non-overlapping regexp scan — no geometry engine, and the
+  // DuckDB twin replays the identical pattern. A POLYGON ring's closing
+  // vertex (first==last) is counted like any other vertex, so the
+  // centroid is the VERTEX centroid (a dedupe/bucketing gauge, not the
+  // area centroid).
+
+  private val PairRe =
+    "([-+]?[.0-9][0-9.eE+-]*) ([-+]?[.0-9][0-9.eE+-]*)"
+
+  /** All vertex x values of any WKT/EWKT geometry, in text order. */
+  def stXs(ewkt: Column): Column =
+    transform(regexp_extract_all(ewkt, lit(PairRe), lit(1)),
+      v => v.cast("double"))
+
+  /** All vertex y values of any WKT/EWKT geometry, in text order. */
+  def stYs(ewkt: Column): Column =
+    transform(regexp_extract_all(ewkt, lit(PairRe), lit(2)),
+      v => v.cast("double"))
+
+  /** Vertex count of any geometry (0-vertex/non-geometry → NULL so the
+    * downstream aggregates NULL-propagate like the POINT accessors). */
+  def stNPoints(ewkt: Column): Column = {
+    val n = size(regexp_extract_all(ewkt, lit(PairRe), lit(0)))
+    when(n > 0, n)
+  }
+
+  /** Envelope bounds of any geometry (NULL when it has no vertices). */
+  def stXMin(ewkt: Column): Column = array_min(stXs(ewkt))
+  def stXMax(ewkt: Column): Column = array_max(stXs(ewkt))
+  def stYMin(ewkt: Column): Column = array_min(stYs(ewkt))
+  def stYMax(ewkt: Column): Column = array_max(stYs(ewkt))
+
+  /** Vertex-centroid coordinates (mean of all vertices). */
+  def stCentroidX(ewkt: Column): Column =
+    aggregate(stXs(ewkt), lit(0.0), (acc, x) => acc + x) /
+      stNPoints(ewkt)
+  def stCentroidY(ewkt: Column): Column =
+    aggregate(stYs(ewkt), lit(0.0), (acc, y) => acc + y) /
+      stNPoints(ewkt)
+
+  /** Geometry envelope fully inside the closed query box — the
+    * general-geometry analogue of [[stWithinBBox]]. */
+  def stEnvelopeWithin(ewkt: Column, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): Column =
+    stXMin(ewkt) >= minX && stXMax(ewkt) <= maxX &&
+      stYMin(ewkt) >= minY && stYMax(ewkt) <= maxY
+
+  /** Geometry envelope overlapping the closed query box (the coarse
+    * spatial-index predicate: envelope test first, exact test later). */
+  def stEnvelopeIntersects(ewkt: Column, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): Column =
+    stXMin(ewkt) <= maxX && stXMax(ewkt) >= minX &&
+      stYMin(ewkt) <= maxY && stYMax(ewkt) >= minY
 }
 
 /** DuckDB rendering of [[GeoOps]] — plain regexp + arithmetic, no
@@ -90,4 +149,36 @@ object GeoOpsSql {
       maxX: Double, maxY: Double): String =
     s"(${stX(e)} >= $minX AND ${stX(e)} <= $maxX AND " +
       s"${stY(e)} >= $minY AND ${stY(e)} <= $maxY)"
+
+  // general-geometry accessors: the same one-pass pair scan as
+  // GeoOps.stXs/stYs, in RE2 + DuckDB list functions
+  private val PairRe =
+    "([-+]?[.0-9][0-9.eE+-]*) ([-+]?[.0-9][0-9.eE+-]*)"
+
+  def stXs(e: String): String =
+    s"list_transform(regexp_extract_all($e, '$PairRe', 1), " +
+      "v -> TRY_CAST(v AS DOUBLE))"
+
+  def stYs(e: String): String =
+    s"list_transform(regexp_extract_all($e, '$PairRe', 2), " +
+      "v -> TRY_CAST(v AS DOUBLE))"
+
+  def stNPoints(e: String): String =
+    s"(CASE WHEN len(regexp_extract_all($e, '$PairRe', 0)) > 0 " +
+      s"THEN len(regexp_extract_all($e, '$PairRe', 0)) END)"
+
+  def stXMin(e: String): String = s"list_aggregate(${stXs(e)}, 'min')"
+  def stXMax(e: String): String = s"list_aggregate(${stXs(e)}, 'max')"
+  def stYMin(e: String): String = s"list_aggregate(${stYs(e)}, 'min')"
+  def stYMax(e: String): String = s"list_aggregate(${stYs(e)}, 'max')"
+
+  def stCentroidX(e: String): String =
+    s"(list_aggregate(${stXs(e)}, 'sum') / ${stNPoints(e)})"
+  def stCentroidY(e: String): String =
+    s"(list_aggregate(${stYs(e)}, 'sum') / ${stNPoints(e)})"
+
+  def stEnvelopeIntersects(e: String, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): String =
+    s"(${stXMin(e)} <= $maxX AND ${stXMax(e)} >= $minX AND " +
+      s"${stYMin(e)} <= $maxY AND ${stYMax(e)} >= $minY)"
 }

@@ -54,4 +54,38 @@ class GeoOpsSpec extends SparkSuite {
     assert(got.getDouble(1) == 160.25)
     assert(got.getDouble(2) == -42.25)
   }
+
+  test("general-geometry envelope, vertex centroid and npoints") {
+    val geoms = Seq(
+      (1L, "SRID=4167;POLYGON((1.0 2.0,3.0 6.0,5.0 4.0,1.0 2.0))"),
+      (2L, "SRID=4167;LINESTRING(-1.5 0.5,2.5 -3.5)"),
+      (3L, "SRID=4167;POINT(7.0 8.0)"),
+      (4L, "no geometry here"),
+      (5L, null.asInstanceOf[String])).toDF("id", "e")
+    val got = geoms.select(col("id"),
+        GeoOps.stXMin(col("e")), GeoOps.stXMax(col("e")),
+        GeoOps.stYMin(col("e")), GeoOps.stYMax(col("e")),
+        GeoOps.stCentroidX(col("e")), GeoOps.stCentroidY(col("e")),
+        GeoOps.stNPoints(col("e")))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 7).map(i => Option(r.get(i))).toList).toMap
+    // polygon: closing vertex counted (vertex centroid, 4 points)
+    assert(got(1L) == List(Some(1.0), Some(5.0), Some(2.0), Some(6.0),
+      Some(2.5), Some(3.5), Some(4)))
+    assert(got(2L) == List(Some(-1.5), Some(2.5), Some(-3.5), Some(0.5),
+      Some(0.5), Some(-1.5), Some(2)))
+    assert(got(3L) == List(Some(7.0), Some(7.0), Some(8.0), Some(8.0),
+      Some(7.0), Some(8.0), Some(1)))
+    assert(got(4L) == List.fill(7)(None))
+    assert(got(5L) == List.fill(7)(None))
+    // envelope predicates over the same rows
+    val within = geoms
+      .where(GeoOps.stEnvelopeWithin(col("e"), 0.0, 0.0, 6.0, 7.0))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(within == Seq(1L))
+    val hits = geoms
+      .where(GeoOps.stEnvelopeIntersects(col("e"), 4.0, 3.0, 8.0, 9.0))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(1L, 3L))
+  }
 }
