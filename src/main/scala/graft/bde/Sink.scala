@@ -467,9 +467,19 @@ final class JdbcTableSink(
               // name derives from the column list (not a counter) so a
               // crashed-and-retried copy can never collide with its own
               // earlier partial progress
-              val nm = (s"${stagedName}_ix_" +
+              val base = (s"${stagedName}_ix_" +
                 cols.mkString("_").toLowerCase + (if (unique) "_u" else ""))
                 .replaceAll("[^A-Za-z0-9_]", "")
+              // PostgreSQL silently truncates identifiers to 63 bytes, so
+              // two long column lists sharing a 63-char prefix would fold
+              // to the SAME name and the second CREATE INDEX would fail
+              // mid-publish. Keep the name under the limit ourselves,
+              // replacing the truncated tail with a hash of the FULL name
+              // (deterministic, so retry idempotence is preserved).
+              val nm =
+                if (base.length <= 63) base
+                else base.take(54) + "_" + f"${
+                  scala.util.hashing.MurmurHash3.stringHash(base)}%08x"
               exec(s"CREATE ${u}INDEX $nm " +
                 s"ON $stagedName (${cols.map(q).mkString(", ")})")
             }

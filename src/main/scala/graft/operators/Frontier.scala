@@ -206,7 +206,11 @@ object Frontier {
       try {
         // pass 1: per-partition row counts — P driver values, not data
         val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
-          Iterator.single((pid, it.size.toLong))
+          // count in a Long: Iterator.size returns Int, which overflows
+          // past 2^31 rows in one partition at frontier scale
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1L }
+          Iterator.single((pid, n))
         }.collect().sortBy(_._1).map(_._2)
         val offsets = counts.scanLeft(0L)(_ + _)
         val cutIdx = leftover - 1 // global index of the last +1 row

@@ -82,6 +82,37 @@ class JdbcSinkSpec extends SparkSuite {
     assert(sink.read().collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("copied index names stay under the 63-char identifier limit") {
+    // PostgreSQL truncates identifiers at 63 bytes SILENTLY, so two
+    // generated names sharing a 63-char prefix (here: both indexes lead
+    // with the same 51-char column) would fold to one name and the
+    // second CREATE INDEX would fail mid-publish; the hash suffix keeps
+    // them short AND distinct
+    val url = derbyUrl()
+    def raw(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { c.createStatement().executeUpdate(sql); () } finally c.close()
+    }
+    val long = "c" + "x" * 50
+    raw(s"CREATE TABLE t_ddl63 (id INT NOT NULL, $long INT, " +
+      "a_tail INT, b_tail INT, CONSTRAINT t_ddl63_pk PRIMARY KEY (id))")
+    raw(s"CREATE INDEX t_ddl63_i1 ON t_ddl63 ($long, a_tail)")
+    raw(s"CREATE INDEX t_ddl63_i2 ON t_ddl63 ($long, b_tail)")
+    val sink = new JdbcTableSink(spark, url, "t_ddl63")
+    val staged = sink.stage(
+      Seq((1, 2, 3, 4)).toDF("id", long, "a_tail", "b_tail"), "v1")
+    val ddl = sink.copySchemaInformation(staged)
+    val names = ddl.filter(_.startsWith("CREATE INDEX"))
+      .map(_.split("\\s+")(2))
+    assert(names.length == 2, ddl.mkString("; "))
+    assert(names.distinct.length == 2, names.toString)
+    assert(names.forall(_.length <= 63), names.toString)
+    // retry idempotence survives the rename: a second copy finds both
+    // indexes already present and creates nothing
+    assert(!sink.copySchemaInformation(staged)
+      .exists(_.startsWith("CREATE INDEX")))
+  }
+
   test("publish takes the exclusive lock: held lock times out with owner; released lock is awaited") {
     val url = derbyUrl()
     val fast = new JdbcTableSink(spark, url, "t_lock",

@@ -56,4 +56,20 @@ class ApportionPropertySpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("cutoff inside a massive remainder tie (adversarial range skew)") {
+    // every host has the SAME score, so every remainder is identical and
+    // repartitionByRange((__rem desc, key)) has a single range value to
+    // split on — the worst skew the two-pass cutoff can see. The +1 set
+    // must still be exactly the first `leftover` keys in key order.
+    val n = 500
+    val scores = (0 until n).map(i => (f"h$i%04d", 7L)).toList
+    val budget = 1234L // base 2 each, leftover 234 inside the tie run
+    val got = Frontier.apportionBudget(
+        scores.toDF("host", "mass"), "host", "mass", budget)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val want = reference(scores, budget)
+    assert(got == want)
+    assert(got.values.sum == budget)
+  }
 }
