@@ -210,6 +210,18 @@ object Relevance {
     * array) reproduces [[bm25TopK]]'s `count(*)` / `avg(dl)` pair exactly
     * — avg() skips null-text rows, count(*) doesn't. All three are exact
     * longs, so folding appends by SUM loses nothing. */
+  /** Per-document `(id, dl)` sidecar rows (`<table>_docs`): one row per
+    * ingested document, INCLUDING zero-token and null-text documents,
+    * which have no postings rows at all. The sidecar is what lets a
+    * takedown recover a tokenless document's +1 in `n_docs` — derived
+    * from the postings it would silently drift (the pre-sidecar
+    * limitation). `dl` uses the stats row's exact expression, so the
+    * correction folds against `_stats` without rounding. */
+  private def docRows(
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+
   private def postingsStatsRow(corpus: DataFrame, textCol: String): DataFrame =
     corpus
       .select(size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
@@ -250,6 +262,8 @@ object Relevance {
     Bucketing.writeBucketed(
       postingsRows(corpus, idCol, textCol), table, "tok", buckets)
     Bucketing.writeTable(postingsStatsRow(corpus, textCol), s"${table}_stats")
+    Bucketing.writeBucketed(
+      docRows(corpus, idCol, textCol), s"${table}_docs", "id", buckets)
   }
 
   /** Fold a committed batch INTO the index: postings append in the table's
@@ -261,6 +275,22 @@ object Relevance {
     DedupIndex.appendBucketed(postingsRows(batch, idCol, textCol), table)
     postingsStatsRow(batch, textCol)
       .write.mode("append").format("parquet").saveAsTable(s"${table}_stats")
+    val spark = batch.sparkSession
+    val docsT = s"${table}_docs"
+    val dr = docRows(batch, idCol, textCol)
+    if (spark.catalog.tableExists(docsT)) DedupIndex.appendBucketed(dr, docsT)
+    else {
+      // index persisted before the sidecar existed: backfill from the
+      // LIVE postings (one row per doc that has any; pre-sidecar
+      // tokenless docs stay unrecoverable — that is the drift the
+      // sidecar ends from this append on) and fold the batch in
+      val n = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .bucketSpec.map(_.numBuckets).getOrElse(16)
+      val backfill = Retract.readLive(spark, table)
+        .select(col("id"), col("dl").cast("long").as("dl")).distinct()
+      Bucketing.writeBucketed(backfill.unionByName(dr), docsT, "id", n)
+    }
   }
 
   /**
@@ -289,10 +319,14 @@ object Relevance {
    * same key set can legitimately be retracted again and must not find
    * its predecessor's tag.
    *
-   * Stated limitation: a document with ZERO tokens has no postings
-   * rows, so its +1 in `n_docs` cannot be found from the index and
-   * survives until a stats rebuild — it never scores, so only idf's N
-   * drifts by the (rare) tokenless-doc count.
+   * The per-doc correction source is the `<table>_docs` sidecar (one
+   * `(id, dl)` row per ingested document, written at build/append time),
+   * so a ZERO-token document's +1 in `n_docs` is recovered exactly —
+   * such docs have no postings rows, which is why the previous
+   * postings-derived correction let idf's N drift until a stats
+   * rebuild. Indexes persisted before the sidecar existed fall back to
+   * the postings derivation (same values for every doc with tokens) and
+   * grow their sidecar at the next append.
    */
   def retractPostings(
       spark: org.apache.spark.sql.SparkSession, table: String,
@@ -306,13 +340,22 @@ object Relevance {
         spark.table(tomb).where(col("col_name") === "id").select("key"),
         Seq("key"), "left_anti")
     // one driver row: the correction AND the batch digest, materialized
-    // eagerly before anything is written
-    val head = spark.table(table)
+    // eagerly before anything is written. The per-doc source is the
+    // `_docs` sidecar when it exists — it carries zero-token documents,
+    // which have no postings rows and whose +1 in n_docs the postings
+    // derivation could never recover; the postings fallback serves
+    // pre-sidecar indexes (their tokenless docs drift until a rebuild)
+    val docsT = s"${table}_docs"
+    val perDoc =
+      if (spark.catalog.tableExists(docsT))
+        spark.table(docsT).select(col("id"), col("dl"))
+      else spark.table(table).select(col("id"), col("dl"))
+    val head = perDoc
       .join(broadcast(fresh), col("id").cast("string") === col("key"),
         "left_semi")
-      .select(col("id"), col("dl")).distinct()
+      .distinct()
       .agg((count(lit(1)) * -1).as("n_docs"),
-        (count(lit(1)) * -1).as("n_dl"),
+        (count(col("dl")) * -1).as("n_dl"),
         (coalesce(sum(col("dl").cast("long")), lit(0L)) * -1).as("sum_dl"))
       .crossJoin(fresh.agg(
         // xor fold: order-independent AND overflow-free under ANSI (the
@@ -348,6 +391,11 @@ object Relevance {
       }
     }
     Retract.retract(spark, table, "id", ids)
+    // keep the sidecar consistent with the postings: masked now, dropped
+    // at the same purge — a stale sidecar row surviving an epoch would
+    // double-subtract on a post-purge re-retraction
+    if (spark.catalog.tableExists(docsT))
+      Retract.retract(spark, docsT, "id", ids)
   }
 
   /**
@@ -364,6 +412,8 @@ object Relevance {
   def purgePostings(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     Retract.purge(spark, table)
+    if (spark.catalog.tableExists(s"${table}_docs"))
+      Retract.purge(spark, s"${table}_docs")
     import spark.implicits._
     val folded = spark.table(s"${table}_stats")
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
@@ -386,6 +436,8 @@ object Relevance {
   def compactPostingsIndex(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     Bucketing.compactBucketed(spark, table)
+    if (spark.catalog.tableExists(s"${table}_docs"))
+      Bucketing.compactBucketed(spark, s"${table}_docs")
     val stats = spark.table(s"${table}_stats")
     val hasKey = stats.columns.contains("batch_key")
     // fold only the UNKEYED rows: a keyed row is a takedown correction

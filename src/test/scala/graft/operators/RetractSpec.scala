@@ -236,6 +236,40 @@ class RetractSpec extends SparkSuite {
     assert(nDocs() == 4L, "second-epoch correction must apply")
   }
 
+  test("postings: a zero-token doc's retraction leaves N exact (sidecar)") {
+    val t = s"$db.postings_tokenless"
+    // doc 6 has text but zero tokens; doc 7 has NULL text — neither has
+    // any postings rows, so the pre-sidecar postings-derived correction
+    // could never see them and idf's N drifted until a stats rebuild
+    val withEmpty = docs.unionByName(
+      Seq((6L, ""), (7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    Relevance.writePostingsIndex(withEmpty, "doc_id", "text", t, buckets = 4)
+    def stats() = spark.table(s"${t}_stats")
+      .agg(sum("n_docs"), sum("n_dl"), sum("sum_dl")).collect().head
+    assert(stats().getLong(0) == 7L)
+    Relevance.retractPostings(spark, t, Seq(6L, 7L).toDF("doc_id"))
+    val st = stats()
+    // N back to the 5 surviving docs; n_dl drops only for doc 6 (its
+    // dl=0 was counted at ingest; the NULL-text doc's never was)
+    assert(st.getLong(0) == 5L && st.getLong(1) == 5L &&
+      st.getLong(2) == 15L, st.toString)
+    // re-submission must not double-subtract
+    Relevance.retractPostings(spark, t, Seq(6L, 7L).toDF("doc_id"))
+    assert(stats().getLong(0) == 5L)
+    // purge drops sidecar rows with the postings: a post-purge
+    // re-retraction of the same (now absent) keys subtracts nothing
+    Relevance.purgePostings(spark, t)
+    Relevance.retractPostings(spark, t, Seq(6L, 7L).toDF("doc_id"))
+    assert(stats().getLong(0) == 5L, "stale sidecar row double-subtracted")
+    // and a tokenless doc arriving via APPEND is recoverable too
+    Relevance.purgePostings(spark, t)
+    Relevance.appendPostingsIndex(
+      Seq((8L, "")).toDF("doc_id", "text"), "doc_id", "text", t)
+    assert(stats().getLong(0) == 6L)
+    Relevance.retractPostings(spark, t, Seq(8L).toDF("doc_id"))
+    assert(stats().getLong(0) == 5L)
+  }
+
   test("retractPostings migrates a legacy 3-column _stats table in place") {
     val t = s"$db.postings_legacy"
     Relevance.writePostingsIndex(docs, "doc_id", "text", t, buckets = 4)
