@@ -89,13 +89,31 @@ object Bench {
       }
     def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
     val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // GC time and peak heap per query: a CPU swing on identical plans
+    // (r16: one query 2.9× CPU while controls stayed flat) is only
+    // adjudicable if the record says whether the excess was collector
+    // work — gc_secs is INCLUDED in cpu_secs, peak_heap_mb is the max
+    // heap-pool occupancy observed during the query (pool peaks reset
+    // at query start)
+    import scala.jdk.CollectionConverters._
+    val gcBeans =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMillis(): Long = gcBeans.map(b => math.max(0L, b.getCollectionTime)).sum
+    val heapPools =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    val gcSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val peakHeapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
     // optional args = query-name filter (for targeted timing during tuning)
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      heapPools.foreach(p => try p.resetPeakUsage()
+        catch { case _: Throwable => () })
       val t0 = System.nanoTime()
       val c0 = cpuNanos()
+      val g0 = gcMillis()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -106,6 +124,9 @@ object Bench {
         // hide a real cost — clearing is ~ms and belongs to the query)
         finally spark.catalog.clearCache()
       cpuSecs(name) = (cpuNanos() - c0) / 1e9
+      gcSecs(name) = (gcMillis() - g0) / 1e3
+      peakHeapMb(name) = heapPools.map(p =>
+        Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -123,7 +144,12 @@ object Bench {
       q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
     val fullErrs = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cpu_secs":$fullCpu,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullGc = gcSecs.map { case (k, v) =>
+      q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    val fullHeap = peakHeapMb.map { case (k, v) => q(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cpu_secs":$fullCpu,"gc_secs":$fullGc,"peak_heap_mb":$fullHeap,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable =>

@@ -4783,6 +4783,22 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", 48)
         .orderBy(col("doc_id"))),
 
+    // the ONE-TIME sharded index build, as its own bench row: release 1
+    // (even ids) creates the index, release 2 (odd ids) folds in through
+    // the delta-only appendRankShard — the per-shard prefix-doubling
+    // cost lands HERE (alphabetically first of the suffix_sharded_*
+    // family), so the three consumer rows below bill their own probe
+    // path and a probe regression can no longer drown in the build.
+    // Oracle: per-shard suffix and doc counts — one row per text char
+    // in the shard's release, derivable from `documents` directly
+    "suffix_sharded_build" -> ((s, dir) => {
+      val tbl = shardedSuffix48(s, dir)
+      s.table(tbl).groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_suffixes"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("shard"))
+    }),
+
     // the SHARDED index, built by the MAINTENANCE path (release 1
     // creates shard 0, release 2 folds in as shard 1 — only its own
     // docs ranked), then the repeated-window merge over the per-shard
@@ -11371,6 +11387,16 @@ object SparkEntry {
       // oracles ARE the monolithic full-corpus statements (shards never
       // appear: the partition of documents into releases is invisible
       // to the corpus-level answer)
+      "suffix_sharded_build" ->
+        """WITH d AS (SELECT doc_id, text AS t
+          |           FROM documents
+          |           WHERE text IS NOT NULL AND length(text) > 0)
+          |SELECT CAST(doc_id % 2 AS BIGINT) AS shard,
+          |       CAST(sum(length(t)) AS BIGINT) AS n_suffixes,
+          |       CAST(count(*) AS BIGINT) AS n_docs
+          |FROM d GROUP BY CAST(doc_id % 2 AS BIGINT)
+          |ORDER BY shard""".stripMargin,
+
       "suffix_sharded_windows" ->
         """WITH d AS (SELECT doc_id, text AS t
           |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),

@@ -64,6 +64,32 @@ def contention_verdict(old_path, new_path):
         key=lambda r: -(r["wall_new_s"] - r["wall_old_s"]))
     cpu_ratio = cn / co if co > 0 else None
     wall_ratio = wall_n / wall_o if wall_o > 0 else None
+    # Single-query CPU outliers against flat controls: identical plans
+    # whose CPU near-triples in ONE query while every other query stays
+    # CPU-flat (the r16 suffix_sharded_excise shape) are NOT host
+    # contention — contention inflates broadly. Flag them so a
+    # "comparable" verdict can never paper over one; gc_secs (when the
+    # bench recorded it) says whether the excess was collector work.
+    gc_old = do.get("gc_secs", {}) or {}
+    gc_new = dn.get("gc_secs", {}) or {}
+    sizable = [q for q in cpu_both
+               if max(cpu_old[q], cpu_new[q]) >= 2.0]
+    ratios = sorted(cpu_new[q] / cpu_old[q] for q in sizable)
+    median_ratio = ratios[len(ratios) // 2] if ratios else None
+    controls_flat = median_ratio is not None and 0.8 <= median_ratio <= 1.25
+    cpu_outliers = []
+    if controls_flat:
+        for q in sizable:
+            r = cpu_new[q] / cpu_old[q]
+            if r >= 2.0 or r <= 0.5:
+                row = {"query": q, "cpu_old_s": round(cpu_old[q], 1),
+                       "cpu_new_s": round(cpu_new[q], 1),
+                       "cpu_ratio": round(r, 2)}
+                if q in gc_old or q in gc_new:
+                    row["gc_old_s"] = round(gc_old.get(q, 0.0), 1)
+                    row["gc_new_s"] = round(gc_new.get(q, 0.0), 1)
+                cpu_outliers.append(row)
+        cpu_outliers.sort(key=lambda r: -r["cpu_ratio"])
     if cpu_ratio is None:
         verdict, why = "no-cpu-data", \
             "one run lacks cpu_secs; wall totals alone cannot separate " \
@@ -85,10 +111,23 @@ def contention_verdict(old_path, new_path):
              f"{cpu_ratio:.2f}x — the new run waited (starved executors / "
              "busy host), it did not compute more")
     elif wall_ratio is not None and abs(wall_ratio - 1) <= 0.25:
-        verdict, why = "comparable", \
-            (f"wall {wall_ratio:.2f}x and CPU {cpu_ratio:.2f}x on "
-             f"{len(both)} common queries — runs are comparable; "
-             "per-query deltas reflect the code")
+        if cpu_outliers:
+            names = ", ".join(
+                f"{r['query']} {r['cpu_ratio']}x" for r in cpu_outliers[:5])
+            verdict, why = "comparable-except-outliers", \
+                (f"wall {wall_ratio:.2f}x and CPU {cpu_ratio:.2f}x overall, "
+                 f"but {len(cpu_outliers)} quer"
+                 f"{'y' if len(cpu_outliers) == 1 else 'ies'} swung >=2x in "
+                 f"CPU while the median stayed {median_ratio:.2f}x ({names})"
+                 " — contention inflates broadly, so these are per-query "
+                 "artifacts (GC, run order, or a real regression); "
+                 "adjudicate them individually before calling the runs "
+                 "comparable")
+        else:
+            verdict, why = "comparable", \
+                (f"wall {wall_ratio:.2f}x and CPU {cpu_ratio:.2f}x on "
+                 f"{len(both)} common queries — runs are comparable; "
+                 "per-query deltas reflect the code")
     else:
         verdict, why = "inspect-per-query", \
             (f"wall {wall_ratio:.2f}x with CPU {cpu_ratio:.2f}x — no "
@@ -101,6 +140,8 @@ def contention_verdict(old_path, new_path):
         "cpu_old_s": round(co, 1), "cpu_new_s": round(cn, 1),
         "cpu_ratio": round(cpu_ratio, 3) if cpu_ratio else None,
         "verdict": verdict, "rationale": why,
+        "cpu_median_ratio": round(median_ratio, 3) if median_ratio else None,
+        "cpu_outliers": cpu_outliers,
         "per_query": per_query,
     }
 
