@@ -196,31 +196,58 @@ object Clean {
    * untouched, and a malformed coordinate group keeps its original text
    * rather than nulling the value.
    *
-   * Mechanism: mark every structural delimiter `( ) ,` with a U+0001
-   * sentinel, split on the sentinel — the surviving tokens alternate
-   * between delimiters/keywords and whole coordinate groups — rewrite
-   * each group (first number shifted, every number re-rendered at fixed
-   * 6 dp so output is engine-reproducible), and join back. Pure
-   * higher-order `Column` expressions (no UDF, no lookaround regex), so
-   * the cleanse stays codegen-compatible and the DuckDB oracle twin
-   * ([[CleanSql.shiftWkt]]) can replay the identical algorithm under
-   * RE2. For the POINT(lon lat) values the cleanser emitted before this
-   * generalization, the output is byte-identical.
+   * Mechanism: mark every structural delimiter `( ) ,`, walk the
+   * segments between them — they alternate between delimiters/keywords
+   * and whole coordinate groups — rewrite each group (first number
+   * shifted, every number re-rendered at fixed 6 dp so output is
+   * engine-reproducible), and join back. Runs as the compiled native
+   * [[graft.plans.ShiftWktExpr]] (one pass per row inside whole-stage
+   * codegen — the cleanser sits on every production file's scan);
+   * [[shiftWktColumns]] is the same algorithm as pure higher-order
+   * `Column` expressions (the executable reference, pinned equal in
+   * ShiftWktExprSpec) and the shape the DuckDB oracle twin
+   * ([[CleanSql.shiftWkt]]) replays under RE2. For the POINT(lon lat)
+   * values the cleanser emitted before this generalization, the output
+   * is byte-identical.
    */
   def shiftWkt(c: Column, cfg: CleanConfig = CleanConfig()): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ShiftWktExpr(
+      ColumnBridge.expression(c), cfg.longitudeOffset, cfg.wktPrefix))
+  }
+
+  /** The declarative (pure-`functions._`) form of [[shiftWkt]] — the
+    * executable reference the native [[graft.plans.ShiftWktExpr]] is
+    * pinned against (ShiftWktExprSpec), and the shape the DuckDB twin
+    * [[CleanSql.shiftWkt]] restates. The HOF `transform`s make it
+    * CodegenFallback, which is why the hot path compiles instead. */
+  def shiftWktColumns(c: Column, cfg: CleanConfig = CleanConfig()): Column = {
     val stripped = regexp_replace(c, "^[0-9 ]+", "")
     val marked =
       regexp_replace(stripped, "([(),])", "\u0001$1\u0001")
     def rewriteGroup(g: Column): Column = {
       val nums = split(trim(g), "\\s+")
+      // try_cast, not cast: under ANSI (the Spark 4 default) a malformed
+      // coordinate inside an otherwise numeric-looking group must fall
+      // back, never throw. The casts are null-GUARDED because Spark's
+      // format_string renders a NULL argument as the literal "null"
+      // (Java Formatter) instead of propagating — the guards restore
+      // the DuckDB twin's NULL-propagating printf semantics: an
+      // unparsable FIRST number falls the whole group back to its
+      // original text, an unparsable TAIL number is skipped
+      // (array_join ignores null elements, like array_to_string)
+      val d1 = element_at(nums, 1).try_cast("double")
       coalesce(
-        concat(
-          format_string("%.6f",
-            element_at(nums, 1).cast("double") + lit(cfg.longitudeOffset)),
+        when(d1.isNotNull, concat(
+          format_string("%.6f", d1 + lit(cfg.longitudeOffset)),
           array_join(
             transform(slice(nums, lit(2), size(nums)),
-              n => concat(lit(" "), format_string("%.6f", n.cast("double")))),
-            "")),
+              n => {
+                val d = n.try_cast("double")
+                when(d.isNotNull,
+                  concat(lit(" "), format_string("%.6f", d)))
+              }),
+            ""))),
         g)
     }
     val rebuilt = array_join(
