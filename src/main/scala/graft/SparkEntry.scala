@@ -7932,6 +7932,26 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // the at-rest SPATIAL CELL index (operators/GeoIndex): envelopes of
+    // the shifted mixed geometries land bucketed on their grid cell,
+    // then one bbox probe scans only the box's cells (+ the oversize
+    // sidecar) bucket-pruned. The oracle is the DIRECT envelope filter
+    // over the same geometry — the index must be invisible in the ids
+    "geo_cell_probe" -> ((s, dir) => {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val tbl = s"${indexDb(s)}.geo_cell_idx_$digest"
+      val geoms = mixedWktFixture(s, dir).select(
+        col("o_orderkey").as("id"),
+        Clean.shiftWkt(col("wkt_raw")).as("g"))
+      operators.GeoIndex.writeGeoIndex(
+        geoms, "id", "g", tbl, cellSize = 4.0, buckets = 8)
+      operators.GeoIndex.probeBBox(
+          s, tbl, 160.0, -45.0, 200.0, 10.0, cellSize = 4.0)
+        .orderBy(col("id"))
+    }),
+
     // ---- F10: detail-string codec --------------------------------------
     "f10_detail_codec" -> ((s, dir) => {
       import s.implicits._
@@ -13638,6 +13658,20 @@ object SparkEntry {
            |FROM e
            |WHERE ${GeoOpsSql.stNPoints("ewkt")} IS NOT NULL
            |ORDER BY o_orderkey""".stripMargin
+      },
+
+      // the index must be invisible: the oracle filters the geometry
+      // directly, no cells anywhere
+      "geo_cell_probe" -> {
+        import graft.functions.GeoOpsSql
+        s"""WITH base AS ($MixedWktBaseSql),
+           |e AS (SELECT o_orderkey AS id,
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
+           |      FROM base)
+           |SELECT id FROM e
+           |WHERE ${GeoOpsSql.stEnvelopeIntersects(
+                     "ewkt", 160.0, -45.0, 200.0, 10.0)}
+           |ORDER BY id""".stripMargin
       },
 
       // EWKT accessors restated via the same regexp grammar (no spatial
