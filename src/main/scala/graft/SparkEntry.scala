@@ -7952,6 +7952,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // the grid SPATIAL JOIN (PBSM shape): all envelope-intersecting
+    // pairs of the shifted mixed geometries, co-partitioned by cell with
+    // the reference-point rule deduping multi-cell overlaps map-side —
+    // the oracle is the direct quadratic self-join, grid invisible
+    "geo_cell_join" -> ((s, dir) => {
+      val geoms = mixedWktFixture(s, dir).select(
+        col("o_orderkey").as("id"),
+        Clean.shiftWkt(col("wkt_raw")).as("g"))
+      operators.GeoIndex.selfEnvelopeJoin(geoms, "id", "g", cellSize = 4.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- F10: detail-string codec --------------------------------------
     "f10_detail_codec" -> ((s, dir) => {
       import s.implicits._
@@ -13672,6 +13684,26 @@ object SparkEntry {
            |WHERE ${GeoOpsSql.stEnvelopeIntersects(
                      "ewkt", 160.0, -45.0, 200.0, 10.0)}
            |ORDER BY id""".stripMargin
+      },
+
+      "geo_cell_join" -> {
+        import graft.functions.GeoOpsSql
+        s"""WITH base AS ($MixedWktBaseSql),
+           |e AS (SELECT o_orderkey AS id,
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
+           |      FROM base),
+           |env AS (SELECT id,
+           |               ${GeoOpsSql.stXMin("ewkt")} AS xmin,
+           |               ${GeoOpsSql.stXMax("ewkt")} AS xmax,
+           |               ${GeoOpsSql.stYMin("ewkt")} AS ymin,
+           |               ${GeoOpsSql.stYMax("ewkt")} AS ymax
+           |        FROM e)
+           |SELECT a.id AS id_a, b.id AS id_b
+           |FROM env a JOIN env b
+           |  ON a.id < b.id
+           | AND a.xmin <= b.xmax AND a.xmax >= b.xmin
+           | AND a.ymin <= b.ymax AND a.ymax >= b.ymin
+           |ORDER BY id_a, id_b""".stripMargin
       },
 
       // EWKT accessors restated via the same regexp grammar (no spatial

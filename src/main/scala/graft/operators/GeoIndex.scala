@@ -117,6 +117,93 @@ object GeoIndex {
     * is (box cells + 1) driver-side literals — callers size the box in
     * cells, not bytes; a continent-sized box at a fine cellSize belongs
     * in a coarser index, and the require below says so loudly. */
+  /** One side of [[envelopeJoin]], prepared: envelope bounds + covered
+    * cells, unindexable rows dropped. */
+  private def joinSide(
+      df: DataFrame, idCol: String, ewktCol: String, tag: String,
+      cellSize: Double, maxCellsPerGeom: Int): DataFrame = {
+    val g = col(ewktCol)
+    df.select(col(idCol).cast("long").as(s"${tag}_id"),
+        GeoOps.stXMin(g).as(s"${tag}_xmin"),
+        GeoOps.stXMax(g).as(s"${tag}_xmax"),
+        GeoOps.stYMin(g).as(s"${tag}_ymin"),
+        GeoOps.stYMax(g).as(s"${tag}_ymax"))
+      .withColumn("cells", cellsFromEnvelope(
+        col(s"${tag}_xmin"), col(s"${tag}_xmax"),
+        col(s"${tag}_ymin"), col(s"${tag}_ymax"),
+        cellSize, maxCellsPerGeom))
+      .where(col("cells").isNotNull)
+  }
+
+  private def intersects(a: String, b: String): Column =
+    col(s"${a}_xmin") <= col(s"${b}_xmax") &&
+      col(s"${a}_xmax") >= col(s"${b}_xmin") &&
+      col(s"${a}_ymin") <= col(s"${b}_ymax") &&
+      col(s"${a}_ymax") >= col(s"${b}_ymin")
+
+  /**
+   * Grid SPATIAL JOIN (the PBSM shape, Patel & DeWitt 1996): every
+   * (a, b) pair whose envelopes intersect, co-partitioned by grid cell
+   * so the work distributes — the operation a 100 TB parcels ×
+   * centrelines overlay actually is, and one no amount of bbox probing
+   * composes. Both sides explode to their covered cells and join ON the
+   * cell (an equi-join Spark shuffles/broadcasts like any other) with
+   * the envelope predicate inside the cell. A pair whose envelopes
+   * share k cells would surface k times; instead of a distinct shuffle
+   * over the full pair stream, the REFERENCE-POINT rule keeps exactly
+   * one copy map-side: the intersection envelope's lower-left corner
+   * `(max(xmin), max(ymin))` lies in exactly ONE cell, and the pair
+   * reports only where that cell is the join cell. OVERSIZE rows (too
+   * many cells / out of range) cannot ride the grid; they join by
+   * BROADCAST nested-loop against the other side — bounded by the
+   * oversize count, which maxCellsPerGeom keeps a deliberate, sized
+   * choice, and never double-counted (an oversize×oversize pair reports
+   * only from the a-side arm; grid rows never carry the oversize cell).
+   *
+   * Returns (a_id, b_id) pairs, each exactly once.
+   */
+  def envelopeJoin(
+      a: DataFrame, aId: String, aEwkt: String,
+      b: DataFrame, bId: String, bEwkt: String,
+      cellSize: Double, maxCellsPerGeom: Int = 64): DataFrame = {
+    val sa = joinSide(a, aId, aEwkt, "a", cellSize, maxCellsPerGeom)
+    val sb = joinSide(b, bId, bEwkt, "b", cellSize, maxCellsPerGeom)
+    def grid(s: DataFrame) =
+      s.where(col("cells") =!= array(lit(OversizeCell)))
+        .withColumn("cell", explode(col("cells"))).drop("cells")
+    def oversize(s: DataFrame) =
+      s.where(col("cells") === array(lit(OversizeCell))).drop("cells")
+    val (ga, gb) = (grid(sa), grid(sb))
+    val (oa, ob) = (oversize(sa), oversize(sb))
+    // reference-point rule: report in the cell holding the intersection
+    // envelope's lower-left corner
+    val rx = greatest(col("a_xmin"), col("b_xmin"))
+    val ry = greatest(col("a_ymin"), col("b_ymin"))
+    val refCell = floor(rx / cellSize).cast("long") * lit(CellPack) +
+      floor(ry / cellSize).cast("long")
+    val gridPairs = ga.join(gb, ga("cell") === gb("cell"))
+      .where(intersects("a", "b") && refCell === ga("cell"))
+      .select(col("a_id"), col("b_id"))
+    val aOversize = broadcast(oa).join(sb.drop("cells"),
+        intersects("a", "b"))
+      .select(col("a_id"), col("b_id"))
+    val bOversize = sa.where(col("cells") =!= array(lit(OversizeCell)))
+      .drop("cells")
+      .join(broadcast(ob), intersects("a", "b"))
+      .select(col("a_id"), col("b_id"))
+    gridPairs.unionByName(aOversize).unionByName(bOversize)
+  }
+
+  /** [[envelopeJoin]] of a set with itself, each unordered pair once
+    * (`id_a < id_b`, self-pairs excluded). */
+  def selfEnvelopeJoin(
+      df: DataFrame, idCol: String, ewktCol: String,
+      cellSize: Double, maxCellsPerGeom: Int = 64): DataFrame =
+    envelopeJoin(df, idCol, ewktCol, df, idCol, ewktCol,
+      cellSize, maxCellsPerGeom)
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+
   def probeBBox(
       spark: SparkSession, table: String,
       minX: Double, minY: Double, maxX: Double, maxY: Double,

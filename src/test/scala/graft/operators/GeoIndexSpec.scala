@@ -100,6 +100,32 @@ class GeoIndexSpec extends SparkSuite {
     assert(selected <= 2, s"1-cell box + oversize cell => <=2 buckets:\n$sel")
   }
 
+  test("grid spatial join equals the brute-force pair set, each pair once") {
+    // brute force: all unordered pairs with intersecting envelopes
+    val env = geoms.select(col("id"),
+        graft.functions.GeoOps.stXMin(col("g")).as("xmin"),
+        graft.functions.GeoOps.stXMax(col("g")).as("xmax"),
+        graft.functions.GeoOps.stYMin(col("g")).as("ymin"),
+        graft.functions.GeoOps.stYMax(col("g")).as("ymax"))
+      .where(col("xmin").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val want = (for {
+      (ia, axn, axx, ayn, ayx) <- env
+      (ib, bxn, bxx, byn, byx) <- env
+      if ia < ib && axn <= bxx && axx >= bxn && ayn <= byx && ayx >= byn
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty && want.exists(_._2 == 5L),
+      s"fixture must produce pairs incl. the oversize row: $want")
+    val gotRows = GeoIndex.selfEnvelopeJoin(geoms, "id", "g", cellSize = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly once per pair: multi-cell overlaps dedupe by the
+    // reference-point rule, not by a distinct
+    assert(gotRows.size == gotRows.distinct.size, "duplicate pairs")
+    assert(gotRows.toSet == want,
+      s"missing=${want -- gotRows.toSet} extra=${gotRows.toSet -- want}")
+  }
+
   test("oversize guard: a probe box over the cell cap refuses loudly") {
     val t = s"$db.cells_guard"
     GeoIndex.writeGeoIndex(geoms, "id", "g", t, cellSize = 2.0, buckets = 8)
