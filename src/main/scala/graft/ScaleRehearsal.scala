@@ -518,6 +518,36 @@ object ScaleRehearsal {
           "parallel outcomes must equal sequential, in catalog order")
       }
 
+      // ---- spatial cell index + grid join (round 17) ------------------
+      // geometries synthesized over an AREA that grows with the factor
+      // (constant density — the realistic posture: a 10x corpus covers
+      // 10x the territory), so the probe over a FIXED box must stay
+      // flat and the self-join must stay ~linear, never quadratic
+      {
+        import graft.operators.GeoIndex
+        val lonSpan = 3600L * factor
+        val geoms = spark.read.parquet(corpusPath).select(col("doc_id"))
+          .select(col("doc_id").as("id"),
+            format_string("SRID=4167;LINESTRING(%.6f %.6f,%.6f %.6f)",
+              (col("doc_id") % lonSpan).cast("double") / 10.0,
+              (col("doc_id") % 1700L).cast("double") / 10.0 - 85.0,
+              (col("doc_id") % lonSpan).cast("double") / 10.0 + 0.3,
+              (col("doc_id") % 1700L).cast("double") / 10.0 - 84.8)
+              .as("g"))
+        timed("geo_index_build", nDocs) {
+          GeoIndex.writeGeoIndex(geoms, "id", "g", s"$db.geocells",
+            cellSize = 1.0, buckets = 32)
+        }
+        timed("geo_probe_bbox_fixed", nDocs) {
+          GeoIndex.probeBBox(spark, s"$db.geocells",
+            10.0, -40.0, 20.0, -20.0, cellSize = 1.0).count()
+        }
+        timed("geo_self_join", nDocs) {
+          GeoIndex.selfEnvelopeJoin(geoms, "id", "g", cellSize = 1.0)
+            .count()
+        }
+      }
+
       // ---- de-funneled budget apportionment (round 16): the largest-
       // remainder rank at 10M hosts — the scale at which the former
       // single-partition Window.orderBy became one unsplittable task.

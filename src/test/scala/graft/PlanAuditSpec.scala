@@ -1362,6 +1362,32 @@ class PlanAuditSpec extends SparkSuite {
       s"no join anywhere:\n$p")
   }
 
+  test("grid spatial join: cell equi-join, no cartesian, no pair distinct") {
+    import graft.operators.GeoIndex
+    val geoms = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderkey") < 4000)
+      .select(col("o_orderkey").as("id"),
+        format_string("SRID=4167;POINT(%.6f %.6f)",
+          (col("o_orderkey") % 360).cast("double") / 4.0,
+          (col("o_orderkey") % 170).cast("double") / 2.0).as("g"))
+    val pairs = GeoIndex.selfEnvelopeJoin(geoms, "id", "g", cellSize = 4.0)
+    val p = physical(pairs)
+    // the grid arm is an EQUI-join on the cell — a SortMergeJoin or
+    // broadcast hash join, never a cartesian/BNL over the pair space
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"grid arm must be an equi-join on the cell:\n$p")
+    // the reference-point rule replaces a distinct over the pair stream:
+    // the only aggregates allowed are none on (a_id, b_id)
+    assert(!p.contains("HashAggregate(keys=[a_id"),
+      s"pair dedup must be the reference-point rule, not a distinct:\n$p")
+    // oversize arms broadcast the bounded side
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"oversize arm joins by bounded broadcast:\n$p")
+  }
+
   test("chat format: pure map-side projection, no shuffle") {
     import graft.operators.Preference
     val docs = spark.read.parquet(s"$sf/documents.parquet")
