@@ -7952,6 +7952,25 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ring-search k-NN over the cell index: expanding cell rings from
+    // the probe's cell, stop once the kth-best distance bounds the next
+    // ring out. The oracle is the direct full-scan top-k by envelope
+    // distance — the ring search must be invisible
+    "geo_cell_knn" -> ((s, dir) => {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val tbl = s"${indexDb(s)}.geo_knn_idx_$digest"
+      val geoms = mixedWktFixture(s, dir).select(
+        col("o_orderkey").as("id"),
+        Clean.shiftWkt(col("wkt_raw")).as("g"))
+      operators.GeoIndex.writeGeoIndex(
+        geoms, "id", "g", tbl, cellSize = 4.0, buckets = 8)
+      operators.GeoIndex.probeKnn(s, tbl, 180.0, -20.0, 15, cellSize = 4.0)
+        .select(col("id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
     // the grid SPATIAL JOIN (PBSM shape): all envelope-intersecting
     // pairs of the shifted mixed geometries, co-partitioned by cell with
     // the reference-point rule deduping multi-cell overlaps map-side —
@@ -13684,6 +13703,27 @@ object SparkEntry {
            |WHERE ${GeoOpsSql.stEnvelopeIntersects(
                      "ewkt", 160.0, -45.0, 200.0, 10.0)}
            |ORDER BY id""".stripMargin
+      },
+
+      "geo_cell_knn" -> {
+        import graft.functions.GeoOpsSql
+        s"""WITH base AS ($MixedWktBaseSql),
+           |e AS (SELECT o_orderkey AS id,
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
+           |      FROM base),
+           |env AS (SELECT id,
+           |               ${GeoOpsSql.stXMin("ewkt")} AS xmin,
+           |               ${GeoOpsSql.stXMax("ewkt")} AS xmax,
+           |               ${GeoOpsSql.stYMin("ewkt")} AS ymin,
+           |               ${GeoOpsSql.stYMax("ewkt")} AS ymax
+           |        FROM e),
+           |d AS (SELECT id, sqrt(dx * dx + dy * dy) AS dist
+           |      FROM (SELECT id,
+           |              greatest(xmin - 180.0, 180.0 - xmax, 0.0) AS dx,
+           |              greatest(ymin - (-20.0), (-20.0) - ymax, 0.0) AS dy
+           |            FROM env WHERE xmin IS NOT NULL))
+           |SELECT id, round(dist, 6) AS dist
+           |FROM d ORDER BY dist, id LIMIT 15""".stripMargin
       },
 
       "geo_cell_join" -> {

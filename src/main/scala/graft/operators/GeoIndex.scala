@@ -194,6 +194,79 @@ object GeoIndex {
     gridPairs.unionByName(aOversize).unionByName(bOversize)
   }
 
+  /**
+   * k nearest geometries to a point by ENVELOPE distance (0 when the
+   * point is inside the envelope; exact-geometry refinement is the
+   * caller's semi-join, as with [[probeBBox]]), via expanding RING
+   * search over the cell grid: ring r scans only the 8r cells at
+   * Chebyshev distance r from the probe's cell (bucket-pruned literal
+   * list, plus the oversize sidecar once), and the search stops as soon
+   * as the k-th best distance is ≤ the next ring's minimum possible
+   * distance `(r ⋅ cellSize)` — for a probe in a dense region the scan
+   * touches a handful of cells of a 100 TB index; `maxRings` bounds a
+   * probe in empty space. Per ring only the k best candidates ride to
+   * the driver (k-bounded collect, the [[Selection]] precedent);
+   * returns (id, dist) — dist full-precision, ordered (dist, id).
+   */
+  def probeKnn(
+      spark: SparkSession, table: String, px: Double, py: Double, k: Int,
+      cellSize: Double, maxRings: Int = 64): DataFrame = {
+    require(k >= 1, s"probeKnn: k must be >= 1, got $k")
+    val cx0 = math.floor(px / cellSize).toLong
+    val cy0 = math.floor(py / cellSize).toLong
+    val live = Retract.readLive(spark, table)
+    val dist = {
+      val dx = greatest(col("xmin") - px, lit(px) - col("xmax"), lit(0.0))
+      val dy = greatest(col("ymin") - py, lit(py) - col("ymax"), lit(0.0))
+      sqrt(dx * dx + dy * dy)
+    }
+    def ringCells(r: Int): Seq[Long] = {
+      val cells =
+        if (r == 0) Seq((cx0, cy0))
+        else {
+          val top = (cx0 - r to cx0 + r).map(cx => (cx, cy0 - r))
+          val bot = (cx0 - r to cx0 + r).map(cx => (cx, cy0 + r))
+          val lft = (cy0 - r + 1 to cy0 + r - 1).map(cy => (cx0 - r, cy))
+          val rgt = (cy0 - r + 1 to cy0 + r - 1).map(cy => (cx0 + r, cy))
+          top ++ bot ++ lft ++ rgt
+        }
+      cells.collect { case (cx, cy)
+          if math.abs(cx) <= CoordLimit && math.abs(cy) <= CoordLimit =>
+        cx * CellPack + cy
+      }
+    }
+    // best-so-far, deduped by id (an envelope seen in several rings
+    // carries the identical distance every time)
+    val best = scala.collection.mutable.HashMap.empty[Long, Double]
+    var r = 0
+    var done = false
+    while (!done && r <= maxRings) {
+      val cells = ringCells(r) ++ (if (r == 0) Seq(OversizeCell) else Nil)
+      if (cells.nonEmpty) {
+        live.where(col("cell").isin(cells: _*))
+          .select(col("id"), dist.as("dist"))
+          // a geometry spanning several of the ring's cells carries one
+          // row per cell (same envelope → same dist); without the
+          // distinct those duplicates crowd genuine candidates out of
+          // the ring-local top-k
+          .distinct()
+          .orderBy(col("dist"), col("id")).limit(k)
+          .collect()
+          .foreach(row => best.getOrElseUpdate(
+            row.getLong(0), row.getDouble(1)))
+      }
+      val kth =
+        if (best.size < k) Double.PositiveInfinity
+        else best.values.toSeq.sorted.apply(k - 1)
+      // every cell of ring r+1 lies at least r*cellSize from the probe
+      done = kth <= r * cellSize
+      r += 1
+    }
+    import spark.implicits._
+    best.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+      .toDF("id", "dist")
+  }
+
   /** [[envelopeJoin]] of a set with itself, each unordered pair once
     * (`id_a < id_b`, self-pairs excluded). */
   def selfEnvelopeJoin(

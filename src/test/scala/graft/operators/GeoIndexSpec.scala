@@ -126,6 +126,41 @@ class GeoIndexSpec extends SparkSuite {
       s"missing=${want -- gotRows.toSet} extra=${gotRows.toSet -- want}")
   }
 
+  test("ring-search knn equals brute-force by envelope distance") {
+    val t = s"$db.cells_knn"
+    GeoIndex.writeGeoIndex(geoms, "id", "g", t, cellSize = 2.0, buckets = 8)
+    def bruteKnn(px: Double, py: Double, k: Int): Seq[(Long, Double)] =
+      geoms.select(col("id"),
+          graft.functions.GeoOps.stXMin(col("g")).as("xmin"),
+          graft.functions.GeoOps.stXMax(col("g")).as("xmax"),
+          graft.functions.GeoOps.stYMin(col("g")).as("ymin"),
+          graft.functions.GeoOps.stYMax(col("g")).as("ymax"))
+        .where(col("xmin").isNotNull)
+        .collect().map { r =>
+          val dx = math.max(math.max(r.getDouble(1) - px,
+            px - r.getDouble(2)), 0.0)
+          val dy = math.max(math.max(r.getDouble(3) - py,
+            py - r.getDouble(4)), 0.0)
+          (r.getLong(0), math.sqrt(dx * dx + dy * dy))
+        }.sortBy { case (id, d) => (d, id) }.take(k).toSeq
+    // probe inside an envelope (dist 0), near the cluster, and far away
+    // (the ring search must walk out many empty rings before finding
+    // the distant point and the oversize row)
+    val probes = Seq((0.5, 0.5, 3), (2.0, 2.0, 5), (100.0, -45.0, 2),
+      (50.0, 50.0, 4))
+    probes.foreach { case (px, py, k) =>
+      val got = GeoIndex.probeKnn(spark, t, px, py, k, cellSize = 2.0,
+          maxRings = 256)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == bruteKnn(px, py, k), s"probe ($px,$py) k=$k: $got")
+    }
+    // k larger than the index returns everything, still ordered
+    val all = GeoIndex.probeKnn(spark, t, 0.0, 0.0, 100, cellSize = 2.0,
+        maxRings = 512)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all.size == 6 && all.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("oversize guard: a probe box over the cell cap refuses loudly") {
     val t = s"$db.cells_guard"
     GeoIndex.writeGeoIndex(geoms, "id", "g", t, cellSize = 2.0, buckets = 8)
