@@ -20,6 +20,24 @@ object Bench {
       // the back half of the run every stage recompiles (janino) what an
       // earlier query already built — pure fixed cost, no data-path change
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // streaming checkpoints: the default FileContext-based manager runs
+      // every temp-file create through RawLocalFileSystem.setPermission
+      // (fork/exec chmod) and every rename through FileUtil.readLink
+      // (fork/exec readlink) when no native hadoop lib is present — jstack
+      // sampling showed those forks as >60% of a stateful query's RUNNABLE
+      // samples (32 state partitions × operators × micro-batches files per
+      // query). The FileSystem-based manager hits neither exec path; its
+      // rename-based commit is atomic on any local/HDFS filesystem. Not a
+      // local[32]-only tune: any file:-scheme checkpoint dir benefits, and
+      // object-store deployments override the manager anyway.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      // file: I/O without per-file fork/exec chmod and without .crc
+      // sidecars — see graft.fs.NoChmodLocalFileSystem; content written
+      // is unchanged, HDFS/S3 schemes unaffected
+      .config("spark.hadoop.fs.file.impl",
+        "graft.fs.NoChmodLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before any timed query: JVM/codegen compilation,

@@ -20,6 +20,13 @@ object Verify {
       // when no downstream operator needs the hash distribution —
       // DisableUnnecessaryBucketedScan would otherwise forfeit the prune
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // see Bench.scala: the FileContext-based default forks a process per
+      // checkpoint temp-file create/rename on local filesystems
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.fs.NoChmodLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -42,11 +42,22 @@ object Bucketing {
   }
 
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet table
-    * (previous incarnations dropped and their directories cleared first). */
+    * (previous incarnations dropped and their directories cleared first).
+    *
+    * Rows are repartitioned BY THE BUCKET KEY first: Spark's bucketed
+    * write otherwise emits one file per (write task × non-empty bucket)
+    * — tasks×buckets small files per index build, the guide-§6 small-
+    * file anti-pattern that [[compactBucketed]] exists to repair later.
+    * The repartition hash IS the bucketing hash, so each task holds
+    * exactly one bucket and the table lands as `buckets` files, already
+    * in compacted form. The extra exchange moves the index rows once —
+    * the same bytes the bucketed layout was always going to cluster. */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     resetTable(df.sparkSession, table)
-    df.write.mode("overwrite").format("parquet")
+    import org.apache.spark.sql.functions.col
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 

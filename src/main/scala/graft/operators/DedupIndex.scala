@@ -88,7 +88,11 @@ object DedupIndex {
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec
       .getOrElse(sys.error(s"$table is not a bucketed index table"))
-    rows.write.mode("append").format("parquet")
+    // repartition by the bucket key first: a delta append otherwise lands
+    // one file per (task × touched bucket) instead of one per bucket —
+    // see Bucketing.writeBucketed; same hash, same layout, fewer files
+    rows.repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .write.mode("append").format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
       .sortBy(spec.sortColumnNames.head)
       .saveAsTable(table)

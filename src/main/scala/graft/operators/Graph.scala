@@ -129,7 +129,16 @@ object Graph {
   }
 
   /** The shared damped-round loop over a prepared (and persisted)
-    * graph, from an arbitrary integer start vector. */
+    * graph, from an arbitrary integer start vector.
+    *
+    * Each round's vector is MATERIALIZED (`localCheckpoint(true)`): a
+    * round references the previous vector twice (inflow + dangling
+    * mass), so a lazy loop re-plans ~2^iters copies of every earlier
+    * round's subtree into the one final DAG — ReuseExchange recovers
+    * only identical exchanges, and analysis/codegen pay for the rest.
+    * Materializing per round keeps the plan constant-size and is the
+    * standard Pregel posture at scale: the checkpointed vector is one
+    * row per node, the smallest frame in the computation. */
   private def runRounds(
       e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
       r0: DataFrame, iters: Int, unit: Long): DataFrame = {
@@ -147,10 +156,13 @@ object Graph {
         .select(col("node"),
           expr(s"(15 * ${unit}L + 85 * (coalesce(__in, 0L) + " +
             "(__dang div __n))) div 100").as("__pr"))
+        .localCheckpoint(true)
     }
-    CacheScope.unpersistAfterAction(
-      r.select(col("node"), col("__pr").as("rank_units")),
-      Seq(e, nodes, outdeg))
+    // rounds ran eagerly above; the loop-invariant caches are done
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    r.select(col("node"), col("__pr").as("rank_units"))
   }
 
   /**
@@ -195,6 +207,8 @@ object Graph {
           s"unit=$unit overflow envelope; lower the unit"), lit(""))))
         .otherwise(col("__n")).as("__n"))
     var r = nodes.select(col("node"), lit(unit).as("__pr"))
+    // per-round materialization: see runRounds — a lazy loop duplicates
+    // every earlier round's subtree ~2^iters times into one DAG
     for (_ <- 1 to iters) {
       val inflow = r.join(outw, "node").join(e, "node")
         .select(col("dst").as("node"),
@@ -207,10 +221,12 @@ object Graph {
         .select(col("node"),
           expr(s"(15 * ${unit}L + 85 * (coalesce(__in, 0L) + " +
             "(__dang div __n))) div 100").as("__pr"))
+        .localCheckpoint(true)
     }
-    CacheScope.unpersistAfterAction(
-      r.select(col("node"), col("__pr").as("rank_units")),
-      Seq(e, nodes, outw))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outw.unpersist(blocking = false)
+    r.select(col("node"), col("__pr").as("rank_units"))
   }
 
   /** The gauge of [[pagerank]]'s one approximation — TRUNCATION at
@@ -292,21 +308,24 @@ object Graph {
     }
     var h = nodes.select(col("node"), lit(unit).as("__h"))
     var a: DataFrame = null
+    // per-round materialization: see runRounds — each normalized vector
+    // is referenced twice per half-step (its total and its join), so a
+    // lazy loop quadruples the plan per iteration
     for (_ <- 1 to iters) {
       val aRaw = h.join(e, "node")
         .select(col("dst").as("node"), col("__h").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__raw"))
-      a = normalized(aRaw, "__a")
+      a = normalized(aRaw, "__a").localCheckpoint(true)
       val hRaw = a.withColumnRenamed("node", "dst").join(e, "dst")
         .select(col("node"), col("__a").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__raw"))
-      h = normalized(hRaw, "__h")
+      h = normalized(hRaw, "__h").localCheckpoint(true)
     }
-    CacheScope.unpersistAfterAction(
-      a.join(h, "node")
-        .select(col("node"), col("__a").as("auth_units"),
-          col("__h").as("hub_units")),
-      Seq(e, nodes))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    a.join(h, "node")
+      .select(col("node"), col("__a").as("auth_units"),
+        col("__h").as("hub_units"))
   }
 
   /**
@@ -343,6 +362,7 @@ object Graph {
     val nRow = guardedN(nodes, unit)
     val sRow = seed.agg(count(lit(1)).as("__s"))
     var r = nodes.select(col("node"), lit(unit).as("__pr"))
+    // per-round materialization: see runRounds
     for (_ <- 1 to iters) {
       val inflow = r.join(outdeg, "node").join(e, "node")
         .select(col("dst").as("node"),
@@ -360,10 +380,13 @@ object Graph {
               expr(s"((15 * (__n * ${unit}L)) div 100) div __s + " +
                 "((85 * __dang) div 100) div __s"))
               .otherwise(lit(0L))).as("__pr"))
+        .localCheckpoint(true)
     }
-    CacheScope.unpersistAfterAction(
-      r.select(col("node"), col("__pr").as("rank_units")),
-      Seq(e, nodes, outdeg, seed))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    seed.unpersist(blocking = false)
+    r.select(col("node"), col("__pr").as("rank_units"))
   }
 
   /**
@@ -393,16 +416,20 @@ object Graph {
     var d = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().join(nodes, "node")
       .select(col("node"), lit(0L).as("__dist"))
+    // per-round materialization: see runRounds — each relaxation
+    // references the previous frontier twice (kept + relaxed arm)
     for (_ <- 1 to maxHops) {
       val relaxed = d.join(e, "node")
         .select(col("dst").as("node"), (col("__dist") + 1L).as("__dist"))
       d = d.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("__dist")).as("__dist"))
+        .localCheckpoint(true)
     }
+    e.unpersist(blocking = false)
     CacheScope.unpersistAfterAction(
       nodes.join(d, Seq("node"), "left")
         .select(col("node"), col("__dist").as("dist")),
-      Seq(e, nodes))
+      Seq(nodes))
   }
 
   /**

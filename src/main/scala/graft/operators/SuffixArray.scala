@@ -20,19 +20,19 @@ import org.apache.spark.storage.StorageLevel
  * `window` ≥ the longest document gives the exact unbounded array.
  *
  * Comparison depth is EXACT: the FIRST pass ranks by the leading
- * c₀ = min(window, 8) code points directly (the key is the substring
- * itself — one pass instead of three; beyond ~8 the key would shuffle
- * document text rather than 16-byte rank pairs, so deeper starts trade
- * shuffle width for round count and 8 is where that trade flips),
- * coverage then grows c₀, 2c₀, 4c₀, … by pure doubling, and the last
- * round takes the partial step d = window − c ≤ c (the key
+ * c₀ = min(window, 16) code points directly (the key is the substring
+ * itself — one pass instead of five; deeper starts trade shuffle width
+ * for round count, and at ≤16 code points the key stays within a cache
+ * line while saving a whole corpus-wide ranking round per doubling it
+ * replaces), coverage then grows c₀, 2c₀, 4c₀, … by pure doubling, and
+ * the last round takes the partial step d = window − c ≤ c (the key
  * (rank_c(i), rank_c(i+d)) orders by the first d + c code points — the
  * overlap is benign: given the first c equal, positions d..d+c decide),
  * so ranks compare suffixes by exactly `window` code points, not the
- * next power of two. For window 48 that is 4 ranking passes
- * (8, 16, 32, 48) instead of the 7 a single-character start pays.
+ * next power of two. For window 48 that is 3 ranking passes
+ * (16, 32, 48) instead of the 7 a single-character start pays.
  *
- * Shape at 100 TB: ≤ ⌈log₂(window / 8)⌉ + 1 ranking rounds, each of which is
+ * Shape at 100 TB: ≤ ⌈log₂(window / 16)⌉ + 1 ranking rounds, each of which is
  *  - a per-document `lead(rank, d)` window (partitioned by doc — never a
  *    global window; group width is bounded by the document length), and
  *  - ONE distributed dense rank: range-repartition on the (rank, partner)
@@ -43,12 +43,13 @@ import org.apache.spark.storage.StorageLevel
  *    corpus-sized `dense_rank() OVER (ORDER BY …)` would funnel every
  *    suffix through one unsplittable task, which is the exact
  *    anti-pattern this module replaces. The per-partition passes are
- *    `mapPartitionsWithIndex` over the SAME persisted sorted RDD (the
+ *    `mapPartitionsWithIndex` over the SAME persisted sorted frame (the
  *    genuinely imperative per-partition case: run-length numbering
  *    against the previous row), so both passes see identical partition
- *    indices. Only a 2-deep persist window is held: round r reads only
- *    round r−1's RDD, which is released as soon as round r is
- *    materialized by its stats pass.
+ *    indices; the frame persists COLUMNAR and the keys stay FLAT
+ *    radix-sortable columns (see [[denseRank]]). Only a 2-deep persist
+ *    window is held: round r reads only round r−1's frame, which is
+ *    released as soon as round r is materialized by its stats pass.
  *
  * Early exit, twice over: when every rank is distinct (nothing left to
  * refine), and at the duplicate-content FIXED POINT — if a pure-doubling
@@ -81,88 +82,137 @@ object SuffixArray {
       window: Int): DataFrame = {
     require(window >= 1 && window <= 65536,
       "suffixRanks: window must be in 1..65536")
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // repartition BEFORE the ×length explode: documents arrive however
+    // the source was laid out (the bench corpus is one parquet file →
+    // one scan task), and the explode multiplies rows by ~mean doc
+    // length, so spreading 1× document bytes here is ~2 orders of
+    // magnitude cheaper than letting one task produce the whole suffix
+    // table serially (measured: round 0 ran 2×~2 s single-task stages)
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) > 0)
+      .repartition(p)
     val idField = StructField("__id",
       df.schema(df.schema.fieldIndex(idCol)).dataType, nullable = true)
     // first-pass coverage: rank by the leading c0 code points in ONE pass
     // (substr extracts code points; Spark string order is UTF-8 byte
-    // order, the same collation every later round refines under)
-    val c0 = math.min(window, 8)
+    // order, the same collation every later round refines under).
+    // 16 rather than the minimal 8: the first-pass key grows to ≤16 code
+    // points (≤64 shuffle bytes vs 16-byte rank pairs) but saves a whole
+    // ranking round for every window > 8 (window 48: 16→32→48, three
+    // passes instead of five) — measured faster at both settings' break
+    // points, and each avoided round is a shuffle + sort + two
+    // per-partition passes at any scale
+    val c0 = math.min(window, 16)
     val chars = base.select(col("__id"),
         explode(sequence(lit(0), length(col("__t")) - 1)).as("__p"),
         col("__t"))
       .select(col("__id"), col("__p").cast("long").as("__pos"),
         col("__t").substr(col("__p") + lit(1), lit(c0)).as("__c"))
-    var prevRdd: org.apache.spark.rdd.RDD[Row] = null
+      // one-round cache, as for `keyed` below: the range sampler would
+      // re-run the explode
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevCache: DataFrame = null
     try {
-      var (cur, rdd, distinct, total) =
-        denseRank(chars, struct(col("__c")), idField)
-      prevRdd = rdd
+      var (cur, cache, distinct, total) =
+        denseRank(chars, Seq(col("__c")), idField)
+      chars.unpersist(blocking = false)
+      prevCache = cache
       var c = c0 // coverage: ranks currently order by the first c code points
       val perDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
       var fixedPoint = distinct == total
       while (c < window && !fixedPoint) {
         val d = math.min(c, window - c)
+        // cached for ONE round: repartitionByRange's range sampling would
+        // otherwise execute the lead() window twice (once to pick the
+        // boundaries, once for the real shuffle); released as soon as the
+        // stats pass has materialized the sorted frame
         val keyed = cur.select(col("__id"), col("__pos"),
-          struct(col("__rank"),
-            coalesce(lead(col("__rank"), d).over(perDoc), lit(-1L))).as("__k"))
-        val r = denseRank(keyed, col("__k"), idField)
+            col("__rank").as("__k0"),
+            coalesce(lead(col("__rank"), d).over(perDoc), lit(-1L))
+              .as("__k1"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val r = denseRank(keyed, Seq(col("__k0"), col("__k1")), idField)
         // r is materialized (stats pass ran): release the previous round
-        prevRdd.unpersist(blocking = false)
-        prevRdd = r._2
+        keyed.unpersist(blocking = false)
+        prevCache.unpersist(blocking = false)
+        prevCache = r._2
         // pure-doubling stability (d == c, no class split) is final for
         // every depth; the partial step (d < c) is the last round anyway
         fixedPoint = r._3 == total || (d == c && r._3 == distinct)
         cur = r._1; distinct = r._3
         c += d
       }
-      // materialize the result before releasing the RDD it reads through
+      // materialize the result before releasing the cache it reads through
       cur.select(col("__id").as(idCol), col("__pos").as("pos"),
         col("__rank").as("rank")).localCheckpoint(true)
     } finally {
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      if (prevCache != null) prevCache.unpersist(blocking = false)
     }
   }
 
   /**
    * Distributed dense rank: returns (frame with (__id, __pos, __rank),
-   * its persisted sorted RDD — materialized by the stats pass, owned by
-   * the caller — distinct key count, row count). `key` must be orderable
-   * and null-free.
+   * its persisted sorted FRAME — materialized by the stats pass, owned
+   * by the caller — distinct key count, row count). `keys` must be
+   * orderable, null-free, and FLAT columns (one string, or two longs):
+   * flat leading sort keys keep the per-partition sort on the radix /
+   * 8-byte-prefix path of `UnsafeExternalRowSorter` — the struct-keyed
+   * formulation this replaces fell back to `SpecificOrdering` calling
+   * `UnsafeRow.equals` per comparison, which jstack sampling showed as
+   * one of the two hottest frames of the whole build. The frame is
+   * persisted COLUMNAR (DataFrame cache) instead of as an `RDD[Row]`
+   * object store: object-store persists re-walk sampled row graphs in
+   * `SizeEstimator` (the other hottest frame) and hold boxed rows; the
+   * columnar cache sizes itself per batch. The two per-partition passes
+   * (run summaries, run numbering) stay imperative — run-length logic
+   * against the previous row has no set-oriented equivalent that does
+   * not shuffle — but each is ONE conversion streamed out of the
+   * columnar cache, never a persisted object graph, and pass 1 projects
+   * the key columns only so id/pos are not even converted.
    */
   private def denseRank(
       df: DataFrame,
-      key: Column,
-      idField: StructField): (DataFrame, org.apache.spark.rdd.RDD[Row], Long, Long) = {
+      keys: Seq[Column],
+      idField: StructField): (DataFrame, DataFrame, Long, Long) = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.select(key.as("__k"), col("__id"), col("__pos"))
-      .repartitionByRange(p, col("__k"))
-      .sortWithinPartitions(col("__k"))
-      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition run summaries — P driver rows, not data
-    val stats = sorted.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L
-      var d = 0L
-      var first: Any = null
-      var last: Any = null
-      it.foreach { r =>
-        val k = r.get(0)
-        if (n == 0L) first = k
-        if (last == null || k != last) d += 1
-        last = k
-        n += 1
-      }
-      if (n == 0L) Iterator.empty else Iterator.single((pid, n, d, first, last))
-    }.collect().sortBy(_._1)
+    val nk = keys.length
+    val kNames = keys.indices.map(i => s"__k$i")
+    val sorted = df
+      .select(keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } ++
+        Seq(col("__id"), col("__pos")): _*)
+      .repartitionByRange(p, kNames.map(col): _*)
+      .sortWithinPartitions(kNames.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition run summaries — P driver rows, not data;
+    // keys-only projection off the columnar cache
+    val stats = sorted.select(kNames.map(col): _*).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L
+        var d = 0L
+        var f0: Any = null
+        var f1: Any = null
+        var l0: Any = null
+        var l1: Any = null
+        it.foreach { r =>
+          val k0 = r.get(0)
+          val k1 = if (nk > 1) r.get(1) else null
+          if (n == 0L) { f0 = k0; f1 = k1 }
+          if (n == 0L || k0 != l0 || (nk > 1 && k1 != l1)) d += 1
+          l0 = k0; l1 = k1
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((pid, n, d, Seq(f0, f1), Seq(l0, l1)))
+      }.collect().sortBy(_._1)
     // driver: global run numbering across partition boundaries — a key
     // run spanning partitions counts once and every partition of the
     // span starts at the run's first number
     val start = new Array[Long](p)
     var cum = 0L
     var total = 0L
-    var prevLast: Any = null
+    var prevLast: Seq[Any] = null
     stats.foreach { case (pid, n, d, first, last) =>
       val shared = prevLast != null && first == prevLast
       start(pid) = cum - (if (shared) 1L else 0L)
@@ -171,15 +221,20 @@ object SuffixArray {
       prevLast = last
     }
     val bc = spark.sparkContext.broadcast(start)
-    // pass 2: same persisted RDD, same partition indices — assign
-    // offset + local run index
-    val assigned = sorted.mapPartitionsWithIndex { (pid, it) =>
-      var prev: Any = null
+    // pass 2: same cached frame, same partition indices (narrow reads
+    // preserve them) — assign offset + local run index
+    val assigned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var p0: Any = null
+      var p1: Any = null
+      var any = false
       var local = -1L
       it.map { r =>
-        val k = r.get(0)
-        if (prev == null || k != prev) { local += 1; prev = k }
-        Row(r.get(1), r.get(2), bc.value(pid) + local)
+        val k0 = r.get(0)
+        val k1 = if (nk > 1) r.get(1) else null
+        if (!any || k0 != p0 || (nk > 1 && k1 != p1)) {
+          local += 1; p0 = k0; p1 = k1; any = true
+        }
+        Row(r.get(nk), r.get(nk + 1), bc.value(pid) + local)
       }
     }
     val schema = StructType(Seq(idField,

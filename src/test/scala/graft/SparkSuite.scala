@@ -14,6 +14,14 @@ object SparkSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // match the runtime posture: bucketed index scans keep bucket pruning
     .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // match Bench.scala: the FileContext-based default forks a process per
+    // checkpoint temp-file create/rename on local filesystems
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager")
+    // match Bench.scala: local file creates without fork/exec chmod
+    .config("spark.hadoop.fs.file.impl",
+      "graft.fs.NoChmodLocalFileSystem")
     .getOrCreate()
 }
 
