@@ -48,15 +48,23 @@ object Bucketing {
     * write otherwise emits one file per (write task × non-empty bucket)
     * — tasks×buckets small files per index build, the guide-§6 small-
     * file anti-pattern that [[compactBucketed]] exists to repair later.
-    * The repartition hash IS the bucketing hash, so each task holds
-    * exactly one bucket and the table lands as `buckets` files, already
-    * in compacted form. The extra exchange moves the index rows once —
-    * the same bytes the bucketed layout was always going to cluster. */
+    * The shuffle lands on a MULTIPLE m·buckets of the bucket count
+    * sized to the session's parallelism: both the repartition and the
+    * bucket id are `pmod(murmur3, n)` over the same key, so hash ≡ p
+    * (mod m·buckets) implies hash ≡ p (mod buckets) — every write task
+    * still holds exactly ONE bucket (m files per bucket, not
+    * tasks×buckets) while the parquet encode keeps ~full parallelism
+    * (repartitioning straight to `buckets` was measured to serialize
+    * the write onto `buckets` cores and regressed every index-build
+    * row). The extra exchange moves the index rows once — the same
+    * bytes the bucketed layout was always going to cluster. */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     resetTable(df.sparkSession, table)
     import org.apache.spark.sql.functions.col
-    df.repartition(buckets, col(key))
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = buckets * math.max(1, p / buckets)
+    df.repartition(n, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }

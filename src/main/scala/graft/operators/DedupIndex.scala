@@ -89,9 +89,12 @@ object DedupIndex {
       .bucketSpec
       .getOrElse(sys.error(s"$table is not a bucketed index table"))
     // repartition by the bucket key first: a delta append otherwise lands
-    // one file per (task × touched bucket) instead of one per bucket —
-    // see Bucketing.writeBucketed; same hash, same layout, fewer files
-    rows.repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+    // one file per (task × touched bucket) — see Bucketing.writeBucketed
+    // for the multiple-of-buckets sizing (one bucket per write task at
+    // ~full parallelism)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val n = spec.numBuckets * math.max(1, p / spec.numBuckets)
+    rows.repartition(n, col(spec.bucketColumnNames.head))
       .write.mode("append").format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
       .sortBy(spec.sortColumnNames.head)

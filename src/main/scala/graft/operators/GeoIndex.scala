@@ -166,8 +166,21 @@ object GeoIndex {
       a: DataFrame, aId: String, aEwkt: String,
       b: DataFrame, bId: String, bEwkt: String,
       cellSize: Double, maxCellsPerGeom: Int = 64): DataFrame = {
+    // cached: each prepared side is consumed by three arms (grid, own
+    // oversize, other side's oversize), and the preparation is the
+    // expensive part — the regexp coordinate scan over the WKT text —
+    // which would otherwise re-run per arm
     val sa = joinSide(a, aId, aEwkt, "a", cellSize, maxCellsPerGeom)
+      .persist()
     val sb = joinSide(b, bId, bEwkt, "b", cellSize, maxCellsPerGeom)
+      .persist()
+    CacheScope.unpersistAfterAction(
+      envelopeJoinPrepared(sa, sb, cellSize), Seq(sa, sb))
+  }
+
+  /** The three join arms over PREPARED (tagged, cached) sides. */
+  private def envelopeJoinPrepared(
+      sa: DataFrame, sb: DataFrame, cellSize: Double): DataFrame = {
     def grid(s: DataFrame) =
       s.where(col("cells") =!= array(lit(OversizeCell)))
         .withColumn("cell", explode(col("cells"))).drop("cells")
@@ -268,14 +281,22 @@ object GeoIndex {
   }
 
   /** [[envelopeJoin]] of a set with itself, each unordered pair once
-    * (`id_a < id_b`, self-pairs excluded). */
+    * (`id_a < id_b`, self-pairs excluded). The side is PREPARED ONCE
+    * (one regexp coordinate scan, one cache) and aliased as both join
+    * sides — the two-frame entry point would extract the identical
+    * envelopes twice. */
   def selfEnvelopeJoin(
       df: DataFrame, idCol: String, ewktCol: String,
-      cellSize: Double, maxCellsPerGeom: Int = 64): DataFrame =
-    envelopeJoin(df, idCol, ewktCol, df, idCol, ewktCol,
-      cellSize, maxCellsPerGeom)
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      cellSize: Double, maxCellsPerGeom: Int = 64): DataFrame = {
+    val sa = joinSide(df, idCol, ewktCol, "a", cellSize, maxCellsPerGeom)
+      .persist()
+    val sb = sa.toDF("b_id", "b_xmin", "b_xmax", "b_ymin", "b_ymax", "cells")
+    CacheScope.unpersistAfterAction(
+      envelopeJoinPrepared(sa, sb, cellSize)
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b")),
+      Seq(sa))
+  }
 
   def probeBBox(
       spark: SparkSession, table: String,

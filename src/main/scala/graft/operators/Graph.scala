@@ -79,9 +79,9 @@ object Graph {
       iters: Int, unit: Long = RankUnit): DataFrame = {
     require(iters >= 1 && iters <= 64, "pagerank: iters must be in 1..64")
     require(unit >= 100L, "pagerank: unit must be at least 100")
-    val (e, nodes, outdeg) = prepPersisted(edges, srcCol, dstCol)
+    val (e, nodes, outdeg, n) = prepPersisted(edges, srcCol, dstCol)
     val r0 = nodes.select(col("node"), lit(unit).as("__pr"))
-    runRounds(e, nodes, outdeg, r0, iters, unit)
+    runRounds(e, nodes, outdeg, r0, iters, unit, n)
   }
 
   /**
@@ -103,13 +103,13 @@ object Graph {
       iters: Int, unit: Long = RankUnit): DataFrame = {
     require(iters >= 1 && iters <= 64, "pagerankWarm: iters must be in 1..64")
     require(unit >= 100L, "pagerankWarm: unit must be at least 100")
-    val (e, nodes, outdeg) = prepPersisted(edges, srcCol, dstCol)
+    val (e, nodes, outdeg, n) = prepPersisted(edges, srcCol, dstCol)
     val r0 = nodes.join(
         prior.select(col(nodeCol).cast("long").as("node"),
           col(rankCol).cast("long").as("__pr0")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__pr0"), lit(unit)).as("__pr"))
-    runRounds(e, nodes, outdeg, r0, iters, unit)
+    runRounds(e, nodes, outdeg, r0, iters, unit, n)
   }
 
   /** The loop-invariant frames both fixpoint entry points share,
@@ -119,50 +119,75 @@ object Graph {
     * pipeline_crawl) ~3k times. */
   private def prepPersisted(
       edges: DataFrame, srcCol: String, dstCol: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
     val e = e0.persist()
     val nodes = nodes0.persist()
     val outdeg =
       e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
-    (e, nodes, outdeg)
+    // fill the caches EAGERLY: the fixpoint plan references these
+    // frames from many subtrees that execute as parallel stages, and
+    // parallel readers of a cold cache each recompute the lineage —
+    // for an edge list built by a whole extract→robots→trap chain
+    // (pipeline_crawl) that race re-ran the chain several times per
+    // action (measured: 75 CPU-s vs 40 with the caches pre-filled).
+    // Two node-sized counts; e fills as outdeg's input. The node count
+    // doubles as the fixpoint's overflow-guard/damping denominator
+    // (a driver literal instead of a per-round 1-row broadcast).
+    outdeg.count()
+    val n = nodes.count()
+    (e, nodes, outdeg, n)
   }
 
-  /** The shared damped-round loop over a prepared (and persisted)
-    * graph, from an arbitrary integer start vector.
+  /** The shared damped-round loop over a prepared (and persisted —
+    * EAGERLY, see [[prepPersisted]]) graph, from an arbitrary integer
+    * start vector.
     *
-    * Each round's vector is MATERIALIZED (`localCheckpoint(true)`): a
-    * round references the previous vector twice (inflow + dangling
-    * mass), so a lazy loop re-plans ~2^iters copies of every earlier
-    * round's subtree into the one final DAG — ReuseExchange recovers
-    * only identical exchanges, and analysis/codegen pay for the rest.
-    * Materializing per round keeps the plan constant-size and is the
-    * standard Pregel posture at scale: the checkpointed vector is one
-    * row per node, the smallest frame in the computation. */
+    * The loop stays LAZY on purpose: the rounds unfold into one plan
+    * whose repeated subtrees ReuseExchange dedups at execution — an
+    * eager per-round `localCheckpoint` variant was measured at +70%
+    * CPU on the plain pagerank rows and +380% on the gauges (which run
+    * two fixpoint depths that the one lazy plan shares via exchange
+    * reuse, but eager rounds must execute twice). What the lazy loop
+    * needs to be safe is exactly what prepPersisted now guarantees:
+    * the loop-invariant caches are filled before the fan-out races
+    * over them. */
   private def runRounds(
       e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
-      r0: DataFrame, iters: Int, unit: Long): DataFrame = {
-    val nRow = guardedN(nodes, unit)
+      r0: DataFrame, iters: Int, unit: Long, n: Long): DataFrame = {
+    require(n <= Long.MaxValue / 200 / unit,
+      s"pagerank: more than ${Long.MaxValue / 200 / unit} nodes " +
+        s"overflows the unit=$unit integer ranks; lower the unit")
+    val nDiv = math.max(n, 1L) // n == 0 ⇒ zero rows; keep the div legal
     var r = r0
     for (_ <- 1 to iters) {
-      val inflow = r.join(outdeg, "node").join(e, "node")
-        .select(col("dst").as("node"),
-          expr("__pr div __odeg").as("__c"))
-        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      val dangRow = r.join(outdeg, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("__pr")), lit(0L)).as("__dang"))
-      r = nodes.join(inflow, Seq("node"), "left")
-        .crossJoin(dangRow).crossJoin(nRow)
+      // ONE pass over the rank vector per round: inflow and the dangling
+      // mass come out of the same left-join aggregation (a dangling node
+      // survives the edge join with dst NULL carrying its whole rank).
+      // The previous formulation referenced r twice (inflow + a separate
+      // anti-join aggregate); the second reference sat under a broadcast
+      // exchange with no reusable shuffle boundary, so every round
+      // re-executed the prior round's tail — per-stage CPU accounting
+      // showed those broadcast children as the fixpoint's dominant cost.
+      val contrib = r.join(outdeg, Seq("node"), "left")
+        .join(e, Seq("node"), "left")
+        .select(col("dst"),
+          when(col("__odeg").isNull, col("__pr"))
+            .otherwise(expr("__pr div __odeg")).as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      val dangRow = contrib.where(col("dst").isNull)
+        .agg(coalesce(sum(col("__in")), lit(0L)).as("__dang"))
+      r = nodes.join(contrib.where(col("dst").isNotNull)
+            .select(col("dst").as("node"), col("__in")),
+          Seq("node"), "left")
+        .crossJoin(dangRow)
         .select(col("node"),
           expr(s"(15 * ${unit}L + 85 * (coalesce(__in, 0L) + " +
-            "(__dang div __n))) div 100").as("__pr"))
-        .localCheckpoint(true)
+            s"(__dang div ${nDiv}L))) div 100").as("__pr"))
     }
-    // rounds ran eagerly above; the loop-invariant caches are done
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    outdeg.unpersist(blocking = false)
-    r.select(col("node"), col("__pr").as("rank_units"))
+    CacheScope.unpersistAfterAction(
+      r.select(col("node"), col("__pr").as("rank_units")),
+      Seq(e, nodes, outdeg))
   }
 
   /**
@@ -197,6 +222,9 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val outw = e.groupBy(col("node")).agg(sum(col("__w")).as("__ow"))
       .persist()
+    // eager cache fill — see prepPersisted
+    outw.count()
+    nodes.count()
     val maxW = e.agg(coalesce(max(col("__w")), lit(1L)).as("__mw"))
     // compare via division — the product n·maxW could itself wrap, and
     // the guard must stay loud even with ANSI checks off
@@ -207,8 +235,6 @@ object Graph {
           s"unit=$unit overflow envelope; lower the unit"), lit(""))))
         .otherwise(col("__n")).as("__n"))
     var r = nodes.select(col("node"), lit(unit).as("__pr"))
-    // per-round materialization: see runRounds — a lazy loop duplicates
-    // every earlier round's subtree ~2^iters times into one DAG
     for (_ <- 1 to iters) {
       val inflow = r.join(outw, "node").join(e, "node")
         .select(col("dst").as("node"),
@@ -221,12 +247,10 @@ object Graph {
         .select(col("node"),
           expr(s"(15 * ${unit}L + 85 * (coalesce(__in, 0L) + " +
             "(__dang div __n))) div 100").as("__pr"))
-        .localCheckpoint(true)
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    outw.unpersist(blocking = false)
-    r.select(col("node"), col("__pr").as("rank_units"))
+    CacheScope.unpersistAfterAction(
+      r.select(col("node"), col("__pr").as("rank_units")),
+      Seq(e, nodes, outw))
   }
 
   /** The gauge of [[pagerank]]'s one approximation — TRUNCATION at
@@ -290,6 +314,9 @@ object Graph {
     val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
     val e = e0.persist()
     val nodes = nodes0.persist()
+    // eager cache fill — see prepPersisted
+    e.count()
+    nodes.count()
     val maxNodes = Long.MaxValue / unit / unit
     val nRow = nodes.agg(count(lit(1)).as("__n"))
       .select(when(col("__n") > maxNodes,
@@ -308,24 +335,21 @@ object Graph {
     }
     var h = nodes.select(col("node"), lit(unit).as("__h"))
     var a: DataFrame = null
-    // per-round materialization: see runRounds — each normalized vector
-    // is referenced twice per half-step (its total and its join), so a
-    // lazy loop quadruples the plan per iteration
     for (_ <- 1 to iters) {
       val aRaw = h.join(e, "node")
         .select(col("dst").as("node"), col("__h").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__raw"))
-      a = normalized(aRaw, "__a").localCheckpoint(true)
+      a = normalized(aRaw, "__a")
       val hRaw = a.withColumnRenamed("node", "dst").join(e, "dst")
         .select(col("node"), col("__a").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__raw"))
-      h = normalized(hRaw, "__h").localCheckpoint(true)
+      h = normalized(hRaw, "__h")
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    a.join(h, "node")
-      .select(col("node"), col("__a").as("auth_units"),
-        col("__h").as("hub_units"))
+    CacheScope.unpersistAfterAction(
+      a.join(h, "node")
+        .select(col("node"), col("__a").as("auth_units"),
+          col("__h").as("hub_units")),
+      Seq(e, nodes))
   }
 
   /**
@@ -359,10 +383,13 @@ object Graph {
       e.groupBy(col("node")).agg(count(lit(1)).as("__odeg")).persist()
     val seed = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().join(nodes, "node").persist()
+    // eager cache fill — see prepPersisted
+    outdeg.count()
+    nodes.count()
+    seed.count()
     val nRow = guardedN(nodes, unit)
     val sRow = seed.agg(count(lit(1)).as("__s"))
     var r = nodes.select(col("node"), lit(unit).as("__pr"))
-    // per-round materialization: see runRounds
     for (_ <- 1 to iters) {
       val inflow = r.join(outdeg, "node").join(e, "node")
         .select(col("dst").as("node"),
@@ -380,13 +407,10 @@ object Graph {
               expr(s"((15 * (__n * ${unit}L)) div 100) div __s + " +
                 "((85 * __dang) div 100) div __s"))
               .otherwise(lit(0L))).as("__pr"))
-        .localCheckpoint(true)
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    outdeg.unpersist(blocking = false)
-    seed.unpersist(blocking = false)
-    r.select(col("node"), col("__pr").as("rank_units"))
+    CacheScope.unpersistAfterAction(
+      r.select(col("node"), col("__pr").as("rank_units")),
+      Seq(e, nodes, outdeg, seed))
   }
 
   /**
@@ -413,23 +437,22 @@ object Graph {
     val (e0, nodes0) = prepGraph(edges, srcCol, dstCol)
     val e = e0.persist()
     val nodes = nodes0.persist()
+    // eager cache fill — see prepPersisted
+    e.count()
+    nodes.count()
     var d = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().join(nodes, "node")
       .select(col("node"), lit(0L).as("__dist"))
-    // per-round materialization: see runRounds — each relaxation
-    // references the previous frontier twice (kept + relaxed arm)
     for (_ <- 1 to maxHops) {
       val relaxed = d.join(e, "node")
         .select(col("dst").as("node"), (col("__dist") + 1L).as("__dist"))
       d = d.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("__dist")).as("__dist"))
-        .localCheckpoint(true)
     }
-    e.unpersist(blocking = false)
     CacheScope.unpersistAfterAction(
       nodes.join(d, Seq("node"), "left")
         .select(col("node"), col("__dist").as("dist")),
-      Seq(nodes))
+      Seq(e, nodes))
   }
 
   /**
