@@ -302,6 +302,32 @@ object SparkEntry {
         tbl
       })
 
+  /** The at-rest SPATIAL CELL index over the shifted mixed-geometry
+    * fixture, built ONCE per (session, dir) and shared by the two
+    * spatial probes (`geo_cell_probe` bbox scan, `geo_cell_knn` ring
+    * search) — the [[suffixRanks48]] build-once-per-corpus-release
+    * posture; the build bills to whichever probe runs first. Keying
+    * and digest rationale as [[suffixRanksCache]]. */
+  private val geoCellIdxCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def geoCellIdx(s: SparkSession, dir: String): String =
+    geoCellIdxCache
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString
+        val tbl = s"${indexDb(s)}.geo_cell_idx_$digest"
+        val geoms = mixedWktFixture(s, dir).select(
+          col("o_orderkey").as("id"),
+          Clean.shiftWkt(col("wkt_raw")).as("g"))
+        operators.GeoIndex.writeGeoIndex(
+          geoms, "id", "g", tbl, cellSize = 4.0, buckets = 8)
+        tbl
+      })
+
   /** Mixed-geometry WKT fixture shared by `s4_clean_geometry` and the
     * general-geometry `geo_*` gauges: cycles POINT / LINESTRING /
     * POLYGON / leading-digit MULTIPOLYGON / plain text by key, all
@@ -7936,40 +7962,25 @@ object SparkEntry {
     // the shifted mixed geometries land bucketed on their grid cell,
     // then one bbox probe scans only the box's cells (+ the oversize
     // sidecar) bucket-pruned. The oracle is the DIRECT envelope filter
-    // over the same geometry — the index must be invisible in the ids
-    "geo_cell_probe" -> ((s, dir) => {
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString
-      val tbl = s"${indexDb(s)}.geo_cell_idx_$digest"
-      val geoms = mixedWktFixture(s, dir).select(
-        col("o_orderkey").as("id"),
-        Clean.shiftWkt(col("wkt_raw")).as("g"))
-      operators.GeoIndex.writeGeoIndex(
-        geoms, "id", "g", tbl, cellSize = 4.0, buckets = 8)
+    // over the same geometry — the index must be invisible in the ids.
+    // The index is the MEMOIZED per-(session, dir) artifact shared with
+    // geo_cell_knn (the suffixRanks48 build-once-per-release posture) —
+    // both probes previously rebuilt the identical (geometry, grid)
+    // table under two names, double-billing the one-time build
+    "geo_cell_probe" -> ((s, dir) =>
       operators.GeoIndex.probeBBox(
-          s, tbl, 160.0, -45.0, 200.0, 10.0, cellSize = 4.0)
-        .orderBy(col("id"))
-    }),
+          s, geoCellIdx(s, dir), 160.0, -45.0, 200.0, 10.0, cellSize = 4.0)
+        .orderBy(col("id"))),
 
     // ring-search k-NN over the cell index: expanding cell rings from
     // the probe's cell, stop once the kth-best distance bounds the next
     // ring out. The oracle is the direct full-scan top-k by envelope
     // distance — the ring search must be invisible
-    "geo_cell_knn" -> ((s, dir) => {
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString
-      val tbl = s"${indexDb(s)}.geo_knn_idx_$digest"
-      val geoms = mixedWktFixture(s, dir).select(
-        col("o_orderkey").as("id"),
-        Clean.shiftWkt(col("wkt_raw")).as("g"))
-      operators.GeoIndex.writeGeoIndex(
-        geoms, "id", "g", tbl, cellSize = 4.0, buckets = 8)
-      operators.GeoIndex.probeKnn(s, tbl, 180.0, -20.0, 15, cellSize = 4.0)
+    "geo_cell_knn" -> ((s, dir) =>
+      operators.GeoIndex.probeKnn(s, geoCellIdx(s, dir), 180.0, -20.0, 15,
+          cellSize = 4.0)
         .select(col("id"), round(col("dist"), 6).as("dist"))
-        .orderBy(col("dist"), col("id"))
-    }),
+        .orderBy(col("dist"), col("id"))),
 
     // the grid SPATIAL JOIN (PBSM shape): all envelope-intersecting
     // pairs of the shifted mixed geometries, co-partitioned by cell with
