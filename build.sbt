@@ -11,6 +11,49 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness that drives `sbt "runMain graft.Bench"` parses the bench's
+// one-line JSON from stdout; the default LoggedOutput strategy prefixes
+// every forked line with `[info] `, which broke that parse (round-17
+// PERF: prev/now_bench_ok both false with the JSON present only as an
+// sbt log line). StdoutOutput inherits the child's stdout unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ---- parallel test JVMs ------------------------------------------------
+// One forked JVM ran all ~80 suites sequentially at local[4]: ~26 min of
+// the driver's budget on a 32-core host (round 17's gates were cut off by
+// exactly that budget). Suites are split across N forked JVMs run
+// concurrently; each group gets its OWN spark warehouse dir (bucketed
+// index tables are the only cross-suite shared location — everything
+// else is per-test temp dirs), so groups are fully isolated.
+val testGroups = 6
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = (Test / forkOptions).value
+  val base = (Test / target).value
+  // spread the long-running suites first, one per group, then deal the
+  // rest round-robin by name — keeps group walls within ~2x of even
+  val heavy = Seq(
+    "graft.PlanAuditSpec", "graft.streaming.StreamResumeSpec",
+    "graft.operators.OperatorsSpec", "graft.operators.PipelineOpsSpec",
+    "graft.bde.OrchestratorSpec", "graft.operators.SuffixArraySpec",
+    "graft.operators.GraphSpec", "graft.operators.DedupIndexSpec",
+    "graft.operators.RetractSpec", "graft.sources.WarcSpec",
+    "graft.operators.GeoIndexSpec", "graft.bde.LoaderSpec")
+  val (hd, rest) = tests.partition(t => heavy.contains(t.name))
+  val ordered = hd.sortBy(t => heavy.indexOf(t.name)) ++ rest.sortBy(_.name)
+  ordered.zipWithIndex.groupBy(_._2 % testGroups).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      val opts = forkOpts.withRunJVMOptions(forkOpts.runJVMOptions ++
+        Vector(s"-Dspark.sql.warehouse.dir=$base/test-warehouse-$i",
+          s"-Dspark.local.dir=$base/test-spark-local-$i"))
+      Tests.Group(s"group$i", ts.map(_._1), Tests.SubProcess(opts))
+    }
+}
+// sbt caps concurrently running forked test groups at 1 by default;
+// raise it to the group count (each group's session is local[4], so
+// 6 groups use ~24 of the 32 cores at full fan-out)
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(16),
+  Tags.limit(Tags.ForkedTestGroup, testGroups))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

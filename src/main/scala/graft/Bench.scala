@@ -122,6 +122,16 @@ object Bench {
         .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val gcSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val peakHeapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // JIT compilation time per query (delta of the JVM-wide total): a
+    // wall blowup at flat CPU with high jit_secs = compile storm (e.g.
+    // code-cache churn from hundreds of generated classes), not plan
+    // cost — the r17 driver run's 50-70x stalls on tiny fixtures needed
+    // exactly this column to adjudicate
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
+    val jitSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     // optional args = query-name filter (for targeted timing during tuning)
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -132,6 +142,7 @@ object Bench {
       val t0 = System.nanoTime()
       val c0 = cpuNanos()
       val g0 = gcMillis()
+      val j0 = jitMillis()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -143,6 +154,7 @@ object Bench {
         finally spark.catalog.clearCache()
       cpuSecs(name) = (cpuNanos() - c0) / 1e9
       gcSecs(name) = (gcMillis() - g0) / 1e3
+      jitSecs(name) = (jitMillis() - j0) / 1e3
       peakHeapMb(name) = heapPools.map(p =>
         Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -167,9 +179,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullHeap = peakHeapMb.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cpu_secs":$fullCpu,"gc_secs":$fullGc,"peak_heap_mb":$fullHeap,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullJit = jitSecs.map { case (k, v) =>
+      q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"cpu_secs":$fullCpu,"gc_secs":$fullGc,"jit_secs":$fullJit,"peak_heap_mb":$fullHeap,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+    // detail file named by core count: the driver benches the SAME cwd at
+    // two core counts, and round 17's 8-core run overwrote the 32-core
+    // record — per-core-count files keep both adjudicable
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
+      java.nio.file.Path.of(s"BENCH_DETAIL_c$cpus.json"), detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write skipped: ${e.getMessage}") }
     // Compact stdout line: failures always included, then queries by

@@ -77,36 +77,54 @@ object GeoOps {
   private val PairRe =
     "([-+]?[.0-9][0-9.eE+-]*) ([-+]?[.0-9][0-9.eE+-]*)"
 
-  /** All vertex x values of any WKT/EWKT geometry, in text order. */
+  /** All vertex x values of any WKT/EWKT geometry, in text order.
+    * Declarative reference form — the accessors below derive the same
+    * aggregates through the compiled one-pass
+    * [[graft.plans.GeoEnvelopeExpr]] (HOF `transform` is
+    * CodegenFallback and each accessor re-ran the full pair scan;
+    * GeoEnvelopeExprSpec pins the two forms equal). `try_cast`, not
+    * `cast`: the DuckDB twin below is TRY_CAST, and under Spark 4's
+    * default ANSI mode a plain cast would THROW on an unparsable
+    * capture instead of the twins' null — unreachable from the
+    * cleanser's %.6f re-rendered output, but the accessor contract is
+    * null-propagating, never an exception. */
   def stXs(ewkt: Column): Column =
     transform(regexp_extract_all(ewkt, lit(PairRe), lit(1)),
-      v => v.cast("double"))
+      v => v.try_cast("double"))
 
-  /** All vertex y values of any WKT/EWKT geometry, in text order. */
+  /** All vertex y values of any WKT/EWKT geometry, in text order
+    * (declarative reference — see [[stXs]]). */
   def stYs(ewkt: Column): Column =
     transform(regexp_extract_all(ewkt, lit(PairRe), lit(2)),
-      v => v.cast("double"))
+      v => v.try_cast("double"))
+
+  /** The one-pass envelope scan all aggregate accessors share: struct
+    * (xmin, xmax, ymin, ymax, n, sumx, sumy). Identical sibling
+    * instances collapse via codegen subexpression elimination, so a
+    * projection of several accessors scans the text once. */
+  private def envelope(ewkt: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.GeoEnvelopeExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(ewkt)))
 
   /** Vertex count of any geometry (0-vertex/non-geometry → NULL so the
     * downstream aggregates NULL-propagate like the POINT accessors). */
   def stNPoints(ewkt: Column): Column = {
-    val n = size(regexp_extract_all(ewkt, lit(PairRe), lit(0)))
+    val n = envelope(ewkt).getField("n")
     when(n > 0, n)
   }
 
   /** Envelope bounds of any geometry (NULL when it has no vertices). */
-  def stXMin(ewkt: Column): Column = array_min(stXs(ewkt))
-  def stXMax(ewkt: Column): Column = array_max(stXs(ewkt))
-  def stYMin(ewkt: Column): Column = array_min(stYs(ewkt))
-  def stYMax(ewkt: Column): Column = array_max(stYs(ewkt))
+  def stXMin(ewkt: Column): Column = envelope(ewkt).getField("xmin")
+  def stXMax(ewkt: Column): Column = envelope(ewkt).getField("xmax")
+  def stYMin(ewkt: Column): Column = envelope(ewkt).getField("ymin")
+  def stYMax(ewkt: Column): Column = envelope(ewkt).getField("ymax")
 
   /** Vertex-centroid coordinates (mean of all vertices). */
   def stCentroidX(ewkt: Column): Column =
-    aggregate(stXs(ewkt), lit(0.0), (acc, x) => acc + x) /
-      stNPoints(ewkt)
+    envelope(ewkt).getField("sumx") / stNPoints(ewkt)
   def stCentroidY(ewkt: Column): Column =
-    aggregate(stYs(ewkt), lit(0.0), (acc, y) => acc + y) /
-      stNPoints(ewkt)
+    envelope(ewkt).getField("sumy") / stNPoints(ewkt)
 
   /** Geometry envelope fully inside the closed query box — the
     * general-geometry analogue of [[stWithinBBox]]. */

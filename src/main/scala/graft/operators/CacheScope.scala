@@ -25,8 +25,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
  *  - a SECOND action over the same returned frame recomputes without the
  *    cache (correct, just cold) — callers that iterate should cache the
  *    final result themselves;
- *  - if the caller never runs an action the listener stays registered and
- *    the cache stays pinned until the usual session-level `clearCache()`;
+ *  - if the caller never runs an action the listener self-expires after
+ *    [[CacheScope.MaxMissedActions]] non-matching actions (unpersisting
+ *    its caches — a later action over the frame recomputes cold, which
+ *    is correct). Without the expiry a many-query session accumulated
+ *    one live listener per never-actioned operator result, and EVERY
+ *    subsequent action paid a full `analyzed.exists(sameResult)` plan
+ *    traversal per leaked listener on the listener bus (plus the
+ *    retained analyzed plans and cache handles) — the round-17 bench's
+ *    410-query sweep is exactly such a session;
  *  - listener dispatch is asynchronous, so the unpersist lands shortly
  *    after the action returns (storage is freed between queries, which is
  *    what the many-table run needs; `blocking = false` keeps it off the
@@ -34,16 +41,31 @@ import org.apache.spark.sql.util.QueryExecutionListener
  */
 object CacheScope {
 
+  /** Non-matching actions a listener observes before it gives up,
+    * unpersists its caches and unregisters. Generous: an operator's
+    * caller runs its action within a query, not hundreds of actions
+    * later — the expiry only catches results that were built and then
+    * abandoned. */
+  val MaxMissedActions: Int = 64
+
   def unpersistAfterAction(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       @volatile private var done = false
+      @volatile private var missed = 0
+      private def expire(): Unit = {
+        done = true
+        caches.foreach(_.unpersist(blocking = false))
+        spark.listenerManager.unregister(this)
+      }
       private def fire(qe: QueryExecution): Unit =
-        if (!done && qe.analyzed.exists(_.sameResult(target))) {
-          done = true
-          caches.foreach(_.unpersist(blocking = false))
-          spark.listenerManager.unregister(this)
+        if (!done) {
+          if (qe.analyzed.exists(_.sameResult(target))) expire()
+          else {
+            missed += 1
+            if (missed >= MaxMissedActions) expire()
+          }
         }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = fire(qe)

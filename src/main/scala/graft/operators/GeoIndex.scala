@@ -216,14 +216,18 @@ object GeoIndex {
    * list, plus the oversize sidecar once), and the search stops as soon
    * as the k-th best distance is ≤ the next ring's minimum possible
    * distance `(r ⋅ cellSize)` — for a probe in a dense region the scan
-   * touches a handful of cells of a 100 TB index; `maxRings` bounds a
-   * probe in empty space. Per ring only the k best candidates ride to
-   * the driver (k-bounded collect, the [[Selection]] precedent);
-   * returns (id, dist) — dist full-precision, ordered (dist, id).
+   * touches a handful of cells of a 100 TB index. `maxRings` bounds the
+   * driver-paced loop for a probe in EMPTY space: past it the search
+   * falls back to ONE distributed full top-k over the index (the
+   * oracle's own shape — exact by construction, and one job instead of
+   * an unbounded ring walk whose per-ring literal lists grow as 8r).
+   * Per ring only the k best candidates ride to the driver (k-bounded
+   * collect, the [[Selection]] precedent); returns (id, dist) — dist
+   * full-precision, ordered (dist, id).
    */
   def probeKnn(
       spark: SparkSession, table: String, px: Double, py: Double, k: Int,
-      cellSize: Double, maxRings: Int = 64): DataFrame = {
+      cellSize: Double, maxRings: Int = 8): DataFrame = {
     require(k >= 1, s"probeKnn: k must be >= 1, got $k")
     val cx0 = math.floor(px / cellSize).toLong
     val cy0 = math.floor(py / cellSize).toLong
@@ -274,6 +278,16 @@ object GeoIndex {
       // every cell of ring r+1 lies at least r*cellSize from the probe
       done = kth <= r * cellSize
       r += 1
+    }
+    if (!done) {
+      // sparse-region fallback: the rings found too few (or too far)
+      // candidates to bound the search — one exact distributed top-k
+      // over the whole index replaces the remaining ring walk
+      best.clear()
+      live.select(col("id"), dist.as("dist")).distinct()
+        .orderBy(col("dist"), col("id")).limit(k)
+        .collect()
+        .foreach(row => best.getOrElseUpdate(row.getLong(0), row.getDouble(1)))
     }
     import spark.implicits._
     best.toSeq.sortBy { case (id, d) => (d, id) }.take(k)

@@ -159,6 +159,13 @@ class GeoIndexSpec extends SparkSuite {
         maxRings = 512)
       .collect().map(_.getLong(0)).toSeq
     assert(all.size == 6 && all.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // sparse-region arm: the probe sits so far out that maxRings = 2
+    // cannot bound the search — the full-scan fallback must still
+    // return the exact top-k
+    val sparse = GeoIndex.probeKnn(spark, t, 5000.0, 5000.0, 3,
+        cellSize = 2.0, maxRings = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sparse == bruteKnn(5000.0, 5000.0, 3), s"sparse probe: $sparse")
   }
 
   test("oversize guard: a probe box over the cell cap refuses loudly") {
