@@ -70,4 +70,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A many-query session compiles hundreds of unique generated classes
+  // (whole-stage codegen); the JDK default 240 MB code cache fills
+  // mid-run, and the flush→re-profile→recompile churn was measured at
+  // 21% of the whole bench's process CPU (407 of 1951 CPU-s in the
+  // per-query jit_secs column) with compile threads competing with task
+  // threads — the round-17 "randomly shifting victims" signature. Plain
+  // JVM sizing for this workload, not a data-path change.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )
+// measurement hook (profiling runs set e.g. -Dspark.eventLog.enabled=true);
+// empty in normal and driver runs
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -123,16 +123,36 @@ object SuffixArray {
       var fixedPoint = distinct == total
       while (c < window && !fixedPoint) {
         val d = math.min(c, window - c)
+        // PACK the (rank, partner) pair into ONE long when every rank fits
+        // 32 bits (total suffixes < 2^31 — known exactly from the previous
+        // round's stats pass): `rank · 2³² + (partner + 1)` preserves the
+        // pair's lexicographic order and equality bit-for-bit (both
+        // components non-negative after the +1, partner ∈ [-1, total)), so
+        // ranks are unchanged, while the per-partition sort runs on the
+        // RADIX path (an 8-byte prefix is the whole key; the two-column
+        // key forced every comparison through TimSort + SpecificOrdering —
+        // one of the two hottest frames in jstack sampling) and the
+        // shuffle/cache key narrows 16 → 8 bytes (§2.3). Corpora past 2³¹
+        // suffixes take the two-column arm unchanged — the pack is a
+        // measured-size choice like broadcast-vs-SMJ, never a local tune.
+        val packable = total < (1L << 31)
+        val partner =
+          coalesce(lead(col("__rank"), d).over(perDoc), lit(-1L))
         // cached for ONE round: repartitionByRange's range sampling would
         // otherwise execute the lead() window twice (once to pick the
         // boundaries, once for the real shuffle); released as soon as the
         // stats pass has materialized the sorted frame
-        val keyed = cur.select(col("__id"), col("__pos"),
-            col("__rank").as("__k0"),
-            coalesce(lead(col("__rank"), d).over(perDoc), lit(-1L))
-              .as("__k1"))
+        val keyed = (if (packable)
+            cur.select(col("__id"), col("__pos"),
+              (col("__rank") * lit(1L << 32) + (partner + lit(1L)))
+                .as("__k0"))
+          else
+            cur.select(col("__id"), col("__pos"),
+              col("__rank").as("__k0"), partner.as("__k1")))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val r = denseRank(keyed, Seq(col("__k0"), col("__k1")), idField)
+        val keyCols =
+          if (packable) Seq(col("__k0")) else Seq(col("__k0"), col("__k1"))
+        val r = denseRank(keyed, keyCols, idField)
         // r is materialized (stats pass ran): release the previous round
         keyed.unpersist(blocking = false)
         prevCache.unpersist(blocking = false)
@@ -185,9 +205,22 @@ object SuffixArray {
       .repartitionByRange(p, kNames.map(col): _*)
       .sortWithinPartitions(kNames.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Both per-partition passes stream CATALYST rows (queryExecution
+    // .toRdd), never external `Row`s: `.rdd` converted every value
+    // through `createExternalRow` and the result re-encoded through
+    // `RowEncoder` — jstack showed the conversions among the build's
+    // hot frames. Values held ACROSS rows must be copied out of the
+    // operator's reused row buffer (UTF8String aliases it; longs are
+    // read by value).
+    val kTypes = sorted.schema.take(nk).map(_.dataType)
+    def copied(v: Any): Any = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+      case other => other
+    }
     // pass 1: per-partition run summaries — P driver rows, not data;
     // keys-only projection off the columnar cache
-    val stats = sorted.select(kNames.map(col): _*).rdd
+    val stats = sorted.select(kNames.map(col): _*)
+      .queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L
         var d = 0L
@@ -196,11 +229,15 @@ object SuffixArray {
         var l0: Any = null
         var l1: Any = null
         it.foreach { r =>
-          val k0 = r.get(0)
-          val k1 = if (nk > 1) r.get(1) else null
-          if (n == 0L) { f0 = k0; f1 = k1 }
-          if (n == 0L || k0 != l0 || (nk > 1 && k1 != l1)) d += 1
-          l0 = k0; l1 = k1
+          val k0 = r.get(0, kTypes(0))
+          val k1 = if (nk > 1) r.get(1, kTypes(1)) else null
+          // l0/l1 hold the current RUN's key (copied out of the reused
+          // buffer once per run — an unchanged key equals the held copy)
+          if (n == 0L || k0 != l0 || (nk > 1 && k1 != l1)) {
+            d += 1
+            l0 = copied(k0); l1 = copied(k1)
+            if (n == 0L) { f0 = l0; f1 = l1 }
+          }
           n += 1
         }
         if (n == 0L) Iterator.empty
@@ -223,24 +260,32 @@ object SuffixArray {
     val bc = spark.sparkContext.broadcast(start)
     // pass 2: same cached frame, same partition indices (narrow reads
     // preserve them) — assign offset + local run index
-    val assigned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var p0: Any = null
-      var p1: Any = null
-      var any = false
-      var local = -1L
-      it.map { r =>
-        val k0 = r.get(0)
-        val k1 = if (nk > 1) r.get(1) else null
-        if (!any || k0 != p0 || (nk > 1 && k1 != p1)) {
-          local += 1; p0 = k0; p1 = k1; any = true
+    val idType = idField.dataType
+    val assigned = sorted.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var p0: Any = null
+        var p1: Any = null
+        var any = false
+        var local = -1L
+        it.map { r =>
+          val k0 = r.get(0, kTypes(0))
+          val k1 = if (nk > 1) r.get(1, kTypes(1)) else null
+          if (!any || k0 != p0 || (nk > 1 && k1 != p1)) {
+            local += 1; p0 = copied(k0); p1 = copied(k1); any = true
+          }
+          val out = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(3)
+          out.update(0, copied(r.get(nk, idType)))
+          out.update(1, r.getLong(nk + 1))
+          out.update(2, bc.value(pid) + local)
+          out: org.apache.spark.sql.catalyst.InternalRow
         }
-        Row(r.get(nk), r.get(nk + 1), bc.value(pid) + local)
       }
-    }
     val schema = StructType(Seq(idField,
       StructField("__pos", LongType, nullable = false),
       StructField("__rank", LongType, nullable = false)))
-    (spark.createDataFrame(assigned, schema), sorted, cum, total)
+    (org.apache.spark.sql.graftbridge.ColumnBridge
+      .internalCreateDataFrame(spark, assigned, schema), sorted, cum, total)
   }
 
   /**

@@ -15,4 +15,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an RDD of CATALYST rows — `SparkSession.
+    * internalCreateDataFrame`, the converter `Dataset.rdd`-based
+    * round-trips pay twice (internal→external `Row` out,
+    * `RowEncoder` back in). Used by the per-partition passes that
+    * stream a cached frame imperatively (SuffixArray.denseRank). */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
