@@ -267,7 +267,23 @@ object Bucketing {
     * (`PartitionFilters` in the plan, pinned by `PlanAuditSpec`). The
     * at-rest complement of [[writeBucketed]]: partitioning prunes scans,
     * bucketing co-locates joins; a 100 TB corpus wants both
-    * (`partitionBy(split).bucketBy(n, doc_id)`). */
+    * (`partitionBy(split).bucketBy(n, doc_id)`).
+    *
+    * Rows are CLUSTERED by the partition value first (the
+    * [[compactBucketed]]/[[writeBucketed]] posture): an unclustered
+    * `partitionBy` write emits one file per (write task × value it
+    * holds) — tasks×cells small files per index build that every probe
+    * then pays at listing/open time and [[compactPartitioned]] exists to
+    * repair. Hash-repartitioning on the value sends each value's rows to
+    * exactly ONE task → one file per value per write; the exchange moves
+    * the rows once, the same bytes the layout clusters anyway. */
   def writePartitioned(df: DataFrame, path: String, col: String): Unit =
-    df.write.mode("overwrite").partitionBy(col).parquet(path)
+    df.repartition(org.apache.spark.sql.functions.col(col))
+      .write.mode("overwrite").partitionBy(col).parquet(path)
+
+  /** The append door of [[writePartitioned]] — same one-file-per-value
+    * clustering, `mode("append")` folding into existing value dirs. */
+  def appendPartitioned(df: DataFrame, path: String, col: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(col))
+      .write.mode("append").partitionBy(col).parquet(path)
 }

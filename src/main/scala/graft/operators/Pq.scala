@@ -407,8 +407,8 @@ object IvfPq {
     val (cents, books) = loadQuantizers(batch.sparkSession, path)
     val (b, vc) = applyRotation(batch, idCol, vecCol,
       loadRotation(batch.sparkSession, path))
-    encodeRows(b, idCol, vc, cents, books)
-      .write.mode("append").partitionBy("cluster").parquet(path)
+    Bucketing.appendPartitioned(
+      encodeRows(b, idCol, vc, cents, books), path, "cluster")
   }
 
   /**

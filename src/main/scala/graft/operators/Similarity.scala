@@ -220,9 +220,10 @@ object Similarity {
    */
   def appendIvfIndex(
       batch: DataFrame, idCol: String, vecCol: String, path: String): Unit =
-    assignClusters(batch, idCol, vecCol,
-      loadIvfSeeds(batch.sparkSession, path))
-      .write.mode("append").partitionBy("cluster").parquet(path)
+    Bucketing.appendPartitioned(
+      assignClusters(batch, idCol, vecCol,
+        loadIvfSeeds(batch.sparkSession, path)),
+      path, "cluster")
 
   /**
    * [[ivfTopK]] against the PERSISTED inverted file: queries assign to
@@ -350,8 +351,9 @@ object Similarity {
     * build-time codes. */
   def appendIvfSq8Index(
       batch: DataFrame, idCol: String, vecCol: String, path: String): Unit =
-    sq8Rows(batch, idCol, vecCol, loadIvfSeeds(batch.sparkSession, path))
-      .write.mode("append").partitionBy("cluster").parquet(path)
+    Bucketing.appendPartitioned(
+      sq8Rows(batch, idCol, vecCol, loadIvfSeeds(batch.sparkSession, path)),
+      path, "cluster")
 
   /** [[ivfTopKIndexed]] over the SQ8 index: partition-pruned cell scan
     * reading ONLY (cid, qv, cluster) — `ReadSchema` excludes `scale`,

@@ -682,15 +682,16 @@ object Warc {
    */
   def writeCdxHostIndex(
       spark: SparkSession, warcPaths: Seq[String], path: String): Unit =
-    cdxHostRows(spark, warcPaths)
-      .write.mode("overwrite").partitionBy("surt_host").parquet(path)
+    graft.operators.Bucketing.writePartitioned(
+      cdxHostRows(spark, warcPaths), path, "surt_host")
 
   /** Index newly-arrived shards into the host-partitioned layout (blind
-    * per-release append — one more file per touched host directory). */
+    * per-release append — one more file per touched host directory,
+    * value-clustered like the build: see Bucketing.writePartitioned). */
   def appendCdxHostIndex(
       spark: SparkSession, warcPaths: Seq[String], path: String): Unit =
-    cdxHostRows(spark, warcPaths)
-      .write.mode("append").partitionBy("surt_host").parquet(path)
+    graft.operators.Bucketing.appendPartitioned(
+      cdxHostRows(spark, warcPaths), path, "surt_host")
 
   private def cdxHostRows(
       spark: SparkSession, warcPaths: Seq[String]): DataFrame =
