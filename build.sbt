@@ -24,7 +24,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // concurrently; each group gets its OWN spark warehouse dir (bucketed
 // index tables are the only cross-suite shared location — everything
 // else is per-test temp dirs), so groups are fully isolated.
-val testGroups = 6
+val testGroups = 8
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val forkOpts = (Test / forkOptions).value

@@ -7967,6 +7967,24 @@ object SparkEntry {
     // geo_cell_knn (the suffixRanks48 build-once-per-release posture) —
     // both probes previously rebuilt the identical (geometry, grid)
     // table under two names, double-billing the one-time build
+    // the index BUILD as its own timed, oracle-checked row (the
+    // suffix_sharded_build precedent): it sorts FIRST alphabetically in
+    // its family, so the memoized one-time build bills here and the
+    // probe rows below report pure probe cost. The summary folds every
+    // index row — count, distinct geometries, oversize arm, and a cell
+    // checksum — so a wrong cell id or a lost/duplicated row anywhere
+    // moves a value; the oracle restates envelope extraction AND the
+    // grid enumeration (floor arithmetic, oversize rules) directly
+    "geo_cell_build" -> ((s, dir) => {
+      val oversize = operators.GeoIndex.OversizeCell
+      s.table(geoCellIdx(s, dir)).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("id")).as("n_geoms"),
+        count(when(col("cell") === oversize, lit(1))).as("n_oversize"),
+        sum(when(col("cell") =!= oversize, col("cell")))
+          .as("cell_checksum"))
+    }),
+
     "geo_cell_probe" -> ((s, dir) =>
       operators.GeoIndex.probeBBox(
           s, geoCellIdx(s, dir), 160.0, -45.0, 200.0, 10.0, cellSize = 4.0)
@@ -13700,6 +13718,50 @@ object SparkEntry {
            |FROM e
            |WHERE ${GeoOpsSql.stNPoints("ewkt")} IS NOT NULL
            |ORDER BY o_orderkey""".stripMargin
+      },
+
+      // the build summary: envelope extraction AND the cell-grid
+      // arithmetic (floor, pack base 2^21, coord limit 2^20-1, 64-cell
+      // oversize cap) restated directly over the fixture — a wrong cell
+      // id, a dropped geometry, or a misclassified oversize row moves
+      // n_rows / n_oversize / cell_checksum
+      "geo_cell_build" -> {
+        import graft.functions.GeoOpsSql
+        s"""WITH base AS ($MixedWktBaseSql),
+           |e AS (SELECT o_orderkey AS id,
+           |             ${CleanSql.shiftWkt("wkt_raw")} AS ewkt
+           |      FROM base),
+           |env AS (SELECT id,
+           |               ${GeoOpsSql.stXMin("ewkt")} AS xmin,
+           |               ${GeoOpsSql.stXMax("ewkt")} AS xmax,
+           |               ${GeoOpsSql.stYMin("ewkt")} AS ymin,
+           |               ${GeoOpsSql.stYMax("ewkt")} AS ymax
+           |        FROM e),
+           |b AS (SELECT id,
+           |        CAST(floor(xmin / 4.0) AS BIGINT) AS cx0,
+           |        CAST(floor(xmax / 4.0) AS BIGINT) AS cx1,
+           |        CAST(floor(ymin / 4.0) AS BIGINT) AS cy0,
+           |        CAST(floor(ymax / 4.0) AS BIGINT) AS cy1
+           |      FROM env
+           |      WHERE xmin IS NOT NULL AND ymin IS NOT NULL),
+           |cls AS (SELECT *,
+           |          (abs(cx0) > 1048575 OR abs(cx1) > 1048575 OR
+           |           abs(cy0) > 1048575 OR abs(cy1) > 1048575 OR
+           |           (cx1 - cx0 + 1) * (cy1 - cy0 + 1) > 64) AS oversize
+           |        FROM b),
+           |gx AS (SELECT id, unnest(generate_series(cx0, cx1)) AS cx,
+           |              cy0, cy1
+           |       FROM cls WHERE NOT oversize),
+           |grid AS (SELECT id,
+           |           cx * 2097152 + unnest(generate_series(cy0, cy1))
+           |             AS cell
+           |         FROM gx)
+           |SELECT (SELECT count(*) FROM grid)
+           |       + (SELECT count(*) FROM cls WHERE oversize) AS n_rows,
+           |       (SELECT count(*) FROM cls) AS n_geoms,
+           |       (SELECT count(*) FROM cls WHERE oversize) AS n_oversize,
+           |       (SELECT CAST(sum(cell) AS BIGINT) FROM grid)
+           |         AS cell_checksum""".stripMargin
       },
 
       // the index must be invisible: the oracle filters the geometry
