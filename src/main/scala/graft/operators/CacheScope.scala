@@ -42,11 +42,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object CacheScope {
 
   /** Non-matching actions a listener observes before it gives up,
-    * unpersists its caches and unregisters. Generous: an operator's
-    * caller runs its action within a query, not hundreds of actions
-    * later — the expiry only catches results that were built and then
-    * abandoned. */
-  val MaxMissedActions: Int = 64
+    * unpersists its caches and unregisters. Generous: the orchestrated
+    * composites (e2e_*, pipeline loads) legitimately run a few hundred
+    * actions between building an operator result and consuming it, so
+    * the bound sits well above any real query's action count — the
+    * expiry only catches results that were built and then abandoned
+    * (64 was measured to evict live caches inside e2e rows). */
+  val MaxMissedActions: Int = 512
 
   def unpersistAfterAction(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     val spark = result.sparkSession
